@@ -1,0 +1,37 @@
+"""subgraph_isomorphism_pregel_ray — a Ray-Data-native link-graph analytics engine.
+
+A from-scratch re-expression (NOT a port) of the capabilities of the reference
+system ``ninotreve/subgraph-isomorphism-pregel`` (ICDE 2022, Pregel+/MPI/C++;
+see /root/repo/SURVEY.md for the full structural analysis) as idiomatic Ray
+Data pipelines:
+
+* ``functions/`` — pure scalar/vectorized kernels (url hashing, HTML→text/href
+  extraction, text statistics). No Ray imports; shared by pipelines and test
+  oracles so extraction is byte-identical per url.
+* ``sources/``  — deterministic synthetic pages generator (FIXTURES.md F1) and
+  parquet table readers with column pruning.
+* ``stages/``   — stateless ``map_batches`` stages (extraction, edge explode,
+  partial aggregation) operating on zero-copy Arrow batches.
+* ``state/``    — per-partition CSR adjacency (Arrow/numpy tensors), the
+  vertex "programs" (PageRank, connected components, label propagation,
+  triangle counting, subgraph-isomorphism matching) as pure-numpy superstep
+  functions, and the Ray actor that hosts one partition's state.
+* ``pipelines/``— graph build (hash-partitioned edge table → CSR blocks), the
+  BSP superstep driver with checkpoint/resume + lineage metrics, and the
+  user-facing algorithm entry points, plus the training-data operators
+  (dedup, similarity search, text analysis, multimodal stubs).
+
+Scale notes (the engine is designed for a multi-node cluster streaming ~100 TB
+through the object store; tests run single-node):
+
+* every wide step is keyed on ``part = hash64(vid) % P`` and that one
+  partitioning is reused across edge build, message exchange and checkpoints;
+* message exchange between partition actors is an explicit all-to-all through
+  the object store (``num_returns=P`` remote calls), pre-aggregated per
+  destination partition inside the sender (the combiner the reference left
+  disabled, ``src/utils/vecs.h:101-125``);
+* the pages scan prunes columns at the read and drops ``html`` immediately
+  after extraction so shuffles only move ``(hash, edge)`` integers.
+"""
+
+__version__ = "0.1.0"

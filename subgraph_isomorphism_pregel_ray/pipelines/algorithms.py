@@ -1,0 +1,203 @@
+"""User-facing graph algorithm entry points over the BSP engine.
+
+Each takes an edge Dataset (or a pre-built ``graph_dir``), partitions it
+(``build_graph.partition_graph``), runs the program on a pool of partition
+actors, and returns per-vertex results as a Dataset / Arrow table plus the
+run's lineage. The algorithms and their convergence/tie-break semantics match
+the single-process oracles in ``tests/`` (FIXTURES.md F4).
+
+``pagerank_dataset`` additionally provides the *pure Dataset* path — message
+exchange expressed as ``groupby().aggregate()`` shuffles with no actors —
+both as the SURVEY §4.3 alternative and as the shape the driver's DuckDB
+oracle can replay. It streams: per iteration one map_batches (scatter with
+in-batch pre-aggregation) + one groupby (combine) + one broadcast-free join
+back via a second groupby over the union. The actor path is the scale path
+(CSR built once, per-step cost ∝ frontier).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import numpy as np
+import pyarrow as pa
+
+from .bsp import BSPEngine
+from .build_graph import partition_graph
+
+__all__ = [
+    "build_engine",
+    "pagerank",
+    "connected_components",
+    "label_propagation",
+    "triangle_count",
+    "pagerank_dataset",
+]
+
+
+def build_engine(
+    edges_ds=None,
+    num_parts: int = 8,
+    graph_dir: str | None = None,
+    labels_ds=None,
+    directed: bool = True,
+) -> BSPEngine:
+    if graph_dir is None:
+        graph_dir = tempfile.mkdtemp(prefix="graph_", dir="/tmp")
+    if edges_ds is not None:
+        partition_graph(edges_ds, num_parts, graph_dir, labels_ds=labels_ds, directed=directed)
+    return BSPEngine(graph_dir, num_parts)
+
+
+def _run(engine_or_edges, program, params, num_parts, max_steps, directed=True,
+         labels_ds=None, checkpoint_dir=None, checkpoint_every=0, resume=False):
+    own = not isinstance(engine_or_edges, BSPEngine)
+    eng = (
+        build_engine(engine_or_edges, num_parts, labels_ds=labels_ds, directed=directed)
+        if own
+        else engine_or_edges
+    )
+    lineage = eng.run(
+        program,
+        params,
+        max_steps=max_steps,
+        checkpoint_dir=checkpoint_dir,
+        checkpoint_every=checkpoint_every,
+        resume=resume,
+    )
+    return eng, lineage, own
+
+
+def pagerank(
+    edges_or_engine,
+    iters: int = 20,
+    damping: float = 0.85,
+    num_parts: int = 8,
+    tol: float = 0.0,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 0,
+    resume: bool = False,
+):
+    """Directed PageRank with dangling redistribution → (result table, lineage)."""
+    eng, lineage, own = _run(
+        edges_or_engine,
+        "pagerank",
+        {"iters": iters, "damping": damping, "tol": tol, "n_global": None},
+        num_parts,
+        max_steps=iters + 1,
+        checkpoint_dir=checkpoint_dir,
+        checkpoint_every=checkpoint_every,
+        resume=resume,
+    )
+    out = eng.result_table()
+    if own:
+        eng.shutdown()
+    return out, lineage
+
+
+def connected_components(edges_or_engine, num_parts: int = 8, max_steps: int = 200,
+                         checkpoint_dir=None, checkpoint_every=0, resume=False):
+    """Hash-min components over the symmetrized edge set → (vid, component)."""
+    eng, lineage, own = _run(
+        edges_or_engine, "cc", {}, num_parts, max_steps, directed=False,
+        checkpoint_dir=checkpoint_dir, checkpoint_every=checkpoint_every, resume=resume,
+    )
+    out = eng.result_table()
+    if own:
+        eng.shutdown()
+    return out, lineage
+
+
+def label_propagation(edges_or_engine, iters: int = 10, num_parts: int = 8,
+                      checkpoint_dir=None, checkpoint_every=0, resume=False):
+    """Synchronous LPA (min tie-break) → (vid, label)."""
+    eng, lineage, own = _run(
+        edges_or_engine, "lpa", {"iters": iters}, num_parts, iters + 2, directed=False,
+        checkpoint_dir=checkpoint_dir, checkpoint_every=checkpoint_every, resume=resume,
+    )
+    out = eng.result_table()
+    if own:
+        eng.shutdown()
+    return out, lineage
+
+
+def triangle_count(edges_or_engine, num_parts: int = 8):
+    """Exact triangle count → (global count, per-vertex table, lineage)."""
+    eng, lineage, own = _run(edges_or_engine, "triangles", {}, num_parts, 4, directed=False)
+    total = eng.scalar_results().get("triangles", 0)
+    per_vertex = eng.result_table()
+    if own:
+        eng.shutdown()
+    return total, per_vertex, lineage
+
+
+# ---------------------------------------------------------------------------
+def pagerank_dataset(edges_ds, iters: int = 5, damping: float = 0.85):
+    """Pure-Dataset PageRank (no actors): per-iteration groupby shuffles.
+
+    Semantics identical to the actor path on graphs whose every vertex has
+    outdegree ≥ 1 (no dangling mass) — which holds for symmetrized edge
+    tables; the DuckDB oracle in ``__ray_entry__.oracle_sql`` replays exactly
+    this recurrence. Returns Dataset(vid:uint64, pr:float64 rounded 1e-8).
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    edges = edges_ds.materialize()  # reused every iteration — pin blocks once
+
+    # out-degree per src (one shuffle, reused): Dataset(vid, outdeg)
+    def _deg_partial(batch: pa.Table) -> pa.Table:
+        src, cnt = np.unique(batch["src"].to_numpy().astype(np.uint64), return_counts=True)
+        return pa.table({"vid": src, "cnt": cnt.astype(np.int64)})
+
+    deg = (
+        edges.map_batches(_deg_partial, batch_format="pyarrow")
+        .groupby("vid")
+        .aggregate(Sum("cnt", alias_name="outdeg"))
+        .materialize()
+    )
+    n = deg.count()
+
+    # ranks live as a Dataset(vid, pr); contributions via co-groupby on vid
+    ranks = deg.map_batches(
+        lambda t: pa.table({"vid": t["vid"], "pr": np.full(t.num_rows, 1.0 / n)}),
+        batch_format="pyarrow",
+    ).materialize()
+
+    np_join = max(2, min(32, n // 10_000 + 2))
+    for _ in range(iters):
+        # join ranks+outdeg to edges by src: tag and union, group by vid
+        r = ranks.join(deg, "inner", np_join, on=("vid",))
+
+        def _rate(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {"src": t["vid"], "rate": t["pr"].to_numpy() / t["outdeg"].to_numpy()}
+            )
+
+        rates = r.map_batches(_rate, batch_format="pyarrow")
+        contrib = edges.join(rates, "inner", np_join, on=("src",))
+
+        def _pre(t: pa.Table) -> pa.Table:  # in-batch combiner before the groupby
+            dst = t["dst"].to_numpy().astype(np.uint64)
+            rate = t["rate"].to_numpy()
+            u, inv = np.unique(dst, return_inverse=True)
+            return pa.table({"vid": u, "c": np.bincount(inv, weights=rate)})
+
+        insum = contrib.map_batches(_pre, batch_format="pyarrow").groupby("vid").aggregate(
+            Sum("c", alias_name="insum")
+        )
+        base = (1.0 - damping) / n
+        joined = deg.join(insum, "left_outer", np_join, on=("vid",))
+
+        def _apply(t: pa.Table) -> pa.Table:
+            s = t["insum"].to_numpy(zero_copy_only=False)
+            s = np.where(np.isnan(s), 0.0, s)
+            return pa.table({"vid": t["vid"], "pr": base + damping * s})
+
+        ranks = joined.map_batches(_apply, batch_format="pyarrow").materialize()
+
+    def _round(t: pa.Table) -> pa.Table:
+        return pa.table({"vid": t["vid"], "pr": np.round(t["pr"].to_numpy(), 8)})
+
+    return ranks.map_batches(_round, batch_format="pyarrow")

@@ -1,0 +1,230 @@
+"""BSP superstep driver: the Ray-side ``Worker::run_type``.
+
+Mirrors the reference's superstep engine (``basic/Worker.h:410-569``) with
+Ray Data idioms per SURVEY.md §3.3 / §4.3:
+
+* the driver loop IS the barrier (``ray.get`` of the round's stats refs ↔
+  ``MPI_Barrier``, ``basic/Worker.h:524-526``);
+* message exchange is store-to-store: every actor's ``superstep`` returns
+  P outbox refs (``num_returns=P+1``); the driver only shuffles *refs*, never
+  payloads (↔ ``all_to_all_cat``, ``utils/communication.h:159-211``);
+* per-step stats are folded on the driver and re-broadcast as ``glob``
+  (↔ aggregator gather/fold/bcast, ``basic/Worker.h:158-215``);
+* convergence = global ``active == 0 and sent == 0`` — the generic test the
+  reference commented out (``basic/Worker.h:440-460``) restored;
+* every ``checkpoint_every`` steps each partition atomically writes its
+  post-apply state to ``ckpt/step=<K>/part=<p>.parquet`` and the driver a
+  ``manifest.json`` with lineage metrics; resume loads the last complete
+  step and re-runs its scatter (deterministic kernels ⇒ identical results).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import pyarrow as pa
+import ray
+
+from ..state.actors import GraphPartition
+
+__all__ = ["BSPEngine", "latest_checkpoint"]
+
+
+def _fold(stats: list[dict]) -> dict:
+    """Sum numeric stats across partitions; track straggler time."""
+    out: dict = {}
+    for s in stats:
+        for k, v in s.items():
+            if k == "part" or not isinstance(v, (int, float)):
+                continue
+            out[k] = out.get(k, 0) + v
+            if k.startswith("t_"):
+                out[k + "_max"] = max(out.get(k + "_max", 0.0), v)
+    return out
+
+
+def latest_checkpoint(ckpt_dir: str, num_parts: int):
+    """Highest step with a manifest and all P part files, or None."""
+    if not os.path.isdir(ckpt_dir):
+        return None
+    best = None
+    for name in os.listdir(ckpt_dir):
+        if not name.startswith("step="):
+            continue
+        step = int(name.split("=")[1])
+        d = os.path.join(ckpt_dir, name)
+        if not os.path.exists(os.path.join(d, "manifest.json")):
+            continue
+        if all(os.path.exists(os.path.join(d, f"part={p}.parquet")) for p in range(num_parts)):
+            best = step if best is None else max(best, step)
+    return best
+
+
+class BSPEngine:
+    """P pinned partition actors + the superstep loop over them."""
+
+    def __init__(self, graph_dir: str, num_parts: int):
+        self.graph_dir = graph_dir
+        self.P = num_parts
+        self.actors = [
+            GraphPartition.remote(p, num_parts, graph_dir) for p in range(num_parts)
+        ]
+        self.part_stats = ray.get([a.stats.remote() for a in self.actors])
+        self.num_vertices = sum(s["vertices"] for s in self.part_stats)
+        self.num_edges = sum(s["edges"] for s in self.part_stats)
+        self._exchanged: set[str] = set()
+
+    # ---- PREPROCESS: fetch remote per-edge attributes ---------------------
+    def exchange_attr(self, name: str):
+        """One all-to-all round so every partition learns `name` (label /
+        degree) for each neighbor its edges reference — the analogue of the
+        reference's PREPROCESS superstep (``pregel_app_subgraph.h:55-63``)."""
+        if name in self._exchanged:
+            return
+        P = self.P
+        reqs = [
+            a.attr_requests.options(num_returns=P).remote() for a in self.actors
+        ]
+        if P == 1:
+            reqs = [[r] for r in reqs]
+        served = [
+            self.actors[p]
+            .attr_serve.options(num_returns=P)
+            .remote(name, [reqs[q][p] for q in range(P)])
+            for p in range(P)
+        ]
+        if P == 1:
+            served = [[s] for s in served]
+        ray.get(
+            [
+                self.actors[q].attr_store.remote(name, [served[p][q] for p in range(P)])
+                for q in range(P)
+            ]
+        )
+        self._exchanged.add(name)
+
+    # ---- the superstep loop ------------------------------------------------
+    def run(
+        self,
+        program: str,
+        params: dict | None = None,
+        max_steps: int = 100,
+        checkpoint_dir: str | None = None,
+        checkpoint_every: int = 0,
+        resume: bool = False,
+    ) -> dict:
+        """Run `program` to convergence (or max_steps). Returns lineage dict."""
+        from ..state.programs import PROGRAMS
+
+        params = dict(params or {})
+        if "n_global" in params and params["n_global"] is None:
+            params["n_global"] = self.num_vertices
+        for attr in PROGRAMS[program].needs_nbr_attrs:
+            self.exchange_attr(attr)
+
+        ray.get([a.init_program.remote(program, params) for a in self.actors])
+
+        start_step, glob = 0, {}
+        skip_apply = False
+        if resume and checkpoint_dir:
+            last = latest_checkpoint(checkpoint_dir, self.P)
+            if last is not None:
+                d = os.path.join(checkpoint_dir, f"step={last}")
+                with open(os.path.join(d, "manifest.json")) as f:
+                    manifest = json.load(f)
+                ray.get(
+                    [
+                        a.load_checkpoint.remote(
+                            os.path.join(d, f"part={p}.parquet"), last
+                        )
+                        for p, a in enumerate(self.actors)
+                    ]
+                )
+                start_step, glob = last, manifest.get("glob", {})
+                skip_apply = True
+
+        P = self.P
+        lineage: list[dict] = []
+        inbox: list[list] = [[] for _ in range(P)]
+        step = start_step
+        for step in range(start_step, max_steps):
+            ck_paths = [None] * P
+            ck_dir = None
+            if (
+                checkpoint_dir
+                and checkpoint_every
+                and step > 0
+                and step % checkpoint_every == 0
+                and not skip_apply
+            ):
+                ck_dir = os.path.join(checkpoint_dir, f"step={step}")
+                os.makedirs(ck_dir, exist_ok=True)
+                ck_paths = [os.path.join(ck_dir, f"part={p}.parquet") for p in range(P)]
+
+            t0 = time.perf_counter()
+            rets = [
+                self.actors[p]
+                .superstep.options(num_returns=P + 1)
+                .remote(step, inbox[p], glob, ck_paths[p], skip_apply)
+                for p in range(P)
+            ]
+            if P == 1:
+                rets = [[r] for r in rets]
+            stats = ray.get([r[P] for r in rets])  # ← the BSP barrier
+            wall = time.perf_counter() - t0
+            skip_apply = False
+            inbox = [[rets[q][p] for q in range(P)] for p in range(P)]
+            glob = _fold(stats)
+            row = {
+                "step": step,
+                "active": int(glob.get("active", 0)),
+                "sent": int(glob.get("sent", 0)),
+                "wall_sec": wall,
+                "t_apply_max": glob.get("t_apply_max", 0.0),
+                "t_scatter_max": glob.get("t_scatter_max", 0.0),
+            }
+            lineage.append(row)
+            if ck_dir:
+                with open(os.path.join(ck_dir, "manifest.json.tmp"), "w") as f:
+                    json.dump(
+                        {
+                            "step": step,
+                            "num_parts": P,
+                            "program": program,
+                            "glob": {k: v for k, v in glob.items()},
+                            "lineage": lineage,
+                        },
+                        f,
+                    )
+                os.replace(
+                    os.path.join(ck_dir, "manifest.json.tmp"),
+                    os.path.join(ck_dir, "manifest.json"),
+                )
+            if row["active"] == 0 and row["sent"] == 0:
+                break
+        return {"steps": step + 1, "lineage": lineage}
+
+    # ---- results -----------------------------------------------------------
+    def result_dataset(self):
+        """Per-vertex results as a Ray Dataset (streams; no driver concat)."""
+        import ray.data as rd
+
+        return rd.from_arrow_refs([a.result_table.remote() for a in self.actors])
+
+    def result_table(self) -> pa.Table:
+        return pa.concat_tables(ray.get([a.result_table.remote() for a in self.actors]))
+
+    def scalar_results(self) -> dict:
+        parts = ray.get([a.scalar_result.remote() for a in self.actors])
+        out: dict = {}
+        for d in parts:
+            for k, v in d.items():
+                out[k] = out.get(k, 0) + v
+        return out
+
+    def shutdown(self):
+        for a in self.actors:
+            ray.kill(a)
+        self.actors = []

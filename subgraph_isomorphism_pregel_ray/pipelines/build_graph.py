@@ -1,0 +1,123 @@
+"""Graph build: edge Dataset → hash-partitioned on-disk layout → CSR actors.
+
+The Ray-side analogue of the reference's load + shuffle-on-load
+(``basic/Worker.h:304-344`` load_data, ``basic/Worker.h:77-103`` sync_graph):
+one Dataset pass adds ``part = vid % P`` and writes a hive-partitioned
+parquet layout
+
+    graph_dir/edges/part=<p>/*.parquet   (src:uint64, dst:uint64)
+    graph_dir/verts/part=<p>/*.parquet   (vid:uint64[, label:int64])
+    graph_dir/manifest.json              (P, row counts)
+
+that each ``GraphPartition`` actor then reads independently — so graph
+construction is resumable (the layout is the checkpoint) and actor creation
+is embarrassingly parallel. The same ``part`` function is reused for message
+exchange and algorithm checkpoints (SURVEY.md §7.3: ONE partitioning key).
+
+Scale note: at 100 TB you would ``repartition`` the edge Dataset to ~P×k
+blocks before the partitioned write so each write task covers few partitions;
+the hive layout itself (many part files per partition) is already what a
+256-node cluster wants — each actor reads only its own directory.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions.hashing import part_for
+
+__all__ = [
+    "add_part_column",
+    "symmetrize",
+    "partition_graph",
+    "edges_from_arrays",
+]
+
+
+def add_part_column(col: str, num_parts: int):
+    def _add(batch: pa.Table) -> pa.Table:
+        part = part_for(batch[col].to_numpy(zero_copy_only=False), num_parts)
+        return batch.append_column("part", pa.array(part))
+
+    return _add
+
+
+def symmetrize(edges_ds, drop_self_loops: bool = True):
+    """Undirected view: emit both directions, drop self-loops."""
+
+    def _sym(batch: pa.Table) -> pa.Table:
+        src = batch["src"].to_numpy().astype(np.uint64)
+        dst = batch["dst"].to_numpy().astype(np.uint64)
+        if drop_self_loops:
+            keep = src != dst
+            src, dst = src[keep], dst[keep]
+        return pa.table(
+            {
+                "src": np.concatenate([src, dst]),
+                "dst": np.concatenate([dst, src]),
+            }
+        )
+
+    return edges_ds.map_batches(_sym, batch_format="pyarrow")
+
+
+def _vert_stubs(num_parts: int):
+    """edges batch → unique vids (from both endpoints) with part column.
+    Pre-uniqued per batch so the verts layout is ~|V| not 2|E| rows."""
+
+    def _stub(batch: pa.Table) -> pa.Table:
+        src = batch["src"].to_numpy().astype(np.uint64)
+        dst = batch["dst"].to_numpy().astype(np.uint64)
+        vids = np.unique(np.concatenate([src, dst]))
+        return pa.table({"vid": vids, "part": part_for(vids, num_parts)})
+
+    return _stub
+
+
+def partition_graph(
+    edges_ds,
+    num_parts: int,
+    graph_dir: str,
+    labels_ds=None,
+    directed: bool = True,
+) -> str:
+    """Write the partitioned graph layout (see module doc). Returns graph_dir.
+
+    ``edges_ds``: Dataset(src:uint64, dst:uint64). If ``directed=False`` the
+    edge set is symmetrized first. ``labels_ds``: optional Dataset(vid, label)
+    covering every vertex — becomes the verts layout; otherwise verts are
+    derived from edge endpoints.
+    """
+    if os.path.exists(os.path.join(graph_dir, "manifest.json")):
+        return graph_dir  # already built — resumable
+    if not directed:
+        edges_ds = symmetrize(edges_ds)
+    edges_ds = edges_ds.map_batches(add_part_column("src", num_parts), batch_format="pyarrow")
+    edges_ds.write_parquet(os.path.join(graph_dir, "edges"), partition_cols=["part"])
+
+    if labels_ds is not None:
+        verts = labels_ds.map_batches(add_part_column("vid", num_parts), batch_format="pyarrow")
+    else:
+        verts = edges_ds.map_batches(_vert_stubs(num_parts), batch_format="pyarrow")
+    verts.write_parquet(os.path.join(graph_dir, "verts"), partition_cols=["part"])
+
+    with open(os.path.join(graph_dir, "manifest.json"), "w") as f:
+        json.dump({"num_parts": num_parts, "directed": directed}, f)
+    return graph_dir
+
+
+def edges_from_arrays(src, dst):
+    """Tiny-graph helper (tests): numpy arrays → edge Dataset."""
+    import ray.data as rd
+
+    t = pa.table(
+        {
+            "src": np.asarray(src, dtype=np.uint64),
+            "dst": np.asarray(dst, dtype=np.uint64),
+        }
+    )
+    return rd.from_arrow(t)

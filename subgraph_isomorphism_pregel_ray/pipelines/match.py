@@ -1,0 +1,179 @@
+"""Subgraph-isomorphism matching: query planner + distributed count.
+
+Planner = the Ray-side ``SIQuery::init`` (``SItypes/SIQuery.h:226-427``):
+root selection by max degree (the reference's ``-order degree`` mode,
+``SIQuery.h:234-268``), DFS preorder with children sorted by (degree desc,
+id) (``SIQuery.h:373-402``), and per-level derived fields — parent position,
+backward-neighbor positions (``addBNIC``, ``SIQuery.h:429-486``) and
+same-label positions for injectivity (``SIQuery.h:359-365,531-542``). The
+branch-number / index-chain / conflict machinery (``SIQuery.h:509-702``)
+supports the reference's compressed-result encoding only; the flat plan's
+counts are identical (SURVEY.md §7.5).
+
+A query graph is ``(labels: list[int], edges: list[(int, int)])`` over query
+vertex ids 0..k-1, undirected, connected.
+
+``match_count`` runs the MATCH phase on the BSP engine (``MatchProgram``) and
+returns the global embedding count — the reference's shipped deliverable
+("Mapping count", ``pregel_app_subgraph.h:914-919``).
+
+``brute_force_count`` is the single-process oracle (VF2-style backtracking)
+used by the tests (FIXTURES.md F4) — deliberately a different algorithm.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = ["build_plan", "match_count", "brute_force_count", "toy_graph", "toy_query"]
+
+
+def build_plan(labels: list[int], edges: list[tuple[int, int]], root: int | None = None) -> dict:
+    """Compute the flat matching plan (see module doc)."""
+    k = len(labels)
+    adj: list[set[int]] = [set() for _ in range(k)]
+    for a, b in edges:
+        if a == b:
+            raise ValueError("query self-loops unsupported")
+        adj[a].add(b)
+        adj[b].add(a)
+    if any(not a for a in adj) and k > 1:
+        raise ValueError("query must be connected")
+    if root is None:  # '-order degree': max degree, tie → min id
+        root = max(range(k), key=lambda u: (len(adj[u]), -u))
+
+    order: list[int] = []
+    parent: dict[int, int] = {root: -1}
+    seen = {root}
+    stack = [root]
+    while stack:
+        u = stack.pop()
+        order.append(u)
+        children = sorted(
+            (c for c in adj[u] if c not in seen),
+            key=lambda c: (len(adj[c]), -c),
+        )
+        for c in children:  # stack pops highest-degree child first
+            seen.add(c)
+            parent[c] = u
+            stack.append(c)
+    if len(order) != k:
+        raise ValueError("query must be connected")
+
+    pos = {u: i for i, u in enumerate(order)}
+    plan_labels = [int(labels[u]) for u in order]
+    parent_pos = [(-1 if parent[u] == -1 else pos[parent[u]]) for u in order]
+    back_pos = []
+    same_label_pos = []
+    for i, u in enumerate(order):
+        bp = sorted(
+            pos[v] for v in adj[u] if pos[v] < i and pos[v] != parent_pos[i]
+        )
+        back_pos.append(bp)
+        same_label_pos.append(
+            [j for j in range(i) if plan_labels[j] == plan_labels[i]]
+        )
+    return {
+        "labels": plan_labels,
+        "parent_pos": parent_pos,
+        "back_pos": back_pos,
+        "same_label_pos": same_label_pos,
+        "order": order,
+    }
+
+
+def match_count(
+    edges_or_engine,
+    query_labels: list[int],
+    query_edges: list[tuple[int, int]],
+    labels_ds=None,
+    num_parts: int = 8,
+    max_chunk: int = 500_000,
+) -> tuple[int, dict]:
+    """Count embeddings of the labeled query in the labeled data graph.
+
+    ``edges_or_engine``: edge Dataset (symmetrized internally) + ``labels_ds``
+    Dataset(vid:uint64, label:int64), or a prepared BSPEngine whose verts
+    layout already carries labels.
+    """
+    from .algorithms import build_engine
+    from .bsp import BSPEngine
+
+    plan = build_plan(query_labels, query_edges)
+    own = not isinstance(edges_or_engine, BSPEngine)
+    eng = (
+        build_engine(edges_or_engine, num_parts, labels_ds=labels_ds, directed=False)
+        if own
+        else edges_or_engine
+    )
+    lineage = eng.run(
+        "match",
+        {"plan": plan, "max_chunk": max_chunk},
+        max_steps=2 * len(query_labels) + 2,
+    )
+    count = eng.scalar_results().get("embeddings", 0)
+    if own:
+        eng.shutdown()
+    return count, lineage
+
+
+def brute_force_count(
+    data_labels: dict[int, int], data_edges: list[tuple[int, int]],
+    query_labels: list[int], query_edges: list[tuple[int, int]],
+) -> int:
+    """Single-process VF2-style backtracking oracle (tests only)."""
+    k = len(query_labels)
+    qadj: list[set[int]] = [set() for _ in range(k)]
+    for a, b in query_edges:
+        qadj[a].add(b)
+        qadj[b].add(a)
+    dadj: dict[int, set[int]] = {v: set() for v in data_labels}
+    for a, b in data_edges:
+        if a == b:
+            continue
+        dadj.setdefault(a, set()).add(b)
+        dadj.setdefault(b, set()).add(a)
+    verts = sorted(data_labels)
+    count = 0
+    mapping: list[int] = []
+
+    def rec(u: int):
+        nonlocal count
+        if u == k:
+            count += 1
+            return
+        back = [q for q in qadj[u] if q < u]
+        cand = dadj[mapping[back[0]]] if back else verts
+        for v in cand:
+            if data_labels.get(v) != query_labels[u] or v in mapping:
+                continue
+            if all(mapping[q] in dadj[v] for q in back):
+                mapping.append(v)
+                rec(u + 1)
+                mapping.pop()
+
+    rec(0)
+    return count
+
+
+def toy_graph():
+    """The reference's golden 15-vertex example (``graphs/toy.txt:1-15``),
+    labels a/b/c/d → 0/1/2/3. Returns (labels: dict vid→label, edges)."""
+    raw = {
+        1: ("a", [2, 4, 5]), 2: ("c", [1, 3, 5]), 3: ("b", [2, 4, 5, 13]),
+        4: ("c", [1, 3, 5, 9]), 5: ("b", [1, 2, 3, 4]), 6: ("d", [7, 9, 10]),
+        7: ("a", [6, 8, 10, 11]), 8: ("d", [7, 9, 10]), 9: ("b", [4, 6, 8, 10]),
+        10: ("d", [6, 7, 8, 9]), 11: ("a", [7, 12, 14, 15]), 12: ("b", [11, 13, 15]),
+        13: ("d", [3, 12, 14, 15]), 14: ("b", [11, 13, 15]), 15: ("c", [11, 12, 13, 14]),
+    }
+    lmap = {"a": 0, "b": 1, "c": 2, "d": 3}
+    labels = {v: lmap[l] for v, (l, _) in raw.items()}
+    edges = sorted({(min(v, n), max(v, n)) for v, (_, ns) in raw.items() for n in ns})
+    return labels, edges
+
+
+def toy_query():
+    """The reference's golden query (``graphs/query.txt:1-4``): 4-cycle
+    a–c–b–c → labels [0, 2, 1, 2], edges of the cycle. Expected count: 4
+    (``/root/reference/README.md:83``)."""
+    return [0, 2, 1, 2], [(0, 1), (1, 2), (2, 3), (3, 0)]

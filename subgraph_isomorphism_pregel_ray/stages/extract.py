@@ -1,0 +1,70 @@
+"""Extraction stages: pages → (url, text, hrefs) → edge table.
+
+Ray-Data analogue of the reference's parse + shuffle-on-load
+(``pregel_app_subgraph.h:689-714`` toVertex, ``basic/Worker.h:77-103``
+sync_graph): a stateless ``map_batches`` parse followed by hash partitioning.
+
+Scale notes: ``html`` (the wide binary column) is dropped inside the very
+first stage — everything downstream moves only int64 hashes. The per-row
+Python loop here is the regex extractor itself (compiled once per process);
+there is no faster public vectorized HTML parser in this container, and the
+stage parallelizes across blocks, which is what matters at 100 TB.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions.extract import extract_hrefs, extract_text, normalize_url
+from ..functions.hashing import hash64
+
+__all__ = ["extract_batch", "edges_batch", "extract_stage", "edge_stage"]
+
+
+def extract_batch(batch: pa.Table) -> pa.Table:
+    """pages(url, html, …) → (url, text, hrefs:list<string>). Drops html."""
+    htmls = batch["html"].to_pylist()
+    texts = [extract_text(h) for h in htmls]
+    hrefs = [extract_hrefs(h) for h in htmls]
+    return pa.table(
+        {
+            "url": batch["url"],
+            "text": pa.array(texts, type=pa.string()),
+            "hrefs": pa.array(hrefs, type=pa.list_(pa.string())),
+        }
+    )
+
+
+def edges_batch(batch: pa.Table) -> pa.Table:
+    """pages(url, html) → edges(src:uint64, dst:uint64) via href explode."""
+    urls = batch["url"].to_pylist()
+    htmls = batch["html"].to_pylist()
+    src_urls: list[str] = []
+    dst_urls: list[str] = []
+    for u, h in zip(urls, htmls):
+        nu = normalize_url(u)
+        for t in extract_hrefs(h):
+            src_urls.append(nu)
+            dst_urls.append(normalize_url(t))
+    if src_urls:
+        src = hash64(np.array(src_urls, dtype=object))
+        dst = hash64(np.array(dst_urls, dtype=object))
+    else:
+        src = np.empty(0, dtype=np.uint64)
+        dst = np.empty(0, dtype=np.uint64)
+    return pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+
+
+def extract_stage(pages_ds, batch_size: int = 512):
+    """Dataset stage: pages → extracted text+hrefs (html dropped)."""
+    return pages_ds.map_batches(
+        extract_batch, batch_format="pyarrow", batch_size=batch_size
+    )
+
+
+def edge_stage(pages_ds, batch_size: int = 512):
+    """Dataset stage: pages → edge table of url-hash pairs."""
+    return pages_ds.map_batches(
+        edges_batch, batch_format="pyarrow", batch_size=batch_size
+    )

@@ -1,0 +1,169 @@
+"""GraphPartition — the Ray actor hosting one partition's CSR + program state.
+
+The analogue of the reference's per-rank ``Worker`` (``basic/Worker.h:16``),
+decoupled the Ray way (SURVEY.md §4.3): Datasets move data, this actor holds
+state. One actor per partition, created once per job (or resume), addressed
+explicitly by the BSP driver — because ``map_batches(Cls)`` gives no
+batch→actor affinity, which cross-superstep vertex state requires.
+
+Message exchange is an explicit all-to-all through the object store: each
+``superstep`` call returns P+1 values (``num_returns``), one outbox per
+destination partition plus a stats dict; the driver hands ref ``[p]`` of
+every sender to actor ``p`` next step, so payloads move store-to-store
+(node-to-node on a real cluster) without driver materialization — the
+analogue of ``all_to_all_cat`` (``utils/communication.h:159-211``).
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import os
+import time
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray
+
+from .csr import build_csr
+from .programs import PROGRAMS
+
+
+def _read_part_dir(path_glob: str, columns=None) -> pa.Table | None:
+    files = sorted(_glob.glob(path_glob))
+    if not files:
+        return None
+    return pa.concat_tables([pq.read_table(f, columns=columns) for f in files])
+
+
+@ray.remote
+class GraphPartition:
+    """Holds one partition's CSR and runs program supersteps on it."""
+
+    def __init__(self, part: int, num_parts: int, graph_dir: str):
+        """Load this partition's slice of the partitioned graph layout
+        written by ``pipelines.build_graph.partition_graph``:
+        ``graph_dir/edges/part=<p>/*.parquet`` (src, dst) and
+        ``graph_dir/verts/part=<p>/*.parquet`` (vid[, label])."""
+        self.part = part
+        self.num_parts = num_parts
+        edges = _read_part_dir(os.path.join(graph_dir, "edges", f"part={part}", "*.parquet"))
+        verts = _read_part_dir(os.path.join(graph_dir, "verts", f"part={part}", "*.parquet"))
+        if edges is not None:
+            src = edges["src"].to_numpy().astype(np.uint64)
+            dst = edges["dst"].to_numpy().astype(np.uint64)
+        else:
+            src = np.empty(0, np.uint64); dst = np.empty(0, np.uint64)
+        if verts is not None:
+            vids = verts["vid"].to_numpy().astype(np.uint64)
+            labels = verts["label"].to_numpy() if "label" in verts.column_names else None
+        else:
+            vids, labels = np.empty(0, np.uint64), None
+        self.csr = build_csr(part, num_parts, src, dst, vids, labels)
+        self.program = None
+
+    # ---- introspection ---------------------------------------------------
+    def stats(self) -> dict:
+        return {
+            "part": self.part,
+            "vertices": self.csr.num_vertices,
+            "edges": self.csr.num_edges,
+        }
+
+    # ---- attribute exchange (PREPROCESS analogue) ------------------------
+    def attr_requests(self):
+        """Per destination partition: the distinct dst vids this partition's
+        edges reference there (P return values via num_returns)."""
+        dix = self.csr.dst_index()
+        return tuple(dix.uniq_dst)
+
+    def attr_serve(self, name: str, requests: list):
+        """Answer other partitions' vid→attribute lookups (P return values)."""
+        out = []
+        for req in requests:
+            req = ray.get(req) if isinstance(req, ray.ObjectRef) else req
+            li = self.csr.local_index(req)
+            if name == "degree":
+                out.append(self.csr.degrees()[li])
+            elif name == "label":
+                out.append(self.csr.labels[li])
+            else:
+                raise KeyError(name)
+        return tuple(out)
+
+    def attr_store(self, name: str, values: list):
+        """Scatter served values back onto per-edge arrays."""
+        dix = self.csr.dst_index()
+        arr = None
+        for p, vals in enumerate(values):
+            vals = ray.get(vals) if isinstance(vals, ray.ObjectRef) else vals
+            s, e = dix.slices[p]
+            if s == e:
+                continue
+            if arr is None:
+                arr = np.zeros(self.csr.num_edges, dtype=np.asarray(vals).dtype)
+            arr[dix.order[s:e]] = np.asarray(vals)[dix.inverse[p]]
+        if arr is None:
+            arr = np.zeros(self.csr.num_edges, dtype=np.int64)
+        self.csr.nbr_attr[name] = arr
+        if name == "label":
+            self.csr.nbr_labels = arr
+        return True
+
+    # ---- program lifecycle ----------------------------------------------
+    def init_program(self, name: str, params: dict):
+        self.program = PROGRAMS[name]()
+        self.program.init(self.csr, **params)
+        return True
+
+    def load_checkpoint(self, path: str, step: int):
+        self.program.load_state(pq.read_table(path), step)
+        return True
+
+    def superstep(
+        self,
+        step: int,
+        inbox: list,
+        glob: dict,
+        checkpoint_path: str | None,
+        skip_apply: bool = False,
+    ):
+        """apply → (optional checkpoint) → scatter. Returns P outboxes + stats.
+
+        ``skip_apply`` is the resume path: state was just loaded from the
+        post-apply checkpoint of this step, so only scatter re-runs.
+        """
+        t0 = time.perf_counter()
+        if skip_apply:
+            msgs = []
+            t_get = time.perf_counter()
+            stats_a = {"active": int(glob.get("active", 1))}
+            checkpoint_path = None
+        else:
+            msgs = [ray.get(r) if isinstance(r, ray.ObjectRef) else r for r in inbox]
+            t_get = time.perf_counter()
+            stats_a = self.program.apply(step, msgs, glob)
+        t_apply = time.perf_counter()
+        if checkpoint_path is not None:
+            tmp = checkpoint_path + ".tmp"
+            pq.write_table(self.program.state_table(), tmp)
+            os.replace(tmp, checkpoint_path)  # atomic per-partition checkpoint
+        t_ck = time.perf_counter()
+        outbox, stats_s = self.program.scatter(step)
+        t1 = time.perf_counter()
+        stats = dict(stats_a)
+        stats.update(stats_s)
+        stats.update(
+            part=self.part,
+            t_fetch=t_get - t0,
+            t_apply=t_apply - t_get,
+            t_checkpoint=t_ck - t_apply,
+            t_scatter=t1 - t_ck,
+        )
+        return (*outbox, stats)
+
+    def result_table(self) -> pa.Table:
+        return self.program.result_table()
+
+    def scalar_result(self) -> dict:
+        return self.program.scalar_result()

@@ -1,0 +1,113 @@
+"""LocalBSP — in-process, Ray-free harness running the same vertex programs.
+
+Used by unit tests (and quick debugging) to exercise the exact numpy
+superstep kernels with a simulated all-to-all, so program logic is testable
+without a Ray session; the Ray integration tests then only need to cover the
+engine plumbing (actors, exchange, checkpointing). The partitioning,
+messages, and fold logic intentionally mirror ``pipelines/bsp.py``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..functions.hashing import part_for
+from .csr import build_csr
+from .programs import PROGRAMS
+
+
+def _fold(stats):
+    out = {}
+    for s in stats:
+        for k, v in s.items():
+            if isinstance(v, (int, float)) and k != "part":
+                out[k] = out.get(k, 0) + v
+    return out
+
+
+class LocalBSP:
+    def __init__(self, src, dst, num_parts=4, labels=None, directed=True):
+        src = np.asarray(src, dtype=np.uint64)
+        dst = np.asarray(dst, dtype=np.uint64)
+        if not directed:
+            keep = src != dst
+            src, dst = src[keep], dst[keep]
+            src, dst = np.concatenate([src, dst]), np.concatenate([dst, src])
+        self.P = num_parts
+        vids = np.unique(np.concatenate([src, dst]))
+        vlab = None
+        if labels is not None:  # labels: dict vid -> label
+            vlab = np.array([labels[int(v)] for v in vids], dtype=np.int64)
+        epart = part_for(src, num_parts)
+        vpart = part_for(vids, num_parts)
+        self.csrs = []
+        for p in range(num_parts):
+            em = epart == p
+            vm = vpart == p
+            self.csrs.append(
+                build_csr(
+                    p, num_parts, src[em], dst[em], vids[vm],
+                    vlab[vm] if vlab is not None else None,
+                )
+            )
+        self.num_vertices = len(vids)
+        self._exchanged = set()
+
+    def exchange_attr(self, name):
+        if name in self._exchanged:
+            return
+        for csr in self.csrs:
+            dix = csr.dst_index()
+            arr = None
+            for p in range(self.P):
+                s, e = dix.slices[p]
+                if s == e:
+                    continue
+                owner = self.csrs[p]
+                li = owner.local_index(dix.uniq_dst[p])
+                vals = owner.degrees()[li] if name == "degree" else owner.labels[li]
+                if arr is None:
+                    arr = np.zeros(csr.num_edges, dtype=np.asarray(vals).dtype)
+                arr[dix.order[s:e]] = np.asarray(vals)[dix.inverse[p]]
+            if arr is None:
+                arr = np.zeros(csr.num_edges, dtype=np.int64)
+            csr.nbr_attr[name] = arr
+            if name == "label":
+                csr.nbr_labels = arr
+
+    def run(self, program, params=None, max_steps=100):
+        params = dict(params or {})
+        if "n_global" in params and params["n_global"] is None:
+            params["n_global"] = self.num_vertices
+        cls = PROGRAMS[program]
+        for attr in cls.needs_nbr_attrs:
+            self.exchange_attr(attr)
+        self.programs = [cls() for _ in range(self.P)]
+        for prog, csr in zip(self.programs, self.csrs):
+            prog.init(csr, **params)
+        inbox = [[] for _ in range(self.P)]
+        glob = {}
+        for step in range(max_steps):
+            outs, stats = [], []
+            for p, prog in enumerate(self.programs):
+                sa = prog.apply(step, inbox[p], glob)
+                ob, ss = prog.scatter(step)
+                outs.append(ob)
+                stats.append({**sa, **ss})
+            inbox = [[outs[q][p] for q in range(self.P)] for p in range(self.P)]
+            glob = _fold(stats)
+            if glob.get("active", 0) == 0 and glob.get("sent", 0) == 0:
+                break
+        return glob
+
+    def result(self):
+        import pyarrow as pa
+
+        return pa.concat_tables([p.result_table() for p in self.programs])
+
+    def scalars(self):
+        out = {}
+        for p in self.programs:
+            for k, v in p.scalar_result().items():
+                out[k] = out.get(k, 0) + v
+        return out

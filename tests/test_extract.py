@@ -1,0 +1,80 @@
+"""Extraction byte-identity + href parsing (FIXTURES.md F1 invariant)."""
+
+import numpy as np
+
+from subgraph_isomorphism_pregel_ray.functions.extract import (
+    extract_hrefs,
+    extract_text,
+    normalize_url,
+)
+from subgraph_isomorphism_pregel_ray.functions.hashing import hash64, hash64_one, part_for
+from subgraph_isomorphism_pregel_ray.sources.pages import page_row, synth_pages_table
+
+
+def test_extract_text_basics():
+    html = b"<html><head><title>T</title><style>x{}</style></head><body><p>a &amp; b</p><script>1<2</script>c</body></html>"
+    assert extract_text(html) == "T a & b c"
+
+
+def test_extract_text_edge_cases():
+    assert extract_text(b"<b>x</b ><i>y") == "x y"  # unclosed / spaced tags
+    assert extract_text("<!-- <p>no</p> -->yes") == "yes"
+    assert extract_text("a\n\n  b\tc") == "a b c"
+    assert extract_text("&lt;tag&gt; &nbsp;ok") == "<tag> ok"  # entity-decoded, \xa0 collapsed
+    # non-ascii survives
+    assert extract_text("<p>köln 数据</p>") == "köln 数据"
+
+
+def test_extract_hrefs():
+    html = (
+        '<a href="https://x.example/1">a</a>'
+        "<a class='q' href='https://x.example/2'>b</a>"
+        "<a href=https://x.example/3>c</a>"
+        '<a href="https://x.example/4#frag">d</a>'
+        '<a name="no-href">e</a>'
+    )
+    assert extract_hrefs(html) == [
+        "https://x.example/1",
+        "https://x.example/2",
+        "https://x.example/3",
+        "https://x.example/4#frag",
+    ]
+
+
+def test_normalize_url():
+    assert normalize_url("HTTPS://Site1.Example/p/1#frag") == "https://site1.example/p/1"
+    assert normalize_url("https://a.example/p/1/") == "https://a.example/p/1"
+    assert normalize_url("https://a.example/") == "https://a.example/"
+
+
+def test_synth_pages_deterministic_and_byte_identical():
+    t1 = synth_pages_table(50, seed=42)
+    t2 = synth_pages_table(50, seed=42)
+    assert t1.equals(t2)
+    # stored text == scalar extractor output (byte identity)
+    for html, text in zip(t1["html"].to_pylist(), t1["text"].to_pylist()):
+        assert extract_text(html) == text
+    # slices generate identically
+    t3 = synth_pages_table(50, seed=42, start=10, stop=20)
+    assert t1.slice(10, 10).equals(t3)
+
+
+def test_page_row_links_closed():
+    n = 200
+    r = page_row(7, n, seed=42)
+    for href in extract_hrefs(r["html"]):
+        assert "/p/" in href
+
+
+def test_hash64_stable():
+    assert hash64_one("https://site1.example/p/1") == hash64_one("https://site1.example/p/1")
+    arr = hash64(np.array(["a", "b", "a"], dtype=object))
+    assert arr[0] == arr[2] and arr[0] != arr[1]
+    assert arr.dtype == np.uint64
+
+
+def test_part_for_range():
+    vids = hash64(np.array([f"u{i}" for i in range(1000)], dtype=object))
+    parts = part_for(vids, 8)
+    assert parts.min() >= 0 and parts.max() < 8
+    assert len(np.unique(parts)) == 8

@@ -1,0 +1,199 @@
+"""Algorithm correctness vs single-process oracles, Ray-free (LocalBSP runs
+the exact production superstep kernels; FIXTURES.md F3/F4)."""
+
+from itertools import combinations
+
+import numpy as np
+import pytest
+
+from subgraph_isomorphism_pregel_ray.pipelines.match import (
+    brute_force_count,
+    build_plan,
+    toy_graph,
+    toy_query,
+)
+from subgraph_isomorphism_pregel_ray.state.local import LocalBSP
+
+QUERIES = {
+    "P3": ([0, 1, 0], [(0, 1), (1, 2)]),
+    "P4": ([0, 1, 1, 0], [(0, 1), (1, 2), (2, 3)]),
+    "tri": ([0, 1, 2], [(0, 1), (1, 2), (2, 0)]),
+    "tri_same": ([0, 0, 0], [(0, 1), (1, 2), (2, 0)]),
+    "4cyc": ([0, 2, 1, 2], [(0, 1), (1, 2), (2, 3), (3, 0)]),
+    "star3": ([1, 0, 0, 0], [(0, 1), (0, 2), (0, 3)]),
+    "chair": ([0, 1, 0, 1, 2], [(0, 1), (1, 2), (2, 3), (1, 4)]),
+    "diamond": ([0, 1, 1, 0], [(0, 1), (0, 2), (1, 2), (1, 3), (2, 3)]),
+}
+
+
+def random_graph(trial, n, density=3):
+    rng = np.random.default_rng(100 + trial)
+    m = n * density
+    s = rng.integers(0, n, m)
+    d = rng.integers(0, n, m)
+    keep = s != d
+    return s[keep], d[keep]
+
+
+def adjacency(s, d):
+    adj = {}
+    for a, b in zip(s.tolist(), d.tolist()):
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    return adj
+
+
+def test_toy_golden_mapping_count():
+    """The reference's golden example: count must be 4 (README.md:83)."""
+    labels, edges = toy_graph()
+    qlab, qe = toy_query()
+    assert brute_force_count(labels, edges, qlab, qe) == 4
+    src = np.array([a for a, _ in edges])
+    dst = np.array([b for _, b in edges])
+    eng = LocalBSP(src, dst, num_parts=3, labels=labels, directed=False)
+    eng.run("match", {"plan": build_plan(qlab, qe)}, max_steps=12)
+    assert eng.scalars()["embeddings"] == 4
+
+
+@pytest.mark.parametrize("trial", range(4))
+def test_match_random_vs_brute_force(trial):
+    n = [30, 80, 150, 60][trial]
+    nlab = [2, 3, 4, 8][trial]
+    s, d = random_graph(trial, n)
+    verts = np.unique(np.concatenate([s, d]))
+    labels = {int(v): int(v % nlab) for v in verts}
+    edges = list({(int(min(a, b)), int(max(a, b))) for a, b in zip(s, d)})
+    for qname, (ql, qe) in QUERIES.items():
+        if max(ql) >= nlab:
+            continue
+        oracle = brute_force_count(labels, edges, ql, qe)
+        eng = LocalBSP(s, d, num_parts=4, labels=labels, directed=False)
+        eng.run("match", {"plan": build_plan(ql, qe)}, max_steps=2 * len(ql) + 2)
+        assert eng.scalars()["embeddings"] == oracle, qname
+
+
+def test_match_chunked_expansion_same_count():
+    s, d = random_graph(9, 100)
+    verts = np.unique(np.concatenate([s, d]))
+    labels = {int(v): int(v % 2) for v in verts}
+    ql, qe = QUERIES["P4"]
+    counts = []
+    for chunk in (10, 500_000):  # tiny chunk forces the hub-fan-out path
+        eng = LocalBSP(s, d, num_parts=4, labels=labels, directed=False)
+        eng.run("match", {"plan": build_plan(ql, qe), "max_chunk": chunk}, max_steps=20)
+        counts.append(eng.scalars()["embeddings"])
+    assert counts[0] == counts[1]
+
+
+@pytest.mark.parametrize("trial", range(3))
+def test_pagerank_vs_numpy(trial):
+    n = [40, 100, 200][trial]
+    s, d = random_graph(trial, n)
+    eng = LocalBSP(s, d, num_parts=4)
+    eng.run("pagerank", {"iters": 40, "damping": 0.85, "n_global": None}, max_steps=41)
+    res = eng.result().to_pandas().sort_values("vid")
+
+    vids = np.unique(np.concatenate([s, d]))
+    vmap = {int(v): i for i, v in enumerate(vids)}
+    N = len(vids)
+    A = np.zeros((N, N))
+    for a, b in zip(s, d):
+        A[vmap[b], vmap[a]] = 1.0  # dedup like the CSR
+    outdeg = A.sum(axis=0)
+    r = np.full(N, 1 / N)
+    for _ in range(40):
+        dang = r[outdeg == 0].sum()
+        contrib = np.where(outdeg > 0, r / np.where(outdeg == 0, 1, outdeg), 0)
+        r = 0.15 / N + 0.85 * (A @ contrib + dang / N)
+    assert np.allclose(res["rank"].to_numpy(), r, atol=1e-6)
+
+
+@pytest.mark.parametrize("trial", range(3))
+def test_cc_vs_union_find(trial):
+    # several disconnected clusters
+    rng = np.random.default_rng(trial)
+    s_list, d_list = [], []
+    for c in range(4):
+        base = c * 50
+        a = rng.integers(base, base + 50, 60)
+        b = rng.integers(base, base + 50, 60)
+        s_list.append(a)
+        d_list.append(b)
+    s = np.concatenate(s_list)
+    d = np.concatenate(d_list)
+    keep = s != d
+    s, d = s[keep], d[keep]
+
+    parent = list(range(200))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(s.tolist(), d.tolist()):
+        parent[find(a)] = find(b)
+    groups = {}
+    for v in np.unique(np.concatenate([s, d])).tolist():
+        groups.setdefault(find(v), []).append(v)
+    oracle = {v: min(mem) for mem in groups.values() for v in mem}
+
+    eng = LocalBSP(s, d, num_parts=4, directed=False)
+    eng.run("cc", max_steps=200)
+    res = eng.result().to_pandas()
+    assert all(oracle[int(r.vid)] == int(r.component) for r in res.itertuples())
+
+
+@pytest.mark.parametrize("trial", range(3))
+def test_triangles_vs_oracle(trial):
+    s, d = random_graph(20 + trial, [40, 100, 60][trial])
+    adj = adjacency(s, d)
+    pv = {}
+    for v in adj:
+        pv[v] = sum(1 for a, b in combinations(sorted(adj[v]), 2) if b in adj.get(a, ()))
+    total = sum(pv.values()) // 3
+
+    eng = LocalBSP(s, d, num_parts=4, directed=False)
+    eng.run("triangles", max_steps=4)
+    assert eng.scalars()["triangles"] == total
+    res = eng.result().to_pandas()
+    assert all(pv.get(int(r.vid), 0) == int(r.triangles) for r in res.itertuples())
+
+
+@pytest.mark.parametrize("trial", range(3))
+def test_lpa_vs_sync_oracle(trial):
+    s, d = random_graph(30 + trial, 80)
+    adj = adjacency(s, d)
+
+    lab = {v: v for v in adj}
+    for _ in range(10):
+        new = {}
+        for v in adj:
+            cnt = {}
+            for u in adj[v]:
+                cnt[lab[u]] = cnt.get(lab[u], 0) + 1
+            new[v] = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        if new == lab:
+            break
+        lab = new
+
+    eng = LocalBSP(s, d, num_parts=4, directed=False)
+    eng.run("lpa", {"iters": 10}, max_steps=12)
+    res = eng.result().to_pandas()
+    assert all(lab[int(r.vid)] == int(r.label) for r in res.itertuples())
+
+
+def test_partition_count_invariance():
+    """Results identical for any P — the partitioning is pure plumbing."""
+    s, d = random_graph(5, 100)
+    verts = np.unique(np.concatenate([s, d]))
+    labels = {int(v): int(v % 3) for v in verts}
+    ql, qe = QUERIES["tri"]
+    base = None
+    for P in (1, 2, 7):
+        eng = LocalBSP(s, d, num_parts=P, labels=labels, directed=False)
+        eng.run("match", {"plan": build_plan(ql, qe)}, max_steps=12)
+        c = eng.scalars()["embeddings"]
+        base = c if base is None else base
+        assert c == base
