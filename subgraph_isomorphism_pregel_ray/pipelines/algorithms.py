@@ -144,11 +144,30 @@ def pagerank_dataset(edges_ds, iters: int = 5, damping: float = 0.85):
     import ray.data as rd
     from ray.data.aggregate import Sum
 
-    edges = edges_ds.materialize()  # reused every iteration — pin blocks once
+    # int64 vids throughout this path: Dataset joins need matching key types
+    # across groupby outputs (int64) and DuckDB's BIGINT — same 64 bits.
+    def _to_i64(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "src": batch["src"].to_numpy().astype(np.uint64).view(np.int64),
+                "dst": batch["dst"].to_numpy().astype(np.uint64).view(np.int64),
+            }
+        )
+
+    from ray.data.aggregate import Count
+
+    # distinct edge set (the CSR build dedups too, build_csr dedup=True)
+    edges = (
+        edges_ds.map_batches(_to_i64, batch_format="pyarrow")
+        .groupby(["src", "dst"])
+        .aggregate(Count(alias_name="n"))
+        .select_columns(["src", "dst"])
+        .materialize()
+    )
 
     # out-degree per src (one shuffle, reused): Dataset(vid, outdeg)
     def _deg_partial(batch: pa.Table) -> pa.Table:
-        src, cnt = np.unique(batch["src"].to_numpy().astype(np.uint64), return_counts=True)
+        src, cnt = np.unique(batch["src"].to_numpy(), return_counts=True)
         return pa.table({"vid": src, "cnt": cnt.astype(np.int64)})
 
     deg = (
@@ -179,7 +198,7 @@ def pagerank_dataset(edges_ds, iters: int = 5, damping: float = 0.85):
         contrib = edges.join(rates, "inner", np_join, on=("src",))
 
         def _pre(t: pa.Table) -> pa.Table:  # in-batch combiner before the groupby
-            dst = t["dst"].to_numpy().astype(np.uint64)
+            dst = t["dst"].to_numpy()
             rate = t["rate"].to_numpy()
             u, inv = np.unique(dst, return_inverse=True)
             return pa.table({"vid": u, "c": np.bincount(inv, weights=rate)})

@@ -1,0 +1,157 @@
+"""Ray-path integration: partitioned layout, actors, exchange, checkpoints.
+
+Kernel correctness is covered Ray-free in test_programs_local.py; these tests
+assert the distributed plumbing produces identical results plus the
+FIXTURES.md F1 (byte-identity) and F5 (resume-equivalence) invariants.
+"""
+
+import os
+import shutil
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from subgraph_isomorphism_pregel_ray.pipelines.algorithms import (
+    connected_components,
+    pagerank,
+    pagerank_dataset,
+    triangle_count,
+)
+from subgraph_isomorphism_pregel_ray.pipelines.bsp import BSPEngine
+from subgraph_isomorphism_pregel_ray.pipelines.build_graph import (
+    edges_from_arrays,
+    partition_graph,
+)
+from subgraph_isomorphism_pregel_ray.pipelines.match import match_count, toy_graph, toy_query
+from subgraph_isomorphism_pregel_ray.state.local import LocalBSP
+
+
+@pytest.fixture(scope="module")
+def graph_arrays():
+    rng = np.random.default_rng(3)
+    n = 300
+    s = rng.integers(0, n, 1200)
+    d = rng.integers(0, n, 1200)
+    keep = s != d
+    return s[keep], d[keep]
+
+
+def test_pagerank_ray_matches_local(ray_session, graph_arrays):
+    s, d = graph_arrays
+    res, lin = pagerank(edges_from_arrays(s, d), iters=15, num_parts=4)
+    eng = LocalBSP(s, d, num_parts=4)
+    eng.run("pagerank", {"iters": 15, "damping": 0.85, "n_global": None}, max_steps=16)
+    local = eng.result().to_pandas().sort_values("vid").reset_index(drop=True)
+    rayr = res.to_pandas().sort_values("vid").reset_index(drop=True)
+    assert np.allclose(local["rank"], rayr["rank"], atol=1e-12)
+    assert abs(rayr["rank"].sum() - 1.0) < 1e-9
+
+
+def test_cc_and_triangles_ray(ray_session, graph_arrays):
+    s, d = graph_arrays
+    cres, _ = connected_components(edges_from_arrays(s, d), num_parts=4)
+    eng = LocalBSP(s, d, num_parts=4, directed=False)
+    eng.run("cc", max_steps=100)
+    local = eng.result().to_pandas().sort_values("vid").reset_index(drop=True)
+    rayr = cres.to_pandas().sort_values("vid").reset_index(drop=True)
+    assert np.array_equal(local["component"].values, rayr["component"].values)
+
+    tot, _, _ = triangle_count(edges_from_arrays(s, d), num_parts=4)
+    eng2 = LocalBSP(s, d, num_parts=4, directed=False)
+    eng2.run("triangles", max_steps=4)
+    assert tot == eng2.scalars()["triangles"]
+
+
+def test_match_toy_golden_ray(ray_session):
+    import ray.data as rd
+
+    labels, edges = toy_graph()
+    lab_ds = rd.from_arrow(
+        pa.table(
+            {
+                "vid": np.array(sorted(labels), dtype=np.uint64),
+                "label": np.array([labels[v] for v in sorted(labels)], dtype=np.int64),
+            }
+        )
+    )
+    e = np.array(edges)
+    cnt, _ = match_count(
+        edges_from_arrays(e[:, 0], e[:, 1]), *toy_query(), labels_ds=lab_ds, num_parts=3
+    )
+    assert cnt == 4  # /root/reference/README.md:83
+
+
+def test_checkpoint_resume_equivalence(ray_session, graph_arrays, tmp_path):
+    s, d = graph_arrays
+    gdir, ckdir = str(tmp_path / "g"), str(tmp_path / "ck")
+    partition_graph(edges_from_arrays(s, d), 4, gdir)
+    params = {"iters": 20, "damping": 0.85, "n_global": None, "tol": 0.0}
+
+    eng = BSPEngine(gdir, 4)
+    eng.run("pagerank", params, max_steps=21)
+    ref = eng.result_table().to_pandas().sort_values("vid").reset_index(drop=True)
+    eng.shutdown()
+
+    engA = BSPEngine(gdir, 4)  # "killed" after step 10
+    engA.run("pagerank", params, max_steps=11, checkpoint_dir=ckdir, checkpoint_every=5)
+    engA.shutdown()
+    assert os.path.isdir(os.path.join(ckdir, "step=10"))
+
+    engB = BSPEngine(gdir, 4)
+    engB.run("pagerank", params, max_steps=21, checkpoint_dir=ckdir,
+             checkpoint_every=5, resume=True)
+    resumed = engB.result_table().to_pandas().sort_values("vid").reset_index(drop=True)
+    engB.shutdown()
+    assert np.array_equal(ref["rank"].values, resumed["rank"].values)  # bit-identical
+
+
+def test_cc_checkpoint_resume(ray_session, graph_arrays, tmp_path):
+    s, d = graph_arrays
+    gdir, ckdir = str(tmp_path / "g2"), str(tmp_path / "ck2")
+    from subgraph_isomorphism_pregel_ray.pipelines.build_graph import symmetrize
+
+    partition_graph(edges_from_arrays(s, d), 4, gdir, directed=False)
+    eng = BSPEngine(gdir, 4)
+    eng.run("cc", {}, max_steps=100)
+    ref = eng.result_table().to_pandas().sort_values("vid").reset_index(drop=True)
+    eng.shutdown()
+
+    engA = BSPEngine(gdir, 4)
+    engA.run("cc", {}, max_steps=3, checkpoint_dir=ckdir, checkpoint_every=2)
+    engA.shutdown()
+    engB = BSPEngine(gdir, 4)
+    engB.run("cc", {}, max_steps=100, checkpoint_dir=ckdir, checkpoint_every=2, resume=True)
+    resumed = engB.result_table().to_pandas().sort_values("vid").reset_index(drop=True)
+    engB.shutdown()
+    assert np.array_equal(ref["component"].values, resumed["component"].values)
+
+
+def test_flagship_extraction_byte_identity(ray_session):
+    from subgraph_isomorphism_pregel_ray.sources.pages import (
+        synth_pages_dataset,
+        synth_pages_table,
+    )
+    from subgraph_isomorphism_pregel_ray.stages.extract import extract_stage
+
+    ext = extract_stage(synth_pages_dataset(300, seed=42)).take_all()
+    exp = synth_pages_table(300, seed=42)
+    expect = dict(zip(exp["url"].to_pylist(), exp["text"].to_pylist()))
+    assert len(ext) == 300
+    assert all(expect[r["url"]] == r["text"] for r in ext)
+
+
+def test_pagerank_dataset_path_matches_actor_path(ray_session, graph_arrays):
+    s, d = graph_arrays
+    from subgraph_isomorphism_pregel_ray.pipelines.build_graph import symmetrize
+
+    sym = symmetrize(edges_from_arrays(s, d))
+    ds_res = pagerank_dataset(symmetrize(edges_from_arrays(s, d)), iters=5).to_pandas()
+    actor_res, _ = pagerank(sym, iters=5, num_parts=4)
+    a = actor_res.to_pandas()
+    b = ds_res
+    b["vid"] = b["vid"].values.view(np.uint64)  # dataset path uses int64 bits
+    a = a.sort_values("vid").reset_index(drop=True)
+    b = b.sort_values("vid").reset_index(drop=True)
+    assert np.array_equal(a["vid"].values, b["vid"].values)
+    assert np.allclose(a["rank"].values, b["pr"].values, atol=1e-7)
