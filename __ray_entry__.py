@@ -1,16 +1,14 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the Ray-Data link-graph engine.
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` — flagship pipeline (co-purchase graph → actor-pool PageRank) on
+sf0.001. ``queries()`` — one callable per implemented operator (SURVEY.md §2
++ the training-data operators); each takes ``sf_dir`` and returns a Dataset /
+DataFrame / Arrow table. ``oracle_sql()`` — DuckDB-equivalent SQL per query
+(omitted for non-SQL-expressible ops → driver records rows-only).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver before import; nothing here calls
+``ray.init``/``ray.shutdown``. Column names and rounding match the SQL
+exactly (the driver hashes values after sorting columns by name).
 """
 
 from __future__ import annotations
@@ -18,27 +16,392 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pyarrow as pa
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+PR_ITERS = 5
+LPA_ITERS = 5
+EMB_THRESHOLD = 0.35  # synthetic embeddings are near-orthogonal (max cos ≈ 0.51)
+ANN_QUERY_IDS = [0, 1, 2, 3]
+ANN_K = 5
+WINDOW_SEC = 300
+
+
+# ---------------------------------------------------------------------------
+def _sym_copurchase(sf_dir: str):
+    from subgraph_isomorphism_pregel_ray.pipelines.build_graph import symmetrize
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import copurchase_edges
+
+    return symmetrize(copurchase_edges(sf_dir))
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: lineitem → co-purchase edge table → partitioned CSR actors →
+    PageRank supersteps → per-vertex ranks (Dataset)."""
+    from subgraph_isomorphism_pregel_ray.pipelines.algorithms import pagerank
+
+    res, _lineage = pagerank(_sym_copurchase(SF_SMOKE), iters=PR_ITERS, num_parts=4)
+    import ray.data as rd
+
+    return rd.from_arrow(
+        pa.table(
+            {
+                "vid": res["vid"].to_numpy().view(np.int64),
+                "pr": np.round(res["rank"].to_numpy(), 8),
+            }
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+def _q_copurchase_edges(sf_dir: str):
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import copurchase_edges
+
+    return copurchase_edges(sf_dir)
+
+
+def _q_degree(sf_dir: str):
+    from ray.data.aggregate import Sum
+
+    edges = _sym_copurchase(sf_dir)
+
+    def _partial(t: pa.Table) -> pa.Table:
+        v, c = np.unique(t["src"].to_numpy(), return_counts=True)
+        return pa.table({"vid": v.astype(np.int64), "c": c.astype(np.int64)})
+
+    return (
+        edges.map_batches(_partial, batch_format="pyarrow")
+        .groupby("vid")
+        .aggregate(Sum("c", alias_name="degree"))
+    )
+
+
+def _q_pagerank(sf_dir: str):
+    from subgraph_isomorphism_pregel_ray.pipelines.algorithms import pagerank_dataset
+
+    return pagerank_dataset(_sym_copurchase(sf_dir), iters=PR_ITERS)
+
+
+def _q_cc(sf_dir: str):
+    from subgraph_isomorphism_pregel_ray.pipelines.algorithms import connected_components
+
+    res, _ = connected_components(_sym_copurchase(sf_dir), num_parts=4)
+    return pa.table(
+        {
+            "vid": res["vid"].to_numpy().view(np.int64),
+            "component": res["component"].to_numpy().view(np.int64),
+        }
+    )
+
+
+def _q_triangles(sf_dir: str):
+    from subgraph_isomorphism_pregel_ray.pipelines.algorithms import triangle_count
+
+    total, _, _ = triangle_count(_sym_copurchase(sf_dir), num_parts=4)
+    return pa.table({"n_triangles": pa.array([total], type=pa.int64())})
+
+
+def _q_lpa(sf_dir: str):
+    from subgraph_isomorphism_pregel_ray.pipelines.algorithms import label_propagation
+
+    res, _ = label_propagation(_sym_copurchase(sf_dir), iters=LPA_ITERS, num_parts=4)
+    return pa.table(
+        {
+            "vid": res["vid"].to_numpy().view(np.int64),
+            "label": res["label"].to_numpy().view(np.int64),
+        }
+    )
+
+
+def _match(sf_dir: str, qlabels, qedges):
+    from subgraph_isomorphism_pregel_ray.pipelines.match import match_count
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import (
+        copurchase_edges,
+        part_labels,
+    )
+
+    cnt, _ = match_count(
+        copurchase_edges(sf_dir),
+        qlabels,
+        qedges,
+        labels_ds=part_labels(sf_dir, mod=3),
+        num_parts=4,
+    )
+    return pa.table({"n_embeddings": pa.array([cnt], type=pa.int64())})
+
+
+def _q_match_triangle(sf_dir: str):
+    return _match(sf_dir, [0, 1, 2], [(0, 1), (1, 2), (2, 0)])
+
+
+def _q_match_p3(sf_dir: str):
+    return _match(sf_dir, [0, 1, 0], [(0, 1), (1, 2)])
+
+
+def _q_match_4cycle(sf_dir: str):
+    return _match(sf_dir, [0, 2, 1, 2], [(0, 1), (1, 2), (2, 3), (3, 0)])
+
+
+# ---- text / docs ----------------------------------------------------------
+def _docs(sf_dir: str):
+    from subgraph_isomorphism_pregel_ray.sources.tables import read_table
+
+    return read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+
+def _q_token_count(sf_dir: str):
+    from subgraph_isomorphism_pregel_ray.pipelines.textops import token_count
+
+    return token_count(_docs(sf_dir))
+
+
+def _q_text_stats(sf_dir: str):
+    from subgraph_isomorphism_pregel_ray.pipelines.textops import text_stats
+
+    return text_stats(_docs(sf_dir))
+
+
+def _q_exact_dedup(sf_dir: str):
+    from subgraph_isomorphism_pregel_ray.pipelines.dedup import exact_dedup
+
+    return exact_dedup(_docs(sf_dir))
+
+
+def _q_lang_id(sf_dir: str):
+    from subgraph_isomorphism_pregel_ray.pipelines.textops import lang_id
+
+    return lang_id(_docs(sf_dir))
+
+
+def _q_fingerprint(sf_dir: str):
+    from subgraph_isomorphism_pregel_ray.pipelines.textops import fingerprint
+
+    return fingerprint(_docs(sf_dir))
+
+
+def _q_simhash(sf_dir: str):
+    from subgraph_isomorphism_pregel_ray.pipelines.textops import simhash64
+
+    return simhash64(_docs(sf_dir))
+
+
+def _q_minhash_pairs(sf_dir: str):
+    from subgraph_isomorphism_pregel_ray.pipelines.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_docs(sf_dir), threshold=0.5)
+
+
+# ---- embeddings -----------------------------------------------------------
+def _emb(sf_dir: str):
+    from subgraph_isomorphism_pregel_ray.sources.tables import read_table
+
+    return read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+
+def _q_embedding_dups(sf_dir: str):
+    from subgraph_isomorphism_pregel_ray.pipelines.dedup import embedding_dup_pairs
+
+    return embedding_dup_pairs(_emb(sf_dir), threshold=EMB_THRESHOLD, method="exact")
+
+
+def _q_ann_topk(sf_dir: str):
+    from subgraph_isomorphism_pregel_ray.pipelines.similarity import ann_topk
+
+    return ann_topk(_emb(sf_dir), ANN_QUERY_IDS, k=ANN_K)
+
+
+def _q_ann_topk_ivf(sf_dir: str):
+    from subgraph_isomorphism_pregel_ray.pipelines.similarity import ann_topk_ivf
+
+    return ann_topk_ivf(_emb(sf_dir), ANN_QUERY_IDS, k=ANN_K)
+
+
+# ---- relational / streaming-shaped ---------------------------------------
+def _q_q1(sf_dir: str):
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import q1_lineitem
+
+    return q1_lineitem(sf_dir)
+
+
+def _q_events_window(sf_dir: str):
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import events_window
+
+    return events_window(sf_dir, WINDOW_SEC)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    return {
+        "copurchase_edges": _q_copurchase_edges,
+        "degree_distribution": _q_degree,
+        "pagerank_copurchase": _q_pagerank,
+        "cc_copurchase": _q_cc,
+        "triangle_count_copurchase": _q_triangles,
+        "lpa_copurchase": _q_lpa,
+        "match_triangle_labeled": _q_match_triangle,
+        "match_p3_labeled": _q_match_p3,
+        "match_4cycle_labeled": _q_match_4cycle,
+        "token_count": _q_token_count,
+        "text_stats": _q_text_stats,
+        "exact_dedup": _q_exact_dedup,
+        "lang_id": _q_lang_id,
+        "fingerprint": _q_fingerprint,
+        "simhash": _q_simhash,
+        "minhash_dup_pairs": _q_minhash_pairs,
+        "embedding_dup_pairs": _q_embedding_dups,
+        "ann_topk": _q_ann_topk,
+        "ann_topk_ivf": _q_ann_topk_ivf,
+        "q1_pricing_summary": _q_q1,
+        "events_window": _q_events_window,
+    }
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+_EU = (
+    "eu AS (SELECT a.l_partkey AS src, b.l_partkey AS dst "
+    "FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey "
+    "WHERE a.l_partkey < b.l_partkey GROUP BY 1, 2)"
+)
+_ESYM = (
+    "e AS (SELECT a.l_partkey AS src, b.l_partkey AS dst "
+    "FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey "
+    "WHERE a.l_partkey <> b.l_partkey GROUP BY 1, 2)"
+)
+
+
+def _pagerank_sql(iters: int, damping: float = 0.85) -> str:
+    parts = [
+        f"WITH {_ESYM}",
+        "v AS (SELECT DISTINCT src AS vid FROM e)",
+        "nv AS (SELECT count(*) AS n FROM v)",
+        "deg AS (SELECT src AS vid, count(*) AS outdeg FROM e GROUP BY 1)",
+        "r0 AS (SELECT vid, 1.0 / (SELECT n FROM nv) AS pr FROM v)",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"r{i} AS (SELECT d.vid, (1 - {damping}) / (SELECT n FROM nv) + "
+            f"{damping} * coalesce(s.c, 0) AS pr FROM deg d LEFT JOIN ("
+            f"SELECT e.dst AS vid, sum(r.pr / d2.outdeg) AS c "
+            f"FROM e JOIN r{i-1} r ON r.vid = e.src "
+            f"JOIN deg d2 ON d2.vid = e.src GROUP BY e.dst) s ON s.vid = d.vid)"
+        )
+    return (
+        ", ".join(parts) + f" SELECT vid, round(pr, 8) AS pr FROM r{iters}"
+    )
+
+
+def _stopword_sql_list() -> str:
+    from subgraph_isomorphism_pregel_ray.pipelines.textops import _SQL_STOP
+
+    return "[" + ", ".join(f"'{w}'" for w in _SQL_STOP) + "]"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    toks = "regexp_split_to_array(trim(text), '\\s+')"
+    ntok = f"CASE WHEN trim(text) = '' THEN 0 ELSE len({toks}) END"
+    nonws = "length(regexp_replace(text, '\\s', '', 'g'))"
+    alnum = "length(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g'))"
+    stop = (
+        f"len(list_filter({toks}, x -> list_contains({_stopword_sql_list()}, lower(x))))"
+    )
+    return {
+        "copurchase_edges": f"WITH {_EU} SELECT src, dst FROM eu",
+        "degree_distribution": (
+            f"WITH {_ESYM} SELECT src AS vid, count(*) AS degree FROM e GROUP BY 1"
+        ),
+        "pagerank_copurchase": _pagerank_sql(PR_ITERS),
+        "cc_copurchase": (
+            f"WITH RECURSIVE {_ESYM}, "
+            "v AS (SELECT DISTINCT src AS vid FROM e), "
+            "r AS (SELECT vid AS v, vid AS m FROM v "
+            "UNION SELECT e.dst AS v, r.m FROM r JOIN e ON e.src = r.v) "
+            "SELECT v AS vid, min(m) AS component FROM r GROUP BY v"
+        ),
+        "triangle_count_copurchase": (
+            f"WITH {_EU} SELECT count(*) AS n_triangles FROM eu e1 "
+            "JOIN eu e2 ON e2.src = e1.dst "
+            "JOIN eu e3 ON e3.src = e1.src AND e3.dst = e2.dst"
+        ),
+        "match_triangle_labeled": (
+            f"WITH {_ESYM}, lab AS (SELECT p_partkey AS vid, p_size % 3 AS l FROM part) "
+            "SELECT count(*) AS n_embeddings FROM e e1 "
+            "JOIN e e2 ON e2.src = e1.dst JOIN e e3 ON e3.src = e2.dst AND e3.dst = e1.src "
+            "JOIN lab a ON a.vid = e1.src JOIN lab b ON b.vid = e1.dst "
+            "JOIN lab c ON c.vid = e2.dst "
+            "WHERE a.l = 0 AND b.l = 1 AND c.l = 2"
+        ),
+        "match_p3_labeled": (
+            f"WITH {_ESYM}, lab AS (SELECT p_partkey AS vid, p_size % 3 AS l FROM part) "
+            "SELECT count(*) AS n_embeddings FROM e e1 "
+            "JOIN e e2 ON e2.src = e1.dst AND e2.dst <> e1.src "
+            "JOIN lab a ON a.vid = e1.src JOIN lab b ON b.vid = e1.dst "
+            "JOIN lab c ON c.vid = e2.dst "
+            "WHERE a.l = 0 AND b.l = 1 AND c.l = 0"
+        ),
+        "match_4cycle_labeled": (
+            f"WITH {_ESYM}, lab AS (SELECT p_partkey AS vid, p_size % 3 AS l FROM part) "
+            "SELECT count(*) AS n_embeddings FROM e e1 "
+            "JOIN e e2 ON e2.src = e1.dst "
+            "JOIN e e3 ON e3.src = e2.dst "
+            "JOIN e e4 ON e4.src = e3.dst AND e4.dst = e1.src "
+            "JOIN lab a ON a.vid = e1.src JOIN lab b ON b.vid = e1.dst "
+            "JOIN lab c ON c.vid = e2.dst JOIN lab d ON d.vid = e3.dst "
+            "WHERE a.l = 0 AND b.l = 2 AND c.l = 1 AND d.l = 2 "
+            "AND e1.src <> e2.dst AND e1.dst <> e3.dst"
+        ),
+        "token_count": (
+            f"SELECT doc_id, {ntok} AS n_tokens, "
+            "len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) "
+            "AS n_subtokens FROM documents"
+        ),
+        "text_stats": (
+            f"SELECT doc_id, length(text) AS n_chars, {ntok} AS n_tokens, "
+            f"round(CASE WHEN length(text) = 0 THEN 0 ELSE {alnum} * 1.0 / length(text) END, 6) AS alnum_ratio, "
+            f"round(CASE WHEN {ntok} = 0 THEN 0 ELSE {nonws} * 1.0 / {ntok} END, 6) AS avg_token_len, "
+            f"round(CASE WHEN {ntok} = 0 THEN 0 ELSE {stop} * 1.0 / {ntok} END, 6) AS stop_ratio "
+            "FROM documents"
+        ),
+        "exact_dedup": (
+            "SELECT min(doc_id) AS doc_id, md5(text) AS content_hash "
+            "FROM documents GROUP BY md5(text)"
+        ),
+        "embedding_dup_pairs": (
+            "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, "
+            "round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+            "CAST(b.embedding AS DOUBLE[])), 6) AS cos "
+            "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+            "WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+            f"CAST(b.embedding AS DOUBLE[])) >= {EMB_THRESHOLD}"
+        ),
+        "ann_topk": (
+            "WITH q AS (SELECT vec_id, embedding FROM embeddings "
+            f"WHERE vec_id IN ({', '.join(map(str, ANN_QUERY_IDS))})), "
+            "s AS (SELECT q.vec_id AS query_id, e.vec_id AS vec_id, "
+            "round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), "
+            "CAST(q.embedding AS DOUBLE[])), 6) AS cos "
+            "FROM q JOIN embeddings e ON e.vec_id <> q.vec_id), "
+            "r AS (SELECT *, row_number() OVER (PARTITION BY query_id "
+            "ORDER BY cos DESC, vec_id) AS rank FROM s) "
+            f"SELECT query_id, vec_id, cos, rank FROM r WHERE rank <= {ANN_K}"
+        ),
+        "q1_pricing_summary": (
+            "SELECT l_returnflag, l_linestatus, "
+            "round(sum(l_quantity), 4) AS sum_qty, "
+            "round(sum(l_extendedprice), 4) AS sum_base_price, "
+            "round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price, "
+            "count(*) AS count_order FROM lineitem "
+            "WHERE l_shipdate < TIMESTAMP '1998-09-01' "
+            "GROUP BY l_returnflag, l_linestatus"
+        ),
+        "events_window": (
+            "SELECT user_id, "
+            f"(CAST(floor(epoch(ts)) AS BIGINT) // {WINDOW_SEC}) * {WINDOW_SEC} AS wstart, "
+            "count(*) AS n_events, round(sum(value), 6) AS sum_value "
+            "FROM events GROUP BY 1, 2"
+        ),
+        # lang_id / fingerprint / simhash / minhash_dup_pairs / lpa_copurchase /
+        # ann_topk_ivf: not ANSI-SQL-expressible (heuristic scoring, custom
+        # hashing, iterative tie-break, LSH recall) → rows-only driver check;
+        # exact semantics are pytest-verified against single-process oracles.
+    }

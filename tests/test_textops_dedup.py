@@ -1,0 +1,202 @@
+"""Training-data operators: dedup, similarity, text analysis, multimodal."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def _docs_ds(texts):
+    import ray.data as rd
+
+    return rd.from_arrow(
+        pa.table({"doc_id": np.arange(len(texts), dtype=np.int64), "text": texts})
+    )
+
+
+DUP_CORPUS = [
+    "the quick brown fox jumps over the lazy dog again and again today",
+    "the quick brown fox jumps over the lazy dog again and again today",  # exact dup of 0
+    "the quick brown fox jumps over the lazy dog again and again tonight",  # near dup
+    "completely different text about ray data pipelines and arrow batches",
+    "ray data pipelines and arrow batches are completely different text about",  # shuffled words
+    "short",
+    "",
+]
+
+
+def test_exact_dedup(ray_session):
+    from subgraph_isomorphism_pregel_ray.pipelines.dedup import exact_dedup
+
+    out = exact_dedup(_docs_ds(DUP_CORPUS)).to_pandas()
+    assert len(out) == len(DUP_CORPUS) - 1  # one exact dup removed
+    assert 0 in set(out["doc_id"]) and 1 not in set(out["doc_id"])  # min id kept
+
+
+def test_minhash_lsh_finds_near_dups(ray_session):
+    from subgraph_isomorphism_pregel_ray.pipelines.dedup import (
+        jaccard_ngrams,
+        minhash_lsh_pairs,
+    )
+
+    out = minhash_lsh_pairs(_docs_ds(DUP_CORPUS), threshold=0.5).to_pandas()
+    pairs = set(zip(out["doc_a"], out["doc_b"]))
+    assert (0, 1) in pairs  # exact dup (jaccard 1.0)
+    assert (0, 2) in pairs and (1, 2) in pairs  # near dup
+    # verified jaccard values are the exact kernel's
+    row = out[(out.doc_a == 0) & (out.doc_b == 2)].iloc[0]
+    assert abs(row["jaccard"] - jaccard_ngrams(DUP_CORPUS[0], DUP_CORPUS[2])) < 1e-6  # output rounded to 6
+    # all reported pairs truly pass the threshold (no false positives survive)
+    for a, b, j in zip(out["doc_a"], out["doc_b"], out["jaccard"]):
+        assert jaccard_ngrams(DUP_CORPUS[a], DUP_CORPUS[b]) >= 0.5
+
+
+def test_minhash_vs_bruteforce_recall(ray_session):
+    """On a corpus with seeded near-dups, LSH at t=0.5 finds every pair whose
+    true Jaccard is well above threshold (16 bands × 8 rows ⇒ ~99% @ 0.7)."""
+    from subgraph_isomorphism_pregel_ray.pipelines.dedup import (
+        jaccard_ngrams,
+        minhash_lsh_pairs,
+    )
+
+    rng = np.random.default_rng(5)
+    words = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+    base = [" ".join(rng.choice(words, 30)) for _ in range(20)]
+    corpus = []
+    for t in base:
+        corpus.append(t)
+        toks = t.split()
+        toks[rng.integers(0, len(toks))] = "mutated"
+        corpus.append(" ".join(toks))  # high-jaccard partner
+    out = minhash_lsh_pairs(_docs_ds(corpus), threshold=0.5).to_pandas()
+    found = set(zip(out["doc_a"], out["doc_b"]))
+    for i in range(0, len(corpus), 2):
+        if jaccard_ngrams(corpus[i], corpus[i + 1]) >= 0.7:
+            assert (i, i + 1) in found
+
+
+def test_simhash_near_dup_properties(ray_session):
+    from subgraph_isomorphism_pregel_ray.pipelines.textops import simhash64
+
+    out = simhash64(_docs_ds(DUP_CORPUS)).to_pandas().set_index("doc_id")["simhash"]
+    h = out.to_dict()
+    assert h[0] == h[1]  # identical text → identical simhash
+    ham = bin(np.uint64(h[0]) ^ np.uint64(h[2])).count("1")
+    ham_far = bin(np.uint64(h[0]) ^ np.uint64(h[3])).count("1")
+    assert ham < ham_far  # near dup closer than unrelated
+
+
+def test_fingerprint_deterministic(ray_session):
+    from subgraph_isomorphism_pregel_ray.pipelines.textops import fingerprint
+
+    a = fingerprint(_docs_ds(DUP_CORPUS)).to_pandas()
+    b = fingerprint(_docs_ds(DUP_CORPUS)).to_pandas()
+    pd.testing.assert_frame_equal(a, b)
+    assert a.loc[0, "fingerprint"] == a.loc[1, "fingerprint"]
+
+
+def test_lang_id_heuristic(ray_session):
+    from subgraph_isomorphism_pregel_ray.pipelines.textops import lang_id
+
+    texts = [
+        "the cat and the dog in a house for it is that",
+        "der Hund und die Katze ist ein zu den nicht von",
+        "le chat et la maison les des un une est que pour",
+        "el perro la casa los las es un una que por para",
+        "这是 一个 中文 文本 数据",
+    ]
+    out = lang_id(_docs_ds(texts)).to_pandas().sort_values("doc_id")
+    assert list(out["lang_pred"]) == ["en", "de", "fr", "es", "zh"]
+
+
+def test_token_count_and_stats_empty_and_unicode(ray_session):
+    from subgraph_isomorphism_pregel_ray.pipelines.textops import text_stats, token_count
+
+    texts = ["", "  ", "a b  c", "hello, world! 42"]
+    tc = token_count(_docs_ds(texts)).to_pandas().sort_values("doc_id")
+    assert list(tc["n_tokens"]) == [0, 0, 3, 3]
+    assert list(tc["n_subtokens"]) == [0, 0, 3, 5]  # hello , world ! 42
+    st = text_stats(_docs_ds(texts)).to_pandas().sort_values("doc_id")
+    assert list(st["n_chars"]) == [0, 2, 6, 16]
+    assert st.loc[2, "avg_token_len"] == 1.0
+
+
+def test_ann_topk_exact(ray_session):
+    import ray.data as rd
+
+    from subgraph_isomorphism_pregel_ray.pipelines.similarity import ann_topk
+
+    rng = np.random.default_rng(2)
+    n, dim = 200, 16
+    M = rng.standard_normal((n, dim)).astype(np.float32)
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": np.arange(n, dtype=np.int64),
+                "embedding": pa.array(list(M), type=pa.list_(pa.float32())),
+            }
+        )
+    )
+    out = ann_topk(ds, [0, 5], k=3).to_pandas()
+    # oracle
+    Mn = M.astype(np.float64)
+    Mn /= np.linalg.norm(Mn, axis=1, keepdims=True)
+    for q in (0, 5):
+        cos = Mn @ Mn[q]
+        cos[q] = -np.inf
+        top = np.argsort(-np.round(cos, 6), kind="stable")[:3]
+        got = out[out.query_id == q].sort_values("rank")["vec_id"].to_numpy()
+        assert np.array_equal(got, top)
+
+
+def test_ann_ivf_recall(ray_session):
+    import ray.data as rd
+
+    from subgraph_isomorphism_pregel_ray.pipelines.similarity import ann_topk, ann_topk_ivf
+
+    rng = np.random.default_rng(4)
+    n, dim = 400, 16
+    M = rng.standard_normal((n, dim)).astype(np.float32)
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": np.arange(n, dtype=np.int64),
+                "embedding": pa.array(list(M), type=pa.list_(pa.float32())),
+            }
+        )
+    )
+    exact = ann_topk(ds, [1], k=10).to_pandas()
+    approx = ann_topk_ivf(ds, [1], k=10, n_cells=8, nprobe=4).to_pandas()
+    recall = len(set(exact["vec_id"]) & set(approx["vec_id"])) / 10
+    assert recall >= 0.5  # nprobe=4 of 8 cells
+
+
+def test_multimodal_actor_pool_stages(ray_session):
+    import ray.data as rd
+
+    from subgraph_isomorphism_pregel_ray.pipelines.multimodal import (
+        FrameSampleStage,
+        ImageResizeStage,
+        decode_features,
+        synth_media_table,
+    )
+
+    media = rd.from_arrow(synth_media_table(30))
+    feats = decode_features(media, concurrency=2).to_pandas()
+    assert len(feats) == 30 and {"media_id", "px_mean", "px_std"} == set(feats.columns)
+    feats2 = decode_features(rd.from_arrow(synth_media_table(30)), concurrency=2).to_pandas()
+    pd.testing.assert_frame_equal(
+        feats.sort_values("media_id").reset_index(drop=True),
+        feats2.sort_values("media_id").reset_index(drop=True),
+    )  # deterministic fake decode
+
+    thumbs = media.map_batches(
+        ImageResizeStage, batch_format="pyarrow", batch_size=16, concurrency=2,
+        fn_constructor_kwargs={"out_w": 8, "out_h": 6},
+    ).to_pandas()
+    assert all(len(t) == 8 * 6 for t in thumbs["thumb"])
+
+    frames = media.map_batches(
+        FrameSampleStage, batch_format="pyarrow", batch_size=16, concurrency=2
+    ).to_pandas()
+    assert frames.groupby("media_id").size().max() == 3  # 30 frames / every 10
