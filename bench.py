@@ -1,0 +1,191 @@
+"""Benchmark harness — headline pipelines over $GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line: {"metric", "value" (total headline sec), "unit",
+"queries" (per-stage sec), "sf", "num_cpus", plus derived supersteps/sec and
+edges/sec}. ``--scaling`` runs the same job in two fresh processes at
+num_cpus=8 and num_cpus=32 and reports both + scaling efficiency (the
+sandbox stand-in for the N- vs 4N-node clusters of BASELINE.json's
+north_rule).
+
+Stages timed:
+  extract      synthetic pages → text+href edges (cached pages parquet; the
+               warm-read is untimed so this measures parse+explode compute)
+  graph_build  co-purchase edge table (shuffle self-join) → partitioned
+               hive layout on disk
+  pagerank     10 supersteps, actor engine
+  cc / lpa / triangles / match_*   same engine (actors + CSR reused)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+PAGES_N = int(os.environ.get("GRAFT_PAGES_N", "20000"))
+PR_ITERS = 10
+
+
+def _cached_pages(n: int, seed: int = 42) -> str:
+    path = f"/tmp/graft_pages_{n}_{seed}"
+    from subgraph_isomorphism_pregel_ray.sources.pages import write_synth_pages
+
+    write_synth_pages(path, n, seed)  # skips existing part files
+    return path
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    import ray.data as rd
+
+    from subgraph_isomorphism_pregel_ray.pipelines.bsp import BSPEngine
+    from subgraph_isomorphism_pregel_ray.pipelines.build_graph import (
+        partition_graph,
+        symmetrize,
+    )
+    from subgraph_isomorphism_pregel_ray.pipelines.match import build_plan
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import (
+        copurchase_edges,
+        part_labels,
+    )
+    from subgraph_isomorphism_pregel_ray.stages.extract import edges_batch
+
+    q: dict[str, float] = {}
+    P = max(4, min(16, NUM_CPUS // 2))
+
+    # --- extraction: pages → href edge table ------------------------------
+    pages_path = _cached_pages(PAGES_N)
+    rd.read_parquet(pages_path).count()  # warm page cache (untimed)
+    t0 = time.perf_counter()
+    n_edges_extracted = (
+        rd.read_parquet(pages_path, columns=["url", "html"])
+        .map_batches(edges_batch, batch_format="pyarrow", batch_size=256)
+        .count()
+    )
+    q["extract"] = time.perf_counter() - t0
+
+    # --- graph build: co-purchase edges → partitioned layout --------------
+    gdir = f"/tmp/graft_bench_graph_{NUM_CPUS}"
+    shutil.rmtree(gdir, ignore_errors=True)
+    t0 = time.perf_counter()
+    partition_graph(
+        symmetrize(copurchase_edges(SF_DIR)),
+        P,
+        gdir,
+        labels_ds=part_labels(SF_DIR, mod=3),
+        directed=True,  # already symmetrized
+    )
+    eng = BSPEngine(gdir, P)
+    q["graph_build"] = time.perf_counter() - t0
+    n_edges = eng.num_edges
+
+    # --- supersteps --------------------------------------------------------
+    t0 = time.perf_counter()
+    lin = eng.run(
+        "pagerank",
+        {"iters": PR_ITERS, "damping": 0.85, "n_global": None, "tol": 0.0},
+        max_steps=PR_ITERS + 1,
+    )
+    q["pagerank"] = time.perf_counter() - t0
+    pr_steps = lin["steps"]
+
+    t0 = time.perf_counter()
+    lin_cc = eng.run("cc", {}, max_steps=200)
+    q["cc"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    eng.run("lpa", {"iters": 5}, max_steps=7)
+    q["lpa"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    eng.run("triangles", {}, max_steps=4)
+    tri = eng.scalar_results().get("triangles")
+    q["triangles"] = time.perf_counter() - t0
+
+    for qname, (ql, qe) in {
+        "match_tri": ([0, 1, 2], [(0, 1), (1, 2), (2, 0)]),
+        "match_4cycle": ([0, 2, 1, 2], [(0, 1), (1, 2), (2, 3), (3, 0)]),
+    }.items():
+        t0 = time.perf_counter()
+        eng.run("match", {"plan": build_plan(ql, qe)}, max_steps=2 * len(ql) + 2)
+        emb = eng.scalar_results().get("embeddings")
+        q[qname] = time.perf_counter() - t0
+        q[qname + "_embeddings"] = emb
+
+    eng.shutdown()
+    ray.shutdown()
+
+    total_steps = pr_steps + lin_cc["steps"]
+    step_sec = q["pagerank"] + q["cc"]
+    timing = {k: round(v, 3) for k, v in q.items()}
+    return {
+        "metric": "headline link-graph pipeline (extract + build + PR/CC/LPA/tri/match) wall time",
+        "value": round(sum(v for k, v in q.items() if not k.endswith("_embeddings")), 3),
+        "unit": "sec",
+        "queries": timing,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "num_parts": P,
+        "edges": int(n_edges),
+        "edges_extracted": int(n_edges_extracted),
+        "extract_edges_per_sec": round(n_edges_extracted / q["extract"]),
+        "supersteps_per_sec": round(total_steps / step_sec, 3),
+        "pagerank_edges_per_sec": round(n_edges * PR_ITERS / q["pagerank"]),
+        "triangles": int(tri),
+    }
+
+
+def run_scaling() -> dict:
+    lo_cpus, hi_cpus = 8, 32
+    out = {}
+    for ncpu in (lo_cpus, hi_cpus):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        )
+        out[ncpu] = json.loads(r.stdout.strip().splitlines()[-1])
+    t_lo, t_hi = out[lo_cpus]["value"], out[hi_cpus]["value"]
+    eff = (t_lo / t_hi) / (hi_cpus / lo_cpus)
+    return {
+        "metric": "scaling efficiency (8→32 cpus, fresh processes, same input)",
+        "value": round(eff, 3),
+        "unit": "efficiency",
+        "sec_8": t_lo,
+        "sec_32": t_hi,
+        "speedup": round(t_lo / t_hi, 3),
+        "supersteps_per_sec_8": out[lo_cpus]["supersteps_per_sec"],
+        "supersteps_per_sec_32": out[hi_cpus]["supersteps_per_sec"],
+        "pagerank_edges_per_sec_8": out[lo_cpus]["pagerank_edges_per_sec"],
+        "pagerank_edges_per_sec_32": out[hi_cpus]["pagerank_edges_per_sec"],
+        "detail_8": out[lo_cpus]["queries"],
+        "detail_32": out[hi_cpus]["queries"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

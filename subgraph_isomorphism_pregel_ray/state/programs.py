@@ -474,38 +474,123 @@ class MatchProgram(VertexProgram):
 
     needs_nbr_attrs = ("label",)
 
-    def init(self, csr: CSRPartition, plan=None, max_chunk: int = 500_000):
+    def init(self, csr: CSRPartition, plan=None, max_chunk: int = 2_000_000):
         self.csr = csr
         self.plan = plan
         self.k = len(plan["labels"])
         self.count = 0
         self.max_chunk = int(max_chunk)
+        # outbuf[p][key] is a LIST of matrices, concatenated once at scatter
+        # (repeated vstack would be quadratic in chunked expansions)
         self.outbuf: list[dict] = [dict() for _ in range(csr.num_parts)]
         self._nbr_label = csr.nbr_attr["label"]
+        # label-bucketed sub-CSRs: adjacency restricted to neighbors with a
+        # given query label, so expansion gathers only viable candidates —
+        # the analogue of SIValue's per-neighbor labels driving label-filtered
+        # expansion (pregel_app_subgraph.h:446-452) without the 1/|labels|
+        # wasted gather+filter pass.
+        src_row = csr.dst_index().src_row
+        self.lcsr: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        for lab in sorted(set(plan["labels"])):
+            m = self._nbr_label == lab
+            cnt = np.bincount(src_row[m], minlength=csr.num_vertices)
+            indptr = np.concatenate([[0], np.cumsum(cnt)]).astype(np.int64)
+            self.lcsr[lab] = (indptr, csr.indices[m])
 
     # -- core kernels ------------------------------------------------------
-    def _expand(self, j: int, M: np.ndarray):
+    def _candidates(self, j: int, M: np.ndarray, li: np.ndarray):
+        """Label-filtered neighbor gather: (cand, row_rep) for level j."""
+        indptr, indices = self.lcsr[self.plan["labels"][j]]
+        starts = indptr[li]
+        counts = indptr[li + 1] - starts
+        cand = indices[flat_gather(starts, counts)]
+        row_rep = np.repeat(np.arange(len(M), dtype=np.int64), counts)
+        return cand, row_rep
+
+    def _expand(self, j: int, M: np.ndarray, li: np.ndarray):
         """EXPAND level j: anchors = M[:, parent_pos[j]] (all owned here)."""
         plan = self.plan
-        anchor = M[:, plan["parent_pos"][j]]
-        li = self.csr.local_index(anchor)
-        starts = self.csr.indptr[li]
-        counts = self.csr.indptr[li + 1] - starts
-        eidx = flat_gather(starts, counts)
-        cand = self.csr.indices[eidx]
-        cand_lab = self._nbr_label[eidx]
-        row_rep = np.repeat(np.arange(len(M), dtype=np.int64), counts)
-        mask = cand_lab == plan["labels"][j]
-        cand = cand[mask]; row_rep = row_rep[mask]
+        cand, row_rep = self._candidates(j, M, li)
         if len(cand) == 0:
             return None
+        Mrep = M[row_rep]  # gather once; reused by both checks and output
         slp = plan["same_label_pos"][j]
         if slp:
-            dup = (M[row_rep][:, slp] == cand[:, None]).any(axis=1)
-            cand = cand[~dup]; row_rep = row_rep[~dup]
-            if len(cand) == 0:
-                return None
-        return np.column_stack([M[row_rep], cand])
+            dup = (Mrep[:, slp] == cand[:, None]).any(axis=1)
+            if dup.any():
+                keep = ~dup
+                cand = cand[keep]; Mrep = Mrep[keep]
+                if len(cand) == 0:
+                    return None
+        out = np.empty((len(cand), Mrep.shape[1] + 1), dtype=np.uint64)
+        out[:, :-1] = Mrep
+        out[:, -1] = cand
+        return out
+
+    def _expand_leaf(self, j: int, M: np.ndarray, li: np.ndarray, queue: list):
+        """Leaf level (j == k-1): count without materializing full mappings.
+
+        The Ray-side analogue of the reference's pseudo-child counting
+        (``addPsdChildren``, ``pregel_app_subgraph.h:153-209`` — its key
+        message-avoidance trick): when the leaf has no backward constraints
+        beyond its parent, the count is Σ label-degree(anchor) minus the
+        candidates already used at same-label positions — no candidate rows
+        are built at all. With backward constraints, only the projected
+        columns [back…, cand] are routed for remote adjacency verification.
+        """
+        plan = self.plan
+        bp = plan["back_pos"][j]
+        slp = plan["same_label_pos"][j]
+        indptr, _ = self.lcsr[plan["labels"][j]]
+        if not bp:
+            total = int((indptr[li + 1] - indptr[li]).sum())
+            # subtract candidates that collide with same-label prefix entries:
+            # M[:,c] is injective across the prefix, so each collision is a
+            # distinct candidate — subtract the adjacency indicator directly.
+            for c in slp:
+                total -= int(self.csr.has_edges(li, M[:, c]).sum())
+            self.count += total
+            return
+        cand, row_rep = self._candidates(j, M, li)
+        if len(cand) == 0:
+            return
+        if slp:  # column-sliced gather: never materialize full-width copies
+            Ms = M[:, slp]
+            dup = (Ms[row_rep] == cand[:, None]).any(axis=1)
+            if dup.any():
+                keep = ~dup
+                cand = cand[keep]; row_rep = row_rep[keep]
+                if len(cand) == 0:
+                    return
+        proj = np.empty((len(cand), len(bp) + 1), dtype=np.uint64)
+        proj[:, :-1] = M[:, bp][row_rep]
+        proj[:, -1] = cand
+        self._route_leaf(proj, queue)
+
+    def _route_leaf(self, proj: np.ndarray, queue: list):
+        """Route projected leaf rows by owner of the candidate (last col)."""
+        owner = part_for(proj[:, -1], self.csr.num_parts)
+        order = np.argsort(owner, kind="stable")
+        Ms = proj[order]; po = owner[order]
+        bounds = np.searchsorted(po, np.arange(self.csr.num_parts + 1))
+        for p in range(self.csr.num_parts):
+            s, e = int(bounds[p]), int(bounds[p + 1])
+            if s == e:
+                continue
+            if p == self.csr.part:
+                queue.append(("c", self.k - 1, Ms[s:e]))
+            else:
+                self.outbuf[p].setdefault(f"c{self.k - 1}", []).append(Ms[s:e])
+
+    def _count_leaf(self, M: np.ndarray):
+        """Verify projected leaf rows [back…, cand] and count survivors."""
+        li = self.csr.local_index(M[:, -1])
+        ok = np.ones(len(M), dtype=bool)
+        for i in range(M.shape[1] - 1):
+            ok &= self.csr.has_edges(li, M[:, i])
+            if not ok.any():
+                return
+        self.count += int(ok.sum())
 
     def _verify(self, j: int, M: np.ndarray):
         """VERIFY level j: candidates = M[:, j] (all owned here)."""
@@ -538,21 +623,38 @@ class MatchProgram(VertexProgram):
                 local_queue.append((kind, j, Ms[s:e]))
             else:
                 key = f"{kind}{j}"
-                buf = self.outbuf[p]
-                buf[key] = Ms[s:e] if key not in buf else np.vstack([buf[key], Ms[s:e]])
+                self.outbuf[p].setdefault(key, []).append(Ms[s:e])
 
     def _process(self, queue: list):
         k = self.k
         while queue:
             kind, j, M = queue.pop()
-            if len(M) > self.max_chunk:  # bound hub fan-out materialization
-                queue.append((kind, j, M[self.max_chunk:]))
-                M = M[: self.max_chunk]
             if kind == "e":
-                out = self._expand(j, M)
-                if out is not None:
-                    self._route("v", j, out, queue)
+                # chunk by OUTPUT volume: a frontier chunk times hub degrees
+                # must never materialize one giant matrix (the reference's
+                # unbounded mapping matrices, SItypes/SIMessage.h:20).
+                li = self.csr.local_index(M[:, self.plan["parent_pos"][j]])
+                indptr = self.lcsr[self.plan["labels"][j]][0]
+                csum = np.cumsum(indptr[li + 1] - indptr[li])
+                if csum[-1] > self.max_chunk and len(M) > 1:
+                    cut = max(1, int(np.searchsorted(csum, self.max_chunk)))
+                    queue.append(("e", j, M[cut:]))
+                    M, li = M[:cut], li[:cut]
+                if j == k - 1:
+                    self._expand_leaf(j, M, li, queue)
+                else:
+                    out = self._expand(j, M, li)
+                    if out is not None:
+                        self._route("v", j, out, queue)
+            elif kind == "c":
+                if len(M) > self.max_chunk:
+                    queue.append((kind, j, M[self.max_chunk :]))
+                    M = M[: self.max_chunk]
+                self._count_leaf(M)
             else:
+                if len(M) > self.max_chunk:
+                    queue.append((kind, j, M[self.max_chunk :]))
+                    M = M[: self.max_chunk]
                 out = self._verify(j, M)
                 if out is None or len(out) == 0:
                     continue
@@ -587,8 +689,12 @@ class MatchProgram(VertexProgram):
         for p in range(self.csr.num_parts):
             buf = self.outbuf[p]
             if buf:
-                out.append(buf)
-                sent += sum(len(m) for m in buf.values())
+                merged = {
+                    k: (v[0] if len(v) == 1 else np.concatenate(v))
+                    for k, v in buf.items()
+                }
+                out.append(merged)
+                sent += sum(len(m) for m in merged.values())
             else:
                 out.append(None)
         self.outbuf = [dict() for _ in range(self.csr.num_parts)]
@@ -599,7 +705,8 @@ class MatchProgram(VertexProgram):
         cols = {"count": pa.array([self.count], type=pa.int64())}
         flat_keys, flat_p, flat_ncol, flat_data = [], [], [], []
         for p, buf in enumerate(self.outbuf):
-            for key, M in buf.items():
+            for key, parts in buf.items():
+                M = parts[0] if len(parts) == 1 else np.concatenate(parts)
                 flat_keys.append(key); flat_p.append(p)
                 flat_ncol.append(M.shape[1]); flat_data.append(M.ravel())
         cols = pa.table(
@@ -624,7 +731,7 @@ class MatchProgram(VertexProgram):
             p = table["dest"][i].as_py()
             ncol = table["ncol"][i].as_py()
             data = np.asarray(table["data"][i].as_py(), dtype=np.uint64)
-            self.outbuf[p][key] = data.reshape(-1, ncol)
+            self.outbuf[p].setdefault(key, []).append(data.reshape(-1, ncol))
 
     def result_table(self):
         return pa.table({"part": pa.array([self.csr.part], type=pa.int32()),
