@@ -76,8 +76,12 @@ def run_bench() -> dict:
     rd.read_parquet(pages_path).count()  # warm page cache (untimed)
     t0 = time.perf_counter()
     n_edges_extracted = (
-        rd.read_parquet(pages_path, columns=["url", "html"])
-        .map_batches(edges_batch, batch_format="pyarrow", batch_size=256)
+        rd.read_parquet(
+            pages_path,
+            columns=["url", "html"],
+            override_num_blocks=NUM_CPUS * 4,  # the cache is one file/20k rows
+        )
+        .map_batches(edges_batch, batch_format="pyarrow", batch_size=128)
         .count()
     )
     q["extract"] = time.perf_counter() - t0
@@ -90,7 +94,7 @@ def run_bench() -> dict:
         symmetrize(copurchase_edges(SF_DIR)),
         P,
         gdir,
-        labels_ds=part_labels(SF_DIR, mod=3),
+        labels_ds=part_labels(SF_DIR, mod=7),  # mod 7 → selective match queries
         directed=True,  # already symmetrized
     )
     eng = BSPEngine(gdir, P)
@@ -123,6 +127,7 @@ def run_bench() -> dict:
     for qname, (ql, qe) in {
         "match_tri": ([0, 1, 2], [(0, 1), (1, 2), (2, 0)]),
         "match_4cycle": ([0, 2, 1, 2], [(0, 1), (1, 2), (2, 3), (3, 0)]),
+        "match_chair": ([0, 1, 2, 3, 4], [(0, 1), (1, 2), (2, 3), (1, 4)]),
     }.items():
         t0 = time.perf_counter()
         eng.run("match", {"plan": build_plan(ql, qe)}, max_steps=2 * len(ql) + 2)

@@ -97,12 +97,19 @@ def partition_graph(
     if not directed:
         edges_ds = symmetrize(edges_ds)
     edges_ds = edges_ds.map_batches(add_part_column("src", num_parts), batch_format="pyarrow")
-    edges_ds.write_parquet(os.path.join(graph_dir, "edges"), partition_cols=["part"])
+    edges_path = os.path.join(graph_dir, "edges")
+    edges_ds.write_parquet(edges_path, partition_cols=["part"])
 
     if labels_ds is not None:
         verts = labels_ds.map_batches(add_part_column("vid", num_parts), batch_format="pyarrow")
     else:
-        verts = edges_ds.map_batches(_vert_stubs(num_parts), batch_format="pyarrow")
+        # derive verts from the WRITTEN edges, not the input Dataset — a lazy
+        # input would otherwise re-execute its whole upstream pipeline here.
+        import ray.data as rd
+
+        verts = rd.read_parquet(edges_path, columns=["src", "dst"]).map_batches(
+            _vert_stubs(num_parts), batch_format="pyarrow"
+        )
     verts.write_parquet(os.path.join(graph_dir, "verts"), partition_cols=["part"])
 
     with open(os.path.join(graph_dir, "manifest.json"), "w") as f:
