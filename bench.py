@@ -35,7 +35,8 @@ def _cached_pages(n: int, seed: int = 42) -> str:
     path = f"/tmp/graft_pages_{n}_{seed}"
     from subgraph_isomorphism_pregel_ray.sources.pages import write_synth_pages
 
-    write_synth_pages(path, n, seed)  # skips existing part files
+    # many small part files → the read parallelizes at any CPU count
+    write_synth_pages(path, n, seed, rows_per_file=2000)
     return path
 
 
@@ -158,23 +159,154 @@ def run_bench() -> dict:
     }
 
 
+# ---------------------------------------------------------------------------
+# Scaling workload: same inputs, same partitioning (P fixed), two CPU levels.
+#
+# The headline sf0.1 job is too small to evidence cluster scaling — its wall
+# time is dominated by fixed costs (session/actor startup, per-superstep
+# scheduling), which model a cluster's *constant* overhead, not its per-node
+# throughput. The scaling workload therefore uses a larger cached synthetic
+# link graph (P=32 partition actors in BOTH runs — on 8 CPUs they timeshare,
+# exactly like a fixed-P job on a smaller cluster) plus compute-bound
+# extraction and matching stages.
+
+SCALE_N = int(os.environ.get("GRAFT_SCALE_N", "500000"))
+SCALE_M = int(os.environ.get("GRAFT_SCALE_M", "10000000"))
+SCALE_PAGES = int(os.environ.get("GRAFT_SCALE_PAGES", "40000"))
+SCALE_P = 32
+
+
+def _scale_graph_dir() -> str:
+    """Build (once, cached) the big synthetic power-law graph layout."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from subgraph_isomorphism_pregel_ray.pipelines.build_graph import partition_graph
+
+    path = f"/tmp/graft_scale_graph_{SCALE_N}_{SCALE_M}"
+    if os.path.exists(os.path.join(path, "manifest.json")):
+        return path
+    blocks = 256
+    per = SCALE_M // blocks
+
+    def gen(batch: pa.Table) -> pa.Table:
+        i = int(batch["id"][0].as_py())
+        rng = np.random.default_rng(np.random.SeedSequence([99, i]))
+        src = rng.integers(0, SCALE_N, per, dtype=np.int64).astype(np.uint64)
+        dst = (SCALE_N * rng.random(per) ** 2).astype(np.int64).astype(np.uint64)
+        keep = src != dst
+        return pa.table({"src": src[keep], "dst": dst[keep]})
+
+    edges = rd.range(blocks).map_batches(gen, batch_format="pyarrow", batch_size=1)
+
+    def labels(batch: pa.Table) -> pa.Table:
+        vid = batch["id"].to_numpy().astype(np.uint64)
+        return pa.table({"vid": vid, "label": (vid % np.uint64(7)).astype(np.int64)})
+
+    labels_ds = rd.range(SCALE_N).map_batches(labels, batch_format="pyarrow")
+    partition_graph(edges, SCALE_P, path, labels_ds=labels_ds, directed=False)
+    return path
+
+
+def run_scaling_workload() -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    import ray.data as rd
+
+    from subgraph_isomorphism_pregel_ray.pipelines.bsp import BSPEngine
+    from subgraph_isomorphism_pregel_ray.pipelines.match import build_plan
+    from subgraph_isomorphism_pregel_ray.stages.extract import edges_batch
+
+    q: dict[str, float] = {}
+
+    pages_path = _cached_pages(SCALE_PAGES)
+    gdir = _scale_graph_dir()  # cached across runs — identical input
+    eng = BSPEngine(gdir, SCALE_P)
+    n_edges = eng.num_edges
+    rd.read_parquet(pages_path).count()  # warm FS cache
+
+    t0 = time.perf_counter()
+    n_ex = (
+        rd.read_parquet(pages_path, columns=["url", "html"], override_num_blocks=256)
+        .map_batches(edges_batch, batch_format="pyarrow", batch_size=128)
+        .count()
+    )
+    q["extract"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    lin = eng.run(
+        "pagerank",
+        {"iters": PR_ITERS, "damping": 0.85, "n_global": None, "tol": 0.0},
+        max_steps=PR_ITERS + 1,
+    )
+    q["pagerank"] = time.perf_counter() - t0
+    pr_steps = lin["steps"]
+
+    t0 = time.perf_counter()
+    lin_cc = eng.run("cc", {}, max_steps=200)
+    q["cc"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    eng.run(
+        "match",
+        {"plan": build_plan([0, 1, 2, 3, 4], [(0, 1), (1, 2), (2, 3), (1, 4)])},
+        max_steps=12,
+    )
+    emb = eng.scalar_results().get("embeddings")
+    q["match_chair"] = time.perf_counter() - t0
+
+    eng.shutdown()
+    ray.shutdown()
+
+    steps = pr_steps + lin_cc["steps"]
+    return {
+        "metric": "scaling workload (extract + PR + CC + match, fixed P=32)",
+        "value": round(sum(q.values()), 3),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in q.items()},
+        "num_cpus": NUM_CPUS,
+        "edges": int(n_edges),
+        "edges_extracted": int(n_ex),
+        "supersteps_per_sec": round(steps / (q["pagerank"] + q["cc"]), 3),
+        "pagerank_edges_per_sec": round(n_edges * PR_ITERS / q["pagerank"]),
+        "match_embeddings": int(emb),
+    }
+
+
 def run_scaling() -> dict:
     lo_cpus, hi_cpus = 8, 32
+    reps = int(os.environ.get("GRAFT_SCALING_REPS", "2"))
     out = {}
-    for ncpu in (lo_cpus, hi_cpus):
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
-        r = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
-            env=env,
-            capture_output=True,
-            text=True,
-            check=True,
-        )
-        out[ncpu] = json.loads(r.stdout.strip().splitlines()[-1])
+    for ncpu in (hi_cpus, lo_cpus):  # hi first: it also builds the caches
+        best = None
+        for _ in range(reps):  # min-of-reps: the sandbox VM has noisy neighbors
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--scaling-workload"],
+                env=env,
+                capture_output=True,
+                text=True,
+                check=True,
+            )
+            res = json.loads(r.stdout.strip().splitlines()[-1])
+            if best is None or res["value"] < best["value"]:
+                best = res
+        out[ncpu] = best
     t_lo, t_hi = out[lo_cpus]["value"], out[hi_cpus]["value"]
     eff = (t_lo / t_hi) / (hi_cpus / lo_cpus)
     return {
-        "metric": "scaling efficiency (8→32 cpus, fresh processes, same input)",
+        "metric": "scaling efficiency (8→32 cpus, fresh processes, same input, fixed P)",
         "value": round(eff, 3),
         "unit": "efficiency",
         "sec_8": t_lo,
@@ -190,7 +322,9 @@ def run_scaling() -> dict:
 
 
 if __name__ == "__main__":
-    if "--scaling" in sys.argv:
+    if "--scaling-workload" in sys.argv:
+        print(json.dumps(run_scaling_workload()))
+    elif "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
     else:
         print(json.dumps(run_bench()))

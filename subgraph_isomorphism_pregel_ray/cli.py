@@ -1,0 +1,145 @@
+"""Command-line entry point — the analogue of the reference's ``run.cpp`` +
+``MatchingCommand`` CLI (``utils/global.h:249-327``: ``-d`` data graph,
+``-q`` query graph, ``-out`` output, ``-order``, ``-preprocess`` …).
+
+    python -m subgraph_isomorphism_pregel_ray match -d graphs/toy.txt -q graphs/query.txt
+    python -m subgraph_isomorphism_pregel_ray pagerank -d edges.parquet -out /tmp/pr --iters 20
+    python -m subgraph_isomorphism_pregel_ray cc|lpa|triangles -d <edges> [-out DIR]
+    python -m subgraph_isomorphism_pregel_ray extract --pages <pages parquet> -out <edges dir>
+
+``-d`` accepts the reference's text graph format (*.txt) or a parquet edge
+table (src, dst[, label via --labels]). Results are written as partitioned
+parquet when ``-out`` is given (the working version of the reference's
+disabled dump stage, ``pregel_app_subgraph.h:907``), else summarized to
+stdout. Owns its Ray session (guarded for embedding in a live session).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _ensure_ray(num_cpus: int | None):
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+        from ray.data import DataContext
+
+        DataContext.get_current().enable_progress_bars = False
+
+
+def _load_graph(path: str, labels_path: str | None):
+    """-d argument → (edges_ds, labels_ds | None)."""
+    import ray.data as rd
+
+    if path.endswith(".txt"):
+        from .sources.graph_text import read_graph_text
+
+        labels_ds, edges_ds = read_graph_text(path)
+        return edges_ds, labels_ds
+    edges_ds = rd.read_parquet(path, columns=["src", "dst"])
+    labels_ds = rd.read_parquet(labels_path, columns=["vid", "label"]) if labels_path else None
+    return edges_ds, labels_ds
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="subgraph_isomorphism_pregel_ray")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    def common(p):
+        p.add_argument("-d", "--data", required=True, help="graph: .txt (reference format) or parquet edges")
+        p.add_argument("--labels", help="parquet (vid,label) when -d is parquet")
+        p.add_argument("-out", "--out", help="output directory (partitioned parquet)")
+        p.add_argument("--parts", type=int, default=8, help="partition count P")
+        p.add_argument("--cpus", type=int, default=None)
+        p.add_argument("--checkpoint-dir", help="per-superstep checkpoint dir")
+        p.add_argument("--checkpoint-every", type=int, default=0)
+        p.add_argument("--resume", action="store_true")
+
+    for name in ("pagerank", "cc", "lpa", "triangles"):
+        p = sub.add_parser(name)
+        common(p)
+        if name in ("pagerank", "lpa"):
+            p.add_argument("--iters", type=int, default=20 if name == "pagerank" else 10)
+        if name == "pagerank":
+            p.add_argument("--damping", type=float, default=0.85)
+
+    p = sub.add_parser("match")
+    common(p)
+    p.add_argument("-q", "--query", required=True, help="query graph (.txt, reference format)")
+    p.add_argument("-order", "--order", default="degree", choices=["degree"],
+                   help="root/DFS ordering strategy (reference -order)")
+
+    p = sub.add_parser("extract")
+    p.add_argument("--pages", required=True, help="pages parquet (url, html, …)")
+    p.add_argument("-out", "--out", required=True)
+    p.add_argument("--cpus", type=int, default=None)
+
+    args = ap.parse_args(argv)
+    _ensure_ray(getattr(args, "cpus", None))
+
+    if args.cmd == "extract":
+        import ray.data as rd
+
+        from .stages.extract import edge_stage
+
+        edge_stage(rd.read_parquet(args.pages, columns=["url", "html"])).write_parquet(args.out)
+        print(json.dumps({"status": "ok", "out": args.out}))
+        return 0
+
+    edges_ds, labels_ds = _load_graph(args.data, args.labels)
+    ck = dict(
+        checkpoint_dir=args.checkpoint_dir,
+        checkpoint_every=args.checkpoint_every,
+        resume=args.resume,
+    )
+
+    if args.cmd == "match":
+        from .pipelines.match import build_plan, match_count
+        from .sources.graph_text import parse_query_text
+
+        with open(args.query) as f:
+            qlabels, qedges = parse_query_text(f.read())
+        count, lineage = match_count(
+            edges_ds, qlabels, qedges, labels_ds=labels_ds, num_parts=args.parts
+        )
+        # the reference's shipped deliverable (pregel_app_subgraph.h:914-919)
+        print(f"Mapping count: {count}")
+        print(json.dumps({"mapping_count": int(count), "supersteps": lineage["steps"]}))
+        return 0
+
+    from .pipelines import algorithms as alg
+
+    if args.cmd == "pagerank":
+        res, lineage = alg.pagerank(edges_ds, iters=args.iters, damping=args.damping,
+                                    num_parts=args.parts, **ck)
+    elif args.cmd == "cc":
+        res, lineage = alg.connected_components(edges_ds, num_parts=args.parts, **ck)
+    elif args.cmd == "lpa":
+        res, lineage = alg.label_propagation(edges_ds, iters=args.iters, num_parts=args.parts, **ck)
+    else:  # triangles
+        total, res, lineage = alg.triangle_count(edges_ds, num_parts=args.parts)
+        print(json.dumps({"triangles": int(total), "supersteps": lineage["steps"]}))
+
+    if args.out:
+        import ray.data as rd
+
+        rd.from_arrow(res).write_parquet(args.out)
+        print(json.dumps({"status": "ok", "out": args.out, "rows": res.num_rows,
+                          "supersteps": lineage["steps"]}))
+    else:
+        print(json.dumps({"rows": res.num_rows, "supersteps": lineage["steps"]}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

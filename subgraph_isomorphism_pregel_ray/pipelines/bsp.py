@@ -114,6 +114,7 @@ class BSPEngine:
         checkpoint_dir: str | None = None,
         checkpoint_every: int = 0,
         resume: bool = False,
+        exchange: str = "packed",
     ) -> dict:
         """Run `program` to convergence (or max_steps). Returns lineage dict."""
         from ..state.programs import PROGRAMS
@@ -164,24 +165,29 @@ class BSPEngine:
                 ck_paths = [os.path.join(ck_dir, f"part={p}.parquet") for p in range(P)]
 
             t0 = time.perf_counter()
+            packed = exchange == "packed"
+            nret = 2 if packed else P + 1
             rets = [
                 self.actors[p]
-                .superstep.options(num_returns=P + 1)
-                .remote(step, inbox[p], glob, ck_paths[p], skip_apply)
+                .superstep.options(num_returns=nret)
+                .remote(step, inbox[p], glob, ck_paths[p], skip_apply, packed)
                 for p in range(P)
             ]
-            if P == 1:
-                rets = [[r] for r in rets]
-            stats = ray.get([r[P] for r in rets])  # ← the BSP barrier
+            stats = ray.get([r[nret - 1] for r in rets])  # ← the BSP barrier
             wall = time.perf_counter() - t0
             skip_apply = False
-            inbox = [[rets[q][p] for q in range(P)] for p in range(P)]
+            if packed:
+                # every receiver gets the same ref per sender; slices inside
+                inbox = [[rets[q][0] for q in range(P)] for p in range(P)]
+            else:
+                inbox = [[rets[q][p] for q in range(P)] for p in range(P)]
             glob = _fold(stats)
             row = {
                 "step": step,
                 "active": int(glob.get("active", 0)),
                 "sent": int(glob.get("sent", 0)),
                 "wall_sec": wall,
+                "t_fetch_max": glob.get("t_fetch_max", 0.0),
                 "t_apply_max": glob.get("t_apply_max", 0.0),
                 "t_scatter_max": glob.get("t_scatter_max", 0.0),
             }

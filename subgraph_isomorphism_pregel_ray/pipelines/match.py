@@ -79,6 +79,11 @@ def build_plan(labels: list[int], edges: list[tuple[int, int]], root: int | None
         "back_pos": back_pos,
         "same_label_pos": same_label_pos,
         "order": order,
+        # LDF pruning (the working form of the reference's vestigial FILTER
+        # stage, SIQuery::LDFFilter SItypes/SIQuery.h:724-737): a data vertex
+        # mapping query vertex u needs degree ≥ deg_Q(u) — necessary, so
+        # pruning on it never changes counts.
+        "qdeg": [len(adj[u]) for u in order],
     }
 
 

@@ -1,0 +1,48 @@
+"""Distributed sort with global ordinal — the TeraSort analogue.
+
+The reference ships a standalone TeraSort (``utils/TeraSort.h:37-343``):
+sample 1% → range-partition → local sort → exclusive prefix-sum of partition
+sizes → global ordinal. Ray Data's ``Dataset.sort`` already does the
+sample/range/local-sort part; the ordinal is the same two-phase trick
+(``TeraSort.h:244-283``): count rows per sorted block, exclusive-scan on the
+driver (P scalars, not data), then add the block's base offset in a second
+vectorized pass.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+__all__ = ["sort_with_ordinal"]
+
+
+def sort_with_ordinal(ds, key: str, descending: bool = False, ordinal_col: str = "ordinal"):
+    """→ Dataset sorted by ``key`` with a global 0-based ``ordinal`` column."""
+    import ray
+
+    sorted_ds = ds.sort(key, descending=descending)
+    # phase 1: per-block row counts (metadata-sized driver traffic)
+    refs = sorted_ds.to_arrow_refs()
+    counts = ray.get([_num_rows.remote(r) for r in refs])
+    offsets = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int64)
+    # phase 2: stamp ordinals per block
+    stamped = [_stamp.remote(r, int(off), ordinal_col) for r, off in zip(refs, offsets)]
+    import ray.data as rd
+
+    return rd.from_arrow_refs(stamped)
+
+
+import ray
+
+
+@ray.remote
+def _num_rows(tbl: pa.Table) -> int:
+    return tbl.num_rows
+
+
+@ray.remote
+def _stamp(tbl: pa.Table, offset: int, col: str) -> pa.Table:
+    return tbl.append_column(
+        col, pa.array(np.arange(offset, offset + tbl.num_rows, dtype=np.int64))
+    )

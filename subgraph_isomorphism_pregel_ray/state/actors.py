@@ -127,8 +127,16 @@ class GraphPartition:
         glob: dict,
         checkpoint_path: str | None,
         skip_apply: bool = False,
+        packed: bool = False,
     ):
-        """apply → (optional checkpoint) → scatter. Returns P outboxes + stats.
+        """apply → (optional checkpoint) → scatter.
+
+        Returns P outboxes + stats (``num_returns=P+1``), or in ``packed``
+        mode the full outbox list + stats (``num_returns=2``) — one object
+        per sender per step, the per-node batching granularity; receivers
+        slice their partition out of each sender's list (numpy payloads are
+        zero-copy views out of the shared object store, so deserializing a
+        sender's full list costs near nothing on the same node).
 
         ``skip_apply`` is the resume path: state was just loaded from the
         post-apply checkpoint of this step, so only scatter re-runs.
@@ -140,7 +148,13 @@ class GraphPartition:
             stats_a = {"active": int(glob.get("active", 1))}
             checkpoint_path = None
         else:
-            msgs = [ray.get(r) if isinstance(r, ray.ObjectRef) else r for r in inbox]
+            if packed:
+                msgs = [
+                    (ray.get(r) if isinstance(r, ray.ObjectRef) else r)[self.part]
+                    for r in inbox
+                ]
+            else:
+                msgs = [ray.get(r) if isinstance(r, ray.ObjectRef) else r for r in inbox]
             t_get = time.perf_counter()
             stats_a = self.program.apply(step, msgs, glob)
         t_apply = time.perf_counter()
@@ -160,6 +174,8 @@ class GraphPartition:
             t_checkpoint=t_ck - t_apply,
             t_scatter=t1 - t_ck,
         )
+        if packed:
+            return outbox, stats
         return (*outbox, stats)
 
     def result_table(self) -> pa.Table:

@@ -101,15 +101,25 @@ class PageRankProgram(VertexProgram):
         self.rank = np.full(csr.num_vertices, 1.0 / self.n)
         self.outdeg = csr.degrees().astype(np.float64)
         self.dangling_mask = self.outdeg == 0
+        # the destination sets per (src-part → here) pair are STATIC: senders
+        # ship them once; we cache the local-index map and subsequent steps
+        # carry only the float sums — half the exchange bytes, no per-step
+        # searchsorted (the reference re-serializes keys every superstep,
+        # utils/vecs.h:74-79; static topology makes that pure waste).
+        self._in_li: dict[int, np.ndarray] = {}
+        self._sent_dst = False
 
     def apply(self, step, inbox, glob):
         if step == 0:
             return {"active": 1}
         in_sum = np.zeros(self.csr.num_vertices)
-        for msg in inbox:
-            if msg is None or len(msg["dst"]) == 0:
+        for i, msg in enumerate(inbox):
+            if msg is None or len(msg["sum"]) == 0:
                 continue
-            li = self.csr.local_index(msg["dst"])
+            li = self._in_li.get(i)
+            if "dst" in msg:
+                li = self.csr.local_index(msg["dst"])
+                self._in_li[i] = li
             np.add.at(in_sum, li, msg["sum"])
         dangling = glob.get("dangling", 0.0)
         new_rank = (1.0 - self.d) / self.n + self.d * (in_sum + dangling / self.n)
@@ -132,8 +142,12 @@ class PageRankProgram(VertexProgram):
                 outbox.append(None)
                 continue
             sums = np.bincount(dix.inverse[p], weights=edge_val[s:e], minlength=len(dix.uniq_dst[p]))
-            outbox.append({"dst": dix.uniq_dst[p], "sum": sums})
-            sent += len(dix.uniq_dst[p])
+            msg = {"sum": sums}
+            if not self._sent_dst:
+                msg["dst"] = dix.uniq_dst[p]
+            outbox.append(msg)
+            sent += len(sums)
+        self._sent_dst = True
         dangling = float(self.rank[self.dangling_mask].sum())
         return outbox, {"sent": sent, "dangling": dangling}
 
@@ -593,16 +607,25 @@ class MatchProgram(VertexProgram):
         self.count += int(ok.sum())
 
     def _verify(self, j: int, M: np.ndarray):
-        """VERIFY level j: candidates = M[:, j] (all owned here)."""
+        """VERIFY level j: candidates = M[:, j] (all owned here).
+
+        Backward-adjacency (check_feasibility, pregel_app_subgraph.h:70-83)
+        plus LDF degree pruning (plan["qdeg"]) — both necessary conditions,
+        so counts are unchanged while doomed subtrees die early.
+        """
         bp = self.plan["back_pos"][j]
-        if not bp:
-            return M
+        qd = self.plan.get("qdeg")
         li = self.csr.local_index(M[:, j])
         ok = np.ones(len(M), dtype=bool)
+        if qd is not None and qd[j] > 1:
+            deg = self.csr.indptr[li + 1] - self.csr.indptr[li]
+            ok &= deg >= qd[j]
         for pos in bp:
             ok &= self.csr.has_edges(li, M[:, pos])
             if not ok.any():
                 return None
+        if ok.all():
+            return M
         return M[ok]
 
     def _route(self, kind: str, j: int, M: np.ndarray, local_queue: list):
@@ -668,7 +691,11 @@ class MatchProgram(VertexProgram):
         queue: list = []
         if step == 0:
             lab0 = self.plan["labels"][0]
-            roots = self.csr.vids[self.csr.labels == lab0]
+            mask = self.csr.labels == lab0
+            qd = self.plan.get("qdeg")
+            if qd is not None and qd[0] > 0:  # LDF root filter (M2 analogue)
+                mask &= self.csr.degrees() >= qd[0]
+            roots = self.csr.vids[mask]
             if len(roots):
                 M = roots[:, None].astype(np.uint64)
                 if self.k == 1:

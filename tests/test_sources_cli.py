@@ -1,0 +1,87 @@
+"""Reference text-format sources, TeraSort-with-ordinal, and the CLI."""
+
+import json
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REF_TOY = "/root/reference/graphs/toy.txt"
+REF_QUERY = "/root/reference/graphs/query.txt"
+
+
+def test_parse_graph_text_matches_toy_fixture():
+    from subgraph_isomorphism_pregel_ray.pipelines.match import toy_graph
+    from subgraph_isomorphism_pregel_ray.sources.graph_text import parse_graph_text
+
+    with open(REF_TOY) as f:
+        labels, edges = parse_graph_text(f.read())
+    fix_labels, fix_edges = toy_graph()
+    # reference labels are char codes; fixture remaps a..d → 0..3
+    remap = {ord(c): i for i, c in enumerate("abcd")}
+    assert {v: remap[l] for v, l in labels.items()} == fix_labels
+    assert sorted({(min(a, b), max(a, b)) for a, b in edges}) == fix_edges
+
+
+def test_parse_query_text():
+    from subgraph_isomorphism_pregel_ray.sources.graph_text import parse_query_text
+
+    with open(REF_QUERY) as f:
+        labels, edges = parse_query_text(f.read())
+    assert labels == [ord("a"), ord("c"), ord("b"), ord("c")]
+    assert edges == [(0, 1), (0, 3), (1, 2), (2, 3)]
+
+
+def test_read_graph_text_and_match(ray_session):
+    from subgraph_isomorphism_pregel_ray.pipelines.match import match_count
+    from subgraph_isomorphism_pregel_ray.sources.graph_text import (
+        parse_query_text,
+        read_graph_text,
+    )
+
+    labels_ds, edges_ds = read_graph_text(REF_TOY)
+    with open(REF_QUERY) as f:
+        qlabels, qedges = parse_query_text(f.read())
+    cnt, _ = match_count(edges_ds, qlabels, qedges, labels_ds=labels_ds, num_parts=2)
+    assert cnt == 4  # the reference's golden output, from its own files
+
+
+def test_sort_with_ordinal(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from subgraph_isomorphism_pregel_ray.stages.sort import sort_with_ordinal
+
+    rng = np.random.default_rng(3)
+    vals = rng.permutation(5000)
+    ds = rd.from_arrow(pa.table({"v": vals})).repartition(8)
+    out = sort_with_ordinal(ds, "v").to_pandas()
+    assert np.array_equal(out.sort_values("ordinal")["v"].to_numpy(), np.arange(5000))
+
+
+def test_cli_match_golden():
+    r = subprocess.run(
+        [sys.executable, "-m", "subgraph_isomorphism_pregel_ray", "match",
+         "-d", REF_TOY, "-q", REF_QUERY, "--parts", "2", "--cpus", "4"],
+        capture_output=True, text=True, timeout=240,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "Mapping count: 4" in r.stdout  # README.md:83 golden line
+
+
+def test_cli_pagerank_writes_parquet(tmp_path):
+    r = subprocess.run(
+        [sys.executable, "-m", "subgraph_isomorphism_pregel_ray", "pagerank",
+         "-d", REF_TOY, "-out", str(tmp_path / "pr"), "--iters", "5",
+         "--parts", "2", "--cpus", "4"],
+        capture_output=True, text=True, timeout=240,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    import pyarrow.parquet as pq
+    import glob as g
+
+    files = g.glob(str(tmp_path / "pr" / "*.parquet"))
+    assert files
+    total = sum(pq.read_table(f).num_rows for f in files)
+    assert total == 15
