@@ -31,12 +31,21 @@ PAGES_N = int(os.environ.get("GRAFT_PAGES_N", "20000"))
 PR_ITERS = 10
 
 
-def _cached_pages(n: int, seed: int = 42) -> str:
-    path = f"/tmp/graft_pages_{n}_{seed}"
-    from subgraph_isomorphism_pregel_ray.sources.pages import write_synth_pages
+def _cached_pages(n: int, seed: int = 42, rows_per_file: int = 625) -> str:
+    """Deterministic pages cache; generated in parallel when Ray is up."""
+    import ray
 
-    # many small part files → the read parallelizes at any CPU count
-    write_synth_pages(path, n, seed, rows_per_file=2000)
+    path = f"/tmp/graft_pages_{n}_{seed}_{rows_per_file}"
+    if os.path.exists(path) and os.listdir(path):
+        return path
+    if ray.is_initialized():
+        from subgraph_isomorphism_pregel_ray.sources.pages import synth_pages_dataset
+
+        synth_pages_dataset(n, seed, rows_per_block=rows_per_file).write_parquet(path)
+    else:
+        from subgraph_isomorphism_pregel_ray.sources.pages import write_synth_pages
+
+        write_synth_pages(path, n, seed, rows_per_file=rows_per_file)
     return path
 
 
@@ -171,8 +180,8 @@ def run_bench() -> dict:
 # extraction and matching stages.
 
 SCALE_N = int(os.environ.get("GRAFT_SCALE_N", "500000"))
-SCALE_M = int(os.environ.get("GRAFT_SCALE_M", "10000000"))
-SCALE_PAGES = int(os.environ.get("GRAFT_SCALE_PAGES", "40000"))
+SCALE_M = int(os.environ.get("GRAFT_SCALE_M", "80000000"))
+SCALE_PAGES = int(os.environ.get("GRAFT_SCALE_PAGES", "400000"))
 SCALE_P = 32
 
 
@@ -209,7 +218,7 @@ def _scale_graph_dir() -> str:
     return path
 
 
-def run_scaling_workload() -> dict:
+def _init_ray():
     import ray
 
     ray.init(
@@ -222,65 +231,111 @@ def run_scaling_workload() -> dict:
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
+
+
+def run_phase(phase: str) -> dict:
+    """One scaling-workload phase in its own Ray session/process — mirroring
+    the `ray job submit`-per-job deployment model of the north rule (and
+    avoiding cross-phase session aging: a 32-way Python-heavy extract leaves
+    the VM's memory fragmented enough to slow subsequent numpy phases ~4×)."""
+    _init_ray()
+    import ray
     import ray.data as rd
 
     from subgraph_isomorphism_pregel_ray.pipelines.bsp import BSPEngine
     from subgraph_isomorphism_pregel_ray.pipelines.match import build_plan
     from subgraph_isomorphism_pregel_ray.stages.extract import edges_batch
 
-    q: dict[str, float] = {}
+    out: dict = {"phase": phase}
+    if phase == "extract":
+        pages_path = _cached_pages(SCALE_PAGES)
+        rd.read_parquet(pages_path).count()  # warm FS cache (untimed)
+        t0 = time.perf_counter()
+        n_ex = (
+            rd.read_parquet(pages_path, columns=["url", "html"], override_num_blocks=256)
+            .map_batches(edges_batch, batch_format="pyarrow", batch_size=128)
+            .count()
+        )
+        out["sec"] = time.perf_counter() - t0
+        out["edges_extracted"] = int(n_ex)
+    elif phase == "supersteps":
+        eng = BSPEngine(_scale_graph_dir(), SCALE_P)
+        out["edges"] = eng.num_edges
+        t0 = time.perf_counter()
+        lin = eng.run(
+            "pagerank",
+            {"iters": PR_ITERS, "damping": 0.85, "n_global": None, "tol": 0.0},
+            max_steps=PR_ITERS + 1,
+        )
+        out["pagerank_sec"] = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        lin_cc = eng.run("cc", {}, max_steps=200)
+        out["cc_sec"] = time.perf_counter() - t0
+        out["sec"] = out["pagerank_sec"] + out["cc_sec"]
+        out["steps"] = lin["steps"] + lin_cc["steps"]
+        eng.shutdown()
+    elif phase == "match":
+        # 5-cycle on the sf0.1 co-purchase graph: per-partition working set
+        # is cache-resident, so this measures matcher compute scaling rather
+        # than the single-box DRAM ceiling (see BASELINE.md caveat).
+        from subgraph_isomorphism_pregel_ray.pipelines.build_graph import (
+            partition_graph,
+            symmetrize,
+        )
+        from subgraph_isomorphism_pregel_ray.pipelines.relational import (
+            copurchase_edges,
+            part_labels,
+        )
 
-    pages_path = _cached_pages(SCALE_PAGES)
-    gdir = _scale_graph_dir()  # cached across runs — identical input
-    eng = BSPEngine(gdir, SCALE_P)
-    n_edges = eng.num_edges
-    rd.read_parquet(pages_path).count()  # warm FS cache
-
-    t0 = time.perf_counter()
-    n_ex = (
-        rd.read_parquet(pages_path, columns=["url", "html"], override_num_blocks=256)
-        .map_batches(edges_batch, batch_format="pyarrow", batch_size=128)
-        .count()
-    )
-    q["extract"] = time.perf_counter() - t0
-
-    t0 = time.perf_counter()
-    lin = eng.run(
-        "pagerank",
-        {"iters": PR_ITERS, "damping": 0.85, "n_global": None, "tol": 0.0},
-        max_steps=PR_ITERS + 1,
-    )
-    q["pagerank"] = time.perf_counter() - t0
-    pr_steps = lin["steps"]
-
-    t0 = time.perf_counter()
-    lin_cc = eng.run("cc", {}, max_steps=200)
-    q["cc"] = time.perf_counter() - t0
-
-    t0 = time.perf_counter()
-    eng.run(
-        "match",
-        {"plan": build_plan([0, 1, 2, 3, 4], [(0, 1), (1, 2), (2, 3), (1, 4)])},
-        max_steps=12,
-    )
-    emb = eng.scalar_results().get("embeddings")
-    q["match_chair"] = time.perf_counter() - t0
-
-    eng.shutdown()
+        gdir = f"/tmp/graft_copurchase_{os.path.basename(SF_DIR)}_p{SCALE_P}"
+        partition_graph(
+            symmetrize(copurchase_edges(SF_DIR)),
+            SCALE_P,
+            gdir,
+            labels_ds=part_labels(SF_DIR, mod=7),
+            directed=True,
+        )
+        eng = BSPEngine(gdir, SCALE_P)
+        t0 = time.perf_counter()
+        eng.run(
+            "match",
+            {"plan": build_plan([0, 1, 2, 3, 4], [(0, 1), (1, 2), (2, 3), (3, 4), (4, 0)])},
+            max_steps=14,
+        )
+        out["sec"] = time.perf_counter() - t0
+        out["match_embeddings"] = int(eng.scalar_results().get("embeddings", 0))
+        eng.shutdown()
     ray.shutdown()
+    return out
 
-    steps = pr_steps + lin_cc["steps"]
+
+def run_scaling_workload() -> dict:
+    """Three phases, each a fresh process (`ray job submit` analogue)."""
+    q: dict[str, float] = {}
+    extra: dict = {}
+    for phase in ("extract", "supersteps", "match"):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(NUM_CPUS))
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--phase", phase],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        )
+        res = json.loads(r.stdout.strip().splitlines()[-1])
+        q[phase] = res["sec"]
+        extra.update({k: v for k, v in res.items() if k not in ("sec", "phase")})
     return {
-        "metric": "scaling workload (extract + PR + CC + match, fixed P=32)",
+        "metric": "scaling workload (extract | PR+CC supersteps | match; fixed P=32; one process per job)",
         "value": round(sum(q.values()), 3),
         "unit": "sec",
         "queries": {k: round(v, 3) for k, v in q.items()},
         "num_cpus": NUM_CPUS,
-        "edges": int(n_edges),
-        "edges_extracted": int(n_ex),
-        "supersteps_per_sec": round(steps / (q["pagerank"] + q["cc"]), 3),
-        "pagerank_edges_per_sec": round(n_edges * PR_ITERS / q["pagerank"]),
-        "match_embeddings": int(emb),
+        "supersteps_per_sec": round(extra["steps"] / q["supersteps"], 3),
+        "pagerank_edges_per_sec": round(
+            extra["edges"] * PR_ITERS / extra["pagerank_sec"]
+        ),
+        **{k: extra[k] for k in ("edges", "edges_extracted", "match_embeddings")},
     }
 
 
@@ -292,28 +347,38 @@ def run_scaling() -> dict:
         best = None
         for _ in range(reps):  # min-of-reps: the sandbox VM has noisy neighbors
             env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+
+            def _limit(n=ncpu):  # OS-enforced CPU budget: Ray's num_cpus is
+                os.sched_setaffinity(0, range(n))  # accounting, not a cgroup
+
             r = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--scaling-workload"],
                 env=env,
                 capture_output=True,
                 text=True,
                 check=True,
+                preexec_fn=_limit,
             )
             res = json.loads(r.stdout.strip().splitlines()[-1])
             if best is None or res["value"] < best["value"]:
                 best = res
         out[ncpu] = best
     t_lo, t_hi = out[lo_cpus]["value"], out[hi_cpus]["value"]
-    eff = (t_lo / t_hi) / (hi_cpus / lo_cpus)
+    ratio = hi_cpus / lo_cpus
+    eff = (t_lo / t_hi) / ratio
+    ss_lo = out[lo_cpus]["supersteps_per_sec"]
+    ss_hi = out[hi_cpus]["supersteps_per_sec"]
     return {
-        "metric": "scaling efficiency (8→32 cpus, fresh processes, same input, fixed P)",
+        "metric": "scaling efficiency (8→32 cpus, fresh processes, same input, fixed P; OS-enforced affinity)",
         "value": round(eff, 3),
         "unit": "efficiency",
+        # the north-rule criterion: supersteps-per-second scaling efficiency
+        "supersteps_per_sec_efficiency": round(ss_hi / ss_lo / ratio, 3),
         "sec_8": t_lo,
         "sec_32": t_hi,
         "speedup": round(t_lo / t_hi, 3),
-        "supersteps_per_sec_8": out[lo_cpus]["supersteps_per_sec"],
-        "supersteps_per_sec_32": out[hi_cpus]["supersteps_per_sec"],
+        "supersteps_per_sec_8": ss_lo,
+        "supersteps_per_sec_32": ss_hi,
         "pagerank_edges_per_sec_8": out[lo_cpus]["pagerank_edges_per_sec"],
         "pagerank_edges_per_sec_32": out[hi_cpus]["pagerank_edges_per_sec"],
         "detail_8": out[lo_cpus]["queries"],
@@ -322,7 +387,9 @@ def run_scaling() -> dict:
 
 
 if __name__ == "__main__":
-    if "--scaling-workload" in sys.argv:
+    if "--phase" in sys.argv:
+        print(json.dumps(run_phase(sys.argv[sys.argv.index("--phase") + 1])))
+    elif "--scaling-workload" in sys.argv:
         print(json.dumps(run_scaling_workload()))
     elif "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))

@@ -105,6 +105,64 @@ class BSPEngine:
         )
         self._exchanged.add(name)
 
+    # ---- hub mirroring (skew handling) ------------------------------------
+    def prepare_hub_mirror(self, budget_entries: int = 2_000_000, min_deg: int | None = None):
+        """Replicate the adjacency of the globally hottest vertices to every
+        partition, so hub-anchored work can be spread by row hash instead of
+        landing on the hub's owner — the web-hub skew mitigation SURVEY §4.2
+        calls for (the reference has none; its per-superstep barrier makes
+        the hottest rank the step time, ``basic/Worker.h:561``).
+
+        Mirror size is budgeted (Σ mirrored degrees ≤ budget_entries), top
+        hubs first, so replication cost is bounded: budget × 16 B × P.
+        """
+        import numpy as np
+
+        self.exchange_attr("label")  # mirror carries neighbor labels
+        if min_deg is None:
+            avg = max(1, self.num_edges // max(1, self.num_vertices))
+            min_deg = max(64, 8 * avg)
+        cands = ray.get([a.hub_degrees.remote(min_deg) for a in self.actors])
+        vids = np.concatenate([c[0] for c in cands]) if cands else np.empty(0, np.uint64)
+        if len(vids) == 0:
+            return 0
+        degs = np.concatenate([c[1] for c in cands])
+        order = np.argsort(-degs, kind="stable")
+        keep = order[np.cumsum(degs[order]) <= budget_entries]
+        if len(keep) == 0:
+            keep = order[:1]
+        hub_vids = vids[keep]
+        from ..functions.hashing import part_for
+
+        owner = part_for(hub_vids, self.P)
+        per_part_vids = [hub_vids[owner == p] for p in range(self.P)]
+        adj = ray.get(
+            [
+                self.actors[p].hub_adjacency.remote(per_part_vids[p])
+                for p in range(self.P)
+            ]
+        )
+        all_vids = np.concatenate(per_part_vids)
+        counts = np.concatenate([a[0] for a in adj])
+        indices = np.concatenate([a[1] for a in adj])
+        labels = np.concatenate([a[2] for a in adj])
+        o = np.argsort(all_vids, kind="stable")
+        sorted_vids = all_vids[o]
+        # reorder the ragged adjacency to match sorted vid order
+        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        from ..state.csr import flat_gather
+
+        gidx = flat_gather(starts[o], counts[o])
+        mirror = (
+            sorted_vids,
+            np.concatenate([[0], np.cumsum(counts[o])]).astype(np.int64),
+            indices[gidx],
+            labels[gidx],
+        )
+        ref = ray.put(mirror)
+        ray.get([a.store_hub_mirror.remote(ref) for a in self.actors])
+        return len(sorted_vids)
+
     # ---- the superstep loop ------------------------------------------------
     def run(
         self,
@@ -124,6 +182,9 @@ class BSPEngine:
             params["n_global"] = self.num_vertices
         for attr in PROGRAMS[program].needs_nbr_attrs:
             self.exchange_attr(attr)
+        if PROGRAMS[program].wants_hub_mirror and "hubs" not in self._exchanged:
+            self.prepare_hub_mirror()
+            self._exchanged.add("hubs")
 
         ray.get([a.init_program.remote(program, params) for a in self.actors])
 

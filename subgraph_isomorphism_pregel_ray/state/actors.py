@@ -110,6 +110,34 @@ class GraphPartition:
             self.csr.nbr_labels = arr
         return True
 
+    # ---- hub mirror (skew handling) --------------------------------------
+    def hub_degrees(self, min_deg: int):
+        """Owned vertices with degree ≥ min_deg → (vids, degrees)."""
+        deg = self.csr.degrees()
+        m = deg >= min_deg
+        return self.csr.vids[m], deg[m]
+
+    def hub_adjacency(self, vids):
+        """Adjacency slices (with neighbor labels) for owned hub vids."""
+        li = self.csr.local_index(np.asarray(vids, dtype=np.uint64))
+        starts = self.csr.indptr[li]
+        counts = (self.csr.indptr[li + 1] - starts).astype(np.int64)
+        from .csr import flat_gather
+
+        eidx = flat_gather(starts, counts)
+        nbr_lab = (
+            self.csr.nbr_labels[eidx]
+            if self.csr.nbr_labels is not None
+            else np.zeros(len(eidx), dtype=np.int64)
+        )
+        return counts, self.csr.indices[eidx], nbr_lab
+
+    def store_hub_mirror(self, mirror_ref):
+        self.csr.hub_mirror = (
+            ray.get(mirror_ref) if isinstance(mirror_ref, ray.ObjectRef) else mirror_ref
+        )
+        return True
+
     # ---- program lifecycle ----------------------------------------------
     def init_program(self, name: str, params: dict):
         self.program = PROGRAMS[name]()

@@ -63,6 +63,9 @@ class CSRPartition:
     labels: np.ndarray | None = None  # int64 per owned vertex
     nbr_labels: np.ndarray | None = None  # int64 per edge (filled by exchange)
     nbr_attr: dict = field(default_factory=dict)  # other per-edge remote attrs
+    # hub mirror (skew handling): adjacency of globally-hot vertices
+    # replicated to every partition — (sorted vids, indptr, indices, labels)
+    hub_mirror: tuple | None = None
     _dst_index: DstIndex | None = None
     _adj_keys: np.ndarray | None = None  # packed (row, dense-dst) membership keys
     _all_uniq_dst: np.ndarray | None = None

@@ -74,14 +74,61 @@ class LocalBSP:
             csr.nbr_attr[name] = arr
             if name == "label":
                 csr.nbr_labels = arr
+        self._exchanged.add(name)
 
-    def run(self, program, params=None, max_steps=100):
+    def prepare_hub_mirror(self, budget_entries=2_000_000, min_deg=None):
+        """In-process mirror build (mirrors BSPEngine.prepare_hub_mirror)."""
+        self.exchange_attr("label")  # mirror carries neighbor labels
+        if min_deg is None:
+            total_e = sum(c.num_edges for c in self.csrs)
+            avg = max(1, total_e // max(1, self.num_vertices))
+            min_deg = max(64, 8 * avg)
+        vids, degs, counts_l, idx_l, lab_l = [], [], [], [], []
+        for csr in self.csrs:
+            deg = csr.degrees()
+            m = deg >= min_deg
+            for v in csr.vids[m]:
+                li = int(np.searchsorted(csr.vids, v))
+                s, e = csr.indptr[li], csr.indptr[li + 1]
+                vids.append(v)
+                degs.append(e - s)
+                counts_l.append(e - s)
+                idx_l.append(csr.indices[s:e])
+                lab_l.append(
+                    csr.nbr_labels[s:e]
+                    if csr.nbr_labels is not None
+                    else np.zeros(e - s, dtype=np.int64)
+                )
+        if not vids:
+            return 0
+        order = np.argsort(-np.asarray(degs), kind="stable")
+        keep = order[np.cumsum(np.asarray(degs)[order]) <= budget_entries]
+        if len(keep) == 0:
+            keep = order[:1]
+        keep = keep[np.argsort(np.asarray(vids, dtype=np.uint64)[keep])]
+        hv = np.asarray(vids, dtype=np.uint64)[keep]
+        cnts = np.asarray(counts_l)[keep]
+        mirror = (
+            hv,
+            np.concatenate([[0], np.cumsum(cnts)]).astype(np.int64),
+            np.concatenate([idx_l[i] for i in keep]),
+            np.concatenate([lab_l[i] for i in keep]),
+        )
+        for csr in self.csrs:
+            csr.hub_mirror = mirror
+        return len(hv)
+
+    def run(self, program, params=None, max_steps=100, hub_mirror=None):
         params = dict(params or {})
         if "n_global" in params and params["n_global"] is None:
             params["n_global"] = self.num_vertices
         cls = PROGRAMS[program]
         for attr in cls.needs_nbr_attrs:
             self.exchange_attr(attr)
+        if hub_mirror or (hub_mirror is None and cls.wants_hub_mirror):
+            if "hubs" not in self._exchanged:
+                self.prepare_hub_mirror()
+                self._exchanged.add("hubs")
         self.programs = [cls() for _ in range(self.P)]
         for prog, csr in zip(self.programs, self.csrs):
             prog.init(csr, **params)

@@ -56,6 +56,7 @@ def _group_min(dst_sorted: np.ndarray, vals: np.ndarray):
 
 class VertexProgram:
     needs_nbr_attrs: tuple[str, ...] = ()
+    wants_hub_mirror: bool = False
 
     def init(self, csr: CSRPartition, **params):
         raise NotImplementedError
@@ -487,6 +488,7 @@ class MatchProgram(VertexProgram):
     """
 
     needs_nbr_attrs = ("label",)
+    wants_hub_mirror = True
 
     def init(self, csr: CSRPartition, plan=None, max_chunk: int = 2_000_000):
         self.csr = csr
@@ -510,21 +512,46 @@ class MatchProgram(VertexProgram):
             cnt = np.bincount(src_row[m], minlength=csr.num_vertices)
             indptr = np.concatenate([[0], np.cumsum(cnt)]).astype(np.int64)
             self.lcsr[lab] = (indptr, csr.indices[m])
+        # hub mirror (skew): label-bucketed sub-CSR over replicated hub
+        # adjacency; hub-anchored EXPAND rows are spread by row hash across
+        # all partitions instead of hammering the hub's owner.
+        self.hub_vids = None
+        if csr.hub_mirror is not None:
+            hv, hptr, hidx, hlab = csr.hub_mirror
+            self.hub_vids = hv
+            hub_row = np.repeat(np.arange(len(hv), dtype=np.int64), np.diff(hptr))
+            self.hub_lcsr: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+            for lab in sorted(set(plan["labels"])):
+                m = hlab == lab
+                cnt = np.bincount(hub_row[m], minlength=len(hv))
+                indptr = np.concatenate([[0], np.cumsum(cnt)]).astype(np.int64)
+                self.hub_lcsr[lab] = (indptr, hidx[m])
 
     # -- core kernels ------------------------------------------------------
-    def _candidates(self, j: int, M: np.ndarray, li: np.ndarray):
+    def _hub_member(self, hli: np.ndarray, targets: np.ndarray) -> np.ndarray:
+        """Membership (hub row, target) against the mirrored hub adjacency."""
+        hv, hptr, hidx, _ = self.csr.hub_mirror
+        if not hasattr(self, "_hub_keys"):
+            self._hub_uniq = np.unique(hidx)
+            dense = np.searchsorted(self._hub_uniq, hidx).astype(np.uint64)
+            row = np.repeat(np.arange(len(hv), dtype=np.uint64), np.diff(hptr))
+            keys = (row << np.uint64(32)) | dense
+            self._hub_keys = np.sort(keys)
+        return _membership(hptr, hidx, self._hub_uniq, self._hub_keys, hli, targets)
+
+    def _candidates(self, j: int, M: np.ndarray, li: np.ndarray, lcsr=None):
         """Label-filtered neighbor gather: (cand, row_rep) for level j."""
-        indptr, indices = self.lcsr[self.plan["labels"][j]]
+        indptr, indices = (lcsr or self.lcsr)[self.plan["labels"][j]]
         starts = indptr[li]
         counts = indptr[li + 1] - starts
         cand = indices[flat_gather(starts, counts)]
         row_rep = np.repeat(np.arange(len(M), dtype=np.int64), counts)
         return cand, row_rep
 
-    def _expand(self, j: int, M: np.ndarray, li: np.ndarray):
-        """EXPAND level j: anchors = M[:, parent_pos[j]] (all owned here)."""
+    def _expand(self, j: int, M: np.ndarray, li: np.ndarray, lcsr=None):
+        """EXPAND level j: anchors = M[:, parent_pos[j]] (owned or hub-mirrored)."""
         plan = self.plan
-        cand, row_rep = self._candidates(j, M, li)
+        cand, row_rep = self._candidates(j, M, li, lcsr)
         if len(cand) == 0:
             return None
         Mrep = M[row_rep]  # gather once; reused by both checks and output
@@ -541,7 +568,7 @@ class MatchProgram(VertexProgram):
         out[:, -1] = cand
         return out
 
-    def _expand_leaf(self, j: int, M: np.ndarray, li: np.ndarray, queue: list):
+    def _expand_leaf(self, j, M, li, queue, lcsr=None, hub=False):
         """Leaf level (j == k-1): count without materializing full mappings.
 
         The Ray-side analogue of the reference's pseudo-child counting
@@ -555,17 +582,22 @@ class MatchProgram(VertexProgram):
         plan = self.plan
         bp = plan["back_pos"][j]
         slp = plan["same_label_pos"][j]
-        indptr, _ = self.lcsr[plan["labels"][j]]
+        indptr, _ = (lcsr or self.lcsr)[plan["labels"][j]]
         if not bp:
             total = int((indptr[li + 1] - indptr[li]).sum())
             # subtract candidates that collide with same-label prefix entries:
             # M[:,c] is injective across the prefix, so each collision is a
             # distinct candidate — subtract the adjacency indicator directly.
             for c in slp:
-                total -= int(self.csr.has_edges(li, M[:, c]).sum())
+                member = (
+                    self._hub_member(li, M[:, c])
+                    if hub
+                    else self.csr.has_edges(li, M[:, c])
+                )
+                total -= int(member.sum())
             self.count += total
             return
-        cand, row_rep = self._candidates(j, M, li)
+        cand, row_rep = self._candidates(j, M, li, lcsr)
         if len(cand) == 0:
             return
         if slp:  # column-sliced gather: never materialize full-width copies
@@ -581,9 +613,30 @@ class MatchProgram(VertexProgram):
         proj[:, -1] = cand
         self._route_leaf(proj, queue)
 
+    def _is_hub(self, vids: np.ndarray) -> np.ndarray | None:
+        if self.hub_vids is None or len(self.hub_vids) == 0:
+            return None
+        pos = np.minimum(np.searchsorted(self.hub_vids, vids), len(self.hub_vids) - 1)
+        m = self.hub_vids[pos] == vids
+        return m if m.any() else None
+
+    def _owner_of(self, M: np.ndarray, anchors: np.ndarray) -> np.ndarray:
+        """Owner partition per row; hub-anchored rows spread by full-row hash
+        (any partition serves them from the mirror) — the skew mitigation."""
+        owner = part_for(anchors, self.csr.num_parts)
+        is_hub = self._is_hub(anchors)
+        if is_hub is not None:
+            h = np.zeros(len(M), dtype=np.uint64)
+            for c in range(M.shape[1]):  # cheap full-row hash
+                h = h * np.uint64(0x9E3779B97F4A7C15) + M[:, c]
+            owner = np.where(
+                is_hub, (h % np.uint64(self.csr.num_parts)).astype(np.int32), owner
+            )
+        return owner
+
     def _route_leaf(self, proj: np.ndarray, queue: list):
         """Route projected leaf rows by owner of the candidate (last col)."""
-        owner = part_for(proj[:, -1], self.csr.num_parts)
+        owner = self._owner_of(proj, proj[:, -1])
         order = np.argsort(owner, kind="stable")
         Ms = proj[order]; po = owner[order]
         bounds = np.searchsorted(po, np.arange(self.csr.num_parts + 1))
@@ -596,42 +649,65 @@ class MatchProgram(VertexProgram):
             else:
                 self.outbuf[p].setdefault(f"c{self.k - 1}", []).append(Ms[s:e])
 
+    def _adjacency_ok(self, M: np.ndarray, cand_col: int, check_cols, min_deg: int):
+        """Per-row feasibility of candidate M[:, cand_col]: degree ≥ min_deg
+        and adjacency to every M[:, c] for c in check_cols. Owned candidates
+        use the local CSR; hub candidates the mirror (either may appear here
+        because hub rows are hash-spread)."""
+        cand = M[:, cand_col]
+        ok = np.ones(len(M), dtype=bool)
+        is_hub = self._is_hub(cand)
+        owned = ~is_hub if is_hub is not None else np.ones(len(M), dtype=bool)
+        if owned.any():
+            li = self.csr.local_index(cand[owned])
+            sub = np.ones(int(owned.sum()), dtype=bool)
+            if min_deg > 1:
+                sub &= (self.csr.indptr[li + 1] - self.csr.indptr[li]) >= min_deg
+            for c in check_cols:
+                sub &= self.csr.has_edges(li, M[owned, c])
+            ok[owned] = sub
+        if is_hub is not None and is_hub.any():
+            hv, hptr, _, _ = self.csr.hub_mirror
+            hli = np.searchsorted(hv, cand[is_hub])
+            sub = np.ones(int(is_hub.sum()), dtype=bool)
+            if min_deg > 1:
+                sub &= (hptr[hli + 1] - hptr[hli]) >= min_deg
+            for c in check_cols:
+                sub &= self._hub_member(hli, M[is_hub, c])
+            ok[is_hub] = sub
+        return ok
+
     def _count_leaf(self, M: np.ndarray):
         """Verify projected leaf rows [back…, cand] and count survivors."""
-        li = self.csr.local_index(M[:, -1])
-        ok = np.ones(len(M), dtype=bool)
-        for i in range(M.shape[1] - 1):
-            ok &= self.csr.has_edges(li, M[:, i])
-            if not ok.any():
-                return
+        ok = self._adjacency_ok(M, M.shape[1] - 1, range(M.shape[1] - 1), 0)
         self.count += int(ok.sum())
 
     def _verify(self, j: int, M: np.ndarray):
-        """VERIFY level j: candidates = M[:, j] (all owned here).
+        """VERIFY level j: candidates = M[:, j].
 
         Backward-adjacency (check_feasibility, pregel_app_subgraph.h:70-83)
         plus LDF degree pruning (plan["qdeg"]) — both necessary conditions,
         so counts are unchanged while doomed subtrees die early.
         """
-        bp = self.plan["back_pos"][j]
         qd = self.plan.get("qdeg")
-        li = self.csr.local_index(M[:, j])
-        ok = np.ones(len(M), dtype=bool)
-        if qd is not None and qd[j] > 1:
-            deg = self.csr.indptr[li + 1] - self.csr.indptr[li]
-            ok &= deg >= qd[j]
-        for pos in bp:
-            ok &= self.csr.has_edges(li, M[:, pos])
-            if not ok.any():
-                return None
+        ok = self._adjacency_ok(
+            M, j, self.plan["back_pos"][j], qd[j] if qd is not None else 0
+        )
         if ok.all():
             return M
+        if not ok.any():
+            return None
         return M[ok]
 
     def _route(self, kind: str, j: int, M: np.ndarray, local_queue: list):
-        """Split rows by owner partition: local → queue, remote → outbuf."""
+        """Split rows by owner partition: local → queue, remote → outbuf.
+
+        Hub-anchored EXPAND rows are spread by a full-row hash instead of the
+        anchor's owner (any partition can expand them from the mirror) —
+        this is what keeps hot web hubs from serializing a superstep.
+        """
         anchor_col = self.plan["parent_pos"][j] if kind == "e" else j
-        owner = part_for(M[:, anchor_col], self.csr.num_parts)
+        owner = self._owner_of(M, M[:, anchor_col])
         if (owner == self.csr.part).all():
             local_queue.append((kind, j, M))
             return
@@ -653,10 +729,22 @@ class MatchProgram(VertexProgram):
         while queue:
             kind, j, M = queue.pop()
             if kind == "e":
+                anchors = M[:, self.plan["parent_pos"][j]]
+                if self.hub_vids is not None and len(self.hub_vids):
+                    pos = np.minimum(
+                        np.searchsorted(self.hub_vids, anchors), len(self.hub_vids) - 1
+                    )
+                    is_hub = self.hub_vids[pos] == anchors
+                    if is_hub.any():  # split: hub rows expand from the mirror
+                        queue.append(("h", j, M[is_hub]))
+                        M = M[~is_hub]
+                        if len(M) == 0:
+                            continue
+                        anchors = M[:, self.plan["parent_pos"][j]]
                 # chunk by OUTPUT volume: a frontier chunk times hub degrees
                 # must never materialize one giant matrix (the reference's
                 # unbounded mapping matrices, SItypes/SIMessage.h:20).
-                li = self.csr.local_index(M[:, self.plan["parent_pos"][j]])
+                li = self.csr.local_index(anchors)
                 indptr = self.lcsr[self.plan["labels"][j]][0]
                 csum = np.cumsum(indptr[li + 1] - indptr[li])
                 if csum[-1] > self.max_chunk and len(M) > 1:
@@ -667,6 +755,22 @@ class MatchProgram(VertexProgram):
                     self._expand_leaf(j, M, li, queue)
                 else:
                     out = self._expand(j, M, li)
+                    if out is not None:
+                        self._route("v", j, out, queue)
+            elif kind == "h":  # hub-anchored expand via the mirror
+                hli = np.searchsorted(
+                    self.hub_vids, M[:, self.plan["parent_pos"][j]]
+                )
+                indptr = self.hub_lcsr[self.plan["labels"][j]][0]
+                csum = np.cumsum(indptr[hli + 1] - indptr[hli])
+                if csum[-1] > self.max_chunk and len(M) > 1:
+                    cut = max(1, int(np.searchsorted(csum, self.max_chunk)))
+                    queue.append(("h", j, M[cut:]))
+                    M, hli = M[:cut], hli[:cut]
+                if j == k - 1:
+                    self._expand_leaf(j, M, hli, queue, lcsr=self.hub_lcsr, hub=True)
+                else:
+                    out = self._expand(j, M, hli, lcsr=self.hub_lcsr)
                     if out is not None:
                         self._route("v", j, out, queue)
             elif kind == "c":
