@@ -323,7 +323,11 @@ def run_scaling_workload() -> dict:
             check=True,
         )
         res = json.loads(r.stdout.strip().splitlines()[-1])
-        q[phase] = res["sec"]
+        if phase == "supersteps":
+            q["pagerank"] = res["pagerank_sec"]
+            q["cc"] = res["cc_sec"]
+        else:
+            q[phase] = res["sec"]
         extra.update({k: v for k, v in res.items() if k not in ("sec", "phase")})
     return {
         "metric": "scaling workload (extract | PR+CC supersteps | match; fixed P=32; one process per job)",
@@ -331,7 +335,8 @@ def run_scaling_workload() -> dict:
         "unit": "sec",
         "queries": {k: round(v, 3) for k, v in q.items()},
         "num_cpus": NUM_CPUS,
-        "supersteps_per_sec": round(extra["steps"] / q["supersteps"], 3),
+        "steps": extra["steps"],
+        "supersteps_per_sec": round(extra["steps"] / (q["pagerank"] + q["cc"]), 3),
         "pagerank_edges_per_sec": round(
             extra["edges"] * PR_ITERS / extra["pagerank_sec"]
         ),
@@ -343,9 +348,9 @@ def run_scaling() -> dict:
     lo_cpus, hi_cpus = 8, 32
     reps = int(os.environ.get("GRAFT_SCALING_REPS", "2"))
     out = {}
-    for ncpu in (hi_cpus, lo_cpus):  # hi first: it also builds the caches
-        best = None
-        for _ in range(reps):  # min-of-reps: the sandbox VM has noisy neighbors
+    runs: dict[int, list] = {lo_cpus: [], hi_cpus: []}
+    for rep in range(reps):  # interleaved reps; per-phase MIN is the
+        for ncpu in (hi_cpus, lo_cpus):  # estimator (noisy-neighbor VM)
             env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
 
             def _limit(n=ncpu):  # OS-enforced CPU budget: Ray's num_cpus is
@@ -359,9 +364,19 @@ def run_scaling() -> dict:
                 check=True,
                 preexec_fn=_limit,
             )
-            res = json.loads(r.stdout.strip().splitlines()[-1])
-            if best is None or res["value"] < best["value"]:
-                best = res
+            runs[ncpu].append(json.loads(r.stdout.strip().splitlines()[-1]))
+    for ncpu, rs in runs.items():
+        best = dict(rs[0])
+        best["queries"] = {
+            k: round(min(r["queries"][k] for r in rs), 3) for k in rs[0]["queries"]
+        }
+        best["value"] = round(sum(best["queries"].values()), 3)
+        # derived rates from the per-phase minima
+        step_sec = best["queries"]["pagerank"] + best["queries"]["cc"]
+        best["supersteps_per_sec"] = round(best["steps"] / step_sec, 3)
+        best["pagerank_edges_per_sec"] = round(
+            best["edges"] * PR_ITERS / best["queries"]["pagerank"]
+        )
         out[ncpu] = best
     t_lo, t_hi = out[lo_cpus]["value"], out[hi_cpus]["value"]
     ratio = hi_cpus / lo_cpus
