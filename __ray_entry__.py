@@ -171,6 +171,24 @@ def _q_match_4cycle(sf_dir: str):
     return _match(sf_dir, [0, 2, 1, 2], [(0, 1), (1, 2), (2, 3), (3, 0)])
 
 
+def _q_match_triangle_per_root(sf_dir: str):
+    from subgraph_isomorphism_pregel_ray.pipelines.match import build_plan
+
+    eng = _match_engine(sf_dir)
+    eng.run(
+        "match",
+        {"plan": build_plan([0, 1, 2], [(0, 1), (1, 2), (2, 0)]), "per_root": True},
+        max_steps=10,
+    )
+    t = eng.result_table()
+    return pa.table(
+        {
+            "vid": t["vid"].to_numpy().view(np.int64),
+            "n_embeddings": t["n_embeddings"],
+        }
+    )
+
+
 # ---- text / docs ----------------------------------------------------------
 def _docs(sf_dir: str):
     from subgraph_isomorphism_pregel_ray.sources.tables import read_table
@@ -269,6 +287,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "match_triangle_labeled": _q_match_triangle,
         "match_p3_labeled": _q_match_p3,
         "match_4cycle_labeled": _q_match_4cycle,
+        "match_triangle_per_root": _q_match_triangle_per_root,
         "token_count": _q_token_count,
         "text_stats": _q_text_stats,
         "exact_dedup": _q_exact_dedup,
@@ -389,6 +408,14 @@ def oracle_sql() -> dict[str, str]:
             "JOIN lab c ON c.vid = e2.dst JOIN lab d ON d.vid = e3.dst "
             "WHERE a.l = 0 AND b.l = 2 AND c.l = 1 AND d.l = 2 "
             "AND e1.src <> e2.dst AND e1.dst <> e3.dst"
+        ),
+        "match_triangle_per_root": (
+            f"WITH {_ESYM}, lab AS (SELECT p_partkey AS vid, p_size % 3 AS l FROM part) "
+            "SELECT e1.src AS vid, count(*) AS n_embeddings FROM e e1 "
+            "JOIN e e2 ON e2.src = e1.dst JOIN e e3 ON e3.src = e2.dst AND e3.dst = e1.src "
+            "JOIN lab a ON a.vid = e1.src JOIN lab b ON b.vid = e1.dst "
+            "JOIN lab c ON c.vid = e2.dst "
+            "WHERE a.l = 0 AND b.l = 1 AND c.l = 2 GROUP BY e1.src"
         ),
         "token_count": (
             f"SELECT doc_id, {ntok} AS n_tokens, "

@@ -122,6 +122,37 @@ def match_count(
     return count, lineage
 
 
+def match_per_root(
+    edges_or_engine,
+    query_labels: list[int],
+    query_edges: list[tuple[int, int]],
+    labels_ds=None,
+    num_parts: int = 8,
+):
+    """Per-root embedding counts: Arrow table (vid, n_embeddings) over data
+    vertices mapped to the plan root (the reference's per-vertex
+    ``mapping_count``, pregel_app_subgraph.h:44). Returns (table, plan)."""
+    from .algorithms import build_engine
+    from .bsp import BSPEngine
+
+    plan = build_plan(query_labels, query_edges)
+    own = not isinstance(edges_or_engine, BSPEngine)
+    eng = (
+        build_engine(edges_or_engine, num_parts, labels_ds=labels_ds, directed=False)
+        if own
+        else edges_or_engine
+    )
+    eng.run(
+        "match",
+        {"plan": plan, "per_root": True},
+        max_steps=2 * len(query_labels) + 4,
+    )
+    out = eng.result_table()
+    if own:
+        eng.shutdown()
+    return out, plan
+
+
 def brute_force_count(
     data_labels: dict[int, int], data_edges: list[tuple[int, int]],
     query_labels: list[int], query_edges: list[tuple[int, int]],
@@ -159,6 +190,44 @@ def brute_force_count(
 
     rec(0)
     return count
+
+
+def brute_force_per_root(
+    data_labels, data_edges, query_labels, query_edges, root_qv: int
+) -> dict[int, int]:
+    """Embedding counts grouped by the data vertex mapped to query vertex
+    ``root_qv`` (test oracle for per-root counting)."""
+    k = len(query_labels)
+    qadj: list[set[int]] = [set() for _ in range(k)]
+    for a, b in query_edges:
+        qadj[a].add(b)
+        qadj[b].add(a)
+    dadj: dict[int, set[int]] = {v: set() for v in data_labels}
+    for a, b in data_edges:
+        if a == b:
+            continue
+        dadj.setdefault(a, set()).add(b)
+        dadj.setdefault(b, set()).add(a)
+    verts = sorted(data_labels)
+    out: dict[int, int] = {}
+    mapping: list[int] = []
+
+    def rec(u: int):
+        if u == k:
+            out[mapping[root_qv]] = out.get(mapping[root_qv], 0) + 1
+            return
+        back = [q for q in qadj[u] if q < u]
+        cand = dadj[mapping[back[0]]] if back else verts
+        for v in cand:
+            if data_labels.get(v) != query_labels[u] or v in mapping:
+                continue
+            if all(mapping[q] in dadj[v] for q in back):
+                mapping.append(v)
+                rec(u + 1)
+                mapping.pop()
+
+    rec(0)
+    return out
 
 
 def toy_graph():

@@ -490,11 +490,18 @@ class MatchProgram(VertexProgram):
     needs_nbr_attrs = ("label",)
     wants_hub_mirror = True
 
-    def init(self, csr: CSRPartition, plan=None, max_chunk: int = 2_000_000):
+    def init(self, csr: CSRPartition, plan=None, max_chunk: int = 2_000_000, per_root: bool = False):
         self.csr = csr
         self.plan = plan
         self.k = len(plan["labels"])
         self.count = 0
+        # per-root counts (the reference's per-vertex mapping_count,
+        # pregel_app_subgraph.h:44): leaf contributions are attributed to the
+        # row's root data vertex and routed home as aggregated "n" messages.
+        self.per_root = bool(per_root)
+        self.root_counts = (
+            np.zeros(csr.num_vertices, dtype=np.int64) if per_root else None
+        )
         self.max_chunk = int(max_chunk)
         # outbuf[p][key] is a LIST of matrices, concatenated once at scatter
         # (repeated vstack would be quadratic in chunked expansions)
@@ -584,7 +591,7 @@ class MatchProgram(VertexProgram):
         slp = plan["same_label_pos"][j]
         indptr, _ = (lcsr or self.lcsr)[plan["labels"][j]]
         if not bp:
-            total = int((indptr[li + 1] - indptr[li]).sum())
+            per_row = (indptr[li + 1] - indptr[li]).astype(np.int64)
             # subtract candidates that collide with same-label prefix entries:
             # M[:,c] is injective across the prefix, so each collision is a
             # distinct candidate — subtract the adjacency indicator directly.
@@ -594,8 +601,10 @@ class MatchProgram(VertexProgram):
                     if hub
                     else self.csr.has_edges(li, M[:, c])
                 )
-                total -= int(member.sum())
-            self.count += total
+                per_row -= member.astype(np.int64)
+            self.count += int(per_row.sum())
+            if self.per_root:
+                self._credit_roots(M[:, 0], per_row, queue)
             return
         cand, row_rep = self._candidates(j, M, li, lcsr)
         if len(cand) == 0:
@@ -608,8 +617,11 @@ class MatchProgram(VertexProgram):
                 cand = cand[keep]; row_rep = row_rep[keep]
                 if len(cand) == 0:
                     return
-        proj = np.empty((len(cand), len(bp) + 1), dtype=np.uint64)
-        proj[:, :-1] = M[:, bp][row_rep]
+        extra = 1 if self.per_root else 0  # root column rides along
+        proj = np.empty((len(cand), len(bp) + 1 + extra), dtype=np.uint64)
+        if extra:
+            proj[:, 0] = M[:, 0][row_rep]
+        proj[:, extra:-1] = M[:, bp][row_rep]
         proj[:, -1] = cand
         self._route_leaf(proj, queue)
 
@@ -677,10 +689,33 @@ class MatchProgram(VertexProgram):
             ok[is_hub] = sub
         return ok
 
-    def _count_leaf(self, M: np.ndarray):
-        """Verify projected leaf rows [back…, cand] and count survivors."""
-        ok = self._adjacency_ok(M, M.shape[1] - 1, range(M.shape[1] - 1), 0)
+    def _credit_roots(self, roots: np.ndarray, cnts: np.ndarray, queue: list):
+        """Attribute leaf counts to their root vertices (owner-routed,
+        pre-aggregated per root — an 'n' message)."""
+        nz = cnts != 0
+        roots, cnts = roots[nz], cnts[nz]
+        if len(roots) == 0:
+            return
+        uniq, inv = np.unique(roots, return_inverse=True)
+        tot = np.bincount(inv, weights=cnts.astype(np.float64)).astype(np.int64)
+        owner = part_for(uniq, self.csr.num_parts)
+        for p in np.unique(owner):
+            m = owner == p
+            if p == self.csr.part:
+                li = self.csr.local_index(uniq[m])
+                np.add.at(self.root_counts, li, tot[m])
+            else:
+                self.outbuf[p].setdefault("n0", []).append(
+                    np.column_stack([uniq[m], tot[m].astype(np.uint64)])
+                )
+
+    def _count_leaf(self, M: np.ndarray, queue: list):
+        """Verify projected leaf rows [root?, back…, cand] and count survivors."""
+        extra = 1 if self.per_root else 0
+        ok = self._adjacency_ok(M, M.shape[1] - 1, range(extra, M.shape[1] - 1), 0)
         self.count += int(ok.sum())
+        if self.per_root:
+            self._credit_roots(M[ok, 0], np.ones(int(ok.sum()), dtype=np.int64), queue)
 
     def _verify(self, j: int, M: np.ndarray):
         """VERIFY level j: candidates = M[:, j].
@@ -777,7 +812,10 @@ class MatchProgram(VertexProgram):
                 if len(M) > self.max_chunk:
                     queue.append((kind, j, M[self.max_chunk :]))
                     M = M[: self.max_chunk]
-                self._count_leaf(M)
+                self._count_leaf(M, queue)
+            elif kind == "n":  # per-root count credits arriving home
+                li = self.csr.local_index(M[:, 0])
+                np.add.at(self.root_counts, li, M[:, 1].view(np.int64))
             else:
                 if len(M) > self.max_chunk:
                     queue.append((kind, j, M[self.max_chunk :]))
@@ -804,6 +842,10 @@ class MatchProgram(VertexProgram):
                 M = roots[:, None].astype(np.uint64)
                 if self.k == 1:
                     self.count += len(M)
+                    if self.per_root:
+                        self._credit_roots(
+                            roots, np.ones(len(roots), dtype=np.int64), queue
+                        )
                 else:
                     self._route("e", 1, M, queue)
         else:
@@ -840,6 +882,9 @@ class MatchProgram(VertexProgram):
                 M = parts[0] if len(parts) == 1 else np.concatenate(parts)
                 flat_keys.append(key); flat_p.append(p)
                 flat_ncol.append(M.shape[1]); flat_data.append(M.ravel())
+        if self.per_root:  # checkpoint the per-root accumulators too
+            flat_keys.append("__rc__"); flat_p.append(self.csr.part)
+            flat_ncol.append(1); flat_data.append(self.root_counts.view(np.uint64))
         cols = pa.table(
             {
                 "count": pa.array([self.count] * max(1, len(flat_keys)), type=pa.int64()),
@@ -862,9 +907,20 @@ class MatchProgram(VertexProgram):
             p = table["dest"][i].as_py()
             ncol = table["ncol"][i].as_py()
             data = np.asarray(table["data"][i].as_py(), dtype=np.uint64)
+            if key == "__rc__":
+                self.root_counts = data.view(np.int64).copy()
+                continue
             self.outbuf[p].setdefault(key, []).append(data.reshape(-1, ncol))
 
     def result_table(self):
+        if self.per_root:
+            m = self.root_counts > 0
+            return pa.table(
+                {
+                    "vid": self.csr.vids[m],
+                    "n_embeddings": self.root_counts[m],
+                }
+            )
         return pa.table({"part": pa.array([self.csr.part], type=pa.int32()),
                          "count": pa.array([self.count], type=pa.int64())})
 

@@ -1,0 +1,54 @@
+"""Hub-mirroring skew mitigation: identical counts with and without it."""
+
+import numpy as np
+import pytest
+
+from subgraph_isomorphism_pregel_ray.pipelines.match import brute_force_count, build_plan
+from subgraph_isomorphism_pregel_ray.state.local import LocalBSP
+
+QUERIES = {
+    "tri": ([0, 1, 2], [(0, 1), (1, 2), (2, 0)]),
+    "4cyc": ([0, 2, 1, 2], [(0, 1), (1, 2), (2, 3), (3, 0)]),
+    "chair": ([0, 1, 2, 0, 1], [(0, 1), (1, 2), (2, 3), (1, 4)]),
+    "P4": ([0, 1, 1, 0], [(0, 1), (1, 2), (2, 3)]),
+}
+
+
+@pytest.fixture(scope="module")
+def skewed_graph():
+    rng = np.random.default_rng(11)
+    n, m = 200, 1500
+    s = rng.integers(0, n, m)
+    # 40% of edges point at 4 hub vertices — web-hub-style in-degree skew
+    d = np.where(rng.random(m) < 0.4, rng.integers(0, 4, m), rng.integers(0, n, m))
+    keep = s != d
+    s, d = s[keep], d[keep]
+    verts = np.unique(np.concatenate([s, d]))
+    labels = {int(v): int(v % 3) for v in verts}
+    edges = list({(int(min(a, b)), int(max(a, b))) for a, b in zip(s, d)})
+    return s, d, labels, edges
+
+
+@pytest.mark.parametrize("qname", sorted(QUERIES))
+def test_mirror_counts_equal_oracle(skewed_graph, qname):
+    s, d, labels, edges = skewed_graph
+    ql, qe = QUERIES[qname]
+    oracle = brute_force_count(labels, edges, ql, qe)
+    eng = LocalBSP(s, d, num_parts=4, labels=labels, directed=False)
+    eng.exchange_attr("label")
+    n_hubs = eng.prepare_hub_mirror(min_deg=5)  # force a large mirror
+    assert n_hubs > 0
+    eng._exchanged.add("hubs")
+    eng.run("match", {"plan": build_plan(ql, qe)}, max_steps=30, hub_mirror=True)
+    assert eng.scalars()["embeddings"] == oracle
+
+
+def test_mirror_budget_caps_size(skewed_graph):
+    s, d, labels, _ = skewed_graph
+    eng = LocalBSP(s, d, num_parts=4, labels=labels, directed=False)
+    eng.exchange_attr("label")
+    n = eng.prepare_hub_mirror(min_deg=2, budget_entries=100)
+    hv, hptr, _, _ = eng.csrs[0].hub_mirror
+    assert n == len(hv)
+    # Σ mirrored degrees within budget (except the guaranteed single top hub)
+    assert hptr[-1] <= 100 or len(hv) == 1
