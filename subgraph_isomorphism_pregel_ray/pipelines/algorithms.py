@@ -33,6 +33,7 @@ __all__ = [
     "label_propagation",
     "triangle_count",
     "pagerank_dataset",
+    "cc_dataset",
 ]
 
 
@@ -133,6 +134,81 @@ def triangle_count(edges_or_engine, num_parts: int = 8):
 
 
 # ---------------------------------------------------------------------------
+def cc_dataset(edges_ds, max_iters: int = 60):
+    """Pure-Dataset hash-min components: groupby-min message exchange per
+    iteration, no actors (the SURVEY §4.3 Dataset-only path; same semantics
+    as the actor program, verified in tests). Edges are symmetrized by the
+    caller. Returns Dataset(vid:int64, component:int64)."""
+    import ray.data as rd
+    from ray.data.aggregate import Min, Sum
+
+    def _i64(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "src": batch["src"].to_numpy().astype(np.uint64).view(np.int64),
+                "dst": batch["dst"].to_numpy().astype(np.uint64).view(np.int64),
+            }
+        )
+
+    edges = edges_ds.map_batches(_i64, batch_format="pyarrow").materialize()
+
+    def _verts(t: pa.Table) -> pa.Table:
+        v = np.unique(t["src"].to_numpy())
+        return pa.table({"vid": v, "comp": v})
+
+    labels = (
+        edges.map_batches(_verts, batch_format="pyarrow")
+        .groupby("vid")
+        .aggregate(Min("comp", alias_name="comp"))
+        .materialize()
+    )
+    np_join = max(2, min(16, labels.count() // 50_000 + 2))
+
+    for _ in range(max_iters):
+        src_lab = labels.map_batches(
+            lambda t: pa.table({"src": t["vid"], "scomp": t["comp"]}),
+            batch_format="pyarrow",
+        )
+        prop = edges.join(src_lab, "inner", np_join, on=("src",))
+
+        def _pre_min(t: pa.Table) -> pa.Table:  # in-batch combiner
+            dst = t["dst"].to_numpy()
+            c = t["scomp"].to_numpy()
+            order = np.argsort(dst, kind="stable")
+            u, starts = np.unique(dst[order], return_index=True)
+            return pa.table({"vid": u, "m": np.minimum.reduceat(c[order], starts)})
+
+        incoming = (
+            prop.map_batches(_pre_min, batch_format="pyarrow")
+            .groupby("vid")
+            .aggregate(Min("m", alias_name="m"))
+        )
+        joined = labels.join(incoming, "left_outer", np_join, on=("vid",))
+
+        def _merge(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            comp = t["comp"].to_numpy()
+            # integer-preserving null fill — comp values are 64-bit hash bits,
+            # a float round-trip would corrupt anything above 2^53
+            m = pc.fill_null(t["m"], np.iinfo(np.int64).max).to_numpy()
+            new = np.minimum(comp, m)
+            return pa.table(
+                {"vid": t["vid"], "comp": new, "chg": (new != comp).astype(np.int64)}
+            )
+
+        merged = joined.map_batches(_merge, batch_format="pyarrow").materialize()
+        changed = merged.sum("chg")
+        labels = merged.select_columns(["vid", "comp"]).materialize()
+        if not changed:
+            break
+
+    return labels.map_batches(
+        lambda t: pa.table({"vid": t["vid"], "component": t["comp"]}),
+        batch_format="pyarrow",
+    )
+
+
 def pagerank_dataset(edges_ds, iters: int = 5, damping: float = 0.85):
     """Pure-Dataset PageRank (no actors): per-iteration groupby shuffles.
 

@@ -141,6 +141,23 @@ def test_flagship_extraction_byte_identity(ray_session):
     assert all(expect[r["url"]] == r["text"] for r in ext)
 
 
+def test_cc_dataset_path_matches_actor_path(ray_session, graph_arrays):
+    s, d = graph_arrays
+    from subgraph_isomorphism_pregel_ray.pipelines.algorithms import cc_dataset
+    from subgraph_isomorphism_pregel_ray.pipelines.build_graph import symmetrize
+
+    ds_res = cc_dataset(symmetrize(edges_from_arrays(s, d))).to_pandas()
+    actor_res, _ = connected_components(edges_from_arrays(s, d), num_parts=4)
+    a = actor_res.to_pandas()
+    b = ds_res
+    b["vid"] = b["vid"].values.view(np.uint64)
+    b["component"] = b["component"].values.view(np.uint64)
+    a = a.sort_values("vid").reset_index(drop=True)
+    b = b.sort_values("vid").reset_index(drop=True)
+    assert np.array_equal(a["vid"].values, b["vid"].values)
+    assert np.array_equal(a["component"].values, b["component"].values)
+
+
 def test_pagerank_dataset_path_matches_actor_path(ray_session, graph_arrays):
     s, d = graph_arrays
     from subgraph_isomorphism_pregel_ray.pipelines.build_graph import symmetrize
