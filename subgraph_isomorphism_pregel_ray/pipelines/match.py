@@ -73,7 +73,7 @@ def build_plan(labels: list[int], edges: list[tuple[int, int]], root: int | None
         same_label_pos.append(
             [j for j in range(i) if plan_labels[j] == plan_labels[i]]
         )
-    return {
+    plan = {
         "labels": plan_labels,
         "parent_pos": parent_pos,
         "back_pos": back_pos,
@@ -85,6 +85,39 @@ def build_plan(labels: list[int], edges: list[tuple[int, int]], root: int | None
         # pruning on it never changes counts.
         "qdeg": [len(adj[u]) for u in order],
     }
+
+    # Leaf pair-dedup — the flat-plan analogue of the reference's branch
+    # compression (SIBranch, SItypes/SIBranch.h:7-44): the leaf count for a
+    # mapping row depends only on (parent, backward targets); rows that agree
+    # on those columns share one expansion, carried with a multiplicity.
+    # Injectivity corrections for same-label prefix columns OUTSIDE that key
+    # are constant 1 per row iff the query graph already forces the excluded
+    # candidate's adjacency (edge to the leaf's parent and to every backward
+    # target) — then count(row) = F(key) - (#such columns). If any such
+    # column's adjacency is not query-forced, dedup is off (fallback path).
+    if k >= 2:
+        j = k - 1
+        key_cols = [parent_pos[j]] + back_pos[j]
+        subtract = 0
+        applicable = bool(back_pos[j])
+        for c in same_label_pos[j]:
+            if c in key_cols:
+                continue  # candidate == key value fails verify adjacency anyway
+            qc = order[c]
+            need = {order[p] for p in key_cols}
+            if need.issubset(adj[qc]):
+                subtract += 1
+            else:
+                applicable = False
+                break
+        if len(set(key_cols)) >= j:
+            applicable = False  # key spans the whole prefix — nothing to dedup
+        plan["leaf_dedup"] = (
+            {"key_cols": key_cols, "subtract": subtract} if applicable else None
+        )
+    else:
+        plan["leaf_dedup"] = None
+    return plan
 
 
 def match_count(

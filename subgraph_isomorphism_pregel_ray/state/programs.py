@@ -546,14 +546,17 @@ class MatchProgram(VertexProgram):
             self._hub_keys = np.sort(keys)
         return _membership(hptr, hidx, self._hub_uniq, self._hub_keys, hli, targets)
 
-    def _candidates(self, j: int, M: np.ndarray, li: np.ndarray, lcsr=None):
+    def _candidates_at(self, j: int, li: np.ndarray, lcsr=None):
         """Label-filtered neighbor gather: (cand, row_rep) for level j."""
         indptr, indices = (lcsr or self.lcsr)[self.plan["labels"][j]]
         starts = indptr[li]
         counts = indptr[li + 1] - starts
         cand = indices[flat_gather(starts, counts)]
-        row_rep = np.repeat(np.arange(len(M), dtype=np.int64), counts)
+        row_rep = np.repeat(np.arange(len(li), dtype=np.int64), counts)
         return cand, row_rep
+
+    def _candidates(self, j: int, M: np.ndarray, li: np.ndarray, lcsr=None):
+        return self._candidates_at(j, li, lcsr)
 
     def _expand(self, j: int, M: np.ndarray, li: np.ndarray, lcsr=None):
         """EXPAND level j: anchors = M[:, parent_pos[j]] (owned or hub-mirrored)."""
@@ -606,6 +609,36 @@ class MatchProgram(VertexProgram):
             if self.per_root:
                 self._credit_roots(M[:, 0], per_row, queue)
             return
+        dd = plan.get("leaf_dedup")
+        if dd is not None and not self.per_root:
+            # pair-dedup (branch-compression analogue, SIBranch.h): collapse
+            # rows sharing (parent, back targets); carry multiplicity; apply
+            # the constant injectivity correction per original row.
+            K = M[:, dd["key_cols"]]
+            order = np.lexsort(K.T[::-1])
+            Ks = K[order]
+            if len(Ks) > 1:
+                neq = np.any(Ks[1:] != Ks[:-1], axis=1)
+                starts = np.concatenate([[0], np.nonzero(neq)[0] + 1])
+            else:
+                starts = np.array([0], dtype=np.int64)
+            mult = np.diff(np.concatenate([starts, [len(Ks)]])).astype(np.uint64)
+            Mu = Ks[starts]  # cols: [anchor, bp...]
+            self.count -= dd["subtract"] * len(M)
+            uli = (
+                np.searchsorted(self.hub_vids, Mu[:, 0])
+                if hub
+                else self.csr.local_index(Mu[:, 0])
+            )
+            cand, row_rep = self._candidates_at(j, uli, lcsr)
+            if len(cand) == 0:
+                return
+            proj = np.empty((len(cand), Mu.shape[1] + 1), dtype=np.uint64)
+            proj[:, : Mu.shape[1] - 1] = Mu[:, 1:][row_rep]  # back targets
+            proj[:, -2] = cand
+            proj[:, -1] = mult[row_rep]
+            self._route_mult(proj, queue)
+            return
         cand, row_rep = self._candidates(j, M, li, lcsr)
         if len(cand) == 0:
             return
@@ -645,6 +678,26 @@ class MatchProgram(VertexProgram):
                 is_hub, (h % np.uint64(self.csr.num_parts)).astype(np.int32), owner
             )
         return owner
+
+    def _route_mult(self, proj: np.ndarray, queue: list):
+        """Route dedup leaf rows [back…, cand, mult] by the candidate's owner."""
+        owner = self._owner_of(proj, proj[:, -2])
+        order = np.argsort(owner, kind="stable")
+        Ms = proj[order]; po = owner[order]
+        bounds = np.searchsorted(po, np.arange(self.csr.num_parts + 1))
+        for p in range(self.csr.num_parts):
+            s, e = int(bounds[p]), int(bounds[p + 1])
+            if s == e:
+                continue
+            if p == self.csr.part:
+                queue.append(("m", self.k - 1, Ms[s:e]))
+            else:
+                self.outbuf[p].setdefault(f"m{self.k - 1}", []).append(Ms[s:e])
+
+    def _count_leaf_mult(self, M: np.ndarray):
+        """Verify dedup rows [back…, cand, mult]; add multiplicities."""
+        ok = self._adjacency_ok(M, M.shape[1] - 2, range(M.shape[1] - 2), 0)
+        self.count += int(M[ok, -1].view(np.int64).sum())
 
     def _route_leaf(self, proj: np.ndarray, queue: list):
         """Route projected leaf rows by owner of the candidate (last col)."""
@@ -813,6 +866,11 @@ class MatchProgram(VertexProgram):
                     queue.append((kind, j, M[self.max_chunk :]))
                     M = M[: self.max_chunk]
                 self._count_leaf(M, queue)
+            elif kind == "m":  # dedup leaf rows with multiplicities
+                if len(M) > self.max_chunk:
+                    queue.append((kind, j, M[self.max_chunk :]))
+                    M = M[: self.max_chunk]
+                self._count_leaf_mult(M)
             elif kind == "n":  # per-root count credits arriving home
                 li = self.csr.local_index(M[:, 0])
                 np.add.at(self.root_counts, li, M[:, 1].view(np.int64))
