@@ -27,6 +27,7 @@ EMB_THRESHOLD = 0.35  # synthetic embeddings are near-orthogonal (max cos ≈ 0.
 ANN_QUERY_IDS = [0, 1, 2, 3]
 ANN_K = 5
 WINDOW_SEC = 300
+GAP_SEC = 600
 
 
 # ---------------------------------------------------------------------------
@@ -276,6 +277,18 @@ def _q_events_window(sf_dir: str):
     return events_window(sf_dir, WINDOW_SEC)
 
 
+def _q_events_sessionize(sf_dir: str):
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import events_sessionize
+
+    return events_sessionize(sf_dir, gap_sec=GAP_SEC)
+
+
+def _q_dedup_groups(sf_dir: str):
+    from subgraph_isomorphism_pregel_ray.pipelines.dedup import dedup_groups
+
+    return dedup_groups(_docs(sf_dir), threshold=0.5)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "copurchase_edges": _q_copurchase_edges,
@@ -300,6 +313,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_ivf": _q_ann_topk_ivf,
         "q1_pricing_summary": _q_q1,
         "events_window": _q_events_window,
+        "events_sessionize": _q_events_sessionize,
+        "dedup_groups": _q_dedup_groups,
     }
 
 
@@ -466,6 +481,19 @@ def oracle_sql() -> dict[str, str]:
             f"(CAST(floor(epoch(ts)) AS BIGINT) // {WINDOW_SEC}) * {WINDOW_SEC} AS wstart, "
             "count(*) AS n_events, round(sum(value), 6) AS sum_value "
             "FROM events GROUP BY 1, 2"
+        ),
+        "events_sessionize": (
+            "WITH x AS (SELECT user_id, ts, event_id, value, "
+            "CASE WHEN lag(ts) OVER w IS NULL OR "
+            f"epoch_us(ts) - epoch_us(lag(ts) OVER w) > {GAP_SEC} * 1000000 "
+            "THEN 1 ELSE 0 END AS brk FROM events "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+            "y AS (SELECT *, sum(brk) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS UNBOUNDED PRECEDING) AS sess FROM x) "
+            "SELECT user_id, epoch_us(min(ts)) AS session_start_us, "
+            "count(*) AS n_events, round(sum(value), 6) AS sum_value "
+            "FROM y GROUP BY user_id, sess"
         ),
         # lang_id / fingerprint / simhash / minhash_dup_pairs / lpa_copurchase /
         # ann_topk_ivf: not ANSI-SQL-expressible (heuristic scoring, custom

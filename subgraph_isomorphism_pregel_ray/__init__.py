@@ -35,3 +35,34 @@ through the object store; tests run single-node):
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    """Lazy top-level API (keeps `import subgraph_isomorphism_pregel_ray` cheap)."""
+    _API = {
+        "pagerank": "pipelines.algorithms",
+        "connected_components": "pipelines.algorithms",
+        "label_propagation": "pipelines.algorithms",
+        "triangle_count": "pipelines.algorithms",
+        "pagerank_dataset": "pipelines.algorithms",
+        "cc_dataset": "pipelines.algorithms",
+        "build_engine": "pipelines.algorithms",
+        "match_count": "pipelines.match",
+        "match_per_root": "pipelines.match",
+        "build_plan": "pipelines.match",
+        "BSPEngine": "pipelines.bsp",
+        "partition_graph": "pipelines.build_graph",
+        "symmetrize": "pipelines.build_graph",
+        "exact_dedup": "pipelines.dedup",
+        "minhash_lsh_pairs": "pipelines.dedup",
+        "embedding_dup_pairs": "pipelines.dedup",
+        "dedup_groups": "pipelines.dedup",
+        "ann_topk": "pipelines.similarity",
+        "ann_topk_ivf": "pipelines.similarity",
+    }
+    if name in _API:
+        import importlib
+
+        mod = importlib.import_module(f".{_API[name]}", __name__)
+        return getattr(mod, name)
+    raise AttributeError(name)

@@ -35,6 +35,7 @@ __all__ = [
     "minhash_lsh_pairs",
     "jaccard_ngrams",
     "embedding_dup_pairs",
+    "dedup_groups",
 ]
 
 _MERSENNE = np.uint64((1 << 61) - 1)
@@ -287,3 +288,58 @@ def embedding_dup_pairs(
         )
 
     return emb_ds.map_batches(_block, batch_format="pyarrow", batch_size=1024)
+
+
+def dedup_groups(docs_ds, threshold: float = 0.5, num_parts: int = 4, **lsh_kw):
+    """Near-duplicate GROUP resolution: MinHash-LSH pairs → connected
+    components over the duplicate graph → (doc_id, group, keep).
+
+    The composition the guide sketches (LSH buckets → candidate pairs →
+    verify → min-label components): the verified pair set becomes an edge
+    Dataset fed to the same hash-min CC engine the link graph uses, so group
+    resolution scales exactly like components do — no driver-side union-find.
+    ``keep`` marks the canonical (min doc_id) member of each group; docs with
+    no near-duplicate form singleton groups (keep = True).
+    """
+    import pyarrow as pa
+    import ray.data as rd
+
+    from .algorithms import connected_components
+
+    pairs = minhash_lsh_pairs(docs_ds, threshold=threshold, **lsh_kw)
+    pair_tbl = pairs.to_pandas()  # candidate pairs are small by construction
+    doc_ids = docs_ds.map_batches(
+        lambda t: pa.table({"doc_id": t["doc_id"]}), batch_format="pyarrow"
+    ).to_pandas()["doc_id"].to_numpy()
+
+    if len(pair_tbl) == 0:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": doc_ids,
+                    "group": doc_ids,
+                    "keep": np.ones(len(doc_ids), dtype=bool),
+                }
+            )
+        )
+
+    edges = rd.from_arrow(
+        pa.table(
+            {
+                "src": pair_tbl["doc_a"].to_numpy().astype(np.uint64),
+                "dst": pair_tbl["doc_b"].to_numpy().astype(np.uint64),
+            }
+        )
+    )
+    comp, _ = connected_components(edges, num_parts=num_parts)
+    comp_map = dict(
+        zip(comp["vid"].to_numpy().view(np.int64), comp["component"].to_numpy().view(np.int64))
+    )
+    group = np.array([comp_map.get(int(d), int(d)) for d in doc_ids], dtype=np.int64)
+    order = np.lexsort((doc_ids, group))
+    keep = np.zeros(len(doc_ids), dtype=bool)
+    first = np.concatenate([[True], group[order][1:] != group[order][:-1]])
+    keep[order[first]] = True
+    return rd.from_arrow(
+        pa.table({"doc_id": doc_ids, "group": group, "keep": keep})
+    )

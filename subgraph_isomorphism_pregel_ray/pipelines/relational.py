@@ -18,7 +18,14 @@ import pyarrow as pa
 
 from ..sources.tables import read_table
 
-__all__ = ["q1_lineitem", "copurchase_edges", "part_labels", "events_window"]
+__all__ = [
+    "q1_lineitem",
+    "copurchase_edges",
+    "copurchase_edges_join",
+    "part_labels",
+    "events_window",
+    "events_sessionize",
+]
 
 
 def q1_lineitem(sf_dir: str, ship_before: str = "1998-09-01"):
@@ -230,3 +237,51 @@ def events_window(sf_dir: str, window_sec: int = 300):
         )
 
     return out.map_batches(_round, batch_format="pyarrow")
+
+
+def events_sessionize(sf_dir: str, gap_sec: int = 600, num_buckets: int = 32):
+    """Gap-based session windows per user (streaming-shaped workload #2).
+
+    A new session starts when the gap to the user's previous event exceeds
+    ``gap_sec``. → (user_id, session_start_us:int64, n_events, sum_value).
+
+    Scale shape: users are hash-bucketed (ONE shuffle); each ``map_groups``
+    call receives a whole bucket and sessionizes every user in it vectorized
+    (lexsort by (user, ts) + diff + cumsum — no per-user Python). The
+    ordering assumption (events sorted within user by (ts, event_id)) is
+    established inside the bucket, so input order is irrelevant.
+    """
+    ds = read_table(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"])
+
+    def _bucket(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy()
+        return t.append_column("b", pa.array((u % num_buckets).astype(np.int32)))
+
+    def _sessionize(g: pa.Table) -> pa.Table:
+        u = g["user_id"].to_numpy()
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        eid = g["event_id"].to_numpy()
+        val = g["value"].to_numpy()
+        order = np.lexsort((eid, ts, u))
+        u, ts, val = u[order], ts[order], val[order]
+        new_user = np.concatenate([[True], u[1:] != u[:-1]])
+        gap = np.concatenate([[0], ts[1:] - ts[:-1]])
+        brk = new_user | (gap > gap_sec * 1_000_000)
+        sess = np.cumsum(brk) - 1
+        starts = np.nonzero(brk)[0]
+        counts = np.diff(np.concatenate([starts, [len(u)]]))
+        sums = np.add.reduceat(val, starts)
+        return pa.table(
+            {
+                "user_id": u[starts],
+                "session_start_us": ts[starts],
+                "n_events": counts.astype(np.int64),
+                "sum_value": np.round(sums, 6),
+            }
+        )
+
+    return (
+        ds.map_batches(_bucket, batch_format="pyarrow")
+        .groupby("b")
+        .map_groups(_sessionize, batch_format="pyarrow")
+    )

@@ -200,3 +200,18 @@ def test_multimodal_actor_pool_stages(ray_session):
         FrameSampleStage, batch_format="pyarrow", batch_size=16, concurrency=2
     ).to_pandas()
     assert frames.groupby("media_id").size().max() == 3  # 30 frames / every 10
+
+
+def test_dedup_groups_resolution(ray_session):
+    from subgraph_isomorphism_pregel_ray.pipelines.dedup import dedup_groups
+
+    out = dedup_groups(_docs_ds(DUP_CORPUS), threshold=0.5).to_pandas()
+    assert len(out) == len(DUP_CORPUS)
+    by_doc = out.set_index("doc_id")
+    # docs 0,1,2 form one near-dup group; 3,4 another; 5,6 singletons
+    assert by_doc.loc[0, "group"] == by_doc.loc[1, "group"] == by_doc.loc[2, "group"]
+    assert by_doc.loc[3, "group"] == by_doc.loc[4, "group"]
+    assert by_doc.loc[5, "group"] != by_doc.loc[6, "group"]
+    # canonical member = min doc_id of each group; exactly one keep per group
+    assert bool(by_doc.loc[0, "keep"]) and not by_doc.loc[1, "keep"]
+    assert out.groupby("group")["keep"].sum().eq(1).all()
