@@ -104,6 +104,18 @@ def _q_triangles(sf_dir: str):
     return pa.table({"n_triangles": pa.array([total], type=pa.int64())})
 
 
+def _q_kcore(sf_dir: str):
+    from subgraph_isomorphism_pregel_ray.pipelines.algorithms import kcore
+
+    res, _ = kcore(_sym_copurchase(sf_dir), num_parts=4)
+    return pa.table(
+        {
+            "vid": res["vid"].to_numpy().view(np.int64),
+            "core": res["core"].to_numpy(),
+        }
+    )
+
+
 def _q_lpa(sf_dir: str):
     from subgraph_isomorphism_pregel_ray.pipelines.algorithms import label_propagation
 
@@ -297,6 +309,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cc_copurchase": _q_cc,
         "triangle_count_copurchase": _q_triangles,
         "lpa_copurchase": _q_lpa,
+        "kcore_copurchase": _q_kcore,
         "match_triangle_labeled": _q_match_triangle,
         "match_p3_labeled": _q_match_p3,
         "match_4cycle_labeled": _q_match_4cycle,

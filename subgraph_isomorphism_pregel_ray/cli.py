@@ -65,7 +65,7 @@ def main(argv=None):
         p.add_argument("--checkpoint-every", type=int, default=0)
         p.add_argument("--resume", action="store_true")
 
-    for name in ("pagerank", "cc", "lpa", "triangles"):
+    for name in ("pagerank", "cc", "lpa", "triangles", "kcore"):
         p = sub.add_parser(name)
         common(p)
         if name in ("pagerank", "lpa"):
@@ -126,6 +126,8 @@ def main(argv=None):
         res, lineage = alg.connected_components(edges_ds, num_parts=args.parts, **ck)
     elif args.cmd == "lpa":
         res, lineage = alg.label_propagation(edges_ds, iters=args.iters, num_parts=args.parts, **ck)
+    elif args.cmd == "kcore":
+        res, lineage = alg.kcore(edges_ds, num_parts=args.parts, **ck)
     else:  # triangles
         total, res, lineage = alg.triangle_count(edges_ds, num_parts=args.parts)
         print(json.dumps({"triangles": int(total), "supersteps": lineage["steps"]}))

@@ -32,6 +32,7 @@ __all__ = [
     "connected_components",
     "label_propagation",
     "triangle_count",
+    "kcore",
     "pagerank_dataset",
     "cc_dataset",
 ]
@@ -131,6 +132,19 @@ def triangle_count(edges_or_engine, num_parts: int = 8):
     if own:
         eng.shutdown()
     return total, per_vertex, lineage
+
+
+def kcore(edges_or_engine, num_parts: int = 8, max_steps: int = 300,
+          checkpoint_dir=None, checkpoint_every=0, resume=False):
+    """Exact core numbers (distributed h-index iteration) → (vid, core)."""
+    eng, lineage, own = _run(
+        edges_or_engine, "kcore", {}, num_parts, max_steps, directed=False,
+        checkpoint_dir=checkpoint_dir, checkpoint_every=checkpoint_every, resume=resume,
+    )
+    out = eng.result_table()
+    if own:
+        eng.shutdown()
+    return out, lineage
 
 
 # ---------------------------------------------------------------------------

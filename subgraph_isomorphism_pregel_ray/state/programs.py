@@ -986,10 +986,133 @@ class MatchProgram(VertexProgram):
         return {"embeddings": self.count}
 
 
+class KCoreProgram(VertexProgram):
+    """Core-number decomposition via distributed h-index iteration
+    (Montresor et al., "Distributed k-core decomposition", 2011): every
+    vertex starts at its degree and repeatedly lowers its estimate to the
+    h-index of its neighbors' estimates; the fixpoint is the exact core
+    number. Estimates only decrease, so a vertex scatters only when its
+    value changed (frontier semantics like CC).
+    """
+
+    def init(self, csr: CSRPartition):
+        self.csr = csr
+        self.core = csr.degrees().astype(np.int64)
+        self.changed = np.ones(csr.num_vertices, dtype=bool)
+        # neighbor estimates cache, aligned with csr.indices
+        self.nbr_est = np.full(csr.num_edges, np.iinfo(np.int64).max, dtype=np.int64)
+
+    def _recompute(self, rows: np.ndarray) -> int:
+        """Vectorized h-index over cached neighbor estimates for `rows`:
+        gather each row's edge estimates, sort desc within row (lexsort),
+        h(row) = #positions where sorted est ≥ 1-based position."""
+        indptr = self.csr.indptr
+        starts = indptr[rows]
+        counts = (indptr[rows + 1] - starts).astype(np.int64)
+        eidx = flat_gather(starts, counts)
+        if len(eidx) == 0:
+            self.changed = np.zeros(self.csr.num_vertices, dtype=bool)
+            return 0
+        rrep = np.repeat(np.arange(len(rows), dtype=np.int64), counts)
+        est = np.minimum(self.nbr_est[eidx], self.core[rows][rrep])
+        order = np.lexsort((-est, rrep))
+        row_start = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        pos = np.arange(len(est), dtype=np.int64) - row_start[rrep]  # 0-based in row
+        hmask = est[order] >= pos + 1
+        h = np.bincount(rrep[hmask], minlength=len(rows))
+        new_changed = np.zeros(self.csr.num_vertices, dtype=bool)
+        dec = (h < self.core[rows]) & (counts > 0)
+        self.core[rows[dec]] = h[dec]
+        new_changed[rows[dec]] = True
+        self.changed = new_changed
+        return int(dec.sum())
+
+    def apply(self, step, inbox, glob):
+        if step == 0:
+            return {"active": self.csr.num_vertices}
+        touched = np.zeros(self.csr.num_vertices, dtype=bool)
+        dix = self.csr.dst_index()
+        for msg in inbox:
+            if msg is None or len(msg["dst"]) == 0:
+                continue
+            li = self.csr.local_index(msg["dst"])
+            # update the per-edge neighbor-estimate cache: entries of (li, src)
+            # edges; sender pre-grouped per (dst, value) — store min estimate
+            # via the membership-key trick would be overkill: scatter sends
+            # (dst, src, est) triples grouped by dst.
+            dsts = np.repeat(li, msg["cnt"])  # per-edge receiver rows
+            srcs = msg["src"]                 # per-edge sender vids
+            ests = msg["est"]                 # per-edge sender estimates
+            # vectorized per-edge slot lookup via the packed-key membership arrays
+            keys, uniq = self.csr._membership_keys()
+            spos = np.searchsorted(uniq, srcs)
+            spos = np.minimum(spos, len(uniq) - 1)
+            qkey = dsts.astype(np.uint64) << np.uint64(32) | spos.astype(np.uint64)
+            kpos = np.searchsorted(keys, qkey)
+            valid = (kpos < len(keys)) & (uniq[spos] == srcs)
+            kpos = np.minimum(kpos, len(keys) - 1)
+            valid &= keys[kpos] == qkey
+            slot = kpos[valid]
+            np.minimum.at(self.nbr_est, slot, ests[valid])
+            touched[dsts[valid]] = True
+        if step == 1:  # first estimates just arrived everywhere
+            rows = np.arange(self.csr.num_vertices)
+        else:
+            rows = np.nonzero(touched)[0]
+        n = self._recompute(rows) if len(rows) else 0
+        if len(rows) == 0:
+            self.changed = np.zeros(self.csr.num_vertices, dtype=bool)
+        return {"active": n}
+
+    def scatter(self, step):
+        P = self.csr.num_parts
+        dix = self.csr.dst_index()
+        send_mask = self.changed if step > 0 else np.ones(self.csr.num_vertices, bool)
+        edge_sel = send_mask[dix.src_row][dix.order]
+        src_vid = self.csr.vids[dix.src_row][dix.order]
+        est = self.core[dix.src_row][dix.order]
+        sorted_dst = self.csr.indices[dix.order]
+        outbox, sent = [], 0
+        for p in range(P):
+            s, e = dix.slices[p]
+            sel = edge_sel[s:e]
+            if not sel.any():
+                outbox.append(None)
+                continue
+            d = sorted_dst[s:e][sel]
+            # runs are contiguous per dst (slice is dst-sorted); receiver
+            # re-expands with np.repeat(li, cnt) to align per-edge arrays
+            uniq, cnt = np.unique(d, return_counts=True)
+            outbox.append(
+                {
+                    "dst": uniq,
+                    "cnt": cnt.astype(np.int64),
+                    "src": src_vid[s:e][sel],
+                    "est": est[s:e][sel],
+                }
+            )
+            sent += len(d)
+        return outbox, {"sent": sent}
+
+    def state_table(self):
+        return pa.table({"vid": self.csr.vids, "core": self.core,
+                         "changed": self.changed})
+
+    def load_state(self, table, step):
+        self.core = table["core"].to_numpy().copy()
+        self.changed = table["changed"].to_numpy().copy()
+        self.nbr_est = np.full(self.csr.num_edges, np.iinfo(np.int64).max, dtype=np.int64)
+        self.changed[:] = True  # resend estimates after resume
+
+    def result_table(self):
+        return pa.table({"vid": self.csr.vids, "core": self.core})
+
+
 PROGRAMS = {
     "pagerank": PageRankProgram,
     "cc": ConnectedComponentsProgram,
     "lpa": LabelPropagationProgram,
     "triangles": TriangleCountProgram,
     "match": MatchProgram,
+    "kcore": KCoreProgram,
 }
