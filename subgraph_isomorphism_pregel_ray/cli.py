@@ -117,29 +117,33 @@ def main(argv=None):
         print(json.dumps({"mapping_count": int(count), "supersteps": lineage["steps"]}))
         return 0
 
-    from .pipelines import algorithms as alg
+    from .pipelines.algorithms import build_engine
 
-    if args.cmd == "pagerank":
-        res, lineage = alg.pagerank(edges_ds, iters=args.iters, damping=args.damping,
-                                    num_parts=args.parts, **ck)
-    elif args.cmd == "cc":
-        res, lineage = alg.connected_components(edges_ds, num_parts=args.parts, **ck)
-    elif args.cmd == "lpa":
-        res, lineage = alg.label_propagation(edges_ds, iters=args.iters, num_parts=args.parts, **ck)
-    elif args.cmd == "kcore":
-        res, lineage = alg.kcore(edges_ds, num_parts=args.parts, **ck)
-    else:  # triangles
-        total, res, lineage = alg.triangle_count(edges_ds, num_parts=args.parts)
-        print(json.dumps({"triangles": int(total), "supersteps": lineage["steps"]}))
+    program, params, max_steps, directed = {
+        "pagerank": (
+            "pagerank",
+            {"iters": args.iters, "damping": args.damping, "n_global": None, "tol": 0.0},
+            args.iters + 1,
+            True,
+        ),
+        "cc": ("cc", {}, 300, False),
+        "lpa": ("lpa", {"iters": args.iters}, args.iters + 2, False),
+        "kcore": ("kcore", {}, 300, False),
+        "triangles": ("triangles", {}, 4, False),
+    }[args.cmd]
 
+    eng = build_engine(edges_ds, args.parts, labels_ds=labels_ds, directed=directed)
+    lineage = eng.run(program, params, max_steps=max_steps, **ck)
+    summary = {"supersteps": lineage["steps"], "vertices": eng.num_vertices,
+               "edges": eng.num_edges}
+    if args.cmd == "triangles":
+        summary["triangles"] = int(eng.scalar_results().get("triangles", 0))
     if args.out:
-        import ray.data as rd
-
-        rd.from_arrow(res).write_parquet(args.out)
-        print(json.dumps({"status": "ok", "out": args.out, "rows": res.num_rows,
-                          "supersteps": lineage["steps"]}))
-    else:
-        print(json.dumps({"rows": res.num_rows, "supersteps": lineage["steps"]}))
+        # streamed dump: actor tables → partitioned parquet, no driver concat
+        eng.dump(args.out)
+        summary.update(status="ok", out=args.out)
+    eng.shutdown()
+    print(json.dumps(summary))
     return 0
 
 

@@ -280,6 +280,14 @@ class BSPEngine:
 
         return rd.from_arrow_refs([a.result_table.remote() for a in self.actors])
 
+    def dump(self, path: str):
+        """Write per-vertex results as partitioned parquet — the working form
+        of the reference's disabled dump stage (``Worker::dump_partition``,
+        ``basic/Worker.h:289-300``): one part file per partition, streamed
+        from the actors, never concatenated on the driver."""
+        self.result_dataset().write_parquet(path)
+        return path
+
     def result_table(self) -> pa.Table:
         return pa.concat_tables(ray.get([a.result_table.remote() for a in self.actors]))
 
