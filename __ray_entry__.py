@@ -17,6 +17,8 @@ from collections.abc import Callable
 from typing import Any
 
 import numpy as np
+
+from subgraph_isomorphism_pregel_ray.functions.rounding import round_half_away
 import pyarrow as pa
 
 SF_SMOKE = "/root/testdata/sf0.001"
@@ -50,7 +52,7 @@ def entry() -> Any:
         pa.table(
             {
                 "vid": res["vid"].to_numpy().view(np.int64),
-                "pr": np.round(res["rank"].to_numpy(), 8),
+                "pr": round_half_away(res["rank"].to_numpy(), 8),
             }
         )
     )
@@ -273,7 +275,10 @@ def _q_ann_topk(sf_dir: str):
 def _q_ann_topk_ivf(sf_dir: str):
     from subgraph_isomorphism_pregel_ray.pipelines.similarity import ann_topk_ivf
 
-    return ann_topk_ivf(_emb(sf_dir), ANN_QUERY_IDS, k=ANN_K)
+    import os
+
+    idx = f"/tmp/graft_ivf_{os.path.basename(os.path.normpath(sf_dir))}_c16_s13"
+    return ann_topk_ivf(_emb(sf_dir), ANN_QUERY_IDS, k=ANN_K, index_dir=idx)
 
 
 # ---- relational / streaming-shaped ---------------------------------------
@@ -342,19 +347,20 @@ _ESYM = (
     "FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey "
     "WHERE a.l_partkey <> b.l_partkey GROUP BY 1, 2)"
 )
+_ESYM_MAT = _ESYM.replace("e AS (", "e AS MATERIALIZED (", 1)
 
 
 def _pagerank_sql(iters: int, damping: float = 0.85) -> str:
     parts = [
-        f"WITH {_ESYM}",
-        "v AS (SELECT DISTINCT src AS vid FROM e)",
-        "nv AS (SELECT count(*) AS n FROM v)",
-        "deg AS (SELECT src AS vid, count(*) AS outdeg FROM e GROUP BY 1)",
-        "r0 AS (SELECT vid, 1.0 / (SELECT n FROM nv) AS pr FROM v)",
+        f"WITH {_ESYM_MAT}",
+        "v AS MATERIALIZED (SELECT DISTINCT src AS vid FROM e)",
+        "nv AS MATERIALIZED (SELECT count(*) AS n FROM v)",
+        "deg AS MATERIALIZED (SELECT src AS vid, count(*) AS outdeg FROM e GROUP BY 1)",
+        "r0 AS MATERIALIZED (SELECT vid, 1.0 / (SELECT n FROM nv) AS pr FROM v)",
     ]
     for i in range(1, iters + 1):
         parts.append(
-            f"r{i} AS (SELECT d.vid, (1 - {damping}) / (SELECT n FROM nv) + "
+            f"r{i} AS MATERIALIZED (SELECT d.vid, (1 - {damping}) / (SELECT n FROM nv) + "
             f"{damping} * coalesce(s.c, 0) AS pr FROM deg d LEFT JOIN ("
             f"SELECT e.dst AS vid, sum(r.pr / d2.outdeg) AS c "
             f"FROM e JOIN r{i-1} r ON r.vid = e.src "
@@ -365,23 +371,66 @@ def _pagerank_sql(iters: int, damping: float = 0.85) -> str:
     )
 
 
-def _cc_sql(iters: int = 5) -> str:
+def _cc_sql(iters: int = 8) -> str:
     """Unrolled synchronous min-label propagation — exact once converged
     (the sf0.001/sf0.01 co-purchase graphs converge in 3 rounds; 8 is the
     safety margin). ~50× faster than the equivalent recursive-CTE closure."""
     parts = [
-        f"WITH {_ESYM}",
-        "v AS (SELECT DISTINCT src AS vid FROM e)",
-        "c0 AS (SELECT vid, vid AS comp FROM v)",
+        f"WITH {_ESYM_MAT}",
+        "v AS MATERIALIZED (SELECT DISTINCT src AS vid FROM e)",
+        "c0 AS MATERIALIZED (SELECT vid, vid AS comp FROM v)",
     ]
     for i in range(1, iters + 1):
         parts.append(
-            f"c{i} AS (SELECT x.vid, min(x.comp) AS comp FROM ("
+            f"c{i} AS MATERIALIZED (SELECT x.vid, min(x.comp) AS comp FROM ("
             f"SELECT vid, comp FROM c{i-1} "
             f"UNION ALL SELECT e.dst AS vid, c.comp FROM e JOIN c{i-1} c ON c.vid = e.src"
             f") x GROUP BY x.vid)"
         )
     return ", ".join(parts) + f" SELECT vid, comp AS component FROM c{iters}"
+
+
+def _lpa_sql(iters: int = 5) -> str:
+    """Unrolled synchronous label propagation: label_i(v) = mode of
+    neighbors' labels_{i-1}, tie → min label (``ORDER BY count DESC, label``),
+    exactly ``iters`` update rounds — the engine's semantics
+    (``state/programs.py`` LabelPropagationProgram; early global convergence
+    is a fixpoint, so extra SQL rounds are identity). MATERIALIZED keeps
+    DuckDB from inlining the CTE chain (24× planner blowup otherwise)."""
+    parts = [
+        f"WITH {_ESYM_MAT}",
+        "l0 AS MATERIALIZED (SELECT DISTINCT src AS vid, src AS label FROM e)",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"l{i} AS MATERIALIZED (SELECT vid, label FROM ("
+            f"SELECT e.src AS vid, c.label AS label, "
+            f"row_number() OVER (PARTITION BY e.src "
+            f"ORDER BY count(*) DESC, c.label ASC) AS rn "
+            f"FROM e JOIN l{i-1} c ON c.vid = e.dst GROUP BY e.src, c.label"
+            f") WHERE rn = 1)"
+        )
+    return ", ".join(parts) + f" SELECT vid, label FROM l{iters}"
+
+
+def _kcore_sql(iters: int = 24) -> str:
+    """Unrolled h-index iteration (Lü et al. 2016): core_0 = degree,
+    core_i(v) = h-index of neighbors' core_{i-1} — converges to the exact
+    core number (the engine's Montresor-style fixpoint). sf0.01 converges in
+    19 rounds; 24 gives margin (extra rounds are identity — the sequence is
+    monotone decreasing with a stable fixpoint)."""
+    parts = [
+        f"WITH {_ESYM_MAT}",
+        "k0 AS MATERIALIZED (SELECT src AS vid, count(*) AS core FROM e GROUP BY 1)",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"k{i} AS MATERIALIZED (SELECT vid, max(least(rnk, v)) AS core FROM ("
+            f"SELECT e.src AS vid, c.core AS v, "
+            f"row_number() OVER (PARTITION BY e.src ORDER BY c.core DESC) AS rnk "
+            f"FROM e JOIN k{i-1} c ON c.vid = e.dst) GROUP BY vid)"
+        )
+    return ", ".join(parts) + f" SELECT vid, core FROM k{iters}"
 
 
 def _stopword_sql_list() -> str:
@@ -508,8 +557,10 @@ def oracle_sql() -> dict[str, str]:
             "count(*) AS n_events, round(sum(value), 6) AS sum_value "
             "FROM y GROUP BY user_id, sess"
         ),
-        # lang_id / fingerprint / simhash / minhash_dup_pairs / lpa_copurchase /
-        # ann_topk_ivf: not ANSI-SQL-expressible (heuristic scoring, custom
-        # hashing, iterative tie-break, LSH recall) → rows-only driver check;
-        # exact semantics are pytest-verified against single-process oracles.
+        "lpa_copurchase": _lpa_sql(LPA_ITERS),
+        "kcore_copurchase": _kcore_sql(),
+        # lang_id / fingerprint / simhash / minhash_dup_pairs / ann_topk_ivf:
+        # not ANSI-SQL-expressible (heuristic scoring, custom hashing, LSH
+        # recall) → rows-only driver check; exact semantics are
+        # pytest-verified against single-process oracles.
     }

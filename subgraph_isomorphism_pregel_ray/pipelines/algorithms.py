@@ -21,6 +21,8 @@ import os
 import tempfile
 
 import numpy as np
+
+from ..functions.rounding import round_half_away
 import pyarrow as pa
 
 from .bsp import BSPEngine
@@ -307,6 +309,6 @@ def pagerank_dataset(edges_ds, iters: int = 5, damping: float = 0.85):
         ranks = joined.map_batches(_apply, batch_format="pyarrow").materialize()
 
     def _round(t: pa.Table) -> pa.Table:
-        return pa.table({"vid": t["vid"], "pr": np.round(t["pr"].to_numpy(), 8)})
+        return pa.table({"vid": t["vid"], "pr": round_half_away(t["pr"].to_numpy(), 8)})
 
     return ranks.map_batches(_round, batch_format="pyarrow")

@@ -84,19 +84,21 @@ class BSPEngine:
         if name in self._exchanged:
             return
         P = self.P
+        if P == 1:
+            # num_returns=1 would hand back the whole 1-tuple as one object
+            # and mis-shape the rewrapping below — serve locally instead.
+            ray.get(self.actors[0].attr_self_exchange.remote(name))
+            self._exchanged.add(name)
+            return
         reqs = [
             a.attr_requests.options(num_returns=P).remote() for a in self.actors
         ]
-        if P == 1:
-            reqs = [[r] for r in reqs]
         served = [
             self.actors[p]
             .attr_serve.options(num_returns=P)
             .remote(name, [reqs[q][p] for q in range(P)])
             for p in range(P)
         ]
-        if P == 1:
-            served = [[s] for s in served]
         ray.get(
             [
                 self.actors[q].attr_store.remote(name, [served[p][q] for p in range(P)])

@@ -25,6 +25,8 @@ shingles, stated in the docstring rather than silently).
 from __future__ import annotations
 
 import numpy as np
+
+from ..functions.rounding import round_half_away
 import pyarrow as pa
 
 from ..functions.hashing import hash64, md5_hex_batch
@@ -203,7 +205,7 @@ def minhash_lsh_pairs(
             {
                 "doc_a": a[keep].astype(np.int64),
                 "doc_b": b[keep].astype(np.int64),
-                "jaccard": np.round(jac[keep], 6),
+                "jaccard": round_half_away(jac[keep], 6),
             }
         )
 
@@ -265,7 +267,7 @@ def embedding_dup_pairs(
                 {
                     "vec_a": np.concatenate(out_a).astype(np.int64),
                     "vec_b": np.concatenate(out_b).astype(np.int64),
-                    "cos": np.round(np.concatenate(out_c), 6),
+                    "cos": round_half_away(np.concatenate(out_c), 6),
                 }
             )
         )
@@ -283,7 +285,7 @@ def embedding_dup_pairs(
             {
                 "vec_a": bids[ri].astype(np.int64),
                 "vec_b": all_ids[ci].astype(np.int64),
-                "cos": np.round(cos[ri, ci], 6),
+                "cos": round_half_away(cos[ri, ci], 6),
             }
         )
 

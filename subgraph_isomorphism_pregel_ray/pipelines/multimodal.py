@@ -15,6 +15,8 @@ blocks stay small enough that batch × concurrency fits worker heaps.
 from __future__ import annotations
 
 import numpy as np
+
+from ..functions.rounding import round_half_away
 import pyarrow as pa
 
 __all__ = ["MEDIA_SCHEMA", "synth_media_table", "ImageDecodeStage",
@@ -78,7 +80,7 @@ class ImageDecodeStage:
             mean[i] = img.mean()
             std[i] = img.std()
         return pa.table(
-            {"media_id": ids, "px_mean": np.round(mean, 6), "px_std": np.round(std, 6)}
+            {"media_id": ids, "px_mean": round_half_away(mean, 6), "px_std": round_half_away(std, 6)}
         )
 
 

@@ -13,6 +13,8 @@ shuffle self-join on l_orderkey (both sides large → no broadcast).
 from __future__ import annotations
 
 import numpy as np
+
+from ..functions.rounding import round_half_away
 import pandas as pd
 import pyarrow as pa
 
@@ -73,9 +75,9 @@ def q1_lineitem(sf_dir: str, ship_before: str = "1998-09-01"):
             {
                 "l_returnflag": t["l_returnflag"],
                 "l_linestatus": t["l_linestatus"],
-                "sum_qty": np.round(t["sum_qty"].to_numpy(), 4),
-                "sum_base_price": np.round(t["sum_base_price"].to_numpy(), 4),
-                "sum_disc_price": np.round(t["sum_disc_price"].to_numpy(), 4),
+                "sum_qty": round_half_away(t["sum_qty"].to_numpy(), 4),
+                "sum_base_price": round_half_away(t["sum_base_price"].to_numpy(), 4),
+                "sum_disc_price": round_half_away(t["sum_disc_price"].to_numpy(), 4),
                 "count_order": t["count_order"],
             }
         )
@@ -232,7 +234,7 @@ def events_window(sf_dir: str, window_sec: int = 300):
                 "user_id": t["user_id"],
                 "wstart": t["wstart"],
                 "n_events": t["n_events"],
-                "sum_value": np.round(t["sum_value"].to_numpy(), 6),
+                "sum_value": round_half_away(t["sum_value"].to_numpy(), 6),
             }
         )
 
@@ -276,7 +278,7 @@ def events_sessionize(sf_dir: str, gap_sec: int = 600, num_buckets: int = 32):
                 "user_id": u[starts],
                 "session_start_us": ts[starts],
                 "n_events": counts.astype(np.int64),
-                "sum_value": np.round(sums, 6),
+                "sum_value": round_half_away(sums, 6),
             }
         )
 

@@ -27,6 +27,7 @@ import numpy as np
 import pyarrow as pa
 
 from ..functions.hashing import hash64
+from ..functions.rounding import round_half_away
 
 __all__ = [
     "token_count_batch",
@@ -90,28 +91,82 @@ def text_stats_batch(batch: pa.Table) -> pa.Table:
             "doc_id": batch["doc_id"],
             "n_chars": n_chars,
             "n_tokens": n_tokens,
-            "alnum_ratio": np.round(alnum_ratio, 6),
-            "avg_token_len": np.round(avg_token_len, 6),
-            "stop_ratio": np.round(stop_ratio, 6),
+            "alnum_ratio": round_half_away(alnum_ratio, 6),
+            "avg_token_len": round_half_away(avg_token_len, 6),
+            "stop_ratio": round_half_away(stop_ratio, 6),
         }
     )
 
 
+_STOP_LANGS = sorted(STOPWORDS)  # alphabetical → argmax tie-break = min lang
+_STOP_FLAT = np.array(
+    [w for lang in _STOP_LANGS for w in sorted(STOPWORDS[lang])], dtype=object
+)
+_STOP_LANG_IDX = np.array(
+    [i for i, lang in enumerate(_STOP_LANGS) for _ in STOPWORDS[lang]], dtype=np.int64
+)
+_STOP_ORDER = np.argsort(_STOP_FLAT)
+
+
 def lang_id_batch(batch: pa.Table) -> pa.Table:
+    """Whole-batch kernels, no per-row char scans:
+
+    * CJK test — one UTF-32 decode of the concatenated batch → uint32
+      codepoint array → han-range mask → per-row any via ``add.reduceat``.
+    * stopword scores — flatten all lowered tokens with row ids, one
+      ``searchsorted`` membership against the per-language stopword table,
+      2-D ``bincount`` by (row, lang); argmax with alphabetical tie-break.
+    """
     texts = batch["text"].to_pylist()
-    preds = []
-    for t in texts:
-        toks = [w.lower() for w in _tokens(t)]
-        # CJK heuristic first: any han codepoint → zh
-        if any("一" <= c <= "鿿" for c in t):
-            preds.append("zh")
-            continue
-        scores = {
-            lang: sum(1 for w in toks if w in sw) for lang, sw in STOPWORDS.items()
-        }
-        best = max(sorted(scores), key=lambda L: scores[L])  # tie → alphabetical
-        preds.append(best if scores[best] > 0 else "en")
-    return pa.table({"doc_id": batch["doc_id"], "lang_pred": pa.array(preds)})
+    n = len(texts)
+    if n == 0:
+        return pa.table({"doc_id": batch["doc_id"], "lang_pred": pa.array([], pa.string())})
+    # --- CJK: vectorized codepoint scan over the whole batch ---------------
+    lens = np.fromiter((len(t) for t in texts), dtype=np.int64, count=n)
+    cp = np.frombuffer("".join(texts).encode("utf-32-le"), dtype=np.uint32)
+    han = (cp >= 0x4E00) & (cp <= 0x9FFF)
+    starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    nonempty = lens > 0
+    has_han = np.zeros(n, dtype=bool)
+    if nonempty.any():
+        has_han[nonempty] = (
+            np.add.reduceat(han, starts[nonempty]) > 0
+        ) if han.any() else False
+    # --- stopword scores: flattened tokens, one membership pass ------------
+    row_ids, toks = [], []
+    for i, t in enumerate(texts):
+        tt = t.lower().split()
+        toks.extend(tt)
+        row_ids.append(len(tt))
+    rows = np.repeat(np.arange(n, dtype=np.int64), row_ids)
+    nlang = len(_STOP_LANGS)
+    scores = np.zeros((n, nlang), dtype=np.int64)
+    if toks:
+        tarr = np.asarray(toks, dtype=object)
+        svals = _STOP_FLAT[_STOP_ORDER]
+        slang = _STOP_LANG_IDX[_STOP_ORDER]
+        # equal-range per token: a word may be a stopword of SEVERAL languages
+        # ("la", "un", "que" ∈ {fr, es}) — credit each one.
+        lo = np.searchsorted(svals, tarr, side="left")
+        hi = np.searchsorted(svals, tarr, side="right")
+        cnt = hi - lo
+        tot = int(cnt.sum())
+        if tot:
+            rep = np.repeat(np.arange(len(tarr)), cnt)
+            seg0 = np.concatenate([[0], np.cumsum(cnt)[:-1]])
+            flat = np.repeat(lo, cnt) + (np.arange(tot) - np.repeat(seg0, cnt))
+            np.add.at(scores, (rows[rep], slang[flat]), 1)
+    best = scores.argmax(axis=1)  # first (alphabetical) max
+    preds = np.where(
+        has_han,
+        "zh",
+        np.where(
+            scores[np.arange(n), best] > 0,
+            np.asarray(_STOP_LANGS, dtype=object)[best],
+            "en",
+        ),
+    )
+    return pa.table({"doc_id": batch["doc_id"], "lang_pred": pa.array(preds.tolist())})
 
 
 def fingerprint_batch(batch: pa.Table, k: int = 8) -> pa.Table:

@@ -110,6 +110,17 @@ class GraphPartition:
             self.csr.nbr_labels = arr
         return True
 
+    def attr_self_exchange(self, name: str):
+        """P==1 path: serve this partition's own requests locally.
+
+        With a single partition the remote round degenerates (``num_returns=1``
+        returns the whole 1-tuple as one object, mis-shaping the re-wrapping
+        in ``BSPEngine.exchange_attr``), so the engine calls this instead.
+        """
+        (req,) = self.attr_requests()
+        (vals,) = self.attr_serve(name, [req])
+        return self.attr_store(name, [vals])
+
     # ---- hub mirror (skew handling) --------------------------------------
     def hub_degrees(self, min_deg: int):
         """Owned vertices with degree ≥ min_deg → (vids, degrees)."""

@@ -126,12 +126,21 @@ class PageRankProgram(VertexProgram):
         new_rank = (1.0 - self.d) / self.n + self.d * (in_sum + dangling / self.n)
         delta = float(np.abs(new_rank - self.rank).sum())
         self.rank = new_rank
-        done = step >= self.iters or (self.tol > 0 and delta < self.tol)
-        return {"active": 0 if done else 1, "delta": delta}
+        # Persist a done flag that scatter consults, so a tol-driven stop
+        # actually ends the run (the engine needs active==0 AND sent==0).
+        # The tol test uses the GLOBAL delta folded from the previous step
+        # (`glob["delta"]` is Σ over partitions) — every partition sees the
+        # same value, so they all stop on the same superstep; a local-delta
+        # test would let partitions stop asymmetrically and corrupt ranks.
+        glob_delta = glob.get("delta")
+        self._done = step >= self.iters or (
+            self.tol > 0 and glob_delta is not None and glob_delta < self.tol
+        )
+        return {"active": 0 if self._done else 1, "delta": delta}
 
     def scatter(self, step):
         P = self.csr.num_parts
-        if step >= self.iters:
+        if step >= self.iters or getattr(self, "_done", False):
             return [None] * P, {"sent": 0, "dangling": 0.0}
         dix = self.csr.dst_index()
         contrib = np.where(self.dangling_mask, 0.0, self.rank / np.where(self.outdeg == 0, 1.0, self.outdeg))
