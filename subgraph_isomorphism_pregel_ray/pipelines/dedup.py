@@ -6,9 +6,11 @@
   the hash (the only shuffle) → first-per-group.
 * ``minhash_lsh_pairs`` — near-dup candidate generation + exact verification:
   char-shingle → 128 minhash permutations → band to ``(band, bandhash)``
-  buckets → groupby → within-bucket candidate pairs → exact n-gram Jaccard
-  verify ≥ threshold. The shuffle moves only (band, hash, doc_id) triples,
-  never text; verification re-reads only candidate docs' shingle sets.
+  buckets → groupby → within-bucket candidate pairs → shingle sets routed
+  to pairs (union + two groupby shuffles — a repartition join, with per-doc
+  pair dedup inside) → exact n-gram Jaccard ≥ threshold. The banding shuffle
+  moves only (band, hash, doc_id) triples, never text; shingle sets are
+  computed once per doc and meet their candidate pairs by doc_id.
 * ``simhash`` near-dup — see ``textops.simhash64``; pairs within Hamming
   distance via banding the 64 bits into 8 bytes (same LSH machinery).
 * ``embedding_dup_pairs`` — cosine near-dup over an embedding column;
@@ -109,6 +111,25 @@ def jaccard_ngrams(text_a: str, text_b: str, k: int = 5) -> float:
     return inter / union if union else 1.0
 
 
+def _shingle_table(batch: pa.Table, k: int) -> pa.Table:
+    """(doc_id, text) → (doc_id, sh: binary) — each doc's DISTINCT sorted
+    shingle hashes as a raw uint64 byte blob, computed exactly once per
+    document. Binary (not list<uint64>) so the column survives any shuffle
+    or join layer that rejects nested payload types;
+    ``np.frombuffer(blob, np.uint64)`` is a zero-copy view."""
+    docs = batch["doc_id"].to_numpy()
+    shs = [_shingles(t, k).tobytes() for t in batch["text"].to_pylist()]
+    return pa.table({"doc_id": docs, "sh": pa.array(shs, type=pa.binary())})
+
+
+def _sh_rows(col) -> list[np.ndarray]:
+    """binary shingle column → per-row uint64 arrays (zero-copy views)."""
+    return [np.frombuffer(b, dtype=np.uint64) for b in col.to_pylist()]
+
+
+_PKEY_SHIFT = np.int64(32)  # doc ids < 2^32: pkey = doc_a << 32 | doc_b
+
+
 def minhash_lsh_pairs(
     docs_ds,
     k: int = 5,
@@ -121,95 +142,148 @@ def minhash_lsh_pairs(
     """→ Dataset(doc_a, doc_b, jaccard) of verified near-duplicate pairs.
 
     doc_a < doc_b; jaccard is the exact char-k-gram Jaccard (≥ threshold).
+
+    Fully distributed — nothing is materialized on the driver:
+    1. shingle sets (doc_id, sh) computed ONCE per doc (``map_batches``);
+    2. minhash → band buckets → ``groupby(band, bandhash).map_groups``
+       emits candidate pairs (the shuffle moves only integer triples);
+    3. pairs found by several bands are deduped per member doc during
+       shingle routing (no extra shuffle) so each pair verifies once;
+    4. verification routes each side's shingle set to the pair by doc_id
+       (union + groupby repartition join) and computes exact Jaccard per
+       pair via sorted-array intersection — no text dict broadcast, no
+       per-pair re-shingling.
     """
-    import ray
-    import ray.data as rd
-
     rows_per_band = num_perm // bands
+    a_p, b_p = _perm_params(num_perm, seed)
 
-    sigs = docs_ds.map_batches(
-        lambda t: minhash_signature_batch(t, k, num_perm, seed),
-        batch_format="pyarrow",
+    sh_ds = docs_ds.map_batches(
+        lambda t: _shingle_table(t, k), batch_format="pyarrow"
     )
 
-    def _bands(batch: pa.Table) -> pa.Table:
+    def _sig_bands(batch: pa.Table) -> pa.Table:
+        """shingles → minhash signature → folded band hashes (one pass)."""
+        rows = _sh_rows(batch["sh"])
         n = batch.num_rows
-        sig = (
-            np.asarray(batch["sig"].combine_chunks().flatten(), dtype=np.uint64)
-            .reshape(n, num_perm)
-        )
         doc = batch["doc_id"].to_numpy()
-        out_doc = np.repeat(doc, bands)
-        band_id = np.tile(np.arange(bands, dtype=np.int32), n)
         bh = np.empty((n, bands), dtype=np.uint64)
-        for bi in range(bands):
-            seg = sig[:, bi * rows_per_band : (bi + 1) * rows_per_band]
-            h = np.zeros(n, dtype=np.uint64)
+        for i in range(n):
+            sh = rows[i]
+            vals = (sh[:, None] * a_p[None, :] + b_p[None, :]) % _MERSENNE
+            sig = vals.min(axis=0)
+            seg = sig.reshape(bands, rows_per_band)
+            h = np.zeros(bands, dtype=np.uint64)
             for c in range(rows_per_band):  # fold the band rows (order-dep.)
                 h = h * np.uint64(1099511628211) + seg[:, c]
-            bh[:, bi] = h
+            bh[i] = h
         return pa.table(
             {
-                "doc_id": out_doc,
-                "band": band_id,
+                "doc_id": np.repeat(doc, bands),
+                "band": np.tile(np.arange(bands, dtype=np.int32), n),
                 "bandhash": bh.reshape(-1).view(np.int64),
             }
         )
 
-    buckets = sigs.map_batches(_bands, batch_format="pyarrow")
+    buckets = sh_ds.map_batches(_sig_bands, batch_format="pyarrow")
 
-    # shuffle by (band, bandhash); emit candidate pairs within buckets
+    # shuffle by (band, bandhash); emit packed candidate pairs within buckets
     def _pairs(group):
         import pandas as pd
 
-        docs = np.sort(group["doc_id"].to_numpy())
+        docs = np.sort(group["doc_id"].to_numpy().astype(np.int64))
         if len(docs) < 2:
-            return pd.DataFrame({"doc_a": [], "doc_b": []})
+            return pd.DataFrame({"pkey": np.empty(0, np.int64)})
         if len(docs) > max_bucket:  # hot-bucket cap (see module doc)
             docs = docs[:max_bucket]
         ia, ib = np.triu_indices(len(docs), 1)
-        return pd.DataFrame({"doc_a": docs[ia], "doc_b": docs[ib]})
+        return pd.DataFrame({"pkey": (docs[ia] << _PKEY_SHIFT) | docs[ib]})
 
-    cand = (
-        buckets.groupby(["band", "bandhash"])
-        .map_groups(_pairs, batch_format="pandas")
+    # NOTE: no dedup shuffle here — a pair found by several bands is deduped
+    # per doc inside _attach (np.unique over the doc's pair keys); both
+    # members dedup identically, so each pair still meets exactly twice.
+    cand = buckets.groupby(["band", "bandhash"]).map_groups(
+        _pairs, batch_format="pandas"
     )
-    cand_tbl = cand.to_pandas()
-    if len(cand_tbl) == 0:
-        return rd.from_arrow(
-            pa.table({"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()),
-                      "jaccard": pa.array([], pa.float64())})
-        )
-    cand_tbl = cand_tbl.drop_duplicates().reset_index(drop=True)
 
-    # exact verification: broadcast candidate docs' texts (only candidates!)
-    need = np.unique(np.concatenate([cand_tbl["doc_a"], cand_tbl["doc_b"]]))
-    need_set = set(need.tolist())
-
-    def _texts(batch: pa.Table) -> pa.Table:
-        m = np.array([d in need_set for d in batch["doc_id"].to_numpy()])
-        return batch.filter(pa.array(m)).select(["doc_id", "text"])
-
-    texts = docs_ds.map_batches(_texts, batch_format="pyarrow").to_pandas()
-    text_ref = ray.put(dict(zip(texts["doc_id"], texts["text"])))
-
-    def _verify(batch: pa.Table) -> pa.Table:
-        lookup = ray.get(text_ref)
-        a = batch["doc_a"].to_numpy()
-        b = batch["doc_b"].to_numpy()
-        jac = np.array(
-            [jaccard_ngrams(lookup[x], lookup[y], k) for x, y in zip(a, b)]
-        )
-        keep = jac >= threshold
+    # ---- repartition-join pairs ↔ shingle sets WITHOUT pyarrow joins ------
+    # (a hash-aggregate output can contain schema-less empty blocks on this
+    # Ray build, which acero joins reject; union + groupby shuffles don't
+    # care). Round 1: each pair key is sent to both member docs' groups and
+    # picks up that doc's shingle blob; round 2: the two halves of each pair
+    # meet under the pair key and the exact Jaccard is computed there.
+    def _pair_slots(t: pa.Table) -> pa.Table:
+        pk = t["pkey"].to_numpy()
         return pa.table(
             {
-                "doc_a": a[keep].astype(np.int64),
-                "doc_b": b[keep].astype(np.int64),
-                "jaccard": round_half_away(jac[keep], 6),
+                "doc_id": np.concatenate(
+                    [pk >> _PKEY_SHIFT, pk & np.int64(0xFFFFFFFF)]
+                ),
+                "pkey": np.concatenate([pk, pk]),
+                "sh": pa.array([None] * (2 * len(pk)), type=pa.binary()),
             }
         )
 
-    return rd.from_pandas(cand_tbl).map_batches(_verify, batch_format="pyarrow")
+    def _sh_slots(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].to_numpy().astype(np.int64),
+                "pkey": np.full(t.num_rows, -1, dtype=np.int64),
+                "sh": t["sh"],
+            }
+        )
+
+    slots = cand.map_batches(_pair_slots, batch_format="pyarrow").union(
+        sh_ds.map_batches(_sh_slots, batch_format="pyarrow")
+    )
+
+    def _attach(group: pa.Table) -> pa.Table:
+        pk = group["pkey"].to_numpy()
+        own = np.nonzero(pk == -1)[0]
+        pairs_m = pk != -1
+        if len(own) == 0 or not pairs_m.any():  # doc with no candidates
+            return pa.table(
+                {"pkey": pa.array([], pa.int64()),
+                 "doc_id": pa.array([], pa.int64()),
+                 "sh": pa.array([], pa.binary())}
+            )
+        blob = group["sh"][int(own[0])].as_py()
+        upk = np.unique(pk[pairs_m])  # per-doc pair dedup (multi-band hits)
+        return pa.table(
+            {
+                "pkey": upk,
+                "doc_id": np.full(len(upk), group["doc_id"][0].as_py(), np.int64),
+                "sh": pa.array([blob] * len(upk), type=pa.binary()),
+            }
+        )
+
+    def _judge(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()),
+             "jaccard": pa.array([], pa.float64())}
+        )
+        if group.num_rows != 2:  # degenerate (shouldn't happen)
+            return empty
+        pk = int(group["pkey"][0].as_py())
+        sa, sb = _sh_rows(group["sh"])
+        inter = len(np.intersect1d(sa, sb, assume_unique=True))
+        union = len(sa) + len(sb) - inter
+        jac = inter / union if union else 1.0
+        if jac < threshold:
+            return empty
+        return pa.table(
+            {
+                "doc_a": pa.array([pk >> _PKEY_SHIFT], pa.int64()),
+                "doc_b": pa.array([pk & np.int64(0xFFFFFFFF)], pa.int64()),
+                "jaccard": pa.array([float(round_half_away(jac, 6))], pa.float64()),
+            }
+        )
+
+    return (
+        slots.groupby("doc_id")
+        .map_groups(_attach, batch_format="pyarrow")
+        .groupby("pkey")
+        .map_groups(_judge, batch_format="pyarrow")
+    )
 
 
 def embedding_dup_pairs(
@@ -223,54 +297,74 @@ def embedding_dup_pairs(
 
     ``exact``: each batch × the broadcast full matrix (numpy matmul) — O(n²·d)
     but embarrassingly parallel across batches; right up to ~10⁶ vectors.
-    ``lsh``: random-hyperplane bucket signatures, pairs only within buckets,
-    then exact cosine — the 100 TB path (recall < 1 for borderline pairs, by
-    construction of LSH; stated, not silent).
+    ``lsh``: random-hyperplane bucket signatures computed per batch, pairs
+    scored only within a bucket via ``groupby("bucket").map_groups`` — the
+    100 TB path: the driver never sees a vector, the shuffle moves (id,
+    bucket, embedding) rows, and all-pairs work is bounded per bucket
+    (recall < 1 for borderline pairs, by construction of LSH; stated, not
+    silent).
     """
     import ray
+
+    if method == "lsh":
+
+        def _bucket(batch: pa.Table) -> pa.Table:
+            B = np.stack(batch["embedding"].to_pandas().to_numpy()).astype(np.float64)
+            Bn = B / np.maximum(np.linalg.norm(B, axis=1, keepdims=True), 1e-12)
+            # planes re-derived from the seed in every task: cheaper than a
+            # broadcast for a (dim × num_planes) matrix
+            rng = np.random.default_rng(seed)
+            planes = rng.standard_normal((B.shape[1], num_planes))
+            sig = (Bn @ planes > 0).astype(np.uint64) @ (
+                np.uint64(1) << np.arange(num_planes, dtype=np.uint64)
+            )
+            return pa.table(
+                {
+                    "vec_id": batch["vec_id"],
+                    "bucket": sig.view(np.int64),
+                    "embedding": batch["embedding"],
+                }
+            )
+
+        def _score_bucket(group: pa.Table) -> pa.Table:
+            ids = group["vec_id"].to_numpy().astype(np.int64)
+            empty = pa.table(
+                {
+                    "vec_a": pa.array([], pa.int64()),
+                    "vec_b": pa.array([], pa.int64()),
+                    "cos": pa.array([], pa.float64()),
+                }
+            )
+            if len(ids) < 2:
+                return empty
+            G = np.stack(group["embedding"].to_pandas().to_numpy()).astype(np.float64)
+            Gn = G / np.maximum(np.linalg.norm(G, axis=1, keepdims=True), 1e-12)
+            sub = Gn @ Gn.T
+            ia, ib = np.triu_indices(len(ids), 1)
+            cos = sub[ia, ib]
+            keep = cos >= threshold
+            if not keep.any():
+                return empty
+            a, b = ids[ia[keep]], ids[ib[keep]]
+            lo, hi = np.minimum(a, b), np.maximum(a, b)
+            return pa.table(
+                {
+                    "vec_a": lo,
+                    "vec_b": hi,
+                    "cos": round_half_away(cos[keep], 6),
+                }
+            )
+
+        return (
+            emb_ds.map_batches(_bucket, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(_score_bucket, batch_format="pyarrow")
+        )
 
     mat_tbl = emb_ds.to_pandas()  # id + embedding of the *smaller* side
     ids = mat_tbl["vec_id"].to_numpy()
     M = np.stack(mat_tbl["embedding"].to_numpy()).astype(np.float64)
     Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
-
-    if method == "lsh":
-        rng = np.random.default_rng(seed)
-        planes = rng.standard_normal((M.shape[1], num_planes))
-        sig = (Mn @ planes > 0).astype(np.uint64) @ (
-            np.uint64(1) << np.arange(num_planes, dtype=np.uint64)
-        )
-        order = np.argsort(sig, kind="stable")
-        out_a, out_b, out_c = [], [], []
-        s = 0
-        sig_s = sig[order]
-        for e in list(np.nonzero(np.diff(sig_s))[0] + 1) + [len(sig_s)]:
-            grp = order[s:e]
-            s = e
-            if len(grp) < 2:
-                continue
-            sub = Mn[grp] @ Mn[grp].T
-            ia, ib = np.triu_indices(len(grp), 1)
-            cos = sub[ia, ib]
-            keep = cos >= threshold
-            a, b = ids[grp[ia[keep]]], ids[grp[ib[keep]]]
-            lo, hi = np.minimum(a, b), np.maximum(a, b)
-            out_a.append(lo); out_b.append(hi); out_c.append(cos[keep])
-        import ray.data as rd
-
-        if not out_a:
-            return rd.from_arrow(pa.table({"vec_a": pa.array([], pa.int64()),
-                                           "vec_b": pa.array([], pa.int64()),
-                                           "cos": pa.array([], pa.float64())}))
-        return rd.from_arrow(
-            pa.table(
-                {
-                    "vec_a": np.concatenate(out_a).astype(np.int64),
-                    "vec_b": np.concatenate(out_b).astype(np.int64),
-                    "cos": round_half_away(np.concatenate(out_c), 6),
-                }
-            )
-        )
 
     ref = ray.put((ids, Mn))
 
@@ -302,46 +396,80 @@ def dedup_groups(docs_ds, threshold: float = 0.5, num_parts: int = 4, **lsh_kw):
     resolution scales exactly like components do — no driver-side union-find.
     ``keep`` marks the canonical (min doc_id) member of each group; docs with
     no near-duplicate form singleton groups (keep = True).
+
+    Group assignment is distributed end-to-end: every doc contributes a
+    (doc_id, own-id) row, the CC result contributes (vid, component) rows;
+    a union + ``groupby(doc_id).min`` picks the component when one exists
+    (hash-min labels satisfy component ≤ vid) and the own id otherwise —
+    i.e. a shuffle-join expressed as union+groupby, which sidesteps the
+    schema-less-empty-block limitation of acero joins downstream of
+    aggregates. The keep flag comes from one more ``groupby(group)`` pass.
+    The driver never materializes doc ids or a component dict.
     """
-    import pyarrow as pa
     import ray.data as rd
+    from ray.data.aggregate import Min
 
     from .algorithms import connected_components
 
     pairs = minhash_lsh_pairs(docs_ds, threshold=threshold, **lsh_kw)
-    pair_tbl = pairs.to_pandas()  # candidate pairs are small by construction
-    doc_ids = docs_ds.map_batches(
-        lambda t: pa.table({"doc_id": t["doc_id"]}), batch_format="pyarrow"
-    ).to_pandas()["doc_id"].to_numpy()
 
-    if len(pair_tbl) == 0:
-        return rd.from_arrow(
-            pa.table(
-                {
-                    "doc_id": doc_ids,
-                    "group": doc_ids,
-                    "keep": np.ones(len(doc_ids), dtype=bool),
-                }
-            )
+    def _as_edges(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "src": t["doc_a"].to_numpy().astype(np.uint64),
+                "dst": t["doc_b"].to_numpy().astype(np.uint64),
+            }
         )
 
-    edges = rd.from_arrow(
+    # materialize the (small-by-construction) verified edge set so the
+    # count() probe and the CC run don't re-execute the LSH pipeline
+    edges = pairs.map_batches(_as_edges, batch_format="pyarrow").materialize()
+    doc_only = docs_ds.map_batches(
+        lambda t: pa.table({"doc_id": t["doc_id"].to_numpy().astype(np.int64)}),
+        batch_format="pyarrow",
+    )
+    if edges.count() == 0:  # no near-dups at all → everything is a singleton
+        return doc_only.map_batches(
+            lambda t: pa.table(
+                {
+                    "doc_id": t["doc_id"],
+                    "group": t["doc_id"],
+                    "keep": np.ones(t.num_rows, dtype=bool),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+
+    comp, _ = connected_components(edges, num_parts=num_parts)
+    comp_ds = rd.from_arrow(
         pa.table(
             {
-                "src": pair_tbl["doc_a"].to_numpy().astype(np.uint64),
-                "dst": pair_tbl["doc_b"].to_numpy().astype(np.uint64),
+                "doc_id": comp["vid"].to_numpy().view(np.int64),
+                "comp": comp["component"].to_numpy().view(np.int64),
             }
         )
     )
-    comp, _ = connected_components(edges, num_parts=num_parts)
-    comp_map = dict(
-        zip(comp["vid"].to_numpy().view(np.int64), comp["component"].to_numpy().view(np.int64))
+
+    own = doc_only.map_batches(
+        lambda t: pa.table({"doc_id": t["doc_id"], "comp": t["doc_id"]}),
+        batch_format="pyarrow",
     )
-    group = np.array([comp_map.get(int(d), int(d)) for d in doc_ids], dtype=np.int64)
-    order = np.lexsort((doc_ids, group))
-    keep = np.zeros(len(doc_ids), dtype=bool)
-    first = np.concatenate([[True], group[order][1:] != group[order][:-1]])
-    keep[order[first]] = True
-    return rd.from_arrow(
-        pa.table({"doc_id": doc_ids, "group": group, "keep": keep})
+    # min over {own id, component} = component when present (labels are
+    # hash-min, so component ≤ every member vid), own id for singletons
+    with_group = (
+        own.union(comp_ds)
+        .groupby("doc_id")
+        .aggregate(Min("comp", alias_name="group"))
     )
+
+    def _mark(group: pa.Table) -> pa.Table:
+        docs = group["doc_id"].to_numpy()
+        return pa.table(
+            {
+                "doc_id": docs,
+                "group": group["group"],
+                "keep": docs == docs.min(),
+            }
+        )
+
+    return with_group.groupby("group").map_groups(_mark, batch_format="pyarrow")
