@@ -76,8 +76,11 @@ def main(argv=None):
     p = sub.add_parser("match")
     common(p)
     p.add_argument("-q", "--query", required=True, help="query graph (.txt, reference format)")
-    p.add_argument("-order", "--order", default="degree", choices=["degree"],
+    p.add_argument("-order", "--order", default="degree",
+                   choices=["degree", "anti-degree", "random", "candidate"],
                    help="root/DFS ordering strategy (reference -order)")
+    p.add_argument("--seed", type=int, default=13,
+                   help="seed for -order random (deterministic)")
 
     p = sub.add_parser("extract")
     p.add_argument("--pages", required=True, help="pages parquet (url, html, …)")
@@ -110,7 +113,8 @@ def main(argv=None):
         with open(args.query) as f:
             qlabels, qedges = parse_query_text(f.read())
         count, lineage = match_count(
-            edges_ds, qlabels, qedges, labels_ds=labels_ds, num_parts=args.parts
+            edges_ds, qlabels, qedges, labels_ds=labels_ds, num_parts=args.parts,
+            order=args.order, seed=args.seed,
         )
         # the reference's shipped deliverable (pregel_app_subgraph.h:914-919)
         print(f"Mapping count: {count}")

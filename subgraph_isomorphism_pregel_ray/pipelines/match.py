@@ -25,11 +25,45 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["build_plan", "match_count", "brute_force_count", "toy_graph", "toy_query"]
+__all__ = [
+    "build_plan",
+    "candidate_stats",
+    "match_count",
+    "brute_force_count",
+    "toy_graph",
+    "toy_query",
+    "ORDER_STRATEGIES",
+]
 
 
-def build_plan(labels: list[int], edges: list[tuple[int, int]], root: int | None = None) -> dict:
-    """Compute the flat matching plan (see module doc)."""
+ORDER_STRATEGIES = ("degree", "anti-degree", "random", "candidate")
+
+
+def build_plan(
+    labels: list[int],
+    edges: list[tuple[int, int]],
+    root: int | None = None,
+    order: str = "degree",
+    cand_stats: tuple[list[int], dict] | None = None,
+    seed: int = 13,
+) -> dict:
+    """Compute the flat matching plan (see module doc).
+
+    ``order`` selects root + DFS child ordering, mirroring the reference's
+    ``-order`` strategies (``SItypes/SIQuery.h:234-268`` root,
+    ``:373-402`` children):
+
+    * ``degree``      — root = max query degree; children high-degree first.
+    * ``anti-degree`` — root = min query degree; children low-degree first.
+    * ``random``      — seeded random root and child order (the reference's
+      "random" is root 0 + hash-set iteration order; any order is count-
+      preserving, so we make it reproducibly random instead).
+    * ``candidate``   — root = smallest data-graph candidate set
+      (``agg_mat[u][u]``); children by fewest candidate edges to the parent
+      (``agg_mat[curr][next]``) — pass ``cand_stats`` = (diag, pair) from
+      :func:`candidate_stats`.
+    Embedding counts are strategy-invariant (tested); only cost differs.
+    """
     k = len(labels)
     adj: list[set[int]] = [set() for _ in range(k)]
     for a, b in edges:
@@ -39,24 +73,54 @@ def build_plan(labels: list[int], edges: list[tuple[int, int]], root: int | None
         adj[b].add(a)
     if any(not a for a in adj) and k > 1:
         raise ValueError("query must be connected")
-    if root is None:  # '-order degree': max degree, tie → min id
-        root = max(range(k), key=lambda u: (len(adj[u]), -u))
+    if order not in ORDER_STRATEGIES:
+        raise ValueError(f"order must be one of {ORDER_STRATEGIES}")
+    if order == "candidate" and cand_stats is None:
+        raise ValueError("order='candidate' needs cand_stats (candidate_stats())")
+    rng = np.random.default_rng(seed)
+    rnd = {u: rng.random() for u in range(k)} if order == "random" else None
+    diag, pair = cand_stats if cand_stats is not None else (None, None)
 
-    order: list[int] = []
+    def _root_key(u: int):
+        if order == "degree":
+            return (len(adj[u]), -u)  # max degree, tie → min id
+        if order == "anti-degree":
+            return (-len(adj[u]), -u)  # min degree, tie → min id
+        if order == "random":
+            return (rnd[u], -u)
+        return (-diag[u], -u)  # candidate: min candidate count, tie → min id
+
+    def _child_key(u: int, c: int):
+        # sorted ASC then pushed to a stack → the LAST element pops FIRST;
+        # each key is built so the preferred child sorts last.
+        if order == "degree":
+            return (len(adj[c]), -c)  # prefer high degree
+        if order == "anti-degree":
+            return (-len(adj[c]), -c)  # prefer low degree
+        if order == "random":
+            return (rnd[c], -c)
+        a, b = (u, c) if u > c else (c, u)
+        return (-pair.get((a, b), 0), -c)  # prefer few candidate edges
+
+    if root is None:
+        root = max(range(k), key=_root_key)
+
+    order_l: list[int] = []
     parent: dict[int, int] = {root: -1}
     seen = {root}
     stack = [root]
     while stack:
         u = stack.pop()
-        order.append(u)
+        order_l.append(u)
         children = sorted(
             (c for c in adj[u] if c not in seen),
-            key=lambda c: (len(adj[c]), -c),
+            key=lambda c: _child_key(u, c),
         )
-        for c in children:  # stack pops highest-degree child first
+        for c in children:  # stack pops the last (preferred) child first
             seen.add(c)
             parent[c] = u
             stack.append(c)
+    order = order_l
     if len(order) != k:
         raise ValueError("query must be connected")
 
@@ -120,6 +184,41 @@ def build_plan(labels: list[int], edges: list[tuple[int, int]], root: int | None
     return plan
 
 
+def candidate_stats(engine, query_labels, query_edges):
+    """Data-graph candidate statistics for ``order='candidate'`` planning —
+    the Ray analogue of the reference's PREPROCESS aggregation
+    (``SItypes/SIAggregator.h:4-13``): ``diag[u]`` = # data vertices passing
+    u's label+LDF filter; ``pair[(u1,u2)]`` (u1 > u2, query-adjacent only) =
+    # data edges whose endpoints pass the two filters. One vectorized pass
+    over each partition's edge arrays, folded on the driver (k² ints)."""
+    k = len(query_labels)
+    adj: list[set[int]] = [set() for _ in range(k)]
+    for a, b in query_edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    qdeg = [len(adj[u]) for u in range(k)]
+    qpairs = sorted({(max(a, b), min(a, b)) for a, b in query_edges})
+
+    import ray
+
+    engine.exchange_attr("label")
+    engine.exchange_attr("degree")
+    parts = ray.get(
+        [
+            a.candidate_counts.remote(list(query_labels), qdeg, qpairs)
+            for a in engine.actors
+        ]
+    )
+    diag = [0] * k
+    pair: dict[tuple[int, int], int] = {p: 0 for p in qpairs}
+    for d, pr in parts:
+        for u in range(k):
+            diag[u] += int(d[u])
+        for p, c in zip(qpairs, pr):
+            pair[p] += int(c)
+    return diag, pair
+
+
 def match_count(
     edges_or_engine,
     query_labels: list[int],
@@ -127,23 +226,32 @@ def match_count(
     labels_ds=None,
     num_parts: int = 8,
     max_chunk: int = 500_000,
+    order: str = "degree",
+    seed: int = 13,
 ) -> tuple[int, dict]:
     """Count embeddings of the labeled query in the labeled data graph.
 
     ``edges_or_engine``: edge Dataset (symmetrized internally) + ``labels_ds``
     Dataset(vid:uint64, label:int64), or a prepared BSPEngine whose verts
-    layout already carries labels.
+    layout already carries labels. ``order``: plan strategy (see
+    :func:`build_plan`); ``candidate`` computes its data-graph statistics on
+    the engine first.
     """
     from .algorithms import build_engine
     from .bsp import BSPEngine
 
-    plan = build_plan(query_labels, query_edges)
     own = not isinstance(edges_or_engine, BSPEngine)
     eng = (
         build_engine(edges_or_engine, num_parts, labels_ds=labels_ds, directed=False)
         if own
         else edges_or_engine
     )
+    stats = (
+        candidate_stats(eng, query_labels, query_edges)
+        if order == "candidate"
+        else None
+    )
+    plan = build_plan(query_labels, query_edges, order=order, cand_stats=stats, seed=seed)
     lineage = eng.run(
         "match",
         {"plan": plan, "max_chunk": max_chunk},

@@ -121,6 +121,34 @@ class GraphPartition:
         (vals,) = self.attr_serve(name, [req])
         return self.attr_store(name, [vals])
 
+    def candidate_counts(self, qlabels: list, qdegs: list, qpairs: list):
+        """Candidate statistics for ``-order candidate`` planning (the
+        reference PREPROCESS aggregation, ``SItypes/SIAggregator.h:4-13``):
+        per query vertex u, # owned vertices with label(u) and degree ≥
+        deg_Q(u); per query edge (u1,u2), # owned edges whose src passes u1's
+        filter and whose neighbor passes u2's (requires the label+degree
+        attribute exchange). Vectorized over the partition's edge arrays."""
+        deg = self.csr.degrees()
+        lab = (
+            self.csr.labels
+            if self.csr.labels is not None
+            else np.zeros(self.csr.num_vertices, dtype=np.int64)
+        )
+        diag = [int(((lab == l) & (deg >= d)).sum()) for l, d in zip(qlabels, qdegs)]
+        counts = np.diff(self.csr.indptr)
+        src_row = np.repeat(np.arange(self.csr.num_vertices, dtype=np.int64), counts)
+        s_lab, s_deg = lab[src_row], deg[src_row]
+        n_lab = self.csr.nbr_labels
+        n_deg = self.csr.nbr_attr["degree"]
+        pair = []
+        for u1, u2 in qpairs:  # symmetric edge list → one direction suffices
+            m = (
+                (s_lab == qlabels[u1]) & (s_deg >= qdegs[u1])
+                & (n_lab == qlabels[u2]) & (n_deg >= qdegs[u2])
+            )
+            pair.append(int(m.sum()))
+        return diag, pair
+
     # ---- hub mirror (skew handling) --------------------------------------
     def hub_degrees(self, min_deg: int):
         """Owned vertices with degree ≥ min_deg → (vids, degrees)."""

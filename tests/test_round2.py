@@ -131,6 +131,122 @@ def test_ivf_inverted_index_prunes_and_matches(ray_session, tmp_path):
 
 
 # ---------------------------------------------------------------------------
+_QUERIES = {
+    "P3": ([0, 1, 0], [(0, 1), (1, 2)]),
+    "tri": ([0, 1, 2], [(0, 1), (1, 2), (2, 0)]),
+    "4cyc": ([0, 2, 1, 2], [(0, 1), (1, 2), (2, 3), (3, 0)]),
+    "chair": ([0, 1, 0, 1, 2], [(0, 1), (1, 2), (2, 3), (1, 4)]),
+    "star3": ([1, 0, 0, 0], [(0, 1), (0, 2), (0, 3)]),
+}
+
+
+def _local_cand_stats(labels, edges, ql, qe):
+    """Test-side candidate stats with the engine's directed-symmetric edge
+    convention (each undirected edge counted in both directions)."""
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    deg = {v: len(ns) for v, ns in adj.items()}
+    k = len(ql)
+    qadj = [set() for _ in range(k)]
+    for a, b in qe:
+        qadj[a].add(b)
+        qadj[b].add(a)
+    qdeg = [len(s) for s in qadj]
+    diag = [
+        sum(1 for v in labels if labels[v] == ql[u] and deg.get(v, 0) >= qdeg[u])
+        for u in range(k)
+    ]
+    pair = {}
+    for a, b in qe:
+        u1, u2 = (max(a, b), min(a, b))
+        c = 0
+        for v, w in edges:
+            for x, y in ((v, w), (w, v)):
+                if (
+                    labels[x] == ql[u1] and deg[x] >= qdeg[u1]
+                    and labels[y] == ql[u2] and deg[y] >= qdeg[u2]
+                ):
+                    c += 1
+        pair[(u1, u2)] = c
+    return diag, pair
+
+
+@pytest.mark.parametrize("strategy", ["degree", "anti-degree", "random", "candidate"])
+def test_match_order_strategies_vs_brute_force(strategy):
+    """Counts must be invariant across plan order strategies and match the
+    brute-force oracle (reference -order modes, SItypes/SIQuery.h:234-268)."""
+    from subgraph_isomorphism_pregel_ray.pipelines.match import (
+        brute_force_count,
+        build_plan,
+    )
+    from subgraph_isomorphism_pregel_ray.state.local import LocalBSP
+
+    for trial in range(3):
+        rng = np.random.default_rng(300 + trial)
+        n = [30, 60, 100][trial]
+        m = n * 3
+        s, d = rng.integers(0, n, m), rng.integers(0, n, m)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        verts = np.unique(np.concatenate([s, d]))
+        labels = {int(v): int(v % 3) for v in verts}
+        edges = list({(int(min(a, b)), int(max(a, b))) for a, b in zip(s, d)})
+        for qname, (ql, qe) in _QUERIES.items():
+            if max(ql) >= 3:
+                continue
+            stats = (
+                _local_cand_stats(labels, edges, ql, qe)
+                if strategy == "candidate"
+                else None
+            )
+            plan = build_plan(ql, qe, order=strategy, cand_stats=stats, seed=trial)
+            oracle = brute_force_count(labels, edges, ql, qe)
+            eng = LocalBSP(s, d, num_parts=4, labels=labels, directed=False)
+            eng.run("match", {"plan": plan}, max_steps=2 * len(ql) + 2)
+            assert eng.scalars()["embeddings"] == oracle, (strategy, trial, qname)
+
+
+def test_candidate_stats_on_engine(ray_session):
+    """candidate_stats on the real BSP engine matches the local oracle, and
+    order='candidate' reproduces the toy golden count of 4."""
+    import ray.data as rd
+
+    from subgraph_isomorphism_pregel_ray.pipelines.algorithms import build_engine
+    from subgraph_isomorphism_pregel_ray.pipelines.match import (
+        candidate_stats,
+        match_count,
+        toy_graph,
+        toy_query,
+    )
+
+    labels, edges = toy_graph()
+    ql, qe = toy_query()
+    src = np.array([a for a, _ in edges], dtype=np.int64)
+    dst = np.array([b for _, b in edges], dtype=np.int64)
+    edges_ds = rd.from_arrow(pa.table({"src": src, "dst": dst}))
+    labels_ds = rd.from_arrow(
+        pa.table(
+            {
+                "vid": np.array(sorted(labels), dtype=np.uint64),
+                "label": np.array([labels[v] for v in sorted(labels)], dtype=np.int64),
+            }
+        )
+    )
+    eng = build_engine(edges_ds, 3, labels_ds=labels_ds, directed=False)
+    try:
+        diag, pair = candidate_stats(eng, ql, qe)
+        want_diag, want_pair = _local_cand_stats(labels, edges, ql, qe)
+        assert diag == want_diag
+        assert pair == want_pair
+        count, _ = match_count(eng, ql, qe, order="candidate")
+        assert count == 4
+    finally:
+        eng.shutdown()
+
+
+# ---------------------------------------------------------------------------
 def test_lang_id_overlapping_stopwords(ray_session):
     """'la'/'un'/'que' belong to BOTH fr and es stopword sets — the
     vectorized membership must credit every language (equal-range, not
