@@ -186,6 +186,29 @@ def _q_match_4cycle(sf_dir: str):
     return _match(sf_dir, [0, 2, 1, 2], [(0, 1), (1, 2), (2, 3), (3, 0)])
 
 
+# 7-vertex branchy deep query (reference benchmark shape, dev/tmp.out:14-19
+# scaled up: depth 4, 3-way branch at the root) over the STRONG co-purchase
+# graph (pairs sharing ≥ 2 distinct orders — the plain graph is too dense
+# for a 7-vertex count to stay bounded at any sf).
+DEEP_QL = [0, 1, 2, 0, 1, 0, 2]
+DEEP_QE = [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5), (2, 6)]
+
+
+def _q_match_deep_tree(sf_dir: str):
+    from subgraph_isomorphism_pregel_ray.pipelines.build_graph import symmetrize
+    from subgraph_isomorphism_pregel_ray.pipelines.match import match_count
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import (
+        copurchase_edges,
+        part_labels,
+    )
+
+    edges = symmetrize(copurchase_edges(sf_dir, min_orders=2))
+    count, _ = match_count(
+        edges, DEEP_QL, DEEP_QE, labels_ds=part_labels(sf_dir, mod=3), num_parts=4
+    )
+    return pa.table({"n_embeddings": pa.array([count], type=pa.int64())})
+
+
 def _q_match_triangle_per_root(sf_dir: str):
     from subgraph_isomorphism_pregel_ray.pipelines.match import build_plan
 
@@ -318,6 +341,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "match_triangle_labeled": _q_match_triangle,
         "match_p3_labeled": _q_match_p3,
         "match_4cycle_labeled": _q_match_4cycle,
+        "match_deep_tree": _q_match_deep_tree,
         "match_triangle_per_root": _q_match_triangle_per_root,
         "token_count": _q_token_count,
         "text_stats": _q_text_stats,
@@ -485,6 +509,30 @@ def oracle_sql() -> dict[str, str]:
             "JOIN lab c ON c.vid = e2.dst JOIN lab d ON d.vid = e3.dst "
             "WHERE a.l = 0 AND b.l = 2 AND c.l = 1 AND d.l = 2 "
             "AND e1.src <> e2.dst AND e1.dst <> e3.dst"
+        ),
+        "match_deep_tree": (
+            "WITH e AS MATERIALIZED (SELECT a.l_partkey AS src, b.l_partkey AS dst "
+            "FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey "
+            "WHERE a.l_partkey <> b.l_partkey GROUP BY 1, 2 "
+            "HAVING count(DISTINCT a.l_orderkey) >= 2), "
+            "lab AS MATERIALIZED (SELECT p_partkey AS vid, p_size % 3 AS l FROM part) "
+            "SELECT count(*) AS n_embeddings "
+            "FROM e e01 "
+            "JOIN e e12 ON e12.src = e01.dst "
+            "JOIN e e23 ON e23.src = e12.dst "
+            "JOIN e e34 ON e34.src = e23.dst "
+            "JOIN e e45 ON e45.src = e34.dst "
+            "JOIN e e26 ON e26.src = e12.dst "
+            "JOIN lab l0 ON l0.vid = e01.src AND l0.l = 0 "
+            "JOIN lab l1 ON l1.vid = e01.dst AND l1.l = 1 "
+            "JOIN lab l2 ON l2.vid = e12.dst AND l2.l = 2 "
+            "JOIN lab l3 ON l3.vid = e23.dst AND l3.l = 0 "
+            "JOIN lab l4 ON l4.vid = e34.dst AND l4.l = 1 "
+            "JOIN lab l5 ON l5.vid = e45.dst AND l5.l = 0 "
+            "JOIN lab l6 ON l6.vid = e26.dst AND l6.l = 2 "
+            "WHERE e01.src <> e23.dst AND e01.src <> e45.dst "
+            "AND e23.dst <> e45.dst AND e01.dst <> e34.dst "
+            "AND e12.dst <> e26.dst"
         ),
         "match_triangle_per_root": (
             f"WITH {_ESYM}, lab AS (SELECT p_partkey AS vid, p_size % 3 AS l FROM part) "

@@ -146,6 +146,34 @@ def run_bench() -> dict:
         q[qname + "_embeddings"] = emb
 
     eng.shutdown()
+
+    # --- deep branchy query (7 vertices, depth 4, 3-way branch) over the
+    # STRONG co-purchase graph (pairs sharing ≥ 2 orders); tracks the peak
+    # per-superstep exchange volume (frontier width bound evidence) ---------
+    DEEP_QL = [0, 1, 2, 0, 1, 0, 2]
+    DEEP_QE = [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5), (2, 6)]
+    sdir = f"/tmp/graft_bench_strong_{NUM_CPUS}"
+    shutil.rmtree(sdir, ignore_errors=True)
+    t0 = time.perf_counter()
+    partition_graph(
+        symmetrize(copurchase_edges(SF_DIR, min_orders=2)),
+        P,
+        sdir,
+        labels_ds=part_labels(SF_DIR, mod=3),
+        directed=True,
+    )
+    seng = BSPEngine(sdir, P)
+    q["strong_graph_build"] = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    lin_deep = seng.run(
+        "match", {"plan": build_plan(DEEP_QL, DEEP_QE)}, max_steps=2 * len(DEEP_QL) + 2
+    )
+    q["match_deep"] = time.perf_counter() - t0
+    q["match_deep_embeddings"] = seng.scalar_results().get("embeddings")
+    q["match_deep_peak_bytes"] = max(
+        (r.get("sent_bytes", 0) for r in lin_deep["lineage"]), default=0
+    )
+    seng.shutdown()
     ray.shutdown()
 
     total_steps = pr_steps + lin_cc["steps"]
@@ -153,7 +181,14 @@ def run_bench() -> dict:
     timing = {k: round(v, 3) for k, v in q.items()}
     return {
         "metric": "headline link-graph pipeline (extract + build + PR/CC/LPA/tri/match) wall time",
-        "value": round(sum(v for k, v in q.items() if not k.endswith("_embeddings")), 3),
+        "value": round(
+            sum(
+                v
+                for k, v in q.items()
+                if not (k.endswith("_embeddings") or k.endswith("_peak_bytes"))
+            ),
+            3,
+        ),
         "unit": "sec",
         "queries": timing,
         "sf": SF_DIR,

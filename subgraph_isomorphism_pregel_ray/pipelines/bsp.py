@@ -249,6 +249,7 @@ class BSPEngine:
                 "step": step,
                 "active": int(glob.get("active", 0)),
                 "sent": int(glob.get("sent", 0)),
+                "sent_bytes": int(glob.get("sent_bytes", 0)),
                 "wall_sec": wall,
                 "t_fetch_max": glob.get("t_fetch_max", 0.0),
                 "t_apply_max": glob.get("t_apply_max", 0.0),

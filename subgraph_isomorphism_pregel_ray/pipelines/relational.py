@@ -88,8 +88,14 @@ def q1_lineitem(sf_dir: str, ship_before: str = "1998-09-01"):
 _PAIR_SHIFT = np.int64(1) << np.int64(21)  # partkeys < 2^21 per TPC-H scaling
 
 
-def copurchase_edges(sf_dir: str, num_buckets: int = 32):
+def copurchase_edges(sf_dir: str, num_buckets: int = 32, min_orders: int = 1):
     """Distinct co-purchase part pairs: (src < dst) parts sharing an order.
+
+    ``min_orders`` > 1 keeps only pairs co-purchased in at least that many
+    DISTINCT orders (the "strong" co-purchase graph — much sparser; used by
+    the deep-query benchmark). Orders are whole within a bucket, so the
+    per-bucket distinct-order count per pair sums globally to the exact
+    distinct-order count.
 
     The explicit partitioned self-join: hash l_orderkey into ``num_buckets``,
     one ``map_groups`` per WHOLE bucket generates all within-order pairs
@@ -121,20 +127,38 @@ def copurchase_edges(sf_dir: str, num_buckets: int = 32):
         right = pk_s[flat_gather(np.repeat(starts_idx, counts), cpe)]
         m = left < right
         key = left[m].astype(np.int64) * _PAIR_SHIFT + right[m].astype(np.int64)
-        return pa.table({"k": np.unique(key)})
+        if min_orders <= 1:
+            return pa.table({"k": np.unique(key)})
+        # distinct-order count per pair in this bucket: a part can appear in
+        # several lineitems of one order, so dedup (order, pair) rows first
+        # (lexsort + adjacent-dedup), then count orders per pair
+        okm = np.repeat(ok_s, cpe)[m]
+        o2 = np.lexsort((okm, key))
+        ks, os_ = key[o2], okm[o2]
+        first = np.concatenate([[True], (ks[1:] != ks[:-1]) | (os_[1:] != os_[:-1])])
+        uk, c = np.unique(ks[first], return_counts=True)
+        return pa.table({"k": uk, "c": c.astype(np.int64)})
 
     def _decode(t: pa.Table) -> pa.Table:
         k = t["k"].to_numpy()
+        if min_orders > 1:
+            keep = t["n"].to_numpy() >= min_orders
+            k = k[keep]
         return pa.table({"src": k // _PAIR_SHIFT, "dst": k % _PAIR_SHIFT})
 
-    return (
+    grouped = (
         li.map_batches(_bucket, batch_format="pyarrow")
         .groupby("b")
         .map_groups(_bucket_pairs, batch_format="pyarrow")
         .groupby("k", num_partitions=max(2, num_buckets // 4))
-        .aggregate(Count(alias_name="n"))
-        .map_batches(_decode, batch_format="pyarrow")
     )
+    if min_orders > 1:
+        from ray.data.aggregate import Sum
+
+        agg = grouped.aggregate(Sum("c", alias_name="n"))
+    else:
+        agg = grouped.aggregate(Count(alias_name="n"))
+    return agg.map_batches(_decode, batch_format="pyarrow")
 
 
 def copurchase_edges_join(sf_dir: str, num_partitions: int | None = None):

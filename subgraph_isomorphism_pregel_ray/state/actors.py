@@ -36,6 +36,30 @@ def _read_part_dir(path_glob: str, columns=None) -> pa.Table | None:
     return pa.concat_tables([pq.read_table(f, columns=columns) for f in files])
 
 
+def _outbox_bytes(outbox) -> int:
+    """Payload bytes of one scatter's outbox (numpy arrays inside the
+    per-destination message dicts) — the per-superstep exchange volume the
+    deep-query benchmark tracks (peak frontier width)."""
+    total = 0
+    for msg in outbox or ():
+        if msg is None:
+            continue
+        if isinstance(msg, dict):
+            vals = msg.values()
+        elif isinstance(msg, (list, tuple)):
+            vals = msg
+        else:
+            vals = (msg,)
+        for v in vals:
+            if isinstance(v, np.ndarray):
+                total += v.nbytes
+            elif isinstance(v, (list, tuple)):
+                total += sum(
+                    x.nbytes for x in v if isinstance(x, np.ndarray)
+                )
+    return total
+
+
 @ray.remote
 class GraphPartition:
     """Holds one partition's CSR and runs program supersteps on it."""
@@ -234,6 +258,7 @@ class GraphPartition:
         t1 = time.perf_counter()
         stats = dict(stats_a)
         stats.update(stats_s)
+        stats["sent_bytes"] = _outbox_bytes(outbox)
         stats.update(
             part=self.part,
             t_fetch=t_get - t0,

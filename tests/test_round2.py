@@ -247,6 +247,78 @@ def test_candidate_stats_on_engine(ray_session):
 
 
 # ---------------------------------------------------------------------------
+SF_SMOKE = "/root/testdata/sf0.001"
+
+
+def test_copurchase_min_orders_vs_duckdb(ray_session):
+    """Strong co-purchase graph (pairs sharing ≥ 2 distinct orders) must
+    reproduce the SQL HAVING count(DISTINCT orderkey) >= 2 exactly."""
+    import duckdb
+
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import copurchase_edges
+
+    got = (
+        copurchase_edges(SF_SMOKE, min_orders=2)
+        .to_pandas()
+        .sort_values(["src", "dst"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    want = con.sql(
+        f"""SELECT a.l_partkey AS src, b.l_partkey AS dst
+        FROM read_parquet('{SF_SMOKE}/lineitem.parquet') a
+        JOIN read_parquet('{SF_SMOKE}/lineitem.parquet') b
+          ON a.l_orderkey = b.l_orderkey
+        WHERE a.l_partkey < b.l_partkey GROUP BY 1, 2
+        HAVING count(DISTINCT a.l_orderkey) >= 2 ORDER BY 1, 2"""
+    ).df()
+    assert len(got) == len(want)
+    assert (got["src"].to_numpy() == want["src"].to_numpy()).all()
+    assert (got["dst"].to_numpy() == want["dst"].to_numpy()).all()
+
+
+def test_deep_query_engine_vs_bruteforce(ray_session):
+    """7-vertex branchy query (depth 4, 3-way branch) on the strong graph:
+    engine count == brute force, and the lineage reports per-superstep
+    message bytes (the frontier-width bound the bench tracks)."""
+    import duckdb
+
+    from subgraph_isomorphism_pregel_ray.pipelines.build_graph import symmetrize
+    from subgraph_isomorphism_pregel_ray.pipelines.match import (
+        brute_force_count,
+        match_count,
+    )
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import (
+        copurchase_edges,
+        part_labels,
+    )
+
+    ql = [0, 1, 2, 0, 1, 0, 2]
+    qe = [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5), (2, 6)]
+    strong = copurchase_edges(SF_SMOKE, min_orders=2).to_pandas()
+    edges = list(zip(strong["src"].astype(int), strong["dst"].astype(int)))
+    con = duckdb.connect()
+    lab_df = con.sql(
+        f"SELECT p_partkey AS vid, p_size % 3 AS l FROM "
+        f"read_parquet('{SF_SMOKE}/part.parquet')"
+    ).df()
+    labels = dict(zip(lab_df["vid"].astype(int), lab_df["l"].astype(int)))
+    oracle = brute_force_count(labels, edges, ql, qe)
+
+    count, lineage = match_count(
+        symmetrize(copurchase_edges(SF_SMOKE, min_orders=2)),
+        ql,
+        qe,
+        labels_ds=part_labels(SF_SMOKE, mod=3),
+        num_parts=4,
+    )
+    assert count == oracle
+    rows = lineage["lineage"]
+    assert all("sent_bytes" in r for r in rows)
+    assert max(r["sent_bytes"] for r in rows) > 0
+
+
+# ---------------------------------------------------------------------------
 def test_lang_id_overlapping_stopwords(ray_session):
     """'la'/'un'/'que' belong to BOTH fr and es stopword sets — the
     vectorized membership must credit every language (equal-range, not
