@@ -304,6 +304,21 @@ def _q_ann_topk_ivf(sf_dir: str):
     return ann_topk_ivf(_emb(sf_dir), ANN_QUERY_IDS, k=ANN_K, index_dir=idx)
 
 
+def _q_media_features(sf_dir: str):
+    """Multimodal plumbing query (rows-only: decode is a documented stub —
+    no codec libs in the container; the actor-pool stage, schema and batch
+    layout are real). Deterministic synthetic media table, independent of
+    sf_dir by design."""
+    import ray.data as rd
+
+    from subgraph_isomorphism_pregel_ray.pipelines.multimodal import (
+        decode_features,
+        synth_media_table,
+    )
+
+    return decode_features(rd.from_arrow(synth_media_table(300, seed=42)))
+
+
 # ---- relational / streaming-shaped ---------------------------------------
 def _q_q1(sf_dir: str):
     from subgraph_isomorphism_pregel_ray.pipelines.relational import q1_lineitem
@@ -357,6 +372,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_window": _q_events_window,
         "events_sessionize": _q_events_sessionize,
         "dedup_groups": _q_dedup_groups,
+        "media_features": _q_media_features,
     }
 
 

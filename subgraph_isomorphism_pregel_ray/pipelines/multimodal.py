@@ -62,11 +62,17 @@ class ImageDecodeStage:
 
     Use: ``ds.map_batches(ImageDecodeStage, batch_size=64, concurrency=N,
     num_cpus=1, batch_format="pyarrow")``.
+
+    ``decoder`` is the pluggable codec seam: any callable
+    ``(payload: bytes, width: int, height: int) -> np.ndarray[h, w]``.
+    A real build passes e.g. a PIL/libjpeg wrapper via
+    ``fn_constructor_kwargs={"decoder": my_decoder}``; the default is the
+    deterministic fake (no codec libs in this container). Constructed ONCE
+    per actor — codec/model setup belongs here, not in ``__call__``.
     """
 
-    def __init__(self):
-        # real build: load codec / model ONCE per actor here
-        self._decode = _fake_decode
+    def __init__(self, decoder=None):
+        self._decode = decoder if decoder is not None else _fake_decode
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch["media_id"].to_numpy()
@@ -131,12 +137,15 @@ class FrameSampleStage:
         )
 
 
-def decode_features(media_ds, concurrency: int = 2):
-    """The canonical actor-pool invocation (tested in tests/test_textops.py)."""
+def decode_features(media_ds, concurrency: int = 2, decoder=None):
+    """The canonical actor-pool invocation (tested in tests/test_textops.py).
+    ``decoder`` plugs a real codec into every actor (see ImageDecodeStage)."""
+    kwargs = {"fn_constructor_kwargs": {"decoder": decoder}} if decoder else {}
     return media_ds.map_batches(
         ImageDecodeStage,
         batch_format="pyarrow",
         batch_size=64,
         concurrency=concurrency,
         num_cpus=1,
+        **kwargs,
     )

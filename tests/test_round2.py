@@ -319,6 +319,30 @@ def test_deep_query_engine_vs_bruteforce(ray_session):
 
 
 # ---------------------------------------------------------------------------
+def test_multimodal_codec_seam(ray_session):
+    """The decoder is injectable per actor (fn_constructor_kwargs seam): a
+    custom fake must actually be used by every actor."""
+    import ray.data as rd
+
+    from subgraph_isomorphism_pregel_ray.pipelines.multimodal import (
+        decode_features,
+        synth_media_table,
+    )
+
+    def all_sevens(payload, width, height):
+        return np.full((height, width), 7, dtype=np.uint8)
+
+    ds = rd.from_arrow(synth_media_table(50, seed=1))
+    out = decode_features(ds, decoder=all_sevens).to_pandas()
+    assert len(out) == 50
+    assert (out["px_mean"] == 7.0).all()
+    assert (out["px_std"] == 0.0).all()
+    # default stub produces non-constant pixels — the seam changed behavior
+    base = decode_features(ds).to_pandas()
+    assert not (base["px_std"] == 0.0).all()
+
+
+# ---------------------------------------------------------------------------
 def test_lang_id_overlapping_stopwords(ray_session):
     """'la'/'un'/'que' belong to BOTH fr and es stopword sets — the
     vectorized membership must credit every language (equal-range, not
