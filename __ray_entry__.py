@@ -209,6 +209,26 @@ def _q_match_deep_tree(sf_dir: str):
     return pa.table({"n_embeddings": pa.array([count], type=pa.int64())})
 
 
+def _q_match_embeddings_tri(sf_dir: str):
+    """Embedding ENUMERATION (not just the count): labeled triangles of the
+    strong co-purchase graph as (v0, v1, v2) rows — the reference's disabled
+    per-embedding dump, working."""
+    from subgraph_isomorphism_pregel_ray.pipelines.build_graph import symmetrize
+    from subgraph_isomorphism_pregel_ray.pipelines.match import match_embeddings
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import (
+        copurchase_edges,
+        part_labels,
+    )
+
+    return match_embeddings(
+        symmetrize(copurchase_edges(sf_dir, min_orders=2)),
+        [0, 1, 2],
+        [(0, 1), (1, 2), (2, 0)],
+        labels_ds=part_labels(sf_dir, mod=3),
+        num_parts=4,
+    )
+
+
 def _q_match_triangle_per_root(sf_dir: str):
     from subgraph_isomorphism_pregel_ray.pipelines.match import build_plan
 
@@ -357,6 +377,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "match_p3_labeled": _q_match_p3,
         "match_4cycle_labeled": _q_match_4cycle,
         "match_deep_tree": _q_match_deep_tree,
+        "match_embeddings_tri": _q_match_embeddings_tri,
         "match_triangle_per_root": _q_match_triangle_per_root,
         "token_count": _q_token_count,
         "text_stats": _q_text_stats,
@@ -549,6 +570,19 @@ def oracle_sql() -> dict[str, str]:
             "WHERE e01.src <> e23.dst AND e01.src <> e45.dst "
             "AND e23.dst <> e45.dst AND e01.dst <> e34.dst "
             "AND e12.dst <> e26.dst"
+        ),
+        "match_embeddings_tri": (
+            "WITH e AS MATERIALIZED (SELECT a.l_partkey AS src, b.l_partkey AS dst "
+            "FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey "
+            "WHERE a.l_partkey <> b.l_partkey GROUP BY 1, 2 "
+            "HAVING count(DISTINCT a.l_orderkey) >= 2), "
+            "lab AS MATERIALIZED (SELECT p_partkey AS vid, p_size % 3 AS l FROM part) "
+            "SELECT e1.src AS v0, e1.dst AS v1, e2.dst AS v2 FROM e e1 "
+            "JOIN e e2 ON e2.src = e1.dst "
+            "JOIN e e3 ON e3.src = e2.dst AND e3.dst = e1.src "
+            "JOIN lab a ON a.vid = e1.src AND a.l = 0 "
+            "JOIN lab b ON b.vid = e1.dst AND b.l = 1 "
+            "JOIN lab c ON c.vid = e2.dst AND c.l = 2"
         ),
         "match_triangle_per_root": (
             f"WITH {_ESYM}, lab AS (SELECT p_partkey AS vid, p_size % 3 AS l FROM part) "

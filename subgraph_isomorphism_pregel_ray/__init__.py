@@ -49,6 +49,8 @@ def __getattr__(name):
         "build_engine": "pipelines.algorithms",
         "match_count": "pipelines.match",
         "match_per_root": "pipelines.match",
+        "match_embeddings": "pipelines.match",
+        "candidate_stats": "pipelines.match",
         "build_plan": "pipelines.match",
         "BSPEngine": "pipelines.bsp",
         "partition_graph": "pipelines.build_graph",

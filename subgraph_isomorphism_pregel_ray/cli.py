@@ -81,6 +81,9 @@ def main(argv=None):
                    help="root/DFS ordering strategy (reference -order)")
     p.add_argument("--seed", type=int, default=13,
                    help="seed for -order random (deterministic)")
+    p.add_argument("--enumerate", action="store_true", dest="enumerate_",
+                   help="dump the embeddings themselves (requires -out): "
+                        "partitioned parquet with columns v0..v{k-1}")
 
     p = sub.add_parser("extract")
     p.add_argument("--pages", required=True, help="pages parquet (url, html, …)")
@@ -112,6 +115,17 @@ def main(argv=None):
 
         with open(args.query) as f:
             qlabels, qedges = parse_query_text(f.read())
+        if args.enumerate_:
+            from .pipelines.match import match_embeddings
+
+            if not args.out:
+                raise SystemExit("--enumerate requires -out")
+            match_embeddings(
+                edges_ds, qlabels, qedges, labels_ds=labels_ds,
+                num_parts=args.parts, order=args.order, out_path=args.out,
+            )
+            print(json.dumps({"status": "ok", "out": args.out}))
+            return 0
         count, lineage = match_count(
             edges_ds, qlabels, qedges, labels_ds=labels_ds, num_parts=args.parts,
             order=args.order, seed=args.seed,

@@ -165,6 +165,21 @@ class BSPEngine:
         ray.get([a.store_hub_mirror.remote(ref) for a in self.actors])
         return len(sorted_vids)
 
+    def prepare(self, program: str):
+        """Run `program`'s one-time graph preparation (neighbor-attribute
+        exchange, hub mirror) WITHOUT running supersteps — the analogue of
+        the reference's offline PREPROCESS phase (its timing report counts
+        preprocessing separately from match time, ``dev/tmp.out:8-10``).
+        ``run`` performs this lazily anyway; call this first to keep
+        per-query timings free of one-time costs."""
+        from ..state.programs import PROGRAMS
+
+        for attr in PROGRAMS[program].needs_nbr_attrs:
+            self.exchange_attr(attr)
+        if PROGRAMS[program].wants_hub_mirror and "hubs" not in self._exchanged:
+            self.prepare_hub_mirror()
+            self._exchanged.add("hubs")
+
     # ---- the superstep loop ------------------------------------------------
     def run(
         self,
@@ -182,11 +197,7 @@ class BSPEngine:
         params = dict(params or {})
         if "n_global" in params and params["n_global"] is None:
             params["n_global"] = self.num_vertices
-        for attr in PROGRAMS[program].needs_nbr_attrs:
-            self.exchange_attr(attr)
-        if PROGRAMS[program].wants_hub_mirror and "hubs" not in self._exchanged:
-            self.prepare_hub_mirror()
-            self._exchanged.add("hubs")
+        self.prepare(program)
 
         ray.get([a.init_program.remote(program, params) for a in self.actors])
 

@@ -29,6 +29,7 @@ __all__ = [
     "build_plan",
     "candidate_stats",
     "match_count",
+    "match_embeddings",
     "brute_force_count",
     "toy_graph",
     "toy_query",
@@ -292,6 +293,59 @@ def match_per_root(
     if own:
         eng.shutdown()
     return out, plan
+
+
+def match_embeddings(
+    edges_or_engine,
+    query_labels: list[int],
+    query_edges: list[tuple[int, int]],
+    labels_ds=None,
+    num_parts: int = 8,
+    order: str = "degree",
+    out_path: str | None = None,
+):
+    """ENUMERATE the embeddings, not just count them — the working form of
+    the reference's disabled per-embedding output
+    (``pregel_app_subgraph.h:716-747``). Returns a Ray Dataset with columns
+    ``v0..v{k-1}`` (data vid mapped to each query vertex), streamed from the
+    partition actors (no driver concat); pass ``out_path`` to instead write
+    partitioned parquet (one shard per partition) and get the path back.
+
+    Memory note: each partition holds the embeddings IT verified; use this
+    for queries whose result set is bounded (the strong-graph regime), and
+    ``match_count`` when only the number is needed.
+    """
+    from .algorithms import build_engine
+    from .bsp import BSPEngine
+
+    own = not isinstance(edges_or_engine, BSPEngine)
+    eng = (
+        build_engine(edges_or_engine, num_parts, labels_ds=labels_ds, directed=False)
+        if own
+        else edges_or_engine
+    )
+    stats = (
+        candidate_stats(eng, query_labels, query_edges)
+        if order == "candidate"
+        else None
+    )
+    plan = build_plan(query_labels, query_edges, order=order, cand_stats=stats)
+    eng.run(
+        "match",
+        {"plan": plan, "enumerate": True},
+        max_steps=2 * len(query_labels) + 2,
+    )
+    if out_path is not None:
+        eng.dump(out_path)
+        if own:
+            eng.shutdown()
+        return out_path
+    ds = eng.result_dataset()
+    if own:
+        # materialize before tearing down the actors backing the refs
+        ds = ds.materialize()
+        eng.shutdown()
+    return ds
 
 
 def brute_force_count(

@@ -499,7 +499,8 @@ class MatchProgram(VertexProgram):
     needs_nbr_attrs = ("label",)
     wants_hub_mirror = True
 
-    def init(self, csr: CSRPartition, plan=None, max_chunk: int = 2_000_000, per_root: bool = False):
+    def init(self, csr: CSRPartition, plan=None, max_chunk: int = 2_000_000,
+             per_root: bool = False, enumerate: bool = False):
         self.csr = csr
         self.plan = plan
         self.k = len(plan["labels"])
@@ -511,6 +512,18 @@ class MatchProgram(VertexProgram):
         self.root_counts = (
             np.zeros(csr.num_vertices, dtype=np.int64) if per_root else None
         )
+        # ENUMERATE mode (the working form of the reference's disabled
+        # per-embedding output, pregel_app_subgraph.h:716-747): leaf rows are
+        # materialized full-width and kept per partition; result_table()
+        # returns (v0..v{k-1}) mapped back to query-vertex ids. Embeddings
+        # live wherever they were verified — dump via engine.dump() streams
+        # each partition's shard straight to parquet, never via the driver.
+        # Mutually exclusive with per_root; not checkpointed (a resumed run
+        # recounts but does not re-emit prior embeddings).
+        self.enumerate = bool(enumerate)
+        if self.enumerate and self.per_root:
+            raise ValueError("enumerate and per_root are mutually exclusive")
+        self.emb_chunks: list[np.ndarray] = []
         self.max_chunk = int(max_chunk)
         # outbuf[p][key] is a LIST of matrices, concatenated once at scatter
         # (repeated vstack would be quadratic in chunked expansions)
@@ -601,6 +614,29 @@ class MatchProgram(VertexProgram):
         plan = self.plan
         bp = plan["back_pos"][j]
         slp = plan["same_label_pos"][j]
+        if self.enumerate:
+            # materialize full-width leaf rows; backward-constrained rows are
+            # verified (and stored) at the candidate's owner
+            cand, row_rep = self._candidates_at(j, li, lcsr)
+            if len(cand) == 0:
+                return
+            Mrep = M[row_rep]
+            if slp:
+                dup = (Mrep[:, slp] == cand[:, None]).any(axis=1)
+                if dup.any():
+                    keep = ~dup
+                    cand = cand[keep]; Mrep = Mrep[keep]
+                    if len(cand) == 0:
+                        return
+            rows = np.empty((len(cand), self.k), dtype=np.uint64)
+            rows[:, :-1] = Mrep
+            rows[:, -1] = cand
+            if not bp:  # parent adjacency is guaranteed by the gather
+                self.count += len(rows)
+                self.emb_chunks.append(rows)
+            else:
+                self._route_full(rows, queue)
+            return
         indptr, _ = (lcsr or self.lcsr)[plan["labels"][j]]
         if not bp:
             per_row = (indptr[li + 1] - indptr[li]).astype(np.int64)
@@ -702,6 +738,31 @@ class MatchProgram(VertexProgram):
                 queue.append(("m", self.k - 1, Ms[s:e]))
             else:
                 self.outbuf[p].setdefault(f"m{self.k - 1}", []).append(Ms[s:e])
+
+    def _route_full(self, rows: np.ndarray, queue: list):
+        """ENUMERATE: route full-width leaf rows to the candidate's owner."""
+        owner = self._owner_of(rows, rows[:, -1])
+        order = np.argsort(owner, kind="stable")
+        Ms = rows[order]; po = owner[order]
+        bounds = np.searchsorted(po, np.arange(self.csr.num_parts + 1))
+        for p in range(self.csr.num_parts):
+            s, e = int(bounds[p]), int(bounds[p + 1])
+            if s == e:
+                continue
+            if p == self.csr.part:
+                queue.append(("f", self.k - 1, Ms[s:e]))
+            else:
+                self.outbuf[p].setdefault(f"f{self.k - 1}", []).append(Ms[s:e])
+
+    def _store_leaf_full(self, M: np.ndarray):
+        """ENUMERATE: verify backward adjacency of the full-width leaf rows
+        and keep the survivors."""
+        j = self.k - 1
+        ok = self._adjacency_ok(M, j, self.plan["back_pos"][j], 0)
+        sel = M[ok] if not ok.all() else M
+        if len(sel):
+            self.count += len(sel)
+            self.emb_chunks.append(sel)
 
     def _count_leaf_mult(self, M: np.ndarray):
         """Verify dedup rows [back…, cand, mult]; add multiplicities."""
@@ -880,6 +941,11 @@ class MatchProgram(VertexProgram):
                     queue.append((kind, j, M[self.max_chunk :]))
                     M = M[: self.max_chunk]
                 self._count_leaf_mult(M)
+            elif kind == "f":  # ENUMERATE: full-width leaf rows to verify+keep
+                if len(M) > self.max_chunk:
+                    queue.append((kind, j, M[self.max_chunk :]))
+                    M = M[: self.max_chunk]
+                self._store_leaf_full(M)
             elif kind == "n":  # per-root count credits arriving home
                 li = self.csr.local_index(M[:, 0])
                 np.add.at(self.root_counts, li, M[:, 1].view(np.int64))
@@ -909,6 +975,8 @@ class MatchProgram(VertexProgram):
                 M = roots[:, None].astype(np.uint64)
                 if self.k == 1:
                     self.count += len(M)
+                    if self.enumerate:
+                        self.emb_chunks.append(M)
                     if self.per_root:
                         self._credit_roots(
                             roots, np.ones(len(roots), dtype=np.int64), queue
@@ -980,6 +1048,16 @@ class MatchProgram(VertexProgram):
             self.outbuf[p].setdefault(key, []).append(data.reshape(-1, ncol))
 
     def result_table(self):
+        if self.enumerate:
+            E = (
+                np.concatenate(self.emb_chunks)
+                if self.emb_chunks
+                else np.empty((0, self.k), np.uint64)
+            )
+            pos = {u: i for i, u in enumerate(self.plan["order"])}
+            return pa.table(
+                {f"v{u}": E[:, pos[u]].view(np.int64) for u in range(self.k)}
+            )
         if self.per_root:
             m = self.root_counts > 0
             return pa.table(

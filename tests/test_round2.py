@@ -319,6 +319,88 @@ def test_deep_query_engine_vs_bruteforce(ray_session):
 
 
 # ---------------------------------------------------------------------------
+def _brute_force_embeddings(data_labels, data_edges, ql, qe):
+    """All embeddings as a set of full mapping tuples (test oracle)."""
+    k = len(ql)
+    qadj = [set() for _ in range(k)]
+    for a, b in qe:
+        qadj[a].add(b)
+        qadj[b].add(a)
+    dadj = {v: set() for v in data_labels}
+    for a, b in data_edges:
+        if a == b:
+            continue
+        dadj.setdefault(a, set()).add(b)
+        dadj.setdefault(b, set()).add(a)
+    verts = sorted(data_labels)
+    out = set()
+    mapping = []
+
+    def rec(u):
+        if u == k:
+            out.add(tuple(mapping))
+            return
+        back = [q for q in qadj[u] if q < u]
+        cand = dadj[mapping[back[0]]] if back else verts
+        for v in cand:
+            if data_labels.get(v) != ql[u] or v in mapping:
+                continue
+            if all(mapping[q] in dadj[v] for q in back):
+                mapping.append(v)
+                rec(u + 1)
+                mapping.pop()
+
+    rec(0)
+    return out
+
+
+def test_match_embeddings_enumeration(ray_session):
+    """ENUMERATE mode must return the exact embedding SET (not just its
+    size), on the toy golden graph and on random labeled graphs."""
+    import ray.data as rd
+
+    from subgraph_isomorphism_pregel_ray.pipelines.match import (
+        match_embeddings,
+        toy_graph,
+        toy_query,
+    )
+
+    cases = []
+    labels, edges = toy_graph()
+    cases.append((labels, edges, *toy_query()))
+    rng = np.random.default_rng(77)
+    s, d = rng.integers(0, 40, 120), rng.integers(0, 40, 120)
+    keep = s != d
+    verts = np.unique(np.concatenate([s[keep], d[keep]]))
+    labels2 = {int(v): int(v % 3) for v in verts}
+    edges2 = list({(int(min(a, b)), int(max(a, b))) for a, b in zip(s[keep], d[keep])})
+    cases.append((labels2, edges2, [0, 1, 2], [(0, 1), (1, 2), (2, 0)]))
+    cases.append((labels2, edges2, [0, 1, 0], [(0, 1), (1, 2)]))
+
+    for labels, edges, ql, qe in cases:
+        want = _brute_force_embeddings(labels, edges, ql, qe)
+        src = np.array([a for a, _ in edges], dtype=np.int64)
+        dst = np.array([b for _, b in edges], dtype=np.int64)
+        eds = rd.from_arrow(pa.table({"src": src, "dst": dst}))
+        lds = rd.from_arrow(
+            pa.table(
+                {
+                    "vid": np.array(sorted(labels), dtype=np.uint64),
+                    "label": np.array(
+                        [labels[v] for v in sorted(labels)], dtype=np.int64
+                    ),
+                }
+            )
+        )
+        df = match_embeddings(eds, ql, qe, labels_ds=lds, num_parts=3).to_pandas()
+        got = set(
+            tuple(int(df[f"v{u}"].iloc[i]) for u in range(len(ql)))
+            for i in range(len(df))
+        )
+        assert got == want, (ql, len(got), len(want))
+
+
+# ---------------------------------------------------------------------------
 def test_multimodal_codec_seam(ray_session):
     """The decoder is injectable per actor (fn_constructor_kwargs seam): a
     custom fake must actually be used by every actor."""
