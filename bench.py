@@ -388,13 +388,45 @@ def run_scaling_workload() -> dict:
     }
 
 
+def _compute_ceiling_probe(ncpu: int) -> float:
+    """Per-process seconds for a fixed pure-compute kernel with ncpu
+    processes pinned to ncpu cpus — calibrates what this sandbox's vCPUs can
+    deliver AT ALL at each occupancy. On this VM the 32-cpu level runs each
+    core ~1.2–1.5× slower than the 8-cpu level even for L2-resident FLOPs
+    (throttled/oversubscribed vCPUs), so the measurable 8→32 efficiency
+    ceiling of a PERFECTLY scaling program is ~0.66–0.82, not 1.0. A real
+    N→4N-node cluster adds full nodes (cores + memory + NICs); the ceiling
+    normalization maps the sandbox measurement onto that question."""
+    code = (
+        "import time, numpy as np\n"
+        "t0=time.time()\n"
+        "x = np.random.default_rng(0).random(200_000)\n"
+        "for _ in range(1500):\n"
+        "    x = np.sqrt(x*x + 0.5)\n"
+        "print(time.time()-t0)\n"
+    )
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", code],
+            stdout=subprocess.PIPE,
+            text=True,
+            preexec_fn=lambda: os.sched_setaffinity(0, range(ncpu)),
+        )
+        for _ in range(ncpu)
+    ]
+    outs = [float(p.communicate()[0]) for p in procs]
+    return sum(outs) / len(outs)
+
+
 def run_scaling() -> dict:
     lo_cpus, hi_cpus = 8, 32
     reps = int(os.environ.get("GRAFT_SCALING_REPS", "2"))
     out = {}
     runs: dict[int, list] = {lo_cpus: [], hi_cpus: []}
+    probe: dict[int, list] = {lo_cpus: [], hi_cpus: []}
     for rep in range(reps):  # interleaved reps; per-phase MIN is the
         for ncpu in (hi_cpus, lo_cpus):  # estimator (noisy-neighbor VM)
+            probe[ncpu].append(_compute_ceiling_probe(ncpu))
             env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
 
             def _limit(n=ncpu):  # OS-enforced CPU budget: Ray's num_cpus is
@@ -427,12 +459,19 @@ def run_scaling() -> dict:
     eff = (t_lo / t_hi) / ratio
     ss_lo = out[lo_cpus]["supersteps_per_sec"]
     ss_hi = out[hi_cpus]["supersteps_per_sec"]
+    # sandbox compute ceiling: per-core speed LOSS at 32-way occupancy makes
+    # even a perfectly scaling program measure < 1.0 here (see probe doc)
+    ceiling = min(probe[lo_cpus]) / min(probe[hi_cpus])
     return {
         "metric": "scaling efficiency (8→32 cpus, fresh processes, same input, fixed P; OS-enforced affinity)",
         "value": round(eff, 3),
         "unit": "efficiency",
         # the north-rule criterion: supersteps-per-second scaling efficiency
         "supersteps_per_sec_efficiency": round(ss_hi / ss_lo / ratio, 3),
+        # vCPU-throttling calibration (pure-compute, same affinity machinery)
+        "compute_ceiling_efficiency": round(ceiling, 3),
+        "efficiency_vs_ceiling": round(eff / ceiling, 3),
+        "supersteps_efficiency_vs_ceiling": round(ss_hi / ss_lo / ratio / ceiling, 3),
         "sec_8": t_lo,
         "sec_32": t_hi,
         "speedup": round(t_lo / t_hi, 3),
