@@ -229,6 +229,8 @@ def match_count(
     max_chunk: int = 500_000,
     order: str = "degree",
     seed: int = 13,
+    max_out_rows: int | None = None,
+    max_steps: int | None = None,
 ) -> tuple[int, dict]:
     """Count embeddings of the labeled query in the labeled data graph.
 
@@ -253,10 +255,15 @@ def match_count(
         else None
     )
     plan = build_plan(query_labels, query_edges, order=order, cand_stats=stats, seed=seed)
+    params = {"plan": plan, "max_chunk": max_chunk}
+    if max_out_rows is not None:
+        # per-superstep exchange bound (deep/bushy queries): defers overflow
+        # work as self-messages; needs ≈ total_rows / max_out_rows extra steps
+        params["max_out_rows"] = max_out_rows
     lineage = eng.run(
         "match",
-        {"plan": plan, "max_chunk": max_chunk},
-        max_steps=2 * len(query_labels) + 2,
+        params,
+        max_steps=max_steps if max_steps is not None else 2 * len(query_labels) + 2,
     )
     count = eng.scalar_results().get("embeddings", 0)
     if own:

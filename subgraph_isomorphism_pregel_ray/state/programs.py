@@ -500,7 +500,8 @@ class MatchProgram(VertexProgram):
     wants_hub_mirror = True
 
     def init(self, csr: CSRPartition, plan=None, max_chunk: int = 2_000_000,
-             per_root: bool = False, enumerate: bool = False):
+             per_root: bool = False, enumerate: bool = False,
+             max_out_rows: int | None = None):
         self.csr = csr
         self.plan = plan
         self.k = len(plan["labels"])
@@ -525,6 +526,17 @@ class MatchProgram(VertexProgram):
             raise ValueError("enumerate and per_root are mutually exclusive")
         self.emb_chunks: list[np.ndarray] = []
         self.max_chunk = int(max_chunk)
+        # Output throttling: bound the TOTAL rows this partition emits per
+        # superstep. Work beyond the budget is deferred as self-messages
+        # (outbuf[own part] — the engine delivers a partition's own outbox
+        # back to it next step), so a deep/bushy query's frontier is spread
+        # across supersteps instead of materializing one giant exchange
+        # (round-2 evidence: the 5-cycle match ships ~100M rows ≈ 3 GB in a
+        # single step unthrottled). Deferred rows count in `sent`, so the
+        # engine's active==0 && sent==0 convergence is untouched; max_steps
+        # must budget ≈ total_work / max_out_rows extra supersteps.
+        self.max_out_rows = None if max_out_rows is None else int(max_out_rows)
+        self._outrows = 0
         # outbuf[p][key] is a LIST of matrices, concatenated once at scatter
         # (repeated vstack would be quadratic in chunked expansions)
         self.outbuf: list[dict] = [dict() for _ in range(csr.num_parts)]
@@ -557,6 +569,16 @@ class MatchProgram(VertexProgram):
                 self.hub_lcsr[lab] = (indptr, hidx[m])
 
     # -- core kernels ------------------------------------------------------
+    def _emit(self, p: int, key: str, M: np.ndarray):
+        """Append an out-message and account its rows (throttling budget)."""
+        self.outbuf[p].setdefault(key, []).append(M)
+        self._outrows += len(M)
+
+    def _defer(self, kind: str, j: int, M: np.ndarray):
+        """Over budget: park the work item as a self-message — the engine
+        delivers a partition's own outbox back to it next superstep."""
+        self._emit(self.csr.part, f"{kind}{j}", M)
+
     def _hub_member(self, hli: np.ndarray, targets: np.ndarray) -> np.ndarray:
         """Membership (hub row, target) against the mirrored hub adjacency."""
         hv, hptr, hidx, _ = self.csr.hub_mirror
@@ -737,7 +759,7 @@ class MatchProgram(VertexProgram):
             if p == self.csr.part:
                 queue.append(("m", self.k - 1, Ms[s:e]))
             else:
-                self.outbuf[p].setdefault(f"m{self.k - 1}", []).append(Ms[s:e])
+                self._emit(p, f"m{self.k - 1}", Ms[s:e])
 
     def _route_full(self, rows: np.ndarray, queue: list):
         """ENUMERATE: route full-width leaf rows to the candidate's owner."""
@@ -752,7 +774,7 @@ class MatchProgram(VertexProgram):
             if p == self.csr.part:
                 queue.append(("f", self.k - 1, Ms[s:e]))
             else:
-                self.outbuf[p].setdefault(f"f{self.k - 1}", []).append(Ms[s:e])
+                self._emit(p, f"f{self.k - 1}", Ms[s:e])
 
     def _store_leaf_full(self, M: np.ndarray):
         """ENUMERATE: verify backward adjacency of the full-width leaf rows
@@ -782,7 +804,7 @@ class MatchProgram(VertexProgram):
             if p == self.csr.part:
                 queue.append(("c", self.k - 1, Ms[s:e]))
             else:
-                self.outbuf[p].setdefault(f"c{self.k - 1}", []).append(Ms[s:e])
+                self._emit(p, f"c{self.k - 1}", Ms[s:e])
 
     def _adjacency_ok(self, M: np.ndarray, cand_col: int, check_cols, min_deg: int):
         """Per-row feasibility of candidate M[:, cand_col]: degree ≥ min_deg
@@ -828,8 +850,8 @@ class MatchProgram(VertexProgram):
                 li = self.csr.local_index(uniq[m])
                 np.add.at(self.root_counts, li, tot[m])
             else:
-                self.outbuf[p].setdefault("n0", []).append(
-                    np.column_stack([uniq[m], tot[m].astype(np.uint64)])
+                self._emit(
+                    p, "n0", np.column_stack([uniq[m], tot[m].astype(np.uint64)])
                 )
 
     def _count_leaf(self, M: np.ndarray, queue: list):
@@ -879,13 +901,19 @@ class MatchProgram(VertexProgram):
             if p == self.csr.part:
                 local_queue.append((kind, j, Ms[s:e]))
             else:
-                key = f"{kind}{j}"
-                self.outbuf[p].setdefault(key, []).append(Ms[s:e])
+                self._emit(p, f"{kind}{j}", Ms[s:e])
 
     def _process(self, queue: list):
         k = self.k
         while queue:
             kind, j, M = queue.pop()
+            if (
+                self.max_out_rows is not None
+                and self._outrows >= self.max_out_rows
+                and kind != "n"  # credits are tiny pre-aggregated rows
+            ):
+                self._defer(kind, j, M)
+                continue
             if kind == "e":
                 anchors = M[:, self.plan["parent_pos"][j]]
                 if self.hub_vids is not None and len(self.hub_vids):
@@ -1006,6 +1034,7 @@ class MatchProgram(VertexProgram):
             else:
                 out.append(None)
         self.outbuf = [dict() for _ in range(self.csr.num_parts)]
+        self._outrows = 0
         return out, {"sent": sent}
 
     def state_table(self):

@@ -319,6 +319,42 @@ def test_deep_query_engine_vs_bruteforce(ray_session):
 
 
 # ---------------------------------------------------------------------------
+def test_match_output_throttling(ray_session):
+    """max_out_rows must bound the per-superstep exchange (deferred work
+    arrives as self-messages) while leaving the count unchanged."""
+    import ray.data as rd
+
+    from subgraph_isomorphism_pregel_ray.pipelines.match import match_count
+
+    rng = np.random.default_rng(55)
+    s, d = rng.integers(0, 100, 900), rng.integers(0, 100, 900)
+    keep = s != d
+    verts = np.unique(np.concatenate([s[keep], d[keep]]))
+    eds = rd.from_arrow(
+        pa.table({"src": s[keep].astype(np.int64), "dst": d[keep].astype(np.int64)})
+    )
+    lds = rd.from_arrow(
+        pa.table(
+            {
+                "vid": verts.astype(np.uint64),
+                "label": (verts % 2).astype(np.int64),
+            }
+        )
+    )
+    ql, qe = [0, 1, 0, 1], [(0, 1), (1, 2), (2, 3)]  # P4: wide frontier
+    base, lin0 = match_count(eds, ql, qe, labels_ds=lds, num_parts=3)
+    throttled, lin1 = match_count(
+        eds, ql, qe, labels_ds=lds, num_parts=3,
+        max_out_rows=50, max_steps=4000,
+    )
+    assert throttled == base
+    assert lin1["steps"] > lin0["steps"]  # work was spread across supersteps
+    # per-step emitted rows bounded: budget per partition + one overflow item
+    peak0 = max(r["sent"] for r in lin0["lineage"])
+    peak1 = max(r["sent"] for r in lin1["lineage"])
+    assert peak1 < peak0
+
+
 def _brute_force_embeddings(data_labels, data_edges, ql, qe):
     """All embeddings as a set of full mapping tuples (test oracle)."""
     k = len(ql)
