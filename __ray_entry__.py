@@ -188,8 +188,11 @@ def _q_match_4cycle(sf_dir: str):
 
 # 7-vertex branchy deep query (reference benchmark shape, dev/tmp.out:14-19
 # scaled up: depth 4, 3-way branch at the root) over the STRONG co-purchase
-# graph (pairs sharing ≥ 2 distinct orders — the plain graph is too dense
-# for a 7-vertex count to stay bounded at any sf).
+# graph. The min-orders threshold is SCALE-ADAPTIVE (smallest m with
+# undirected strong pairs ≤ 8 × |part|): the ≥2-order graph's relative
+# density varies wildly with sf (avg degree 23 at sf0.001 vs 3.7 at sf0.01)
+# and a 7-vertex count explodes on the dense one. The SQL oracle replays the
+# same rule.
 DEEP_QL = [0, 1, 2, 0, 1, 0, 2]
 DEEP_QE = [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5), (2, 6)]
 
@@ -198,11 +201,11 @@ def _q_match_deep_tree(sf_dir: str):
     from subgraph_isomorphism_pregel_ray.pipelines.build_graph import symmetrize
     from subgraph_isomorphism_pregel_ray.pipelines.match import match_count
     from subgraph_isomorphism_pregel_ray.pipelines.relational import (
-        copurchase_edges,
         part_labels,
+        strong_copurchase_edges,
     )
 
-    edges = symmetrize(copurchase_edges(sf_dir, min_orders=2))
+    edges = symmetrize(strong_copurchase_edges(sf_dir))
     count, _ = match_count(
         edges, DEEP_QL, DEEP_QE, labels_ds=part_labels(sf_dir, mod=3), num_parts=4
     )
@@ -324,6 +327,18 @@ def _q_ann_topk_ivf(sf_dir: str):
     return ann_topk_ivf(_emb(sf_dir), ANN_QUERY_IDS, k=ANN_K, index_dir=idx)
 
 
+def _q_simhash_pairs(sf_dir: str):
+    from subgraph_isomorphism_pregel_ray.pipelines.dedup import simhash_dup_pairs
+
+    return simhash_dup_pairs(_docs(sf_dir), max_hamming=7)
+
+
+def _q_ngram_jaccard(sf_dir: str):
+    from subgraph_isomorphism_pregel_ray.pipelines.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_docs(sf_dir), k=5, threshold=0.5)
+
+
 def _q_media_features(sf_dir: str):
     """Multimodal plumbing query (rows-only: decode is a documented stub —
     no codec libs in the container; the actor-pool stage, schema and batch
@@ -393,6 +408,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_window": _q_events_window,
         "events_sessionize": _q_events_sessionize,
         "dedup_groups": _q_dedup_groups,
+        "ngram_jaccard_pairs": _q_ngram_jaccard,
+        "simhash_dup_pairs": _q_simhash_pairs,
         "media_features": _q_media_features,
     }
 
@@ -548,10 +565,22 @@ def oracle_sql() -> dict[str, str]:
             "AND e1.src <> e2.dst AND e1.dst <> e3.dst"
         ),
         "match_deep_tree": (
-            "WITH e AS MATERIALIZED (SELECT a.l_partkey AS src, b.l_partkey AS dst "
+            # adaptive strong graph: smallest m∈{2,3,4,5} with
+            # |pairs(c≥m)| ≤ 8·|part| — replays strong_copurchase_edges
+            "WITH cnts AS MATERIALIZED (SELECT a.l_partkey AS s, b.l_partkey AS d, "
+            "count(DISTINCT a.l_orderkey) AS c "
             "FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey "
-            "WHERE a.l_partkey <> b.l_partkey GROUP BY 1, 2 "
-            "HAVING count(DISTINCT a.l_orderkey) >= 2), "
+            "WHERE a.l_partkey < b.l_partkey GROUP BY 1, 2), "
+            "np AS MATERIALIZED (SELECT count(*) AS n FROM part), "
+            "mo AS MATERIALIZED (SELECT CASE "
+            "WHEN (SELECT count(*) FROM cnts WHERE c >= 2) <= 8 * (SELECT n FROM np) THEN 2 "
+            "WHEN (SELECT count(*) FROM cnts WHERE c >= 3) <= 8 * (SELECT n FROM np) THEN 3 "
+            "WHEN (SELECT count(*) FROM cnts WHERE c >= 4) <= 8 * (SELECT n FROM np) THEN 4 "
+            "ELSE 5 END AS m), "
+            "e AS MATERIALIZED ("
+            "SELECT s AS src, d AS dst FROM cnts WHERE c >= (SELECT m FROM mo) "
+            "UNION ALL "
+            "SELECT d AS src, s AS dst FROM cnts WHERE c >= (SELECT m FROM mo)), "
             "lab AS MATERIALIZED (SELECT p_partkey AS vid, p_size % 3 AS l FROM part) "
             "SELECT count(*) AS n_embeddings "
             "FROM e e01 "
@@ -654,6 +683,23 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, epoch_us(min(ts)) AS session_start_us, "
             "count(*) AS n_events, round(sum(value), 6) AS sum_value "
             "FROM y GROUP BY user_id, sess"
+        ),
+        "ngram_jaccard_pairs": (
+            "WITH pos AS MATERIALIZED ("
+            "SELECT doc_id, text, "
+            "unnest(generate_series(1, greatest(1, length(text) - 4))) AS i "
+            "FROM documents), "
+            "sh AS MATERIALIZED ("
+            "SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 5) AS g FROM pos), "
+            "cnt AS MATERIALIZED (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY 1), "
+            "inter AS MATERIALIZED ("
+            "SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i "
+            "FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2) "
+            "SELECT da AS doc_a, db AS doc_b, "
+            "round(i * 1.0 / (ca.nsh + cb.nsh - i), 6) AS jaccard "
+            "FROM inter JOIN cnt ca ON ca.doc_id = da "
+            "JOIN cnt cb ON cb.doc_id = db "
+            "WHERE i * 1.0 / (ca.nsh + cb.nsh - i) >= 0.5"
         ),
         "lpa_copurchase": _lpa_sql(LPA_ITERS),
         "kcore_copurchase": _kcore_sql(),

@@ -11,8 +11,12 @@
   pair dedup inside) → exact n-gram Jaccard ≥ threshold. The banding shuffle
   moves only (band, hash, doc_id) triples, never text; shingle sets are
   computed once per doc and meet their candidate pairs by doc_id.
-* ``simhash`` near-dup — see ``textops.simhash64``; pairs within Hamming
-  distance via banding the 64 bits into 8 bytes (same LSH machinery).
+* ``simhash_dup_pairs`` — pairs within Hamming distance of the 64-bit
+  SimHash via 8 byte-bands (COMPLETE for distance ≤ 7 by pigeonhole);
+  in-bucket popcount verification, one shuffle + one dedup groupby.
+* ``ngram_jaccard_pairs`` — EXACT all-pairs char-k-gram Jaccard via the
+  shingle inverted index (complete; the no-LSH baseline with a full SQL
+  oracle).
 * ``embedding_dup_pairs`` — cosine near-dup over an embedding column;
   ``method="exact"`` (block × broadcast matrix, for oracle parity) or
   ``method="lsh"`` (random-hyperplane buckets then exact verify — the scale
@@ -35,8 +39,10 @@ from ..functions.hashing import hash64, md5_hex_batch
 
 __all__ = [
     "exact_dedup",
+    "ngram_jaccard_pairs",
     "minhash_signature_batch",
     "minhash_lsh_pairs",
+    "simhash_dup_pairs",
     "jaccard_ngrams",
     "embedding_dup_pairs",
     "dedup_groups",
@@ -205,12 +211,22 @@ def minhash_lsh_pairs(
         _pairs, batch_format="pandas"
     )
 
-    # ---- repartition-join pairs ↔ shingle sets WITHOUT pyarrow joins ------
-    # (a hash-aggregate output can contain schema-less empty blocks on this
-    # Ray build, which acero joins reject; union + groupby shuffles don't
-    # care). Round 1: each pair key is sent to both member docs' groups and
-    # picks up that doc's shingle blob; round 2: the two halves of each pair
-    # meet under the pair key and the exact Jaccard is computed there.
+    return _verify_pairs_exact(sh_ds, cand, threshold)
+
+
+def _verify_pairs_exact(sh_ds, cand, threshold: float):
+    """Exact-Jaccard verification of packed candidate pairs, distributed.
+
+    Repartition-join pairs ↔ shingle sets WITHOUT pyarrow joins (a
+    hash-aggregate output can contain schema-less empty blocks on this Ray
+    build, which acero joins reject; union + groupby shuffles don't care).
+    Round 1: each pair key is sent to both member docs' groups and picks up
+    that doc's shingle blob (with per-doc ``np.unique`` pair dedup — both
+    members dedup identically, so each pair still meets exactly twice);
+    round 2: the two halves meet under the pair key and the exact Jaccard
+    is computed by sorted-array intersection.
+    """
+
     def _pair_slots(t: pa.Table) -> pa.Table:
         pk = t["pkey"].to_numpy()
         return pa.table(
@@ -247,7 +263,7 @@ def minhash_lsh_pairs(
                  "sh": pa.array([], pa.binary())}
             )
         blob = group["sh"][int(own[0])].as_py()
-        upk = np.unique(pk[pairs_m])  # per-doc pair dedup (multi-band hits)
+        upk = np.unique(pk[pairs_m])  # per-doc pair dedup (multi-hit pairs)
         return pa.table(
             {
                 "pkey": upk,
@@ -283,6 +299,132 @@ def minhash_lsh_pairs(
         .map_groups(_attach, batch_format="pyarrow")
         .groupby("pkey")
         .map_groups(_judge, batch_format="pyarrow")
+    )
+
+
+def ngram_jaccard_pairs(docs_ds, k: int = 5, threshold: float = 0.5):
+    """EXACT all-pairs n-gram Jaccard dedup → Dataset(doc_a, doc_b, jaccard),
+    every pair with char-k-gram Jaccard ≥ threshold (no LSH recall loss).
+
+    Candidate generation is the shingle INVERTED INDEX: explode (shingle,
+    doc_id) rows, ``groupby(shingle)`` emits the doc pairs sharing it —
+    complete, because any pair with Jaccard > 0 shares a shingle. Then the
+    same distributed exact-verification as MinHash. Cost is the classic
+    exact-all-pairs bound: a shingle shared by d docs emits d·(d-1)/2
+    candidates — fine at oracle scale; production would add prefix filtering
+    (sort shingles by document frequency and index only each doc's rarest
+    ⌈(1-t)·|sh|⌉+1 shingles) — stated, not silent.
+    """
+    sh_ds = docs_ds.map_batches(
+        lambda t: _shingle_table(t, k), batch_format="pyarrow"
+    )
+
+    def _explode(t: pa.Table) -> pa.Table:
+        rows = _sh_rows(t["sh"])
+        docs = t["doc_id"].to_numpy().astype(np.int64)
+        counts = np.array([len(r) for r in rows], dtype=np.int64)
+        flat = (
+            np.concatenate(rows) if rows else np.empty(0, np.uint64)
+        ).view(np.int64)
+        return pa.table(
+            {"shingle": flat, "doc_id": np.repeat(docs, counts)}
+        )
+
+    def _pairs(group):
+        import pandas as pd
+
+        docs = np.sort(np.unique(group["doc_id"].to_numpy()))
+        if len(docs) < 2:
+            return pd.DataFrame({"pkey": np.empty(0, np.int64)})
+        ia, ib = np.triu_indices(len(docs), 1)
+        return pd.DataFrame({"pkey": (docs[ia] << _PKEY_SHIFT) | docs[ib]})
+
+    cand = (
+        sh_ds.map_batches(_explode, batch_format="pyarrow")
+        .groupby("shingle")
+        .map_groups(_pairs, batch_format="pandas")
+    )
+    return _verify_pairs_exact(sh_ds, cand, threshold)
+
+
+def simhash_dup_pairs(docs_ds, max_hamming: int = 3):
+    """SimHash near-dup pairs → Dataset(doc_a, doc_b, hamming).
+
+    64-bit SimHash (``textops.simhash_batch``) banded into 8 byte-bands;
+    docs sharing any band byte become candidates, verified by popcount of
+    the XOR. By pigeonhole, a pair within Hamming distance ≤ 7 must agree on
+    at least one of 8 bands, so for ``max_hamming ≤ 7`` the result is
+    COMPLETE (no LSH recall loss). Both signatures ride into the band bucket,
+    so verification happens in-bucket — one shuffle + one dedup groupby.
+    """
+    from .textops import simhash_batch
+
+    if max_hamming > 7:
+        raise ValueError("banding guarantees completeness only for max_hamming <= 7")
+
+    sims = docs_ds.map_batches(simhash_batch, batch_format="pyarrow")
+
+    def _bands(t: pa.Table) -> pa.Table:
+        doc = t["doc_id"].to_numpy().astype(np.int64)
+        sig = t["simhash"].to_numpy().view(np.uint64)
+        n = len(doc)
+        bandbyte = np.empty((n, 8), dtype=np.int64)
+        for b in range(8):
+            bandbyte[:, b] = ((sig >> np.uint64(8 * b)) & np.uint64(0xFF)).astype(
+                np.int64
+            )
+        return pa.table(
+            {
+                "doc_id": np.repeat(doc, 8),
+                "band": np.tile(np.arange(8, dtype=np.int32), n),
+                "bandbyte": bandbyte.reshape(-1),
+                "simhash": np.repeat(sig.view(np.int64), 8),
+            }
+        )
+
+    def _bucket_pairs(group: pa.Table):
+        import pandas as pd
+
+        doc = group["doc_id"].to_numpy()
+        sig = group["simhash"].to_numpy().view(np.uint64)
+        order = np.argsort(doc, kind="stable")
+        doc, sig = doc[order], sig[order]
+        if len(doc) < 2:
+            return pd.DataFrame(
+                {"pkey": np.empty(0, np.int64), "hamming": np.empty(0, np.int64)}
+            )
+        ia, ib = np.triu_indices(len(doc), 1)
+        x = (sig[ia] ^ sig[ib]).view(np.uint64)
+        ham = (
+            np.unpackbits(x[:, None].view(np.uint8), axis=1).sum(axis=1).astype(np.int64)
+        )
+        keep = ham <= max_hamming
+        return pd.DataFrame(
+            {
+                "pkey": (doc[ia[keep]] << _PKEY_SHIFT) | doc[ib[keep]],
+                "hamming": ham[keep],
+            }
+        )
+
+    from ray.data.aggregate import Min
+
+    def _decode(t: pa.Table) -> pa.Table:
+        pk = t["pkey"].to_numpy()
+        return pa.table(
+            {
+                "doc_a": pk >> _PKEY_SHIFT,
+                "doc_b": pk & np.int64(0xFFFFFFFF),
+                "hamming": t["hamming"],
+            }
+        )
+
+    return (
+        sims.map_batches(_bands, batch_format="pyarrow")
+        .groupby(["band", "bandbyte"])
+        .map_groups(_bucket_pairs, batch_format="pyarrow")
+        .groupby("pkey")
+        .aggregate(Min("hamming", alias_name="hamming"))  # dedup multi-band hits
+        .map_batches(_decode, batch_format="pyarrow")
     )
 
 

@@ -293,9 +293,13 @@ def test_deep_query_engine_vs_bruteforce(ray_session):
         part_labels,
     )
 
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import (
+        strong_copurchase_edges,
+    )
+
     ql = [0, 1, 2, 0, 1, 0, 2]
     qe = [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5), (2, 6)]
-    strong = copurchase_edges(SF_SMOKE, min_orders=2).to_pandas()
+    strong = strong_copurchase_edges(SF_SMOKE).to_pandas()
     edges = list(zip(strong["src"].astype(int), strong["dst"].astype(int)))
     con = duckdb.connect()
     lab_df = con.sql(
@@ -306,7 +310,7 @@ def test_deep_query_engine_vs_bruteforce(ray_session):
     oracle = brute_force_count(labels, edges, ql, qe)
 
     count, lineage = match_count(
-        symmetrize(copurchase_edges(SF_SMOKE, min_orders=2)),
+        symmetrize(strong_copurchase_edges(SF_SMOKE)),
         ql,
         qe,
         labels_ds=part_labels(SF_SMOKE, mod=3),
@@ -316,6 +320,69 @@ def test_deep_query_engine_vs_bruteforce(ray_session):
     rows = lineage["lineage"]
     assert all("sent_bytes" in r for r in rows)
     assert max(r["sent_bytes"] for r in rows) > 0
+
+
+# ---------------------------------------------------------------------------
+def test_ngram_jaccard_pairs_exact(ray_session):
+    """Exact all-pairs Jaccard via the shingle inverted index must equal the
+    brute-force pairwise oracle (every pair, not LSH-recall-limited)."""
+    import ray.data as rd
+
+    from subgraph_isomorphism_pregel_ray.pipelines.dedup import (
+        jaccard_ngrams,
+        ngram_jaccard_pairs,
+    )
+
+    rng = np.random.default_rng(3)
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    texts = []
+    for i in range(60):
+        t = base + f" tail{i % 7}"
+        if i % 5 == 0:
+            t = t.replace("quick", "rapid")
+        texts.append(t)
+    ds = rd.from_arrow(
+        pa.table({"doc_id": np.arange(60, dtype=np.int64), "text": texts})
+    )
+    got = ngram_jaccard_pairs(ds, k=5, threshold=0.6).to_pandas()
+    got_set = {
+        (int(r.doc_a), int(r.doc_b)): r.jaccard for r in got.itertuples()
+    }
+    want = {}
+    for a in range(60):
+        for b in range(a + 1, 60):
+            j = jaccard_ngrams(texts[a], texts[b], 5)
+            if j >= 0.6:
+                want[(a, b)] = float(round_half_away(j, 6))
+    assert got_set == want
+    assert len(want) > 50  # the corpus genuinely has near-dups
+
+
+def test_simhash_dup_pairs_complete(ray_session):
+    """Byte-band SimHash pairs must equal the brute-force all-pairs Hamming
+    scan (banding is COMPLETE for distance ≤ 7 by pigeonhole)."""
+    import ray.data as rd
+
+    from subgraph_isomorphism_pregel_ray.pipelines.dedup import simhash_dup_pairs
+    from subgraph_isomorphism_pregel_ray.pipelines.textops import simhash_batch
+
+    base = "pack my box with five dozen liquor jugs and some extra words here"
+    texts = [
+        base if i % 4 else base.replace("five", f"f{i}ve") + f" v{i % 3}"
+        for i in range(80)
+    ]
+    t = pa.table({"doc_id": np.arange(80, dtype=np.int64), "text": texts})
+    sigs = simhash_batch(t)["simhash"].to_numpy().view(np.uint64)
+    want = {}
+    for a in range(80):
+        for b in range(a + 1, 80):
+            h = int(bin(int(sigs[a] ^ sigs[b])).count("1"))
+            if h <= 7:
+                want[(a, b)] = h
+    got = simhash_dup_pairs(rd.from_arrow(t), max_hamming=7).to_pandas()
+    got_map = {(int(r.doc_a), int(r.doc_b)): int(r.hamming) for r in got.itertuples()}
+    assert got_map == want
+    assert len(want) > 100  # corpus genuinely has near-identical docs
 
 
 # ---------------------------------------------------------------------------
