@@ -148,18 +148,22 @@ def run_bench() -> dict:
     eng.shutdown()
 
     # --- deep branchy query (7 vertices, depth 4, 3-way branch) over the
-    # STRONG co-purchase graph (pairs sharing ≥ 2 orders); tracks the peak
-    # per-superstep exchange volume (frontier width bound evidence) ---------
+    # STRONG co-purchase graph; tracks the peak per-superstep exchange volume
+    # (frontier width bound evidence). Input pinned to sf0.01: strong-pair
+    # density FALLS with scale factor (pair prob ∝ 1/|part|²·|orders|) and at
+    # sf0.1 the strong graph carries no 7-vertex trees at all — a fixed
+    # benchmark input keeps the leg's work meaningful and comparable. -------
     DEEP_QL = [0, 1, 2, 0, 1, 0, 2]
     DEEP_QE = [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5), (2, 6)]
+    DEEP_SF = os.environ.get("GRAFT_DEEP_SF", "/root/testdata/sf0.01")
     sdir = f"/tmp/graft_bench_strong_{NUM_CPUS}"
     shutil.rmtree(sdir, ignore_errors=True)
     t0 = time.perf_counter()
     partition_graph(
-        symmetrize(copurchase_edges(SF_DIR, min_orders=2)),
+        symmetrize(copurchase_edges(DEEP_SF, min_orders=2)),
         P,
         sdir,
-        labels_ds=part_labels(SF_DIR, mod=3),
+        labels_ds=part_labels(DEEP_SF, mod=3),
         directed=True,
     )
     seng = BSPEngine(sdir, P)
