@@ -57,10 +57,15 @@ def __getattr__(name):
         "symmetrize": "pipelines.build_graph",
         "exact_dedup": "pipelines.dedup",
         "minhash_lsh_pairs": "pipelines.dedup",
+        "ngram_jaccard_pairs": "pipelines.dedup",
+        "simhash_dup_pairs": "pipelines.dedup",
         "embedding_dup_pairs": "pipelines.dedup",
         "dedup_groups": "pipelines.dedup",
         "ann_topk": "pipelines.similarity",
         "ann_topk_ivf": "pipelines.similarity",
+        "build_ivf_index": "pipelines.similarity",
+        "copurchase_edges": "pipelines.relational",
+        "strong_copurchase_edges": "pipelines.relational",
     }
     if name in _API:
         import importlib
