@@ -275,6 +275,12 @@ def _q_exact_dedup(sf_dir: str):
     return exact_dedup(_docs(sf_dir))
 
 
+def _q_corpus_clean(sf_dir: str):
+    from subgraph_isomorphism_pregel_ray.pipelines.corpus import corpus_clean
+
+    return corpus_clean(_docs(sf_dir))
+
+
 def _q_lang_id(sf_dir: str):
     from subgraph_isomorphism_pregel_ray.pipelines.textops import lang_id
 
@@ -397,6 +403,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_count": _q_token_count,
         "text_stats": _q_text_stats,
         "exact_dedup": _q_exact_dedup,
+        "corpus_clean": _q_corpus_clean,
         "lang_id": _q_lang_id,
         "fingerprint": _q_fingerprint,
         "simhash": _q_simhash,
@@ -636,6 +643,18 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup": (
             "SELECT min(doc_id) AS doc_id, md5(text) AS content_hash "
             "FROM documents GROUP BY md5(text)"
+        ),
+        "corpus_clean": (
+            # quality gate (raw int/int double ratios — bit-identical to the
+            # engine's numpy divide) then exact dedup keeping min doc_id;
+            # text is constant within a hash group, so min(n_tokens) is the
+            # kept doc's token count.
+            f"WITH s AS MATERIALIZED (SELECT doc_id, text, {ntok} AS n_tokens "
+            "FROM documents "
+            f"WHERE {ntok} >= 20 AND length(text) > 0 "
+            f"AND {alnum} * 1.0 / length(text) >= 0.82) "
+            "SELECT min(doc_id) AS doc_id, md5(text) AS content_hash, "
+            "min(n_tokens) AS n_tokens FROM s GROUP BY md5(text)"
         ),
         "embedding_dup_pairs": (
             "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, "

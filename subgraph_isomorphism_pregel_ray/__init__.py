@@ -56,6 +56,7 @@ def __getattr__(name):
         "partition_graph": "pipelines.build_graph",
         "symmetrize": "pipelines.build_graph",
         "exact_dedup": "pipelines.dedup",
+        "corpus_clean": "pipelines.corpus",
         "minhash_lsh_pairs": "pipelines.dedup",
         "ngram_jaccard_pairs": "pipelines.dedup",
         "simhash_dup_pairs": "pipelines.dedup",

@@ -33,6 +33,29 @@ def test_exact_dedup(ray_session):
     assert 0 in set(out["doc_id"]) and 1 not in set(out["doc_id"])  # min id kept
 
 
+def test_corpus_clean_gate_then_dedup(ray_session):
+    from subgraph_isomorphism_pregel_ray.pipelines.corpus import corpus_clean
+
+    good = "alpha beta gamma delta " * 6  # 24 tokens, alnum-heavy
+    corpus = [
+        good,
+        good,  # exact dup of 0 — dropped (min doc_id kept)
+        "short text",  # < min_tokens — gated
+        "!!! ??? ... " * 30,  # low alnum ratio — gated
+        good + "epsilon",  # distinct survivor
+    ]
+    out = corpus_clean(
+        _docs_ds(corpus), min_tokens=20, min_alnum_ratio=0.7
+    ).to_pandas()
+    assert sorted(out["doc_id"]) == [0, 4]
+    assert set(out.columns) == {"doc_id", "content_hash", "n_tokens"}
+    assert out.set_index("doc_id")["n_tokens"][0] == 24
+
+    # a batch where EVERY row is gated must not poison the schema
+    empty = corpus_clean(_docs_ds(["tiny", "x y z"]), min_tokens=20).to_pandas()
+    assert len(empty) == 0
+
+
 def test_minhash_lsh_finds_near_dups(ray_session):
     from subgraph_isomorphism_pregel_ray.pipelines.dedup import (
         jaccard_ngrams,
