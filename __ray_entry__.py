@@ -275,6 +275,23 @@ def _q_exact_dedup(sf_dir: str):
     return exact_dedup(_docs(sf_dir))
 
 
+def _q_vocab_topk(sf_dir: str):
+    from subgraph_isomorphism_pregel_ray.pipelines.textops import vocab_topk
+
+    return vocab_topk(_docs(sf_dir), k=100)
+
+
+def _q_events_sorted(sf_dir: str):
+    """TeraSort analogue over the events stream: distributed sort by
+    (value DESC, event_id ASC) + global 0-based ordinal (two-phase
+    prefix-sum, ``stages/sort.py`` ↔ ``utils/TeraSort.h:244-283``)."""
+    from subgraph_isomorphism_pregel_ray.sources.tables import read_table
+    from subgraph_isomorphism_pregel_ray.stages.sort import sort_with_ordinal
+
+    ev = read_table(sf_dir, "events", columns=["event_id", "value"])
+    return sort_with_ordinal(ev, ["value", "event_id"], descending=[True, False])
+
+
 def _q_corpus_clean(sf_dir: str):
     from subgraph_isomorphism_pregel_ray.pipelines.corpus import corpus_clean
 
@@ -404,6 +421,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_stats": _q_text_stats,
         "exact_dedup": _q_exact_dedup,
         "corpus_clean": _q_corpus_clean,
+        "vocab_topk": _q_vocab_topk,
+        "events_sorted": _q_events_sorted,
         "lang_id": _q_lang_id,
         "fingerprint": _q_fingerprint,
         "simhash": _q_simhash,
@@ -655,6 +674,19 @@ def oracle_sql() -> dict[str, str]:
             f"AND {alnum} * 1.0 / length(text) >= 0.82) "
             "SELECT min(doc_id) AS doc_id, md5(text) AS content_hash, "
             "min(n_tokens) AS n_tokens FROM s GROUP BY md5(text)"
+        ),
+        "vocab_topk": (
+            # (cnt DESC, token ASC) is a total order, so the LIMIT cut is
+            # deterministic on both sides.
+            f"SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM "
+            f"(SELECT unnest({toks}) AS token FROM documents "
+            "WHERE trim(text) <> '') GROUP BY token "
+            "ORDER BY cnt DESC, token LIMIT 100"
+        ),
+        "events_sorted": (
+            "SELECT event_id, value, CAST(row_number() OVER "
+            "(ORDER BY value DESC, event_id ASC) - 1 AS BIGINT) AS ordinal "
+            "FROM events"
         ),
         "embedding_dup_pairs": (
             "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, "

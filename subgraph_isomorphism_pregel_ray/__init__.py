@@ -57,6 +57,8 @@ def __getattr__(name):
         "symmetrize": "pipelines.build_graph",
         "exact_dedup": "pipelines.dedup",
         "corpus_clean": "pipelines.corpus",
+        "vocab_topk": "pipelines.textops",
+        "sort_with_ordinal": "stages.sort",
         "minhash_lsh_pairs": "pipelines.dedup",
         "ngram_jaccard_pairs": "pipelines.dedup",
         "simhash_dup_pairs": "pipelines.dedup",

@@ -205,6 +205,41 @@ def simhash_batch(batch: pa.Table) -> pa.Table:
     return pa.table({"doc_id": batch["doc_id"], "simhash": out.view(np.int64)})
 
 
+def vocab_topk(docs_ds, k: int = 100):
+    """→ Dataset(token, cnt): the ``k`` most frequent whitespace tokens,
+    ties broken by token (ascending) so the cut at rank ``k`` is total.
+
+    The canonical combiner-before-shuffle shape: each batch emits its OWN
+    (token, count) histogram via ``np.unique`` — at 100 TB the all-to-all
+    exchange moves per-batch vocabularies (bounded by Heaps' law), not one
+    row per token occurrence; the groupby key is a token string, naturally
+    high-cardinality and unskewed after local combining.
+    """
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        toks: list[str] = []
+        for t in batch["text"].to_pylist():
+            toks.extend(_tokens(t))
+        if not toks:
+            return pa.table(
+                {"token": pa.array([], pa.string()), "cnt": pa.array([], pa.int64())}
+            )
+        u, c = np.unique(np.asarray(toks, dtype=object), return_counts=True)
+        return pa.table(
+            {"token": pa.array(u.tolist(), pa.string()), "cnt": c.astype(np.int64)}
+        )
+
+    from ray.data.aggregate import Sum
+
+    return (
+        docs_ds.map_batches(_partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .sort(["cnt", "token"], descending=[True, False])
+        .limit(k)
+    )
+
+
 def _stage(fn):
     def run(docs_ds, batch_size: int = 2048):
         return docs_ds.map_batches(fn, batch_format="pyarrow", batch_size=batch_size)

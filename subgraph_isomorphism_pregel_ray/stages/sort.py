@@ -17,8 +17,14 @@ import pyarrow as pa
 __all__ = ["sort_with_ordinal"]
 
 
-def sort_with_ordinal(ds, key: str, descending: bool = False, ordinal_col: str = "ordinal"):
-    """→ Dataset sorted by ``key`` with a global 0-based ``ordinal`` column."""
+def sort_with_ordinal(ds, key, descending=False, ordinal_col: str = "ordinal"):
+    """→ Dataset sorted by ``key`` with a global 0-based ``ordinal`` column.
+
+    ``key``/``descending`` accept a single column or a list (passed straight
+    to ``Dataset.sort``); use a tie-breaking key list when the ordinal must
+    be deterministic (``TeraSort.h`` sorts unique 10-byte keys, so a single
+    column suffices there).
+    """
     import ray
 
     sorted_ds = ds.sort(key, descending=descending)

@@ -59,6 +59,23 @@ def test_sort_with_ordinal(ray_session):
     out = sort_with_ordinal(ds, "v").to_pandas()
     assert np.array_equal(out.sort_values("ordinal")["v"].to_numpy(), np.arange(5000))
 
+    # multi-key with per-key direction: ties on k broken by v ascending →
+    # the ordinal is a deterministic total order
+    ties = pa.table({"k": vals % 7, "v": vals})
+    out2 = (
+        sort_with_ordinal(
+            rd.from_arrow(ties).repartition(8), ["k", "v"], descending=[True, False]
+        )
+        .to_pandas()
+        .sort_values("ordinal")
+    )
+    exp = (
+        ties.to_pandas()
+        .sort_values(["k", "v"], ascending=[False, True])
+        .reset_index(drop=True)
+    )
+    assert np.array_equal(out2["v"].to_numpy(), exp["v"].to_numpy())
+
 
 def test_cli_match_golden():
     r = subprocess.run(
