@@ -292,6 +292,12 @@ def _q_events_sorted(sf_dir: str):
     return sort_with_ordinal(ev, ["value", "event_id"], descending=[True, False])
 
 
+def _q_events_asof(sf_dir: str):
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import events_asof_prior
+
+    return events_asof_prior(sf_dir)
+
+
 def _q_corpus_clean(sf_dir: str):
     from subgraph_isomorphism_pregel_ray.pipelines.corpus import corpus_clean
 
@@ -423,6 +429,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_clean": _q_corpus_clean,
         "vocab_topk": _q_vocab_topk,
         "events_sorted": _q_events_sorted,
+        "events_asof": _q_events_asof,
         "lang_id": _q_lang_id,
         "fingerprint": _q_fingerprint,
         "simhash": _q_simhash,
@@ -687,6 +694,19 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, value, CAST(row_number() OVER "
             "(ORDER BY value DESC, event_id ASC) - 1 AS BIGINT) AS ordinal "
             "FROM events"
+        ),
+        "events_asof": (
+            # as-of with explicit strictness + max-event_id tie-break (plain
+            # joins rather than DuckDB ASOF JOIN, whose tie choice is
+            # unspecified)
+            "WITH pr AS MATERIALIZED (SELECT l.event_id AS event_id, "
+            "r.ts AS rts, r.event_id AS rid FROM events l JOIN events r "
+            "ON r.user_id = l.user_id AND r.ts < l.ts "
+            "WHERE l.event_type = 'click' AND r.event_type = 'purchase'), "
+            "m AS (SELECT event_id, max(rts) AS prior_ts FROM pr GROUP BY 1) "
+            "SELECT m.event_id, max(p.rid) AS prior_event_id, m.prior_ts "
+            "FROM m JOIN pr p ON p.event_id = m.event_id AND p.rts = m.prior_ts "
+            "GROUP BY m.event_id, m.prior_ts"
         ),
         "embedding_dup_pairs": (
             "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, "

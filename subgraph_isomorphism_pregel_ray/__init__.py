@@ -68,6 +68,7 @@ def __getattr__(name):
         "ann_topk_ivf": "pipelines.similarity",
         "build_ivf_index": "pipelines.similarity",
         "copurchase_edges": "pipelines.relational",
+        "events_asof_prior": "pipelines.relational",
         "strong_copurchase_edges": "pipelines.relational",
     }
     if name in _API:

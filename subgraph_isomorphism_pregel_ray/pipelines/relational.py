@@ -27,6 +27,7 @@ __all__ = [
     "part_labels",
     "events_window",
     "events_sessionize",
+    "events_asof_prior",
 ]
 
 
@@ -380,4 +381,65 @@ def events_sessionize(sf_dir: str, gap_sec: int = 600, num_buckets: int = 32):
         ds.map_batches(_bucket, batch_format="pyarrow")
         .groupby("b")
         .map_groups(_sessionize, batch_format="pyarrow")
+    )
+
+
+def events_asof_prior(
+    sf_dir: str,
+    left_type: str = "click",
+    right_type: str = "purchase",
+    num_buckets: int = 32,
+):
+    """Point-in-time (as-of) join: for every ``left_type`` event, the same
+    user's latest STRICTLY-prior ``right_type`` event (ties on timestamp
+    broken by max event_id). → (event_id, prior_event_id, prior_ts); lefts
+    with no prior right are dropped (inner as-of). ``left_type`` and
+    ``right_type`` must differ.
+
+    Ray Data has no as-of join; this is the composition path (prompt-listed
+    custom operator): hash-bucket users (the ONE shuffle — both join sides
+    co-partition for free since they are rows of the same stream), then one
+    vectorized kernel per bucket: lexsort by (user, ts, left-before-right,
+    event_id) and a ``maximum.accumulate`` forward-fill of right-row indices.
+    A fill that lands on a previous user's row cannot be a false match —
+    the sort groups users contiguously, so it just means "no prior right for
+    this user" and is masked by one user-equality check. O(n log n) per
+    bucket, no per-user loop, works for any interleaving of the two sides.
+    """
+    ds = read_table(sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type"])
+
+    def _bucket(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy()
+        return t.append_column("b", pa.array((u % num_buckets).astype(np.int32)))
+
+    def _asof(g: pa.Table) -> pa.Table:
+        typ = np.asarray(g["event_type"].to_pylist(), dtype=object)
+        m = (typ == left_type) | (typ == right_type)
+        u = g["user_id"].to_numpy()[m]
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)[m]
+        eid = g["event_id"].to_numpy()[m]
+        is_right = typ[m] == right_type
+        # lefts sort BEFORE rights at equal (user, ts) → an equal-ts right is
+        # never counted as "prior" (strictness); rights at the kept position
+        # sort by event_id → the fill picks max event_id at the max ts.
+        order = np.lexsort((eid, is_right, ts, u))
+        u, ts, eid, is_right = u[order], ts[order], eid[order], is_right[order]
+        ffill = np.maximum.accumulate(
+            np.where(is_right, np.arange(len(u)), -1), dtype=np.int64
+        )
+        li = np.flatnonzero(~is_right & (ffill >= 0))
+        li = li[u[ffill[li]] == u[li]]
+        prior = ffill[li]
+        return pa.table(
+            {
+                "event_id": eid[li],
+                "prior_event_id": eid[prior],
+                "prior_ts": pa.array(ts[prior]).cast(pa.timestamp("us")),
+            }
+        )
+
+    return (
+        ds.map_batches(_bucket, batch_format="pyarrow")
+        .groupby("b")
+        .map_groups(_asof, batch_format="pyarrow")
     )

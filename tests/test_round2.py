@@ -548,3 +548,37 @@ def test_lang_id_overlapping_stopwords(ray_session):
     )
     out = lang_id_batch(t)["lang_pred"].to_pylist()
     assert out == ["es", "fr", "es", "en", "zh"]
+
+
+def test_events_asof_strictness_and_ties(ray_session, tmp_path):
+    """Equal-timestamp rights are NOT prior (strict as-of); among rights at
+    the kept max-ts, the max event_id wins — mirrors the SQL oracle."""
+    import pyarrow.parquet as pq
+
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import events_asof_prior
+
+    us = np.int64(1_000_000)
+    t = pa.table(
+        {
+            "event_id": np.array([100, 101, 102, 103, 200, 201, 202], np.int64),
+            "ts": pa.array(
+                np.array([10, 10, 10, 20, 5, 6, 7], np.int64) * us
+            ).cast(pa.timestamp("us")),
+            "user_id": np.array([1, 1, 1, 1, 2, 2, 2], np.int64),
+            "event_type": [
+                "purchase", "purchase", "click", "click",
+                "click", "purchase", "click",
+            ],
+        }
+    )
+    pq.write_table(t, tmp_path / "events.parquet")
+    out = (
+        events_asof_prior(str(tmp_path), num_buckets=2)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    # click 102 (ts==purchase ts) and click 200 (nothing prior) are dropped
+    assert out["event_id"].tolist() == [103, 202]
+    assert out["prior_event_id"].tolist() == [101, 201]  # 101 = max id at tie
+    assert out["prior_ts"].astype("int64").tolist() == [10 * us, 6 * us]
