@@ -106,6 +106,20 @@ def _q_triangles(sf_dir: str):
     return pa.table({"n_triangles": pa.array([total], type=pa.int64())})
 
 
+def _q_clustering(sf_dir: str):
+    from subgraph_isomorphism_pregel_ray.pipelines.algorithms import (
+        clustering_coefficient,
+    )
+
+    res = clustering_coefficient(_sym_copurchase(sf_dir), num_parts=4)
+    return pa.table(
+        {
+            "vid": res["vid"].to_numpy().view(np.int64),
+            "clustering": res["clustering"],
+        }
+    )
+
+
 def _q_kcore(sf_dir: str):
     from subgraph_isomorphism_pregel_ray.pipelines.algorithms import kcore
 
@@ -415,6 +429,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_copurchase": _q_pagerank,
         "cc_copurchase": _q_cc,
         "triangle_count_copurchase": _q_triangles,
+        "clustering_coeff_copurchase": _q_clustering,
         "lpa_copurchase": _q_lpa,
         "kcore_copurchase": _q_kcore,
         "match_triangle_labeled": _q_match_triangle,
@@ -569,6 +584,19 @@ def oracle_sql() -> dict[str, str]:
             f"WITH {_EU} SELECT count(*) AS n_triangles FROM eu e1 "
             "JOIN eu e2 ON e2.src = e1.dst "
             "JOIN eu e3 ON e3.src = e1.src AND e3.dst = e2.dst"
+        ),
+        "clustering_coeff_copurchase": (
+            # per-vertex triangles: ordered neighbor pairs (a<b) of v that
+            # are themselves adjacent; cc = 2T/(d(d-1)) with the exact
+            # operation order of the engine kernel (algorithms.py)
+            f"WITH {_ESYM_MAT}, "
+            "deg AS MATERIALIZED (SELECT src AS vid, count(*) AS d FROM e GROUP BY 1), "
+            "tri AS MATERIALIZED (SELECT e1.src AS vid, count(*) AS t FROM e e1 "
+            "JOIN e e2 ON e2.src = e1.src AND e2.dst > e1.dst "
+            "JOIN e e3 ON e3.src = e1.dst AND e3.dst = e2.dst GROUP BY 1) "
+            "SELECT deg.vid, round(CASE WHEN deg.d < 2 THEN 0 ELSE "
+            "2.0 * coalesce(tri.t, 0) / (deg.d * (deg.d - 1)) END, 6) AS clustering "
+            "FROM deg LEFT JOIN tri ON tri.vid = deg.vid"
         ),
         "match_triangle_labeled": (
             f"WITH {_ESYM}, lab AS (SELECT p_partkey AS vid, p_size % 3 AS l FROM part) "

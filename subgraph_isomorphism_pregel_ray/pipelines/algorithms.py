@@ -136,6 +136,25 @@ def triangle_count(edges_or_engine, num_parts: int = 8):
     return total, per_vertex, lineage
 
 
+def clustering_coefficient(edges_or_engine, num_parts: int = 8):
+    """Local clustering coefficient per vertex → Dataset(vid, clustering).
+
+    cc(v) = 2·T(v) / (deg(v)·(deg(v)−1)); 0 for deg < 2. T(v) and deg(v)
+    both come out of the triangle program's result table (degree rides along
+    from the CSR), so the metric needs no join against the edge table and no
+    extra shuffle — at scale, apply the same kernel to ``engine.dump``'s
+    partitioned output instead of the driver-side ``result_table``.
+    """
+    _total, t, _lin = triangle_count(edges_or_engine, num_parts=num_parts)
+    tri = t["triangles"].to_numpy().astype(np.float64)
+    deg = t["degree"].to_numpy().astype(np.int64)
+    denom = deg * (deg - 1)
+    # operation order mirrors the SQL oracle: (2.0·T) / (d·(d−1)), one
+    # double division of exact integers → bit-identical
+    cc = np.divide(2.0 * tri, denom, out=np.zeros(len(deg)), where=denom > 0)
+    return pa.table({"vid": t["vid"], "clustering": round_half_away(cc, 6)})
+
+
 def kcore(edges_or_engine, num_parts: int = 8, max_steps: int = 300,
           checkpoint_dir=None, checkpoint_every=0, resume=False):
     """Exact core numbers (distributed h-index iteration) → (vid, core)."""

@@ -462,7 +462,15 @@ class TriangleCountProgram(VertexProgram):
         self.tri_global = int(g[0]) if len(g) else 0
 
     def result_table(self):
-        return pa.table({"vid": self.csr.vids, "triangles": self.per_vertex})
+        # degree rides along so downstream metrics (clustering coefficient)
+        # need no join back to the edge table
+        return pa.table(
+            {
+                "vid": self.csr.vids,
+                "triangles": self.per_vertex,
+                "degree": self.csr.degrees().astype(np.int64),
+            }
+        )
 
     def scalar_result(self):
         return {"triangles": self.tri_global}
