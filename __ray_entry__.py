@@ -306,6 +306,12 @@ def _q_events_sorted(sf_dir: str):
     return sort_with_ordinal(ev, ["value", "event_id"], descending=[True, False])
 
 
+def _q_events_quantiles(sf_dir: str):
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import events_quantiles
+
+    return events_quantiles(sf_dir)
+
+
 def _q_events_asof(sf_dir: str):
     from subgraph_isomorphism_pregel_ray.pipelines.relational import events_asof_prior
 
@@ -445,6 +451,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_topk": _q_vocab_topk,
         "events_sorted": _q_events_sorted,
         "events_asof": _q_events_asof,
+        "events_quantiles": _q_events_quantiles,
         "lang_id": _q_lang_id,
         "fingerprint": _q_fingerprint,
         "simhash": _q_simhash,
@@ -722,6 +729,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, value, CAST(row_number() OVER "
             "(ORDER BY value DESC, event_id ASC) - 1 AS BIGINT) AS ordinal "
             "FROM events"
+        ),
+        "events_quantiles": (
+            "SELECT event_type, 0.5 AS quantile, CAST(count(*) AS BIGINT) AS n, "
+            "round(quantile_cont(value, 0.5), 6) AS value FROM events GROUP BY 1 "
+            "UNION ALL "
+            "SELECT event_type, 0.95 AS quantile, CAST(count(*) AS BIGINT) AS n, "
+            "round(quantile_cont(value, 0.95), 6) AS value FROM events GROUP BY 1"
         ),
         "events_asof": (
             # as-of with explicit strictness + max-event_id tie-break (plain

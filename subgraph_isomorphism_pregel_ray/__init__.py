@@ -69,6 +69,7 @@ def __getattr__(name):
         "build_ivf_index": "pipelines.similarity",
         "copurchase_edges": "pipelines.relational",
         "events_asof_prior": "pipelines.relational",
+        "events_quantiles": "pipelines.relational",
         "clustering_coefficient": "pipelines.algorithms",
         "strong_copurchase_edges": "pipelines.relational",
     }

@@ -28,6 +28,7 @@ __all__ = [
     "events_window",
     "events_sessionize",
     "events_asof_prior",
+    "events_quantiles",
 ]
 
 
@@ -381,6 +382,64 @@ def events_sessionize(sf_dir: str, gap_sec: int = 600, num_buckets: int = 32):
         ds.map_batches(_bucket, batch_format="pyarrow")
         .groupby("b")
         .map_groups(_sessionize, batch_format="pyarrow")
+    )
+
+
+def events_quantiles(sf_dir: str, qs: tuple = (0.5, 0.95)):
+    """Exact per-group quantiles, distributed: ONE global sort by
+    (group, value) with ordinal (the TeraSort machinery), a small per-group
+    count aggregate, then only the ≤ 2·|groups|·|qs| boundary-rank rows are
+    fetched for interpolation — the driver never sees the data, just the
+    ranks it asked for. → (event_type, quantile, n, value).
+
+    This is the scale path for exact quantiles (vs ``map_groups`` per group,
+    which ships a whole group to one worker and dies on skew): the sort
+    spreads every group across blocks, and quantile extraction is O(1) rows
+    per group afterwards. Interpolation is ``v0 + (v1−v0)·f`` rounded to 6
+    — DuckDB's ``quantile_cont`` agrees within float ulps and the inputs
+    carry ≤ 4 decimals, so the rounded values are deterministic.
+    """
+    from ..functions.rounding import round_half_away
+    from ..stages.sort import sort_with_ordinal
+
+    ds = read_table(sf_dir, "events", columns=["event_type", "value"])
+    sorted_ds = sort_with_ordinal(ds, ["event_type", "value"])
+    cnt = (
+        ds.groupby("event_type")
+        .count()
+        .to_pandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    counts = cnt["count()"].to_numpy().astype(np.int64)
+    offsets = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    # boundary ranks per (group, quantile) — a handful of int64s
+    pos = np.array(
+        [off + q * (n - 1) for off, n in zip(offsets, counts) for q in qs]
+    )
+    i0 = np.floor(pos).astype(np.int64)
+    i1 = np.minimum(i0 + 1, np.repeat(offsets + counts - 1, len(qs)))
+    need = np.unique(np.concatenate([i0, i1]))
+
+    def _pick(t: pa.Table) -> pa.Table:
+        m = np.isin(t["ordinal"].to_numpy(), need)
+        return t.filter(pa.array(m))
+
+    picked = (
+        sorted_ds.map_batches(_pick, batch_format="pyarrow")
+        .to_pandas()
+        .set_index("ordinal")["value"]
+    )
+    v0 = picked.loc[i0].to_numpy()
+    v1 = picked.loc[i1].to_numpy()
+    f = pos - np.floor(pos)
+    return pa.table(
+        {
+            "event_type": pa.array(np.repeat(cnt["event_type"].to_numpy(), len(qs))),
+            "quantile": np.tile(np.asarray(qs, dtype=np.float64), len(counts)),
+            "n": np.repeat(counts, len(qs)),
+            "value": round_half_away(v0 + (v1 - v0) * f, 6),
+        }
     )
 
 
