@@ -25,6 +25,19 @@ import subprocess
 import sys
 import time
 
+# Host page-fault mitigation (must be set before ray.init spawns workers;
+# phase subprocesses inherit it). glibc munmaps large buffers back to the
+# kernel on free; under the sandbox VM's free-page reporting the host unbacks
+# them and every new large allocation re-faults at host speed — measured as
+# low as 34 MB/s fault-in during bad windows vs ~8 GB/s streaming DRAM on
+# already-faulted pages (in-place kernels stayed fast throughout). Forcing
+# big allocations onto the heap and never trimming makes every process fault
+# its pages once and reuse them: identical supersteps runs went from 8×
+# run-to-run swings (74 s vs 9 s) to ~7% variance. On a real cluster this is
+# harmless (slightly higher steady-state RSS).
+os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", "1099511627776")
+os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "-1")
+
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 PAGES_N = int(os.environ.get("GRAFT_PAGES_N", "20000"))
