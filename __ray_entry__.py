@@ -106,6 +106,12 @@ def _q_triangles(sf_dir: str):
     return pa.table({"n_triangles": pa.array([total], type=pa.int64())})
 
 
+def _q_assortativity(sf_dir: str):
+    from subgraph_isomorphism_pregel_ray.pipelines.algorithms import assortativity
+
+    return assortativity(_sym_copurchase(sf_dir), num_parts=4)
+
+
 def _q_clustering(sf_dir: str):
     from subgraph_isomorphism_pregel_ray.pipelines.algorithms import (
         clustering_coefficient,
@@ -436,6 +442,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cc_copurchase": _q_cc,
         "triangle_count_copurchase": _q_triangles,
         "clustering_coeff_copurchase": _q_clustering,
+        "assortativity_copurchase": _q_assortativity,
         "lpa_copurchase": _q_lpa,
         "kcore_copurchase": _q_kcore,
         "match_triangle_labeled": _q_match_triangle,
@@ -591,6 +598,21 @@ def oracle_sql() -> dict[str, str]:
             f"WITH {_EU} SELECT count(*) AS n_triangles FROM eu e1 "
             "JOIN eu e2 ON e2.src = e1.dst "
             "JOIN eu e3 ON e3.src = e1.src AND e3.dst = e2.dst"
+        ),
+        "assortativity_copurchase": (
+            # exact-integer sums cast to DOUBLE, then the same operation
+            # order as pipelines/algorithms.assortativity → bit-exact
+            f"WITH {_ESYM_MAT}, "
+            "deg AS MATERIALIZED (SELECT src AS vid, count(*) AS d FROM e GROUP BY 1), "
+            "j AS MATERIALIZED (SELECT d1.d AS x, d2.d AS y FROM e "
+            "JOIN deg d1 ON d1.vid = e.src JOIN deg d2 ON d2.vid = e.dst), "
+            "s AS (SELECT CAST(count(*) AS DOUBLE) AS n, "
+            "CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy, "
+            "CAST(sum(x*y) AS DOUBLE) AS sxy, CAST(sum(x*x) AS DOUBLE) AS sxx, "
+            "CAST(sum(y*y) AS DOUBLE) AS syy FROM j) "
+            "SELECT round((n * sxy - sx * sy) / "
+            "sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS assortativity "
+            "FROM s"
         ),
         "clustering_coeff_copurchase": (
             # per-vertex triangles: ordered neighbor pairs (a<b) of v that

@@ -71,6 +71,7 @@ def __getattr__(name):
         "events_asof_prior": "pipelines.relational",
         "events_quantiles": "pipelines.relational",
         "clustering_coefficient": "pipelines.algorithms",
+        "assortativity": "pipelines.algorithms",
         "strong_copurchase_edges": "pipelines.relational",
     }
     if name in _API:

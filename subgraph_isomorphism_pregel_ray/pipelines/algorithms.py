@@ -136,6 +136,28 @@ def triangle_count(edges_or_engine, num_parts: int = 8):
     return total, per_vertex, lineage
 
 
+def assortativity(edges_or_engine, num_parts: int = 8):
+    """Degree assortativity coefficient → 1-row table(assortativity).
+
+    Partitions fold six exact-integer sums (``AssortativityProgram``); the
+    coefficient is computed here with cast-to-double THEN arithmetic — the
+    same order as ``CAST(sum(..) AS DOUBLE)`` in the SQL oracle — so every
+    double operation rounds identically on both sides.
+    """
+    eng, _lin, own = _run(
+        edges_or_engine, "assortativity", {}, num_parts, 3, directed=False
+    )
+    s = eng.scalar_results()
+    if own:
+        eng.shutdown()
+    n = float(s["asrt_n"])
+    sx, sy = float(s["asrt_sx"]), float(s["asrt_sy"])
+    sxy, sxx, syy = float(s["asrt_sxy"]), float(s["asrt_sxx"]), float(s["asrt_syy"])
+    den = np.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    r = (n * sxy - sx * sy) / den if den > 0 else 0.0
+    return pa.table({"assortativity": round_half_away(np.array([r]), 6)})
+
+
 def clustering_coefficient(edges_or_engine, num_parts: int = 8):
     """Local clustering coefficient per vertex → Dataset(vid, clustering).
 

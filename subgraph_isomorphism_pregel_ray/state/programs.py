@@ -477,6 +477,54 @@ class TriangleCountProgram(VertexProgram):
 
 
 # --------------------------------------------------------------------------
+class AssortativityProgram(VertexProgram):
+    """Degree assortativity — Pearson r of (deg(u), deg(v)) over the directed
+    edge list of the symmetrized graph. One superstep, zero messages:
+    neighbor degrees come from the PREPROCESS attribute exchange (the same
+    ``nbs_set``-analogue the triangle program uses), each partition folds six
+    partial sums over its own edges, and the engine's scalar fold adds them
+    as exact Python ints. The coefficient itself is computed by the caller
+    from the six sums (``pipelines/algorithms.assortativity``) with the same
+    cast-then-operate order as the SQL oracle, so the result is bit-exact at
+    any partition count. Per-partition sums are int64: deg·deg products
+    overflow only past ~10⁹-degree hubs, far beyond a valid web graph.
+    """
+
+    needs_nbr_attrs = ("degree",)
+
+    def init(self, csr: CSRPartition):
+        self.csr = csr
+        deg = csr.degrees().astype(np.int64)
+        x = deg[csr.dst_index().src_row]                  # own degree per edge
+        y = csr.nbr_attr["degree"].astype(np.int64)       # neighbor degree
+        self._sums = {
+            "asrt_n": int(len(y)),
+            "asrt_sx": int(x.sum()),
+            "asrt_sy": int(y.sum()),
+            "asrt_sxy": int((x * y).sum()),
+            "asrt_sxx": int((x * x).sum()),
+            "asrt_syy": int((y * y).sum()),
+        }
+
+    def apply(self, step, inbox, glob):
+        return {"active": 0}
+
+    def state_table(self):
+        return pa.table(
+            {k: pa.array([v], pa.int64()) for k, v in self._sums.items()}
+        )
+
+    def load_state(self, table, step):
+        self._sums = {c: int(table[c][0].as_py()) for c in table.column_names}
+
+    def result_table(self):
+        return self.state_table()
+
+    def scalar_result(self):
+        return dict(self._sums)
+
+
+# --------------------------------------------------------------------------
 class MatchProgram(VertexProgram):
     """Distributed subgraph-isomorphism embedding counting (flat plan).
 
@@ -1239,4 +1287,5 @@ PROGRAMS = {
     "triangles": TriangleCountProgram,
     "match": MatchProgram,
     "kcore": KCoreProgram,
+    "assortativity": AssortativityProgram,
 }

@@ -197,3 +197,26 @@ def test_partition_count_invariance():
         c = eng.scalars()["embeddings"]
         base = c if base is None else base
         assert c == base
+
+
+@pytest.mark.parametrize("trial", range(3))
+def test_assortativity_vs_numpy(trial):
+    s, d = random_graph(60 + trial, 50)
+    adj = adjacency(s, d)
+    deg = {v: len(nb) for v, nb in adj.items()}
+    x = np.array([deg[v] for v in adj for _ in adj[v]], dtype=np.float64)
+    y = np.array([deg[u] for v in adj for u in adj[v]], dtype=np.float64)
+    n = float(len(x))
+    num = n * (x * y).sum() - x.sum() * y.sum()
+    den = np.sqrt((n * (x * x).sum() - x.sum() ** 2) * (n * (y * y).sum() - y.sum() ** 2))
+    expected = num / den
+
+    eng = LocalBSP(s, d, num_parts=4, directed=False)
+    eng.run("assortativity", max_steps=3)
+    sm = eng.scalars()
+    n2 = float(sm["asrt_n"])
+    sx, sy = float(sm["asrt_sx"]), float(sm["asrt_sy"])
+    sxy, sxx, syy = float(sm["asrt_sxy"]), float(sm["asrt_sxx"]), float(sm["asrt_syy"])
+    r = (n2 * sxy - sx * sy) / np.sqrt((n2 * sxx - sx * sx) * (n2 * syy - sy * sy))
+    assert n2 == n
+    assert abs(r - expected) < 1e-12
