@@ -106,6 +106,22 @@ def _q_triangles(sf_dir: str):
     return pa.table({"n_triangles": pa.array([total], type=pa.int64())})
 
 
+def _q_ppr(sf_dir: str):
+    from subgraph_isomorphism_pregel_ray.pipelines.algorithms import (
+        personalized_pagerank,
+    )
+
+    res, _ = personalized_pagerank(
+        _sym_copurchase(sf_dir), iters=PR_ITERS, seed_mod=10, num_parts=4
+    )
+    return pa.table(
+        {
+            "vid": res["vid"].to_numpy().view(np.int64),
+            "pr": round_half_away(res["rank"].to_numpy(), 8),
+        }
+    )
+
+
 def _q_assortativity(sf_dir: str):
     from subgraph_isomorphism_pregel_ray.pipelines.algorithms import assortativity
 
@@ -443,6 +459,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triangle_count_copurchase": _q_triangles,
         "clustering_coeff_copurchase": _q_clustering,
         "assortativity_copurchase": _q_assortativity,
+        "ppr_copurchase": _q_ppr,
         "lpa_copurchase": _q_lpa,
         "kcore_copurchase": _q_kcore,
         "match_triangle_labeled": _q_match_triangle,
@@ -509,6 +526,31 @@ def _pagerank_sql(iters: int, damping: float = 0.85) -> str:
     return (
         ", ".join(parts) + f" SELECT vid, round(pr, 8) AS pr FROM r{iters}"
     )
+
+
+def _ppr_sql(iters: int, damping: float = 0.85, seed_mod: int = 10) -> str:
+    """Unrolled personalized PageRank: restart mass on vid % seed_mod == 0
+    only (no dangling vertices exist in the symmetrized graph, so the
+    dangling-to-seeds term is identically zero on both sides)."""
+    parts = [
+        f"WITH {_ESYM_MAT}",
+        "v AS MATERIALIZED (SELECT DISTINCT src AS vid FROM e)",
+        "deg AS MATERIALIZED (SELECT src AS vid, count(*) AS outdeg FROM e GROUP BY 1)",
+        f"s AS MATERIALIZED (SELECT vid, CASE WHEN vid % {seed_mod} = 0 "
+        "THEN 1.0 ELSE 0.0 END AS is_seed FROM v)",
+        "ns AS MATERIALIZED (SELECT sum(is_seed) AS k FROM s)",
+        "r0 AS MATERIALIZED (SELECT vid, is_seed / (SELECT k FROM ns) AS pr FROM s)",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"r{i} AS MATERIALIZED (SELECT sd.vid, "
+            f"(1 - {damping}) * sd.is_seed / (SELECT k FROM ns) + "
+            f"{damping} * coalesce(c.c, 0) AS pr FROM s sd LEFT JOIN ("
+            f"SELECT e.dst AS vid, sum(r.pr / d2.outdeg) AS c "
+            f"FROM e JOIN r{i-1} r ON r.vid = e.src "
+            f"JOIN deg d2 ON d2.vid = e.src GROUP BY e.dst) c ON c.vid = sd.vid)"
+        )
+    return ", ".join(parts) + f" SELECT vid, round(pr, 8) AS pr FROM r{iters}"
 
 
 def _cc_sql(iters: int = 8) -> str:
@@ -593,6 +635,7 @@ def oracle_sql() -> dict[str, str]:
             f"WITH {_ESYM} SELECT src AS vid, count(*) AS degree FROM e GROUP BY 1"
         ),
         "pagerank_copurchase": _pagerank_sql(PR_ITERS),
+        "ppr_copurchase": _ppr_sql(PR_ITERS),
         "cc_copurchase": _cc_sql(),
         "triangle_count_copurchase": (
             f"WITH {_EU} SELECT count(*) AS n_triangles FROM eu e1 "

@@ -72,6 +72,7 @@ def __getattr__(name):
         "events_quantiles": "pipelines.relational",
         "clustering_coefficient": "pipelines.algorithms",
         "assortativity": "pipelines.algorithms",
+        "personalized_pagerank": "pipelines.algorithms",
         "strong_copurchase_edges": "pipelines.relational",
     }
     if name in _API:

@@ -136,6 +136,31 @@ def triangle_count(edges_or_engine, num_parts: int = 8):
     return total, per_vertex, lineage
 
 
+def personalized_pagerank(
+    edges_or_engine,
+    iters: int = 10,
+    damping: float = 0.85,
+    seed_mod: int = 10,
+    num_parts: int = 8,
+    tol: float = 0.0,
+):
+    """Seeded-teleport PageRank (restart mass only on ``vid % seed_mod == 0``)
+    → (result table(vid, rank), lineage). Superstep 0 is a seed census
+    through the scalar fold; update k lands at step k+1 (max_steps = iters+3).
+    """
+    eng, lineage, own = _run(
+        edges_or_engine,
+        "ppr",
+        {"iters": iters, "damping": damping, "seed_mod": seed_mod, "tol": tol},
+        num_parts,
+        max_steps=iters + 3,
+    )
+    out = eng.result_table()
+    if own:
+        eng.shutdown()
+    return out.select(["vid", "rank"]), lineage
+
+
 def assortativity(edges_or_engine, num_parts: int = 8):
     """Degree assortativity coefficient → 1-row table(assortativity).
 

@@ -172,6 +172,73 @@ class PageRankProgram(VertexProgram):
 
 
 # --------------------------------------------------------------------------
+class PersonalizedPageRankProgram(PageRankProgram):
+    """Personalized (seeded-teleport) PageRank: the (1−d) restart mass — and
+    any dangling mass — goes to the seed set only, not uniformly.
+
+    Seeds are ``vid % seed_mod == 0`` (a deterministic predicate so the SQL
+    oracle can reproduce the set). |S| is global state no partition knows at
+    init, so superstep 0 is a seed census: each partition reports its local
+    seed count through the engine's scalar fold, step 1 reads the folded
+    total from ``glob``, initializes r₀ = 1[seed]/|S| and starts the normal
+    superstep cadence — update k lands at apply step k+1.
+    """
+
+    def init(self, csr: CSRPartition, iters=20, damping=0.85, seed_mod=10, tol=0.0):
+        super().init(csr, iters=int(iters) + 1, damping=damping, n_global=1, tol=tol)
+        self.seed_mask = (csr.vids % np.uint64(int(seed_mod))) == np.uint64(0)
+        self.rank = np.zeros(csr.num_vertices)
+        self._tele: np.ndarray | None = None
+
+    def apply(self, step, inbox, glob):
+        if step == 0:
+            return {"active": 1, "n_seeds": int(self.seed_mask.sum())}
+        if step == 1:
+            self._tele = self.seed_mask.astype(np.float64) / float(glob["n_seeds"])
+            self.rank = self._tele.copy()
+            return {"active": 1}
+        in_sum = np.zeros(self.csr.num_vertices)
+        for i, msg in enumerate(inbox):
+            if msg is None or len(msg["sum"]) == 0:
+                continue
+            li = self._in_li.get(i)
+            if "dst" in msg:
+                li = self.csr.local_index(msg["dst"])
+                self._in_li[i] = li
+            np.add.at(in_sum, li, msg["sum"])
+        dangling = glob.get("dangling", 0.0)
+        new_rank = (1.0 - self.d) * self._tele + self.d * (in_sum + dangling * self._tele)
+        delta = float(np.abs(new_rank - self.rank).sum())
+        self.rank = new_rank
+        glob_delta = glob.get("delta")
+        self._done = step >= self.iters or (
+            self.tol > 0 and glob_delta is not None and glob_delta < self.tol
+        )
+        return {"active": 0 if self._done else 1, "delta": delta}
+
+    def scatter(self, step):
+        if step == 0:  # census step — nothing to send yet
+            return [None] * self.csr.num_parts, {"sent": 0, "dangling": 0.0}
+        return super().scatter(step)
+
+    def state_table(self):
+        return pa.table(
+            {
+                "vid": self.csr.vids,
+                "rank": self.rank,
+                "tele": self._tele
+                if self._tele is not None
+                else np.zeros(self.csr.num_vertices),
+            }
+        )
+
+    def load_state(self, table, step):
+        self.rank = table["rank"].to_numpy().copy()
+        if step >= 1:
+            self._tele = table["tele"].to_numpy().copy()
+
+
+# --------------------------------------------------------------------------
 class ConnectedComponentsProgram(VertexProgram):
     """Hash-min connected components over a symmetrized edge table.
 
@@ -1288,4 +1355,5 @@ PROGRAMS = {
     "match": MatchProgram,
     "kcore": KCoreProgram,
     "assortativity": AssortativityProgram,
+    "ppr": PersonalizedPageRankProgram,
 }

@@ -220,3 +220,17 @@ def test_assortativity_vs_numpy(trial):
     r = (n2 * sxy - sx * sy) / np.sqrt((n2 * sxx - sx * sx) * (n2 * syy - sy * sy))
     assert n2 == n
     assert abs(r - expected) < 1e-12
+
+
+@pytest.mark.parametrize("parts", [1, 4])
+def test_personalized_pagerank_mass_on_seeds(parts):
+    s, d = random_graph(70, 60)
+    eng = LocalBSP(s, d, num_parts=parts, directed=False)
+    eng.run("ppr", {"iters": 8, "seed_mod": 5}, max_steps=11)
+    res = eng.result().to_pandas()
+    assert abs(res["rank"].sum() - 1.0) < 1e-9  # teleport conserves mass
+    seeds = res[res.vid % 5 == 0]["rank"]
+    others = res[res.vid % 5 != 0]["rank"]
+    # restart mass concentrates on (and near) seeds
+    assert seeds.mean() > others.mean()
+    assert (others >= 0).all() and (others <= seeds.max()).all()
