@@ -106,6 +106,13 @@ def _q_triangles(sf_dir: str):
     return pa.table({"n_triangles": pa.array([total], type=pa.int64())})
 
 
+def _q_random_walks(sf_dir: str):
+    from subgraph_isomorphism_pregel_ray.pipelines.algorithms import random_walks
+
+    res, _ = random_walks(_sym_copurchase(sf_dir), walk_len=4, num_parts=4)
+    return res
+
+
 def _q_ppr(sf_dir: str):
     from subgraph_isomorphism_pregel_ray.pipelines.algorithms import (
         personalized_pagerank,
@@ -460,6 +467,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clustering_coeff_copurchase": _q_clustering,
         "assortativity_copurchase": _q_assortativity,
         "ppr_copurchase": _q_ppr,
+        "random_walks_copurchase": _q_random_walks,
         "lpa_copurchase": _q_lpa,
         "kcore_copurchase": _q_kcore,
         "match_triangle_labeled": _q_match_triangle,
@@ -553,6 +561,31 @@ def _ppr_sql(iters: int, damping: float = 0.85, seed_mod: int = 10) -> str:
     return ", ".join(parts) + f" SELECT vid, round(pr, 8) AS pr FROM r{iters}"
 
 
+def _walk_sql(walk_len: int = 4) -> str:
+    """Unrolled deterministic random walk: neighbor pick k = h(start, t) %
+    deg over row_number()-indexed sorted adjacency (RandomWalkProgram's
+    transition, exactly)."""
+    parts = [
+        f"WITH {_ESYM_MAT}",
+        "v AS MATERIALIZED (SELECT DISTINCT src AS vid FROM e)",
+        "deg AS MATERIALIZED (SELECT src AS vid, count(*) AS outdeg FROM e GROUP BY 1)",
+        "nbr AS MATERIALIZED (SELECT src, dst, row_number() OVER "
+        "(PARTITION BY src ORDER BY dst) - 1 AS idx FROM e)",
+        "w0 AS MATERIALIZED (SELECT vid AS start, vid AS cur FROM v)",
+    ]
+    for i in range(1, walk_len + 1):
+        parts.append(
+            f"w{i} AS MATERIALIZED (SELECT w.start, nbr.dst AS cur "
+            f"FROM w{i-1} w JOIN deg d ON d.vid = w.cur "
+            f"JOIN nbr ON nbr.src = w.cur AND nbr.idx = "
+            f"((w.start * 2654435761 + {i} * 40503) % 2147483647) % d.outdeg)"
+        )
+    return (
+        ", ".join(parts)
+        + f" SELECT start AS start_vid, cur AS end_vid FROM w{walk_len}"
+    )
+
+
 def _cc_sql(iters: int = 8) -> str:
     """Unrolled synchronous min-label propagation — exact once converged
     (the sf0.001/sf0.01 co-purchase graphs converge in 3 rounds; 8 is the
@@ -636,6 +669,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "pagerank_copurchase": _pagerank_sql(PR_ITERS),
         "ppr_copurchase": _ppr_sql(PR_ITERS),
+        "random_walks_copurchase": _walk_sql(4),
         "cc_copurchase": _cc_sql(),
         "triangle_count_copurchase": (
             f"WITH {_EU} SELECT count(*) AS n_triangles FROM eu e1 "

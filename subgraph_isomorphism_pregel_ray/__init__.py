@@ -73,6 +73,7 @@ def __getattr__(name):
         "clustering_coefficient": "pipelines.algorithms",
         "assortativity": "pipelines.algorithms",
         "personalized_pagerank": "pipelines.algorithms",
+        "random_walks": "pipelines.algorithms",
         "strong_copurchase_edges": "pipelines.relational",
     }
     if name in _API:

@@ -161,6 +161,22 @@ def personalized_pagerank(
     return out.select(["vid", "rank"]), lineage
 
 
+def random_walks(edges_or_engine, walk_len: int = 4, num_parts: int = 8):
+    """One deterministic ``walk_len``-step walk per vertex →
+    table(start_vid, end_vid). See ``RandomWalkProgram`` for the hash
+    transition that makes the sampler oracle-checkable; at scale the walker
+    set IS the exchanged data (O(#walkers) per superstep, graph untouched).
+    """
+    eng, lineage, own = _run(
+        edges_or_engine, "walk", {"walk_len": walk_len}, num_parts, walk_len + 2,
+        directed=False,
+    )
+    out = eng.result_table()
+    if own:
+        eng.shutdown()
+    return out, lineage
+
+
 def assortativity(edges_or_engine, num_parts: int = 8):
     """Degree assortativity coefficient → 1-row table(assortativity).
 

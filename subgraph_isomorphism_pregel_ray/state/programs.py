@@ -592,6 +592,89 @@ class AssortativityProgram(VertexProgram):
 
 
 # --------------------------------------------------------------------------
+class RandomWalkProgram(VertexProgram):
+    """Deterministic random-walk sampling (the GNN-training neighborhood
+    sampler, made oracle-checkable): one walker starts at every vertex and
+    takes ``walk_len`` steps; at step t a walker started at ``s`` standing
+    on ``v`` moves to ``sorted_neighbors(v)[h(s,t) % deg(v)]`` with
+    ``h(s,t) = (s·2654435761 + t·40503) mod 2147483647`` — pure int64
+    arithmetic a SQL oracle reproduces with row_number() over sorted
+    adjacency. Walkers live on their current vertex's partition, so the
+    transition needs only local CSR state; each superstep routes walkers
+    (start, current) through the regular exchange — walk state IS the
+    message, nothing else is shuffled.
+    """
+
+    def init(self, csr: CSRPartition, walk_len=4):
+        self.csr = csr
+        self.L = int(walk_len)
+        self.start = csr.vids.astype(np.int64)
+        self.cur_li = np.arange(csr.num_vertices, dtype=np.int64)  # local idx
+
+    def apply(self, step, inbox, glob):
+        if step == 0:
+            return {"active": 1}
+        starts, curs = [], []
+        for msg in inbox:
+            if msg is None or len(msg["start"]) == 0:
+                continue
+            starts.append(msg["start"])
+            curs.append(msg["cur"])
+        self.start = (
+            np.concatenate(starts) if starts else np.empty(0, dtype=np.int64)
+        )
+        cur = np.concatenate(curs) if curs else np.empty(0, dtype=np.uint64)
+        self.cur_li = self.csr.local_index(cur)
+        return {"active": 1 if step < self.L else 0}
+
+    def scatter(self, step):
+        P = self.csr.num_parts
+        if step >= self.L:
+            return [None] * P, {"sent": 0}
+        deg = self.csr.degrees().astype(np.int64)[self.cur_li]
+        t = np.int64(step + 1)
+        h = (self.start * np.int64(2654435761) + t * np.int64(40503)) % np.int64(
+            2147483647
+        )
+        nxt = self.csr.indices[
+            self.csr.indptr[self.cur_li] + (h % deg)
+        ]  # sorted-by-dst within row, matches row_number() ORDER BY dst
+        dpart = part_for(nxt, P)
+        order = np.argsort(dpart, kind="stable")
+        sp, ss, sn = dpart[order], self.start[order], nxt[order]
+        bounds = np.searchsorted(sp, np.arange(P + 1))
+        outbox = []
+        for p in range(P):
+            s, e = int(bounds[p]), int(bounds[p + 1])
+            outbox.append(
+                {"start": ss[s:e], "cur": sn[s:e]} if e > s else None
+            )
+        return outbox, {"sent": int(len(sn))}
+
+    def state_table(self):
+        return pa.table(
+            {
+                "start": self.start,
+                "cur": self.csr.vids[self.cur_li].astype(np.uint64),
+            }
+        )
+
+    def load_state(self, table, step):
+        self.start = table["start"].to_numpy().copy()
+        self.cur_li = self.csr.local_index(
+            table["cur"].to_numpy().astype(np.uint64)
+        )
+
+    def result_table(self):
+        return pa.table(
+            {
+                "start_vid": self.start,
+                "end_vid": self.csr.vids[self.cur_li].view(np.int64),
+            }
+        )
+
+
+# --------------------------------------------------------------------------
 class MatchProgram(VertexProgram):
     """Distributed subgraph-isomorphism embedding counting (flat plan).
 
@@ -1356,4 +1439,5 @@ PROGRAMS = {
     "kcore": KCoreProgram,
     "assortativity": AssortativityProgram,
     "ppr": PersonalizedPageRankProgram,
+    "walk": RandomWalkProgram,
 }

@@ -234,3 +234,28 @@ def test_personalized_pagerank_mass_on_seeds(parts):
     # restart mass concentrates on (and near) seeds
     assert seeds.mean() > others.mean()
     assert (others >= 0).all() and (others <= seeds.max()).all()
+
+
+@pytest.mark.parametrize("parts", [1, 4])
+def test_random_walks_vs_bruteforce(parts):
+    s, d = random_graph(80, 40)
+    adj = {v: sorted(nb) for v, nb in adjacency(s, d).items()}
+
+    def h(start, t):
+        return ((start * 2654435761 + t * 40503) % 2147483647)
+
+    L = 5
+    expected = {}
+    for v in adj:
+        cur = v
+        for t in range(1, L + 1):
+            nb = adj[cur]
+            cur = nb[h(v, t) % len(nb)]
+        expected[v] = cur
+
+    eng = LocalBSP(s, d, num_parts=parts, directed=False)
+    eng.run("walk", {"walk_len": L}, max_steps=L + 2)
+    res = eng.result().to_pandas()
+    assert len(res) == len(adj)  # no walker lost or duplicated
+    got = dict(zip(res.start_vid.astype(int), res.end_vid.astype(int)))
+    assert got == expected
