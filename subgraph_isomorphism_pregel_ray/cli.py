@@ -4,7 +4,7 @@
 
     python -m subgraph_isomorphism_pregel_ray match -d graphs/toy.txt -q graphs/query.txt
     python -m subgraph_isomorphism_pregel_ray pagerank -d edges.parquet -out /tmp/pr --iters 20
-    python -m subgraph_isomorphism_pregel_ray cc|lpa|triangles -d <edges> [-out DIR]
+    python -m subgraph_isomorphism_pregel_ray cc|lpa|triangles|kcore|ppr|walk|assortativity -d <edges> [-out DIR]
     python -m subgraph_isomorphism_pregel_ray extract --pages <pages parquet> -out <edges dir>
 
 ``-d`` accepts the reference's text graph format (*.txt) or a parquet edge
@@ -65,13 +65,19 @@ def main(argv=None):
         p.add_argument("--checkpoint-every", type=int, default=0)
         p.add_argument("--resume", action="store_true")
 
-    for name in ("pagerank", "cc", "lpa", "triangles", "kcore"):
+    for name in ("pagerank", "cc", "lpa", "triangles", "kcore",
+                 "ppr", "walk", "assortativity"):
         p = sub.add_parser(name)
         common(p)
-        if name in ("pagerank", "lpa"):
-            p.add_argument("--iters", type=int, default=20 if name == "pagerank" else 10)
-        if name == "pagerank":
+        if name in ("pagerank", "lpa", "ppr"):
+            p.add_argument("--iters", type=int, default=10 if name == "lpa" else 20)
+        if name in ("pagerank", "ppr"):
             p.add_argument("--damping", type=float, default=0.85)
+        if name == "ppr":
+            p.add_argument("--seed-mod", type=int, default=10,
+                           help="teleport seeds are vid %% seed-mod == 0")
+        if name == "walk":
+            p.add_argument("--walk-len", type=int, default=4)
 
     p = sub.add_parser("match")
     common(p)
@@ -137,18 +143,30 @@ def main(argv=None):
 
     from .pipelines.algorithms import build_engine
 
+    # thunks: each subcommand only defines its own flags, so entries must
+    # not touch another command's argparse attributes
+    iters = getattr(args, "iters", 0)
+    walk_len = getattr(args, "walk_len", 0)
     program, params, max_steps, directed = {
-        "pagerank": (
+        "pagerank": lambda: (
             "pagerank",
-            {"iters": args.iters, "damping": args.damping, "n_global": None, "tol": 0.0},
-            args.iters + 1,
+            {"iters": iters, "damping": args.damping, "n_global": None, "tol": 0.0},
+            iters + 1,
             True,
         ),
-        "cc": ("cc", {}, 300, False),
-        "lpa": ("lpa", {"iters": args.iters}, args.iters + 2, False),
-        "kcore": ("kcore", {}, 300, False),
-        "triangles": ("triangles", {}, 4, False),
-    }[args.cmd]
+        "cc": lambda: ("cc", {}, 300, False),
+        "lpa": lambda: ("lpa", {"iters": iters}, iters + 2, False),
+        "kcore": lambda: ("kcore", {}, 300, False),
+        "triangles": lambda: ("triangles", {}, 4, False),
+        "ppr": lambda: (
+            "ppr",
+            {"iters": iters, "damping": args.damping, "seed_mod": args.seed_mod},
+            iters + 3,
+            False,
+        ),
+        "walk": lambda: ("walk", {"walk_len": walk_len}, walk_len + 2, False),
+        "assortativity": lambda: ("assortativity", {}, 3, False),
+    }[args.cmd]()
 
     eng = build_engine(edges_ds, args.parts, labels_ds=labels_ds, directed=directed)
     lineage = eng.run(program, params, max_steps=max_steps, **ck)
@@ -156,6 +174,12 @@ def main(argv=None):
                "edges": eng.num_edges}
     if args.cmd == "triangles":
         summary["triangles"] = int(eng.scalar_results().get("triangles", 0))
+    if args.cmd == "assortativity":
+        from .pipelines.algorithms import assortativity_from_sums
+
+        summary["assortativity"] = round(
+            assortativity_from_sums(eng.scalar_results()), 6
+        )
     if args.out:
         # streamed dump: actor tables → partitioned parquet, no driver concat
         eng.dump(args.out)

@@ -191,12 +191,18 @@ def assortativity(edges_or_engine, num_parts: int = 8):
     s = eng.scalar_results()
     if own:
         eng.shutdown()
+    return pa.table(
+        {"assortativity": round_half_away(np.array([assortativity_from_sums(s)]), 6)}
+    )
+
+
+def assortativity_from_sums(s: dict) -> float:
+    """Pearson r from the six folded integer sums (cast-then-operate)."""
     n = float(s["asrt_n"])
     sx, sy = float(s["asrt_sx"]), float(s["asrt_sy"])
     sxy, sxx, syy = float(s["asrt_sxy"]), float(s["asrt_sxx"]), float(s["asrt_syy"])
     den = np.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
-    r = (n * sxy - sx * sy) / den if den > 0 else 0.0
-    return pa.table({"assortativity": round_half_away(np.array([r]), 6)})
+    return (n * sxy - sx * sy) / den if den > 0 else 0.0
 
 
 def clustering_coefficient(edges_or_engine, num_parts: int = 8):

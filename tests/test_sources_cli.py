@@ -102,3 +102,45 @@ def test_cli_pagerank_writes_parquet(tmp_path):
     assert files
     total = sum(pq.read_table(f).num_rows for f in files)
     assert total == 15
+
+
+def test_cli_ppr_walk_assortativity(tmp_path):
+    out = subprocess.run(
+        [sys.executable, "-m", "subgraph_isomorphism_pregel_ray", "ppr",
+         "-d", REF_TOY, "-out", str(tmp_path / "ppr"), "--iters", "5",
+         "--seed-mod", "3", "--parts", "2", "--cpus", "4"],
+        capture_output=True, text=True, timeout=240,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    import glob as g
+
+    import pyarrow.parquet as pq
+
+    ranks = [
+        pq.read_table(f) for f in g.glob(str(tmp_path / "ppr" / "*.parquet"))
+    ]
+    total = sum(float(t["rank"].to_numpy().sum()) for t in ranks)
+    assert abs(total - 1.0) < 1e-9  # teleport mass conserved
+
+    out = subprocess.run(
+        [sys.executable, "-m", "subgraph_isomorphism_pregel_ray", "walk",
+         "-d", REF_TOY, "-out", str(tmp_path / "wk"), "--walk-len", "3",
+         "--parts", "2", "--cpus", "4"],
+        capture_output=True, text=True, timeout=240,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    walks = sum(
+        pq.read_table(f).num_rows for f in g.glob(str(tmp_path / "wk" / "*.parquet"))
+    )
+    assert walks == 15  # one walker per vertex, none lost
+
+    out = subprocess.run(
+        [sys.executable, "-m", "subgraph_isomorphism_pregel_ray", "assortativity",
+         "-d", REF_TOY, "--parts", "2", "--cpus", "4"],
+        capture_output=True, text=True, timeout=240,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    import json as _json
+
+    summary = _json.loads(out.stdout.strip().splitlines()[-1])
+    assert -1.0 <= summary["assortativity"] <= 1.0
