@@ -335,6 +335,12 @@ def _q_events_sorted(sf_dir: str):
     return sort_with_ordinal(ev, ["value", "event_id"], descending=[True, False])
 
 
+def _q_revenue_by_nation(sf_dir: str):
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import revenue_by_nation
+
+    return revenue_by_nation(sf_dir)
+
+
 def _q_events_quantiles(sf_dir: str):
     from subgraph_isomorphism_pregel_ray.pipelines.relational import events_quantiles
 
@@ -484,6 +490,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sorted": _q_events_sorted,
         "events_asof": _q_events_asof,
         "events_quantiles": _q_events_quantiles,
+        "revenue_by_nation": _q_revenue_by_nation,
         "lang_id": _q_lang_id,
         "fingerprint": _q_fingerprint,
         "simhash": _q_simhash,
@@ -828,6 +835,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, value, CAST(row_number() OVER "
             "(ORDER BY value DESC, event_id ASC) - 1 AS BIGINT) AS ordinal "
             "FROM events"
+        ),
+        "revenue_by_nation": (
+            # revenue summed as exact integers (prices/discounts carry two
+            # decimals) so the result is summation-order-independent —
+            # matches the engine's int64 partial sums bit-exactly
+            "SELECT n_name, sum(CAST(round(l_extendedprice * 100) AS BIGINT) * "
+            "(100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0 AS revenue "
+            "FROM lineitem JOIN orders ON o_orderkey = l_orderkey "
+            "JOIN customer ON c_custkey = o_custkey "
+            "JOIN nation ON n_nationkey = c_nationkey GROUP BY 1"
         ),
         "events_quantiles": (
             "SELECT event_type, 0.5 AS quantile, CAST(count(*) AS BIGINT) AS n, "

@@ -385,6 +385,128 @@ def events_sessionize(sf_dir: str, gap_sec: int = 600, num_buckets: int = 32):
     )
 
 
+def revenue_by_nation(sf_dir: str, num_buckets: int = 32):
+    """TPC-H-Q5-shaped rollup: lineitem ⋈ orders ⋈ customer ⋈ nation →
+    (n_name, revenue), revenue = Σ l_extendedprice·(1−l_discount).
+
+    Scale shape — two bucketed repartition joins, never ``Dataset.join``
+    (acero dies on post-aggregate blocks, see dedup.py) and never a
+    driver-side table: each join unions the two sides under a common schema
+    with a bucket column (ONE shuffle per join), and a whole bucket —
+    thousands of keys from both sides — is merged vectorized via
+    ``searchsorted``. Lineitem is pre-aggregated to (orderkey, rev) inside
+    each batch before anything is shuffled, and again to (custkey, rev)
+    between the joins, so exchanges carry partials, not rows. The 25-row
+    nation table alone is read on the driver (broadcast-small-side rule).
+
+    Determinism — revenue is summed as EXACT integers: prices/discounts
+    carry 2 decimals, so cents·(100−disc_cents) is an exact int64 in units
+    of 10⁻⁴ dollars; partial sums stay < 2⁵³ and the single final division
+    by 10⁴ matches the SQL oracle's ``sum(bigint)/10000.0`` bit-exactly at
+    any partition count or summation order.
+    """
+    li = read_table(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"]
+    )
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+
+    B = np.int64(num_buckets)
+
+    def _li_partial(t: pa.Table) -> pa.Table:
+        ok = t["l_orderkey"].to_numpy()
+        cents = np.round(t["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        disc = np.round(t["l_discount"].to_numpy() * 100).astype(np.int64)
+        rev = cents * (100 - disc)
+        k, inv = np.unique(ok, return_inverse=True)
+        s = np.bincount(inv, weights=rev.astype(np.float64)).astype(np.int64)
+        return pa.table(
+            {
+                "k": k,
+                "rev": s,
+                "aux": np.full(len(k), -1, np.int64),
+                "b": (k % B).astype(np.int32),
+            }
+        )
+
+    def _orders_side(t: pa.Table) -> pa.Table:
+        k = t["o_orderkey"].to_numpy()
+        return pa.table(
+            {
+                "k": k,
+                "rev": np.zeros(len(k), np.int64),
+                "aux": t["o_custkey"].to_numpy().astype(np.int64),
+                "b": (k % B).astype(np.int32),
+            }
+        )
+
+    def _cust_side(t: pa.Table) -> pa.Table:
+        k = t["c_custkey"].to_numpy()
+        return pa.table(
+            {
+                "k": k,
+                "rev": np.zeros(len(k), np.int64),
+                "aux": t["c_nationkey"].to_numpy().astype(np.int64),
+                "b": (k % B).astype(np.int32),
+            }
+        )
+
+    def _merge(g: pa.Table) -> pa.Table:
+        """One bucket, both sides: map each rev row's key to the dimension
+        side's aux (searchsorted on the sorted dimension keys), then
+        pre-aggregate rev by aux before it leaves the bucket."""
+        aux = g["aux"].to_numpy()
+        dim = aux >= 0
+        k = g["k"].to_numpy()
+        dk, da = k[dim], aux[dim]
+        order = np.argsort(dk)
+        dk, da = dk[order], da[order]
+        fk, frev = k[~dim], g["rev"].to_numpy()[~dim]
+        pos = np.searchsorted(dk, fk)
+        pos_c = np.minimum(pos, max(len(dk) - 1, 0))
+        hit = (len(dk) > 0) & (dk[pos_c] == fk) if len(dk) else np.zeros(len(fk), bool)
+        nk, inv = np.unique(da[pos_c[hit]], return_inverse=True)
+        s = np.bincount(inv, weights=frev[hit].astype(np.float64)).astype(np.int64)
+        return pa.table(
+            {
+                "k": nk,
+                "rev": s,
+                "aux": np.full(len(nk), -1, np.int64),
+                "b": (nk % B).astype(np.int32),
+            }
+        )
+
+    j1 = (
+        li.map_batches(_li_partial, batch_format="pyarrow")
+        .union(orders.map_batches(_orders_side, batch_format="pyarrow"))
+        .groupby("b")
+        .map_groups(_merge, batch_format="pyarrow")
+    )  # → (custkey, rev) partials, already bucketed by custkey
+    j2 = (
+        j1.union(cust.map_batches(_cust_side, batch_format="pyarrow"))
+        .groupby("b")
+        .map_groups(_merge, batch_format="pyarrow")
+    )  # → (nationkey, rev) partials
+
+    from ray.data.aggregate import Sum
+
+    per_nation = (
+        j2.groupby("k").aggregate(Sum("rev", alias_name="rev")).to_pandas()
+    )  # ≤ 25 rows on the driver
+    import pyarrow.parquet as pq
+
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).to_pandas()
+    out = per_nation.merge(nation, left_on="k", right_on="n_nationkey")
+    return pa.table(
+        {
+            "n_name": out["n_name"].to_numpy(),
+            "revenue": out["rev"].to_numpy().astype(np.float64) / 10000.0,
+        }
+    )
+
+
 def events_quantiles(sf_dir: str, qs: tuple = (0.5, 0.95)):
     """Exact per-group quantiles, distributed: ONE global sort by
     (group, value) with ordinal (the TeraSort machinery), a small per-group

@@ -582,3 +582,32 @@ def test_events_asof_strictness_and_ties(ray_session, tmp_path):
     assert out["event_id"].tolist() == [103, 202]
     assert out["prior_event_id"].tolist() == [101, 201]  # 101 = max id at tie
     assert out["prior_ts"].astype("int64").tolist() == [10 * us, 6 * us]
+
+
+def test_revenue_by_nation_vs_duckdb(ray_session):
+    """TPC-H-Q5-shaped rollup: the two bucketed repartition joins plus exact
+    integer-cents revenue must reproduce the SQL 4-table join bit-exactly
+    (the int64 partial sums make the result summation-order-independent)."""
+    import duckdb
+
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import revenue_by_nation
+
+    got = (
+        revenue_by_nation(SF_SMOKE, num_buckets=8)
+        .to_pandas()
+        .sort_values("n_name")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    want = con.sql(
+        f"""SELECT n_name, sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+               (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0 AS revenue
+        FROM read_parquet('{SF_SMOKE}/lineitem.parquet') li
+        JOIN read_parquet('{SF_SMOKE}/orders.parquet') o ON o_orderkey = l_orderkey
+        JOIN read_parquet('{SF_SMOKE}/customer.parquet') c ON c_custkey = o_custkey
+        JOIN read_parquet('{SF_SMOKE}/nation.parquet') n ON n_nationkey = c_nationkey
+        GROUP BY 1 ORDER BY 1"""
+    ).df()
+    assert got.shape == want.shape
+    assert (got["n_name"].to_numpy() == want["n_name"].to_numpy()).all()
+    assert (got["revenue"].to_numpy() == want["revenue"].to_numpy()).all()
