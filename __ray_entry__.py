@@ -25,6 +25,7 @@ SF_SMOKE = "/root/testdata/sf0.001"
 
 PR_ITERS = 5
 LPA_ITERS = 5
+HITS_ITERS = 8
 EMB_THRESHOLD = 0.35  # synthetic embeddings are near-orthogonal (max cos ≈ 0.51)
 ANN_QUERY_IDS = [0, 1, 2, 3]
 ANN_K = 5
@@ -125,6 +126,19 @@ def _q_ppr(sf_dir: str):
         {
             "vid": res["vid"].to_numpy().view(np.int64),
             "pr": round_half_away(res["rank"].to_numpy(), 8),
+        }
+    )
+
+
+def _q_hits(sf_dir: str):
+    from subgraph_isomorphism_pregel_ray.pipelines.algorithms import hits
+
+    res, _ = hits(_sym_copurchase(sf_dir), iters=HITS_ITERS, num_parts=4)
+    return pa.table(
+        {
+            "vid": res["vid"].to_numpy().view(np.int64),
+            "auth": round_half_away(res["auth"].to_numpy(), 8),
+            "hub": round_half_away(res["hub"].to_numpy(), 8),
         }
     )
 
@@ -473,6 +487,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clustering_coeff_copurchase": _q_clustering,
         "assortativity_copurchase": _q_assortativity,
         "ppr_copurchase": _q_ppr,
+        "hits_copurchase": _q_hits,
         "random_walks_copurchase": _q_random_walks,
         "lpa_copurchase": _q_lpa,
         "kcore_copurchase": _q_kcore,
@@ -566,6 +581,31 @@ def _ppr_sql(iters: int, damping: float = 0.85, seed_mod: int = 10) -> str:
             f"JOIN deg d2 ON d2.vid = e.src GROUP BY e.dst) c ON c.vid = sd.vid)"
         )
     return ", ".join(parts) + f" SELECT vid, round(pr, 8) AS pr FROM r{iters}"
+
+
+def _hits_sql(iters: int = 8) -> str:
+    """Unrolled simultaneous-update HITS on the DAG orientation (u→v iff
+    u<v) of the co-purchase graph, normalization-free until the final L2 —
+    mirrors ``HITSProgram``'s semantics exactly (scale-free iteration)."""
+    eu_mat = _EU.replace("eu AS (", "eu AS MATERIALIZED (", 1)
+    parts = [
+        f"WITH {eu_mat}",
+        "v AS MATERIALIZED (SELECT src AS vid FROM eu UNION SELECT dst FROM eu)",
+        "s0 AS MATERIALIZED (SELECT vid, 1.0 AS a, 1.0 AS h FROM v)",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"s{i} AS MATERIALIZED (SELECT v.vid, "
+            "coalesce(ha.s, 0) AS a, coalesce(ah.s, 0) AS h FROM v "
+            f"LEFT JOIN (SELECT eu.dst AS vid, sum(p.h) AS s FROM eu "
+            f"JOIN s{i-1} p ON p.vid = eu.src GROUP BY 1) ha ON ha.vid = v.vid "
+            f"LEFT JOIN (SELECT eu.src AS vid, sum(p.a) AS s FROM eu "
+            f"JOIN s{i-1} p ON p.vid = eu.dst GROUP BY 1) ah ON ah.vid = v.vid)"
+        )
+    return ", ".join(parts) + (
+        f" SELECT vid, round(a / sqrt((SELECT sum(a*a) FROM s{iters})), 8) AS auth, "
+        f"round(h / sqrt((SELECT sum(h*h) FROM s{iters})), 8) AS hub FROM s{iters}"
+    )
 
 
 def _walk_sql(walk_len: int = 4) -> str:
@@ -676,6 +716,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "pagerank_copurchase": _pagerank_sql(PR_ITERS),
         "ppr_copurchase": _ppr_sql(PR_ITERS),
+        "hits_copurchase": _hits_sql(HITS_ITERS),
         "random_walks_copurchase": _walk_sql(4),
         "cc_copurchase": _cc_sql(),
         "triangle_count_copurchase": (

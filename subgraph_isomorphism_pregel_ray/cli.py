@@ -4,7 +4,7 @@
 
     python -m subgraph_isomorphism_pregel_ray match -d graphs/toy.txt -q graphs/query.txt
     python -m subgraph_isomorphism_pregel_ray pagerank -d edges.parquet -out /tmp/pr --iters 20
-    python -m subgraph_isomorphism_pregel_ray cc|lpa|triangles|kcore|ppr|walk|assortativity -d <edges> [-out DIR]
+    python -m subgraph_isomorphism_pregel_ray cc|lpa|triangles|kcore|ppr|walk|hits|assortativity -d <edges> [-out DIR]
     python -m subgraph_isomorphism_pregel_ray extract --pages <pages parquet> -out <edges dir>
 
 ``-d`` accepts the reference's text graph format (*.txt) or a parquet edge
@@ -66,11 +66,14 @@ def main(argv=None):
         p.add_argument("--resume", action="store_true")
 
     for name in ("pagerank", "cc", "lpa", "triangles", "kcore",
-                 "ppr", "walk", "assortativity"):
+                 "ppr", "walk", "hits", "assortativity"):
         p = sub.add_parser(name)
         common(p)
-        if name in ("pagerank", "lpa", "ppr"):
-            p.add_argument("--iters", type=int, default=10 if name == "lpa" else 20)
+        if name in ("pagerank", "lpa", "ppr", "hits"):
+            p.add_argument(
+                "--iters", type=int,
+                default={"lpa": 10, "hits": 8}.get(name, 20),
+            )
         if name in ("pagerank", "ppr"):
             p.add_argument("--damping", type=float, default=0.85)
         if name == "ppr":
@@ -165,6 +168,7 @@ def main(argv=None):
             False,
         ),
         "walk": lambda: ("walk", {"walk_len": walk_len}, walk_len + 2, False),
+        "hits": lambda: ("hits", {"iters": iters}, iters + 2, False),
         "assortativity": lambda: ("assortativity", {}, 3, False),
     }[args.cmd]()
 

@@ -177,6 +177,20 @@ def random_walks(edges_or_engine, walk_len: int = 4, num_parts: int = 8):
     return out, lineage
 
 
+def hits(edges_or_engine, iters: int = 8, num_parts: int = 8):
+    """HITS hubs/authorities on the DAG orientation (u→v iff u<v) of the
+    symmetric edge set → (table(vid, auth, hub) L2-normalized, lineage).
+    See ``HITSProgram`` for the exchange/normalization shape."""
+    eng, lineage, own = _run(
+        edges_or_engine, "hits", {"iters": iters}, num_parts, iters + 2,
+        directed=False,
+    )
+    out = eng.result_table()
+    if own:
+        eng.shutdown()
+    return out, lineage
+
+
 def assortativity(edges_or_engine, num_parts: int = 8):
     """Degree assortativity coefficient → 1-row table(assortativity).
 

@@ -1430,6 +1430,119 @@ class KCoreProgram(VertexProgram):
         return pa.table({"vid": self.csr.vids, "core": self.core})
 
 
+# --------------------------------------------------------------------------
+class HITSProgram(VertexProgram):
+    """HITS (hubs & authorities) on the DAG orientation of the symmetric
+    graph: the directed edge set is u→v iff {u,v} ∈ E and u < v, so
+    orientation is recoverable from vids alone — no per-edge attribute and
+    no second (reverse) CSR. Each superstep carries BOTH half-updates in one
+    exchange (two pre-aggregated floats per distinct dst):
+
+        a_t(v) = Σ_{u→v} h_{t-1}(u)      h_t(u) = Σ_{u→v} a_{t-1}(v)
+
+    i.e. the simultaneous-update variant, WITHOUT per-iteration
+    normalization — the iteration is scale-free (power iteration of the
+    [[0,Aᵀ],[A,0]] block operator), so one L2 normalization at the end
+    yields the same direction while keeping the SQL oracle a plain unroll.
+    Norms are global: the last update's apply() reports local Σa²/Σh²
+    through the engine's scalar fold (the reference's aggregator seam,
+    ``basic/Worker.h`` aggregator sync) and a final message-free superstep
+    normalizes everywhere from ``glob`` — no driver-side pass over vertices.
+    """
+
+    def init(self, csr: CSRPartition, iters=8):
+        self.csr = csr
+        self.iters = int(iters)
+        self.auth = np.ones(csr.num_vertices)
+        self.hub = np.ones(csr.num_vertices)
+        self._in_li: dict[int, np.ndarray] = {}
+        self._sent_dst = False
+        self._fwd: list[np.ndarray] | None = None  # static per-edge orientation
+
+    def _orientation(self, dix):
+        """Per dest-part boolean mask over the grouped edge order: True where
+        the edge points forward (src vid < dst vid). Static — cached."""
+        if self._fwd is None:
+            sr = dix.src_row[dix.order]
+            src_v = self.csr.vids[sr]
+            fwd = []
+            for p in range(self.csr.num_parts):
+                s, e = dix.slices[p]
+                dstv = dix.uniq_dst[p][dix.inverse[p]]
+                fwd.append(dstv > src_v[s:e])
+            self._fwd = fwd
+            self._sr = sr
+        return self._fwd
+
+    def apply(self, step, inbox, glob):
+        if step == 0:
+            return {"active": 1}
+        if getattr(self, "_norm_step", False):
+            a2, h2 = glob.get("a2", 0.0), glob.get("h2", 0.0)
+            if a2 > 0:
+                self.auth = self.auth / np.sqrt(a2)
+            if h2 > 0:
+                self.hub = self.hub / np.sqrt(h2)
+            return {"active": 0}
+        a_sum = np.zeros(self.csr.num_vertices)
+        h_sum = np.zeros(self.csr.num_vertices)
+        for i, msg in enumerate(inbox):
+            if msg is None or len(msg["sh"]) == 0:
+                continue
+            li = self._in_li.get(i)
+            if "dst" in msg:
+                li = self.csr.local_index(msg["dst"])
+                self._in_li[i] = li
+            np.add.at(a_sum, li, msg["sh"])  # hubs of smaller nbrs → authority
+            np.add.at(h_sum, li, msg["sa"])  # auths of larger nbrs → hub
+        self.auth, self.hub = a_sum, h_sum
+        if step >= self.iters:  # vectors final — publish norms, then normalize
+            self._norm_step = True
+            return {
+                "active": 1,
+                "a2": float(self.auth @ self.auth),
+                "h2": float(self.hub @ self.hub),
+            }
+        return {"active": 1}
+
+    def scatter(self, step):
+        P = self.csr.num_parts
+        if step >= self.iters or getattr(self, "_norm_step", False):
+            return [None] * P, {"sent": 0}
+        dix = self.csr.dst_index()
+        fwd = self._orientation(dix)
+        sr = self._sr
+        outbox, sent = [], 0
+        for p in range(P):
+            s, e = dix.slices[p]
+            if s == e:
+                outbox.append(None)
+                continue
+            f = fwd[p]
+            n_uniq = len(dix.uniq_dst[p])
+            inv = dix.inverse[p]
+            rows = sr[s:e]
+            sh = np.bincount(inv[f], weights=self.hub[rows[f]], minlength=n_uniq)
+            sa = np.bincount(inv[~f], weights=self.auth[rows[~f]], minlength=n_uniq)
+            msg = {"sh": sh, "sa": sa}
+            if not self._sent_dst:
+                msg["dst"] = dix.uniq_dst[p]
+            outbox.append(msg)
+            sent += 2 * n_uniq
+        self._sent_dst = True
+        return outbox, {"sent": sent}
+
+    def state_table(self):
+        return pa.table({"vid": self.csr.vids, "auth": self.auth, "hub": self.hub})
+
+    def load_state(self, table, step):
+        self.auth = table["auth"].to_numpy().copy()
+        self.hub = table["hub"].to_numpy().copy()
+
+    def result_table(self):
+        return pa.table({"vid": self.csr.vids, "auth": self.auth, "hub": self.hub})
+
+
 PROGRAMS = {
     "pagerank": PageRankProgram,
     "cc": ConnectedComponentsProgram,
@@ -1440,4 +1553,5 @@ PROGRAMS = {
     "assortativity": AssortativityProgram,
     "ppr": PersonalizedPageRankProgram,
     "walk": RandomWalkProgram,
+    "hits": HITSProgram,
 }

@@ -611,3 +611,40 @@ def test_revenue_by_nation_vs_duckdb(ray_session):
     assert got.shape == want.shape
     assert (got["n_name"].to_numpy() == want["n_name"].to_numpy()).all()
     assert (got["revenue"].to_numpy() == want["revenue"].to_numpy()).all()
+
+
+def test_hits_vs_numpy_reference(ray_session):
+    """HITSProgram (DAG orientation u→v iff u<v, simultaneous updates, one
+    final L2 normalization) must reproduce a direct numpy iteration exactly,
+    at a partition count that forces cross-partition exchanges."""
+    import ray.data as rd
+
+    from subgraph_isomorphism_pregel_ray.pipelines.algorithms import hits
+
+    rng = np.random.default_rng(11)
+    pairs = sorted(
+        {(min(u, v), max(u, v)) for u, v in rng.integers(0, 80, (400, 2)) if u != v}
+    )
+    src = np.array([p[0] for p in pairs], np.uint64)
+    dst = np.array([p[1] for p in pairs], np.uint64)
+    edges = rd.from_arrow(
+        pa.table({"src": np.concatenate([src, dst]), "dst": np.concatenate([dst, src])})
+    )
+    res, _ = hits(edges, iters=7, num_parts=3)
+    got = res.to_pandas().sort_values("vid").reset_index(drop=True)
+
+    verts = np.unique(np.concatenate([src, dst]))
+    idx = {int(v): i for i, v in enumerate(verts)}
+    a = np.ones(len(verts))
+    h = np.ones(len(verts))
+    for _ in range(7):
+        na, nh = np.zeros(len(verts)), np.zeros(len(verts))
+        for u, v in pairs:
+            na[idx[v]] += h[idx[u]]
+            nh[idx[u]] += a[idx[v]]
+        a, h = na, nh
+    a /= np.sqrt(a @ a)
+    h /= np.sqrt(h @ h)
+    assert (got["vid"].to_numpy() == verts.astype(np.int64)).all()
+    np.testing.assert_allclose(got["auth"].to_numpy(), a, atol=1e-12, rtol=0)
+    np.testing.assert_allclose(got["hub"].to_numpy(), h, atol=1e-12, rtol=0)
