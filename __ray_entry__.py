@@ -355,6 +355,14 @@ def _q_revenue_by_nation(sf_dir: str):
     return revenue_by_nation(sf_dir)
 
 
+def _q_topk_parts(sf_dir: str):
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import (
+        topk_parts_per_nation,
+    )
+
+    return topk_parts_per_nation(sf_dir, k=5)
+
+
 def _q_events_quantiles(sf_dir: str):
     from subgraph_isomorphism_pregel_ray.pipelines.relational import events_quantiles
 
@@ -506,6 +514,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof": _q_events_asof,
         "events_quantiles": _q_events_quantiles,
         "revenue_by_nation": _q_revenue_by_nation,
+        "topk_parts_per_nation": _q_topk_parts,
         "lang_id": _q_lang_id,
         "fingerprint": _q_fingerprint,
         "simhash": _q_simhash,
@@ -876,6 +885,18 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, value, CAST(row_number() OVER "
             "(ORDER BY value DESC, event_id ASC) - 1 AS BIGINT) AS ordinal "
             "FROM events"
+        ),
+        "topk_parts_per_nation": (
+            # same exact-integer revenue as revenue_by_nation; rnk via
+            # row_number with the engine's (rev desc, partkey asc) tie-break
+            "WITH r AS (SELECT s_nationkey AS nation, l_partkey AS partkey, "
+            "sum(CAST(round(l_extendedprice * 100) AS BIGINT) * "
+            "(100 - CAST(round(l_discount * 100) AS BIGINT))) AS rev "
+            "FROM lineitem JOIN supplier ON s_suppkey = l_suppkey GROUP BY 1, 2), "
+            "t AS (SELECT nation, partkey, rev, row_number() OVER "
+            "(PARTITION BY nation ORDER BY rev DESC, partkey) AS rn FROM r) "
+            "SELECT CAST(nation AS BIGINT) AS nation, partkey, "
+            "rev / 10000.0 AS revenue, CAST(rn AS BIGINT) AS rnk FROM t WHERE rn <= 5"
         ),
         "revenue_by_nation": (
             # revenue summed as exact integers (prices/discounts carry two

@@ -18,7 +18,7 @@ from ..functions.rounding import round_half_away
 import pandas as pd
 import pyarrow as pa
 
-from ..sources.tables import read_table
+from ..sources.tables import read_table, table_path
 
 __all__ = [
     "q1_lineitem",
@@ -504,6 +504,81 @@ def revenue_by_nation(sf_dir: str, num_buckets: int = 32):
             "n_name": out["n_name"].to_numpy(),
             "revenue": out["rev"].to_numpy().astype(np.float64) / 10000.0,
         }
+    )
+
+
+def topk_parts_per_nation(sf_dir: str, k: int = 5):
+    """Grouped top-k: the ``k`` highest-revenue parts per supplier nation →
+    (nation, partkey, revenue, rnk), rnk 1..k, ties broken by partkey asc.
+
+    Scale shape — ONE shuffle end-to-end:
+    * supplier is the broadcast small side (|S| ≪ |lineitem|): shipped once
+      via ``ray.put`` and mapped per batch with a searchsorted lookup, never
+      joined through an exchange (SURVEY J5 at the relational layer).
+    * each lineitem batch partial-aggregates revenue by packed
+      (nation, partkey) BEFORE the shuffle, so the exchange carries one row
+      per distinct key per batch, not per lineitem row.
+    * the single ``groupby(nation)`` then finishes the sum and takes top-k
+      inside the group, vectorized. 25 nations bound the group count — at
+      extreme scale, salt the nation key and fold two top-k stages; the
+      per-group state is O(distinct parts), not O(rows).
+
+    Revenue uses the same exact-int-cents trick as :func:`revenue_by_nation`
+    (summation-order-independent, bit-exact vs the SQL oracle).
+    """
+    import pyarrow.parquet as pq
+    import ray
+
+    sup = pq.read_table(
+        table_path(sf_dir, "supplier"), columns=["s_suppkey", "s_nationkey"]
+    )
+    sk = sup["s_suppkey"].to_numpy().astype(np.int64)
+    order = np.argsort(sk)
+    sup_ref = ray.put(
+        (sk[order], sup["s_nationkey"].to_numpy().astype(np.int64)[order])
+    )
+
+    li = read_table(
+        sf_dir,
+        "lineitem",
+        columns=["l_suppkey", "l_partkey", "l_extendedprice", "l_discount"],
+    )
+
+    def _partial(t: pa.Table) -> pa.Table:
+        skeys, snation = ray.get(sup_ref)
+        supp = t["l_suppkey"].to_numpy().astype(np.int64)
+        nation = snation[np.searchsorted(skeys, supp)]
+        part = t["l_partkey"].to_numpy().astype(np.int64)
+        cents = np.round(t["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        disc = np.round(t["l_discount"].to_numpy() * 100).astype(np.int64)
+        rev = (cents * (100 - disc)).astype(np.float64)
+        packed = (nation << np.int64(40)) | part
+        key, inv = np.unique(packed, return_inverse=True)
+        s = np.bincount(inv, weights=rev).astype(np.int64)
+        return pa.table(
+            {"nation": (key >> np.int64(40)), "partkey": key & ((1 << 40) - 1), "rev": s}
+        )
+
+    def _topk(g: pa.Table) -> pa.Table:
+        part = g["partkey"].to_numpy()
+        key, inv = np.unique(part, return_inverse=True)
+        s = np.bincount(inv, weights=g["rev"].to_numpy().astype(np.float64)).astype(
+            np.int64
+        )
+        pick = np.lexsort((key, -s))[:k]
+        return pa.table(
+            {
+                "nation": np.full(len(pick), g["nation"][0].as_py(), np.int64),
+                "partkey": key[pick],
+                "revenue": s[pick].astype(np.float64) / 10000.0,
+                "rnk": np.arange(1, len(pick) + 1, dtype=np.int64),
+            }
+        )
+
+    return (
+        li.map_batches(_partial, batch_format="pyarrow")
+        .groupby("nation")
+        .map_groups(_topk, batch_format="pyarrow")
     )
 
 

@@ -648,3 +648,37 @@ def test_hits_vs_numpy_reference(ray_session):
     assert (got["vid"].to_numpy() == verts.astype(np.int64)).all()
     np.testing.assert_allclose(got["auth"].to_numpy(), a, atol=1e-12, rtol=0)
     np.testing.assert_allclose(got["hub"].to_numpy(), h, atol=1e-12, rtol=0)
+
+
+def test_topk_parts_per_nation_vs_duckdb(ray_session):
+    """Grouped top-k (broadcast supplier lookup + single groupby) must match
+    the SQL row_number formulation exactly, including the partkey tie-break."""
+    import duckdb
+
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import (
+        topk_parts_per_nation,
+    )
+
+    got = (
+        topk_parts_per_nation(SF_SMOKE, k=3)
+        .to_pandas()
+        .sort_values(["nation", "rnk"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    want = con.sql(
+        f"""WITH r AS (SELECT s_nationkey AS nation, l_partkey AS partkey,
+              sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+                  (100 - CAST(round(l_discount * 100) AS BIGINT))) AS rev
+            FROM read_parquet('{SF_SMOKE}/lineitem.parquet') li
+            JOIN read_parquet('{SF_SMOKE}/supplier.parquet') su ON s_suppkey = l_suppkey
+            GROUP BY 1, 2),
+        t AS (SELECT nation, partkey, rev, row_number() OVER
+              (PARTITION BY nation ORDER BY rev DESC, partkey) AS rn FROM r)
+        SELECT CAST(nation AS BIGINT) AS nation, partkey,
+               rev / 10000.0 AS revenue, CAST(rn AS BIGINT) AS rnk
+        FROM t WHERE rn <= 3 ORDER BY nation, rnk"""
+    ).df()
+    assert got.shape == want.shape
+    for c in got.columns:
+        assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
