@@ -355,6 +355,22 @@ def _q_revenue_by_nation(sf_dir: str):
     return revenue_by_nation(sf_dir)
 
 
+def _q_distinct_users(sf_dir: str):
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import (
+        distinct_users_daily,
+    )
+
+    return distinct_users_daily(sf_dir)
+
+
+def _q_parts_never_ordered(sf_dir: str):
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import (
+        parts_never_ordered,
+    )
+
+    return parts_never_ordered(sf_dir, min_qty=45)
+
+
 def _q_topk_parts(sf_dir: str):
     from subgraph_isomorphism_pregel_ray.pipelines.relational import (
         topk_parts_per_nation,
@@ -515,6 +531,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_quantiles": _q_events_quantiles,
         "revenue_by_nation": _q_revenue_by_nation,
         "topk_parts_per_nation": _q_topk_parts,
+        "distinct_users_daily": _q_distinct_users,
+        "parts_never_ordered": _q_parts_never_ordered,
         "lang_id": _q_lang_id,
         "fingerprint": _q_fingerprint,
         "simhash": _q_simhash,
@@ -885,6 +903,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, value, CAST(row_number() OVER "
             "(ORDER BY value DESC, event_id ASC) - 1 AS BIGINT) AS ordinal "
             "FROM events"
+        ),
+        "distinct_users_daily": (
+            "SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, "
+            "CAST(count(DISTINCT user_id) AS BIGINT) AS n_users "
+            "FROM events GROUP BY 1, 2"
+        ),
+        "parts_never_ordered": (
+            "SELECT p_partkey FROM part p WHERE NOT EXISTS ("
+            "SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey "
+            "AND l.l_quantity >= 45)"
         ),
         "topk_parts_per_nation": (
             # same exact-integer revenue as revenue_by_nation; rnk via

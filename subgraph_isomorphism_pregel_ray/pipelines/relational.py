@@ -582,6 +582,101 @@ def topk_parts_per_nation(sf_dir: str, k: int = 5):
     )
 
 
+def distinct_users_daily(sf_dir: str):
+    """Exact COUNT(DISTINCT user_id) per (event_type, day) →
+    (event_type, day, n_users).
+
+    Scale shape — the distinct is pushed down: each batch emits its *unique*
+    (event_type, day, user_id) triples (vectorized np.unique over packed
+    day/user keys), so the single shuffle carries partial-deduped triples,
+    not raw events; the per-group finish is one more np.unique. This is the
+    COUNT DISTINCT analogue of combiner-before-shuffle (vocab_topk). Day is
+    emitted as a 'YYYY-MM-DD' string on both sides so the driver's hash
+    compare never sees a date-type mismatch.
+    """
+    ev = read_table(sf_dir, "events", columns=["event_type", "ts", "user_id"])
+
+    def _partial(t: pa.Table) -> pa.Table:
+        day_i = t["ts"].to_numpy().astype("datetime64[D]").astype(np.int64)
+        user = t["user_id"].to_numpy().astype(np.int64)
+        typ = t["event_type"].to_numpy(zero_copy_only=False)
+        # dedupe triples inside the batch: dictionary-encode type, then a
+        # lexsort + boundary mask — no bit-packing width assumptions, full
+        # int64 range for day and user_id
+        tkey, tinv = np.unique(typ, return_inverse=True)
+        order = np.lexsort((user, day_i, tinv))
+        ti, di, ui = tinv[order], day_i[order], user[order]
+        first = np.ones(len(ti), bool)
+        first[1:] = (ti[1:] != ti[:-1]) | (di[1:] != di[:-1]) | (ui[1:] != ui[:-1])
+        return pa.table(
+            {
+                "event_type": tkey[ti[first]],
+                "day": np.datetime_as_string(
+                    di[first].astype("datetime64[D]"), unit="D"
+                ),
+                "user_id": ui[first],
+            }
+        )
+
+    def _count(g: pa.Table) -> pa.Table:
+        n = len(np.unique(g["user_id"].to_numpy()))
+        return pa.table(
+            {
+                "event_type": [g["event_type"][0].as_py()],
+                "day": [g["day"][0].as_py()],
+                "n_users": np.array([n], np.int64),
+            }
+        )
+
+    return (
+        ev.map_batches(_partial, batch_format="pyarrow")
+        .groupby(["event_type", "day"])
+        .map_groups(_count, batch_format="pyarrow")
+    )
+
+
+def parts_never_ordered(sf_dir: str, min_qty: int = 45, num_buckets: int = 32):
+    """Distributed ANTI-join: parts with NO lineitem of quantity ≥ min_qty
+    → (p_partkey,).
+
+    Scale shape — both sides are key-deduped inside each batch before the
+    single bucketed shuffle (the fact side additionally predicate-filtered
+    at the read boundary), so the exchange carries distinct keys only. A
+    whole bucket is resolved vectorized with ``np.isin`` — no acero join,
+    no driver-side set. The same composition gives SEMI-join by flipping
+    the mask.
+    """
+    li = read_table(sf_dir, "lineitem", columns=["l_partkey", "l_quantity"])
+    part = read_table(sf_dir, "part", columns=["p_partkey"])
+    B = np.int64(num_buckets)
+
+    def _fact(t: pa.Table) -> pa.Table:
+        k = t["l_partkey"].to_numpy()[t["l_quantity"].to_numpy() >= min_qty]
+        k = np.unique(k).astype(np.int64)
+        return pa.table(
+            {"k": k, "probe": np.ones(len(k), bool), "b": (k % B).astype(np.int32)}
+        )
+
+    def _dim(t: pa.Table) -> pa.Table:
+        k = np.unique(t["p_partkey"].to_numpy()).astype(np.int64)
+        return pa.table(
+            {"k": k, "probe": np.zeros(len(k), bool), "b": (k % B).astype(np.int32)}
+        )
+
+    def _anti(g: pa.Table) -> pa.Table:
+        k = g["k"].to_numpy()
+        probe = g["probe"].to_numpy(zero_copy_only=False)
+        keep = k[~probe][~np.isin(k[~probe], k[probe])]
+        return pa.table({"p_partkey": np.sort(keep)})
+
+    return (
+        li.map_batches(_fact, batch_format="pyarrow")
+        .union(part.map_batches(_dim, batch_format="pyarrow"))
+        .groupby("b")
+        .map_groups(_anti, batch_format="pyarrow")
+    )
+
+
 def events_quantiles(sf_dir: str, qs: tuple = (0.5, 0.95)):
     """Exact per-group quantiles, distributed: ONE global sort by
     (group, value) with ordinal (the TeraSort machinery), a small per-group

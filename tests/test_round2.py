@@ -682,3 +682,42 @@ def test_topk_parts_per_nation_vs_duckdb(ray_session):
     assert got.shape == want.shape
     for c in got.columns:
         assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
+
+
+def test_distinct_users_daily_and_anti_join_vs_duckdb(ray_session):
+    """Partial-dedup COUNT DISTINCT and the bucketed anti-join must match
+    their SQL formulations exactly (semi/anti share the np.isin kernel)."""
+    import duckdb
+
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import (
+        distinct_users_daily,
+        parts_never_ordered,
+    )
+
+    con = duckdb.connect()
+    got = (
+        distinct_users_daily(SF_SMOKE)
+        .to_pandas()
+        .sort_values(["event_type", "day"])
+        .reset_index(drop=True)
+    )
+    want = con.sql(
+        f"""SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+            CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM read_parquet('{SF_SMOKE}/events.parquet')
+        GROUP BY 1, 2 ORDER BY 1, 2"""
+    ).df()
+    assert got.shape == want.shape
+    for c in got.columns:
+        assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
+
+    got2 = np.sort(
+        parts_never_ordered(SF_SMOKE, min_qty=45).to_pandas()["p_partkey"].to_numpy()
+    )
+    want2 = con.sql(
+        f"""SELECT p_partkey FROM read_parquet('{SF_SMOKE}/part.parquet') p
+        WHERE NOT EXISTS (SELECT 1 FROM read_parquet('{SF_SMOKE}/lineitem.parquet') l
+            WHERE l.l_partkey = p.p_partkey AND l.l_quantity >= 45)
+        ORDER BY 1"""
+    ).df()["p_partkey"].to_numpy()
+    assert np.array_equal(got2, want2)
