@@ -371,6 +371,25 @@ def _q_parts_never_ordered(sf_dir: str):
     return parts_never_ordered(sf_dir, min_qty=45)
 
 
+def _q_documents_sample(sf_dir: str):
+    from subgraph_isomorphism_pregel_ray.pipelines.textops import stratified_sample
+    from subgraph_isomorphism_pregel_ray.sources.tables import read_table
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+    return stratified_sample(docs, rates={"en": 0.25}, default_rate=1.0)
+
+
+def _q_kmeans(sf_dir: str):
+    from subgraph_isomorphism_pregel_ray.pipelines.similarity import (
+        kmeans_embeddings,
+    )
+    from subgraph_isomorphism_pregel_ray.sources.tables import read_table
+
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    assign, _cent = kmeans_embeddings(emb, k=8, iters=5)
+    return assign
+
+
 def _q_topk_parts(sf_dir: str):
     from subgraph_isomorphism_pregel_ray.pipelines.relational import (
         topk_parts_per_nation,
@@ -531,6 +550,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_quantiles": _q_events_quantiles,
         "revenue_by_nation": _q_revenue_by_nation,
         "topk_parts_per_nation": _q_topk_parts,
+        "documents_sample": _q_documents_sample,
+        "kmeans_embeddings": _q_kmeans,
         "distinct_users_daily": _q_distinct_users,
         "parts_never_ordered": _q_parts_never_ordered,
         "lang_id": _q_lang_id,
@@ -903,6 +924,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, value, CAST(row_number() OVER "
             "(ORDER BY value DESC, event_id ASC) - 1 AS BIGINT) AS ordinal "
             "FROM events"
+        ),
+        "documents_sample": (
+            # Knuth multiplicative hash on a 2^31 ring: pure BIGINT
+            # arithmetic on both sides; thresholds are the engine's
+            # int(rate * 2^31) written as literals (0.25 -> 536870912)
+            "SELECT doc_id, lang, n_chars FROM documents "
+            "WHERE ((doc_id % 2147483648) * 2654435761) % 2147483648 < "
+            "CASE WHEN lang = 'en' THEN 536870912 ELSE 2147483648 END"
         ),
         "distinct_users_daily": (
             "SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, "

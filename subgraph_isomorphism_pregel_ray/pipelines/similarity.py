@@ -251,3 +251,74 @@ def ann_topk_ivf(
         }
         return out, stats
     return out
+
+
+def kmeans_embeddings(emb_ds, k: int = 8, iters: int = 5):
+    """Distributed Lloyd's k-means over the embedding column →
+    (assignments Dataset(vec_id, cluster), centroids ndarray[k, dim]).
+
+    Scale shape — the textbook partial-sufficient-statistics layout: each
+    iteration is ONE streaming pass; every batch computes its local per-
+    cluster (sum-vector, count) against the broadcast centroids (one
+    ``ray.put`` per iteration, NOT per batch) and only those k×dim partials
+    reach the driver, which folds them into the next centroids — the
+    dataset itself is never materialized, collected, or shuffled. The final
+    assignment pass streams out (vec_id, cluster). Determinism: centroids
+    init from the k lowest vec_ids (no RNG), empty clusters keep their
+    previous centroid, ties broken toward the lower cluster id (argmax on
+    negated distance honors first-max). iters full scans is inherent to
+    Lloyd's; at 100 TB run it on the deterministic `stratified_sample` and
+    assign the full corpus once.
+    """
+    import ray
+
+    seed = emb_ds.sort("vec_id").limit(k).to_pandas()
+    cent = np.stack(seed["embedding"].to_numpy()).astype(np.float64)
+
+    def _partials(t: pa.Table, cent_ref) -> pa.Table:
+        C = ray.get(cent_ref)
+        M = np.stack(t["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+        # nearest centroid by squared L2: argmin ||x||² − 2x·c + ||c||²
+        d = -2.0 * (M @ C.T) + (C * C).sum(axis=1)[None, :]
+        assign = d.argmin(axis=1)
+        sums = np.zeros_like(C)
+        np.add.at(sums, assign, M)
+        cnt = np.bincount(assign, minlength=len(C)).astype(np.int64)
+        return pa.table(
+            {
+                "cluster": np.arange(len(C), dtype=np.int64),
+                "sum": pa.array(list(sums), type=pa.list_(pa.float64())),
+                "n": cnt,
+            }
+        )
+
+    for _ in range(iters):
+        cent_ref = ray.put(cent)
+        folded = (
+            emb_ds.map_batches(
+                lambda t, r=cent_ref: _partials(t, r), batch_format="pyarrow"
+            )
+            .to_pandas()  # k rows per batch — tiny
+            .groupby("cluster", sort=True)
+        )
+        new = cent.copy()
+        for c, g in folded:
+            n = int(g["n"].sum())
+            if n > 0:
+                new[int(c)] = np.add.reduce(np.stack(g["sum"].to_numpy())) / n
+        cent = new
+
+    cent_ref = ray.put(cent)
+
+    def _assign(t: pa.Table, cent_ref=cent_ref) -> pa.Table:
+        C = ray.get(cent_ref)
+        M = np.stack(t["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+        d = -2.0 * (M @ C.T) + (C * C).sum(axis=1)[None, :]
+        return pa.table(
+            {
+                "vec_id": t["vec_id"].to_numpy().astype(np.int64),
+                "cluster": d.argmin(axis=1).astype(np.int64),
+            }
+        )
+
+    return emb_ds.map_batches(_assign, batch_format="pyarrow"), cent

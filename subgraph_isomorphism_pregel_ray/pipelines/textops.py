@@ -252,3 +252,39 @@ text_stats = _stage(text_stats_batch)
 lang_id = _stage(lang_id_batch)
 fingerprint = _stage(fingerprint_batch)
 simhash64 = _stage(simhash_batch)
+
+
+def stratified_sample(
+    docs_ds,
+    rates: dict[str, float],
+    default_rate: float = 1.0,
+    stratum_col: str = "lang",
+    key_col: str = "doc_id",
+):
+    """Deterministic per-stratum Bernoulli sample — the classic
+    downsample-the-majority-language curation step, reproducible at any
+    parallelism because the keep decision is a pure function of the row key:
+
+        keep ⇔ ((key mod 2³¹) · 2654435761) mod 2³¹  <  rate · 2³¹
+
+    (Knuth multiplicative hash over a 2³¹ ring; all intermediates stay
+    < 2⁶³ for ANY int64 key, so the SQL oracle can reproduce it with plain
+    BIGINT arithmetic — no float hashing, no engine RNG). Embarrassingly
+    parallel: one vectorized map_batches, no shuffle, no state.
+    """
+    ring = np.int64(1) << 31
+
+    def _keep(t: pa.Table) -> pa.Table:
+        key = t[key_col].to_numpy().astype(np.int64)
+        h = ((key % ring) * np.int64(2654435761)) % ring
+        strat = t[stratum_col].to_numpy(zero_copy_only=False)
+        thresh = np.empty(len(key), np.int64)
+        uniq, inv = np.unique(strat, return_inverse=True)
+        per = np.array(
+            [int(float(rates.get(s, default_rate)) * (1 << 31)) for s in uniq],
+            np.int64,
+        )
+        thresh = per[inv]
+        return t.filter(pa.array(h < thresh))
+
+    return docs_ds.map_batches(_keep, batch_format="pyarrow")

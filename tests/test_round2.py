@@ -721,3 +721,72 @@ def test_distinct_users_daily_and_anti_join_vs_duckdb(ray_session):
         ORDER BY 1"""
     ).df()["p_partkey"].to_numpy()
     assert np.array_equal(got2, want2)
+
+
+def test_kmeans_embeddings_vs_numpy_lloyd(ray_session):
+    """Distributed partial-sufficient-statistics Lloyd's must match the
+    single-process reference bit-for-bit (deterministic init, lowest-id
+    tie-break, empty clusters keep their centroid)."""
+    import ray.data as rd
+
+    from subgraph_isomorphism_pregel_ray.pipelines.similarity import (
+        kmeans_embeddings,
+    )
+
+    rng = np.random.default_rng(5)
+    n, dim, k, iters = 400, 12, 6, 4
+    M = rng.standard_normal((n, dim))
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": np.arange(n, dtype=np.int64),
+                "embedding": pa.array(list(M), type=pa.list_(pa.float64())),
+            }
+        )
+    ).repartition(7)
+    assign_ds, cent = kmeans_embeddings(ds, k=k, iters=iters)
+    got = (
+        assign_ds.to_pandas().sort_values("vec_id")["cluster"].to_numpy()
+    )
+
+    C = M[:k].copy()
+    for _ in range(iters):
+        d = -2.0 * (M @ C.T) + (C * C).sum(axis=1)[None, :]
+        a = d.argmin(axis=1)
+        for c in range(k):
+            if (a == c).any():
+                C[c] = M[a == c].mean(axis=0)
+    d = -2.0 * (M @ C.T) + (C * C).sum(axis=1)[None, :]
+    want = d.argmin(axis=1)
+    np.testing.assert_allclose(cent, C, atol=1e-12, rtol=0)
+    assert (got == want).all()
+
+
+def test_stratified_sample_batchsize_invariant(ray_session):
+    """The keep decision is a pure function of the key — the sampled id set
+    must be identical at any batch size / partitioning, and per-stratum
+    rates must land near their targets."""
+    import ray.data as rd
+
+    from subgraph_isomorphism_pregel_ray.pipelines.textops import stratified_sample
+
+    n = 4000
+    t = pa.table(
+        {
+            "doc_id": np.arange(n, dtype=np.int64),
+            "lang": np.where(np.arange(n) % 3 == 0, "en", "de"),
+        }
+    )
+    rates = {"en": 0.2, "de": 0.7}
+    a = (
+        stratified_sample(rd.from_arrow(t), rates, stratum_col="lang")
+        .to_pandas()["doc_id"].to_numpy()
+    )
+    b = (
+        stratified_sample(rd.from_arrow(t).repartition(13), rates, stratum_col="lang")
+        .to_pandas()["doc_id"].to_numpy()
+    )
+    assert np.array_equal(np.sort(a), np.sort(b))
+    en = np.sum(np.sort(a) % 3 == 0) / (n // 3 + 1)
+    de = (len(a) - np.sum(np.sort(a) % 3 == 0)) / (n - n // 3 - 1)
+    assert abs(en - 0.2) < 0.05 and abs(de - 0.7) < 0.05
