@@ -1,0 +1,80 @@
+"""Resumable partitioned parquet sink.
+
+The reference's result dump is a stub (``pregel_app_subgraph.h:716-747``,
+disabled); this is the production-shaped replacement the 100 TB deployment
+needs: output is laid out one hive directory per shard-key value, each
+directory sealed with a ``_SUCCESS`` marker after its rows are fully
+written, so a failed/re-run job SKIPS sealed shards at the read stage —
+the write stream only ever carries unfinished shards. Never one giant file.
+
+Assumes the output directory is on storage every node sees (object store /
+NFS / local fs in this sandbox) — the same assumption any checkpointing
+sink makes. The skip set is read once on the driver and broadcast into the
+filter via closure (it is a set of key values, not data).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+
+__all__ = ["write_parquet_resumable", "sealed_shards"]
+
+_MARKER = "_SUCCESS"
+
+
+def sealed_shards(out_dir: str, shard_col: str) -> set:
+    """Shard-key values whose hive directory is sealed with a marker."""
+    done = set()
+    if not os.path.isdir(out_dir):
+        return done
+    prefix = f"{shard_col}="
+    for name in os.listdir(out_dir):
+        if name.startswith(prefix) and os.path.exists(
+            os.path.join(out_dir, name, _MARKER)
+        ):
+            done.add(name[len(prefix):])
+    return done
+
+
+def write_parquet_resumable(ds, out_dir: str, shard_col: str) -> dict:
+    """Write ``ds`` hive-partitioned by ``shard_col``, skipping shards that
+    already finished in a previous run; seal every newly-written shard.
+
+    Returns {"skipped": n_sealed_before, "written": n_sealed_now}.
+
+    The filter is a vectorized ``np.isin`` against the (small) sealed-key
+    set inside ``map_batches`` — whole blocks of finished shards are
+    dropped before they reach the write operator, so a 99%-done restart
+    re-ships ~1% of the data.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    done = sealed_shards(out_dir, shard_col)
+
+    out = ds
+    if done:
+        # match against the string form of the key — hive dir names are
+        # strings regardless of the column's arrow type
+        done_arr = np.array(sorted(done))
+
+        def _drop_done(t: pa.Table) -> pa.Table:
+            keys = np.asarray(
+                [str(v) for v in t[shard_col].to_pylist()], dtype=done_arr.dtype
+            )
+            return t.filter(pa.array(~np.isin(keys, done_arr)))
+
+        out = ds.map_batches(_drop_done, batch_format="pyarrow")
+
+    out.write_parquet(out_dir, partition_cols=[shard_col])
+
+    written = 0
+    prefix = f"{shard_col}="
+    for name in os.listdir(out_dir):
+        d = os.path.join(out_dir, name)
+        if name.startswith(prefix) and not os.path.exists(os.path.join(d, _MARKER)):
+            with open(os.path.join(d, _MARKER), "w"):
+                pass
+            written += 1
+    return {"skipped": len(done), "written": written}

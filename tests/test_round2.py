@@ -790,3 +790,43 @@ def test_stratified_sample_batchsize_invariant(ray_session):
     en = np.sum(np.sort(a) % 3 == 0) / (n // 3 + 1)
     de = (len(a) - np.sum(np.sort(a) % 3 == 0)) / (n - n // 3 - 1)
     assert abs(en - 0.2) < 0.05 and abs(de - 0.7) < 0.05
+
+
+def test_resumable_sink_skips_sealed_shards(ray_session, tmp_path):
+    """A re-run must not rewrite sealed shards (files untouched) and must
+    complete the missing ones; total rows come out exactly once."""
+    import glob
+    import os
+
+    import ray.data as rd
+
+    from subgraph_isomorphism_pregel_ray.stages.sink import (
+        sealed_shards,
+        write_parquet_resumable,
+    )
+
+    out = str(tmp_path / "sink")
+    t = pa.table(
+        {
+            "shard": np.repeat(np.arange(4, dtype=np.int64), 25),
+            "x": np.arange(100, dtype=np.int64),
+        }
+    )
+    r1 = write_parquet_resumable(rd.from_arrow(t), out, "shard")
+    assert r1 == {"skipped": 0, "written": 4}
+    assert sealed_shards(out, "shard") == {"0", "1", "2", "3"}
+
+    # simulate a partial failure: shard 2 lost its data AND its seal
+    import shutil
+
+    shutil.rmtree(os.path.join(out, "shard=2"))
+    before = {
+        f: os.path.getmtime(f)
+        for f in glob.glob(f"{out}/shard=[013]/*.parquet")
+    }
+    r2 = write_parquet_resumable(rd.from_arrow(t), out, "shard")
+    assert r2["skipped"] == 3 and r2["written"] == 1
+    for f, m in before.items():
+        assert os.path.getmtime(f) == m, f"sealed shard rewritten: {f}"
+    got = rd.read_parquet(out).to_pandas()
+    assert len(got) == 100 and sorted(got["x"]) == list(range(100))
