@@ -466,7 +466,11 @@ def revenue_by_nation(sf_dir: str, num_buckets: int = 32):
         pos_c = np.minimum(pos, max(len(dk) - 1, 0))
         hit = (len(dk) > 0) & (dk[pos_c] == fk) if len(dk) else np.zeros(len(fk), bool)
         nk, inv = np.unique(da[pos_c[hit]], return_inverse=True)
-        s = np.bincount(inv, weights=frev[hit].astype(np.float64)).astype(np.int64)
+        # exact int64 accumulation: a single nation-level cell here carries a
+        # whole nation's revenue for the bucket — beyond the 2^53 float-
+        # exactness bound long before the int64 bound (~$9.2e14)
+        s = np.zeros(len(nk), np.int64)
+        np.add.at(s, inv, frev[hit])
         return pa.table(
             {
                 "k": nk,

@@ -57,11 +57,14 @@ def write_parquet_resumable(ds, out_dir: str, shard_col: str) -> dict:
     if done:
         # match against the string form of the key — hive dir names are
         # strings regardless of the column's arrow type
-        done_arr = np.array(sorted(done))
+        # object dtype on BOTH sides: a fixed-width unicode dtype taken from
+        # the done set would silently truncate longer new keys into false
+        # matches (e.g. new "123" truncated to sealed "12" → row dropped)
+        done_arr = np.array(sorted(done), dtype=object)
 
         def _drop_done(t: pa.Table) -> pa.Table:
-            keys = np.asarray(
-                [str(v) for v in t[shard_col].to_pylist()], dtype=done_arr.dtype
+            keys = np.array(
+                [str(v) for v in t[shard_col].to_pylist()], dtype=object
             )
             return t.filter(pa.array(~np.isin(keys, done_arr)))
 

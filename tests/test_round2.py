@@ -830,3 +830,23 @@ def test_resumable_sink_skips_sealed_shards(ray_session, tmp_path):
         assert os.path.getmtime(f) == m, f"sealed shard rewritten: {f}"
     got = rd.read_parquet(out).to_pandas()
     assert len(got) == 100 and sorted(got["x"]) == list(range(100))
+
+
+def test_resumable_sink_no_prefix_truncation(ray_session, tmp_path):
+    """Regression: a new shard key longer than every sealed key must NOT be
+    truncated into a sealed key's width and silently dropped."""
+    import ray.data as rd
+
+    from subgraph_isomorphism_pregel_ray.stages.sink import write_parquet_resumable
+
+    out = str(tmp_path / "sink2")
+    t1 = pa.table({"shard": ["12"] * 3, "x": np.arange(3, dtype=np.int64)})
+    write_parquet_resumable(rd.from_arrow(t1), out, "shard")
+    t2 = pa.table(
+        {"shard": ["12", "123", "123"], "x": np.array([0, 10, 11], np.int64)}
+    )
+    r = write_parquet_resumable(rd.from_arrow(t2), out, "shard")
+    assert r == {"skipped": 1, "written": 1}
+    got = rd.read_parquet(out).to_pandas()
+    assert sorted(got[got["shard"] == "123"]["x"]) == [10, 11]
+    assert len(got) == 5
