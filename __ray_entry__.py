@@ -930,7 +930,8 @@ def oracle_sql() -> dict[str, str]:
             # arithmetic on both sides; thresholds are the engine's
             # int(rate * 2^31) written as literals (0.25 -> 536870912)
             "SELECT doc_id, lang, n_chars FROM documents "
-            "WHERE ((doc_id % 2147483648) * 2654435761) % 2147483648 < "
+            "WHERE ((((doc_id % 2147483648) + 2147483648) % 2147483648) "
+            "* 2654435761) % 2147483648 < "
             "CASE WHEN lang = 'en' THEN 536870912 ELSE 2147483648 END"
         ),
         "distinct_users_daily": (

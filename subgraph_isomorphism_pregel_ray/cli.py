@@ -168,7 +168,7 @@ def main(argv=None):
             False,
         ),
         "walk": lambda: ("walk", {"walk_len": walk_len}, walk_len + 2, False),
-        "hits": lambda: ("hits", {"iters": iters}, iters + 2, False),
+        "hits": lambda: ("hits", {"iters": iters}, iters + 3, False),
         "assortativity": lambda: ("assortativity", {}, 3, False),
     }[args.cmd]()
 

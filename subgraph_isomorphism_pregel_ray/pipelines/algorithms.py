@@ -182,7 +182,7 @@ def hits(edges_or_engine, iters: int = 8, num_parts: int = 8):
     symmetric edge set → (table(vid, auth, hub) L2-normalized, lineage).
     See ``HITSProgram`` for the exchange/normalization shape."""
     eng, lineage, own = _run(
-        edges_or_engine, "hits", {"iters": iters}, num_parts, iters + 2,
+        edges_or_engine, "hits", {"iters": iters}, num_parts, iters + 3,
         directed=False,
     )
     out = eng.result_table()

@@ -551,10 +551,16 @@ def topk_parts_per_nation(sf_dir: str, k: int = 5):
     def _partial(t: pa.Table) -> pa.Table:
         skeys, snation = ray.get(sup_ref)
         supp = t["l_suppkey"].to_numpy().astype(np.int64)
-        nation = snation[np.searchsorted(skeys, supp)]
-        part = t["l_partkey"].to_numpy().astype(np.int64)
-        cents = np.round(t["l_extendedprice"].to_numpy() * 100).astype(np.int64)
-        disc = np.round(t["l_discount"].to_numpy() * 100).astype(np.int64)
+        pos = np.searchsorted(skeys, supp)
+        pos_c = np.minimum(pos, max(len(skeys) - 1, 0))
+        # inner-join semantics: rows whose suppkey has no supplier are
+        # dropped, never misattributed to the next key (clamp + verify,
+        # same discipline as revenue_by_nation's bucket merge)
+        hit = skeys[pos_c] == supp
+        nation = snation[pos_c[hit]]
+        part = t["l_partkey"].to_numpy().astype(np.int64)[hit]
+        cents = np.round(t["l_extendedprice"].to_numpy()[hit] * 100).astype(np.int64)
+        disc = np.round(t["l_discount"].to_numpy()[hit] * 100).astype(np.int64)
         rev = (cents * (100 - disc)).astype(np.float64)
         packed = (nation << np.int64(40)) | part
         key, inv = np.unique(packed, return_inverse=True)

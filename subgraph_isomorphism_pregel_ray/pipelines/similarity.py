@@ -272,7 +272,20 @@ def kmeans_embeddings(emb_ds, k: int = 8, iters: int = 5):
     """
     import ray
 
-    seed = emb_ds.sort("vec_id").limit(k).to_pandas()
+    # seeds = the k lowest vec_ids, WITHOUT a global sort-shuffle: each batch
+    # keeps its own bottom-k (tiny), the driver merges k×num_batches rows —
+    # identical deterministic seeds, no exchange of the corpus
+    def _bottomk(t: pa.Table) -> pa.Table:
+        ids = t["vec_id"].to_numpy()
+        pick = np.argsort(ids)[:k]
+        return t.take(pa.array(np.sort(pick)))
+
+    seed = (
+        emb_ds.map_batches(_bottomk, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("vec_id")
+        .head(k)
+    )
     cent = np.stack(seed["embedding"].to_numpy()).astype(np.float64)
 
     def _partials(t: pa.Table, cent_ref) -> pa.Table:
@@ -294,18 +307,22 @@ def kmeans_embeddings(emb_ds, k: int = 8, iters: int = 5):
 
     for _ in range(iters):
         cent_ref = ray.put(cent)
-        folded = (
-            emb_ds.map_batches(
-                lambda t, r=cent_ref: _partials(t, r), batch_format="pyarrow"
-            )
-            .to_pandas()  # k rows per batch — tiny
-            .groupby("cluster", sort=True)
-        )
+        parts = emb_ds.map_batches(
+            lambda t, r=cent_ref: _partials(t, r), batch_format="pyarrow"
+        ).to_pandas()  # k rows per batch — tiny
         new = cent.copy()
-        for c, g in folded:
+        for c, g in parts.groupby("cluster", sort=True):
             n = int(g["n"].sum())
             if n > 0:
-                new[int(c)] = np.add.reduce(np.stack(g["sum"].to_numpy())) / n
+                # canonical fold order: Ray delivers blocks in arrival order
+                # (preserve_order is off), and float sums are order-
+                # dependent — sort the partials by content so two identical
+                # runs fold identically (determinism contract)
+                vecs = np.stack(g["sum"].to_numpy())
+                order = np.lexsort(
+                    tuple(vecs[:, d] for d in range(vecs.shape[1] - 1, -1, -1))
+                )
+                new[int(c)] = np.add.reduce(vecs[order]) / n
         cent = new
 
     cent_ref = ray.put(cent)

@@ -269,7 +269,10 @@ def stratified_sample(
 
     (Knuth multiplicative hash over a 2³¹ ring; all intermediates stay
     < 2⁶³ for ANY int64 key, so the SQL oracle can reproduce it with plain
-    BIGINT arithmetic — no float hashing, no engine RNG). Embarrassingly
+    BIGINT arithmetic — no float hashing, no engine RNG). numpy's ``%``
+    is floored (non-negative result) while SQL ``%`` is truncated — the
+    oracle mirrors floored semantics with ``((x % m) + m) % m`` so parity
+    holds for negative keys too. Embarrassingly
     parallel: one vectorized map_batches, no shuffle, no state.
     """
     ring = np.int64(1) << 31
@@ -278,7 +281,6 @@ def stratified_sample(
         key = t[key_col].to_numpy().astype(np.int64)
         h = ((key % ring) * np.int64(2654435761)) % ring
         strat = t[stratum_col].to_numpy(zero_copy_only=False)
-        thresh = np.empty(len(key), np.int64)
         uniq, inv = np.unique(strat, return_inverse=True)
         per = np.array(
             [int(float(rates.get(s, default_rate)) * (1 << 31)) for s in uniq],

@@ -16,6 +16,7 @@ filter via closure (it is a set of key values, not data).
 from __future__ import annotations
 
 import os
+import shutil
 
 import numpy as np
 import pyarrow as pa
@@ -23,6 +24,21 @@ import pyarrow as pa
 __all__ = ["write_parquet_resumable", "sealed_shards"]
 
 _MARKER = "_SUCCESS"
+
+# shard keys must round-trip identically through a hive directory name:
+# integers and plain strings do; anything the writer percent-encodes
+# (spaces, '=', '/', …) or formats differently (floats, timestamps) would
+# make the sealed-set compare miss and re-write sealed shards
+_SAFE_KEY = __import__("re").compile(r"^[A-Za-z0-9_.\-]+$")
+
+
+def _check_keys(keys) -> None:
+    bad = [k for k in keys if not _SAFE_KEY.match(k)]
+    if bad:
+        raise ValueError(
+            f"shard keys not hive-safe (would break resume matching): {bad[:5]!r} "
+            "— use integer or [A-Za-z0-9_.-] string shard columns"
+        )
 
 
 def sealed_shards(out_dir: str, shard_col: str) -> set:
@@ -53,6 +69,19 @@ def write_parquet_resumable(ds, out_dir: str, shard_col: str) -> dict:
     os.makedirs(out_dir, exist_ok=True)
     done = sealed_shards(out_dir, shard_col)
 
+    # a crashed run may have left PARTIAL files in unsealed shard dirs;
+    # re-writing would append uniquely-named new files NEXT TO the stale
+    # ones and then seal duplicated rows — clear unsealed dirs first
+    prefix = f"{shard_col}="
+    for name in os.listdir(out_dir):
+        d = os.path.join(out_dir, name)
+        if (
+            name.startswith(prefix)
+            and os.path.isdir(d)
+            and not os.path.exists(os.path.join(d, _MARKER))
+        ):
+            shutil.rmtree(d)
+
     out = ds
     if done:
         # match against the string form of the key — hive dir names are
@@ -66,6 +95,7 @@ def write_parquet_resumable(ds, out_dir: str, shard_col: str) -> dict:
             keys = np.array(
                 [str(v) for v in t[shard_col].to_pylist()], dtype=object
             )
+            _check_keys(np.unique(keys))
             return t.filter(pa.array(~np.isin(keys, done_arr)))
 
         out = ds.map_batches(_drop_done, batch_format="pyarrow")
@@ -73,7 +103,13 @@ def write_parquet_resumable(ds, out_dir: str, shard_col: str) -> dict:
     out.write_parquet(out_dir, partition_cols=[shard_col])
 
     written = 0
-    prefix = f"{shard_col}="
+    # first-run guard (no done set → _drop_done never vetted the keys):
+    # percent-encoded dir names would never match a later str() compare
+    _check_keys(
+        name[len(prefix):]
+        for name in os.listdir(out_dir)
+        if name.startswith(prefix) and os.path.isdir(os.path.join(out_dir, name))
+    )
     for name in os.listdir(out_dir):
         d = os.path.join(out_dir, name)
         if name.startswith(prefix) and not os.path.exists(os.path.join(d, _MARKER)):

@@ -1478,7 +1478,17 @@ class HITSProgram(VertexProgram):
         if step == 0:
             return {"active": 1}
         if getattr(self, "_norm_step", False):
-            a2, h2 = glob.get("a2", 0.0), glob.get("h2", 0.0)
+            if "a2" not in glob:
+                # resumed from a checkpoint at/after the publish step: the
+                # engine re-folds glob from the resumed superstep's stats,
+                # which discards the manifest's a2/h2 — re-publish the local
+                # norms and stay active one more (message-free) superstep
+                return {
+                    "active": 1,
+                    "a2": float(self.auth @ self.auth),
+                    "h2": float(self.hub @ self.hub),
+                }
+            a2, h2 = glob["a2"], glob.get("h2", 0.0)
             if a2 > 0:
                 self.auth = self.auth / np.sqrt(a2)
             if h2 > 0:
@@ -1538,6 +1548,9 @@ class HITSProgram(VertexProgram):
     def load_state(self, table, step):
         self.auth = table["auth"].to_numpy().copy()
         self.hub = table["hub"].to_numpy().copy()
+        # a checkpoint at/after the final update must resume into the
+        # normalize branch, not the (empty-inbox) message-sum branch
+        self._norm_step = step >= self.iters
 
     def result_table(self):
         return pa.table({"vid": self.csr.vids, "auth": self.auth, "hub": self.hub})

@@ -850,3 +850,53 @@ def test_resumable_sink_no_prefix_truncation(ray_session, tmp_path):
     got = rd.read_parquet(out).to_pandas()
     assert sorted(got[got["shard"] == "123"]["x"]) == [10, 11]
     assert len(got) == 5
+
+
+def test_hits_checkpoint_resume_final_step(ray_session, tmp_path):
+    """Resuming a HITS run from a checkpoint taken AT the final update step
+    must still normalize (regression: the re-folded glob loses a2/h2 and a
+    fresh program fell into the empty-inbox message branch → zeros)."""
+    import ray.data as rd
+
+    from subgraph_isomorphism_pregel_ray.pipelines.algorithms import build_engine, hits
+
+    rng = np.random.default_rng(23)
+    pairs = sorted(
+        {(min(u, v), max(u, v)) for u, v in rng.integers(0, 50, (200, 2)) if u != v}
+    )
+    src = np.array([p[0] for p in pairs], np.uint64)
+    dst = np.array([p[1] for p in pairs], np.uint64)
+    edges = rd.from_arrow(
+        pa.table({"src": np.concatenate([src, dst]), "dst": np.concatenate([dst, src])})
+    )
+    iters = 6
+    want, _ = hits(edges, iters=iters, num_parts=2)
+    want = want.to_pandas().sort_values("vid").reset_index(drop=True)
+
+    eng = build_engine(edges, 2, directed=False)
+    ck = str(tmp_path / "ck")
+    # checkpoint lands exactly on the final-update step (step == iters)
+    eng.run(
+        "hits", {"iters": iters}, max_steps=iters + 3,
+        checkpoint_dir=ck, checkpoint_every=iters,
+    )
+    import os
+
+    assert os.path.isdir(os.path.join(ck, f"step={iters}"))
+    eng.shutdown()
+
+    eng2 = build_engine(edges, 2, directed=False)
+    lin2 = eng2.run(
+        "hits", {"iters": iters}, max_steps=iters + 3,
+        checkpoint_dir=ck, checkpoint_every=0, resume=True,
+    )
+    assert len(lin2["lineage"]) <= 4, "did not actually resume from the checkpoint" 
+    got = eng2.result_table().to_pandas().sort_values("vid").reset_index(drop=True)
+    eng2.shutdown()
+    assert np.sqrt((got["auth"] ** 2).sum()) == pytest.approx(1.0, abs=1e-9)
+    np.testing.assert_allclose(
+        got["auth"].to_numpy(), want["auth"].to_numpy(), atol=1e-12, rtol=0
+    )
+    np.testing.assert_allclose(
+        got["hub"].to_numpy(), want["hub"].to_numpy(), atol=1e-12, rtol=0
+    )
