@@ -656,6 +656,34 @@ def _hits_sql(iters: int = 8) -> str:
     )
 
 
+def _lang_id_sql() -> str:
+    """SQL mirror of ``lang_id_batch``: han codepoint → 'zh'; else argmax
+    of per-language stopword hits over whitespace tokens (alphabetical
+    tie-break, 0 hits → 'en'). The stopword VALUES list is generated from
+    the SAME table the kernel uses (single source of truth)."""
+    from subgraph_isomorphism_pregel_ray.pipelines.textops import STOPWORDS
+
+    vals = ", ".join(
+        f"('{w}', '{lang}')"
+        for lang in sorted(STOPWORDS)
+        for w in sorted(STOPWORDS[lang])
+    )
+    return (
+        f"WITH sw(word, lang) AS (VALUES {vals}), "
+        "tok AS (SELECT doc_id, unnest(regexp_split_to_array(lower(text), "
+        r"'\s+')) AS w FROM documents), "
+        "hits AS (SELECT t.doc_id, s.lang, count(*) AS c FROM tok t "
+        "JOIN sw s ON s.word = t.w GROUP BY 1, 2), "
+        "best AS (SELECT doc_id, lang, row_number() OVER (PARTITION BY doc_id "
+        "ORDER BY c DESC, lang) AS rn FROM hits) "
+        "SELECT d.doc_id, CASE WHEN regexp_matches(d.text, "
+        r"'[\x{4E00}-\x{9FFF}]') THEN 'zh' "
+        "WHEN b.lang IS NOT NULL THEN b.lang ELSE 'en' END AS lang_pred "
+        "FROM documents d LEFT JOIN (SELECT doc_id, lang FROM best WHERE rn = 1) b "
+        "ON b.doc_id = d.doc_id"
+    )
+
+
 def _walk_sql(walk_len: int = 4) -> str:
     """Unrolled deterministic random walk: neighbor pick k = h(start, t) %
     deg over row_number()-indexed sorted adjacency (RandomWalkProgram's
@@ -925,6 +953,7 @@ def oracle_sql() -> dict[str, str]:
             "(ORDER BY value DESC, event_id ASC) - 1 AS BIGINT) AS ordinal "
             "FROM events"
         ),
+        "lang_id": _lang_id_sql(),
         "documents_sample": (
             # Knuth multiplicative hash on a 2^31 ring: pure BIGINT
             # arithmetic on both sides; thresholds are the engine's
