@@ -777,6 +777,173 @@ def _stopword_sql_list() -> str:
     return "[" + ", ".join(f"'{w}'" for w in _SQL_STOP) + "]"
 
 
+# ---- md5-keyed text-hash oracles ------------------------------------------
+# The shingle/token/window hashes are md5_lower64 ≡ DuckDB md5_number_lower
+# (functions/hashing.py), so fingerprint / simhash / MinHash banding are
+# SQL-reproducible BIT-EXACTLY — including the LSH candidate generation, not
+# just the verified output. numpy uint64 wrap-arithmetic is replayed with
+# HUGEINT ... % 2^64.
+_TWO64 = 1 << 64
+_I64MIN_CUT = 1 << 63  # unsigned m >= 2^63  →  signed m - 2^64
+
+
+def _fingerprint_sql(k: int = 8) -> str:
+    """Rolling code-point Rabin–Karp min-hash (textops.fingerprint_batch):
+    h_j = Σ cp[j+i]·B^(k-1-i) mod 2⁶⁴; numpy wraps each op mod 2⁶⁴ but mod is
+    a ring hom, so one final % 2⁶⁴ over exact HUGEINT products is identical."""
+    B = 1099511628211
+    terms = " + ".join(
+        "CAST(unicode(substring(text, CAST(j + %d AS INT), 1)) AS HUGEINT) * %d"
+        % (i, pow(B, k - 1 - i, _TWO64))
+        for i in range(k)
+    )
+    return (
+        "WITH w AS MATERIALIZED ("
+        f"SELECT doc_id, text, unnest(generate_series(1, length(text) - {k - 1})) AS j "
+        f"FROM documents WHERE length(text) >= {k}), "
+        "mn AS ("
+        f"SELECT doc_id, min(({terms}) % {_TWO64}) AS m FROM w GROUP BY doc_id "
+        "UNION ALL "
+        "SELECT doc_id, CAST(md5_number_lower(text) AS HUGEINT) AS m "
+        f"FROM documents WHERE length(text) < {k}) "
+        "SELECT doc_id, "
+        f"CAST(CASE WHEN m >= {_I64MIN_CUT} THEN m - {_TWO64} ELSE m END AS BIGINT) "
+        "AS fingerprint FROM mn"
+    )
+
+
+def _simhash_cte() -> str:
+    """CTE chain ending in s(doc_id, simhash) — the exact bit-vote fold of
+    textops.simhash_batch (every token occurrence votes ±1 per bit of its
+    md5_number_lower hash; ties → 0 bit; tokenizer = split on whitespace)."""
+    bits_vals = ", ".join(f"({i}, {1 << i}::HUGEINT)" for i in range(64))
+    return (
+        "toks AS MATERIALIZED ("
+        "SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) "
+        "AS tok FROM documents), "
+        "h AS MATERIALIZED (SELECT doc_id, md5_number_lower(tok) AS h FROM toks), "
+        f"bits(i, w) AS (VALUES {bits_vals}), "
+        "v AS (SELECT doc_id, b.i, b.w, "
+        "sum(CASE WHEN (h.h // CAST(b.w AS UBIGINT)) % 2 = 1 THEN 1 ELSE -1 END) "
+        "AS vote FROM h CROSS JOIN bits b GROUP BY 1, 2, 3), "
+        "u AS (SELECT doc_id, sum(CASE WHEN vote > 0 THEN w ELSE 0::HUGEINT END) "
+        "AS uh FROM v GROUP BY 1), "
+        "s AS MATERIALIZED (SELECT d.doc_id, "
+        "CAST(CASE WHEN uh IS NULL THEN 0 "
+        f"WHEN uh >= {_I64MIN_CUT} THEN uh - {_TWO64} ELSE uh END AS BIGINT) "
+        "AS simhash FROM documents d LEFT JOIN u ON u.doc_id = d.doc_id)"
+    )
+
+
+def _simhash_sql() -> str:
+    return f"WITH {_simhash_cte()} SELECT doc_id, simhash FROM s"
+
+
+def _simhash_pairs_sql(max_hamming: int = 7) -> str:
+    """Exhaustive-pair oracle: the engine's 8 byte-bands are COMPLETE for
+    Hamming ≤ 7 by pigeonhole (dedup.simhash_dup_pairs), so banded output ==
+    all-pairs popcount filter."""
+    return (
+        f"WITH {_simhash_cte()} "
+        "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+        "CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming "
+        "FROM s a JOIN s b ON a.doc_id < b.doc_id "
+        f"WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}"
+    )
+
+
+def _minhash_ctes(
+    k: int = 5,
+    num_perm: int = 128,
+    bands: int = 16,
+    threshold: float = 0.5,
+    max_bucket: int = 200,
+    seed: int = 7,
+) -> str:
+    """CTE chain ending in pairs(doc_a, doc_b, i, na, nb) — the FULL MinHash
+    LSH pipeline of dedup.minhash_lsh_pairs: md5 shingle hashes → the same
+    128 (a·x+b) mod-2⁶⁴-then-Mersenne61 permutations (literal a/b from the
+    shared seeded rng) → band signature grouping (signature LIST equality ≡
+    the engine's collision-free fold hash) → sorted-cap-200 buckets → distinct
+    candidate pairs → exact gram-set intersection (grams ↔ md5 hashes are
+    1:1 bar md5 collisions)."""
+    from subgraph_isomorphism_pregel_ray.pipelines.dedup import _perm_params
+
+    a_p, b_p = _perm_params(num_perm, seed)
+    perm_vals = ", ".join(
+        f"({i}, {int(a_p[i])}::HUGEINT, {int(b_p[i])}::HUGEINT)"
+        for i in range(num_perm)
+    )
+    m61 = (1 << 61) - 1
+    rpb = num_perm // bands
+    return (
+        "grams AS MATERIALIZED (SELECT DISTINCT doc_id, "
+        f"CASE WHEN length(text) < {k} THEN text "
+        f"ELSE substr(text, CAST(i AS INT), {k}) END AS g "
+        "FROM (SELECT doc_id, text, "
+        f"unnest(generate_series(1, greatest(1, length(text) - {k - 1}))) AS i "
+        "FROM documents)), "
+        "sh AS MATERIALIZED ("
+        "SELECT doc_id, CAST(md5_number_lower(g) AS HUGEINT) AS h FROM grams), "
+        f"perms(pi, a, b) AS (VALUES {perm_vals}), "
+        "mins AS MATERIALIZED (SELECT doc_id, p.pi, "
+        f"min(((h * p.a) % {_TWO64} + p.b) % {_TWO64} % {m61}) AS mh "
+        "FROM sh CROSS JOIN perms p GROUP BY 1, 2), "
+        "bsig AS MATERIALIZED ("
+        f"SELECT doc_id, pi // {rpb} AS band, list(mh ORDER BY pi) AS sig "
+        "FROM mins GROUP BY 1, 2), "
+        "bdocs AS MATERIALIZED ("
+        f"SELECT band, sig, (list(doc_id ORDER BY doc_id))[1:{max_bucket}] AS docs "
+        "FROM bsig GROUP BY band, sig HAVING count(*) >= 2), "
+        "expl AS (SELECT band, sig, unnest(docs) AS d FROM bdocs), "
+        "cand AS MATERIALIZED (SELECT DISTINCT a.d AS doc_a, b.d AS doc_b "
+        "FROM expl a JOIN expl b ON a.band = b.band AND a.sig = b.sig "
+        "AND a.d < b.d), "
+        "cnt AS MATERIALIZED (SELECT doc_id, count(*) AS nsh FROM grams GROUP BY 1), "
+        "inter AS MATERIALIZED (SELECT c.doc_a, c.doc_b, count(*) AS i "
+        "FROM cand c JOIN grams a ON a.doc_id = c.doc_a "
+        "JOIN grams b ON b.doc_id = c.doc_b AND b.g = a.g GROUP BY 1, 2), "
+        "pairs AS MATERIALIZED (SELECT doc_a, doc_b, i, ca.nsh AS na, cb.nsh AS nb "
+        "FROM inter JOIN cnt ca ON ca.doc_id = doc_a "
+        "JOIN cnt cb ON cb.doc_id = doc_b "
+        f"WHERE i * 1.0 / (ca.nsh + cb.nsh - i) >= {threshold})"
+    )
+
+
+def _minhash_pairs_sql() -> str:
+    return (
+        f"WITH {_minhash_ctes()} "
+        "SELECT doc_a, doc_b, round(i * 1.0 / (na + nb - i), 6) AS jaccard "
+        "FROM pairs"
+    )
+
+
+def _dedup_groups_sql(iters: int = 8) -> str:
+    """MinHash pairs → min-label connected components (unrolled like
+    ``_cc_sql``; near-dup groups are small cliques/chains, 8 rounds is ample
+    margin and extra rounds are identity) → (doc_id, group, keep=min-member).
+    Mirrors dedup.dedup_groups end to end."""
+    parts = [
+        f"WITH {_minhash_ctes()}",
+        "de AS MATERIALIZED (SELECT doc_a AS s, doc_b AS t FROM pairs "
+        "UNION ALL SELECT doc_b, doc_a FROM pairs)",
+        "l0 AS MATERIALIZED (SELECT doc_id, doc_id AS lbl FROM documents)",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"l{i} AS MATERIALIZED (SELECT v.doc_id, "
+            f"least(v.lbl, coalesce(min(w.lbl), v.lbl)) AS lbl "
+            f"FROM l{i-1} v LEFT JOIN de ON de.s = v.doc_id "
+            f"LEFT JOIN l{i-1} w ON w.doc_id = de.t "
+            "GROUP BY v.doc_id, v.lbl)"
+        )
+    return (
+        ", ".join(parts)
+        + f' SELECT doc_id, lbl AS "group", '
+        f"doc_id = min(doc_id) OVER (PARTITION BY lbl) AS keep FROM l{iters}"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     toks = "regexp_split_to_array(trim(text), '\\s+')"
     ntok = f"CASE WHEN trim(text) = '' THEN 0 ELSE len({toks}) END"
@@ -1081,8 +1248,16 @@ def oracle_sql() -> dict[str, str]:
         ),
         "lpa_copurchase": _lpa_sql(LPA_ITERS),
         "kcore_copurchase": _kcore_sql(),
-        # lang_id / fingerprint / simhash / minhash_dup_pairs / ann_topk_ivf:
-        # not ANSI-SQL-expressible (heuristic scoring, custom hashing, LSH
-        # recall) → rows-only driver check; exact semantics are
-        # pytest-verified against single-process oracles.
+        "fingerprint": _fingerprint_sql(),
+        "simhash": _simhash_sql(),
+        "simhash_dup_pairs": _simhash_pairs_sql(),
+        "minhash_dup_pairs": _minhash_pairs_sql(),
+        "dedup_groups": _dedup_groups_sql(),
+        # Still rows-only, with reasons:
+        #  * ann_topk_ivf — result depends on k-means centroids (iterative
+        #    float averaging); pytest asserts recall + pruning vs ann_topk.
+        #  * kmeans_embeddings — iterative float sums whose summation ORDER
+        #    differs between numpy and SQL; numpy-parity pytest instead.
+        #  * media_features — decode stub (no codecs in container), plumbing
+        #    rows-only by design.
     }

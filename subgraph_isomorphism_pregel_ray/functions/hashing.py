@@ -27,6 +27,7 @@ __all__ = [
     "part_for",
     "md5_hex",
     "md5_hex_batch",
+    "md5_lower64",
 ]
 
 
@@ -66,4 +67,24 @@ def md5_hex_batch(values) -> np.ndarray:
     """Per-row md5 hex digests (md5 itself is C; the loop is cheap vs I/O)."""
     return np.array(
         [hashlib.md5(v.encode("utf-8")).hexdigest() for v in values], dtype=object
+    )
+
+
+def md5_lower64(values) -> np.ndarray:
+    """64-bit hash = little-endian uint64 of md5-digest bytes 8..16 → uint64.
+
+    Bit-identical to DuckDB 1.0's ``md5_number_lower(text)`` (verified:
+    ``md5_number_lower('abc') = 8250560606382298838``), which is what makes
+    the shingle/token/window hashes of the dedup and text-fingerprint
+    operators SQL-oracle-checkable end to end. md5 is C (OpenSSL); the
+    Python loop costs ~1 µs/item — linear, per-batch parallel, and only used
+    where oracle reproducibility matters (``hash64`` remains the fast path
+    for internal ids).
+    """
+    return np.array(
+        [
+            int.from_bytes(hashlib.md5(v.encode("utf-8")).digest()[8:], "little")
+            for v in values
+        ],
+        dtype=np.uint64,
     )

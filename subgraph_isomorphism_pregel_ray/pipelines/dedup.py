@@ -35,7 +35,7 @@ import numpy as np
 from ..functions.rounding import round_half_away
 import pyarrow as pa
 
-from ..functions.hashing import hash64, md5_hex_batch
+from ..functions.hashing import md5_hex_batch, md5_lower64
 
 __all__ = [
     "exact_dedup",
@@ -73,12 +73,20 @@ def exact_dedup(docs_ds):
 
 
 def _shingles(text: str, k: int) -> np.ndarray:
-    """Distinct char k-gram hashes of a document."""
+    """Distinct char k-gram hashes of a document.
+
+    Hash = ``md5_lower64`` ≡ DuckDB ``md5_number_lower``, so the whole
+    MinHash/banding/Jaccard pipeline is reproducible by a SQL oracle
+    (``substring(text, j, k)`` windows hashed the same way). Duplicate
+    k-grams collapse before hashing so md5 runs once per distinct gram.
+    """
     if len(text) < k:
         arr = np.array([text], dtype=object)
     else:
-        arr = np.array([text[i : i + k] for i in range(len(text) - k + 1)], dtype=object)
-    return np.unique(hash64(arr))
+        arr = np.unique(
+            np.array([text[i : i + k] for i in range(len(text) - k + 1)], dtype=object)
+        )
+    return np.unique(md5_lower64(arr))
 
 
 def _perm_params(num_perm: int, seed: int = 7):

@@ -26,7 +26,7 @@ import re
 import numpy as np
 import pyarrow as pa
 
-from ..functions.hashing import hash64
+from ..functions.hashing import md5_lower64
 from ..functions.rounding import round_half_away
 
 __all__ = [
@@ -170,26 +170,33 @@ def lang_id_batch(batch: pa.Table) -> pa.Table:
 
 
 def fingerprint_batch(batch: pa.Table, k: int = 8) -> pa.Table:
-    """Min of Rabin–Karp rolling hashes over byte k-grams → 64-bit id."""
+    """Min of Rabin–Karp rolling hashes over CODE-POINT k-grams → 64-bit id.
+
+    h_j = (Σ_i cp[j+i] · B^(k-1-i)) mod 2⁶⁴ with B the FNV prime; the base
+    sequence is Unicode code points (not utf-8 bytes) so a SQL oracle can
+    reproduce it exactly via ``unicode(substring(text, j, 1))`` and HUGEINT
+    arithmetic — numpy's uint64 wrap-around IS mod-2⁶⁴. Texts shorter than
+    ``k`` fall back to ``md5_lower64(text)`` ≡ ``md5_number_lower(text)``.
+    """
     texts = batch["text"].to_pylist()
     B = np.uint64(1099511628211)  # FNV prime as rolling base
     out = np.empty(len(texts), dtype=np.uint64)
-    Bk = B ** np.uint64(k - 1)
+    powers = B ** np.arange(k - 1, -1, -1, dtype=np.uint64)
     for i, t in enumerate(texts):
-        b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
-        if len(b) < k:
-            out[i] = hash64(np.array([t], dtype=object))[0]
+        cp = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
+        if len(cp) < k:
+            out[i] = md5_lower64([t])[0]
             continue
-        # vectorized rolling hash: h_j = Σ b[j+i] * B^(k-1-i)
-        powers = B ** np.arange(k - 1, -1, -1, dtype=np.uint64)
-        n = len(b) - k + 1
-        windows = np.lib.stride_tricks.sliding_window_view(b, k)
-        hashes = (windows * powers).sum(axis=1)
+        windows = np.lib.stride_tricks.sliding_window_view(cp, k)
+        hashes = (windows * powers).sum(axis=1)  # uint64 wraps == mod 2^64
         out[i] = hashes.min()
     return pa.table({"doc_id": batch["doc_id"], "fingerprint": out.view(np.int64)})
 
 
 def simhash_batch(batch: pa.Table) -> pa.Table:
+    """64-bit SimHash over whitespace tokens; token hash = ``md5_lower64``
+    ≡ DuckDB ``md5_number_lower`` so the bit-vote fold is SQL-reproducible.
+    Distinct tokens are hashed once and their votes weighted by count."""
     texts = batch["text"].to_pylist()
     out = np.empty(len(texts), dtype=np.uint64)
     bits = np.arange(64, dtype=np.uint64)
@@ -198,9 +205,10 @@ def simhash_batch(batch: pa.Table) -> pa.Table:
         if not toks:
             out[i] = 0
             continue
-        hs = hash64(np.array(toks, dtype=object))
+        uniq, cnt = np.unique(np.asarray(toks, dtype=object), return_counts=True)
+        hs = md5_lower64(uniq)
         bitmat = ((hs[:, None] >> bits) & np.uint64(1)).astype(np.int64)
-        vote = bitmat.sum(axis=0) * 2 - len(toks)  # +1/-1 votes
+        vote = (bitmat * cnt[:, None]).sum(axis=0) * 2 - len(toks)  # ±1 votes
         out[i] = np.uint64(((vote > 0).astype(np.uint64) << bits).sum())
     return pa.table({"doc_id": batch["doc_id"], "simhash": out.view(np.int64)})
 
