@@ -520,6 +520,26 @@ def _q_dedup_groups(sf_dir: str):
     return dedup_groups(_docs(sf_dir), threshold=0.5)
 
 
+def _q_events_range_join(sf_dir: str):
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import events_range_join
+
+    return events_range_join(sf_dir, window_sec=600)
+
+
+def _q_hll_registers(sf_dir: str):
+    from subgraph_isomorphism_pregel_ray.pipelines.sketch import hll_registers_daily
+
+    return hll_registers_daily(sf_dir)
+
+
+def _q_approx_distinct(sf_dir: str):
+    from subgraph_isomorphism_pregel_ray.pipelines.sketch import (
+        approx_distinct_users_daily,
+    )
+
+    return approx_distinct_users_daily(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "copurchase_edges": _q_copurchase_edges,
@@ -568,6 +588,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "simhash_dup_pairs": _q_simhash_pairs,
         "media_features": _q_media_features,
+        "events_range_join": _q_events_range_join,
+        "hll_registers_daily": _q_hll_registers,
+        "approx_distinct_users_daily": _q_approx_distinct,
     }
 
 
@@ -1253,6 +1276,30 @@ def oracle_sql() -> dict[str, str]:
         "simhash_dup_pairs": _simhash_pairs_sql(),
         "minhash_dup_pairs": _minhash_pairs_sql(),
         "dedup_groups": _dedup_groups_sql(),
+        "events_range_join": (
+            # pure time-range join, exact int-cents sums (relational.py
+            # events_range_join) — the engine's bucketed form must equal the
+            # oracle's O(n²) nested-loop form exactly
+            "SELECT a.event_id, CAST(count(b.event_id) AS BIGINT) AS n_prior, "
+            "coalesce(sum(CAST(round(b.value * 100) AS BIGINT)), 0) / 100.0 "
+            "AS sum_prior "
+            "FROM events a LEFT JOIN events b ON b.event_type = 'click' "
+            "AND b.ts >= a.ts - INTERVAL 600 SECOND AND b.ts < a.ts "
+            "WHERE a.event_type = 'purchase' GROUP BY a.event_id"
+        ),
+        "hll_registers_daily": (
+            # bit-exact HLL register replay (pipelines/sketch.py): hash =
+            # md5_number_lower ≡ md5_lower64, bucket = top 8 bits, register
+            # = CLZ of the low 56 bits + 1 via length(bin(x)), merged by max
+            "WITH h AS (SELECT epoch_us(ts) // 86400000000 AS day, "
+            "md5_number_lower(CAST(user_id AS VARCHAR)) AS h FROM events), "
+            "b AS (SELECT day, h // 72057594037927936 AS bucket, "
+            "h % 72057594037927936 AS low FROM h) "
+            "SELECT CAST(day AS BIGINT) AS day, CAST(bucket AS BIGINT) AS bucket, "
+            "CAST(max(CASE WHEN low = 0 THEN 57 "
+            "ELSE 57 - length(bin(low)) END) AS BIGINT) AS register "
+            "FROM b GROUP BY day, bucket"
+        ),
         # Still rows-only, with reasons:
         #  * ann_topk_ivf — result depends on k-means centroids (iterative
         #    float averaging); pytest asserts recall + pruning vs ann_topk.
@@ -1260,4 +1307,8 @@ def oracle_sql() -> dict[str, str]:
         #    differs between numpy and SQL; numpy-parity pytest instead.
         #  * media_features — decode stub (no codecs in container), plumbing
         #    rows-only by design.
+        #  * approx_distinct_users_daily — the estimator is float (harmonic
+        #    mean / ln) whose SQL summation order differs; the REGISTERS it
+        #    is a pure function of ARE hash-checked (hll_registers_daily),
+        #    and the estimate's accuracy is pytest-bounded vs exact counts.
     }

@@ -29,6 +29,7 @@ __all__ = [
     "events_sessionize",
     "events_asof_prior",
     "events_quantiles",
+    "events_range_join",
 ]
 
 
@@ -382,6 +383,99 @@ def events_sessionize(sf_dir: str, gap_sec: int = 600, num_buckets: int = 32):
         ds.map_batches(_bucket, batch_format="pyarrow")
         .groupby("b")
         .map_groups(_sessionize, batch_format="pyarrow")
+    )
+
+
+def events_range_join(
+    sf_dir: str,
+    window_sec: int = 600,
+    probe_type: str = "purchase",
+    build_type: str = "click",
+):
+    """Pure time-RANGE join (no equality key): for every ``probe_type``
+    event, count/sum the ``build_type`` events in the trailing window
+    ``[ts - window_sec, ts)``. → (event_id, n_prior, sum_prior).
+
+    Ray Data has no range join; the scale shape is time-bucketing with
+    bucket width == window width: a build row in bucket ``b`` can only
+    match probes in buckets ``b`` and ``b+1``, so builds are replicated
+    exactly once rightward, probes routed to their own bucket, and ONE
+    ``groupby(bucket)`` co-locates every candidate pair. Within a whole
+    bucket the join is vectorized: builds sorted by ts once, per-probe
+    window = two ``searchsorted`` cuts, count/sum read off prefix sums.
+    No build row is compared against out-of-window probes — work is
+    O(n log n) per bucket vs the oracle's O(n²) nested loop.
+
+    Partitioning assumption (documented per the custom-operator rule):
+    bucket population is bounded by the event rate × window, so hot
+    buckets are data-rate-bounded, not cardinality-bounded; at 100 TB
+    the bucket count (timespan/window) far exceeds worker count.
+
+    Determinism — ``value`` carries 2 decimals (synth spec), so sums are
+    folded as exact int64 cents and divided once at the end: bit-equal to
+    the SQL oracle's ``sum(CAST(round(value*100) AS BIGINT))/100.0`` at
+    any partition count.
+    """
+    ds = read_table(sf_dir, "events", columns=["event_id", "ts", "event_type", "value"])
+    w_us = np.int64(window_sec) * 1_000_000
+
+    def _route(t: pa.Table) -> pa.Table:
+        ts = t["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        eid = t["event_id"].to_numpy()
+        cents = np.round(t["value"].to_numpy() * 100.0).astype(np.int64)
+        probe = et == probe_type
+        build = et == build_type
+        pb, bb = ts[probe] // w_us, ts[build] // w_us
+        return pa.table(
+            {
+                "b": np.concatenate([pb, bb, bb + 1]),
+                "side": np.concatenate(
+                    [
+                        np.ones(probe.sum(), np.int8),
+                        np.zeros(2 * build.sum(), np.int8),
+                    ]
+                ),
+                "event_id": np.concatenate([eid[probe], eid[build], eid[build]]),
+                "ts_us": np.concatenate([ts[probe], ts[build], ts[build]]),
+                "cents": np.concatenate(
+                    [np.zeros(probe.sum(), np.int64), cents[build], cents[build]]
+                ),
+            }
+        )
+
+    def _join(g: pa.Table) -> pa.Table:
+        side = g["side"].to_numpy()
+        ts = g["ts_us"].to_numpy()
+        p = side == 1
+        pts, pid = ts[p], g["event_id"].to_numpy()[p]
+        if not p.any():
+            return pa.table(
+                {
+                    "event_id": np.array([], np.int64),
+                    "n_prior": np.array([], np.int64),
+                    "sum_prior": np.array([], np.float64),
+                }
+            )
+        bts = ts[~p]
+        order = np.argsort(bts, kind="stable")
+        bts = bts[order]
+        bcents = g["cents"].to_numpy()[~p][order]
+        cs = np.concatenate([[0], np.cumsum(bcents)])
+        lo = np.searchsorted(bts, pts - w_us, side="left")
+        hi = np.searchsorted(bts, pts, side="left")
+        return pa.table(
+            {
+                "event_id": pid,
+                "n_prior": (hi - lo).astype(np.int64),
+                "sum_prior": (cs[hi] - cs[lo]) / 100.0,
+            }
+        )
+
+    return (
+        ds.map_batches(_route, batch_format="pyarrow")
+        .groupby("b")
+        .map_groups(_join, batch_format="pyarrow")
     )
 
 
