@@ -100,6 +100,18 @@ def _q_cc(sf_dir: str):
     )
 
 
+def _q_sssp(sf_dir: str):
+    from subgraph_isomorphism_pregel_ray.pipelines.algorithms import sssp
+
+    res, _ = sssp(_sym_copurchase(sf_dir), seed_mod=101, num_parts=4)
+    return pa.table(
+        {
+            "vid": res["vid"].to_numpy().view(np.int64),
+            "dist": res["dist"].to_numpy().view(np.int64),
+        }
+    )
+
+
 def _q_triangles(sf_dir: str):
     from subgraph_isomorphism_pregel_ray.pipelines.algorithms import triangle_count
 
@@ -546,6 +558,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "degree_distribution": _q_degree,
         "pagerank_copurchase": _q_pagerank,
         "cc_copurchase": _q_cc,
+        "sssp_copurchase": _q_sssp,
         "triangle_count_copurchase": _q_triangles,
         "clustering_coeff_copurchase": _q_clustering,
         "assortativity_copurchase": _q_assortativity,
@@ -749,6 +762,30 @@ def _cc_sql(iters: int = 8) -> str:
             f") x GROUP BY x.vid)"
         )
     return ", ".join(parts) + f" SELECT vid, comp AS component FROM c{iters}"
+
+
+def _sssp_sql(iters: int = 6, seed_mod: int = 101) -> str:
+    """Unrolled multi-source BFS (min-dist relaxation) — exact once
+    converged (max hop distance is 2 on the sf0.001/sf0.01 co-purchase
+    graphs; 6 rounds is the safety margin, extra rounds are identity).
+    Unreached vertices → -1, mirroring SSSPProgram.result_table."""
+    parts = [
+        f"WITH {_ESYM_MAT}",
+        "v AS MATERIALIZED (SELECT DISTINCT src AS vid FROM e)",
+        f"d0 AS MATERIALIZED (SELECT vid, 0 AS d FROM v WHERE vid % {seed_mod} = 0)",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"d{i} AS MATERIALIZED (SELECT x.vid, min(x.d) AS d FROM ("
+            f"SELECT vid, d FROM d{i-1} "
+            f"UNION ALL SELECT e.dst, c.d + 1 FROM e JOIN d{i-1} c ON c.vid = e.src"
+            f") x GROUP BY x.vid)"
+        )
+    return (
+        ", ".join(parts)
+        + f" SELECT v.vid, CAST(coalesce(d.d, -1) AS BIGINT) AS dist "
+        f"FROM v LEFT JOIN d{iters} d ON d.vid = v.vid"
+    )
 
 
 def _lpa_sql(iters: int = 5) -> str:
@@ -985,6 +1022,7 @@ def oracle_sql() -> dict[str, str]:
         "hits_copurchase": _hits_sql(HITS_ITERS),
         "random_walks_copurchase": _walk_sql(4),
         "cc_copurchase": _cc_sql(),
+        "sssp_copurchase": _sssp_sql(),
         "triangle_count_copurchase": (
             f"WITH {_EU} SELECT count(*) AS n_triangles FROM eu e1 "
             "JOIN eu e2 ON e2.src = e1.dst "

@@ -32,6 +32,7 @@ __all__ = [
     "build_engine",
     "pagerank",
     "connected_components",
+    "sssp",
     "label_propagation",
     "triangle_count",
     "kcore",
@@ -106,6 +107,22 @@ def connected_components(edges_or_engine, num_parts: int = 8, max_steps: int = 2
     eng, lineage, own = _run(
         edges_or_engine, "cc", {}, num_parts, max_steps, directed=False,
         checkpoint_dir=checkpoint_dir, checkpoint_every=checkpoint_every, resume=resume,
+    )
+    out = eng.result_table()
+    if own:
+        eng.shutdown()
+    return out, lineage
+
+
+def sssp(edges_or_engine, seed_mod: int = 101, num_parts: int = 8,
+         max_steps: int = 200, checkpoint_dir=None, checkpoint_every=0,
+         resume=False):
+    """Multi-source BFS over the symmetrized edge set → (vid, dist) with
+    dist = hops to the nearest seed (vid % seed_mod == 0), -1 unreachable."""
+    eng, lineage, own = _run(
+        edges_or_engine, "sssp", {"seed_mod": seed_mod}, num_parts, max_steps,
+        directed=False, checkpoint_dir=checkpoint_dir,
+        checkpoint_every=checkpoint_every, resume=resume,
     )
     out = eng.result_table()
     if own:

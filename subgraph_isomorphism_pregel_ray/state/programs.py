@@ -39,6 +39,7 @@ from .csr import CSRPartition, flat_gather
 __all__ = [
     "PageRankProgram",
     "ConnectedComponentsProgram",
+    "SSSPProgram",
     "LabelPropagationProgram",
     "TriangleCountProgram",
     "MatchProgram",
@@ -294,6 +295,76 @@ class ConnectedComponentsProgram(VertexProgram):
 
     def result_table(self):
         return pa.table({"vid": self.csr.vids, "component": self.comp})
+
+
+# --------------------------------------------------------------------------
+_DIST_INF = np.int64(np.iinfo(np.int64).max)
+
+
+class SSSPProgram(VertexProgram):
+    """Multi-source BFS / unit-weight SSSP — THE canonical Pregel workload
+    (Malewicz et al. 2010 §5.2 uses it as the running example; the
+    reference's vertex-compute loop shape, src/basic/Vertex.h).
+
+    dist(v) = hops to the nearest seed (vid % seed_mod == 0), -1 if
+    unreachable. Frontier-based exactly like hash-min CC: only vertices
+    whose distance improved last step scatter dist+1 to their neighbors,
+    messages are group-min pre-aggregated per destination partition, and
+    the run converges when no distance improves (active == 0, sent == 0).
+    """
+
+    def init(self, csr: CSRPartition, seed_mod=101):
+        self.csr = csr
+        self.dist = np.full(csr.num_vertices, _DIST_INF, dtype=np.int64)
+        seeds = (csr.vids % int(seed_mod)) == 0
+        self.dist[seeds] = 0
+        self.changed = seeds.copy()
+
+    def apply(self, step, inbox, glob):
+        if step == 0:
+            return {"active": int(self.changed.sum())}
+        new_changed = np.zeros(self.csr.num_vertices, dtype=bool)
+        for msg in inbox:
+            if msg is None or len(msg["dst"]) == 0:
+                continue
+            li = self.csr.local_index(msg["dst"])
+            better = msg["min"] < self.dist[li]
+            if better.any():
+                np.minimum.at(self.dist, li, msg["min"])
+                new_changed[li[better]] = True
+        self.changed = new_changed
+        return {"active": int(new_changed.sum())}
+
+    def scatter(self, step):
+        P = self.csr.num_parts
+        dix = self.csr.dst_index()
+        edge_sel = self.changed[dix.src_row][dix.order]
+        edge_val = self.dist[dix.src_row][dix.order] + 1  # INF never scatters
+        sorted_dst = self.csr.indices[dix.order]
+        outbox, sent = [], 0
+        for p in range(P):
+            s, e = dix.slices[p]
+            sel = edge_sel[s:e]
+            if not sel.any():
+                outbox.append(None)
+                continue
+            dsts, mins = _group_min(sorted_dst[s:e][sel], edge_val[s:e][sel])
+            outbox.append({"dst": dsts, "min": mins})
+            sent += len(dsts)
+        return outbox, {"sent": sent}
+
+    def state_table(self):
+        return pa.table(
+            {"vid": self.csr.vids, "dist": self.dist, "changed": self.changed}
+        )
+
+    def load_state(self, table, step):
+        self.dist = table["dist"].to_numpy().copy()
+        self.changed = table["changed"].to_numpy().copy()
+
+    def result_table(self):
+        out = np.where(self.dist == _DIST_INF, np.int64(-1), self.dist)
+        return pa.table({"vid": self.csr.vids, "dist": out})
 
 
 # --------------------------------------------------------------------------
@@ -1559,6 +1630,7 @@ class HITSProgram(VertexProgram):
 PROGRAMS = {
     "pagerank": PageRankProgram,
     "cc": ConnectedComponentsProgram,
+    "sssp": SSSPProgram,
     "lpa": LabelPropagationProgram,
     "triangles": TriangleCountProgram,
     "match": MatchProgram,

@@ -146,6 +146,39 @@ def test_cc_vs_union_find(trial):
 
 
 @pytest.mark.parametrize("trial", range(3))
+def test_sssp_vs_bfs_oracle(trial):
+    """Multi-source BFS distances vs a queue-based single-process BFS,
+    including unreachable components (dist = -1)."""
+    from collections import deque
+
+    # sparse graph + an isolated far cluster with no seed in it
+    rng = np.random.default_rng(40 + trial)
+    n = [60, 150, 90][trial]
+    s, d = random_graph(40 + trial, n, density=1)
+    iso = np.arange(n + 1000, n + 1010)  # no vid % seed_mod == 0 in here
+    s = np.concatenate([s, iso[:-1]])
+    d = np.concatenate([d, iso[1:]])
+    seed_mod = 7
+    adj = adjacency(s, d)
+    seeds = [v for v in adj if v % seed_mod == 0]
+    dist = {v: 0 for v in seeds}
+    dq = deque(seeds)
+    while dq:
+        u = dq.popleft()
+        for w in adj[u]:
+            if w not in dist:
+                dist[w] = dist[u] + 1
+                dq.append(w)
+
+    eng = LocalBSP(s, d, num_parts=4, directed=False)
+    eng.run("sssp", {"seed_mod": seed_mod}, max_steps=200)
+    res = eng.result().to_pandas()
+    assert len(res) == len(adj)
+    for r in res.itertuples():
+        assert dist.get(int(r.vid), -1) == int(r.dist), r.vid
+
+
+@pytest.mark.parametrize("trial", range(3))
 def test_triangles_vs_oracle(trial):
     s, d = random_graph(20 + trial, [40, 100, 60][trial])
     adj = adjacency(s, d)
