@@ -532,6 +532,13 @@ def _q_dedup_groups(sf_dir: str):
     return dedup_groups(_docs(sf_dir), threshold=0.5)
 
 
+def _q_salient_terms(sf_dir: str):
+    from subgraph_isomorphism_pregel_ray.pipelines.textops import salient_terms
+
+    docs = _docs(sf_dir)
+    return salient_terms(docs, n_docs=docs.count(), k=3)
+
+
 def _q_events_range_join(sf_dir: str):
     from subgraph_isomorphism_pregel_ray.pipelines.relational import events_range_join
 
@@ -602,6 +609,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_dup_pairs": _q_simhash_pairs,
         "media_features": _q_media_features,
         "events_range_join": _q_events_range_join,
+        "salient_terms": _q_salient_terms,
         "hll_registers_daily": _q_hll_registers,
         "approx_distinct_users_daily": _q_approx_distinct,
     }
@@ -1314,6 +1322,25 @@ def oracle_sql() -> dict[str, str]:
         "simhash_dup_pairs": _simhash_pairs_sql(),
         "minhash_dup_pairs": _minhash_pairs_sql(),
         "dedup_groups": _dedup_groups_sql(),
+        "salient_terms": (
+            # TF-IDF-style keyword top-3 (textops.salient_terms); salience is
+            # division-only over exact ints → bit-identical, total tie-break
+            "WITH toks AS MATERIALIZED (SELECT doc_id, "
+            "unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) "
+            "AS term FROM documents), "
+            "tf AS MATERIALIZED (SELECT doc_id, term, count(*) AS tf "
+            "FROM toks GROUP BY 1, 2), "
+            "dl AS (SELECT doc_id, count(*) AS doc_len FROM toks GROUP BY 1), "
+            "df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1), "
+            "nn AS (SELECT count(*) AS n FROM documents), "
+            "s AS (SELECT tf.doc_id, tf.term, "
+            "(CAST(tf.tf AS DOUBLE) / CAST(dl.doc_len AS DOUBLE)) / "
+            "(CAST(df.df AS DOUBLE) / CAST(nn.n AS DOUBLE)) AS salience "
+            "FROM tf JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN nn) "
+            "SELECT doc_id, term, CAST(rank AS BIGINT) AS rank, salience FROM ("
+            "SELECT *, row_number() OVER (PARTITION BY doc_id "
+            "ORDER BY salience DESC, term) AS rank FROM s) WHERE rank <= 3"
+        ),
         "events_range_join": (
             # pure time-range join, exact int-cents sums (relational.py
             # events_range_join) — the engine's bucketed form must equal the

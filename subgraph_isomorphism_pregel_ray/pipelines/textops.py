@@ -40,6 +40,9 @@ __all__ = [
     "lang_id",
     "fingerprint",
     "simhash64",
+    "vocab_topk",
+    "salient_terms",
+    "stratified_sample",
 ]
 
 _ALNUM_RE = re.compile(r"[a-zA-Z0-9]")
@@ -245,6 +248,151 @@ def vocab_topk(docs_ds, k: int = 100):
         .aggregate(Sum("cnt", alias_name="cnt"))
         .sort(["cnt", "token"], descending=[True, False])
         .limit(k)
+    )
+
+
+def salient_terms(docs_ds, n_docs: int, k: int = 3, num_buckets: int = 32):
+    """Per-document keyword extraction: the ``k`` most salient terms by
+    TF-IDF-style scoring → (doc_id, term, rank, salience).
+
+    salience = (tf / doc_len) / (df / N) — relative in-document frequency
+    over relative corpus frequency (linear idf). Every factor is an exact
+    small integer and each IEEE division is correctly rounded, so the
+    score is BIT-IDENTICAL to the SQL oracle's, with a total (salience
+    DESC, term ASC) tie-break — no float-rounding epsilon anywhere.
+
+    Scale shape — one tokenize pass, two shuffles:
+      1. each batch emits per-doc (term, tf, doc_len) rows AND its own
+         per-term distinct-doc partial (the df combiner), both routed by
+         hash(term): ONE groupby computes global df and joins it to the
+         tf rows in the same ``map_groups`` (no second pass over text,
+         no ``Dataset.join``), scores, and PRE-CUTS to ≤ k rows per doc
+         per bucket (global top-k ⊆ union of per-bucket top-k);
+      2. a doc-bucketed groupby ranks the ≤ k·num_buckets survivors per
+         doc. Exchanges carry (term, int, int) partials — never text.
+
+    Tokenizer = ``lower().split(' ')`` dropping empties, exactly DuckDB's
+    ``list_filter(string_split(lower(text), ' '), x -> x <> '')``.
+    """
+    from ..functions.hashing import hash64
+
+    N = float(n_docs)
+
+    def _tf_partial(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        doc_ids = batch["doc_id"].to_numpy()
+        rows, toks = [], []
+        for i, t in enumerate(texts):
+            tt = [x for x in t.lower().split(" ") if x]
+            toks.extend(tt)
+            rows.append(len(tt))
+        counts = np.asarray(rows, dtype=np.int64)
+        empty = pa.table(
+            {
+                "b": pa.array([], pa.int32()),
+                "side": pa.array([], pa.int8()),
+                "doc_id": pa.array([], pa.int64()),
+                "term": pa.array([], pa.string()),
+                "tf": pa.array([], pa.int64()),
+                "doc_len": pa.array([], pa.int64()),
+            }
+        )
+        if not toks:
+            return empty
+        row_of = np.repeat(np.arange(len(texts), dtype=np.int64), counts)
+        tarr = np.asarray(toks, dtype=object)
+        uterm, tcode = np.unique(tarr, return_inverse=True)
+        key = row_of * len(uterm) + tcode
+        ukey, tf = np.unique(key, return_counts=True)
+        r, c = ukey // len(uterm), ukey % len(uterm)
+        # batch-local df partial: #docs in this batch containing each term
+        dterm, dcnt = np.unique(c, return_counts=True)
+        term_col = np.concatenate([uterm[c], uterm[dterm]])
+        return pa.table(
+            {
+                "b": (hash64(term_col) % np.uint64(num_buckets)).astype(np.int32),
+                "side": np.concatenate(
+                    [np.zeros(len(r), np.int8), np.ones(len(dterm), np.int8)]
+                ),
+                "doc_id": np.concatenate([doc_ids[r], np.full(len(dterm), -1)]),
+                "term": term_col,
+                "tf": np.concatenate([tf.astype(np.int64), dcnt.astype(np.int64)]),
+                "doc_len": np.concatenate(
+                    [counts[r], np.zeros(len(dterm), np.int64)]
+                ),
+            }
+        )
+
+    def _score_precut(g: pa.Table) -> pa.Table:
+        side = g["side"].to_numpy()
+        term = g["term"].to_numpy(zero_copy_only=False)
+        tfv = g["tf"].to_numpy()
+        uterm, code = np.unique(term, return_inverse=True)
+        df = np.bincount(
+            code[side == 1], weights=tfv[side == 1], minlength=len(uterm)
+        )
+        tf_rows = side == 0
+        if not tf_rows.any():
+            return pa.table(
+                {
+                    "db": pa.array([], pa.int32()),
+                    "doc_id": pa.array([], pa.int64()),
+                    "term": pa.array([], pa.string()),
+                    "salience": pa.array([], pa.float64()),
+                }
+            )
+        doc = g["doc_id"].to_numpy()[tf_rows]
+        dl = g["doc_len"].to_numpy()[tf_rows]
+        tf = tfv[tf_rows]
+        tcode = code[tf_rows]
+        sal = (tf.astype(np.float64) / dl.astype(np.float64)) / (
+            df[tcode] / N
+        )
+        # pre-cut: top-k per doc within this term-bucket (tie → term asc,
+        # term codes sort lexicographically because np.unique is sorted)
+        order = np.lexsort((tcode, -sal, doc))
+        doc_s = doc[order]
+        first = np.concatenate([[True], doc_s[1:] != doc_s[:-1]])
+        seg = np.arange(len(doc_s)) - np.maximum.accumulate(
+            np.where(first, np.arange(len(doc_s)), 0)
+        )
+        keep = order[seg < k]
+        return pa.table(
+            {
+                "db": (doc[keep] % num_buckets).astype(np.int32),
+                "doc_id": doc[keep],
+                "term": uterm[tcode[keep]],
+                "salience": sal[keep],
+            }
+        )
+
+    def _final_topk(g: pa.Table) -> pa.Table:
+        doc = g["doc_id"].to_numpy()
+        sal = g["salience"].to_numpy()
+        term = g["term"].to_numpy(zero_copy_only=False)
+        uterm, tcode = np.unique(term, return_inverse=True)
+        order = np.lexsort((tcode, -sal, doc))
+        doc_s = doc[order]
+        first = np.concatenate([[True], doc_s[1:] != doc_s[:-1]])
+        seg = np.arange(len(doc_s)) - np.maximum.accumulate(
+            np.where(first, np.arange(len(doc_s)), 0)
+        )
+        keep = seg < k
+        return pa.table(
+            {
+                "doc_id": doc_s[keep],
+                "term": uterm[tcode[order][keep]],
+                "rank": (seg[keep] + 1).astype(np.int64),
+                "salience": sal[order][keep],
+            }
+        )
+
+    return (
+        docs_ds.map_batches(_tf_partial, batch_format="pyarrow")
+        .groupby("b")
+        .map_groups(_score_precut, batch_format="pyarrow")
+        .groupby("db")
+        .map_groups(_final_topk, batch_format="pyarrow")
     )
 
 

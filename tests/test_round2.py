@@ -900,3 +900,64 @@ def test_hits_checkpoint_resume_final_step(ray_session, tmp_path):
     np.testing.assert_allclose(
         got["hub"].to_numpy(), want["hub"].to_numpy(), atol=1e-12, rtol=0
     )
+
+
+def test_salient_terms_vs_brute_force_and_partition_invariant(ray_session):
+    """TF-IDF-style top-k: hand-computed salience on a crafted corpus with a
+    salience TIE (broken by term asc), identical at 1 vs 13 partitions."""
+    import ray.data as rd
+
+    from subgraph_isomorphism_pregel_ray.pipelines.textops import salient_terms
+
+    texts = [
+        "apple banana apple cherry",          # tf(apple)=2/4, unique-ish terms
+        "banana banana banana date",          # heavy banana
+        "cherry date elder fig",              # all singleton tf=1/4 → tie
+        "apple fig fig fig",
+        "",                                   # empty doc → no rows
+    ]
+    t = pa.table({"doc_id": pa.array(range(5), pa.int64()), "text": texts})
+    N = 5
+
+    # brute-force oracle
+    import collections
+
+    docs = [[w for w in s.lower().split(" ") if w] for s in texts]
+    df = collections.Counter(w for d in docs for w in set(d))
+    exp = {}
+    for i, d in enumerate(docs):
+        if not d:
+            continue
+        tf = collections.Counter(d)
+        scored = sorted(
+            ((-(c / len(d)) / (df[w] / N), w) for w, c in tf.items())
+        )[:3]
+        exp[i] = [(w, r + 1, -s) for r, (s, w) in enumerate(scored)]
+
+    outs = []
+    for parts in (1, 13):
+        ds = rd.from_arrow(t)
+        if parts > 1:
+            ds = ds.repartition(parts)
+        out = (
+            salient_terms(ds, n_docs=N, k=3, num_buckets=4)
+            .to_pandas()
+            .sort_values(["doc_id", "rank"])
+            .reset_index(drop=True)
+        )
+        outs.append(out)
+        got = {
+            int(d): list(zip(g["term"], g["rank"], g["salience"]))
+            for d, g in out.groupby("doc_id")
+        }
+        assert set(got) == set(exp)
+        for i in exp:
+            assert [(w, r) for w, r, _ in got[i]] == [(w, r) for w, r, _ in exp[i]], i
+            for (gw, gr, gs), (ew, er, es) in zip(got[i], exp[i]):
+                assert gs == es  # bit-exact: division-only scoring
+    assert outs[0].equals(outs[1])
+    # doc 2: elder (df=1) outranks the cherry/date tie (tf=1/4, df=2 both),
+    # and the tie is broken alphabetically
+    d2 = [w for w, _, _ in exp[2]]
+    assert d2 == ["elder", "cherry", "date"]
+    assert exp[2][1][2] == exp[2][2][2]  # equal salience → term-asc order
