@@ -14,6 +14,8 @@ Stages timed:
                hive layout on disk
   pagerank     10 supersteps, actor engine
   cc / lpa / triangles / match_*   same engine (actors + CSR reused)
+  exact_dedup / minhash_pairs / salient_terms / hll_registers /
+  events_range_join   training-data ops over the sf documents/events
 """
 
 from __future__ import annotations
@@ -214,7 +216,6 @@ def run_bench() -> dict:
     t0 = time.perf_counter()
     n_pairs = minhash_lsh_pairs(docs, threshold=0.5).count()
     q["minhash_pairs"] = time.perf_counter() - t0
-    q["minhash_pairs_found"] = n_pairs
     t0 = time.perf_counter()
     salient_terms(docs, n_docs=n_docs, k=3).count()
     q["salient_terms"] = time.perf_counter() - t0
@@ -232,16 +233,15 @@ def run_bench() -> dict:
     step_sec = q["pagerank"] + q["cc"]
     timing = {k: round(v, 3) for k, v in q.items()}
     return {
-        "metric": "headline link-graph pipeline (extract + build + PR/CC/LPA/tri/match) wall time",
+        "metric": (
+            "headline pipeline (extract + build + PR/CC/LPA/tri/match + "
+            "dedup/sketch/keyword/range-join training-data ops) wall time"
+        ),
         "value": round(
             sum(
                 v
                 for k, v in q.items()
-                if not (
-                    k.endswith("_embeddings")
-                    or k.endswith("_peak_bytes")
-                    or k.endswith("_found")
-                )
+                if not (k.endswith("_embeddings") or k.endswith("_peak_bytes"))
             ),
             3,
         ),
@@ -256,6 +256,7 @@ def run_bench() -> dict:
         "supersteps_per_sec": round(total_steps / step_sec, 3),
         "pagerank_edges_per_sec": round(n_edges * PR_ITERS / q["pagerank"]),
         "triangles": int(tri),
+        "minhash_pairs_found": int(n_pairs),
         "minhash_docs_per_sec": round(n_docs / q["minhash_pairs"]),
         "range_join_events_per_sec": round(n_events_rows / q["events_range_join"]),
     }

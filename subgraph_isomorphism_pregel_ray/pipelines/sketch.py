@@ -61,6 +61,9 @@ def _bit_length_u64(x: np.ndarray) -> np.ndarray:
 
 def _hll_fold(day: np.ndarray, h: np.ndarray):
     """(day, bucket, rho) partials folded to max-per-(day, bucket)."""
+    if len(h) == 0:
+        z = np.array([], dtype=np.int64)
+        return z, z, z
     bucket = (h >> _LOW_BITS).astype(np.int64)
     low = h & _LOW_MASK
     rho = (int(_LOW_BITS) + 1 - _bit_length_u64(low)).astype(np.int64)

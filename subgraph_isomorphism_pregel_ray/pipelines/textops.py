@@ -197,14 +197,19 @@ def fingerprint_batch(batch: pa.Table, k: int = 8) -> pa.Table:
 
 
 def simhash_batch(batch: pa.Table) -> pa.Table:
-    """64-bit SimHash over whitespace tokens; token hash = ``md5_lower64``
+    """64-bit SimHash over space-split tokens; token hash = ``md5_lower64``
     ≡ DuckDB ``md5_number_lower`` so the bit-vote fold is SQL-reproducible.
-    Distinct tokens are hashed once and their votes weighted by count."""
+    Distinct tokens are hashed once and their votes weighted by count.
+
+    Tokenizer = ``split(' ')`` dropping empties — the exact counterpart of
+    the oracle's ``list_filter(string_split(text, ' '), x -> x <> '')``
+    (NOT ``str.split()``: any-whitespace splitting would silently diverge
+    from the SQL on tabs/newlines)."""
     texts = batch["text"].to_pylist()
     out = np.empty(len(texts), dtype=np.uint64)
     bits = np.arange(64, dtype=np.uint64)
     for i, t in enumerate(texts):
-        toks = _tokens(t)
+        toks = [x for x in t.split(" ") if x]
         if not toks:
             out[i] = 0
             continue
@@ -278,6 +283,17 @@ def salient_terms(docs_ds, n_docs: int, k: int = 3, num_buckets: int = 32):
 
     N = float(n_docs)
 
+    def _rank_within_doc(doc, sal, tcode):
+        """(salience desc, term asc) order + 0-based rank within each doc.
+        Term codes sort lexicographically because ``np.unique`` is sorted."""
+        order = np.lexsort((tcode, -sal, doc))
+        doc_s = doc[order]
+        first = np.concatenate([[True], doc_s[1:] != doc_s[:-1]])
+        seg = np.arange(len(doc_s)) - np.maximum.accumulate(
+            np.where(first, np.arange(len(doc_s)), 0)
+        )
+        return order, seg
+
     def _tf_partial(batch: pa.Table) -> pa.Table:
         texts = batch["text"].to_pylist()
         doc_ids = batch["doc_id"].to_numpy()
@@ -348,14 +364,8 @@ def salient_terms(docs_ds, n_docs: int, k: int = 3, num_buckets: int = 32):
         sal = (tf.astype(np.float64) / dl.astype(np.float64)) / (
             df[tcode] / N
         )
-        # pre-cut: top-k per doc within this term-bucket (tie → term asc,
-        # term codes sort lexicographically because np.unique is sorted)
-        order = np.lexsort((tcode, -sal, doc))
-        doc_s = doc[order]
-        first = np.concatenate([[True], doc_s[1:] != doc_s[:-1]])
-        seg = np.arange(len(doc_s)) - np.maximum.accumulate(
-            np.where(first, np.arange(len(doc_s)), 0)
-        )
+        # pre-cut: top-k per doc within this term-bucket
+        order, seg = _rank_within_doc(doc, sal, tcode)
         keep = order[seg < k]
         return pa.table(
             {
@@ -371,16 +381,11 @@ def salient_terms(docs_ds, n_docs: int, k: int = 3, num_buckets: int = 32):
         sal = g["salience"].to_numpy()
         term = g["term"].to_numpy(zero_copy_only=False)
         uterm, tcode = np.unique(term, return_inverse=True)
-        order = np.lexsort((tcode, -sal, doc))
-        doc_s = doc[order]
-        first = np.concatenate([[True], doc_s[1:] != doc_s[:-1]])
-        seg = np.arange(len(doc_s)) - np.maximum.accumulate(
-            np.where(first, np.arange(len(doc_s)), 0)
-        )
+        order, seg = _rank_within_doc(doc, sal, tcode)
         keep = seg < k
         return pa.table(
             {
-                "doc_id": doc_s[keep],
+                "doc_id": doc[order][keep],
                 "term": uterm[tcode[order][keep]],
                 "rank": (seg[keep] + 1).astype(np.int64),
                 "salience": sal[order][keep],

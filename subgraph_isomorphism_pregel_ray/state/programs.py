@@ -240,18 +240,24 @@ class PersonalizedPageRankProgram(PageRankProgram):
 
 
 # --------------------------------------------------------------------------
-class ConnectedComponentsProgram(VertexProgram):
-    """Hash-min connected components over a symmetrized edge table.
+class _MinPropagationProgram(VertexProgram):
+    """Shared frontier-based min-value propagation: hash-min CC and
+    multi-source BFS are the same machine — only the initial values and the
+    per-hop increment differ. Only vertices whose value improved last step
+    scatter; messages are group-min pre-aggregated per destination
+    partition; the run converges when nothing improves (active == 0 and
+    sent == 0)."""
 
-    component(v) = min vid reachable from v; frontier-based: only vertices
-    whose component label changed last step scatter (so total work is
-    O(E · diameter-ish) but per-step volume shrinks geometrically).
-    """
+    VAL_COL = "val"  # state/checkpoint column name
+    STEP_DELTA = np.int64(0)  # added to scattered values (1 for hop counts)
 
-    def init(self, csr: CSRPartition):
+    def _init_values(self, csr: CSRPartition, **params):
+        """→ (initial int64 values, initial frontier mask)."""
+        raise NotImplementedError
+
+    def init(self, csr: CSRPartition, **params):
         self.csr = csr
-        self.comp = csr.vids.copy()
-        self.changed = np.ones(csr.num_vertices, dtype=bool)
+        self.val, self.changed = self._init_values(csr, **params)
 
     def apply(self, step, inbox, glob):
         if step == 0:
@@ -261,9 +267,9 @@ class ConnectedComponentsProgram(VertexProgram):
             if msg is None or len(msg["dst"]) == 0:
                 continue
             li = self.csr.local_index(msg["dst"])
-            better = msg["min"] < self.comp[li]
+            better = msg["min"] < self.val[li]
             if better.any():
-                np.minimum.at(self.comp, li, msg["min"])
+                np.minimum.at(self.val, li, msg["min"])
                 new_changed[li[better]] = True
         self.changed = new_changed
         return {"active": int(new_changed.sum())}
@@ -272,74 +278,8 @@ class ConnectedComponentsProgram(VertexProgram):
         P = self.csr.num_parts
         dix = self.csr.dst_index()
         edge_sel = self.changed[dix.src_row][dix.order]
-        edge_val = self.comp[dix.src_row][dix.order]
-        sorted_dst = self.csr.indices[dix.order]
-        outbox, sent = [], 0
-        for p in range(P):
-            s, e = dix.slices[p]
-            sel = edge_sel[s:e]
-            if not sel.any():
-                outbox.append(None)
-                continue
-            dsts, mins = _group_min(sorted_dst[s:e][sel], edge_val[s:e][sel])
-            outbox.append({"dst": dsts, "min": mins})
-            sent += len(dsts)
-        return outbox, {"sent": sent}
-
-    def state_table(self):
-        return pa.table({"vid": self.csr.vids, "comp": self.comp, "changed": self.changed})
-
-    def load_state(self, table, step):
-        self.comp = table["comp"].to_numpy().copy()
-        self.changed = table["changed"].to_numpy().copy()
-
-    def result_table(self):
-        return pa.table({"vid": self.csr.vids, "component": self.comp})
-
-
-# --------------------------------------------------------------------------
-_DIST_INF = np.int64(np.iinfo(np.int64).max)
-
-
-class SSSPProgram(VertexProgram):
-    """Multi-source BFS / unit-weight SSSP — THE canonical Pregel workload
-    (Malewicz et al. 2010 §5.2 uses it as the running example; the
-    reference's vertex-compute loop shape, src/basic/Vertex.h).
-
-    dist(v) = hops to the nearest seed (vid % seed_mod == 0), -1 if
-    unreachable. Frontier-based exactly like hash-min CC: only vertices
-    whose distance improved last step scatter dist+1 to their neighbors,
-    messages are group-min pre-aggregated per destination partition, and
-    the run converges when no distance improves (active == 0, sent == 0).
-    """
-
-    def init(self, csr: CSRPartition, seed_mod=101):
-        self.csr = csr
-        self.dist = np.full(csr.num_vertices, _DIST_INF, dtype=np.int64)
-        seeds = (csr.vids % int(seed_mod)) == 0
-        self.dist[seeds] = 0
-        self.changed = seeds.copy()
-
-    def apply(self, step, inbox, glob):
-        if step == 0:
-            return {"active": int(self.changed.sum())}
-        new_changed = np.zeros(self.csr.num_vertices, dtype=bool)
-        for msg in inbox:
-            if msg is None or len(msg["dst"]) == 0:
-                continue
-            li = self.csr.local_index(msg["dst"])
-            better = msg["min"] < self.dist[li]
-            if better.any():
-                np.minimum.at(self.dist, li, msg["min"])
-                new_changed[li[better]] = True
-        self.changed = new_changed
-        return {"active": int(new_changed.sum())}
-
-    def scatter(self, step):
-        P = self.csr.num_parts
-        dix = self.csr.dst_index()
-        edge_sel = self.changed[dix.src_row][dix.order]
-        edge_val = self.dist[dix.src_row][dix.order] + 1  # INF never scatters
+        # +DELTA may wrap on INF sentinels — harmless, INF rows never scatter
+        edge_val = self.val[dix.src_row][dix.order] + self.STEP_DELTA
         sorted_dst = self.csr.indices[dix.order]
         outbox, sent = [], 0
         for p in range(P):
@@ -355,15 +295,56 @@ class SSSPProgram(VertexProgram):
 
     def state_table(self):
         return pa.table(
-            {"vid": self.csr.vids, "dist": self.dist, "changed": self.changed}
+            {"vid": self.csr.vids, self.VAL_COL: self.val, "changed": self.changed}
         )
 
     def load_state(self, table, step):
-        self.dist = table["dist"].to_numpy().copy()
+        self.val = table[self.VAL_COL].to_numpy().copy()
         self.changed = table["changed"].to_numpy().copy()
 
+
+class ConnectedComponentsProgram(_MinPropagationProgram):
+    """Hash-min connected components over a symmetrized edge table.
+
+    component(v) = min vid reachable from v; frontier-based: only vertices
+    whose component label changed last step scatter (so total work is
+    O(E · diameter-ish) but per-step volume shrinks geometrically).
+    """
+
+    VAL_COL = "comp"
+
+    def _init_values(self, csr: CSRPartition):
+        return csr.vids.copy(), np.ones(csr.num_vertices, dtype=bool)
+
     def result_table(self):
-        out = np.where(self.dist == _DIST_INF, np.int64(-1), self.dist)
+        return pa.table({"vid": self.csr.vids, "component": self.val})
+
+
+# --------------------------------------------------------------------------
+_DIST_INF = np.int64(np.iinfo(np.int64).max)
+
+
+class SSSPProgram(_MinPropagationProgram):
+    """Multi-source BFS / unit-weight SSSP — THE canonical Pregel workload
+    (Malewicz et al. 2010 §5.2 uses it as the running example; the
+    reference's vertex-compute loop shape, src/basic/Vertex.h).
+
+    dist(v) = hops to the nearest seed (vid % seed_mod == 0), -1 if
+    unreachable. Exactly the CC machine with dist values and a +1 hop
+    increment (``_MinPropagationProgram``).
+    """
+
+    VAL_COL = "dist"
+    STEP_DELTA = np.int64(1)
+
+    def _init_values(self, csr: CSRPartition, seed_mod=101):
+        dist = np.full(csr.num_vertices, _DIST_INF, dtype=np.int64)
+        seeds = (csr.vids % int(seed_mod)) == 0
+        dist[seeds] = 0
+        return dist, seeds
+
+    def result_table(self):
+        out = np.where(self.val == _DIST_INF, np.int64(-1), self.val)
         return pa.table({"vid": self.csr.vids, "dist": out})
 
 

@@ -151,14 +151,16 @@ def test_sssp_vs_bfs_oracle(trial):
     including unreachable components (dist = -1)."""
     from collections import deque
 
-    # sparse graph + an isolated far cluster with no seed in it
+    # sparse graph + an isolated far cluster with PROVABLY no seed in it:
+    # every iso vid ≡ 3 (mod seed_mod), so its component must come out -1
     rng = np.random.default_rng(40 + trial)
     n = [60, 150, 90][trial]
+    seed_mod = 7
     s, d = random_graph(40 + trial, n, density=1)
-    iso = np.arange(n + 1000, n + 1010)  # no vid % seed_mod == 0 in here
+    iso = (n + 1050) // seed_mod * seed_mod + seed_mod * np.arange(10) + 3
+    assert not (iso % seed_mod == 0).any()
     s = np.concatenate([s, iso[:-1]])
     d = np.concatenate([d, iso[1:]])
-    seed_mod = 7
     adj = adjacency(s, d)
     seeds = [v for v in adj if v % seed_mod == 0]
     dist = {v: 0 for v in seeds}
@@ -174,6 +176,7 @@ def test_sssp_vs_bfs_oracle(trial):
     eng.run("sssp", {"seed_mod": seed_mod}, max_steps=200)
     res = eng.result().to_pandas()
     assert len(res) == len(adj)
+    assert (res["dist"].to_numpy() == -1).sum() >= len(iso)  # unreached path hit
     for r in res.itertuples():
         assert dist.get(int(r.vid), -1) == int(r.dist), r.vid
 
