@@ -539,6 +539,15 @@ def _q_salient_terms(sf_dir: str):
     return salient_terms(docs, n_docs=docs.count(), k=3)
 
 
+SEARCH_TERMS = ("hash", "join", "stream")
+
+
+def _q_search_topk(sf_dir: str):
+    from subgraph_isomorphism_pregel_ray.pipelines.textops import search_topk
+
+    return search_topk(_docs(sf_dir), SEARCH_TERMS, k=10)
+
+
 def _q_events_range_join(sf_dir: str):
     from subgraph_isomorphism_pregel_ray.pipelines.relational import events_range_join
 
@@ -610,6 +619,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": _q_media_features,
         "events_range_join": _q_events_range_join,
         "salient_terms": _q_salient_terms,
+        "search_topk": _q_search_topk,
         "hll_registers_daily": _q_hll_registers,
         "approx_distinct_users_daily": _q_approx_distinct,
     }
@@ -1340,6 +1350,26 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, term, CAST(rank AS BIGINT) AS rank, salience FROM ("
             "SELECT *, row_number() OVER (PARTITION BY doc_id "
             "ORDER BY salience DESC, term) AS rank FROM s) WHERE rank <= 3"
+        ),
+        "search_topk": (
+            # MaxSim-style inverted-index search (textops.search_topk): max
+            # and count are order-free, saliences division-only → bit-exact;
+            # doc_id tie-break makes the k-cut total
+            "WITH toks AS MATERIALIZED (SELECT doc_id, "
+            "unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) "
+            "AS term FROM documents), "
+            "tf AS (SELECT doc_id, term, count(*) AS tf FROM toks "
+            f"WHERE term IN {SEARCH_TERMS!r} GROUP BY 1, 2), "
+            "dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1), "
+            "df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1), "
+            "nn AS (SELECT count(*) AS n FROM documents), "
+            "s AS (SELECT tf.doc_id, "
+            "(CAST(tf.tf AS DOUBLE) / CAST(dl.dl AS DOUBLE)) / "
+            "(CAST(df.df AS DOUBLE) / CAST(nn.n AS DOUBLE)) AS sal "
+            "FROM tf JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN nn) "
+            "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matched, "
+            "max(sal) AS max_salience FROM s GROUP BY doc_id "
+            "ORDER BY n_matched DESC, max_salience DESC, doc_id LIMIT 10"
         ),
         "events_range_join": (
             # pure time-range join, exact int-cents sums (relational.py

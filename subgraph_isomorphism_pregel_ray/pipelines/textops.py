@@ -42,6 +42,7 @@ __all__ = [
     "simhash64",
     "vocab_topk",
     "salient_terms",
+    "search_topk",
     "stratified_sample",
 ]
 
@@ -399,6 +400,106 @@ def salient_terms(docs_ds, n_docs: int, k: int = 3, num_buckets: int = 32):
         .groupby("db")
         .map_groups(_final_topk, batch_format="pyarrow")
     )
+
+
+def search_topk(docs_ds, terms, k: int = 10):
+    """Inverted-index text search: rank documents against a bag of query
+    terms → top-k (doc_id, n_matched, max_salience).
+
+    Scoring is MaxSim-shaped (à la ColBERT late interaction): a document
+    is ranked by (number of distinct query terms it contains DESC, max
+    per-term salience DESC, doc_id ASC) where salience is the same
+    division-only (tf/doc_len)/(df/N) as ``salient_terms``. Both max and
+    count are summation-order-free, so the result is BIT-identical to the
+    SQL oracle — no float-epsilon at the top-k boundary, and doc_id makes
+    the cut total.
+
+    Scale shape: one tokenize pass keeps only query-term rows (≤ |Q| per
+    doc — a ~10³× reduction from the token stream), which are
+    ``materialize()``d ONCE (legitimately: this is the reduced
+    intermediate, reused for df and scoring without re-reading the
+    corpus). df (≤ |Q| rows) is folded to the driver and broadcast into
+    the scoring map; a per-doc groupby then a k-cut sort finish. No
+    per-term ``map_groups`` — a common term's inverted list never lands
+    on one worker.
+    """
+    from ray.data.aggregate import Count, Max
+
+    qterms = np.array(sorted({t.lower() for t in terms}), dtype=object)
+    N_ds = docs_ds
+
+    def _match(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        doc_ids = batch["doc_id"].to_numpy()
+        out_doc, out_term, out_tf, out_dl = [], [], [], []
+        for i, t in enumerate(texts):
+            tt = [x for x in t.lower().split(" ") if x]
+            if not tt:
+                continue
+            uniq, cnt = np.unique(np.asarray(tt, dtype=object), return_counts=True)
+            pos = np.searchsorted(uniq, qterms)
+            pos_c = np.minimum(pos, len(uniq) - 1)
+            hit = uniq[pos_c] == qterms
+            if not hit.any():
+                continue
+            nh = int(hit.sum())
+            out_doc.append(np.full(nh, doc_ids[i]))
+            out_term.append(qterms[hit])
+            out_tf.append(cnt[pos_c[hit]])
+            out_dl.append(np.full(nh, len(tt)))
+        if not out_doc:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "term": pa.array([], pa.string()),
+                    "tf": pa.array([], pa.int64()),
+                    "doc_len": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "doc_id": np.concatenate(out_doc),
+                "term": np.concatenate(out_term),
+                "tf": np.concatenate(out_tf).astype(np.int64),
+                "doc_len": np.concatenate(out_dl).astype(np.int64),
+            }
+        )
+
+    n_docs = float(N_ds.count())
+    tf_rows = docs_ds.map_batches(_match, batch_format="pyarrow").materialize()
+    df_tbl = tf_rows.groupby("term").count().to_pandas()  # ≤ |Q| rows
+    df_map = dict(zip(df_tbl["term"], df_tbl["count()"].astype(np.int64)))
+    df_vec = np.array([df_map.get(t, 0) for t in qterms], dtype=np.int64)
+
+    def _score(batch: pa.Table) -> pa.Table:
+        term = batch["term"].to_numpy(zero_copy_only=False)
+        qi = np.searchsorted(qterms, term)
+        tf = batch["tf"].to_numpy().astype(np.float64)
+        dl = batch["doc_len"].to_numpy().astype(np.float64)
+        sal = (tf / dl) / (df_vec[qi] / n_docs)
+        return pa.table({"doc_id": batch["doc_id"], "salience": sal})
+
+    out = (
+        tf_rows.map_batches(_score, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(
+            Count(alias_name="n_matched"),
+            Max("salience", alias_name="max_salience"),
+        )
+        .sort(["n_matched", "max_salience", "doc_id"], descending=[True, True, False])
+        .limit(k)
+    )
+
+    def _cast(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_matched": t["n_matched"].to_numpy().astype(np.int64),
+                "max_salience": t["max_salience"],
+            }
+        )
+
+    return out.map_batches(_cast, batch_format="pyarrow")
 
 
 def _stage(fn):

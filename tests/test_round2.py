@@ -961,3 +961,46 @@ def test_salient_terms_vs_brute_force_and_partition_invariant(ray_session):
     d2 = [w for w, _, _ in exp[2]]
     assert d2 == ["elder", "cherry", "date"]
     assert exp[2][1][2] == exp[2][2][2]  # equal salience → term-asc order
+
+
+def test_search_topk_vs_brute_force(ray_session):
+    """MaxSim search ranking vs a hand-rolled scorer; query includes a term
+    absent from the corpus and the corpus includes an empty doc."""
+    import ray.data as rd
+
+    from subgraph_isomorphism_pregel_ray.pipelines.textops import search_topk
+
+    texts = [
+        "hash join hash hash",      # tf(hash)=3/4
+        "join stream join merge",   # two query terms
+        "scan filter merge sort",   # no query term
+        "stream",                   # tf(stream)=1/1 → huge salience
+        "",
+    ]
+    t = pa.table({"doc_id": pa.array(range(5), pa.int64()), "text": texts})
+    got = (
+        search_topk(rd.from_arrow(t), ("hash", "stream", "join", "zzz_absent"), k=3)
+        .to_pandas()
+        .sort_values(["n_matched", "max_salience"], ascending=[False, False])
+        .reset_index(drop=True)
+    )
+    # brute force
+    N = 5
+    docs = [[w for w in s.lower().split(" ") if w] for s in texts]
+    q = {"hash", "stream", "join", "zzz_absent"}
+    import collections
+
+    df = collections.Counter(w for d in docs for w in set(d) if w in q)
+    scores = {}
+    for i, d in enumerate(docs):
+        tf = collections.Counter(w for w in d if w in q)
+        if not tf:
+            continue
+        scores[i] = (
+            len(tf),
+            max((c / len(d)) / (df[w] / N) for w, c in tf.items()),
+        )
+    exp = sorted(scores.items(), key=lambda kv: (-kv[1][0], -kv[1][1], kv[0]))[:3]
+    assert got["doc_id"].tolist() == [i for i, _ in exp]
+    assert got["n_matched"].tolist() == [s[0] for _, s in exp]
+    assert got["max_salience"].tolist() == [s[1] for _, s in exp]  # bit-exact
