@@ -112,6 +112,18 @@ def _q_sssp(sf_dir: str):
     )
 
 
+def _q_mis(sf_dir: str):
+    from subgraph_isomorphism_pregel_ray.pipelines.algorithms import mis
+
+    res, _ = mis(_sym_copurchase(sf_dir), num_parts=4)
+    return pa.table(
+        {
+            "vid": res["vid"].to_numpy().view(np.int64),
+            "in_mis": res["in_mis"],
+        }
+    )
+
+
 def _q_triangles(sf_dir: str):
     from subgraph_isomorphism_pregel_ray.pipelines.algorithms import triangle_count
 
@@ -575,6 +587,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_copurchase": _q_pagerank,
         "cc_copurchase": _q_cc,
         "sssp_copurchase": _q_sssp,
+        "mis_copurchase": _q_mis,
         "triangle_count_copurchase": _q_triangles,
         "clustering_coeff_copurchase": _q_clustering,
         "assortativity_copurchase": _q_assortativity,
@@ -803,6 +816,43 @@ def _sssp_sql(iters: int = 6, seed_mod: int = 101) -> str:
         ", ".join(parts)
         + f" SELECT v.vid, CAST(coalesce(d.d, -1) AS BIGINT) AS dist "
         f"FROM v LEFT JOIN d{iters} d ON d.vid = v.vid"
+    )
+
+
+def _mis_sql(rounds: int = 8) -> str:
+    """Unrolled deterministic Luby MIS (programs.MaximalIndependentSetProgram):
+    per round, active vertices whose priority is a strict local minimum among
+    active neighbors join the MIS and deactivate their neighborhood.
+    priority = high 32 bits of md5_number_lower(vid) | vid — unique by
+    construction, bit-equal to the engine's md5_lower64 priorities. The
+    sf0.001/sf0.01 co-purchase graphs converge in ≤ 4 rounds; 8 is the
+    safety margin (empty-frontier rounds are identity)."""
+    parts = [
+        f"WITH {_ESYM_MAT}",
+        "v AS MATERIALIZED (SELECT DISTINCT src AS vid FROM e)",
+        "pt AS MATERIALIZED (SELECT vid, "
+        "(md5_number_lower(CAST(vid AS VARCHAR)) // 4294967296) * 4294967296 "
+        "+ CAST(vid AS UBIGINT) AS p FROM v)",
+        "a0 AS MATERIALIZED (SELECT vid FROM v)",
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"s{i} AS MATERIALIZED (SELECT x.vid FROM a{i-1} x "
+            "JOIN pt px ON px.vid = x.vid WHERE NOT EXISTS ("
+            f"SELECT 1 FROM e JOIN a{i-1} w ON w.vid = e.dst "
+            "JOIN pt pw ON pw.vid = w.vid "
+            "WHERE e.src = x.vid AND pw.p < px.p))"
+        )
+        parts.append(
+            f"a{i} AS MATERIALIZED (SELECT vid FROM a{i-1} "
+            f"WHERE vid NOT IN (SELECT vid FROM s{i}) "
+            f"AND vid NOT IN (SELECT e.dst FROM e JOIN s{i} s ON e.src = s.vid))"
+        )
+    mis_union = " UNION ALL ".join(f"SELECT vid FROM s{i}" for i in range(1, rounds + 1))
+    return (
+        ", ".join(parts)
+        + f", m AS (SELECT vid FROM ({mis_union})) "
+        "SELECT v.vid, v.vid IN (SELECT vid FROM m) AS in_mis FROM v"
     )
 
 
@@ -1041,6 +1091,7 @@ def oracle_sql() -> dict[str, str]:
         "random_walks_copurchase": _walk_sql(4),
         "cc_copurchase": _cc_sql(),
         "sssp_copurchase": _sssp_sql(),
+        "mis_copurchase": _mis_sql(),
         "triangle_count_copurchase": (
             f"WITH {_EU} SELECT count(*) AS n_triangles FROM eu e1 "
             "JOIN eu e2 ON e2.src = e1.dst "

@@ -4,7 +4,7 @@
 
     python -m subgraph_isomorphism_pregel_ray match -d graphs/toy.txt -q graphs/query.txt
     python -m subgraph_isomorphism_pregel_ray pagerank -d edges.parquet -out /tmp/pr --iters 20
-    python -m subgraph_isomorphism_pregel_ray cc|sssp|lpa|triangles|kcore|ppr|walk|hits|assortativity -d <edges> [-out DIR]
+    python -m subgraph_isomorphism_pregel_ray cc|sssp|mis|lpa|triangles|kcore|ppr|walk|hits|assortativity -d <edges> [-out DIR]
     python -m subgraph_isomorphism_pregel_ray extract --pages <pages parquet> -out <edges dir>
 
 ``-d`` accepts the reference's text graph format (*.txt) or a parquet edge
@@ -65,7 +65,7 @@ def main(argv=None):
         p.add_argument("--checkpoint-every", type=int, default=0)
         p.add_argument("--resume", action="store_true")
 
-    for name in ("pagerank", "cc", "sssp", "lpa", "triangles", "kcore",
+    for name in ("pagerank", "cc", "sssp", "mis", "lpa", "triangles", "kcore",
                  "ppr", "walk", "hits", "assortativity"):
         p = sub.add_parser(name)
         common(p)
@@ -162,6 +162,7 @@ def main(argv=None):
         ),
         "cc": lambda: ("cc", {}, 300, False),
         "sssp": lambda: ("sssp", {"seed_mod": args.seed_mod}, 300, False),
+        "mis": lambda: ("mis", {}, 300, False),
         "lpa": lambda: ("lpa", {"iters": iters}, iters + 2, False),
         "kcore": lambda: ("kcore", {}, 300, False),
         "triangles": lambda: ("triangles", {}, 4, False),

@@ -33,6 +33,7 @@ __all__ = [
     "pagerank",
     "connected_components",
     "sssp",
+    "mis",
     "label_propagation",
     "triangle_count",
     "kcore",
@@ -123,6 +124,20 @@ def sssp(edges_or_engine, seed_mod: int = 101, num_parts: int = 8,
         edges_or_engine, "sssp", {"seed_mod": seed_mod}, num_parts, max_steps,
         directed=False, checkpoint_dir=checkpoint_dir,
         checkpoint_every=checkpoint_every, resume=resume,
+    )
+    out = eng.result_table()
+    if own:
+        eng.shutdown()
+    return out, lineage
+
+
+def mis(edges_or_engine, num_parts: int = 8, max_steps: int = 200,
+        checkpoint_dir=None, checkpoint_every=0, resume=False):
+    """Deterministic Luby maximal independent set → (vid, in_mis)."""
+    eng, lineage, own = _run(
+        edges_or_engine, "mis", {}, num_parts, max_steps, directed=False,
+        checkpoint_dir=checkpoint_dir, checkpoint_every=checkpoint_every,
+        resume=resume,
     )
     out = eng.result_table()
     if own:

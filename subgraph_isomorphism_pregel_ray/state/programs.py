@@ -40,6 +40,7 @@ __all__ = [
     "PageRankProgram",
     "ConnectedComponentsProgram",
     "SSSPProgram",
+    "MaximalIndependentSetProgram",
     "LabelPropagationProgram",
     "TriangleCountProgram",
     "MatchProgram",
@@ -346,6 +347,111 @@ class SSSPProgram(_MinPropagationProgram):
     def result_table(self):
         out = np.where(self.val == _DIST_INF, np.int64(-1), self.val)
         return pa.table({"vid": self.csr.vids, "dist": out})
+
+
+# --------------------------------------------------------------------------
+class MaximalIndependentSetProgram(VertexProgram):
+    """Luby-style maximal independent set with DETERMINISTIC hash
+    priorities (Luby 1986 made reproducible): v joins the MIS when its
+    priority is a strict local minimum among still-active neighbors; its
+    neighbors then drop out. Two supersteps per round (select, then
+    announce), frontier shrinks geometrically, O(log n) rounds expected.
+
+    priority(v) = high 32 bits of md5_lower64(str(v)) | v — pseudo-random
+    by the hash, COLLISION-FREE by construction (vid < 2³² rides in the
+    low bits), and bit-reproducible in SQL via ``md5_number_lower``.
+    Messages: even steps send group-min priorities (pre-aggregated per
+    destination), odd steps send MIS announcements (unique dst ids).
+    """
+
+    _ACTIVE, _MIS, _OUT = np.int8(0), np.int8(1), np.int8(2)
+
+    def init(self, csr: CSRPartition):
+        from ..functions.hashing import md5_lower64
+
+        self.csr = csr
+        h = md5_lower64(csr.vids.astype(str))
+        self.prio = (h & np.uint64(0xFFFFFFFF00000000)) | csr.vids.astype(
+            np.uint64
+        )
+        self.status = np.zeros(csr.num_vertices, dtype=np.int8)
+        self.new_mis = np.zeros(csr.num_vertices, dtype=bool)
+
+    def apply(self, step, inbox, glob):
+        active = self.status == self._ACTIVE
+        if step == 0:
+            return {"active": int(active.sum())}
+        if step % 2 == 1:  # receive active-neighbor min priorities → select
+            min_in = np.full(self.csr.num_vertices, np.uint64(2**64 - 1))
+            got = np.zeros(self.csr.num_vertices, dtype=bool)
+            for msg in inbox:
+                if msg is None or len(msg["dst"]) == 0:
+                    continue
+                li = self.csr.local_index(msg["dst"])
+                np.minimum.at(min_in, li, msg["min"])
+                got[li] = True
+            # strict local minimum (priorities are unique), or no active nbr
+            sel = active & (~got | (self.prio < min_in))
+            self.status[sel] = self._MIS
+            self.new_mis = sel
+            return {"active": int((self.status == self._ACTIVE).sum())}
+        # even step: receive MIS announcements → neighbors drop out
+        for msg in inbox:
+            if msg is None or len(msg["dst"]) == 0:
+                continue
+            li = self.csr.local_index(msg["dst"])
+            out = self.status[li] == self._ACTIVE
+            self.status[li[out]] = self._OUT
+        return {"active": int((self.status == self._ACTIVE).sum())}
+
+    def scatter(self, step):
+        P = self.csr.num_parts
+        dix = self.csr.dst_index()
+        sorted_dst = self.csr.indices[dix.order]
+        outbox, sent = [], 0
+        if step % 2 == 0:  # active vertices send priorities
+            edge_sel = (self.status == self._ACTIVE)[dix.src_row][dix.order]
+            edge_val = self.prio[dix.src_row][dix.order]
+            for p in range(P):
+                s, e = dix.slices[p]
+                sel = edge_sel[s:e]
+                if not sel.any():
+                    outbox.append(None)
+                    continue
+                dsts, mins = _group_min(sorted_dst[s:e][sel], edge_val[s:e][sel])
+                outbox.append({"dst": dsts, "min": mins})
+                sent += len(dsts)
+            return outbox, {"sent": sent}
+        # odd step: newly selected MIS members announce to neighbors
+        edge_sel = self.new_mis[dix.src_row][dix.order]
+        for p in range(P):
+            s, e = dix.slices[p]
+            sel = edge_sel[s:e]
+            if not sel.any():
+                outbox.append(None)
+                continue
+            dsts = np.unique(sorted_dst[s:e][sel])
+            outbox.append({"dst": dsts})
+            sent += len(dsts)
+        return outbox, {"sent": sent}
+
+    def state_table(self):
+        return pa.table(
+            {
+                "vid": self.csr.vids,
+                "status": self.status,
+                "new_mis": self.new_mis,
+            }
+        )
+
+    def load_state(self, table, step):
+        self.status = table["status"].to_numpy().copy()
+        self.new_mis = table["new_mis"].to_numpy().copy()
+
+    def result_table(self):
+        return pa.table(
+            {"vid": self.csr.vids, "in_mis": self.status == self._MIS}
+        )
 
 
 # --------------------------------------------------------------------------
@@ -1612,6 +1718,7 @@ PROGRAMS = {
     "pagerank": PageRankProgram,
     "cc": ConnectedComponentsProgram,
     "sssp": SSSPProgram,
+    "mis": MaximalIndependentSetProgram,
     "lpa": LabelPropagationProgram,
     "triangles": TriangleCountProgram,
     "match": MatchProgram,

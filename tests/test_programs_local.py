@@ -182,6 +182,48 @@ def test_sssp_vs_bfs_oracle(trial):
 
 
 @pytest.mark.parametrize("trial", range(3))
+def test_mis_independent_maximal_deterministic(trial):
+    """Luby-MIS output must be an independent set, maximal, equal to the
+    single-process sequential computation with the same priorities, and
+    identical at any partition count."""
+    import hashlib
+
+    s, d = random_graph(60 + trial, [50, 120, 80][trial], density=2)
+    adj = adjacency(s, d)
+
+    def prio(v):
+        h = int.from_bytes(hashlib.md5(str(v).encode()).digest()[8:], "little")
+        return (h & 0xFFFFFFFF00000000) | v
+
+    # sequential oracle: repeatedly take the strict priority-local-minima
+    active = set(adj)
+    mis = set()
+    while active:
+        sel = {
+            v
+            for v in active
+            if all(prio(v) < prio(u) for u in adj[v] if u in active)
+        }
+        assert sel, "deterministic Luby must progress"
+        mis |= sel
+        active -= sel | {u for v in sel for u in adj[v]}
+
+    results = []
+    for parts in (1, 4):
+        eng = LocalBSP(s, d, num_parts=parts, directed=False)
+        eng.run("mis", max_steps=200)
+        res = eng.result().to_pandas()
+        got = {int(r.vid) for r in res.itertuples() if r.in_mis}
+        results.append(got)
+    assert results[0] == results[1] == mis
+    # independence + maximality (direct properties, not via the oracle)
+    for v in mis:
+        assert not (adj[v] & mis), v
+    for v in set(adj) - mis:
+        assert adj[v] & mis, v
+
+
+@pytest.mark.parametrize("trial", range(3))
 def test_triangles_vs_oracle(trial):
     s, d = random_graph(20 + trial, [40, 100, 60][trial])
     adj = adjacency(s, d)
