@@ -315,14 +315,22 @@ def ngram_jaccard_pairs(docs_ds, k: int = 5, threshold: float = 0.5):
     every pair with char-k-gram Jaccard ≥ threshold (no LSH recall loss).
 
     Candidate generation is the shingle INVERTED INDEX: explode (shingle,
-    doc_id) rows, ``groupby(shingle)`` emits the doc pairs sharing it —
-    complete, because any pair with Jaccard > 0 shares a shingle. Then the
-    same distributed exact-verification as MinHash. Cost is the classic
-    exact-all-pairs bound: a shingle shared by d docs emits d·(d-1)/2
-    candidates — fine at oracle scale; production would add prefix filtering
-    (sort shingles by document frequency and index only each doc's rarest
-    ⌈(1-t)·|sh|⌉+1 shingles) — stated, not silent.
+    doc_id) postings, HASH-BUCKET them by shingle (one shuffle, whole
+    shingles stay within a bucket), and expand per-shingle doc pairs
+    VECTORIZED per bucket — lexsort + segment expansion, one Python
+    callback per bucket rather than one per shingle (a per-shingle
+    ``map_groups`` ran 250k callbacks at sf0.01; the bucketed form is the
+    same idiom as the co-purchase self-join). Complete, because any pair
+    with Jaccard > 0 shares a shingle; then the same distributed
+    exact-verification as MinHash. Cost is the classic exact-all-pairs
+    bound: a shingle shared by d docs emits d·(d-1)/2 candidates — fine at
+    oracle scale; production would add prefix filtering (sort shingles by
+    document frequency and index only each doc's rarest ⌈(1-t)·|sh|⌉+1
+    shingles) — stated, not silent.
     """
+    from ..state.csr import flat_gather
+
+    num_buckets = 32
     sh_ds = docs_ds.map_batches(
         lambda t: _shingle_table(t, k), batch_format="pyarrow"
     )
@@ -335,22 +343,31 @@ def ngram_jaccard_pairs(docs_ds, k: int = 5, threshold: float = 0.5):
             np.concatenate(rows) if rows else np.empty(0, np.uint64)
         ).view(np.int64)
         return pa.table(
-            {"shingle": flat, "doc_id": np.repeat(docs, counts)}
+            {
+                "b": (flat % num_buckets).astype(np.int32),
+                "shingle": flat,
+                "doc_id": np.repeat(docs, counts),
+            }
         )
 
-    def _pairs(group):
-        import pandas as pd
-
-        docs = np.sort(np.unique(group["doc_id"].to_numpy()))
-        if len(docs) < 2:
-            return pd.DataFrame({"pkey": np.empty(0, np.int64)})
-        ia, ib = np.triu_indices(len(docs), 1)
-        return pd.DataFrame({"pkey": (docs[ia] << _PKEY_SHIFT) | docs[ib]})
+    def _bucket_pairs(g: pa.Table) -> pa.Table:
+        sh = g["shingle"].to_numpy()
+        doc = g["doc_id"].to_numpy()
+        order = np.lexsort((doc, sh))
+        sh_s, doc_s = sh[order], doc[order]
+        _, starts, counts = np.unique(sh_s, return_index=True, return_counts=True)
+        cpe = np.repeat(counts, counts)
+        left = np.repeat(doc_s, cpe)
+        right = doc_s[flat_gather(np.repeat(starts, counts), cpe)]
+        m = left < right  # docs unique per shingle → each unordered pair once
+        return pa.table(
+            {"pkey": np.unique((left[m] << _PKEY_SHIFT) | right[m])}
+        )
 
     cand = (
         sh_ds.map_batches(_explode, batch_format="pyarrow")
-        .groupby("shingle")
-        .map_groups(_pairs, batch_format="pandas")
+        .groupby("b")
+        .map_groups(_bucket_pairs, batch_format="pyarrow")
     )
     return _verify_pairs_exact(sh_ds, cand, threshold)
 
