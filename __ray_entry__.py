@@ -566,6 +566,12 @@ def _q_events_range_join(sf_dir: str):
     return events_range_join(sf_dir, window_sec=600)
 
 
+def _q_events_lag(sf_dir: str):
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import events_lag
+
+    return events_lag(sf_dir)
+
+
 def _q_hll_registers(sf_dir: str):
     from subgraph_isomorphism_pregel_ray.pipelines.sketch import hll_registers_daily
 
@@ -631,6 +637,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_dup_pairs": _q_simhash_pairs,
         "media_features": _q_media_features,
         "events_range_join": _q_events_range_join,
+        "events_lag": _q_events_lag,
         "salient_terms": _q_salient_terms,
         "search_topk": _q_search_topk,
         "hll_registers_daily": _q_hll_registers,
@@ -1383,6 +1390,16 @@ def oracle_sql() -> dict[str, str]:
         "simhash_dup_pairs": _simhash_pairs_sql(),
         "minhash_dup_pairs": _minhash_pairs_sql(),
         "dedup_groups": _dedup_groups_sql(),
+        "events_lag": (
+            # per-user LAG window (relational.events_lag); delta is one IEEE
+            # subtraction of raw doubles → bit-exact
+            "SELECT event_id, "
+            "CAST(coalesce(lag(event_id) OVER w, -1) AS BIGINT) AS prev_event_id, "
+            "CAST(coalesce(epoch_us(ts) - lag(epoch_us(ts)) OVER w, 0) AS BIGINT) "
+            "AS gap_us, "
+            "coalesce(value - lag(value) OVER w, 0.0) AS delta_value "
+            "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
+        ),
         "salient_terms": (
             # TF-IDF-style keyword top-3 (textops.salient_terms); salience is
             # division-only over exact ints → bit-identical, total tie-break

@@ -30,6 +30,7 @@ __all__ = [
     "events_asof_prior",
     "events_quantiles",
     "events_range_join",
+    "events_lag",
 ]
 
 
@@ -383,6 +384,50 @@ def events_sessionize(sf_dir: str, gap_sec: int = 600, num_buckets: int = 32):
         ds.map_batches(_bucket, batch_format="pyarrow")
         .groupby("b")
         .map_groups(_sessionize, batch_format="pyarrow")
+    )
+
+
+def events_lag(sf_dir: str, num_buckets: int = 32):
+    """Per-user LAG window function: each event joined with the user's
+    previous event → (event_id, prev_event_id, gap_us, delta_value).
+    First event per user: prev = -1, gap/delta = 0 (COALESCE semantics).
+
+    Scale shape: users hash-bucketed (ONE shuffle, same as sessionize);
+    a whole bucket is processed vectorized — lexsort by (user, ts,
+    event_id) then a single shifted compare. gap is exact int64 µs;
+    delta_value is one IEEE subtraction of the raw doubles → bit-equal to
+    the SQL oracle's ``value - lag(value)``.
+    """
+    ds = read_table(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"])
+
+    def _bucket(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy()
+        return t.append_column("b", pa.array((u % num_buckets).astype(np.int32)))
+
+    def _lag(g: pa.Table) -> pa.Table:
+        u = g["user_id"].to_numpy()
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        eid = g["event_id"].to_numpy()
+        val = g["value"].to_numpy()
+        order = np.lexsort((eid, ts, u))
+        u, ts, eid, val = u[order], ts[order], eid[order], val[order]
+        same_user = np.concatenate([[False], u[1:] == u[:-1]])
+        prev = np.where(same_user, np.concatenate([[0], eid[:-1]]), -1)
+        gap = np.where(same_user, ts - np.concatenate([[0], ts[:-1]]), 0)
+        delta = np.where(same_user, val - np.concatenate([[0.0], val[:-1]]), 0.0)
+        return pa.table(
+            {
+                "event_id": eid,
+                "prev_event_id": prev.astype(np.int64),
+                "gap_us": gap.astype(np.int64),
+                "delta_value": delta,
+            }
+        )
+
+    return (
+        ds.map_batches(_bucket, batch_format="pyarrow")
+        .groupby("b")
+        .map_groups(_lag, batch_format="pyarrow")
     )
 
 

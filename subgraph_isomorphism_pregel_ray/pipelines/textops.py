@@ -468,7 +468,12 @@ def search_topk(docs_ds, terms, k: int = 10):
     n_docs = float(N_ds.count())
     tf_rows = docs_ds.map_batches(_match, batch_format="pyarrow").materialize()
     df_tbl = tf_rows.groupby("term").count().to_pandas()  # ≤ |Q| rows
-    df_map = dict(zip(df_tbl["term"], df_tbl["count()"].astype(np.int64)))
+    # a hash aggregate over zero rows yields a schema-less empty frame
+    df_map = (
+        dict(zip(df_tbl["term"], df_tbl["count()"].astype(np.int64)))
+        if "term" in df_tbl.columns
+        else {}
+    )
     df_vec = np.array([df_map.get(t, 0) for t in qterms], dtype=np.int64)
 
     def _score(batch: pa.Table) -> pa.Table:

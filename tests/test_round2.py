@@ -1004,3 +1004,52 @@ def test_search_topk_vs_brute_force(ray_session):
     assert got["doc_id"].tolist() == [i for i, _ in exp]
     assert got["n_matched"].tolist() == [s[0] for _, s in exp]
     assert got["max_salience"].tolist() == [s[1] for _, s in exp]  # bit-exact
+
+
+def test_text_and_event_ops_on_empty_tables(ray_session, tmp_path):
+    """Zero-row inputs must stream through cleanly with typed empty output
+    (the all-filtered-batch landmine: untyped empty arrays produce
+    null-typed columns that break downstream kernels)."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from subgraph_isomorphism_pregel_ray.pipelines.dedup import (
+        exact_dedup,
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+        simhash_dup_pairs,
+    )
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import (
+        events_lag,
+        events_range_join,
+        events_sessionize,
+        events_window,
+    )
+    from subgraph_isomorphism_pregel_ray.pipelines.sketch import hll_registers_daily
+    from subgraph_isomorphism_pregel_ray.pipelines.textops import (
+        salient_terms,
+        search_topk,
+    )
+
+    for t in ("documents", "events"):
+        src = pq.read_schema(f"/root/testdata/sf0.001/{t}.parquet")
+        pq.write_table(src.empty_table(), tmp_path / f"{t}.parquet")
+    sf = str(tmp_path)
+    docs = rd.read_parquet(str(tmp_path / "documents.parquet"),
+                           columns=["doc_id", "text"])
+
+    for name, ds in {
+        "exact_dedup": exact_dedup(docs),
+        "minhash": minhash_lsh_pairs(docs, threshold=0.5),
+        "ngram": ngram_jaccard_pairs(docs, k=5, threshold=0.5),
+        "simhash_pairs": simhash_dup_pairs(docs, max_hamming=7),
+        "salient": salient_terms(docs, n_docs=0, k=3),
+        "search": search_topk(docs, ("hash",), k=5),
+        "window": events_window(sf),
+        "sessionize": events_sessionize(sf),
+        "lag": events_lag(sf),
+        "range_join": events_range_join(sf),
+        "hll": hll_registers_daily(sf),
+    }.items():
+        df = ds.to_pandas()
+        assert len(df) == 0, name
