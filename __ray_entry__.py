@@ -379,6 +379,12 @@ def _q_revenue_by_nation(sf_dir: str):
     return revenue_by_nation(sf_dir)
 
 
+def _q_revenue_by_region(sf_dir: str):
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import revenue_by_region
+
+    return revenue_by_region(sf_dir)
+
+
 def _q_distinct_users(sf_dir: str):
     from subgraph_isomorphism_pregel_ray.pipelines.relational import (
         distinct_users_daily,
@@ -617,6 +623,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof": _q_events_asof,
         "events_quantiles": _q_events_quantiles,
         "revenue_by_nation": _q_revenue_by_nation,
+        "revenue_by_region": _q_revenue_by_region,
         "topk_parts_per_nation": _q_topk_parts,
         "documents_sample": _q_documents_sample,
         "kmeans_embeddings": _q_kmeans,
@@ -1298,6 +1305,15 @@ def oracle_sql() -> dict[str, str]:
             "FROM lineitem JOIN orders ON o_orderkey = l_orderkey "
             "JOIN customer ON c_custkey = o_custkey "
             "JOIN nation ON n_nationkey = c_nationkey GROUP BY 1"
+        ),
+        "revenue_by_region": (
+            # the five-way snowflake join, same exact-int-cents fold
+            "SELECT r_name, sum(CAST(round(l_extendedprice * 100) AS BIGINT) * "
+            "(100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0 AS revenue "
+            "FROM lineitem JOIN orders ON o_orderkey = l_orderkey "
+            "JOIN customer ON c_custkey = o_custkey "
+            "JOIN nation ON n_nationkey = c_nationkey "
+            "JOIN region ON r_regionkey = n_regionkey GROUP BY 1"
         ),
         "events_quantiles": (
             "SELECT event_type, 0.5 AS quantile, CAST(count(*) AS BIGINT) AS n, "

@@ -31,6 +31,8 @@ __all__ = [
     "events_quantiles",
     "events_range_join",
     "events_lag",
+    "revenue_by_nation",
+    "revenue_by_region",
 ]
 
 
@@ -524,9 +526,11 @@ def events_range_join(
     )
 
 
-def revenue_by_nation(sf_dir: str, num_buckets: int = 32):
+def _revenue_cents_by_nation(sf_dir: str, num_buckets: int = 32):
     """TPC-H-Q5-shaped rollup: lineitem ⋈ orders ⋈ customer ⋈ nation →
-    (n_name, revenue), revenue = Σ l_extendedprice·(1−l_discount).
+    per-nation exact int64 revenue cents·100 (pandas frame with n_name /
+    n_regionkey, ≤ 25 rows). ``revenue_by_nation`` / ``revenue_by_region``
+    divide once at the end. revenue = Σ l_extendedprice·(1−l_discount).
 
     Scale shape — two bucketed repartition joins, never ``Dataset.join``
     (acero dies on post-aggregate blocks, see dedup.py) and never a
@@ -639,13 +643,39 @@ def revenue_by_nation(sf_dir: str, num_buckets: int = 32):
     import pyarrow.parquet as pq
 
     nation = pq.read_table(
-        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name", "n_regionkey"]
     ).to_pandas()
-    out = per_nation.merge(nation, left_on="k", right_on="n_nationkey")
+    return per_nation.merge(nation, left_on="k", right_on="n_nationkey")
+
+
+def revenue_by_nation(sf_dir: str, num_buckets: int = 32):
+    out = _revenue_cents_by_nation(sf_dir, num_buckets)
     return pa.table(
         {
             "n_name": out["n_name"].to_numpy(),
             "revenue": out["rev"].to_numpy().astype(np.float64) / 10000.0,
+        }
+    )
+
+
+def revenue_by_region(sf_dir: str, num_buckets: int = 32):
+    """Region-level revenue rollup — the last dimension hop of the TPC-H
+    snowflake (nation → region, 25 → 5 rows, both driver-read per the
+    broadcast-small-side rule). The fold stays exact int64 cents until the
+    single final division, so it is bit-equal to the SQL five-way join at
+    any partition count."""
+    import pyarrow.parquet as pq
+
+    out = _revenue_cents_by_nation(sf_dir, num_buckets)
+    region = pq.read_table(
+        f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"]
+    ).to_pandas()
+    out = out.merge(region, left_on="n_regionkey", right_on="r_regionkey")
+    g = out.groupby("r_name", as_index=False)["rev"].sum()  # exact int64
+    return pa.table(
+        {
+            "r_name": g["r_name"].to_numpy(),
+            "revenue": g["rev"].to_numpy().astype(np.float64) / 10000.0,
         }
     )
 
