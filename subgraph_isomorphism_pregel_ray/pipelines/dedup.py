@@ -175,6 +175,10 @@ def minhash_lsh_pairs(
         lambda t: _shingle_table(t, k), batch_format="pyarrow"
     )
 
+    from ..state.csr import flat_gather
+
+    num_buckets = 32
+
     def _sig_bands(batch: pa.Table) -> pa.Table:
         """shingles → minhash signature → folded band hashes (one pass)."""
         rows = _sh_rows(batch["sh"])
@@ -190,34 +194,60 @@ def minhash_lsh_pairs(
             for c in range(rows_per_band):  # fold the band rows (order-dep.)
                 h = h * np.uint64(1099511628211) + seg[:, c]
             bh[i] = h
+        bh_i64 = bh.reshape(-1).view(np.int64)
+        band_col = np.tile(np.arange(bands, dtype=np.int32), n)
         return pa.table(
             {
+                "b": ((bh_i64 % num_buckets) + band_col).astype(np.int64)
+                % num_buckets,
                 "doc_id": np.repeat(doc, bands),
-                "band": np.tile(np.arange(bands, dtype=np.int32), n),
-                "bandhash": bh.reshape(-1).view(np.int64),
+                "band": band_col,
+                "bandhash": bh_i64,
             }
         )
 
     buckets = sh_ds.map_batches(_sig_bands, batch_format="pyarrow")
 
-    # shuffle by (band, bandhash); emit packed candidate pairs within buckets
-    def _pairs(group):
-        import pandas as pd
+    # ONE shuffle co-locates whole (band, bandhash) buckets by hash; pair
+    # expansion is vectorized per bucket-of-buckets — lexsort + segment
+    # expansion, one callback per hash bucket, not one per LSH bucket
+    # (a per-bucket map_groups ran bands×docs ≈ 80k pandas callbacks).
+    def _bucket_pairs(g: pa.Table) -> pa.Table:
+        band = g["band"].to_numpy()
+        bh = g["bandhash"].to_numpy()
+        doc = g["doc_id"].to_numpy().astype(np.int64)
+        order = np.lexsort((doc, bh, band))
+        band_s, bh_s, doc_s = band[order], bh[order], doc[order]
+        first = np.concatenate(
+            [[True], (band_s[1:] != band_s[:-1]) | (bh_s[1:] != bh_s[:-1])]
+        )
+        starts0 = np.nonzero(first)[0]
+        seg_id = np.cumsum(first) - 1
+        # hot-bucket cap: docs are ascending within a segment, so rank <
+        # max_bucket keeps the smallest doc ids — byte-identical semantics
+        # to the old sorted docs[:max_bucket] cut (and to the SQL oracle's
+        # list(doc_id ORDER BY doc_id)[1:max_bucket])
+        rank = np.arange(len(doc_s)) - starts0[seg_id]
+        keep = rank < max_bucket
+        doc_k, seg_k = doc_s[keep], seg_id[keep]
+        first_k = np.concatenate([[True], seg_k[1:] != seg_k[:-1]])
+        starts = np.nonzero(first_k)[0]
+        counts = np.diff(np.concatenate([starts, [len(doc_k)]]))
+        cpe = np.repeat(counts, counts)
+        left = np.repeat(doc_k, cpe)
+        right = doc_k[flat_gather(np.repeat(starts, counts), cpe)]
+        m = left < right  # each unordered pair exactly once per segment
+        if not m.any():
+            return pa.table({"pkey": pa.array([], pa.int64())})
+        return pa.table(
+            {"pkey": np.unique((left[m] << _PKEY_SHIFT) | right[m])}
+        )
 
-        docs = np.sort(group["doc_id"].to_numpy().astype(np.int64))
-        if len(docs) < 2:
-            return pd.DataFrame({"pkey": np.empty(0, np.int64)})
-        if len(docs) > max_bucket:  # hot-bucket cap (see module doc)
-            docs = docs[:max_bucket]
-        ia, ib = np.triu_indices(len(docs), 1)
-        return pd.DataFrame({"pkey": (docs[ia] << _PKEY_SHIFT) | docs[ib]})
-
-    # NOTE: no dedup shuffle here — a pair found by several bands is deduped
-    # per doc inside _attach (np.unique over the doc's pair keys); both
-    # members dedup identically, so each pair still meets exactly twice.
-    cand = buckets.groupby(["band", "bandhash"]).map_groups(
-        _pairs, batch_format="pandas"
-    )
+    # NOTE: only per-hash-bucket np.unique here — a pair found by bands in
+    # DIFFERENT hash buckets is deduped per doc inside _attach (np.unique
+    # over the doc's pair keys); both members dedup identically, so each
+    # pair still meets exactly twice.
+    cand = buckets.groupby("b").map_groups(_bucket_pairs, batch_format="pyarrow")
 
     return _verify_pairs_exact(sh_ds, cand, threshold)
 
