@@ -156,3 +156,25 @@ def test_hll_rho_matches_spec():
     # all four hash to bucket 0 → one surviving max register
     assert list(b) == [0]
     assert list(r) == [57]  # h==0 → low==0 → rho = 57 wins the max
+
+
+def test_minhash_hot_bucket_cap(ray_session):
+    """300 identical docs collide in every band; cap=50 must keep exactly the
+    smallest 50 doc ids per bucket → C(50,2) verified pairs, all jaccard 1."""
+    import ray.data as rd
+
+    from subgraph_isomorphism_pregel_ray.pipelines.dedup import minhash_lsh_pairs
+
+    n, cap = 300, 50
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(n), pa.int64()),
+            "text": ["the exact same document text repeated verbatim"] * n,
+        }
+    )
+    out = minhash_lsh_pairs(
+        rd.from_arrow(t).repartition(7), threshold=0.5, max_bucket=cap
+    ).to_pandas()
+    assert len(out) == cap * (cap - 1) // 2
+    assert (out["jaccard"] == 1.0).all()
+    assert out["doc_a"].max() < cap and out["doc_b"].max() < cap
