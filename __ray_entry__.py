@@ -362,6 +362,30 @@ def _q_vocab_topk(sf_dir: str):
     return vocab_topk(_docs(sf_dir), k=100)
 
 
+def _q_doc_repetition(sf_dir: str):
+    from subgraph_isomorphism_pregel_ray.pipelines.textops import doc_repetition
+
+    return doc_repetition(_docs(sf_dir))
+
+
+def _q_contamination(sf_dir: str):
+    from subgraph_isomorphism_pregel_ray.pipelines.textops import contamination
+
+    return contamination(_docs(sf_dir))
+
+
+def _q_unigram_quality(sf_dir: str):
+    from subgraph_isomorphism_pregel_ray.pipelines.textops import unigram_quality
+
+    return unigram_quality(_docs(sf_dir))
+
+
+def _q_neighbor_sample(sf_dir: str):
+    from subgraph_isomorphism_pregel_ray.pipelines.algorithms import neighbor_sample
+
+    return neighbor_sample(_sym_copurchase(sf_dir), k=5)
+
+
 def _q_events_sorted(sf_dir: str):
     """TeraSort analogue over the events stream: distributed sort by
     (value DESC, event_id ASC) + global 0-based ordinal (two-phase
@@ -649,6 +673,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_topk": _q_search_topk,
         "hll_registers_daily": _q_hll_registers,
         "approx_distinct_users_daily": _q_approx_distinct,
+        "doc_repetition": _q_doc_repetition,
+        "contamination": _q_contamination,
+        "unigram_quality": _q_unigram_quality,
+        "neighbor_sample_copurchase": _q_neighbor_sample,
     }
 
 
@@ -1094,6 +1122,14 @@ def oracle_sql() -> dict[str, str]:
     stop = (
         f"len(list_filter({toks}, x -> list_contains({_stopword_sql_list()}, lower(x))))"
     )
+    # positions CTE for the space-split tokenizer (split(' ') dropping
+    # empties): unnest + generate_subscripts stay aligned in DuckDB, giving
+    # (doc_id, pos, tok) — word n-grams are then plain pos self-joins.
+    sp_toks = "list_filter(string_split(text, ' '), x -> x <> '')"
+    tok_cte = (
+        f"tok AS (SELECT doc_id, unnest({sp_toks}) AS tok, "
+        f"generate_subscripts({sp_toks}, 1) AS pos FROM documents)"
+    )
     return {
         "copurchase_edges": f"WITH {_EU} SELECT src, dst FROM eu",
         "degree_distribution": (
@@ -1258,6 +1294,76 @@ def oracle_sql() -> dict[str, str]:
             f"(SELECT unnest({toks}) AS token FROM documents "
             "WHERE trim(text) <> '') GROUP BY token "
             "ORDER BY cnt DESC, token LIMIT 100"
+        ),
+        "doc_repetition": (
+            # every ratio is one division of exact ints — bit-identical to
+            # the engine's numpy divide; docs with no tokens keep 0 ratios.
+            f"WITH {tok_cte}, "
+            "cnts AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY 1, 2), "
+            "stats AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n, "
+            "count(*) AS nd, max(c) AS topc FROM cnts GROUP BY 1), "
+            "big AS (SELECT a.doc_id, count(*) AS nb, "
+            "count(DISTINCT a.tok || ' ' || b.tok) AS nbd "
+            "FROM tok a JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1 "
+            "GROUP BY 1) "
+            "SELECT d.doc_id, COALESCE(s.n, 0) AS n_tokens, "
+            "CASE WHEN s.n IS NULL THEN 0 ELSE (s.n - s.nd) * 1.0 / s.n END "
+            "AS dup_token_ratio, "
+            "CASE WHEN s.n IS NULL THEN 0 ELSE s.topc * 1.0 / s.n END "
+            "AS top_token_ratio, "
+            "CASE WHEN b.nb IS NULL OR b.nb = 0 THEN 0 "
+            "ELSE (b.nb - b.nbd) * 1.0 / b.nb END AS dup_bigram_ratio "
+            "FROM documents d LEFT JOIN stats s USING (doc_id) "
+            "LEFT JOIN big b USING (doc_id)"
+        ),
+        "contamination": (
+            # word-trigram overlap vs the doc_id % 37 == 0 benchmark subset;
+            # engine compares md5-hashed grams, SQL the strings — identical
+            # membership barring md5 collisions.
+            f"WITH {tok_cte}, "
+            "tri AS (SELECT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS g "
+            "FROM tok a JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1 "
+            "JOIN tok c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2), "
+            "bench AS (SELECT DISTINCT g FROM tri WHERE doc_id % 37 = 0), "
+            "dg AS (SELECT DISTINCT doc_id, g FROM tri WHERE doc_id % 37 <> 0), "
+            "hits AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams, "
+            "CAST(sum(CASE WHEN g IN (SELECT g FROM bench) THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS n_hit FROM dg GROUP BY 1) "
+            "SELECT d.doc_id, COALESCE(h.n_grams, 0) AS n_grams, "
+            "COALESCE(h.n_hit, 0) AS n_hit, "
+            "CASE WHEN h.n_grams IS NULL THEN 0 "
+            "ELSE h.n_hit * 1.0 / h.n_grams END AS contamination_ratio "
+            "FROM documents d LEFT JOIN hits h USING (doc_id) "
+            "WHERE d.doc_id % 37 <> 0"
+        ),
+        "unigram_quality": (
+            # Σ tf·F and Σ tf·[F=1] are exact int64 sums on both sides; each
+            # ratio is ONE IEEE division → bit-identical. Docs with ≥1 token
+            # only (the engine's groupby sees no empty docs).
+            f"WITH {tok_cte}, "
+            "tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY 1, 2), "
+            "dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY 1), "
+            "cf AS (SELECT tok, count(*) AS f FROM tok GROUP BY 1), "
+            "tot AS (SELECT count(*) AS t FROM tok), "
+            "agg AS (SELECT tf.doc_id, CAST(sum(tf.tf * cf.f) AS BIGINT) AS num, "
+            "CAST(sum(CASE WHEN cf.f = 1 THEN tf.tf ELSE 0 END) AS BIGINT) AS hap "
+            "FROM tf JOIN cf USING (tok) GROUP BY 1) "
+            "SELECT dl.doc_id, dl.n AS n_tokens, "
+            "agg.num * 1.0 / (dl.n * (SELECT t FROM tot)) AS mean_relfreq, "
+            "agg.hap * 1.0 / dl.n AS hapax_ratio "
+            "FROM dl JOIN agg USING (doc_id)"
+        ),
+        "neighbor_sample_copurchase": (
+            # deterministic Knuth-hash fanout sample: all intermediates are
+            # < 2^63 so BIGINT replays the engine's int64 arithmetic exactly;
+            # (hv, dst) is a total order → the rnk <= k cut is unambiguous.
+            f"WITH {_EU}, "
+            "es AS (SELECT src, dst FROM eu UNION SELECT dst, src FROM eu), "
+            "h AS (SELECT src, dst, ((src * 2097152 + dst) % 2147483648) "
+            "* 2654435761 % 2147483648 AS hv FROM es), "
+            "r AS (SELECT src, dst, row_number() OVER "
+            "(PARTITION BY src ORDER BY hv, dst) AS rnk FROM h) "
+            "SELECT src, dst, CAST(rnk AS BIGINT) AS rnk FROM r WHERE rnk <= 5"
         ),
         "events_sorted": (
             "SELECT event_id, value, CAST(row_number() OVER "

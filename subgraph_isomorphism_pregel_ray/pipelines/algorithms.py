@@ -39,6 +39,7 @@ __all__ = [
     "kcore",
     "pagerank_dataset",
     "cc_dataset",
+    "neighbor_sample",
 ]
 
 
@@ -446,3 +447,72 @@ def pagerank_dataset(edges_ds, iters: int = 5, damping: float = 0.85):
         return pa.table({"vid": t["vid"], "pr": round_half_away(t["pr"].to_numpy(), 8)})
 
     return ranks.map_batches(_round, batch_format="pyarrow")
+
+
+def neighbor_sample(edges_ds, k: int = 5, num_buckets: int = 32):
+    """Degree-capped neighbor sampling — the GNN mini-batch fanout primitive
+    (GraphSAGE-style, Hamilton et al. 2017): for every source vertex keep at
+    most ``k`` neighbors, chosen by a DETERMINISTIC per-edge hash so the
+    sample is reproducible at any parallelism and SQL-checkable (no RNG):
+
+        h(src, dst) = ((src·2²¹ + dst) mod 2³¹) · 2654435761 mod 2³¹
+
+    (the Knuth multiplicative hash on a 2³¹ ring; all intermediates < 2⁶³
+    so the oracle replays it in plain BIGINT). Rank = position in
+    (h ASC, dst ASC) order — a total order, so the cut at ``k`` is exact.
+
+    → Dataset(src:int64, dst:int64, rnk:int64), rnk ∈ [1, k].
+
+    Scale shape — partial-top-k combiner BEFORE the shuffle: each batch
+    pre-cuts to its own k smallest (h, dst) per src (global top-k ⊆ union
+    of per-batch top-k), so the exchange carries ≤ k rows per (src, batch)
+    — a hub with 10⁷ neighbors ships k·(blocks it spans) rows, not 10⁷.
+    One hash(src)-bucketed groupby then ranks each bucket with a single
+    lexsort (vectorized across ALL its srcs — no per-vertex callbacks).
+    """
+    ring = np.int64(1) << 31
+    shift = np.int64(1) << 21
+    knuth = np.int64(2654435761)
+
+    def _rank_segments(src, h, dst):
+        """0-based rank of each edge within its src by (h, dst) order."""
+        order = np.lexsort((dst, h, src))
+        s = src[order]
+        first = np.concatenate([[True], s[1:] != s[:-1]])
+        start = np.maximum.accumulate(np.where(first, np.arange(len(s)), 0))
+        return order, np.arange(len(s)) - start
+
+    def _precut(t: pa.Table) -> pa.Table:
+        src = t["src"].to_numpy().astype(np.uint64).view(np.int64)
+        dst = t["dst"].to_numpy().astype(np.uint64).view(np.int64)
+        h = ((src * shift + dst) % ring * knuth) % ring
+        order, seg = _rank_segments(src, h, dst)
+        keep = order[seg < k]
+        return pa.table(
+            {
+                "b": (src[keep] % num_buckets).astype(np.int32),
+                "src": src[keep],
+                "dst": dst[keep],
+                "h": h[keep],
+            }
+        )
+
+    def _rank_bucket(g: pa.Table) -> pa.Table:
+        src = g["src"].to_numpy()
+        dst = g["dst"].to_numpy()
+        h = g["h"].to_numpy()
+        order, seg = _rank_segments(src, h, dst)
+        keep = seg < k
+        return pa.table(
+            {
+                "src": src[order][keep],
+                "dst": dst[order][keep],
+                "rnk": (seg[keep] + 1).astype(np.int64),
+            }
+        )
+
+    return (
+        edges_ds.map_batches(_precut, batch_format="pyarrow")
+        .groupby("b")
+        .map_groups(_rank_bucket, batch_format="pyarrow")
+    )

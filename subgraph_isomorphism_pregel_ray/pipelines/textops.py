@@ -44,6 +44,10 @@ __all__ = [
     "salient_terms",
     "search_topk",
     "stratified_sample",
+    "doc_repetition_batch",
+    "doc_repetition",
+    "contamination",
+    "unigram_quality",
 ]
 
 _ALNUM_RE = re.compile(r"[a-zA-Z0-9]")
@@ -519,6 +523,298 @@ text_stats = _stage(text_stats_batch)
 lang_id = _stage(lang_id_batch)
 fingerprint = _stage(fingerprint_batch)
 simhash64 = _stage(simhash_batch)
+
+
+def doc_repetition_batch(batch: pa.Table) -> pa.Table:
+    """Gopher-style repetition quality scores per document (Rae et al. 2021,
+    "Scaling Language Models", §A1.1 repetition filters — public paper):
+
+    * ``dup_token_ratio``  — fraction of tokens that are repeats of an
+      earlier token: ``(n - n_distinct) / n``.
+    * ``top_token_ratio``  — fraction taken by the single most frequent
+      token (the "most common word" filter).
+    * ``dup_bigram_ratio`` — fraction of adjacent-token bigrams that are
+      duplicates: ``(nb - nb_distinct) / nb`` with ``nb = n - 1``.
+
+    Tokenizer = ``split(' ')`` dropping empties — exactly the oracle's
+    ``list_filter(string_split(text, ' '), x -> x <> '')``. Every ratio is
+    ONE IEEE division of exact small ints → bit-identical to the SQL.
+    Tokens contain no spaces, so ``' '.join`` bigram keys are injective.
+    Pure batch kernel: linear scan, no shuffle, narrow output.
+    """
+    texts = batch["text"].to_pylist()
+    n_rows = len(texts)
+    n_tok = np.zeros(n_rows, dtype=np.int64)
+    dup_tok = np.zeros(n_rows)
+    top_tok = np.zeros(n_rows)
+    dup_big = np.zeros(n_rows)
+    for i, t in enumerate(texts):
+        toks = [x for x in t.split(" ") if x]
+        n = len(toks)
+        n_tok[i] = n
+        if n == 0:
+            continue
+        _, cnt = np.unique(np.asarray(toks, dtype=object), return_counts=True)
+        dup_tok[i] = (n - len(cnt)) / n
+        top_tok[i] = int(cnt.max()) / n
+        if n >= 2:
+            bigrams = np.asarray(
+                [toks[j] + " " + toks[j + 1] for j in range(n - 1)], dtype=object
+            )
+            nbd = len(np.unique(bigrams))
+            dup_big[i] = (n - 1 - nbd) / (n - 1)
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "n_tokens": n_tok,
+            "dup_token_ratio": dup_tok,
+            "top_token_ratio": top_tok,
+            "dup_bigram_ratio": dup_big,
+        }
+    )
+
+
+doc_repetition = _stage(doc_repetition_batch)
+
+
+def contamination(docs_ds, bench_mod: int = 37, n: int = 3):
+    """Benchmark-contamination check: for every non-benchmark document, the
+    fraction of its DISTINCT word ``n``-grams that also occur in the
+    benchmark set (docs with ``doc_id % bench_mod == 0`` — a deterministic
+    stand-in for a held-out eval suite). The standard decontamination pass
+    before training (e.g. GPT-3 appendix C / Dodge et al. 2021 C4 audit).
+
+    → Dataset(doc_id, n_grams, n_hit, contamination_ratio).
+
+    Scale shape — broadcast-small, no shuffle: the benchmark side is a
+    fixed eval suite (thousands of docs even at 100 TB corpus scale), so
+    its distinct-gram set is collected ONCE, hashed to uint64
+    (``md5_lower64`` of the space-joined gram; membership survives hashing
+    barring md5 collisions), sorted, ``ray.put`` once, and every scoring
+    batch does a vectorized ``searchsorted`` membership probe. The corpus
+    side is a single linear ``map_batches`` pass. Ratio is one IEEE
+    division of exact ints → bit-identical to the SQL oracle's string-set
+    version.
+    """
+    import ray
+
+    def _toks(t: str) -> list[str]:
+        return [x for x in t.split(" ") if x]
+
+    def _grams(toks: list[str]) -> np.ndarray:
+        if len(toks) < n:
+            return np.asarray([], dtype=object)
+        joined = [" ".join(toks[j : j + n]) for j in range(len(toks) - n + 1)]
+        return np.unique(np.asarray(joined, dtype=object))
+
+    def _bench_grams(batch: pa.Table) -> pa.Table:
+        mask = (batch["doc_id"].to_numpy() % bench_mod) == 0
+        out = []
+        for t, m in zip(batch["text"].to_pylist(), mask):
+            if not m:
+                continue
+            g = _grams(_toks(t))
+            if len(g):
+                out.append(md5_lower64(g))
+        h = (
+            np.unique(np.concatenate(out))
+            if out
+            else np.asarray([], dtype=np.uint64)
+        )
+        return pa.table({"gram_hash": h.view(np.int64)})
+
+    bench_hashes = (
+        docs_ds.map_batches(_bench_grams, batch_format="pyarrow")
+        .to_pandas()["gram_hash"]
+        .to_numpy()
+        .view(np.uint64)
+    )
+    bench_ref = ray.put(np.unique(bench_hashes))  # sorted by construction
+
+    class _Score:
+        def __init__(self, ref):
+            self.bench = ray.get(ref)  # fetched once per actor, zero-copy
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            texts = batch["text"].to_pylist()
+            doc_ids = batch["doc_id"].to_numpy()
+            keep = (doc_ids % bench_mod) != 0
+            n_rows = len(texts)
+            ng = np.zeros(n_rows, dtype=np.int64)
+            nh = np.zeros(n_rows, dtype=np.int64)
+            for i, t in enumerate(texts):
+                if not keep[i]:
+                    continue
+                g = _grams(_toks(t))
+                if not len(g):
+                    continue
+                h = md5_lower64(g)
+                pos = np.searchsorted(self.bench, h)
+                pos_c = np.minimum(pos, max(len(self.bench) - 1, 0))
+                ng[i] = len(g)
+                if len(self.bench):
+                    nh[i] = int((self.bench[pos_c] == h).sum())
+            ratio = np.where(ng > 0, nh / np.maximum(ng, 1), 0.0)
+            return pa.table(
+                {
+                    "doc_id": doc_ids[keep],
+                    "n_grams": ng[keep],
+                    "n_hit": nh[keep],
+                    "contamination_ratio": ratio[keep],
+                }
+            )
+
+    return docs_ds.map_batches(
+        _Score,
+        fn_constructor_args=(bench_ref,),
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )
+
+
+def unigram_quality(docs_ds, num_buckets: int = 32):
+    """LM-flavoured quality scoring against the corpus's own unigram model
+    → Dataset(doc_id, n_tokens, mean_relfreq, hapax_ratio).
+
+    * ``mean_relfreq`` — the document's mean token corpus-frequency,
+      ``Σ_t tf_doc(t)·F_corpus(t) / (n_doc · T)``: high = stereotyped
+      common-word text, low = rare-vocabulary text (a division-only
+      stand-in for unigram log-perplexity that stays BIT-identical to SQL —
+      one IEEE division of exact int64s, no transcendental functions).
+    * ``hapax_ratio`` — fraction of the doc's tokens that are corpus
+      hapax legomena (F = 1): the classic OCR-garbage / gibberish signal.
+
+    Scale shape (the ``salient_terms`` one-pass shuffle): each batch emits
+    per-doc (term, tf, doc_len) rows AND per-batch corpus term-count
+    partials into a single hash(term)-bucketed groupby, which folds the
+    global frequency and reduces each doc's contribution to TWO int64
+    partials per bucket (``Σ tf·F`` and ``Σ tf·[F=1]``); a doc-keyed
+    groupby-sum finishes. Exchanges carry ints, never text; the corpus
+    total T is the scalar fold of the same partials.
+    """
+    from ..functions.hashing import hash64
+    from ray.data.aggregate import Sum
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        doc_ids = batch["doc_id"].to_numpy()
+        rows, toks = [], []
+        for t in texts:
+            tt = [x for x in t.split(" ") if x]
+            toks.extend(tt)
+            rows.append(len(tt))
+        counts = np.asarray(rows, dtype=np.int64)
+        empty = pa.table(
+            {
+                "b": pa.array([], pa.int32()),
+                "side": pa.array([], pa.int8()),
+                "doc_id": pa.array([], pa.int64()),
+                "term": pa.array([], pa.string()),
+                "tf": pa.array([], pa.int64()),
+                "doc_len": pa.array([], pa.int64()),
+            }
+        )
+        if not toks:
+            return empty
+        row_of = np.repeat(np.arange(len(texts), dtype=np.int64), counts)
+        tarr = np.asarray(toks, dtype=object)
+        uterm, tcode = np.unique(tarr, return_inverse=True)
+        key = row_of * len(uterm) + tcode
+        ukey, tf = np.unique(key, return_counts=True)
+        r, c = ukey // len(uterm), ukey % len(uterm)
+        # batch-local corpus-count partial per term
+        ccnt = np.bincount(tcode, minlength=len(uterm)).astype(np.int64)
+        term_col = np.concatenate([uterm[c], uterm])
+        return pa.table(
+            {
+                "b": (hash64(term_col) % np.uint64(num_buckets)).astype(np.int32),
+                "side": np.concatenate(
+                    [np.zeros(len(r), np.int8), np.ones(len(uterm), np.int8)]
+                ),
+                "doc_id": np.concatenate([doc_ids[r], np.full(len(uterm), -1)]),
+                "term": term_col,
+                "tf": np.concatenate([tf.astype(np.int64), ccnt]),
+                "doc_len": np.concatenate([counts[r], np.zeros(len(uterm), np.int64)]),
+            }
+        )
+
+    def _fold_bucket(g: pa.Table) -> pa.Table:
+        side = g["side"].to_numpy()
+        term = g["term"].to_numpy(zero_copy_only=False)
+        tfv = g["tf"].to_numpy()
+        uterm, code = np.unique(term, return_inverse=True)
+        F = np.bincount(
+            code[side == 1], weights=tfv[side == 1], minlength=len(uterm)
+        ).astype(np.int64)
+        tf_rows = side == 0
+        # tok_total piggybacks this bucket's share of the corpus total T on
+        # one row; the driver folds it with a scalar `.sum()` (P ints).
+        bucket_T = int(F.sum())
+        if not tf_rows.any():
+            return pa.table(
+                {
+                    "doc_id": pa.array([-1], pa.int64()),
+                    "num": pa.array([0], pa.int64()),
+                    "hap": pa.array([0], pa.int64()),
+                    "ntok": pa.array([0], pa.int64()),
+                    "tok_total": pa.array([bucket_T], pa.int64()),
+                }
+            )
+        doc = g["doc_id"].to_numpy()[tf_rows]
+        tf = tfv[tf_rows]
+        Fr = F[code[tf_rows]]
+        udoc, dcode = np.unique(doc, return_inverse=True)
+        num = np.bincount(dcode, weights=tf * Fr, minlength=len(udoc)).astype(np.int64)
+        hap = np.bincount(
+            dcode, weights=tf * (Fr == 1), minlength=len(udoc)
+        ).astype(np.int64)
+        # this bucket's share of the doc's length: Σ tf over terms here;
+        # summed across buckets it reconstructs n_tokens exactly.
+        ntok = np.bincount(dcode, weights=tf, minlength=len(udoc)).astype(np.int64)
+        tok_total = np.zeros(len(udoc), dtype=np.int64)
+        tok_total[0] = bucket_T
+        return pa.table(
+            {
+                "doc_id": udoc,
+                "num": num,
+                "hap": hap,
+                "ntok": ntok,
+                "tok_total": tok_total,
+            }
+        )
+
+    folded = (
+        docs_ds.map_batches(_partial, batch_format="pyarrow")
+        .groupby("b")
+        .map_groups(_fold_bucket, batch_format="pyarrow")
+        .materialize()
+    )
+    T = int(folded.sum("tok_total") or 0)
+    per_doc = folded.groupby("doc_id").aggregate(
+        Sum("num", alias_name="num"),
+        Sum("hap", alias_name="hap"),
+        Sum("ntok", alias_name="n_tokens"),
+    )
+
+    def _finish(t: pa.Table) -> pa.Table:
+        doc = t["doc_id"].to_numpy()
+        keep = doc >= 0  # drop the sentinel rows that carried tok_total
+        num = t["num"].to_numpy().astype(np.int64)[keep]
+        hap = t["hap"].to_numpy().astype(np.int64)[keep]
+        nt = t["n_tokens"].to_numpy().astype(np.int64)[keep]
+        denom = np.maximum(nt * np.int64(T), 1)
+        mean_relfreq = np.where(nt > 0, num / denom, 0.0)
+        hapax_ratio = np.where(nt > 0, hap / np.maximum(nt, 1), 0.0)
+        return pa.table(
+            {
+                "doc_id": doc[keep],
+                "n_tokens": nt,
+                "mean_relfreq": mean_relfreq,
+                "hapax_ratio": hapax_ratio,
+            }
+        )
+
+    return per_doc.map_batches(_finish, batch_format="pyarrow")
 
 
 def stratified_sample(

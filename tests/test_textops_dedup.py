@@ -238,3 +238,119 @@ def test_dedup_groups_resolution(ray_session):
     # canonical member = min doc_id of each group; exactly one keep per group
     assert bool(by_doc.loc[0, "keep"]) and not by_doc.loc[1, "keep"]
     assert out.groupby("group")["keep"].sum().eq(1).all()
+
+
+def test_doc_repetition_known_ratios(ray_session):
+    from subgraph_isomorphism_pregel_ray.pipelines.textops import doc_repetition
+
+    corpus = [
+        "a a a a",            # 4 tokens, 1 distinct, top=4/4, bigrams: aa x3 -> 1 distinct
+        "w x y z",            # all distinct
+        "p q p q p",          # 5 tokens {p:3,q:2}; bigrams pq,qp,pq,qp -> 2 distinct of 4
+        "",                   # empty -> zeros
+        "solo",               # 1 token, no bigrams
+    ]
+    out = (
+        doc_repetition(_docs_ds(corpus)).to_pandas().set_index("doc_id").sort_index()
+    )
+    assert out.loc[0, "dup_token_ratio"] == 3 / 4
+    assert out.loc[0, "top_token_ratio"] == 1.0
+    assert out.loc[0, "dup_bigram_ratio"] == 2 / 3
+    assert out.loc[1, "dup_token_ratio"] == 0.0
+    assert out.loc[1, "dup_bigram_ratio"] == 0.0
+    assert out.loc[2, "top_token_ratio"] == 3 / 5
+    assert out.loc[2, "dup_bigram_ratio"] == 2 / 4
+    assert (out.loc[3] == 0).all()
+    assert out.loc[4, "n_tokens"] == 1 and out.loc[4, "dup_bigram_ratio"] == 0.0
+
+
+def test_contamination_overlap(ray_session):
+    """doc 0 is the benchmark (0 % 37 == 0); doc 37 would be too but ids are
+    small here. Non-benchmark docs scored by distinct-trigram overlap."""
+    from subgraph_isomorphism_pregel_ray.pipelines.textops import contamination
+
+    corpus = [
+        "alpha beta gamma delta epsilon",          # benchmark doc (id 0)
+        "alpha beta gamma zeta eta",               # shares exactly 1 trigram
+        "alpha beta gamma delta epsilon extra",    # 4 trigrams, 3 in benchmark
+        "totally unrelated words here now",        # 0 overlap
+        "xy yz",                                   # < 3 tokens -> 0 grams
+    ]
+    out = (
+        contamination(_docs_ds(corpus), bench_mod=37)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert 0 not in out.index  # benchmark docs excluded from scoring
+    assert out.loc[1, "n_grams"] == 3 and out.loc[1, "n_hit"] == 1
+    assert out.loc[2, "n_grams"] == 4 and out.loc[2, "n_hit"] == 3
+    assert out.loc[3, "n_hit"] == 0
+    assert out.loc[4, "n_grams"] == 0 and out.loc[4, "contamination_ratio"] == 0.0
+
+
+def test_unigram_quality_numpy_parity(ray_session):
+    """Engine result == a direct numpy replay of the definition, and is
+    invariant to batch size (the bucket shuffle must not change sums)."""
+    from collections import Counter
+
+    from subgraph_isomorphism_pregel_ray.pipelines.textops import unigram_quality
+
+    rng = np.random.default_rng(7)
+    vocab = ["tok%d" % i for i in range(40)]
+    corpus = [
+        " ".join(rng.choice(vocab, size=rng.integers(1, 30)))
+        for _ in range(50)
+    ]
+    corpus.append("")  # empty doc: must simply be absent from the output
+    out = (
+        unigram_quality(_docs_ds(corpus)).to_pandas().set_index("doc_id").sort_index()
+    )
+    toks = [t.split() for t in corpus]
+    cf = Counter(w for tt in toks for w in tt)
+    T = sum(cf.values())
+    assert len(out) == 50  # empty doc dropped
+    for d in [0, 7, 49]:
+        tt = toks[d]
+        n = len(tt)
+        num = sum(cf[w] for w in tt)
+        hap = sum(1 for w in tt if cf[w] == 1)
+        assert out.loc[d, "n_tokens"] == n
+        assert out.loc[d, "mean_relfreq"] == num / (n * T)
+        assert out.loc[d, "hapax_ratio"] == hap / n
+
+
+def test_neighbor_sample_cap_and_determinism(ray_session):
+    """Every src keeps min(degree, k) neighbors; ranks are 1..m; the chosen
+    set is a pure function of the edges — invariant to partitioning."""
+    import ray.data as rd
+
+    from subgraph_isomorphism_pregel_ray.pipelines.algorithms import neighbor_sample
+
+    rng = np.random.default_rng(3)
+    src = rng.integers(0, 30, size=400).astype(np.int64)
+    dst = rng.integers(0, 30, size=400).astype(np.int64)
+    keep = src != dst
+    edges = pa.table({"src": src[keep], "dst": dst[keep]})
+    # dedup directed edges (neighbor_sample assumes a distinct edge set)
+    import pandas as pd
+
+    e = edges.to_pandas().drop_duplicates().reset_index(drop=True)
+    deg = e.groupby("src").size()
+
+    outs = []
+    for blocks in (1, 7):
+        ds = rd.from_pandas(e).repartition(blocks)
+        out = (
+            neighbor_sample(ds, k=5)
+            .to_pandas()
+            .sort_values(["src", "rnk"])
+            .reset_index(drop=True)
+        )
+        outs.append(out)
+    assert outs[0].equals(outs[1])  # partition-invariant
+    got = outs[0].groupby("src").size()
+    for s, d in deg.items():
+        assert got.get(s, 0) == min(d, 5)
+    assert (outs[0].groupby("src")["rnk"].min() == 1).all()
+    assert (outs[0].groupby("src")["rnk"].max() == outs[0].groupby("src").size()).all()
