@@ -386,6 +386,18 @@ def _q_neighbor_sample(sf_dir: str):
     return neighbor_sample(_sym_copurchase(sf_dir), k=5)
 
 
+def _q_chunk_documents(sf_dir: str):
+    from subgraph_isomorphism_pregel_ray.pipelines.corpus import chunk_documents
+
+    return chunk_documents(_docs(sf_dir), window=20)
+
+
+def _q_pack_sequences(sf_dir: str):
+    from subgraph_isomorphism_pregel_ray.pipelines.corpus import pack_sequences
+
+    return pack_sequences(_docs(sf_dir), seq_len=512)
+
+
 def _q_events_sorted(sf_dir: str):
     """TeraSort analogue over the events stream: distributed sort by
     (value DESC, event_id ASC) + global 0-based ordinal (two-phase
@@ -677,6 +689,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "contamination": _q_contamination,
         "unigram_quality": _q_unigram_quality,
         "neighbor_sample_copurchase": _q_neighbor_sample,
+        "chunk_documents": _q_chunk_documents,
+        "pack_sequences": _q_pack_sequences,
     }
 
 
@@ -1364,6 +1378,27 @@ def oracle_sql() -> dict[str, str]:
             "r AS (SELECT src, dst, row_number() OVER "
             "(PARTITION BY src ORDER BY hv, dst) AS rnk FROM h) "
             "SELECT src, dst, CAST(rnk AS BIGINT) AS rnk FROM r WHERE rnk <= 5"
+        ),
+        "chunk_documents": (
+            # string_agg(tok, ' ' ORDER BY pos) rebuilds the engine's
+            # ' '.join byte-identically (tokens contain no spaces).
+            f"WITH {tok_cte} "
+            "SELECT doc_id, CAST((pos - 1) // 20 AS BIGINT) AS chunk_id, "
+            "CAST(count(*) AS BIGINT) AS n_tokens, "
+            "string_agg(tok, ' ' ORDER BY pos) AS chunk_text "
+            "FROM tok GROUP BY 1, 2"
+        ),
+        "pack_sequences": (
+            # exclusive prefix sum over token counts in doc_id order —
+            # exactly the engine's sort_with_prefix_sum; // and % replay
+            # the int64 arithmetic (all values non-negative).
+            f"WITH lens AS (SELECT doc_id, CAST(len({sp_toks}) AS BIGINT) "
+            "AS n FROM documents), "
+            "p AS (SELECT doc_id, n, COALESCE(sum(n) OVER (ORDER BY doc_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix "
+            "FROM lens) "
+            "SELECT doc_id, n AS n_tokens, CAST(prefix // 512 AS BIGINT) AS seq_id, "
+            "CAST(prefix % 512 AS BIGINT) AS seq_offset FROM p"
         ),
         "events_sorted": (
             "SELECT event_id, value, CAST(row_number() OVER "

@@ -24,7 +24,7 @@ import pyarrow as pa
 from ..functions.hashing import md5_hex_batch
 from .textops import _ALNUM_RE, _tokens
 
-__all__ = ["corpus_clean"]
+__all__ = ["corpus_clean", "chunk_documents", "pack_sequences"]
 
 
 def corpus_clean(docs_ds, min_tokens: int = 20, min_alnum_ratio: float = 0.82):
@@ -66,3 +66,82 @@ def corpus_clean(docs_ds, min_tokens: int = 20, min_alnum_ratio: float = 0.82):
         .aggregate(Min("doc_id", alias_name="doc_id"), Min("n_tokens", alias_name="n_tokens"))
         .select_columns(["doc_id", "content_hash", "n_tokens"])
     )
+
+
+def chunk_documents(docs_ds, window: int = 20):
+    """Token-window chunking — split each document into fixed-size token
+    chunks (the pre-tokenization step of every LLM training pipeline)
+    → Dataset(doc_id, chunk_id, n_tokens, chunk_text).
+
+    Tokenizer = ``split(' ')`` dropping empties; chunk text rejoins with a
+    single space, exactly the SQL oracle's ``string_agg(tok, ' ' ORDER BY
+    pos)`` — byte-identical reconstruction. Empty docs produce no chunks.
+    Pure linear ``map_batches``: no shuffle, output rows ≈ tokens/window.
+    """
+
+    def _chunk(batch: pa.Table) -> pa.Table:
+        doc_ids = batch["doc_id"].to_numpy()
+        out_doc, out_chunk, out_n, out_text = [], [], [], []
+        for i, t in enumerate(batch["text"].to_pylist()):
+            toks = [x for x in t.split(" ") if x]
+            for c in range(0, len(toks), window):
+                piece = toks[c : c + window]
+                out_doc.append(doc_ids[i])
+                out_chunk.append(c // window)
+                out_n.append(len(piece))
+                out_text.append(" ".join(piece))
+        return pa.table(
+            {
+                "doc_id": np.asarray(out_doc, dtype=np.int64),
+                "chunk_id": np.asarray(out_chunk, dtype=np.int64),
+                "n_tokens": np.asarray(out_n, dtype=np.int64),
+                "chunk_text": pa.array(out_text, type=pa.string()),
+            }
+        )
+
+    return docs_ds.map_batches(_chunk, batch_format="pyarrow")
+
+
+def pack_sequences(docs_ds, seq_len: int = 512):
+    """Sequence packing — lay every document head-to-tail in global
+    ``doc_id`` order and cut the stream every ``seq_len`` tokens (GPT-style
+    packed pretraining batches); each doc is stamped with the training
+    sequence its first token lands in and its offset within it
+    → Dataset(doc_id, n_tokens, seq_id, seq_offset).
+
+    The packing IS a distributed exclusive prefix sum over token counts
+    (``sort_with_prefix_sum`` — the reference's TeraSort prefix-sum
+    aggregator generalized from row counts to values): one narrow
+    tokenize-count pass (doc_id + one int leave each batch, never text),
+    a range-partitioned sort, P scalars to the driver, one stamping pass.
+    Deterministic at any parallelism; empty docs keep their slot with
+    ``n_tokens = 0``.
+    """
+    from ..stages.sort import sort_with_prefix_sum
+
+    def _count(batch: pa.Table) -> pa.Table:
+        n = np.fromiter(
+            (
+                sum(1 for x in t.split(" ") if x)
+                for t in batch["text"].to_pylist()
+            ),
+            np.int64,
+            count=batch.num_rows,
+        )
+        return pa.table({"doc_id": batch["doc_id"], "n_tokens": n})
+
+    counted = docs_ds.map_batches(_count, batch_format="pyarrow")
+    stamped = sort_with_prefix_sum(counted, "doc_id", "n_tokens", out_col="prefix")
+
+    def _assign(t: pa.Table) -> pa.Table:
+        p = t["prefix"].to_numpy()
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_tokens": t["n_tokens"],
+                "seq_id": (p // seq_len).astype(np.int64),
+                "seq_offset": (p % seq_len).astype(np.int64),
+            }
+        )
+
+    return stamped.map_batches(_assign, batch_format="pyarrow")

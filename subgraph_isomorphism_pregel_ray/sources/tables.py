@@ -8,7 +8,7 @@ from __future__ import annotations
 
 import os
 
-__all__ = ["table_path", "read_table"]
+__all__ = ["table_path", "read_table", "read_jsonl", "to_parquet_shards"]
 
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
@@ -23,3 +23,29 @@ def read_table(sf_dir: str, name: str, columns: list[str] | None = None):
     import ray.data as rd
 
     return rd.read_parquet(table_path(sf_dir, name), columns=columns)
+
+
+def read_jsonl(path: str, columns: list[str] | None = None):
+    """Newline-delimited JSON source (the interchange format most raw
+    web-scrape corpora arrive in before parquet conversion). A thin wrapper
+    over ``ray.data.read_json`` — Ray splits by file and streams blocks, so
+    a directory of ``.jsonl`` shards parallelizes like parquet. Column
+    pruning happens AFTER parse (JSONL is row-major — there is nothing to
+    push down), so convert to parquet once (``to_parquet_shards``) before
+    iterating at scale.
+    """
+    import ray.data as rd
+
+    ds = rd.read_json(path)
+    return ds.select_columns(columns) if columns else ds
+
+
+def to_parquet_shards(ds, out_dir: str, partition_col: str | None = None):
+    """One-time JSONL→parquet conversion: columnar, prunable, resumable
+    (hive-partitioned when ``partition_col`` is given — one directory per
+    value, so re-runs and readers can skip finished/irrelevant shards)."""
+    if partition_col is not None:
+        ds.write_parquet(out_dir, partition_cols=[partition_col])
+    else:
+        ds.write_parquet(out_dir)
+    return out_dir

@@ -14,7 +14,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-__all__ = ["sort_with_ordinal"]
+__all__ = ["sort_with_ordinal", "sort_with_prefix_sum"]
 
 
 def sort_with_ordinal(ds, key, descending=False, ordinal_col: str = "ordinal"):
@@ -52,3 +52,42 @@ def _stamp(tbl: pa.Table, offset: int, col: str) -> pa.Table:
     return tbl.append_column(
         col, pa.array(np.arange(offset, offset + tbl.num_rows, dtype=np.int64))
     )
+
+
+def sort_with_prefix_sum(
+    ds, key, value_col: str, out_col: str = "prefix", descending=False
+):
+    """→ Dataset sorted by ``key`` with an EXCLUSIVE global prefix sum of
+    ``value_col`` (the value-generalized form of ``sort_with_ordinal`` —
+    the reference's prefix-sum aggregator, ``TeraSort.h:244-283``, over an
+    arbitrary int column instead of the constant 1).
+
+    Same two-phase shape: per-block column sums (P scalars to the driver),
+    exclusive scan, then one vectorized stamping pass per block. The first
+    row's prefix is 0; row i's prefix is the sum of all earlier rows'
+    values in global ``key`` order.
+    """
+    sorted_ds = ds.sort(key, descending=descending)
+    refs = sorted_ds.to_arrow_refs()
+    sums = ray.get([_col_sum.remote(r, value_col) for r in refs])
+    bases = np.concatenate([[0], np.cumsum(sums)[:-1]]).astype(np.int64)
+    stamped = [
+        _stamp_prefix.remote(r, int(b), value_col, out_col)
+        for r, b in zip(refs, bases)
+    ]
+    import ray.data as rd
+
+    return rd.from_arrow_refs(stamped)
+
+
+@ray.remote
+def _col_sum(tbl: pa.Table, col: str) -> int:
+    v = tbl[col].to_numpy()
+    return int(v.sum()) if len(v) else 0
+
+
+@ray.remote
+def _stamp_prefix(tbl: pa.Table, base: int, col: str, out: str) -> pa.Table:
+    v = tbl[col].to_numpy().astype(np.int64)
+    prefix = base + np.cumsum(v) - v  # exclusive within the block
+    return tbl.append_column(out, pa.array(prefix))

@@ -144,3 +144,34 @@ def test_cli_ppr_walk_assortativity(tmp_path):
 
     summary = _json.loads(out.stdout.strip().splitlines()[-1])
     assert -1.0 <= summary["assortativity"] <= 1.0
+
+
+def test_jsonl_roundtrip(ray_session, tmp_path):
+    """JSONL source parses shards and converts to prunable parquet."""
+    import json
+
+    import ray.data as rd
+
+    from subgraph_isomorphism_pregel_ray.sources.tables import (
+        read_jsonl,
+        to_parquet_shards,
+    )
+
+    rows = [
+        {"doc_id": i, "text": f"doc {i} body", "lang": ["en", "de"][i % 2]}
+        for i in range(20)
+    ]
+    for shard in range(2):
+        with open(tmp_path / f"part-{shard}.jsonl", "w") as f:
+            for r in rows[shard * 10 : (shard + 1) * 10]:
+                f.write(json.dumps(r) + "\n")
+
+    ds = read_jsonl(str(tmp_path), columns=["doc_id", "text"])
+    got = ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert list(got.columns) == ["doc_id", "text"]
+    assert len(got) == 20 and got.loc[3, "text"] == "doc 3 body"
+
+    out = tmp_path / "pq"
+    to_parquet_shards(read_jsonl(str(tmp_path)), str(out), partition_col="lang")
+    back = rd.read_parquet(str(out)).to_pandas()
+    assert len(back) == 20 and set(back["lang"]) == {"en", "de"}

@@ -354,3 +354,51 @@ def test_neighbor_sample_cap_and_determinism(ray_session):
         assert got.get(s, 0) == min(d, 5)
     assert (outs[0].groupby("src")["rnk"].min() == 1).all()
     assert (outs[0].groupby("src")["rnk"].max() == outs[0].groupby("src").size()).all()
+
+
+def test_chunk_documents_reconstruction(ray_session):
+    """Chunks rejoin to the space-normalized doc; sizes are window-capped."""
+    from subgraph_isomorphism_pregel_ray.pipelines.corpus import chunk_documents
+
+    corpus = [
+        " ".join("t%d" % i for i in range(47)),  # 47 tokens -> 3 chunks of 20/20/7
+        "a b",
+        "",
+    ]
+    out = (
+        chunk_documents(_docs_ds(corpus), window=20)
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_id"])
+        .reset_index(drop=True)
+    )
+    d0 = out[out.doc_id == 0]
+    assert list(d0["n_tokens"]) == [20, 20, 7]
+    assert " ".join(d0["chunk_text"]) == corpus[0]
+    assert list(out[out.doc_id == 1]["chunk_text"]) == ["a b"]
+    assert 2 not in set(out["doc_id"])  # empty doc yields no chunks
+
+
+def test_pack_sequences_prefix_and_invariance(ray_session):
+    """seq_id/seq_offset replay the exclusive token prefix sum in doc_id
+    order, at any partitioning."""
+    import ray.data as rd
+
+    from subgraph_isomorphism_pregel_ray.pipelines.corpus import pack_sequences
+
+    rng = np.random.default_rng(11)
+    corpus = [" ".join(["w"] * int(n)) for n in rng.integers(0, 40, size=60)]
+    outs = []
+    for blocks in (1, 9):
+        ds = _docs_ds(corpus).repartition(blocks)
+        outs.append(
+            pack_sequences(ds, seq_len=64)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+    assert outs[0].equals(outs[1])
+    lens = np.array([len(t.split()) for t in corpus], dtype=np.int64)
+    prefix = np.cumsum(lens) - lens
+    assert (outs[0]["n_tokens"].to_numpy() == lens).all()
+    assert (outs[0]["seq_id"].to_numpy() == prefix // 64).all()
+    assert (outs[0]["seq_offset"].to_numpy() == prefix % 64).all()
