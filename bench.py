@@ -15,7 +15,8 @@ Stages timed:
   pagerank     10 supersteps, actor engine
   cc / lpa / triangles / match_*   same engine (actors + CSR reused)
   exact_dedup / minhash_pairs / salient_terms / hll_registers /
-  events_range_join   training-data ops over the sf documents/events
+  events_range_join / contamination / pack_sequences   training-data ops
+               over the sf documents/events tables
 """
 
 from __future__ import annotations
@@ -226,6 +227,17 @@ def run_bench() -> dict:
     t0 = time.perf_counter()
     events_range_join(SF_DIR).count()
     q["events_range_join"] = time.perf_counter() - t0
+
+    # curation ops added in round 2: contamination sweep + packing prefix sum
+    from subgraph_isomorphism_pregel_ray.pipelines.corpus import pack_sequences
+    from subgraph_isomorphism_pregel_ray.pipelines.textops import contamination
+
+    t0 = time.perf_counter()
+    contamination(docs).count()
+    q["contamination"] = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    pack_sequences(docs).count()
+    q["pack_sequences"] = time.perf_counter() - t0
 
     ray.shutdown()
 
