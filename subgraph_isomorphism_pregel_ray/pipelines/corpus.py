@@ -134,6 +134,11 @@ def pack_sequences(docs_ds, seq_len: int = 512):
     stamped = sort_with_prefix_sum(counted, "doc_id", "n_tokens", out_col="prefix")
 
     def _assign(t: pa.Table) -> pa.Table:
+        if "prefix" not in t.column_names:  # zero-row input: typed empty out
+            e = pa.array([], pa.int64())
+            return pa.table(
+                {"doc_id": e, "n_tokens": e, "seq_id": e, "seq_offset": e}
+            )
         p = t["prefix"].to_numpy()
         return pa.table(
             {

@@ -623,11 +623,12 @@ def contamination(docs_ds, bench_mod: int = 37, n: int = 3):
         )
         return pa.table({"gram_hash": h.view(np.int64)})
 
+    bench_df = docs_ds.map_batches(_bench_grams, batch_format="pyarrow").to_pandas()
     bench_hashes = (
-        docs_ds.map_batches(_bench_grams, batch_format="pyarrow")
-        .to_pandas()["gram_hash"]
-        .to_numpy()
-        .view(np.uint64)
+        bench_df["gram_hash"].to_numpy().view(np.uint64)
+        # a zero-row aggregate yields a schema-less empty frame
+        if "gram_hash" in bench_df.columns
+        else np.asarray([], dtype=np.uint64)
     )
     bench_ref = ray.put(np.unique(bench_hashes))  # sorted by construction
 

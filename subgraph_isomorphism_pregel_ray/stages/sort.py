@@ -82,12 +82,16 @@ def sort_with_prefix_sum(
 
 @ray.remote
 def _col_sum(tbl: pa.Table, col: str) -> int:
-    v = tbl[col].to_numpy()
-    return int(v.sum()) if len(v) else 0
+    # zero-row upstream datasets can hand over schema-less empty blocks
+    if col not in tbl.column_names or tbl.num_rows == 0:
+        return 0
+    return int(tbl[col].to_numpy().sum())
 
 
 @ray.remote
 def _stamp_prefix(tbl: pa.Table, base: int, col: str, out: str) -> pa.Table:
+    if col not in tbl.column_names:  # schema-less empty block: passthrough
+        return tbl
     v = tbl[col].to_numpy().astype(np.int64)
     prefix = base + np.cumsum(v) - v  # exclusive within the block
     return tbl.append_column(out, pa.array(prefix))

@@ -1053,3 +1053,45 @@ def test_text_and_event_ops_on_empty_tables(ray_session, tmp_path):
     }.items():
         df = ds.to_pandas()
         assert len(df) == 0, name
+
+
+def test_round2_curation_ops_on_empty_tables(ray_session, tmp_path):
+    """The round-2 curation ops stream zero-row inputs cleanly too."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from subgraph_isomorphism_pregel_ray.pipelines.algorithms import neighbor_sample
+    from subgraph_isomorphism_pregel_ray.pipelines.corpus import (
+        chunk_documents,
+        pack_sequences,
+    )
+    from subgraph_isomorphism_pregel_ray.pipelines.textops import (
+        contamination,
+        doc_repetition,
+        unigram_quality,
+    )
+
+    src = pq.read_schema("/root/testdata/sf0.001/documents.parquet")
+    pq.write_table(src.empty_table(), tmp_path / "documents.parquet")
+    docs = rd.read_parquet(
+        str(tmp_path / "documents.parquet"), columns=["doc_id", "text"]
+    )
+    edges = rd.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([], pa.int64()),
+                "dst": pa.array([], pa.int64()),
+            }
+        )
+    )
+
+    for name, ds in {
+        "doc_repetition": doc_repetition(docs),
+        "contamination": contamination(docs),
+        "unigram_quality": unigram_quality(docs),
+        "chunk_documents": chunk_documents(docs),
+        "pack_sequences": pack_sequences(docs),
+        "neighbor_sample": neighbor_sample(edges),
+    }.items():
+        df = ds.to_pandas()
+        assert len(df) == 0, name
