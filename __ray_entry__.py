@@ -386,6 +386,16 @@ def _q_neighbor_sample(sf_dir: str):
     return neighbor_sample(_sym_copurchase(sf_dir), k=5)
 
 
+def _q_hyperball(sf_dir: str):
+    """HyperBall registers at radius 2 (m=256). The float ``nf_est`` is
+    projected out so the compared columns are exact ints; the estimate's
+    accuracy has its own pytest oracle vs exact BFS balls."""
+    from subgraph_isomorphism_pregel_ray.pipelines.algorithms import hyperball
+
+    tbl, _ = hyperball(_sym_copurchase(sf_dir), radius=2, p=8, num_parts=4)
+    return tbl.select(["vid", "reg_sum", "reg_zeros"])
+
+
 def _q_chunk_documents(sf_dir: str):
     from subgraph_isomorphism_pregel_ray.pipelines.corpus import chunk_documents
 
@@ -691,6 +701,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "neighbor_sample_copurchase": _q_neighbor_sample,
         "chunk_documents": _q_chunk_documents,
         "pack_sequences": _q_pack_sequences,
+        "hyperball_copurchase": _q_hyperball,
     }
 
 
@@ -1378,6 +1389,33 @@ def oracle_sql() -> dict[str, str]:
             "r AS (SELECT src, dst, row_number() OVER "
             "(PARTITION BY src ORDER BY hv, dst) AS rnk FROM h) "
             "SELECT src, dst, CAST(rnk AS BIGINT) AS rnk FROM r WHERE rnk <= 5"
+        ),
+        "hyperball_copurchase": (
+            # registers are BIT-exact: both multiplicative hashes stay on
+            # the 2^31 ring (all intermediates < 2^63 → BIGINT replays the
+            # engine's int64 math) and rho = 32 - bit_length(w) is 31 pure
+            # integer comparisons — no float log on either side. The ball
+            # at radius 2 is the unrolled dist<=2 closure; register j of v
+            # = max rho over ball members hashing to j.
+            "WITH e AS (SELECT a.l_partkey AS src, b.l_partkey AS dst "
+            "FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey "
+            "WHERE a.l_partkey <> b.l_partkey GROUP BY 1, 2), "
+            "v AS (SELECT DISTINCT src AS vid FROM e), "
+            "hh AS (SELECT vid, ((vid * 2654435761) % 2147483648) % 256 AS idx, "
+            "(vid * 2246822519 + 1) % 2147483648 AS w FROM v), "
+            "rr AS (SELECT vid, idx, 32 - ("
+            + " + ".join(
+                f"CASE WHEN w >= {1 << k} THEN 1 ELSE 0 END" for k in range(31)
+            )
+            + ") AS rho FROM hh), "
+            "ball AS (SELECT vid, vid AS member FROM v "
+            "UNION SELECT src, dst FROM e "
+            "UNION SELECT a.src, b.dst FROM e a JOIN e b ON b.src = a.dst), "
+            "regs AS (SELECT ball.vid, r.idx, max(r.rho) AS reg "
+            "FROM ball JOIN rr r ON r.vid = ball.member GROUP BY 1, 2) "
+            "SELECT v.vid, CAST(COALESCE(sum(regs.reg), 0) AS BIGINT) AS reg_sum, "
+            "CAST(256 - count(regs.idx) AS BIGINT) AS reg_zeros "
+            "FROM v LEFT JOIN regs ON regs.vid = v.vid GROUP BY 1"
         ),
         "chunk_documents": (
             # string_agg(tok, ' ' ORDER BY pos) rebuilds the engine's

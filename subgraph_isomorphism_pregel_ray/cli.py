@@ -66,7 +66,7 @@ def main(argv=None):
         p.add_argument("--resume", action="store_true")
 
     for name in ("pagerank", "cc", "sssp", "mis", "lpa", "triangles", "kcore",
-                 "ppr", "walk", "hits", "assortativity"):
+                 "ppr", "walk", "hits", "assortativity", "hyperball"):
         p = sub.add_parser(name)
         common(p)
         if name in ("pagerank", "lpa", "ppr", "hits"):
@@ -84,6 +84,10 @@ def main(argv=None):
                            help="BFS sources are vid %% seed-mod == 0")
         if name == "walk":
             p.add_argument("--walk-len", type=int, default=4)
+        if name == "hyperball":
+            p.add_argument("--radius", type=int, default=3)
+            p.add_argument("--hll-p", type=int, default=8,
+                           help="register index bits (m = 2^p per vertex)")
 
     p = sub.add_parser("match")
     common(p)
@@ -175,6 +179,12 @@ def main(argv=None):
         "walk": lambda: ("walk", {"walk_len": walk_len}, walk_len + 2, False),
         "hits": lambda: ("hits", {"iters": iters}, iters + 3, False),
         "assortativity": lambda: ("assortativity", {}, 3, False),
+        "hyperball": lambda: (
+            "hyperball",
+            {"radius": getattr(args, "radius", 3), "p": getattr(args, "hll_p", 8)},
+            getattr(args, "radius", 3) + 3,
+            False,
+        ),
     }[args.cmd]()
 
     eng = build_engine(edges_ds, args.parts, labels_ds=labels_ds, directed=directed)

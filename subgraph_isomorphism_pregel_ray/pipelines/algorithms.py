@@ -40,6 +40,7 @@ __all__ = [
     "pagerank_dataset",
     "cc_dataset",
     "neighbor_sample",
+    "hyperball",
 ]
 
 
@@ -516,3 +517,18 @@ def neighbor_sample(edges_ds, k: int = 5, num_buckets: int = 32):
         .groupby("b")
         .map_groups(_rank_bucket, batch_format="pyarrow")
     )
+
+
+def hyperball(edges_or_engine, radius: int = 2, p: int = 8, num_parts: int = 8):
+    """HyperBall approximate neighborhood function over the symmetrized edge
+    set → (table(vid, reg_sum, reg_zeros, nf_est), lineage). See
+    ``HyperBallProgram`` — registers are SQL-bit-exact; ``nf_est`` is the
+    HLL ball-size estimate (probabilistic, pytest-checked vs exact BFS)."""
+    eng, lineage, own = _run(
+        edges_or_engine, "hyperball", {"radius": radius, "p": p},
+        num_parts, radius + 3, directed=False,
+    )
+    out = eng.result_table()
+    if own:
+        eng.shutdown()
+    return out, lineage

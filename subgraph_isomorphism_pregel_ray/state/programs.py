@@ -1714,6 +1714,138 @@ class HITSProgram(VertexProgram):
         return pa.table({"vid": self.csr.vids, "auth": self.auth, "hub": self.hub})
 
 
+# --------------------------------------------------------------------------
+_HB_RING = np.int64(1) << 31
+
+
+def _hb_hashes(vids: np.ndarray, m: int):
+    """Per-vertex HLL (idx, rho) from two Knuth-style multiplicative hashes
+    on the 2³¹ ring — every intermediate < 2⁶³, so a SQL oracle replays the
+    arithmetic in plain BIGINT and the registers are BIT-comparable.
+    rho = 32 − bit_length(w) for the 31-bit w (w = 0 → 32): computed via
+    31 integer comparisons, no float log anywhere."""
+    v = vids.astype(np.uint64).view(np.int64)
+    idx = ((v * np.int64(2654435761)) % _HB_RING) % np.int64(m)
+    w = (v * np.int64(2246822519) + 1) % _HB_RING
+    bits = np.zeros(len(v), dtype=np.uint8)
+    for k in range(31):
+        bits += (w >= (np.int64(1) << k)).astype(np.uint8)
+    return idx.astype(np.int64), (32 - bits).astype(np.uint8)
+
+
+class HyperBallProgram(VertexProgram):
+    """HyperBall (Boldi & Vigna, "In-Core Computation of Geometric
+    Centralities with HyperBall", 2013 — public): every vertex keeps an
+    HLL counter of its ball B(v, t); one superstep = elementwise register
+    max with all neighbors, so after t exchanges the counter summarizes
+    the radius-t ball. THE web-scale neighborhood-function algorithm
+    (designed for exactly this engine's target: billion-node link graphs
+    where exact ball enumeration is hopeless).
+
+    Scale shape: registers are uint8[m] per vertex (m = 2^p); scatter is
+    frontier-based (only vertices whose counter changed send) and
+    pre-aggregates per destination inside the sender — a group-max
+    ``np.maximum.reduceat`` per dst, so the exchange carries one register
+    row per DISTINCT (src-partition, dst) pair, the elementwise-max
+    combiner analogue of PageRank's pre-summed floats. Convergence =
+    no register changes anywhere (≤ diameter supersteps) or ``radius``.
+
+    Result: per vertex ``reg_sum`` / ``reg_zeros`` (exact int invariants of
+    the register array — SQL-oracle-checkable via an unrolled ball join)
+    and ``nf_est`` (the HLL ball-size estimate with linear-counting
+    small-range correction, pytest-checked against exact BFS balls).
+    """
+
+    def init(self, csr: CSRPartition, radius: int = 3, p: int = 8):
+        self.csr = csr
+        self.radius = int(radius)
+        self.m = 1 << int(p)
+        idx, rho = _hb_hashes(csr.vids, self.m)
+        self.reg = np.zeros((csr.num_vertices, self.m), dtype=np.uint8)
+        self.reg[np.arange(csr.num_vertices), idx] = rho
+        self.changed = np.ones(csr.num_vertices, dtype=bool)
+
+    def apply(self, step, inbox, glob):
+        if step == 0:
+            self._done = self.radius <= 0
+            return {"active": 0 if self._done else int(self.changed.sum())}
+        new_changed = np.zeros(self.csr.num_vertices, dtype=bool)
+        for msg in inbox:
+            if msg is None or len(msg["dst"]) == 0:
+                continue
+            li = self.csr.local_index(msg["dst"])
+            cur = self.reg[li]
+            grew = (msg["reg"] > cur).any(axis=1)
+            if grew.any():
+                self.reg[li] = np.maximum(cur, msg["reg"])
+                new_changed[li[grew]] = True
+        self.changed = new_changed
+        self._done = step >= self.radius
+        return {"active": 0 if self._done else int(new_changed.sum())}
+
+    def scatter(self, step):
+        P = self.csr.num_parts
+        if getattr(self, "_done", False) or not self.changed.any():
+            return [None] * P, {"sent": 0}
+        dix = self.csr.dst_index()
+        sel_all = self.changed[dix.src_row][dix.order]
+        rows_all = dix.src_row[dix.order]
+        dst_all = self.csr.indices[dix.order]
+        outbox, sent = [], 0
+        for p in range(P):
+            s, e = dix.slices[p]
+            sel = sel_all[s:e]
+            if not sel.any():
+                outbox.append(None)
+                continue
+            dsts = dst_all[s:e][sel]  # still sorted by dst within the slice
+            rows = rows_all[s:e][sel]
+            first = np.concatenate([[True], dsts[1:] != dsts[:-1]])
+            starts = np.flatnonzero(first)
+            merged = np.maximum.reduceat(self.reg[rows], starts, axis=0)
+            outbox.append({"dst": dsts[first], "reg": merged})
+            sent += len(starts)
+        return outbox, {"sent": sent}
+
+    def _est(self) -> np.ndarray:
+        m = self.m
+        alpha = 0.7213 / (1 + 1.079 / m) if m >= 128 else {16: 0.673, 32: 0.697, 64: 0.709}.get(m, 0.7213 / (1 + 1.079 / m))
+        pow2 = np.power(2.0, -self.reg.astype(np.float64))
+        raw = alpha * m * m / pow2.sum(axis=1)
+        zeros = (self.reg == 0).sum(axis=1)
+        small = (raw <= 2.5 * m) & (zeros > 0)
+        est = raw.copy()
+        est[small] = m * np.log(m / zeros[small])
+        return est
+
+    def state_table(self):
+        flat = pa.array(self.reg.reshape(-1), pa.uint8())
+        return pa.table(
+            {
+                "vid": self.csr.vids,
+                "reg": pa.FixedSizeListArray.from_arrays(flat, self.m),
+                "changed": self.changed,
+            }
+        )
+
+    def load_state(self, table, step):
+        self.reg = (
+            table["reg"].combine_chunks().flatten().to_numpy().reshape(-1, self.m).copy()
+        )
+        self.changed = table["changed"].to_numpy().copy()
+        self._done = step >= self.radius
+
+    def result_table(self):
+        return pa.table(
+            {
+                "vid": self.csr.vids,
+                "reg_sum": self.reg.sum(axis=1, dtype=np.int64),
+                "reg_zeros": (self.reg == 0).sum(axis=1).astype(np.int64),
+                "nf_est": self._est(),
+            }
+        )
+
+
 PROGRAMS = {
     "pagerank": PageRankProgram,
     "cc": ConnectedComponentsProgram,
@@ -1727,4 +1859,5 @@ PROGRAMS = {
     "ppr": PersonalizedPageRankProgram,
     "walk": RandomWalkProgram,
     "hits": HITSProgram,
+    "hyperball": HyperBallProgram,
 }

@@ -337,3 +337,60 @@ def test_random_walks_vs_bruteforce(parts):
     assert len(res) == len(adj)  # no walker lost or duplicated
     got = dict(zip(res.start_vid.astype(int), res.end_vid.astype(int)))
     assert got == expected
+
+
+@pytest.mark.parametrize("radius", [1, 2])
+def test_hyperball_accuracy_vs_exact_balls(radius):
+    """nf_est tracks exact BFS ball sizes (m=1024 → linear-counting regime
+    on this graph, so the relative error bound is tight), and the integer
+    register invariants are identical at any partition count."""
+    import collections
+
+    rng = np.random.default_rng(5)
+    n = 300
+    src = rng.integers(0, n, 1500)
+    dst = rng.integers(0, n, 1500)
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+
+    eng = LocalBSP(src, dst, num_parts=4, directed=False)
+    eng.run("hyperball", {"radius": radius, "p": 10}, max_steps=radius + 3)
+    res = eng.result().to_pandas().set_index("vid").sort_index()
+
+    adj = collections.defaultdict(set)
+    for s, d in zip(src, dst):
+        adj[int(s)].add(int(d))
+        adj[int(d)].add(int(s))
+    errs = []
+    for v in sorted(set(src.tolist()) | set(dst.tolist())):
+        ball = {v}
+        frontier = {v}
+        for _ in range(radius):
+            frontier = set().union(*(adj[u] for u in frontier)) - ball
+            ball |= frontier
+        errs.append(abs(res.loc[v, "nf_est"] - len(ball)) / len(ball))
+    errs = np.asarray(errs)
+    assert errs.mean() < 0.05 and errs.max() < 0.2
+
+    eng2 = LocalBSP(src, dst, num_parts=7, directed=False)
+    eng2.run("hyperball", {"radius": radius, "p": 10}, max_steps=radius + 3)
+    res2 = eng2.result().to_pandas().set_index("vid").sort_index()
+    assert (res["reg_sum"] == res2["reg_sum"]).all()
+    assert (res["reg_zeros"] == res2["reg_zeros"]).all()
+
+
+def test_hyperball_converges_before_radius_cap():
+    """On a graph with diameter < radius the frontier dries up and the run
+    stops early (active==0 and sent==0), registers saturated to the whole
+    component."""
+    # star: diameter 2, ask for radius 10
+    src = np.zeros(20, dtype=np.int64)
+    dst = np.arange(1, 21, dtype=np.int64)
+    eng = LocalBSP(src, dst, num_parts=3, directed=False)
+    glob = eng.run("hyperball", {"radius": 10, "p": 10}, max_steps=20)
+    res = eng.result().to_pandas()
+    # every vertex sees all 21: with m=1024 the linear-count estimate is
+    # near-exact
+    assert np.allclose(res["nf_est"], 21, rtol=0.05)
+    # register invariants identical across vertices (same ball everywhere)
+    assert res["reg_sum"].nunique() == 1
