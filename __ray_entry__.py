@@ -386,6 +386,18 @@ def _q_neighbor_sample(sf_dir: str):
     return neighbor_sample(_sym_copurchase(sf_dir), k=5)
 
 
+def _q_redact_pii(sf_dir: str):
+    from subgraph_isomorphism_pregel_ray.pipelines.textops import redact_pii
+
+    return redact_pii(_docs(sf_dir))
+
+
+def _q_curate_corpus(sf_dir: str):
+    from subgraph_isomorphism_pregel_ray.pipelines.corpus import curate_corpus
+
+    return curate_corpus(_docs(sf_dir))
+
+
 def _q_hyperball(sf_dir: str):
     """HyperBall registers at radius 2 (m=256). The float ``nf_est`` is
     projected out so the compared columns are exact ints; the estimate's
@@ -702,6 +714,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_documents": _q_chunk_documents,
         "pack_sequences": _q_pack_sequences,
         "hyperball_copurchase": _q_hyperball,
+        "redact_pii": _q_redact_pii,
+        "curate_corpus": _q_curate_corpus,
     }
 
 
@@ -1389,6 +1403,61 @@ def oracle_sql() -> dict[str, str]:
             "r AS (SELECT src, dst, row_number() OVER "
             "(PARTITION BY src ORDER BY hv, dst) AS rnk FROM h) "
             "SELECT src, dst, CAST(rnk AS BIGINT) AS rnk FROM r WHERE rnk <= 5"
+        ),
+        "redact_pii": (
+            # both regexes use only syntax with identical re/RE2 semantics
+            # and both engines replace non-overlapping matches left-to-right
+            # (e-mails first, so an address's host never double-counts as an
+            # IP-like token) — clean_text is byte-identical.
+            "SELECT doc_id, "
+            "regexp_replace(regexp_replace(text, "
+            "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), "
+            "'[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}', '<IP>', 'g') "
+            "AS clean_text, "
+            "len(regexp_extract_all(text, "
+            "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_emails, "
+            "len(regexp_extract_all(regexp_replace(text, "
+            "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), "
+            "'[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}')) AS n_ips "
+            "FROM documents"
+        ),
+        "curate_corpus": (
+            # the full gate ladder (short → alnum → repetitive →
+            # contaminated → duplicate) with FIRST-failing-gate precedence;
+            # every ratio is one exact-int division vs a literal, and the
+            # duplicate verdict is min-doc_id-per-md5 over survivors only.
+            f"WITH {tok_cte}, "
+            "cnts AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY 1, 2), "
+            "stats AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n, count(*) AS nd, "
+            "max(c) AS topc FROM cnts GROUP BY 1), "
+            "tri AS (SELECT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS g "
+            "FROM tok a JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1 "
+            "JOIN tok c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2), "
+            "bench AS (SELECT DISTINCT g FROM tri WHERE doc_id % 37 = 0), "
+            "dgr AS (SELECT DISTINCT doc_id, g FROM tri WHERE doc_id % 37 <> 0), "
+            "hits AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS ng, "
+            "CAST(sum(CASE WHEN g IN (SELECT g FROM bench) THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS nh FROM dgr GROUP BY 1), "
+            "base AS (SELECT d.doc_id, d.text, COALESCE(s.n, 0) AS n, s.nd, "
+            "s.topc, COALESCE(h.ng, 0) AS ng, COALESCE(h.nh, 0) AS nh, "
+            "length(d.text) AS len, "
+            "length(regexp_replace(d.text, '[^a-zA-Z0-9]', '', 'g')) AS aln "
+            "FROM documents d LEFT JOIN stats s USING (doc_id) "
+            "LEFT JOIN hits h USING (doc_id)), "
+            "g AS (SELECT doc_id, text, CASE "
+            "WHEN n < 20 THEN 'short' "
+            "WHEN len = 0 OR aln * 1.0 / len < 0.82 THEN 'alnum' "
+            "WHEN (n - nd) * 1.0 / n > 0.65 OR topc * 1.0 / n > 0.25 "
+            "THEN 'repetitive' "
+            "WHEN doc_id % 37 <> 0 AND ng > 0 AND nh * 1.0 / ng > 0.5 "
+            "THEN 'contaminated' "
+            "ELSE 'pass' END AS reason FROM base), "
+            "k AS (SELECT doc_id, CASE WHEN doc_id = min(doc_id) OVER "
+            "(PARTITION BY md5(text)) THEN 'ok' ELSE 'duplicate' END AS r2 "
+            "FROM g WHERE reason = 'pass') "
+            "SELECT g.doc_id, COALESCE(k.r2, g.reason) = 'ok' AS keep, "
+            "COALESCE(k.r2, g.reason) AS reason "
+            "FROM g LEFT JOIN k USING (doc_id)"
         ),
         "hyperball_copurchase": (
             # registers are BIT-exact: both multiplicative hashes stay on

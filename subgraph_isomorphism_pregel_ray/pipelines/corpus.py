@@ -24,7 +24,7 @@ import pyarrow as pa
 from ..functions.hashing import md5_hex_batch
 from .textops import _ALNUM_RE, _tokens
 
-__all__ = ["corpus_clean", "chunk_documents", "pack_sequences"]
+__all__ = ["corpus_clean", "chunk_documents", "pack_sequences", "curate_corpus"]
 
 
 def corpus_clean(docs_ds, min_tokens: int = 20, min_alnum_ratio: float = 0.82):
@@ -150,3 +150,140 @@ def pack_sequences(docs_ds, seq_len: int = 512):
         )
 
     return stamped.map_batches(_assign, batch_format="pyarrow")
+
+
+def curate_corpus(
+    docs_ds,
+    min_tokens: int = 20,
+    min_alnum_ratio: float = 0.82,
+    max_dup_token_ratio: float = 0.65,
+    max_top_token_ratio: float = 0.25,
+    max_contamination: float = 0.5,
+    bench_mod: int = 37,
+):
+    """The full curation decision a training-data run makes per document —
+    length gate → alnum-quality gate → Gopher repetition gates →
+    benchmark decontamination → exact dedup — with an auditable verdict:
+    → Dataset(doc_id, keep: bool, reason ∈ {ok, short, alnum, repetitive,
+    contaminated, duplicate}). ``reason`` is the FIRST failing gate (fixed
+    precedence, so the verdict is deterministic and SQL-replayable);
+    benchmark documents themselves skip the contamination gate.
+
+    Scale shape: ONE linear pass computes every per-document gate (the
+    benchmark gram set rides the same broadcast as ``contamination`` —
+    ``ray.put`` once, ``searchsorted`` per batch); the narrow verdict table
+    (doc_id, reason, content_hash) is materialized once, survivors take a
+    single md5-keyed groupby for the duplicate verdict (uniform key, no
+    skew), and rejected rows bypass that shuffle entirely via ``union``.
+    Every ratio compares a single exact-int IEEE division against the
+    threshold literal — bit-identical to the SQL oracle's CASE ladder.
+    """
+    import ray
+
+    from .textops import (
+        _space_tokens,
+        _word_ngrams_unique,
+        benchmark_gram_hashes,
+    )
+
+    bench_ref = ray.put(benchmark_gram_hashes(docs_ds, bench_mod, 3))
+
+    from ..functions.hashing import md5_lower64
+
+    class _Gate:
+        def __init__(self, ref):
+            self.bench = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            texts = batch["text"].to_pylist()
+            doc_ids = batch["doc_id"].to_numpy()
+            reasons, hashes = [], []
+            for i, t in enumerate(texts):
+                toks = _space_tokens(t)
+                n = len(toks)
+                if n < min_tokens:
+                    reasons.append("short")
+                    hashes.append("")
+                    continue
+                alnum = len(_ALNUM_RE.findall(t))
+                if len(t) == 0 or alnum / len(t) < min_alnum_ratio:
+                    reasons.append("alnum")
+                    hashes.append("")
+                    continue
+                _, cnt = np.unique(np.asarray(toks, dtype=object), return_counts=True)
+                if (n - len(cnt)) / n > max_dup_token_ratio or int(
+                    cnt.max()
+                ) / n > max_top_token_ratio:
+                    reasons.append("repetitive")
+                    hashes.append("")
+                    continue
+                if doc_ids[i] % bench_mod != 0 and len(self.bench):
+                    g = _word_ngrams_unique(toks, 3)
+                    if len(g):
+                        h = md5_lower64(g)
+                        pos = np.minimum(
+                            np.searchsorted(self.bench, h), len(self.bench) - 1
+                        )
+                        nh = int((self.bench[pos] == h).sum())
+                        if nh / len(g) > max_contamination:
+                            reasons.append("contaminated")
+                            hashes.append("")
+                            continue
+                reasons.append("pass")
+                hashes.append(md5_hex_batch([t])[0])
+            return pa.table(
+                {
+                    "doc_id": doc_ids,
+                    "reason": pa.array(reasons, pa.string()),
+                    "content_hash": pa.array(hashes, pa.string()),
+                }
+            )
+
+    verdicts = docs_ds.map_batches(
+        _Gate,
+        fn_constructor_args=(bench_ref,),
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    ).materialize()  # narrow (id, enum, hash) — read twice below
+
+    import pyarrow.compute as pc
+
+    def _is(flag):
+        def f(t: pa.Table) -> pa.Table:
+            mask = pc.equal(t["reason"], "pass")
+            return t.filter(mask if flag else pc.invert(mask))
+
+        return f
+
+    def _dedup_group(g: pa.Table) -> pa.Table:
+        ids = g["doc_id"].to_numpy()
+        keep = ids == ids.min()
+        return pa.table(
+            {
+                "doc_id": ids,
+                "keep": keep,
+                "reason": pa.array(
+                    np.where(keep, "ok", "duplicate").tolist(), pa.string()
+                ),
+            }
+        )
+
+    passed = (
+        verdicts.map_batches(_is(True), batch_format="pyarrow")
+        .groupby("content_hash")
+        .map_groups(_dedup_group, batch_format="pyarrow")
+    )
+
+    def _rejected(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "keep": np.zeros(t.num_rows, dtype=bool),
+                "reason": t["reason"],
+            }
+        )
+
+    rejected = verdicts.map_batches(_is(False), batch_format="pyarrow").map_batches(
+        _rejected, batch_format="pyarrow"
+    )
+    return passed.union(rejected)

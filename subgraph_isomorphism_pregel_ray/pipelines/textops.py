@@ -48,6 +48,8 @@ __all__ = [
     "doc_repetition",
     "contamination",
     "unigram_quality",
+    "redact_pii_batch",
+    "redact_pii",
 ]
 
 _ALNUM_RE = re.compile(r"[a-zA-Z0-9]")
@@ -577,6 +579,46 @@ def doc_repetition_batch(batch: pa.Table) -> pa.Table:
 doc_repetition = _stage(doc_repetition_batch)
 
 
+def _space_tokens(t: str) -> list[str]:
+    """split(' ') dropping empties — the SQL-exact tokenizer shared by the
+    repetition / contamination / chunking / packing operators."""
+    return [x for x in t.split(" ") if x]
+
+
+def _word_ngrams_unique(toks: list[str], n: int) -> np.ndarray:
+    """DISTINCT space-joined word n-grams (tokens contain no spaces, so the
+    join is injective)."""
+    if len(toks) < n:
+        return np.asarray([], dtype=object)
+    joined = [" ".join(toks[j : j + n]) for j in range(len(toks) - n + 1)]
+    return np.unique(np.asarray(joined, dtype=object))
+
+
+def benchmark_gram_hashes(docs_ds, bench_mod: int = 37, n: int = 3):
+    """Sorted uint64 md5 hashes of the benchmark subset's distinct word
+    n-grams — the broadcast-small side of the decontamination probe (the
+    benchmark is a fixed eval suite, small at ANY corpus scale)."""
+    def _bench(batch: pa.Table) -> pa.Table:
+        mask = (batch["doc_id"].to_numpy() % bench_mod) == 0
+        out = []
+        for t, m in zip(batch["text"].to_pylist(), mask):
+            if not m:
+                continue
+            g = _word_ngrams_unique(_space_tokens(t), n)
+            if len(g):
+                out.append(md5_lower64(g))
+        h = np.unique(np.concatenate(out)) if out else np.asarray([], np.uint64)
+        return pa.table({"gram_hash": h.view(np.int64)})
+
+    df = docs_ds.map_batches(_bench, batch_format="pyarrow").to_pandas()
+    return np.unique(
+        df["gram_hash"].to_numpy().view(np.uint64)
+        # a zero-row aggregate yields a schema-less empty frame
+        if "gram_hash" in df.columns
+        else np.asarray([], dtype=np.uint64)
+    )
+
+
 def contamination(docs_ds, bench_mod: int = 37, n: int = 3):
     """Benchmark-contamination check: for every non-benchmark document, the
     fraction of its DISTINCT word ``n``-grams that also occur in the
@@ -598,39 +640,8 @@ def contamination(docs_ds, bench_mod: int = 37, n: int = 3):
     """
     import ray
 
-    def _toks(t: str) -> list[str]:
-        return [x for x in t.split(" ") if x]
-
-    def _grams(toks: list[str]) -> np.ndarray:
-        if len(toks) < n:
-            return np.asarray([], dtype=object)
-        joined = [" ".join(toks[j : j + n]) for j in range(len(toks) - n + 1)]
-        return np.unique(np.asarray(joined, dtype=object))
-
-    def _bench_grams(batch: pa.Table) -> pa.Table:
-        mask = (batch["doc_id"].to_numpy() % bench_mod) == 0
-        out = []
-        for t, m in zip(batch["text"].to_pylist(), mask):
-            if not m:
-                continue
-            g = _grams(_toks(t))
-            if len(g):
-                out.append(md5_lower64(g))
-        h = (
-            np.unique(np.concatenate(out))
-            if out
-            else np.asarray([], dtype=np.uint64)
-        )
-        return pa.table({"gram_hash": h.view(np.int64)})
-
-    bench_df = docs_ds.map_batches(_bench_grams, batch_format="pyarrow").to_pandas()
-    bench_hashes = (
-        bench_df["gram_hash"].to_numpy().view(np.uint64)
-        # a zero-row aggregate yields a schema-less empty frame
-        if "gram_hash" in bench_df.columns
-        else np.asarray([], dtype=np.uint64)
-    )
-    bench_ref = ray.put(np.unique(bench_hashes))  # sorted by construction
+    _toks, _grams = _space_tokens, lambda tt: _word_ngrams_unique(tt, n)
+    bench_ref = ray.put(benchmark_gram_hashes(docs_ds, bench_mod, n))
 
     class _Score:
         def __init__(self, ref):
@@ -854,3 +865,43 @@ def stratified_sample(
         return t.filter(pa.array(h < thresh))
 
     return docs_ds.map_batches(_keep, batch_format="pyarrow")
+
+
+_EMAIL_RE = re.compile(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}")
+_IP_RE = re.compile(r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}")
+
+
+def redact_pii_batch(batch: pa.Table) -> pa.Table:
+    """PII scrubbing — the pre-release redaction pass every public-corpus
+    pipeline runs: replace e-mail addresses then IPv4 literals with typed
+    placeholders → (doc_id, clean_text, n_emails, n_ips).
+
+    Both patterns use only syntax with IDENTICAL semantics in Python ``re``
+    and DuckDB's RE2 (character classes, bounded/unbounded repeats — no
+    backrefs, no lookaround), and both engines substitute non-overlapping
+    matches left-to-right, so ``regexp_replace(..., 'g')`` reproduces the
+    output byte-for-byte. E-mails are replaced FIRST so an address's host
+    part is never double-counted as an IP-like token. Pure linear
+    map_batches; compiled patterns are module-level (no per-batch setup).
+    """
+    texts = batch["text"].to_pylist()
+    n = len(texts)
+    n_em = np.empty(n, dtype=np.int64)
+    n_ip = np.empty(n, dtype=np.int64)
+    out = []
+    for i, t in enumerate(texts):
+        t2, c_em = _EMAIL_RE.subn("<EMAIL>", t)
+        t3, c_ip = _IP_RE.subn("<IP>", t2)
+        n_em[i], n_ip[i] = c_em, c_ip
+        out.append(t3)
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "clean_text": pa.array(out, pa.string()),
+            "n_emails": n_em,
+            "n_ips": n_ip,
+        }
+    )
+
+
+redact_pii = _stage(redact_pii_batch)

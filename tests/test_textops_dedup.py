@@ -402,3 +402,70 @@ def test_pack_sequences_prefix_and_invariance(ray_session):
     assert (outs[0]["n_tokens"].to_numpy() == lens).all()
     assert (outs[0]["seq_id"].to_numpy() == prefix // 64).all()
     assert (outs[0]["seq_offset"].to_numpy() == prefix % 64).all()
+
+
+def test_redact_pii_replacements(ray_session):
+    from subgraph_isomorphism_pregel_ray.pipelines.textops import redact_pii
+
+    corpus = [
+        "contact me at alice.smith+spam@example.co.uk or bob@test.org today",
+        "server at 192.168.0.1 and backup 10.0.0.255 are down",
+        "email first: a@b.io then host 127.0.0.1 mixed",
+        "nothing sensitive here",
+        "",
+    ]
+    out = (
+        redact_pii(_docs_ds(corpus)).to_pandas().set_index("doc_id").sort_index()
+    )
+    assert out.loc[0, "clean_text"] == "contact me at <EMAIL> or <EMAIL> today"
+    assert out.loc[0, "n_emails"] == 2 and out.loc[0, "n_ips"] == 0
+    assert out.loc[1, "clean_text"] == "server at <IP> and backup <IP> are down"
+    assert out.loc[1, "n_ips"] == 2
+    assert out.loc[2, "clean_text"] == "email first: <EMAIL> then host <IP> mixed"
+    assert out.loc[3, "clean_text"] == corpus[3]
+    assert out.loc[4, "clean_text"] == ""
+
+
+def test_curate_corpus_reason_ladder(ray_session):
+    """One doc per verdict, incl. the duplicate path and first-failing-gate
+    precedence (a short AND repetitive doc reads 'short')."""
+    from subgraph_isomorphism_pregel_ray.pipelines.corpus import curate_corpus
+
+    good = " ".join("longword%02d" % i for i in range(30))
+    # doc 0 is always a benchmark doc (0 % m == 0); max_contamination=2.0
+    # disables that gate so this test isolates the other four verdicts
+    corpus = [
+        good,                                   # 0: ok (kept, min id of its group)
+        "too short",                            # 1: short (also repetitive-ish)
+        "!!! ??? " * 10,                        # 2: alnum (20 tokens, low alnum)
+        " ".join(["repeatedword"] * 25),        # 3: repetitive (dup ratio 0.96)
+        good,                                   # 4: duplicate of 0
+    ]
+    out = (
+        curate_corpus(_docs_ds(corpus), max_contamination=2.0)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert list(out["reason"]) == ["ok", "short", "alnum", "repetitive", "duplicate"]
+    assert list(out["keep"]) == [True, False, False, False, False]
+
+
+def test_curate_corpus_contamination_gate(ray_session):
+    """A non-benchmark doc that is a near-copy of the benchmark doc is
+    rejected as contaminated; the benchmark doc itself skips the gate."""
+    from subgraph_isomorphism_pregel_ray.pipelines.corpus import curate_corpus
+
+    bench = " ".join("benchword%02d" % i for i in range(40))
+    near_copy = bench + " tailword1 tailword2"
+    clean = " ".join("cleanword%02d" % i for i in range(40))
+    corpus = [bench, near_copy, clean]  # doc 0 is benchmark (0 % 37 == 0)
+    out = (
+        curate_corpus(_docs_ds(corpus))
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert out.loc[0, "reason"] == "ok"  # benchmark doc skips the gate
+    assert out.loc[1, "reason"] == "contaminated" and not out.loc[1, "keep"]
+    assert out.loc[2, "reason"] == "ok"
