@@ -459,8 +459,11 @@ def neighbor_sample(edges_ds, k: int = 5, num_buckets: int = 32):
         h(src, dst) = ((src·2²¹ + dst) mod 2³¹) · 2654435761 mod 2³¹
 
     (the Knuth multiplicative hash on a 2³¹ ring; all intermediates < 2⁶³
-    so the oracle replays it in plain BIGINT). Rank = position in
-    (h ASC, dst ASC) order — a total order, so the cut at ``k`` is exact.
+    *for vids < 2²¹* — the co-purchase partkey range; url-hash-scale vids
+    wrap identically on the engine side (numpy mod-2⁶⁴) but would overflow
+    a BIGINT oracle, so re-shift the packing for wider key spaces). Rank =
+    position in (h ASC, dst ASC) order — a total order, so the cut at
+    ``k`` is exact.
 
     → Dataset(src:int64, dst:int64, rnk:int64), rnk ∈ [1, k].
 

@@ -776,13 +776,17 @@ def unigram_quality(docs_ds, num_buckets: int = 32):
         tf = tfv[tf_rows]
         Fr = F[code[tf_rows]]
         udoc, dcode = np.unique(doc, return_inverse=True)
-        num = np.bincount(dcode, weights=tf * Fr, minlength=len(udoc)).astype(np.int64)
-        hap = np.bincount(
-            dcode, weights=tf * (Fr == 1), minlength=len(udoc)
-        ).astype(np.int64)
+        # int64 accumulation via add.at (NOT float-weighted bincount, whose
+        # float64 path loses exactness past 2^53 — Σ tf·F can cross that at
+        # full corpus scale; groups here are small so add.at costs nothing)
+        num = np.zeros(len(udoc), dtype=np.int64)
+        np.add.at(num, dcode, tf * Fr)
+        hap = np.zeros(len(udoc), dtype=np.int64)
+        np.add.at(hap, dcode, tf * (Fr == 1))
         # this bucket's share of the doc's length: Σ tf over terms here;
         # summed across buckets it reconstructs n_tokens exactly.
-        ntok = np.bincount(dcode, weights=tf, minlength=len(udoc)).astype(np.int64)
+        ntok = np.zeros(len(udoc), dtype=np.int64)
+        np.add.at(ntok, dcode, tf)
         tok_total = np.zeros(len(udoc), dtype=np.int64)
         tok_total[0] = bucket_T
         return pa.table(
