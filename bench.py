@@ -15,7 +15,8 @@ Stages timed:
   pagerank     10 supersteps, actor engine
   cc / lpa / triangles / match_*   same engine (actors + CSR reused)
   exact_dedup / minhash_pairs / salient_terms / hll_registers /
-  events_range_join / contamination / pack_sequences   training-data ops
+  events_range_join / contamination / pack_sequences / curate_corpus
+               training-data ops
                over the sf documents/events tables
 """
 
@@ -238,6 +239,11 @@ def run_bench() -> dict:
     t0 = time.perf_counter()
     pack_sequences(docs).count()
     q["pack_sequences"] = time.perf_counter() - t0
+    from subgraph_isomorphism_pregel_ray.pipelines.corpus import curate_corpus
+
+    t0 = time.perf_counter()
+    curate_corpus(docs).count()
+    q["curate_corpus"] = time.perf_counter() - t0
 
     ray.shutdown()
 

@@ -1781,7 +1781,13 @@ class HyperBallProgram(VertexProgram):
                 new_changed[li[grew]] = True
         self.changed = new_changed
         self._done = step >= self.radius
-        return {"active": 0 if self._done else int(new_changed.sum())}
+        # nf_sum folds to Σ_v |B(v, step)| — the global neighborhood
+        # function per radius, i.e. the distance distribution, lands in the
+        # lineage for free (Boldi & Vigna §4 report exactly this curve).
+        return {
+            "active": 0 if self._done else int(new_changed.sum()),
+            "nf_sum": float(self._est().sum()),
+        }
 
     def scatter(self, step):
         P = self.csr.num_parts

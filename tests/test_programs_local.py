@@ -394,3 +394,32 @@ def test_hyperball_converges_before_radius_cap():
     assert np.allclose(res["nf_est"], 21, rtol=0.05)
     # register invariants identical across vertices (same ball everywhere)
     assert res["reg_sum"].nunique() == 1
+
+
+def test_hyperball_nf_curve_in_lineage():
+    """The folded nf_sum per superstep is the global neighborhood function:
+    non-decreasing in radius and ending at Σ ball sizes."""
+    src = np.array([0, 1, 2, 3], dtype=np.int64)
+    dst = np.array([1, 2, 3, 4], dtype=np.int64)  # path graph 0-1-2-3-4
+    eng = LocalBSP(src, dst, num_parts=2, directed=False)
+    curve = []
+    # LocalBSP.run folds only the final step; replay manually to capture all
+    from subgraph_isomorphism_pregel_ray.state.programs import PROGRAMS
+
+    progs = [PROGRAMS["hyperball"]() for _ in range(2)]
+    for p, csr in zip(progs, eng.csrs):
+        p.init(csr, radius=4, p=10)
+    inbox = [[], []]
+    for step in range(7):
+        outs, nf = [], 0.0
+        for i, p in enumerate(progs):
+            sa = p.apply(step, inbox[i], {})
+            ob, _ = p.scatter(step)
+            outs.append(ob)
+            nf += sa.get("nf_sum", 0.0)
+        inbox = [[outs[q][i] for q in range(2)] for i in range(2)]
+        if step > 0:
+            curve.append(nf)
+    assert all(b >= a for a, b in zip(curve, curve[1:]))  # non-decreasing
+    # path graph radius-4 balls: sizes 5,5,5,5,5 -> Σ = 25 (m=1024 ≈ exact)
+    assert abs(curve[-1] - 25) / 25 < 0.05
