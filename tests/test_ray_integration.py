@@ -172,3 +172,29 @@ def test_pagerank_dataset_path_matches_actor_path(ray_session, graph_arrays):
     b = b.sort_values("vid").reset_index(drop=True)
     assert np.array_equal(a["vid"].values, b["vid"].values)
     assert np.allclose(a["rank"].values, b["pr"].values, atol=1e-7)
+
+
+def test_hyperball_checkpoint_resume(ray_session, graph_arrays, tmp_path):
+    """FixedSizeList register state round-trips parquet checkpoints and a
+    mid-run resume reproduces the straight run bit-for-bit."""
+    s, d = graph_arrays
+    gdir, ckdir = str(tmp_path / "g3"), str(tmp_path / "ck3")
+    partition_graph(edges_from_arrays(s, d), 4, gdir, directed=False)
+    params = {"radius": 4, "p": 8}
+
+    eng = BSPEngine(gdir, 4)
+    eng.run("hyperball", params, max_steps=8)
+    ref = eng.result_table().to_pandas().sort_values("vid").reset_index(drop=True)
+    eng.shutdown()
+
+    engA = BSPEngine(gdir, 4)  # "killed" after step 2
+    engA.run("hyperball", params, max_steps=3, checkpoint_dir=ckdir, checkpoint_every=1)
+    engA.shutdown()
+    assert os.path.isdir(os.path.join(ckdir, "step=2"))
+    engB = BSPEngine(gdir, 4)
+    engB.run("hyperball", params, max_steps=8, checkpoint_dir=ckdir,
+             checkpoint_every=1, resume=True)
+    resumed = engB.result_table().to_pandas().sort_values("vid").reset_index(drop=True)
+    engB.shutdown()
+    assert np.array_equal(ref["reg_sum"].values, resumed["reg_sum"].values)
+    assert np.array_equal(ref["nf_est"].values, resumed["nf_est"].values)
