@@ -386,6 +386,12 @@ def _q_neighbor_sample(sf_dir: str):
     return neighbor_sample(_sym_copurchase(sf_dir), k=5)
 
 
+def _q_knn_graph(sf_dir: str):
+    from subgraph_isomorphism_pregel_ray.pipelines.similarity import knn_graph
+
+    return knn_graph(_emb(sf_dir), k=5)
+
+
 def _q_redact_pii(sf_dir: str):
     from subgraph_isomorphism_pregel_ray.pipelines.textops import redact_pii
 
@@ -716,6 +722,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hyperball_copurchase": _q_hyperball,
         "redact_pii": _q_redact_pii,
         "curate_corpus": _q_curate_corpus,
+        "knn_graph": _q_knn_graph,
     }
 
 
@@ -1403,6 +1410,19 @@ def oracle_sql() -> dict[str, str]:
             "r AS (SELECT src, dst, row_number() OVER "
             "(PARTITION BY src ORDER BY hv, dst) AS rnk FROM h) "
             "SELECT src, dst, CAST(rnk AS BIGINT) AS rnk FROM r WHERE rnk <= 5"
+        ),
+        "knn_graph": (
+            # same cosine/round/tie-break conventions as ann_topk; ranks are
+            # ordered on the ROUNDED(6) cosine on BOTH sides, so the top-k
+            # cut is deterministic.
+            "WITH s AS (SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id, "
+            "round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+            "CAST(b.embedding AS DOUBLE[])), 6) AS cos "
+            "FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id), "
+            "r AS (SELECT *, row_number() OVER (PARTITION BY vec_id "
+            "ORDER BY cos DESC, nbr_id) AS rank FROM s) "
+            "SELECT vec_id, nbr_id, cos, CAST(rank AS BIGINT) AS rank "
+            "FROM r WHERE rank <= 5"
         ),
         "redact_pii": (
             # both regexes use only syntax with identical re/RE2 semantics

@@ -23,7 +23,7 @@ import numpy as np
 from ..functions.rounding import round_half_away
 import pyarrow as pa
 
-__all__ = ["ann_topk", "ann_topk_ivf", "build_ivf_index"]
+__all__ = ["ann_topk", "ann_topk_ivf", "build_ivf_index", "knn_graph"]
 
 
 def _norm_rows(M: np.ndarray) -> np.ndarray:
@@ -339,3 +339,90 @@ def kmeans_embeddings(emb_ds, k: int = 8, iters: int = 5):
         )
 
     return emb_ds.map_batches(_assign, batch_format="pyarrow"), cent
+
+
+def knn_graph(emb_ds, k: int = 5):
+    """All-vectors k-NN graph — the embedding-space construction step for
+    GNN training / near-dup clustering → Dataset(vec_id, nbr_id, cos, rank).
+
+    Scale shape: the normalized corpus matrix is broadcast ONCE
+    (``ray.put``) and each ``map_batches`` task scores only ITS batch rows
+    against it (one matmul), taking each row's exact top-k inside the task
+    — every vector belongs to exactly one batch, so there is NO driver-side
+    fold at all (unlike ``ann_topk``'s per-query fold): the result streams
+    out of the map stage. This is the declared ≤10⁶-vector exact path
+    (matrix ≈ dim·8 bytes/vector broadcast to each worker once); beyond
+    that, swap the broadcast for the IVF cell layout (``build_ivf_index``)
+    and run the same per-row top-k against probed cells only.
+
+    Ranking ties are broken on the ROUNDED(6) cosine then ``nbr_id`` —
+    identical on both sides of the oracle, so ranks are deterministic.
+    """
+    import ray
+
+    # assemble the broadcast matrix IN A TASK from the dataset's own block
+    # refs — the driver never holds a vector; workers fetch the one shared
+    # object-store copy per node.
+    ref = _assemble_matrix.remote(*emb_ds.to_arrow_refs())
+
+    class _Score:
+        def __init__(self, r):
+            self.ids, self.M = ray.get(r)  # once per actor, zero-copy
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            vids = batch["vec_id"].to_numpy().astype(np.int64)
+            if len(vids) == 0:
+                return pa.table(
+                    {
+                        "vec_id": pa.array([], pa.int64()),
+                        "nbr_id": pa.array([], pa.int64()),
+                        "cos": pa.array([], pa.float64()),
+                        "rank": pa.array([], pa.int64()),
+                    }
+                )
+            B = _norm_rows(
+                np.stack(batch["embedding"].to_pandas().to_numpy()).astype(np.float64)
+            )
+            cos6 = round_half_away(B @ self.M.T, 6)  # (nb, n)
+            out = []
+            for i, vid in enumerate(vids):
+                c = cos6[i]
+                mask = self.ids != vid
+                idx = np.nonzero(mask)[0]
+                order = np.lexsort((self.ids[idx], -c[idx]))[:k]
+                sel = idx[order]
+                out.append(
+                    pa.table(
+                        {
+                            "vec_id": np.full(len(sel), vid, dtype=np.int64),
+                            "nbr_id": self.ids[sel],
+                            "cos": c[sel],
+                            "rank": np.arange(1, len(sel) + 1, dtype=np.int64),
+                        }
+                    )
+                )
+            return pa.concat_tables(out)
+
+    return emb_ds.map_batches(
+        _Score,
+        fn_constructor_args=(ref,),
+        batch_format="pyarrow",
+        batch_size=1024,
+        concurrency=(1, 8),
+    )
+
+
+import ray as _ray
+
+
+@_ray.remote
+def _assemble_matrix(*blocks):
+    """Concat embedding blocks → (ids, row-normalized float64 matrix); runs
+    as a task so the assembled matrix lives in the object store, not the
+    driver heap."""
+    import pandas as pd
+
+    df = pd.concat([b.to_pandas() for b in blocks], ignore_index=True)
+    ids = df["vec_id"].to_numpy().astype(np.int64)
+    M = _norm_rows(np.stack(df["embedding"].to_numpy()).astype(np.float64))
+    return ids, M

@@ -469,3 +469,42 @@ def test_curate_corpus_contamination_gate(ray_session):
     assert out.loc[0, "reason"] == "ok"  # benchmark doc skips the gate
     assert out.loc[1, "reason"] == "contaminated" and not out.loc[1, "keep"]
     assert out.loc[2, "reason"] == "ok"
+
+
+def test_knn_graph_vs_numpy(ray_session):
+    """k-NN graph == direct numpy all-pairs replay; no driver fold, each
+    vector ranked fully inside its own batch."""
+    import ray.data as rd
+
+    from subgraph_isomorphism_pregel_ray.pipelines.similarity import knn_graph
+    from subgraph_isomorphism_pregel_ray.functions.rounding import round_half_away
+
+    rng = np.random.default_rng(9)
+    n, dim, k = 60, 8, 4
+    M = rng.normal(size=(n, dim)).astype(np.float64)
+    emb = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": np.arange(n, dtype=np.int64),
+                "embedding": [row.astype(np.float32).tolist() for row in M],
+            }
+        )
+    ).repartition(5)
+    out = (
+        knn_graph(emb, k=k)
+        .to_pandas()
+        .sort_values(["vec_id", "rank"])
+        .reset_index(drop=True)
+    )
+    Mf = M.astype(np.float32).astype(np.float64)  # storage dtype roundtrip
+    Mn = Mf / np.linalg.norm(Mf, axis=1, keepdims=True)
+    cos6 = round_half_away(Mn @ Mn.T, 6)
+    for v in range(n):
+        c = cos6[v].copy()
+        ids = np.arange(n)
+        mask = ids != v
+        order = np.lexsort((ids[mask], -c[mask]))[:k]
+        exp = ids[mask][order]
+        got = out[out.vec_id == v]["nbr_id"].to_numpy()
+        assert np.array_equal(got, exp), v
+    assert out.groupby("vec_id").size().eq(k).all()
