@@ -386,6 +386,12 @@ def _q_neighbor_sample(sf_dir: str):
     return neighbor_sample(_sym_copurchase(sf_dir), k=5)
 
 
+def _q_events_hopping(sf_dir: str):
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import events_hopping
+
+    return events_hopping(sf_dir, window_sec=600, hop_sec=300)
+
+
 def _q_knn_graph(sf_dir: str):
     from subgraph_isomorphism_pregel_ray.pipelines.similarity import knn_graph
 
@@ -723,6 +729,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "redact_pii": _q_redact_pii,
         "curate_corpus": _q_curate_corpus,
         "knn_graph": _q_knn_graph,
+        "events_hopping": _q_events_hopping,
     }
 
 
@@ -1410,6 +1417,14 @@ def oracle_sql() -> dict[str, str]:
             "r AS (SELECT src, dst, row_number() OVER "
             "(PARTITION BY src ORDER BY hv, dst) AS rnk FROM h) "
             "SELECT src, dst, CAST(rnk AS BIGINT) AS rnk FROM r WHERE rnk <= 5"
+        ),
+        "events_hopping": (
+            # every event lands in window/hop = 2 overlapping windows; the
+            # cross join with range(2) replays the engine's replication.
+            "SELECT user_id, "
+            "((CAST(floor(epoch(ts)) AS BIGINT) // 300) - j) * 300 AS wstart, "
+            "count(*) AS n_events, round(sum(value), 6) AS sum_value "
+            "FROM events, (SELECT unnest(range(2)) AS j) r GROUP BY 1, 2"
         ),
         "knn_graph": (
             # same cosine/round/tie-break conventions as ann_topk; ranks are

@@ -26,6 +26,7 @@ __all__ = [
     "copurchase_edges_join",
     "part_labels",
     "events_window",
+    "events_hopping",
     "events_sessionize",
     "events_asof_prior",
     "events_quantiles",
@@ -315,6 +316,62 @@ def events_window(sf_dir: str, window_sec: int = 300):
         epoch = df["ts"].astype("int64") // 1_000_000  # us → s
         df["wstart"] = (epoch // window_sec) * window_sec
         g = df.groupby(["user_id", "wstart"], as_index=False).agg(
+            n_events=("value", "size"), sum_value=("value", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (
+        ds.map_batches(_partial, batch_format="pyarrow")
+        .groupby(["user_id", "wstart"])
+        .aggregate(
+            Sum("n_events", alias_name="n_events"),
+            Sum("sum_value", alias_name="sum_value"),
+        )
+    )
+
+    def _round(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "wstart": t["wstart"],
+                "n_events": t["n_events"],
+                "sum_value": round_half_away(t["sum_value"].to_numpy(), 6),
+            }
+        )
+
+    return out.map_batches(_round, batch_format="pyarrow")
+
+
+def events_hopping(sf_dir: str, window_sec: int = 600, hop_sec: int = 300):
+    """Hopping (sliding) windows per user — each event lands in
+    ``window_sec / hop_sec`` overlapping windows (the standard streaming
+    aggregation alongside tumbling/session windows).
+
+    → (user_id, wstart:int64 epoch-seconds, n_events, sum_value). Same
+    shape as ``events_window`` with an in-batch replication factor: the
+    partial-agg map emits one pre-aggregated row per (user, window) per
+    batch, so the shuffle carries the ×(W/H) fan-out AFTER combining —
+    exchange volume ≈ distinct (user, window) pairs, not events × W/H.
+    """
+    assert window_sec % hop_sec == 0, "window must be a multiple of hop"
+    factor = window_sec // hop_sec
+    from ray.data.aggregate import Sum
+
+    ds = read_table(sf_dir, "events", columns=["ts", "user_id", "value"])
+
+    def _partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        epoch = df["ts"].astype("int64") // 1_000_000  # us → s
+        base = epoch // hop_sec
+        reps = []
+        for j in range(factor):
+            d = df[["user_id", "value"]].copy()
+            d["wstart"] = (base - j) * hop_sec
+            reps.append(d)
+        import pandas as pd
+
+        allr = pd.concat(reps, ignore_index=True)
+        g = allr.groupby(["user_id", "wstart"], as_index=False).agg(
             n_events=("value", "size"), sum_value=("value", "sum")
         )
         return pa.Table.from_pandas(g, preserve_index=False)

@@ -178,3 +178,58 @@ def test_minhash_hot_bucket_cap(ray_session):
     assert len(out) == cap * (cap - 1) // 2
     assert (out["jaccard"] == 1.0).all()
     assert out["doc_a"].max() < cap and out["doc_b"].max() < cap
+
+
+def test_events_hopping_covers_tumbling(ray_session, tmp_path):
+    """Each event appears in exactly window/hop windows; the hop-aligned
+    window that EQUALS the tumbling window start matches events_window."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import numpy as np
+    import pandas as pd
+
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import (
+        events_hopping,
+        events_window,
+    )
+
+    rng = np.random.default_rng(2)
+    n = 500
+    ts = pd.to_datetime(rng.integers(0, 5000, n), unit="s")
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "ts": ts,
+            "user_id": rng.integers(0, 9, n).astype(np.int64),
+            "event_type": "x",
+            "value": rng.normal(size=n),
+            "props": "",
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False), tmp_path / "events.parquet")
+    sf = str(tmp_path)
+
+    hop = events_hopping(sf, window_sec=600, hop_sec=300).to_pandas()
+    tum = events_window(sf, window_sec=300).to_pandas()
+    # total event-window memberships = 2 × events
+    assert hop["n_events"].sum() == 2 * n
+    # exact replay: per event, windows are (epoch//300 - j)*300 for j in 0,1
+    epoch = df["ts"].astype("int64") // 1_000_000
+    expect = pd.concat(
+        [
+            pd.DataFrame(
+                {
+                    "user_id": df["user_id"],
+                    "wstart": (epoch // 300 - j) * 300,
+                    "value": df["value"],
+                }
+            )
+            for j in (0, 1)
+        ]
+    ).groupby(["user_id", "wstart"], as_index=False).agg(
+        n_events=("value", "size")
+    )
+    got = hop.sort_values(["user_id", "wstart"]).reset_index(drop=True)
+    exp = expect.sort_values(["user_id", "wstart"]).reset_index(drop=True)
+    assert np.array_equal(got["n_events"].values, exp["n_events"].values)
+    assert len(tum) <= len(hop)
