@@ -581,10 +581,12 @@ def _q_ngram_jaccard(sf_dir: str):
 
 
 def _q_media_features(sf_dir: str):
-    """Multimodal plumbing query (rows-only: decode is a documented stub —
-    no codec libs in the container; the actor-pool stage, schema and batch
-    layout are real). Deterministic synthetic media table, independent of
-    sf_dir by design."""
+    """Multimodal decode query (rows-only: binary payload features are not
+    SQL-expressible; pytest covers codec roundtrips). Decode is REAL for
+    numpy-decodable formats — PPM images, PCM audio, concatenated-PPM
+    video — with the pluggable per-actor decoder seam for compressed
+    codecs (no codec libs in this container). Deterministic synthetic
+    media table, independent of sf_dir by design."""
     import ray.data as rd
 
     from subgraph_isomorphism_pregel_ray.pipelines.multimodal import (

@@ -514,17 +514,20 @@ def test_multimodal_codec_seam(ray_session):
         synth_media_table,
     )
 
-    def all_sevens(payload, width, height):
-        return np.full((height, width), 7, dtype=np.uint8)
+    def all_sevens(payload):
+        return np.full((4, 4, 3), 7, dtype=np.uint8)
 
-    ds = rd.from_arrow(synth_media_table(50, seed=1))
+    tbl = synth_media_table(50, seed=1)
+    ds = rd.from_arrow(tbl)
+    kinds = dict(zip(tbl["media_id"].to_pylist(), tbl["kind"].to_pylist()))
     out = decode_features(ds, decoder=all_sevens).to_pandas()
     assert len(out) == 50
-    assert (out["px_mean"] == 7.0).all()
-    assert (out["px_std"] == 0.0).all()
-    # default stub produces non-constant pixels — the seam changed behavior
+    img = out[out["media_id"].map(kinds) == "image"]
+    assert (img["px_mean"] == 7.0).all() and (img["px_std"] == 0.0).all()
+    # the default REAL ppm decoder produces non-constant pixels
     base = decode_features(ds).to_pandas()
-    assert not (base["px_std"] == 0.0).all()
+    bimg = base[base["media_id"].map(kinds) == "image"]
+    assert not (bimg["px_std"] == 0.0).any()
 
 
 # ---------------------------------------------------------------------------

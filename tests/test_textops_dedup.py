@@ -211,18 +211,23 @@ def test_multimodal_actor_pool_stages(ray_session):
     pd.testing.assert_frame_equal(
         feats.sort_values("media_id").reset_index(drop=True),
         feats2.sort_values("media_id").reset_index(drop=True),
-    )  # deterministic fake decode
+    )  # deterministic real decode
+
+    # thumbnails: image rows only (10 of 30), real PPM re-encode roundtrip
+    from subgraph_isomorphism_pregel_ray.pipelines.multimodal import decode_ppm
 
     thumbs = media.map_batches(
         ImageResizeStage, batch_format="pyarrow", batch_size=16, concurrency=2,
         fn_constructor_kwargs={"out_w": 8, "out_h": 6},
     ).to_pandas()
-    assert all(len(t) == 8 * 6 for t in thumbs["thumb"])
+    assert len(thumbs) == 10
+    assert all(decode_ppm(t).shape == (6, 8, 3) for t in thumbs["thumb"])
 
     frames = media.map_batches(
         FrameSampleStage, batch_format="pyarrow", batch_size=16, concurrency=2
     ).to_pandas()
-    assert frames.groupby("media_id").size().max() == 3  # 30 frames / every 10
+    assert len(frames) == 10 * 3  # video rows only: 30 frames / every 10
+    assert frames.groupby("media_id").size().eq(3).all()
 
 
 def test_dedup_groups_resolution(ray_session):
@@ -508,3 +513,24 @@ def test_knn_graph_vs_numpy(ray_session):
         got = out[out.vec_id == v]["nbr_id"].to_numpy()
         assert np.array_equal(got, exp), v
     assert out.groupby("vec_id").size().eq(k).all()
+
+
+def test_ppm_pcm_codec_roundtrip(ray_session):
+    """The numpy codecs are real: encode→decode is byte/array-exact, and
+    the area-mean resize averages exact pixel blocks."""
+    from subgraph_isomorphism_pregel_ray.pipelines.multimodal import (
+        decode_pcm,
+        decode_ppm,
+        decode_ppm_stream,
+        encode_pcm,
+        encode_ppm,
+    )
+
+    rng = np.random.default_rng(4)
+    img = rng.integers(0, 256, (12, 16, 3), dtype=np.uint8)
+    assert np.array_equal(decode_ppm(encode_ppm(img)), img)
+    stream = b"".join(encode_ppm(img) for _ in range(4))
+    fr = decode_ppm_stream(stream)
+    assert len(fr) == 4 and all(np.array_equal(f, img) for f in fr)
+    pcm = rng.integers(-32768, 32768, 777).astype(np.int16)
+    assert np.array_equal(decode_pcm(encode_pcm(pcm)), pcm)
