@@ -24,7 +24,7 @@ import pyarrow as pa
 from ..functions.hashing import md5_hex_batch
 from .textops import _ALNUM_RE, _tokens
 
-__all__ = ["corpus_clean", "chunk_documents", "pack_sequences", "curate_corpus"]
+__all__ = ["corpus_clean", "chunk_documents", "pack_sequences", "curate_corpus", "write_clean_corpus"]
 
 
 def corpus_clean(docs_ds, min_tokens: int = 20, min_alnum_ratio: float = 0.82):
@@ -287,3 +287,40 @@ def curate_corpus(
         _rejected, batch_format="pyarrow"
     )
     return passed.union(rejected)
+
+
+def write_clean_corpus(
+    docs_ds, out_dir: str, num_shards: int = 32, **curate_kwargs
+):
+    """Materialize the curated training corpus: ``curate_corpus`` verdicts
+    joined back to the documents (keeps only ``keep``) and written as
+    RESUMABLE hive-sharded parquet — the actual "produce the dataset" step
+    after the audit. Returns the sink's summary dict (shards written /
+    skipped) plus ``kept`` row count.
+
+    Scale shape: the verdict side is (doc_id, bool) — narrow — joined via
+    Ray's hash join on doc_id (both sides partition by the same key; no
+    broadcast of anything document-sized); shard = ``doc_id % num_shards``
+    so re-runs skip sealed shards (``stages/sink.py``).
+    """
+    import pyarrow.compute as pc
+
+    from ..stages.sink import write_parquet_resumable
+
+    verdicts = curate_corpus(docs_ds, **curate_kwargs)
+    keep = verdicts.map_batches(
+        lambda t: t.filter(pc.field("keep") == True).select(["doc_id"]),  # noqa: E712
+        batch_format="pyarrow",
+    )
+    kept_docs = docs_ds.join(keep, "inner", 8, on=("doc_id",))
+
+    def _shard(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "shard",
+            pa.array((t["doc_id"].to_numpy() % num_shards).astype(np.int64)),
+        )
+
+    sharded = kept_docs.map_batches(_shard, batch_format="pyarrow")
+    summary = write_parquet_resumable(sharded, out_dir, "shard")
+    summary["kept"] = int(keep.count())
+    return summary

@@ -534,3 +534,33 @@ def test_ppm_pcm_codec_roundtrip(ray_session):
     assert len(fr) == 4 and all(np.array_equal(f, img) for f in fr)
     pcm = rng.integers(-32768, 32768, 777).astype(np.int16)
     assert np.array_equal(decode_pcm(encode_pcm(pcm)), pcm)
+
+
+def test_write_clean_corpus_resumable(ray_session, tmp_path):
+    """End-to-end: curation verdicts -> join-back -> resumable hive shards;
+    a re-run skips every sealed shard and the kept set matches the verdict
+    table exactly."""
+    import ray.data as rd
+    import pyarrow.dataset as pads
+
+    from subgraph_isomorphism_pregel_ray.pipelines.corpus import (
+        curate_corpus,
+        write_clean_corpus,
+    )
+
+    good = [" ".join("tokenword%02d_%d" % (j, i) for j in range(25)) for i in range(12)]
+    bad = ["too short", "!!! ??? " * 10]
+    corpus = good + bad
+    docs = _docs_ds(corpus).repartition(3)
+    out = str(tmp_path / "clean")
+
+    s1 = write_clean_corpus(docs, out, num_shards=4, max_contamination=2.0)
+    assert s1["kept"] == len(good)
+    back = pads.dataset(out, partitioning="hive").to_table().to_pandas()
+    assert sorted(back["doc_id"]) == list(range(len(good)))
+
+    s2 = write_clean_corpus(docs, out, num_shards=4, max_contamination=2.0)
+    assert s2["kept"] == len(good)
+    assert s2.get("skipped", s2.get("shards_skipped", 0)) and not s2.get(
+        "written", s2.get("shards_written", 1)
+    )  # all shards sealed -> nothing rewritten
