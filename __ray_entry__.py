@@ -386,6 +386,12 @@ def _q_neighbor_sample(sf_dir: str):
     return neighbor_sample(_sym_copurchase(sf_dir), k=5)
 
 
+def _q_collocations(sf_dir: str):
+    from subgraph_isomorphism_pregel_ray.pipelines.textops import collocations_topk
+
+    return collocations_topk(_docs(sf_dir), k=50, min_count=5)
+
+
 def _q_events_hopping(sf_dir: str):
     from subgraph_isomorphism_pregel_ray.pipelines.relational import events_hopping
 
@@ -732,6 +738,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curate_corpus": _q_curate_corpus,
         "knn_graph": _q_knn_graph,
         "events_hopping": _q_events_hopping,
+        "collocations_topk": _q_collocations,
     }
 
 
@@ -1419,6 +1426,25 @@ def oracle_sql() -> dict[str, str]:
             "r AS (SELECT src, dst, row_number() OVER "
             "(PARTITION BY src ORDER BY hv, dst) AS rnk FROM h) "
             "SELECT src, dst, CAST(rnk AS BIGINT) AS rnk FROM r WHERE rnk <= 5"
+        ),
+        "collocations_topk": (
+            # linear-PMI score = one division of exact int64 products on
+            # both sides (bigrams are unique, so (score, w1, w2) is total).
+            f"WITH {tok_cte}, "
+            "big AS (SELECT a.tok AS w1, b.tok AS w2 FROM tok a "
+            "JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1), "
+            "bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 "
+            "FROM big GROUP BY 1, 2), "
+            "uc AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1), "
+            "tot AS (SELECT CAST(count(*) AS BIGINT) AS t FROM tok), "
+            "btot AS (SELECT CAST(count(*) AS BIGINT) AS b FROM big), "
+            "s AS (SELECT bc.w1, bc.w2, bc.c12 AS pair_cnt, "
+            "CAST(bc.c12 * (SELECT t FROM tot) * (SELECT t FROM tot) AS BIGINT) "
+            "* 1.0 / CAST((SELECT b FROM btot) * u1.c * u2.c AS BIGINT) AS score "
+            "FROM bc JOIN uc u1 ON u1.tok = bc.w1 "
+            "JOIN uc u2 ON u2.tok = bc.w2 WHERE bc.c12 >= 5) "
+            "SELECT w1, w2, pair_cnt, score FROM s "
+            "ORDER BY score DESC, w1, w2 LIMIT 50"
         ),
         "events_hopping": (
             # every event lands in window/hop = 2 overlapping windows; the

@@ -50,6 +50,7 @@ __all__ = [
     "unigram_quality",
     "redact_pii_batch",
     "redact_pii",
+    "collocations_topk",
 ]
 
 _ALNUM_RE = re.compile(r"[a-zA-Z0-9]")
@@ -909,3 +910,200 @@ def redact_pii_batch(batch: pa.Table) -> pa.Table:
 
 
 redact_pii = _stage(redact_pii_batch)
+
+
+def collocations_topk(docs_ds, k: int = 50, min_count: int = 5, num_buckets: int = 32):
+    """Corpus collocation extraction — the ``k`` adjacent-token bigrams most
+    associated by (linear) pointwise mutual information
+    → Dataset(w1, w2, pair_cnt, score).
+
+    score = (c₁₂ · T²) / (B · c₁ · c₂) — the PMI argument before the log
+    (log is monotone, so the ranking is identical) — ONE IEEE division of
+    exact int64 products, bit-identical to the SQL oracle. (At full corpus
+    scale the products exceed 2⁵³: switch to log-space there; the
+    exact-int form is the oracle-checkable contract.) Ties broken
+    (score DESC, w1 ASC, w2 ASC) — a total order.
+
+    Scale shape — combine-before-shuffle everywhere: each batch emits its
+    OWN bigram + unigram histograms (``np.unique``); shuffle 1 groups by
+    hash(w1) and joins c₁ to each bigram inside ``map_groups`` (the
+    unigram partials ride the same exchange); shuffle 2 regroups by
+    hash(w2) — bigram rows and globally-folded unigram rows share ONE
+    unified schema, so the union is a plain concatenation — and joins c₂,
+    filters ``min_count``, scores. T and B fold from the materialized
+    narrow partials with two scalar sums. Text never enters a shuffle.
+    """
+    import pyarrow.compute as pc
+
+    from ..functions.hashing import hash64
+
+    def _partials(batch: pa.Table) -> pa.Table:
+        toks_all, big_all = [], []
+        for t in batch["text"].to_pylist():
+            tt = _space_tokens(t)
+            toks_all.extend(tt)
+            big_all.extend(tt[j] + " " + tt[j + 1] for j in range(len(tt) - 1))
+        if not toks_all:
+            return pa.table(
+                {
+                    "b": pa.array([], pa.int32()),
+                    "side": pa.array([], pa.int8()),
+                    "key": pa.array([], pa.string()),
+                    "cnt": pa.array([], pa.int64()),
+                }
+            )
+        uu, cu = np.unique(np.asarray(toks_all, dtype=object), return_counts=True)
+        if big_all:
+            ub, cb = np.unique(np.asarray(big_all, dtype=object), return_counts=True)
+            w1 = np.asarray([x.split(" ", 1)[0] for x in ub], dtype=object)
+            bb = (hash64(w1) % np.uint64(num_buckets)).astype(np.int32)
+        else:
+            ub = np.asarray([], dtype=object)
+            cb = np.asarray([], np.int64)
+            bb = np.asarray([], np.int32)
+        return pa.table(
+            {
+                "b": np.concatenate(
+                    [bb, (hash64(uu) % np.uint64(num_buckets)).astype(np.int32)]
+                ),
+                "side": np.concatenate(
+                    [np.zeros(len(ub), np.int8), np.ones(len(uu), np.int8)]
+                ),
+                "key": np.concatenate([ub, uu]),
+                "cnt": np.concatenate([cb.astype(np.int64), cu.astype(np.int64)]),
+            }
+        )
+
+    partials = docs_ds.map_batches(_partials, batch_format="pyarrow").materialize()
+    # T (tokens) and B (bigrams): two scalar folds over the narrow partials
+    side_sum = lambda want: int(  # noqa: E731
+        partials.map_batches(
+            lambda t, w=want: pa.table(
+                {"s": [int(pc.sum(t.filter(pc.equal(t["side"], w))["cnt"]).as_py() or 0)]}
+            ),
+            batch_format="pyarrow",
+        ).sum("s")
+        or 0
+    )
+    B, T = side_sum(0), side_sum(1)
+
+    # unified intermediate schema: (b2, side, key=bigram|word, c12, c1, c)
+    def _join_c1(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "b2": pa.array([], pa.int32()),
+                "side": pa.array([], pa.int8()),
+                "key": pa.array([], pa.string()),
+                "c12": pa.array([], pa.int64()),
+                "c1": pa.array([], pa.int64()),
+                "c": pa.array([], pa.int64()),
+            }
+        )
+        side = g["side"].to_numpy()
+        key = g["key"].to_numpy(zero_copy_only=False)
+        cnt = g["cnt"].to_numpy()
+        uni, big = side == 1, side == 0
+        uk, ukcode = np.unique(key[uni], return_inverse=True)
+        uc = np.zeros(len(uk), dtype=np.int64)
+        np.add.at(uc, ukcode, cnt[uni])
+        if not big.any():
+            return empty
+        bk, bkcode = np.unique(key[big], return_inverse=True)
+        bc = np.zeros(len(bk), dtype=np.int64)
+        np.add.at(bc, bkcode, cnt[big])
+        w1 = np.asarray([x.split(" ", 1)[0] for x in bk], dtype=object)
+        if len(uk):
+            pos = np.minimum(np.searchsorted(uk, w1), len(uk) - 1)
+            c1 = np.where(uk[pos] == w1, uc[pos], 0).astype(np.int64)
+        else:
+            c1 = np.zeros(len(bk), dtype=np.int64)
+        w2 = np.asarray([x.split(" ", 1)[1] for x in bk], dtype=object)
+        return pa.table(
+            {
+                "b2": (hash64(w2) % np.uint64(num_buckets)).astype(np.int32),
+                "side": np.zeros(len(bk), np.int8),
+                "key": bk,
+                "c12": bc,
+                "c1": c1,
+                "c": np.zeros(len(bk), np.int64),
+            }
+        )
+
+    def _uni_fold(g: pa.Table) -> pa.Table:
+        side = g["side"].to_numpy()
+        key = g["key"].to_numpy(zero_copy_only=False)
+        cnt = g["cnt"].to_numpy()
+        uni = side == 1
+        if not uni.any():
+            return pa.table(
+                {
+                    "b2": pa.array([], pa.int32()),
+                    "side": pa.array([], pa.int8()),
+                    "key": pa.array([], pa.string()),
+                    "c12": pa.array([], pa.int64()),
+                    "c1": pa.array([], pa.int64()),
+                    "c": pa.array([], pa.int64()),
+                }
+            )
+        uk, code = np.unique(key[uni], return_inverse=True)
+        uc = np.zeros(len(uk), dtype=np.int64)
+        np.add.at(uc, code, cnt[uni])
+        return pa.table(
+            {
+                "b2": (hash64(uk) % np.uint64(num_buckets)).astype(np.int32),
+                "side": np.ones(len(uk), np.int8),
+                "key": uk,
+                "c12": np.zeros(len(uk), np.int64),
+                "c1": np.zeros(len(uk), np.int64),
+                "c": uc,
+            }
+        )
+
+    bigram_rows = partials.groupby("b").map_groups(_join_c1, batch_format="pyarrow")
+    uni_rows = partials.groupby("b").map_groups(_uni_fold, batch_format="pyarrow")
+
+    def _join_c2(g: pa.Table) -> pa.Table:
+        side = g["side"].to_numpy()
+        key = g["key"].to_numpy(zero_copy_only=False)
+        uni, big = side == 1, side == 0
+        empty = pa.table(
+            {
+                "w1": pa.array([], pa.string()),
+                "w2": pa.array([], pa.string()),
+                "pair_cnt": pa.array([], pa.int64()),
+                "score": pa.array([], pa.float64()),
+            }
+        )
+        if not big.any():
+            return empty
+        uk = key[uni].astype(object)
+        order = np.argsort(uk)
+        uk = uk[order]
+        uc = g["c"].to_numpy()[uni][order].astype(np.int64)
+        bg = key[big].astype(object)
+        c12 = g["c12"].to_numpy()[big].astype(np.int64)
+        c1 = g["c1"].to_numpy()[big].astype(np.int64)
+        w1 = np.asarray([x.split(" ", 1)[0] for x in bg], dtype=object)
+        w2 = np.asarray([x.split(" ", 1)[1] for x in bg], dtype=object)
+        if len(uk):
+            pos = np.minimum(np.searchsorted(uk, w2), len(uk) - 1)
+            c2 = np.where(uk[pos] == w2, uc[pos], 0).astype(np.int64)
+        else:
+            c2 = np.zeros(len(bg), dtype=np.int64)
+        keep = (c12 >= min_count) & (c1 > 0) & (c2 > 0)
+        num = c12[keep] * np.int64(T) * np.int64(T)
+        den = np.int64(B) * c1[keep] * c2[keep]
+        score = num / np.maximum(den, 1)
+        return pa.table(
+            {
+                "w1": pa.array(w1[keep].tolist(), pa.string()),
+                "w2": pa.array(w2[keep].tolist(), pa.string()),
+                "pair_cnt": c12[keep],
+                "score": score,
+            }
+        )
+
+    merged = bigram_rows.union(uni_rows).groupby("b2").map_groups(
+        _join_c2, batch_format="pyarrow"
+    )
+    return merged.sort(["score", "w1", "w2"], descending=[True, False, False]).limit(k)

@@ -564,3 +564,41 @@ def test_write_clean_corpus_resumable(ray_session, tmp_path):
     assert s2.get("skipped", s2.get("shards_skipped", 0)) and not s2.get(
         "written", s2.get("shards_written", 1)
     )  # all shards sealed -> nothing rewritten
+
+
+def test_collocations_vs_counter(ray_session):
+    """Engine PMI top-k == a direct Counter replay (score, order, cut), at
+    any partitioning."""
+    from collections import Counter
+
+    rng = np.random.default_rng(13)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps"]
+    corpus = [
+        " ".join(rng.choice(vocab, size=rng.integers(5, 25))) for _ in range(40)
+    ]
+    corpus += ["alpha beta " * 10] * 3  # a strong collocation
+    from subgraph_isomorphism_pregel_ray.pipelines.textops import collocations_topk
+
+    outs = []
+    for blocks in (1, 6):
+        ds = _docs_ds(corpus).repartition(blocks)
+        outs.append(
+            collocations_topk(ds, k=10, min_count=3).to_pandas().reset_index(drop=True)
+        )
+    assert outs[0].equals(outs[1])
+    toks = [t.split() for t in corpus]
+    uc = Counter(w for tt in toks for w in tt)
+    bc = Counter((tt[j], tt[j + 1]) for tt in toks for j in range(len(tt) - 1))
+    T, B = sum(uc.values()), sum(bc.values())
+    exp = sorted(
+        (
+            (-(c * T * T) / (B * uc[a] * uc[b]), a, b, c)
+            for (a, b), c in bc.items()
+            if c >= 3
+        ),
+    )[:10]
+    got = outs[0]
+    for i, (negscore, a, b, c) in enumerate(exp):
+        assert got.loc[i, "w1"] == a and got.loc[i, "w2"] == b
+        assert got.loc[i, "pair_cnt"] == c
+        assert got.loc[i, "score"] == -negscore
