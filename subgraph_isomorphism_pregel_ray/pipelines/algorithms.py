@@ -41,6 +41,7 @@ __all__ = [
     "cc_dataset",
     "neighbor_sample",
     "hyperball",
+    "ktruss",
 ]
 
 
@@ -535,3 +536,308 @@ def hyperball(edges_or_engine, radius: int = 2, p: int = 8, num_parts: int = 8):
     if own:
         eng.shutdown()
     return out, lineage
+
+
+def ktruss(edges_ds, k: int = 4, num_buckets: int = 32, max_rounds: int = 30):
+    """k-truss decomposition — the surviving edge set after iteratively
+    peeling every edge in fewer than ``k − 2`` triangles (the EDGE analogue
+    of the ``kcore`` vertex program; Cohen 2008, public)
+    → (Dataset(src, dst) canonical ``src < dst``, rounds_run).
+
+    Pure Dataset path, three bucketed shuffles per round, no actors:
+
+    1. ORIENT once (not per round): edges directed low→high by (initial
+       degree, vid) — a total order, so any surviving subset stays acyclic
+       and each triangle is generated exactly once from its lightest
+       vertex: wedge work is Σ outdeg² = O(E^1.5), the same bound the
+       triangle program uses.
+    2. per round — WEDGES: one ``map_groups`` per src-hash bucket expands
+       each vertex's out-neighbor pairs (lexsort + segment expansion, no
+       per-vertex Python); CLOSE: wedges and edge-existence rows meet in a
+       key-hash bucket (same-schema union), matched wedges emit all three
+       edge keys with in-group ``np.unique`` partial counts; SUPPORT →
+       FILTER: counts fold by key and edges with support < k−2 drop.
+    3. stop when no edge dropped (or ``max_rounds``).
+
+    Packed int64 edge keys assume vids < 2²¹ (the co-purchase partkey
+    range — same packing as ``copurchase_edges``).
+
+    Library operator, not a driver query: peeling needs ~O(k) rounds × 3
+    all-to-all exchanges, and on this sandbox's Ray build each exchange
+    pays the documented ~seconds-scale shuffle-orchestration floor
+    (BENCH/STATS.md) regardless of data size — at sf0.01 the floor alone
+    exceeds the driver's per-query budget while actual compute is
+    milliseconds.  At real scale the floor amortizes; correctness is
+    pinned by ``test_ktruss_vs_brute_peeling`` (planted-clique fixpoint
+    parity against single-process peeling).
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..state.csr import flat_gather
+
+    SHIFT = np.int64(1) << np.int64(21)
+    thresh = k - 2
+
+    def _canon_i64(batch: pa.Table) -> pa.Table:
+        u = batch["src"].to_numpy().astype(np.uint64).view(np.int64)
+        v = batch["dst"].to_numpy().astype(np.uint64).view(np.int64)
+        lo, hi = np.minimum(u, v), np.maximum(u, v)
+        keep = lo != hi
+        key = lo[keep] * SHIFT + hi[keep]
+        return pa.table({"key": np.unique(key)})
+
+    # canonical distinct edges (u < v) as packed keys
+    canon = (
+        edges_ds.map_batches(_canon_i64, batch_format="pyarrow")
+        .groupby("key")
+        .count()
+        .select_columns(["key"])
+        .materialize()
+    )
+
+    # initial degree over the canonical set → orientation rank (deg, vid)
+    def _deg_partial(t: pa.Table) -> pa.Table:
+        keys = t["key"].to_numpy()
+        vids = np.concatenate([keys // SHIFT, keys % SHIFT])
+        u, c = np.unique(vids, return_counts=True)
+        return pa.table({"vid": u, "c": c.astype(np.int64)})
+
+    deg_ds = (
+        canon.map_batches(_deg_partial, batch_format="pyarrow")
+        .groupby("vid")
+        .aggregate(Sum("c", alias_name="deg"))
+        .materialize()
+    )
+    # per-vertex degree is |V|-sized: ship it through the same bucket
+    # exchange as the edges (side rows), never broadcast.
+    def _edge_side(t: pa.Table) -> pa.Table:
+        key = t["key"].to_numpy()
+        u = key // SHIFT
+        return pa.table(
+            {
+                "b": (u % num_buckets).astype(np.int32),
+                "side": np.zeros(len(key), np.int8),
+                "key": key,
+                "vid": u,
+                "deg": np.zeros(len(key), np.int64),
+            }
+        )
+
+    def _deg_side(t: pa.Table) -> pa.Table:
+        vid = t["vid"].to_numpy()
+        return pa.table(
+            {
+                "b": (vid % num_buckets).astype(np.int32),
+                "side": np.ones(len(vid), np.int8),
+                "key": np.zeros(len(vid), np.int64),
+                "vid": vid,
+                "deg": t["deg"].to_numpy().astype(np.int64),
+            }
+        )
+
+    def _orient_u(g: pa.Table) -> pa.Table:
+        """Attach deg(u) to each edge (bucketed by u)."""
+        side = g["side"].to_numpy()
+        vid = g["vid"].to_numpy()
+        deg = g["deg"].to_numpy()
+        dv, dd = vid[side == 1], deg[side == 1]
+        order = np.argsort(dv)
+        dv, dd = dv[order], dd[order]
+        e = side == 0
+        key = g["key"].to_numpy()[e]
+        u = vid[e]
+        pos = np.searchsorted(dv, u)
+        du = dd[np.minimum(pos, max(len(dv) - 1, 0))]
+        return pa.table(
+            {
+                "b": ((key % SHIFT) % num_buckets).astype(np.int32),
+                "side": np.zeros(len(key), np.int8),
+                "key": key,
+                "vid": key % SHIFT,  # now bucket by v for deg(v)
+                "deg": du,  # deg(u) piggybacks in the deg column
+            }
+        )
+
+    def _orient_v(g: pa.Table) -> pa.Table:
+        """Attach deg(v), emit oriented (src, dst) by (deg, vid) order."""
+        side = g["side"].to_numpy()
+        vid = g["vid"].to_numpy()
+        deg = g["deg"].to_numpy()
+        dv, dd = vid[side == 1], deg[side == 1]
+        order = np.argsort(dv)
+        dv, dd = dv[order], dd[order]
+        e = side == 0
+        key = g["key"].to_numpy()[e]
+        du = deg[e]
+        v = vid[e]
+        pos = np.searchsorted(dv, v)
+        dvv = dd[np.minimum(pos, max(len(dv) - 1, 0))]
+        u = key // SHIFT
+        u_first = (du < dvv) | ((du == dvv) & (u < v))
+        src = np.where(u_first, u, v)
+        dst = np.where(u_first, v, u)
+        return pa.table({"src": src, "dst": dst})
+
+    oriented = (
+        canon.map_batches(_edge_side, batch_format="pyarrow")
+        .union(deg_ds.map_batches(_deg_side, batch_format="pyarrow"))
+        .groupby("b")
+        .map_groups(_orient_u, batch_format="pyarrow")
+        .union(deg_ds.map_batches(_deg_side, batch_format="pyarrow"))
+        .groupby("b")
+        .map_groups(_orient_v, batch_format="pyarrow")
+        .materialize()
+    )
+    n_edges = oriented.count()
+
+    def _wedge_bucket(t: pa.Table) -> pa.Table:
+        src = t["src"].to_numpy()
+        return t.append_column("b", pa.array((src % num_buckets).astype(np.int32)))
+
+    def _wedges(g: pa.Table) -> pa.Table:
+        """Per-src out-neighbor pairs → (b2, side=1, chk, e1, e2)."""
+        src = g["src"].to_numpy()
+        dst = g["dst"].to_numpy()
+        order = np.lexsort((dst, src))
+        s, d = src[order], dst[order]
+        first = np.concatenate([[True], s[1:] != s[:-1]])
+        starts = np.flatnonzero(first)
+        counts = np.diff(np.concatenate([starts, [len(s)]]))
+        cpe = np.repeat(counts, counts)
+        left = np.repeat(d, cpe)
+        anchor = np.repeat(s, cpe)
+        right = d[flat_gather(np.repeat(starts, counts), cpe)]
+        m = left < right  # each unordered out-pair once
+        la, ra, aa = left[m], right[m], anchor[m]
+        chk = la * SHIFT + ra
+        e1 = np.minimum(aa, la) * SHIFT + np.maximum(aa, la)
+        e2 = np.minimum(aa, ra) * SHIFT + np.maximum(aa, ra)
+        return pa.table(
+            {
+                "b2": (chk % num_buckets).astype(np.int32),
+                "side": np.ones(len(chk), np.int8),
+                "chk": chk,
+                "e1": e1,
+                "e2": e2,
+            }
+        )
+
+    def _exists_rows(t: pa.Table) -> pa.Table:
+        src = t["src"].to_numpy()
+        dst = t["dst"].to_numpy()
+        key = np.minimum(src, dst) * SHIFT + np.maximum(src, dst)
+        return pa.table(
+            {
+                "b2": (key % num_buckets).astype(np.int32),
+                "side": np.zeros(len(key), np.int8),
+                "chk": key,
+                "e1": np.zeros(len(key), np.int64),
+                "e2": np.zeros(len(key), np.int64),
+            }
+        )
+
+    def _close(g: pa.Table) -> pa.Table:
+        """Match wedges to existing edges; emit per-key triangle-count
+        PARTIALS already bucketed by key hash (b3) so the filter groupby
+        can fold them in-group — one fewer shuffle per round."""
+        side = g["side"].to_numpy()
+        chk = g["chk"].to_numpy()
+        ex = np.unique(chk[side == 0])
+        w = side == 1
+        empty = pa.table(
+            {
+                "b3": pa.array([], pa.int32()),
+                "side": pa.array([], pa.int8()),
+                "key": pa.array([], pa.int64()),
+                "src": pa.array([], pa.int64()),
+                "dst": pa.array([], pa.int64()),
+                "support": pa.array([], pa.int64()),
+            }
+        )
+        if not w.any() or len(ex) == 0:
+            return empty
+        wc = chk[w]
+        pos = np.minimum(np.searchsorted(ex, wc), len(ex) - 1)
+        hit = ex[pos] == wc
+        tri_keys = np.concatenate(
+            [wc[hit], g["e1"].to_numpy()[w][hit], g["e2"].to_numpy()[w][hit]]
+        )
+        u, c = np.unique(tri_keys, return_counts=True)
+        return pa.table(
+            {
+                "b3": (u % num_buckets).astype(np.int32),
+                "side": np.ones(len(u), np.int8),
+                "key": u,
+                "src": np.zeros(len(u), np.int64),
+                "dst": np.zeros(len(u), np.int64),
+                "support": c.astype(np.int64),
+            }
+        )
+
+    def _edge_rows(t: pa.Table) -> pa.Table:
+        src = t["src"].to_numpy()
+        dst = t["dst"].to_numpy()
+        key = np.minimum(src, dst) * SHIFT + np.maximum(src, dst)
+        return pa.table(
+            {
+                "b3": (key % num_buckets).astype(np.int32),
+                "side": np.zeros(len(key), np.int8),
+                "key": key,
+                "src": src,
+                "dst": dst,
+                "support": np.zeros(len(key), np.int64),
+            }
+        )
+
+    def _filter(g: pa.Table) -> pa.Table:
+        """Fold support partials per key in-group, keep edges ≥ k-2."""
+        side = g["side"].to_numpy()
+        key = g["key"].to_numpy()
+        sup_rows = side == 1
+        sup_k, code = np.unique(key[sup_rows], return_inverse=True)
+        sup_v = np.zeros(len(sup_k), dtype=np.int64)
+        np.add.at(sup_v, code, g["support"].to_numpy()[sup_rows])
+        e = side == 0
+        ek = key[e]
+        if len(sup_k):
+            pos = np.minimum(np.searchsorted(sup_k, ek), len(sup_k) - 1)
+            sup = np.where(sup_k[pos] == ek, sup_v[pos], 0)
+        else:
+            sup = np.zeros(len(ek), dtype=np.int64)
+        keep = sup >= thresh
+        return pa.table(
+            {"src": g["src"].to_numpy()[e][keep], "dst": g["dst"].to_numpy()[e][keep]}
+        )
+
+    rounds = 0
+    while rounds < max_rounds:
+        rounds += 1
+        support_partials = (
+            oriented.map_batches(_wedge_bucket, batch_format="pyarrow")
+            .groupby("b")
+            .map_groups(_wedges, batch_format="pyarrow")
+            .union(oriented.map_batches(_exists_rows, batch_format="pyarrow"))
+            .groupby("b2")
+            .map_groups(_close, batch_format="pyarrow")
+        )
+        oriented = (
+            oriented.map_batches(_edge_rows, batch_format="pyarrow")
+            .union(support_partials)
+            .groupby("b3")
+            .map_groups(_filter, batch_format="pyarrow")
+            .materialize()
+        )
+        n_new = oriented.count()
+        if n_new == n_edges:
+            break
+        n_edges = n_new
+
+    def _to_canon(t: pa.Table) -> pa.Table:
+        src = t["src"].to_numpy()
+        dst = t["dst"].to_numpy()
+        return pa.table(
+            {"src": np.minimum(src, dst), "dst": np.maximum(src, dst)}
+        )
+
+    return oriented.map_batches(_to_canon, batch_format="pyarrow"), rounds

@@ -198,3 +198,44 @@ def test_hyperball_checkpoint_resume(ray_session, graph_arrays, tmp_path):
     engB.shutdown()
     assert np.array_equal(ref["reg_sum"].values, resumed["reg_sum"].values)
     assert np.array_equal(ref["nf_est"].values, resumed["nf_est"].values)
+
+
+def test_ktruss_vs_brute_peeling(ray_session):
+    """Dataset-path k-truss == single-process peeling fixpoint on a sparse
+    graph with a planted clique (the clique survives, stragglers peel)."""
+    import ray.data as rd
+
+    from subgraph_isomorphism_pregel_ray.pipelines.algorithms import ktruss
+
+    def brute(E, k):
+        E = set(E)
+        while True:
+            adj = {}
+            for u, v in E:
+                adj.setdefault(u, set()).add(v)
+                adj.setdefault(v, set()).add(u)
+            drop = {(u, v) for (u, v) in E if len(adj[u] & adj[v]) < k - 2}
+            if not drop:
+                return E
+            E -= drop
+
+    rng = np.random.default_rng(6)
+    src = rng.integers(0, 30, 60)
+    dst = rng.integers(0, 30, 60)
+    keep = src < dst
+    E = set(zip(src[keep].tolist(), dst[keep].tolist()))
+    E |= {(a, b) for a in range(6) for b in range(a + 1, 6)}  # planted 6-clique
+    E = sorted(E)
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "src": np.asarray([e[0] for e in E], np.int64),
+                "dst": np.asarray([e[1] for e in E], np.int64),
+            }
+        )
+    ).repartition(3)
+    out, rounds = ktruss(ds, k=5)
+    got = set(map(tuple, out.to_pandas().itertuples(index=False)))
+    exp = brute(E, 5)
+    assert got == exp
+    assert {(a, b) for a in range(6) for b in range(a + 1, 6)} <= got  # clique kept
