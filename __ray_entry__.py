@@ -362,6 +362,12 @@ def _q_vocab_topk(sf_dir: str):
     return vocab_topk(_docs(sf_dir), k=100)
 
 
+def _q_heavy_hitters(sf_dir: str):
+    from subgraph_isomorphism_pregel_ray.pipelines.textops import heavy_hitters
+
+    return heavy_hitters(_docs(sf_dir), denom=500)
+
+
 def _q_doc_repetition(sf_dir: str):
     from subgraph_isomorphism_pregel_ray.pipelines.textops import doc_repetition
 
@@ -697,6 +703,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup": _q_exact_dedup,
         "corpus_clean": _q_corpus_clean,
         "vocab_topk": _q_vocab_topk,
+        "heavy_hitters": _q_heavy_hitters,
         "events_sorted": _q_events_sorted,
         "events_asof": _q_events_asof,
         "events_quantiles": _q_events_quantiles,
@@ -1356,6 +1363,17 @@ def oracle_sql() -> dict[str, str]:
             f"(SELECT unnest({toks}) AS token FROM documents "
             "WHERE trim(text) <> '') GROUP BY token "
             "ORDER BY cnt DESC, token LIMIT 100"
+        ),
+        "heavy_hitters": (
+            # exact integer threshold ceil(N/500) = (N + 499) // 500 — the
+            # engine's two-pass MG sketch + verify returns exact counts, so
+            # both sides are bit-identical ints.
+            f"WITH t AS (SELECT unnest({toks}) AS token FROM documents "
+            "WHERE trim(text) <> ''), "
+            "tot AS (SELECT count(*) AS n FROM t) "
+            "SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM t GROUP BY token "
+            "HAVING count(*) >= (SELECT (n + 499) // 500 FROM tot) "
+            "ORDER BY cnt DESC, token"
         ),
         "doc_repetition": (
             # every ratio is one division of exact ints — bit-identical to

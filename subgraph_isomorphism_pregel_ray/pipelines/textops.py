@@ -264,6 +264,115 @@ def vocab_topk(docs_ds, k: int = 100):
     )
 
 
+def heavy_hitters(docs_ds, denom: int = 500):
+    """Exact corpus heavy hitters: tokens with count ≥ ceil(N/denom), N the
+    corpus token total → Dataset(token, cnt) sorted (cnt DESC, token ASC).
+
+    The scale path ``vocab_topk`` can't take: when the vocabulary itself is
+    too large to shuffle (per-batch histograms are bounded by Heaps' law but
+    at 100 TB even those dominate the exchange), a frequent-items sketch
+    bounds the exchange by the SKETCH size instead. Two linear passes:
+
+      1. **Misra–Gries pass** — each batch builds its exact histogram
+         (``np.unique``) and prunes it to ``k = 2·denom`` counters by
+         subtracting the (k+1)-th largest count (the histogram form of MG
+         decrement; per-token undercount ≤ n_batch/(k+1), *Mergeable
+         Summaries*, Agarwal et al. PODS'12). Summing the per-batch
+         summaries with ONE groupby undercounts any token by at most
+         ⌊N/(k+1)⌋ < threshold/2, so
+         ``mg_sum ≥ threshold − ⌊N/(k+1)⌋`` is a provable candidate
+         SUPERSET of the true heavy hitters — and it has ≤ 2·denom members
+         (each claims ≥ N/(2·denom) of the N total), so it broadcasts.
+      2. **Exact verify pass** — re-tokenize, count ONLY candidate tokens
+         (``np.isin`` against the broadcast sorted array), one small
+         groupby, exact integer threshold filter. Every surviving count is
+         exact, so the result is bit-identical to the SQL oracle's
+         ``HAVING count(*) >= (N + denom − 1) // denom``.
+
+    All thresholds are exact integer arithmetic (no float ε). Empty corpus
+    → typed empty result. Tokenizer = ``str.split()`` ≡ the oracle's
+    ``regexp_split_to_array(trim(text), '\\s+')`` on trim-nonempty rows.
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    k = 2 * denom
+    empty = pa.table(
+        {"token": pa.array([], pa.string()), "cnt": pa.array([], pa.int64())}
+    )
+
+    def _mg_partial(batch: pa.Table) -> pa.Table:
+        toks: list[str] = []
+        for t in batch["text"].to_pylist():
+            toks.extend(_tokens(t))
+        if not toks:
+            return pa.table(
+                {
+                    "token": pa.array([], pa.string()),
+                    "cnt": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        u, c = np.unique(np.asarray(toks, dtype=object), return_counts=True)
+        c = c.astype(np.int64)
+        if len(u) > k:
+            d = np.partition(c, len(c) - (k + 1))[len(c) - (k + 1)]
+            keep = c > d
+            u, c = u[keep], c[keep] - d
+        n = np.zeros(len(u), dtype=np.int64)
+        n[0] = len(toks)  # batch token total rides on one sentinel row
+        return pa.table(
+            {"token": pa.array(u.tolist(), pa.string()), "cnt": c, "n": n}
+        )
+
+    partials = docs_ds.map_batches(_mg_partial, batch_format="pyarrow").materialize()
+    total = partials.sum("n")
+    if not total:
+        return ray.data.from_arrow(empty)
+    threshold = (total + denom - 1) // denom
+    cand_floor = threshold - total // (k + 1)
+
+    mg = partials.groupby("token").aggregate(Sum("cnt", alias_name="cnt"))
+
+    def _cand_filter(batch: pa.Table) -> pa.Table:
+        mask = batch["cnt"].to_numpy(zero_copy_only=False) >= cand_floor
+        return batch.filter(pa.array(mask))
+
+    cand_rows = mg.map_batches(_cand_filter, batch_format="pyarrow").take_all()
+    cand = np.sort(np.asarray([r["token"] for r in cand_rows], dtype=object))
+    if len(cand) == 0:
+        return ray.data.from_arrow(empty)
+    cand_ref = ray.put(cand)
+
+    def _exact_partial(batch: pa.Table) -> pa.Table:
+        cset = ray.get(cand_ref)
+        toks: list[str] = []
+        for t in batch["text"].to_pylist():
+            toks.extend(_tokens(t))
+        if not toks:
+            return empty
+        u, c = np.unique(np.asarray(toks, dtype=object), return_counts=True)
+        keep = np.isin(u, cset)
+        return pa.table(
+            {
+                "token": pa.array(u[keep].tolist(), pa.string()),
+                "cnt": c[keep].astype(np.int64),
+            }
+        )
+
+    def _thresh(batch: pa.Table) -> pa.Table:
+        mask = batch["cnt"].to_numpy(zero_copy_only=False) >= threshold
+        return batch.filter(pa.array(mask))
+
+    return (
+        docs_ds.map_batches(_exact_partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .map_batches(_thresh, batch_format="pyarrow")
+        .sort(["cnt", "token"], descending=[True, False])
+    )
+
+
 def salient_terms(docs_ds, n_docs: int, k: int = 3, num_buckets: int = 32):
     """Per-document keyword extraction: the ``k`` most salient terms by
     TF-IDF-style scoring → (doc_id, term, rank, salience).

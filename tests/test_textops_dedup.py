@@ -602,3 +602,60 @@ def test_collocations_vs_counter(ray_session):
         assert got.loc[i, "w1"] == a and got.loc[i, "w2"] == b
         assert got.loc[i, "pair_cnt"] == c
         assert got.loc[i, "score"] == -negscore
+
+
+def test_heavy_hitters_zipf_exact_and_pruned(ray_session):
+    """Skewed corpus with vocab ≫ the MG counter budget: the sketch pass
+    must actually prune (k = 2·denom = 8 counters per batch vs 400+ distinct
+    tokens), yet the verified output is EXACTLY the Counter oracle's."""
+    from collections import Counter
+
+    from subgraph_isomorphism_pregel_ray.pipelines.textops import heavy_hitters
+
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i:04d}" for i in range(400)]
+    # 2 true heavy hitters (30% / 25% of mass) over a long uniform tail
+    texts = [
+        " ".join(
+            ["hot1"] * 18 + ["hot2"] * 15 + ["hot3"] * 12
+            + rng.choice(vocab, size=15).tolist()
+        )
+        for _ in range(80)
+    ]
+    texts.append("")  # empty row must not break tokenization
+    ds = _docs_ds(texts)
+
+    denom = 4  # tiny: k = 8 counters per batch → MG prune definitely fires
+    out = heavy_hitters(ds, denom=denom).to_pandas()
+
+    cnt = Counter(w for t in texts for w in t.split())
+    n = sum(cnt.values())
+    thr = (n + denom - 1) // denom
+    expect = sorted(
+        ((w, c) for w, c in cnt.items() if c >= thr), key=lambda x: (-x[1], x[0])
+    )
+    assert [w for w, _ in expect] == ["hot1", "hot2"]  # the planted hitters
+    got = list(zip(out["token"].tolist(), out["cnt"].tolist()))
+    assert got == expect
+
+    # zipf-tail-only corpus: NO token reaches N/4 — exercises the
+    # empty-candidate early-out of the sketch pass
+    p = 1.0 / np.arange(1, len(vocab) + 1)
+    p /= p.sum()
+    flat = [" ".join(rng.choice(vocab, size=60, p=p).tolist()) for _ in range(80)]
+    none = heavy_hitters(_docs_ds(flat), denom=denom)
+    assert none.count() == 0
+
+
+def test_heavy_hitters_empty_and_threshold_edge(ray_session):
+    from subgraph_isomorphism_pregel_ray.pipelines.textops import heavy_hitters
+
+    empty = heavy_hitters(_docs_ds(["", "   "]), denom=10)
+    assert empty.count() == 0
+    assert [f.name for f in empty.schema().base_schema] == ["token", "cnt"]
+
+    # uniform corpus: every token sits exactly AT the ceil threshold
+    ds = _docs_ds(["a b c d"] * 5)  # each token count 5, N=20, denom=4 → thr=5
+    out = heavy_hitters(ds, denom=4).to_pandas()
+    assert out["token"].tolist() == ["a", "b", "c", "d"]
+    assert out["cnt"].tolist() == [5, 5, 5, 5]
