@@ -42,6 +42,7 @@ __all__ = [
     "neighbor_sample",
     "hyperball",
     "ktruss",
+    "betweenness",
 ]
 
 
@@ -125,6 +126,25 @@ def sssp(edges_or_engine, seed_mod: int = 101, num_parts: int = 8,
     dist = hops to the nearest seed (vid % seed_mod == 0), -1 unreachable."""
     eng, lineage, own = _run(
         edges_or_engine, "sssp", {"seed_mod": seed_mod}, num_parts, max_steps,
+        directed=False, checkpoint_dir=checkpoint_dir,
+        checkpoint_every=checkpoint_every, resume=resume,
+    )
+    out = eng.result_table()
+    if own:
+        eng.shutdown()
+    return out, lineage
+
+
+def betweenness(edges_or_engine, seed_mod: int = 101, num_parts: int = 8,
+                max_steps: int = 200, round_to: int = 4,
+                checkpoint_dir=None, checkpoint_every=0, resume=False):
+    """Batched multi-source Brandes betweenness centrality over the
+    symmetrized edge set → (vid, bc) with bc the dependency sum from the
+    deterministic pivot set {v : vid % seed_mod == 0} (Brandes 2001 /
+    Bader et al. 2007 pivot sampling; see BetweennessProgram)."""
+    eng, lineage, own = _run(
+        edges_or_engine, "betweenness",
+        {"seed_mod": seed_mod, "round_to": round_to}, num_parts, max_steps,
         directed=False, checkpoint_dir=checkpoint_dir,
         checkpoint_every=checkpoint_every, resume=resume,
     )

@@ -33,11 +33,16 @@ __all__ = ["BSPEngine", "latest_checkpoint"]
 
 
 def _fold(stats: list[dict]) -> dict:
-    """Sum numeric stats across partitions; track straggler time."""
+    """Sum numeric stats across partitions; track straggler time.
+    Keys starting with ``max_`` fold by max instead (the reference's
+    aggregator protocol supports arbitrary folds, utils/Aggregator.h)."""
     out: dict = {}
     for s in stats:
         for k, v in s.items():
             if k == "part" or not isinstance(v, (int, float)):
+                continue
+            if k.startswith("max_"):
+                out[k] = max(out.get(k, v), v)
                 continue
             out[k] = out.get(k, 0) + v
             if k.startswith("t_"):

@@ -20,7 +20,11 @@ def _fold(stats):
     out = {}
     for s in stats:
         for k, v in s.items():
-            if isinstance(v, (int, float)) and k != "part":
+            if not isinstance(v, (int, float)) or k == "part":
+                continue
+            if k.startswith("max_"):  # max-fold keys, mirrors bsp._fold
+                out[k] = max(out.get(k, v), v)
+            else:
                 out[k] = out.get(k, 0) + v
     return out
 

@@ -44,6 +44,7 @@ __all__ = [
     "LabelPropagationProgram",
     "TriangleCountProgram",
     "MatchProgram",
+    "BetweennessProgram",
     "PROGRAMS",
 ]
 
@@ -1852,6 +1853,252 @@ class HyperBallProgram(VertexProgram):
         )
 
 
+class BetweennessProgram(VertexProgram):
+    """Batched multi-source Brandes betweenness centrality (Brandes 2001,
+    "A Faster Algorithm for Betweenness Centrality" — public).
+
+    bc(v) = Σ_{s ∈ S} Σ_{t} σ_st(v)/σ_st over the deterministic pivot set
+    S = {u : vid % seed_mod == 0} — the standard sampled estimator (Bader
+    et al. 2007 pivot sampling) with hash-style pivot choice so a SQL
+    oracle can reproduce the set exactly. Three phases in ONE program run:
+
+    * **census** (steps 0→1): every partition broadcasts its local seed
+      vids through the message plane; step 1 unions them into the same
+      sorted global seed list everywhere, so message seed indices agree
+      (the J5 small-side broadcast without driver participation).
+    * **forward** (BFS levels): batched over all K seeds — state is
+      (K, n) dist/σ per partition; one superstep per level; messages are
+      (seed, dst, σ-contribution) rows pre-aggregated per destination
+      inside the sender. A vertex's σ is the sum of ALL level-(d−1)
+      contributions, which BSP delivers in the same superstep.
+    * **backward** (dependency accumulation): when a superstep reports
+      zero new visits globally, partitions switch in lockstep (the fold
+      is global state — same trigger everywhere) and agree on the global
+      max level via the engine's ``max_``-fold. Then one superstep per
+      level from Lmax down: level-(d+1) vertices send c = (1+δ)/σ to all
+      neighbors; receivers keep only credits matching their own level d
+      (same-level edges drop out naturally — they lie on no shortest
+      path), set δ_v = σ_v·Σc, and fold δ into bc. Credits into level 0
+      would only reach the seed itself (never counted) — skipped, which
+      also terminates the run.
+
+    Scale shape: K·n state per partition is the declared batched-Brandes
+    memory cost — at web scale run pivots in waves of K_max (several
+    program runs, bc sums across waves). Exchange volume per superstep is
+    pre-aggregated per (seed, dst) and frontier-based in both phases.
+    Checkpoint/resume carries the census result + phase in the state
+    table's schema metadata. Result bc is rounded half-away at
+    ``round_to`` decimals so the SQL oracle reproduces it.
+    """
+
+    def init(self, csr: CSRPartition, seed_mod: int = 101, round_to: int = 4):
+        self.csr = csr
+        self.seed_mod = int(seed_mod)
+        self.round_to = int(round_to)
+        self.local_seeds = csr.vids[
+            (csr.vids % np.uint64(self.seed_mod)) == np.uint64(0)
+        ]
+        self.seeds: np.ndarray | None = None
+        self.bc = np.zeros(csr.num_vertices)
+        self.phase = "census"
+        self.Lmax: int | None = None
+        self._s0: int | None = None
+        self._max_seen = 0
+
+    # ---- helpers -----------------------------------------------------
+    def _recv_into(self, inbox, buf, got=None):
+        for msg in inbox:
+            if msg is None or "k" not in msg or len(msg["dst"]) == 0:
+                continue
+            li = self.csr.local_index(msg["dst"])
+            np.add.at(buf, (msg["k"], li), msg["val"])
+            if got is not None:
+                got[msg["k"], li] = True
+
+    def _send(self, ks, rows, vals):
+        """Fan (seed k, local row, value) over the rows' adjacency,
+        pre-aggregated per (k, dst) per destination partition."""
+        P = self.csr.num_parts
+        csr = self.csr
+        deg = csr.degrees()[rows]
+        eidx = flat_gather(csr.indptr[rows], deg)
+        if len(eidx) == 0:
+            return [None] * P, {"sent": 0}
+        dsts = csr.indices[eidx]
+        kk = np.repeat(ks, deg).astype(np.int64)
+        vv = np.repeat(vals, deg)
+        pp = part_for(dsts, P)
+        order = np.lexsort((dsts, kk, pp))
+        dsts, kk, vv, pp = dsts[order], kk[order], vv[order], pp[order]
+        bounds = np.searchsorted(pp, np.arange(P + 1))
+        outbox, sent = [], 0
+        for p in range(P):
+            s, e = int(bounds[p]), int(bounds[p + 1])
+            if s == e:
+                outbox.append(None)
+                continue
+            k_s, d_s, v_s = kk[s:e], dsts[s:e], vv[s:e]
+            first = np.concatenate(
+                [[True], (k_s[1:] != k_s[:-1]) | (d_s[1:] != d_s[:-1])]
+            )
+            starts = np.flatnonzero(first)
+            outbox.append(
+                {"k": k_s[first], "dst": d_s[first], "val": np.add.reduceat(v_s, starts)}
+            )
+            sent += len(starts)
+        return outbox, {"sent": sent}
+
+    # ---- protocol ----------------------------------------------------
+    def apply(self, step, inbox, glob):
+        n = self.csr.num_vertices
+        if step == 0:
+            return {"active": 1 if len(self.local_seeds) else 0}
+        if step == 1:
+            got = [
+                m["seeds"]
+                for m in inbox
+                if m is not None and len(m.get("seeds", ())) > 0
+            ]
+            self.seeds = (
+                np.unique(np.concatenate(got)) if got else np.empty(0, np.uint64)
+            )
+            K = len(self.seeds)
+            self.dist = np.full((K, n), _DIST_INF, dtype=np.int64)
+            self.sigma = np.zeros((K, n))
+            self.delta = np.zeros((K, n))
+            self.front = np.zeros((K, n), dtype=bool)
+            if K and len(self.local_seeds):
+                k = np.searchsorted(self.seeds, self.local_seeds)
+                li = self.csr.local_index(self.local_seeds)
+                self.dist[k, li] = 0
+                self.sigma[k, li] = 1.0
+                self.front[k, li] = True
+            self.phase = "forward"
+            return {
+                "active": 1 if K else 0,
+                "new_visits": int(self.front.sum()),
+                "max_level": 0,
+            }
+        if self.phase == "forward":
+            if glob.get("new_visits", 1) == 0:
+                # no seed made progress anywhere → switch in lockstep
+                self.phase = "backward"
+                self.Lmax = int(glob.get("max_level", 0))
+                self._s0 = step
+                self.front = None
+                return {"active": 1 if self.Lmax >= 2 else 0}
+            level = step - 1
+            buf = np.zeros_like(self.sigma)
+            got = np.zeros(self.dist.shape, dtype=bool)
+            self._recv_into(inbox, buf, got)
+            new = got & (self.dist == _DIST_INF)
+            self.dist[new] = level
+            self.sigma[new] = buf[new]
+            self.front = new
+            if new.any():
+                self._max_seen = max(self._max_seen, level)
+            return {
+                "active": 1,
+                "new_visits": int(new.sum()),
+                "max_level": self._max_seen,
+            }
+        # backward: credits sent at step-1 came from level recv+1
+        recv = self.Lmax - (step - self._s0)
+        buf = np.zeros_like(self.sigma)
+        self._recv_into(inbox, buf)
+        mask = self.dist == recv
+        self.delta[mask] = self.sigma[mask] * buf[mask]
+        self.bc += np.where(mask, self.delta, 0.0).sum(axis=0)
+        return {"active": 1 if recv >= 2 else 0}
+
+    def scatter(self, step):
+        P = self.csr.num_parts
+        if step == 0:
+            if len(self.local_seeds) == 0:
+                return [None] * P, {"sent": 0}
+            out = [{"seeds": self.local_seeds} for _ in range(P)]
+            return out, {"sent": len(self.local_seeds) * P}
+        if self.phase == "forward":
+            if self.front is None or not self.front.any():
+                return [None] * P, {"sent": 0}
+            ks, rows = np.nonzero(self.front)
+            return self._send(ks, rows, self.sigma[ks, rows])
+        level = self.Lmax - (step - self._s0)
+        if level < 2:  # level-1 credits reach only the seed — never counted
+            return [None] * P, {"sent": 0}
+        ks, rows = np.nonzero(self.dist == level)
+        if len(ks) == 0:
+            return [None] * P, {"sent": 0}
+        vals = (1.0 + self.delta[ks, rows]) / self.sigma[ks, rows]
+        return self._send(ks, rows, vals)
+
+    # ---- checkpoint --------------------------------------------------
+    def state_table(self):
+        import json
+
+        n = self.csr.num_vertices
+        K = 0 if self.seeds is None else len(self.seeds)
+        meta = {
+            "phase": self.phase,
+            "Lmax": self.Lmax,
+            "s0": self._s0,
+            "max_seen": self._max_seen,
+            "seeds": [int(v) for v in (self.seeds if K else [])],
+        }
+        cols: dict = {"vid": self.csr.vids, "bc": self.bc}
+        if K:
+            for name, arr, typ in (
+                ("dist", self.dist, pa.int64()),
+                ("sigma", self.sigma, pa.float64()),
+                ("delta", self.delta, pa.float64()),
+            ):
+                flat = pa.array(arr.T.reshape(-1), typ)
+                cols[name] = pa.FixedSizeListArray.from_arrays(flat, K)
+            front = (
+                self.front
+                if self.front is not None
+                else np.zeros((K, n), dtype=bool)
+            )
+            cols["front"] = pa.FixedSizeListArray.from_arrays(
+                pa.array(front.T.reshape(-1)), K
+            )
+        t = pa.table(cols)
+        return t.replace_schema_metadata({b"betweenness": json.dumps(meta).encode()})
+
+    def load_state(self, table, step):
+        import json
+
+        meta = json.loads(table.schema.metadata[b"betweenness"])
+        self.phase = meta["phase"]
+        self.Lmax = meta["Lmax"]
+        self._s0 = meta["s0"]
+        self._max_seen = meta["max_seen"]
+        self.seeds = np.asarray(meta["seeds"], dtype=np.uint64)
+        self.bc = table["bc"].to_numpy().copy()
+        n = self.csr.num_vertices
+        K = len(self.seeds)
+        if K:
+            def _mat(col, dt):
+                return (
+                    table[col].combine_chunks().flatten().to_numpy(zero_copy_only=False)
+                    .astype(dt).reshape(n, K).T.copy()
+                )
+
+            self.dist = _mat("dist", np.int64)
+            self.sigma = _mat("sigma", np.float64)
+            self.delta = _mat("delta", np.float64)
+            self.front = (
+                _mat("front", bool) if self.phase == "forward" else None
+            )
+
+    def result_table(self):
+        from ..functions.rounding import round_half_away
+
+        return pa.table(
+            {"vid": self.csr.vids, "bc": round_half_away(self.bc, self.round_to)}
+        )
+
+
 PROGRAMS = {
     "pagerank": PageRankProgram,
     "cc": ConnectedComponentsProgram,
@@ -1866,4 +2113,5 @@ PROGRAMS = {
     "walk": RandomWalkProgram,
     "hits": HITSProgram,
     "hyperball": HyperBallProgram,
+    "betweenness": BetweennessProgram,
 }

@@ -423,3 +423,68 @@ def test_hyperball_nf_curve_in_lineage():
     assert all(b >= a for a, b in zip(curve, curve[1:]))  # non-decreasing
     # path graph radius-4 balls: sizes 5,5,5,5,5 -> Σ = 25 (m=1024 ≈ exact)
     assert abs(curve[-1] - 25) / 25 < 0.05
+
+
+def brute_betweenness(adj, seeds):
+    """Single-process Brandes (2001) from the given source set."""
+    from collections import deque
+
+    bc = {v: 0.0 for v in adj}
+    for s in seeds:
+        dist = {s: 0}
+        sigma = {s: 1.0}
+        order = [s]
+        preds = {s: []}
+        q = deque([s])
+        while q:
+            u = q.popleft()
+            for w in sorted(adj.get(u, ())):
+                if w not in dist:
+                    dist[w] = dist[u] + 1
+                    sigma[w] = 0.0
+                    preds[w] = []
+                    q.append(w)
+                    order.append(w)
+                if dist[w] == dist[u] + 1:
+                    sigma[w] += sigma[u]
+                    preds[w].append(u)
+        delta = {v: 0.0 for v in order}
+        for w in reversed(order):
+            for u in preds[w]:
+                delta[u] += sigma[u] / sigma[w] * (1 + delta[w])
+            if w != s:
+                bc[w] += delta[w]
+    return bc
+
+
+@pytest.mark.parametrize("trial", range(4))
+def test_betweenness_random_vs_brandes(trial):
+    """Batched multi-source engine == textbook Brandes from the same pivots
+    (includes disconnected leftovers and seeds in separate components)."""
+    n = [12, 40, 80, 150][trial]
+    seed_mod = [3, 5, 7, 11][trial]
+    s, d = random_graph(trial + 40, n)
+    adj = adjacency(s, d)
+    seeds = sorted(v for v in adj if v % seed_mod == 0)
+    eng = LocalBSP(s, d, num_parts=4, directed=False)
+    eng.run("betweenness", {"seed_mod": seed_mod, "round_to": 9}, max_steps=100)
+    res = eng.result().to_pandas().set_index("vid")["bc"]
+    exp = brute_betweenness(adj, seeds)
+    assert len(res) == len(exp)
+    for v in res.index:
+        assert abs(res[v] - exp[int(v)]) < 1e-6, int(v)
+
+
+def test_betweenness_partition_invariance():
+    """bc independent of the partition count (round_to=4 output bit-equal)."""
+    s, d = random_graph(55, 90)
+    outs = []
+    for P in (1, 2, 5):
+        eng = LocalBSP(s, d, num_parts=P, directed=False)
+        eng.run("betweenness", {"seed_mod": 7}, max_steps=100)
+        outs.append(
+            eng.result().to_pandas().sort_values("vid").reset_index(drop=True)
+        )
+    for o in outs[1:]:
+        assert np.array_equal(outs[0]["vid"].values, o["vid"].values)
+        assert np.array_equal(outs[0]["bc"].values, o["bc"].values)

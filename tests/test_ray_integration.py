@@ -239,3 +239,30 @@ def test_ktruss_vs_brute_peeling(ray_session):
     exp = brute(E, 5)
     assert got == exp
     assert {(a, b) for a in range(6) for b in range(a + 1, 6)} <= got  # clique kept
+
+
+def test_betweenness_checkpoint_resume(ray_session, graph_arrays, tmp_path):
+    """Census + (K,n) forward/backward state round-trips parquet checkpoints
+    (schema-metadata seed list included); mid-run resume is bit-identical."""
+    s, d = graph_arrays
+    gdir, ckdir = str(tmp_path / "g4"), str(tmp_path / "ck4")
+    partition_graph(edges_from_arrays(s, d), 4, gdir, directed=False)
+    params = {"seed_mod": 7, "round_to": 9}
+
+    eng = BSPEngine(gdir, 4)
+    eng.run("betweenness", params, max_steps=100)
+    ref = eng.result_table().to_pandas().sort_values("vid").reset_index(drop=True)
+    eng.shutdown()
+
+    engA = BSPEngine(gdir, 4)  # "killed" after step 3 (mid forward/backward)
+    engA.run("betweenness", params, max_steps=4, checkpoint_dir=ckdir,
+             checkpoint_every=1)
+    engA.shutdown()
+    assert os.path.isdir(os.path.join(ckdir, "step=3"))
+    engB = BSPEngine(gdir, 4)
+    engB.run("betweenness", params, max_steps=100, checkpoint_dir=ckdir,
+             checkpoint_every=1, resume=True)
+    resumed = engB.result_table().to_pandas().sort_values("vid").reset_index(drop=True)
+    engB.shutdown()
+    assert np.array_equal(ref["vid"].values, resumed["vid"].values)
+    assert np.array_equal(ref["bc"].values, resumed["bc"].values)
