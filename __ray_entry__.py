@@ -121,6 +121,15 @@ def _q_betweenness(sf_dir: str):
 
 
 
+def _q_closeness(sf_dir: str):
+    from subgraph_isomorphism_pregel_ray.pipelines.algorithms import closeness
+
+    res, _ = closeness(_sym_copurchase(sf_dir), seed_mod=101, num_parts=4)
+    import ray.data as rd
+
+    return rd.from_arrow(res)
+
+
 def _q_mis(sf_dir: str):
     from subgraph_isomorphism_pregel_ray.pipelines.algorithms import mis
 
@@ -693,6 +702,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cc_copurchase": _q_cc,
         "sssp_copurchase": _q_sssp,
         "betweenness_copurchase": _q_betweenness,
+        "closeness_copurchase": _q_closeness,
         "mis_copurchase": _q_mis,
         "triangle_count_copurchase": _q_triangles,
         "clustering_coeff_copurchase": _q_clustering,
@@ -940,16 +950,10 @@ def _sssp_sql(iters: int = 6, seed_mod: int = 101) -> str:
     )
 
 
-def _betweenness_sql(levels: int = 5, seed_mod: int = 101) -> str:
-    """Unrolled batched Brandes (mirrors BetweennessProgram): forward
-    per-source BFS with path counts sigma, then backward dependency
-    accumulation level by level — delta(v) = sigma_v * SUM over
-    shortest-path successors w of (1+delta_w)/sigma_w; bc = SUM of deltas
-    over sources, seeds' own level-0 deltas excluded. Per-source BFS
-    depth is 2-3 on the sf0.001/sf0.01 co-purchase graphs; 5 levels is
-    the safety margin (extra levels are empty → identity). Rounded 4
-    decimals on both sides (round_half_away ≡ DuckDB round on
-    non-negative doubles)."""
+def _bfs_forward_parts(levels: int, seed_mod: int) -> list[str]:
+    """Shared unrolled per-source BFS CTEs (forward phase of batched
+    Brandes, mirrors BetweennessProgram): D{levels} holds one
+    (source s, vid, level d, path-count sig) row per visited pair."""
     parts = [
         f"WITH {_ESYM_MAT}",
         "v AS MATERIALIZED (SELECT DISTINCT src AS vid FROM e)",
@@ -968,6 +972,20 @@ def _betweenness_sql(levels: int = 5, seed_mod: int = 101) -> str:
         parts.append(
             f"D{t} AS MATERIALIZED (SELECT * FROM D{t-1} UNION ALL SELECT * FROM f{t})"
         )
+    return parts
+
+
+def _betweenness_sql(levels: int = 5, seed_mod: int = 101) -> str:
+    """Unrolled batched Brandes (mirrors BetweennessProgram): forward
+    per-source BFS with path counts sigma, then backward dependency
+    accumulation level by level — delta(v) = sigma_v * SUM over
+    shortest-path successors w of (1+delta_w)/sigma_w; bc = SUM of deltas
+    over sources, seeds' own level-0 deltas excluded. Per-source BFS
+    depth is 2-3 on the sf0.001/sf0.01 co-purchase graphs; 5 levels is
+    the safety margin (extra levels are empty → identity). Rounded 4
+    decimals on both sides (round_half_away ≡ DuckDB round on
+    non-negative doubles)."""
+    parts = _bfs_forward_parts(levels, seed_mod)
     L = levels
     parts.append(
         f"bd{L} AS MATERIALIZED (SELECT s, vid, CAST(0 AS DOUBLE) AS delta "
@@ -992,6 +1010,20 @@ def _betweenness_sql(levels: int = 5, seed_mod: int = 101) -> str:
         + f" SELECT v.vid, round(coalesce(b.bc, 0), 4) AS bc FROM v "
         f"LEFT JOIN (SELECT vid, sum(delta) AS bc FROM ({union}) GROUP BY vid) b "
         f"ON b.vid = v.vid"
+    )
+
+
+def _closeness_sql(levels: int = 5, seed_mod: int = 101) -> str:
+    """Unrolled harmonic closeness (mirrors HarmonicClosenessProgram):
+    hc(v) = SUM over pivot sources s of 1/d(s, v) for d > 0, unreachable
+    pairs contributing 0 — the forward-BFS CTEs shared with the Brandes
+    oracle, folded by 1/d. Rounded 4 decimals on both sides."""
+    parts = _bfs_forward_parts(levels, seed_mod)
+    return (
+        ", ".join(parts)
+        + f" SELECT v.vid, round(coalesce(h.hc, 0), 4) AS hc FROM v "
+        f"LEFT JOIN (SELECT vid, sum(1.0 / d) AS hc FROM D{levels} "
+        f"WHERE d > 0 GROUP BY vid) h ON h.vid = v.vid"
     )
 
 
@@ -1276,6 +1308,7 @@ def oracle_sql() -> dict[str, str]:
         "cc_copurchase": _cc_sql(),
         "sssp_copurchase": _sssp_sql(),
         "betweenness_copurchase": _betweenness_sql(),
+        "closeness_copurchase": _closeness_sql(),
         "mis_copurchase": _mis_sql(),
         "triangle_count_copurchase": (
             f"WITH {_EU} SELECT count(*) AS n_triangles FROM eu e1 "

@@ -4,7 +4,7 @@
 
     python -m subgraph_isomorphism_pregel_ray match -d graphs/toy.txt -q graphs/query.txt
     python -m subgraph_isomorphism_pregel_ray pagerank -d edges.parquet -out /tmp/pr --iters 20
-    python -m subgraph_isomorphism_pregel_ray cc|sssp|mis|lpa|triangles|kcore|ppr|walk|hits|assortativity|betweenness -d <edges> [-out DIR]
+    python -m subgraph_isomorphism_pregel_ray cc|sssp|mis|lpa|triangles|kcore|ppr|walk|hits|assortativity|betweenness|closeness -d <edges> [-out DIR]
     python -m subgraph_isomorphism_pregel_ray extract --pages <pages parquet> -out <edges dir>
 
 ``-d`` accepts the reference's text graph format (*.txt) or a parquet edge
@@ -66,7 +66,8 @@ def main(argv=None):
         p.add_argument("--resume", action="store_true")
 
     for name in ("pagerank", "cc", "sssp", "mis", "lpa", "triangles", "kcore",
-                 "ppr", "walk", "hits", "assortativity", "hyperball", "betweenness"):
+                 "ppr", "walk", "hits", "assortativity", "hyperball", "betweenness",
+                 "closeness"):
         p = sub.add_parser(name)
         common(p)
         if name in ("pagerank", "lpa", "ppr", "hits"):
@@ -82,9 +83,9 @@ def main(argv=None):
         if name == "sssp":
             p.add_argument("--seed-mod", type=int, default=101,
                            help="BFS sources are vid %% seed-mod == 0")
-        if name == "betweenness":
+        if name in ("betweenness", "closeness"):
             p.add_argument("--seed-mod", type=int, default=101,
-                           help="Brandes pivots are vid %% seed-mod == 0")
+                           help="centrality pivots are vid %% seed-mod == 0")
         if name == "walk":
             p.add_argument("--walk-len", type=int, default=4)
         if name == "hyperball":
@@ -190,6 +191,9 @@ def main(argv=None):
         ),
         "betweenness": lambda: (
             "betweenness", {"seed_mod": args.seed_mod}, 300, False,
+        ),
+        "closeness": lambda: (
+            "closeness", {"seed_mod": args.seed_mod}, 300, False,
         ),
     }[args.cmd]()
 

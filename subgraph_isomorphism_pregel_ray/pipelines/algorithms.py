@@ -43,6 +43,7 @@ __all__ = [
     "hyperball",
     "ktruss",
     "betweenness",
+    "closeness",
 ]
 
 
@@ -144,6 +145,25 @@ def betweenness(edges_or_engine, seed_mod: int = 101, num_parts: int = 8,
     Bader et al. 2007 pivot sampling; see BetweennessProgram)."""
     eng, lineage, own = _run(
         edges_or_engine, "betweenness",
+        {"seed_mod": seed_mod, "round_to": round_to}, num_parts, max_steps,
+        directed=False, checkpoint_dir=checkpoint_dir,
+        checkpoint_every=checkpoint_every, resume=resume,
+    )
+    out = eng.result_table()
+    if own:
+        eng.shutdown()
+    return out, lineage
+
+
+def closeness(edges_or_engine, seed_mod: int = 101, num_parts: int = 8,
+              max_steps: int = 200, round_to: int = 4,
+              checkpoint_dir=None, checkpoint_every=0, resume=False):
+    """Harmonic closeness centrality over the symmetrized edge set →
+    (vid, hc) with hc = Σ 1/dist from the deterministic pivot set
+    {v : vid % seed_mod == 0} (Boldi & Vigna 2014 harmonic variant; see
+    HarmonicClosenessProgram — forward phase of batched Brandes only)."""
+    eng, lineage, own = _run(
+        edges_or_engine, "closeness",
         {"seed_mod": seed_mod, "round_to": round_to}, num_parts, max_steps,
         directed=False, checkpoint_dir=checkpoint_dir,
         checkpoint_every=checkpoint_every, resume=resume,

@@ -45,6 +45,7 @@ __all__ = [
     "TriangleCountProgram",
     "MatchProgram",
     "BetweennessProgram",
+    "HarmonicClosenessProgram",
     "PROGRAMS",
 ]
 
@@ -2099,6 +2100,45 @@ class BetweennessProgram(VertexProgram):
         )
 
 
+class HarmonicClosenessProgram(BetweennessProgram):
+    """Harmonic closeness centrality hc(v) = Σ_{s ∈ S, s ≠ v} 1/d(s, v)
+    from the same deterministic pivot set as BetweennessProgram (harmonic
+    variant per Boldi & Vigna 2014, "Axioms for Centrality" — well-defined
+    on disconnected graphs: unreachable pairs contribute 0).
+
+    Reuses the parent's census + batched forward-BFS phases verbatim and
+    simply stops at the lockstep phase switch (no backward dependency
+    pass), so per-superstep exchange stays the pre-aggregated frontier
+    volume and the (K, n) dist matrix is the whole state. Checkpoint
+    format is inherited; ``result_table`` folds 1/dist over the seed axis.
+    """
+
+    def apply(self, step, inbox, glob):
+        out = super().apply(step, inbox, glob)
+        if self.phase == "backward":  # forward converged — we're done
+            return {"active": 0}
+        return out
+
+    def scatter(self, step):
+        if self.phase == "backward":
+            return [None] * self.csr.num_parts, {"sent": 0}
+        return super().scatter(step)
+
+    def result_table(self):
+        from ..functions.rounding import round_half_away
+
+        if self.seeds is None or len(self.seeds) == 0:
+            hc = np.zeros(self.csr.num_vertices)
+        else:
+            d = self.dist
+            hc = np.where(
+                (d > 0) & (d != _DIST_INF), 1.0 / np.maximum(d, 1), 0.0
+            ).sum(axis=0)
+        return pa.table(
+            {"vid": self.csr.vids, "hc": round_half_away(hc, self.round_to)}
+        )
+
+
 PROGRAMS = {
     "pagerank": PageRankProgram,
     "cc": ConnectedComponentsProgram,
@@ -2114,4 +2154,5 @@ PROGRAMS = {
     "hits": HITSProgram,
     "hyperball": HyperBallProgram,
     "betweenness": BetweennessProgram,
+    "closeness": HarmonicClosenessProgram,
 }

@@ -475,6 +475,38 @@ def test_betweenness_random_vs_brandes(trial):
         assert abs(res[v] - exp[int(v)]) < 1e-6, int(v)
 
 
+@pytest.mark.parametrize("trial", range(3))
+def test_closeness_random_vs_bfs(trial):
+    """Harmonic closeness == brute BFS Σ 1/d from the same pivots
+    (unreachable pairs contribute 0; pivot's own level-0 excluded)."""
+    from collections import deque
+
+    n = [15, 50, 120][trial]
+    seed_mod = [3, 5, 9][trial]
+    s, d = random_graph(trial + 70, n)
+    adj = adjacency(s, d)
+    seeds = sorted(v for v in adj if v % seed_mod == 0)
+    exp = {v: 0.0 for v in adj}
+    for src in seeds:
+        dist = {src: 0}
+        q = deque([src])
+        while q:
+            u = q.popleft()
+            for w in adj.get(u, ()):
+                if w not in dist:
+                    dist[w] = dist[u] + 1
+                    q.append(w)
+        for v, dv in dist.items():
+            if dv > 0:
+                exp[v] += 1.0 / dv
+    eng = LocalBSP(s, d, num_parts=4, directed=False)
+    eng.run("closeness", {"seed_mod": seed_mod, "round_to": 9}, max_steps=100)
+    res = eng.result().to_pandas().set_index("vid")["hc"]
+    assert len(res) == len(exp)
+    for v in res.index:
+        assert abs(res[v] - exp[int(v)]) < 1e-6, int(v)
+
+
 def test_betweenness_partition_invariance():
     """bc independent of the partition count (round_to=4 output bit-equal)."""
     s, d = random_graph(55, 90)
