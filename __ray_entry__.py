@@ -627,6 +627,21 @@ def _q_media_features(sf_dir: str):
     return decode_features(rd.from_arrow(synth_media_table(300, seed=42)))
 
 
+def _q_host_graph(sf_dir: str):
+    """Host-level webgraph (cc-webgraph-style aggregation of the href edge
+    table to (src_host, dst_host, n_links)). Rows-only: the driver's
+    DuckDB views carry no pages table, so the oracle is the pytest
+    scalar-reference + batch-size-invariance check
+    (tests/test_ray_integration.py::test_host_graph_vs_scalar_reference).
+    Deterministic synthetic pages, independent of sf_dir by design."""
+    import ray.data as rd
+
+    from subgraph_isomorphism_pregel_ray.sources.pages import synth_pages_table
+    from subgraph_isomorphism_pregel_ray.stages.extract import host_graph
+
+    return host_graph(rd.from_arrow(synth_pages_table(2000, seed=42)))
+
+
 # ---- relational / streaming-shaped ---------------------------------------
 def _q_q1(sf_dir: str):
     from subgraph_isomorphism_pregel_ray.pipelines.relational import q1_lineitem
@@ -748,6 +763,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "simhash_dup_pairs": _q_simhash_pairs,
         "media_features": _q_media_features,
+        "host_graph": _q_host_graph,
         "events_range_join": _q_events_range_join,
         "events_lag": _q_events_lag,
         "salient_terms": _q_salient_terms,

@@ -81,6 +81,14 @@ def extract_hrefs(html_doc) -> list[str]:
 _SCHEME_HOST_RE = re.compile(r"^([a-zA-Z][a-zA-Z0-9+.-]*://)([^/?#]*)(.*)$")
 
 
+def host_of(url: str) -> str:
+    """Lowercased host of an absolute URL (the cc-webgraph host-graph
+    vertex identity, public Common Crawl tooling); '' for scheme-relative
+    or relative hrefs — callers resolve those against the linking page."""
+    m = _SCHEME_HOST_RE.match(url.strip())
+    return m.group(2).lower() if m else ""
+
+
 def normalize_url(url: str) -> str:
     """Canonical url for vertex identity: lowercase scheme+host, strip the
     fragment, strip a single trailing slash from a non-root path."""

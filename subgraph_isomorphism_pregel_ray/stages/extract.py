@@ -16,10 +16,17 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from ..functions.extract import extract_hrefs, extract_text, normalize_url
+from ..functions.extract import extract_hrefs, extract_text, host_of, normalize_url
 from ..functions.hashing import hash64
 
-__all__ = ["extract_batch", "edges_batch", "extract_stage", "edge_stage"]
+__all__ = [
+    "extract_batch",
+    "edges_batch",
+    "extract_stage",
+    "edge_stage",
+    "host_edges_batch",
+    "host_graph",
+]
 
 
 def extract_batch(batch: pa.Table) -> pa.Table:
@@ -54,6 +61,66 @@ def edges_batch(batch: pa.Table) -> pa.Table:
         src = np.empty(0, dtype=np.uint64)
         dst = np.empty(0, dtype=np.uint64)
     return pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+
+
+def host_edges_batch(batch: pa.Table) -> pa.Table:
+    """pages(url, html) → PARTIAL host-graph counts
+    (src_host, dst_host, n) — one row per distinct host pair in the batch.
+
+    The host graph is the Common-Crawl "host-level webgraph" aggregation
+    (public cc-webgraph tooling): every href edge is mapped to the hosts
+    of its endpoints; relative hrefs resolve to the linking page's own
+    host. Counts are combined INSIDE the batch (np.unique on the pair
+    ids) before any shuffle, so the exchange volume is bounded by the
+    number of distinct host pairs per batch — the combine-before-shuffle
+    rule for a power-law host distribution."""
+    urls = batch["url"].to_pylist()
+    htmls = batch["html"].to_pylist()
+    src_hosts: list[str] = []
+    dst_hosts: list[str] = []
+    for u, h in zip(urls, htmls):
+        sh = host_of(u)
+        for t in extract_hrefs(h):
+            th = host_of(t)
+            src_hosts.append(sh)
+            dst_hosts.append(th if th else sh)
+    if not src_hosts:
+        return pa.table(
+            {
+                "src_host": pa.array([], type=pa.string()),
+                "dst_host": pa.array([], type=pa.string()),
+                "n": pa.array([], type=pa.int64()),
+            }
+        )
+    us, si = np.unique(np.asarray(src_hosts, dtype=str), return_inverse=True)
+    ud, di = np.unique(np.asarray(dst_hosts, dtype=str), return_inverse=True)
+    key = si.astype(np.int64) * len(ud) + di
+    uk, counts = np.unique(key, return_counts=True)
+    return pa.table(
+        {
+            "src_host": pa.array(us[uk // len(ud)]),
+            "dst_host": pa.array(ud[uk % len(ud)]),
+            "n": pa.array(counts.astype(np.int64)),
+        }
+    )
+
+
+def host_graph(pages_ds, batch_size: int = 512):
+    """Dataset pipeline: pages → host-level link graph
+    (src_host, dst_host, n_links), n_links = number of href edges between
+    the two hosts (self-host links kept — they dominate real webgraphs
+    and callers filter them). Partial per-batch counts, then ONE
+    groupby-sum over the (already tiny) host-pair keyspace."""
+    from ray.data.aggregate import Sum
+
+    partial = pages_ds.map_batches(
+        host_edges_batch, batch_format="pyarrow", batch_size=batch_size
+    )
+    agg = partial.groupby(["src_host", "dst_host"]).aggregate(Sum("n"))
+    return agg.map_batches(
+        lambda t: t.rename_columns(["src_host", "dst_host", "n_links"]),
+        batch_format="pyarrow",
+    )
 
 
 def extract_stage(pages_ds, batch_size: int = 512):

@@ -266,3 +266,50 @@ def test_betweenness_checkpoint_resume(ray_session, graph_arrays, tmp_path):
     engB.shutdown()
     assert np.array_equal(ref["vid"].values, resumed["vid"].values)
     assert np.array_equal(ref["bc"].values, resumed["bc"].values)
+
+
+def test_host_graph_vs_scalar_reference(ray_session):
+    """Host-level link graph == per-link scalar recomputation (host_of on
+    every href, relative hrefs resolving to the page's own host), with
+    batch-size invariance so the per-batch partial combine is proven
+    associative."""
+    import collections
+
+    import ray.data as rd
+
+    from subgraph_isomorphism_pregel_ray.functions.extract import (
+        extract_hrefs,
+        host_of,
+    )
+    from subgraph_isomorphism_pregel_ray.sources.pages import synth_pages_table
+    from subgraph_isomorphism_pregel_ray.stages.extract import host_graph
+
+    t = synth_pages_table(400, seed=7)
+    exp: collections.Counter = collections.Counter()
+    for u, h in zip(t["url"].to_pylist(), t["html"].to_pylist()):
+        sh = host_of(u)
+        for href in extract_hrefs(h):
+            th = host_of(href)
+            exp[(sh, th if th else sh)] += 1
+    assert sum(exp.values()) > 0 and len(exp) > 2
+
+    for bs in (32, 512):
+        got = (
+            host_graph(rd.from_arrow(t), batch_size=bs)
+            .to_pandas()
+            .sort_values(["src_host", "dst_host"])
+            .reset_index(drop=True)
+        )
+        assert len(got) == len(exp)
+        for _, r in got.iterrows():
+            assert exp[(r["src_host"], r["dst_host"])] == r["n_links"]
+        assert int(got["n_links"].sum()) == sum(exp.values())
+
+
+def test_host_of_scalar():
+    from subgraph_isomorphism_pregel_ray.functions.extract import host_of
+
+    assert host_of("HTTPS://Site1.Example/p/1") == "site1.example"
+    assert host_of("http://a.example") == "a.example"
+    assert host_of("/relative/path") == ""
+    assert host_of("mailto:x@y.example") == ""  # no //host authority
