@@ -642,6 +642,23 @@ def _q_host_graph(sf_dir: str):
     return host_graph(rd.from_arrow(synth_pages_table(2000, seed=42)))
 
 
+def _q_host_rank(sf_dir: str):
+    """Host-level PageRank (Common Crawl host-ranking composition:
+    pages → host graph → PageRank → named ranks). Rows-only for the same
+    reason as host_graph (no pages table among the driver's DuckDB
+    views); the pytest oracle proves parity with the engine's
+    SQL-verified PageRank on the manually-built host edge list
+    (tests/test_ray_integration.py::test_host_rank_vs_direct_pagerank).
+    Deterministic synthetic pages, independent of sf_dir by design."""
+    import ray.data as rd
+
+    from subgraph_isomorphism_pregel_ray.sources.pages import synth_pages_table
+    from subgraph_isomorphism_pregel_ray.stages.extract import host_rank
+
+    out, _ = host_rank(rd.from_arrow(synth_pages_table(2000, seed=42)), iters=10)
+    return rd.from_arrow(out)
+
+
 # ---- relational / streaming-shaped ---------------------------------------
 def _q_q1(sf_dir: str):
     from subgraph_isomorphism_pregel_ray.pipelines.relational import q1_lineitem
@@ -764,6 +781,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_dup_pairs": _q_simhash_pairs,
         "media_features": _q_media_features,
         "host_graph": _q_host_graph,
+        "host_rank": _q_host_rank,
         "events_range_join": _q_events_range_join,
         "events_lag": _q_events_lag,
         "salient_terms": _q_salient_terms,

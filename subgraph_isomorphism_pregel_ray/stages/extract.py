@@ -26,6 +26,7 @@ __all__ = [
     "edge_stage",
     "host_edges_batch",
     "host_graph",
+    "host_rank",
 ]
 
 
@@ -121,6 +122,48 @@ def host_graph(pages_ds, batch_size: int = 512):
         lambda t: t.rename_columns(["src_host", "dst_host", "n_links"]),
         batch_format="pyarrow",
     )
+
+
+def host_rank(pages_ds, iters: int = 20, damping: float = 0.85,
+              num_parts: int = 4, batch_size: int = 512):
+    """Host-level PageRank (the Common Crawl host-ranking composition,
+    public cc-webgraph tooling): pages → host graph → distinct host-pair
+    edges with self-host links dropped (cc-webgraph convention; a host
+    linking only to itself therefore has no rank row) → the engine's
+    PageRank → (host, rank) ordered by rank desc.
+
+    The vid↔host name map is rebuilt vectorized from the host-graph
+    Dataset (np.unique over batch columns) and applied by searchsorted —
+    driver memory is O(#hosts), the same order as the returned table."""
+    from ..pipelines.algorithms import pagerank
+
+    hg = host_graph(pages_ds, batch_size=batch_size).materialize()
+
+    def eb(t: pa.Table) -> pa.Table:
+        s = np.asarray(t["src_host"].to_pylist(), dtype=object)
+        d = np.asarray(t["dst_host"].to_pylist(), dtype=object)
+        keep = s != d
+        return pa.table(
+            {"src": pa.array(hash64(s[keep])), "dst": pa.array(hash64(d[keep]))}
+        )
+
+    edges = hg.map_batches(eb, batch_format="pyarrow")
+    res, lineage = pagerank(edges, iters=iters, damping=damping,
+                            num_parts=num_parts)
+
+    chunks = []
+    for b in hg.iter_batches(batch_format="pyarrow"):
+        for col in ("src_host", "dst_host"):
+            chunks.append(np.asarray(b[col].to_pylist(), dtype=str))
+    hosts = np.unique(np.concatenate(chunks)) if chunks else np.empty(0, str)
+    vids = hash64(hosts.astype(object))
+    order = np.argsort(vids)
+    vids, hosts = vids[order], hosts[order]
+    rv = res["vid"].to_numpy()
+    idx = np.searchsorted(vids, rv)
+    rank = res["rank"].to_numpy()
+    out = pa.table({"host": pa.array(hosts[idx]), "rank": pa.array(rank)})
+    return out.take(np.argsort(-rank, kind="stable")), lineage
 
 
 def extract_stage(pages_ds, batch_size: int = 512):

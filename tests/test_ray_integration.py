@@ -313,3 +313,41 @@ def test_host_of_scalar():
     assert host_of("http://a.example") == "a.example"
     assert host_of("/relative/path") == ""
     assert host_of("mailto:x@y.example") == ""  # no //host authority
+
+
+def test_host_rank_vs_direct_pagerank(ray_session):
+    """host_rank == PageRank run directly on the manually-built host edge
+    list, with names mapped back correctly and self-host links dropped."""
+    import ray.data as rd
+
+    from subgraph_isomorphism_pregel_ray.functions.extract import (
+        extract_hrefs,
+        host_of,
+    )
+    from subgraph_isomorphism_pregel_ray.functions.hashing import hash64
+    from subgraph_isomorphism_pregel_ray.sources.pages import synth_pages_table
+    from subgraph_isomorphism_pregel_ray.stages.extract import host_rank
+
+    t = synth_pages_table(300, seed=11)
+    pairs = set()
+    for u, h in zip(t["url"].to_pylist(), t["html"].to_pylist()):
+        sh = host_of(u)
+        for href in extract_hrefs(h):
+            th = host_of(href) or sh
+            if th != sh:
+                pairs.add((sh, th))
+    s = np.array([p[0] for p in sorted(pairs)], dtype=object)
+    d = np.array([p[1] for p in sorted(pairs)], dtype=object)
+    ref_edges = rd.from_arrow(
+        pa.table({"src": pa.array(hash64(s)), "dst": pa.array(hash64(d))})
+    )
+    exp, _ = pagerank(ref_edges, iters=10, num_parts=4)
+    exp_by_vid = dict(zip(exp["vid"].to_numpy(), exp["rank"].to_numpy()))
+
+    got, _ = host_rank(rd.from_arrow(t), iters=10, num_parts=4)
+    assert len(got) == len(exp_by_vid)
+    ranks = got["rank"].to_numpy()
+    assert np.all(ranks[:-1] >= ranks[1:])  # rank-desc ordering
+    for host, rank in zip(got["host"].to_pylist(), ranks):
+        vid = hash64(np.array([host], dtype=object))[0]
+        assert rank == exp_by_vid[vid], host
