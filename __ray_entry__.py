@@ -121,6 +121,15 @@ def _q_betweenness(sf_dir: str):
 
 
 
+def _q_wsssp(sf_dir: str):
+    from subgraph_isomorphism_pregel_ray.pipelines.algorithms import weighted_sssp
+
+    res, _ = weighted_sssp(_sym_copurchase(sf_dir), seed_mod=101, num_parts=4)
+    import ray.data as rd
+
+    return rd.from_arrow(res)
+
+
 def _q_closeness(sf_dir: str):
     from subgraph_isomorphism_pregel_ray.pipelines.algorithms import closeness
 
@@ -735,6 +744,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sssp_copurchase": _q_sssp,
         "betweenness_copurchase": _q_betweenness,
         "closeness_copurchase": _q_closeness,
+        "wsssp_copurchase": _q_wsssp,
         "mis_copurchase": _q_mis,
         "triangle_count_copurchase": _q_triangles,
         "clustering_coeff_copurchase": _q_clustering,
@@ -1047,6 +1057,35 @@ def _betweenness_sql(levels: int = 5, seed_mod: int = 101) -> str:
     )
 
 
+def _wsssp_sql(rounds: int = 8, seed_mod: int = 101,
+               wbase: int = 10, wmod: int = 5) -> str:
+    """Unrolled min-plus relaxation (mirrors WeightedSSSPProgram's
+    Bellman-Ford): d_t(v) = min(d_{t-1}(v), min over in-edges of
+    d_{t-1}(u) + wbase + (u+v) % wmod). With weight ratio
+    (wbase+wmod-1)/wbase = 1.4 an optimal path uses at most
+    ⌊1.4 · BFS-depth⌋ hops; BFS depth is 2-3 on the sf co-purchase
+    graphs, so 8 rounds is the safety margin (extra rounds are
+    identity). -1 = unreachable, matching the engine."""
+    parts = [
+        f"WITH {_ESYM_MAT}",
+        "v AS MATERIALIZED (SELECT DISTINCT src AS vid FROM e)",
+        f"d0 AS MATERIALIZED (SELECT vid, CAST(0 AS BIGINT) AS dist "
+        f"FROM v WHERE vid % {seed_mod} = 0)",
+    ]
+    for t in range(1, rounds + 1):
+        parts.append(
+            f"d{t} AS MATERIALIZED (SELECT vid, min(dist) AS dist FROM ("
+            f"SELECT vid, dist FROM d{t-1} UNION ALL "
+            f"SELECT e.dst AS vid, p.dist + {wbase} + (e.src + e.dst) % {wmod} "
+            f"FROM e JOIN d{t-1} p ON p.vid = e.src) GROUP BY vid)"
+        )
+    return (
+        ", ".join(parts)
+        + f" SELECT v.vid, coalesce(d.dist, -1) AS wdist FROM v "
+        f"LEFT JOIN d{rounds} d ON d.vid = v.vid"
+    )
+
+
 def _closeness_sql(levels: int = 5, seed_mod: int = 101) -> str:
     """Unrolled harmonic closeness (mirrors HarmonicClosenessProgram):
     hc(v) = SUM over pivot sources s of 1/d(s, v) for d > 0, unreachable
@@ -1343,6 +1382,7 @@ def oracle_sql() -> dict[str, str]:
         "sssp_copurchase": _sssp_sql(),
         "betweenness_copurchase": _betweenness_sql(),
         "closeness_copurchase": _closeness_sql(),
+        "wsssp_copurchase": _wsssp_sql(),
         "mis_copurchase": _mis_sql(),
         "triangle_count_copurchase": (
             f"WITH {_EU} SELECT count(*) AS n_triangles FROM eu e1 "

@@ -67,7 +67,7 @@ def main(argv=None):
 
     for name in ("pagerank", "cc", "sssp", "mis", "lpa", "triangles", "kcore",
                  "ppr", "walk", "hits", "assortativity", "hyperball", "betweenness",
-                 "closeness"):
+                 "closeness", "wsssp"):
         p = sub.add_parser(name)
         common(p)
         if name in ("pagerank", "lpa", "ppr", "hits"):
@@ -83,6 +83,11 @@ def main(argv=None):
         if name == "sssp":
             p.add_argument("--seed-mod", type=int, default=101,
                            help="BFS sources are vid %% seed-mod == 0")
+        if name == "wsssp":
+            p.add_argument("--seed-mod", type=int, default=101)
+            p.add_argument("--wbase", type=int, default=10,
+                           help="edge weight = wbase + (u+v) %% wmod")
+            p.add_argument("--wmod", type=int, default=5)
         if name in ("betweenness", "closeness"):
             p.add_argument("--seed-mod", type=int, default=101,
                            help="centrality pivots are vid %% seed-mod == 0")
@@ -194,6 +199,11 @@ def main(argv=None):
         ),
         "closeness": lambda: (
             "closeness", {"seed_mod": args.seed_mod}, 300, False,
+        ),
+        "wsssp": lambda: (
+            "wsssp",
+            {"seed_mod": args.seed_mod, "wbase": args.wbase, "wmod": args.wmod},
+            500, False,
         ),
     }[args.cmd]()
 

@@ -44,6 +44,7 @@ __all__ = [
     "ktruss",
     "betweenness",
     "closeness",
+    "weighted_sssp",
 ]
 
 
@@ -147,6 +148,26 @@ def betweenness(edges_or_engine, seed_mod: int = 101, num_parts: int = 8,
         edges_or_engine, "betweenness",
         {"seed_mod": seed_mod, "round_to": round_to}, num_parts, max_steps,
         directed=False, checkpoint_dir=checkpoint_dir,
+        checkpoint_every=checkpoint_every, resume=resume,
+    )
+    out = eng.result_table()
+    if own:
+        eng.shutdown()
+    return out, lineage
+
+
+def weighted_sssp(edges_or_engine, seed_mod: int = 101, wbase: int = 10,
+                  wmod: int = 5, num_parts: int = 8, max_steps: int = 200,
+                  checkpoint_dir=None, checkpoint_every=0, resume=False):
+    """Multi-source weighted shortest paths (distributed Bellman-Ford)
+    over the symmetrized edge set → (vid, wdist); wdist = min-plus
+    distance to the nearest seed (vid % seed_mod == 0) under
+    w(u,v) = wbase + (u+v) mod wmod, -1 unreachable
+    (see WeightedSSSPProgram)."""
+    eng, lineage, own = _run(
+        edges_or_engine, "wsssp",
+        {"seed_mod": seed_mod, "wbase": wbase, "wmod": wmod},
+        num_parts, max_steps, directed=False, checkpoint_dir=checkpoint_dir,
         checkpoint_every=checkpoint_every, resume=resume,
     )
     out = eng.result_table()

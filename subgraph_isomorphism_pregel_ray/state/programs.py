@@ -46,6 +46,7 @@ __all__ = [
     "MatchProgram",
     "BetweennessProgram",
     "HarmonicClosenessProgram",
+    "WeightedSSSPProgram",
     "PROGRAMS",
 ]
 
@@ -349,6 +350,64 @@ class SSSPProgram(_MinPropagationProgram):
     def result_table(self):
         out = np.where(self.val == _DIST_INF, np.int64(-1), self.val)
         return pa.table({"vid": self.csr.vids, "dist": out})
+
+
+class WeightedSSSPProgram(SSSPProgram):
+    """Multi-source WEIGHTED shortest paths — distributed Bellman-Ford
+    (min-plus relaxation; the other canonical Pregel workload, Malewicz
+    et al. 2010 §5.2's generalization). Unlike BFS, a vertex's distance
+    can improve across many supersteps; the frontier-based
+    ``_MinPropagationProgram`` machine already IS asynchronous
+    Bellman-Ford — only the per-edge increment changes from the constant
+    +1 hop to a per-edge weight.
+
+    Edge weight w(u, v) = wbase + (u + v) mod wmod, computed from the
+    endpoint ids at scatter time: the partition layout carries no edge
+    payload, and a deterministic endpoint-derived weight keeps the SQL
+    oracle bit-exact (swap ``_edge_weights`` for a stored per-edge
+    attribute when weights come from data). The default 10 + (u+v)%5
+    keeps max/min weight ratio at 1.4, so optimal paths use at most
+    ⌊1.4 · BFS-depth⌋ hops — which bounds both the superstep count here
+    and the unroll depth the oracle needs.
+    """
+
+    VAL_COL = "wdist"
+
+    def _init_values(self, csr: CSRPartition, seed_mod=101, wbase=10, wmod=5):
+        self.wbase = np.uint64(int(wbase))
+        self.wmod = np.uint64(int(wmod))
+        return super()._init_values(csr, seed_mod=seed_mod)
+
+    def _edge_weights(self, src_vids, dst_vids):
+        # uint64 sum may wrap for hash-derived vids; the SQL oracle only
+        # runs on small integer keys where BIGINT and uint64 agree
+        return (self.wbase + (src_vids + dst_vids) % self.wmod).astype(np.int64)
+
+    def scatter(self, step):
+        P = self.csr.num_parts
+        dix = self.csr.dst_index()
+        edge_sel = self.changed[dix.src_row][dix.order]
+        sorted_dst = self.csr.indices[dix.order]
+        src_vid = self.csr.vids[dix.src_row][dix.order]
+        # INF rows never changed, so wrap on INF + w is never selected
+        edge_val = self.val[dix.src_row][dix.order] + self._edge_weights(
+            src_vid, sorted_dst
+        )
+        outbox, sent = [], 0
+        for p in range(P):
+            s, e = dix.slices[p]
+            sel = edge_sel[s:e]
+            if not sel.any():
+                outbox.append(None)
+                continue
+            dsts, mins = _group_min(sorted_dst[s:e][sel], edge_val[s:e][sel])
+            outbox.append({"dst": dsts, "min": mins})
+            sent += len(dsts)
+        return outbox, {"sent": sent}
+
+    def result_table(self):
+        out = np.where(self.val == _DIST_INF, np.int64(-1), self.val)
+        return pa.table({"vid": self.csr.vids, "wdist": out})
 
 
 # --------------------------------------------------------------------------
@@ -2155,4 +2214,5 @@ PROGRAMS = {
     "hyperball": HyperBallProgram,
     "betweenness": BetweennessProgram,
     "closeness": HarmonicClosenessProgram,
+    "wsssp": WeightedSSSPProgram,
 }

@@ -520,3 +520,39 @@ def test_betweenness_partition_invariance():
     for o in outs[1:]:
         assert np.array_equal(outs[0]["vid"].values, o["vid"].values)
         assert np.array_equal(outs[0]["bc"].values, o["bc"].values)
+
+
+@pytest.mark.parametrize("trial", range(3))
+def test_weighted_sssp_vs_dijkstra(trial):
+    """Bellman-Ford engine == brute Dijkstra under the endpoint-derived
+    weights (paths cheaper-but-longer than the BFS tree must win)."""
+    import heapq
+
+    n = [15, 60, 130][trial]
+    seed_mod = [3, 7, 11][trial]
+    wbase, wmod = [1, 10, 2][trial], [9, 5, 7][trial]  # incl. wide ratios
+    s, d = random_graph(trial + 90, n)
+    adj = adjacency(s, d)
+    seeds = [v for v in adj if v % seed_mod == 0]
+    dist = {v: None for v in adj}
+    pq = [(0, v) for v in seeds]
+    heapq.heapify(pq)
+    while pq:
+        du, u = heapq.heappop(pq)
+        if dist[u] is not None:
+            continue
+        dist[u] = du
+        for w_ in adj[u]:
+            if dist[w_] is None:
+                heapq.heappush(pq, (du + wbase + (u + w_) % wmod, w_))
+    eng = LocalBSP(s, d, num_parts=4, directed=False)
+    eng.run(
+        "wsssp",
+        {"seed_mod": seed_mod, "wbase": wbase, "wmod": wmod},
+        max_steps=500,
+    )
+    res = eng.result().to_pandas().set_index("vid")["wdist"]
+    assert len(res) == len(dist)
+    for v in res.index:
+        exp = dist[int(v)]
+        assert res[v] == (-1 if exp is None else exp), int(v)
