@@ -351,3 +351,29 @@ def test_host_rank_vs_direct_pagerank(ray_session):
     for host, rank in zip(got["host"].to_pylist(), ranks):
         vid = hash64(np.array([host], dtype=object))[0]
         assert rank == exp_by_vid[vid], host
+
+
+def test_wsssp_checkpoint_resume(ray_session, graph_arrays, tmp_path):
+    """Weighted Bellman-Ford mid-run resume is bit-identical — distances
+    can still IMPROVE after the checkpoint step, so this exercises the
+    changed-frontier round-trip, not just settled state."""
+    s, d = graph_arrays
+    gdir, ckdir = str(tmp_path / "g5"), str(tmp_path / "ck5")
+    partition_graph(edges_from_arrays(s, d), 4, gdir, directed=False)
+    params = {"seed_mod": 7, "wbase": 1, "wmod": 9}  # wide ratio: many rounds
+
+    eng = BSPEngine(gdir, 4)
+    eng.run("wsssp", params, max_steps=500)
+    ref = eng.result_table().to_pandas().sort_values("vid").reset_index(drop=True)
+    eng.shutdown()
+
+    engA = BSPEngine(gdir, 4)
+    engA.run("wsssp", params, max_steps=3, checkpoint_dir=ckdir, checkpoint_every=1)
+    engA.shutdown()
+    engB = BSPEngine(gdir, 4)
+    engB.run("wsssp", params, max_steps=500, checkpoint_dir=ckdir,
+             checkpoint_every=1, resume=True)
+    resumed = engB.result_table().to_pandas().sort_values("vid").reset_index(drop=True)
+    engB.shutdown()
+    assert np.array_equal(ref["vid"].values, resumed["vid"].values)
+    assert np.array_equal(ref["wdist"].values, resumed["wdist"].values)
