@@ -121,6 +121,12 @@ def _q_betweenness(sf_dir: str):
 
 
 
+def _q_rich_club(sf_dir: str):
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import rich_club
+
+    return rich_club(sf_dir, kmax=16)
+
+
 def _q_wsssp(sf_dir: str):
     from subgraph_isomorphism_pregel_ray.pipelines.algorithms import weighted_sssp
 
@@ -745,6 +751,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "betweenness_copurchase": _q_betweenness,
         "closeness_copurchase": _q_closeness,
         "wsssp_copurchase": _q_wsssp,
+        "rich_club_copurchase": _q_rich_club,
         "mis_copurchase": _q_mis,
         "triangle_count_copurchase": _q_triangles,
         "clustering_coeff_copurchase": _q_clustering,
@@ -1054,6 +1061,31 @@ def _betweenness_sql(levels: int = 5, seed_mod: int = 101) -> str:
         + f" SELECT v.vid, round(coalesce(b.bc, 0), 4) AS bc FROM v "
         f"LEFT JOIN (SELECT vid, sum(delta) AS bc FROM ({union}) GROUP BY vid) b "
         f"ON b.vid = v.vid"
+    )
+
+
+def _rich_club_sql(kmax: int = 16) -> str:
+    """Rich-club curve (mirrors relational.rich_club): N_k / E_k counted
+    over nodes with degree > k; rc = 2·E_k/(N_k·(N_k−1)) with the SAME
+    expression tree as the numpy side so the 6-decimal half-away rounds
+    agree bit-exactly."""
+    return (
+        f"WITH {_EU}, "
+        "deg AS MATERIALIZED (SELECT vid, count(*) AS deg FROM ("
+        "SELECT src AS vid FROM eu UNION ALL SELECT dst AS vid FROM eu"
+        ") GROUP BY vid), "
+        f"ks AS (SELECT k FROM range(0, {kmax}) t(k)), "
+        "nk AS (SELECT ks.k, count(d.vid) AS n_nodes FROM ks "
+        "LEFT JOIN deg d ON d.deg > ks.k GROUP BY ks.k), "
+        "ek AS (SELECT ks.k, count(*) AS n_edges FROM ks "
+        "JOIN eu e ON TRUE JOIN deg a ON a.vid = e.src "
+        "JOIN deg b ON b.vid = e.dst "
+        "WHERE a.deg > ks.k AND b.deg > ks.k GROUP BY ks.k) "
+        "SELECT nk.k, nk.n_nodes, coalesce(ek.n_edges, 0) AS n_edges, "
+        "round(CASE WHEN nk.n_nodes >= 2 THEN "
+        "2.0 * coalesce(ek.n_edges, 0) / (nk.n_nodes * (nk.n_nodes - 1.0)) "
+        "ELSE 0 END, 6) AS rc "
+        "FROM nk LEFT JOIN ek ON ek.k = nk.k"
     )
 
 
@@ -1383,6 +1415,7 @@ def oracle_sql() -> dict[str, str]:
         "betweenness_copurchase": _betweenness_sql(),
         "closeness_copurchase": _closeness_sql(),
         "wsssp_copurchase": _wsssp_sql(),
+        "rich_club_copurchase": _rich_club_sql(),
         "mis_copurchase": _mis_sql(),
         "triangle_count_copurchase": (
             f"WITH {_EU} SELECT count(*) AS n_triangles FROM eu e1 "

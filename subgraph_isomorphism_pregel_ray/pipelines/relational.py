@@ -34,6 +34,7 @@ __all__ = [
     "events_lag",
     "revenue_by_nation",
     "revenue_by_region",
+    "rich_club",
 ]
 
 
@@ -282,6 +283,93 @@ def copurchase_edges_join(sf_dir: str, num_partitions: int | None = None):
         .groupby("k", num_partitions=num_partitions)
         .aggregate(Count(alias_name="n"))
         .map_batches(_decode, batch_format="pyarrow")
+    )
+
+
+def rich_club(sf_dir: str, kmax: int = 16, num_partitions: int = 8):
+    """Rich-club coefficient curve (Zhou & Mondragón 2004, public) of the
+    co-purchase graph: for k = 0..kmax-1, among the N_k nodes with
+    degree > k and the E_k distinct edges between two such nodes,
+    rc(k) = 2·E_k / (N_k·(N_k−1)) — how densely the hubs link to each
+    other vs a complete graph.
+
+    Scale shape: per-batch partial degree histograms → one groupby-sum;
+    two ``Dataset.join``s ship each endpoint's degree to its edges (no
+    driver-side degree map); min-degree histograms are capped at kmax
+    per batch, so the final fold the driver sees is O(kmax) numbers —
+    never a per-vertex or per-edge collection."""
+    from ray.data.aggregate import Sum
+
+    eu = copurchase_edges(sf_dir).materialize()  # distinct src<dst pairs
+
+    def _deg_partial(t: pa.Table) -> pa.Table:
+        v = np.concatenate([t["src"].to_numpy(), t["dst"].to_numpy()])
+        u, c = np.unique(v, return_counts=True)
+        return pa.table({"vid": u, "c": c.astype(np.int64)})
+
+    deg = (
+        eu.map_batches(_deg_partial, batch_format="pyarrow")
+        .groupby("vid", num_partitions=num_partitions)
+        .aggregate(Sum("c", alias_name="deg"))
+        .materialize()
+    )
+
+    def _hist(ds, col):
+        """Tiny capped histogram of ``col``: value → count, ≤ kmax+1 rows."""
+        def part(t: pa.Table) -> pa.Table:
+            x = np.minimum(t[col].to_numpy(), kmax)
+            u, c = np.unique(x, return_counts=True)
+            return pa.table({"d": u.astype(np.int64), "c": c.astype(np.int64)})
+
+        out = np.zeros(kmax + 1, dtype=np.int64)
+        small = ds.map_batches(part, batch_format="pyarrow").groupby("d").aggregate(
+            Sum("c", alias_name="n")
+        )
+        for row in small.take_all():
+            out[int(row["d"])] += int(row["n"])
+        return out
+
+    nhist = _hist(deg, "deg")
+
+    dsrc = deg.map_batches(
+        lambda t: pa.table({"src": t["vid"], "dsrc": t["deg"]}),
+        batch_format="pyarrow",
+    )
+    ddst = deg.map_batches(
+        lambda t: pa.table({"dst": t["vid"], "ddst": t["deg"]}),
+        batch_format="pyarrow",
+    )
+    both = eu.join(dsrc, "inner", num_partitions, on=("src",)).join(
+        ddst, "inner", num_partitions, on=("dst",)
+    )
+    mmin = both.map_batches(
+        lambda t: pa.table(
+            {"deg": np.minimum(t["dsrc"].to_numpy(), t["ddst"].to_numpy())}
+        ),
+        batch_format="pyarrow",
+    )
+    ehist = _hist(mmin, "deg")
+
+    from ..functions.rounding import round_half_away
+
+    ks = np.arange(kmax, dtype=np.int64)
+    # deg > k ⟺ capped hist index > k (k < kmax): suffix sums of the hists
+    n_nodes = np.array([nhist[k + 1 :].sum() for k in ks], dtype=np.int64)
+    n_edges = np.array([ehist[k + 1 :].sum() for k in ks], dtype=np.int64)
+    rc = np.where(
+        n_nodes >= 2, 2.0 * n_edges / (n_nodes * (n_nodes - 1.0)), 0.0
+    )
+    import ray.data as rd
+
+    return rd.from_arrow(
+        pa.table(
+            {
+                "k": ks,
+                "n_nodes": n_nodes,
+                "n_edges": n_edges,
+                "rc": round_half_away(rc, 6),
+            }
+        )
     )
 
 

@@ -377,3 +377,31 @@ def test_wsssp_checkpoint_resume(ray_session, graph_arrays, tmp_path):
     engB.shutdown()
     assert np.array_equal(ref["vid"].values, resumed["vid"].values)
     assert np.array_equal(ref["wdist"].values, resumed["wdist"].values)
+
+
+def test_rich_club_vs_pandas_brute(ray_session):
+    """Rich-club curve == pandas brute force over the same distinct
+    co-purchase pairs (degrees, hub-subgraph edge counts, rc formula)."""
+    import duckdb
+
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import rich_club
+
+    sf = "/root/testdata/sf0.001"
+    got = rich_club(sf, kmax=16).to_pandas().sort_values("k").reset_index(drop=True)
+    eu = duckdb.sql(
+        "SELECT a.l_partkey AS src, b.l_partkey AS dst FROM "
+        f"read_parquet('{sf}/lineitem.parquet') a JOIN "
+        f"read_parquet('{sf}/lineitem.parquet') b ON a.l_orderkey = b.l_orderkey "
+        "WHERE a.l_partkey < b.l_partkey GROUP BY 1, 2"
+    ).df()
+    deg = (
+        eu["src"].value_counts().add(eu["dst"].value_counts(), fill_value=0).astype(int)
+    )
+    for _, r in got.iterrows():
+        k = int(r["k"])
+        hubs = set(deg[deg > k].index)
+        ek = int(((eu["src"].isin(hubs)) & (eu["dst"].isin(hubs))).sum())
+        nk = len(hubs)
+        assert r["n_nodes"] == nk and r["n_edges"] == ek, k
+        exp = 2.0 * ek / (nk * (nk - 1.0)) if nk >= 2 else 0.0
+        assert abs(r["rc"] - exp) < 1e-6, k
