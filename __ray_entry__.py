@@ -121,6 +121,21 @@ def _q_betweenness(sf_dir: str):
 
 
 
+def _q_coloring(sf_dir: str):
+    """Jones–Plassmann greedy coloring (rows-only: the fixpoint depth is
+    the longest priority-decreasing path — ~108 rounds even at sf0.001 —
+    far too deep for an unrolled SQL oracle; the pytest oracle proves
+    exact parity with a sequential JP simulation under the same md5
+    priorities, properness, and partition-count invariance,
+    tests/test_programs_local.py::test_coloring_valid_and_matches_sequential_jp)."""
+    from subgraph_isomorphism_pregel_ray.pipelines.algorithms import greedy_coloring
+
+    res, _ = greedy_coloring(_sym_copurchase(sf_dir), num_parts=4)
+    import ray.data as rd
+
+    return rd.from_arrow(res)
+
+
 def _q_rich_club(sf_dir: str):
     from subgraph_isomorphism_pregel_ray.pipelines.relational import rich_club
 
@@ -752,6 +767,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "closeness_copurchase": _q_closeness,
         "wsssp_copurchase": _q_wsssp,
         "rich_club_copurchase": _q_rich_club,
+        "coloring_copurchase": _q_coloring,
         "mis_copurchase": _q_mis,
         "triangle_count_copurchase": _q_triangles,
         "clustering_coeff_copurchase": _q_clustering,

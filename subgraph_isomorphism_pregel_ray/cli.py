@@ -67,7 +67,7 @@ def main(argv=None):
 
     for name in ("pagerank", "cc", "sssp", "mis", "lpa", "triangles", "kcore",
                  "ppr", "walk", "hits", "assortativity", "hyperball", "betweenness",
-                 "closeness", "wsssp"):
+                 "closeness", "wsssp", "coloring"):
         p = sub.add_parser(name)
         common(p)
         if name in ("pagerank", "lpa", "ppr", "hits"):
@@ -205,6 +205,7 @@ def main(argv=None):
             {"seed_mod": args.seed_mod, "wbase": args.wbase, "wmod": args.wmod},
             500, False,
         ),
+        "coloring": lambda: ("coloring", {}, 1000, False),
     }[args.cmd]()
 
     eng = build_engine(edges_ds, args.parts, labels_ds=labels_ds, directed=directed)

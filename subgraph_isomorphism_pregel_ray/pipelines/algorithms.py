@@ -45,6 +45,7 @@ __all__ = [
     "betweenness",
     "closeness",
     "weighted_sssp",
+    "greedy_coloring",
 ]
 
 
@@ -186,6 +187,22 @@ def closeness(edges_or_engine, seed_mod: int = 101, num_parts: int = 8,
     eng, lineage, own = _run(
         edges_or_engine, "closeness",
         {"seed_mod": seed_mod, "round_to": round_to}, num_parts, max_steps,
+        directed=False, checkpoint_dir=checkpoint_dir,
+        checkpoint_every=checkpoint_every, resume=resume,
+    )
+    out = eng.result_table()
+    if own:
+        eng.shutdown()
+    return out, lineage
+
+
+def greedy_coloring(edges_or_engine, num_parts: int = 8, max_steps: int = 300,
+                    checkpoint_dir=None, checkpoint_every=0, resume=False):
+    """Jones–Plassmann greedy graph coloring over the symmetrized edge
+    set → (vid, color), deterministic via md5 priorities (see
+    GreedyColoringProgram)."""
+    eng, lineage, own = _run(
+        edges_or_engine, "coloring", {}, num_parts, max_steps,
         directed=False, checkpoint_dir=checkpoint_dir,
         checkpoint_every=checkpoint_every, resume=resume,
     )

@@ -127,6 +127,16 @@ class CSRPartition:
             self._adj_keys = (row << np.uint64(32)) | dense
         return self._adj_keys, self._all_uniq_dst
 
+    def edge_positions(self, src_li: np.ndarray, dst: np.ndarray) -> np.ndarray:
+        """Edge-array positions of pairs (owned local row, global dst) the
+        CALLER GUARANTEES exist (e.g. a symmetric graph's reverse edges).
+        The membership keys are sorted in edge-array order, so the
+        searchsorted hit index IS the edge index — O(log E) vectorized."""
+        keys, uniq = self._membership_keys()
+        dense = np.searchsorted(uniq, dst).astype(np.uint64)
+        qkey = (src_li.astype(np.uint64) << np.uint64(32)) | dense
+        return np.searchsorted(keys, qkey)
+
     def has_edges(self, src_li: np.ndarray, dst: np.ndarray) -> np.ndarray:
         """Vectorized membership test for pairs (owned local row, global dst)."""
         keys, uniq = self._membership_keys()

@@ -47,6 +47,7 @@ __all__ = [
     "BetweennessProgram",
     "HarmonicClosenessProgram",
     "WeightedSSSPProgram",
+    "GreedyColoringProgram",
     "PROGRAMS",
 ]
 
@@ -408,6 +409,130 @@ class WeightedSSSPProgram(SSSPProgram):
     def result_table(self):
         out = np.where(self.val == _DIST_INF, np.int64(-1), self.val)
         return pa.table({"vid": self.csr.vids, "wdist": out})
+
+
+class GreedyColoringProgram(VertexProgram):
+    """Jones–Plassmann greedy graph coloring (Jones & Plassmann 1993,
+    "A parallel graph coloring heuristic" — public): a vertex takes the
+    MINIMUM color unused by its already-colored neighbors as soon as no
+    UNCOLORED neighbor with smaller priority remains. Priorities are the
+    MIS program's md5|vid scheme — unique, so the priority order is a DAG
+    and the algorithm is deadlock-free; rounds = longest
+    priority-decreasing path (O(log n) expected for random priorities).
+
+    Distribution shape: neighbor PRIORITIES are pure functions of the dst
+    vids already in the CSR — computed once per partition in ``init``, no
+    attribute exchange. The only messages are (colored src, dst, color)
+    announcements, delivered straight onto a per-edge color array via the
+    membership-key edge-position lookup (``CSRPartition.edge_positions``,
+    O(log E) vectorized); the mex (minimum excluded color) is computed
+    for all newly unblocked rows at once in a flat arena of Σ(deg+1)
+    slots. Checkpoint stores the ragged per-edge color state as an Arrow
+    ListArray over the CSR indptr.
+    """
+
+    def init(self, csr: CSRPartition):
+        from ..functions.hashing import md5_lower64
+
+        self.csr = csr
+
+        def _prio(vids):
+            h = md5_lower64(vids.astype(str))
+            return (h & np.uint64(0xFFFFFFFF00000000)) | vids.astype(np.uint64)
+
+        self.prio = _prio(csr.vids)
+        self.nbr_prio = _prio(csr.indices)  # O(E) hashing, once per partition
+        n = csr.num_vertices
+        rows = np.repeat(np.arange(n, dtype=np.int64), csr.degrees())
+        blocked = self.nbr_prio < self.prio[rows]  # smaller prio colors first
+        self.wait = np.bincount(rows[blocked], minlength=n).astype(np.int64)
+        self.color = np.full(n, -1, dtype=np.int64)
+        self.nbr_color = np.full(len(csr.indices), -1, dtype=np.int64)
+        self.newly = np.zeros(n, dtype=bool)
+
+    def _mex(self, rows: np.ndarray) -> np.ndarray:
+        """Minimum excluded color per row over its neighbors' known colors —
+        one flat boolean arena, no per-row Python."""
+        csr = self.csr
+        deg = csr.degrees()[rows]
+        eidx = flat_gather(csr.indptr[rows], deg)
+        cols = self.nbr_color[eidx]
+        seg = np.repeat(np.arange(len(rows), dtype=np.int64), deg)
+        size = deg + 1  # mex ≤ deg, so deg+1 slots always hold a free one
+        base = np.concatenate([[0], np.cumsum(size)[:-1]]).astype(np.int64)
+        arena = np.zeros(int(size.sum()), dtype=bool)
+        ok = (cols >= 0) & (cols <= deg[seg])
+        arena[base[seg[ok]] + cols[ok]] = True
+        free = np.flatnonzero(~arena)
+        return free[np.searchsorted(free, base)] - base
+
+    def apply(self, step, inbox, glob):
+        if step > 0:
+            for msg in inbox:
+                if msg is None or len(msg.get("dst", ())) == 0:
+                    continue
+                li = self.csr.local_index(msg["dst"])
+                epos = self.csr.edge_positions(li, msg["src"])
+                self.nbr_color[epos] = msg["col"]
+                unblocked = self.nbr_prio[epos] < self.prio[li]
+                np.add.at(self.wait, li[unblocked], -1)
+        sel = (self.color < 0) & (self.wait == 0)
+        if sel.any():
+            rows = np.flatnonzero(sel)
+            self.color[rows] = self._mex(rows)
+        self.newly = sel
+        return {"active": int((self.color < 0).sum())}
+
+    def scatter(self, step):
+        P = self.csr.num_parts
+        if not self.newly.any():
+            return [None] * P, {"sent": 0}
+        dix = self.csr.dst_index()
+        edge_sel = self.newly[dix.src_row][dix.order]
+        sorted_dst = self.csr.indices[dix.order]
+        src_vid = self.csr.vids[dix.src_row][dix.order]
+        col = self.color[dix.src_row][dix.order]
+        outbox, sent = [], 0
+        for p in range(P):
+            s, e = dix.slices[p]
+            sel = edge_sel[s:e]
+            if not sel.any():
+                outbox.append(None)
+                continue
+            outbox.append(
+                {
+                    "src": src_vid[s:e][sel],
+                    "dst": sorted_dst[s:e][sel],
+                    "col": col[s:e][sel],
+                }
+            )
+            sent += int(sel.sum())
+        return outbox, {"sent": sent}
+
+    def state_table(self):
+        return pa.table(
+            {
+                "vid": self.csr.vids,
+                "color": self.color,
+                "wait": self.wait,
+                "newly": self.newly,
+                "nbr_color": pa.ListArray.from_arrays(
+                    pa.array(self.csr.indptr, type=pa.int32()),
+                    pa.array(self.nbr_color),
+                ),
+            }
+        )
+
+    def load_state(self, table, step):
+        self.color = table["color"].to_numpy().copy()
+        self.wait = table["wait"].to_numpy().copy()
+        self.newly = table["newly"].to_numpy().copy()
+        self.nbr_color = (
+            table["nbr_color"].combine_chunks().flatten().to_numpy().copy()
+        )
+
+    def result_table(self):
+        return pa.table({"vid": self.csr.vids, "color": self.color})
 
 
 # --------------------------------------------------------------------------
@@ -2215,4 +2340,5 @@ PROGRAMS = {
     "betweenness": BetweennessProgram,
     "closeness": HarmonicClosenessProgram,
     "wsssp": WeightedSSSPProgram,
+    "coloring": GreedyColoringProgram,
 }

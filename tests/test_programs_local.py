@@ -556,3 +556,55 @@ def test_weighted_sssp_vs_dijkstra(trial):
     for v in res.index:
         exp = dist[int(v)]
         assert res[v] == (-1 if exp is None else exp), int(v)
+
+
+@pytest.mark.parametrize("trial", range(3))
+def test_coloring_valid_and_matches_sequential_jp(trial):
+    """Jones–Plassmann engine output == sequential JP simulation with the
+    same md5 priorities; proper (no adjacent equal colors); identical at
+    any partition count."""
+    import hashlib
+
+    s, d = random_graph(80 + trial, [40, 100, 160][trial], density=2)
+    adj = adjacency(s, d)
+
+    def prio(v):
+        h = int.from_bytes(hashlib.md5(str(v).encode()).digest()[8:], "little")
+        return (h & 0xFFFFFFFF00000000) | v
+
+    # sequential oracle: rounds of "color if no smaller-prio uncolored nbr"
+    color = {}
+    while len(color) < len(adj):
+        sel = [
+            v
+            for v in adj
+            if v not in color
+            and all(prio(u) > prio(v) for u in adj[v] if u not in color)
+        ]
+        assert sel, "unique priorities must always unblock someone"
+        # sel is an independent set in the uncolored subgraph (of two
+        # adjacent uncolored vertices the smaller-prio one blocks the
+        # other), so simultaneous mex over prior rounds is well-defined
+        new = {}
+        for v in sel:
+            used = {color[u] for u in adj[v] if u in color}
+            c = 0
+            while c in used:
+                c += 1
+            new[v] = c
+        color.update(new)
+
+    outs = []
+    for P in (1, 4):
+        eng = LocalBSP(s, d, num_parts=P, directed=False)
+        eng.run("coloring", max_steps=300)
+        res = eng.result().to_pandas().sort_values("vid").reset_index(drop=True)
+        outs.append(res)
+    assert np.array_equal(outs[0]["color"].values, outs[1]["color"].values)
+    got = dict(zip(outs[0]["vid"], outs[0]["color"]))
+    assert len(got) == len(adj)
+    for v, nbrs in adj.items():
+        for u in nbrs:
+            assert got[v] != got[u], (v, u)  # proper coloring
+    for v in adj:
+        assert got[v] == color[v], v  # exact JP parity

@@ -405,3 +405,28 @@ def test_rich_club_vs_pandas_brute(ray_session):
         assert r["n_nodes"] == nk and r["n_edges"] == ek, k
         exp = 2.0 * ek / (nk * (nk - 1.0)) if nk >= 2 else 0.0
         assert abs(r["rc"] - exp) < 1e-6, k
+
+
+def test_coloring_checkpoint_resume(ray_session, graph_arrays, tmp_path):
+    """JP coloring resume is bit-identical — the ragged per-edge neighbor
+    color state round-trips parquet as an Arrow ListArray over indptr."""
+    s, d = graph_arrays
+    gdir, ckdir = str(tmp_path / "g6"), str(tmp_path / "ck6")
+    partition_graph(edges_from_arrays(s, d), 4, gdir, directed=False)
+
+    eng = BSPEngine(gdir, 4)
+    eng.run("coloring", {}, max_steps=1000)
+    ref = eng.result_table().to_pandas().sort_values("vid").reset_index(drop=True)
+    eng.shutdown()
+    assert (ref["color"] >= 0).all()
+
+    engA = BSPEngine(gdir, 4)
+    engA.run("coloring", {}, max_steps=4, checkpoint_dir=ckdir, checkpoint_every=1)
+    engA.shutdown()
+    engB = BSPEngine(gdir, 4)
+    engB.run("coloring", {}, max_steps=1000, checkpoint_dir=ckdir,
+             checkpoint_every=1, resume=True)
+    resumed = engB.result_table().to_pandas().sort_values("vid").reset_index(drop=True)
+    engB.shutdown()
+    assert np.array_equal(ref["vid"].values, resumed["vid"].values)
+    assert np.array_equal(ref["color"].values, resumed["color"].values)
