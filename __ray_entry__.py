@@ -121,6 +121,15 @@ def _q_betweenness(sf_dir: str):
 
 
 
+def _q_eccentricity(sf_dir: str):
+    from subgraph_isomorphism_pregel_ray.pipelines.algorithms import eccentricity
+
+    res, _ = eccentricity(_sym_copurchase(sf_dir), seed_mod=101, num_parts=4)
+    import ray.data as rd
+
+    return rd.from_arrow(res)
+
+
 def _q_coloring(sf_dir: str):
     """Jones–Plassmann greedy coloring (rows-only: the fixpoint depth is
     the longest priority-decreasing path — ~108 rounds even at sf0.001 —
@@ -768,6 +777,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wsssp_copurchase": _q_wsssp,
         "rich_club_copurchase": _q_rich_club,
         "coloring_copurchase": _q_coloring,
+        "eccentricity_copurchase": _q_eccentricity,
         "mis_copurchase": _q_mis,
         "triangle_count_copurchase": _q_triangles,
         "clustering_coeff_copurchase": _q_clustering,
@@ -1148,6 +1158,17 @@ def _closeness_sql(levels: int = 5, seed_mod: int = 101) -> str:
     )
 
 
+def _eccentricity_sql(levels: int = 5, seed_mod: int = 101) -> str:
+    """Per-pivot eccentricity (mirrors EccentricityProgram): max BFS
+    level over reached vertices per source — the third consumer of the
+    shared forward-BFS CTEs (`_bfs_forward_parts`)."""
+    parts = _bfs_forward_parts(levels, seed_mod)
+    return (
+        ", ".join(parts)
+        + f" SELECT s, max(d) AS ecc FROM D{levels} GROUP BY s"
+    )
+
+
 def _mis_sql(rounds: int = 8) -> str:
     """Unrolled deterministic Luby MIS (programs.MaximalIndependentSetProgram):
     per round, active vertices whose priority is a strict local minimum among
@@ -1432,6 +1453,7 @@ def oracle_sql() -> dict[str, str]:
         "closeness_copurchase": _closeness_sql(),
         "wsssp_copurchase": _wsssp_sql(),
         "rich_club_copurchase": _rich_club_sql(),
+        "eccentricity_copurchase": _eccentricity_sql(),
         "mis_copurchase": _mis_sql(),
         "triangle_count_copurchase": (
             f"WITH {_EU} SELECT count(*) AS n_triangles FROM eu e1 "

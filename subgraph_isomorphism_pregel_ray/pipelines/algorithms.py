@@ -46,6 +46,7 @@ __all__ = [
     "closeness",
     "weighted_sssp",
     "greedy_coloring",
+    "eccentricity",
 ]
 
 
@@ -193,6 +194,27 @@ def closeness(edges_or_engine, seed_mod: int = 101, num_parts: int = 8,
     out = eng.result_table()
     if own:
         eng.shutdown()
+    return out, lineage
+
+
+def eccentricity(edges_or_engine, seed_mod: int = 101, num_parts: int = 8,
+                 max_steps: int = 200, checkpoint_dir=None,
+                 checkpoint_every=0, resume=False):
+    """Per-pivot eccentricity over the symmetrized edge set → (s, ecc)
+    for the deterministic pivot set (see EccentricityProgram); the
+    per-partition partials (K·P tiny rows) are max-folded here."""
+    eng, lineage, own = _run(
+        edges_or_engine, "eccentricity", {"seed_mod": seed_mod},
+        num_parts, max_steps, directed=False, checkpoint_dir=checkpoint_dir,
+        checkpoint_every=checkpoint_every, resume=resume,
+    )
+    partial = eng.result_table()
+    if own:
+        eng.shutdown()
+    folded = partial.group_by("s").aggregate([("ecc", "max")])
+    out = pa.table(
+        {"s": folded["s"], "ecc": folded["ecc_max"]}
+    ).sort_by("s")
     return out, lineage
 
 

@@ -48,6 +48,7 @@ __all__ = [
     "HarmonicClosenessProgram",
     "WeightedSSSPProgram",
     "GreedyColoringProgram",
+    "EccentricityProgram",
     "PROGRAMS",
 ]
 
@@ -2323,6 +2324,27 @@ class HarmonicClosenessProgram(BetweennessProgram):
         )
 
 
+class EccentricityProgram(HarmonicClosenessProgram):
+    """Per-pivot eccentricity ecc(s) = max_v d(s, v) over vertices
+    reachable from s — the standard pivot-based radius/diameter bounds
+    (max ecc ≤ diameter, min ecc ≥ radius; Magnien et al. 2009 BFS-bound
+    methodology, public). Same census + batched forward BFS as harmonic
+    closeness; ``result_table`` returns per-PARTITION partial
+    (s, ecc) rows — K·P tiny rows — and the pipeline folds the global
+    max per seed."""
+
+    def result_table(self):
+        if self.seeds is None or len(self.seeds) == 0:
+            return pa.table(
+                {
+                    "s": pa.array([], type=pa.uint64()),
+                    "ecc": pa.array([], type=pa.int64()),
+                }
+            )
+        d = np.where(self.dist == _DIST_INF, np.int64(-1), self.dist)
+        return pa.table({"s": self.seeds, "ecc": d.max(axis=1).astype(np.int64)})
+
+
 PROGRAMS = {
     "pagerank": PageRankProgram,
     "cc": ConnectedComponentsProgram,
@@ -2341,4 +2363,5 @@ PROGRAMS = {
     "closeness": HarmonicClosenessProgram,
     "wsssp": WeightedSSSPProgram,
     "coloring": GreedyColoringProgram,
+    "eccentricity": EccentricityProgram,
 }

@@ -608,3 +608,31 @@ def test_coloring_valid_and_matches_sequential_jp(trial):
             assert got[v] != got[u], (v, u)  # proper coloring
     for v in adj:
         assert got[v] == color[v], v  # exact JP parity
+
+
+def test_eccentricity_vs_bfs():
+    """Per-pivot eccentricity == brute BFS max level, partials max-folded
+    across partitions (seeds in separate components keep their own ecc)."""
+    from collections import deque
+
+    s, d = random_graph(95, 100)
+    adj = adjacency(s, d)
+    seed_mod = 7
+    exp = {}
+    for src in (v for v in adj if v % seed_mod == 0):
+        dist = {src: 0}
+        q = deque([src])
+        while q:
+            u = q.popleft()
+            for w in adj[u]:
+                if w not in dist:
+                    dist[w] = dist[u] + 1
+                    q.append(w)
+        exp[src] = max(dist.values())
+    eng = LocalBSP(s, d, num_parts=4, directed=False)
+    eng.run("eccentricity", {"seed_mod": seed_mod}, max_steps=100)
+    partial = eng.result().to_pandas()
+    got = partial.groupby("s")["ecc"].max()
+    assert len(got) == len(exp)
+    for sdd, e in exp.items():
+        assert got[sdd] == e, sdd
