@@ -121,6 +121,14 @@ def _q_betweenness(sf_dir: str):
 
 
 
+def _q_lpa_modularity(sf_dir: str):
+    from subgraph_isomorphism_pregel_ray.pipelines.algorithms import lpa_modularity
+
+    import ray.data as rd
+
+    return rd.from_arrow(lpa_modularity(sf_dir, iters=LPA_ITERS, num_parts=4))
+
+
 def _q_eccentricity(sf_dir: str):
     from subgraph_isomorphism_pregel_ray.pipelines.algorithms import eccentricity
 
@@ -778,6 +786,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rich_club_copurchase": _q_rich_club,
         "coloring_copurchase": _q_coloring,
         "eccentricity_copurchase": _q_eccentricity,
+        "lpa_modularity_copurchase": _q_lpa_modularity,
         "mis_copurchase": _q_mis,
         "triangle_count_copurchase": _q_triangles,
         "clustering_coeff_copurchase": _q_clustering,
@@ -1213,8 +1222,34 @@ def _lpa_sql(iters: int = 5) -> str:
     (``state/programs.py`` LabelPropagationProgram; early global convergence
     is a fixpoint, so extra SQL rounds are identity). MATERIALIZED keeps
     DuckDB from inlining the CTE chain (24× planner blowup otherwise)."""
+    parts = _lpa_parts(iters)
+    return ", ".join(parts) + f" SELECT vid, label FROM l{iters}"
+
+
+_ESTRONG = (
+    # adaptive strong graph (replays relational.strong_copurchase_edges):
+    # smallest m∈{2,3,4,5} with |pairs(c≥m)| ≤ 8·|part|, symmetrized
+    "cnts AS MATERIALIZED (SELECT a.l_partkey AS s, b.l_partkey AS d, "
+    "count(DISTINCT a.l_orderkey) AS c "
+    "FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey "
+    "WHERE a.l_partkey < b.l_partkey GROUP BY 1, 2), "
+    "np AS MATERIALIZED (SELECT count(*) AS n FROM part), "
+    "mo AS MATERIALIZED (SELECT CASE "
+    "WHEN (SELECT count(*) FROM cnts WHERE c >= 2) <= 8 * (SELECT n FROM np) THEN 2 "
+    "WHEN (SELECT count(*) FROM cnts WHERE c >= 3) <= 8 * (SELECT n FROM np) THEN 3 "
+    "WHEN (SELECT count(*) FROM cnts WHERE c >= 4) <= 8 * (SELECT n FROM np) THEN 4 "
+    "ELSE 5 END AS m), "
+    "e AS MATERIALIZED ("
+    "SELECT s AS src, d AS dst FROM cnts WHERE c >= (SELECT m FROM mo) "
+    "UNION ALL "
+    "SELECT d AS src, s AS dst FROM cnts WHERE c >= (SELECT m FROM mo))"
+)
+
+
+def _lpa_parts(iters: int, edges_cte: str | None = None) -> list[str]:
+    """Shared unrolled-LPA CTEs (l{iters} = final per-vid labels)."""
     parts = [
-        f"WITH {_ESYM_MAT}",
+        f"WITH {edges_cte or _ESYM_MAT}",
         "l0 AS MATERIALIZED (SELECT DISTINCT src AS vid, src AS label FROM e)",
     ]
     for i in range(1, iters + 1):
@@ -1226,7 +1261,41 @@ def _lpa_sql(iters: int = 5) -> str:
             f"FROM e JOIN l{i-1} c ON c.vid = e.dst GROUP BY e.src, c.label"
             f") WHERE rn = 1)"
         )
-    return ", ".join(parts) + f" SELECT vid, label FROM l{iters}"
+    return parts
+
+
+def _lpa_modularity_sql(iters: int = 5) -> str:
+    """Newman modularity of the unrolled-LPA communities (mirrors
+    algorithms.lpa_modularity): per community c with ic internal
+    undirected edges and dg total degree, q_c = ic/m − (dg/(2m))², m =
+    total undirected edges. Runs on the STRONG co-purchase graph — the
+    dense ≥1-order graph collapses to one community under LPA (Q = 0,
+    uninformative). The float expression tree matches the numpy side
+    term for term so 6-decimal half-away rounds agree bit-exactly."""
+    parts = _lpa_parts(iters, edges_cte=_ESTRONG)
+    parts.append(f"lab AS MATERIALIZED (SELECT vid, label FROM l{iters})")
+    parts.append("mm AS (SELECT count(*) / 2.0 AS m FROM e)")
+    parts.append(
+        "ic AS (SELECT a.label, count(*) AS internal_edges FROM e "
+        "JOIN lab a ON a.vid = e.src JOIN lab b ON b.vid = e.dst "
+        "WHERE e.src < e.dst AND a.label = b.label GROUP BY a.label)"
+    )
+    parts.append(
+        "dg AS (SELECT a.label, count(*) AS degree_sum FROM e "
+        "JOIN lab a ON a.vid = e.src GROUP BY a.label)"
+    )
+    parts.append(
+        "nm AS (SELECT label, count(*) AS n_members FROM lab GROUP BY label)"
+    )
+    return (
+        ", ".join(parts)
+        + " SELECT nm.label, nm.n_members, coalesce(ic.internal_edges, 0) AS internal_edges, "
+        "dg.degree_sum, round(coalesce(ic.internal_edges, 0) / (SELECT m FROM mm) "
+        "- (dg.degree_sum / (2.0 * (SELECT m FROM mm))) "
+        "* (dg.degree_sum / (2.0 * (SELECT m FROM mm))), 6) AS q "
+        "FROM nm JOIN dg ON dg.label = nm.label "
+        "LEFT JOIN ic ON ic.label = nm.label"
+    )
 
 
 def _kcore_sql(iters: int = 24) -> str:
@@ -1454,6 +1523,7 @@ def oracle_sql() -> dict[str, str]:
         "wsssp_copurchase": _wsssp_sql(),
         "rich_club_copurchase": _rich_club_sql(),
         "eccentricity_copurchase": _eccentricity_sql(),
+        "lpa_modularity_copurchase": _lpa_modularity_sql(LPA_ITERS),
         "mis_copurchase": _mis_sql(),
         "triangle_count_copurchase": (
             f"WITH {_EU} SELECT count(*) AS n_triangles FROM eu e1 "
@@ -1516,22 +1586,7 @@ def oracle_sql() -> dict[str, str]:
             "AND e1.src <> e2.dst AND e1.dst <> e3.dst"
         ),
         "match_deep_tree": (
-            # adaptive strong graph: smallest m∈{2,3,4,5} with
-            # |pairs(c≥m)| ≤ 8·|part| — replays strong_copurchase_edges
-            "WITH cnts AS MATERIALIZED (SELECT a.l_partkey AS s, b.l_partkey AS d, "
-            "count(DISTINCT a.l_orderkey) AS c "
-            "FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey "
-            "WHERE a.l_partkey < b.l_partkey GROUP BY 1, 2), "
-            "np AS MATERIALIZED (SELECT count(*) AS n FROM part), "
-            "mo AS MATERIALIZED (SELECT CASE "
-            "WHEN (SELECT count(*) FROM cnts WHERE c >= 2) <= 8 * (SELECT n FROM np) THEN 2 "
-            "WHEN (SELECT count(*) FROM cnts WHERE c >= 3) <= 8 * (SELECT n FROM np) THEN 3 "
-            "WHEN (SELECT count(*) FROM cnts WHERE c >= 4) <= 8 * (SELECT n FROM np) THEN 4 "
-            "ELSE 5 END AS m), "
-            "e AS MATERIALIZED ("
-            "SELECT s AS src, d AS dst FROM cnts WHERE c >= (SELECT m FROM mo) "
-            "UNION ALL "
-            "SELECT d AS src, s AS dst FROM cnts WHERE c >= (SELECT m FROM mo)), "
+            f"WITH {_ESTRONG}, "
             "lab AS MATERIALIZED (SELECT p_partkey AS vid, p_size % 3 AS l FROM part) "
             "SELECT count(*) AS n_embeddings "
             "FROM e e01 "

@@ -47,6 +47,7 @@ __all__ = [
     "weighted_sssp",
     "greedy_coloring",
     "eccentricity",
+    "lpa_modularity",
 ]
 
 
@@ -195,6 +196,96 @@ def closeness(edges_or_engine, seed_mod: int = 101, num_parts: int = 8,
     if own:
         eng.shutdown()
     return out, lineage
+
+
+def lpa_modularity(sf_dir: str, iters: int = 5, num_parts: int = 4,
+                   num_partitions: int = 8):
+    """Newman modularity (Newman & Girvan 2004, public) of the LPA
+    communities over the co-purchase graph →
+    (label, n_members, internal_edges, degree_sum, q) with
+    q_c = ic/m − (dg/(2m))² per community, m = undirected edge count.
+    Runs on the STRONG co-purchase graph (the dense ≥1-order graph
+    collapses to one LPA community — Q = 0, uninformative).
+
+    Scale shape: the per-vid label table ships to the edges via two
+    ``Dataset.join``s (never a driver-side label dict); internal-edge and
+    degree-sum partials combine per batch with np.unique BEFORE the one
+    small per-label groupby; the driver only assembles the per-community
+    table (#communities rows)."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..functions.rounding import round_half_away
+    from .build_graph import symmetrize
+    from .relational import strong_copurchase_edges
+
+    eu = strong_copurchase_edges(sf_dir).materialize()  # distinct src<dst pairs
+    m = eu.count()
+    labels_tbl, _ = label_propagation(
+        symmetrize(eu), iters=iters, num_parts=num_parts
+    )
+    lab = pa.table(
+        {
+            "vid": labels_tbl["vid"].to_numpy().view(np.int64),
+            "label": labels_tbl["label"].to_numpy().view(np.int64),
+        }
+    )
+    lab_src = rd.from_arrow(lab.rename_columns(["src", "lsrc"]))
+    lab_dst = rd.from_arrow(lab.rename_columns(["dst", "ldst"]))
+    both = eu.join(lab_src, "inner", num_partitions, on=("src",)).join(
+        lab_dst, "inner", num_partitions, on=("dst",)
+    )
+
+    def _partials(t: pa.Table) -> pa.Table:
+        ls = t["lsrc"].to_numpy()
+        ld = t["ldst"].to_numpy()
+        iu, ic = np.unique(ls[ls == ld], return_counts=True)
+        du, dc = np.unique(np.concatenate([ls, ld]), return_counts=True)
+        return pa.table(
+            {
+                "label": np.concatenate([iu, du]),
+                "ic": np.concatenate([ic, np.zeros(len(du), np.int64)]).astype(np.int64),
+                "dg": np.concatenate([np.zeros(len(iu), np.int64), dc]).astype(np.int64),
+            }
+        )
+
+    agg = (
+        both.map_batches(_partials, batch_format="pyarrow")
+        .groupby("label")
+        .aggregate(Sum("ic", alias_name="internal_edges"),
+                   Sum("dg", alias_name="degree_sum"))
+        .to_pandas()
+        .sort_values("label")
+        .reset_index(drop=True)
+    )
+
+    def _members(t: pa.Table) -> pa.Table:
+        u, c = np.unique(t["label"].to_numpy(), return_counts=True)
+        return pa.table({"label": u, "c": c.astype(np.int64)})
+
+    nm = (
+        rd.from_arrow(lab)
+        .map_batches(_members, batch_format="pyarrow")
+        .groupby("label")
+        .aggregate(Sum("c", alias_name="n_members"))
+        .to_pandas()
+        .sort_values("label")
+        .reset_index(drop=True)
+    )
+    assert len(nm) == len(agg) and (nm["label"].values == agg["label"].values).all()
+    mf = float(m)
+    ic = agg["internal_edges"].to_numpy().astype(np.float64)
+    dg = agg["degree_sum"].to_numpy().astype(np.float64)
+    q = ic / mf - (dg / (2.0 * mf)) * (dg / (2.0 * mf))
+    return pa.table(
+        {
+            "label": agg["label"].to_numpy(),
+            "n_members": nm["n_members"].to_numpy().astype(np.int64),
+            "internal_edges": agg["internal_edges"].to_numpy().astype(np.int64),
+            "degree_sum": agg["degree_sum"].to_numpy().astype(np.int64),
+            "q": round_half_away(q, 6),
+        }
+    )
 
 
 def eccentricity(edges_or_engine, seed_mod: int = 101, num_parts: int = 8,

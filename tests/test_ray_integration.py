@@ -430,3 +430,44 @@ def test_coloring_checkpoint_resume(ray_session, graph_arrays, tmp_path):
     engB.shutdown()
     assert np.array_equal(ref["vid"].values, resumed["vid"].values)
     assert np.array_equal(ref["color"].values, resumed["color"].values)
+
+
+def test_lpa_modularity_vs_pandas_brute(ray_session):
+    """Per-community modularity table == pandas brute force computed from
+    the engine's own LPA labels (tests the distributed join/aggregation
+    plumbing; LPA labels themselves carry their own SQL oracle)."""
+    from subgraph_isomorphism_pregel_ray.pipelines.algorithms import lpa_modularity
+    from subgraph_isomorphism_pregel_ray.pipelines.algorithms import label_propagation
+    from subgraph_isomorphism_pregel_ray.pipelines.build_graph import symmetrize
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import (
+        strong_copurchase_edges,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = lpa_modularity(sf, iters=5, num_parts=4).to_pandas()
+    eu = strong_copurchase_edges(sf).to_pandas()
+    labels_tbl, _ = label_propagation(symmetrize(
+        __import__("ray").data.from_pandas(eu)), iters=5, num_parts=4)
+    lab = dict(zip(labels_tbl["vid"].to_numpy().view(np.int64),
+                   labels_tbl["label"].to_numpy().view(np.int64)))
+    m = float(len(eu))
+    import collections
+
+    ic = collections.Counter()
+    dg = collections.Counter()
+    nm = collections.Counter(lab.values())
+    for s, d in zip(eu["src"], eu["dst"]):
+        ls, ld = lab[int(s)], lab[int(d)]
+        dg[ls] += 1
+        dg[ld] += 1
+        if ls == ld:
+            ic[ls] += 1
+    assert len(got) == len(nm)
+    for _, r in got.iterrows():
+        L = int(r["label"])
+        assert r["n_members"] == nm[L] and r["internal_edges"] == ic[L]
+        assert r["degree_sum"] == dg[L]
+        exp = ic[L] / m - (dg[L] / (2.0 * m)) * (dg[L] / (2.0 * m))
+        assert abs(r["q"] - exp) < 1e-6, L
+    assert got["n_members"].sum() == len(lab)
+    assert got["degree_sum"].sum() == 2 * int(m)
