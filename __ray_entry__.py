@@ -121,6 +121,15 @@ def _q_betweenness(sf_dir: str):
 
 
 
+def _q_katz(sf_dir: str):
+    from subgraph_isomorphism_pregel_ray.pipelines.algorithms import katz
+
+    res, _ = katz(_sym_copurchase(sf_dir), iters=8, alpha=0.001, num_parts=4)
+    import ray.data as rd
+
+    return rd.from_arrow(res)
+
+
 def _q_lpa_modularity(sf_dir: str):
     from subgraph_isomorphism_pregel_ray.pipelines.algorithms import lpa_modularity
 
@@ -787,6 +796,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "coloring_copurchase": _q_coloring,
         "eccentricity_copurchase": _q_eccentricity,
         "lpa_modularity_copurchase": _q_lpa_modularity,
+        "katz_copurchase": _q_katz,
         "mis_copurchase": _q_mis,
         "triangle_count_copurchase": _q_triangles,
         "clustering_coeff_copurchase": _q_clustering,
@@ -1167,6 +1177,28 @@ def _closeness_sql(levels: int = 5, seed_mod: int = 101) -> str:
     )
 
 
+def _katz_sql(iters: int = 8, alpha: float = 0.001, beta: float = 1.0) -> str:
+    """Unrolled Katz iteration (mirrors KatzCentralityProgram):
+    x_t(v) = beta + alpha·sum of in-neighbors' x_{t-1}, x_0 = beta,
+    exactly ``iters`` rounds; 6-decimal half-away rounds agree (α keeps
+    magnitudes O(1), so float sum-order noise is ~1e-16 — far below the
+    round)."""
+    parts = [
+        f"WITH {_ESYM_MAT}",
+        "v AS MATERIALIZED (SELECT DISTINCT src AS vid FROM e)",
+        f"x0 AS MATERIALIZED (SELECT vid, CAST({beta} AS DOUBLE) AS x FROM v)",
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            f"x{t} AS MATERIALIZED (SELECT d.vid, {beta} + {alpha} * "
+            f"coalesce(s.c, 0) AS x FROM v d LEFT JOIN ("
+            f"SELECT e.dst AS vid, sum(p.x) AS c FROM e "
+            f"JOIN x{t-1} p ON p.vid = e.src GROUP BY e.dst) s "
+            f"ON s.vid = d.vid)"
+        )
+    return ", ".join(parts) + f" SELECT vid, round(x, 6) AS katz FROM x{iters}"
+
+
 def _eccentricity_sql(levels: int = 5, seed_mod: int = 101) -> str:
     """Per-pivot eccentricity (mirrors EccentricityProgram): max BFS
     level over reached vertices per source — the third consumer of the
@@ -1524,6 +1556,7 @@ def oracle_sql() -> dict[str, str]:
         "rich_club_copurchase": _rich_club_sql(),
         "eccentricity_copurchase": _eccentricity_sql(),
         "lpa_modularity_copurchase": _lpa_modularity_sql(LPA_ITERS),
+        "katz_copurchase": _katz_sql(),
         "mis_copurchase": _mis_sql(),
         "triangle_count_copurchase": (
             f"WITH {_EU} SELECT count(*) AS n_triangles FROM eu e1 "

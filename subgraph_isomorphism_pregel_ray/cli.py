@@ -67,14 +67,16 @@ def main(argv=None):
 
     for name in ("pagerank", "cc", "sssp", "mis", "lpa", "triangles", "kcore",
                  "ppr", "walk", "hits", "assortativity", "hyperball", "betweenness",
-                 "closeness", "wsssp", "coloring"):
+                 "closeness", "wsssp", "coloring", "katz"):
         p = sub.add_parser(name)
         common(p)
-        if name in ("pagerank", "lpa", "ppr", "hits"):
+        if name in ("pagerank", "lpa", "ppr", "hits", "katz"):
             p.add_argument(
                 "--iters", type=int,
-                default={"lpa": 10, "hits": 8}.get(name, 20),
+                default={"lpa": 10, "hits": 8, "katz": 8}.get(name, 20),
             )
+        if name == "katz":
+            p.add_argument("--alpha", type=float, default=0.001)
         if name in ("pagerank", "ppr"):
             p.add_argument("--damping", type=float, default=0.85)
         if name == "ppr":
@@ -187,6 +189,9 @@ def main(argv=None):
         ),
         "walk": lambda: ("walk", {"walk_len": walk_len}, walk_len + 2, False),
         "hits": lambda: ("hits", {"iters": iters}, iters + 3, False),
+        "katz": lambda: (
+            "katz", {"iters": iters, "alpha": args.alpha}, iters + 2, False,
+        ),
         "assortativity": lambda: ("assortativity", {}, 3, False),
         "hyperball": lambda: (
             "hyperball",

@@ -48,6 +48,7 @@ __all__ = [
     "greedy_coloring",
     "eccentricity",
     "lpa_modularity",
+    "katz",
 ]
 
 
@@ -191,6 +192,24 @@ def closeness(edges_or_engine, seed_mod: int = 101, num_parts: int = 8,
         {"seed_mod": seed_mod, "round_to": round_to}, num_parts, max_steps,
         directed=False, checkpoint_dir=checkpoint_dir,
         checkpoint_every=checkpoint_every, resume=resume,
+    )
+    out = eng.result_table()
+    if own:
+        eng.shutdown()
+    return out, lineage
+
+
+def katz(edges_or_engine, iters: int = 8, alpha: float = 0.001,
+         beta: float = 1.0, num_parts: int = 8, round_to: int = 6,
+         checkpoint_dir=None, checkpoint_every=0, resume=False):
+    """Katz centrality over the symmetrized edge set → (vid, katz);
+    fixed-iteration series x = β·Σ αᵗAᵗ1 (see KatzCentralityProgram)."""
+    eng, lineage, own = _run(
+        edges_or_engine, "katz",
+        {"iters": iters, "alpha": alpha, "beta": beta, "round_to": round_to},
+        num_parts, max_steps=iters + 2, directed=False,
+        checkpoint_dir=checkpoint_dir, checkpoint_every=checkpoint_every,
+        resume=resume,
     )
     out = eng.result_table()
     if own:

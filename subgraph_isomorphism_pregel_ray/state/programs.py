@@ -49,6 +49,7 @@ __all__ = [
     "WeightedSSSPProgram",
     "GreedyColoringProgram",
     "EccentricityProgram",
+    "KatzCentralityProgram",
     "PROGRAMS",
 ]
 
@@ -176,6 +177,75 @@ class PageRankProgram(VertexProgram):
 
     def result_table(self):
         return pa.table({"vid": self.csr.vids, "rank": self.rank})
+
+
+class KatzCentralityProgram(PageRankProgram):
+    """Katz centrality (Katz 1953, public): x_{t+1}(v) = β + α·Σ_{u→v}
+    x_t(u), x_0 = β, exactly ``iters`` update rounds (α is kept well
+    below 1/λmax so the series converges, but the FIXED iteration count
+    is what the SQL oracle unrolls — the comparison is exact either
+    way). Inherits PageRank's static-topology message compression; only
+    the per-edge contribution (no out-degree division, no dangling
+    redistribution) and the apply update differ. Result rounded
+    half-away at ``round_to`` decimals for the oracle hash."""
+
+    def init(self, csr: CSRPartition, iters=8, alpha=0.001, beta=1.0,
+             round_to=6):
+        super().init(csr, iters=int(iters), damping=0.0, n_global=1.0)
+        self.alpha = float(alpha)
+        self.beta = float(beta)
+        self.round_to = int(round_to)
+        self.rank = np.full(csr.num_vertices, self.beta)
+
+    def apply(self, step, inbox, glob):
+        if step == 0:
+            return {"active": 1}
+        in_sum = np.zeros(self.csr.num_vertices)
+        for i, msg in enumerate(inbox):
+            if msg is None or len(msg["sum"]) == 0:
+                continue
+            li = self._in_li.get(i)
+            if "dst" in msg:
+                li = self.csr.local_index(msg["dst"])
+                self._in_li[i] = li
+            np.add.at(in_sum, li, msg["sum"])
+        self.rank = self.beta + self.alpha * in_sum
+        self._done = step >= self.iters
+        return {"active": 0 if self._done else 1}
+
+    def scatter(self, step):
+        P = self.csr.num_parts
+        if step >= self.iters or getattr(self, "_done", False):
+            return [None] * P, {"sent": 0}
+        dix = self.csr.dst_index()
+        edge_val = self.rank[dix.src_row][dix.order]
+        outbox, sent = [], 0
+        for p in range(P):
+            s, e = dix.slices[p]
+            if s == e:
+                outbox.append(None)
+                continue
+            sums = np.bincount(
+                dix.inverse[p], weights=edge_val[s:e],
+                minlength=len(dix.uniq_dst[p]),
+            )
+            msg = {"sum": sums}
+            if not self._sent_dst:
+                msg["dst"] = dix.uniq_dst[p]
+            outbox.append(msg)
+            sent += len(sums)
+        self._sent_dst = True
+        return outbox, {"sent": sent}
+
+    def result_table(self):
+        from ..functions.rounding import round_half_away
+
+        return pa.table(
+            {
+                "vid": self.csr.vids,
+                "katz": round_half_away(self.rank, self.round_to),
+            }
+        )
 
 
 # --------------------------------------------------------------------------
@@ -2364,4 +2434,5 @@ PROGRAMS = {
     "wsssp": WeightedSSSPProgram,
     "coloring": GreedyColoringProgram,
     "eccentricity": EccentricityProgram,
+    "katz": KatzCentralityProgram,
 }

@@ -636,3 +636,23 @@ def test_eccentricity_vs_bfs():
     assert len(got) == len(exp)
     for sdd, e in exp.items():
         assert got[sdd] == e, sdd
+
+
+def test_katz_vs_numpy():
+    """Katz centrality == dense numpy iteration (dedup'd symmetric A)."""
+    s, d = random_graph(98, 120)
+    eng = LocalBSP(s, d, num_parts=4, directed=False)
+    eng.run("katz", {"iters": 8, "alpha": 0.01, "beta": 1.0, "round_to": 9},
+            max_steps=10)
+    res = eng.result().to_pandas().sort_values("vid")
+    vids = res["vid"].to_numpy()
+    vmap = {int(v): i for i, v in enumerate(vids)}
+    N = len(vids)
+    A = np.zeros((N, N))
+    for a, b in zip(s.tolist(), d.tolist()):
+        A[vmap[b], vmap[a]] = 1.0
+        A[vmap[a], vmap[b]] = 1.0
+    x = np.ones(N)
+    for _ in range(8):
+        x = 1.0 + 0.01 * (A @ x)
+    assert np.allclose(res["katz"].to_numpy(), x, atol=1e-8)
