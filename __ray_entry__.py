@@ -565,6 +565,16 @@ def _q_documents_sample(sf_dir: str):
     return stratified_sample(docs, rates={"en": 0.25}, default_rate=1.0)
 
 
+def _q_train_val_test(sf_dir: str):
+    from subgraph_isomorphism_pregel_ray.pipelines.textops import (
+        train_val_test_split,
+    )
+    from subgraph_isomorphism_pregel_ray.sources.tables import read_table
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "lang"])
+    return train_val_test_split(docs, train_pct=80, val_pct=10)
+
+
 def _q_kmeans(sf_dir: str):
     from subgraph_isomorphism_pregel_ray.pipelines.similarity import (
         kmeans_embeddings,
@@ -825,6 +835,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_region": _q_revenue_by_region,
         "topk_parts_per_nation": _q_topk_parts,
         "documents_sample": _q_documents_sample,
+        "train_val_test_split": _q_train_val_test,
         "kmeans_embeddings": _q_kmeans,
         "distinct_users_daily": _q_distinct_users,
         "parts_never_ordered": _q_parts_never_ordered,
@@ -1934,6 +1945,15 @@ def oracle_sql() -> dict[str, str]:
             "WHERE ((((doc_id % 2147483648) + 2147483648) % 2147483648) "
             "* 2654435761) % 2147483648 < "
             "CASE WHEN lang = 'en' THEN 536870912 ELSE 2147483648 END"
+        ),
+        "train_val_test_split": (
+            # salted Knuth bucket: independent of documents_sample's hash;
+            # pure BIGINT, non-negative ring → SQL % == numpy %
+            "SELECT doc_id, lang, CASE WHEN b < 80 THEN 'train' "
+            "WHEN b < 90 THEN 'val' ELSE 'test' END AS split FROM ("
+            "SELECT doc_id, lang, (((((doc_id % 2147483648) + 2147483648) "
+            "% 2147483648) * 2654435761 + 40503) % 2147483648) % 100 AS b "
+            "FROM documents)"
         ),
         "distinct_users_daily": (
             "SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, "

@@ -44,6 +44,7 @@ __all__ = [
     "salient_terms",
     "search_topk",
     "stratified_sample",
+    "train_val_test_split",
     "doc_repetition_batch",
     "doc_repetition",
     "contamination",
@@ -979,6 +980,37 @@ def stratified_sample(
         return t.filter(pa.array(h < thresh))
 
     return docs_ds.map_batches(_keep, batch_format="pyarrow")
+
+
+def train_val_test_split(docs_ds, train_pct: int = 80, val_pct: int = 10,
+                         key_col: str = "doc_id"):
+    """Deterministic train/val/test corpus split — the leakage-free
+    assignment every training pipeline needs: the split is a pure
+    function of the row key, so it is stable across runs, parallelism
+    levels, and re-shards (a document can never drift between splits):
+
+        bucket = ((key · 2654435761 + 40503) mod 2³¹) mod 100
+        split  = train if bucket < train_pct, val if < train_pct+val_pct,
+                 else test
+
+    Salted (+40503) so the bucket is independent of
+    :func:`stratified_sample`'s keep-hash — sampling then splitting does
+    not bias either. Pure BIGINT arithmetic (all intermediates < 2⁶³),
+    reproducible in SQL; keys are normalized to the non-negative ring
+    first so numpy's floored ``%`` and SQL's truncated ``%`` agree.
+    One vectorized map_batches — no shuffle, no state."""
+    ring = np.int64(1) << 31
+    cut1, cut2 = np.int64(train_pct), np.int64(train_pct + val_pct)
+
+    def _split(t: pa.Table) -> pa.Table:
+        key = t[key_col].to_numpy().astype(np.int64)
+        b = (
+            ((key % ring) * np.int64(2654435761) + np.int64(40503)) % ring
+        ) % np.int64(100)
+        lab = np.where(b < cut1, "train", np.where(b < cut2, "val", "test"))
+        return t.append_column("split", pa.array(lab, type=pa.string()))
+
+    return docs_ds.map_batches(_split, batch_format="pyarrow")
 
 
 _EMAIL_RE = re.compile(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}")

@@ -659,3 +659,35 @@ def test_heavy_hitters_empty_and_threshold_edge(ray_session):
     out = heavy_hitters(ds, denom=4).to_pandas()
     assert out["token"].tolist() == ["a", "b", "c", "d"]
     assert out["cnt"].tolist() == [5, 5, 5, 5]
+
+
+def test_train_val_test_split_stable_and_batch_invariant(ray_session):
+    """Split is a pure function of doc_id: identical at any batch size,
+    fractions near 80/10/10, and stable under pre-sampling (no document
+    drifts between splits when the corpus is subsampled first)."""
+    import ray.data as rd
+
+    from subgraph_isomorphism_pregel_ray.pipelines.textops import (
+        stratified_sample,
+        train_val_test_split,
+    )
+    from subgraph_isomorphism_pregel_ray.sources.tables import read_table
+
+    docs = read_table("/root/testdata/sf0.001", "documents",
+                      columns=["doc_id", "lang"])
+    full = {}
+    for bs in (16, 512):
+        out = (
+            train_val_test_split(docs.map_batches(lambda t: t, batch_size=bs))
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        full[bs] = out
+    assert (full[16]["split"].values == full[512]["split"].values).all()
+    frac = full[512]["split"].value_counts(normalize=True)
+    assert 0.7 < frac["train"] < 0.9 and frac["val"] < 0.2 and frac["test"] < 0.2
+    # sample first, then split: every surviving doc keeps its assignment
+    sampled = train_val_test_split(
+        stratified_sample(docs, rates={"en": 0.25})
+    ).to_pandas().set_index("doc_id")["split"]
+    base = full[512].set_index("doc_id")["split"]
+    assert (base.loc[sampled.index] == sampled).all()
