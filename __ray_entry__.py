@@ -557,6 +557,14 @@ def _q_parts_never_ordered(sf_dir: str):
     return parts_never_ordered(sf_dir, min_qty=45)
 
 
+def _q_copurchase_weights(sf_dir: str):
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import (
+        copurchase_weights,
+    )
+
+    return copurchase_weights(sf_dir)
+
+
 def _q_documents_sample(sf_dir: str):
     from subgraph_isomorphism_pregel_ray.pipelines.textops import stratified_sample
     from subgraph_isomorphism_pregel_ray.sources.tables import read_table
@@ -836,6 +844,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_parts_per_nation": _q_topk_parts,
         "documents_sample": _q_documents_sample,
         "train_val_test_split": _q_train_val_test,
+        "copurchase_weights": _q_copurchase_weights,
         "kmeans_embeddings": _q_kmeans,
         "distinct_users_daily": _q_distinct_users,
         "parts_never_ordered": _q_parts_never_ordered,
@@ -1945,6 +1954,12 @@ def oracle_sql() -> dict[str, str]:
             "WHERE ((((doc_id % 2147483648) + 2147483648) % 2147483648) "
             "* 2654435761) % 2147483648 < "
             "CASE WHEN lang = 'en' THEN 536870912 ELSE 2147483648 END"
+        ),
+        "copurchase_weights": (
+            "SELECT a.l_partkey AS src, b.l_partkey AS dst, "
+            "count(DISTINCT a.l_orderkey) AS n_orders "
+            "FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey "
+            "WHERE a.l_partkey < b.l_partkey GROUP BY 1, 2"
         ),
         "train_val_test_split": (
             # salted Knuth bucket: independent of documents_sample's hash;

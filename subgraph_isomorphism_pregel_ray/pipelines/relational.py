@@ -24,6 +24,7 @@ __all__ = [
     "q1_lineitem",
     "copurchase_edges",
     "copurchase_edges_join",
+    "copurchase_weights",
     "part_labels",
     "events_window",
     "events_hopping",
@@ -237,6 +238,28 @@ def _copurchase_pair_counts(sf_dir: str, num_buckets: int = 32):
         .groupby("k", num_partitions=max(2, num_buckets // 4))
         .aggregate(Sum("c", alias_name="n"))
     )
+
+
+def copurchase_weights(sf_dir: str, num_buckets: int = 32):
+    """Weighted co-purchase edge table (src, dst, n_orders) — the
+    count-annotated pairs behind :func:`copurchase_edges` /
+    :func:`strong_copurchase_edges`, exposed for weighted-graph
+    consumers (weighted degree, tie-strength cuts). Same bucketed
+    whole-order pair expansion with in-bucket partial combine; only the
+    decode keeps the count."""
+    agg = _copurchase_pair_counts(sf_dir, num_buckets)
+
+    def _decode(t: pa.Table) -> pa.Table:
+        k = t["k"].to_numpy()
+        return pa.table(
+            {
+                "src": k // _PAIR_SHIFT,
+                "dst": k % _PAIR_SHIFT,
+                "n_orders": t["n"],
+            }
+        )
+
+    return agg.map_batches(_decode, batch_format="pyarrow")
 
 
 def copurchase_edges_join(sf_dir: str, num_partitions: int | None = None):
