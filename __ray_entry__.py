@@ -121,6 +121,12 @@ def _q_betweenness(sf_dir: str):
 
 
 
+def _q_link_prediction(sf_dir: str):
+    from subgraph_isomorphism_pregel_ray.pipelines.algorithms import link_prediction
+
+    return link_prediction(sf_dir)
+
+
 def _q_katz(sf_dir: str):
     from subgraph_isomorphism_pregel_ray.pipelines.algorithms import katz
 
@@ -815,6 +821,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "eccentricity_copurchase": _q_eccentricity,
         "lpa_modularity_copurchase": _q_lpa_modularity,
         "katz_copurchase": _q_katz,
+        "link_prediction_copurchase": _q_link_prediction,
         "mis_copurchase": _q_mis,
         "triangle_count_copurchase": _q_triangles,
         "clustering_coeff_copurchase": _q_clustering,
@@ -1194,6 +1201,24 @@ def _closeness_sql(levels: int = 5, seed_mod: int = 101) -> str:
         + f" SELECT v.vid, round(coalesce(h.hc, 0), 4) AS hc FROM v "
         f"LEFT JOIN (SELECT vid, sum(1.0 / d) AS hc FROM D{levels} "
         f"WHERE d > 0 GROUP BY vid) h ON h.vid = v.vid"
+    )
+
+
+def _link_prediction_sql() -> str:
+    """Common-neighbor + Jaccard scores per strong-graph edge (mirrors
+    algorithms.link_prediction); DuckDB's integer ``/`` is float division
+    with the same operand tree as the numpy side, so 6-decimal
+    half-away rounds agree bit-exactly."""
+    return (
+        f"WITH {_ESTRONG}, "
+        "eu2 AS (SELECT src, dst FROM e WHERE src < dst), "
+        "deg AS MATERIALIZED (SELECT src AS vid, count(*) AS dg FROM e GROUP BY 1), "
+        "cn AS MATERIALIZED (SELECT a.src AS u, b.src AS v, count(*) AS c "
+        "FROM e a JOIN e b ON a.dst = b.dst AND a.src < b.src GROUP BY 1, 2) "
+        "SELECT eu2.src, eu2.dst, coalesce(cn.c, 0) AS common_neighbors, "
+        "round(coalesce(cn.c, 0) / (da.dg + db.dg - coalesce(cn.c, 0)), 6) AS jaccard "
+        "FROM eu2 LEFT JOIN cn ON cn.u = eu2.src AND cn.v = eu2.dst "
+        "JOIN deg da ON da.vid = eu2.src JOIN deg db ON db.vid = eu2.dst"
     )
 
 
@@ -1577,6 +1602,7 @@ def oracle_sql() -> dict[str, str]:
         "eccentricity_copurchase": _eccentricity_sql(),
         "lpa_modularity_copurchase": _lpa_modularity_sql(LPA_ITERS),
         "katz_copurchase": _katz_sql(),
+        "link_prediction_copurchase": _link_prediction_sql(),
         "mis_copurchase": _mis_sql(),
         "triangle_count_copurchase": (
             f"WITH {_EU} SELECT count(*) AS n_triangles FROM eu e1 "

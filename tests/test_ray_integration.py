@@ -471,3 +471,28 @@ def test_lpa_modularity_vs_pandas_brute(ray_session):
         assert abs(r["q"] - exp) < 1e-6, L
     assert got["n_members"].sum() == len(lab)
     assert got["degree_sum"].sum() == 2 * int(m)
+
+
+def test_link_prediction_vs_pandas_brute(ray_session):
+    """Common-neighbor/Jaccard scores == pandas brute force over the same
+    strong co-purchase adjacency."""
+    from subgraph_isomorphism_pregel_ray.pipelines.algorithms import link_prediction
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import (
+        strong_copurchase_edges,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = link_prediction(sf).to_pandas().sort_values(["src", "dst"]).reset_index(drop=True)
+    eu = strong_copurchase_edges(sf).to_pandas()
+    adj = {}
+    for a, b in zip(eu["src"], eu["dst"]):
+        adj.setdefault(int(a), set()).add(int(b))
+        adj.setdefault(int(b), set()).add(int(a))
+    assert len(got) == len(eu)
+    assert (got["common_neighbors"] == 0).any()  # zero-cn edges survive the left join
+    for _, r in got.iterrows():
+        u, v = int(r["src"]), int(r["dst"])
+        cn = len(adj[u] & adj[v])
+        assert r["common_neighbors"] == cn, (u, v)
+        exp = cn / (len(adj[u]) + len(adj[v]) - cn)
+        assert abs(r["jaccard"] - exp) < 1e-6, (u, v)
