@@ -563,6 +563,12 @@ def _q_parts_never_ordered(sf_dir: str):
     return parts_never_ordered(sf_dir, min_qty=45)
 
 
+def _q_events_rolling(sf_dir: str):
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import events_rolling
+
+    return events_rolling(sf_dir, window_rows=5)
+
+
 def _q_copurchase_weights(sf_dir: str):
     from subgraph_isomorphism_pregel_ray.pipelines.relational import (
         copurchase_weights,
@@ -852,6 +858,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "documents_sample": _q_documents_sample,
         "train_val_test_split": _q_train_val_test,
         "copurchase_weights": _q_copurchase_weights,
+        "events_rolling": _q_events_rolling,
         "kmeans_embeddings": _q_kmeans,
         "distinct_users_daily": _q_distinct_users,
         "parts_never_ordered": _q_parts_never_ordered,
@@ -1980,6 +1987,12 @@ def oracle_sql() -> dict[str, str]:
             "WHERE ((((doc_id % 2147483648) + 2147483648) % 2147483648) "
             "* 2654435761) % 2147483648 < "
             "CASE WHEN lang = 'en' THEN 536870912 ELSE 2147483648 END"
+        ),
+        "events_rolling": (
+            "SELECT event_id, round(avg(value) OVER ("
+            "PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS rolling_avg "
+            "FROM events"
         ),
         "copurchase_weights": (
             "SELECT a.l_partkey AS src, b.l_partkey AS dst, "

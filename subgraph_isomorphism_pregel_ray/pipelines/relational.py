@@ -33,6 +33,7 @@ __all__ = [
     "events_quantiles",
     "events_range_join",
     "events_lag",
+    "events_rolling",
     "revenue_by_nation",
     "revenue_by_region",
     "rich_club",
@@ -598,6 +599,58 @@ def events_lag(sf_dir: str, num_buckets: int = 32):
         ds.map_batches(_bucket, batch_format="pyarrow")
         .groupby("b")
         .map_groups(_lag, batch_format="pyarrow")
+    )
+
+
+def events_rolling(sf_dir: str, window_rows: int = 5, num_buckets: int = 32):
+    """Per-user rolling mean of ``value`` over the trailing
+    ``window_rows`` events (ROWS BETWEEN k-1 PRECEDING AND CURRENT ROW,
+    ordered by ts, event_id) → (event_id, rolling_avg) — the classic
+    smoothing window every event pipeline needs.
+
+    Scale shape: users hash-bucketed (ONE shuffle, shared with
+    lag/sessionize); a whole bucket is processed vectorized — lexsort,
+    then the window sum is built by adding k shifted copies of the value
+    array masked to the user segment (k float adds per row in a FIXED
+    order; the ~1e-13 relative float noise vs the oracle's window AVG is
+    far below the 6-decimal round). No per-row Python, no per-user
+    loop."""
+    from ..functions.rounding import round_half_away
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"])
+
+    def _bucket(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy()
+        return t.append_column("b", pa.array((u % num_buckets).astype(np.int32)))
+
+    def _roll(g: pa.Table) -> pa.Table:
+        u = g["user_id"].to_numpy()
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        eid = g["event_id"].to_numpy()
+        val = g["value"].to_numpy()
+        order = np.lexsort((eid, ts, u))
+        u, eid, val = u[order], eid[order], val[order]
+        n = len(u)
+        # position within the user's run: 0 at each new user
+        new_seg = np.concatenate([[True], u[1:] != u[:-1]])
+        seg_start = np.maximum.accumulate(np.where(new_seg, np.arange(n), 0))
+        pos = np.arange(n) - seg_start
+        take = np.minimum(pos + 1, window_rows)
+        total = val.copy()
+        for k in range(1, window_rows):  # oldest-to-newest shifted adds
+            shifted = np.concatenate([np.zeros(k), val[:-k]]) if k < n else np.zeros(n)
+            total = total + np.where(pos >= k, shifted, 0.0)
+        return pa.table(
+            {
+                "event_id": eid,
+                "rolling_avg": round_half_away(total / take, 6),
+            }
+        )
+
+    return (
+        ds.map_batches(_bucket, batch_format="pyarrow")
+        .groupby("b")
+        .map_groups(_roll, batch_format="pyarrow")
     )
 
 

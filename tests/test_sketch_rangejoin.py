@@ -233,3 +233,25 @@ def test_events_hopping_covers_tumbling(ray_session, tmp_path):
     exp = expect.sort_values(["user_id", "wstart"]).reset_index(drop=True)
     assert np.array_equal(got["n_events"].values, exp["n_events"].values)
     assert len(tum) <= len(hop)
+
+
+def test_events_rolling_vs_pandas(ray_session):
+    """Rolling mean == pandas groupby.rolling over the same (ts, event_id)
+    order, including short user prefixes (< window rows)."""
+    import pandas as pd
+
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import events_rolling
+    from subgraph_isomorphism_pregel_ray.sources.tables import read_table
+
+    sf = "/root/testdata/sf0.001"
+    got = events_rolling(sf, window_rows=5).to_pandas().set_index("event_id")["rolling_avg"]
+    ev = read_table(sf, "events", columns=["event_id", "ts", "user_id", "value"]).to_pandas()
+    ev = ev.sort_values(["user_id", "ts", "event_id"]).reset_index(drop=True)
+    exp = (
+        ev.groupby("user_id")["value"]
+        .rolling(5, min_periods=1).mean().reset_index(level=0, drop=True)
+    )
+    ev["exp"] = exp
+    assert len(got) == len(ev)
+    for eid, e in zip(ev["event_id"], ev["exp"]):
+        assert abs(got[eid] - e) < 1e-6, eid
