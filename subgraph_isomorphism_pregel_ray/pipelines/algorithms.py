@@ -50,6 +50,7 @@ __all__ = [
     "lpa_modularity",
     "katz",
     "link_prediction",
+    "max_spanning_forest",
 ]
 
 
@@ -198,6 +199,191 @@ def closeness(edges_or_engine, seed_mod: int = 101, num_parts: int = 8,
     if own:
         eng.shutdown()
     return out, lineage
+
+
+def max_spanning_forest(sf_dir: str, num_partitions: int = 8,
+                        max_rounds: int = 30):
+    """Borůvka maximum spanning forest of the WEIGHTED co-purchase graph
+    (Borůvka 1926 / the GHS distributed-MST lineage — public): the
+    strongest-tie backbone — per component, repeatedly take the
+    maximum-weight outgoing edge (weight = shared-order count, ties
+    broken by the packed (src,dst) key so every weight is UNIQUE and the
+    forest is deterministic), contract, repeat. Returns
+    (pa.table(src, dst, n_orders) canonical src < dst, rounds_run).
+
+    Pure-Dataset contraction path, no actors: per round, labels join to
+    the weighted edges (both directions), per-batch reduceat picks the
+    in-batch best edge per component BEFORE the one groupby-max, a
+    join-back recovers the argmax edge, and the union graph (one edge
+    per component) is contracted with the existing ``cc_dataset``
+    pointer-free hash-min loop. O(log n) rounds; the accumulated forest
+    (n−1 rows total — the result itself) is the only driver-side state.
+
+    Library operator, not a driver query: like ``ktruss``, the
+    ~log n rounds × (joins + a nested cc_dataset fixpoint) each pay this
+    sandbox's per-shuffle orchestration floor (BENCH/STATS.md), which
+    exceeds the driver's per-query budget while compute is milliseconds;
+    nested fixpoints also put it out of SQL-unroll scope, so correctness
+    is pinned by the brute-Kruskal parity pytest
+    (``test_max_spanning_forest_vs_kruskal``)."""
+    from .relational import copurchase_weights
+
+    SHIFT = np.int64(1) << np.int64(21)
+    PAIR_BITS = np.int64(1) << np.int64(42)
+
+    ew = copurchase_weights(sf_dir).materialize()  # src < dst, n_orders
+
+    def _both_dirs(t: pa.Table) -> pa.Table:
+        s = t["src"].to_numpy()
+        d = t["dst"].to_numpy()
+        n = t["n_orders"].to_numpy()
+        pair = s * SHIFT + d
+        # max key ⇔ (max n, then min (src,dst)) — a TOTAL order
+        key = n * PAIR_BITS + (PAIR_BITS - np.int64(1) - pair)
+        return pa.table(
+            {
+                "u": np.concatenate([s, d]),
+                "v": np.concatenate([d, s]),
+                "key": np.concatenate([key, key]),
+                "pair": np.concatenate([pair, pair]),
+            }
+        )
+
+    es = ew.map_batches(_both_dirs, batch_format="pyarrow").materialize()
+
+    def _verts(t: pa.Table) -> pa.Table:
+        u = np.unique(t["u"].to_numpy())
+        return pa.table({"vid": u, "comp": u})
+
+    from ray.data.aggregate import Min
+
+    labels = (
+        es.map_batches(_verts, batch_format="pyarrow")
+        .groupby("vid")
+        .aggregate(Min("comp", alias_name="comp"))
+        .materialize()
+    )
+
+    forest_keys: list[np.ndarray] = []
+    rounds = 0
+    for rounds in range(1, max_rounds + 1):
+        lu = labels.map_batches(
+            lambda t: pa.table({"u": t["vid"], "cu": t["comp"]}),
+            batch_format="pyarrow",
+        )
+        lv = labels.map_batches(
+            lambda t: pa.table({"v": t["vid"], "cv": t["comp"]}),
+            batch_format="pyarrow",
+        )
+        cross = (
+            es.join(lu, "inner", num_partitions, on=("u",))
+            .join(lv, "inner", num_partitions, on=("v",))
+            .map_batches(
+                lambda t: t.filter(
+                    pa.array(t["cu"].to_numpy() != t["cv"].to_numpy())
+                ),
+                batch_format="pyarrow",
+            )
+            .materialize()
+        )
+        if cross.count() == 0:
+            rounds -= 1
+            break
+
+        def _pre_max(t: pa.Table) -> pa.Table:  # in-batch combiner (argmax rows)
+            c = t["cu"].to_numpy()
+            k = t["key"].to_numpy()
+            order = np.lexsort((k, c))
+            last = np.concatenate([c[order][1:] != c[order][:-1], [True]])
+            idx = order[last]
+            keep = t.take(idx)
+            return keep.append_column(
+                "bb", pa.array((keep["cu"].to_numpy() % 32).astype(np.int32))
+            )
+
+        def _best_in_bucket(g: pa.Table) -> pa.Table:  # global argmax per cu
+            c = g["cu"].to_numpy()
+            k = g["key"].to_numpy()
+            order = np.lexsort((k, c))
+            last = np.concatenate([c[order][1:] != c[order][:-1], [True]])
+            return g.take(order[last]).drop_columns(["bb"])
+
+        chosen = (
+            cross.map_batches(_pre_max, batch_format="pyarrow")
+            .groupby("bb")
+            .map_groups(_best_in_bucket, batch_format="pyarrow")
+        )
+
+        def _dedup_pairs(t: pa.Table) -> pa.Table:
+            # an edge picked from both directions appears once per side;
+            # the key encodes (n_orders, pair) so no weight lookup later
+            return pa.table({"key": np.unique(t["key"].to_numpy())})
+
+        keys = np.unique(
+            np.concatenate(
+                [
+                    b["key"].to_numpy()
+                    for b in chosen.map_batches(
+                        _dedup_pairs, batch_format="pyarrow"
+                    ).iter_batches(batch_format="pyarrow")
+                ]
+                or [np.empty(0, np.int64)]
+            )
+        )
+        forest_keys.append(keys)
+
+        union = chosen.map_batches(
+            lambda t: pa.table(
+                {
+                    "src": np.concatenate(
+                        [t["cu"].to_numpy(), t["cv"].to_numpy()]
+                    ),
+                    "dst": np.concatenate(
+                        [t["cv"].to_numpy(), t["cu"].to_numpy()]
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        cmap = cc_dataset(union).map_batches(
+            lambda t: pa.table({"comp": t["vid"], "newc": t["component"]}),
+            batch_format="pyarrow",
+        )
+        relabeled = labels.join(cmap, "left_outer", num_partitions, on=("comp",))
+
+        def _apply(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            new = pc.fill_null(t["newc"], np.iinfo(np.int64).max).to_numpy()
+            comp = t["comp"].to_numpy()
+            return pa.table(
+                {
+                    "vid": t["vid"],
+                    "comp": np.where(new != np.iinfo(np.int64).max, new, comp),
+                }
+            )
+
+        labels = relabeled.map_batches(_apply, batch_format="pyarrow").materialize()
+
+    allk = (
+        np.unique(np.concatenate(forest_keys))
+        if forest_keys
+        else np.empty(0, np.int64)
+    )
+    pair = PAIR_BITS - np.int64(1) - (allk % PAIR_BITS)
+    order = np.argsort(pair)
+    pair = pair[order]
+    n_orders = (allk // PAIR_BITS)[order]
+    return (
+        pa.table(
+            {
+                "src": pair // SHIFT,
+                "dst": pair % SHIFT,
+                "n_orders": n_orders.astype(np.int64),
+            }
+        ),
+        rounds,
+    )
 
 
 def link_prediction(sf_dir: str, num_buckets: int = 32,

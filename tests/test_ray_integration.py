@@ -496,3 +496,48 @@ def test_link_prediction_vs_pandas_brute(ray_session):
         assert r["common_neighbors"] == cn, (u, v)
         exp = cn / (len(adj[u]) + len(adj[v]) - cn)
         assert abs(r["jaccard"] - exp) < 1e-6, (u, v)
+
+
+def test_max_spanning_forest_vs_kruskal(ray_session):
+    """Boruvka maximum spanning forest == brute Kruskal with the identical
+    (n_orders desc, (src,dst) asc) total order — unique tie-broken weights
+    make the forest edge set deterministic; per-component edge counts and
+    total weight must match exactly."""
+    from subgraph_isomorphism_pregel_ray.pipelines.algorithms import (
+        max_spanning_forest,
+    )
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import (
+        copurchase_weights,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    forest, rounds = max_spanning_forest(sf)
+    got = {
+        (int(s), int(d))
+        for s, d in zip(forest["src"].to_numpy(), forest["dst"].to_numpy())
+    }
+    ew = copurchase_weights(sf).to_pandas()
+    edges = sorted(
+        zip(ew["n_orders"], ew["src"], ew["dst"]),
+        key=lambda t: (-t[0], t[1], t[2]),
+    )
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    exp = set()
+    for n, s, d in edges:
+        rs, rd_ = find(int(s)), find(int(d))
+        if rs != rd_:
+            parent[rs] = rd_
+            exp.add((int(s), int(d)))
+    assert got == exp
+    assert rounds >= 1
+    wmap = {(int(s), int(d)): int(n) for n, s, d in edges}
+    assert int(forest["n_orders"].to_numpy().sum()) == sum(
+        wmap[e] for e in exp
+    )
