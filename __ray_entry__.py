@@ -585,6 +585,12 @@ def _q_documents_sample(sf_dir: str):
     return stratified_sample(docs, rates={"en": 0.25}, default_rate=1.0)
 
 
+def _q_doc_cross_entropy(sf_dir: str):
+    from subgraph_isomorphism_pregel_ray.pipelines.textops import doc_cross_entropy
+
+    return doc_cross_entropy(_docs(sf_dir))
+
+
 def _q_train_val_test(sf_dir: str):
     from subgraph_isomorphism_pregel_ray.pipelines.textops import (
         train_val_test_split,
@@ -859,6 +865,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "train_val_test_split": _q_train_val_test,
         "copurchase_weights": _q_copurchase_weights,
         "events_rolling": _q_events_rolling,
+        "doc_cross_entropy": _q_doc_cross_entropy,
         "kmeans_embeddings": _q_kmeans,
         "distinct_users_daily": _q_distinct_users,
         "parts_never_ordered": _q_parts_never_ordered,
@@ -1740,6 +1747,20 @@ def oracle_sql() -> dict[str, str]:
             f"AND {alnum} * 1.0 / length(text) >= 0.82) "
             "SELECT min(doc_id) AS doc_id, md5(text) AS content_hash, "
             "min(n_tokens) AS n_tokens FROM s GROUP BY md5(text)"
+        ),
+        "doc_cross_entropy": (
+            # mirrors textops.doc_cross_entropy: per-(doc,token) counts
+            # first, then the SAME k · (−ln p) term structure, so float
+            # noise is bounded by sum order (≪ the 6-decimal round)
+            f"WITH tok AS (SELECT doc_id, unnest({toks}) AS token "
+            "FROM documents WHERE trim(text) <> ''), "
+            "dt AS (SELECT doc_id, token, count(*) AS k FROM tok GROUP BY 1, 2), "
+            "cnt AS (SELECT token, CAST(sum(k) AS BIGINT) AS c FROM dt GROUP BY token), "
+            "tot AS (SELECT CAST(sum(k) AS BIGINT) AS n FROM dt) "
+            "SELECT dt.doc_id, CAST(sum(dt.k) AS BIGINT) AS n_tokens, "
+            "round(sum(dt.k * -ln(cnt.c / (SELECT n FROM tot))) / sum(dt.k), 6) "
+            "AS cross_entropy FROM dt JOIN cnt ON cnt.token = dt.token "
+            "GROUP BY dt.doc_id"
         ),
         "vocab_topk": (
             # (cnt DESC, token ASC) is a total order, so the LIMIT cut is

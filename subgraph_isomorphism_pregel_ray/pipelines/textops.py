@@ -45,6 +45,7 @@ __all__ = [
     "search_topk",
     "stratified_sample",
     "train_val_test_split",
+    "doc_cross_entropy",
     "doc_repetition_batch",
     "doc_repetition",
     "contamination",
@@ -980,6 +981,85 @@ def stratified_sample(
         return t.filter(pa.array(h < thresh))
 
     return docs_ds.map_batches(_keep, batch_format="pyarrow")
+
+
+def doc_cross_entropy(docs_ds, num_partitions: int = 8):
+    """Per-document cross-entropy under the corpus unigram model — the
+    classic perplexity filter (a document of globally-rare tokens scores
+    high): H(d) = −(1/|d|)·Σ_{t∈d} ln(cnt(t)/N), N the corpus token
+    total → Dataset(doc_id, n_tokens, cross_entropy).
+
+    Scale shape: pass 1 emits per-doc per-token counts (np.unique
+    combiner — the exchange carries distinct (doc, token) pairs, not
+    occurrences); global counts fold from the SAME table with one
+    groupby-sum; counts flow back to (doc, token) rows via a
+    ``Dataset.join`` on token (never a driver-side vocabulary dict);
+    per-doc partial sums combine per batch before the final doc groupby.
+    Whitespace tokens identical to ``vocab_topk``; empty documents are
+    dropped on both sides. ln-noise (~1 ulp between numpy and DuckDB
+    libm) is ~1e-16 — far below the 6-decimal round."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.rounding import round_half_away
+
+    def _doc_tokens(b: pa.Table) -> pa.Table:
+        ids: list[int] = []
+        toks: list[str] = []
+        ks: list[int] = []
+        for did, t in zip(b["doc_id"].to_pylist(), b["text"].to_pylist()):
+            tt = _tokens(t)
+            if not tt:
+                continue
+            u, c = np.unique(np.asarray(tt, dtype=object), return_counts=True)
+            ids.extend([did] * len(u))
+            toks.extend(u.tolist())
+            ks.extend(c.tolist())
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "token": pa.array(toks, pa.string()),
+                "k": pa.array(ks, pa.int64()),
+            }
+        )
+
+    dt = docs_ds.map_batches(_doc_tokens, batch_format="pyarrow").materialize()
+    counts = dt.groupby("token").aggregate(Sum("k", alias_name="cnt"))
+    N = int(dt.sum("k"))
+    joined = dt.join(counts, "inner", num_partitions, on=("token",))
+
+    def _partial(t: pa.Table) -> pa.Table:
+        did = t["doc_id"].to_numpy()
+        k = t["k"].to_numpy()
+        cnt = t["cnt"].to_numpy()
+        contrib = k * -np.log(cnt / N)
+        order = np.argsort(did, kind="stable")
+        u, starts = np.unique(did[order], return_index=True)
+        return pa.table(
+            {
+                "doc_id": u,
+                "s": np.add.reduceat(contrib[order], starts),
+                "n": np.add.reduceat(k[order], starts).astype(np.int64),
+            }
+        )
+
+    agg = (
+        joined.map_batches(_partial, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n_tokens"))
+    )
+
+    def _final(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_tokens": t["n_tokens"],
+                "cross_entropy": round_half_away(
+                    t["s"].to_numpy() / t["n_tokens"].to_numpy(), 6
+                ),
+            }
+        )
+
+    return agg.map_batches(_final, batch_format="pyarrow")
 
 
 def train_val_test_split(docs_ds, train_pct: int = 80, val_pct: int = 10,

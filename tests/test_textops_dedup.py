@@ -691,3 +691,34 @@ def test_train_val_test_split_stable_and_batch_invariant(ray_session):
     ).to_pandas().set_index("doc_id")["split"]
     base = full[512].set_index("doc_id")["split"]
     assert (base.loc[sampled.index] == sampled).all()
+
+
+def test_doc_cross_entropy_vs_brute(ray_session):
+    """Cross-entropy == single-process Counter recomputation with the same
+    whitespace tokens (repeats weighted, empty docs dropped)."""
+    import collections
+    import math
+
+    from subgraph_isomorphism_pregel_ray.pipelines.textops import (
+        _tokens,
+        doc_cross_entropy,
+    )
+    from subgraph_isomorphism_pregel_ray.sources.tables import read_table
+
+    sf = "/root/testdata/sf0.001"
+    docs = read_table(sf, "documents", columns=["doc_id", "text"])
+    got = doc_cross_entropy(docs).to_pandas().set_index("doc_id")
+    raw = docs.to_pandas()
+    corpus = collections.Counter()
+    per_doc = {}
+    for did, text in zip(raw["doc_id"], raw["text"]):
+        tt = _tokens(text)
+        if tt:
+            per_doc[int(did)] = tt
+            corpus.update(tt)
+    N = sum(corpus.values())
+    assert len(got) == len(per_doc)
+    for did, tt in per_doc.items():
+        exp = sum(-math.log(corpus[t] / N) for t in tt) / len(tt)
+        assert got.loc[did, "n_tokens"] == len(tt)
+        assert abs(got.loc[did, "cross_entropy"] - exp) < 1e-6, did
