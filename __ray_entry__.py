@@ -804,6 +804,69 @@ def _q_events_lag(sf_dir: str):
     return events_lag(sf_dir)
 
 
+def _q_scc_parts(sf_dir: str):
+    """Strongly connected components of the DIRECTED part-successor graph
+    (within each order, part of line k → part of line k+1 by l_linenumber,
+    lines filtered to l_quantity <= 8 so the graph keeps real SCC structure
+    — one giant component plus a periphery, the webgraph bow-tie shape).
+    Engine: min-label forward/backward peeling over a flag-symmetrized CSR
+    (SCCProgram); scc = the component's minimum part id, which is exactly
+    what the oracle's mutual-reachability closure computes."""
+    from subgraph_isomorphism_pregel_ray.pipelines.algorithms import scc
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import succ_edges
+
+    out, _ = scc(succ_edges(sf_dir), num_parts=8)
+    t = pa.table(
+        {
+            "vid": out["vid"].to_numpy().view(np.int64),
+            "scc": out["scc"].to_numpy().view(np.int64),
+        }
+    )
+    return t.sort_by("vid")
+
+
+def _q_wpagerank(sf_dir: str):
+    """Edge-WEIGHTED PageRank over the co-purchase graph with weight =
+    shared-order count (copurchase_weights): w/W contribution in place of
+    1/outdeg, stored in the partition layout's per-edge weight channel
+    (CSRPartition.eweights). Symmetric weighted graph has no dangling
+    vertices, so the comparison is a pure unroll."""
+    from subgraph_isomorphism_pregel_ray.functions.rounding import round_half_away
+    from subgraph_isomorphism_pregel_ray.pipelines.algorithms import weighted_pagerank
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import copurchase_weights
+
+    ew = copurchase_weights(sf_dir).map_batches(
+        lambda t: t.rename_columns(["src", "dst", "weight"]),
+        batch_format="pyarrow",
+    )
+    res, _ = weighted_pagerank(ew, iters=PR_ITERS, num_parts=4)
+    return pa.table(
+        {
+            "vid": res["vid"].to_numpy().view(np.int64),
+            "pr": round_half_away(res["rank"].to_numpy(), 8),
+        }
+    )
+
+
+def _q_bowtie_parts(sf_dir: str):
+    """Bow-tie decomposition (Broder et al. 2000) of the directed
+    part-successor graph: cls ∈ {core, in, out, other} with core = the
+    largest SCC (ties → smaller label), in/out = reaches / reached-from
+    the core. One flag-symmetrized partition layout serves both phases
+    (SCCProgram then single-seed ReachProgram from the core's min member)."""
+    from subgraph_isomorphism_pregel_ray.pipelines.algorithms import bowtie
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import succ_edges
+
+    out, _core, _lin = bowtie(succ_edges(sf_dir), num_parts=8)
+    t = pa.table(
+        {
+            "vid": out["vid"].to_numpy().view(np.int64),
+            "cls": out["cls"],
+        }
+    )
+    return t.sort_by("vid")
+
+
 def _q_hll_registers(sf_dir: str):
     from subgraph_isomorphism_pregel_ray.pipelines.sketch import hll_registers_daily
 
@@ -887,6 +950,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_rank": _q_host_rank,
         "events_range_join": _q_events_range_join,
         "events_lag": _q_events_lag,
+        "scc_parts": _q_scc_parts,
+        "bowtie_parts": _q_bowtie_parts,
+        "wpagerank_copurchase": _q_wpagerank,
         "salient_terms": _q_salient_terms,
         "search_topk": _q_search_topk,
         "hll_registers_daily": _q_hll_registers,
@@ -939,6 +1005,34 @@ def _pagerank_sql(iters: int, damping: float = 0.85) -> str:
     return (
         ", ".join(parts) + f" SELECT vid, round(pr, 8) AS pr FROM r{iters}"
     )
+
+
+def _wpagerank_sql(iters: int, damping: float = 0.85) -> str:
+    """Unrolled edge-WEIGHTED PageRank: weight = shared-order count,
+    contribution w/W(u) (matching WeightedPageRankProgram's r/W·w order of
+    operations: pr / tw * w, left-assoc); the symmetric weighted graph has
+    no dangling vertices so that term is identically zero on both sides."""
+    parts = [
+        "WITH ew AS MATERIALIZED ("
+        "SELECT a.l_partkey AS src, b.l_partkey AS dst, "
+        "count(DISTINCT a.l_orderkey) AS w "
+        "FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey "
+        "WHERE a.l_partkey <> b.l_partkey GROUP BY 1, 2)",
+        "v AS MATERIALIZED (SELECT DISTINCT src AS vid FROM ew)",
+        "nv AS MATERIALIZED (SELECT count(*) AS n FROM v)",
+        "ws AS MATERIALIZED (SELECT src AS vid, sum(w) AS tw FROM ew GROUP BY 1)",
+        "r0 AS MATERIALIZED (SELECT vid, 1.0 / (SELECT n FROM nv) AS pr FROM v)",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"r{i} AS MATERIALIZED (SELECT d.vid, "
+            f"(1 - {damping}) / (SELECT n FROM nv) + "
+            f"{damping} * coalesce(s.c, 0) AS pr FROM ws d LEFT JOIN ("
+            f"SELECT ew.dst AS vid, sum(r.pr / w2.tw * ew.w) AS c "
+            f"FROM ew JOIN r{i-1} r ON r.vid = ew.src "
+            f"JOIN ws w2 ON w2.vid = ew.src GROUP BY ew.dst) s ON s.vid = d.vid)"
+        )
+    return ", ".join(parts) + f" SELECT vid, round(pr, 8) AS pr FROM r{iters}"
 
 
 def _ppr_sql(iters: int, damping: float = 0.85, seed_mod: int = 10) -> str:
@@ -1604,6 +1698,7 @@ def oracle_sql() -> dict[str, str]:
             f"WITH {_ESYM} SELECT src AS vid, count(*) AS degree FROM e GROUP BY 1"
         ),
         "pagerank_copurchase": _pagerank_sql(PR_ITERS),
+        "wpagerank_copurchase": _wpagerank_sql(PR_ITERS),
         "ppr_copurchase": _ppr_sql(PR_ITERS),
         "hits_copurchase": _hits_sql(HITS_ITERS),
         "random_walks_copurchase": _walk_sql(4),
@@ -2171,6 +2266,54 @@ def oracle_sql() -> dict[str, str]:
             "AS gap_us, "
             "coalesce(value - lag(value) OVER w, 0.0) AS delta_value "
             "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
+        ),
+        "scc_parts": (
+            # SCC of the directed part-successor graph: mutual-reachability
+            # via a recursive transitive closure, scc = min member vid —
+            # exactly SCCProgram's min-label FW-BW peeling invariant
+            "WITH seq AS (SELECT l_orderkey, l_linenumber, l_partkey, "
+            "lag(l_partkey) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) "
+            "AS prev FROM lineitem WHERE l_quantity <= 8), "
+            "edges AS (SELECT DISTINCT prev AS src, l_partkey AS dst FROM seq "
+            "WHERE prev IS NOT NULL AND prev <> l_partkey), "
+            "verts AS (SELECT src AS v FROM edges UNION SELECT dst FROM edges), "
+            "reach AS (WITH RECURSIVE r(u, v) AS ("
+            "SELECT v, v FROM verts "
+            "UNION "
+            "SELECT r.u, e.dst FROM r JOIN edges e ON r.v = e.src) "
+            "SELECT u, v FROM r) "
+            "SELECT a.u AS vid, MIN(a.v) AS scc FROM reach a "
+            "JOIN reach b ON a.u = b.v AND a.v = b.u "
+            "GROUP BY a.u ORDER BY vid"
+        ),
+        "bowtie_parts": (
+            # bow-tie classes over the same part-successor closure: core =
+            # largest SCC (ties → smaller label); in reaches it, out is
+            # reached from it (any member ⇔ the core's min-member seed)
+            "WITH seq AS (SELECT l_orderkey, l_linenumber, l_partkey, "
+            "lag(l_partkey) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) "
+            "AS prev FROM lineitem WHERE l_quantity <= 8), "
+            "edges AS (SELECT DISTINCT prev AS src, l_partkey AS dst FROM seq "
+            "WHERE prev IS NOT NULL AND prev <> l_partkey), "
+            "verts AS (SELECT src AS v FROM edges UNION SELECT dst FROM edges), "
+            "reach AS MATERIALIZED (WITH RECURSIVE r(u, v) AS ("
+            "SELECT v, v FROM verts "
+            "UNION "
+            "SELECT r.u, e.dst FROM r JOIN edges e ON r.v = e.src) "
+            "SELECT u, v FROM r), "
+            "sccs AS MATERIALIZED (SELECT a.u AS vid, MIN(a.v) AS scc "
+            "FROM reach a JOIN reach b ON a.u = b.v AND a.v = b.u GROUP BY a.u), "
+            "core AS (SELECT scc AS cid FROM ("
+            "SELECT scc, count(*) AS c FROM sccs GROUP BY scc) "
+            "ORDER BY c DESC, scc ASC LIMIT 1) "
+            "SELECT s.vid, CASE "
+            "WHEN s.scc = (SELECT cid FROM core) THEN 'core' "
+            "WHEN EXISTS (SELECT 1 FROM reach r WHERE r.u = s.vid "
+            "AND r.v = (SELECT cid FROM core)) THEN 'in' "
+            "WHEN EXISTS (SELECT 1 FROM reach r WHERE r.v = s.vid "
+            "AND r.u = (SELECT cid FROM core)) THEN 'out' "
+            "ELSE 'other' END AS cls "
+            "FROM sccs s ORDER BY vid"
         ),
         "salient_terms": (
             # TF-IDF-style keyword top-3 (textops.salient_terms); salience is

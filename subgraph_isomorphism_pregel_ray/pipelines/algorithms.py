@@ -51,6 +51,9 @@ __all__ = [
     "katz",
     "link_prediction",
     "max_spanning_forest",
+    "scc",
+    "bowtie",
+    "weighted_pagerank",
 ]
 
 
@@ -101,6 +104,53 @@ def pagerank(
     eng, lineage, own = _run(
         edges_or_engine,
         "pagerank",
+        {"iters": iters, "damping": damping, "tol": tol, "n_global": None},
+        num_parts,
+        max_steps=iters + 1,
+        checkpoint_dir=checkpoint_dir,
+        checkpoint_every=checkpoint_every,
+        resume=resume,
+    )
+    out = eng.result_table()
+    if own:
+        eng.shutdown()
+    return out, lineage
+
+
+def weighted_pagerank(
+    edges_or_engine,
+    iters: int = 20,
+    damping: float = 0.85,
+    num_parts: int = 8,
+    tol: float = 0.0,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 0,
+    resume: bool = False,
+):
+    """Edge-WEIGHTED PageRank over a (src, dst, weight) edge Dataset with
+    ONE row per undirected pair — weight-symmetrized here, weights stored
+    in the partition layout's `weight` column (``CSRPartition.eweights``).
+    → (result table (vid, rank), lineage). See WeightedPageRankProgram."""
+    if not isinstance(edges_or_engine, BSPEngine):
+
+        def _wsym(t: pa.Table) -> pa.Table:
+            s = t["src"].to_numpy().astype(np.uint64)
+            d = t["dst"].to_numpy().astype(np.uint64)
+            w = t["weight"].to_numpy().astype(np.int64)
+            return pa.table(
+                {
+                    "src": np.concatenate([s, d]),
+                    "dst": np.concatenate([d, s]),
+                    "weight": np.concatenate([w, w]),
+                }
+            )
+
+        edges_or_engine = edges_or_engine.map_batches(
+            _wsym, batch_format="pyarrow"
+        )
+    eng, lineage, own = _run(
+        edges_or_engine,
+        "wpagerank",
         {"iters": iters, "damping": damping, "tol": tol, "n_global": None},
         num_parts,
         max_steps=iters + 1,
@@ -199,6 +249,97 @@ def closeness(edges_or_engine, seed_mod: int = 101, num_parts: int = 8,
     if own:
         eng.shutdown()
     return out, lineage
+
+
+def _flag_symmetrize(edges_ds):
+    """Directed (src, dst) Dataset → symmetrized (src, dst, flag) rows with
+    per-edge direction bits (bit0 = real edge src→dst, bit1 = the reverse);
+    a two-way pair's duplicate rows OR-combine at CSR build
+    (``state.csr.build_csr``), so the partition layout stays one row per
+    undirected pair while keeping the orientation recoverable."""
+
+    def _sym(t: pa.Table) -> pa.Table:
+        src = t["src"].to_numpy().astype(np.uint64)
+        dst = t["dst"].to_numpy().astype(np.uint64)
+        return pa.table(
+            {
+                "src": np.concatenate([src, dst]),
+                "dst": np.concatenate([dst, src]),
+                "flag": np.concatenate(
+                    [
+                        np.ones(len(src), np.uint8),
+                        np.full(len(src), 2, np.uint8),
+                    ]
+                ),
+            }
+        )
+
+    return edges_ds.map_batches(_sym, batch_format="pyarrow")
+
+
+def scc(edges_or_engine, num_parts: int = 8, max_steps: int = 500,
+        checkpoint_dir=None, checkpoint_every=0, resume=False):
+    """Strongly connected components of a DIRECTED edge Dataset →
+    (pa.table(vid:uint64, scc:uint64), lineage). scc = the minimum vid in
+    the component (see ``SCCProgram`` for the min-label FW-BW peeling
+    algorithm and its termination argument). Accepts a pre-built engine
+    whose graph layout was written from ``_flag_symmetrize`` output."""
+    if not isinstance(edges_or_engine, BSPEngine):
+        edges_or_engine = _flag_symmetrize(edges_or_engine)
+    eng, lineage, own = _run(
+        edges_or_engine, "scc", {}, num_parts, max_steps, directed=True,
+        checkpoint_dir=checkpoint_dir, checkpoint_every=checkpoint_every,
+        resume=resume,
+    )
+    out = eng.result_table()
+    if own:
+        eng.shutdown()
+    return out, lineage
+
+
+def bowtie(edges_or_engine, num_parts: int = 8, max_steps: int = 500):
+    """Bow-tie decomposition of a DIRECTED edge Dataset (Broder et al. 2000,
+    "Graph structure in the web" — the canonical webgraph macro-structure):
+    → (pa.table(vid:uint64, cls:string), core_id, lineage) with cls ∈
+    {core, in, out, other}. core = the largest SCC (ties → smaller label);
+    in = reaches the core; out = reached from it; other = the rest
+    (tendrils, tubes, disconnected — the coarse 4-class variant).
+
+    Composition on ONE flag-symmetrized partition layout: SCCProgram, a
+    driver-side O(#SCCs) fold to pick the core, then ReachProgram from the
+    core's min-member vertex — the core is strongly connected, so a single
+    seed's fwd/bwd reachability equals the whole core's and no seed-set
+    broadcast is needed."""
+    own = not isinstance(edges_or_engine, BSPEngine)
+    eng = (
+        build_engine(_flag_symmetrize(edges_or_engine), num_parts, directed=True)
+        if own
+        else edges_or_engine
+    )
+    lin1 = eng.run("scc", {}, max_steps=max_steps)
+    sc = eng.result_table()
+    scc_l = sc["scc"].to_numpy()
+    uniq, cnt = np.unique(scc_l, return_counts=True)
+    core = uniq[np.lexsort((uniq, -cnt))[0]] if len(uniq) else np.uint64(0)
+    lin2 = eng.run("reach", {"seed_vid": int(core)}, max_steps=max_steps)
+    rc = eng.result_table()
+    # both result tables enumerate the same partitions in actor order with
+    # per-partition-sorted vids — but align defensively by vid anyway
+    order_s = np.argsort(sc["vid"].to_numpy())
+    order_r = np.argsort(rc["vid"].to_numpy())
+    vid = sc["vid"].to_numpy()[order_s]
+    scc_l = scc_l[order_s]
+    fwd = rc["fwd"].to_numpy()[order_r]
+    bwd = rc["bwd"].to_numpy()[order_r]
+    cls = np.where(
+        scc_l == core,
+        "core",
+        np.where(bwd, "in", np.where(fwd, "out", "other")),
+    )
+    out = pa.table({"vid": vid, "cls": pa.array(cls.tolist(), type=pa.string())})
+    if own:
+        eng.shutdown()
+    return out, int(core), {"scc": lin1, "reach": lin2}
 
 
 def max_spanning_forest(sf_dir: str, num_partitions: int = 8,

@@ -34,6 +34,7 @@ __all__ = [
     "events_range_join",
     "events_lag",
     "events_rolling",
+    "succ_edges",
     "revenue_by_nation",
     "revenue_by_region",
     "rich_club",
@@ -555,6 +556,61 @@ def events_sessionize(sf_dir: str, gap_sec: int = 600, num_buckets: int = 32):
         ds.map_batches(_bucket, batch_format="pyarrow")
         .groupby("b")
         .map_groups(_sessionize, batch_format="pyarrow")
+    )
+
+
+def succ_edges(sf_dir: str, max_qty: float = 8.0, num_buckets: int = 32):
+    """Directed part-SUCCESSOR graph: within each order (lines filtered to
+    ``l_quantity <= max_qty`` — full lineitem yields one trivial giant SCC;
+    the filter keeps the graph sparse enough to have real strongly-connected
+    structure), an edge from each line's part to the NEXT line's part in
+    ``l_linenumber`` order → (src, dst), self-successions dropped.
+
+    Scale shape: a 4-column pruned read; orders hash-bucketed (ONE shuffle,
+    the same machine as ``events_lag``); a whole bucket is processed
+    vectorized — lexsort by (orderkey, linenumber), one shifted compare —
+    and partially deduped per bucket via np.unique over a packed 64-bit
+    pair key. Cross-bucket duplicates are left for the consumer (the CSR
+    build dedups; SQL consumers say DISTINCT) — a global distinct here
+    would be a second shuffle for no correctness gain."""
+    ds = read_table(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_linenumber", "l_partkey", "l_quantity"],
+    )
+
+    def _bucket(t: pa.Table) -> pa.Table:
+        t = t.filter(pa.array(t["l_quantity"].to_numpy() <= max_qty))
+        o = t["l_orderkey"].to_numpy()
+        return pa.table(
+            {
+                "l_orderkey": o,
+                "l_linenumber": t["l_linenumber"].to_numpy(),
+                "l_partkey": t["l_partkey"].to_numpy(),
+                "b": (o % num_buckets).astype(np.int32),
+            }
+        )
+
+    def _edges(g: pa.Table) -> pa.Table:
+        o = g["l_orderkey"].to_numpy()
+        ln = g["l_linenumber"].to_numpy()
+        p = g["l_partkey"].to_numpy()
+        order = np.lexsort((ln, o))
+        o, p = o[order], p[order]
+        same = np.concatenate([[False], o[1:] == o[:-1]])
+        prev = np.concatenate([[0], p[:-1]])
+        sel = same & (prev != p)
+        key = np.unique(prev[sel].astype(np.uint64) << np.uint64(32) | p[sel].astype(np.uint64))
+        return pa.table(
+            {
+                "src": key >> np.uint64(32),
+                "dst": key & np.uint64(0xFFFFFFFF),
+            }
+        )
+
+    return (
+        ds.map_batches(_bucket, batch_format="pyarrow")
+        .groupby("b")
+        .map_groups(_edges, batch_format="pyarrow")
     )
 
 

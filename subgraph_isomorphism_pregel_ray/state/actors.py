@@ -73,9 +73,14 @@ class GraphPartition:
         self.num_parts = num_parts
         edges = _read_part_dir(os.path.join(graph_dir, "edges", f"part={part}", "*.parquet"))
         verts = _read_part_dir(os.path.join(graph_dir, "verts", f"part={part}", "*.parquet"))
+        eflags, eweights = None, None
         if edges is not None:
             src = edges["src"].to_numpy().astype(np.uint64)
             dst = edges["dst"].to_numpy().astype(np.uint64)
+            if "flag" in edges.column_names:
+                eflags = edges["flag"].to_numpy().astype(np.uint8)
+            if "weight" in edges.column_names:
+                eweights = edges["weight"].to_numpy().astype(np.int64)
         else:
             src = np.empty(0, np.uint64); dst = np.empty(0, np.uint64)
         if verts is not None:
@@ -83,7 +88,8 @@ class GraphPartition:
             labels = verts["label"].to_numpy() if "label" in verts.column_names else None
         else:
             vids, labels = np.empty(0, np.uint64), None
-        self.csr = build_csr(part, num_parts, src, dst, vids, labels)
+        self.csr = build_csr(part, num_parts, src, dst, vids, labels,
+                             eflags=eflags, eweights=eweights)
         self.program = None
 
     # ---- introspection ---------------------------------------------------

@@ -61,6 +61,13 @@ class CSRPartition:
     indptr: np.ndarray  # int64, len(vids)+1
     indices: np.ndarray  # uint64 dst vids, sorted within each row
     labels: np.ndarray | None = None  # int64 per owned vertex
+    # per-edge bit flags aligned with ``indices`` (e.g. direction bits for
+    # programs over a symmetrized view of a DIRECTED graph: bit0 = the real
+    # edge u→v exists, bit1 = the reverse v→u exists). None for plain graphs.
+    eflags: np.ndarray | None = None  # uint8 per edge
+    # per-edge stored weight aligned with ``indices`` (data-dependent edge
+    # weights, e.g. co-purchase counts; vid-derived weights need no storage).
+    eweights: np.ndarray | None = None  # int64 per edge
     nbr_labels: np.ndarray | None = None  # int64 per edge (filled by exchange)
     nbr_attr: dict = field(default_factory=dict)  # other per-edge remote attrs
     # hub mirror (skew handling): adjacency of globally-hot vertices
@@ -159,6 +166,8 @@ def build_csr(
     owned_vids: np.ndarray,
     labels: np.ndarray | None = None,
     dedup: bool = True,
+    eflags: np.ndarray | None = None,
+    eweights: np.ndarray | None = None,
 ) -> CSRPartition:
     """Build one partition's CSR from its edge slice.
 
@@ -166,6 +175,12 @@ def build_csr(
     this partition owns — including dst-only sinks, which never appear as a
     ``src`` here but must still exist as rows (PageRank dangling mass, message
     delivery targets). ``labels`` aligns with ``owned_vids`` when given.
+    ``eflags`` aligns with (src, dst): per-edge bit flags; duplicate (src,
+    dst) rows are OR-combined on dedup (so a directed graph symmetrized as
+    (u,v,1)+(v,u,2) collapses a two-way edge into one row with flags 3).
+    ``eweights`` aligns with (src, dst): stored int64 edge weights; duplicate
+    rows keep the FIRST weight (duplicates of a weighted edge are assumed
+    equal-weight, as a symmetrized weighted pair's two rows are).
     """
     src = np.asarray(src, dtype=np.uint64)
     dst = np.asarray(dst, dtype=np.uint64)
@@ -176,10 +191,16 @@ def build_csr(
 
     order = np.lexsort((dst, src))
     src_s, dst_s = src[order], dst[order]
+    ef_s = np.asarray(eflags, dtype=np.uint8)[order] if eflags is not None else None
+    ew_s = np.asarray(eweights, dtype=np.int64)[order] if eweights is not None else None
     if dedup and len(src_s):
         keep = np.concatenate(
             [[True], (src_s[1:] != src_s[:-1]) | (dst_s[1:] != dst_s[:-1])]
         )
+        if ef_s is not None:
+            ef_s = np.bitwise_or.reduceat(ef_s, np.flatnonzero(keep))
+        if ew_s is not None:
+            ew_s = ew_s[keep]
         src_s, dst_s = src_s[keep], dst_s[keep]
     li = np.searchsorted(owned, src_s)
     counts = np.bincount(li, minlength=len(owned))
@@ -191,4 +212,6 @@ def build_csr(
         indptr=indptr,
         indices=dst_s,
         labels=lab,
+        eflags=ef_s,
+        eweights=ew_s,
     )

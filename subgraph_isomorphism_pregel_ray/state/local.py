@@ -30,12 +30,21 @@ def _fold(stats):
 
 
 class LocalBSP:
-    def __init__(self, src, dst, num_parts=4, labels=None, directed=True):
+    def __init__(self, src, dst, num_parts=4, labels=None, directed=True,
+                 eflags=None, eweights=None):
         src = np.asarray(src, dtype=np.uint64)
         dst = np.asarray(dst, dtype=np.uint64)
+        if eflags is not None:  # per-edge bit flags aligned with (src, dst)
+            eflags = np.asarray(eflags, dtype=np.uint8)
+        if eweights is not None:  # stored per-edge weights
+            eweights = np.asarray(eweights, dtype=np.int64)
         if not directed:
             keep = src != dst
             src, dst = src[keep], dst[keep]
+            if eflags is not None:
+                eflags = np.tile(eflags[keep], 2)
+            if eweights is not None:
+                eweights = np.tile(eweights[keep], 2)
             src, dst = np.concatenate([src, dst]), np.concatenate([dst, src])
         self.P = num_parts
         vids = np.unique(np.concatenate([src, dst]))
@@ -52,6 +61,8 @@ class LocalBSP:
                 build_csr(
                     p, num_parts, src[em], dst[em], vids[vm],
                     vlab[vm] if vlab is not None else None,
+                    eflags=eflags[em] if eflags is not None else None,
+                    eweights=eweights[em] if eweights is not None else None,
                 )
             )
         self.num_vertices = len(vids)

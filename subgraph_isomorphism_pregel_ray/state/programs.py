@@ -50,6 +50,9 @@ __all__ = [
     "GreedyColoringProgram",
     "EccentricityProgram",
     "KatzCentralityProgram",
+    "SCCProgram",
+    "ReachProgram",
+    "WeightedPageRankProgram",
     "PROGRAMS",
 ]
 
@@ -249,6 +252,68 @@ class KatzCentralityProgram(PageRankProgram):
 
 
 # --------------------------------------------------------------------------
+class WeightedPageRankProgram(PageRankProgram):
+    """Edge-WEIGHTED PageRank over STORED per-edge weights
+    (``CSRPartition.eweights`` — the data-dependent channel the plain
+    programs don't need):
+
+        rank_{t+1}(v) = (1-d)/n + d·(Σ_{u→v} w(u,v)/W(u)·rank_t(u) + dangling_t/n)
+
+    W(u) = Σ_v w(u,v); a vertex with total weight 0 is dangling. Everything
+    else — static-destination message compression, tol-driven stop, the
+    dangling fold — is inherited; only the per-edge contribution changes
+    (w/W in place of 1/outdeg)."""
+
+    def init(self, csr: CSRPartition, iters=20, damping=0.85, n_global=None,
+             tol=0.0):
+        super().init(csr, iters=iters, damping=damping, n_global=n_global,
+                     tol=tol)
+        if csr.eweights is None and csr.num_edges > 0:
+            raise ValueError(
+                "wpagerank needs stored per-edge weights (a `weight` column "
+                "in the partitioned edge layout)"
+            )
+        self._w = (
+            csr.eweights.astype(np.float64)
+            if csr.eweights is not None
+            else np.zeros(0)
+        )
+        self.wsum = np.add.reduceat(
+            np.concatenate([self._w, [0.0]]), csr.indptr[:-1]
+        ) if csr.num_vertices else np.zeros(0)
+        self.wsum[csr.degrees() == 0] = 0.0  # reduceat repeats on empty rows
+        self.dangling_mask = self.wsum == 0
+
+    def scatter(self, step):
+        P = self.csr.num_parts
+        if step >= self.iters or getattr(self, "_done", False):
+            return [None] * P, {"sent": 0, "dangling": 0.0}
+        dix = self.csr.dst_index()
+        contrib = np.where(
+            self.dangling_mask, 0.0,
+            self.rank / np.where(self.wsum == 0, 1.0, self.wsum),
+        )
+        edge_val = contrib[dix.src_row][dix.order] * self._w[dix.order]
+        outbox, sent = [], 0
+        for p in range(P):
+            s, e = dix.slices[p]
+            if s == e:
+                outbox.append(None)
+                continue
+            sums = np.bincount(
+                dix.inverse[p], weights=edge_val[s:e],
+                minlength=len(dix.uniq_dst[p]),
+            )
+            msg = {"sum": sums}
+            if not self._sent_dst:
+                msg["dst"] = dix.uniq_dst[p]
+            outbox.append(msg)
+            sent += len(sums)
+        self._sent_dst = True
+        dangling = float(self.rank[self.dangling_mask].sum())
+        return outbox, {"sent": sent, "dangling": dangling}
+
+
 class PersonalizedPageRankProgram(PageRankProgram):
     """Personalized (seeded-teleport) PageRank: the (1−d) restart mass — and
     any dangling mass — goes to the seed set only, not uniformly.
@@ -2415,6 +2480,237 @@ class EccentricityProgram(HarmonicClosenessProgram):
         return pa.table({"s": self.seeds, "ecc": d.max(axis=1).astype(np.int64)})
 
 
+_SCC_UNSET = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+class SCCProgram(VertexProgram):
+    """Strongly connected components of a DIRECTED graph by min-label
+    forward/backward peeling (the label-propagation SCC family: Orzan's
+    coloring algorithm, 2004; Slota et al. "BFS and Coloring-based Parallel
+    Algorithms for Strongly Connected Components", 2014 — both public).
+    The reference engine has no SCC, but its vertex-compute seam
+    (``basic/Vertex.h:52``) is exactly this shape; the CSR here is built
+    over the SYMMETRIZED edge set with per-edge direction bits
+    (``CSRPartition.eflags``: bit0 = real edge u→v exists, bit1 = the
+    reverse v→u exists), so ONE partition layout serves both propagation
+    directions — no second reverse CSR.
+
+    Per round, two interleaved min-label propagations run in the SAME
+    supersteps (one exchange carries both) over the still-unassigned
+    subgraph:
+
+        f(v) = min unassigned u with u →* v   (forward reachability)
+        b(v) = min unassigned u with v →* u   (backward reachability)
+
+    The round's fixpoint is detected from the engine's folded ``glob``
+    (the previous superstep sent nothing anywhere); then every vertex with
+    f(v) == b(v) is assigned scc = f(v): f and b are constant on an SCC,
+    and f==b==m implies m →* v →* m, so exactly whole SCCs peel, labeled
+    by their MINIMUM member vid (f(v) ≤ min-member ≤ m = f(v)). The SCC
+    containing the smallest unassigned vid always satisfies the test
+    (nothing smaller exists to reach it or be reached), so every round
+    assigns ≥ 1 SCC and the run terminates. Labels reset, propagation
+    restarts on the remainder; done when nothing is unassigned.
+    """
+
+    def init(self, csr: CSRPartition, **_params):
+        self.csr = csr
+        n = csr.num_vertices
+        if csr.eflags is None and csr.num_edges > 0:
+            raise ValueError(
+                "scc needs per-edge direction flags: build the graph from "
+                "flag-symmetrized directed edges (algorithms.scc does this)"
+            )
+        self.scc = np.full(n, _SCC_UNSET, dtype=np.uint64)
+        self.f = csr.vids.copy()
+        self.b = csr.vids.copy()
+        self.fch = np.ones(n, dtype=bool)
+        self.bch = np.ones(n, dtype=bool)
+
+    def apply(self, step, inbox, glob):
+        un = self.scc == _SCC_UNSET
+        if step == 0:
+            return {"active": int(un.sum()), "improved": 0}
+        if glob.get("sent", 0) == 0:
+            # global fixpoint of this round's propagation — peel & restart
+            peel = un & (self.f == self.b)
+            self.scc[peel] = self.f[peel]
+            un &= ~peel
+            self.f = np.where(un, self.csr.vids, self.f)
+            self.b = np.where(un, self.csr.vids, self.b)
+            self.fch = un.copy()
+            self.bch = un.copy()
+            return {
+                "active": int(un.sum()),
+                "improved": 0,
+                "peeled": int(peel.sum()),
+            }
+        improved = 0
+        for msg in inbox:
+            if msg is None:
+                continue
+            for dk, vk, val, ch in (
+                ("fd", "fm", self.f, self.fch),
+                ("bd", "bm", self.b, self.bch),
+            ):
+                if dk not in msg or len(msg[dk]) == 0:
+                    continue
+                li = self.csr.local_index(msg[dk])
+                sel = un[li] & (msg[vk] < val[li])
+                if sel.any():
+                    idx = li[sel]
+                    val[idx] = msg[vk][sel]
+                    ch[idx] = True
+                    improved += int(sel.sum())
+        return {"active": int(un.sum()), "improved": improved}
+
+    def scatter(self, step):
+        P = self.csr.num_parts
+        if not (self.fch.any() or self.bch.any()) or self.csr.num_edges == 0:
+            return [None] * P, {"sent": 0}
+        dix = self.csr.dst_index()
+        ef = self.csr.eflags[dix.order]
+        src_ord = dix.src_row[dix.order]
+        fsel_e = self.fch[src_ord] & ((ef & 1) != 0)
+        bsel_e = self.bch[src_ord] & ((ef & 2) != 0)
+        fval = self.f[src_ord]
+        bval = self.b[src_ord]
+        sorted_dst = self.csr.indices[dix.order]
+        outbox, sent = [], 0
+        for p in range(P):
+            s, e = dix.slices[p]
+            fs, bs = fsel_e[s:e], bsel_e[s:e]
+            if not (fs.any() or bs.any()):
+                outbox.append(None)
+                continue
+            msg = {}
+            if fs.any():
+                fd, fm = _group_min(sorted_dst[s:e][fs], fval[s:e][fs])
+                msg["fd"], msg["fm"] = fd, fm
+                sent += len(fd)
+            if bs.any():
+                bd, bm = _group_min(sorted_dst[s:e][bs], bval[s:e][bs])
+                msg["bd"], msg["bm"] = bd, bm
+                sent += len(bd)
+            outbox.append(msg)
+        self.fch[:] = False
+        self.bch[:] = False
+        return outbox, {"sent": sent}
+
+    def state_table(self):
+        return pa.table(
+            {
+                "vid": self.csr.vids,
+                "scc": self.scc,
+                "f": self.f,
+                "b": self.b,
+                "fch": self.fch,
+                "bch": self.bch,
+            }
+        )
+
+    def load_state(self, table, step):
+        self.scc = table["scc"].to_numpy().astype(np.uint64).copy()
+        self.f = table["f"].to_numpy().astype(np.uint64).copy()
+        self.b = table["b"].to_numpy().astype(np.uint64).copy()
+        self.fch = table["fch"].to_numpy().copy()
+        self.bch = table["bch"].to_numpy().copy()
+
+    def result_table(self):
+        return pa.table({"vid": self.csr.vids, "scc": self.scc})
+
+
+class ReachProgram(VertexProgram):
+    """Single-seed bidirectional reachability over a flag-symmetrized
+    DIRECTED graph (``CSRPartition.eflags`` direction bits, see SCCProgram):
+    fwd(v) = seed →* v, bwd(v) = v →* seed, both propagated in the same
+    supersteps as frontier-based bit floods. The bow-tie building block
+    (Broder et al. 2000, "Graph structure in the web" — public): with the
+    seed chosen INSIDE the core SCC, fwd/bwd from that one vertex equal
+    fwd/bwd from the whole core, so IN/OUT/OTHER classification needs no
+    seed-set broadcast."""
+
+    def init(self, csr: CSRPartition, seed_vid=0):
+        self.csr = csr
+        if csr.eflags is None and csr.num_edges > 0:
+            raise ValueError("reach needs per-edge direction flags")
+        seed = csr.vids == np.uint64(int(seed_vid))
+        self.fwd = seed.copy()
+        self.bwd = seed.copy()
+        self.fch = seed.copy()
+        self.bch = seed.copy()
+
+    def apply(self, step, inbox, glob):
+        if step == 0:
+            return {"active": int(self.fch.sum())}
+        changed = 0
+        for msg in inbox:
+            if msg is None:
+                continue
+            for dk, reached, ch in (("fd", self.fwd, self.fch), ("bd", self.bwd, self.bch)):
+                if dk not in msg or len(msg[dk]) == 0:
+                    continue
+                li = self.csr.local_index(msg[dk])
+                new = ~reached[li]
+                if new.any():
+                    idx = li[new]
+                    reached[idx] = True
+                    ch[idx] = True
+                    changed += int(new.sum())
+        return {"active": changed}
+
+    def scatter(self, step):
+        P = self.csr.num_parts
+        if not (self.fch.any() or self.bch.any()) or self.csr.num_edges == 0:
+            return [None] * P, {"sent": 0}
+        dix = self.csr.dst_index()
+        ef = self.csr.eflags[dix.order]
+        src_ord = dix.src_row[dix.order]
+        fsel_e = self.fch[src_ord] & ((ef & 1) != 0)
+        bsel_e = self.bch[src_ord] & ((ef & 2) != 0)
+        sorted_dst = self.csr.indices[dix.order]
+        outbox, sent = [], 0
+        for p in range(P):
+            s, e = dix.slices[p]
+            fs, bs = fsel_e[s:e], bsel_e[s:e]
+            if not (fs.any() or bs.any()):
+                outbox.append(None)
+                continue
+            msg = {}
+            if fs.any():
+                msg["fd"] = np.unique(sorted_dst[s:e][fs])
+                sent += len(msg["fd"])
+            if bs.any():
+                msg["bd"] = np.unique(sorted_dst[s:e][bs])
+                sent += len(msg["bd"])
+            outbox.append(msg)
+        self.fch[:] = False
+        self.bch[:] = False
+        return outbox, {"sent": sent}
+
+    def state_table(self):
+        return pa.table(
+            {
+                "vid": self.csr.vids,
+                "fwd": self.fwd,
+                "bwd": self.bwd,
+                "fch": self.fch,
+                "bch": self.bch,
+            }
+        )
+
+    def load_state(self, table, step):
+        self.fwd = table["fwd"].to_numpy().copy()
+        self.bwd = table["bwd"].to_numpy().copy()
+        self.fch = table["fch"].to_numpy().copy()
+        self.bch = table["bch"].to_numpy().copy()
+
+    def result_table(self):
+        return pa.table(
+            {"vid": self.csr.vids, "fwd": self.fwd, "bwd": self.bwd}
+        )
+
+
 PROGRAMS = {
     "pagerank": PageRankProgram,
     "cc": ConnectedComponentsProgram,
@@ -2435,4 +2731,7 @@ PROGRAMS = {
     "coloring": GreedyColoringProgram,
     "eccentricity": EccentricityProgram,
     "katz": KatzCentralityProgram,
+    "scc": SCCProgram,
+    "reach": ReachProgram,
+    "wpagerank": WeightedPageRankProgram,
 }

@@ -656,3 +656,212 @@ def test_katz_vs_numpy():
     for _ in range(8):
         x = 1.0 + 0.01 * (A @ x)
     assert np.allclose(res["katz"].to_numpy(), x, atol=1e-8)
+
+
+# ---------------------------------------------------------------------------
+def _tarjan_scc(edges):
+    """Iterative Tarjan; → dict vid → min member vid of its SCC (oracle)."""
+    adj = {}
+    verts = set()
+    for u, v in edges:
+        adj.setdefault(u, []).append(v)
+        verts.add(u)
+        verts.add(v)
+    index, low, on, st, out = {}, {}, set(), [], {}
+    counter = [0]
+    for root in sorted(verts):
+        if root in index:
+            continue
+        work = [(root, 0)]
+        while work:
+            node, pi = work[-1]
+            if pi == 0:
+                index[node] = low[node] = counter[0]
+                counter[0] += 1
+                st.append(node)
+                on.add(node)
+            advanced = False
+            for i in range(pi, len(adj.get(node, ()))):
+                w = adj[node][i]
+                if w not in index:
+                    work[-1] = (node, i + 1)
+                    work.append((w, 0))
+                    advanced = True
+                    break
+                if w in on:
+                    low[node] = min(low[node], index[w])
+            if advanced:
+                continue
+            if low[node] == index[node]:
+                comp = []
+                while True:
+                    w = st.pop()
+                    on.discard(w)
+                    comp.append(w)
+                    if w == node:
+                        break
+                m = min(comp)
+                for w in comp:
+                    out[w] = m
+            work.pop()
+            if work:
+                low[work[-1][0]] = min(low[work[-1][0]], low[node])
+    return out
+
+
+def _scc_local(src, dst, num_parts=4):
+    """Flag-symmetrize directed (src, dst) like algorithms._flag_symmetrize
+    and run the SCC program Ray-free."""
+    src = np.asarray(src, dtype=np.uint64)
+    dst = np.asarray(dst, dtype=np.uint64)
+    s2 = np.concatenate([src, dst])
+    d2 = np.concatenate([dst, src])
+    fl = np.concatenate(
+        [np.ones(len(src), np.uint8), np.full(len(src), 2, np.uint8)]
+    )
+    eng = LocalBSP(s2, d2, num_parts=num_parts, eflags=fl)
+    eng.run("scc", max_steps=2000)
+    res = eng.result().to_pandas()
+    return dict(zip(res["vid"].astype(int), res["scc"].astype(int)))
+
+
+def test_scc_handcrafted_bowtie():
+    """Two 3-cycles bridged one-way + a tail + a disconnected arc: the SCC
+    labels are each component's minimum vid (Tarjan-checked shape)."""
+    src = [0, 1, 2, 2, 3, 4, 5, 5, 7]
+    dst = [1, 2, 0, 3, 4, 5, 3, 6, 8]
+    got = _scc_local(src, dst, num_parts=3)
+    assert got == {0: 0, 1: 0, 2: 0, 3: 3, 4: 3, 5: 3, 6: 6, 7: 7, 8: 8}
+
+
+@pytest.mark.parametrize("trial", range(4))
+def test_scc_random_vs_tarjan(trial):
+    """Min-label FW-BW peeling == iterative Tarjan on random digraphs,
+    across partition counts (same-answer-any-P invariance)."""
+    rng = np.random.default_rng(7_000 + trial)
+    n = 80
+    s = rng.integers(0, n, 3 * n)
+    d = rng.integers(0, n, 3 * n)
+    keep = s != d
+    s, d = s[keep], d[keep]
+    exp = _tarjan_scc(list(zip(s.tolist(), d.tolist())))
+    for parts in (1, 3, 5):
+        got = _scc_local(s, d, num_parts=parts)
+        assert got == exp
+
+
+def test_scc_worst_case_path_terminates():
+    """A directed path is the peeling worst case (one SCC per round) —
+    still exact, just more rounds."""
+    n = 40
+    s = np.arange(n - 1)
+    d = np.arange(1, n)
+    got = _scc_local(s, d, num_parts=4)
+    assert got == {i: i for i in range(n)}
+
+
+def test_reach_and_bowtie_classes_vs_bruteforce():
+    """ReachProgram fwd/bwd from the core's min member + the bow-tie
+    classification == brute-force reachability closure (Broder et al.
+    4-class variant: core / in / out / other)."""
+    rng = np.random.default_rng(31337)
+    n = 70
+    s = rng.integers(0, n, 2 * n)
+    d = rng.integers(0, n, 2 * n)
+    keep = s != d
+    s, d = s[keep], d[keep]
+    edges = list(zip(s.tolist(), d.tolist()))
+
+    scc = _tarjan_scc(edges)
+    # brute closure
+    adj = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+    def reach_from(v0):
+        seen = {v0}
+        stack = [v0]
+        while stack:
+            u = stack.pop()
+            for w in adj.get(u, ()):
+                if w not in seen:
+                    seen.add(w)
+                    stack.append(w)
+        return seen
+    verts = sorted(scc)
+    fwd_of = {v: reach_from(v) for v in verts}
+    sizes = {}
+    for v, c in scc.items():
+        sizes[c] = sizes.get(c, 0) + 1
+    core = min(c for c in sizes if sizes[c] == max(sizes.values()))
+    exp = {}
+    for v in verts:
+        if scc[v] == core:
+            exp[v] = "core"
+        elif core in fwd_of[v]:
+            exp[v] = "in"
+        elif v in fwd_of[core]:
+            exp[v] = "out"
+        else:
+            exp[v] = "other"
+
+    # LocalBSP composition: scc → core → reach(seed=core)
+    got_scc = _scc_local(s, d, num_parts=4)
+    u, c = np.unique(np.array(sorted(got_scc.values())), return_counts=True)
+    got_core = int(u[np.lexsort((u, -c))[0]])
+    assert got_core == core
+    s2 = np.concatenate([s, d]).astype(np.uint64)
+    d2 = np.concatenate([d, s]).astype(np.uint64)
+    fl = np.concatenate([np.ones(len(s), np.uint8), np.full(len(s), 2, np.uint8)])
+    eng = LocalBSP(s2, d2, num_parts=4, eflags=fl)
+    eng.run("reach", {"seed_vid": got_core}, max_steps=2000)
+    rr = eng.result().to_pandas()
+    got = {}
+    for vid, fwd, bwd in zip(rr["vid"].astype(int), rr["fwd"], rr["bwd"]):
+        if got_scc[vid] == got_core:
+            got[vid] = "core"
+        elif bwd:
+            got[vid] = "in"
+        elif fwd:
+            got[vid] = "out"
+        else:
+            got[vid] = "other"
+    assert got == exp
+
+
+def test_weighted_pagerank_vs_numpy():
+    """Edge-weighted PageRank == dense numpy power iteration with the same
+    w/W normalization and dangling redistribution (stored-weight channel)."""
+    rng = np.random.default_rng(4242)
+    n = 90
+    s = rng.integers(0, n, 3 * n)
+    d = rng.integers(0, n, 3 * n)
+    keep = s != d
+    s, d = s[keep], d[keep]
+    w = rng.integers(1, 6, keep.sum()).astype(np.int64)
+    # dedup (src,dst) keep-first, mirroring build_csr
+    key = s.astype(np.int64) * n + d
+    _, first = np.unique(key, return_index=True)
+    s, d, w = s[first], d[first], w[first]
+
+    eng = LocalBSP(s, d, num_parts=4, eweights=w)
+    eng.run(
+        "wpagerank",
+        {"iters": 12, "damping": 0.85, "n_global": None},
+        max_steps=13,
+    )
+    res = eng.result().to_pandas().sort_values("vid")
+    vids = res["vid"].to_numpy().astype(int)
+    vmap = {int(v): i for i, v in enumerate(vids)}
+    N = len(vids)
+    A = np.zeros((N, N))
+    for a, b, ww in zip(s.tolist(), d.tolist(), w.tolist()):
+        if a in vmap and b in vmap:
+            A[vmap[b], vmap[a]] += ww
+    W = A.sum(axis=0)
+    dangling = W == 0
+    r = np.full(N, 1.0 / N)
+    for _ in range(12):
+        contrib = np.where(dangling, 0.0, r / np.where(W == 0, 1.0, W))
+        r = 0.15 / N + 0.85 * (A @ contrib + r[dangling].sum() / N)
+    assert np.allclose(res["rank"].to_numpy(), r, atol=1e-10)
+    assert abs(res["rank"].sum() - 1.0) < 1e-9

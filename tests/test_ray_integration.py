@@ -541,3 +541,54 @@ def test_max_spanning_forest_vs_kruskal(ray_session):
     assert int(forest["n_orders"].to_numpy().sum()) == sum(
         wmap[e] for e in exp
     )
+
+
+def test_build_csr_eflags_or_combine():
+    """Duplicate (src, dst) rows OR-combine their direction flags at CSR
+    build: a two-way pair symmetrized as (u,v,1)+(u,v,2) → one edge, flag 3."""
+    from subgraph_isomorphism_pregel_ray.state.csr import build_csr
+
+    src = np.array([1, 1, 1, 2], dtype=np.uint64)
+    dst = np.array([2, 2, 3, 3], dtype=np.uint64)
+    fl = np.array([1, 2, 1, 2], dtype=np.uint8)
+    csr = build_csr(0, 1, src, dst, np.array([1, 2, 3], np.uint64), eflags=fl)
+    assert csr.num_edges == 3
+    # edges lexsorted by (src, dst): (1,2) (1,3) (2,3)
+    assert csr.eflags.tolist() == [3, 1, 2]
+
+
+def test_scc_checkpoint_resume(ray_session, tmp_path):
+    """SCC mid-run resume is bit-identical — checkpoints can land inside a
+    propagation round OR at a peel boundary; both replay exactly
+    (FIXTURES.md F5)."""
+    from subgraph_isomorphism_pregel_ray.pipelines.algorithms import (
+        _flag_symmetrize,
+        scc,
+    )
+
+    rng = np.random.default_rng(11)
+    n = 120
+    s = rng.integers(0, n, 2 * n)
+    d = rng.integers(0, n, 2 * n)
+    keep = s != d
+    s, d = s[keep], d[keep]
+    flagged = _flag_symmetrize(edges_from_arrays(s, d))
+    gdir, ckdir = str(tmp_path / "gscc"), str(tmp_path / "ckscc")
+    partition_graph(flagged, 4, gdir, directed=True)
+
+    eng = BSPEngine(gdir, 4)
+    eng.run("scc", max_steps=500)
+    ref = eng.result_table().to_pandas().sort_values("vid").reset_index(drop=True)
+    eng.shutdown()
+
+    engA = BSPEngine(gdir, 4)
+    engA.run("scc", max_steps=3, checkpoint_dir=ckdir, checkpoint_every=1)
+    engA.shutdown()
+    engB = BSPEngine(gdir, 4)
+    engB.run("scc", max_steps=500, checkpoint_dir=ckdir, checkpoint_every=1,
+             resume=True)
+    resumed = engB.result_table().to_pandas().sort_values("vid").reset_index(drop=True)
+    engB.shutdown()
+    assert np.array_equal(ref["vid"].values, resumed["vid"].values)
+    assert np.array_equal(ref["scc"].values, resumed["scc"].values)
+    assert (resumed["scc"].values != np.uint64(0xFFFFFFFFFFFFFFFF)).all()
