@@ -848,6 +848,40 @@ def _q_wpagerank(sf_dir: str):
     )
 
 
+def _q_events_funnel(sf_dir: str):
+    """Windowed signup→view→click→purchase funnel, first-touch semantics
+    (stage k+1 strictly after — and within 48 h of — the first qualifying
+    stage-k event); steps_completed yields a real drop-off curve."""
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import events_funnel
+
+    return events_funnel(sf_dir)
+
+
+def _q_wsssp_weighted(sf_dir: str):
+    """Multi-source shortest paths over STORED data weights (shared-order
+    counts via the CSR weight channel) — the data-weighted Bellman-Ford
+    completing WSSSP's vid-derived-weight seam. Seeds vid % 101 == 0;
+    -1 unreachable."""
+    from subgraph_isomorphism_pregel_ray.pipelines.algorithms import (
+        weighted_sssp_stored,
+    )
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import (
+        copurchase_weights,
+    )
+
+    ew = copurchase_weights(sf_dir).map_batches(
+        lambda t: t.rename_columns(["src", "dst", "weight"]),
+        batch_format="pyarrow",
+    )
+    res, _ = weighted_sssp_stored(ew, seed_mod=101, num_parts=4)
+    return pa.table(
+        {
+            "vid": res["vid"].to_numpy().view(np.int64),
+            "wdist": res["wdist"].to_numpy().view(np.int64),
+        }
+    )
+
+
 def _q_bowtie_parts(sf_dir: str):
     """Bow-tie decomposition (Broder et al. 2000) of the directed
     part-successor graph: cls ∈ {core, in, out, other} with core = the
@@ -953,6 +987,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scc_parts": _q_scc_parts,
         "bowtie_parts": _q_bowtie_parts,
         "wpagerank_copurchase": _q_wpagerank,
+        "wsssp_weighted_copurchase": _q_wsssp_weighted,
+        "events_funnel": _q_events_funnel,
         "salient_terms": _q_salient_terms,
         "search_topk": _q_search_topk,
         "hll_registers_daily": _q_hll_registers,
@@ -1033,6 +1069,37 @@ def _wpagerank_sql(iters: int, damping: float = 0.85) -> str:
             f"JOIN ws w2 ON w2.vid = ew.src GROUP BY ew.dst) s ON s.vid = d.vid)"
         )
     return ", ".join(parts) + f" SELECT vid, round(pr, 8) AS pr FROM r{iters}"
+
+
+def _wsssp_stored_sql(iters: int = 8, seed_mod: int = 101) -> str:
+    """Unrolled min-plus relaxation over stored shared-order-count weights.
+    The dense co-purchase graph converges in 2 rounds at sf0.001/sf0.01
+    (measured); 8 is the safety margin. All-integer arithmetic → exact."""
+    big = "9223372036854775807"
+    parts = [
+        "WITH ew AS MATERIALIZED ("
+        "SELECT a.l_partkey AS src, b.l_partkey AS dst, "
+        "count(DISTINCT a.l_orderkey) AS w "
+        "FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey "
+        "WHERE a.l_partkey <> b.l_partkey GROUP BY 1, 2)",
+        "v AS MATERIALIZED (SELECT DISTINCT src AS vid FROM ew)",
+        f"d0 AS MATERIALIZED (SELECT vid, CASE WHEN vid % {seed_mod} = 0 "
+        "THEN CAST(0 AS BIGINT) ELSE NULL END AS d FROM v)",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"d{i} AS MATERIALIZED (SELECT p.vid, "
+            "CASE WHEN p.d IS NULL AND m.md IS NULL THEN NULL "
+            f"ELSE least(coalesce(p.d, {big}), coalesce(m.md, {big})) END AS d "
+            f"FROM d{i-1} p LEFT JOIN ("
+            f"SELECT e.dst AS vid, min(p2.d + e.w) AS md FROM ew e "
+            f"JOIN d{i-1} p2 ON p2.vid = e.src AND p2.d IS NOT NULL "
+            "GROUP BY e.dst) m ON m.vid = p.vid)"
+        )
+    return (
+        ", ".join(parts)
+        + f" SELECT vid, coalesce(d, -1) AS wdist FROM d{iters} ORDER BY vid"
+    )
 
 
 def _ppr_sql(iters: int, damping: float = 0.85, seed_mod: int = 10) -> str:
@@ -1699,6 +1766,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "pagerank_copurchase": _pagerank_sql(PR_ITERS),
         "wpagerank_copurchase": _wpagerank_sql(PR_ITERS),
+        "wsssp_weighted_copurchase": _wsssp_stored_sql(),
         "ppr_copurchase": _ppr_sql(PR_ITERS),
         "hits_copurchase": _hits_sql(HITS_ITERS),
         "random_walks_copurchase": _walk_sql(4),
@@ -2266,6 +2334,34 @@ def oracle_sql() -> dict[str, str]:
             "AS gap_us, "
             "coalesce(value - lag(value) OVER w, 0.0) AS delta_value "
             "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
+        ),
+        "events_funnel": (
+            # windowed first-touch funnel: each stage's first event strictly
+            # after — and within 48 h of — the previous stage's first
+            # qualifying event
+            "WITH u AS (SELECT DISTINCT user_id FROM events), "
+            "s1 AS (SELECT user_id, min(ts) AS t FROM events "
+            "WHERE event_type = 'signup' GROUP BY 1), "
+            "s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e "
+            "JOIN s1 ON s1.user_id = e.user_id "
+            "WHERE e.event_type = 'view' AND e.ts > s1.t "
+            "AND epoch_us(e.ts) - epoch_us(s1.t) <= 172800000000 GROUP BY 1), "
+            "s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e "
+            "JOIN s2 ON s2.user_id = e.user_id "
+            "WHERE e.event_type = 'click' AND e.ts > s2.t "
+            "AND epoch_us(e.ts) - epoch_us(s2.t) <= 172800000000 GROUP BY 1), "
+            "s4 AS (SELECT e.user_id, min(e.ts) AS t FROM events e "
+            "JOIN s3 ON s3.user_id = e.user_id "
+            "WHERE e.event_type = 'purchase' AND e.ts > s3.t "
+            "AND epoch_us(e.ts) - epoch_us(s3.t) <= 172800000000 GROUP BY 1) "
+            "SELECT u.user_id, "
+            "CASE WHEN s1.t IS NULL THEN 0 ELSE 1 END + "
+            "CASE WHEN s2.t IS NULL THEN 0 ELSE 1 END + "
+            "CASE WHEN s3.t IS NULL THEN 0 ELSE 1 END + "
+            "CASE WHEN s4.t IS NULL THEN 0 ELSE 1 END AS steps_completed "
+            "FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id) "
+            "LEFT JOIN s3 USING (user_id) LEFT JOIN s4 USING (user_id) "
+            "ORDER BY u.user_id"
         ),
         "scc_parts": (
             # SCC of the directed part-successor graph: mutual-reachability

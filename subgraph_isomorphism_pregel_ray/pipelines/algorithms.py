@@ -54,6 +54,7 @@ __all__ = [
     "scc",
     "bowtie",
     "weighted_pagerank",
+    "weighted_sssp_stored",
 ]
 
 
@@ -117,6 +118,48 @@ def pagerank(
     return out, lineage
 
 
+def _weight_symmetrize(edges_ds):
+    """(src, dst, weight) Dataset with ONE row per undirected pair → both
+    directions, weight duplicated (build_csr's keep-first dedup then leaves
+    one row per directed edge with its stored weight)."""
+
+    def _wsym(t: pa.Table) -> pa.Table:
+        s = t["src"].to_numpy().astype(np.uint64)
+        d = t["dst"].to_numpy().astype(np.uint64)
+        w = t["weight"].to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "src": np.concatenate([s, d]),
+                "dst": np.concatenate([d, s]),
+                "weight": np.concatenate([w, w]),
+            }
+        )
+
+    return edges_ds.map_batches(_wsym, batch_format="pyarrow")
+
+
+def weighted_sssp_stored(edges_or_engine, seed_mod: int = 101,
+                         num_parts: int = 8, max_steps: int = 300,
+                         checkpoint_dir=None, checkpoint_every=0,
+                         resume=False):
+    """Multi-source weighted shortest paths over STORED per-edge weights —
+    a (src, dst, weight) Dataset (one row per undirected pair, e.g.
+    copurchase_weights) → (vid, wdist); wdist = min-plus distance to the
+    nearest seed (vid % seed_mod == 0), -1 unreachable. The data-weighted
+    Bellman-Ford (StoredWeightSSSPProgram) through the CSR weight channel."""
+    if not isinstance(edges_or_engine, BSPEngine):
+        edges_or_engine = _weight_symmetrize(edges_or_engine)
+    eng, lineage, own = _run(
+        edges_or_engine, "wsssp_stored", {"seed_mod": seed_mod}, num_parts,
+        max_steps, directed=True, checkpoint_dir=checkpoint_dir,
+        checkpoint_every=checkpoint_every, resume=resume,
+    )
+    out = eng.result_table()
+    if own:
+        eng.shutdown()
+    return out, lineage
+
+
 def weighted_pagerank(
     edges_or_engine,
     iters: int = 20,
@@ -132,22 +175,7 @@ def weighted_pagerank(
     in the partition layout's `weight` column (``CSRPartition.eweights``).
     → (result table (vid, rank), lineage). See WeightedPageRankProgram."""
     if not isinstance(edges_or_engine, BSPEngine):
-
-        def _wsym(t: pa.Table) -> pa.Table:
-            s = t["src"].to_numpy().astype(np.uint64)
-            d = t["dst"].to_numpy().astype(np.uint64)
-            w = t["weight"].to_numpy().astype(np.int64)
-            return pa.table(
-                {
-                    "src": np.concatenate([s, d]),
-                    "dst": np.concatenate([d, s]),
-                    "weight": np.concatenate([w, w]),
-                }
-            )
-
-        edges_or_engine = edges_or_engine.map_batches(
-            _wsym, batch_format="pyarrow"
-        )
+        edges_or_engine = _weight_symmetrize(edges_or_engine)
     eng, lineage, own = _run(
         edges_or_engine,
         "wpagerank",

@@ -34,6 +34,7 @@ __all__ = [
     "events_range_join",
     "events_lag",
     "events_rolling",
+    "events_funnel",
     "succ_edges",
     "revenue_by_nation",
     "revenue_by_region",
@@ -611,6 +612,63 @@ def succ_edges(sf_dir: str, max_qty: float = 8.0, num_buckets: int = 32):
         ds.map_batches(_bucket, batch_format="pyarrow")
         .groupby("b")
         .map_groups(_edges, batch_format="pyarrow")
+    )
+
+
+def events_funnel(sf_dir: str,
+                  steps=("signup", "view", "click", "purchase"),
+                  window_us: int = 48 * 3600 * 1_000_000,
+                  num_buckets: int = 32):
+    """Windowed ordered funnel (the classic product-analytics op): per
+    user, stage k+1 counts only with an event of that type STRICTLY after
+    — and within ``window_us`` of — the user's first qualifying stage-k
+    event (first-touch, per-transition window) → (user_id,
+    steps_completed ∈ 0..len(steps)). The 48 h default yields a real
+    drop-off curve on the synthetic events table at every sf.
+
+    Scale shape: users hash-bucketed (the ONE shuffle shared with
+    lag/sessionize/rolling); per bucket each stage is a single vectorized
+    pass — type mask, then per-user min-ts-in-(tprev, tprev+window] via
+    np.minimum.at — so the whole funnel is len(steps) array sweeps, no
+    per-user loop. A user who misses stage k gets t_k = +INF, whose
+    window (wrapping negative, masked under errstate) stays empty —
+    ordered-funnel semantics for free."""
+    import pyarrow.compute as pc
+
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+
+    def _bucket(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy()
+        return t.append_column("b", pa.array((u % num_buckets).astype(np.int32)))
+
+    INF = np.int64(np.iinfo(np.int64).max)
+    START = np.int64(-(2**62))
+    WIN = np.int64(window_us)
+
+    def _funnel(g: pa.Table) -> pa.Table:
+        u = g["user_id"].to_numpy()
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        uu, ui = np.unique(u, return_inverse=True)
+        tprev = np.full(len(uu), START)
+        completed = np.zeros(len(uu), dtype=np.int64)
+        first = True
+        for stp in steps:
+            m = pc.equal(g["event_type"], stp).to_numpy(zero_copy_only=False)
+            tk = np.full(len(uu), INF)
+            valid = m & (ts > tprev[ui])
+            if not first:  # stage 1 has no prior transition to window
+                with np.errstate(over="ignore"):
+                    valid &= ts <= tprev[ui] + WIN
+            np.minimum.at(tk, ui[valid], ts[valid])
+            completed += (tk < INF).astype(np.int64)
+            tprev = tk
+            first = False
+        return pa.table({"user_id": uu, "steps_completed": completed})
+
+    return (
+        ds.map_batches(_bucket, batch_format="pyarrow")
+        .groupby("b")
+        .map_groups(_funnel, batch_format="pyarrow")
     )
 
 

@@ -53,6 +53,7 @@ __all__ = [
     "SCCProgram",
     "ReachProgram",
     "WeightedPageRankProgram",
+    "StoredWeightSSSPProgram",
     "PROGRAMS",
 ]
 
@@ -545,6 +546,48 @@ class WeightedSSSPProgram(SSSPProgram):
     def result_table(self):
         out = np.where(self.val == _DIST_INF, np.int64(-1), self.val)
         return pa.table({"vid": self.csr.vids, "wdist": out})
+
+
+class StoredWeightSSSPProgram(WeightedSSSPProgram):
+    """Bellman-Ford over STORED per-edge weights (``CSRPartition.eweights``)
+    — the data-weighted completion of WeightedSSSPProgram's documented seam
+    ("swap _edge_weights for a stored per-edge attribute when weights come
+    from data"). Same frontier machine; the per-edge increment is read from
+    the weight channel instead of derived from endpoint vids."""
+
+    def _init_values(self, csr: CSRPartition, seed_mod=101):
+        if csr.eweights is None and csr.num_edges > 0:
+            raise ValueError(
+                "wsssp_stored needs stored per-edge weights (a `weight` "
+                "column in the partitioned edge layout)"
+            )
+        dist = np.full(csr.num_vertices, _DIST_INF, dtype=np.int64)
+        seeds = (csr.vids % int(seed_mod)) == 0
+        dist[seeds] = 0
+        return dist, seeds
+
+    def scatter(self, step):
+        P = self.csr.num_parts
+        if self.csr.num_edges == 0 or not self.changed.any():
+            return [None] * P, {"sent": 0}
+        dix = self.csr.dst_index()
+        edge_sel = self.changed[dix.src_row][dix.order]
+        sorted_dst = self.csr.indices[dix.order]
+        # INF rows never changed, so wrap on INF + w is never selected
+        edge_val = (
+            self.val[dix.src_row][dix.order] + self.csr.eweights[dix.order]
+        )
+        outbox, sent = [], 0
+        for p in range(P):
+            s, e = dix.slices[p]
+            sel = edge_sel[s:e]
+            if not sel.any():
+                outbox.append(None)
+                continue
+            dsts, mins = _group_min(sorted_dst[s:e][sel], edge_val[s:e][sel])
+            outbox.append({"dst": dsts, "min": mins})
+            sent += len(dsts)
+        return outbox, {"sent": sent}
 
 
 class GreedyColoringProgram(VertexProgram):
@@ -2734,4 +2777,5 @@ PROGRAMS = {
     "scc": SCCProgram,
     "reach": ReachProgram,
     "wpagerank": WeightedPageRankProgram,
+    "wsssp_stored": StoredWeightSSSPProgram,
 }

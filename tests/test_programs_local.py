@@ -865,3 +865,48 @@ def test_weighted_pagerank_vs_numpy():
         r = 0.15 / N + 0.85 * (A @ contrib + r[dangling].sum() / N)
     assert np.allclose(res["rank"].to_numpy(), r, atol=1e-10)
     assert abs(res["rank"].sum() - 1.0) < 1e-9
+
+
+def test_stored_weight_sssp_vs_dijkstra():
+    """Bellman-Ford over the STORED weight channel == heapq Dijkstra with
+    the same data weights (multi-source, vid % 7 == 0 seeds)."""
+    import heapq
+
+    rng = np.random.default_rng(909)
+    n = 100
+    s = rng.integers(0, n, 3 * n)
+    d = rng.integers(0, n, 3 * n)
+    keep = s != d
+    s, d = s[keep], d[keep]
+    w = rng.integers(1, 9, keep.sum()).astype(np.int64)
+    # symmetrize with weights; duplicate (src,dst) keep-first like build_csr
+    s2 = np.concatenate([s, d])
+    d2 = np.concatenate([d, s])
+    w2 = np.concatenate([w, w])
+    key = s2.astype(np.int64) * n + d2
+    _, first = np.unique(key, return_index=True)
+    s2, d2, w2 = s2[first], d2[first], w2[first]
+
+    eng = LocalBSP(s2, d2, num_parts=4, eweights=w2)
+    eng.run("wsssp_stored", {"seed_mod": 7}, max_steps=1000)
+    res = eng.result().to_pandas().sort_values("vid")
+    got = dict(zip(res["vid"].astype(int), res["wdist"].astype(int)))
+
+    adj = {}
+    for a, b, ww in zip(s2.tolist(), d2.tolist(), w2.tolist()):
+        adj.setdefault(a, []).append((b, ww))
+    verts = sorted(set(s2.tolist()) | set(d2.tolist()))
+    INF = float("inf")
+    dist = {v: (0 if v % 7 == 0 else INF) for v in verts}
+    heap = [(0, v) for v in verts if v % 7 == 0]
+    heapq.heapify(heap)
+    while heap:
+        du, u = heapq.heappop(heap)
+        if du > dist[u]:
+            continue
+        for v, ww in adj.get(u, ()):
+            if du + ww < dist[v]:
+                dist[v] = du + ww
+                heapq.heappush(heap, (dist[v], v))
+    exp = {v: (-1 if dist[v] is INF else int(dist[v])) for v in verts}
+    assert got == exp

@@ -255,3 +255,38 @@ def test_events_rolling_vs_pandas(ray_session):
     assert len(got) == len(ev)
     for eid, e in zip(ev["event_id"], ev["exp"]):
         assert abs(got[eid] - e) < 1e-6, eid
+
+
+def test_events_funnel_vs_python_brute(ray_session):
+    """Funnel steps_completed == a per-user Python replay of the windowed
+    first-touch rule (signup→view→click→purchase, 48 h per transition)."""
+    import pandas as pd
+
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import events_funnel
+    from subgraph_isomorphism_pregel_ray.sources.tables import read_table
+
+    sf = "/root/testdata/sf0.001"
+    got = (
+        events_funnel(sf)
+        .to_pandas()
+        .set_index("user_id")["steps_completed"]
+        .to_dict()
+    )
+    ev = read_table(sf, "events", columns=["user_id", "ts", "event_type"]).to_pandas()
+    steps = ("signup", "view", "click", "purchase")
+    win = pd.Timedelta(hours=48)
+    exp = {}
+    for uid, g in ev.groupby("user_id"):
+        tprev = None
+        n = 0
+        for stp in steps:
+            sel = g[g.event_type == stp]
+            if tprev is not None:
+                sel = sel[(sel.ts > tprev) & (sel.ts <= tprev + win)]
+            if len(sel) == 0:
+                break
+            tprev = sel.ts.min()
+            n += 1
+        exp[uid] = n
+    assert got == exp
+    assert len(set(exp.values())) > 1  # the fixture exercises real drop-off
