@@ -245,6 +245,17 @@ def run_bench() -> dict:
     curate_corpus(docs).count()
     q["curate_corpus"] = time.perf_counter() - t0
 
+    # directed-graph pass added late in round 2: SCC by min-label FW-BW
+    # peeling with continuous trim (one flag-symmetrized layout; the
+    # superstep count is the cluster-barrier cost driver, recorded here)
+    from subgraph_isomorphism_pregel_ray.pipelines.algorithms import scc
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import succ_edges
+
+    t0 = time.perf_counter()
+    scc_out, scc_lin = scc(succ_edges(SF_DIR), num_parts=P)
+    q["scc"] = time.perf_counter() - t0
+    scc_steps = scc_lin["steps"]
+
     ray.shutdown()
 
     total_steps = pr_steps + lin_cc["steps"]
@@ -277,6 +288,8 @@ def run_bench() -> dict:
         "minhash_pairs_found": int(n_pairs),
         "minhash_docs_per_sec": round(n_docs / q["minhash_pairs"]),
         "range_join_events_per_sec": round(n_events_rows / q["events_range_join"]),
+        "scc_supersteps": int(scc_steps),
+        "scc_vertices": int(scc_out.num_rows),
     }
 
 

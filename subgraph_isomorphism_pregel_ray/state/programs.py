@@ -2569,16 +2569,76 @@ class SCCProgram(VertexProgram):
         self.b = csr.vids.copy()
         self.fch = np.ones(n, dtype=bool)
         self.bch = np.ones(n, dtype=bool)
+        # TRIM counters (Slota et al.'s trim step, run CONTINUOUSLY): per
+        # vertex, how many of its in-/out-neighbors are still unassigned.
+        # A vertex with in_un==0 or out_un==0 is a singleton SCC *whenever*
+        # observed (nothing unassigned reaches it / it reaches nothing
+        # unassigned), so trims happen every apply — not just at round
+        # fixpoints — and cascade one DAG layer per superstep instead of
+        # one per full propagation round. Mid-round removal is safe: labels
+        # already in flight represent real paths of the round-start
+        # subgraph, and the f==b peel argument is stated over that graph.
+        if csr.num_edges:
+            fwd = ((csr.eflags & 1) != 0).astype(np.int64)
+            bwd = ((csr.eflags & 2) != 0).astype(np.int64)
+            pad = np.concatenate([fwd, [0]])
+            self.out_un = np.add.reduceat(pad, csr.indptr[:-1]) if n else fwd[:0]
+            pad = np.concatenate([bwd, [0]])
+            self.in_un = np.add.reduceat(pad, csr.indptr[:-1]) if n else bwd[:0]
+            empty = csr.degrees() == 0
+            self.out_un[empty] = 0
+            self.in_un[empty] = 0
+        else:
+            self.out_un = np.zeros(n, dtype=np.int64)
+            self.in_un = np.zeros(n, dtype=np.int64)
+        self.notify = np.zeros(n, dtype=bool)  # assigned, neighbors not yet told
+
+    def _trim(self, un):
+        """Assign every currently-trimmable vertex (cascades locally)."""
+        trimmed = 0
+        while True:
+            t = un & ((self.in_un == 0) | (self.out_un == 0))
+            if not t.any():
+                return trimmed
+            self.scc[t] = self.csr.vids[t]
+            self.notify |= t
+            un &= ~t
+            trimmed += int(t.sum())
+            # local cascade: decrement counters for OWNED neighbors of the
+            # just-trimmed vertices (remote ones learn via notify messages)
+            self._decrement_local(t)
+
+    def _decrement_local(self, assigned_mask):
+        csr = self.csr
+        if csr.num_edges == 0 or not assigned_mask.any():
+            return
+        dix = csr.dst_index()
+        rows = assigned_mask[dix.src_row]
+        if not rows.any():
+            return
+        dst = csr.indices[rows]
+        owned = (dst >= csr.vids[0]) & (dst <= csr.vids[-1]) if csr.num_vertices else np.zeros(0, bool)
+        li = np.searchsorted(csr.vids, dst[owned])
+        ok = csr.vids[li] == dst[owned] if len(li) else np.zeros(0, bool)
+        li = li[ok]
+        ef = csr.eflags[rows][owned][ok]
+        # edge u→v real (bit0) means v loses an unassigned IN-neighbor
+        np.subtract.at(self.in_un, li[(ef & 1) != 0], 1)
+        np.subtract.at(self.out_un, li[(ef & 2) != 0], 1)
 
     def apply(self, step, inbox, glob):
         un = self.scc == _SCC_UNSET
         if step == 0:
-            return {"active": int(un.sum()), "improved": 0}
+            t = self._trim(un)
+            return {"active": int(un.sum()), "improved": 0, "peeled": t}
         if glob.get("sent", 0) == 0:
             # global fixpoint of this round's propagation — peel & restart
             peel = un & (self.f == self.b)
             self.scc[peel] = self.f[peel]
+            self.notify |= peel
             un &= ~peel
+            self._decrement_local(peel)
+            peeled = int(peel.sum()) + self._trim(un)
             self.f = np.where(un, self.csr.vids, self.f)
             self.b = np.where(un, self.csr.vids, self.b)
             self.fch = un.copy()
@@ -2586,7 +2646,7 @@ class SCCProgram(VertexProgram):
             return {
                 "active": int(un.sum()),
                 "improved": 0,
-                "peeled": int(peel.sum()),
+                "peeled": peeled,
             }
         improved = 0
         for msg in inbox:
@@ -2605,25 +2665,42 @@ class SCCProgram(VertexProgram):
                     val[idx] = msg[vk][sel]
                     ch[idx] = True
                     improved += int(sel.sum())
-        return {"active": int(un.sum()), "improved": improved}
+            if "ad" in msg and len(msg["ad"]):
+                li = self.csr.local_index(msg["ad"])
+                np.subtract.at(self.in_un, li, msg["di"])
+                np.subtract.at(self.out_un, li, msg["do"])
+        trimmed = self._trim(un)
+        return {
+            "active": int(un.sum()),
+            "improved": improved,
+            "peeled": trimmed,
+        }
 
     def scatter(self, step):
         P = self.csr.num_parts
-        if not (self.fch.any() or self.bch.any()) or self.csr.num_edges == 0:
+        any_flood = self.fch.any() or self.bch.any()
+        any_notify = self.notify.any()
+        if (not (any_flood or any_notify)) or self.csr.num_edges == 0:
+            self.notify[:] = False  # edgeless partitions have no one to tell
             return [None] * P, {"sent": 0}
         dix = self.csr.dst_index()
         ef = self.csr.eflags[dix.order]
         src_ord = dix.src_row[dix.order]
-        fsel_e = self.fch[src_ord] & ((ef & 1) != 0)
-        bsel_e = self.bch[src_ord] & ((ef & 2) != 0)
+        # assigned vertices never flood (their labels are final/stale)
+        un_src = self.scc[src_ord] == _SCC_UNSET
+        fsel_e = self.fch[src_ord] & un_src & ((ef & 1) != 0)
+        bsel_e = self.bch[src_ord] & un_src & ((ef & 2) != 0)
+        nsel_e = self.notify[src_ord]
         fval = self.f[src_ord]
         bval = self.b[src_ord]
         sorted_dst = self.csr.indices[dix.order]
+        dec_in = (nsel_e & ((ef & 1) != 0)).astype(np.int64)
+        dec_out = (nsel_e & ((ef & 2) != 0)).astype(np.int64)
         outbox, sent = [], 0
         for p in range(P):
             s, e = dix.slices[p]
-            fs, bs = fsel_e[s:e], bsel_e[s:e]
-            if not (fs.any() or bs.any()):
+            fs, bs, ns = fsel_e[s:e], bsel_e[s:e], nsel_e[s:e]
+            if not (fs.any() or bs.any() or ns.any()):
                 outbox.append(None)
                 continue
             msg = {}
@@ -2635,9 +2712,30 @@ class SCCProgram(VertexProgram):
                 bd, bm = _group_min(sorted_dst[s:e][bs], bval[s:e][bs])
                 msg["bd"], msg["bm"] = bd, bm
                 sent += len(bd)
-            outbox.append(msg)
+            # own-partition decrements were already applied in-place by
+            # _decrement_local (the local trim cascade) — don't resend them
+            if ns.any() and p != self.csr.part:
+                di = np.bincount(
+                    dix.inverse[p], weights=dec_in[s:e],
+                    minlength=len(dix.uniq_dst[p]),
+                ).astype(np.int64)
+                do = np.bincount(
+                    dix.inverse[p], weights=dec_out[s:e],
+                    minlength=len(dix.uniq_dst[p]),
+                ).astype(np.int64)
+                nz = (di != 0) | (do != 0)
+                if nz.any():
+                    msg["ad"] = dix.uniq_dst[p][nz]
+                    msg["di"] = di[nz]
+                    msg["do"] = do[nz]
+                    sent += int(nz.sum())
+            if msg:
+                outbox.append(msg)
+                continue
+            outbox.append(None)
         self.fch[:] = False
         self.bch[:] = False
+        self.notify[:] = False
         return outbox, {"sent": sent}
 
     def state_table(self):
@@ -2649,6 +2747,9 @@ class SCCProgram(VertexProgram):
                 "b": self.b,
                 "fch": self.fch,
                 "bch": self.bch,
+                "in_un": self.in_un,
+                "out_un": self.out_un,
+                "notify": self.notify,
             }
         )
 
@@ -2658,6 +2759,9 @@ class SCCProgram(VertexProgram):
         self.b = table["b"].to_numpy().astype(np.uint64).copy()
         self.fch = table["fch"].to_numpy().copy()
         self.bch = table["bch"].to_numpy().copy()
+        self.in_un = table["in_un"].to_numpy().astype(np.int64).copy()
+        self.out_un = table["out_un"].to_numpy().astype(np.int64).copy()
+        self.notify = table["notify"].to_numpy().copy()
 
     def result_table(self):
         return pa.table({"vid": self.csr.vids, "scc": self.scc})
