@@ -734,6 +734,22 @@ def _q_host_graph(sf_dir: str):
     return host_graph(rd.from_arrow(synth_pages_table(2000, seed=42)))
 
 
+def _q_anchor_index(sf_dir: str):
+    """Anchor-text index (Brin & Page 1998 §2.2): per linked-to url, total
+    in-links, distinct anchor texts, and the most frequent anchor (ties →
+    lexicographically smallest). Rows-only for the same reason as
+    host_graph (no pages table among the driver's DuckDB views); the
+    pytest oracle is a pure-scalar Counter reference
+    (tests/test_extract.py::test_anchor_index_vs_scalar_reference).
+    Deterministic synthetic pages, independent of sf_dir by design."""
+    import ray.data as rd
+
+    from subgraph_isomorphism_pregel_ray.sources.pages import synth_pages_table
+    from subgraph_isomorphism_pregel_ray.stages.extract import anchor_index
+
+    return anchor_index(rd.from_arrow(synth_pages_table(2000, seed=42)))
+
+
 def _q_host_rank(sf_dir: str):
     """Host-level PageRank (Common Crawl host-ranking composition:
     pages → host graph → PageRank → named ranks). Rows-only for the same
@@ -989,6 +1005,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wpagerank_copurchase": _q_wpagerank,
         "wsssp_weighted_copurchase": _q_wsssp_weighted,
         "events_funnel": _q_events_funnel,
+        "anchor_index": _q_anchor_index,
         "salient_terms": _q_salient_terms,
         "search_topk": _q_search_topk,
         "hll_registers_daily": _q_hll_registers,

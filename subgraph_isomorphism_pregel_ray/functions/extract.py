@@ -33,6 +33,7 @@ import re
 __all__ = [
     "extract_text",
     "extract_hrefs",
+    "extract_links",
     "normalize_url",
 ]
 
@@ -75,6 +76,33 @@ def extract_hrefs(html_doc) -> list[str]:
         href = _html.unescape(href).strip()
         if href:
             out.append(href)
+    return out
+
+
+_LINK_RE = re.compile(
+    r"""<a\s[^>]*?href\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>"']+))[^>]*>(.*?)</a\s*>""",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def extract_links(html_doc) -> list[tuple[str, str]]:
+    """All ``<a href=…>inner</a>`` pairs in document order →
+    [(href, anchor_text)]. The href is entity-decoded like
+    :func:`extract_hrefs`; the anchor text is the inner HTML run through
+    the SAME text rules as :func:`extract_text` (tags → space, entities
+    decoded, whitespace collapsed) so anchors are directly comparable to
+    page text. Unclosed anchors contribute no pair (href-only links are
+    :func:`extract_hrefs`'s job)."""
+    s = _as_str(html_doc)
+    out = []
+    for m in _LINK_RE.finditer(s):
+        href = m.group(1) or m.group(2) or m.group(3) or ""
+        href = _html.unescape(href).strip()
+        if not href:
+            continue
+        inner = _TAG_RE.sub(" ", m.group(4))
+        inner = _WS_RE.sub(" ", _html.unescape(inner)).strip()
+        out.append((href, inner))
     return out
 
 

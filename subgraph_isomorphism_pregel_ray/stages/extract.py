@@ -27,6 +27,8 @@ __all__ = [
     "host_edges_batch",
     "host_graph",
     "host_rank",
+    "anchor_batch",
+    "anchor_index",
 ]
 
 
@@ -104,6 +106,82 @@ def host_edges_batch(batch: pa.Table) -> pa.Table:
             "n": pa.array(counts.astype(np.int64)),
         }
     )
+
+
+def anchor_batch(batch: pa.Table) -> pa.Table:
+    """pages(url, html) → PARTIAL anchor-text counts
+    (dst_url, anchor, n) — one row per distinct (target, anchor-text)
+    pair in the batch, combined in-batch before any shuffle (same rule as
+    ``host_edges_batch``; popular targets receive the same anchor from
+    thousands of pages, so the partial combine is the volume bound)."""
+    from ..functions.extract import extract_links
+
+    urls = batch["url"].to_pylist()
+    htmls = batch["html"].to_pylist()
+    dsts: list[str] = []
+    anchors: list[str] = []
+    for _u, h in zip(urls, htmls):
+        for href, anchor in extract_links(h):
+            if not anchor:
+                continue
+            dsts.append(normalize_url(href))
+            anchors.append(anchor)
+    if not dsts:
+        return pa.table(
+            {
+                "dst_url": pa.array([], type=pa.string()),
+                "anchor": pa.array([], type=pa.string()),
+                "n": pa.array([], type=pa.int64()),
+            }
+        )
+    ud, di = np.unique(np.asarray(dsts, dtype=str), return_inverse=True)
+    ua, ai = np.unique(np.asarray(anchors, dtype=str), return_inverse=True)
+    key = di.astype(np.int64) * len(ua) + ai
+    uk, counts = np.unique(key, return_counts=True)
+    return pa.table(
+        {
+            "dst_url": pa.array(ud[uk // len(ua)]),
+            "anchor": pa.array(ua[uk % len(ua)]),
+            "n": pa.array(counts.astype(np.int64)),
+        }
+    )
+
+
+def anchor_index(pages_ds, batch_size: int = 512):
+    """Pages → the ANCHOR-TEXT INDEX: per linked-to url, how other pages
+    describe it — (dst_url, n_links, n_anchors, top_anchor, top_n) with
+    top_anchor = the most frequent anchor text (ties → lexicographically
+    smallest). The classic web-search relevance signal (anchor text
+    indexing, Brin & Page 1998 §2.2 — public); at 100 TB this is partial
+    per-batch counts → ONE (dst, anchor) groupby-sum → ONE per-dst fold.
+    """
+    from ray.data.aggregate import Sum
+
+    partial = pages_ds.map_batches(
+        anchor_batch, batch_format="pyarrow", batch_size=batch_size
+    )
+    agg = (
+        partial.groupby(["dst_url", "anchor"])
+        .aggregate(Sum("n", alias_name="n"))
+        .materialize()
+    )
+
+    def _fold(g: pa.Table) -> pa.Table:
+        n = g["n"].to_numpy()
+        anchors = np.asarray(g["anchor"].to_pylist(), dtype=str)
+        order = np.lexsort((anchors, -n))  # max count, then lexicographic
+        top = order[0]
+        return pa.table(
+            {
+                "dst_url": g["dst_url"][:1],
+                "n_links": pa.array([int(n.sum())], type=pa.int64()),
+                "n_anchors": pa.array([len(n)], type=pa.int64()),
+                "top_anchor": pa.array([str(anchors[top])], type=pa.string()),
+                "top_n": pa.array([int(n[top])], type=pa.int64()),
+            }
+        )
+
+    return agg.groupby("dst_url").map_groups(_fold, batch_format="pyarrow")
 
 
 def host_graph(pages_ds, batch_size: int = 512):

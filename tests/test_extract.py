@@ -78,3 +78,57 @@ def test_part_for_range():
     parts = part_for(vids, 8)
     assert parts.min() >= 0 and parts.max() < 8
     assert len(np.unique(parts)) == 8
+
+
+def test_extract_links_pairs():
+    """extract_links pairs hrefs with their text-rule-normalized anchors;
+    unclosed anchors yield no pair; entities decode in both fields."""
+    from subgraph_isomorphism_pregel_ray.functions.extract import extract_links
+
+    html = (
+        '<a href="https://a.example/x">first &amp; <b>bold</b></a>'
+        "<a href='https://b.example/y#f'>two&nbsp;words</a>"
+        '<a href=https://c.example/z>  spaced   out </a>'
+        '<a href="https://d.example/unclosed">no close'
+    )
+    assert extract_links(html) == [
+        ("https://a.example/x", "first & bold"),
+        ("https://b.example/y#f", "two words"),  # &nbsp; collapses to space
+        ("https://c.example/z", "spaced out"),
+    ]
+
+
+def test_anchor_index_vs_scalar_reference(ray_session):
+    """anchor_index == a pure-Python Counter over extract_links of every
+    page, including the top-anchor tie-break, at two batch sizes."""
+    from collections import Counter, defaultdict
+
+    import ray.data as rd
+
+    from subgraph_isomorphism_pregel_ray.functions.extract import (
+        extract_links,
+        normalize_url,
+    )
+    from subgraph_isomorphism_pregel_ray.sources.pages import synth_pages_table
+    from subgraph_isomorphism_pregel_ray.stages.extract import anchor_index
+
+    pages = synth_pages_table(600, seed=42)
+    counts: dict[str, Counter] = defaultdict(Counter)
+    for h in pages["html"].to_pylist():
+        for href, anchor in extract_links(h):
+            if anchor:
+                counts[normalize_url(href)][anchor] += 1
+    exp = {}
+    for dst, c in counts.items():
+        top = min(c.items(), key=lambda kv: (-kv[1], kv[0]))
+        exp[dst] = (sum(c.values()), len(c), top[0], top[1])
+
+    for bs in (64, 512):
+        got = anchor_index(
+            rd.from_arrow(pages), batch_size=bs
+        ).to_pandas()
+        gmap = {
+            r.dst_url: (r.n_links, r.n_anchors, r.top_anchor, r.top_n)
+            for r in got.itertuples()
+        }
+        assert gmap == exp, bs
