@@ -442,6 +442,16 @@ def _q_vocab_topk(sf_dir: str):
     return vocab_topk(_docs(sf_dir), k=100)
 
 
+def _q_oov_rate(sf_dir: str):
+    """Per-document OOV rate vs the corpus top-25 vocabulary (tokenizer
+    coverage; k=25 < the synthetic corpus's 31 distinct tokens, so the
+    metric has real spread): two passes — vocab_topk's deterministic cut
+    broadcast once via ray.put, then a stateless membership map."""
+    from subgraph_isomorphism_pregel_ray.pipelines.textops import oov_rate
+
+    return oov_rate(_docs(sf_dir), k=25)
+
+
 def _q_heavy_hitters(sf_dir: str):
     from subgraph_isomorphism_pregel_ray.pipelines.textops import heavy_hitters
 
@@ -1006,6 +1016,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wsssp_weighted_copurchase": _q_wsssp_weighted,
         "events_funnel": _q_events_funnel,
         "anchor_index": _q_anchor_index,
+        "oov_rate": _q_oov_rate,
         "salient_terms": _q_salient_terms,
         "search_topk": _q_search_topk,
         "hll_registers_daily": _q_hll_registers,
@@ -1941,6 +1952,26 @@ def oracle_sql() -> dict[str, str]:
             "round(sum(dt.k * -ln(cnt.c / (SELECT n FROM tot))) / sum(dt.k), 6) "
             "AS cross_entropy FROM dt JOIN cnt ON cnt.token = dt.token "
             "GROUP BY dt.doc_id"
+        ),
+        "oov_rate": (
+            # per-doc OOV vs the same deterministic top-100 vocabulary cut;
+            # rate = n_oov*1.0/max(n,1) — identical IEEE op order to numpy
+            f"WITH v AS MATERIALIZED (SELECT token FROM ("
+            f"SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM "
+            f"(SELECT unnest({toks}) AS token FROM documents "
+            "WHERE trim(text) <> '') GROUP BY token "
+            "ORDER BY cnt DESC, token LIMIT 25)), "
+            f"t AS (SELECT doc_id, unnest({toks}) AS token FROM documents "
+            "WHERE trim(text) <> ''), "
+            "per AS (SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens, "
+            "CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_oov FROM t LEFT JOIN v ON v.token = t.token GROUP BY t.doc_id) "
+            "SELECT d.doc_id, coalesce(per.n_tokens, 0) AS n_tokens, "
+            "coalesce(per.n_oov, 0) AS n_oov, "
+            "round(coalesce(per.n_oov, 0) * 1.0 / "
+            "greatest(coalesce(per.n_tokens, 0), 1), 6) AS oov_rate "
+            "FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id "
+            "ORDER BY d.doc_id"
         ),
         "vocab_topk": (
             # (cnt DESC, token ASC) is a total order, so the LIMIT cut is

@@ -67,7 +67,7 @@ def main(argv=None):
 
     for name in ("pagerank", "cc", "sssp", "mis", "lpa", "triangles", "kcore",
                  "ppr", "walk", "hits", "assortativity", "hyperball", "betweenness",
-                 "closeness", "wsssp", "coloring", "katz"):
+                 "closeness", "wsssp", "coloring", "katz", "scc"):
         p = sub.add_parser(name)
         common(p)
         if name in ("pagerank", "lpa", "ppr", "hits", "katz"):
@@ -135,6 +135,27 @@ def main(argv=None):
         checkpoint_every=args.checkpoint_every,
         resume=args.resume,
     )
+
+    if args.cmd == "scc":
+        # the -d edges are taken as DIRECTED; scc() flag-symmetrizes them
+        from .pipelines.algorithms import scc
+
+        out, lineage = scc(edges_ds, num_parts=args.parts, **ck)
+        import numpy as _np
+
+        n_scc = len(_np.unique(out["scc"].to_numpy()))
+        summary = {"supersteps": lineage["steps"], "vertices": out.num_rows,
+                   "sccs": n_scc}
+        if args.out:
+            import pyarrow.parquet as _pq
+
+            import os as _os
+
+            _os.makedirs(args.out, exist_ok=True)
+            _pq.write_table(out, _os.path.join(args.out, "scc.parquet"))
+            summary.update(status="ok", out=args.out)
+        print(json.dumps(summary))
+        return 0
 
     if args.cmd == "match":
         from .pipelines.match import build_plan, match_count

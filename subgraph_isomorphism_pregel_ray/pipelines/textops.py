@@ -41,6 +41,7 @@ __all__ = [
     "fingerprint",
     "simhash64",
     "vocab_topk",
+    "oov_rate",
     "salient_terms",
     "search_topk",
     "stratified_sample",
@@ -264,6 +265,50 @@ def vocab_topk(docs_ds, k: int = 100):
         .sort(["cnt", "token"], descending=[True, False])
         .limit(k)
     )
+
+
+def oov_rate(docs_ds, k: int = 100, round_to: int = 6):
+    """Per-document OUT-OF-VOCABULARY rate against the corpus top-``k``
+    vocabulary (``vocab_topk``'s total (cnt DESC, token ASC) order, so the
+    cut is deterministic) → (doc_id, n_tokens, n_oov, oov_rate) — the
+    tokenizer-coverage metric every corpus/vocab pairing gets checked
+    with. Empty docs: 0 tokens, rate 0.0.
+
+    Scale shape: pass 1 is vocab_topk (per-batch histograms, ONE groupby,
+    k rows to the driver); the sorted vocab is broadcast ONCE via
+    ``ray.put`` (read per task, zero-copy, never re-shipped per batch);
+    pass 2 is one stateless map_batches with an np.isin membership test
+    per batch. No per-token shuffle ever happens — the only exchange is
+    the vocabulary histogram."""
+    import ray
+
+    vocab = np.sort(
+        np.asarray(vocab_topk(docs_ds, k).to_pandas()["token"], dtype=object)
+    )
+    vref = ray.put(vocab)
+
+    def _rate(batch: pa.Table) -> pa.Table:
+        v = ray.get(vref)
+        doc_ids = batch["doc_id"].to_numpy()
+        texts = batch["text"].to_pylist()
+        n_tok = np.zeros(len(texts), dtype=np.int64)
+        n_oov = np.zeros(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            toks = np.asarray(_tokens(t), dtype=object)
+            n_tok[i] = len(toks)
+            if len(toks):
+                n_oov[i] = int((~np.isin(toks, v)).sum())
+        rate = round_half_away(n_oov / np.maximum(n_tok, 1), round_to)
+        return pa.table(
+            {
+                "doc_id": doc_ids,
+                "n_tokens": n_tok,
+                "n_oov": n_oov,
+                "oov_rate": rate,
+            }
+        )
+
+    return docs_ds.map_batches(_rate, batch_format="pyarrow")
 
 
 def heavy_hitters(docs_ds, denom: int = 500):

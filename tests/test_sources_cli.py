@@ -175,3 +175,26 @@ def test_jsonl_roundtrip(ray_session, tmp_path):
     to_parquet_shards(read_jsonl(str(tmp_path)), str(out), partition_col="lang")
     back = rd.read_parquet(str(out)).to_pandas()
     assert len(back) == 20 and set(back["lang"]) == {"en", "de"}
+
+
+def test_cli_scc_directed_chain(ray_session, tmp_path):
+    """CLI scc: a directed parquet edge list (2-cycle + tail) → per-vertex
+    scc parquet with min-member labels."""
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from subgraph_isomorphism_pregel_ray.cli import main
+
+    edges = pa.table(
+        {"src": [1, 2, 2, 3], "dst": [2, 1, 3, 4]}  # {1,2} cycle, 3, 4
+    )
+    epath = tmp_path / "edges.parquet"
+    pq.write_table(edges, str(epath))
+    out = tmp_path / "out"
+    rc = main(["scc", "-d", str(epath), "--parts", "2", "-out", str(out)])
+    assert rc == 0
+    res = pq.read_table(str(out / "scc.parquet")).to_pandas()
+    got = dict(zip(res["vid"].astype(int), res["scc"].astype(int)))
+    assert got == {1: 1, 2: 1, 3: 3, 4: 4}

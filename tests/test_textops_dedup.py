@@ -722,3 +722,27 @@ def test_doc_cross_entropy_vs_brute(ray_session):
         exp = sum(-math.log(corpus[t] / N) for t in tt) / len(tt)
         assert got.loc[did, "n_tokens"] == len(tt)
         assert abs(got.loc[did, "cross_entropy"] - exp) < 1e-6, did
+
+
+def test_oov_rate_vs_counter_brute(ray_session):
+    """oov_rate == a Python Counter replay of the top-k cut + membership,
+    including the (cnt DESC, token ASC) tie-break and the empty doc."""
+    from collections import Counter
+
+    from subgraph_isomorphism_pregel_ray.pipelines.textops import oov_rate
+
+    out = oov_rate(_docs_ds(DUP_CORPUS), k=5).to_pandas().set_index("doc_id")
+    c = Counter()
+    for t in DUP_CORPUS:
+        c.update(t.split())
+    vocab = {
+        tok for tok, _n in sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    }
+    for i, t in enumerate(DUP_CORPUS):
+        toks = t.split()
+        n_oov = sum(1 for x in toks if x not in vocab)
+        assert out.loc[i, "n_tokens"] == len(toks)
+        assert out.loc[i, "n_oov"] == n_oov
+        exp_rate = round(n_oov / max(len(toks), 1), 6)
+        assert abs(out.loc[i, "oov_rate"] - exp_rate) < 1e-12
+    assert out["n_oov"].sum() > 0  # the cut actually excludes tokens
