@@ -830,6 +830,15 @@ def _q_events_lag(sf_dir: str):
     return events_lag(sf_dir)
 
 
+def _q_events_retention(sf_dir: str):
+    """Retention cohorts: users by first-activity day × active-day offset
+    → (cohort_day, offset_days, n_users); int day columns so the hash
+    compare is type-stable."""
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import events_retention
+
+    return events_retention(sf_dir)
+
+
 def _q_scc_parts(sf_dir: str):
     """Strongly connected components of the DIRECTED part-successor graph
     (within each order, part of line k → part of line k+1 by l_linenumber,
@@ -1017,6 +1026,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_funnel": _q_events_funnel,
         "anchor_index": _q_anchor_index,
         "oov_rate": _q_oov_rate,
+        "events_retention": _q_events_retention,
         "salient_terms": _q_salient_terms,
         "search_topk": _q_search_topk,
         "hll_registers_daily": _q_hll_registers,
@@ -2382,6 +2392,18 @@ def oracle_sql() -> dict[str, str]:
             "AS gap_us, "
             "coalesce(value - lag(value) OVER w, 0.0) AS delta_value "
             "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
+        ),
+        "events_retention": (
+            # cohort = first active day; n_users = distinct cohort users
+            # active at each day offset; int epoch-day columns both sides
+            "WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS cohort "
+            "FROM events GROUP BY 1), "
+            "a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events) "
+            "SELECT CAST(datediff('day', DATE '1970-01-01', f.cohort) AS BIGINT) "
+            "AS cohort_day, "
+            "CAST(datediff('day', f.cohort, a.day) AS BIGINT) AS offset_days, "
+            "count(*) AS n_users "
+            "FROM a JOIN f USING (user_id) GROUP BY 1, 2 ORDER BY 1, 2"
         ),
         "events_funnel": (
             # windowed first-touch funnel: each stage's first event strictly

@@ -35,6 +35,7 @@ __all__ = [
     "events_lag",
     "events_rolling",
     "events_funnel",
+    "events_retention",
     "succ_edges",
     "revenue_by_nation",
     "revenue_by_region",
@@ -670,6 +671,68 @@ def events_funnel(sf_dir: str,
         .groupby("b")
         .map_groups(_funnel, batch_format="pyarrow")
     )
+
+
+_DAY_US = np.int64(86_400_000_000)
+
+
+def events_retention(sf_dir: str, num_buckets: int = 32):
+    """Retention cohorts (the other classic product-analytics op): users
+    grouped by FIRST-ACTIVITY day, then for each day offset the count of
+    cohort users active that day → (cohort_day, offset_days, n_users),
+    cohort_day = days since epoch (int64, hash-stable across engines).
+
+    Scale shape: users hash-bucketed (the ONE shuffle shared with
+    lag/funnel/sessionize); per bucket everything is np.unique /
+    minimum.at array math — distinct (user, day) pairs and first days via
+    packed int64 keys — emitting PARTIAL (cohort, offset, n) counts that
+    are exact because a user lives in exactly one bucket (disjoint-user
+    partials sum to distinct-user counts); then one tiny groupby-sum over
+    the (cohort × offset) keyspace."""
+    from ray.data.aggregate import Sum
+
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts"])
+
+    def _bucket(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy()
+        return pa.table(
+            {
+                "user_id": u,
+                "day": t["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+                // _DAY_US,
+                "b": (u % num_buckets).astype(np.int32),
+            }
+        )
+
+    SHIFT = np.int64(1) << np.int64(20)  # day-since-epoch < 2^20 for ~2870 yrs
+
+    def _cohort(g: pa.Table) -> pa.Table:
+        u = g["user_id"].to_numpy()
+        day = g["day"].to_numpy()
+        pairs = np.unique(u * SHIFT + day)  # distinct (user, active-day)
+        pu, pd_ = pairs // SHIFT, pairs % SHIFT
+        uu, ui = np.unique(pu, return_inverse=True)
+        first = np.full(len(uu), np.iinfo(np.int64).max)
+        np.minimum.at(first, ui, pd_)
+        cohort, counts = np.unique(
+            first[ui] * SHIFT + (pd_ - first[ui]), return_counts=True
+        )
+        return pa.table(
+            {
+                "cohort_day": cohort // SHIFT,
+                "offset_days": cohort % SHIFT,
+                "n": counts.astype(np.int64),
+            }
+        )
+
+    agg = (
+        ds.map_batches(_bucket, batch_format="pyarrow")
+        .groupby("b")
+        .map_groups(_cohort, batch_format="pyarrow")
+        .groupby(["cohort_day", "offset_days"])
+        .aggregate(Sum("n", alias_name="n_users"))
+    )
+    return agg
 
 
 def events_lag(sf_dir: str, num_buckets: int = 32):

@@ -290,3 +290,35 @@ def test_events_funnel_vs_python_brute(ray_session):
         exp[uid] = n
     assert got == exp
     assert len(set(exp.values())) > 1  # the fixture exercises real drop-off
+
+
+def test_events_retention_vs_pandas_brute(ray_session):
+    """Retention cohorts == a pandas replay (first day per user, distinct
+    active days, offset histogram)."""
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import events_retention
+    from subgraph_isomorphism_pregel_ray.sources.tables import read_table
+
+    sf = "/root/testdata/sf0.001"
+    got = (
+        events_retention(sf)
+        .to_pandas()
+        .sort_values(["cohort_day", "offset_days"])
+        .reset_index(drop=True)
+    )
+    ev = read_table(sf, "events", columns=["user_id", "ts"]).to_pandas()
+    ev["day"] = (ev.ts.values.astype("datetime64[D]").astype("int64"))
+    act = ev[["user_id", "day"]].drop_duplicates()
+    first = act.groupby("user_id")["day"].min().rename("cohort")
+    act = act.join(first, on="user_id")
+    act["offset"] = act["day"] - act["cohort"]
+    exp = (
+        act.groupby(["cohort", "offset"])
+        .size()
+        .reset_index(name="n_users")
+        .sort_values(["cohort", "offset"])
+        .reset_index(drop=True)
+    )
+    assert (got["cohort_day"].values == exp["cohort"].values).all()
+    assert (got["offset_days"].values == exp["offset"].values).all()
+    assert (got["n_users"].values == exp["n_users"].values).all()
+    assert got["offset_days"].max() > 0  # a real multi-day curve
