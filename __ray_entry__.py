@@ -839,6 +839,16 @@ def _q_events_retention(sf_dir: str):
     return events_retention(sf_dir)
 
 
+def _q_events_percent_rank(sf_dir: str):
+    """PERCENT_RANK of value within each user's events (SQL tie
+    semantics), rounded half-away at 6 for the hash compare."""
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import (
+        events_percent_rank,
+    )
+
+    return events_percent_rank(sf_dir)
+
+
 def _q_scc_parts(sf_dir: str):
     """Strongly connected components of the DIRECTED part-successor graph
     (within each order, part of line k → part of line k+1 by l_linenumber,
@@ -1027,6 +1037,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anchor_index": _q_anchor_index,
         "oov_rate": _q_oov_rate,
         "events_retention": _q_events_retention,
+        "events_percent_rank": _q_events_percent_rank,
         "salient_terms": _q_salient_terms,
         "search_topk": _q_search_topk,
         "hll_registers_daily": _q_hll_registers,
@@ -2392,6 +2403,15 @@ def oracle_sql() -> dict[str, str]:
             "AS gap_us, "
             "coalesce(value - lag(value) OVER w, 0.0) AS delta_value "
             "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
+        ),
+        "events_percent_rank": (
+            # same IEEE division (rank-1)*1.0/(n-1); round 6 half-away
+            "SELECT event_id, round(CASE WHEN n = 1 THEN 0.0 "
+            "ELSE (r - 1) * 1.0 / (n - 1) END, 6) AS pr FROM ("
+            "SELECT event_id, rank() OVER w AS r, "
+            "count(*) OVER (PARTITION BY user_id) AS n FROM events "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY value)) "
+            "ORDER BY event_id"
         ),
         "events_retention": (
             # cohort = first active day; n_users = distinct cohort users

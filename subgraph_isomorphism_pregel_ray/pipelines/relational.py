@@ -36,6 +36,7 @@ __all__ = [
     "events_rolling",
     "events_funnel",
     "events_retention",
+    "events_percent_rank",
     "succ_edges",
     "revenue_by_nation",
     "revenue_by_region",
@@ -733,6 +734,54 @@ def events_retention(sf_dir: str, num_buckets: int = 32):
         .aggregate(Sum("n", alias_name="n_users"))
     )
     return agg
+
+
+def events_percent_rank(sf_dir: str, num_buckets: int = 32, round_to: int = 6):
+    """PERCENT_RANK window function: each event's value ranked within its
+    user's events → (event_id, pr) with pr = (rank-1)/(n-1), rank = 1 +
+    count of strictly smaller values (SQL tie semantics: equal values
+    share the minimum rank), pr = 0 for a single-event user.
+
+    Scale shape: the shared user-hash bucket shuffle; per bucket ONE
+    lexsort by (user, value) then pure shifted-compare array math — group
+    first-positions give tied ranks without any per-user loop. The
+    division (rank-1)*1.0/(n-1) is the same IEEE op on both sides;
+    rounded half-away at 6 for the hash compare."""
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "value"])
+
+    def _bucket(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy()
+        return t.append_column("b", pa.array((u % num_buckets).astype(np.int32)))
+
+    def _pr(g: pa.Table) -> pa.Table:
+        u = g["user_id"].to_numpy()
+        val = g["value"].to_numpy()
+        eid = g["event_id"].to_numpy()
+        order = np.lexsort((val, u))
+        u, val, eid = u[order], val[order], eid[order]
+        n = len(u)
+        new_user = np.concatenate([[True], u[1:] != u[:-1]])
+        new_val = new_user | np.concatenate([[True], val[1:] != val[:-1]])
+        pos = np.arange(n, dtype=np.int64)
+        seg_start = pos[new_user][np.cumsum(new_user) - 1]  # per row: user start
+        grp_first = pos[new_val][np.cumsum(new_val) - 1]  # per row: tie-group start
+        # user sizes: next user start − own start
+        starts = pos[new_user]
+        sizes = np.diff(np.concatenate([starts, [n]]))
+        n_user = sizes[np.cumsum(new_user) - 1]
+        rank0 = grp_first - seg_start
+        pr = np.where(
+            n_user > 1, rank0 * 1.0 / np.maximum(n_user - 1, 1), 0.0
+        )
+        return pa.table(
+            {"event_id": eid, "pr": round_half_away(pr, round_to)}
+        )
+
+    return (
+        ds.map_batches(_bucket, batch_format="pyarrow")
+        .groupby("b")
+        .map_groups(_pr, batch_format="pyarrow")
+    )
 
 
 def events_lag(sf_dir: str, num_buckets: int = 32):

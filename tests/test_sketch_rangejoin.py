@@ -322,3 +322,37 @@ def test_events_retention_vs_pandas_brute(ray_session):
     assert (got["offset_days"].values == exp["offset"].values).all()
     assert (got["n_users"].values == exp["n_users"].values).all()
     assert got["offset_days"].max() > 0  # a real multi-day curve
+
+
+def test_events_percent_rank_ties(ray_session, tmp_path):
+    """percent_rank with forced TIES: equal values share the minimum rank
+    (SQL rank semantics); single-event user gets 0."""
+    import pandas as pd
+
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import (
+        events_percent_rank,
+    )
+
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(8, dtype=np.int64),
+            "ts": pd.to_datetime(np.arange(8), unit="s"),
+            "user_id": np.array([1, 1, 1, 1, 1, 2, 2, 3], dtype=np.int64),
+            "event_type": "x",
+            "value": [5.0, 1.0, 5.0, 2.0, 9.0, 4.0, 4.0, 7.0],
+            "props": "",
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   tmp_path / "events.parquet")
+    got = (
+        events_percent_rank(str(tmp_path))
+        .to_pandas()
+        .set_index("event_id")["pr"]
+        .to_dict()
+    )
+    # user 1 values [5,1,5,2,9] → ranks [3,1,3,2,5] → pr (r-1)/4
+    # user 2 values [4,4] → both rank 1 → pr 0; user 3 single → 0
+    assert got == {
+        0: 0.5, 1: 0.0, 2: 0.5, 3: 0.25, 4: 1.0, 5: 0.0, 6: 0.0, 7: 0.0,
+    }
