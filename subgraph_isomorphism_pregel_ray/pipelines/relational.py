@@ -101,8 +101,23 @@ def q1_lineitem(sf_dir: str, ship_before: str = "1998-09-01"):
 
 _PAIR_SHIFT = np.int64(1) << np.int64(21)  # partkeys < 2^21 per TPC-H scaling
 
+_ROWS_PER_BUCKET = 2_000_000
 
-def copurchase_edges(sf_dir: str, num_buckets: int = 32, min_orders: int = 1):
+
+def _auto_buckets(ds, requested: int | None, floor: int = 32) -> int:
+    """Bucket count for the hash-bucketed ``map_groups`` ops: ``requested``
+    if given, else scaled so ONE bucket ≈ ``_ROWS_PER_BUCKET`` input rows
+    (floor 32). Results are bucket-count-invariant (a bucket is a key
+    hash, whole key groups stay intact at any count); what the count sets
+    is the peak memory of one map_groups task — a FIXED 32 would grow a
+    bucket linearly with the input at 100 TB. ``ds`` must be the fresh
+    parquet read, so ``count()`` is a metadata lookup, not a scan."""
+    if requested is not None:
+        return requested
+    return max(floor, int(ds.count() // _ROWS_PER_BUCKET) + 1)
+
+
+def copurchase_edges(sf_dir: str, num_buckets: int | None = None, min_orders: int = 1):
     """Distinct co-purchase part pairs: (src < dst) parts sharing an order.
 
     ``min_orders`` > 1 keeps only pairs co-purchased in at least that many
@@ -125,6 +140,7 @@ def copurchase_edges(sf_dir: str, num_buckets: int = 32, min_orders: int = 1):
     from ..state.csr import flat_gather
 
     li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+    num_buckets = _auto_buckets(li, num_buckets)
 
     def _bucket(t: pa.Table) -> pa.Table:
         ok = t["l_orderkey"].to_numpy()
@@ -205,7 +221,7 @@ def strong_copurchase_edges(
     return cnts.map_batches(_decode, batch_format="pyarrow")
 
 
-def _copurchase_pair_counts(sf_dir: str, num_buckets: int = 32):
+def _copurchase_pair_counts(sf_dir: str, num_buckets: int | None = None):
     """(k packed pair, n distinct orders) for every (src < dst) pair — the
     count-annotated core of :func:`copurchase_edges`."""
     from ray.data.aggregate import Sum
@@ -213,6 +229,7 @@ def _copurchase_pair_counts(sf_dir: str, num_buckets: int = 32):
     from ..state.csr import flat_gather
 
     li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+    num_buckets = _auto_buckets(li, num_buckets)
 
     def _bucket(t: pa.Table) -> pa.Table:
         ok = t["l_orderkey"].to_numpy()
@@ -245,7 +262,7 @@ def _copurchase_pair_counts(sf_dir: str, num_buckets: int = 32):
     )
 
 
-def copurchase_weights(sf_dir: str, num_buckets: int = 32):
+def copurchase_weights(sf_dir: str, num_buckets: int | None = None):
     """Weighted co-purchase edge table (src, dst, n_orders) — the
     count-annotated pairs behind :func:`copurchase_edges` /
     :func:`strong_copurchase_edges`, exposed for weighted-graph
@@ -514,7 +531,7 @@ def events_hopping(sf_dir: str, window_sec: int = 600, hop_sec: int = 300):
     return out.map_batches(_round, batch_format="pyarrow")
 
 
-def events_sessionize(sf_dir: str, gap_sec: int = 600, num_buckets: int = 32):
+def events_sessionize(sf_dir: str, gap_sec: int = 600, num_buckets: int | None = None):
     """Gap-based session windows per user (streaming-shaped workload #2).
 
     A new session starts when the gap to the user's previous event exceeds
@@ -527,6 +544,7 @@ def events_sessionize(sf_dir: str, gap_sec: int = 600, num_buckets: int = 32):
     established inside the bucket, so input order is irrelevant.
     """
     ds = read_table(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"])
+    num_buckets = _auto_buckets(ds, num_buckets)
 
     def _bucket(t: pa.Table) -> pa.Table:
         u = t["user_id"].to_numpy()
@@ -562,7 +580,7 @@ def events_sessionize(sf_dir: str, gap_sec: int = 600, num_buckets: int = 32):
     )
 
 
-def succ_edges(sf_dir: str, max_qty: float = 8.0, num_buckets: int = 32):
+def succ_edges(sf_dir: str, max_qty: float = 8.0, num_buckets: int | None = None):
     """Directed part-SUCCESSOR graph: within each order (lines filtered to
     ``l_quantity <= max_qty`` — full lineitem yields one trivial giant SCC;
     the filter keeps the graph sparse enough to have real strongly-connected
@@ -580,6 +598,7 @@ def succ_edges(sf_dir: str, max_qty: float = 8.0, num_buckets: int = 32):
         sf_dir, "lineitem",
         columns=["l_orderkey", "l_linenumber", "l_partkey", "l_quantity"],
     )
+    num_buckets = _auto_buckets(ds, num_buckets)
 
     def _bucket(t: pa.Table) -> pa.Table:
         t = t.filter(pa.array(t["l_quantity"].to_numpy() <= max_qty))
@@ -620,7 +639,7 @@ def succ_edges(sf_dir: str, max_qty: float = 8.0, num_buckets: int = 32):
 def events_funnel(sf_dir: str,
                   steps=("signup", "view", "click", "purchase"),
                   window_us: int = 48 * 3600 * 1_000_000,
-                  num_buckets: int = 32):
+                  num_buckets: int | None = None):
     """Windowed ordered funnel (the classic product-analytics op): per
     user, stage k+1 counts only with an event of that type STRICTLY after
     — and within ``window_us`` of — the user's first qualifying stage-k
@@ -638,6 +657,7 @@ def events_funnel(sf_dir: str,
     import pyarrow.compute as pc
 
     ds = read_table(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+    num_buckets = _auto_buckets(ds, num_buckets)
 
     def _bucket(t: pa.Table) -> pa.Table:
         u = t["user_id"].to_numpy()
@@ -677,7 +697,7 @@ def events_funnel(sf_dir: str,
 _DAY_US = np.int64(86_400_000_000)
 
 
-def events_retention(sf_dir: str, num_buckets: int = 32):
+def events_retention(sf_dir: str, num_buckets: int | None = None):
     """Retention cohorts (the other classic product-analytics op): users
     grouped by FIRST-ACTIVITY day, then for each day offset the count of
     cohort users active that day → (cohort_day, offset_days, n_users),
@@ -693,6 +713,7 @@ def events_retention(sf_dir: str, num_buckets: int = 32):
     from ray.data.aggregate import Sum
 
     ds = read_table(sf_dir, "events", columns=["user_id", "ts"])
+    num_buckets = _auto_buckets(ds, num_buckets)
 
     def _bucket(t: pa.Table) -> pa.Table:
         u = t["user_id"].to_numpy()
@@ -736,7 +757,7 @@ def events_retention(sf_dir: str, num_buckets: int = 32):
     return agg
 
 
-def events_percent_rank(sf_dir: str, num_buckets: int = 32, round_to: int = 6):
+def events_percent_rank(sf_dir: str, num_buckets: int | None = None, round_to: int = 6):
     """PERCENT_RANK window function: each event's value ranked within its
     user's events → (event_id, pr) with pr = (rank-1)/(n-1), rank = 1 +
     count of strictly smaller values (SQL tie semantics: equal values
@@ -748,6 +769,7 @@ def events_percent_rank(sf_dir: str, num_buckets: int = 32, round_to: int = 6):
     division (rank-1)*1.0/(n-1) is the same IEEE op on both sides;
     rounded half-away at 6 for the hash compare."""
     ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "value"])
+    num_buckets = _auto_buckets(ds, num_buckets)
 
     def _bucket(t: pa.Table) -> pa.Table:
         u = t["user_id"].to_numpy()
@@ -784,7 +806,7 @@ def events_percent_rank(sf_dir: str, num_buckets: int = 32, round_to: int = 6):
     )
 
 
-def events_lag(sf_dir: str, num_buckets: int = 32):
+def events_lag(sf_dir: str, num_buckets: int | None = None):
     """Per-user LAG window function: each event joined with the user's
     previous event → (event_id, prev_event_id, gap_us, delta_value).
     First event per user: prev = -1, gap/delta = 0 (COALESCE semantics).
@@ -796,6 +818,7 @@ def events_lag(sf_dir: str, num_buckets: int = 32):
     the SQL oracle's ``value - lag(value)``.
     """
     ds = read_table(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"])
+    num_buckets = _auto_buckets(ds, num_buckets)
 
     def _bucket(t: pa.Table) -> pa.Table:
         u = t["user_id"].to_numpy()
@@ -828,7 +851,7 @@ def events_lag(sf_dir: str, num_buckets: int = 32):
     )
 
 
-def events_rolling(sf_dir: str, window_rows: int = 5, num_buckets: int = 32):
+def events_rolling(sf_dir: str, window_rows: int = 5, num_buckets: int | None = None):
     """Per-user rolling mean of ``value`` over the trailing
     ``window_rows`` events (ROWS BETWEEN k-1 PRECEDING AND CURRENT ROW,
     ordered by ts, event_id) → (event_id, rolling_avg) — the classic
@@ -844,6 +867,7 @@ def events_rolling(sf_dir: str, window_rows: int = 5, num_buckets: int = 32):
     from ..functions.rounding import round_half_away
 
     ds = read_table(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"])
+    num_buckets = _auto_buckets(ds, num_buckets)
 
     def _bucket(t: pa.Table) -> pa.Table:
         u = t["user_id"].to_numpy()

@@ -139,3 +139,24 @@ def test_redact_pii_kernel_total_and_clean(texts):
         _one_doc_table(list(out["clean_text"]))
     ).to_pandas()
     assert (out2["n_emails"] == 0).all()
+
+
+_digraph = st.lists(
+    st.tuples(st.integers(0, 24), st.integers(0, 24)).filter(lambda e: e[0] != e[1]),
+    min_size=1,
+    max_size=80,
+)
+
+
+@settings(max_examples=25, deadline=None)
+@given(_digraph)
+def test_scc_matches_tarjan_on_arbitrary_digraphs(edges):
+    """SCC min-label FW-BW peeling == Tarjan on arbitrary small digraphs
+    (duplicate edges allowed — the CSR dedups/OR-combines them)."""
+    from tests.test_programs_local import _scc_local, _tarjan_scc
+
+    s = np.array([e[0] for e in edges], dtype=np.int64)
+    d = np.array([e[1] for e in edges], dtype=np.int64)
+    exp = _tarjan_scc(edges)
+    got = _scc_local(s, d, num_parts=3)
+    assert got == exp
