@@ -839,6 +839,93 @@ def _q_events_retention(sf_dir: str):
     return events_retention(sf_dir)
 
 
+def _q_fk_integrity(sf_dir: str):
+    """Referential-integrity audit across all 7 FK edges of the star
+    schema: distinct child keys + orphan count per relation (distinct-key
+    anti-join machine; orphan DETECTION is proven by the injected-orphan
+    pytest — the shipped tables are expected to audit clean)."""
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import fk_integrity
+
+    return fk_integrity(sf_dir)
+
+
+def _q_order_priority_semi(sf_dir: str):
+    """Q4-shaped EXISTS semi-join: orders with >=1 qty>=48 lineitem,
+    counted per priority (distinct-key semi-join machine)."""
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import order_priority_semi
+
+    return order_priority_semi(sf_dir)
+
+
+def _q_customer_order_histogram(sf_dir: str):
+    """Q13-shaped left-join distribution: customers by exact order count,
+    zero-order customers included."""
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import (
+        customer_order_histogram,
+    )
+
+    return customer_order_histogram(sf_dir)
+
+
+def _q_small_qty_revenue(sf_dir: str):
+    """Q17-shaped correlated-average join with the below-average predicate
+    evaluated in exact integer arithmetic (no float-ulp flips)."""
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import small_qty_revenue
+
+    return small_qty_revenue(sf_dir)
+
+
+def _q_large_volume_orders(sf_dir: str):
+    """Q18-shaped HAVING filter + join: orders with total quantity > 250
+    and their customer/price attributes."""
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import (
+        large_volume_orders,
+    )
+
+    return large_volume_orders(sf_dir)
+
+
+def _q_shipping_priority_topk(sf_dir: str):
+    """Q3-shaped filtered join + global top-10 by revenue, per-bucket
+    local top-k partials so the fold never sorts the joined table."""
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import (
+        shipping_priority_topk,
+    )
+
+    return shipping_priority_topk(sf_dir)
+
+
+def _q_waiting_suppliers(sf_dir: str):
+    """Q21-shaped multi-predicate same-key join: suppliers who were the
+    sole returner on multi-supplier orders, counted."""
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import waiting_suppliers
+
+    return waiting_suppliers(sf_dir)
+
+
+def _q_sales_opportunity(sf_dir: str):
+    """Q22-shaped scalar subquery + anti-join: never-ordered customers
+    above the global average positive balance, per nation."""
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import sales_opportunity
+
+    return sales_opportunity(sf_dir)
+
+
+def _q_events_cumsum(sf_dir: str):
+    """Per-user running-sum window function, folded as exact int cents."""
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import events_cumsum
+
+    return events_cumsum(sf_dir)
+
+
+def _q_succ_reciprocity(sf_dir: str):
+    """Reciprocity of the directed part-successor graph (fraction of
+    directed edges whose reverse exists)."""
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import succ_reciprocity
+
+    return succ_reciprocity(sf_dir)
+
+
 def _q_events_percent_rank(sf_dir: str):
     """PERCENT_RANK of value within each user's events (SQL tie
     semantics), rounded half-away at 6 for the hash compare."""
@@ -1038,6 +1125,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "oov_rate": _q_oov_rate,
         "events_retention": _q_events_retention,
         "events_percent_rank": _q_events_percent_rank,
+        "fk_integrity": _q_fk_integrity,
+        "order_priority_semi": _q_order_priority_semi,
+        "customer_order_histogram": _q_customer_order_histogram,
+        "small_qty_revenue": _q_small_qty_revenue,
+        "large_volume_orders": _q_large_volume_orders,
+        "shipping_priority_topk": _q_shipping_priority_topk,
+        "waiting_suppliers": _q_waiting_suppliers,
+        "sales_opportunity": _q_sales_opportunity,
+        "events_cumsum": _q_events_cumsum,
+        "succ_reciprocity": _q_succ_reciprocity,
         "salient_terms": _q_salient_terms,
         "search_topk": _q_search_topk,
         "hll_registers_daily": _q_hll_registers,
@@ -2403,6 +2500,134 @@ def oracle_sql() -> dict[str, str]:
             "AS gap_us, "
             "coalesce(value - lag(value) OVER w, 0.0) AS delta_value "
             "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
+        ),
+        "fk_integrity": (
+            # distinct child FK values and those with no parent row,
+            # one UNION ALL arm per star-schema FK edge
+            "SELECT relation, n_keys, n_orphans FROM ("
+            "SELECT 'lineitem.l_orderkey->orders.o_orderkey' AS relation, "
+            "count(DISTINCT l_orderkey) AS n_keys, "
+            "count(DISTINCT CASE WHEN o_orderkey IS NULL THEN l_orderkey END) "
+            "AS n_orphans FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey "
+            "UNION ALL "
+            "SELECT 'lineitem.l_partkey->part.p_partkey', "
+            "count(DISTINCT l_partkey), "
+            "count(DISTINCT CASE WHEN p_partkey IS NULL THEN l_partkey END) "
+            "FROM lineitem LEFT JOIN part ON l_partkey = p_partkey "
+            "UNION ALL "
+            "SELECT 'lineitem.l_suppkey->supplier.s_suppkey', "
+            "count(DISTINCT l_suppkey), "
+            "count(DISTINCT CASE WHEN s_suppkey IS NULL THEN l_suppkey END) "
+            "FROM lineitem LEFT JOIN supplier ON l_suppkey = s_suppkey "
+            "UNION ALL "
+            "SELECT 'orders.o_custkey->customer.c_custkey', "
+            "count(DISTINCT o_custkey), "
+            "count(DISTINCT CASE WHEN c_custkey IS NULL THEN o_custkey END) "
+            "FROM orders LEFT JOIN customer ON o_custkey = c_custkey "
+            "UNION ALL "
+            "SELECT 'customer.c_nationkey->nation.n_nationkey', "
+            "count(DISTINCT c_nationkey), "
+            "count(DISTINCT CASE WHEN n_nationkey IS NULL THEN c_nationkey END) "
+            "FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey "
+            "UNION ALL "
+            "SELECT 'supplier.s_nationkey->nation.n_nationkey', "
+            "count(DISTINCT s_nationkey), "
+            "count(DISTINCT CASE WHEN n_nationkey IS NULL THEN s_nationkey END) "
+            "FROM supplier LEFT JOIN nation ON s_nationkey = n_nationkey "
+            "UNION ALL "
+            "SELECT 'nation.n_regionkey->region.r_regionkey', "
+            "count(DISTINCT n_regionkey), "
+            "count(DISTINCT CASE WHEN r_regionkey IS NULL THEN n_regionkey END) "
+            "FROM nation LEFT JOIN region ON n_regionkey = r_regionkey"
+            ") ORDER BY relation"
+        ),
+        "order_priority_semi": (
+            "SELECT o_orderpriority, count(*) AS n_orders FROM orders "
+            "WHERE EXISTS (SELECT 1 FROM lineitem "
+            "WHERE l_orderkey = o_orderkey AND l_quantity >= 48) GROUP BY 1"
+        ),
+        "customer_order_histogram": (
+            "SELECT n_orders, count(*) AS n_custs FROM ("
+            "SELECT c_custkey, count(o_orderkey) AS n_orders "
+            "FROM customer LEFT JOIN orders ON o_custkey = c_custkey "
+            "GROUP BY 1) GROUP BY 1"
+        ),
+        "small_qty_revenue": (
+            # below-average predicate in exact integer arithmetic:
+            # q < 0.2*(S/n)  <=>  5*q100*n < S100 (hundredths-scaled ints)
+            "SELECT coalesce(sum(CAST(round(l_extendedprice * 100) AS BIGINT)), 0) "
+            "/ 700.0 AS avg_yearly FROM lineitem JOIN ("
+            "SELECT l_partkey AS pk, "
+            "sum(CAST(round(l_quantity * 100) AS BIGINT)) AS s100, "
+            "count(*) AS n FROM lineitem GROUP BY 1) s ON l_partkey = pk "
+            "WHERE CAST(round(l_quantity * 100) AS BIGINT) * 5 * n < s100"
+        ),
+        "large_volume_orders": (
+            "SELECT o_orderkey, o_custkey, o_totalprice, "
+            "sum_qty / 100.0 AS total_qty FROM ("
+            "SELECT l_orderkey, sum(CAST(round(l_quantity * 100) AS BIGINT)) "
+            "AS sum_qty FROM lineitem GROUP BY 1) q "
+            "JOIN orders ON o_orderkey = l_orderkey WHERE sum_qty > 25000"
+        ),
+        "shipping_priority_topk": (
+            # exact int-cents revenue; rank ties broken by orderkey asc
+            "WITH r AS (SELECT l_orderkey AS k, "
+            "sum(CAST(round(l_extendedprice * 100) AS BIGINT) * "
+            "(100 - CAST(round(l_discount * 100) AS BIGINT))) AS rev "
+            "FROM lineitem WHERE l_shipdate > TIMESTAMP '1997-06-15' GROUP BY 1), "
+            "j AS (SELECT k AS o_orderkey, rev, "
+            "strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate "
+            "FROM r JOIN orders ON o_orderkey = k "
+            "WHERE o_orderdate < TIMESTAMP '1997-06-15'), "
+            "ranked AS (SELECT *, row_number() OVER "
+            "(ORDER BY rev DESC, o_orderkey) AS rnk FROM j) "
+            "SELECT o_orderkey, rev / 10000.0 AS revenue, o_orderdate, rnk "
+            "FROM ranked WHERE rnk <= 10"
+        ),
+        "waiting_suppliers": (
+            # Q21 shape: distinct (order, supplier, any-R) pairs; a supplier
+            # waits on an order iff it returned, no other supplier returned,
+            # and the order had >= 2 distinct suppliers
+            "WITH pairs AS (SELECT l_orderkey, l_suppkey, "
+            "max(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS has_r "
+            "FROM lineitem GROUP BY 1, 2), "
+            "agg AS (SELECT l_orderkey, count(*) AS nsupp, sum(has_r) AS nr "
+            "FROM pairs GROUP BY 1) "
+            "SELECT l_suppkey, count(*) AS numwait FROM pairs "
+            "JOIN agg USING (l_orderkey) "
+            "WHERE has_r = 1 AND nr = 1 AND nsupp >= 2 GROUP BY 1"
+        ),
+        "sales_opportunity": (
+            # Q22 shape: above-average predicate in exact ints
+            # (c100*n > S100), no-RECENT-orders anti-join, per-nation rollup
+            "WITH g AS (SELECT sum(CAST(round(c_acctbal * 100) AS BIGINT)) "
+            "AS s100, count(*) AS n FROM customer WHERE c_acctbal > 0) "
+            "SELECT c_nationkey, count(*) AS numcust, "
+            "sum(CAST(round(c_acctbal * 100) AS BIGINT)) / 100.0 AS totacctbal "
+            "FROM customer, g "
+            "WHERE CAST(round(c_acctbal * 100) AS BIGINT) * g.n > g.s100 "
+            "AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey "
+            "AND o_orderdate >= TIMESTAMP '2000-06-01') GROUP BY 1"
+        ),
+        "events_cumsum": (
+            # running sum as exact int cents (values carry 2 decimals) so
+            # the window's summation order can't produce float ulp drift
+            "SELECT event_id, "
+            "sum(CAST(round(value * 100) AS BIGINT)) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS UNBOUNDED PRECEDING) / 100.0 AS cum_value FROM events"
+        ),
+        "succ_reciprocity": (
+            # same successor-edge CTE as scc_parts; reciprocity = fraction
+            # of distinct directed edges whose reverse edge exists
+            "WITH seq AS (SELECT l_orderkey, l_linenumber, l_partkey, "
+            "lag(l_partkey) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) "
+            "AS prev FROM lineitem WHERE l_quantity <= 8), "
+            "edges AS (SELECT DISTINCT prev AS src, l_partkey AS dst FROM seq "
+            "WHERE prev IS NOT NULL AND prev <> l_partkey) "
+            "SELECT count(*) AS n_edges, count(r.src) AS n_recip, "
+            "round(count(r.src) * 1.0 / count(*), 6) AS reciprocity "
+            "FROM edges e LEFT JOIN edges r ON r.src = e.dst AND r.dst = e.src"
         ),
         "events_percent_rank": (
             # same IEEE division (rank-1)*1.0/(n-1); round 6 half-away

@@ -41,6 +41,16 @@ __all__ = [
     "revenue_by_nation",
     "revenue_by_region",
     "rich_club",
+    "fk_integrity",
+    "order_priority_semi",
+    "customer_order_histogram",
+    "small_qty_revenue",
+    "large_volume_orders",
+    "shipping_priority_topk",
+    "waiting_suppliers",
+    "sales_opportunity",
+    "events_cumsum",
+    "succ_reciprocity",
 ]
 
 
@@ -1324,6 +1334,781 @@ def parts_never_ordered(sf_dir: str, min_qty: int = 45, num_buckets: int = 32):
         .union(part.map_batches(_dim, batch_format="pyarrow"))
         .groupby("b")
         .map_groups(_anti, batch_format="pyarrow")
+    )
+
+
+_FK_RELATIONS = (
+    ("lineitem.l_orderkey->orders.o_orderkey", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part.p_partkey", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier.s_suppkey", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders.o_custkey->customer.c_custkey", "orders", "o_custkey", "customer", "c_custkey"),
+    ("customer.c_nationkey->nation.n_nationkey", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier.s_nationkey->nation.n_nationkey", "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation.n_regionkey->region.r_regionkey", "nation", "n_regionkey", "region", "r_regionkey"),
+)
+
+
+def fk_integrity(sf_dir: str, num_buckets: int = 32, relations=_FK_RELATIONS):
+    """Referential-integrity audit over every foreign-key edge of the star
+    schema → (relation, n_keys, n_orphans): distinct child FK values and
+    how many have NO parent row — the data-quality gate every 100 TB
+    ingest runs before anything else trusts a join.
+
+    Scale shape per relation: the same distinct-key anti-join machine as
+    ``parts_never_ordered`` — both sides key-deduped per batch (the
+    exchange carries distinct keys only), one bucketed union-groupby, a
+    vectorized ``np.isin`` per whole bucket emitting per-bucket partial
+    (n_keys, n_orphans) counts that sum exactly (buckets partition the key
+    space); the 7 relations' tiny partials concatenate via Dataset.union,
+    one final count fold. No driver-side key set at any point."""
+    from ray.data.aggregate import Sum
+
+    outs = []
+    for rel, child, fk, parent, pk in relations:
+        c = read_table(sf_dir, child, columns=[fk])
+        p = read_table(sf_dir, parent, columns=[pk])
+        B = np.int64(num_buckets)
+
+        def _child(t: pa.Table, fk=fk, rel=rel) -> pa.Table:
+            k = np.unique(t[fk].to_numpy()).astype(np.int64)
+            return pa.table(
+                {"k": k, "probe": np.zeros(len(k), bool),
+                 "b": (k % B).astype(np.int32)}
+            )
+
+        def _parent(t: pa.Table, pk=pk) -> pa.Table:
+            k = np.unique(t[pk].to_numpy()).astype(np.int64)
+            return pa.table(
+                {"k": k, "probe": np.ones(len(k), bool),
+                 "b": (k % B).astype(np.int32)}
+            )
+
+        def _audit(g: pa.Table, rel=rel) -> pa.Table:
+            k = g["k"].to_numpy()
+            probe = g["probe"].to_numpy(zero_copy_only=False)
+            child_k = np.unique(k[~probe])  # distinct across batches
+            orphans = int((~np.isin(child_k, k[probe])).sum())
+            return pa.table(
+                {
+                    "relation": pa.array([rel], pa.string()),
+                    "n_keys": pa.array([len(child_k)], pa.int64()),
+                    "n_orphans": pa.array([orphans], pa.int64()),
+                }
+            )
+
+        outs.append(
+            c.map_batches(_child, batch_format="pyarrow")
+            .union(p.map_batches(_parent, batch_format="pyarrow"))
+            .groupby("b")
+            .map_groups(_audit, batch_format="pyarrow")
+        )
+    all_parts = outs[0]
+    for o in outs[1:]:
+        all_parts = all_parts.union(o)
+    return (
+        all_parts.groupby("relation")
+        .aggregate(
+            Sum("n_keys", alias_name="n_keys"),
+            Sum("n_orphans", alias_name="n_orphans"),
+        )
+    )
+
+
+def order_priority_semi(sf_dir: str, min_qty: float = 48.0, num_buckets: int = 32):
+    """Q4-shaped EXISTS semi-join count: orders having ≥ 1 lineitem with
+    ``l_quantity >= min_qty``, counted per o_orderpriority →
+    (o_orderpriority, n_orders).
+
+    Scale shape: the probe side ships DISTINCT qualifying orderkeys only
+    (predicate applied + deduped inside each batch), the orders side ships
+    (key, priority) pairs; one bucketed union-groupby resolves the
+    semi-join vectorized (``np.isin`` per whole bucket) and emits one
+    partial count per priority per bucket; a final tiny groupby sums.
+    Same distinct-key anti-join machine as :func:`parts_never_ordered`
+    with the mask flipped (SURVEY J2 at the relational layer)."""
+    from ray.data.aggregate import Sum
+
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
+    B = np.int64(num_buckets)
+
+    def _probe(t: pa.Table) -> pa.Table:
+        k = t["l_orderkey"].to_numpy()[t["l_quantity"].to_numpy() >= min_qty]
+        k = np.unique(k).astype(np.int64)
+        return pa.table(
+            {
+                "k": k,
+                "pri": pa.array([""] * len(k), pa.string()),
+                "probe": np.ones(len(k), bool),
+                "b": (k % B).astype(np.int32),
+            }
+        )
+
+    def _orders(t: pa.Table) -> pa.Table:
+        k = t["o_orderkey"].to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "k": k,
+                "pri": t["o_orderpriority"],
+                "probe": np.zeros(len(k), bool),
+                "b": (k % B).astype(np.int32),
+            }
+        )
+
+    def _semi(g: pa.Table) -> pa.Table:
+        k = g["k"].to_numpy()
+        probe = g["probe"].to_numpy(zero_copy_only=False)
+        pri = g["pri"].to_numpy(zero_copy_only=False)
+        hit = np.isin(k[~probe], k[probe])
+        key, cnt = np.unique(pri[~probe][hit], return_counts=True)
+        return pa.table(
+            {
+                "o_orderpriority": pa.array(list(key), pa.string()),
+                "n": cnt.astype(np.int64),
+            }
+        )
+
+    return (
+        li.map_batches(_probe, batch_format="pyarrow")
+        .union(orders.map_batches(_orders, batch_format="pyarrow"))
+        .groupby("b")
+        .map_groups(_semi, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .aggregate(Sum("n", alias_name="n_orders"))
+    )
+
+
+def customer_order_histogram(sf_dir: str, num_buckets: int = 32):
+    """Q13-shaped left-join distribution: how many customers placed exactly
+    N orders (INCLUDING the zero-order customers an inner join would drop)
+    → (n_orders, n_custs).
+
+    Scale shape: orders batches pre-count per custkey (the exchange carries
+    one partial per key per batch, not per order row); customer batches ship
+    distinct keys. One bucketed union-groupby finishes per-customer totals —
+    a custkey's partials all land in its own bucket, so per-bucket totals
+    are final — and emits a per-bucket partial histogram; the second
+    groupby over ≤ a few hundred distinct counts is trivially small."""
+    from ray.data.aggregate import Sum
+
+    orders = read_table(sf_dir, "orders", columns=["o_custkey"])
+    cust = read_table(sf_dir, "customer", columns=["c_custkey"])
+    B = np.int64(num_buckets)
+
+    def _orders(t: pa.Table) -> pa.Table:
+        k, cnt = np.unique(t["o_custkey"].to_numpy().astype(np.int64), return_counts=True)
+        return pa.table(
+            {
+                "k": k,
+                "cnt": cnt.astype(np.int64),
+                "is_cust": np.zeros(len(k), bool),
+                "b": (k % B).astype(np.int32),
+            }
+        )
+
+    def _cust(t: pa.Table) -> pa.Table:
+        k = np.unique(t["c_custkey"].to_numpy()).astype(np.int64)
+        return pa.table(
+            {
+                "k": k,
+                "cnt": np.zeros(len(k), np.int64),
+                "is_cust": np.ones(len(k), bool),
+                "b": (k % B).astype(np.int32),
+            }
+        )
+
+    def _hist(g: pa.Table) -> pa.Table:
+        k = g["k"].to_numpy()
+        cnt = g["cnt"].to_numpy()
+        is_cust = g["is_cust"].to_numpy(zero_copy_only=False)
+        # LEFT-join semantics: totals only for keys present on the customer
+        # side; orders from keys with no customer row are dropped
+        ckeys = np.unique(k[is_cust])
+        key, inv = np.unique(k, return_inverse=True)
+        tot = np.zeros(len(key), np.int64)
+        np.add.at(tot, inv, cnt)  # int64 accumulation, exact past 2^53
+        per_cust = tot[np.searchsorted(key, ckeys)]
+        n_orders, n_custs = np.unique(per_cust, return_counts=True)
+        return pa.table(
+            {"n_orders": n_orders, "n": n_custs.astype(np.int64)}
+        )
+
+    return (
+        orders.map_batches(_orders, batch_format="pyarrow")
+        .union(cust.map_batches(_cust, batch_format="pyarrow"))
+        .groupby("b")
+        .map_groups(_hist, batch_format="pyarrow")
+        .groupby("n_orders")
+        .aggregate(Sum("n", alias_name="n_custs"))
+    )
+
+
+def small_qty_revenue(sf_dir: str, num_buckets: int = 32):
+    """Q17-shaped correlated-average join: yearly-averaged revenue of
+    lineitems whose quantity is below 20% of their part's average quantity
+    → one row (avg_yearly).
+
+    The below-average predicate is evaluated in EXACT integer arithmetic —
+    ``q < 0.2·(S/n)`` rewritten as ``5·q100·n < S100`` with q100/S100 the
+    hundredths-scaled ints — so no float-summation-order ulp can flip a
+    borderline row (the same reason revenues fold as int cents).
+
+    Scale shape: pass 1 pre-aggregates (S100, n) per partkey inside each
+    batch before one groupby; pass 2 re-streams lineitem rows unioned with
+    those tiny per-part stats through a second bucketed groupby — stats and
+    rows co-bucket by partkey, the filter and the cent-sum are vectorized
+    per whole bucket, and only per-bucket int partials reach the final fold.
+    The per-part stats are NOT broadcast: at 100 TB `part` has ~10^10 keys,
+    so they ride the same exchange as the rows."""
+    from ray.data.aggregate import Sum
+
+    B = np.int64(num_buckets)
+    li1 = read_table(sf_dir, "lineitem", columns=["l_partkey", "l_quantity"])
+
+    def _stats_partial(t: pa.Table) -> pa.Table:
+        pk = t["l_partkey"].to_numpy().astype(np.int64)
+        q100 = np.round(t["l_quantity"].to_numpy() * 100).astype(np.int64)
+        key, inv = np.unique(pk, return_inverse=True)
+        s = np.bincount(inv, weights=q100.astype(np.float64)).astype(np.int64)
+        n = np.bincount(inv).astype(np.int64)
+        return pa.table({"pk": key, "s100": s, "n": n})
+
+    stats = (
+        li1.map_batches(_stats_partial, batch_format="pyarrow")
+        .groupby("pk")
+        .aggregate(Sum("s100", alias_name="s100"), Sum("n", alias_name="n"))
+    )
+
+    def _stats_row(t: pa.Table) -> pa.Table:
+        pk = t["pk"].to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "pk": pk,
+                "q100": t["s100"].to_numpy().astype(np.int64),
+                "price100": t["n"].to_numpy().astype(np.int64),
+                "is_stat": np.ones(len(pk), bool),
+                "b": (pk % B).astype(np.int32),
+            }
+        )
+
+    li2 = read_table(
+        sf_dir, "lineitem", columns=["l_partkey", "l_quantity", "l_extendedprice"]
+    )
+
+    def _rows(t: pa.Table) -> pa.Table:
+        pk = t["l_partkey"].to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "pk": pk,
+                "q100": np.round(t["l_quantity"].to_numpy() * 100).astype(np.int64),
+                "price100": np.round(t["l_extendedprice"].to_numpy() * 100).astype(
+                    np.int64
+                ),
+                "is_stat": np.zeros(len(pk), bool),
+                "b": (pk % B).astype(np.int32),
+            }
+        )
+
+    def _filter_sum(g: pa.Table) -> pa.Table:
+        pk = g["pk"].to_numpy()
+        q100 = g["q100"].to_numpy()
+        price100 = g["price100"].to_numpy()
+        is_stat = g["is_stat"].to_numpy(zero_copy_only=False)
+        skey = pk[is_stat]
+        order = np.argsort(skey)
+        skey = skey[order]
+        s100 = q100[is_stat][order]
+        n = price100[is_stat][order]
+        rpk = pk[~is_stat]
+        if len(skey) == 0 or len(rpk) == 0:
+            return pa.table({"rev100": np.array([0], np.int64)})
+        pos = np.searchsorted(skey, rpk)
+        pos_c = np.minimum(pos, len(skey) - 1)
+        hit = skey[pos_c] == rpk
+        # exact-integer below-average predicate: 5·q·n < S
+        keep = hit & (5 * q100[~is_stat] * n[pos_c] < s100[pos_c])
+        return pa.table(
+            {"rev100": np.array([price100[~is_stat][keep].sum()], np.int64)}
+        )
+
+    partials = (
+        li2.map_batches(_rows, batch_format="pyarrow")
+        .union(stats.map_batches(_stats_row, batch_format="pyarrow"))
+        .groupby("b")
+        .map_groups(_filter_sum, batch_format="pyarrow")
+    )
+    total = partials.aggregate(Sum("rev100", alias_name="rev100"))["rev100"]
+    return pd.DataFrame({"avg_yearly": [float(total or 0) / 700.0]})
+
+
+def large_volume_orders(sf_dir: str, min_qty_sum: float = 250.0, num_buckets: int = 32):
+    """Q18-shaped HAVING filter + join: orders whose total lineitem quantity
+    exceeds ``min_qty_sum`` with their customer and price attributes →
+    (o_orderkey, o_custkey, o_totalprice, total_qty).
+
+    Scale shape: lineitem pre-sums quantity per orderkey inside each batch
+    (int hundredths, exact); orders ships (key, custkey, totalprice) once.
+    One bucketed union-groupby finishes per-order totals (an orderkey's
+    partials co-bucket), applies the HAVING filter, and inner-joins the
+    surviving keys to the order attributes vectorized — only qualifying
+    rows leave the bucket. o_totalprice is carried untouched (no float
+    arithmetic), so the hash compare is trivially exact."""
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
+    orders = read_table(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"]
+    )
+    B = np.int64(num_buckets)
+    thresh100 = np.int64(round(min_qty_sum * 100))
+
+    def _li(t: pa.Table) -> pa.Table:
+        k = t["l_orderkey"].to_numpy().astype(np.int64)
+        q100 = np.round(t["l_quantity"].to_numpy() * 100).astype(np.int64)
+        key, inv = np.unique(k, return_inverse=True)
+        s = np.bincount(inv, weights=q100.astype(np.float64)).astype(np.int64)
+        return pa.table(
+            {
+                "k": key,
+                "q100": s,
+                "custkey": np.zeros(len(key), np.int64),
+                "price": np.zeros(len(key), np.float64),
+                "is_order": np.zeros(len(key), bool),
+                "b": (key % B).astype(np.int32),
+            }
+        )
+
+    def _orders(t: pa.Table) -> pa.Table:
+        k = t["o_orderkey"].to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "k": k,
+                "q100": np.zeros(len(k), np.int64),
+                "custkey": t["o_custkey"].to_numpy().astype(np.int64),
+                "price": t["o_totalprice"].to_numpy(),
+                "is_order": np.ones(len(k), bool),
+                "b": (k % B).astype(np.int32),
+            }
+        )
+
+    def _having(g: pa.Table) -> pa.Table:
+        k = g["k"].to_numpy()
+        q100 = g["q100"].to_numpy()
+        is_order = g["is_order"].to_numpy(zero_copy_only=False)
+        okey = k[is_order]
+        order = np.argsort(okey)
+        okey = okey[order]
+        ocust = g["custkey"].to_numpy()[is_order][order]
+        oprice = g["price"].to_numpy()[is_order][order]
+        key, inv = np.unique(k[~is_order], return_inverse=True)
+        tot = np.bincount(inv, weights=q100[~is_order].astype(np.float64)).astype(
+            np.int64
+        )
+        big = tot > thresh100
+        bkey, btot = key[big], tot[big]
+        if len(okey) == 0 or len(bkey) == 0:
+            empty = np.array([], np.int64)
+            return pa.table(
+                {
+                    "o_orderkey": empty,
+                    "o_custkey": empty,
+                    "o_totalprice": np.array([], np.float64),
+                    "total_qty": np.array([], np.float64),
+                }
+            )
+        pos = np.searchsorted(okey, bkey)
+        pos_c = np.minimum(pos, len(okey) - 1)
+        hit = okey[pos_c] == bkey
+        return pa.table(
+            {
+                "o_orderkey": bkey[hit],
+                "o_custkey": ocust[pos_c[hit]],
+                "o_totalprice": oprice[pos_c[hit]],
+                "total_qty": btot[hit].astype(np.float64) / 100.0,
+            }
+        )
+
+    return (
+        li.map_batches(_li, batch_format="pyarrow")
+        .union(orders.map_batches(_orders, batch_format="pyarrow"))
+        .groupby("b")
+        .map_groups(_having, batch_format="pyarrow")
+    )
+
+
+def shipping_priority_topk(
+    sf_dir: str, cutoff: str = "1997-06-15", k: int = 10, num_buckets: int = 32
+):
+    """Q3-shaped filtered join + global top-k: the ``k`` highest-revenue
+    orders placed before ``cutoff`` among lineitems shipped after it →
+    (o_orderkey, revenue, o_orderdate, rnk), ties broken by orderkey asc.
+
+    Scale shape: both sides are predicate-filtered AT THE BATCH boundary
+    and lineitem pre-sums revenue per orderkey (exact int cents) before the
+    one bucketed union-groupby; each bucket emits only its local top-k, so
+    the final fold sees ≤ k·num_buckets rows — the global top-k never
+    requires a sort of the joined table."""
+    cut = np.datetime64(cutoff, "us")
+    li = read_table(
+        sf_dir,
+        "lineitem",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_orderdate"])
+    B = np.int64(num_buckets)
+
+    def _li(t: pa.Table) -> pa.Table:
+        m = t["l_shipdate"].to_numpy() > cut
+        k_ = t["l_orderkey"].to_numpy().astype(np.int64)[m]
+        cents = np.round(t["l_extendedprice"].to_numpy()[m] * 100).astype(np.int64)
+        disc = np.round(t["l_discount"].to_numpy()[m] * 100).astype(np.int64)
+        rev = cents * (100 - disc)
+        key, inv = np.unique(k_, return_inverse=True)
+        s = np.bincount(inv, weights=rev.astype(np.float64)).astype(np.int64)
+        return pa.table(
+            {
+                "k": key,
+                "rev": s,
+                "odate": pa.array([""] * len(key), pa.string()),
+                "is_order": np.zeros(len(key), bool),
+                "b": (key % B).astype(np.int32),
+            }
+        )
+
+    def _orders(t: pa.Table) -> pa.Table:
+        d = t["o_orderdate"].to_numpy()
+        m = d < cut
+        k_ = t["o_orderkey"].to_numpy().astype(np.int64)[m]
+        return pa.table(
+            {
+                "k": k_,
+                "rev": np.zeros(len(k_), np.int64),
+                "odate": np.datetime_as_string(d[m].astype("datetime64[D]"), unit="D"),
+                "is_order": np.ones(len(k_), bool),
+                "b": (k_ % B).astype(np.int32),
+            }
+        )
+
+    def _local_topk(g: pa.Table) -> pa.Table:
+        kk = g["k"].to_numpy()
+        rev = g["rev"].to_numpy()
+        is_order = g["is_order"].to_numpy(zero_copy_only=False)
+        odate = g["odate"].to_numpy(zero_copy_only=False)
+        okey = kk[is_order]
+        order = np.argsort(okey)
+        okey, od = okey[order], odate[is_order][order]
+        key, inv = np.unique(kk[~is_order], return_inverse=True)
+        tot = np.bincount(inv, weights=rev[~is_order].astype(np.float64)).astype(
+            np.int64
+        )
+        if len(okey) == 0 or len(key) == 0:
+            key = tot = np.array([], np.int64)
+            od = np.array([], object)
+        else:
+            pos = np.searchsorted(okey, key)
+            pos_c = np.minimum(pos, len(okey) - 1)
+            hit = okey[pos_c] == key
+            key, tot, od = key[hit], tot[hit], od[pos_c[hit]]
+        pick = np.lexsort((key, -tot))[:k]
+        return pa.table(
+            {
+                "one": np.ones(len(pick), np.int32),
+                "o_orderkey": key[pick],
+                "rev": tot[pick],
+                "o_orderdate": pa.array(list(od[pick]), pa.string()),
+            }
+        )
+
+    def _global_topk(g: pa.Table) -> pa.Table:
+        key = g["o_orderkey"].to_numpy()
+        tot = g["rev"].to_numpy()
+        od = g["o_orderdate"].to_numpy(zero_copy_only=False)
+        pick = np.lexsort((key, -tot))[:k]
+        return pa.table(
+            {
+                "o_orderkey": key[pick],
+                "revenue": tot[pick].astype(np.float64) / 10000.0,
+                "o_orderdate": pa.array(list(od[pick]), pa.string()),
+                "rnk": np.arange(1, len(pick) + 1, dtype=np.int64),
+            }
+        )
+
+    return (
+        li.map_batches(_li, batch_format="pyarrow")
+        .union(orders.map_batches(_orders, batch_format="pyarrow"))
+        .groupby("b")
+        .map_groups(_local_topk, batch_format="pyarrow")
+        .groupby("one")
+        .map_groups(_global_topk, batch_format="pyarrow")
+    )
+
+
+def waiting_suppliers(sf_dir: str, num_buckets: int = 32):
+    """Q21-shaped multi-predicate same-key join: per supplier, the number
+    of multi-supplier orders where THIS supplier was the only one with a
+    returned ('R') lineitem → (l_suppkey, numwait).
+
+    One key (l_orderkey) carries a semi-join (≥ 2 distinct suppliers), an
+    anti-join (no OTHER supplier returned), and the positive predicate —
+    all resolved in a single bucketed exchange. Per-batch combine dedupes
+    to (order, supplier, any-R) triples (``np.maximum.reduceat`` over the
+    sorted run boundaries) so the shuffle carries distinct pairs, not
+    lineitem rows; the whole bucket then qualifies suppliers vectorized
+    and emits per-supplier partial counts."""
+    from ray.data.aggregate import Sum
+
+    li = read_table(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey", "l_returnflag"]
+    )
+    B = np.int64(num_buckets)
+
+    def _dedupe(o, s, f):
+        order = np.lexsort((s, o))
+        o, s, f = o[order], s[order], f[order]
+        start = np.ones(len(o), bool)
+        start[1:] = (o[1:] != o[:-1]) | (s[1:] != s[:-1])
+        idx = np.nonzero(start)[0]
+        if len(idx) == 0:
+            return o, s, f
+        fmax = np.maximum.reduceat(f, idx)
+        return o[start], s[start], fmax
+
+    def _pairs(t: pa.Table) -> pa.Table:
+        o = t["l_orderkey"].to_numpy().astype(np.int64)
+        s = t["l_suppkey"].to_numpy().astype(np.int64)
+        f = (t["l_returnflag"].to_numpy(zero_copy_only=False) == "R").astype(np.int8)
+        o, s, f = _dedupe(o, s, f)
+        return pa.table(
+            {"o": o, "s": s, "f": f, "b": (o % B).astype(np.int32)}
+        )
+
+    def _qualify(g: pa.Table) -> pa.Table:
+        o, s, f = _dedupe(
+            g["o"].to_numpy(), g["s"].to_numpy(), g["f"].to_numpy()
+        )
+        okey, inv, nsupp = np.unique(o, return_inverse=True, return_counts=True)
+        nr = np.zeros(len(okey), np.int64)
+        np.add.at(nr, inv, f.astype(np.int64))
+        win = (f == 1) & (nr[inv] == 1) & (nsupp[inv] >= 2)
+        skey, cnt = np.unique(s[win], return_counts=True)
+        return pa.table({"l_suppkey": skey, "n": cnt.astype(np.int64)})
+
+    return (
+        li.map_batches(_pairs, batch_format="pyarrow")
+        .groupby("b")
+        .map_groups(_qualify, batch_format="pyarrow")
+        .groupby("l_suppkey")
+        .aggregate(Sum("n", alias_name="numwait"))
+    )
+
+
+def sales_opportunity(sf_dir: str, since: str = "2000-06-01", num_buckets: int = 32):
+    """Q22-shaped scalar-subquery + anti-join: per nation, the count and
+    total balance of CHURNED high-value customers — balance above the
+    global average positive balance AND no order since ``since`` →
+    (c_nationkey, numcust, totacctbal).
+
+    The global average is folded first as exact int cents (one tiny
+    aggregate — two scalars reach the driver, O(1), then ride into the
+    predicate closure); ``bal > avg`` is evaluated as ``c100·n > S100`` in
+    exact ints so no float ulp flips a borderline customer. The
+    no-recent-orders anti-join is the distinct-key bucket machine (probe
+    side date-filtered AND deduped inside each batch); surviving customers
+    partial-aggregate per nation inside their bucket."""
+    from ray.data.aggregate import Sum
+
+    cust_bal = read_table(sf_dir, "customer", columns=["c_acctbal"])
+
+    def _bal_partial(t: pa.Table) -> pa.Table:
+        c100 = np.round(t["c_acctbal"].to_numpy() * 100).astype(np.int64)
+        pos = c100 > 0
+        return pa.table(
+            {
+                "s100": np.array([c100[pos].sum()], np.int64),
+                "n": np.array([int(pos.sum())], np.int64),
+            }
+        )
+
+    tot = cust_bal.map_batches(_bal_partial, batch_format="pyarrow").aggregate(
+        Sum("s100", alias_name="s100"), Sum("n", alias_name="n")
+    )
+    s100, n = np.int64(tot["s100"] or 0), np.int64(tot["n"] or 0)
+
+    cust = read_table(
+        sf_dir, "customer", columns=["c_custkey", "c_nationkey", "c_acctbal"]
+    )
+    orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_orderdate"])
+    B = np.int64(num_buckets)
+    since_us = np.datetime64(since, "us")
+
+    def _cust(t: pa.Table) -> pa.Table:
+        c100 = np.round(t["c_acctbal"].to_numpy() * 100).astype(np.int64)
+        keep = c100 * n > s100  # exact-int above-average predicate
+        k = t["c_custkey"].to_numpy().astype(np.int64)[keep]
+        return pa.table(
+            {
+                "k": k,
+                "nation": t["c_nationkey"].to_numpy().astype(np.int64)[keep],
+                "c100": c100[keep],
+                "probe": np.zeros(len(k), bool),
+                "b": (k % B).astype(np.int32),
+            }
+        )
+
+    def _orders(t: pa.Table) -> pa.Table:
+        recent = t["o_orderdate"].to_numpy() >= since_us
+        k = np.unique(t["o_custkey"].to_numpy()[recent]).astype(np.int64)
+        return pa.table(
+            {
+                "k": k,
+                "nation": np.zeros(len(k), np.int64),
+                "c100": np.zeros(len(k), np.int64),
+                "probe": np.ones(len(k), bool),
+                "b": (k % B).astype(np.int32),
+            }
+        )
+
+    def _anti(g: pa.Table) -> pa.Table:
+        k = g["k"].to_numpy()
+        probe = g["probe"].to_numpy(zero_copy_only=False)
+        keep = ~np.isin(k[~probe], k[probe])
+        nation = g["nation"].to_numpy()[~probe][keep]
+        c100 = g["c100"].to_numpy()[~probe][keep]
+        key, inv, cnt = np.unique(nation, return_inverse=True, return_counts=True)
+        s = np.zeros(len(key), np.int64)
+        np.add.at(s, inv, c100)
+        return pa.table(
+            {
+                "c_nationkey": key,
+                "numcust": cnt.astype(np.int64),
+                "tot100": s,
+            }
+        )
+
+    out = (
+        cust.map_batches(_cust, batch_format="pyarrow")
+        .union(orders.map_batches(_orders, batch_format="pyarrow"))
+        .groupby("b")
+        .map_groups(_anti, batch_format="pyarrow")
+        .groupby("c_nationkey")
+        .aggregate(Sum("numcust", alias_name="numcust"), Sum("tot100", alias_name="tot100"))
+    )
+
+    def _finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_nationkey": t["c_nationkey"],
+                "numcust": t["numcust"],
+                "totacctbal": t["tot100"].to_numpy().astype(np.float64) / 100.0,
+            }
+        )
+
+    return out.map_batches(_finish, batch_format="pyarrow")
+
+
+def events_cumsum(sf_dir: str, num_buckets: int | None = None):
+    """Per-user RUNNING SUM window function (ROWS UNBOUNDED PRECEDING,
+    ordered by ts then event_id) → (event_id, cum_value).
+
+    Scale shape: the events_lag machine — ONE user-bucketed shuffle, a
+    whole bucket handled vectorized (lexsort + cumsum with per-user base
+    subtraction). Values carry two decimals, so the running sum is folded
+    as exact int cents — no float-summation-order dependence vs the SQL
+    window (whose segment-tree summation would otherwise differ in ulps)."""
+    ds = read_table(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"])
+    num_buckets = _auto_buckets(ds, num_buckets)
+
+    def _bucket(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy()
+        return t.append_column("b", pa.array((u % num_buckets).astype(np.int32)))
+
+    def _cumsum(g: pa.Table) -> pa.Table:
+        u = g["user_id"].to_numpy()
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        eid = g["event_id"].to_numpy()
+        c100 = np.round(g["value"].to_numpy() * 100).astype(np.int64)
+        order = np.lexsort((eid, ts, u))
+        u, eid, c100 = u[order], eid[order], c100[order]
+        c = np.cumsum(c100)
+        start = np.ones(len(u), bool)
+        start[1:] = u[1:] != u[:-1]
+        idx = np.nonzero(start)[0]
+        run = np.diff(np.append(idx, len(u)))
+        base = np.repeat(np.where(idx > 0, c[idx - 1], 0), run)
+        return pa.table(
+            {
+                "event_id": eid,
+                "cum_value": (c - base).astype(np.float64) / 100.0,
+            }
+        )
+
+    return (
+        ds.map_batches(_bucket, batch_format="pyarrow")
+        .groupby("b")
+        .map_groups(_cumsum, batch_format="pyarrow")
+    )
+
+
+def succ_reciprocity(sf_dir: str, num_buckets: int = 32, round_to: int = 6):
+    """Reciprocity of the directed part-successor graph: the fraction of
+    distinct directed edges whose reverse edge also exists → one row
+    (n_edges, n_recip, reciprocity).
+
+    Scale shape: consumes :func:`succ_edges` (which dedupes per bucket but
+    not globally), canonicalizes each edge to an undirected 64-bit key +
+    direction bit, and buckets BY KEY — both directions and all duplicate
+    sightings of a pair co-locate, so one exchange yields exact global
+    counts from per-bucket partials (distinct directed edges; edges whose
+    key has both direction bits). The driver folds B partial rows."""
+    from ..functions.rounding import round_half_away
+    from ray.data.aggregate import Sum
+
+    edges = succ_edges(sf_dir)
+    B = np.uint64(num_buckets)
+
+    def _canon(t: pa.Table) -> pa.Table:
+        s = t["src"].to_numpy().astype(np.uint64)
+        d = t["dst"].to_numpy().astype(np.uint64)
+        lo, hi = np.minimum(s, d), np.maximum(s, d)
+        key = (lo << np.uint64(32)) | hi
+        direc = np.where(s < d, 1, 2).astype(np.int8)
+        return pa.table(
+            {
+                "key": key.view(np.int64),
+                "direc": direc,
+                "b": (key % B).astype(np.int32),
+            }
+        )
+
+    def _count(g: pa.Table) -> pa.Table:
+        key = g["key"].to_numpy()
+        direc = g["direc"].to_numpy().astype(np.int64)
+        order = np.lexsort((direc, key))
+        key, direc = key[order], direc[order]
+        first = np.ones(len(key), bool)
+        first[1:] = (key[1:] != key[:-1]) | (direc[1:] != direc[:-1])
+        key, direc = key[first], direc[first]  # distinct directed edges
+        ukey, cnt = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                "n_edges": np.array([len(key)], np.int64),
+                "n_recip": np.array([2 * int((cnt == 2).sum())], np.int64),
+            }
+        )
+
+    parts = (
+        edges.map_batches(_canon, batch_format="pyarrow")
+        .groupby("b")
+        .map_groups(_count, batch_format="pyarrow")
+    )
+    tot = parts.aggregate(
+        Sum("n_edges", alias_name="n_edges"), Sum("n_recip", alias_name="n_recip")
+    )
+    ne, nr = int(tot["n_edges"] or 0), int(tot["n_recip"] or 0)
+    return pd.DataFrame(
+        {
+            "n_edges": [ne],
+            "n_recip": [nr],
+            "reciprocity": [float(round_half_away(nr / ne, round_to)) if ne else 0.0],
+        }
     )
 
 

@@ -1,0 +1,253 @@
+"""Semantics tests for the TPC-H-shaped join queries (Q3/Q4/Q13/Q17/Q18
+analogues) on tiny synthetic star slices — each proves the join edge case
+the shape exists for (zero-order customers kept, EXISTS counted once,
+exact below-average predicate, HAVING threshold, global top-k tie-break).
+
+The driver gate additionally hash-compares each against its DuckDB oracle
+on the real sf tables.
+"""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from subgraph_isomorphism_pregel_ray.pipelines.relational import (
+    customer_order_histogram,
+    large_volume_orders,
+    order_priority_semi,
+    shipping_priority_topk,
+    small_qty_revenue,
+)
+
+
+def _write(tmp_path, name, cols):
+    pq.write_table(pa.table(cols), tmp_path / f"{name}.parquet")
+
+
+def test_order_priority_semi_counts_each_order_once(ray_session, tmp_path):
+    # order 1 has TWO qualifying lineitems -> still counted once (EXISTS,
+    # not join-multiplied); order 3 has none -> excluded
+    _write(
+        tmp_path,
+        "orders",
+        {
+            "o_orderkey": pa.array([1, 2, 3], pa.int64()),
+            "o_orderpriority": pa.array(["1-URGENT", "1-URGENT", "2-HIGH"]),
+        },
+    )
+    _write(
+        tmp_path,
+        "lineitem",
+        {
+            "l_orderkey": pa.array([1, 1, 2, 3], pa.int64()),
+            "l_quantity": pa.array([50.0, 49.0, 48.0, 47.0]),
+        },
+    )
+    got = order_priority_semi(str(tmp_path)).to_pandas().set_index("o_orderpriority")
+    assert got.loc["1-URGENT", "n_orders"] == 2
+    assert "2-HIGH" not in got.index
+
+
+def test_customer_order_histogram_keeps_zero_order_customers(ray_session, tmp_path):
+    # customers 1,2 place 2 and 1 orders; customers 3,4 place none ->
+    # histogram bucket n_orders=0 must report 2 customers (LEFT join)
+    _write(
+        tmp_path,
+        "customer",
+        {"c_custkey": pa.array([1, 2, 3, 4], pa.int64())},
+    )
+    _write(
+        tmp_path,
+        "orders",
+        {"o_custkey": pa.array([1, 1, 2, 99], pa.int64())},
+    )
+    got = (
+        customer_order_histogram(str(tmp_path))
+        .to_pandas()
+        .set_index("n_orders")["n_custs"]
+        .to_dict()
+    )
+    # orders from custkey 99 (no customer row) are dropped, not invented
+    assert got == {0: 2, 1: 1, 2: 1}
+
+
+def test_small_qty_revenue_exact_boundary(ray_session, tmp_path):
+    # part 10: quantities 10,40 -> avg 25, 0.2*avg = 5; qty 10 is NOT < 5.
+    # part 20: quantities 1,99 -> 0.2*avg = 10; qty 1 qualifies (price 700
+    # dollars -> 700/7 = 100.0 yearly-averaged). Boundary case part 30:
+    # qty 2,18 -> 0.2*avg = 2 exactly; 2 < 2 is false -> excluded (strict
+    # inequality, exact ints).
+    _write(
+        tmp_path,
+        "lineitem",
+        {
+            "l_partkey": pa.array([10, 10, 20, 20, 30, 30], pa.int64()),
+            "l_quantity": pa.array([10.0, 40.0, 1.0, 99.0, 2.0, 18.0]),
+            "l_extendedprice": pa.array([5.0, 5.0, 700.0, 5.0, 900.0, 5.0]),
+        },
+    )
+    got = small_qty_revenue(str(tmp_path))
+    assert float(got["avg_yearly"].iloc[0]) == 100.0
+
+
+def test_large_volume_orders_having_threshold(ray_session, tmp_path):
+    _write(
+        tmp_path,
+        "orders",
+        {
+            "o_orderkey": pa.array([1, 2], pa.int64()),
+            "o_custkey": pa.array([7, 8], pa.int64()),
+            "o_totalprice": pa.array([100.5, 200.25]),
+        },
+    )
+    _write(
+        tmp_path,
+        "lineitem",
+        {
+            "l_orderkey": pa.array([1, 1, 2], pa.int64()),
+            "l_quantity": pa.array([6.0, 5.0, 10.0]),
+        },
+    )
+    got = large_volume_orders(str(tmp_path), min_qty_sum=10.0).to_pandas()
+    assert sorted(got["o_orderkey"]) == [1]  # 11 > 10; order 2 == 10 excluded
+    row = got.iloc[0]
+    assert row["o_custkey"] == 7 and row["total_qty"] == 11.0
+    assert row["o_totalprice"] == 100.5
+
+
+def test_shipping_priority_topk_filters_and_tiebreak(ray_session, tmp_path):
+    # orders 1,2 placed before the cutoff (3 after -> excluded); only
+    # lineitems shipped AFTER the cutoff count; equal revenues tie-break
+    # by orderkey ascending
+    cut = np.datetime64("2000-01-01", "us")
+    _write(
+        tmp_path,
+        "orders",
+        {
+            "o_orderkey": pa.array([1, 2, 3], pa.int64()),
+            "o_orderdate": pa.array(
+                np.array(["1999-06-01", "1999-07-01", "2000-02-01"], "datetime64[us]")
+            ),
+        },
+    )
+    _write(
+        tmp_path,
+        "lineitem",
+        {
+            "l_orderkey": pa.array([1, 1, 2, 3], pa.int64()),
+            "l_extendedprice": pa.array([100.0, 50.0, 150.0, 999.0]),
+            "l_discount": pa.array([0.0, 0.0, 0.0, 0.0]),
+            "l_shipdate": pa.array(
+                np.array(
+                    ["2000-03-01", "1999-12-31", "2000-03-01", "2000-03-01"],
+                    "datetime64[us]",
+                )
+            ),
+        },
+    )
+    got = (
+        shipping_priority_topk(str(tmp_path), cutoff="2000-01-01", k=10)
+        .to_pandas()
+        .sort_values("rnk")
+        .reset_index(drop=True)
+    )
+    # order 1: only the post-cutoff lineitem counts -> 100; order 2 -> 150
+    assert list(got["o_orderkey"]) == [2, 1]
+    assert list(got["revenue"]) == [150.0, 100.0]
+    assert list(got["rnk"]) == [1, 2]
+    assert list(got["o_orderdate"]) == ["1999-07-01", "1999-06-01"]
+
+
+def test_waiting_suppliers_sole_returner(ray_session, tmp_path):
+    # order 1: suppliers 5 (R) and 6 (N) -> supplier 5 waits.
+    # order 2: suppliers 5 (R) and 6 (R) -> two returners, nobody waits.
+    # order 3: supplier 5 (R) alone -> single-supplier order, excluded.
+    # duplicate lineitems for (1,5) must not double-count.
+    _write(
+        tmp_path,
+        "lineitem",
+        {
+            "l_orderkey": pa.array([1, 1, 1, 2, 2, 3], pa.int64()),
+            "l_suppkey": pa.array([5, 5, 6, 5, 6, 5], pa.int64()),
+            "l_returnflag": pa.array(["R", "N", "N", "R", "R", "R"]),
+        },
+    )
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import waiting_suppliers
+
+    got = waiting_suppliers(str(tmp_path)).to_pandas()
+    assert got.set_index("l_suppkey")["numwait"].to_dict() == {5: 1}
+
+
+def test_sales_opportunity_exact_avg_and_antijoin(ray_session, tmp_path):
+    # positive balances: 100, 200, 300 -> avg 200. Customer 2 (200) is NOT
+    # above average (strict); customer 3 (300) is, but has a RECENT order;
+    # customer 4 (300, nation 9) has only a stale order -> qualifies.
+    # Negative balance ignored in the average and never above it.
+    _write(
+        tmp_path,
+        "customer",
+        {
+            "c_custkey": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "c_nationkey": pa.array([7, 7, 8, 9, 9], pa.int64()),
+            "c_acctbal": pa.array([100.0, 200.0, 300.0, 300.0, -50.0]),
+        },
+    )
+    _write(
+        tmp_path,
+        "orders",
+        {
+            "o_custkey": pa.array([3, 4], pa.int64()),
+            "o_orderdate": pa.array(
+                np.array(["2000-07-01", "1999-01-01"], "datetime64[us]")
+            ),
+        },
+    )
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import sales_opportunity
+
+    got = sales_opportunity(str(tmp_path)).to_pandas()
+    assert got.set_index("c_nationkey")[["numcust", "totacctbal"]].to_dict("index") == {
+        9: {"numcust": 1, "totacctbal": 300.0}
+    }
+
+
+def test_events_cumsum_per_user_reset(ray_session, tmp_path):
+    ts = np.array(
+        ["2024-01-01T00:00:00", "2024-01-01T00:01:00", "2024-01-01T00:02:00",
+         "2024-01-01T00:00:30"],
+        "datetime64[us]",
+    )
+    _write(
+        tmp_path,
+        "events",
+        {
+            "event_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "ts": pa.array(ts),
+            "user_id": pa.array([1, 1, 1, 2], pa.int64()),
+            "value": pa.array([1.25, 2.50, 0.25, 9.0]),
+        },
+    )
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import events_cumsum
+
+    got = events_cumsum(str(tmp_path)).to_pandas().set_index("event_id")["cum_value"]
+    assert got.to_dict() == {0: 1.25, 1: 3.75, 2: 4.0, 3: 9.0}
+
+
+def test_succ_reciprocity_counts_mutual_edges(ray_session, tmp_path):
+    # order 1 walks 10->11->10 (edges 10->11, 11->10: reciprocal pair);
+    # order 2 walks 12->13 (one-way). 3 directed edges, 2 reciprocal.
+    _write(
+        tmp_path,
+        "lineitem",
+        {
+            "l_orderkey": pa.array([1, 1, 1, 2, 2], pa.int64()),
+            "l_linenumber": pa.array([1, 2, 3, 1, 2], pa.int32()),
+            "l_partkey": pa.array([10, 11, 10, 12, 13], pa.int64()),
+            "l_quantity": pa.array([1.0, 1.0, 1.0, 1.0, 1.0]),
+        },
+    )
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import succ_reciprocity
+
+    got = succ_reciprocity(str(tmp_path))
+    assert int(got["n_edges"].iloc[0]) == 3
+    assert int(got["n_recip"].iloc[0]) == 2
+    assert abs(float(got["reciprocity"].iloc[0]) - 0.666667) < 1e-9
