@@ -926,6 +926,31 @@ def _q_succ_reciprocity(sf_dir: str):
     return succ_reciprocity(sf_dir)
 
 
+def _q_revenue_rollup(sf_dir: str):
+    """GROUPING SETS rollup ((region,nation),(region),()) — one fact pass,
+    higher levels folded from the finest (exact int cents)."""
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import revenue_rollup
+
+    return revenue_rollup(sf_dir)
+
+
+def _q_user_event_pivot(sf_dir: str):
+    """PIVOT events to one row per user (count per type + exact total)."""
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import user_event_pivot
+
+    return user_event_pivot(sf_dir)
+
+
+def _q_component_size_histogram(sf_dir: str):
+    """Component size distribution streamed out of the CC partition actors
+    (two tiny partial-count shuffles; the driver never sees |V| rows)."""
+    from subgraph_isomorphism_pregel_ray.pipelines.algorithms import (
+        component_size_histogram,
+    )
+
+    return component_size_histogram(_sym_copurchase(sf_dir), num_parts=4)
+
+
 def _q_events_percent_rank(sf_dir: str):
     """PERCENT_RANK of value within each user's events (SQL tie
     semantics), rounded half-away at 6 for the hash compare."""
@@ -1135,6 +1160,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sales_opportunity": _q_sales_opportunity,
         "events_cumsum": _q_events_cumsum,
         "succ_reciprocity": _q_succ_reciprocity,
+        "revenue_rollup": _q_revenue_rollup,
+        "user_event_pivot": _q_user_event_pivot,
+        "component_size_histogram": _q_component_size_histogram,
         "salient_terms": _q_salient_terms,
         "search_topk": _q_search_topk,
         "hll_registers_daily": _q_hll_registers,
@@ -2583,6 +2611,39 @@ def oracle_sql() -> dict[str, str]:
             "(ORDER BY rev DESC, o_orderkey) AS rnk FROM j) "
             "SELECT o_orderkey, rev / 10000.0 AS revenue, o_orderdate, rnk "
             "FROM ranked WHERE rnk <= 10"
+        ),
+        "revenue_rollup": (
+            # same exact-int-cents fold as revenue_by_nation; 'ALL' is the
+            # rollup placeholder on both sides (no NULL-semantics in the
+            # hash compare)
+            "SELECT CASE WHEN GROUPING(r_name) = 1 THEN 'ALL' ELSE r_name END "
+            "AS r_name, "
+            "CASE WHEN GROUPING(n_name) = 1 THEN 'ALL' ELSE n_name END "
+            "AS n_name, "
+            "sum(CAST(round(l_extendedprice * 100) AS BIGINT) * "
+            "(100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0 "
+            "AS revenue "
+            "FROM lineitem JOIN orders ON o_orderkey = l_orderkey "
+            "JOIN customer ON c_custkey = o_custkey "
+            "JOIN nation ON n_nationkey = c_nationkey "
+            "JOIN region ON r_regionkey = n_regionkey "
+            "GROUP BY GROUPING SETS ((r_name, n_name), (r_name), ())"
+        ),
+        "user_event_pivot": (
+            # fixed pivot schema; total as exact int cents
+            "SELECT user_id, "
+            "count(*) FILTER (WHERE event_type = 'click') AS n_click, "
+            "count(*) FILTER (WHERE event_type = 'error') AS n_error, "
+            "count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase, "
+            "count(*) FILTER (WHERE event_type = 'signup') AS n_signup, "
+            "count(*) FILTER (WHERE event_type = 'view') AS n_view, "
+            "sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS total_value "
+            "FROM events GROUP BY 1"
+        ),
+        "component_size_histogram": (
+            "SELECT csize, count(*) AS n_components FROM ("
+            f"SELECT component, count(*) AS csize FROM ({_cc_sql()}) x "
+            "GROUP BY component) GROUP BY csize"
         ),
         "waiting_suppliers": (
             # Q21 shape: distinct (order, supplier, any-R) pairs; a supplier

@@ -55,6 +55,7 @@ __all__ = [
     "bowtie",
     "weighted_pagerank",
     "weighted_sssp_stored",
+    "component_size_histogram",
 ]
 
 
@@ -203,6 +204,53 @@ def connected_components(edges_or_engine, num_parts: int = 8, max_steps: int = 2
     if own:
         eng.shutdown()
     return out, lineage
+
+
+def component_size_histogram(edges_or_engine, num_parts: int = 8,
+                             max_steps: int = 200, num_buckets: int = 32):
+    """Connected-component SIZE DISTRIBUTION → (csize, n_components):
+    how many components have exactly N vertices.
+
+    Scale shape: the per-vertex labels STREAM out of the partition actors
+    as a Dataset (``result_dataset`` — never concatenated on the driver,
+    unlike the per-vertex queries that return |V| rows by design); each
+    batch partial-counts its components, one bucketed groupby finishes
+    per-component sizes, and a second tiny groupby folds the histogram.
+    The driver sees only (distinct sizes) rows."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    eng, _lineage, own = _run(
+        edges_or_engine, "cc", {}, num_parts, max_steps, directed=False,
+    )
+    ds = eng.result_dataset()
+    B = np.int64(num_buckets)
+
+    def _partial(t: pa.Table) -> pa.Table:
+        comp = t["component"].to_numpy().view(np.int64)
+        k, cnt = np.unique(comp, return_counts=True)
+        return pa.table(
+            {"comp": k, "n": cnt.astype(np.int64), "b": (k % B).astype(np.int32)}
+        )
+
+    def _sizes(g: pa.Table) -> pa.Table:
+        k, inv = np.unique(g["comp"].to_numpy(), return_inverse=True)
+        s = np.zeros(len(k), np.int64)
+        np.add.at(s, inv, g["n"].to_numpy())
+        size, cnt = np.unique(s, return_counts=True)
+        return pa.table({"csize": size, "n": cnt.astype(np.int64)})
+
+    out = (
+        ds.map_batches(_partial, batch_format="pyarrow")
+        .groupby("b")
+        .map_groups(_sizes, batch_format="pyarrow")
+        .groupby("csize")
+        .aggregate(Sum("n", alias_name="n_components"))
+        .to_pandas()
+    )
+    if own:
+        eng.shutdown()
+    return out
 
 
 def sssp(edges_or_engine, seed_mod: int = 101, num_parts: int = 8,

@@ -51,6 +51,8 @@ __all__ = [
     "sales_opportunity",
     "events_cumsum",
     "succ_reciprocity",
+    "revenue_rollup",
+    "user_event_pivot",
 ]
 
 
@@ -2109,6 +2111,99 @@ def succ_reciprocity(sf_dir: str, num_buckets: int = 32, round_to: int = 6):
             "n_recip": [nr],
             "reciprocity": [float(round_half_away(nr / ne, round_to)) if ne else 0.0],
         }
+    )
+
+
+def revenue_rollup(sf_dir: str, num_buckets: int = 32):
+    """GROUPING SETS rollup — ((region, nation), (region), ()) — in ONE
+    pass over the fact table → (r_name, n_name, revenue) with 'ALL' as the
+    rollup placeholder (so the hash compare never sees NULL semantics).
+
+    Scale shape: the heavy three-join aggregation runs ONCE (the
+    :func:`_revenue_cents_by_nation` machine — exchanges carry per-key
+    int-cent partials); the region and grand-total levels re-fold the
+    ≤ 25-row nation result against the driver-read region lookup
+    (broadcast-small-side rule). This is how a rollup should be computed
+    at 100 TB: one fact pass, higher levels derived from the finest."""
+    import pyarrow.parquet as pq
+
+    out = _revenue_cents_by_nation(sf_dir, num_buckets)
+    region = pq.read_table(
+        f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"]
+    ).to_pandas()
+    out = out.merge(region, left_on="n_regionkey", right_on="r_regionkey")
+    rows_r = [str(x) for x in out["r_name"]]
+    rows_n = [str(x) for x in out["n_name"]]
+    revs = [int(x) for x in out["rev"]]
+    per_region = out.groupby("r_name")["rev"].sum()  # exact int64
+    rows_r += [str(r) for r in per_region.index]
+    rows_n += ["ALL"] * len(per_region)
+    revs += [int(x) for x in per_region.values]
+    rows_r.append("ALL")
+    rows_n.append("ALL")
+    revs.append(int(out["rev"].sum()))
+    return pa.table(
+        {
+            "r_name": pa.array(rows_r, pa.string()),
+            "n_name": pa.array(rows_n, pa.string()),
+            "revenue": np.array(revs, np.int64).astype(np.float64) / 10000.0,
+        }
+    )
+
+
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def user_event_pivot(sf_dir: str, num_buckets: int | None = None):
+    """PIVOT: one row per user with a count column per event type plus the
+    exact total value → (user_id, n_click, n_error, n_purchase, n_signup,
+    n_view, total_value).
+
+    Scale shape: each batch partial-pivots vectorized (np.add.at into a
+    |users_in_batch| × |types| count matrix + int-cent value sums), so the
+    single user-bucketed shuffle carries one partial row per user per
+    batch; the per-bucket finish just re-sums columns. The type set is a
+    fixed schema (the pivot contract), not data-dependent."""
+    ds = read_table(sf_dir, "events", columns=["user_id", "event_type", "value"])
+    num_buckets = _auto_buckets(ds, num_buckets)
+    tmap = {t: i for i, t in enumerate(_EVENT_TYPES)}
+
+    def _partial(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy().astype(np.int64)
+        typ = t["event_type"].to_numpy(zero_copy_only=False)
+        c100 = np.round(t["value"].to_numpy() * 100).astype(np.int64)
+        ut, inv_t = np.unique(typ, return_inverse=True)
+        lut = np.array([tmap.get(x, -1) for x in ut], np.int64)  # ≤ |types|
+        ti = lut[inv_t]
+        uk, inv = np.unique(u, return_inverse=True)
+        counts = np.zeros((len(uk), len(_EVENT_TYPES)), np.int64)
+        known = ti >= 0
+        np.add.at(counts, (inv[known], ti[known]), 1)
+        v = np.zeros(len(uk), np.int64)
+        np.add.at(v, inv, c100)
+        cols = {"user_id": uk}
+        for j, name in enumerate(_EVENT_TYPES):
+            cols[f"n_{name}"] = counts[:, j]
+        cols["v100"] = v
+        cols["b"] = (uk % num_buckets).astype(np.int32)
+        return pa.table(cols)
+
+    def _finish(g: pa.Table) -> pa.Table:
+        uk, inv = np.unique(g["user_id"].to_numpy(), return_inverse=True)
+        cols = {"user_id": uk}
+        for name in _EVENT_TYPES:
+            s = np.zeros(len(uk), np.int64)
+            np.add.at(s, inv, g[f"n_{name}"].to_numpy())
+            cols[f"n_{name}"] = s
+        v = np.zeros(len(uk), np.int64)
+        np.add.at(v, inv, g["v100"].to_numpy())
+        cols["total_value"] = v.astype(np.float64) / 100.0
+        return pa.table(cols)
+
+    return (
+        ds.map_batches(_partial, batch_format="pyarrow")
+        .groupby("b")
+        .map_groups(_finish, batch_format="pyarrow")
     )
 
 

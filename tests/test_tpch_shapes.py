@@ -251,3 +251,54 @@ def test_succ_reciprocity_counts_mutual_edges(ray_session, tmp_path):
     assert int(got["n_edges"].iloc[0]) == 3
     assert int(got["n_recip"].iloc[0]) == 2
     assert abs(float(got["reciprocity"].iloc[0]) - 0.666667) < 1e-9
+
+
+def test_revenue_rollup_levels_consistent(ray_session):
+    # rollup over the real sf0.001 slice: nation rows sum to their region
+    # row, region rows sum to the grand total ('ALL','ALL')
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import revenue_rollup
+
+    df = revenue_rollup("/root/testdata/sf0.001").to_pandas()
+    total = df[(df.r_name == "ALL") & (df.n_name == "ALL")]["revenue"].iloc[0]
+    regions = df[(df.r_name != "ALL") & (df.n_name == "ALL")]
+    nations = df[df.n_name != "ALL"]
+    assert abs(regions["revenue"].sum() - total) < 1e-6
+    assert abs(nations["revenue"].sum() - total) < 1e-6
+    for r, grp in nations.groupby("r_name"):
+        assert abs(
+            grp["revenue"].sum()
+            - regions[regions.r_name == r]["revenue"].iloc[0]
+        ) < 1e-6
+
+
+def test_user_event_pivot_counts(ray_session, tmp_path):
+    ts = np.array(["2024-01-01"] * 4, "datetime64[us]")
+    _write(
+        tmp_path,
+        "events",
+        {
+            "user_id": pa.array([1, 1, 1, 2], pa.int64()),
+            "event_type": pa.array(["click", "click", "purchase", "view"]),
+            "value": pa.array([1.5, 2.5, 10.0, 0.25]),
+        },
+    )
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import user_event_pivot
+
+    got = user_event_pivot(str(tmp_path)).to_pandas().set_index("user_id")
+    assert got.loc[1, "n_click"] == 2 and got.loc[1, "n_purchase"] == 1
+    assert got.loc[1, "n_view"] == 0 and got.loc[1, "total_value"] == 14.0
+    assert got.loc[2, "n_view"] == 1 and got.loc[2, "total_value"] == 0.25
+
+
+def test_component_size_histogram_multi(ray_session):
+    # 2 triangles + 1 edge + the histogram machine: {3: 2, 2: 1}
+    import ray.data as rd
+    from subgraph_isomorphism_pregel_ray.pipelines.algorithms import (
+        component_size_histogram,
+    )
+
+    edges = [(0, 1), (1, 2), (2, 0), (10, 11), (11, 12), (12, 10), (20, 21)]
+    sym = edges + [(b, a) for a, b in edges]
+    eds = rd.from_items([{"src": a, "dst": b} for a, b in sym])
+    got = component_size_histogram(eds, num_parts=3)
+    assert got.set_index("csize")["n_components"].to_dict() == {3: 2, 2: 1}
