@@ -818,6 +818,15 @@ def _q_search_topk(sf_dir: str):
     return search_topk(_docs(sf_dir), SEARCH_TERMS, k=10)
 
 
+def _q_bm25_topk(sf_dir: str):
+    """Okapi BM25 ranked retrieval for the shared query terms; expression
+    tree mirrored term for term in the SQL oracle, ranking on the rounded
+    score so the k-cut is total."""
+    from subgraph_isomorphism_pregel_ray.pipelines.textops import bm25_topk
+
+    return bm25_topk(_docs(sf_dir), SEARCH_TERMS, k=10)
+
+
 def _q_events_range_join(sf_dir: str):
     from subgraph_isomorphism_pregel_ray.pipelines.relational import events_range_join
 
@@ -949,6 +958,18 @@ def _q_component_size_histogram(sf_dir: str):
     )
 
     return component_size_histogram(_sym_copurchase(sf_dir), num_parts=4)
+
+
+def _q_bpe_merges(sf_dir: str):
+    """BPE tokenizer training over documents (32 merges). NO SQL ORACLE by
+    nature: the merge sequence is an iterative data-dependent fixpoint SQL
+    cannot express (each round's pair statistics depend on the previous
+    round's merges); correctness is pinned by pytest against a hand-traced
+    reference corpus plus determinism/tie-break tests
+    (tests/test_bpe.py)."""
+    from subgraph_isomorphism_pregel_ray.pipelines.bpe import bpe_train
+
+    return bpe_train(_docs(sf_dir), n_merges=32)
 
 
 def _q_events_percent_rank(sf_dir: str):
@@ -1165,6 +1186,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "component_size_histogram": _q_component_size_histogram,
         "salient_terms": _q_salient_terms,
         "search_topk": _q_search_topk,
+        "bm25_topk": _q_bm25_topk,
+        "bpe_merges": _q_bpe_merges,
         "hll_registers_daily": _q_hll_registers,
         "approx_distinct_users_daily": _q_approx_distinct,
         "doc_repetition": _q_doc_repetition,
@@ -2805,6 +2828,29 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, term, CAST(rank AS BIGINT) AS rank, salience FROM ("
             "SELECT *, row_number() OVER (PARTITION BY doc_id "
             "ORDER BY salience DESC, term) AS rank FROM s) WHERE rank <= 3"
+        ),
+        "bm25_topk": (
+            # Okapi BM25 with the engine's exact expression tree: idf =
+            # ln(1+(N-df+0.5)/(df+0.5)); tf*(k1+1)/(tf+k1*(1-b+b*dl/avgdl))
+            # with k1=1.2, b=0.75 as the same double literals; N/avgdl from
+            # exact int sums; rank on the ROUNDED score (doc_id tie-break)
+            "WITH toks AS MATERIALIZED (SELECT doc_id, "
+            "unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) "
+            "AS term FROM documents), "
+            "dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1), "
+            "stats AS (SELECT count(*) AS n, sum(dl) AS s FROM dl), "
+            "tf AS (SELECT doc_id, term, count(*) AS tf FROM toks "
+            f"WHERE term IN {SEARCH_TERMS!r} GROUP BY 1, 2), "
+            "df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1), "
+            "sc AS (SELECT tf.doc_id, "
+            "sum(ln(1.0 + (stats.n - df.df + 0.5) / (df.df + 0.5)) * "
+            "(tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * "
+            "(dl.dl / (stats.s * 1.0 / stats.n))))) AS sc "
+            "FROM tf JOIN df USING (term) JOIN dl USING (doc_id), stats "
+            "GROUP BY tf.doc_id), "
+            "r AS (SELECT doc_id, round(sc, 6) AS score, row_number() OVER "
+            "(ORDER BY round(sc, 6) DESC, doc_id) AS rank FROM sc) "
+            "SELECT doc_id, score, rank FROM r WHERE rank <= 10"
         ),
         "search_topk": (
             # MaxSim-style inverted-index search (textops.search_topk): max

@@ -565,31 +565,11 @@ def salient_terms(docs_ds, n_docs: int, k: int = 3, num_buckets: int = 32):
     )
 
 
-def search_topk(docs_ds, terms, k: int = 10):
-    """Inverted-index text search: rank documents against a bag of query
-    terms → top-k (doc_id, n_matched, max_salience).
-
-    Scoring is MaxSim-shaped (à la ColBERT late interaction): a document
-    is ranked by (number of distinct query terms it contains DESC, max
-    per-term salience DESC, doc_id ASC) where salience is the same
-    division-only (tf/doc_len)/(df/N) as ``salient_terms``. Both max and
-    count are summation-order-free, so the result is BIT-identical to the
-    SQL oracle — no float-epsilon at the top-k boundary, and doc_id makes
-    the cut total.
-
-    Scale shape: one tokenize pass keeps only query-term rows (≤ |Q| per
-    doc — a ~10³× reduction from the token stream), which are
-    ``materialize()``d ONCE (legitimately: this is the reduced
-    intermediate, reused for df and scoring without re-reading the
-    corpus). df (≤ |Q| rows) is folded to the driver and broadcast into
-    the scoring map; a per-doc groupby then a k-cut sort finish. No
-    per-term ``map_groups`` — a common term's inverted list never lands
-    on one worker.
-    """
-    from ray.data.aggregate import Count, Max
-
-    qterms = np.array(sorted({t.lower() for t in terms}), dtype=object)
-    N_ds = docs_ds
+def _qterm_match_fn(qterms: np.ndarray):
+    """Batch fn emitting (doc_id, term, tf, doc_len) rows for query terms
+    only (≤ |Q| rows per doc — the inverted-index reduction shared by
+    search_topk and bm25_topk). Tokenizer = lower().split(' ') dropping
+    empties, exactly the oracle's list_filter(string_split(lower(text)))."""
 
     def _match(batch: pa.Table) -> pa.Table:
         texts = batch["text"].to_pylist()
@@ -628,8 +608,142 @@ def search_topk(docs_ds, terms, k: int = 10):
             }
         )
 
+    return _match
+
+
+def bm25_topk(docs_ds, terms, k: int = 10, k1: float = 1.2, b: float = 0.75,
+              round_to: int = 6):
+    """BM25 ranked retrieval (Robertson & Sparck Jones probabilistic
+    weighting, the Okapi BM25 formula — public) → top-k
+    (doc_id, score, rank), rank ties broken by doc_id asc.
+
+    score(d) = Σ_{t∈Q∩d} ln(1 + (N−df+0.5)/(df+0.5)) ·
+               tf·(k1+1) / (tf + k1·(1−b + b·dl/avgdl))
+
+    Determinism: every factor mirrors the SQL oracle's expression tree
+    term for term (same literals, same division order); N/avgdl come from
+    exact int sums so their float divisions agree bit-exactly; the per-doc
+    sum is ≤ |Q| addends whose ~1-ulp order noise sits ~1e-10 below the
+    6-decimal half-away round; ranking uses the ROUNDED score so the k-cut
+    is total on both sides.
+
+    Scale shape: one corpus pass folds (Σdl, N) as int partials; a second
+    pass keeps only query-term rows (the ~10³× inverted-index reduction,
+    materialized once and reused for df + scoring); df (≤ |Q| rows) folds
+    to the driver and broadcasts into the scoring map; per-doc sums
+    combine via groupby, and the final k-cut sorts only matched docs."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.rounding import round_half_away
+
+    qterms = np.array(sorted({t.lower() for t in terms}), dtype=object)
+
+    def _dl_partial(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        dls = np.array(
+            [len([x for x in t.lower().split(" ") if x]) for t in texts], np.int64
+        )
+        dls = dls[dls > 0]
+        return pa.table(
+            {"s": np.array([dls.sum()], np.int64), "n": np.array([len(dls)], np.int64)}
+        )
+
+    stats = docs_ds.map_batches(_dl_partial, batch_format="pyarrow").aggregate(
+        Sum("s", alias_name="s"), Sum("n", alias_name="n")
+    )
+    S, N = int(stats["s"] or 0), int(stats["n"] or 0)
+    avgdl = S / N if N else 1.0
+    k1p1 = k1 + 1.0
+    one_minus_b = 1.0 - b
+
+    tf_rows = docs_ds.map_batches(
+        _qterm_match_fn(qterms), batch_format="pyarrow"
+    ).materialize()
+    df_tbl = tf_rows.groupby("term").count().to_pandas()
+    df_map = (
+        dict(zip(df_tbl["term"], df_tbl["count()"].astype(np.int64)))
+        if "term" in df_tbl.columns
+        else {}
+    )
+    df_vec = np.array([df_map.get(t, 0) for t in qterms], dtype=np.int64)
+
+    def _score(batch: pa.Table) -> pa.Table:
+        term = batch["term"].to_numpy(zero_copy_only=False)
+        qi = np.searchsorted(qterms, term)
+        df = df_vec[qi].astype(np.float64)
+        idf = np.log(1.0 + (N - df + 0.5) / (df + 0.5))
+        tf = batch["tf"].to_numpy().astype(np.float64)
+        dl = batch["doc_len"].to_numpy().astype(np.float64)
+        sc = idf * (tf * k1p1) / (tf + k1 * (one_minus_b + b * (dl / avgdl)))
+        return pa.table({"doc_id": batch["doc_id"], "sc": sc})
+
+    summed = (
+        tf_rows.map_batches(_score, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(Sum("sc", alias_name="sc"))
+    )
+
+    def _round_precut(t: pa.Table) -> pa.Table:
+        doc = t["doc_id"].to_numpy().astype(np.int64)
+        sc = round_half_away(t["sc"].to_numpy(), round_to)
+        pick = np.lexsort((doc, -sc))[:k]  # per-block precut
+        return pa.table(
+            {
+                "one": np.ones(len(pick), np.int32),
+                "doc_id": doc[pick],
+                "score": sc[pick],
+            }
+        )
+
+    def _final(g: pa.Table) -> pa.Table:
+        doc = g["doc_id"].to_numpy()
+        sc = g["score"].to_numpy()
+        pick = np.lexsort((doc, -sc))[:k]
+        return pa.table(
+            {
+                "doc_id": doc[pick],
+                "score": sc[pick],
+                "rank": np.arange(1, len(pick) + 1, dtype=np.int64),
+            }
+        )
+
+    return (
+        summed.map_batches(_round_precut, batch_format="pyarrow")
+        .groupby("one")
+        .map_groups(_final, batch_format="pyarrow")
+    )
+
+
+def search_topk(docs_ds, terms, k: int = 10):
+    """Inverted-index text search: rank documents against a bag of query
+    terms → top-k (doc_id, n_matched, max_salience).
+
+    Scoring is MaxSim-shaped (à la ColBERT late interaction): a document
+    is ranked by (number of distinct query terms it contains DESC, max
+    per-term salience DESC, doc_id ASC) where salience is the same
+    division-only (tf/doc_len)/(df/N) as ``salient_terms``. Both max and
+    count are summation-order-free, so the result is BIT-identical to the
+    SQL oracle — no float-epsilon at the top-k boundary, and doc_id makes
+    the cut total.
+
+    Scale shape: one tokenize pass keeps only query-term rows (≤ |Q| per
+    doc — a ~10³× reduction from the token stream), which are
+    ``materialize()``d ONCE (legitimately: this is the reduced
+    intermediate, reused for df and scoring without re-reading the
+    corpus). df (≤ |Q| rows) is folded to the driver and broadcast into
+    the scoring map; a per-doc groupby then a k-cut sort finish. No
+    per-term ``map_groups`` — a common term's inverted list never lands
+    on one worker.
+    """
+    from ray.data.aggregate import Count, Max
+
+    qterms = np.array(sorted({t.lower() for t in terms}), dtype=object)
+    N_ds = docs_ds
+
     n_docs = float(N_ds.count())
-    tf_rows = docs_ds.map_batches(_match, batch_format="pyarrow").materialize()
+    tf_rows = docs_ds.map_batches(
+        _qterm_match_fn(qterms), batch_format="pyarrow"
+    ).materialize()
     df_tbl = tf_rows.groupby("term").count().to_pandas()  # ≤ |Q| rows
     # a hash aggregate over zero rows yields a schema-less empty frame
     df_map = (

@@ -1,0 +1,101 @@
+"""BPE trainer/encoder tests — the driver records bpe_merges rows-only
+(iterative data-dependent fixpoint, not SQL-expressible), so these pytest
+oracles ARE the correctness gate: a hand-traced merge sequence, the
+overlapping-pair counting convention, tie-break determinism, and
+encode/train consistency.
+"""
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data as rd
+
+from subgraph_isomorphism_pregel_ray.pipelines.bpe import (
+    bpe_encode_counts,
+    bpe_train,
+    word_histogram,
+)
+
+
+def _docs(texts):
+    return rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+    )
+
+
+def test_bpe_hand_traced_merges(ray_session):
+    # words: ab x3 (two in doc0, one in doc1), abc x1
+    # round 1: pairs (a,b): 3+1=4, (b,c): 1 -> merge (a,b) n=4
+    # round 2: abc is now [ab, c] -> pair (ab, c): 1 -> merge (ab, c) n=1
+    docs = _docs(["ab ab", "ab abc"])
+    m = bpe_train(docs, n_merges=5)
+    got = list(zip(m["rank"], m["left"], m["right"], m["n"]))
+    assert got == [(1, "a", "b", 4), (2, "ab", "c", 1)]
+
+
+def test_bpe_overlapping_pairs_counted(ray_session):
+    # 'aaa': adjacent positions (a,a) twice (overlap counted pre-merge);
+    # after the merge, left-to-right non-overlap -> [aa, a]
+    docs = _docs(["aaa"])
+    m = bpe_train(docs, n_merges=1)
+    assert list(zip(m["left"], m["right"], m["n"])) == [("a", "a", 2)]
+    enc = bpe_encode_counts(docs, m).to_pandas()
+    assert enc["n_tokens_bpe"].iloc[0] == 2  # [aa, a]
+
+
+def test_bpe_tiebreak_lexicographic(ray_session):
+    # (a,b) and (c,d) both have count 1 -> the smaller pair merges first
+    docs = _docs(["ab cd"])
+    m = bpe_train(docs, n_merges=2)
+    assert (m["left"].iloc[0], m["right"].iloc[0]) == ("a", "b")
+    assert (m["left"].iloc[1], m["right"].iloc[1]) == ("c", "d")
+
+
+def test_bpe_encode_respects_rank_order(ray_session):
+    # merges learned on a skewed corpus: 'ab' merges before 'bc'; encoding
+    # 'abc' must apply the LOWEST-rank merge first -> [ab, c], 2 tokens
+    docs = _docs(["ab ab ab bc"])
+    m = bpe_train(docs, n_merges=2)
+    assert (m["left"].iloc[0], m["right"].iloc[0]) == ("a", "b")
+    enc = bpe_encode_counts(_docs(["abc"]), m).to_pandas()
+    assert enc["n_tokens_bpe"].iloc[0] == 2
+
+
+def test_word_histogram_counts(ray_session):
+    hist = (
+        word_histogram(_docs(["x y x", "  y  ", ""]))
+        .to_pandas()
+        .set_index("word")["n"]
+        .to_dict()
+    )
+    assert hist == {"x": 2, "y": 2}
+
+
+def test_bpe_sf_corpus_deterministic_and_consistent(ray_session):
+    # real sf0.001 documents: same merges on two runs; token counts shrink
+    # monotonically vs. character counts and never below word counts
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"]
+    )
+    docs = rd.from_arrow(t)
+    m1 = bpe_train(docs, n_merges=16)
+    m2 = bpe_train(rd.from_arrow(t), n_merges=16)
+    assert m1.equals(m2)
+    enc = bpe_encode_counts(docs, m1).to_pandas().set_index("doc_id")
+    words = {
+        int(d): len([x for x in s.lower().split(" ") if x])
+        for d, s in zip(t["doc_id"].to_pylist(), t["text"].to_pylist())
+    }
+    chars = {
+        int(d): sum(len(x) for x in s.lower().split(" ") if x)
+        for d, s in zip(t["doc_id"].to_pylist(), t["text"].to_pylist())
+    }
+    for d, row in enc.iterrows():
+        assert words[d] <= row["n_tokens_bpe"] <= chars[d]
