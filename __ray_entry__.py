@@ -960,6 +960,22 @@ def _q_component_size_histogram(sf_dir: str):
     return component_size_histogram(_sym_copurchase(sf_dir), num_parts=4)
 
 
+def _q_events_ntile(sf_dir: str):
+    """NTILE(4) quartile per event within its user's timeline (SQL tile
+    sizing: first n%k tiles take the extra row)."""
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import events_ntile
+
+    return events_ntile(sf_dir, k=4)
+
+
+def _q_user_first_last(sf_dir: str):
+    """FIRST_VALUE/LAST_VALUE + count per user via partial-able
+    arg-min/arg-max (per-batch one row per user)."""
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import user_first_last
+
+    return user_first_last(sf_dir)
+
+
 def _q_bpe_merges(sf_dir: str):
     """BPE tokenizer training over documents (32 merges). NO SQL ORACLE by
     nature: the merge sequence is an iterative data-dependent fixpoint SQL
@@ -1188,6 +1204,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_topk": _q_search_topk,
         "bm25_topk": _q_bm25_topk,
         "bpe_merges": _q_bpe_merges,
+        "events_ntile": _q_events_ntile,
+        "user_first_last": _q_user_first_last,
         "hll_registers_daily": _q_hll_registers,
         "approx_distinct_users_daily": _q_approx_distinct,
         "doc_repetition": _q_doc_repetition,
@@ -2667,6 +2685,20 @@ def oracle_sql() -> dict[str, str]:
             "SELECT csize, count(*) AS n_components FROM ("
             f"SELECT component, count(*) AS csize FROM ({_cc_sql()}) x "
             "GROUP BY component) GROUP BY csize"
+        ),
+        "events_ntile": (
+            "SELECT event_id, ntile(4) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id) AS tile FROM events"
+        ),
+        "user_first_last": (
+            "WITH o AS (SELECT user_id, value, "
+            "row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) "
+            "AS rf, "
+            "row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, "
+            "event_id DESC) AS rl FROM events) "
+            "SELECT user_id, max(CASE WHEN rf = 1 THEN value END) "
+            "AS first_value, max(CASE WHEN rl = 1 THEN value END) "
+            "AS last_value, count(*) AS n_events FROM o GROUP BY 1"
         ),
         "waiting_suppliers": (
             # Q21 shape: distinct (order, supplier, any-R) pairs; a supplier

@@ -53,6 +53,8 @@ __all__ = [
     "succ_reciprocity",
     "revenue_rollup",
     "user_event_pivot",
+    "events_ntile",
+    "user_first_last",
 ]
 
 
@@ -815,6 +817,121 @@ def events_percent_rank(sf_dir: str, num_buckets: int | None = None, round_to: i
         ds.map_batches(_bucket, batch_format="pyarrow")
         .groupby("b")
         .map_groups(_pr, batch_format="pyarrow")
+    )
+
+
+def events_ntile(sf_dir: str, k: int = 4, num_buckets: int | None = None):
+    """NTILE(k) window function: each event's quartile (k=4) within its
+    user's timeline ordered by (ts, event_id) → (event_id, tile).
+
+    SQL NTILE semantics exactly: with n rows, the first n % k tiles hold
+    ceil(n/k) rows, the rest floor(n/k) — computed as closed-form integer
+    arithmetic on the row's 0-based position, no per-user loop.
+
+    Scale shape: the shared ONE-shuffle user-hash bucket machine; a whole
+    bucket is one lexsort + shifted-compare position math."""
+    ds = read_table(sf_dir, "events", columns=["event_id", "ts", "user_id"])
+    num_buckets = _auto_buckets(ds, num_buckets)
+    K = np.int64(k)
+
+    def _bucket(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy()
+        return t.append_column("b", pa.array((u % num_buckets).astype(np.int32)))
+
+    def _ntile(g: pa.Table) -> pa.Table:
+        u = g["user_id"].to_numpy()
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        eid = g["event_id"].to_numpy()
+        order = np.lexsort((eid, ts, u))
+        u, eid = u[order], eid[order]
+        n = len(u)
+        new_user = np.concatenate([[True], u[1:] != u[:-1]])
+        pos = np.arange(n, dtype=np.int64)
+        starts = pos[new_user]
+        sizes = np.diff(np.concatenate([starts, [n]]))
+        uidx = np.cumsum(new_user) - 1
+        p = pos - starts[uidx]  # 0-based position within user
+        nu = sizes[uidx]  # user row count
+        small = nu // K
+        n_big = nu % K
+        cut = n_big * (small + 1)
+        tile = np.where(
+            p < cut,
+            p // np.maximum(small + 1, 1),
+            n_big + (p - cut) // np.maximum(small, 1),
+        ) + 1
+        return pa.table({"event_id": eid, "tile": tile.astype(np.int64)})
+
+    return (
+        ds.map_batches(_bucket, batch_format="pyarrow")
+        .groupby("b")
+        .map_groups(_ntile, batch_format="pyarrow")
+    )
+
+
+def user_first_last(sf_dir: str, num_buckets: int | None = None):
+    """FIRST_VALUE / LAST_VALUE per user (ordered by ts then event_id) plus
+    the event count → (user_id, first_value, last_value, n_events).
+
+    Scale shape: genuinely partial-able arg-min/arg-max — each batch emits
+    ONE row per user it saw (its local first/last by the total (ts,
+    event_id) key + local count), so the exchange carries per-user
+    partials, not events; the bucket fold re-selects across partials with
+    the same lexsort. Values are carried untouched (no arithmetic), so the
+    hash compare is trivially exact."""
+    from ray.data.aggregate import Sum
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"])
+    num_buckets = _auto_buckets(ds, num_buckets)
+
+    def _partial(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy().astype(np.int64)
+        ts = t["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        eid = t["event_id"].to_numpy().astype(np.int64)
+        val = t["value"].to_numpy()
+        order = np.lexsort((eid, ts, u))
+        u, ts, eid, val = u[order], ts[order], eid[order], val[order]
+        new_user = np.concatenate([[True], u[1:] != u[:-1]])
+        starts = np.flatnonzero(new_user)
+        ends = np.concatenate([starts[1:], [len(u)]]) - 1
+        uk = u[starts]
+        return pa.table(
+            {
+                "user_id": uk,
+                "ts_f": ts[starts], "eid_f": eid[starts], "v_f": val[starts],
+                "ts_l": ts[ends], "eid_l": eid[ends], "v_l": val[ends],
+                "cnt": np.diff(np.concatenate([starts, [len(u)]])).astype(np.int64),
+                "b": (uk % num_buckets).astype(np.int32),
+            }
+        )
+
+    def _fold(g: pa.Table) -> pa.Table:
+        u = g["user_id"].to_numpy()
+        # first: min (ts_f, eid_f) partial per user
+        of = np.lexsort((g["eid_f"].to_numpy(), g["ts_f"].to_numpy(), u))
+        uf = u[of]
+        keep_f = np.concatenate([[True], uf[1:] != uf[:-1]])
+        # last: max (ts_l, eid_l) partial per user (descending pick)
+        ol = np.lexsort((-g["eid_l"].to_numpy(), -g["ts_l"].to_numpy(), u))
+        ul = u[ol]
+        keep_l = np.concatenate([[True], ul[1:] != ul[:-1]])
+        uk = uf[keep_f]
+        cnt = np.zeros(len(uk), np.int64)
+        key, inv = np.unique(u, return_inverse=True)
+        np.add.at(cnt, inv, g["cnt"].to_numpy())  # key order == uk order
+        return pa.table(
+            {
+                "user_id": uk,
+                "first_value": g["v_f"].to_numpy()[of][keep_f],
+                "last_value": g["v_l"].to_numpy()[ol][keep_l],
+                "n_events": cnt,
+            }
+        )
+
+    return (
+        ds.map_batches(_partial, batch_format="pyarrow")
+        .groupby("b")
+        .map_groups(_fold, batch_format="pyarrow")
     )
 
 

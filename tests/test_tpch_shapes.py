@@ -302,3 +302,50 @@ def test_component_size_histogram_multi(ray_session):
     eds = rd.from_items([{"src": a, "dst": b} for a, b in sym])
     got = component_size_histogram(eds, num_parts=3)
     assert got.set_index("csize")["n_components"].to_dict() == {3: 2, 2: 1}
+
+
+def test_events_ntile_sql_sizing(ray_session, tmp_path):
+    # user 1 has 6 events -> NTILE(4) tiles of sizes 2,2,1,1;
+    # user 2 has 2 events (< k) -> tiles 1 and 2
+    ts = np.array([f"2024-01-01T00:0{i}:00" for i in range(6)] + 
+                  ["2024-01-02T00:00:00", "2024-01-02T00:01:00"], "datetime64[us]")
+    _write(
+        tmp_path,
+        "events",
+        {
+            "event_id": pa.array(list(range(8)), pa.int64()),
+            "ts": pa.array(ts),
+            "user_id": pa.array([1] * 6 + [2, 2], pa.int64()),
+        },
+    )
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import events_ntile
+
+    got = events_ntile(str(tmp_path), k=4).to_pandas().set_index("event_id")["tile"]
+    assert got.to_dict() == {0: 1, 1: 1, 2: 2, 3: 2, 4: 3, 5: 4, 6: 1, 7: 2}
+
+
+def test_user_first_last_partial_fold(ray_session, tmp_path):
+    # order within user decided by (ts, event_id): user 1 ties on ts at the
+    # end -> last = higher event_id; values carried untouched
+    ts = np.array(
+        ["2024-01-01T00:01:00", "2024-01-01T00:00:00",
+         "2024-01-01T00:02:00", "2024-01-01T00:02:00", "2024-01-05T00:00:00"],
+        "datetime64[us]",
+    )
+    _write(
+        tmp_path,
+        "events",
+        {
+            "event_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+            "ts": pa.array(ts),
+            "user_id": pa.array([1, 1, 1, 1, 2], pa.int64()),
+            "value": pa.array([10.5, 20.25, 30.0, 40.75, 5.0]),
+        },
+    )
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import user_first_last
+
+    got = user_first_last(str(tmp_path)).to_pandas().set_index("user_id")
+    assert got.loc[1, "first_value"] == 20.25  # earliest ts
+    assert got.loc[1, "last_value"] == 40.75  # ts tie -> larger event_id
+    assert got.loc[1, "n_events"] == 4
+    assert got.loc[2, "first_value"] == 5.0 and got.loc[2, "last_value"] == 5.0
