@@ -15,7 +15,8 @@ Stages timed:
   pagerank     10 supersteps, actor engine
   cc / lpa / triangles / match_*   same engine (actors + CSR reused)
   exact_dedup / minhash_pairs / salient_terms / hll_registers /
-  events_range_join / contamination / pack_sequences / curate_corpus
+  events_range_join / contamination / pack_sequences / curate_corpus /
+  bm25 / bpe_train
                training-data ops
                over the sf documents/events tables
 """
@@ -244,6 +245,18 @@ def run_bench() -> dict:
     t0 = time.perf_counter()
     curate_corpus(docs).count()
     q["curate_corpus"] = time.perf_counter() - t0
+
+    # round-2 additions: BM25 ranked retrieval + BPE tokenizer training
+    from subgraph_isomorphism_pregel_ray.pipelines.bpe import bpe_train
+    from subgraph_isomorphism_pregel_ray.pipelines.textops import bm25_topk
+
+    t0 = time.perf_counter()
+    bm25_topk(docs, ("hash", "join", "stream"), k=10).count()
+    q["bm25"] = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    n_bpe = len(bpe_train(docs, n_merges=32))
+    q["bpe_train"] = time.perf_counter() - t0
+    assert n_bpe > 0
 
     # directed-graph pass added late in round 2: SCC by min-label FW-BW
     # peeling with continuous trim (one flag-symmetrized layout; the

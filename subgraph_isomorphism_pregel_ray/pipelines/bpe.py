@@ -22,7 +22,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-__all__ = ["word_histogram", "bpe_train", "bpe_encode_counts"]
+__all__ = ["word_histogram", "bpe_train", "bpe_encode_counts",
+           "train_from_histogram"]
 
 
 def _words(text: str) -> list[str]:
@@ -89,23 +90,15 @@ def _merge_seq(seq: tuple[str, ...], pair: tuple[str, str]) -> tuple[str, ...]:
     return tuple(out)
 
 
-def bpe_train(docs_ds, n_merges: int = 32, min_count: int = 1) -> pd.DataFrame:
-    """Learn ``n_merges`` BPE merges → DataFrame(rank, left, right, n) with
-    n the pre-merge adjacency count of the chosen pair.
-
-    Deterministic: ties on the count break to the lexicographically
-    smallest (left, right) pair — no hash-order dependence. The merge loop
-    runs on the compact histogram (driver-side by design, like every
-    production trainer); the corpus is read exactly once."""
-    hist = word_histogram(docs_ds, min_count=min_count).to_pandas()
-    if len(hist) == 0:
-        return pd.DataFrame(
-            {"rank": pd.Series([], dtype=np.int64), "left": pd.Series([], dtype=str),
-             "right": pd.Series([], dtype=str), "n": pd.Series([], dtype=np.int64)}
-        )
-    seqs = [tuple(w) for w in hist["word"]]
-    counts = hist["n"].to_numpy().astype(np.int64)
-    rows = []
+def train_from_histogram(words: list[str], counts, n_merges: int) -> list[tuple]:
+    """Pure merge-learning core over a (word, count) histogram →
+    [(rank, left, right, n), ...]. Deterministic: ties on the count break
+    to the lexicographically smallest (left, right) pair — no hash-order
+    dependence. Property-tested against an independent naive
+    implementation (tests/test_bpe.py)."""
+    seqs = [tuple(w) for w in words]
+    counts = np.asarray(counts, dtype=np.int64)
+    rows: list[tuple] = []
     for rank in range(1, n_merges + 1):
         pc = _pair_counts(seqs, counts)
         if not pc:
@@ -115,6 +108,24 @@ def bpe_train(docs_ds, n_merges: int = 32, min_count: int = 1) -> pd.DataFrame:
         (l, r), n = best
         rows.append((rank, l, r, int(n)))
         seqs = [_merge_seq(s, (l, r)) if l in s else s for s in seqs]
+    return rows
+
+
+def bpe_train(docs_ds, n_merges: int = 32, min_count: int = 1) -> pd.DataFrame:
+    """Learn ``n_merges`` BPE merges → DataFrame(rank, left, right, n) with
+    n the pre-merge adjacency count of the chosen pair.
+
+    The merge loop runs on the compact histogram (driver-side by design,
+    like every production trainer); the corpus is read exactly once."""
+    hist = word_histogram(docs_ds, min_count=min_count).to_pandas()
+    if len(hist) == 0:
+        return pd.DataFrame(
+            {"rank": pd.Series([], dtype=np.int64), "left": pd.Series([], dtype=str),
+             "right": pd.Series([], dtype=str), "n": pd.Series([], dtype=np.int64)}
+        )
+    rows = train_from_histogram(
+        list(hist["word"]), hist["n"].to_numpy(), n_merges
+    )
     return pd.DataFrame(rows, columns=["rank", "left", "right", "n"]).astype(
         {"rank": np.int64, "n": np.int64}
     )

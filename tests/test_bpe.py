@@ -99,3 +99,65 @@ def test_bpe_sf_corpus_deterministic_and_consistent(ray_session):
     }
     for d, row in enc.iterrows():
         assert words[d] <= row["n_tokens_bpe"] <= chars[d]
+
+
+# ---- Hypothesis property: trainer core vs an independent naive impl -------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from subgraph_isomorphism_pregel_ray.pipelines.bpe import train_from_histogram
+
+
+def _naive_train(words, counts, n_merges):
+    """Independent reference: dict-of-tuples, O(V*L^2) per round, written
+    without the production helpers."""
+    vocab = {tuple(w): int(c) for w, c in zip(words, counts)}
+    out = []
+    for rank in range(1, n_merges + 1):
+        pairs = {}
+        for seq, c in vocab.items():
+            for a, b in zip(seq, seq[1:]):
+                pairs[(a, b)] = pairs.get((a, b), 0) + c
+        if not pairs:
+            break
+        best = sorted(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        (l, r), n = best
+        out.append((rank, l, r, n))
+        new_vocab = {}
+        for seq, c in vocab.items():
+            merged, i = [], 0
+            while i < len(seq):
+                if i + 1 < len(seq) and seq[i] == l and seq[i + 1] == r:
+                    merged.append(l + r)
+                    i += 2
+                else:
+                    merged.append(seq[i])
+                    i += 1
+            key = tuple(merged)
+            new_vocab[key] = new_vocab.get(key, 0) + c
+        vocab = new_vocab
+    return out
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.text(alphabet="abcd", min_size=1, max_size=8),
+            st.integers(min_value=1, max_value=9),
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    st.integers(min_value=1, max_value=6),
+)
+def test_bpe_trainer_matches_naive(pairs, n_merges):
+    # dedupe words (histogram semantics), keep first count
+    seen = {}
+    for w, c in pairs:
+        seen.setdefault(w, c)
+    words, counts = list(seen), [seen[w] for w in seen]
+    got = train_from_histogram(words, counts, n_merges)
+    want = _naive_train(words, counts, n_merges)
+    assert got == want
