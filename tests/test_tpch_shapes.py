@@ -349,3 +349,56 @@ def test_user_first_last_partial_fold(ray_session, tmp_path):
     assert got.loc[1, "last_value"] == 40.75  # ts tie -> larger event_id
     assert got.loc[1, "n_events"] == 4
     assert got.loc[2, "first_value"] == 5.0 and got.loc[2, "last_value"] == 5.0
+
+
+def test_tpch_shapes_on_empty_tables(ray_session, tmp_path):
+    """Every TPC-H-shaped join op streams zero-row inputs cleanly (empty
+    or all-zero outputs, no shape errors in the bucket kernels)."""
+    import pyarrow.parquet as pq
+
+    sf = "/root/testdata/sf0.001"
+    for t in ("lineitem", "orders", "customer", "part", "supplier",
+              "nation", "region", "events", "documents"):
+        pq.write_table(
+            pq.read_schema(f"{sf}/{t}.parquet").empty_table(),
+            tmp_path / f"{t}.parquet",
+        )
+    from subgraph_isomorphism_pregel_ray.pipelines.bpe import bpe_train
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import (
+        customer_order_histogram,
+        events_cumsum,
+        events_ntile,
+        large_volume_orders,
+        order_priority_semi,
+        sales_opportunity,
+        shipping_priority_topk,
+        small_qty_revenue,
+        succ_reciprocity,
+        user_event_pivot,
+        user_first_last,
+        waiting_suppliers,
+    )
+
+    d = str(tmp_path)
+    for name, out in {
+        "order_priority_semi": order_priority_semi(d),
+        "customer_order_histogram": customer_order_histogram(d),
+        "large_volume_orders": large_volume_orders(d),
+        "shipping_priority_topk": shipping_priority_topk(d),
+        "waiting_suppliers": waiting_suppliers(d),
+        "sales_opportunity": sales_opportunity(d),
+        "events_cumsum": events_cumsum(d),
+        "events_ntile": events_ntile(d),
+        "user_event_pivot": user_event_pivot(d),
+        "user_first_last": user_first_last(d),
+    }.items():
+        df = out.to_pandas() if hasattr(out, "to_pandas") else out
+        assert len(df) == 0, name
+    assert float(small_qty_revenue(d)["avg_yearly"].iloc[0]) == 0.0
+    rec = succ_reciprocity(d)
+    assert int(rec["n_edges"].iloc[0]) == 0
+    assert float(rec["reciprocity"].iloc[0]) == 0.0
+    import ray.data as rd
+    docs = rd.read_parquet(str(tmp_path / "documents.parquet"),
+                           columns=["doc_id", "text"])
+    assert len(bpe_train(docs, n_merges=4)) == 0
