@@ -976,6 +976,26 @@ def _q_user_first_last(sf_dir: str):
     return user_first_last(sf_dir)
 
 
+def _q_bigram_cross_entropy(sf_dir: str):
+    """Per-doc cross-entropy under the corpus bigram LM (conditional
+    transition probabilities); docs with < 2 tokens dropped."""
+    from subgraph_isomorphism_pregel_ray.pipelines.textops import bigram_cross_entropy
+
+    return bigram_cross_entropy(_docs(sf_dir))
+
+
+def _q_source_mixture_weights(sf_dir: str):
+    """Uniform-target data-mixing weights per document source."""
+    from subgraph_isomorphism_pregel_ray.pipelines.textops import (
+        source_mixture_weights,
+    )
+    from subgraph_isomorphism_pregel_ray.sources.tables import read_table
+
+    return source_mixture_weights(
+        read_table(sf_dir, "documents", columns=["doc_id", "text", "source"])
+    )
+
+
 def _q_bpe_merges(sf_dir: str):
     """BPE tokenizer training over documents (32 merges). NO SQL ORACLE by
     nature: the merge sequence is an iterative data-dependent fixpoint SQL
@@ -1206,6 +1226,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_merges": _q_bpe_merges,
         "events_ntile": _q_events_ntile,
         "user_first_last": _q_user_first_last,
+        "bigram_cross_entropy": _q_bigram_cross_entropy,
+        "source_mixture_weights": _q_source_mixture_weights,
         "hll_registers_daily": _q_hll_registers,
         "approx_distinct_users_daily": _q_approx_distinct,
         "doc_repetition": _q_doc_repetition,
@@ -2125,6 +2147,36 @@ def oracle_sql() -> dict[str, str]:
             f"AND {alnum} * 1.0 / length(text) >= 0.82) "
             "SELECT min(doc_id) AS doc_id, md5(text) AS content_hash, "
             "min(n_tokens) AS n_tokens FROM s GROUP BY md5(text)"
+        ),
+        "bigram_cross_entropy": (
+            # corpus bigram LM: -(1/m) sum ln(c(bg)/c_left(w1)) over each
+            # doc's bigram occurrences; same ln/round discipline as
+            # doc_cross_entropy; < 2-token docs have no bigrams
+            f"WITH {tok_cte}, "
+            "big AS (SELECT a.doc_id, a.tok AS w1, a.tok || ' ' || b.tok AS bg "
+            "FROM tok a JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1), "
+            "bc AS (SELECT bg, CAST(count(*) AS BIGINT) AS c12 FROM big GROUP BY 1), "
+            "lc AS (SELECT w1, CAST(count(*) AS BIGINT) AS cl FROM big GROUP BY 1), "
+            "d AS (SELECT doc_id, bg, w1, CAST(count(*) AS BIGINT) AS k "
+            "FROM big GROUP BY 1, 2, 3), "
+            "s AS (SELECT doc_id, sum(k * -ln(bc.c12 * 1.0 / lc.cl)) AS s, "
+            "sum(k) AS n FROM d JOIN bc USING (bg) JOIN lc USING (w1) "
+            "GROUP BY doc_id) "
+            "SELECT doc_id, CAST(n AS BIGINT) AS n_bigrams, "
+            "round(s / n, 6) AS bigram_cross_entropy FROM s"
+        ),
+        "source_mixture_weights": (
+            # uniform-target mixing weights; share/weight are single IEEE
+            # divisions of exact ints in the engine's exact order
+            "WITH st AS (SELECT source, "
+            f"sum(CASE WHEN trim(text) = '' THEN 0 ELSE len({sp_toks}) END) "
+            "AS n_tokens FROM documents GROUP BY 1), "
+            "tot AS (SELECT sum(n_tokens) AS t, count(*) AS s FROM st) "
+            "SELECT source, CAST(n_tokens AS BIGINT) AS n_tokens, "
+            "round(n_tokens * 1.0 / tot.t, 6) AS token_share, "
+            "CASE WHEN n_tokens = 0 THEN 0.0 ELSE "
+            "round((1.0 / tot.s) / (n_tokens * 1.0 / tot.t), 6) END AS weight "
+            "FROM st, tot"
         ),
         "doc_cross_entropy": (
             # mirrors textops.doc_cross_entropy: per-(doc,token) counts

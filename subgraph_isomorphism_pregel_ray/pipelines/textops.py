@@ -1221,6 +1221,251 @@ def doc_cross_entropy(docs_ds, num_partitions: int = 8):
     return agg.map_batches(_final, batch_format="pyarrow")
 
 
+def bigram_cross_entropy(docs_ds, num_partitions: int = 8):
+    """Per-document cross-entropy under the corpus BIGRAM model — the
+    conditional-LM upgrade of :func:`doc_cross_entropy` (a document whose
+    word *transitions* are globally unusual scores high even when its
+    unigrams are common): H₂(d) = −(1/m)·Σ ln(c(w₋₁,w)/c_left(w₋₁)) over
+    the document's m bigram occurrences →
+    Dataset(doc_id, n_bigrams, bigram_cross_entropy). Documents with < 2
+    tokens have no bigrams and are dropped on both sides.
+
+    Scale shape: pass 1 emits per-doc DISTINCT bigram counts (np.unique
+    combiner); corpus bigram counts AND left-token totals both fold from
+    the SAME table (two groupby-sums, no second corpus read); counts flow
+    back through TWO bucket-joins (union-under-common-schema + md5-bucket
+    groupby — never a driver-side vocabulary, never a chained
+    ``Dataset.join``, which is schema-fragile on sparse partitions).
+    ln-ulp noise ≪ the 6-decimal round."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.rounding import round_half_away
+
+    def _doc_bigrams(b: pa.Table) -> pa.Table:
+        ids: list[int] = []
+        bgs: list[str] = []
+        lefts: list[str] = []
+        ks: list[int] = []
+        for did, t in zip(b["doc_id"].to_pylist(), b["text"].to_pylist()):
+            tt = _tokens(t)
+            if len(tt) < 2:
+                continue
+            pairs = np.asarray(
+                [f"{a} {b_}" for a, b_ in zip(tt, tt[1:])], dtype=object
+            )
+            u, c = np.unique(pairs, return_counts=True)
+            ids.extend([did] * len(u))
+            bgs.extend(u.tolist())
+            lefts.extend([x.split(" ", 1)[0] for x in u])
+            ks.extend(c.tolist())
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "bg": pa.array(bgs, pa.string()),
+                "left": pa.array(lefts, pa.string()),
+                "k": pa.array(ks, pa.int64()),
+            }
+        )
+
+    from ..functions.hashing import md5_lower64
+
+    dt = docs_ds.map_batches(_doc_bigrams, batch_format="pyarrow").materialize()
+    cnt_bg = dt.groupby("bg").aggregate(Sum("k", alias_name="c12"))
+    cnt_left = dt.groupby("left").aggregate(Sum("k", alias_name="cl"))
+    B = np.uint64(max(num_partitions, 8))
+
+    # Two bucket-joins (the repo's union-under-common-schema idiom — the
+    # chained Dataset.join is schema-fragile on sparse partitions):
+    # stage 1 attaches the left-token total to each VOCAB row (both sides
+    # vocabulary-sized), stage 2 attaches (c12, cl) to the per-doc rows.
+    def _sbucket(strs) -> np.ndarray:
+        return (md5_lower64(strs) % B).astype(np.int32)
+
+    def _bg_rows(t: pa.Table) -> pa.Table:
+        bg = t["bg"].to_numpy(zero_copy_only=False)
+        left = np.asarray([x.split(" ", 1)[0] for x in bg], dtype=object)
+        z = np.zeros(len(bg), np.int64)
+        return pa.table(
+            {
+                "key": pa.array(list(left), pa.string()),
+                "bg": t["bg"],
+                "c12": t["c12"].to_numpy().astype(np.int64),
+                "cl": z,
+                "is_dim": np.zeros(len(bg), bool),
+                "b": _sbucket(left),
+            }
+        )
+
+    def _left_rows(t: pa.Table) -> pa.Table:
+        left = t["left"].to_numpy(zero_copy_only=False)
+        z = np.zeros(len(left), np.int64)
+        return pa.table(
+            {
+                "key": t["left"],
+                "bg": pa.array([""] * len(left), pa.string()),
+                "c12": z,
+                "cl": t["cl"].to_numpy().astype(np.int64),
+                "is_dim": np.ones(len(left), bool),
+                "b": _sbucket(left),
+            }
+        )
+
+    def _attach_cl(g: pa.Table) -> pa.Table:
+        key = g["key"].to_numpy(zero_copy_only=False)
+        is_dim = g["is_dim"].to_numpy(zero_copy_only=False)
+        dk = key[is_dim]
+        order = np.argsort(dk)
+        dk = dk[order]
+        dcl = g["cl"].to_numpy()[is_dim][order]
+        rk = key[~is_dim]
+        pos = np.searchsorted(dk, rk)
+        # every bigram's left token exists in cnt_left by construction
+        return pa.table(
+            {
+                "bg": pa.array(list(g["bg"].to_numpy(zero_copy_only=False)[~is_dim]),
+                               pa.string()),
+                "c12": g["c12"].to_numpy()[~is_dim],
+                "cl": dcl[np.minimum(pos, max(len(dk) - 1, 0))],
+            }
+        )
+
+    ratio = (
+        cnt_bg.map_batches(_bg_rows, batch_format="pyarrow")
+        .union(cnt_left.map_batches(_left_rows, batch_format="pyarrow"))
+        .groupby("b")
+        .map_groups(_attach_cl, batch_format="pyarrow")
+    )
+
+    def _dt_rows(t: pa.Table) -> pa.Table:
+        bg = t["bg"].to_numpy(zero_copy_only=False)
+        z = np.zeros(len(bg), np.int64)
+        return pa.table(
+            {
+                "key": t["bg"],
+                "doc_id": t["doc_id"].to_numpy().astype(np.int64),
+                "k": t["k"].to_numpy().astype(np.int64),
+                "c12": z,
+                "cl": z,
+                "is_dim": np.zeros(len(bg), bool),
+                "b": _sbucket(bg),
+            }
+        )
+
+    def _ratio_rows(t: pa.Table) -> pa.Table:
+        bg = t["bg"].to_numpy(zero_copy_only=False)
+        z = np.zeros(len(bg), np.int64)
+        return pa.table(
+            {
+                "key": t["bg"],
+                "doc_id": z,
+                "k": z,
+                "c12": t["c12"].to_numpy().astype(np.int64),
+                "cl": t["cl"].to_numpy().astype(np.int64),
+                "is_dim": np.ones(len(bg), bool),
+                "b": _sbucket(bg),
+            }
+        )
+
+    def _contrib(g: pa.Table) -> pa.Table:
+        key = g["key"].to_numpy(zero_copy_only=False)
+        is_dim = g["is_dim"].to_numpy(zero_copy_only=False)
+        dk = key[is_dim]
+        order = np.argsort(dk)
+        dk = dk[order]
+        dc12 = g["c12"].to_numpy()[is_dim][order].astype(np.float64)
+        dcl = g["cl"].to_numpy()[is_dim][order].astype(np.float64)
+        pos = np.minimum(
+            np.searchsorted(dk, key[~is_dim]), max(len(dk) - 1, 0)
+        )
+        did = g["doc_id"].to_numpy()[~is_dim]
+        k = g["k"].to_numpy()[~is_dim]
+        contrib = k * -np.log(dc12[pos] / dcl[pos])
+        sorder = np.argsort(did, kind="stable")
+        u, starts = np.unique(did[sorder], return_index=True)
+        return pa.table(
+            {
+                "doc_id": u,
+                "s": np.add.reduceat(contrib[sorder], starts)
+                if len(u)
+                else np.array([], np.float64),
+                "n": (
+                    np.add.reduceat(k[sorder], starts).astype(np.int64)
+                    if len(u)
+                    else np.array([], np.int64)
+                ),
+            }
+        )
+
+    agg = (
+        dt.map_batches(_dt_rows, batch_format="pyarrow")
+        .union(ratio.map_batches(_ratio_rows, batch_format="pyarrow"))
+        .groupby("b")
+        .map_groups(_contrib, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n_bigrams"))
+    )
+
+    def _final(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_bigrams": t["n_bigrams"],
+                "bigram_cross_entropy": round_half_away(
+                    t["s"].to_numpy() / t["n_bigrams"].to_numpy(), 6
+                ),
+            }
+        )
+
+    return agg.map_batches(_final, batch_format="pyarrow")
+
+
+def source_mixture_weights(docs_ds, round_to: int = 6):
+    """Data-mixing weights per source: how much to over/under-sample each
+    source so the training mixture hits a UNIFORM token share →
+    (source, n_tokens, token_share, weight) with weight =
+    (1/|sources|)/token_share. The op every multi-source pretraining
+    pipeline runs before sampling (mixture re-weighting).
+
+    Scale shape: one pass, per-batch (source → token-count) partials
+    (the exchange carries one row per source per batch), one tiny
+    groupby-sum; |sources| rows reach the driver. Shares/weights are
+    single IEEE divisions of exact ints, rounded half-away at 6."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.rounding import round_half_away
+
+    def _partial(b: pa.Table) -> pa.Table:
+        src = b["source"].to_numpy(zero_copy_only=False)
+        ntok = np.array([len(_tokens(t)) for t in b["text"].to_pylist()], np.int64)
+        u, inv = np.unique(src, return_inverse=True)
+        s = np.zeros(len(u), np.int64)
+        np.add.at(s, inv, ntok)
+        return pa.table(
+            {"source": pa.array(list(u), pa.string()), "n": s}
+        )
+
+    tot = (
+        docs_ds.map_batches(_partial, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(Sum("n", alias_name="n_tokens"))
+        .to_pandas()  # |sources| rows
+    )
+    T = int(tot["n_tokens"].sum())
+    S = len(tot)
+    share = tot["n_tokens"].to_numpy() / T if T else np.zeros(S)
+    weight = np.where(share > 0, (1.0 / S) / np.where(share > 0, share, 1.0), 0.0)
+    import pandas as pd
+
+    return pd.DataFrame(
+        {
+            "source": tot["source"],
+            "n_tokens": tot["n_tokens"].astype(np.int64),
+            "token_share": round_half_away(share, round_to),
+            "weight": round_half_away(weight, round_to),
+        }
+    )
+
+
 def train_val_test_split(docs_ds, train_pct: int = 80, val_pct: int = 10,
                          key_col: str = "doc_id"):
     """Deterministic train/val/test corpus split — the leakage-free

@@ -161,3 +161,64 @@ def test_bpe_trainer_matches_naive(pairs, n_merges):
     got = train_from_histogram(words, counts, n_merges)
     want = _naive_train(words, counts, n_merges)
     assert got == want
+
+
+# ---- bigram LM + mixture weights (same file: text training-data ops) ------
+
+
+def test_bigram_cross_entropy_hand_case(ray_session):
+    from subgraph_isomorphism_pregel_ray.pipelines.textops import (
+        bigram_cross_entropy,
+    )
+
+    # corpus bigrams: "a b" x2 (docs 0,1), "b a" x1, left-counts: a->3? no:
+    # doc0 = "a b a": bigrams (a b), (b a); doc1 = "a b": (a b).
+    # c(a b)=2, c(b a)=1; c_left(a)=2, c_left(b)=1
+    # doc0: H = -(1/2)(ln(2/2) + ln(1/1)) = 0; doc1: H = -ln(2/2) = 0
+    got = (
+        bigram_cross_entropy(_docs(["a b a", "a b", "x"]))
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    assert 2 not in got.index  # single-token doc dropped
+    assert got.loc[0, "n_bigrams"] == 2 and got.loc[0, "bigram_cross_entropy"] == 0.0
+    assert got.loc[1, "n_bigrams"] == 1 and got.loc[1, "bigram_cross_entropy"] == 0.0
+
+
+def test_bigram_cross_entropy_rare_transition_scores_higher(ray_session):
+    from subgraph_isomorphism_pregel_ray.pipelines.textops import (
+        bigram_cross_entropy,
+    )
+
+    # from 'b' the corpus transitions to 'a' and to 'c' equally often ->
+    # p(c|b) = 1/2, while p(b|a) = 1 -> doc 3 ("b c") scores higher than
+    # the deterministic-transition docs
+    docs = _docs(["a b", "a b", "b a", "b c"])
+    got = bigram_cross_entropy(docs).to_pandas().set_index("doc_id")
+    assert got.loc[0, "bigram_cross_entropy"] == 0.0  # -ln(2/2)
+    assert abs(got.loc[3, "bigram_cross_entropy"] - 0.693147) < 1e-6  # -ln(1/2)
+
+
+def test_source_mixture_weights_uniform_target(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from subgraph_isomorphism_pregel_ray.pipelines.textops import (
+        source_mixture_weights,
+    )
+
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2], pa.int64()),
+                "text": pa.array(["w w w", "w", "", ]),
+                "source": pa.array(["web", "web", "books"]),
+            }
+        )
+    )
+    got = source_mixture_weights(ds).set_index("source")
+    # web: 4 tokens (share 1.0), books: 0 tokens -> weight 0 by convention
+    assert got.loc["web", "n_tokens"] == 4
+    assert got.loc["web", "token_share"] == 1.0
+    assert got.loc["web", "weight"] == 0.5  # (1/2)/1.0
+    assert got.loc["books", "weight"] == 0.0
