@@ -976,6 +976,14 @@ def _q_user_first_last(sf_dir: str):
     return user_first_last(sf_dir)
 
 
+def _q_events_daily_delta(sf_dir: str):
+    """Window-over-aggregate: daily value totals per type with
+    day-over-day delta, exact int-cent folds."""
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import events_daily_delta
+
+    return events_daily_delta(sf_dir)
+
+
 def _q_bigram_cross_entropy(sf_dir: str):
     """Per-doc cross-entropy under the corpus bigram LM (conditional
     transition probabilities); docs with < 2 tokens dropped."""
@@ -1228,6 +1236,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_first_last": _q_user_first_last,
         "bigram_cross_entropy": _q_bigram_cross_entropy,
         "source_mixture_weights": _q_source_mixture_weights,
+        "events_daily_delta": _q_events_daily_delta,
         "hll_registers_daily": _q_hll_registers,
         "approx_distinct_users_daily": _q_approx_distinct,
         "doc_repetition": _q_doc_repetition,
@@ -2761,6 +2770,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT csize, count(*) AS n_components FROM ("
             f"SELECT component, count(*) AS csize FROM ({_cc_sql()}) x "
             "GROUP BY component) GROUP BY csize"
+        ),
+        "events_daily_delta": (
+            # aggregate-then-window; int-cent totals, delta as int
+            # difference, the /100.0 divisions are the only float ops
+            "WITH d AS (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, "
+            "sum(CAST(round(value * 100) AS BIGINT)) AS c FROM events "
+            "GROUP BY 1, 2) "
+            "SELECT event_type, day, c / 100.0 AS day_value, "
+            "coalesce(c - lag(c) OVER (PARTITION BY event_type ORDER BY day), "
+            "0) / 100.0 AS delta_value FROM d"
         ),
         "events_ntile": (
             "SELECT event_id, ntile(4) OVER "

@@ -55,6 +55,7 @@ __all__ = [
     "user_event_pivot",
     "events_ntile",
     "user_first_last",
+    "events_daily_delta",
 ]
 
 
@@ -932,6 +933,63 @@ def user_first_last(sf_dir: str, num_buckets: int | None = None):
         ds.map_batches(_partial, batch_format="pyarrow")
         .groupby("b")
         .map_groups(_fold, batch_format="pyarrow")
+    )
+
+
+def events_daily_delta(sf_dir: str):
+    """WINDOW-over-AGGREGATE composition: daily value totals per event
+    type with the day-over-day change → (event_type, day, day_value,
+    delta_value); the first day of a type has delta 0 (COALESCE).
+
+    Scale shape: per-batch partial (type, day, cents) aggregation (the
+    exchange carries one row per type·day per batch); one groupby on
+    event_type finishes totals AND computes the lag in the same
+    ``map_groups`` (days sorted within the group — group size = #days,
+    bounded, never the event stream). Totals fold as exact int cents; the
+    two divisions by 100 are the only float ops."""
+    ev = read_table(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def _partial(t: pa.Table) -> pa.Table:
+        day_i = t["ts"].to_numpy().astype("datetime64[D]").astype(np.int64)
+        typ = t["event_type"].to_numpy(zero_copy_only=False)
+        c100 = np.round(t["value"].to_numpy() * 100).astype(np.int64)
+        tkey, tinv = np.unique(typ, return_inverse=True)
+        packed = tinv.astype(np.int64) * np.int64(1 << 32) + day_i
+        u, inv = np.unique(packed, return_inverse=True)
+        s = np.zeros(len(u), np.int64)
+        np.add.at(s, inv, c100)
+        return pa.table(
+            {
+                "event_type": tkey[(u >> np.int64(32)).astype(np.int64)],
+                "day_i": (u & np.int64(0xFFFFFFFF)),
+                "c100": s,
+            }
+        )
+
+    def _delta(g: pa.Table) -> pa.Table:
+        day_i = g["day_i"].to_numpy()
+        c100 = g["c100"].to_numpy()
+        u, inv = np.unique(day_i, return_inverse=True)
+        s = np.zeros(len(u), np.int64)
+        np.add.at(s, inv, c100)
+        prev = np.concatenate([[0], s[:-1]])
+        delta = s - prev
+        delta[0] = 0
+        return pa.table(
+            {
+                "event_type": pa.array(
+                    [g["event_type"][0].as_py()] * len(u), pa.string()
+                ),
+                "day": np.datetime_as_string(u.astype("datetime64[D]"), unit="D"),
+                "day_value": s.astype(np.float64) / 100.0,
+                "delta_value": delta.astype(np.float64) / 100.0,
+            }
+        )
+
+    return (
+        ev.map_batches(_partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .map_groups(_delta, batch_format="pyarrow")
     )
 
 
