@@ -984,6 +984,21 @@ def _q_events_daily_delta(sf_dir: str):
     return events_daily_delta(sf_dir)
 
 
+def _q_events_props_stats(sf_dir: str):
+    """Semi-structured JSON field extraction (props.k) + per-type stats."""
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import events_props_stats
+
+    return events_props_stats(sf_dir)
+
+
+def _q_parts_skyline(sf_dir: str):
+    """Distributed Pareto frontier on (min price, min size): local
+    skylines per batch, one frontier-only fold (skyline is associative)."""
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import parts_skyline
+
+    return parts_skyline(sf_dir)
+
+
 def _q_bigram_cross_entropy(sf_dir: str):
     """Per-doc cross-entropy under the corpus bigram LM (conditional
     transition probabilities); docs with < 2 tokens dropped."""
@@ -1237,6 +1252,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_cross_entropy": _q_bigram_cross_entropy,
         "source_mixture_weights": _q_source_mixture_weights,
         "events_daily_delta": _q_events_daily_delta,
+        "events_props_stats": _q_events_props_stats,
+        "parts_skyline": _q_parts_skyline,
         "hll_registers_daily": _q_hll_registers,
         "approx_distinct_users_daily": _q_approx_distinct,
         "doc_repetition": _q_doc_repetition,
@@ -2770,6 +2787,23 @@ def oracle_sql() -> dict[str, str]:
             "SELECT csize, count(*) AS n_components FROM ("
             f"SELECT component, count(*) AS csize FROM ({_cc_sql()}) x "
             "GROUP BY component) GROUP BY csize"
+        ),
+        "events_props_stats": (
+            # JSON field extraction; avg = one IEEE division of exact ints
+            "SELECT event_type, count(*) AS n, "
+            "CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) "
+            "AS sum_k, "
+            "round(sum(CAST(json_extract(props, '$.k') AS BIGINT)) * 1.0 "
+            "/ count(*), 6) AS avg_k "
+            "FROM events WHERE json_extract(props, '$.k') IS NOT NULL "
+            "GROUP BY 1"
+        ),
+        "parts_skyline": (
+            # Pareto frontier by NOT EXISTS dominance (min price, min size)
+            "SELECT p_partkey, p_retailprice, p_size FROM part p "
+            "WHERE NOT EXISTS (SELECT 1 FROM part q WHERE "
+            "q.p_retailprice <= p.p_retailprice AND q.p_size <= p.p_size "
+            "AND (q.p_retailprice < p.p_retailprice OR q.p_size < p.p_size))"
         ),
         "events_daily_delta": (
             # aggregate-then-window; int-cent totals, delta as int

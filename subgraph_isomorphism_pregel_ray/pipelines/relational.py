@@ -56,6 +56,8 @@ __all__ = [
     "events_ntile",
     "user_first_last",
     "events_daily_delta",
+    "events_props_stats",
+    "parts_skyline",
 ]
 
 
@@ -991,6 +993,145 @@ def events_daily_delta(sf_dir: str):
         .groupby("event_type")
         .map_groups(_delta, batch_format="pyarrow")
     )
+
+
+def events_props_stats(sf_dir: str):
+    """Semi-structured column handling: extract the integer ``k`` field
+    from the JSON ``props`` string per event and aggregate per type →
+    (event_type, n, sum_k, avg_k). The extraction is a compiled vectorized
+    regex (pandas ``str.extract`` — C loop, no per-row Python), mirroring
+    DuckDB's ``json_extract``; events whose props lack ``k`` are skipped
+    on both sides.
+
+    Scale shape: per-batch partial (type, sum, count) rows, one tiny
+    groupby; avg is a single IEEE division of exact ints."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.rounding import round_half_away
+
+    ev = read_table(sf_dir, "events", columns=["event_type", "props"])
+
+    def _partial(t: pa.Table) -> pa.Table:
+        typ = t["event_type"].to_numpy(zero_copy_only=False)
+        ks = (
+            pd.Series(t["props"].to_numpy(zero_copy_only=False))
+            .str.extract(r'"k":\s*(-?\d+)', expand=False)
+            .to_numpy()
+        )
+        has = ks == ks  # non-NaN mask (extract gives NaN on no match)
+        has &= ks != None  # noqa: E711 — object array may carry None
+        k = ks[has].astype(np.int64)
+        tkey, tinv = np.unique(typ[has], return_inverse=True)
+        s = np.zeros(len(tkey), np.int64)
+        n = np.zeros(len(tkey), np.int64)
+        np.add.at(s, tinv, k)
+        np.add.at(n, tinv, 1)
+        return pa.table(
+            {
+                "event_type": pa.array(list(tkey), pa.string()),
+                "s": s,
+                "n": n,
+            }
+        )
+
+    agg = (
+        ev.map_batches(_partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("s", alias_name="sum_k"), Sum("n", alias_name="n"))
+    )
+
+    def _final(t: pa.Table) -> pa.Table:
+        s = t["sum_k"].to_numpy().astype(np.int64)
+        n = t["n"].to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "n": n,
+                "sum_k": s,
+                "avg_k": round_half_away(s / n, 6),
+            }
+        )
+
+    return agg.map_batches(_final, batch_format="pyarrow")
+
+
+def parts_skyline(sf_dir: str):
+    """Distributed SKYLINE (Pareto frontier): parts not dominated on
+    (minimize p_retailprice, minimize p_size) → (p_partkey, p_retailprice,
+    p_size). q dominates p iff q.price ≤ p.price AND q.size ≤ p.size with
+    at least one strict; equal (price, size) pairs are mutually
+    non-dominating, so ties all survive.
+
+    Scale shape: the skyline operator is ASSOCIATIVE — skyline(A ∪ B) =
+    skyline(skyline(A) ∪ skyline(B)) — so each batch reduces to its local
+    frontier (sort by price then a running-min sweep on size, fully
+    vectorized) and ONE single-group fold finishes; the exchange carries
+    frontier points only, never the table."""
+    part = read_table(
+        sf_dir, "part", columns=["p_partkey", "p_retailprice", "p_size"]
+    )
+
+    def _local(t: pa.Table) -> pa.Table:
+        key = t["p_partkey"].to_numpy().astype(np.int64)
+        raw = t["p_retailprice"].to_numpy()
+        price = np.round(raw * 100).astype(np.int64)
+        size = t["p_size"].to_numpy()  # source dtype carried through
+        keep = _skyline_mask(price, size.astype(np.int64))
+        return pa.table(
+            {
+                "one": np.ones(int(keep.sum()), np.int32),
+                "p_partkey": key[keep],
+                "price100": price[keep],
+                # original columns carried untouched for the output
+                "p_retailprice": raw[keep],
+                "p_size": size[keep],
+            }
+        )
+
+    def _fold(g: pa.Table) -> pa.Table:
+        key = g["p_partkey"].to_numpy()
+        price = g["price100"].to_numpy()
+        size = g["p_size"].to_numpy()
+        keep = _skyline_mask(price, size.astype(np.int64))
+        return pa.table(
+            {
+                "p_partkey": key[keep],
+                "p_retailprice": g["p_retailprice"].to_numpy()[keep],
+                "p_size": size[keep],
+            }
+        )
+
+    return (
+        part.map_batches(_local, batch_format="pyarrow")
+        .groupby("one")
+        .map_groups(_fold, batch_format="pyarrow")
+    )
+
+
+def _skyline_mask(price: np.ndarray, size: np.ndarray) -> np.ndarray:
+    """Vectorized 2-D min-min skyline: sort by (price, size); a point
+    survives iff its size is strictly below the running min of all
+    STRICTLY-cheaper points, and among equal-price points only the min
+    size survives (plus its exact duplicates)."""
+    n = len(price)
+    if n == 0:
+        return np.zeros(0, bool)
+    order = np.lexsort((size, price))
+    p, s = price[order], size[order]
+    # running min size over strictly-lower price prefix
+    new_price = np.ones(n, bool)
+    new_price[1:] = p[1:] != p[:-1]
+    # min size within each price group = first element (sorted by size)
+    grp = np.cumsum(new_price) - 1
+    grp_min = s[new_price][grp]
+    # prefix min of group minima over PRIOR price groups
+    gmins = s[new_price]
+    prior = np.concatenate([[np.iinfo(np.int64).max], np.minimum.accumulate(gmins)[:-1]])
+    prior_min = prior[grp]
+    keep_sorted = (s < prior_min) & (s == grp_min)
+    keep = np.zeros(n, bool)
+    keep[order] = keep_sorted
+    return keep
 
 
 def events_lag(sf_dir: str, num_buckets: int | None = None):

@@ -402,3 +402,53 @@ def test_tpch_shapes_on_empty_tables(ray_session, tmp_path):
     docs = rd.read_parquet(str(tmp_path / "documents.parquet"),
                            columns=["doc_id", "text"])
     assert len(bpe_train(docs, n_merges=4)) == 0
+
+
+def test_parts_skyline_brute_force(ray_session, tmp_path):
+    # randomized instance vs O(n^2) dominance check; duplicates of a
+    # frontier point must all survive
+    rng = np.random.default_rng(7)
+    n = 120
+    price = np.round(rng.uniform(1, 50, n), 2)
+    size = rng.integers(1, 12, n).astype(np.int32)
+    price[10], size[10] = price[3], size[3]  # exact duplicate pair
+    _write(
+        tmp_path,
+        "part",
+        {
+            "p_partkey": pa.array(range(n), pa.int64()),
+            "p_retailprice": pa.array(price),
+            "p_size": pa.array(size, pa.int32()),
+        },
+    )
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import parts_skyline
+
+    got = set(parts_skyline(str(tmp_path)).to_pandas()["p_partkey"])
+    want = {
+        int(i)
+        for i in range(n)
+        if not any(
+            price[j] <= price[i]
+            and size[j] <= size[i]
+            and (price[j] < price[i] or size[j] < size[i])
+            for j in range(n)
+        )
+    }
+    assert got == want and len(want) > 1
+
+
+def test_events_props_stats_skips_missing_k(ray_session, tmp_path):
+    _write(
+        tmp_path,
+        "events",
+        {
+            "event_type": pa.array(["a", "a", "a", "b"]),
+            "props": pa.array(['{"k": 3}', '{"k": -1}', '{"other": 9}', '{"k": 10}']),
+        },
+    )
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import events_props_stats
+
+    got = events_props_stats(str(tmp_path)).to_pandas().set_index("event_type")
+    assert got.loc["a", "n"] == 2 and got.loc["a", "sum_k"] == 2
+    assert got.loc["a", "avg_k"] == 1.0
+    assert got.loc["b", "sum_k"] == 10
