@@ -984,6 +984,15 @@ def _q_events_daily_delta(sf_dir: str):
     return events_daily_delta(sf_dir)
 
 
+def _q_name_near_pairs(sf_dir: str):
+    """SymSpell deletion-neighborhood string-similarity self-join over
+    distinct part names (edit distance <= 1)."""
+    from subgraph_isomorphism_pregel_ray.pipelines.dedup import name_near_pairs
+    from subgraph_isomorphism_pregel_ray.sources.tables import read_table
+
+    return name_near_pairs(read_table(sf_dir, "part", columns=["p_name"]))
+
+
 def _q_events_props_stats(sf_dir: str):
     """Semi-structured JSON field extraction (props.k) + per-type stats."""
     from subgraph_isomorphism_pregel_ray.pipelines.relational import events_props_stats
@@ -1254,6 +1263,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_daily_delta": _q_events_daily_delta,
         "events_props_stats": _q_events_props_stats,
         "parts_skyline": _q_parts_skyline,
+        "name_near_pairs": _q_name_near_pairs,
         "hll_registers_daily": _q_hll_registers,
         "approx_distinct_users_daily": _q_approx_distinct,
         "doc_repetition": _q_doc_repetition,
@@ -2787,6 +2797,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT csize, count(*) AS n_components FROM ("
             f"SELECT component, count(*) AS csize FROM ({_cc_sql()}) x "
             "GROUP BY component) GROUP BY csize"
+        ),
+        "name_near_pairs": (
+            "SELECT a.name AS name_a, b.name AS name_b FROM "
+            "(SELECT DISTINCT p_name AS name FROM part) a JOIN "
+            "(SELECT DISTINCT p_name AS name FROM part) b ON a.name < b.name "
+            "WHERE levenshtein(a.name, b.name) <= 1"
         ),
         "events_props_stats": (
             # JSON field extraction; avg = one IEEE division of exact ints

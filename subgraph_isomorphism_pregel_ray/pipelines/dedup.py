@@ -46,6 +46,7 @@ __all__ = [
     "jaccard_ngrams",
     "embedding_dup_pairs",
     "dedup_groups",
+    "name_near_pairs",
 ]
 
 _MERSENNE = np.uint64((1 << 61) - 1)
@@ -670,3 +671,110 @@ def dedup_groups(docs_ds, threshold: float = 0.5, num_parts: int = 4, **lsh_kw):
         )
 
     return with_group.groupby("group").map_groups(_mark, batch_format="pyarrow")
+
+
+def _ed_le1(a: str, b: str) -> bool:
+    """Exact edit-distance ≤ 1 for a != b (equal-length → ≤1 substitution;
+    length-diff-1 → one deletion aligns; else > 1)."""
+    la, lb = len(a), len(b)
+    if la == lb:
+        return sum(x != y for x, y in zip(a, b)) <= 1
+    if abs(la - lb) != 1:
+        return False
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    # a is shorter: b must equal a with one char inserted
+    i = 0
+    while i < la and a[i] == b[i]:
+        i += 1
+    return a[i:] == b[i + 1:]
+
+
+def name_near_pairs(ds, col: str = "p_name", num_buckets: int = 32):
+    """String-similarity SELF-join: distinct values of ``col`` within edit
+    distance 1 → (name_a, name_b), name_a < name_b.
+
+    SymSpell-style deletion-neighborhood blocking (Garbe's public
+    algorithm): every string emits itself plus each single-character
+    deletion as a candidate key — two strings at edit distance ≤ 1 are
+    GUARANTEED to share a key (equality of one with a deletion of the
+    other, or a shared deletion at the substitution position), so the
+    join never compares strings outside a key bucket. Per-batch distinct
+    pushdown first (the exchange carries distinct values only); candidate
+    verification is the exact ≤1 check; cross-key duplicate pairs are
+    removed by a final pair-key groupby. At 100 TB the key space is
+    |vocab|·avg_len — each bucket holds a few strings, never the corpus.
+    """
+    from ..functions.hashing import md5_lower64
+
+    B = np.uint64(num_buckets)
+
+    def _distinct(t: pa.Table) -> pa.Table:
+        vals = np.unique(t[col].to_numpy(zero_copy_only=False))
+        return pa.table({"name": pa.array(list(vals), pa.string())})
+
+    names = ds.map_batches(_distinct, batch_format="pyarrow").groupby(
+        "name"
+    ).count()
+
+    def _keys(t: pa.Table) -> pa.Table:
+        out_k: list[str] = []
+        out_n: list[str] = []
+        for s in t["name"].to_numpy(zero_copy_only=False):
+            out_k.append(s)
+            out_n.append(s)
+            for i in range(len(s)):
+                out_k.append(s[:i] + s[i + 1:])
+                out_n.append(s)
+        return pa.table(
+            {
+                "key": pa.array(out_k, pa.string()),
+                "name": pa.array(out_n, pa.string()),
+                "b": (md5_lower64(out_k) % B).astype(np.int32),
+            }
+        )
+
+    def _cands(g: pa.Table) -> pa.Table:
+        # pairs within each key, deduped inside the bucket
+        key = g["key"].to_numpy(zero_copy_only=False)
+        name = g["name"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((name, key))
+        key, name = key[order], name[order]
+        starts = np.flatnonzero(
+            np.concatenate([[True], key[1:] != key[:-1]])
+        )
+        ends = np.concatenate([starts[1:], [len(key)]])
+        pairs = set()
+        for s0, e0 in zip(starts, ends):
+            grp = name[s0:e0]
+            for i in range(len(grp)):
+                for j in range(i + 1, len(grp)):
+                    if grp[i] != grp[j]:
+                        a, b = sorted((grp[i], grp[j]))
+                        pairs.add((a, b))
+        verified = [(a, b) for a, b in sorted(pairs) if _ed_le1(a, b)]
+        return pa.table(
+            {
+                "name_a": pa.array([p[0] for p in verified], pa.string()),
+                "name_b": pa.array([p[1] for p in verified], pa.string()),
+            }
+        )
+
+    pairs = (
+        names.map_batches(_keys, batch_format="pyarrow")
+        .groupby("b")
+        .map_groups(_cands, batch_format="pyarrow")
+    )
+
+    def _first(g: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "name_a": g["name_a"][:1],
+                "name_b": g["name_b"][:1],
+            }
+        )
+
+    # cross-bucket duplicates (a pair can share keys in different buckets)
+    return pairs.groupby(["name_a", "name_b"]).map_groups(
+        _first, batch_format="pyarrow"
+    )

@@ -452,3 +452,31 @@ def test_events_props_stats_skips_missing_k(ray_session, tmp_path):
     assert got.loc["a", "n"] == 2 and got.loc["a", "sum_k"] == 2
     assert got.loc["a", "avg_k"] == 1.0
     assert got.loc["b", "sum_k"] == 10
+
+
+def test_name_near_pairs_blocking_recall(ray_session, tmp_path):
+    # substitution, deletion, insertion all found; distance-2 not
+    names = ["abcd", "abxd", "abd", "xabcd", "qqqq", "abcd"]
+    _write(tmp_path, "part", {"p_name": pa.array(names, pa.string())})
+    from subgraph_isomorphism_pregel_ray.pipelines.dedup import (
+        _ed_le1,
+        name_near_pairs,
+    )
+
+    got = {
+        tuple(r)
+        for r in name_near_pairs(
+            __import__("ray").data.read_parquet(str(tmp_path / "part.parquet"))
+        )
+        .to_pandas()[["name_a", "name_b"]]
+        .itertuples(index=False)
+    }
+    uniq = sorted(set(names))
+    want = {
+        (a, b)
+        for i, a in enumerate(uniq)
+        for b in uniq[i + 1:]
+        if _ed_le1(a, b)
+    }
+    assert ("abcd", "abxd") in want and ("abcd", "xabcd") in want
+    assert got == want
