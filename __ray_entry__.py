@@ -984,6 +984,16 @@ def _q_events_daily_delta(sf_dir: str):
     return events_daily_delta(sf_dir)
 
 
+def _q_succ_inout_correlation(sf_dir: str):
+    """Directed in/out-degree Pearson correlation, exact int64 moment
+    partials, one mirrored float expression at the end."""
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import (
+        succ_inout_correlation,
+    )
+
+    return succ_inout_correlation(sf_dir)
+
+
 def _q_name_near_pairs(sf_dir: str):
     """SymSpell deletion-neighborhood string-similarity self-join over
     distinct part names (edit distance <= 1)."""
@@ -1264,6 +1274,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_props_stats": _q_events_props_stats,
         "parts_skyline": _q_parts_skyline,
         "name_near_pairs": _q_name_near_pairs,
+        "succ_inout_correlation": _q_succ_inout_correlation,
         "hll_registers_daily": _q_hll_registers,
         "approx_distinct_users_daily": _q_approx_distinct,
         "doc_repetition": _q_doc_repetition,
@@ -2797,6 +2808,28 @@ def oracle_sql() -> dict[str, str]:
             "SELECT csize, count(*) AS n_components FROM ("
             f"SELECT component, count(*) AS csize FROM ({_cc_sql()}) x "
             "GROUP BY component) GROUP BY csize"
+        ),
+        "succ_inout_correlation": (
+            # exact int64 moments; the one float expression mirrors the
+            # engine term for term (HUGEINT->double conversions identical)
+            "WITH seq AS (SELECT l_orderkey, l_linenumber, l_partkey, "
+            "lag(l_partkey) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) "
+            "AS prev FROM lineitem WHERE l_quantity <= 8), "
+            "edges AS (SELECT DISTINCT prev AS src, l_partkey AS dst FROM seq "
+            "WHERE prev IS NOT NULL AND prev <> l_partkey), "
+            "od AS (SELECT src AS vid, CAST(count(*) AS BIGINT) AS o "
+            "FROM edges GROUP BY 1), "
+            "idg AS (SELECT dst AS vid, CAST(count(*) AS BIGINT) AS i "
+            "FROM edges GROUP BY 1), "
+            "v AS (SELECT src AS vid FROM edges UNION SELECT dst FROM edges), "
+            "dd AS (SELECT v.vid, coalesce(o, 0) AS x, coalesce(i, 0) AS y "
+            "FROM v LEFT JOIN od USING (vid) LEFT JOIN idg USING (vid)), "
+            "m AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(x) AS sx, "
+            "sum(y) AS sy, sum(x * x) AS sxx, sum(y * y) AS syy, "
+            "sum(x * y) AS sxy FROM dd) "
+            "SELECT n AS n_vertices, round((n * sxy - sx * sy) / "
+            "sqrt((n * sxx - sx * sx) * 1.0 * (n * syy - sy * sy)), 6) AS r "
+            "FROM m"
         ),
         "name_near_pairs": (
             "SELECT a.name AS name_a, b.name AS name_b FROM "

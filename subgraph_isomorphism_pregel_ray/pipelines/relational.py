@@ -58,6 +58,7 @@ __all__ = [
     "events_daily_delta",
     "events_props_stats",
     "parts_skyline",
+    "succ_inout_correlation",
 ]
 
 
@@ -2520,6 +2521,93 @@ def user_event_pivot(sf_dir: str, num_buckets: int | None = None):
         ds.map_batches(_partial, batch_format="pyarrow")
         .groupby("b")
         .map_groups(_finish, batch_format="pyarrow")
+    )
+
+
+def succ_inout_correlation(sf_dir: str, num_buckets: int = 32, round_to: int = 6):
+    """Pearson correlation between in-degree and out-degree over the
+    directed part-successor graph → one row (n_vertices, r). Answers "do
+    parts that lead INTO many others also get led into?" — the directed
+    analogue of degree assortativity.
+
+    Scale shape: succ edges are globally deduped in their key bucket
+    (both duplicate sightings co-locate), per-bucket partial degree
+    contributions flow through ONE vid-bucketed exchange where full
+    (in, out) pairs form, and each bucket emits a single row of exact
+    int64 moment partials (n, Σx, Σy, Σx², Σy², Σxy) — the driver folds
+    B rows and evaluates one float expression, mirrored term for term in
+    the SQL oracle."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.rounding import round_half_away
+
+    edges = succ_edges(sf_dir)
+    B = np.uint64(num_buckets)
+
+    def _canon(t: pa.Table) -> pa.Table:
+        s = t["src"].to_numpy().astype(np.uint64)
+        d = t["dst"].to_numpy().astype(np.uint64)
+        key = (s << np.uint64(32)) | d
+        return pa.table(
+            {"key": key.view(np.int64), "b": (key % B).astype(np.int32)}
+        )
+
+    def _dedupe_degrees(g: pa.Table) -> pa.Table:
+        key = np.unique(g["key"].to_numpy()).view(np.uint64)
+        src = (key >> np.uint64(32)).astype(np.int64)
+        dst = (key & np.uint64(0xFFFFFFFF)).astype(np.int64)
+        uo, co = np.unique(src, return_counts=True)
+        ui, ci = np.unique(dst, return_counts=True)
+        vid = np.concatenate([uo, ui])
+        return pa.table(
+            {
+                "vid": vid,
+                "o": np.concatenate([co.astype(np.int64), np.zeros(len(ui), np.int64)]),
+                "i": np.concatenate([np.zeros(len(uo), np.int64), ci.astype(np.int64)]),
+                "vb": ((vid.astype(np.uint64)) % B).astype(np.int32),
+            }
+        )
+
+    def _moments(g: pa.Table) -> pa.Table:
+        vid = g["vid"].to_numpy()
+        key, inv = np.unique(vid, return_inverse=True)
+        x = np.zeros(len(key), np.int64)
+        y = np.zeros(len(key), np.int64)
+        np.add.at(x, inv, g["o"].to_numpy())
+        np.add.at(y, inv, g["i"].to_numpy())
+        return pa.table(
+            {
+                "n": np.array([len(key)], np.int64),
+                "sx": np.array([x.sum()], np.int64),
+                "sy": np.array([y.sum()], np.int64),
+                "sxx": np.array([(x * x).sum()], np.int64),
+                "syy": np.array([(y * y).sum()], np.int64),
+                "sxy": np.array([(x * y).sum()], np.int64),
+            }
+        )
+
+    m = (
+        edges.map_batches(_canon, batch_format="pyarrow")
+        .groupby("b")
+        .map_groups(_dedupe_degrees, batch_format="pyarrow")
+        .groupby("vb")
+        .map_groups(_moments, batch_format="pyarrow")
+        .aggregate(
+            Sum("n", alias_name="n"), Sum("sx", alias_name="sx"),
+            Sum("sy", alias_name="sy"), Sum("sxx", alias_name="sxx"),
+            Sum("syy", alias_name="syy"), Sum("sxy", alias_name="sxy"),
+        )
+    )
+    n = int(m["n"] or 0)
+    sx, sy = int(m["sx"] or 0), int(m["sy"] or 0)
+    sxx, syy, sxy = int(m["sxx"] or 0), int(m["syy"] or 0), int(m["sxy"] or 0)
+    den = float((n * sxx - sx * sx) * 1.0 * (n * syy - sy * sy))
+    r = (n * sxy - sx * sy) / np.sqrt(den) if den > 0 else 0.0
+    return pd.DataFrame(
+        {
+            "n_vertices": [n],
+            "r": [float(round_half_away(r, round_to))],
+        }
     )
 
 

@@ -480,3 +480,54 @@ def test_name_near_pairs_blocking_recall(ray_session, tmp_path):
     }
     assert ("abcd", "abxd") in want and ("abcd", "xabcd") in want
     assert got == want
+
+
+def test_succ_inout_correlation_hand_case(ray_session, tmp_path):
+    # chain walks: 1->2->3 and 3->1 (two orders). Distinct edges:
+    # 1->2, 2->3, 3->1. Every vertex has in=out=1 -> all (x,y) identical
+    # -> zero variance -> r reported as 0.0 by the den<=0 convention.
+    _write(
+        tmp_path,
+        "lineitem",
+        {
+            "l_orderkey": pa.array([1, 1, 1, 2, 2], pa.int64()),
+            "l_linenumber": pa.array([1, 2, 3, 1, 2], pa.int32()),
+            "l_partkey": pa.array([1, 2, 3, 3, 1], pa.int64()),
+            "l_quantity": pa.array([1.0] * 5),
+        },
+    )
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import (
+        succ_inout_correlation,
+    )
+
+    got = succ_inout_correlation(str(tmp_path))
+    assert int(got["n_vertices"].iloc[0]) == 3
+    assert float(got["r"].iloc[0]) == 0.0
+
+
+def test_succ_inout_correlation_positive(ray_session, tmp_path):
+    # hub vertex 1: out-edges to 2,3,4 and in-edges from 2,3,4 (via
+    # separate orders); leaves have (1,1); hub has (3,3) -> r = 1.0
+    rows = []
+    for o, (a, b) in enumerate(
+        [(1, 2), (1, 3), (1, 4), (2, 1), (3, 1), (4, 1)], start=1
+    ):
+        rows.append((o, 1, a))
+        rows.append((o, 2, b))
+    _write(
+        tmp_path,
+        "lineitem",
+        {
+            "l_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+            "l_linenumber": pa.array([r[1] for r in rows], pa.int32()),
+            "l_partkey": pa.array([r[2] for r in rows], pa.int64()),
+            "l_quantity": pa.array([1.0] * len(rows)),
+        },
+    )
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import (
+        succ_inout_correlation,
+    )
+
+    got = succ_inout_correlation(str(tmp_path))
+    assert int(got["n_vertices"].iloc[0]) == 4
+    assert float(got["r"].iloc[0]) == 1.0
