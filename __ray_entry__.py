@@ -994,6 +994,21 @@ def _q_succ_inout_correlation(sf_dir: str):
     return succ_inout_correlation(sf_dir)
 
 
+def _q_forecast_revenue(sf_dir: str):
+    """Q6-shaped pure filter-aggregate with exact int-cent predicates."""
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import forecast_revenue
+
+    return forecast_revenue(sf_dir)
+
+
+def _q_events_value_stats(sf_dir: str):
+    """Per-type mean/variance/stddev from exact integer moments —
+    no Welford/summation-order drift on either side."""
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import events_value_stats
+
+    return events_value_stats(sf_dir)
+
+
 def _q_name_near_pairs(sf_dir: str):
     """SymSpell deletion-neighborhood string-similarity self-join over
     distinct part names (edit distance <= 1)."""
@@ -1275,6 +1290,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_skyline": _q_parts_skyline,
         "name_near_pairs": _q_name_near_pairs,
         "succ_inout_correlation": _q_succ_inout_correlation,
+        "forecast_revenue": _q_forecast_revenue,
+        "events_value_stats": _q_events_value_stats,
         "hll_registers_daily": _q_hll_registers,
         "approx_distinct_users_daily": _q_approx_distinct,
         "doc_repetition": _q_doc_repetition,
@@ -2808,6 +2825,29 @@ def oracle_sql() -> dict[str, str]:
             "SELECT csize, count(*) AS n_components FROM ("
             f"SELECT component, count(*) AS csize FROM ({_cc_sql()}) x "
             "GROUP BY component) GROUP BY csize"
+        ),
+        "forecast_revenue": (
+            # Q6 shape; every predicate on exact int hundredths
+            "SELECT coalesce(sum(CAST(round(l_extendedprice * 100) AS BIGINT) "
+            "* CAST(round(l_discount * 100) AS BIGINT)), 0) / 10000.0 "
+            "AS revenue FROM lineitem "
+            "WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
+            "AND l_shipdate < TIMESTAMP '1997-01-01' "
+            "AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7 "
+            "AND CAST(round(l_quantity * 100) AS BIGINT) < 2400"
+        ),
+        "events_value_stats": (
+            # exact integer moments; float expressions mirrored term for
+            # term (cents and cents^2 scale folded out at the end)
+            "WITH m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n, "
+            "sum(CAST(round(value * 100) AS BIGINT)) AS s, "
+            "sum(CAST(round(value * 100) AS BIGINT) * "
+            "CAST(round(value * 100) AS BIGINT)) AS ss FROM events GROUP BY 1) "
+            "SELECT event_type, n, "
+            "round(s * 1.0 / (n * 100.0), 6) AS mean, "
+            "round((n * ss - s * s) / (n * 1.0 * n * 10000.0), 6) AS var_pop, "
+            "round(sqrt((n * ss - s * s) / (n * 1.0 * n * 10000.0)), 6) "
+            "AS stddev_pop FROM m"
         ),
         "succ_inout_correlation": (
             # exact int64 moments; the one float expression mirrors the

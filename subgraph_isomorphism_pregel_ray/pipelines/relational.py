@@ -59,6 +59,8 @@ __all__ = [
     "events_props_stats",
     "parts_skyline",
     "succ_inout_correlation",
+    "forecast_revenue",
+    "events_value_stats",
 ]
 
 
@@ -2607,6 +2609,121 @@ def succ_inout_correlation(sf_dir: str, num_buckets: int = 32, round_to: int = 6
         {
             "n_vertices": [n],
             "r": [float(round_half_away(r, round_to))],
+        }
+    )
+
+
+def forecast_revenue(
+    sf_dir: str,
+    date_from: str = "1996-01-01",
+    date_to: str = "1997-01-01",
+    disc_lo: float = 0.05,
+    disc_hi: float = 0.07,
+    max_qty: float = 24.0,
+):
+    """Q6-shaped pure filter-aggregate: revenue that would be gained by
+    dropping discounts in a band → one row (revenue). All predicates are
+    evaluated on exact int cents (the discount band compares hundredths,
+    so no float boundary can flip a row) and the product folds as int64.
+
+    Scale shape: the canonical pushdown case — a 4-column pruned read,
+    per-batch vectorized predicate + int partial sum, one scalar fold."""
+    from ray.data.aggregate import Sum
+
+    li = read_table(
+        sf_dir,
+        "lineitem",
+        columns=["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"],
+    )
+    lo = np.datetime64(date_from, "us")
+    hi = np.datetime64(date_to, "us")
+    d_lo = np.int64(round(disc_lo * 100))
+    d_hi = np.int64(round(disc_hi * 100))
+    q_hi = np.int64(round(max_qty * 100))
+
+    def _partial(t: pa.Table) -> pa.Table:
+        ship = t["l_shipdate"].to_numpy()
+        disc = np.round(t["l_discount"].to_numpy() * 100).astype(np.int64)
+        qty = np.round(t["l_quantity"].to_numpy() * 100).astype(np.int64)
+        keep = (
+            (ship >= lo)
+            & (ship < hi)
+            & (disc >= d_lo)
+            & (disc <= d_hi)
+            & (qty < q_hi)
+        )
+        cents = np.round(t["l_extendedprice"].to_numpy()[keep] * 100).astype(np.int64)
+        rev = (cents * disc[keep]).sum()
+        return pa.table({"rev": np.array([rev], np.int64)})
+
+    total = li.map_batches(_partial, batch_format="pyarrow").aggregate(
+        Sum("rev", alias_name="rev")
+    )["rev"]
+    return pd.DataFrame({"revenue": [float(total or 0) / 10000.0]})
+
+
+def events_value_stats(sf_dir: str, round_to: int = 6):
+    """Per-type variance/stddev of event values from EXACT integer
+    moments → (event_type, n, mean, var_pop, stddev_pop). Values carry
+    two decimals, so Σx and Σx² fold as exact int64 (in cents and
+    cents²); the mean/variance float expressions are mirrored term for
+    term in the SQL oracle — no Welford-order drift on either side.
+
+    var_pop = (n·Σx² − (Σx)²) / (n² · 10⁴) in dollars²; stddev = sqrt.
+    Scale shape: one pass, per-batch per-type int partials, tiny groupby."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.rounding import round_half_away
+
+    ev = read_table(sf_dir, "events", columns=["event_type", "value"])
+
+    def _partial(t: pa.Table) -> pa.Table:
+        typ = t["event_type"].to_numpy(zero_copy_only=False)
+        c100 = np.round(t["value"].to_numpy() * 100).astype(np.int64)
+        key, inv = np.unique(typ, return_inverse=True)
+        n = np.zeros(len(key), np.int64)
+        s = np.zeros(len(key), np.int64)
+        ss = np.zeros(len(key), np.int64)
+        np.add.at(n, inv, 1)
+        np.add.at(s, inv, c100)
+        np.add.at(ss, inv, c100 * c100)
+        return pa.table(
+            {
+                "event_type": pa.array(list(key), pa.string()),
+                "n": n,
+                "s": s,
+                "ss": ss,
+            }
+        )
+
+    agg = (
+        ev.map_batches(_partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("s", alias_name="s"),
+            Sum("ss", alias_name="ss"),
+        )
+        .to_pandas()
+    )
+    n = agg["n"].to_numpy().astype(np.int64)
+    s = agg["s"].to_numpy().astype(object)  # exact python ints for n*ss
+    ss = agg["ss"].to_numpy().astype(object)
+    num = np.array(
+        [int(ni) * int(ssi) - int(si) * int(si) for ni, si, ssi in zip(n, s, ss)],
+        dtype=np.float64,
+    )
+    den = (n.astype(np.float64) * n.astype(np.float64)) * 10000.0
+    var = num / den
+    return pd.DataFrame(
+        {
+            "event_type": agg["event_type"],
+            "n": n,
+            "mean": round_half_away(
+                agg["s"].to_numpy().astype(np.float64) / (n * 100.0), round_to
+            ),
+            "var_pop": round_half_away(var, round_to),
+            "stddev_pop": round_half_away(np.sqrt(var), round_to),
         }
     )
 
