@@ -994,6 +994,14 @@ def _q_succ_inout_correlation(sf_dir: str):
     return succ_inout_correlation(sf_dir)
 
 
+def _q_quantile_sketch(sf_dir: str):
+    """Mergeable bottom-k quantile sketch (deterministic md5-hash sample)
+    — the oracle reconstructs the identical sample in SQL."""
+    from subgraph_isomorphism_pregel_ray.pipelines.sketch import quantile_sketch_events
+
+    return quantile_sketch_events(sf_dir)
+
+
 def _q_forecast_revenue(sf_dir: str):
     """Q6-shaped pure filter-aggregate with exact int-cent predicates."""
     from subgraph_isomorphism_pregel_ray.pipelines.relational import forecast_revenue
@@ -1292,6 +1300,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "succ_inout_correlation": _q_succ_inout_correlation,
         "forecast_revenue": _q_forecast_revenue,
         "events_value_stats": _q_events_value_stats,
+        "quantile_sketch_events": _q_quantile_sketch,
         "hll_registers_daily": _q_hll_registers,
         "approx_distinct_users_daily": _q_approx_distinct,
         "doc_repetition": _q_doc_repetition,
@@ -2825,6 +2834,24 @@ def oracle_sql() -> dict[str, str]:
             "SELECT csize, count(*) AS n_components FROM ("
             f"SELECT component, count(*) AS csize FROM ({_cc_sql()}) x "
             "GROUP BY component) GROUP BY csize"
+        ),
+        "quantile_sketch_events": (
+            # identical deterministic sample: bottom-256 by
+            # md5_number_lower(event_id) per type (event_id tie-break),
+            # quantile_cont interpolation == the engine's v0+(v1-v0)*f
+            "WITH smp AS (SELECT event_type, value FROM ("
+            "SELECT event_type, value, row_number() OVER ("
+            "PARTITION BY event_type ORDER BY "
+            "md5_number_lower(CAST(event_id AS VARCHAR)), event_id) AS rn "
+            "FROM events) WHERE rn <= 256) "
+            "SELECT event_type, 0.5 AS quantile, "
+            "CAST(count(*) AS BIGINT) AS n_sample, "
+            "round(quantile_cont(value, 0.5), 6) AS value_est FROM smp "
+            "GROUP BY 1 UNION ALL "
+            "SELECT event_type, 0.95 AS quantile, "
+            "CAST(count(*) AS BIGINT) AS n_sample, "
+            "round(quantile_cont(value, 0.95), 6) AS value_est FROM smp "
+            "GROUP BY 1"
         ),
         "forecast_revenue": (
             # Q6 shape; every predicate on exact int hundredths

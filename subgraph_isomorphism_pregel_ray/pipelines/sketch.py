@@ -35,6 +35,7 @@ from ..functions.hashing import md5_lower64
 from ..sources.tables import read_table
 
 __all__ = [
+    "quantile_sketch_events",
     "hll_registers_daily",
     "approx_distinct_users_daily",
     "hll_estimate",
@@ -133,4 +134,82 @@ def approx_distinct_users_daily(sf_dir: str):
         hll_registers_daily(sf_dir)
         .groupby("day")
         .map_groups(_estimate, batch_format="pyarrow")
+    )
+
+
+def quantile_sketch_events(sf_dir: str, k: int = 256, qs: tuple = (0.5, 0.95)):
+    """Mergeable BOTTOM-K quantile sketch per event type →
+    (event_type, quantile, n_sample, value_est): quantiles estimated from
+    the k events with the smallest md5 hash of their event_id — a
+    deterministic uniform sample (the hash is independent of value), so
+    unlike randomized reservoirs the sketch is bit-reproducible at any
+    parallelism AND SQL-oracle-checkable (the oracle reconstructs the
+    identical sample with the same md5 ordering). Bottom-k sketches merge
+    by union + re-cut, which is exactly the per-batch combiner here.
+
+    Scale shape: each batch ships ≤ k rows per type it saw (the combiner),
+    one tiny groupby per type re-cuts and interpolates — the event stream
+    never reaches a single worker. Estimation error is the classic
+    sampling bound (~1/√k quantile deviation), pinned by a pytest against
+    the exact distributed quantiles.
+    """
+    import pandas as pd
+
+    from ..functions.hashing import md5_lower64
+    from ..functions.rounding import round_half_away
+    from ..sources.tables import read_table
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "event_type", "value"])
+
+    def _bottomk(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy().astype(np.int64)
+        typ = t["event_type"].to_numpy(zero_copy_only=False)
+        val = t["value"].to_numpy()
+        # keep the hash UNSIGNED: the SQL oracle orders by the uint64
+        # md5_number_lower, and an int64 view would flip half the order
+        h = md5_lower64(eid.astype(str))
+        tkey, tinv = np.unique(typ, return_inverse=True)
+        order = np.lexsort((eid, h, tinv))
+        ti = tinv[order]
+        new_t = np.concatenate([[True], ti[1:] != ti[:-1]])
+        pos = np.arange(len(ti)) - np.flatnonzero(new_t)[np.cumsum(new_t) - 1]
+        keep = pos < k
+        sel = order[keep]
+        return pa.table(
+            {
+                "event_type": pa.array(list(typ[sel]), pa.string()),
+                "h": h[sel],
+                "event_id": eid[sel],
+                "value": val[sel],
+            }
+        )
+
+    def _finish(g: pa.Table) -> pa.Table:
+        h = g["h"].to_numpy()
+        eid = g["event_id"].to_numpy()
+        val = g["value"].to_numpy()
+        order = np.lexsort((eid, h))[:k]  # merge = union + re-cut
+        sample = np.sort(val[order])
+        n = len(sample)
+        out_q, out_v = [], []
+        for q in qs:
+            p = q * (n - 1)
+            i0 = int(np.floor(p))
+            i1 = min(i0 + 1, n - 1)
+            f = p - np.floor(p)
+            out_q.append(q)
+            out_v.append(sample[i0] + (sample[i1] - sample[i0]) * f)
+        return pa.table(
+            {
+                "event_type": pa.array([g["event_type"][0].as_py()] * len(qs)),
+                "quantile": np.asarray(out_q, np.float64),
+                "n_sample": np.full(len(qs), n, np.int64),
+                "value_est": round_half_away(np.asarray(out_v), 6),
+            }
+        )
+
+    return (
+        ds.map_batches(_bottomk, batch_format="pyarrow")
+        .groupby("event_type")
+        .map_groups(_finish, batch_format="pyarrow")
     )

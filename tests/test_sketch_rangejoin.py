@@ -394,3 +394,60 @@ def test_fk_integrity_detects_injected_orphans(ray_session, tmp_path):
     assert got.loc["li.ok->o.ok", "n_orphans"] == 2  # 98,99
     assert got.loc["li.pk->p.pk", "n_keys"] == 3
     assert got.loc["li.pk->p.pk", "n_orphans"] == 1  # 12
+
+
+# ---- bottom-k quantile sketch ----------------------------------------------
+
+
+def test_quantile_sketch_error_bound_vs_exact(ray_session):
+    """Sample-quantile deviation vs the exact distributed quantiles stays
+    within the classic ~1/sqrt(k) band (loose 5x factor) on real data."""
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import events_quantiles
+    from subgraph_isomorphism_pregel_ray.pipelines.sketch import (
+        quantile_sketch_events,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    est = (
+        quantile_sketch_events(sf, k=256)
+        .to_pandas()
+        .set_index(["event_type", "quantile"])["value_est"]
+    )
+    exact = (
+        events_quantiles(sf)
+        .to_pandas()
+        .set_index(["event_type", "quantile"])["value"]
+    )
+    # compare as RANK error: the estimated quantile's rank in the exact
+    # distribution must be within 5/sqrt(256) of the target quantile
+    import pyarrow.parquet as pq
+
+    ev = pq.read_table(f"{sf}/events.parquet", columns=["event_type", "value"])
+    df = ev.to_pandas()
+    for (etype, q), v in est.items():
+        vals = np.sort(df[df.event_type == etype]["value"].to_numpy())
+        rank = np.searchsorted(vals, v) / max(len(vals) - 1, 1)
+        assert abs(rank - q) < 5 / np.sqrt(256), (etype, q, rank)
+
+
+def test_quantile_sketch_parallelism_invariant(ray_session, tmp_path):
+    """Bottom-k merge = union + re-cut: the sketch is identical at any
+    batch split (deterministic hash sample, not a random reservoir)."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from subgraph_isomorphism_pregel_ray.pipelines.sketch import (
+        quantile_sketch_events,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    a = quantile_sketch_events(sf).to_pandas().sort_values(
+        ["event_type", "quantile"]
+    ).reset_index(drop=True)
+    # same table, forced through many tiny blocks
+    t = pq.read_table(f"{sf}/events.parquet")
+    pq.write_table(t, tmp_path / "events.parquet", row_group_size=37)
+    b = quantile_sketch_events(str(tmp_path)).to_pandas().sort_values(
+        ["event_type", "quantile"]
+    ).reset_index(drop=True)
+    assert a.equals(b)
