@@ -994,6 +994,20 @@ def _q_succ_inout_correlation(sf_dir: str):
     return succ_inout_correlation(sf_dir)
 
 
+def _q_embedding_pca(sf_dir: str):
+    """One-pass distributed PCA (top-2 components of the embedding
+    covariance). NO SQL ORACLE by nature: the d x d eigensolve is not
+    SQL-expressible; pinned by a pytest against numpy SVD of the full
+    matrix (tests/test_pca.py) — the distributed part is only the exact
+    scatter/mean fold."""
+    from subgraph_isomorphism_pregel_ray.pipelines.similarity import embedding_pca_top
+    from subgraph_isomorphism_pregel_ray.sources.tables import read_table
+
+    return embedding_pca_top(
+        read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    )
+
+
 def _q_quantile_sketch(sf_dir: str):
     """Mergeable bottom-k quantile sketch (deterministic md5-hash sample)
     — the oracle reconstructs the identical sample in SQL."""
@@ -1301,6 +1315,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "forecast_revenue": _q_forecast_revenue,
         "events_value_stats": _q_events_value_stats,
         "quantile_sketch_events": _q_quantile_sketch,
+        "embedding_pca_top": _q_embedding_pca,
         "hll_registers_daily": _q_hll_registers,
         "approx_distinct_users_daily": _q_approx_distinct,
         "doc_repetition": _q_doc_repetition,

@@ -23,7 +23,8 @@ import numpy as np
 from ..functions.rounding import round_half_away
 import pyarrow as pa
 
-__all__ = ["ann_topk", "ann_topk_ivf", "build_ivf_index", "knn_graph"]
+__all__ = ["ann_topk", "ann_topk_ivf", "build_ivf_index", "knn_graph",
+           "embedding_pca_top"]
 
 
 def _norm_rows(M: np.ndarray) -> np.ndarray:
@@ -426,3 +427,69 @@ def _assemble_matrix(*blocks):
     ids = df["vec_id"].to_numpy().astype(np.int64)
     M = _norm_rows(np.stack(df["embedding"].to_numpy()).astype(np.float64))
     return ids, M
+
+
+def embedding_pca_top(emb_ds, n_components: int = 2, round_to: int = 6):
+    """Distributed PCA of the embedding matrix (top principal components)
+    → (component, dim, weight, explained_var): ONE streaming pass folds
+    the d×d scatter matrix and the mean (per-batch ``X.T @ X`` partials —
+    the d² numbers are the ONLY thing the exchange carries, never vectors);
+    the driver eigensolves the d×d covariance (d = 32 here; d ≤ a few
+    thousand is a laptop-sized eigenproblem at any corpus scale — the
+    classic one-pass PCA split).
+
+    Signs are fixed (largest-|weight| coordinate made positive) so the
+    result is reproducible. NO SQL ORACLE by nature (eigensolve); pinned
+    by a pytest against numpy SVD of the full matrix."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    from ..functions.rounding import round_half_away
+
+    def _partial(t: pa.Table) -> pa.Table:
+        M = np.stack(t["embedding"].to_pandas().to_numpy()).astype(np.float64)
+        scat = M.T @ M  # d×d
+        return pa.table(
+            {
+                "i": np.repeat(np.arange(scat.shape[0], dtype=np.int64), scat.shape[1]),
+                "j": np.tile(np.arange(scat.shape[1], dtype=np.int64), scat.shape[0]),
+                "v": scat.ravel(),
+                "s": np.concatenate([M.sum(axis=0), np.zeros(scat.size - scat.shape[0])]),
+                "n": np.concatenate([[np.float64(len(M))], np.zeros(scat.size - 1)]),
+            }
+        )
+
+    agg = (
+        emb_ds.map_batches(_partial, batch_format="pyarrow")
+        .groupby(["i", "j"])
+        .aggregate(Sum("v", alias_name="v"), Sum("s", alias_name="s"),
+                   Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    d = int(agg["i"].max()) + 1
+    scat = np.zeros((d, d))
+    scat[agg["i"], agg["j"]] = agg["v"]
+    # per-dim sums ride the flat (i, j) layout: row (i, j) carries the
+    # dim sum for index i*d + j, nonzero only when i == 0
+    srow = agg[agg["i"] == 0].sort_values("j")
+    mean = srow["s"].to_numpy()[:d]
+    n = float(agg[(agg["i"] == 0) & (agg["j"] == 0)]["n"].iloc[0])
+    mean = mean / n
+    cov = scat / n - np.outer(mean, mean)
+    w, V = np.linalg.eigh(cov)
+    order = np.argsort(w)[::-1][:n_components]
+    total_var = float(w.sum())
+    rows = []
+    for ci, k in enumerate(order):
+        vec = V[:, k]
+        if vec[np.argmax(np.abs(vec))] < 0:
+            vec = -vec
+        for dim in range(d):
+            rows.append(
+                (ci, dim, float(round_half_away(vec[dim], round_to)),
+                 float(round_half_away(w[k] / total_var, round_to)))
+            )
+    return pd.DataFrame(
+        rows, columns=["component", "dim", "weight", "explained_var"]
+    ).astype({"component": np.int64, "dim": np.int64})
