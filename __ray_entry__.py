@@ -1549,29 +1549,6 @@ def _cc_sql(iters: int = 8) -> str:
     return ", ".join(parts) + f" SELECT vid, comp AS component FROM c{iters}"
 
 
-def _kcore_sql(iters: int = 30) -> str:
-    """Unrolled synchronous h-index iteration (Montresor et al. 2011,
-    Lü et al. 2016 — public): h0 = degree, h_{i+1}(v) = h-index of
-    neighbors' h_i, fixpoint = exact core number. Monotone decreasing, so
-    extra rounds are identity: the sf0.001/sf0.01 co-purchase graphs
-    converge in 10/19 rounds; 30 is the safety margin (30 == 36 verified
-    on both). The h-index is max(least(rank, value)) over the
-    value-descending row_number — one window per round."""
-    parts = [
-        f"WITH {_ESYM_MAT}",
-        "h0 AS MATERIALIZED (SELECT src AS vid, CAST(count(*) AS BIGINT) "
-        "AS h FROM e GROUP BY 1)",
-    ]
-    for i in range(1, iters + 1):
-        parts.append(
-            f"h{i} AS MATERIALIZED (SELECT vid, max(least(rn, v)) AS h FROM ("
-            f"SELECT e.src AS vid, c.h AS v, "
-            f"row_number() OVER (PARTITION BY e.src ORDER BY c.h DESC) AS rn "
-            f"FROM e JOIN h{i-1} c ON c.vid = e.dst) GROUP BY vid)"
-        )
-    return ", ".join(parts) + f" SELECT vid, h AS core FROM h{iters}"
-
-
 def _sssp_sql(iters: int = 6, seed_mod: int = 101) -> str:
     """Unrolled multi-source BFS (min-dist relaxation) — exact once
     converged (max hop distance is 2 on the sf0.001/sf0.01 co-purchase
@@ -1898,12 +1875,13 @@ def _lpa_modularity_sql(iters: int = 5) -> str:
     )
 
 
-def _kcore_sql(iters: int = 24) -> str:
+def _kcore_sql(iters: int = 30) -> str:
     """Unrolled h-index iteration (Lü et al. 2016): core_0 = degree,
     core_i(v) = h-index of neighbors' core_{i-1} — converges to the exact
-    core number (the engine's Montresor-style fixpoint). sf0.01 converges in
-    19 rounds; 24 gives margin (extra rounds are identity — the sequence is
-    monotone decreasing with a stable fixpoint)."""
+    core number (the engine's Montresor-style fixpoint). sf0.001/sf0.01
+    converge in 10/19 rounds; 30 gives margin (30 == 36 verified on both —
+    extra rounds are identity, the sequence is monotone decreasing with a
+    stable fixpoint)."""
     parts = [
         f"WITH {_ESYM_MAT}",
         "k0 AS MATERIALIZED (SELECT src AS vid, count(*) AS core FROM e GROUP BY 1)",
@@ -2119,7 +2097,6 @@ def oracle_sql() -> dict[str, str]:
         "hits_copurchase": _hits_sql(HITS_ITERS),
         "random_walks_copurchase": _walk_sql(4),
         "cc_copurchase": _cc_sql(),
-        "kcore_copurchase": _kcore_sql(),
         "sssp_copurchase": _sssp_sql(),
         "betweenness_copurchase": _betweenness_sql(),
         "closeness_copurchase": _closeness_sql(),

@@ -217,7 +217,6 @@ def component_size_histogram(edges_or_engine, num_parts: int = 8,
     batch partial-counts its components, one bucketed groupby finishes
     per-component sizes, and a second tiny groupby folds the histogram.
     The driver sees only (distinct sizes) rows."""
-    import pandas as pd
     from ray.data.aggregate import Sum
 
     eng, _lineage, own = _run(

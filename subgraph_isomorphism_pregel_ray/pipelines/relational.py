@@ -124,6 +124,22 @@ _PAIR_SHIFT = np.int64(1) << np.int64(21)  # partkeys < 2^21 per TPC-H scaling
 _ROWS_PER_BUCKET = 2_000_000
 
 
+def _sorted_dim_lookup(dim_keys: np.ndarray, probe_keys: np.ndarray):
+    """Shared kernel of the bucketed dimension-lookup join: sort the dim
+    side, searchsorted the probes, clamp, and verify equality so a missing
+    key is DROPPED, never misattributed to the neighboring key. Returns
+    (order, pos_c, hit): apply ``order`` to every dim value column, index
+    with ``pos_c[hit]`` (or mask with ``hit``)."""
+    order = np.argsort(dim_keys)
+    dk = dim_keys[order]
+    if len(dk) == 0 or len(probe_keys) == 0:
+        return order, np.zeros(len(probe_keys), np.int64), np.zeros(
+            len(probe_keys), bool
+        )
+    pos_c = np.minimum(np.searchsorted(dk, probe_keys), len(dk) - 1)
+    return order, pos_c, dk[pos_c] == probe_keys
+
+
 def _auto_buckets(ds, requested: int | None, floor: int = 32) -> int:
     """Bucket count for the hash-bucketed ``map_groups`` ops: ``requested``
     if given, else scaled so ONE bucket ≈ ``_ROWS_PER_BUCKET`` input rows
@@ -885,7 +901,6 @@ def user_first_last(sf_dir: str, num_buckets: int | None = None):
     partials, not events; the bucket fold re-selects across partials with
     the same lexsort. Values are carried untouched (no arithmetic), so the
     hash compare is trivially exact."""
-    from ray.data.aggregate import Sum
 
     ds = read_table(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"])
     num_buckets = _auto_buckets(ds, num_buckets)
@@ -1001,10 +1016,12 @@ def events_daily_delta(sf_dir: str):
 def events_props_stats(sf_dir: str):
     """Semi-structured column handling: extract the integer ``k`` field
     from the JSON ``props`` string per event and aggregate per type →
-    (event_type, n, sum_k, avg_k). The extraction is a compiled vectorized
-    regex (pandas ``str.extract`` — C loop, no per-row Python), mirroring
-    DuckDB's ``json_extract``; events whose props lack ``k`` are skipped
-    on both sides.
+    (event_type, n, sum_k, avg_k). Extraction contract = top-level INTEGER
+    ``k`` (the TESTDATA shape): a strict fullmatch regex is the vectorized
+    fast path, anything else falls back to a real JSON parse that accepts
+    only top-level ints — so a nested/quoted "k" can never false-positive
+    against the oracle's ``json_extract('$.k')``; events whose props lack
+    an integer ``k`` are skipped on both sides.
 
     Scale shape: per-batch partial (type, sum, count) rows, one tiny
     groupby; avg is a single IEEE division of exact ints."""
@@ -1015,15 +1032,28 @@ def events_props_stats(sf_dir: str):
     ev = read_table(sf_dir, "events", columns=["event_type", "props"])
 
     def _partial(t: pa.Table) -> pa.Table:
+        import json
+
         typ = t["event_type"].to_numpy(zero_copy_only=False)
-        ks = (
-            pd.Series(t["props"].to_numpy(zero_copy_only=False))
-            .str.extract(r'"k":\s*(-?\d+)', expand=False)
-            .to_numpy()
-        )
-        has = ks == ks  # non-NaN mask (extract gives NaN on no match)
-        has &= ks != None  # noqa: E711 — object array may carry None
-        k = ks[has].astype(np.int64)
+        props = pd.Series(t["props"].to_numpy(zero_copy_only=False))
+        # fast path: the generated shape is exactly {"k": <int>} — a strict
+        # FULLMATCH so a nested/quoted "k" can never false-positive; rows
+        # that don't match fall back to a real JSON parse (top-level int
+        # only), keeping json_extract('$.k') semantics
+        ks = props.str.fullmatch(r'\{"k": (-?\d+)\}').to_numpy()
+        vals = props.str.extract(r'^\{"k": (-?\d+)\}$', expand=False).to_numpy()
+        slow = ~ks
+        if slow.any():
+            for i in np.flatnonzero(slow):
+                try:
+                    v = json.loads(props.iloc[i]).get("k")
+                except (ValueError, AttributeError):
+                    v = None
+                vals[i] = str(v) if isinstance(v, (int,)) and not isinstance(
+                    v, bool
+                ) else None
+        has = vals != None  # noqa: E711
+        k = vals[has].astype(np.int64)
         tkey, tinv = np.unique(typ[has], return_inverse=True)
         s = np.zeros(len(tkey), np.int64)
         n = np.zeros(len(tkey), np.int64)
@@ -1936,16 +1966,12 @@ def small_qty_revenue(sf_dir: str, num_buckets: int = 32):
         price100 = g["price100"].to_numpy()
         is_stat = g["is_stat"].to_numpy(zero_copy_only=False)
         skey = pk[is_stat]
-        order = np.argsort(skey)
-        skey = skey[order]
-        s100 = q100[is_stat][order]
-        n = price100[is_stat][order]
         rpk = pk[~is_stat]
         if len(skey) == 0 or len(rpk) == 0:
             return pa.table({"rev100": np.array([0], np.int64)})
-        pos = np.searchsorted(skey, rpk)
-        pos_c = np.minimum(pos, len(skey) - 1)
-        hit = skey[pos_c] == rpk
+        order, pos_c, hit = _sorted_dim_lookup(skey, rpk)
+        s100 = q100[is_stat][order]
+        n = price100[is_stat][order]
         # exact-integer below-average predicate: 5·q·n < S
         keep = hit & (5 * q100[~is_stat] * n[pos_c] < s100[pos_c])
         return pa.table(
@@ -2015,10 +2041,6 @@ def large_volume_orders(sf_dir: str, min_qty_sum: float = 250.0, num_buckets: in
         q100 = g["q100"].to_numpy()
         is_order = g["is_order"].to_numpy(zero_copy_only=False)
         okey = k[is_order]
-        order = np.argsort(okey)
-        okey = okey[order]
-        ocust = g["custkey"].to_numpy()[is_order][order]
-        oprice = g["price"].to_numpy()[is_order][order]
         key, inv = np.unique(k[~is_order], return_inverse=True)
         tot = np.bincount(inv, weights=q100[~is_order].astype(np.float64)).astype(
             np.int64
@@ -2035,9 +2057,9 @@ def large_volume_orders(sf_dir: str, min_qty_sum: float = 250.0, num_buckets: in
                     "total_qty": np.array([], np.float64),
                 }
             )
-        pos = np.searchsorted(okey, bkey)
-        pos_c = np.minimum(pos, len(okey) - 1)
-        hit = okey[pos_c] == bkey
+        order, pos_c, hit = _sorted_dim_lookup(okey, bkey)
+        ocust = g["custkey"].to_numpy()[is_order][order]
+        oprice = g["price"].to_numpy()[is_order][order]
         return pa.table(
             {
                 "o_orderkey": bkey[hit],
@@ -2114,8 +2136,6 @@ def shipping_priority_topk(
         is_order = g["is_order"].to_numpy(zero_copy_only=False)
         odate = g["odate"].to_numpy(zero_copy_only=False)
         okey = kk[is_order]
-        order = np.argsort(okey)
-        okey, od = okey[order], odate[is_order][order]
         key, inv = np.unique(kk[~is_order], return_inverse=True)
         tot = np.bincount(inv, weights=rev[~is_order].astype(np.float64)).astype(
             np.int64
@@ -2124,9 +2144,8 @@ def shipping_priority_topk(
             key = tot = np.array([], np.int64)
             od = np.array([], object)
         else:
-            pos = np.searchsorted(okey, key)
-            pos_c = np.minimum(pos, len(okey) - 1)
-            hit = okey[pos_c] == key
+            order, pos_c, hit = _sorted_dim_lookup(okey, key)
+            od = odate[is_order][order]
             key, tot, od = key[hit], tot[hit], od[pos_c[hit]]
         pick = np.lexsort((key, -tot))[:k]
         return pa.table(
@@ -2389,6 +2408,9 @@ def succ_reciprocity(sf_dir: str, num_buckets: int = 32, round_to: int = 6):
         s = t["src"].to_numpy().astype(np.uint64)
         d = t["dst"].to_numpy().astype(np.uint64)
         lo, hi = np.minimum(s, d), np.maximum(s, d)
+        # loud guard: the packed key needs 32-bit vids (true for partkeys
+        # here; switch to a 128-bit/string key beyond that)
+        assert len(hi) == 0 or int(hi.max()) < (1 << 32), "vid exceeds 32 bits"
         key = (lo << np.uint64(32)) | hi
         direc = np.where(s < d, 1, 2).astype(np.int8)
         return pa.table(
@@ -2549,6 +2571,10 @@ def succ_inout_correlation(sf_dir: str, num_buckets: int = 32, round_to: int = 6
     def _canon(t: pa.Table) -> pa.Table:
         s = t["src"].to_numpy().astype(np.uint64)
         d = t["dst"].to_numpy().astype(np.uint64)
+        # loud guard, same 32-bit packing contract as succ_reciprocity
+        assert len(d) == 0 or max(int(s.max()), int(d.max())) < (1 << 32), (
+            "vid exceeds 32 bits"
+        )
         key = (s << np.uint64(32)) | d
         return pa.table(
             {"key": key.view(np.int64), "b": (key % B).astype(np.int32)}

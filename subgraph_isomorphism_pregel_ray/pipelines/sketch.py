@@ -153,8 +153,6 @@ def quantile_sketch_events(sf_dir: str, k: int = 256, qs: tuple = (0.5, 0.95)):
     sampling bound (~1/√k quantile deviation), pinned by a pytest against
     the exact distributed quantiles.
     """
-    import pandas as pd
-
     from ..functions.hashing import md5_lower64
     from ..functions.rounding import round_half_away
     from ..sources.tables import read_table

@@ -1311,21 +1311,19 @@ def bigram_cross_entropy(docs_ds, num_partitions: int = 8):
         )
 
     def _attach_cl(g: pa.Table) -> pa.Table:
+        from .relational import _sorted_dim_lookup
+
         key = g["key"].to_numpy(zero_copy_only=False)
         is_dim = g["is_dim"].to_numpy(zero_copy_only=False)
-        dk = key[is_dim]
-        order = np.argsort(dk)
-        dk = dk[order]
+        order, pos_c, _hit = _sorted_dim_lookup(key[is_dim], key[~is_dim])
         dcl = g["cl"].to_numpy()[is_dim][order]
-        rk = key[~is_dim]
-        pos = np.searchsorted(dk, rk)
         # every bigram's left token exists in cnt_left by construction
         return pa.table(
             {
                 "bg": pa.array(list(g["bg"].to_numpy(zero_copy_only=False)[~is_dim]),
                                pa.string()),
                 "c12": g["c12"].to_numpy()[~is_dim],
-                "cl": dcl[np.minimum(pos, max(len(dk) - 1, 0))],
+                "cl": dcl[pos_c],
             }
         )
 
@@ -1367,16 +1365,13 @@ def bigram_cross_entropy(docs_ds, num_partitions: int = 8):
         )
 
     def _contrib(g: pa.Table) -> pa.Table:
+        from .relational import _sorted_dim_lookup
+
         key = g["key"].to_numpy(zero_copy_only=False)
         is_dim = g["is_dim"].to_numpy(zero_copy_only=False)
-        dk = key[is_dim]
-        order = np.argsort(dk)
-        dk = dk[order]
+        order, pos, _hit = _sorted_dim_lookup(key[is_dim], key[~is_dim])
         dc12 = g["c12"].to_numpy()[is_dim][order].astype(np.float64)
         dcl = g["cl"].to_numpy()[is_dim][order].astype(np.float64)
-        pos = np.minimum(
-            np.searchsorted(dk, key[~is_dim]), max(len(dk) - 1, 0)
-        )
         did = g["doc_id"].to_numpy()[~is_dim]
         k = g["k"].to_numpy()[~is_dim]
         contrib = k * -np.log(dc12[pos] / dcl[pos])
