@@ -1,0 +1,50 @@
+"""Partition-count invariance: every bucketed exchange op must be exactly
+invariant to num_buckets (the 'would this hold at 1000x the data' check —
+bucket counts change at scale, results must not)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from subgraph_isomorphism_pregel_ray.pipelines.relational import (
+    customer_order_histogram,
+    fk_integrity,
+    large_volume_orders,
+    order_priority_semi,
+    sales_opportunity,
+    shipping_priority_topk,
+    small_qty_revenue,
+    succ_inout_correlation,
+    succ_reciprocity,
+    waiting_suppliers,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _canon(out):
+    df = out.to_pandas() if hasattr(out, "to_pandas") else out
+    cols = sorted(df.columns)
+    return df[cols].sort_values(cols).reset_index(drop=True)
+
+
+@pytest.mark.parametrize(
+    "fn",
+    [
+        order_priority_semi,
+        customer_order_histogram,
+        small_qty_revenue,
+        large_volume_orders,
+        shipping_priority_topk,
+        waiting_suppliers,
+        sales_opportunity,
+        succ_reciprocity,
+        succ_inout_correlation,
+        fk_integrity,
+    ],
+    ids=lambda f: f.__name__,
+)
+def test_bucket_count_invariant(ray_session, fn):
+    a = _canon(fn(SF, num_buckets=4))
+    b = _canon(fn(SF, num_buckets=57))
+    pd.testing.assert_frame_equal(a, b)
