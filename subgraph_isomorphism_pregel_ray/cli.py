@@ -6,6 +6,8 @@
     python -m subgraph_isomorphism_pregel_ray pagerank -d edges.parquet -out /tmp/pr --iters 20
     python -m subgraph_isomorphism_pregel_ray cc|sssp|mis|lpa|triangles|kcore|ppr|walk|hits|assortativity|betweenness|closeness -d <edges> [-out DIR]
     python -m subgraph_isomorphism_pregel_ray extract --pages <pages parquet> -out <edges dir>
+    python -m subgraph_isomorphism_pregel_ray bm25 --docs docs.parquet --terms hash,join [-k 10]
+    python -m subgraph_isomorphism_pregel_ray bpe --docs docs.parquet --merges 32 [-out DIR]
 
 ``-d`` accepts the reference's text graph format (*.txt) or a parquet edge
 table (src, dst[, label via --labels]). Results are written as partitioned
@@ -117,6 +119,20 @@ def main(argv=None):
     p.add_argument("-out", "--out", required=True)
     p.add_argument("--cpus", type=int, default=None)
 
+    p = sub.add_parser("bm25", help="Okapi BM25 ranked retrieval over a documents parquet")
+    p.add_argument("--docs", required=True, help="documents parquet (doc_id, text)")
+    p.add_argument("--terms", required=True, help="comma-separated query terms")
+    p.add_argument("-k", "--topk", type=int, default=10)
+    p.add_argument("-out", "--out", help="output directory (partitioned parquet)")
+    p.add_argument("--cpus", type=int, default=None)
+
+    p = sub.add_parser("bpe", help="train BPE merges over a documents parquet")
+    p.add_argument("--docs", required=True, help="documents parquet (doc_id, text)")
+    p.add_argument("--merges", type=int, default=32)
+    p.add_argument("--min-count", type=int, default=1)
+    p.add_argument("-out", "--out", help="write the merge table as parquet")
+    p.add_argument("--cpus", type=int, default=None)
+
     args = ap.parse_args(argv)
     _ensure_ray(getattr(args, "cpus", None))
 
@@ -127,6 +143,46 @@ def main(argv=None):
 
         edge_stage(rd.read_parquet(args.pages, columns=["url", "html"])).write_parquet(args.out)
         print(json.dumps({"status": "ok", "out": args.out}))
+        return 0
+
+    if args.cmd == "bm25":
+        import ray.data as rd
+
+        from .pipelines.textops import bm25_topk
+
+        docs = rd.read_parquet(args.docs, columns=["doc_id", "text"])
+        terms = [t for t in args.terms.split(",") if t]
+        out = bm25_topk(docs, terms, k=args.topk)
+        if args.out:
+            out.write_parquet(args.out)
+            print(json.dumps({"status": "ok", "out": args.out, "k": args.topk}))
+        else:
+            rows = out.to_pandas().to_dict("records")
+            print(json.dumps({"results": rows}))
+        return 0
+
+    if args.cmd == "bpe":
+        import ray.data as rd
+
+        from .pipelines.bpe import bpe_train
+
+        docs = rd.read_parquet(args.docs, columns=["doc_id", "text"])
+        merges = bpe_train(docs, n_merges=args.merges, min_count=args.min_count)
+        if args.out:
+            import os
+
+            import pyarrow as _pa
+            import pyarrow.parquet as _pq
+
+            os.makedirs(args.out, exist_ok=True)
+            _pq.write_table(
+                _pa.Table.from_pandas(merges, preserve_index=False),
+                os.path.join(args.out, "merges.parquet"),
+            )
+            print(json.dumps({"status": "ok", "out": args.out, "n_merges": len(merges)}))
+        else:
+            print(json.dumps({"merges": merges.to_dict("records")[:10],
+                              "n_merges": len(merges)}))
         return 0
 
     edges_ds, labels_ds = _load_graph(args.data, args.labels)

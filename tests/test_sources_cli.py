@@ -198,3 +198,37 @@ def test_cli_scc_directed_chain(ray_session, tmp_path):
     res = pq.read_table(str(out / "scc.parquet")).to_pandas()
     got = dict(zip(res["vid"].astype(int), res["scc"].astype(int)))
     assert got == {1: 1, 2: 1, 3: 3, 4: 4}
+
+
+def test_cli_bm25_and_bpe(ray_session, tmp_path, capsys):
+    """CLI text subcommands: bm25 prints ranked docs, bpe trains merges."""
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from subgraph_isomorphism_pregel_ray.cli import main
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array(
+                ["stream join hash", "stream stream stream", "nothing here"]
+            ),
+        }
+    )
+    dpath = tmp_path / "docs.parquet"
+    pq.write_table(docs, str(dpath))
+
+    rc = main(["bm25", "--docs", str(dpath), "--terms", "stream,hash", "-k", "2"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert [r["doc_id"] for r in out["results"]][0] == 0  # matches 2 terms
+
+    outdir = tmp_path / "merges"
+    rc = main(["bpe", "--docs", str(dpath), "--merges", "4", "-out", str(outdir)])
+    assert rc == 0
+    m = pq.read_table(str(outdir / "merges.parquet")).to_pandas()
+    # top pair: (r,e) appears in 'stream' x4 and 'here' x1 -> count 5
+    assert len(m) == 4
+    assert (m["left"].iloc[0], m["right"].iloc[0], m["n"].iloc[0]) == ("r", "e", 5)
