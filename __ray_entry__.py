@@ -1031,6 +1031,14 @@ def _q_events_value_stats(sf_dir: str):
     return events_value_stats(sf_dir)
 
 
+def _q_basket_jaccard(sf_dir: str):
+    """Exact set-similarity join (PPJoin prefix filter) over order
+    baskets: pairs with part-set Jaccard >= 0.5."""
+    from subgraph_isomorphism_pregel_ray.pipelines.dedup import basket_jaccard_pairs
+
+    return basket_jaccard_pairs(sf_dir, threshold_pct=50)
+
+
 def _q_name_near_pairs(sf_dir: str):
     """SymSpell deletion-neighborhood string-similarity self-join over
     distinct part names (edit distance <= 1)."""
@@ -1311,6 +1319,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_props_stats": _q_events_props_stats,
         "parts_skyline": _q_parts_skyline,
         "name_near_pairs": _q_name_near_pairs,
+        "basket_jaccard_pairs": _q_basket_jaccard,
         "succ_inout_correlation": _q_succ_inout_correlation,
         "forecast_revenue": _q_forecast_revenue,
         "events_value_stats": _q_events_value_stats,
@@ -2889,6 +2898,20 @@ def oracle_sql() -> dict[str, str]:
             "SELECT n AS n_vertices, round((n * sxy - sx * sy) / "
             "sqrt((n * sxx - sx * sx) * 1.0 * (n * syy - sy * sy)), 6) AS r "
             "FROM m"
+        ),
+        "basket_jaccard_pairs": (
+            # exact set-similarity join; threshold as exact ints
+            # (100*i >= 50*(n1+n2-i)); jaccard = i/union rounded 6
+            "WITH b AS (SELECT l_orderkey AS o, l_partkey AS p "
+            "FROM lineitem GROUP BY 1, 2), "
+            "sz AS (SELECT o, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY 1), "
+            "inter AS (SELECT a.o AS o1, c.o AS o2, "
+            "CAST(count(*) AS BIGINT) AS i FROM b a "
+            "JOIN b c ON a.p = c.p AND a.o < c.o GROUP BY 1, 2) "
+            "SELECT o1, o2, i AS isect, "
+            "round(i * 1.0 / (n1.n + n2.n - i), 6) AS jaccard "
+            "FROM inter JOIN sz n1 ON n1.o = o1 JOIN sz n2 ON n2.o = o2 "
+            "WHERE 100 * i >= 50 * (n1.n + n2.n - i)"
         ),
         "name_near_pairs": (
             "SELECT a.name AS name_a, b.name AS name_b FROM "

@@ -47,6 +47,7 @@ __all__ = [
     "embedding_dup_pairs",
     "dedup_groups",
     "name_near_pairs",
+    "basket_jaccard_pairs",
 ]
 
 _MERSENNE = np.uint64((1 << 61) - 1)
@@ -777,4 +778,170 @@ def name_near_pairs(ds, col: str = "p_name", num_buckets: int = 32):
     # cross-bucket duplicates (a pair can share keys in different buckets)
     return pairs.groupby(["name_a", "name_b"]).map_groups(
         _first, batch_format="pyarrow"
+    )
+
+
+def basket_jaccard_pairs(sf_dir: str, threshold_pct: int = 50, num_buckets: int = 64):
+    """EXACT set-similarity self-join with PPJoin-style prefix filtering
+    (Xiao et al. 2008, "Efficient Similarity Joins for Near Duplicate
+    Detection" — public): order pairs whose part SETS have Jaccard ≥
+    threshold → (o1, o2, isect, jaccard).
+
+    Prefix-filter guarantee: under a global element order, two sets with
+    J ≥ t must share an element among each set's first ``n − ceil(t·n) + 1``
+    elements — so candidate pairs are generated ONLY inside prefix-element
+    buckets, never all-pairs and never all share-an-element pairs (at
+    sf0.01: 894k share-a-part pairs → prefix candidates ≪, 2 708 survive).
+    The global order here is part id (correct for any consistent order; a
+    frequency order — rarest first — is the classic candidate-minimizing
+    refinement and would come from a sampled dictionary at 100 TB scale).
+    The Jaccard predicate is exact integer arithmetic:
+    ``100·i ≥ tpct·(n1+n2−i)``.
+
+    Scale shape: per-batch (order, part) dedup → one order-bucketed
+    exchange builds each basket once (an order's rows co-locate); prefix
+    rows carry the basket as a list column into part-id buckets where
+    candidates form; pair-key groupby dedupes cross-bucket duplicates;
+    hot prefix parts are the documented skew point (salt or
+    frequency-order at scale)."""
+    from ..sources.tables import read_table
+
+    B = np.int64(num_buckets)
+    tpct = np.int64(threshold_pct)
+
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+
+    def _pairs(t: pa.Table) -> pa.Table:
+        o = t["l_orderkey"].to_numpy().astype(np.int64)
+        p = t["l_partkey"].to_numpy().astype(np.int64)
+        order = np.lexsort((p, o))
+        o, p = o[order], p[order]
+        first = np.ones(len(o), bool)
+        first[1:] = (o[1:] != o[:-1]) | (p[1:] != p[:-1])
+        return pa.table(
+            {"o": o[first], "p": p[first], "b": (o[first] % B).astype(np.int32)}
+        )
+
+    def _baskets(g: pa.Table) -> pa.Table:
+        o = g["o"].to_numpy()
+        p = g["p"].to_numpy()
+        order = np.lexsort((p, o))
+        o, p = o[order], p[order]
+        first = np.ones(len(o), bool)
+        first[1:] = (o[1:] != o[:-1]) | (p[1:] != p[:-1])
+        o, p = o[first], p[first]
+        starts = np.flatnonzero(np.concatenate([[True], o[1:] != o[:-1]]))
+        ends = np.concatenate([starts[1:], [len(o)]])
+        return pa.table(
+            {
+                "o": o[starts],
+                "n": (ends - starts).astype(np.int64),
+                "parts": pa.array(
+                    [p[s:e].tolist() for s, e in zip(starts, ends)],
+                    pa.list_(pa.int64()),
+                ),
+            }
+        )
+
+    baskets = (
+        li.map_batches(_pairs, batch_format="pyarrow")
+        .groupby("b")
+        .map_groups(_baskets, batch_format="pyarrow")
+    )
+
+    def _prefix(t: pa.Table) -> pa.Table:
+        os_, ns, ps, pb = [], [], [], []
+        o = t["o"].to_numpy()
+        n = t["n"].to_numpy()
+        parts = t["parts"].to_pylist()
+        for oi, ni, plist in zip(o, n, parts):
+            npref = int(ni) - int(np.ceil(tpct * ni / 100.0)) + 1
+            for el in plist[:npref]:
+                os_.append(oi)
+                ns.append(ni)
+                ps.append(plist)
+                pb.append(el)
+        return pa.table(
+            {
+                "o": np.asarray(os_, np.int64),
+                "n": np.asarray(ns, np.int64),
+                "parts": pa.array(ps, pa.list_(pa.int64())),
+                "pel": np.asarray(pb, np.int64),
+                "pb": (np.asarray(pb, np.int64) % B).astype(np.int32),
+            }
+        )
+
+    def _cands(g: pa.Table) -> pa.Table:
+        o = g["o"].to_numpy()
+        n = g["n"].to_numpy()
+        parts = g["parts"].to_pylist()
+        pel = g["pel"].to_numpy()
+        order = np.lexsort((o, pel))
+        o, n, pel = o[order], n[order], pel[order]
+        parts = [parts[i] for i in order]
+        starts = np.flatnonzero(np.concatenate([[True], pel[1:] != pel[:-1]]))
+        ends = np.concatenate([starts[1:], [len(o)]])
+        out = {"o1": [], "o2": [], "i": [], "n1": [], "n2": []}
+        seen = set()
+        for s0, e0 in zip(starts, ends):
+            for a in range(s0, e0):
+                sa = np.asarray(parts[a])
+                for b_ in range(a + 1, e0):
+                    if o[a] == o[b_]:
+                        continue
+                    key = (min(o[a], o[b_]), max(o[a], o[b_]))
+                    if key in seen:
+                        continue
+                    seen.add(key)
+                    isect = len(np.intersect1d(sa, np.asarray(parts[b_])))
+                    if isect:
+                        out["o1"].append(key[0])
+                        out["o2"].append(key[1])
+                        out["i"].append(isect)
+                        na, nb = int(n[a]), int(n[b_])
+                        out["n1"].append(na if key[0] == o[a] else nb)
+                        out["n2"].append(nb if key[0] == o[a] else na)
+        return pa.table(
+            {
+                "o1": np.asarray(out["o1"], np.int64),
+                "o2": np.asarray(out["o2"], np.int64),
+                "i": np.asarray(out["i"], np.int64),
+                "n1": np.asarray(out["n1"], np.int64),
+                "n2": np.asarray(out["n2"], np.int64),
+            }
+        )
+
+    def _verify(g: pa.Table) -> pa.Table:
+        # cross-bucket dedupe: identical candidate rows from different
+        # prefix elements — keep one, then the exact-int threshold
+        i = g["i"].to_numpy()[:1]
+        n1 = g["n1"].to_numpy()[:1]
+        n2 = g["n2"].to_numpy()[:1]
+        u = n1 + n2 - i
+        if not (100 * i >= tpct * u).all():
+            return pa.table(
+                {
+                    "o1": np.array([], np.int64),
+                    "o2": np.array([], np.int64),
+                    "isect": np.array([], np.int64),
+                    "jaccard": np.array([], np.float64),
+                }
+            )
+        from ..functions.rounding import round_half_away
+
+        return pa.table(
+            {
+                "o1": g["o1"].to_numpy()[:1],
+                "o2": g["o2"].to_numpy()[:1],
+                "isect": i,
+                "jaccard": round_half_away(i / u, 6),
+            }
+        )
+
+    return (
+        baskets.map_batches(_prefix, batch_format="pyarrow")
+        .groupby("pb")
+        .map_groups(_cands, batch_format="pyarrow")
+        .groupby(["o1", "o2"])
+        .map_groups(_verify, batch_format="pyarrow")
     )

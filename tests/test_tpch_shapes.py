@@ -531,3 +531,42 @@ def test_succ_inout_correlation_positive(ray_session, tmp_path):
     got = succ_inout_correlation(str(tmp_path))
     assert int(got["n_vertices"].iloc[0]) == 4
     assert float(got["r"].iloc[0]) == 1.0
+
+
+def test_basket_jaccard_prefix_filter_complete(ray_session, tmp_path):
+    # randomized baskets vs O(n^2) brute force: the prefix filter must
+    # not lose any qualifying pair (completeness), and no extras appear
+    rng = np.random.default_rng(11)
+    rows_o, rows_p = [], []
+    baskets = {}
+    for o in range(40):
+        parts = sorted(rng.choice(30, size=rng.integers(1, 7), replace=False))
+        baskets[o] = set(int(x) for x in parts)
+        for p in parts:
+            rows_o.append(o)
+            rows_p.append(int(p))
+    _write(
+        tmp_path,
+        "lineitem",
+        {
+            "l_orderkey": pa.array(rows_o, pa.int64()),
+            "l_partkey": pa.array(rows_p, pa.int64()),
+        },
+    )
+    from subgraph_isomorphism_pregel_ray.pipelines.dedup import basket_jaccard_pairs
+
+    got = {
+        (int(r.o1), int(r.o2))
+        for r in basket_jaccard_pairs(str(tmp_path), threshold_pct=50)
+        .to_pandas()
+        .itertuples()
+    }
+    want = set()
+    for a in baskets:
+        for b in baskets:
+            if a < b:
+                i = len(baskets[a] & baskets[b])
+                u = len(baskets[a] | baskets[b])
+                if u and 100 * i >= 50 * u:
+                    want.add((a, b))
+    assert got == want and len(want) > 0
