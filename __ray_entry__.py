@@ -1031,6 +1031,17 @@ def _q_events_value_stats(sf_dir: str):
     return events_value_stats(sf_dir)
 
 
+def _q_bloom_filtered_revenue(sf_dir: str):
+    """Semi-join with bloom-filter pushdown (the reference's dead T6
+    concept made real): the bloom prunes the exchange, the exact bucketed
+    semi-join removes false positives."""
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import (
+        bloom_filtered_revenue,
+    )
+
+    return bloom_filtered_revenue(sf_dir)
+
+
 def _q_basket_jaccard(sf_dir: str):
     """Exact set-similarity join (PPJoin prefix filter) over order
     baskets: pairs with part-set Jaccard >= 0.5."""
@@ -1320,6 +1331,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_skyline": _q_parts_skyline,
         "name_near_pairs": _q_name_near_pairs,
         "basket_jaccard_pairs": _q_basket_jaccard,
+        "bloom_filtered_revenue": _q_bloom_filtered_revenue,
         "succ_inout_correlation": _q_succ_inout_correlation,
         "forecast_revenue": _q_forecast_revenue,
         "events_value_stats": _q_events_value_stats,
@@ -2898,6 +2910,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT n AS n_vertices, round((n * sxy - sx * sy) / "
             "sqrt((n * sxx - sx * sx) * 1.0 * (n * syy - sy * sy)), 6) AS r "
             "FROM m"
+        ),
+        "bloom_filtered_revenue": (
+            # bit-equal to the plain semi-join (the bloom only prunes)
+            "SELECT coalesce(sum(CAST(round(l_extendedprice * 100) AS BIGINT) "
+            "* (100 - CAST(round(l_discount * 100) AS BIGINT))), 0) / 10000.0 "
+            "AS revenue, CAST(count(*) AS BIGINT) AS n_rows "
+            "FROM lineitem JOIN orders ON o_orderkey = l_orderkey "
+            "WHERE o_orderpriority = '1-URGENT'"
         ),
         "basket_jaccard_pairs": (
             # exact set-similarity join; threshold as exact ints

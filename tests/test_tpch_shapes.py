@@ -570,3 +570,41 @@ def test_basket_jaccard_prefix_filter_complete(ray_session, tmp_path):
                 if u and 100 * i >= 50 * u:
                     want.add((a, b))
     assert got == want and len(want) > 0
+
+
+def test_bloom_functions_no_false_negatives(ray_session):
+    from subgraph_isomorphism_pregel_ray.functions.bloom import (
+        bloom_build,
+        bloom_partial,
+        bloom_probe,
+    )
+
+    rng = np.random.default_rng(5)
+    keys = rng.integers(0, 10**9, 5000).astype(np.int64)
+    others = rng.integers(10**9, 2 * 10**9, 20000).astype(np.int64)
+    w = bloom_build([bloom_partial(keys[:2500], 1 << 20),
+                     bloom_partial(keys[2500:], 1 << 20)])
+    assert bloom_probe(w, keys).all()  # zero false negatives, always
+    fp = bloom_probe(w, others).mean()
+    assert fp < 0.05  # ~2-3% at 1M bits / 5k keys
+
+
+def test_bloom_filtered_revenue_matches_plain_join(ray_session):
+    import duckdb
+
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import (
+        bloom_filtered_revenue,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = bloom_filtered_revenue(sf)
+    want = duckdb.sql(
+        "SELECT coalesce(sum(CAST(round(l_extendedprice*100) AS BIGINT) * "
+        "(100 - CAST(round(l_discount*100) AS BIGINT))), 0) / 10000.0 AS r, "
+        "count(*) AS n FROM "
+        f"read_parquet('{sf}/lineitem.parquet') li "
+        f"JOIN read_parquet('{sf}/orders.parquet') o ON o_orderkey = l_orderkey "
+        "WHERE o_orderpriority = '1-URGENT'"
+    ).fetchone()
+    assert float(got["revenue"].iloc[0]) == float(want[0])
+    assert int(got["n_rows"].iloc[0]) == int(want[1])
