@@ -1031,6 +1031,16 @@ def _q_events_value_stats(sf_dir: str):
     return events_value_stats(sf_dir)
 
 
+def _q_orders_active_backlog(sf_dir: str):
+    """Sweep-line interval aggregation: trailing-30-day active-order
+    concurrency curve via the difference-array technique."""
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import (
+        orders_active_backlog,
+    )
+
+    return orders_active_backlog(sf_dir)
+
+
 def _q_bloom_filtered_revenue(sf_dir: str):
     """Semi-join with bloom-filter pushdown (the reference's dead T6
     concept made real): the bloom prunes the exchange, the exact bucketed
@@ -1332,6 +1342,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "name_near_pairs": _q_name_near_pairs,
         "basket_jaccard_pairs": _q_basket_jaccard,
         "bloom_filtered_revenue": _q_bloom_filtered_revenue,
+        "orders_active_backlog": _q_orders_active_backlog,
         "succ_inout_correlation": _q_succ_inout_correlation,
         "forecast_revenue": _q_forecast_revenue,
         "events_value_stats": _q_events_value_stats,
@@ -2910,6 +2921,18 @@ def oracle_sql() -> dict[str, str]:
             "SELECT n AS n_vertices, round((n * sxy - sx * sy) / "
             "sqrt((n * sxx - sx * sx) * 1.0 * (n * syy - sy * sy)), 6) AS r "
             "FROM m"
+        ),
+        "orders_active_backlog": (
+            # same difference-array technique in SQL: per-day deltas, then
+            # a cumulative window over event days — exact ints throughout
+            "WITH d AS (SELECT strftime(o_orderdate, '%Y-%m-%d') AS day, "
+            "1 AS delta FROM orders UNION ALL "
+            "SELECT strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d'), -1 "
+            "FROM orders), "
+            "g AS (SELECT day, CAST(sum(delta) AS BIGINT) AS delta FROM d "
+            "GROUP BY 1) "
+            "SELECT day, CAST(sum(delta) OVER (ORDER BY day "
+            "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_active FROM g"
         ),
         "bloom_filtered_revenue": (
             # bit-equal to the plain semi-join (the bloom only prunes)

@@ -62,6 +62,7 @@ __all__ = [
     "forecast_revenue",
     "events_value_stats",
     "bloom_filtered_revenue",
+    "orders_active_backlog",
 ]
 
 
@@ -2850,6 +2851,65 @@ def bloom_filtered_revenue(
             "revenue": [float(tot["rev"] or 0) / 10000.0],
             "n_rows": [int(tot["n"] or 0)],
         }
+    )
+
+
+def orders_active_backlog(sf_dir: str, window_days: int = 30):
+    """SWEEP-LINE interval aggregation: how many orders are "active" (placed
+    within the trailing ``window_days``) on each calendar day any order
+    starts or expires → (day, n_active). The classic difference-array
+    technique: each order contributes +1 at its start day and −1 at
+    start+window; the running sum over event days is the concurrency curve.
+
+    Scale shape: each batch emits per-day DELTA partials (two ints per
+    order, pre-summed per day inside the batch), one tiny groupby over
+    distinct days finishes the deltas, and the cumulative sum runs over
+    the ≤ |days| rows in a single-group fold — the orders table is
+    touched once and never leaves its batches. Exact int arithmetic end
+    to end."""
+    from ray.data.aggregate import Sum
+
+    orders = read_table(sf_dir, "orders", columns=["o_orderdate"])
+    W = np.int64(window_days)
+
+    def _deltas(t: pa.Table) -> pa.Table:
+        day = t["o_orderdate"].to_numpy().astype("datetime64[D]").astype(np.int64)
+        days = np.concatenate([day, day + W])
+        delt = np.concatenate(
+            [np.ones(len(day), np.int64), -np.ones(len(day), np.int64)]
+        )
+        key, inv = np.unique(days, return_inverse=True)
+        s = np.zeros(len(key), np.int64)
+        np.add.at(s, inv, delt)
+        return pa.table({"day_i": key, "delta": s})
+
+    agg = (
+        orders.map_batches(_deltas, batch_format="pyarrow")
+        .groupby("day_i")
+        .aggregate(Sum("delta", alias_name="delta"))
+    )
+
+    def _one(t: pa.Table) -> pa.Table:
+        return t.append_column("one", pa.array(np.ones(len(t), np.int32)))
+
+    def _cumsum(g: pa.Table) -> pa.Table:
+        day_i = g["day_i"].to_numpy()
+        delta = g["delta"].to_numpy()
+        order = np.argsort(day_i)
+        day_i, delta = day_i[order], delta[order]
+        return pa.table(
+            {
+                "day": np.datetime_as_string(
+                    day_i.astype("datetime64[D]"), unit="D"
+                ),
+                "n_active": np.cumsum(delta).astype(np.int64),
+            }
+        )
+
+    return (
+        agg.map_batches(_one, batch_format="pyarrow")
+        .groupby("one")
+        .map_groups(_cumsum, batch_format="pyarrow")
     )
 
 

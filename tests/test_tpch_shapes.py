@@ -608,3 +608,31 @@ def test_bloom_filtered_revenue_matches_plain_join(ray_session):
     ).fetchone()
     assert float(got["revenue"].iloc[0]) == float(want[0])
     assert int(got["n_rows"].iloc[0]) == int(want[1])
+
+
+def test_orders_active_backlog_hand_case(ray_session, tmp_path):
+    # orders on day 0, 0, 2 with window 3: deltas +2@0, +1@2, -2@3, -1@5
+    # curve: day0=2, day2=3, day3=1, day5=0
+    _write(
+        tmp_path,
+        "orders",
+        {
+            "o_orderdate": pa.array(
+                np.array(["2024-01-01", "2024-01-01", "2024-01-03"],
+                         "datetime64[us]")
+            ),
+        },
+    )
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import (
+        orders_active_backlog,
+    )
+
+    got = (
+        orders_active_backlog(str(tmp_path), window_days=3)
+        .to_pandas()
+        .set_index("day")["n_active"]
+        .to_dict()
+    )
+    assert got == {
+        "2024-01-01": 2, "2024-01-03": 3, "2024-01-04": 1, "2024-01-06": 0,
+    }
