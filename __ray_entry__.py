@@ -1031,6 +1031,14 @@ def _q_events_value_stats(sf_dir: str):
     return events_value_stats(sf_dir)
 
 
+def _q_promo_revenue(sf_dir: str):
+    """Q14-shaped conditional revenue share (PROMO parts), one bucketed
+    join, both sums exact int cents."""
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import promo_revenue
+
+    return promo_revenue(sf_dir)
+
+
 def _q_orders_active_backlog(sf_dir: str):
     """Sweep-line interval aggregation: trailing-30-day active-order
     concurrency curve via the difference-array technique."""
@@ -1343,6 +1351,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "basket_jaccard_pairs": _q_basket_jaccard,
         "bloom_filtered_revenue": _q_bloom_filtered_revenue,
         "orders_active_backlog": _q_orders_active_backlog,
+        "promo_revenue": _q_promo_revenue,
         "succ_inout_correlation": _q_succ_inout_correlation,
         "forecast_revenue": _q_forecast_revenue,
         "events_value_stats": _q_events_value_stats,
@@ -2921,6 +2930,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT n AS n_vertices, round((n * sxy - sx * sy) / "
             "sqrt((n * sxx - sx * sx) * 1.0 * (n * syy - sy * sy)), 6) AS r "
             "FROM m"
+        ),
+        "promo_revenue": (
+            # Q14 shape; both sums exact int cents, one final division
+            "SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO' THEN "
+            "CAST(round(l_extendedprice * 100) AS BIGINT) * "
+            "(100 - CAST(round(l_discount * 100) AS BIGINT)) ELSE 0 END) / "
+            "sum(CAST(round(l_extendedprice * 100) AS BIGINT) * "
+            "(100 - CAST(round(l_discount * 100) AS BIGINT))), 6) AS promo_pct "
+            "FROM lineitem JOIN part ON p_partkey = l_partkey"
         ),
         "orders_active_backlog": (
             # same difference-array technique in SQL: per-day deltas, then

@@ -63,6 +63,7 @@ __all__ = [
     "events_value_stats",
     "bloom_filtered_revenue",
     "orders_active_backlog",
+    "promo_revenue",
 ]
 
 
@@ -2910,6 +2911,75 @@ def orders_active_backlog(sf_dir: str, window_days: int = 30):
         agg.map_batches(_one, batch_format="pyarrow")
         .groupby("one")
         .map_groups(_cumsum, batch_format="pyarrow")
+    )
+
+
+def promo_revenue(sf_dir: str, ptype: str = "PROMO", num_buckets: int = 32):
+    """Q14-shaped conditional-share aggregate: the percentage of total
+    revenue coming from parts of the given type → one row (promo_pct).
+
+    Scale shape: ONE bucketed repartition join (lineitem partials pre-
+    aggregated per partkey inside each batch — the exchange carries
+    (partkey, rev) partials; the part side ships (key, is_promo) bits);
+    both the promo and total revenue fold as exact int cents in the same
+    pass, and the single final percentage division mirrors the SQL
+    expression: ``100.0 * promo / total`` rounded half-away at 6."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.rounding import round_half_away
+
+    li = read_table(
+        sf_dir, "lineitem",
+        columns=["l_partkey", "l_extendedprice", "l_discount"],
+    )
+    part = read_table(sf_dir, "part", columns=["p_partkey", "p_type"])
+    B = np.int64(num_buckets)
+
+    def _li(t: pa.Table) -> pa.Table:
+        k = t["l_partkey"].to_numpy().astype(np.int64)
+        cents = np.round(t["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        disc = np.round(t["l_discount"].to_numpy() * 100).astype(np.int64)
+        rev = cents * (100 - disc)
+        key, inv = np.unique(k, return_inverse=True)
+        s = np.zeros(len(key), np.int64)
+        np.add.at(s, inv, rev)
+        return pa.table(
+            {"k": key, "rev": s, "promo": np.zeros(len(key), np.int8),
+             "is_dim": np.zeros(len(key), bool), "b": (key % B).astype(np.int32)}
+        )
+
+    def _part(t: pa.Table) -> pa.Table:
+        k = t["p_partkey"].to_numpy().astype(np.int64)
+        promo = (
+            t["p_type"].to_numpy(zero_copy_only=False) == ptype
+        ).astype(np.int8)
+        return pa.table(
+            {"k": k, "rev": np.zeros(len(k), np.int64), "promo": promo,
+             "is_dim": np.ones(len(k), bool), "b": (k % B).astype(np.int32)}
+        )
+
+    def _fold(g: pa.Table) -> pa.Table:
+        k = g["k"].to_numpy()
+        is_dim = g["is_dim"].to_numpy(zero_copy_only=False)
+        order, pos_c, hit = _sorted_dim_lookup(k[is_dim], k[~is_dim])
+        promo = g["promo"].to_numpy()[is_dim][order]
+        rev = g["rev"].to_numpy()[~is_dim]
+        prom = rev[hit & (promo[pos_c] == 1)].sum()
+        tot = rev[hit].sum()  # inner-join semantics
+        return pa.table(
+            {"p": np.array([prom], np.int64), "t": np.array([tot], np.int64)}
+        )
+
+    agg = (
+        li.map_batches(_li, batch_format="pyarrow")
+        .union(part.map_batches(_part, batch_format="pyarrow"))
+        .groupby("b")
+        .map_groups(_fold, batch_format="pyarrow")
+        .aggregate(Sum("p", alias_name="p"), Sum("t", alias_name="t"))
+    )
+    p, t = int(agg["p"] or 0), int(agg["t"] or 0)
+    return pd.DataFrame(
+        {"promo_pct": [float(round_half_away(100.0 * p / t, 6)) if t else 0.0]}
     )
 
 
