@@ -1031,6 +1031,15 @@ def _q_events_value_stats(sf_dir: str):
     return events_value_stats(sf_dir)
 
 
+def _q_events_transition_matrix(sf_dir: str):
+    """Markov transition counts over per-user event-type sequences."""
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import (
+        events_transition_matrix,
+    )
+
+    return events_transition_matrix(sf_dir)
+
+
 def _q_promo_revenue(sf_dir: str):
     """Q14-shaped conditional revenue share (PROMO parts), one bucketed
     join, both sums exact int cents."""
@@ -1352,6 +1361,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_filtered_revenue": _q_bloom_filtered_revenue,
         "orders_active_backlog": _q_orders_active_backlog,
         "promo_revenue": _q_promo_revenue,
+        "events_transition_matrix": _q_events_transition_matrix,
         "succ_inout_correlation": _q_succ_inout_correlation,
         "forecast_revenue": _q_forecast_revenue,
         "events_value_stats": _q_events_value_stats,
@@ -2930,6 +2940,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT n AS n_vertices, round((n * sxy - sx * sy) / "
             "sqrt((n * sxx - sx * sx) * 1.0 * (n * syy - sy * sy)), 6) AS r "
             "FROM m"
+        ),
+        "events_transition_matrix": (
+            "WITH o AS (SELECT user_id, event_type, "
+            "lag(event_type) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id) AS prev FROM events) "
+            "SELECT prev AS from_type, event_type AS to_type, "
+            "CAST(count(*) AS BIGINT) AS n FROM o "
+            "WHERE prev IS NOT NULL GROUP BY 1, 2"
         ),
         "promo_revenue": (
             # Q14 shape; both sums exact int cents, one final division

@@ -64,6 +64,7 @@ __all__ = [
     "bloom_filtered_revenue",
     "orders_active_backlog",
     "promo_revenue",
+    "events_transition_matrix",
 ]
 
 
@@ -2980,6 +2981,56 @@ def promo_revenue(sf_dir: str, ptype: str = "PROMO", num_buckets: int = 32):
     p, t = int(agg["p"] or 0), int(agg["t"] or 0)
     return pd.DataFrame(
         {"promo_pct": [float(round_half_away(100.0 * p / t, 6)) if t else 0.0]}
+    )
+
+
+def events_transition_matrix(sf_dir: str, num_buckets: int | None = None):
+    """Markov TRANSITION COUNTS over user journeys: consecutive event-type
+    pairs within each user's timeline (ordered by ts, event_id), counted
+    corpus-wide → (from_type, to_type, n) — the first-order behavioural
+    model every funnel/session analysis starts from.
+
+    Scale shape: the one-shuffle user-bucket machine; a whole bucket is
+    one lexsort + shifted compare, and each bucket pre-aggregates its
+    (from, to) pairs so the final groupby sees |types|² partials per
+    bucket, not transitions."""
+    from ray.data.aggregate import Sum
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "ts", "user_id",
+                                               "event_type"])
+    num_buckets = _auto_buckets(ds, num_buckets)
+
+    def _bucket(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy()
+        return t.append_column("b", pa.array((u % num_buckets).astype(np.int32)))
+
+    def _trans(g: pa.Table) -> pa.Table:
+        u = g["user_id"].to_numpy()
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        eid = g["event_id"].to_numpy()
+        typ = g["event_type"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, u))
+        u, typ = u[order], typ[order]
+        same = np.concatenate([[False], u[1:] == u[:-1]])
+        tkey, tinv = np.unique(typ, return_inverse=True)
+        prev = np.concatenate([[0], tinv[:-1]])
+        f, to = prev[same], tinv[same]
+        packed = f.astype(np.int64) * np.int64(len(tkey)) + to
+        key, cnt = np.unique(packed, return_counts=True)
+        return pa.table(
+            {
+                "from_type": tkey[(key // len(tkey)).astype(np.int64)],
+                "to_type": tkey[(key % len(tkey)).astype(np.int64)],
+                "n": cnt.astype(np.int64),
+            }
+        )
+
+    return (
+        ds.map_batches(_bucket, batch_format="pyarrow")
+        .groupby("b")
+        .map_groups(_trans, batch_format="pyarrow")
+        .groupby(["from_type", "to_type"])
+        .aggregate(Sum("n", alias_name="n"))
     )
 
 
