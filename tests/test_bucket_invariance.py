@@ -7,10 +7,12 @@ import pandas as pd
 import pytest
 
 from subgraph_isomorphism_pregel_ray.pipelines.relational import (
+    bloom_filtered_revenue,
     customer_order_histogram,
     fk_integrity,
     large_volume_orders,
     order_priority_semi,
+    promo_revenue,
     sales_opportunity,
     shipping_priority_topk,
     small_qty_revenue,
@@ -41,6 +43,8 @@ def _canon(out):
         succ_reciprocity,
         succ_inout_correlation,
         fk_integrity,
+        promo_revenue,
+        bloom_filtered_revenue,
     ],
     ids=lambda f: f.__name__,
 )
