@@ -700,6 +700,16 @@ def _q_ann_topk_ivf(sf_dir: str):
     return ann_topk_ivf(_emb(sf_dir), ANN_QUERY_IDS, k=ANN_K, index_dir=idx)
 
 
+def _q_dup_span_pairs(sf_dir: str):
+    """ExactSubstr-style duplicate-span pairs (Lee et al. 2022 shape):
+    ordered doc pairs sharing ≥5 distinct 40-char windows, with the
+    shared-window count. Absolute span overlap — the verbatim-quotation /
+    boilerplate detector the Jaccard family can't see."""
+    from subgraph_isomorphism_pregel_ray.pipelines.dedup import dup_span_pairs
+
+    return dup_span_pairs(_docs(sf_dir), span_len=40, min_shared=5)
+
+
 def _q_simhash_pairs(sf_dir: str):
     from subgraph_isomorphism_pregel_ray.pipelines.dedup import simhash_dup_pairs
 
@@ -729,11 +739,42 @@ def _q_media_features(sf_dir: str):
     return decode_features(rd.from_arrow(synth_media_table(300, seed=42)))
 
 
+_PAGES_ORACLE_N, _PAGES_ORACLE_SEED = 2000, 42
+
+
+def _pages_oracle_parquet() -> str:
+    """Materialize the deterministic synthetic pages table (the exact
+    Arrow table the host_graph/anchor_index/host_rank queries consume)
+    as a parquet file the DuckDB oracle can read — the pages table is
+    not among the driver's pre-registered views, so the oracle SQL
+    reads this file instead. Written atomically (tmp + rename) so a
+    concurrent driver/test run never sees a half-written file; the
+    generator is pure in (n, seed), so any two writers produce
+    byte-identical content. Called from ``oracle_sql()`` so the file
+    exists regardless of whether the driver runs queries or oracles
+    first."""
+    import os
+
+    import pyarrow.parquet as _pq
+
+    path = f"/tmp/graft_pages_oracle_{_PAGES_ORACLE_N}_{_PAGES_ORACLE_SEED}.parquet"
+    if not os.path.exists(path):
+        from subgraph_isomorphism_pregel_ray.sources.pages import synth_pages_table
+
+        tmp = f"{path}.tmp.{os.getpid()}"
+        _pq.write_table(
+            synth_pages_table(_PAGES_ORACLE_N, seed=_PAGES_ORACLE_SEED), tmp
+        )
+        os.replace(tmp, path)
+    return path
+
+
 def _q_host_graph(sf_dir: str):
     """Host-level webgraph (cc-webgraph-style aggregation of the href edge
-    table to (src_host, dst_host, n_links)). Rows-only: the driver's
-    DuckDB views carry no pages table, so the oracle is the pytest
-    scalar-reference + batch-size-invariance check
+    table to (src_host, dst_host, n_links)). Oracle: DuckDB replays the
+    href regex + host extraction over the SAME deterministic pages
+    parquet (``_pages_oracle_parquet``); the pytest scalar-reference +
+    batch-size-invariance check remains
     (tests/test_ray_integration.py::test_host_graph_vs_scalar_reference).
     Deterministic synthetic pages, independent of sf_dir by design."""
     import ray.data as rd
@@ -741,15 +782,17 @@ def _q_host_graph(sf_dir: str):
     from subgraph_isomorphism_pregel_ray.sources.pages import synth_pages_table
     from subgraph_isomorphism_pregel_ray.stages.extract import host_graph
 
-    return host_graph(rd.from_arrow(synth_pages_table(2000, seed=42)))
+    return host_graph(
+        rd.from_arrow(synth_pages_table(_PAGES_ORACLE_N, seed=_PAGES_ORACLE_SEED))
+    )
 
 
 def _q_anchor_index(sf_dir: str):
     """Anchor-text index (Brin & Page 1998 §2.2): per linked-to url, total
     in-links, distinct anchor texts, and the most frequent anchor (ties →
-    lexicographically smallest). Rows-only for the same reason as
-    host_graph (no pages table among the driver's DuckDB views); the
-    pytest oracle is a pure-scalar Counter reference
+    lexicographically smallest). Oracle: DuckDB replays link extraction +
+    anchor-text normalization + the per-url fold over the same pages
+    parquet; the pure-scalar Counter reference pytest remains
     (tests/test_extract.py::test_anchor_index_vs_scalar_reference).
     Deterministic synthetic pages, independent of sf_dir by design."""
     import ray.data as rd
@@ -757,24 +800,37 @@ def _q_anchor_index(sf_dir: str):
     from subgraph_isomorphism_pregel_ray.sources.pages import synth_pages_table
     from subgraph_isomorphism_pregel_ray.stages.extract import anchor_index
 
-    return anchor_index(rd.from_arrow(synth_pages_table(2000, seed=42)))
+    return anchor_index(
+        rd.from_arrow(synth_pages_table(_PAGES_ORACLE_N, seed=_PAGES_ORACLE_SEED))
+    )
 
 
 def _q_host_rank(sf_dir: str):
     """Host-level PageRank (Common Crawl host-ranking composition:
-    pages → host graph → PageRank → named ranks). Rows-only for the same
-    reason as host_graph (no pages table among the driver's DuckDB
-    views); the pytest oracle proves parity with the engine's
-    SQL-verified PageRank on the manually-built host edge list
+    pages → host graph → PageRank → named ranks), rank rounded(8)
+    half-away like every hash-compared float. Oracle: DuckDB replays
+    extraction + a 10-iteration directed-PageRank unroll WITH the
+    dangling-mass term (the host graph is directed, unlike the
+    symmetric copurchase graph) over the same pages parquet; the pytest
+    engine-parity check remains
     (tests/test_ray_integration.py::test_host_rank_vs_direct_pagerank).
     Deterministic synthetic pages, independent of sf_dir by design."""
     import ray.data as rd
 
+    from subgraph_isomorphism_pregel_ray.functions.rounding import round_half_away
     from subgraph_isomorphism_pregel_ray.sources.pages import synth_pages_table
     from subgraph_isomorphism_pregel_ray.stages.extract import host_rank
 
-    out, _ = host_rank(rd.from_arrow(synth_pages_table(2000, seed=42)), iters=10)
-    return rd.from_arrow(out)
+    out, _ = host_rank(
+        rd.from_arrow(synth_pages_table(_PAGES_ORACLE_N, seed=_PAGES_ORACLE_SEED)),
+        iters=10,
+    )
+    return pa.table(
+        {
+            "host": out["host"],
+            "rank": round_half_away(out["rank"].to_numpy(), 8),
+        }
+    )
 
 
 # ---- relational / streaming-shaped ---------------------------------------
@@ -1317,6 +1373,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessionize": _q_events_sessionize,
         "dedup_groups": _q_dedup_groups,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
+        "dup_span_pairs": _q_dup_span_pairs,
         "simhash_dup_pairs": _q_simhash_pairs,
         "media_features": _q_media_features,
         "host_graph": _q_host_graph,
@@ -1417,6 +1474,114 @@ def _pagerank_sql(iters: int, damping: float = 0.85) -> str:
     return (
         ", ".join(parts) + f" SELECT vid, round(pr, 8) AS pr FROM r{iters}"
     )
+
+
+def _pages_oracle_sqls() -> dict[str, str]:
+    """DuckDB oracles for the pages-derived queries (host_graph,
+    anchor_index, host_rank). The pages table is not among the driver's
+    pre-registered views, so each statement reads the byte-identical
+    deterministic parquet that :func:`_pages_oracle_parquet` writes —
+    the same input table the Ray queries generate in memory (the
+    generator is pure in (n, seed)).
+
+    The RE2 patterns are exact on this corpus — every href is quoted
+    and free of whitespace/quotes, anchors contain no nested tags and
+    no entities other than ``&nbsp;``, urls are lowercase with no
+    trailing slash — so the narrower single-group patterns here are
+    equivalent to ``functions/extract.py``'s alternation patterns on
+    that domain (same corpus-restriction rationale as ``redact_pii``).
+    Validated cell-exact against the pure-scalar extractor references
+    before wiring (host_graph 400 rows, anchor_index 1939 rows,
+    host_rank 20 hosts at n=2000/seed=42)."""
+    path = _pages_oracle_parquet()
+    pat_href = r"""<a\s[^>]*?href\s*=\s*["']?([^"'\s>]+)"""
+    pat_link = r"""<a\s[^>]*?href\s*=\s*["']?[^"'\s>]+[^>]*>[^<]*</a\s*>"""
+    pat_link_href = r"""href\s*=\s*["']?([^"'\s>]+)"""
+    host_pat = r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)"
+    scheme_host_pat = r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)"
+
+    hosts_cte = (
+        f"WITH pages AS (SELECT url, decode(html) AS h "
+        f"FROM read_parquet('{path}')), "
+        f"raw AS (SELECT url, unnest(regexp_extract_all(h, "
+        f"$re${pat_href}$re$, 1)) AS href FROM pages), "
+        f"hosts AS (SELECT lower(regexp_extract(url, '{host_pat}', 1)) "
+        f"AS sh, lower(regexp_extract(href, '{host_pat}', 1)) AS dh "
+        f"FROM raw)"
+    )
+
+    host_graph_sql = (
+        f"{hosts_cte} "
+        "SELECT sh AS src_host, "
+        "CASE WHEN dh = '' THEN sh ELSE dh END AS dst_host, "
+        "CAST(count(*) AS BIGINT) AS n_links FROM hosts GROUP BY 1, 2"
+    )
+
+    anchor_index_sql = (
+        f"WITH pages AS (SELECT decode(html) AS h "
+        f"FROM read_parquet('{path}')), "
+        f"lnk AS (SELECT unnest(regexp_extract_all(h, "
+        f"$re${pat_link}$re$)) AS l FROM pages), "
+        f"pairs0 AS (SELECT regexp_extract(l, $re${pat_link_href}$re$, 1) "
+        "AS href, trim(regexp_replace(replace("
+        "regexp_extract(l, '>([^<]*)</a', 1), '&nbsp;', ' '), "
+        r"'\s+', ' ', 'g')) AS anchor FROM lnk), "
+        "pairs1 AS (SELECT CASE WHEN position('#' IN href) > 0 "
+        "THEN substr(href, 1, position('#' IN href) - 1) ELSE href END "
+        "AS u, anchor FROM pairs0 WHERE anchor <> ''), "
+        f"pairs AS (SELECT concat(lower(regexp_extract(u, "
+        f"'{scheme_host_pat}', 1)), regexp_replace(u, "
+        f"'{scheme_host_pat}', '')) AS dst_url, anchor FROM pairs1), "
+        "agg AS (SELECT dst_url, anchor, count(*) AS n FROM pairs "
+        "GROUP BY 1, 2), "
+        "ranked AS (SELECT dst_url, anchor, n, row_number() OVER ("
+        "PARTITION BY dst_url ORDER BY n DESC, anchor ASC) AS rk, "
+        "sum(n) OVER (PARTITION BY dst_url) AS tot, "
+        "count(*) OVER (PARTITION BY dst_url) AS na FROM agg) "
+        "SELECT dst_url, CAST(tot AS BIGINT) AS n_links, "
+        "CAST(na AS BIGINT) AS n_anchors, anchor AS top_anchor, "
+        "CAST(n AS BIGINT) AS top_n FROM ranked WHERE rk = 1"
+    )
+
+    # host_rank: directed PageRank unroll (10 iters, d=0.85) WITH the
+    # dangling-mass term — r_i(v) = (1-d)/n + d*(Σ_in r/outdeg + D/n),
+    # D = Σ r_{i-1} over outdeg-0 hosts; matches PageRankProgram.apply's
+    # op order ((1-d)/n + d*(in_sum + dangling/n)) so round(8) is exact.
+    parts = [
+        f"{hosts_cte}, "
+        "e AS MATERIALIZED (SELECT DISTINCT sh AS src, "
+        "CASE WHEN dh = '' THEN sh ELSE dh END AS dst FROM hosts "
+        "WHERE sh <> CASE WHEN dh = '' THEN sh ELSE dh END), "
+        "v AS MATERIALIZED (SELECT src AS vid FROM e "
+        "UNION SELECT dst FROM e), "
+        "nv AS MATERIALIZED (SELECT count(*) AS n FROM v), "
+        "deg AS MATERIALIZED (SELECT v.vid, coalesce(o.c, 0) AS outdeg "
+        "FROM v LEFT JOIN (SELECT src AS vid, count(*) AS c FROM e "
+        "GROUP BY 1) o ON o.vid = v.vid), "
+        "r0 AS MATERIALIZED (SELECT vid, 1.0 / (SELECT n FROM nv) "
+        "AS pr FROM v)"
+    ]
+    for i in range(1, 11):
+        parts.append(
+            f"r{i} AS MATERIALIZED (SELECT d.vid, "
+            "(1 - 0.85) / (SELECT n FROM nv) + 0.85 * ("
+            "coalesce(s.c, 0) + (SELECT coalesce(sum(p.pr), 0) "
+            f"FROM r{i - 1} p JOIN deg dg ON dg.vid = p.vid "
+            "AND dg.outdeg = 0) / (SELECT n FROM nv)) AS pr "
+            "FROM deg d LEFT JOIN (SELECT e.dst AS vid, "
+            f"sum(r.pr / d2.outdeg) AS c FROM e JOIN r{i - 1} r "
+            "ON r.vid = e.src JOIN deg d2 ON d2.vid = e.src "
+            "GROUP BY e.dst) s ON s.vid = d.vid)"
+        )
+    host_rank_sql = (
+        ", ".join(parts) + " SELECT vid AS host, round(pr, 8) AS rank FROM r10"
+    )
+
+    return {
+        "host_graph": host_graph_sql,
+        "anchor_index": anchor_index_sql,
+        "host_rank": host_rank_sql,
+    }
 
 
 def _wpagerank_sql(iters: int, damping: float = 0.85) -> str:
@@ -2745,6 +2910,24 @@ def oracle_sql() -> dict[str, str]:
             "JOIN cnt cb ON cb.doc_id = db "
             "WHERE i * 1.0 / (ca.nsh + cb.nsh - i) >= 0.5"
         ),
+        "dup_span_pairs": (
+            # ExactSubstr replay (pipelines/dedup.py dup_span_pairs): every
+            # stride-1 40-char window, per-doc DISTINCT, self-joined on the
+            # window STRING (the engine groups on md5_lower64 of the same
+            # string — identical counts modulo 2^-64 collisions, the stated
+            # md5_lower64 caveat); docs shorter than 40 chars emit nothing.
+            "WITH pos AS MATERIALIZED ("
+            "SELECT doc_id, text, "
+            "unnest(generate_series(1, length(text) - 39)) AS i "
+            "FROM documents WHERE length(text) >= 40), "
+            "dw AS MATERIALIZED ("
+            "SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 40) AS win "
+            "FROM pos) "
+            "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+            "CAST(count(*) AS BIGINT) AS n_shared "
+            "FROM dw a JOIN dw b ON a.win = b.win AND a.doc_id < b.doc_id "
+            "GROUP BY 1, 2 HAVING count(*) >= 5"
+        ),
         "lpa_copurchase": _lpa_sql(LPA_ITERS),
         "kcore_copurchase": _kcore_sql(),
         "fingerprint": _fingerprint_sql(),
@@ -3267,15 +3450,44 @@ def oracle_sql() -> dict[str, str]:
             "ELSE 57 - length(bin(low)) END) AS BIGINT) AS register "
             "FROM b GROUP BY day, bucket"
         ),
+        "approx_distinct_users_daily": (
+            # the HLL estimator replayed over the (independently
+            # hash-checked) registers: harmonic mean of 2^-register over
+            # all 256 registers (absent rows are zeros → 2^0 = 1 each),
+            # Flajolet alpha_256, linear-counting small-range branch.
+            # Both sides round(4) half-away: numpy vs DuckDB libm drift
+            # is ~1e-12 relative (measured 11/30 days differ pre-round),
+            # 10 orders below the rounding grid — bit-exact after round.
+            "WITH h AS (SELECT epoch_us(ts) // 86400000000 AS day, "
+            "md5_number_lower(CAST(user_id AS VARCHAR)) AS h FROM events), "
+            "b AS (SELECT day, h // 72057594037927936 AS bucket, "
+            "h % 72057594037927936 AS low FROM h), "
+            "regs AS (SELECT day, bucket, "
+            "max(CASE WHEN low = 0 THEN 57 ELSE 57 - length(bin(low)) END) "
+            "AS register FROM b GROUP BY day, bucket), "
+            "agg AS (SELECT day, sum(power(2.0, -register)) AS s, "
+            "count(*) AS nb FROM regs GROUP BY day), "
+            "est AS (SELECT day, "
+            "(0.7213/(1.0 + 1.079/256.0)) * 65536.0 / (s + (256.0 - nb)) "
+            "AS raw, 256 - nb AS zeros FROM agg) "
+            "SELECT CAST(day AS BIGINT) AS day, "
+            "round(CASE WHEN raw <= 640.0 AND zeros > 0 "
+            "THEN 256.0 * ln(256.0 / zeros) ELSE raw END, 4) "
+            "AS approx_distinct FROM est"
+        ),
+        # host_graph / anchor_index / host_rank: DuckDB replays the href
+        # regex extraction + aggregation (+ directed-PR unroll) over the
+        # byte-identical deterministic pages parquet (see
+        # _pages_oracle_sqls / _pages_oracle_parquet).
+        **_pages_oracle_sqls(),
         # Still rows-only, with reasons:
         #  * ann_topk_ivf — result depends on k-means centroids (iterative
         #    float averaging); pytest asserts recall + pruning vs ann_topk.
         #  * kmeans_embeddings — iterative float sums whose summation ORDER
         #    differs between numpy and SQL; numpy-parity pytest instead.
-        #  * media_features — decode stub (no codecs in container), plumbing
-        #    rows-only by design.
-        #  * approx_distinct_users_daily — the estimator is float (harmonic
-        #    mean / ln) whose SQL summation order differs; the REGISTERS it
-        #    is a pure function of ARE hash-checked (hll_registers_daily),
-        #    and the estimate's accuracy is pytest-bounded vs exact counts.
+        #  * media_features — decode stub→real-numpy codecs; binary payload
+        #    features are not SQL-expressible, rows-only by design.
+        #  * bpe_merges / coloring_copurchase / embedding_pca_top — iterative
+        #    (pair-merge fixpoint / MIS-round coloring / eigensolve), out of
+        #    SQL-unroll scope; each has a library-reference parity pytest.
     }

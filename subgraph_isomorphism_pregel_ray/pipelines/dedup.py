@@ -48,6 +48,7 @@ __all__ = [
     "dedup_groups",
     "name_near_pairs",
     "basket_jaccard_pairs",
+    "dup_span_pairs",
 ]
 
 _MERSENNE = np.uint64((1 << 61) - 1)
@@ -945,3 +946,102 @@ def basket_jaccard_pairs(sf_dir: str, threshold_pct: int = 50, num_buckets: int 
         .groupby(["o1", "o2"])
         .map_groups(_verify, batch_format="pyarrow")
     )
+
+
+def dup_span_pairs(docs_ds, span_len: int = 40, min_shared: int = 5):
+    """ExactSubstr-style cross-document duplicate-span detection →
+    Dataset(doc_a, doc_b, n_shared): for every ordered doc pair
+    (doc_a < doc_b), the number of DISTINCT ``span_len``-char windows
+    (stride 1) the two documents share, kept when ≥ ``min_shared``.
+
+    This is the distributed analogue of the suffix-array exact-substring
+    dedup of Lee et al. 2022 ("Deduplicating Training Data Makes Language
+    Models Better", public): instead of one global suffix array, every
+    window is hashed (``md5_lower64`` ≡ DuckDB ``md5_number_lower``, the
+    same SQL-replayable hash as the shingle pipeline) and hash-bucketed,
+    so a window shared by two documents lands in one bucket regardless of
+    where the documents live — the same inverted-index idiom as
+    ``ngram_jaccard_pairs``. Unlike the Jaccard/MinHash family this
+    measures ABSOLUTE span overlap (long verbatim quotations, boilerplate,
+    licence blocks), not relative set similarity — short boilerplate in a
+    long document is invisible to Jaccard but exactly what ExactSubstr
+    targets.
+
+    Scale shape: stage 1 emits per-doc DISTINCT window hashes (in-batch
+    combine; volume ≈ corpus chars × 8 B — the honest ExactSubstr cost);
+    ONE hash-bucket shuffle; stage 2 expands per-window doc pairs
+    vectorized per bucket and pre-counts pairs WITHIN the bucket
+    (np.unique partial), so the second shuffle carries one row per
+    distinct (pair, bucket), not per shared window; stage 3 is a tiny
+    packed-key groupby-sum + threshold cut. Docs shorter than
+    ``span_len`` contribute nothing (no windows exist). 64-bit hash
+    collisions could in principle merge two distinct windows (P ≈ n²/2⁶⁵,
+    same stated caveat as every md5_lower64 consumer). Doc ids must fit
+    32 bits for the packed pair key (guarded, like the other pair ops).
+    """
+    from ray.data.aggregate import Sum
+
+    from ..state.csr import flat_gather
+
+    num_buckets = 32
+
+    def _windows(t: pa.Table) -> pa.Table:
+        docs = t["doc_id"].to_numpy().astype(np.int64)
+        if len(docs) and (docs.min() < 0 or docs.max() >= 1 << 32):
+            raise ValueError("doc_id must fit 32 bits for the packed pair key")
+        hs, ds = [], []
+        for did, tx in zip(docs, t["text"].to_pylist()):
+            n = len(tx) - span_len + 1
+            if n <= 0:
+                continue
+            wins = np.unique(
+                np.array([tx[i : i + span_len] for i in range(n)], dtype=object)
+            )
+            h = np.unique(md5_lower64(wins))
+            hs.append(h.view(np.int64))
+            ds.append(np.full(len(h), did, dtype=np.int64))
+        h = np.concatenate(hs) if hs else np.empty(0, np.int64)
+        d = np.concatenate(ds) if ds else np.empty(0, np.int64)
+        return pa.table(
+            {
+                "b": (h % num_buckets).astype(np.int32),
+                "h": h,
+                "doc_id": d,
+            }
+        )
+
+    def _bucket_pairs(g: pa.Table) -> pa.Table:
+        h = g["h"].to_numpy()
+        doc = g["doc_id"].to_numpy()
+        order = np.lexsort((doc, h))
+        h_s, doc_s = h[order], doc[order]
+        _, starts, counts = np.unique(h_s, return_index=True, return_counts=True)
+        cpe = np.repeat(counts, counts)
+        left = np.repeat(doc_s, cpe)
+        right = doc_s[flat_gather(np.repeat(starts, counts), cpe)]
+        m = left < right  # per-doc-distinct hashes → each unordered pair once
+        pk, n = np.unique((left[m] << _PKEY_SHIFT) | right[m], return_counts=True)
+        return pa.table({"pkey": pk, "n": n.astype(np.int64)})
+
+    agg = (
+        docs_ds.map_batches(_windows, batch_format="pyarrow")
+        .groupby("b")
+        .map_groups(_bucket_pairs, batch_format="pyarrow")
+        .groupby("pkey")
+        .aggregate(Sum("n", alias_name="n_shared"))
+    )
+
+    def _unpack(t: pa.Table) -> pa.Table:
+        pk = t["pkey"].to_numpy()
+        n = t["n_shared"].to_numpy().astype(np.int64)
+        keep = n >= min_shared
+        pk, n = pk[keep], n[keep]
+        return pa.table(
+            {
+                "doc_a": pk >> _PKEY_SHIFT,
+                "doc_b": pk & np.int64(0xFFFFFFFF),
+                "n_shared": n,
+            }
+        )
+
+    return agg.map_batches(_unpack, batch_format="pyarrow")

@@ -746,3 +746,76 @@ def test_oov_rate_vs_counter_brute(ray_session):
         exp_rate = round(n_oov / max(len(toks), 1), 6)
         assert abs(out.loc[i, "oov_rate"] - exp_rate) < 1e-12
     assert out["n_oov"].sum() > 0  # the cut actually excludes tokens
+
+
+def test_dup_span_pairs_scalar_reference(ray_session):
+    """dup_span_pairs == pure-python window-set intersection counts, at two
+    block layouts (partition invariance), with short docs excluded."""
+    import itertools
+
+    import ray.data as rd
+
+    from subgraph_isomorphism_pregel_ray.pipelines.dedup import dup_span_pairs
+
+    boiler = "This standard licence block is included verbatim in many files. "
+    texts = [
+        boiler * 3 + "document one talks about graphs and rivers at length",
+        "document two, unrelated prologue text, then " + boiler * 3,
+        boiler + "short tail",
+        "no shared spans here at all; entirely original prose about owls "
+        "and their surprisingly quiet wing feathers in the night forest",
+        "tiny",  # < span_len → contributes no windows
+        boiler * 2,  # exact subset of 0/1's boilerplate run
+    ]
+    L, K = 40, 5
+    wins = {
+        i: {t[j : j + L] for j in range(len(t) - L + 1)}
+        for i, t in enumerate(texts)
+        if len(t) >= L
+    }
+    ref = {}
+    for a, b in itertools.combinations(sorted(wins), 2):
+        n = len(wins[a] & wins[b])
+        if n >= K:
+            ref[(a, b)] = n
+    assert ref, "corpus must actually contain duplicated spans"
+    assert 4 not in {d for pair in ref for d in pair}
+
+    for blocks in (1, 4):
+        ds = rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": np.arange(len(texts), dtype=np.int64),
+                    "text": texts,
+                }
+            )
+        ).repartition(blocks)
+        out = dup_span_pairs(ds, span_len=L, min_shared=K).to_pandas()
+        got = {
+            (int(r.doc_a), int(r.doc_b)): int(r.n_shared)
+            for r in out.itertuples()
+        }
+        assert got == ref, f"blocks={blocks}"
+
+
+def test_dup_span_pairs_empty_and_threshold(ray_session):
+    from subgraph_isomorphism_pregel_ray.pipelines.dedup import dup_span_pairs
+
+    # all docs below span_len → zero rows (same len-only contract as the
+    # other pair ops in test_text_and_event_ops_on_empty_tables)
+    out = dup_span_pairs(_docs_ds(["a", "bb", ""]), span_len=40).to_pandas()
+    assert len(out) == 0
+
+    # threshold cut: two docs sharing exactly one window
+    t = "x" * 39 + "QZ"  # windows: x*39+Q (pos 0), x*38+QZ (pos 1)
+    docs = ["A" + t, "B" + t]  # share the two t-interior windows only
+    shared = len(
+        {docs[0][i : i + 40] for i in range(len(docs[0]) - 39)}
+        & {docs[1][i : i + 40] for i in range(len(docs[1]) - 39)}
+    )
+    got = dup_span_pairs(_docs_ds(docs), span_len=40, min_shared=1).to_pandas()
+    assert len(got) == 1 and int(got["n_shared"][0]) == shared
+    none = dup_span_pairs(
+        _docs_ds(docs), span_len=40, min_shared=shared + 1
+    ).to_pandas()
+    assert len(none) == 0
