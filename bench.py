@@ -14,9 +14,9 @@ Stages timed:
                hive layout on disk
   pagerank     10 supersteps, actor engine
   cc / lpa / triangles / match_*   same engine (actors + CSR reused)
-  exact_dedup / minhash_pairs / salient_terms / hll_registers /
-  events_range_join / contamination / pack_sequences / curate_corpus /
-  bm25 / bpe_train
+  exact_dedup / minhash_pairs / dup_spans / salient_terms /
+  hll_registers / events_range_join / contamination / pack_sequences /
+  curate_corpus / bm25 / bpe_train
                training-data ops
                over the sf documents/events tables
 """
@@ -219,6 +219,11 @@ def run_bench() -> dict:
     t0 = time.perf_counter()
     n_pairs = minhash_lsh_pairs(docs, threshold=0.5).count()
     q["minhash_pairs"] = time.perf_counter() - t0
+    from subgraph_isomorphism_pregel_ray.pipelines.dedup import dup_span_pairs
+
+    t0 = time.perf_counter()
+    n_span_pairs = dup_span_pairs(docs, span_len=40, min_shared=5).count()
+    q["dup_spans"] = time.perf_counter() - t0
     t0 = time.perf_counter()
     salient_terms(docs, n_docs=n_docs, k=3).count()
     q["salient_terms"] = time.perf_counter() - t0
@@ -300,6 +305,8 @@ def run_bench() -> dict:
         "triangles": int(tri),
         "minhash_pairs_found": int(n_pairs),
         "minhash_docs_per_sec": round(n_docs / q["minhash_pairs"]),
+        "dup_span_pairs_found": int(n_span_pairs),
+        "dup_span_docs_per_sec": round(n_docs / q["dup_spans"]),
         "range_join_events_per_sec": round(n_events_rows / q["events_range_join"]),
         "scc_supersteps": int(scc_steps),
         "scc_vertices": int(scc_out.num_rows),
