@@ -234,6 +234,14 @@ def _q_ppr(sf_dir: str):
     )
 
 
+def _q_spam_mass(sf_dir: str):
+    from subgraph_isomorphism_pregel_ray.pipelines.algorithms import spam_mass
+
+    return spam_mass(
+        _sym_copurchase(sf_dir), iters=PR_ITERS, trust_mod=17, num_parts=4
+    )
+
+
 def _q_hits(sf_dir: str):
     from subgraph_isomorphism_pregel_ray.pipelines.algorithms import hits
 
@@ -1331,6 +1339,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clustering_coeff_copurchase": _q_clustering,
         "assortativity_copurchase": _q_assortativity,
         "ppr_copurchase": _q_ppr,
+        "spam_mass_copurchase": _q_spam_mass,
         "hits_copurchase": _q_hits,
         "random_walks_copurchase": _q_random_walks,
         "lpa_copurchase": _q_lpa,
@@ -1666,6 +1675,48 @@ def _ppr_sql(iters: int, damping: float = 0.85, seed_mod: int = 10) -> str:
             f"JOIN deg d2 ON d2.vid = e.src GROUP BY e.dst) c ON c.vid = sd.vid)"
         )
     return ", ".join(parts) + f" SELECT vid, round(pr, 8) AS pr FROM r{iters}"
+
+
+def _spam_mass_sql(iters: int, damping: float = 0.85, trust_mod: int = 17) -> str:
+    """Unrolled TrustRank spam mass: the global-PageRank unroll
+    (``_pagerank_sql``) and the trust-seeded unroll (``_ppr_sql`` with
+    ``vid % trust_mod = 0`` seeds) side by side over the same symmetric
+    edge CTE, then ``spam_mass = (pr − tr) / pr`` taken on the ROUNDED
+    ranks — mirroring ``algorithms.spam_mass``, which also divides the
+    half-away-rounded values so the ratio is bit-reproducible."""
+    parts = [
+        f"WITH {_ESYM_MAT}",
+        "v AS MATERIALIZED (SELECT DISTINCT src AS vid FROM e)",
+        "nv AS MATERIALIZED (SELECT count(*) AS n FROM v)",
+        "deg AS MATERIALIZED (SELECT src AS vid, count(*) AS outdeg FROM e GROUP BY 1)",
+        "g0 AS MATERIALIZED (SELECT vid, 1.0 / (SELECT n FROM nv) AS pr FROM v)",
+        f"s AS MATERIALIZED (SELECT vid, CASE WHEN vid % {trust_mod} = 0 "
+        "THEN 1.0 ELSE 0.0 END AS is_seed FROM v)",
+        "ns AS MATERIALIZED (SELECT sum(is_seed) AS k FROM s)",
+        "t0 AS MATERIALIZED (SELECT vid, is_seed / (SELECT k FROM ns) AS pr FROM s)",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"g{i} AS MATERIALIZED (SELECT d.vid, (1 - {damping}) / (SELECT n FROM nv) + "
+            f"{damping} * coalesce(s2.c, 0) AS pr FROM deg d LEFT JOIN ("
+            f"SELECT e.dst AS vid, sum(r.pr / d2.outdeg) AS c "
+            f"FROM e JOIN g{i-1} r ON r.vid = e.src "
+            f"JOIN deg d2 ON d2.vid = e.src GROUP BY e.dst) s2 ON s2.vid = d.vid)"
+        )
+        parts.append(
+            f"t{i} AS MATERIALIZED (SELECT sd.vid, "
+            f"(1 - {damping}) * sd.is_seed / (SELECT k FROM ns) + "
+            f"{damping} * coalesce(c.c, 0) AS pr FROM s sd LEFT JOIN ("
+            f"SELECT e.dst AS vid, sum(r.pr / d2.outdeg) AS c "
+            f"FROM e JOIN t{i-1} r ON r.vid = e.src "
+            f"JOIN deg d2 ON d2.vid = e.src GROUP BY e.dst) c ON c.vid = sd.vid)"
+        )
+    return ", ".join(parts) + (
+        f" SELECT vid, pr, tr, round(CASE WHEN pr > 0 THEN (pr - tr) / pr "
+        "ELSE 0 END, 8) AS spam_mass FROM ("
+        f"SELECT g.vid, round(g.pr, 8) AS pr, round(t.pr, 8) AS tr "
+        f"FROM g{iters} g JOIN t{iters} t ON t.vid = g.vid)"
+    )
 
 
 def _hits_sql(iters: int = 8) -> str:
@@ -2310,6 +2361,7 @@ def oracle_sql() -> dict[str, str]:
         "wpagerank_copurchase": _wpagerank_sql(PR_ITERS),
         "wsssp_weighted_copurchase": _wsssp_stored_sql(),
         "ppr_copurchase": _ppr_sql(PR_ITERS),
+        "spam_mass_copurchase": _spam_mass_sql(PR_ITERS),
         "hits_copurchase": _hits_sql(HITS_ITERS),
         "random_walks_copurchase": _walk_sql(4),
         "cc_copurchase": _cc_sql(),

@@ -55,6 +55,7 @@ __all__ = [
     "bowtie",
     "weighted_pagerank",
     "weighted_sssp_stored",
+    "spam_mass",
     "component_size_histogram",
 ]
 
@@ -912,6 +913,65 @@ def personalized_pagerank(
     if own:
         eng.shutdown()
     return out.select(["vid", "rank"]), lineage
+
+
+def spam_mass(
+    edges_or_engine,
+    iters: int = 10,
+    damping: float = 0.85,
+    trust_mod: int = 17,
+    num_parts: int = 8,
+):
+    """TrustRank + spam mass over the link graph → Arrow table
+    (vid, pr, tr, spam_mass), the classic link-spam signal of Gyöngyi,
+    Garcia-Molina & Pedersen ("Combating Web Spam with TrustRank",
+    VLDB 2004): ``tr`` is PageRank whose teleport mass restarts only on a
+    trusted seed set (here the deterministic predicate
+    ``vid % trust_mod == 0``, so the SQL oracle can reproduce it), and
+    ``spam_mass = (pr − tr) / pr`` is the fraction of a page's global rank
+    NOT attributable to trusted sources — ≈1 for pages ranked by spam
+    farms, ≤0 inside the trusted neighborhood.
+
+    Scale shape: the CSR is partitioned ONCE and both fixpoints run on the
+    same engine (the second ``eng.run`` re-inits program state only — no
+    re-partition, no second graph shuffle); each run exchanges O(V) rank
+    partials per superstep through the store with the static dst-index
+    combiner. The final join is a per-partition vid-aligned numpy merge of
+    two (vid, rank) tables. ``pr``/``tr`` are rounded half-away to 8
+    digits FIRST and the ratio is taken on the rounded values, so the
+    division is bit-reproducible against the DuckDB oracle.
+    """
+    eng, lin_pr, own = _run(
+        edges_or_engine,
+        "pagerank",
+        {"iters": iters, "damping": damping, "tol": 0.0, "n_global": None},
+        num_parts,
+        max_steps=iters + 1,
+    )
+    pr_t = eng.result_table()
+    eng.run(
+        "ppr",
+        {"iters": iters, "damping": damping, "seed_mod": trust_mod, "tol": 0.0},
+        max_steps=iters + 3,
+    )
+    tr_t = eng.result_table()
+    if own:
+        eng.shutdown()
+    vid_p = pr_t["vid"].to_numpy().view(np.int64)
+    vid_t = tr_t["vid"].to_numpy().view(np.int64)
+    op, ot = np.argsort(vid_p, kind="stable"), np.argsort(vid_t, kind="stable")
+    pr8 = round_half_away(pr_t["rank"].to_numpy()[op], 8)
+    tr8 = round_half_away(tr_t["rank"].to_numpy()[ot], 8)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        mass = np.where(pr8 > 0, (pr8 - tr8) / pr8, 0.0)
+    return pa.table(
+        {
+            "vid": vid_p[op],
+            "pr": pr8,
+            "tr": tr8,
+            "spam_mass": round_half_away(mass, 8),
+        }
+    )
 
 
 def random_walks(edges_or_engine, walk_len: int = 4, num_parts: int = 8):

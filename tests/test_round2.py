@@ -1098,3 +1098,67 @@ def test_round2_curation_ops_on_empty_tables(ray_session, tmp_path):
     }.items():
         df = ds.to_pandas()
         assert len(df) == 0, name
+
+
+# ---------------------------------------------------------------------------
+def test_spam_mass_vs_numpy_replay(ray_session):
+    """spam_mass = (pr − tr)/pr on rounded ranks, both fixpoints replayed
+    in dense numpy; trusted seeds must carry negative/low spam mass and the
+    two engine runs must reuse one CSR (single partition_graph)."""
+    from subgraph_isomorphism_pregel_ray.pipelines.algorithms import spam_mass
+    from subgraph_isomorphism_pregel_ray.functions.rounding import round_half_away
+
+    rng = np.random.default_rng(11)
+    pairs = {(int(a), int(b)) for a, b in rng.integers(0, 40, (120, 2)) if a != b}
+    pairs = {(min(a, b), max(a, b)) for a, b in pairs}
+    out = spam_mass(_edges_ds(sorted(pairs)), iters=6, trust_mod=3, num_parts=3)
+    df = out.to_pandas().sort_values("vid").reset_index(drop=True)
+
+    vids = sorted({v for p in pairs for v in p})
+    idx = {v: i for i, v in enumerate(vids)}
+    n = len(vids)
+    A = np.zeros((n, n))
+    for a, b in pairs:
+        A[idx[a], idx[b]] = A[idx[b], idx[a]] = 1.0
+    outdeg = A.sum(axis=1)
+    P = A / outdeg[:, None]
+    d = 0.85
+    pr = np.full(n, 1.0 / n)
+    for _ in range(6):
+        pr = (1 - d) / n + d * (P.T @ pr)
+    seed = np.array([1.0 if v % 3 == 0 else 0.0 for v in vids])
+    tele = seed / seed.sum()
+    tr = tele.copy()
+    for _ in range(6):
+        tr = (1 - d) * tele + d * (P.T @ tr)
+
+    assert list(df.vid) == vids
+    np.testing.assert_allclose(df.pr, round_half_away(pr, 8), atol=2e-8)
+    np.testing.assert_allclose(df.tr, round_half_away(tr, 8), atol=2e-8)
+    exp_mass = np.where(df.pr > 0, (df.pr - df.tr) / df.pr, 0.0)
+    np.testing.assert_allclose(df.spam_mass, round_half_away(exp_mass, 8), atol=1e-9)
+    # trusted seeds receive concentrated restart mass → lower spam mass
+    m_seed = df[df.vid % 3 == 0].spam_mass.mean()
+    m_rest = df[df.vid % 3 != 0].spam_mass.mean()
+    assert m_seed < m_rest
+
+
+def test_spam_mass_partition_invariance(ray_session):
+    from subgraph_isomorphism_pregel_ray.pipelines.algorithms import spam_mass
+
+    rng = np.random.default_rng(23)
+    pairs = sorted(
+        {
+            (min(int(a), int(b)), max(int(a), int(b)))
+            for a, b in rng.integers(0, 30, (80, 2))
+            if a != b
+        }
+    )
+    a = spam_mass(_edges_ds(pairs), iters=5, trust_mod=4, num_parts=1).to_pandas()
+    b = spam_mass(_edges_ds(pairs), iters=5, trust_mod=4, num_parts=5).to_pandas()
+    a = a.sort_values("vid").reset_index(drop=True)
+    b = b.sort_values("vid").reset_index(drop=True)
+    assert (a.vid == b.vid).all()
+    np.testing.assert_allclose(a.pr, b.pr, atol=2e-8)
+    np.testing.assert_allclose(a.tr, b.tr, atol=2e-8)
+    np.testing.assert_allclose(a.spam_mass, b.spam_mass, atol=2e-7)
