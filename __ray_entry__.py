@@ -668,6 +668,12 @@ def _q_fingerprint(sf_dir: str):
     return fingerprint(_docs(sf_dir))
 
 
+def _q_winnow(sf_dir: str):
+    from subgraph_isomorphism_pregel_ray.pipelines.textops import winnow_fingerprints
+
+    return winnow_fingerprints(_docs(sf_dir))
+
+
 def _q_simhash(sf_dir: str):
     from subgraph_isomorphism_pregel_ray.pipelines.textops import simhash64
 
@@ -1372,6 +1378,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_never_ordered": _q_parts_never_ordered,
         "lang_id": _q_lang_id,
         "fingerprint": _q_fingerprint,
+        "winnow_fingerprints": _q_winnow,
         "simhash": _q_simhash,
         "minhash_dup_pairs": _q_minhash_pairs,
         "embedding_dup_pairs": _q_embedding_dups,
@@ -2204,6 +2211,44 @@ def _fingerprint_sql(k: int = 8) -> str:
     )
 
 
+def _winnow_sql(k: int = 8, w: int = 12) -> str:
+    """Winnowing replay (textops.winnow_batch): same HUGEINT Rabin–Karp
+    gram hashes as ``_fingerprint_sql``; per window-start the frame-min is
+    taken with a ROWS window, the rightmost tying gram wins via max(j),
+    short docs (< w grams) degenerate to the rightmost global min, and the
+    distinct (pos, hash) pairs are the fingerprint set."""
+    B = 1099511628211
+    terms = " + ".join(
+        "CAST(unicode(substring(text, CAST(j + %d AS INT), 1)) AS HUGEINT) * %d"
+        % (i, pow(B, k - 1 - i, _TWO64))
+        for i in range(k)
+    )
+    return (
+        "WITH g AS MATERIALIZED ("
+        f"SELECT doc_id, j, ({terms}) % {_TWO64} AS h FROM ("
+        f"SELECT doc_id, text, unnest(generate_series(1, length(text) - {k - 1})) "
+        f"AS j FROM documents WHERE length(text) >= {k})), "
+        "cnt AS MATERIALIZED (SELECT doc_id, count(*) AS m FROM g GROUP BY 1), "
+        "mn AS MATERIALIZED (SELECT doc_id, j AS ws, min(h) OVER ("
+        "PARTITION BY doc_id ORDER BY j "
+        f"ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS mh FROM g), "
+        "full_sel AS (SELECT m.doc_id, max(g.j) AS pos, m.mh AS fph "
+        "FROM mn m JOIN cnt c ON c.doc_id = m.doc_id "
+        f"JOIN g ON g.doc_id = m.doc_id AND g.j BETWEEN m.ws AND m.ws + {w - 1} "
+        f"AND g.h = m.mh WHERE c.m >= {w} AND m.ws <= c.m - {w} + 1 "
+        "GROUP BY m.doc_id, m.ws, m.mh), "
+        "short_sel AS (SELECT g.doc_id, max(g.j) AS pos, mn2.mh AS fph "
+        "FROM (SELECT doc_id, min(h) AS mh FROM g GROUP BY 1) mn2 "
+        "JOIN g ON g.doc_id = mn2.doc_id AND g.h = mn2.mh "
+        f"JOIN cnt c ON c.doc_id = g.doc_id WHERE c.m < {w} "
+        "GROUP BY g.doc_id, mn2.mh) "
+        "SELECT DISTINCT doc_id, pos, "
+        f"CAST(CASE WHEN fph >= {_I64MIN_CUT} THEN fph - {_TWO64} ELSE fph END "
+        "AS BIGINT) AS fp FROM "
+        "(SELECT * FROM full_sel UNION ALL SELECT * FROM short_sel)"
+    )
+
+
 def _simhash_cte() -> str:
     """CTE chain ending in s(doc_id, simhash) — the exact bit-vote fold of
     textops.simhash_batch (every token occurrence votes ±1 per bit of its
@@ -2983,6 +3028,7 @@ def oracle_sql() -> dict[str, str]:
         "lpa_copurchase": _lpa_sql(LPA_ITERS),
         "kcore_copurchase": _kcore_sql(),
         "fingerprint": _fingerprint_sql(),
+        "winnow_fingerprints": _winnow_sql(),
         "simhash": _simhash_sql(),
         "simhash_dup_pairs": _simhash_pairs_sql(),
         "minhash_dup_pairs": _minhash_pairs_sql(),

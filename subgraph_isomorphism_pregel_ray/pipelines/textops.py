@@ -34,6 +34,8 @@ __all__ = [
     "text_stats_batch",
     "lang_id_batch",
     "fingerprint_batch",
+    "winnow_batch",
+    "winnow_fingerprints",
     "simhash_batch",
     "token_count",
     "text_stats",
@@ -205,6 +207,66 @@ def fingerprint_batch(batch: pa.Table, k: int = 8) -> pa.Table:
         hashes = (windows * powers).sum(axis=1)  # uint64 wraps == mod 2^64
         out[i] = hashes.min()
     return pa.table({"doc_id": batch["doc_id"], "fingerprint": out.view(np.int64)})
+
+
+def winnow_batch(batch: pa.Table, k: int = 8, w: int = 12) -> pa.Table:
+    """Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD 2003 —
+    the MOSS local document-fingerprinting scheme) → rows
+    (doc_id, pos, fp): over the SAME code-point Rabin–Karp k-gram hash
+    stream as :func:`fingerprint_batch`, every window of ``w`` consecutive
+    hashes selects its minimum — RIGHTMOST gram on ties (the paper's rule) —
+    and the distinct selected (position, hash) pairs are the document's
+    fingerprint set. Guarantees: any shared substring of length ≥ w+k−1
+    yields a shared fingerprint, and selected positions are never more
+    than w apart (density 2/(w+1)) — the local-guarantee property MinHash
+    lacks. ``pos`` is the 1-based gram start so the SQL oracle's
+    ``generate_series(1, …)``/``substring`` replay aligns.
+
+    Per row the work is vectorized over the gram stream (stride-trick
+    window view + reversed argmin for the rightmost-tie rule); docs with
+    fewer than ``w`` grams degenerate to one fingerprint (rightmost global
+    min — the paper's short-document convention); docs shorter than ``k``
+    emit nothing. Linear map_batches, no shuffle — scale-safe.
+    """
+    docs = batch["doc_id"].to_numpy()
+    B = np.uint64(1099511628211)
+    powers = B ** np.arange(k - 1, -1, -1, dtype=np.uint64)
+    ids, poss, fps = [], [], []
+    for did, t in zip(docs, batch["text"].to_pylist()):
+        cp = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
+        if len(cp) < k:
+            continue
+        grams = np.lib.stride_tricks.sliding_window_view(cp, k)
+        h = (grams * powers).sum(axis=1)  # uint64 wrap == mod 2^64
+        m = len(h)
+        if m < w:
+            j = m - 1 - int(h[::-1].argmin())  # rightmost global min
+            sel_pos = np.array([j], dtype=np.int64)
+            sel_fp = h[sel_pos]
+        else:
+            win = np.lib.stride_tricks.sliding_window_view(h, w)
+            arg = (w - 1) - win[:, ::-1].argmin(axis=1)  # rightmost tie
+            pos = np.arange(m - w + 1, dtype=np.int64) + arg
+            sel_pos = np.unique(pos)
+            sel_fp = h[sel_pos]
+        ids.append(np.full(len(sel_pos), did, dtype=np.int64))
+        poss.append(sel_pos + 1)  # 1-based for the SQL replay
+        fps.append(sel_fp.view(np.int64))
+    if not ids:
+        return pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "pos": pa.array([], pa.int64()),
+                "fp": pa.array([], pa.int64()),
+            }
+        )
+    return pa.table(
+        {
+            "doc_id": np.concatenate(ids),
+            "pos": np.concatenate(poss),
+            "fp": np.concatenate(fps),
+        }
+    )
 
 
 def simhash_batch(batch: pa.Table) -> pa.Table:
@@ -795,6 +857,7 @@ token_count = _stage(token_count_batch)
 text_stats = _stage(text_stats_batch)
 lang_id = _stage(lang_id_batch)
 fingerprint = _stage(fingerprint_batch)
+winnow_fingerprints = _stage(winnow_batch)
 simhash64 = _stage(simhash_batch)
 
 

@@ -819,3 +819,76 @@ def test_dup_span_pairs_empty_and_threshold(ray_session):
         _docs_ds(docs), span_len=40, min_shared=shared + 1
     ).to_pandas()
     assert len(none) == 0
+
+
+# ---------------------------------------------------------------------------
+def _winnow_reference(text, k, w):
+    """Scalar winnowing reference: rolling hash, per-window rightmost min."""
+    B = 1099511628211
+    cps = [ord(c) for c in text]
+    if len(cps) < k:
+        return set()
+    hs = []
+    for j in range(len(cps) - k + 1):
+        h = 0
+        for i in range(k):
+            h = (h + cps[j + i] * pow(B, k - 1 - i, 1 << 64)) % (1 << 64)
+        hs.append(h)
+    sel = set()
+    if len(hs) < w:
+        mn = min(hs)
+        j = max(i for i, h in enumerate(hs) if h == mn)
+        return {(j + 1, mn)}
+    for ws in range(len(hs) - w + 1):
+        window = hs[ws : ws + w]
+        mn = min(window)
+        j = ws + max(i for i, h in enumerate(window) if h == mn)
+        sel.add((j + 1, mn))
+    return sel
+
+
+@pytest.mark.parametrize("k,w", [(4, 5), (8, 12), (3, 2)])
+def test_winnow_vs_scalar_reference(ray_session, k, w):
+    from subgraph_isomorphism_pregel_ray.pipelines.textops import winnow_batch
+
+    rng = np.random.default_rng(5)
+    texts = [
+        "".join(rng.choice(list("abcde "), size=n))
+        for n in [0, k - 1, k, k + w - 2, k + w - 1, 60, 200]
+    ]
+    got = winnow_batch(
+        pa.table({"doc_id": np.arange(len(texts), dtype=np.int64), "text": texts}),
+        k=k,
+        w=w,
+    ).to_pandas()
+    for did, t in enumerate(texts):
+        exp = {
+            (p, h - (1 << 64) if h >= (1 << 63) else h)
+            for p, h in _winnow_reference(t, k, w)
+        }
+        g = got[got.doc_id == did]
+        assert set(zip(g.pos, g.fp)) == exp, f"doc {did} len {len(t)}"
+
+
+def test_winnow_guarantees(ray_session):
+    """Paper properties: shared substrings ≥ w+k−1 chars share a
+    fingerprint; consecutive selected positions are ≤ w apart."""
+    from subgraph_isomorphism_pregel_ray.pipelines.textops import winnow_batch
+
+    k, w = 8, 12
+    shared = "this exact licence block is repeated verbatim across documents"
+    a = "prefix one two three " + shared + " and then diverges completely"
+    b = "a different opening sentence here " + shared + " with another tail"
+    got = winnow_batch(
+        pa.table({"doc_id": np.array([0, 1], dtype=np.int64), "text": [a, b]}),
+        k=k,
+        w=w,
+    ).to_pandas()
+    fp0 = set(got[got.doc_id == 0].fp)
+    fp1 = set(got[got.doc_id == 1].fp)
+    assert len(shared) >= w + k - 1
+    assert fp0 & fp1, "shared substring must yield a shared fingerprint"
+    for did, t in [(0, a), (1, b)]:
+        pos = np.sort(got[got.doc_id == did].pos.to_numpy())
+        assert pos[0] <= w  # density: a fingerprint within the first window
+        assert (np.diff(pos) <= w).all()
