@@ -714,6 +714,15 @@ def _q_ann_topk_ivf(sf_dir: str):
     return ann_topk_ivf(_emb(sf_dir), ANN_QUERY_IDS, k=ANN_K, index_dir=idx)
 
 
+def _q_winnow_dup_pairs(sf_dir: str):
+    """MOSS pairwise match scores: ordered doc pairs sharing ≥5 distinct
+    winnow fingerprints (k=20, w=16 — any shared run ≥ 35 chars is
+    guaranteed a fingerprint)."""
+    from subgraph_isomorphism_pregel_ray.pipelines.dedup import winnow_dup_pairs
+
+    return winnow_dup_pairs(_docs(sf_dir), k=20, w=16, min_shared=5)
+
+
 def _q_dup_span_pairs(sf_dir: str):
     """ExactSubstr-style duplicate-span pairs (Lee et al. 2022 shape):
     ordered doc pairs sharing ≥5 distinct 40-char windows, with the
@@ -1390,6 +1399,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_groups": _q_dedup_groups,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "dup_span_pairs": _q_dup_span_pairs,
+        "winnow_dup_pairs": _q_winnow_dup_pairs,
         "simhash_dup_pairs": _q_simhash_pairs,
         "media_features": _q_media_features,
         "host_graph": _q_host_graph,
@@ -3029,6 +3039,16 @@ def oracle_sql() -> dict[str, str]:
         "kcore_copurchase": _kcore_sql(),
         "fingerprint": _fingerprint_sql(),
         "winnow_fingerprints": _winnow_sql(),
+        "winnow_dup_pairs": (
+            # MOSS match: distinct shared winnow fingerprints per doc pair;
+            # the winnow CTE chain (k=20, w=16) nested as a subquery
+            f"WITH wf AS MATERIALIZED (FROM ({_winnow_sql(20, 16)})), "
+            "d AS MATERIALIZED (SELECT DISTINCT doc_id, fp FROM wf) "
+            "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+            "count(*) AS n_shared FROM d a JOIN d b "
+            "ON a.fp = b.fp AND a.doc_id < b.doc_id "
+            "GROUP BY 1, 2 HAVING count(*) >= 5"
+        ),
         "simhash": _simhash_sql(),
         "simhash_dup_pairs": _simhash_pairs_sql(),
         "minhash_dup_pairs": _minhash_pairs_sql(),

@@ -49,6 +49,7 @@ __all__ = [
     "name_near_pairs",
     "basket_jaccard_pairs",
     "dup_span_pairs",
+    "winnow_dup_pairs",
 ]
 
 _MERSENNE = np.uint64((1 << 61) - 1)
@@ -403,6 +404,90 @@ def ngram_jaccard_pairs(docs_ds, k: int = 5, threshold: float = 0.5):
         .map_groups(_bucket_pairs, batch_format="pyarrow")
     )
     return _verify_pairs_exact(sh_ds, cand, threshold)
+
+
+def winnow_dup_pairs(docs_ds, k: int = 20, w: int = 16, min_shared: int = 5):
+    """MOSS match step over winnowing fingerprints → Dataset(doc_a, doc_b,
+    n_shared): for every ordered pair (doc_a < doc_b) the number of DISTINCT
+    shared winnow fingerprints (``textops.winnow_batch``), kept at
+    ≥ ``min_shared`` (Schleimer et al., SIGMOD 2003 §5 — this is exactly how
+    MOSS scores submissions pairwise).
+
+    Compared to the sibling pair detectors this is the cheapest honest
+    near-dup signal per byte: winnowing pre-selects ~2/(w+1) of the gram
+    stream locally (no shuffle) with the local guarantee, so the inverted
+    index this op shuffles is ~8× smaller than ``dup_span_pairs``'s
+    every-window index at the default (k=20, w=16), while still catching
+    any shared run ≥ w+k−1 = 35 chars (grams are longer than the
+    standalone ``winnow_fingerprints`` defaults precisely so an index
+    entry means a RARE string). Same scale shape as the other pair ops: ONE
+    fingerprint-hash bucket shuffle, vectorized per-bucket pair expansion
+    with in-bucket pre-count, packed-key groupby-sum, threshold cut.
+    Doc ids must fit 32 bits for the packed pair key (guarded).
+    """
+    from ray.data.aggregate import Sum
+
+    from ..state.csr import flat_gather
+    from .textops import winnow_batch
+
+    num_buckets = 32
+
+    def _fps(t: pa.Table) -> pa.Table:
+        docs = t["doc_id"].to_numpy().astype(np.int64)
+        if len(docs) and (docs.min() < 0 or docs.max() >= 1 << 32):
+            raise ValueError("doc_id must fit 32 bits for the packed pair key")
+        wt = winnow_batch(t, k=k, w=w)
+        doc = wt["doc_id"].to_numpy()
+        fp = wt["fp"].to_numpy()
+        # MOSS matches on the fingerprint SET: drop positions, distinct (doc, fp)
+        order = np.lexsort((doc, fp))
+        doc, fp = doc[order], fp[order]
+        keep = np.ones(len(doc), dtype=bool)
+        keep[1:] = (fp[1:] != fp[:-1]) | (doc[1:] != doc[:-1])
+        doc, fp = doc[keep], fp[keep]
+        return pa.table(
+            {
+                "b": (fp % num_buckets).astype(np.int32),
+                "h": fp,
+                "doc_id": doc,
+            }
+        )
+
+    def _bucket_pairs(g: pa.Table) -> pa.Table:
+        h = g["h"].to_numpy()
+        doc = g["doc_id"].to_numpy()
+        order = np.lexsort((doc, h))
+        h_s, doc_s = h[order], doc[order]
+        _, starts, counts = np.unique(h_s, return_index=True, return_counts=True)
+        cpe = np.repeat(counts, counts)
+        left = np.repeat(doc_s, cpe)
+        right = doc_s[flat_gather(np.repeat(starts, counts), cpe)]
+        m = left < right
+        pk, n = np.unique((left[m] << _PKEY_SHIFT) | right[m], return_counts=True)
+        return pa.table({"pkey": pk, "n": n.astype(np.int64)})
+
+    agg = (
+        docs_ds.map_batches(_fps, batch_format="pyarrow")
+        .groupby("b")
+        .map_groups(_bucket_pairs, batch_format="pyarrow")
+        .groupby("pkey")
+        .aggregate(Sum("n", alias_name="n_shared"))
+    )
+
+    def _unpack(t: pa.Table) -> pa.Table:
+        pk = t["pkey"].to_numpy()
+        n = t["n_shared"].to_numpy().astype(np.int64)
+        sel = n >= min_shared
+        pk, n = pk[sel], n[sel]
+        return pa.table(
+            {
+                "doc_a": pk >> _PKEY_SHIFT,
+                "doc_b": pk & np.int64(0xFFFFFFFF),
+                "n_shared": n,
+            }
+        )
+
+    return agg.map_batches(_unpack, batch_format="pyarrow")
 
 
 def simhash_dup_pairs(docs_ds, max_hamming: int = 3):

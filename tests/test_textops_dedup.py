@@ -892,3 +892,44 @@ def test_winnow_guarantees(ray_session):
         pos = np.sort(got[got.doc_id == did].pos.to_numpy())
         assert pos[0] <= w  # density: a fingerprint within the first window
         assert (np.diff(pos) <= w).all()
+
+
+def test_winnow_dup_pairs_vs_scalar(ray_session):
+    """Pair counts must equal the scalar winnow-set intersection; exact
+    dups share every fingerprint; unrelated docs share none."""
+    from subgraph_isomorphism_pregel_ray.pipelines.dedup import winnow_dup_pairs
+
+    k, w = 10, 6
+    base = "the quick brown fox jumps over the lazy dog while the band plays on"
+    texts = [
+        base + " in the summer rain",
+        base + " in the summer rain",          # exact dup of 0
+        base + " during a winter storm",        # shares the long prefix
+        "zq xv jk wp mn bt unrelated gibberish tokens entirely elsewhere",
+        "",
+    ]
+    got = (
+        winnow_dup_pairs(_docs_ds(texts), k=k, w=w, min_shared=2)
+        .to_pandas()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    sets = [
+        {fp for _, fp in _winnow_reference(t, k, w)} for t in texts
+    ]
+    exp = []
+    for a in range(len(texts)):
+        for b in range(a + 1, len(texts)):
+            n = len(sets[a] & sets[b])
+            if n >= 2:
+                exp.append((a, b, n))
+    assert list(map(tuple, got.values)) == exp
+    assert (0, 1, len(sets[0])) in exp  # exact dup shares the full set
+
+
+def test_winnow_dup_pairs_threshold_and_empty(ray_session):
+    from subgraph_isomorphism_pregel_ray.pipelines.dedup import winnow_dup_pairs
+
+    texts = ["completely different alpha", "another beta text entirely"]
+    assert len(winnow_dup_pairs(_docs_ds(texts), k=8, w=4, min_shared=1).to_pandas()) == 0
+    assert len(winnow_dup_pairs(_docs_ds([]), k=8, w=4).to_pandas()) == 0
