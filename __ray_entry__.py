@@ -668,6 +668,12 @@ def _q_fingerprint(sf_dir: str):
     return fingerprint(_docs(sf_dir))
 
 
+def _q_countmin(sf_dir: str):
+    from subgraph_isomorphism_pregel_ray.pipelines.textops import countmin_topk
+
+    return countmin_topk(_docs(sf_dir), k=32, d=4, width=1024)
+
+
 def _q_winnow(sf_dir: str):
     from subgraph_isomorphism_pregel_ray.pipelines.textops import winnow_fingerprints
 
@@ -1388,6 +1394,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": _q_lang_id,
         "fingerprint": _q_fingerprint,
         "winnow_fingerprints": _q_winnow,
+        "countmin_topk": _q_countmin,
         "simhash": _q_simhash,
         "minhash_dup_pairs": _q_minhash_pairs,
         "embedding_dup_pairs": _q_embedding_dups,
@@ -2631,6 +2638,24 @@ def oracle_sql() -> dict[str, str]:
             f"(SELECT unnest({toks}) AS token FROM documents "
             "WHERE trim(text) <> '') GROUP BY token "
             "ORDER BY cnt DESC, token LIMIT 100"
+        ),
+        "countmin_topk": (
+            # CountMin replay: cell sums are exact ints; estimate = min over
+            # the d row-cells; md5_number_lower ≡ md5_lower64 (engine hash)
+            f"WITH t AS MATERIALIZED (SELECT unnest({toks}) AS token "
+            "FROM documents WHERE trim(text) <> ''), "
+            "cnts AS MATERIALIZED (SELECT token, count(*) AS c FROM t GROUP BY 1), "
+            "rws AS (SELECT unnest(generate_series(0, 3)) AS r), "
+            "cells AS MATERIALIZED (SELECT r.r AS r, "
+            "CAST(md5_number_lower(concat(CAST(r.r AS VARCHAR), ':', token)) "
+            "% 1024 AS BIGINT) AS cell, sum(c) AS cnt "
+            "FROM cnts CROSS JOIN rws r GROUP BY 1, 2), "
+            "topk AS (SELECT token, c FROM cnts ORDER BY c DESC, token LIMIT 32) "
+            "SELECT tk.token, CAST(tk.c AS BIGINT) AS cnt, "
+            "CAST(min(ce.cnt) AS BIGINT) AS est "
+            "FROM topk tk CROSS JOIN rws r JOIN cells ce ON ce.r = r.r "
+            "AND ce.cell = CAST(md5_number_lower(concat(CAST(r.r AS VARCHAR), "
+            "':', tk.token)) % 1024 AS BIGINT) GROUP BY 1, 2"
         ),
         "heavy_hitters": (
             # exact integer threshold ceil(N/500) = (N + 499) // 500 — the

@@ -36,6 +36,7 @@ __all__ = [
     "fingerprint_batch",
     "winnow_batch",
     "winnow_fingerprints",
+    "countmin_topk",
     "simhash_batch",
     "token_count",
     "text_stats",
@@ -479,6 +480,89 @@ def heavy_hitters(docs_ds, denom: int = 500):
         .aggregate(Sum("cnt", alias_name="cnt"))
         .map_batches(_thresh, batch_format="pyarrow")
         .sort(["cnt", "token"], descending=[True, False])
+    )
+
+
+def countmin_topk(docs_ds, k: int = 32, d: int = 4, width: int = 1024):
+    """CountMin sketch (Cormode & Muthukrishnan 2005, "An improved data
+    stream summary") → Arrow table (token, cnt, est): the exact corpus
+    top-``k`` tokens (``vocab_topk``'s total (cnt DESC, token ASC) order)
+    annotated with the sketch's estimate ``est = min_r cm[r][h_r(token)]``
+    — always ≥ the true count, and ≤ true + 2N/width w.p. 1−2^−d. The
+    ``cnt`` column makes the ε-overestimate property directly auditable.
+
+    The sketch is the OTHER mergeable frequency summary next to
+    ``heavy_hitters``'s Misra–Gries pass: counter ADDITION is the merge,
+    so each batch emits its local d×width partials as (r, cell, cnt) rows
+    (combined in-batch with a packed-key ``np.unique``) and ONE groupby-sum
+    folds the corpus sketch — exchange volume is bounded by d·width per
+    batch regardless of vocabulary size, the property that matters when
+    even per-batch vocabularies would dominate the shuffle at 100 TB.
+    Row hashes are ``md5_lower64(f"{r}:{token}") % width`` ≡ DuckDB
+    ``md5_number_lower(concat(r, ':', token)) % width``, so the folded
+    sketch AND the estimates are bit-reproducible in SQL. The materialized
+    state is O(d·width + k) — independent of corpus size — which is what
+    makes the driver-side estimate lookup legitimate.
+    """
+    from ray.data.aggregate import Sum
+
+    def _sketch_partial(batch: pa.Table) -> pa.Table:
+        toks: list[str] = []
+        for t in batch["text"].to_pylist():
+            toks.extend(_tokens(t))
+        if not toks:
+            return pa.table(
+                {"key": pa.array([], pa.int64()), "cnt": pa.array([], pa.int64())}
+            )
+        u, c = np.unique(np.asarray(toks, dtype=object), return_counts=True)
+        c = c.astype(np.int64)
+        keys, cnts = [], []
+        for r in range(d):
+            cell = (
+                md5_lower64(np.array([f"{r}:{t}" for t in u], dtype=object))
+                % np.uint64(width)
+            ).astype(np.int64)
+            keys.append(np.int64(r) * np.int64(width) + cell)
+            cnts.append(c)
+        key = np.concatenate(keys)
+        cnt = np.concatenate(cnts)
+        uk, inv = np.unique(key, return_inverse=True)
+        acc = np.zeros(len(uk), dtype=np.int64)
+        np.add.at(acc, inv, cnt)
+        return pa.table({"key": uk, "cnt": acc})
+
+    sketch_rows = (
+        docs_ds.map_batches(_sketch_partial, batch_format="pyarrow")
+        .groupby("key")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .take_all()
+    )  # ≤ d·width rows — the sketch, not the data
+    cm = np.zeros(d * width, dtype=np.int64)
+    for row in sketch_rows:
+        cm[row["key"]] = row["cnt"]
+
+    top = vocab_topk(docs_ds, k=k).to_pandas()
+    toks = top["token"].tolist()
+    if toks:
+        cells = np.stack(
+            [
+                (
+                    md5_lower64(np.array([f"{r}:{t}" for t in toks], dtype=object))
+                    % np.uint64(width)
+                ).astype(np.int64)
+                + r * width
+                for r in range(d)
+            ]
+        )
+        est = cm[cells].min(axis=0)
+    else:
+        est = np.array([], dtype=np.int64)
+    return pa.table(
+        {
+            "token": pa.array(toks, pa.string()),
+            "cnt": top["cnt"].to_numpy().astype(np.int64),
+            "est": est,
+        }
     )
 
 

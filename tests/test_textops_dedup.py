@@ -933,3 +933,42 @@ def test_winnow_dup_pairs_threshold_and_empty(ray_session):
     texts = ["completely different alpha", "another beta text entirely"]
     assert len(winnow_dup_pairs(_docs_ds(texts), k=8, w=4, min_shared=1).to_pandas()) == 0
     assert len(winnow_dup_pairs(_docs_ds([]), k=8, w=4).to_pandas()) == 0
+
+
+def test_countmin_sketch_properties(ray_session):
+    """est == scalar CountMin replay; est ≥ cnt always; with a wide sketch
+    (no collisions among few tokens) est == cnt exactly."""
+    from collections import Counter
+
+    from subgraph_isomorphism_pregel_ray.functions.hashing import md5_lower64
+    from subgraph_isomorphism_pregel_ray.pipelines.textops import countmin_topk
+
+    texts = [
+        "apple banana apple cherry",
+        "banana apple date elderberry fig",
+        "apple banana banana grape",
+        "",
+    ]
+    true = Counter(t for x in texts for t in x.split())
+
+    def scalar_cm(d, width):
+        cm = np.zeros((d, width), dtype=np.int64)
+        for tok, c in true.items():
+            for r in range(d):
+                cm[r][int(md5_lower64(np.array([f"{r}:{tok}"], dtype=object))[0] % np.uint64(width))] += c
+        return cm
+
+    # tiny width forces collisions → overestimates, still = scalar replay
+    got = countmin_topk(_docs_ds(texts), k=10, d=3, width=4).to_pandas()
+    cm = scalar_cm(3, 4)
+    for _, row in got.iterrows():
+        cells = [int(md5_lower64(np.array([f"{r}:{row.token}"], dtype=object))[0] % np.uint64(4)) for r in range(3)]
+        assert row.est == min(cm[r][c] for r, c in enumerate(cells))
+        assert row.est >= row.cnt == true[row.token]
+    assert (got.est > got.cnt).any()  # collisions actually happened at width 4
+
+    # wide sketch: 7 tokens into 4096 cells × 4 rows → no collision, est exact
+    wide = countmin_topk(_docs_ds(texts), k=10, d=4, width=4096).to_pandas()
+    assert (wide.est == wide.cnt).all()
+    # vocab_topk total order: cnt desc then token asc
+    assert list(wide.token[:2]) == ["apple", "banana"]
