@@ -668,6 +668,15 @@ def _q_fingerprint(sf_dir: str):
     return fingerprint(_docs(sf_dir))
 
 
+def _q_nb_source_pred(sf_dir: str):
+    from subgraph_isomorphism_pregel_ray.pipelines.textops import nb_classifier
+
+    from subgraph_isomorphism_pregel_ray.sources.tables import read_table
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text", "source"])
+    return nb_classifier(docs, label_col="source")
+
+
 def _q_countmin(sf_dir: str):
     from subgraph_isomorphism_pregel_ray.pipelines.textops import countmin_topk
 
@@ -1395,6 +1404,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint": _q_fingerprint,
         "winnow_fingerprints": _q_winnow,
         "countmin_topk": _q_countmin,
+        "nb_source_pred": _q_nb_source_pred,
         "simhash": _q_simhash,
         "minhash_dup_pairs": _q_minhash_pairs,
         "embedding_dup_pairs": _q_embedding_dups,
@@ -2638,6 +2648,32 @@ def oracle_sql() -> dict[str, str]:
             f"(SELECT unnest({toks}) AS token FROM documents "
             "WHERE trim(text) <> '') GROUP BY token "
             "ORDER BY cnt DESC, token LIMIT 100"
+        ),
+        "nb_source_pred": (
+            # Multinomial NB replay (textops.nb_classifier): α=1 so only
+            # sparse (token-in-source) pairs contribute; argmax on rounded
+            # scores with label-asc tie-break on both sides
+            f"WITH tok AS MATERIALIZED (SELECT doc_id, source AS lbl, "
+            f"unnest({toks}) AS token FROM documents WHERE trim(text) <> ''), "
+            "dt AS MATERIALIZED (SELECT doc_id, token, count(*) AS k "
+            "FROM tok GROUP BY 1, 2), "
+            "m AS MATERIALIZED (SELECT lbl, token, count(*) AS c "
+            "FROM tok GROUP BY 1, 2), "
+            "tot AS MATERIALIZED (SELECT lbl, count(*) AS t FROM tok GROUP BY 1), "
+            "vc AS (SELECT count(DISTINCT token) AS v FROM tok), "
+            "pri AS (SELECT source AS lbl, count(*) AS dn FROM documents "
+            "GROUP BY 1), "
+            f"nd AS (SELECT doc_id, {ntok} AS n FROM documents), "
+            "ps AS (SELECT dt.doc_id, m.lbl, sum(dt.k * ln(m.c + 1)) AS s "
+            "FROM dt JOIN m ON m.token = dt.token GROUP BY 1, 2), "
+            "grid AS (SELECT d.doc_id, t.lbl, "
+            "round(ln(p.dn / (SELECT sum(dn) FROM pri)) "
+            "- d.n * ln(t.t + (SELECT v FROM vc)) + coalesce(ps.s, 0), 6) "
+            "AS score FROM nd d CROSS JOIN tot t JOIN pri p ON p.lbl = t.lbl "
+            "LEFT JOIN ps ON ps.doc_id = d.doc_id AND ps.lbl = t.lbl) "
+            "SELECT doc_id, lbl AS pred, score FROM (SELECT grid.*, "
+            "row_number() OVER (PARTITION BY doc_id "
+            "ORDER BY score DESC, lbl) AS rn FROM grid) WHERE rn = 1"
         ),
         "countmin_topk": (
             # CountMin replay: cell sums are exact ints; estimate = min over

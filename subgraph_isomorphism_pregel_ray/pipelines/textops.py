@@ -37,6 +37,7 @@ __all__ = [
     "winnow_batch",
     "winnow_fingerprints",
     "countmin_topk",
+    "nb_classifier",
     "simhash_batch",
     "token_count",
     "text_stats",
@@ -1559,6 +1560,174 @@ def bigram_cross_entropy(docs_ds, num_partitions: int = 8):
         )
 
     return agg.map_batches(_final, batch_format="pyarrow")
+
+
+def nb_classifier(
+    docs_ds,
+    label_col: str = "source",
+    num_buckets: int = 32,
+    num_partitions: int = 8,
+):
+    """Multinomial Naive Bayes document classifier with add-one smoothing
+    (the CCNet / fastText-style linear domain filter, trained and applied
+    in one pipeline) → Dataset(doc_id, pred, score):
+
+        score(d, s) = ln P(s) − n_d·ln(tot_s + V) + Σ_{t∈d} k_t·ln(c_{t,s}+1)
+
+    with P(s) the doc-count prior, tot_s the source's token total, V the
+    corpus vocabulary size, c_{t,s} the source's token count. α = 1 makes
+    every unseen-token term ln(1) = 0, so scoring needs ONLY the sparse
+    (token seen in source) pairs — one Dataset join of per-doc token
+    counts against the trained model on ``token``, never a dense
+    doc × vocab product. ``pred`` is the argmax source over scores rounded
+    to 6 decimals (ties → source ascending), the same round-then-rank
+    determinism rule as ``knn_graph``; the ~1-ulp numpy-vs-DuckDB ``ln``
+    noise sits ~8 orders below the round.
+
+    Scale shape: model training is the vocab_topk combiner shape (in-batch
+    (label, token) histograms, one groupby-sum); scoring is ONE join +
+    per-batch partial sums; the final argmax resolves per doc-bucket
+    vectorized (union of score partials and per-doc token totals under a
+    common schema — the repo's bucket-groupby idiom, no chained joins).
+    Labels with zero tokens in the corpus cannot be predicted (no
+    likelihood exists) and are excluded from the grid on both sides; empty
+    documents score ln P(s) alone and take the max-prior label.
+    Per-label constants (priors, totals) are O(|labels|) driver state.
+    """
+    from ray.data.aggregate import Count, Sum
+
+    def _doc_tok(b: pa.Table) -> pa.Table:
+        ids: list[int] = []
+        toks: list[str] = []
+        lbls: list[str] = []
+        ks: list[int] = []
+        for did, lbl, t in zip(
+            b["doc_id"].to_pylist(), b[label_col].to_pylist(), b["text"].to_pylist()
+        ):
+            tt = _tokens(t)
+            if not tt:
+                continue
+            u, c = np.unique(np.asarray(tt, dtype=object), return_counts=True)
+            ids.extend([did] * len(u))
+            lbls.extend([lbl] * len(u))
+            toks.extend(u.tolist())
+            ks.extend(c.tolist())
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "label": pa.array(lbls, pa.string()),
+                "token": pa.array(toks, pa.string()),
+                "k": pa.array(ks, pa.int64()),
+            }
+        )
+
+    dt = docs_ds.map_batches(_doc_tok, batch_format="pyarrow").materialize()
+    model = (
+        dt.groupby(["label", "token"])
+        .aggregate(Sum("k", alias_name="c"))
+        .materialize()
+    )
+    tot_rows = model.groupby("label").aggregate(Sum("c", alias_name="t")).take_all()
+    vocab_size = dt.groupby("token").aggregate(Count()).count()
+    prior_rows = docs_ds.groupby(label_col).aggregate(Count()).take_all()
+    n_docs = sum(r["count()"] for r in prior_rows)
+    prior_by_label = {r[label_col]: r["count()"] for r in prior_rows}
+
+    labels = sorted(r["label"] for r in tot_rows)  # token-having labels only
+    if not labels:
+        return docs_ds.map_batches(
+            lambda b: pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "pred": pa.array([], pa.string()),
+                    "score": pa.array([], pa.float64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    lidx = {s: i for i, s in enumerate(labels)}
+    t_by_label = {r["label"]: r["t"] for r in tot_rows}
+    ln_prior = np.array(
+        [np.log(prior_by_label[s] / n_docs) for s in labels], dtype=np.float64
+    )
+    ln_tot = np.array(
+        [np.log(float(t_by_label[s] + vocab_size)) for s in labels],
+        dtype=np.float64,
+    )
+
+    sj = dt.select_columns(["doc_id", "token", "k"]).join(
+        model, "inner", num_partitions, on=("token",)
+    )
+
+    def _partial(b: pa.Table) -> pa.Table:
+        did = b["doc_id"].to_numpy()
+        li = np.array([lidx[s] for s in b["label"].to_pylist()], dtype=np.int64)
+        s = b["k"].to_numpy() * np.log(b["c"].to_numpy() + 1.0)
+        key = did * np.int64(len(labels)) + li
+        uk, inv = np.unique(key, return_inverse=True)
+        acc = np.zeros(len(uk), dtype=np.float64)
+        np.add.at(acc, inv, s)
+        return pa.table(
+            {
+                "doc_id": uk // np.int64(len(labels)),
+                "li": (uk % np.int64(len(labels))).astype(np.int64),
+                "s": acc,
+                "tag": np.zeros(len(uk), dtype=np.int8),
+            }
+        )
+
+    def _nd(b: pa.Table) -> pa.Table:
+        did = b["doc_id"].to_numpy()
+        n = np.array(
+            [len(_tokens(t)) for t in b["text"].to_pylist()], dtype=np.float64
+        )
+        return pa.table(
+            {
+                "doc_id": did,
+                "li": np.zeros(len(did), dtype=np.int64),
+                "s": n,
+                "tag": np.ones(len(did), dtype=np.int8),
+            }
+        )
+
+    parts = sj.map_batches(_partial, batch_format="pyarrow").union(
+        docs_ds.map_batches(_nd, batch_format="pyarrow")
+    )
+
+    def _bucket(b: pa.Table) -> pa.Table:
+        did = b["doc_id"].to_numpy()
+        return b.append_column(
+            "bkt", pa.array((did % num_buckets).astype(np.int32))
+        )
+
+    def _resolve(g: pa.Table) -> pa.Table:
+        did = g["doc_id"].to_numpy()
+        li = g["li"].to_numpy()
+        s = g["s"].to_numpy()
+        tag = g["tag"].to_numpy()
+        docs = np.unique(did)
+        di = {int(v): i for i, v in enumerate(docs)}
+        row = np.array([di[int(v)] for v in did], dtype=np.int64)
+        n = np.zeros(len(docs), dtype=np.float64)
+        n[row[tag == 1]] = s[tag == 1]
+        scores = ln_prior[None, :] - n[:, None] * ln_tot[None, :]
+        m = tag == 0
+        np.add.at(scores, (row[m], li[m]), s[m])
+        scores = round_half_away(scores, 6)
+        best = scores.argmax(axis=1)  # first max = label-asc tie-break
+        return pa.table(
+            {
+                "doc_id": docs,
+                "pred": pa.array([labels[i] for i in best], pa.string()),
+                "score": scores[np.arange(len(docs)), best],
+            }
+        )
+
+    return (
+        parts.map_batches(_bucket, batch_format="pyarrow")
+        .groupby("bkt")
+        .map_groups(_resolve, batch_format="pyarrow")
+    )
 
 
 def source_mixture_weights(docs_ds, round_to: int = 6):

@@ -972,3 +972,63 @@ def test_countmin_sketch_properties(ray_session):
     assert (wide.est == wide.cnt).all()
     # vocab_topk total order: cnt desc then token asc
     assert list(wide.token[:2]) == ["apple", "banana"]
+
+
+def test_nb_classifier_vs_scalar(ray_session):
+    """Engine NB must equal the dense scalar computation (incl. empty-doc
+    prior-only scoring and label-asc tie-break on rounded scores)."""
+    import math
+    from collections import Counter
+
+    import ray.data as rd
+
+    from subgraph_isomorphism_pregel_ray.functions.rounding import round_half_away
+    from subgraph_isomorphism_pregel_ray.pipelines.textops import nb_classifier
+
+    texts = [
+        ("apple banana apple", "fruit"),
+        ("banana cherry banana date", "fruit"),
+        ("wrench hammer bolt", "tool"),
+        ("hammer bolt bolt screwdriver", "tool"),
+        ("apple hammer", "fruit"),
+        ("", "tool"),          # empty doc → prior-only score
+        ("zebra quark", "tool"),  # all-unseen-in-fruit tokens
+    ]
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": np.arange(len(texts), dtype=np.int64),
+                "text": [t for t, _ in texts],
+                "source": [s for _, s in texts],
+            }
+        )
+    )
+    got = (
+        nb_classifier(ds, label_col="source")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+    # dense scalar replay
+    labels = sorted({s for _, s in texts})
+    cnt = {s: Counter() for s in labels}
+    for t, s in texts:
+        cnt[s].update(t.split())
+    vocab = {w for c in cnt.values() for w in c}
+    tot = {s: sum(cnt[s].values()) for s in labels}
+    prior = Counter(s for _, s in texts)
+    for did, (t, _) in enumerate(texts):
+        scores = []
+        for s in labels:
+            sc = math.log(prior[s] / len(texts)) - len(t.split()) * math.log(
+                tot[s] + len(vocab)
+            )
+            for w, k in Counter(t.split()).items():
+                sc += k * math.log(cnt[s][w] + 1)
+            scores.append(float(round_half_away(np.array([sc]), 6)[0]))
+        best = int(np.argmax(scores))
+        assert got.loc[did, "pred"] == labels[best], did
+        assert got.loc[did, "score"] == scores[best], did
+    # the empty doc took the max-prior label (tool: 4 docs vs 3)
+    assert got.loc[5, "pred"] == "tool"
