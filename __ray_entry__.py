@@ -234,6 +234,12 @@ def _q_ppr(sf_dir: str):
     )
 
 
+def _q_bipartite(sf_dir: str):
+    from subgraph_isomorphism_pregel_ray.pipelines.algorithms import bipartite_check
+
+    return bipartite_check(_sym_copurchase(sf_dir), num_parts=4)
+
+
 def _q_spam_mass(sf_dir: str):
     from subgraph_isomorphism_pregel_ray.pipelines.algorithms import spam_mass
 
@@ -1370,6 +1376,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "assortativity_copurchase": _q_assortativity,
         "ppr_copurchase": _q_ppr,
         "spam_mass_copurchase": _q_spam_mass,
+        "bipartite_copurchase": _q_bipartite,
         "hits_copurchase": _q_hits,
         "random_walks_copurchase": _q_random_walks,
         "lpa_copurchase": _q_lpa,
@@ -1709,6 +1716,34 @@ def _ppr_sql(iters: int, damping: float = 0.85, seed_mod: int = 10) -> str:
             f"JOIN deg d2 ON d2.vid = e.src GROUP BY e.dst) c ON c.vid = sd.vid)"
         )
     return ", ".join(parts) + f" SELECT vid, round(pr, 8) AS pr FROM r{iters}"
+
+
+def _bipartite_sql(iters: int = 16) -> str:
+    """Double-cover replay of ``algorithms.bipartite_check``: the cc unroll
+    over the doubled edge set (2u ↔ 2v+1, 2u+1 ↔ 2v), then pair the two
+    copies of each vertex — bipartite iff they landed in different
+    double-cover components. 16 rounds = 2× the cc margin (double-cover
+    shortest paths can be up to ~2× the original ones)."""
+    parts = [
+        f"WITH {_ESYM_MAT}",
+        "de AS MATERIALIZED (SELECT src * 2 AS src, dst * 2 + 1 AS dst FROM e "
+        "UNION ALL SELECT src * 2 + 1, dst * 2 FROM e)",
+        "v2 AS MATERIALIZED (SELECT DISTINCT src AS vid FROM de)",
+        "c0 AS MATERIALIZED (SELECT vid, vid AS comp FROM v2)",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"c{i} AS MATERIALIZED (SELECT x.vid, min(x.comp) AS comp FROM ("
+            f"SELECT vid, comp FROM c{i-1} "
+            f"UNION ALL SELECT de.dst AS vid, c.comp FROM de JOIN c{i-1} c "
+            "ON c.vid = de.src) x GROUP BY x.vid)"
+        )
+    return ", ".join(parts) + (
+        f" SELECT a.comp // 2 AS component, count(*) AS n_vertices, "
+        "CAST(max(CASE WHEN a.comp = b.comp THEN 1 ELSE 0 END) = 0 AS BOOLEAN) "
+        f"AS is_bipartite FROM c{iters} a JOIN c{iters} b ON b.vid = a.vid + 1 "
+        "WHERE a.vid % 2 = 0 GROUP BY 1"
+    )
 
 
 def _spam_mass_sql(iters: int, damping: float = 0.85, trust_mod: int = 17) -> str:
@@ -2434,6 +2469,7 @@ def oracle_sql() -> dict[str, str]:
         "wsssp_weighted_copurchase": _wsssp_stored_sql(),
         "ppr_copurchase": _ppr_sql(PR_ITERS),
         "spam_mass_copurchase": _spam_mass_sql(PR_ITERS),
+        "bipartite_copurchase": _bipartite_sql(),
         "hits_copurchase": _hits_sql(HITS_ITERS),
         "random_walks_copurchase": _walk_sql(4),
         "cc_copurchase": _cc_sql(),

@@ -56,6 +56,7 @@ __all__ = [
     "weighted_pagerank",
     "weighted_sssp_stored",
     "spam_mass",
+    "bipartite_check",
     "component_size_histogram",
 ]
 
@@ -205,6 +206,53 @@ def connected_components(edges_or_engine, num_parts: int = 8, max_steps: int = 2
     if own:
         eng.shutdown()
     return out, lineage
+
+
+def bipartite_check(edges_ds, num_parts: int = 8, max_steps: int = 200):
+    """Per-component bipartiteness (odd-cycle detection) → Arrow table
+    (component, n_vertices, is_bipartite), via the BIPARTITE DOUBLE COVER:
+    every vertex v becomes (2v, 2v+1) and every undirected edge {u, v}
+    becomes {2u, 2v+1} and {2u+1, 2v}. A classical equivalence (König
+    lineage): an original component is bipartite iff its double cover
+    splits into TWO components — i.e. iff comp(2v) ≠ comp(2v+1). So the
+    whole op is the EXISTING hash-min CC engine run once on 2|E| edges, no
+    new vertex program and no parity bookkeeping: the reduction reads the
+    doubled label table, pairs (2v, 2v+1) rows (both always exist — each
+    copy inherits an edge), and folds per-component verdicts in numpy.
+    ``component`` is the original min-vid label: both double-cover labels
+    of a component are 2·minvid (+0/1), so ``comp2 >> 1`` recovers it on
+    either side. The label table is O(V) driver state — the same posture
+    as every other cc-family query.
+    """
+
+    def _double(t: pa.Table) -> pa.Table:
+        s = t["src"].to_numpy().astype(np.int64)
+        d = t["dst"].to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "src": np.concatenate([2 * s, 2 * s + 1]),
+                "dst": np.concatenate([2 * d + 1, 2 * d]),
+            }
+        )
+
+    res, _ = connected_components(
+        edges_ds.map_batches(_double, batch_format="pyarrow"),
+        num_parts=num_parts,
+        max_steps=max_steps,
+    )
+    vid2 = res["vid"].to_numpy().view(np.int64)
+    comp2 = res["component"].to_numpy().view(np.int64)
+    order = np.argsort(vid2, kind="stable")  # (2v, 2v+1) become adjacent
+    c2s = comp2[order]
+    comp_v = c2s[0::2] >> 1
+    conflict_v = c2s[0::2] == c2s[1::2]
+    uc, inv = np.unique(comp_v, return_inverse=True)
+    nv = np.bincount(inv).astype(np.int64)
+    confl = np.zeros(len(uc), dtype=bool)
+    np.logical_or.at(confl, inv, conflict_v)
+    return pa.table(
+        {"component": uc, "n_vertices": nv, "is_bipartite": ~confl}
+    )
 
 
 def component_size_histogram(edges_or_engine, num_parts: int = 8,

@@ -1162,3 +1162,90 @@ def test_spam_mass_partition_invariance(ray_session):
     np.testing.assert_allclose(a.pr, b.pr, atol=2e-8)
     np.testing.assert_allclose(a.tr, b.tr, atol=2e-8)
     np.testing.assert_allclose(a.spam_mass, b.spam_mass, atol=2e-7)
+
+
+def test_bipartite_check_vs_bruteforce(ray_session):
+    """Mixed components: even cycle (bipartite), odd cycle (not), path
+    (bipartite), triangle+pendant (not) — verdicts must match BFS
+    2-coloring, component ids must be min-vids, sizes exact."""
+    from subgraph_isomorphism_pregel_ray.pipelines.algorithms import bipartite_check
+
+    comps = {
+        # vertices, edges
+        "even_cycle": ([0, 1, 2, 3], [(0, 1), (1, 2), (2, 3), (3, 0)]),
+        "odd_cycle": ([10, 11, 12, 13, 14], [(10, 11), (11, 12), (12, 13), (13, 14), (14, 10)]),
+        "path": ([20, 21, 22], [(20, 21), (21, 22)]),
+        "tri_pendant": ([30, 31, 32, 33], [(30, 31), (31, 32), (32, 30), (32, 33)]),
+    }
+    pairs = [e for _, (_, es) in comps.items() for e in es]
+    got = (
+        bipartite_check(_edges_ds(pairs), num_parts=3)
+        .to_pandas()
+        .sort_values("component")
+        .reset_index(drop=True)
+    )
+
+    def two_colorable(vs, es):
+        import collections
+        adj = collections.defaultdict(list)
+        for a, b in es:
+            adj[a].append(b); adj[b].append(a)
+        color = {}
+        for s in vs:
+            if s in color:
+                continue
+            color[s] = 0
+            q = [s]
+            while q:
+                u = q.pop()
+                for w in adj[u]:
+                    if w not in color:
+                        color[w] = 1 - color[u]
+                        q.append(w)
+                    elif color[w] == color[u]:
+                        return False
+        return True
+
+    exp = sorted(
+        (min(vs), len(vs), two_colorable(vs, es)) for vs, es in comps.values()
+    )
+    assert list(map(tuple, got[["component", "n_vertices", "is_bipartite"]].values)) == exp
+
+
+@pytest.mark.parametrize("trial", range(3))
+def test_bipartite_check_random(ray_session, trial):
+    from subgraph_isomorphism_pregel_ray.pipelines.algorithms import bipartite_check
+
+    rng = np.random.default_rng(100 + trial)
+    # random bipartite graph (parts A/B) plus, on trial 2, one odd edge
+    A = np.arange(0, 12)
+    B = np.arange(12, 25)
+    es = {(int(rng.choice(A)), int(rng.choice(B))) for _ in range(40)}
+    if trial == 2:
+        es.add((0, 1))  # same-side edge → odd cycle somewhere if 0,1 connected
+    got = bipartite_check(_edges_ds(sorted(es)), num_parts=4).to_pandas()
+
+    import collections
+    adj = collections.defaultdict(list)
+    for a, b in es:
+        adj[a].append(b); adj[b].append(a)
+    verdicts = {}
+    seen = set()
+    for s in sorted(adj):
+        if s in seen:
+            continue
+        color, q, ok, members = {s: 0}, [s], True, []
+        while q:
+            u = q.pop()
+            members.append(u)
+            for w in adj[u]:
+                if w not in color:
+                    color[w] = 1 - color[u]; q.append(w)
+                elif color[w] == color[u]:
+                    ok = False
+        seen.update(members)
+        verdicts[min(members)] = (len(set(members)), ok)
+    for _, row in got.iterrows():
+        n, ok = verdicts[row.component]
+        assert (row.n_vertices, row.is_bipartite) == (n, ok)
+    assert len(got) == len(verdicts)
