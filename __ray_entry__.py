@@ -234,6 +234,31 @@ def _q_ppr(sf_dir: str):
     )
 
 
+def _q_semi_clustering(sf_dir: str):
+    """Pregel-paper semi-clustering (§5.3) over the STRONG co-purchase
+    graph → per-vertex best semi-cluster + score. No SQL oracle: cluster
+    lists are an iterative set-valued fixpoint (c_max-truncated ranked
+    merges per superstep) with no relational unroll — determinism is
+    instead proven by the scalar-replay + partition-invariance pytests
+    (test_round2.py::test_semi_clustering_*)."""
+    from subgraph_isomorphism_pregel_ray.pipelines.algorithms import semi_clustering
+    from subgraph_isomorphism_pregel_ray.pipelines.build_graph import symmetrize
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import (
+        strong_copurchase_edges,
+    )
+
+    res, _ = semi_clustering(
+        symmetrize(strong_copurchase_edges(sf_dir)), iters=4, num_parts=4
+    )
+    return pa.table(
+        {
+            "vid": res["vid"].to_numpy().view(np.int64),
+            "cluster": res["cluster"],
+            "score": res["score"],
+        }
+    )
+
+
 def _q_bipartite(sf_dir: str):
     from subgraph_isomorphism_pregel_ray.pipelines.algorithms import bipartite_check
 
@@ -1377,6 +1402,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ppr_copurchase": _q_ppr,
         "spam_mass_copurchase": _q_spam_mass,
         "bipartite_copurchase": _q_bipartite,
+        "semi_clustering_strong": _q_semi_clustering,
         "hits_copurchase": _q_hits,
         "random_walks_copurchase": _q_random_walks,
         "lpa_copurchase": _q_lpa,

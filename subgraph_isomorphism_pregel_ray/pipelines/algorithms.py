@@ -57,6 +57,7 @@ __all__ = [
     "weighted_sssp_stored",
     "spam_mass",
     "bipartite_check",
+    "semi_clustering",
     "component_size_histogram",
 ]
 
@@ -201,6 +202,33 @@ def connected_components(edges_or_engine, num_parts: int = 8, max_steps: int = 2
     eng, lineage, own = _run(
         edges_or_engine, "cc", {}, num_parts, max_steps, directed=False,
         checkpoint_dir=checkpoint_dir, checkpoint_every=checkpoint_every, resume=resume,
+    )
+    out = eng.result_table()
+    if own:
+        eng.shutdown()
+    return out, lineage
+
+
+def semi_clustering(
+    edges_or_engine,
+    iters: int = 4,
+    c_max: int = 2,
+    m_max: int = 4,
+    f_b: float = 0.1,
+    num_parts: int = 8,
+):
+    """Pregel-paper semi-clustering (Malewicz et al. 2010 §5.3) →
+    (table(vid, cluster, score), lineage): per vertex its best overlapping
+    semi-cluster (comma-joined sorted member vids) and the cluster's score
+    rounded to 6. See ``SemiClusteringProgram`` for semantics, determinism
+    and the sparse-graph sizing note."""
+    eng, lineage, own = _run(
+        edges_or_engine,
+        "semicluster",
+        {"iters": iters, "c_max": c_max, "m_max": m_max, "f_b": f_b},
+        num_parts,
+        max_steps=iters + 2,
+        directed=False,
     )
     out = eng.result_table()
     if own:

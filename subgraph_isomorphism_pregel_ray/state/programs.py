@@ -2858,6 +2858,197 @@ class ReachProgram(VertexProgram):
         )
 
 
+class SemiClusteringProgram(VertexProgram):
+    """Semi-clustering from THE Pregel paper (Malewicz et al., SIGMOD 2010
+    §5.3 — the engine's lineage paper, and the one canonical example the
+    registry was missing): every vertex maintains at most ``c_max``
+    overlapping semi-clusters of at most ``m_max`` members; a cluster's
+    score is S_c = (I_c − f_b·B_c) / (|V_c|·(|V_c|−1)/2) with I_c the
+    internal and B_c the boundary edge count (unit weights here) —
+    singletons score 0. Per superstep a vertex merges the cluster lists
+    arriving from its neighbors, additionally extends every arriving
+    cluster that does not contain it (and is below ``m_max``) with itself
+    — I/B updated incrementally from its OWN adjacency
+    (I' = I + k_in, B' = B − k_in + (deg − k_in), so I/B stay exact
+    functions of the member set regardless of join order — which makes
+    the member-set dedup safe), keeps the ``c_max`` best by
+    (score desc, member-tuple asc) and re-broadcasts.
+
+    Deterministic and partition-count invariant: every vertex sees exactly
+    its neighbors' previous-step lists, scores are pure functions of int
+    (I, B), and the ranking is a total order. This is the ONE program in
+    the registry whose inner loop is Python set objects by design — the
+    paper's own formulation is per-vertex set manipulation; cost is
+    bounded by deg·c_max per vertex per superstep with ≤ m_max-member
+    sets, sized for the sparse strong graph, not the raw co-purchase
+    blow-up. Messages carry (dst, I, B, off, cnt, mem) flattened arrays.
+    """
+
+    def init(self, csr: CSRPartition, iters=4, c_max=2, m_max=4, f_b=0.1):
+        self.csr = csr
+        self.iters = int(iters)
+        self.c_max = int(c_max)
+        self.m_max = int(m_max)
+        self.f_b = float(f_b)
+        self.adj = [
+            set(int(u) for u in csr.indices[s:e])
+            for s, e in zip(csr.indptr[:-1], csr.indptr[1:])
+        ]
+        self.vlist = [int(v) for v in csr.vids]
+        self.clusters = [
+            [((v,), 0, len(a))] for v, a in zip(self.vlist, self.adj)
+        ]
+        self.done = False
+
+    def _score(self, mem, I, B):
+        n = len(mem)
+        if n < 2:
+            return 0.0
+        return (I - self.f_b * B) / (n * (n - 1) / 2)
+
+    def apply(self, step, inbox, glob):
+        if step == 0:
+            return {"active": 1}
+        recv: list[list] = [[] for _ in range(self.csr.num_vertices)]
+        for msg in inbox:
+            if msg is None or len(msg["dst"]) == 0:
+                continue
+            li = self.csr.local_index(msg["dst"])
+            mem, off, cnt = msg["mem"], msg["off"], msg["cnt"]
+            I, B = msg["I"], msg["B"]
+            for j in range(len(li)):
+                mm = tuple(int(u) for u in mem[off[j] : off[j] + cnt[j]])
+                recv[li[j]].append((mm, int(I[j]), int(B[j])))
+        changed = 0
+        for li in range(self.csr.num_vertices):
+            if not recv[li]:
+                continue
+            v = self.vlist[li]
+            adj = self.adj[li]
+            degv = len(adj)
+            cand = {c[0]: c for c in self.clusters[li]}
+            for mm, I, B in recv[li]:
+                if mm not in cand:
+                    cand[mm] = (mm, I, B)
+                if v not in mm and len(mm) < self.m_max:
+                    nm = tuple(sorted(mm + (v,)))
+                    if nm not in cand:
+                        kin = sum(1 for u in mm if u in adj)
+                        cand[nm] = (nm, I + kin, B - kin + (degv - kin))
+            ranked = sorted(
+                cand.values(), key=lambda c: (-self._score(*c), c[0])
+            )[: self.c_max]
+            if ranked != self.clusters[li]:
+                changed += 1
+            self.clusters[li] = ranked
+        self.done = step >= self.iters
+        return {"active": 0 if self.done else int(changed)}
+
+    def scatter(self, step):
+        P = self.csr.num_parts
+        if self.done:
+            return [None] * P, {"sent": 0}
+        dix = self.csr.dst_index()
+        sorted_dst = self.csr.indices[dix.order]
+        rows = dix.src_row[dix.order]
+        outbox, sent = [], 0
+        for p in range(P):
+            s, e = dix.slices[p]
+            if s == e:
+                outbox.append(None)
+                continue
+            dsts: list[int] = []
+            Is: list[int] = []
+            Bs: list[int] = []
+            cnts: list[int] = []
+            mems: list[int] = []
+            for j in range(s, e):
+                d = int(sorted_dst[j])
+                for mm, I, B in self.clusters[rows[j]]:
+                    dsts.append(d)
+                    Is.append(I)
+                    Bs.append(B)
+                    cnts.append(len(mm))
+                    mems.extend(mm)
+            cnt = np.asarray(cnts, dtype=np.int64)
+            off = np.zeros(len(cnt), dtype=np.int64)
+            if len(cnt) > 1:
+                np.cumsum(cnt[:-1], out=off[1:])
+            outbox.append(
+                {
+                    "dst": np.asarray(dsts, dtype=np.uint64),
+                    "I": np.asarray(Is, dtype=np.int64),
+                    "B": np.asarray(Bs, dtype=np.int64),
+                    "cnt": cnt,
+                    "off": off,
+                    "mem": np.asarray(mems, dtype=np.uint64),
+                }
+            )
+            sent += len(dsts)
+        return outbox, {"sent": sent}
+
+    def result_table(self):
+        from ..functions.rounding import round_half_away
+
+        best_mem, best_score = [], []
+        for li in range(self.csr.num_vertices):
+            # best cluster CONTAINING v — the per-vertex community
+            # assignment (foreign clusters circulate per the paper but are
+            # not v's own membership); singleton fallback if none survived
+            v = self.vlist[li]
+            own = [c for c in self.clusters[li] if v in c[0]]
+            mm, I, B = own[0] if own else ((v,), 0, len(self.adj[li]))
+            best_mem.append(",".join(str(u) for u in mm))
+            best_score.append(self._score(mm, I, B))
+        return pa.table(
+            {
+                "vid": self.csr.vids,
+                "cluster": pa.array(best_mem, pa.string()),
+                "score": round_half_away(
+                    np.asarray(best_score, dtype=np.float64), 6
+                ),
+            }
+        )
+
+    def state_table(self):
+        # flatten (li, rank, I, B, members…) — enough to resume mid-run
+        lis, rks, Is, Bs, cnts, mems = [], [], [], [], [], []
+        for li, cl in enumerate(self.clusters):
+            for r, (mm, I, B) in enumerate(cl):
+                lis.append(li)
+                rks.append(r)
+                Is.append(I)
+                Bs.append(B)
+                cnts.append(len(mm))
+                mems.extend(mm)
+        return pa.table(
+            {
+                "li": pa.array(lis, pa.int64()),
+                "rank": pa.array(rks, pa.int64()),
+                "I": pa.array(Is, pa.int64()),
+                "B": pa.array(Bs, pa.int64()),
+                "cnt": pa.array(cnts, pa.int64()),
+                "mem": pa.array(
+                    np.split(np.asarray(mems, dtype=np.int64), np.cumsum(cnts)[:-1])
+                    if cnts
+                    else [],
+                    pa.list_(pa.int64()),
+                ),
+            }
+        )
+
+    def load_state(self, table, step):
+        self.clusters = [[] for _ in range(self.csr.num_vertices)]
+        for li, I, B, mm in zip(
+            table["li"].to_pylist(),
+            table["I"].to_pylist(),
+            table["B"].to_pylist(),
+            table["mem"].to_pylist(),
+        ):
+            self.clusters[li].append((tuple(mm), I, B))
+        self.done = False
+
+
 PROGRAMS = {
     "pagerank": PageRankProgram,
     "cc": ConnectedComponentsProgram,
@@ -2882,4 +3073,5 @@ PROGRAMS = {
     "reach": ReachProgram,
     "wpagerank": WeightedPageRankProgram,
     "wsssp_stored": StoredWeightSSSPProgram,
+    "semicluster": SemiClusteringProgram,
 }

@@ -1249,3 +1249,77 @@ def test_bipartite_check_random(ray_session, trial):
         n, ok = verdicts[row.component]
         assert (row.n_vertices, row.is_bipartite) == (n, ok)
     assert len(got) == len(verdicts)
+
+
+# ---------------------------------------------------------------------------
+def _semi_cluster_reference(pairs, iters, c_max, m_max, f_b):
+    """Scalar replay of the Pregel-paper §5.3 semi-clustering rules."""
+    import collections
+
+    adj = collections.defaultdict(set)
+    for a, b in pairs:
+        adj[a].add(b)
+        adj[b].add(a)
+    vs = sorted(adj)
+
+    def score(mm, I, B):
+        n = len(mm)
+        return 0.0 if n < 2 else (I - f_b * B) / (n * (n - 1) / 2)
+
+    clusters = {v: [((v,), 0, len(adj[v]))] for v in vs}
+    for _ in range(iters):
+        nxt = {}
+        for v in vs:
+            cand = {c[0]: c for c in clusters[v]}
+            for u in sorted(adj[v]):
+                for mm, I, B in clusters[u]:
+                    if mm not in cand:
+                        cand[mm] = (mm, I, B)
+                    if v not in mm and len(mm) < m_max:
+                        nm = tuple(sorted(mm + (v,)))
+                        if nm not in cand:
+                            kin = len(set(mm) & adj[v])
+                            cand[nm] = (nm, I + kin, B - kin + len(adj[v]) - kin)
+            nxt[v] = sorted(cand.values(), key=lambda c: (-score(*c), c[0]))[:c_max]
+        clusters = nxt
+    out = {}
+    for v in vs:
+        own = [c for c in clusters[v] if v in c[0]]
+        mm, I, B = own[0] if own else ((v,), 0, len(adj[v]))
+        out[v] = (",".join(map(str, mm)), score(mm, I, B))
+    return out
+
+
+def test_semi_clustering_two_triangles(ray_session):
+    from subgraph_isomorphism_pregel_ray.pipelines.algorithms import semi_clustering
+
+    pairs = [(0, 1), (1, 2), (2, 0), (3, 4), (4, 5), (5, 3), (2, 3)]
+    res, _ = semi_clustering(_edges_ds(pairs), iters=4, num_parts=3)
+    df = res.to_pandas().sort_values("vid").reset_index(drop=True)
+    assert list(df.cluster[:3]) == ["0,1,2"] * 3
+    assert list(df.cluster[3:]) == ["3,4,5"] * 3
+    # score of a triangle with one boundary edge: (3 − 0.1·1)/3
+    assert np.allclose(df.score, (3 - 0.1) / 3)
+
+
+@pytest.mark.parametrize("trial", range(3))
+def test_semi_clustering_vs_scalar(ray_session, trial):
+    from subgraph_isomorphism_pregel_ray.functions.rounding import round_half_away
+    from subgraph_isomorphism_pregel_ray.pipelines.algorithms import semi_clustering
+
+    rng = np.random.default_rng(40 + trial)
+    pairs = sorted(
+        {
+            (min(int(a), int(b)), max(int(a), int(b)))
+            for a, b in rng.integers(0, 25, (45, 2))
+            if a != b
+        }
+    )
+    exp = _semi_cluster_reference(pairs, iters=3, c_max=2, m_max=4, f_b=0.1)
+    for parts in (1, 4):
+        res, _ = semi_clustering(_edges_ds(pairs), iters=3, num_parts=parts)
+        df = res.to_pandas().sort_values("vid").reset_index(drop=True)
+        for _, row in df.iterrows():
+            mm, sc = exp[int(row.vid)]
+            assert row.cluster == mm, (trial, parts, row.vid)
+            assert row.score == round_half_away(np.array([sc]), 6)[0]
