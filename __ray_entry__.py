@@ -618,6 +618,12 @@ def _q_events_rolling(sf_dir: str):
     return events_rolling(sf_dir, window_rows=5)
 
 
+def _q_events_zscore(sf_dir: str):
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import events_zscore
+
+    return events_zscore(sf_dir, window_rows=20, min_n=5)
+
+
 def _q_copurchase_weights(sf_dir: str):
     from subgraph_isomorphism_pregel_ray.pipelines.relational import (
         copurchase_weights,
@@ -1429,6 +1435,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "train_val_test_split": _q_train_val_test,
         "copurchase_weights": _q_copurchase_weights,
         "events_rolling": _q_events_rolling,
+        "events_zscore": _q_events_zscore,
         "doc_cross_entropy": _q_doc_cross_entropy,
         "kmeans_embeddings": _q_kmeans,
         "distinct_users_daily": _q_distinct_users,
@@ -2999,6 +3006,21 @@ def oracle_sql() -> dict[str, str]:
             "PARTITION BY user_id ORDER BY ts, event_id "
             "ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS rolling_avg "
             "FROM events"
+        ),
+        "events_zscore": (
+            # exact int64 cents moments over the trailing window; the
+            # z algebra collapses to int numerator / sqrt(int) — bit-exact
+            "WITH b AS (SELECT event_id, user_id, ts, "
+            "CAST(round(value * 100) AS BIGINT) AS c FROM events), "
+            "w AS (SELECT event_id, c, "
+            "count(*) OVER win AS np, sum(c) OVER win AS s, "
+            "sum(c * c) OVER win AS ss FROM b WINDOW win AS ("
+            "PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)) "
+            "SELECT event_id, CAST(coalesce(np, 0) AS BIGINT) AS n_prev, "
+            "round(CASE WHEN coalesce(np, 0) >= 5 AND np * ss - s * s > 0 "
+            "THEN (np * c - s) / sqrt(np * ss - s * s) ELSE 0 END, 6) "
+            "AS zscore FROM w"
         ),
         "copurchase_weights": (
             "SELECT a.l_partkey AS src, b.l_partkey AS dst, "

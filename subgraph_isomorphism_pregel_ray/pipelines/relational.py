@@ -34,6 +34,7 @@ __all__ = [
     "events_range_join",
     "events_lag",
     "events_rolling",
+    "events_zscore",
     "events_funnel",
     "events_retention",
     "events_percent_rank",
@@ -1266,6 +1267,74 @@ def events_rolling(sf_dir: str, window_rows: int = 5, num_buckets: int | None = 
         ds.map_batches(_bucket, batch_format="pyarrow")
         .groupby("b")
         .map_groups(_roll, batch_format="pyarrow")
+    )
+
+
+def events_zscore(
+    sf_dir: str,
+    window_rows: int = 20,
+    min_n: int = 5,
+    num_buckets: int | None = None,
+):
+    """Trailing-window anomaly z-score per event → (event_id, n_prev,
+    zscore): how many population standard deviations the event's value
+    sits from the mean of the SAME USER's previous ≤ ``window_rows``
+    events (ROWS BETWEEN window_rows PRECEDING AND 1 PRECEDING, ordered by
+    ts, event_id) — the classic per-entity outlier/fraud gate. zscore = 0
+    when fewer than ``min_n`` history rows exist or the window variance is
+    zero.
+
+    Bit-exactness: values carry two decimals, so window moments fold as
+    exact int64 cents (S = Σc, SS = Σc²) via padded segment cumsums, and
+    the algebra collapses to z = (n·c − S) / sqrt(n·SS − S²) — integer
+    numerator, ONE IEEE sqrt and ONE divide, identical in numpy and
+    DuckDB (no mean/std intermediate, no summation-order drift).
+
+    Scale shape: the shared user-hash bucket shuffle (same ONE exchange as
+    rolling/lag/sessionize), whole bucket vectorized — lexsort + two
+    cumsums + gather; no per-row Python, no per-user loop."""
+    from ..functions.rounding import round_half_away
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"])
+    num_buckets = _auto_buckets(ds, num_buckets)
+
+    def _bucket(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy()
+        return t.append_column("b", pa.array((u % num_buckets).astype(np.int32)))
+
+    def _z(g: pa.Table) -> pa.Table:
+        u = g["user_id"].to_numpy()
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        eid = g["event_id"].to_numpy()
+        c = np.round(g["value"].to_numpy() * 100).astype(np.int64)
+        order = np.lexsort((eid, ts, u))
+        u, eid, c = u[order], eid[order], c[order]
+        n = len(u)
+        new_seg = np.concatenate([[True], u[1:] != u[:-1]])
+        seg_start = np.maximum.accumulate(np.where(new_seg, np.arange(n), 0))
+        i = np.arange(n)
+        lo = np.maximum(seg_start, i - window_rows)
+        P = np.concatenate([[0], np.cumsum(c)])
+        P2 = np.concatenate([[0], np.cumsum(c * c)])
+        n_prev = i - lo
+        S = P[i] - P[lo]
+        SS = P2[i] - P2[lo]
+        disc = n_prev * SS - S * S
+        ok = (n_prev >= min_n) & (disc > 0)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            z = np.where(ok, (n_prev * c - S) / np.sqrt(disc), 0.0)
+        return pa.table(
+            {
+                "event_id": eid,
+                "n_prev": n_prev.astype(np.int64),
+                "zscore": round_half_away(z, 6),
+            }
+        )
+
+    return (
+        ds.map_batches(_bucket, batch_format="pyarrow")
+        .groupby("b")
+        .map_groups(_z, batch_format="pyarrow")
     )
 
 

@@ -451,3 +451,40 @@ def test_quantile_sketch_parallelism_invariant(ray_session, tmp_path):
         ["event_type", "quantile"]
     ).reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_events_zscore_vs_pandas(ray_session):
+    """z == (n·c − S)/√(n·SS − S²) over the previous ≤W same-user events,
+    replayed per row in pandas; gate rows (n_prev < min_n, zero variance)
+    are exactly 0."""
+    import pandas as pd
+
+    from subgraph_isomorphism_pregel_ray.functions.rounding import round_half_away
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import events_zscore
+    from subgraph_isomorphism_pregel_ray.sources.tables import read_table
+
+    sf = "/root/testdata/sf0.001"
+    W, MINN = 7, 3
+    got = (
+        events_zscore(sf, window_rows=W, min_n=MINN)
+        .to_pandas()
+        .set_index("event_id")
+    )
+    ev = read_table(sf, "events", columns=["event_id", "ts", "user_id", "value"]).to_pandas()
+    ev = ev.sort_values(["user_id", "ts", "event_id"]).reset_index(drop=True)
+    ev["c"] = np.round(ev.value * 100).astype(np.int64)
+    n_checked_gated = 0
+    for _, grp in ev.groupby("user_id"):
+        c = grp["c"].to_numpy()
+        for i, eid in enumerate(grp["event_id"]):
+            w = c[max(0, i - W) : i]
+            npv, S, SS = len(w), int(w.sum()), int((w * w).sum())
+            disc = npv * SS - S * S
+            if npv >= MINN and disc > 0:
+                exp = float(round_half_away(np.array([(npv * c[i] - S) / np.sqrt(disc)]), 6)[0])
+            else:
+                exp = 0.0
+                n_checked_gated += 1
+            assert got.loc[eid, "zscore"] == exp, eid
+            assert got.loc[eid, "n_prev"] == npv
+    assert n_checked_gated > 0  # short prefixes actually exercised
