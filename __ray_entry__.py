@@ -705,6 +705,14 @@ def _q_fingerprint(sf_dir: str):
     return fingerprint(_docs(sf_dir))
 
 
+def _q_lang_by_source(sf_dir: str):
+    from subgraph_isomorphism_pregel_ray.pipelines.textops import lang_by_source
+    from subgraph_isomorphism_pregel_ray.sources.tables import read_table
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text", "source"])
+    return lang_by_source(docs)
+
+
 def _q_nb_source_pred(sf_dir: str):
     from subgraph_isomorphism_pregel_ray.pipelines.textops import nb_classifier
 
@@ -1252,6 +1260,21 @@ def _q_source_mixture_weights(sf_dir: str):
     )
 
 
+def _q_bpe_encode(sf_dir: str):
+    """Train 32 BPE merges then ENCODE the whole corpus with the broadcast
+    merge table → (doc_id, n_tokens_bpe): the tokenize-and-count pass every
+    pretraining budget estimate runs. Rows-only like ``bpe_merges`` (the
+    iterative merge application is not SQL-expressible); the encoder is
+    pinned by tests/test_bpe.py parity and the compression pytest there."""
+    from subgraph_isomorphism_pregel_ray.pipelines.bpe import (
+        bpe_encode_counts,
+        bpe_train,
+    )
+
+    docs = _docs(sf_dir)
+    return bpe_encode_counts(docs, bpe_train(docs, n_merges=32))
+
+
 def _q_bpe_merges(sf_dir: str):
     """BPE tokenizer training over documents (32 merges). NO SQL ORACLE by
     nature: the merge sequence is an iterative data-dependent fixpoint SQL
@@ -1445,6 +1468,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winnow_fingerprints": _q_winnow,
         "countmin_topk": _q_countmin,
         "nb_source_pred": _q_nb_source_pred,
+        "lang_by_source": _q_lang_by_source,
         "simhash": _q_simhash,
         "minhash_dup_pairs": _q_minhash_pairs,
         "embedding_dup_pairs": _q_embedding_dups,
@@ -1489,6 +1513,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_topk": _q_search_topk,
         "bm25_topk": _q_bm25_topk,
         "bpe_merges": _q_bpe_merges,
+        "bpe_encode": _q_bpe_encode,
         "events_ntile": _q_events_ntile,
         "user_first_last": _q_user_first_last,
         "bigram_cross_entropy": _q_bigram_cross_entropy,
@@ -2992,6 +3017,12 @@ def oracle_sql() -> dict[str, str]:
             "FROM events"
         ),
         "lang_id": _lang_id_sql(),
+        "lang_by_source": (
+            # crosstab over the SAME lang_id CTE, joined back to source
+            f"WITH lp AS MATERIALIZED (FROM ({_lang_id_sql()})) "
+            "SELECT d.source, lp.lang_pred, count(*) AS n_docs "
+            "FROM documents d JOIN lp ON lp.doc_id = d.doc_id GROUP BY 1, 2"
+        ),
         "documents_sample": (
             # Knuth multiplicative hash on a 2^31 ring: pure BIGINT
             # arithmetic on both sides; thresholds are the engine's

@@ -38,6 +38,7 @@ __all__ = [
     "winnow_fingerprints",
     "countmin_topk",
     "nb_classifier",
+    "lang_by_source",
     "simhash_batch",
     "token_count",
     "text_stats",
@@ -481,6 +482,45 @@ def heavy_hitters(docs_ds, denom: int = 500):
         .aggregate(Sum("cnt", alias_name="cnt"))
         .map_batches(_thresh, batch_format="pyarrow")
         .sort(["cnt", "token"], descending=[True, False])
+    )
+
+
+def lang_by_source(docs_ds):
+    """Corpus-composition crosstab → Dataset(source, lang_pred, n_docs):
+    predicted language (the ``lang_id_batch`` heuristic) × declared source
+    — the sanity dashboard every multi-source crawl ingest gets checked
+    with (a source whose language mix shifts is a scraper regression).
+    One linear pass (the lang kernel + an in-batch (source, pred) count
+    combine), one tiny groupby-sum — exchange volume is
+    O(|sources| × |langs|) per batch."""
+    from ray.data.aggregate import Sum
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        pred = lang_id_batch(batch)["lang_pred"].to_pylist()
+        src = batch["source"].to_pylist()
+        keys = np.asarray([f"{s}\x00{p}" for s, p in zip(src, pred)], dtype=object)
+        if len(keys) == 0:
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    "lang_pred": pa.array([], pa.string()),
+                    "n_docs": pa.array([], pa.int64()),
+                }
+            )
+        u, c = np.unique(keys, return_counts=True)
+        pairs = [k.split("\x00") for k in u]
+        return pa.table(
+            {
+                "source": pa.array([p[0] for p in pairs], pa.string()),
+                "lang_pred": pa.array([p[1] for p in pairs], pa.string()),
+                "n_docs": c.astype(np.int64),
+            }
+        )
+
+    return (
+        docs_ds.map_batches(_partial, batch_format="pyarrow")
+        .groupby(["source", "lang_pred"])
+        .aggregate(Sum("n_docs", alias_name="n_docs"))
     )
 
 

@@ -1032,3 +1032,30 @@ def test_nb_classifier_vs_scalar(ray_session):
         assert got.loc[did, "score"] == scores[best], did
     # the empty doc took the max-prior label (tool: 4 docs vs 3)
     assert got.loc[5, "pred"] == "tool"
+
+
+def test_lang_by_source_crosstab(ray_session):
+    import ray.data as rd
+
+    from subgraph_isomorphism_pregel_ray.pipelines.textops import lang_by_source
+
+    texts = [
+        ("the cat and the dog in a house for it is that", "crawlA"),
+        ("der Hund und die Katze ist ein zu den nicht von", "crawlA"),
+        ("the dog is a good dog it is", "crawlB"),
+        ("le chat et la maison les des un une est que pour", "crawlB"),
+        ("这是 一个 中文 文本 数据", "crawlB"),
+    ]
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": np.arange(len(texts), dtype=np.int64),
+                "text": [t for t, _ in texts],
+                "source": [s for _, s in texts],
+            }
+        )
+    )
+    got = lang_by_source(ds).to_pandas().sort_values(["source", "lang_pred"])
+    exp = [("crawlA", "de", 1), ("crawlA", "en", 1), ("crawlB", "en", 1),
+           ("crawlB", "fr", 1), ("crawlB", "zh", 1)]
+    assert list(map(tuple, got.values)) == exp
