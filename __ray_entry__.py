@@ -774,6 +774,14 @@ def _q_ann_topk_ivf(sf_dir: str):
     return ann_topk_ivf(_emb(sf_dir), ANN_QUERY_IDS, k=ANN_K, index_dir=idx)
 
 
+def _q_shingle_containment(sf_dir: str):
+    """Broder containment ≥ 0.6 over char-5-gram shingles: the directional
+    quote/subset detector (short doc inside long doc) resemblance misses."""
+    from subgraph_isomorphism_pregel_ray.pipelines.dedup import shingle_containment
+
+    return shingle_containment(_docs(sf_dir), k=5, threshold=0.6)
+
+
 def _q_winnow_dup_pairs(sf_dir: str):
     """MOSS pairwise match scores: ordered doc pairs sharing ≥5 distinct
     winnow fingerprints (k=20, w=16 — any shared run ≥ 35 chars is
@@ -1481,6 +1489,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "dup_span_pairs": _q_dup_span_pairs,
         "winnow_dup_pairs": _q_winnow_dup_pairs,
+        "shingle_containment": _q_shingle_containment,
         "simhash_dup_pairs": _q_simhash_pairs,
         "media_features": _q_media_features,
         "host_graph": _q_host_graph,
@@ -3192,6 +3201,29 @@ def oracle_sql() -> dict[str, str]:
             "FROM inter JOIN cnt ca ON ca.doc_id = da "
             "JOIN cnt cb ON cb.doc_id = db "
             "WHERE i * 1.0 / (ca.nsh + cb.nsh - i) >= 0.5"
+        ),
+        "shingle_containment": (
+            # directional containment over the SAME shingle CTEs as the
+            # Jaccard oracle; the engine joins on md5 of the gram — counts
+            # identical modulo 2^-64 collisions (stated md5_lower64 caveat)
+            "WITH pos AS MATERIALIZED (SELECT doc_id, text, "
+            "unnest(generate_series(1, greatest(1, length(text) - 4))) AS i "
+            "FROM documents), "
+            "sh AS MATERIALIZED (SELECT DISTINCT doc_id, "
+            "substr(text, CAST(i AS INT), 5) AS g FROM pos), "
+            "cnt AS MATERIALIZED (SELECT doc_id, count(*) AS nsh FROM sh "
+            "GROUP BY 1), "
+            "inter AS MATERIALIZED (SELECT a.doc_id AS da, b.doc_id AS db, "
+            "count(*) AS n FROM sh a JOIN sh b ON a.g = b.g "
+            "AND a.doc_id < b.doc_id GROUP BY 1, 2) "
+            "SELECT da AS src, db AS dst, n AS n_shared, "
+            "round(n * 1.0 / ca.nsh, 6) AS containment "
+            "FROM inter JOIN cnt ca ON ca.doc_id = da "
+            "WHERE n * 1.0 / ca.nsh >= 0.6 "
+            "UNION ALL "
+            "SELECT db, da, n, round(n * 1.0 / cb.nsh, 6) "
+            "FROM inter JOIN cnt cb ON cb.doc_id = db "
+            "WHERE n * 1.0 / cb.nsh >= 0.6"
         ),
         "dup_span_pairs": (
             # ExactSubstr replay (pipelines/dedup.py dup_span_pairs): every

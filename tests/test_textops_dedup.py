@@ -1059,3 +1059,38 @@ def test_lang_by_source_crosstab(ray_session):
     exp = [("crawlA", "de", 1), ("crawlA", "en", 1), ("crawlB", "en", 1),
            ("crawlB", "fr", 1), ("crawlB", "zh", 1)]
     assert list(map(tuple, got.values)) == exp
+
+
+def test_shingle_containment_directional(ray_session):
+    """A short doc quoted verbatim inside a long one: containment
+    short→long ≈ 1 while long→short is small; values equal the scalar
+    set computation."""
+    from subgraph_isomorphism_pregel_ray.functions.rounding import round_half_away
+    from subgraph_isomorphism_pregel_ray.pipelines.dedup import shingle_containment
+
+    quote = "to be or not to be that is the question"
+    texts = [
+        quote,
+        "a long preamble about something else entirely precedes " + quote +
+        " and then a long discussion follows with many more words after it",
+        "completely unrelated zebra quark text with nothing shared at all",
+    ]
+    k = 5
+    got = (
+        shingle_containment(_docs_ds(texts), k=k, threshold=0.9)
+        .to_pandas()
+        .sort_values(["src", "dst"])
+        .reset_index(drop=True)
+    )
+
+    def sset(t):
+        return {t[i : i + k] for i in range(max(1, len(t) - k + 1))} if len(t) >= k else {t}
+
+    s0, s1 = sset(texts[0]), sset(texts[1])
+    inter = len(s0 & s1)
+    c01 = inter / len(s0)
+    assert c01 >= 0.9  # the quote is (nearly) fully contained
+    assert len(got) == 1  # only short→long passes at 0.9
+    row = got.iloc[0]
+    assert (row.src, row.dst, row.n_shared) == (0, 1, inter)
+    assert row.containment == round_half_away(np.array([c01]), 6)[0]
