@@ -259,6 +259,14 @@ def _q_semi_clustering(sf_dir: str):
     )
 
 
+def _q_label_mixing(sf_dir: str):
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import (
+        label_mixing_matrix,
+    )
+
+    return label_mixing_matrix(sf_dir, mod=3)
+
+
 def _q_bipartite(sf_dir: str):
     from subgraph_isomorphism_pregel_ray.pipelines.algorithms import bipartite_check
 
@@ -1440,6 +1448,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spam_mass_copurchase": _q_spam_mass,
         "bipartite_copurchase": _q_bipartite,
         "semi_clustering_strong": _q_semi_clustering,
+        "label_mixing_copurchase": _q_label_mixing,
         "hits_copurchase": _q_hits,
         "random_walks_copurchase": _q_random_walks,
         "lpa_copurchase": _q_lpa,
@@ -2537,6 +2546,17 @@ def oracle_sql() -> dict[str, str]:
         "ppr_copurchase": _ppr_sql(PR_ITERS),
         "spam_mass_copurchase": _spam_mass_sql(PR_ITERS),
         "bipartite_copurchase": _bipartite_sql(),
+        "label_mixing_copurchase": (
+            # mixing matrix over the symmetric edge CTE; labels are the
+            # part_labels p_size % 3 classes joined on both endpoints
+            f"WITH {_ESYM_MAT}, "
+            "l AS MATERIALIZED (SELECT p_partkey AS vid, "
+            "p_size % 3 AS lbl FROM part) "
+            "SELECT la.lbl AS label_a, lb.lbl AS label_b, "
+            "count(*) AS n_edges FROM e "
+            "JOIN l la ON la.vid = e.src JOIN l lb ON lb.vid = e.dst "
+            "GROUP BY 1, 2"
+        ),
         "hits_copurchase": _hits_sql(HITS_ITERS),
         "random_walks_copurchase": _walk_sql(4),
         "cc_copurchase": _cc_sql(),

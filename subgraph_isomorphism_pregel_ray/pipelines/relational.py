@@ -35,6 +35,7 @@ __all__ = [
     "events_lag",
     "events_rolling",
     "events_zscore",
+    "label_mixing_matrix",
     "events_funnel",
     "events_retention",
     "events_percent_rank",
@@ -470,6 +471,56 @@ def part_labels(sf_dir: str, mod: int = 3):
             }
         ),
         batch_format="pyarrow",
+    )
+
+
+def label_mixing_matrix(sf_dir: str, mod: int = 3):
+    """Label MIXING MATRIX of the co-purchase graph → (label_a, label_b,
+    n_edges): directed symmetrized edge counts by endpoint label
+    (``part_labels``' p_size-derived classes) — the homophily/assortative-
+    mixing structure (Newman 2003, "Mixing patterns in networks"): a
+    diagonal-heavy matrix means same-class products co-sell.
+
+    Scale shape: the label table is a part-dimension lookup (one int per
+    part), broadcast ONCE via ``ray.put`` and probed per edge batch with
+    the shared sorted-dim kernel on BOTH endpoints — no edge shuffle at
+    all; per-batch (label_a, label_b) counts combine in-batch and the
+    final groupby moves ≤ mod² rows per batch. Edges with an endpoint
+    missing from the dimension are dropped (never misattributed) on both
+    sides — the FK guarantees none exist here."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from .build_graph import symmetrize
+
+    lab = part_labels(sf_dir, mod=mod).to_pandas()
+    vids0 = lab["vid"].to_numpy().astype(np.int64)
+    order0 = np.argsort(vids0)
+    lab_ref = ray.put((vids0[order0], lab["label"].to_numpy()[order0]))
+
+    def _mix(t: pa.Table) -> pa.Table:
+        vids, lbls = ray.get(lab_ref)  # pre-sorted by vid
+        s = t["src"].to_numpy().astype(np.int64)
+        d = t["dst"].to_numpy().astype(np.int64)
+        _, pos_s, hit_s = _sorted_dim_lookup(vids, s)
+        _, pos_d, hit_d = _sorted_dim_lookup(vids, d)
+        ok = hit_s & hit_d
+        la, lb = lbls[pos_s[ok]], lbls[pos_d[ok]]
+        key = la * np.int64(mod) + lb
+        uk, c = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                "label_a": (uk // mod).astype(np.int64),
+                "label_b": (uk % mod).astype(np.int64),
+                "n_edges": c.astype(np.int64),
+            }
+        )
+
+    edges = symmetrize(copurchase_edges(sf_dir))
+    return (
+        edges.map_batches(_mix, batch_format="pyarrow")
+        .groupby(["label_a", "label_b"])
+        .aggregate(Sum("n_edges", alias_name="n_edges"))
     )
 
 

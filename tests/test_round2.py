@@ -1323,3 +1323,35 @@ def test_semi_clustering_vs_scalar(ray_session, trial):
             mm, sc = exp[int(row.vid)]
             assert row.cluster == mm, (trial, parts, row.vid)
             assert row.score == round_half_away(np.array([sc]), 6)[0]
+
+
+def test_label_mixing_matrix_properties(ray_session):
+    """Matrix is symmetric (symmetrized edges), totals equal 2×|pairs|
+    with both-endpoint labels, and entries match a pandas replay."""
+    import duckdb
+
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import (
+        label_mixing_matrix,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = (
+        label_mixing_matrix(sf, mod=3)
+        .to_pandas()
+        .sort_values(["label_a", "label_b"])
+        .reset_index(drop=True)
+    )
+    M = got.pivot(index="label_a", columns="label_b", values="n_edges").to_numpy()
+    assert (M == M.T).all()
+    exp = duckdb.sql(
+        f"""WITH e AS (SELECT a.l_partkey s, b.l_partkey d
+        FROM read_parquet('{sf}/lineitem.parquet') a
+        JOIN read_parquet('{sf}/lineitem.parquet') b ON a.l_orderkey = b.l_orderkey
+        WHERE a.l_partkey <> b.l_partkey GROUP BY 1, 2),
+        l AS (SELECT p_partkey vid, p_size % 3 lbl
+        FROM read_parquet('{sf}/part.parquet'))
+        SELECT la.lbl, lb.lbl, count(*) FROM e
+        JOIN l la ON la.vid = e.s JOIN l lb ON lb.vid = e.d
+        GROUP BY 1, 2 ORDER BY 1, 2"""
+    ).fetchall()
+    assert list(map(tuple, got.astype("int64").values)) == [tuple(map(int, r)) for r in exp]
