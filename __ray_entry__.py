@@ -1186,6 +1186,16 @@ def _q_events_value_stats(sf_dir: str):
     return events_value_stats(sf_dir)
 
 
+def _q_events_path_trigrams(sf_dir: str):
+    """Second-order journey triples (the paths a first-order transition
+    matrix can't see)."""
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import (
+        events_path_trigrams,
+    )
+
+    return events_path_trigrams(sf_dir)
+
+
 def _q_events_transition_matrix(sf_dir: str):
     """Markov transition counts over per-user event-type sequences."""
     from subgraph_isomorphism_pregel_ray.pipelines.relational import (
@@ -1545,6 +1555,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_active_backlog": _q_orders_active_backlog,
         "promo_revenue": _q_promo_revenue,
         "events_transition_matrix": _q_events_transition_matrix,
+        "events_path_trigrams": _q_events_path_trigrams,
         "succ_inout_correlation": _q_succ_inout_correlation,
         "forecast_revenue": _q_forecast_revenue,
         "events_value_stats": _q_events_value_stats,
@@ -3477,6 +3488,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT prev AS from_type, event_type AS to_type, "
             "CAST(count(*) AS BIGINT) AS n FROM o "
             "WHERE prev IS NOT NULL GROUP BY 1, 2"
+        ),
+        "events_path_trigrams": (
+            "WITH o AS (SELECT user_id, event_type, "
+            "lag(event_type, 1) OVER w AS p1, "
+            "lag(event_type, 2) OVER w AS p2 FROM events "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) "
+            "SELECT p2 AS t1, p1 AS t2, event_type AS t3, "
+            "CAST(count(*) AS BIGINT) AS n FROM o "
+            "WHERE p2 IS NOT NULL GROUP BY 1, 2, 3"
         ),
         "promo_revenue": (
             # Q14 shape; both sums exact int cents, one final division

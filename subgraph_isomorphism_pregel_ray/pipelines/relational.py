@@ -36,6 +36,7 @@ __all__ = [
     "events_rolling",
     "events_zscore",
     "label_mixing_matrix",
+    "events_path_trigrams",
     "events_funnel",
     "events_retention",
     "events_percent_rank",
@@ -3101,6 +3102,59 @@ def promo_revenue(sf_dir: str, ptype: str = "PROMO", num_buckets: int = 32):
     p, t = int(agg["p"] or 0), int(agg["t"] or 0)
     return pd.DataFrame(
         {"promo_pct": [float(round_half_away(100.0 * p / t, 6)) if t else 0.0]}
+    )
+
+
+def events_path_trigrams(sf_dir: str, num_buckets: int | None = None):
+    """Second-order journey mining: consecutive event-type TRIPLES within
+    each user's timeline (ordered by ts, event_id), counted corpus-wide →
+    (t1, t2, t3, n) — the path patterns a first-order transition matrix
+    cannot see (e.g. view→click→purchase vs view→click→view).
+
+    Same one-shuffle user-bucket machine as ``events_transition_matrix``;
+    a bucket is one lexsort + two shifted compares, pre-aggregated to
+    ≤ |types|³ partials per bucket."""
+    from ray.data.aggregate import Sum
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "ts", "user_id",
+                                               "event_type"])
+    num_buckets = _auto_buckets(ds, num_buckets)
+
+    def _bucket(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy()
+        return t.append_column("b", pa.array((u % num_buckets).astype(np.int32)))
+
+    def _tri(g: pa.Table) -> pa.Table:
+        u = g["user_id"].to_numpy()
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        eid = g["event_id"].to_numpy()
+        typ = g["event_type"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, u))
+        u, typ = u[order], typ[order]
+        tkey, tinv = np.unique(typ, return_inverse=True)
+        k = np.int64(len(tkey))
+        same1 = np.concatenate([[False], u[1:] == u[:-1]])
+        same2 = np.concatenate([[False, False], u[2:] == u[:-2]])
+        ok = same1 & same2  # rows with two same-user predecessors
+        p2 = np.concatenate([[0, 0], tinv[:-2]])
+        p1 = np.concatenate([[0], tinv[:-1]])
+        packed = (p2[ok].astype(np.int64) * k + p1[ok]) * k + tinv[ok]
+        key, cnt = np.unique(packed, return_counts=True)
+        return pa.table(
+            {
+                "t1": tkey[(key // (k * k)).astype(np.int64)],
+                "t2": tkey[((key // k) % k).astype(np.int64)],
+                "t3": tkey[(key % k).astype(np.int64)],
+                "n": cnt.astype(np.int64),
+            }
+        )
+
+    return (
+        ds.map_batches(_bucket, batch_format="pyarrow")
+        .groupby("b")
+        .map_groups(_tri, batch_format="pyarrow")
+        .groupby(["t1", "t2", "t3"])
+        .aggregate(Sum("n", alias_name="n"))
     )
 
 

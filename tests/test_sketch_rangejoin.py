@@ -488,3 +488,23 @@ def test_events_zscore_vs_pandas(ray_session):
             assert got.loc[eid, "zscore"] == exp, eid
             assert got.loc[eid, "n_prev"] == npv
     assert n_checked_gated > 0  # short prefixes actually exercised
+
+
+def test_events_path_trigrams_vs_python(ray_session):
+    from collections import Counter
+
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import (
+        events_path_trigrams,
+    )
+    from subgraph_isomorphism_pregel_ray.sources.tables import read_table
+
+    sf = "/root/testdata/sf0.001"
+    got = events_path_trigrams(sf).to_pandas()
+    ev = read_table(sf, "events", columns=["event_id", "ts", "user_id", "event_type"]).to_pandas()
+    ev = ev.sort_values(["user_id", "ts", "event_id"])
+    exp: Counter = Counter()
+    for _, grp in ev.groupby("user_id"):
+        t = list(grp.event_type)
+        for i in range(2, len(t)):
+            exp[(t[i - 2], t[i - 1], t[i])] += 1
+    assert {(r.t1, r.t2, r.t3): r.n for r in got.itertuples()} == dict(exp)
