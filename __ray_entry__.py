@@ -1186,6 +1186,14 @@ def _q_events_value_stats(sf_dir: str):
     return events_value_stats(sf_dir)
 
 
+def _q_customer_rfm(sf_dir: str):
+    """RFM quintile segmentation; NTILE replicated as closed-form integer
+    arithmetic over distributed sort ordinals (TeraSort two-phase)."""
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import customer_rfm
+
+    return customer_rfm(sf_dir, k=5)
+
+
 def _q_events_path_trigrams(sf_dir: str):
     """Second-order journey triples (the paths a first-order transition
     matrix can't see)."""
@@ -1556,6 +1564,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "promo_revenue": _q_promo_revenue,
         "events_transition_matrix": _q_events_transition_matrix,
         "events_path_trigrams": _q_events_path_trigrams,
+        "customer_rfm": _q_customer_rfm,
         "succ_inout_correlation": _q_succ_inout_correlation,
         "forecast_revenue": _q_forecast_revenue,
         "events_value_stats": _q_events_value_stats,
@@ -3488,6 +3497,21 @@ def oracle_sql() -> dict[str, str]:
             "SELECT prev AS from_type, event_type AS to_type, "
             "CAST(count(*) AS BIGINT) AS n FROM o "
             "WHERE prev IS NOT NULL GROUP BY 1, 2"
+        ),
+        "customer_rfm": (
+            # NTILE(5) per dimension with custkey tie-break — the engine's
+            # closed-form (ordinal, n) tile arithmetic IS SQL NTILE
+            "WITH agg AS MATERIALIZED (SELECT o_custkey AS custkey, "
+            "max(o_orderdate) AS r, count(*) AS f, "
+            "sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS m "
+            "FROM orders GROUP BY 1) "
+            "SELECT custkey, r_tile, f_tile, m_tile, "
+            "r_tile * 100 + f_tile * 10 + m_tile AS rfm FROM ("
+            "SELECT custkey, "
+            "CAST(ntile(5) OVER (ORDER BY r DESC, custkey) AS BIGINT) AS r_tile, "
+            "CAST(ntile(5) OVER (ORDER BY f DESC, custkey) AS BIGINT) AS f_tile, "
+            "CAST(ntile(5) OVER (ORDER BY m DESC, custkey) AS BIGINT) AS m_tile "
+            "FROM agg)"
         ),
         "events_path_trigrams": (
             "WITH o AS (SELECT user_id, event_type, "

@@ -37,6 +37,7 @@ __all__ = [
     "events_zscore",
     "label_mixing_matrix",
     "events_path_trigrams",
+    "customer_rfm",
     "events_funnel",
     "events_retention",
     "events_percent_rank",
@@ -3102,6 +3103,109 @@ def promo_revenue(sf_dir: str, ptype: str = "PROMO", num_buckets: int = 32):
     p, t = int(agg["p"] or 0), int(agg["t"] or 0)
     return pd.DataFrame(
         {"promo_pct": [float(round_half_away(100.0 * p / t, 6)) if t else 0.0]}
+    )
+
+
+def customer_rfm(sf_dir: str, k: int = 5, num_buckets: int | None = None):
+    """RFM customer segmentation (Hughes 1994; the classic marketing
+    quantile code) → (custkey, r_tile, f_tile, m_tile, rfm): NTILE(k)
+    quintiles of Recency (last order date, most recent = tile 1),
+    Frequency (order count) and Monetary (exact cents total), rfm =
+    100·r + 10·f + m. Tie-break custkey ASC everywhere, so every tile
+    edge is deterministic.
+
+    Scale shape: one orders pass with in-batch per-customer combine + one
+    groupby → the per-customer aggregate table; each dimension is then a
+    DISTRIBUTED sort with global ordinal (the TeraSort two-phase trick,
+    ``stages/sort.py``) and the tile is closed-form integer arithmetic on
+    (ordinal, n) — NTILE without a window engine and without
+    materializing customers on the driver; the three tile columns meet in
+    the custkey-bucket union-groupby (no chained joins)."""
+    from ray.data.aggregate import Max, Sum
+
+    from ..stages.sort import sort_with_ordinal
+
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_custkey", "o_orderdate", "o_totalprice"])
+    num_buckets = _auto_buckets(orders, num_buckets)
+
+    def _partial(t: pa.Table) -> pa.Table:
+        c = t["o_custkey"].to_numpy()
+        r = t["o_orderdate"].to_numpy().astype("datetime64[D]").astype(np.int64)
+        m = np.round(t["o_totalprice"].to_numpy() * 100).astype(np.int64)
+        uc, inv = np.unique(c, return_inverse=True)
+        rmax = np.full(len(uc), np.iinfo(np.int64).min, dtype=np.int64)
+        np.maximum.at(rmax, inv, r)
+        f = np.bincount(inv).astype(np.int64)
+        ms = np.zeros(len(uc), dtype=np.int64)
+        np.add.at(ms, inv, m)
+        return pa.table({"custkey": uc, "r": rmax, "f": f, "m": ms})
+
+    agg = (
+        orders.map_batches(_partial, batch_format="pyarrow")
+        .groupby("custkey")
+        .aggregate(
+            Max("r", alias_name="r"),
+            Sum("f", alias_name="f"),
+            Sum("m", alias_name="m"),
+        )
+        .materialize()
+    )
+    n = agg.count()
+    K = np.int64(k)
+
+    def _tile_stage(dim: str, tag: int):
+        def _tile(t: pa.Table) -> pa.Table:
+            p = t["ordinal"].to_numpy()
+            small = np.int64(n) // K
+            n_big = np.int64(n) % K
+            cut = n_big * (small + 1)
+            tile = np.where(
+                p < cut,
+                p // np.maximum(small + 1, 1),
+                n_big + (p - cut) // np.maximum(small, 1),
+            ) + 1
+            return pa.table(
+                {
+                    "custkey": t["custkey"],
+                    "tag": np.full(len(p), tag, dtype=np.int8),
+                    "tile": tile.astype(np.int64),
+                }
+            )
+
+        return sort_with_ordinal(
+            agg.select_columns(["custkey", dim]),
+            [dim, "custkey"],
+            descending=[True, False],
+        ).map_batches(_tile, batch_format="pyarrow")
+
+    arms = _tile_stage("r", 0).union(_tile_stage("f", 1), _tile_stage("m", 2))
+
+    def _bucket(t: pa.Table) -> pa.Table:
+        c = t["custkey"].to_numpy()
+        return t.append_column("b", pa.array((c % num_buckets).astype(np.int32)))
+
+    def _resolve(g: pa.Table) -> pa.Table:
+        c = g["custkey"].to_numpy()
+        tag = g["tag"].to_numpy()
+        tile = g["tile"].to_numpy()
+        uc, inv = np.unique(c, return_inverse=True)
+        tiles = np.zeros((len(uc), 3), dtype=np.int64)
+        tiles[inv, tag] = tile
+        return pa.table(
+            {
+                "custkey": uc,
+                "r_tile": tiles[:, 0],
+                "f_tile": tiles[:, 1],
+                "m_tile": tiles[:, 2],
+                "rfm": tiles[:, 0] * 100 + tiles[:, 1] * 10 + tiles[:, 2],
+            }
+        )
+
+    return (
+        arms.map_batches(_bucket, batch_format="pyarrow")
+        .groupby("b")
+        .map_groups(_resolve, batch_format="pyarrow")
     )
 
 

@@ -1355,3 +1355,27 @@ def test_label_mixing_matrix_properties(ray_session):
         GROUP BY 1, 2 ORDER BY 1, 2"""
     ).fetchall()
     assert list(map(tuple, got.astype("int64").values)) == [tuple(map(int, r)) for r in exp]
+
+
+def test_customer_rfm_vs_duckdb(ray_session):
+    import duckdb
+
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import customer_rfm
+
+    sf = "/root/testdata/sf0.001"
+    got = customer_rfm(sf, k=5).to_pandas().sort_values("custkey").reset_index(drop=True)
+    exp = duckdb.sql(
+        f"""WITH agg AS (SELECT o_custkey custkey, max(o_orderdate) r, count(*) f,
+        sum(CAST(round(o_totalprice*100) AS BIGINT)) m
+        FROM read_parquet('{sf}/orders.parquet') GROUP BY 1)
+        SELECT custkey, ntile(5) OVER (ORDER BY r DESC, custkey) r_tile,
+        ntile(5) OVER (ORDER BY f DESC, custkey) f_tile,
+        ntile(5) OVER (ORDER BY m DESC, custkey) m_tile FROM agg ORDER BY custkey"""
+    ).df()
+    for c in ["r_tile", "f_tile", "m_tile"]:
+        assert (got[c].values == exp[c].astype("int64").values).all(), c
+    assert (got.rfm == got.r_tile * 100 + got.f_tile * 10 + got.m_tile).all()
+    # quintiles are balanced: tile sizes differ by at most 1
+    for c in ["r_tile", "f_tile", "m_tile"]:
+        sizes = got[c].value_counts()
+        assert sizes.max() - sizes.min() <= 1
