@@ -1186,6 +1186,14 @@ def _q_events_value_stats(sf_dir: str):
     return events_value_stats(sf_dir)
 
 
+def _q_events_ema(sf_dir: str):
+    """Per-user EMA; bit-exact via recurrence-order parity with the
+    recursive-CTE oracle (see relational.events_ema)."""
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import events_ema
+
+    return events_ema(sf_dir, alpha=0.25)
+
+
 def _q_customer_rfm(sf_dir: str):
     """RFM quintile segmentation; NTILE replicated as closed-form integer
     arithmetic over distributed sort ordinals (TeraSort two-phase)."""
@@ -1565,6 +1573,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_transition_matrix": _q_events_transition_matrix,
         "events_path_trigrams": _q_events_path_trigrams,
         "customer_rfm": _q_customer_rfm,
+        "events_ema": _q_events_ema,
         "succ_inout_correlation": _q_succ_inout_correlation,
         "forecast_revenue": _q_forecast_revenue,
         "events_value_stats": _q_events_value_stats,
@@ -3497,6 +3506,20 @@ def oracle_sql() -> dict[str, str]:
             "SELECT prev AS from_type, event_type AS to_type, "
             "CAST(count(*) AS BIGINT) AS n FROM o "
             "WHERE prev IS NOT NULL GROUP BY 1, 2"
+        ),
+        "events_ema": (
+            # recursive CTE advancing one within-user position per step —
+            # the SAME 0.25*x + 0.75*y_prev recurrence, same float order,
+            # as the engine's step-vectorized bucket kernel
+            "WITH RECURSIVE b AS (SELECT event_id, user_id, value, "
+            "CAST(row_number() OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id) AS BIGINT) - 1 AS pos FROM events), "
+            "r AS (SELECT event_id, user_id, pos, value AS ema FROM b "
+            "WHERE pos = 0 UNION ALL "
+            "SELECT b.event_id, b.user_id, b.pos, "
+            "0.25 * b.value + 0.75 * r.ema "
+            "FROM b JOIN r ON r.user_id = b.user_id AND b.pos = r.pos + 1) "
+            "SELECT event_id, round(ema, 6) AS ema FROM r"
         ),
         "customer_rfm": (
             # NTILE(5) per dimension with custkey tie-break — the engine's

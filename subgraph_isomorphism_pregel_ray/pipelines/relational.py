@@ -38,6 +38,7 @@ __all__ = [
     "label_mixing_matrix",
     "events_path_trigrams",
     "customer_rfm",
+    "events_ema",
     "events_funnel",
     "events_retention",
     "events_percent_rank",
@@ -3103,6 +3104,62 @@ def promo_revenue(sf_dir: str, ptype: str = "PROMO", num_buckets: int = 32):
     p, t = int(agg["p"] or 0), int(agg["t"] or 0)
     return pd.DataFrame(
         {"promo_pct": [float(round_half_away(100.0 * p / t, 6)) if t else 0.0]}
+    )
+
+
+def events_ema(
+    sf_dir: str, alpha: float = 0.25, num_buckets: int | None = None
+):
+    """Per-user EXPONENTIAL moving average of ``value`` →
+    (event_id, ema): y₀ = x₀, yᵢ = α·xᵢ + (1−α)·yᵢ₋₁ over the user's
+    (ts, event_id) order — the O(1)-state smoother (vs the O(W) rolling
+    window) every streaming anomaly/trend stack runs.
+
+    Bit-exactness by RECURRENCE-ORDER PARITY: an EMA is inherently
+    sequential, so instead of a closed-form rescaled scan (whose float
+    rounding would drift from SQL's), the bucket kernel iterates over
+    POSITIONS — one vectorized step per within-user position, every user
+    in the bucket advanced at once — evaluating literally
+    ``alpha * x + (1 - alpha) * y_prev`` per step, the SAME two products
+    and one add, in the SAME order, as the oracle's recursive CTE. Step
+    count per bucket = the longest user timeline (≤ 99 here), each step
+    a full-width numpy expression — not a per-row loop.
+
+    Scale shape: the shared ONE-shuffle user-hash bucket machine."""
+    from ..functions.rounding import round_half_away
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"])
+    num_buckets = _auto_buckets(ds, num_buckets)
+    a = float(alpha)
+
+    def _bucket(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy()
+        return t.append_column("b", pa.array((u % num_buckets).astype(np.int32)))
+
+    def _ema(g: pa.Table) -> pa.Table:
+        u = g["user_id"].to_numpy()
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        eid = g["event_id"].to_numpy()
+        x = g["value"].to_numpy()
+        order = np.lexsort((eid, ts, u))
+        u, eid, x = u[order], eid[order], x[order]
+        n = len(u)
+        new_seg = np.concatenate([[True], u[1:] != u[:-1]])
+        seg_start = np.maximum.accumulate(np.where(new_seg, np.arange(n), 0))
+        pos = np.arange(n) - seg_start
+        y = x.copy()  # position 0: y = x
+        max_pos = int(pos.max()) if n else 0
+        for p in range(1, max_pos + 1):
+            m = pos == p
+            y[m] = a * x[m] + (1 - a) * y[np.nonzero(m)[0] - 1]
+        return pa.table(
+            {"event_id": eid, "ema": round_half_away(y, 6)}
+        )
+
+    return (
+        ds.map_batches(_bucket, batch_format="pyarrow")
+        .groupby("b")
+        .map_groups(_ema, batch_format="pyarrow")
     )
 
 

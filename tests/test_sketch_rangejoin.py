@@ -508,3 +508,21 @@ def test_events_path_trigrams_vs_python(ray_session):
         for i in range(2, len(t)):
             exp[(t[i - 2], t[i - 1], t[i])] += 1
     assert {(r.t1, r.t2, r.t3): r.n for r in got.itertuples()} == dict(exp)
+
+
+def test_events_ema_vs_python(ray_session):
+    """EMA equals the literal per-user recurrence (same float op order)."""
+    from subgraph_isomorphism_pregel_ray.functions.rounding import round_half_away
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import events_ema
+    from subgraph_isomorphism_pregel_ray.sources.tables import read_table
+
+    sf = "/root/testdata/sf0.001"
+    a = 0.25
+    got = events_ema(sf, alpha=a).to_pandas().set_index("event_id")["ema"]
+    ev = read_table(sf, "events", columns=["event_id", "ts", "user_id", "value"]).to_pandas()
+    ev = ev.sort_values(["user_id", "ts", "event_id"])
+    for _, grp in ev.groupby("user_id"):
+        y = None
+        for eid, x in zip(grp.event_id, grp.value):
+            y = x if y is None else a * x + (1 - a) * y
+            assert got[eid] == round_half_away(np.array([y]), 6)[0], eid
