@@ -782,6 +782,14 @@ def _q_ann_topk_ivf(sf_dir: str):
     return ann_topk_ivf(_emb(sf_dir), ANN_QUERY_IDS, k=ANN_K, index_dir=idx)
 
 
+def _q_dup_rate_by_source(sf_dir: str):
+    from subgraph_isomorphism_pregel_ray.pipelines.dedup import dup_rate_by_source
+    from subgraph_isomorphism_pregel_ray.sources.tables import read_table
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text", "source"])
+    return dup_rate_by_source(docs)
+
+
 def _q_shingle_containment(sf_dir: str):
     """Broder containment ≥ 0.6 over char-5-gram shingles: the directional
     quote/subset detector (short doc inside long doc) resemblance misses."""
@@ -1525,6 +1533,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_span_pairs": _q_dup_span_pairs,
         "winnow_dup_pairs": _q_winnow_dup_pairs,
         "shingle_containment": _q_shingle_containment,
+        "dup_rate_by_source": _q_dup_rate_by_source,
         "simhash_dup_pairs": _q_simhash_pairs,
         "media_features": _q_media_features,
         "host_graph": _q_host_graph,
@@ -3250,6 +3259,14 @@ def oracle_sql() -> dict[str, str]:
             "FROM inter JOIN cnt ca ON ca.doc_id = da "
             "JOIN cnt cb ON cb.doc_id = db "
             "WHERE i * 1.0 / (ca.nsh + cb.nsh - i) >= 0.5"
+        ),
+        "dup_rate_by_source": (
+            # distinct-text ≡ distinct-md5 (the engine hashes; md5
+            # collisions are the stated 2^-64 caveat); one int division
+            "SELECT source, CAST(count(*) AS BIGINT) AS n_docs, "
+            "CAST(count(DISTINCT text) AS BIGINT) AS n_unique, "
+            "round(1.0 - count(DISTINCT text) * 1.0 / count(*), 6) "
+            "AS dup_rate FROM documents GROUP BY 1"
         ),
         "shingle_containment": (
             # directional containment over the SAME shingle CTEs as the

@@ -51,6 +51,7 @@ __all__ = [
     "dup_span_pairs",
     "winnow_dup_pairs",
     "shingle_containment",
+    "dup_rate_by_source",
 ]
 
 _MERSENNE = np.uint64((1 << 61) - 1)
@@ -405,6 +406,74 @@ def ngram_jaccard_pairs(docs_ds, k: int = 5, threshold: float = 0.5):
         .map_groups(_bucket_pairs, batch_format="pyarrow")
     )
     return _verify_pairs_exact(sh_ds, cand, threshold)
+
+
+def dup_rate_by_source(docs_ds):
+    """Per-source duplication health → Dataset(source, n_docs, n_unique,
+    dup_rate): distinct-content counts per source vs raw doc counts,
+    dup_rate = 1 − n_unique/n_docs rounded to 6 — the ingest dashboard
+    that catches a crawler re-fetching the same pages (per-source exact
+    dup rate spikes long before corpus-level dedup notices).
+
+    Scale shape: one linear pass hashing text (md5, same hash as
+    ``exact_dedup``) with per-batch (source, hash) distinct combine, one
+    groupby over (source, hash) for global distinctness, then a tiny
+    per-source fold. The dup_rate division is one int/int IEEE op —
+    bit-exact vs SQL."""
+    from ray.data.aggregate import Count, Sum
+
+    def _hash(batch: pa.Table) -> pa.Table:
+        src = batch["source"].to_pylist()
+        h = md5_hex_batch(batch["text"].to_pylist())
+        return pa.table(
+            {
+                "source": pa.array(src, pa.string()),
+                "content_hash": h,
+                "n": np.ones(len(src), dtype=np.int64),
+            }
+        )
+
+    per_hash = (
+        docs_ds.map_batches(_hash, batch_format="pyarrow")
+        .groupby(["source", "content_hash"])
+        .aggregate(Sum("n", alias_name="n_docs"))
+    )
+
+    def _fold(t: pa.Table) -> pa.Table:
+        src = np.asarray(t["source"].to_pylist(), dtype=object)
+        nd = t["n_docs"].to_numpy().astype(np.int64)
+        u, inv = np.unique(src, return_inverse=True)
+        docs = np.zeros(len(u), dtype=np.int64)
+        uniq = np.zeros(len(u), dtype=np.int64)
+        np.add.at(docs, inv, nd)
+        np.add.at(uniq, inv, 1)
+        return pa.table(
+            {
+                "source": pa.array(list(u), pa.string()),
+                "n_docs": docs,
+                "n_unique": uniq,
+            }
+        )
+
+    agg = (
+        per_hash.map_batches(_fold, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("n_unique", alias_name="n_unique"),
+        )
+    )
+
+    def _rate(t: pa.Table) -> pa.Table:
+        from ..functions.rounding import round_half_away
+
+        nd = t["n_docs"].to_numpy().astype(np.float64)
+        nu = t["n_unique"].to_numpy().astype(np.float64)
+        return t.append_column(
+            "dup_rate", pa.array(round_half_away(1.0 - nu / nd, 6))
+        )
+
+    return agg.map_batches(_rate, batch_format="pyarrow")
 
 
 def shingle_containment(docs_ds, k: int = 5, threshold: float = 0.6):

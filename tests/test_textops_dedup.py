@@ -1094,3 +1094,28 @@ def test_shingle_containment_directional(ray_session):
     row = got.iloc[0]
     assert (row.src, row.dst, row.n_shared) == (0, 1, inter)
     assert row.containment == round_half_away(np.array([c01]), 6)[0]
+
+
+def test_dup_rate_by_source(ray_session):
+    import ray.data as rd
+
+    from subgraph_isomorphism_pregel_ray.pipelines.dedup import dup_rate_by_source
+
+    texts = [
+        ("same text", "dirty"), ("same text", "dirty"), ("same text", "dirty"),
+        ("other", "dirty"),
+        ("a", "clean"), ("b", "clean"),
+    ]
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": np.arange(len(texts), dtype=np.int64),
+                "text": [t for t, _ in texts],
+                "source": [s for _, s in texts],
+            }
+        )
+    )
+    got = dup_rate_by_source(ds).to_pandas().set_index("source")
+    assert got.loc["dirty", "n_docs"] == 4 and got.loc["dirty", "n_unique"] == 2
+    assert got.loc["dirty", "dup_rate"] == 0.5
+    assert got.loc["clean", "dup_rate"] == 0.0
