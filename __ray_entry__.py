@@ -713,6 +713,16 @@ def _q_fingerprint(sf_dir: str):
     return fingerprint(_docs(sf_dir))
 
 
+def _q_embedding_label_centroids(sf_dir: str):
+    from subgraph_isomorphism_pregel_ray.pipelines.similarity import (
+        embedding_label_centroids,
+    )
+    from subgraph_isomorphism_pregel_ray.sources.tables import read_table
+
+    emb = read_table(sf_dir, "embeddings", columns=["embedding", "label"])
+    return embedding_label_centroids(emb)
+
+
 def _q_lang_by_source(sf_dir: str):
     from subgraph_isomorphism_pregel_ray.pipelines.textops import lang_by_source
     from subgraph_isomorphism_pregel_ray.sources.tables import read_table
@@ -1520,6 +1530,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "countmin_topk": _q_countmin,
         "nb_source_pred": _q_nb_source_pred,
         "lang_by_source": _q_lang_by_source,
+        "embedding_label_centroids": _q_embedding_label_centroids,
         "simhash": _q_simhash,
         "minhash_dup_pairs": _q_minhash_pairs,
         "embedding_dup_pairs": _q_embedding_dups,
@@ -3195,6 +3206,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT m.event_id, max(p.rid) AS prior_event_id, m.prior_ts "
             "FROM m JOIN pr p ON p.event_id = m.event_id AND p.rts = m.prior_ts "
             "GROUP BY m.event_id, m.prior_ts"
+        ),
+        "embedding_label_centroids": (
+            # per-(label, dim) float means; unnest WITH ORDINALITY replayed
+            # via generate_subscripts (1-based, matching the engine)
+            "WITH u AS (SELECT label, unnest(embedding) AS x, "
+            "generate_subscripts(embedding, 1) AS dim FROM embeddings) "
+            "SELECT CAST(label AS BIGINT) AS label, CAST(dim AS BIGINT) AS dim, "
+            "CAST(count(*) AS BIGINT) AS n, "
+            "round(sum(CAST(x AS DOUBLE)) / count(*), 6) AS centroid "
+            "FROM u GROUP BY 1, 2"
         ),
         "embedding_dup_pairs": (
             "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, "

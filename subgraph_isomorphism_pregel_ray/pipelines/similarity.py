@@ -24,6 +24,7 @@ from ..functions.rounding import round_half_away
 import pyarrow as pa
 
 __all__ = ["ann_topk", "ann_topk_ivf", "build_ivf_index", "knn_graph",
+           "embedding_label_centroids",
            "embedding_pca_top"]
 
 
@@ -252,6 +253,60 @@ def ann_topk_ivf(
         }
         return out, stats
     return out
+
+
+def embedding_label_centroids(emb_ds):
+    """Per-class centroid table → Dataset(label, dim, n, centroid): the
+    class-separation diagnostic every labeled embedding corpus gets
+    checked with (collapsed or drifting per-class centroids = upstream
+    featurizer regression). One streaming pass: each batch emits per-label
+    (dim, Σx, n) partials — k·dim rows, never vectors — and one tiny
+    groupby-sum folds the corpus; centroid = Σx/n rounded to 6 (float-sum
+    order noise ~1e-13, far below the round — same posture as the other
+    float-mean oracles). ``dim`` is 1-based to match the SQL oracle's
+    ``generate_subscripts``."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.rounding import round_half_away
+
+    def _partial(t: pa.Table) -> pa.Table:
+        lab = t["label"].to_numpy()
+        M = np.stack(t["embedding"].to_numpy(zero_copy_only=False)).astype(
+            np.float64
+        )
+        ul, inv = np.unique(lab, return_inverse=True)
+        dim = M.shape[1]
+        sums = np.zeros((len(ul), dim))
+        np.add.at(sums, inv, M)
+        n = np.bincount(inv).astype(np.int64)
+        return pa.table(
+            {
+                "label": np.repeat(ul.astype(np.int64), dim),
+                "dim": np.tile(np.arange(1, dim + 1, dtype=np.int64), len(ul)),
+                "s": sums.reshape(-1),
+                "n": np.repeat(n, dim),
+            }
+        )
+
+    agg = (
+        emb_ds.map_batches(_partial, batch_format="pyarrow")
+        .groupby(["label", "dim"])
+        .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n"))
+    )
+
+    def _final(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "label": t["label"],
+                "dim": t["dim"],
+                "n": t["n"],
+                "centroid": round_half_away(
+                    t["s"].to_numpy() / t["n"].to_numpy(), 6
+                ),
+            }
+        )
+
+    return agg.map_batches(_final, batch_format="pyarrow")
 
 
 def kmeans_embeddings(emb_ds, k: int = 8, iters: int = 5):

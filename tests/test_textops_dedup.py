@@ -1119,3 +1119,37 @@ def test_dup_rate_by_source(ray_session):
     assert got.loc["dirty", "n_docs"] == 4 and got.loc["dirty", "n_unique"] == 2
     assert got.loc["dirty", "dup_rate"] == 0.5
     assert got.loc["clean", "dup_rate"] == 0.0
+
+
+def test_embedding_label_centroids(ray_session):
+    import ray.data as rd
+
+    from subgraph_isomorphism_pregel_ray.functions.rounding import round_half_away
+    from subgraph_isomorphism_pregel_ray.pipelines.similarity import (
+        embedding_label_centroids,
+    )
+
+    rng = np.random.default_rng(9)
+    n, dim = 60, 8
+    M = rng.standard_normal((n, dim)).astype(np.float32)
+    lab = rng.integers(0, 3, n).astype(np.int32)
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "embedding": pa.array(list(M), type=pa.list_(pa.float32())),
+                "label": lab,
+            }
+        )
+    )
+    got = (
+        embedding_label_centroids(ds)
+        .to_pandas()
+        .sort_values(["label", "dim"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == 3 * dim
+    for l in range(3):
+        exp = round_half_away(M[lab == l].astype(np.float64).mean(axis=0), 6)
+        g = got[got.label == l]
+        assert (g.n == (lab == l).sum()).all()
+        np.testing.assert_allclose(g.centroid.values, exp, atol=1e-9)
