@@ -53,3 +53,39 @@ def test_match_checkpoint_resume_identical(ray_session, tmp_path):
     res_t = engB.result_table().to_pandas().sort_values("vid").reset_index(drop=True)
     engB.shutdown()
     assert full_t.equals(res_t)
+
+
+def test_semicluster_checkpoint_resume_identical(ray_session, tmp_path):
+    """Kill the semi-clustering run mid-fixpoint, resume from the
+    checkpointed cluster lists, end with byte-identical output."""
+    rng = np.random.default_rng(31)
+    pairs = sorted(
+        {
+            (min(int(a), int(b)), max(int(a), int(b)))
+            for a, b in rng.integers(0, 40, (90, 2))
+            if a != b
+        }
+    )
+    s = np.array([a for a, b in pairs], dtype=np.int64)
+    d = np.array([b for a, b in pairs], dtype=np.int64)
+    gdir, ck = str(tmp_path / "g"), str(tmp_path / "ck")
+    partition_graph(edges_from_arrays(s, d), 3, gdir, directed=False)
+    params = {"iters": 5, "c_max": 2, "m_max": 4, "f_b": 0.1}
+
+    eng = BSPEngine(gdir, 3)
+    eng.run("semicluster", dict(params), max_steps=7)
+    full = eng.result_table().to_pandas().sort_values("vid").reset_index(drop=True)
+    eng.shutdown()
+
+    engA = BSPEngine(gdir, 3)  # "killed" after step 2
+    engA.run("semicluster", dict(params), max_steps=3,
+             checkpoint_dir=ck, checkpoint_every=1)
+    engA.shutdown()
+    assert os.path.isdir(os.path.join(ck, "step=2"))
+
+    engB = BSPEngine(gdir, 3)
+    engB.run("semicluster", dict(params), max_steps=7,
+             checkpoint_dir=ck, checkpoint_every=1, resume=True)
+    res = engB.result_table().to_pandas().sort_values("vid").reset_index(drop=True)
+    engB.shutdown()
+    assert full.equals(res)
