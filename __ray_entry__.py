@@ -259,6 +259,18 @@ def _q_semi_clustering(sf_dir: str):
     )
 
 
+def _q_matching(sf_dir: str):
+    from subgraph_isomorphism_pregel_ray.pipelines.algorithms import maximal_matching
+
+    res, _ = maximal_matching(_sym_copurchase(sf_dir), num_parts=4)
+    return pa.table(
+        {
+            "vid": res["vid"].to_numpy().view(np.int64),
+            "partner": res["partner"],
+        }
+    )
+
+
 def _q_label_mixing(sf_dir: str):
     from subgraph_isomorphism_pregel_ray.pipelines.relational import (
         label_mixing_matrix,
@@ -1493,6 +1505,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bipartite_copurchase": _q_bipartite,
         "semi_clustering_strong": _q_semi_clustering,
         "label_mixing_copurchase": _q_label_mixing,
+        "matching_copurchase": _q_matching,
         "hits_copurchase": _q_hits,
         "random_walks_copurchase": _q_random_walks,
         "lpa_copurchase": _q_lpa,
@@ -1841,6 +1854,50 @@ def _ppr_sql(iters: int, damping: float = 0.85, seed_mod: int = 10) -> str:
             f"JOIN deg d2 ON d2.vid = e.src GROUP BY e.dst) c ON c.vid = sd.vid)"
         )
     return ", ".join(parts) + f" SELECT vid, round(pr, 8) AS pr FROM r{iters}"
+
+
+def _matching_sql(rounds: int = 24) -> str:
+    """Unrolled handshake maximal matching (programs.MaximalMatchingProgram):
+    per round every live vertex points along its min-(md5 edge hash, dst)
+    live edge; mutual pointers match and deactivate. The globally minimal
+    live edge always matches, so rounds needed ≤ matched edges; the
+    sf0.001/sf0.01 co-purchase graphs converge in ≤ 8 rounds (hash
+    priorities shuffle any adversarial chain); 24 is the safety margin —
+    empty rounds are identity."""
+    parts = [
+        f"WITH {_ESYM_MAT}",
+        "v AS MATERIALIZED (SELECT DISTINCT src AS vid FROM e)",
+        "ep AS MATERIALIZED (SELECT src, dst, md5_number_lower(concat("
+        "CAST(least(src, dst) AS VARCHAR), ':', "
+        "CAST(greatest(src, dst) AS VARCHAR))) AS ph FROM e)",
+        "a0 AS MATERIALIZED (SELECT vid FROM v)",
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"p{i} AS MATERIALIZED (SELECT src, dst FROM ("
+            "SELECT ep.src, ep.dst, row_number() OVER ("
+            "PARTITION BY ep.src ORDER BY ep.ph, ep.dst) AS rn "
+            f"FROM ep JOIN a{i-1} x ON x.vid = ep.src "
+            f"JOIN a{i-1} y ON y.vid = ep.dst) WHERE rn = 1)"
+        )
+        parts.append(
+            f"n{i} AS MATERIALIZED (SELECT p1.src AS u, p1.dst AS w "
+            f"FROM p{i} p1 JOIN p{i} p2 ON p2.src = p1.dst "
+            "AND p2.dst = p1.src WHERE p1.src < p1.dst)"
+        )
+        parts.append(
+            f"a{i} AS MATERIALIZED (SELECT vid FROM a{i-1} WHERE vid NOT IN "
+            f"(SELECT u FROM n{i} UNION ALL SELECT w FROM n{i}))"
+        )
+    match_union = " UNION ALL ".join(
+        f"SELECT u, w FROM n{i}" for i in range(1, rounds + 1)
+    )
+    return ", ".join(parts) + (
+        f", nn AS (SELECT u, w FROM ({match_union})) "
+        "SELECT v.vid, coalesce(m.partner, -1) AS partner FROM v "
+        "LEFT JOIN (SELECT u AS vid, w AS partner FROM nn "
+        "UNION ALL SELECT w, u FROM nn) m ON m.vid = v.vid"
+    )
 
 
 def _bipartite_sql(iters: int = 16) -> str:
@@ -2595,6 +2652,7 @@ def oracle_sql() -> dict[str, str]:
         "ppr_copurchase": _ppr_sql(PR_ITERS),
         "spam_mass_copurchase": _spam_mass_sql(PR_ITERS),
         "bipartite_copurchase": _bipartite_sql(),
+        "matching_copurchase": _matching_sql(),
         "label_mixing_copurchase": (
             # mixing matrix over the symmetric edge CTE; labels are the
             # part_labels p_size % 3 classes joined on both endpoints

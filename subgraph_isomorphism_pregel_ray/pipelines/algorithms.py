@@ -58,6 +58,7 @@ __all__ = [
     "spam_mass",
     "bipartite_check",
     "semi_clustering",
+    "maximal_matching",
     "component_size_histogram",
 ]
 
@@ -202,6 +203,20 @@ def connected_components(edges_or_engine, num_parts: int = 8, max_steps: int = 2
     eng, lineage, own = _run(
         edges_or_engine, "cc", {}, num_parts, max_steps, directed=False,
         checkpoint_dir=checkpoint_dir, checkpoint_every=checkpoint_every, resume=resume,
+    )
+    out = eng.result_table()
+    if own:
+        eng.shutdown()
+    return out, lineage
+
+
+def maximal_matching(edges_or_engine, num_parts: int = 8, max_steps: int = 200):
+    """Distributed maximal matching (handshake mutual-min; see
+    ``MaximalMatchingProgram``) → (table(vid, partner), lineage); partner
+    = −1 for unmatched vertices. Deterministic (symmetric md5 edge
+    priorities) and partition-count invariant."""
+    eng, lineage, own = _run(
+        edges_or_engine, "matching", {}, num_parts, max_steps, directed=False
     )
     out = eng.result_table()
     if own:

@@ -820,6 +820,161 @@ class MaximalIndependentSetProgram(VertexProgram):
 
 
 # --------------------------------------------------------------------------
+class MaximalMatchingProgram(VertexProgram):
+    """Distributed maximal matching by the HANDSHAKE rule (the matching
+    analogue of Luby's MIS; Israeli & Itai 1986 lineage, made
+    deterministic): every round, each live vertex points along its
+    minimum-priority live edge; an edge is matched when BOTH endpoints
+    point at each other (the globally minimal live edge always is, so ≥ 1
+    edge matches per round); matched vertices announce and their incident
+    edges die. Edge priority = ``md5_lower64(f"{min}:{max}")`` — symmetric
+    and SQL-replayable (``md5_number_lower(concat(...))``), ties broken by
+    neighbor vid, so the run is deterministic and partition-count
+    invariant.
+
+    Cadence mirrors MIS: even steps scatter proposals (consumed at the
+    next odd apply, which resolves mutual pairs), odd steps scatter death
+    announcements (consumed at the next even apply, which kills edges).
+    A live vertex whose edges have all died can never be proposed to
+    again (a live edge needs two live endpoints), so it silently leaves
+    the active count. → result (vid, partner), partner −1 if unmatched.
+    """
+
+    _ACTIVE, _MATCHED = np.int8(0), np.int8(1)
+
+    def init(self, csr: CSRPartition):
+        from ..functions.hashing import md5_lower64
+
+        self.csr = csr
+        rows = np.repeat(
+            np.arange(csr.num_vertices, dtype=np.int64), np.diff(csr.indptr)
+        )
+        u = csr.vids[rows].astype(np.int64)
+        v = csr.indices.astype(np.int64)
+        lo, hi = np.minimum(u, v), np.maximum(u, v)
+        self.eprio = md5_lower64(
+            np.array([f"{a}:{b}" for a, b in zip(lo, hi)], dtype=object)
+        )
+        self.erow = rows
+        self.edge_live = np.ones(csr.num_edges, dtype=bool)
+        self.status = np.zeros(csr.num_vertices, dtype=np.int8)
+        self.partner = np.full(csr.num_vertices, -1, dtype=np.int64)
+        self.cur_target = np.full(csr.num_vertices, -1, dtype=np.int64)
+        self.new_matched = np.zeros(csr.num_vertices, dtype=bool)
+
+    def _n_active(self) -> int:
+        live_row = np.zeros(self.csr.num_vertices, dtype=bool)
+        if self.edge_live.any():
+            live_row[np.unique(self.erow[self.edge_live])] = True
+        return int((live_row & (self.status == self._ACTIVE)).sum())
+
+    def apply(self, step, inbox, glob):
+        if step == 0:
+            return {"active": self._n_active()}
+        if step % 2 == 1:  # proposals arrive → resolve mutual pairs
+            prop: dict[int, set] = {}
+            for msg in inbox:
+                if msg is None or len(msg["dst"]) == 0:
+                    continue
+                li = self.csr.local_index(msg["dst"])
+                for i, src in zip(li, msg["src"]):
+                    prop.setdefault(int(i), set()).add(int(src))
+            self.new_matched[:] = False
+            for i, senders in prop.items():
+                t = self.cur_target[i]
+                if self.status[i] == self._ACTIVE and t != -1 and t in senders:
+                    self.status[i] = self._MATCHED
+                    self.partner[i] = t
+                    self.new_matched[i] = True
+            return {"active": self._n_active()}
+        # even step: death announcements → kill incident edges
+        dead: list[np.ndarray] = []
+        for msg in inbox:
+            if msg is None or len(msg["dst"]) == 0:
+                continue
+            dead.append(msg["dead"])
+        if dead:
+            ds = np.unique(np.concatenate(dead))
+            self.edge_live &= ~np.isin(
+                self.csr.indices.astype(np.int64), ds
+            )
+            # announcements also retire our own matched rows' edges
+            li = self.csr.local_index(
+                ds[np.isin(ds, self.csr.vids.astype(np.int64))].astype(
+                    self.csr.vids.dtype
+                )
+            )
+            mask = np.zeros(self.csr.num_vertices, dtype=bool)
+            mask[li] = True
+            self.edge_live &= ~mask[self.erow]
+        return {"active": self._n_active()}
+
+    def scatter(self, step):
+        P = self.csr.num_parts
+        dix = self.csr.dst_index()
+        outbox, sent = [], 0
+        if step % 2 == 0:  # propose along the min live edge
+            live = self.edge_live & (self.status[self.erow] == self._ACTIVE)
+            self.cur_target[:] = -1
+            idx = np.nonzero(live)[0]
+            if len(idx):
+                dstv = self.csr.indices.astype(np.int64)
+                order = idx[np.lexsort((dstv[idx], self.eprio[idx], self.erow[idx]))]
+                rows_first, first = np.unique(
+                    self.erow[order], return_index=True
+                )
+                self.cur_target[rows_first] = dstv[order][first]
+            src_vid = self.csr.vids.astype(np.int64)
+            proposers = np.nonzero(self.cur_target != -1)[0]
+            tgt = self.cur_target[proposers]
+            tpart = part_for(tgt.astype(np.uint64), P)
+            for p in range(P):
+                m = tpart == p
+                if not m.any():
+                    outbox.append(None)
+                    continue
+                outbox.append(
+                    {"dst": tgt[m].astype(np.uint64), "src": src_vid[proposers[m]]}
+                )
+                sent += int(m.sum())
+            return outbox, {"sent": sent}
+        # odd step: newly matched vertices announce to all their neighbors
+        sorted_dst = self.csr.indices[dix.order]
+        edge_sel = self.new_matched[dix.src_row][dix.order]
+        dead_src = self.csr.vids[dix.src_row][dix.order].astype(np.int64)
+        for p in range(P):
+            s, e = dix.slices[p]
+            sel = edge_sel[s:e]
+            if not sel.any():
+                outbox.append(None)
+                continue
+            outbox.append(
+                {
+                    "dst": sorted_dst[s:e][sel],
+                    "dead": dead_src[s:e][sel],
+                }
+            )
+            sent += int(sel.sum())
+        return outbox, {"sent": sent}
+
+    def state_table(self):
+        raise NotImplementedError(
+            "maximal matching checkpointing would need the O(E) per-edge "
+            "live mask serialized; rounds are few — run without "
+            "--checkpoint-dir"
+        )
+
+    def load_state(self, table, step):
+        raise NotImplementedError(
+            "maximal matching checkpointing is not supported (see "
+            "state_table)"
+        )
+
+    def result_table(self):
+        return pa.table({"vid": self.csr.vids, "partner": self.partner})
+
+
+# --------------------------------------------------------------------------
 class LabelPropagationProgram(VertexProgram):
     """Synchronous community label propagation, deterministic tie-break.
 
@@ -3074,4 +3229,5 @@ PROGRAMS = {
     "wpagerank": WeightedPageRankProgram,
     "wsssp_stored": StoredWeightSSSPProgram,
     "semicluster": SemiClusteringProgram,
+    "matching": MaximalMatchingProgram,
 }

@@ -1379,3 +1379,65 @@ def test_customer_rfm_vs_duckdb(ray_session):
     for c in ["r_tile", "f_tile", "m_tile"]:
         sizes = got[c].value_counts()
         assert sizes.max() - sizes.min() <= 1
+
+
+def _scalar_handshake(pairs):
+    import collections
+
+    from subgraph_isomorphism_pregel_ray.functions.hashing import md5_lower64
+
+    adj = collections.defaultdict(set)
+    for a, b in pairs:
+        adj[a].add(b)
+        adj[b].add(a)
+    prio = {
+        (min(a, b), max(a, b)): int(
+            md5_lower64(np.array([f"{min(a,b)}:{max(a,b)}"], dtype=object))[0]
+        )
+        for a, b in pairs
+    }
+    partner = {v: -1 for v in adj}
+    live = set(pairs)
+    while live:
+        tgt = {}
+        for v in {x for e in live for x in e}:
+            c = [
+                (prio[(min(v, u), max(v, u))], u)
+                for u in adj[v]
+                if (min(v, u), max(v, u)) in live
+            ]
+            if c:
+                tgt[v] = min(c)[1]
+        matched = {(v, u) for v, u in tgt.items() if tgt.get(u) == v and v < u}
+        if not matched:
+            break
+        for v, u in matched:
+            partner[v], partner[u] = u, v
+        dead = {x for e in matched for x in e}
+        live = {e for e in live if e[0] not in dead and e[1] not in dead}
+    return partner
+
+
+@pytest.mark.parametrize("trial", range(3))
+def test_maximal_matching_vs_scalar(ray_session, trial):
+    """Engine matching == the scalar handshake replay; output is a valid
+    MAXIMAL matching (symmetric partners, no live edge left) at both
+    partition counts."""
+    from subgraph_isomorphism_pregel_ray.pipelines.algorithms import maximal_matching
+
+    rng = np.random.default_rng(60 + trial)
+    pairs = sorted(
+        {
+            (min(int(a), int(b)), max(int(a), int(b)))
+            for a, b in rng.integers(0, 35, (70, 2))
+            if a != b
+        }
+    )
+    exp = _scalar_handshake(pairs)
+    for parts in (1, 4):
+        res, _ = maximal_matching(_edges_ds(pairs), num_parts=parts)
+        df = res.to_pandas()
+        got = dict(zip(df.vid.astype(int), df.partner.astype(int)))
+        assert got == exp, (trial, parts)
+        assert all(got[v] == -1 or got[got[v]] == v for v in got)
+        assert all(got[a] != -1 or got[b] != -1 for a, b in pairs)  # maximal
