@@ -69,7 +69,8 @@ def main(argv=None):
 
     for name in ("pagerank", "cc", "sssp", "mis", "lpa", "triangles", "kcore",
                  "ppr", "walk", "hits", "assortativity", "hyperball", "betweenness",
-                 "closeness", "wsssp", "coloring", "katz", "scc"):
+                 "closeness", "wsssp", "coloring", "katz", "scc", "matching",
+                 "semicluster"):
         p = sub.add_parser(name)
         common(p)
         if name in ("pagerank", "lpa", "ppr", "hits", "katz"):
@@ -101,6 +102,11 @@ def main(argv=None):
             p.add_argument("--radius", type=int, default=3)
             p.add_argument("--hll-p", type=int, default=8,
                            help="register index bits (m = 2^p per vertex)")
+        if name == "semicluster":
+            p.add_argument("--iters", type=int, default=4)
+            p.add_argument("--c-max", type=int, default=2)
+            p.add_argument("--m-max", type=int, default=4)
+            p.add_argument("--f-b", type=float, default=0.1)
 
     p = sub.add_parser("match")
     common(p)
@@ -288,6 +294,14 @@ def main(argv=None):
             500, False,
         ),
         "coloring": lambda: ("coloring", {}, 1000, False),
+        "matching": lambda: ("matching", {}, 1000, False),
+        "semicluster": lambda: (
+            "semicluster",
+            {"iters": iters, "c_max": args.c_max, "m_max": args.m_max,
+             "f_b": args.f_b},
+            iters + 2,
+            False,
+        ),
     }[args.cmd]()
 
     eng = build_engine(edges_ds, args.parts, labels_ds=labels_ds, directed=directed)

@@ -232,3 +232,38 @@ def test_cli_bm25_and_bpe(ray_session, tmp_path, capsys):
     # top pair: (r,e) appears in 'stream' x4 and 'here' x1 -> count 5
     assert len(m) == 4
     assert (m["left"].iloc[0], m["right"].iloc[0], m["n"].iloc[0]) == ("r", "e", 5)
+
+
+def test_cli_matching_and_semicluster(ray_session, tmp_path):
+    """CLI matching: path a-b-c-d leaves exactly one vertex unmatched;
+    CLI semicluster: a triangle clusters as itself."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from subgraph_isomorphism_pregel_ray.cli import main
+
+    edges = pa.table({"src": [0, 1, 2, 1, 2, 3], "dst": [1, 2, 3, 0, 1, 2]})
+    epath = tmp_path / "edges.parquet"
+    pq.write_table(edges, str(epath))
+    out = tmp_path / "m"
+    assert main(["matching", "-d", str(epath), "--parts", "2", "-out", str(out)]) == 0
+    import glob
+
+    import pandas as pd
+
+    res = pd.concat(
+        pd.read_parquet(f) for f in glob.glob(str(out / "**/*.parquet"), recursive=True)
+    )
+    got = dict(zip(res.vid.astype(int), res.partner.astype(int)))
+    assert sum(1 for v in got.values() if v == -1) in (0, 2)  # path of 4: ≥1 edge each side
+    assert all(v == -1 or got[v] == k for k, v in got.items())
+
+    tri = pa.table({"src": [0, 1, 2, 1, 2, 0], "dst": [1, 2, 0, 0, 1, 2]})
+    tpath = tmp_path / "tri.parquet"
+    pq.write_table(tri, str(tpath))
+    out2 = tmp_path / "s"
+    assert main(["semicluster", "-d", str(tpath), "--parts", "2", "-out", str(out2)]) == 0
+    res2 = pd.concat(
+        pd.read_parquet(f) for f in glob.glob(str(out2 / "**/*.parquet"), recursive=True)
+    )
+    assert set(res2.cluster) == {"0,1,2"}
