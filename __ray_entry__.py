@@ -271,6 +271,18 @@ def _q_matching(sf_dir: str):
     )
 
 
+def _q_vertex_cover(sf_dir: str):
+    from subgraph_isomorphism_pregel_ray.pipelines.algorithms import vertex_cover
+
+    res, _ = vertex_cover(_sym_copurchase(sf_dir), num_parts=4)
+    return pa.table(
+        {
+            "vid": res["vid"].to_numpy().view(np.int64),
+            "in_cover": res["in_cover"],
+        }
+    )
+
+
 def _q_label_mixing(sf_dir: str):
     from subgraph_isomorphism_pregel_ray.pipelines.relational import (
         label_mixing_matrix,
@@ -1506,6 +1518,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semi_clustering_strong": _q_semi_clustering,
         "label_mixing_copurchase": _q_label_mixing,
         "matching_copurchase": _q_matching,
+        "vertex_cover_copurchase": _q_vertex_cover,
         "hits_copurchase": _q_hits,
         "random_walks_copurchase": _q_random_walks,
         "lpa_copurchase": _q_lpa,
@@ -2653,6 +2666,11 @@ def oracle_sql() -> dict[str, str]:
         "spam_mass_copurchase": _spam_mass_sql(PR_ITERS),
         "bipartite_copurchase": _bipartite_sql(),
         "matching_copurchase": _matching_sql(),
+        "vertex_cover_copurchase": (
+            # Gavril 2-approx: in_cover ⇔ matched in the handshake unroll
+            f"WITH mm AS MATERIALIZED (FROM ({_matching_sql()})) "
+            "SELECT vid, partner <> -1 AS in_cover FROM mm"
+        ),
         "label_mixing_copurchase": (
             # mixing matrix over the symmetric edge CTE; labels are the
             # part_labels p_size % 3 classes joined on both endpoints

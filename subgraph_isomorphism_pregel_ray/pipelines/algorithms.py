@@ -59,6 +59,7 @@ __all__ = [
     "bipartite_check",
     "semi_clustering",
     "maximal_matching",
+    "vertex_cover",
     "component_size_histogram",
 ]
 
@@ -222,6 +223,25 @@ def maximal_matching(edges_or_engine, num_parts: int = 8, max_steps: int = 200):
     if own:
         eng.shutdown()
     return out, lineage
+
+
+def vertex_cover(edges_or_engine, num_parts: int = 8, max_steps: int = 200):
+    """2-approximate minimum vertex cover (Gavril / Gallai folklore: the
+    endpoints of ANY maximal matching cover every edge, and no cover can
+    take fewer than one endpoint per matched edge) → (vid, in_cover).
+    One run of :func:`maximal_matching`; in_cover = matched."""
+    res, lineage = maximal_matching(
+        edges_or_engine, num_parts=num_parts, max_steps=max_steps
+    )
+    return (
+        pa.table(
+            {
+                "vid": res["vid"],
+                "in_cover": pa.array(res["partner"].to_numpy() != -1),
+            }
+        ),
+        lineage,
+    )
 
 
 def semi_clustering(

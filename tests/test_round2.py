@@ -1441,3 +1441,22 @@ def test_maximal_matching_vs_scalar(ray_session, trial):
         assert got == exp, (trial, parts)
         assert all(got[v] == -1 or got[got[v]] == v for v in got)
         assert all(got[a] != -1 or got[b] != -1 for a, b in pairs)  # maximal
+
+
+def test_vertex_cover_covers_every_edge(ray_session):
+    from subgraph_isomorphism_pregel_ray.pipelines.algorithms import vertex_cover
+
+    rng = np.random.default_rng(77)
+    pairs = sorted(
+        {
+            (min(int(a), int(b)), max(int(a), int(b)))
+            for a, b in rng.integers(0, 30, (50, 2))
+            if a != b
+        }
+    )
+    res, _ = vertex_cover(_edges_ds(pairs), num_parts=3)
+    df = res.to_pandas()
+    cover = set(df[df.in_cover].vid.astype(int))
+    assert all(a in cover or b in cover for a, b in pairs)  # covers every edge
+    # 2-approx witness: cover size is even (matched endpoints come in pairs)
+    assert len(cover) % 2 == 0
