@@ -271,6 +271,12 @@ def _q_matching(sf_dir: str):
     )
 
 
+def _q_butterflies(sf_dir: str):
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import butterfly_count
+
+    return butterfly_count(sf_dir)
+
+
 def _q_vertex_cover(sf_dir: str):
     from subgraph_isomorphism_pregel_ray.pipelines.algorithms import vertex_cover
 
@@ -1519,6 +1525,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_mixing_copurchase": _q_label_mixing,
         "matching_copurchase": _q_matching,
         "vertex_cover_copurchase": _q_vertex_cover,
+        "butterfly_count_orders": _q_butterflies,
         "hits_copurchase": _q_hits,
         "random_walks_copurchase": _q_random_walks,
         "lpa_copurchase": _q_lpa,
@@ -2666,6 +2673,16 @@ def oracle_sql() -> dict[str, str]:
         "spam_mass_copurchase": _spam_mass_sql(PR_ITERS),
         "bipartite_copurchase": _bipartite_sql(),
         "matching_copurchase": _matching_sql(),
+        "butterfly_count_orders": (
+            # Σ over part pairs C(shared-orders, 2) — exact-int bipartite
+            # 4-cycle count over the order×part graph
+            "WITH ew AS MATERIALIZED (SELECT a.l_partkey AS s, "
+            "b.l_partkey AS d, count(DISTINCT a.l_orderkey) AS w "
+            "FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey "
+            "WHERE a.l_partkey < b.l_partkey GROUP BY 1, 2) "
+            "SELECT CAST(coalesce(sum(w * (w - 1) // 2), 0) AS BIGINT) "
+            "AS n_butterflies FROM ew"
+        ),
         "vertex_cover_copurchase": (
             # Gavril 2-approx: in_cover ⇔ matched in the handshake unroll
             f"WITH mm AS MATERIALIZED (FROM ({_matching_sql()})) "

@@ -39,6 +39,7 @@ __all__ = [
     "events_path_trigrams",
     "customer_rfm",
     "events_ema",
+    "butterfly_count",
     "events_funnel",
     "events_retention",
     "events_percent_rank",
@@ -1322,6 +1323,31 @@ def events_rolling(sf_dir: str, window_rows: int = 5, num_buckets: int | None = 
         .groupby("b")
         .map_groups(_roll, batch_format="pyarrow")
     )
+
+
+def butterfly_count(sf_dir: str, num_buckets: int | None = None):
+    """BUTTERFLY count of the order×part bipartite graph → one row
+    (n_butterflies): a butterfly = a bipartite 4-cycle (two orders sharing
+    two parts) — THE motif primitive of bipartite graph analysis (Wang et
+    al., "Vertex Priority Based Butterfly Counting", VLDB 2019 lineage;
+    the bipartite analogue of triangle counting). Identity used:
+    #butterflies = Σ over part pairs C(co-orders(p1, p2), 2), so the whole
+    op rides the existing :func:`copurchase_weights` pair machine plus one
+    exact-int fold — no new shuffle shape. Sums are exact int64 (C(w,2)
+    with w ≤ orders-per-pair)."""
+    from ray.data.aggregate import Sum
+
+    w_ds = copurchase_weights(sf_dir, num_buckets)
+
+    def _partial(t: pa.Table) -> pa.Table:
+        w = t["n_orders"].to_numpy().astype(np.int64)
+        return pa.table({"b": np.array([(w * (w - 1) // 2).sum()], np.int64)})
+
+    total = (
+        w_ds.map_batches(_partial, batch_format="pyarrow")
+        .aggregate(Sum("b", alias_name="n"))["n"]
+    )
+    return pa.table({"n_butterflies": pa.array([int(total)], pa.int64())})
 
 
 def events_zscore(

@@ -1460,3 +1460,29 @@ def test_vertex_cover_covers_every_edge(ray_session):
     assert all(a in cover or b in cover for a, b in pairs)  # covers every edge
     # 2-approx witness: cover size is even (matched endpoints come in pairs)
     assert len(cover) % 2 == 0
+
+
+def test_butterfly_count_vs_brute(ray_session):
+    """Σ C(shared,2) identity vs brute 4-cycle enumeration on a tiny
+    synthetic bipartite graph (validated via the lineitem-shaped parquet)."""
+    import itertools
+
+    import duckdb
+
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import butterfly_count
+
+    sf = "/root/testdata/sf0.001"
+    got = int(butterfly_count(sf).to_pandas().n_butterflies[0])
+    li = duckdb.sql(
+        f"SELECT DISTINCT l_orderkey AS o, l_partkey AS p "
+        f"FROM read_parquet('{sf}/lineitem.parquet')"
+    ).df()
+    parts_by_order = li.groupby("o")["p"].apply(set)
+    from collections import Counter
+
+    pair_orders: Counter = Counter()
+    for ps in parts_by_order:
+        for a, b in itertools.combinations(sorted(ps), 2):
+            pair_orders[(a, b)] += 1
+    exp = sum(w * (w - 1) // 2 for w in pair_orders.values())
+    assert got == exp
