@@ -678,6 +678,12 @@ def _q_documents_sample(sf_dir: str):
     return stratified_sample(docs, rates={"en": 0.25}, default_rate=1.0)
 
 
+def _q_curriculum_buckets(sf_dir: str):
+    from subgraph_isomorphism_pregel_ray.pipelines.textops import curriculum_buckets
+
+    return curriculum_buckets(_docs(sf_dir), k=4)
+
+
 def _q_doc_cross_entropy(sf_dir: str):
     from subgraph_isomorphism_pregel_ray.pipelines.textops import doc_cross_entropy
 
@@ -1554,6 +1560,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rolling": _q_events_rolling,
         "events_zscore": _q_events_zscore,
         "doc_cross_entropy": _q_doc_cross_entropy,
+        "curriculum_buckets": _q_curriculum_buckets,
         "kmeans_embeddings": _q_kmeans,
         "distinct_users_daily": _q_distinct_users,
         "parts_never_ordered": _q_parts_never_ordered,
@@ -2885,6 +2892,24 @@ def oracle_sql() -> dict[str, str]:
             "round(sum(dt.k * -ln(cnt.c / (SELECT n FROM tot))) / sum(dt.k), 6) "
             "AS cross_entropy FROM dt JOIN cnt ON cnt.token = dt.token "
             "GROUP BY dt.doc_id"
+        ),
+        "curriculum_buckets": (
+            # NTILE(4) over the doc_cross_entropy CTE's ROUND-6 score
+            # (cross_entropy, doc_id) — the same rounded key the engine's
+            # sort-ordinal closed form orders by
+            f"WITH tok AS (SELECT doc_id, unnest({toks}) AS token "
+            "FROM documents WHERE trim(text) <> ''), "
+            "dt AS (SELECT doc_id, token, count(*) AS k FROM tok GROUP BY 1, 2), "
+            "cnt AS (SELECT token, CAST(sum(k) AS BIGINT) AS c FROM dt "
+            "GROUP BY token), "
+            "tot AS (SELECT CAST(sum(k) AS BIGINT) AS n FROM dt), "
+            "ce AS (SELECT dt.doc_id, CAST(sum(dt.k) AS BIGINT) AS n_tokens, "
+            "round(sum(dt.k * -ln(cnt.c / (SELECT n FROM tot))) / sum(dt.k), 6) "
+            "AS cross_entropy FROM dt JOIN cnt ON cnt.token = dt.token "
+            "GROUP BY dt.doc_id) "
+            "SELECT doc_id, n_tokens, cross_entropy, "
+            "CAST(ntile(4) OVER (ORDER BY cross_entropy, doc_id) AS BIGINT) "
+            "AS bucket FROM ce"
         ),
         "oov_rate": (
             # per-doc OOV vs the same deterministic top-100 vocabulary cut;

@@ -39,6 +39,7 @@ __all__ = [
     "countmin_topk",
     "nb_classifier",
     "lang_by_source",
+    "curriculum_buckets",
     "simhash_batch",
     "token_count",
     "text_stats",
@@ -1767,6 +1768,47 @@ def nb_classifier(
         parts.map_batches(_bucket, batch_format="pyarrow")
         .groupby("bkt")
         .map_groups(_resolve, batch_format="pyarrow")
+    )
+
+
+def curriculum_buckets(docs_ds, k: int = 4):
+    """Curriculum-learning split → Dataset(doc_id, n_tokens, cross_entropy,
+    bucket): NTILE(k) difficulty buckets over the corpus-unigram
+    perplexity score (``doc_cross_entropy``), ordered (cross_entropy ASC,
+    doc_id ASC) — bucket 1 = the easiest quarter, the order
+    easy-to-hard curricula feed batches in (Bengio et al. 2009,
+    "Curriculum Learning"). The tile is computed with the SAME
+    distributed-sort-ordinal closed form as ``customer_rfm`` (NTILE
+    without a window engine, nothing materialized on the driver); the
+    ordering key is the round-6 score both sides emit, so the cut is
+    deterministic."""
+    from ..stages.sort import sort_with_ordinal
+
+    ce = doc_cross_entropy(docs_ds).materialize()
+    n = ce.count()
+    K = np.int64(k)
+
+    def _tile(t: pa.Table) -> pa.Table:
+        p = t["ordinal"].to_numpy()
+        small = np.int64(n) // K
+        n_big = np.int64(n) % K
+        cut = n_big * (small + 1)
+        tile = np.where(
+            p < cut,
+            p // np.maximum(small + 1, 1),
+            n_big + (p - cut) // np.maximum(small, 1),
+        ) + 1
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_tokens": t["n_tokens"],
+                "cross_entropy": t["cross_entropy"],
+                "bucket": tile.astype(np.int64),
+            }
+        )
+
+    return sort_with_ordinal(ce, ["cross_entropy", "doc_id"]).map_batches(
+        _tile, batch_format="pyarrow"
     )
 
 

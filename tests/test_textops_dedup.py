@@ -1153,3 +1153,19 @@ def test_embedding_label_centroids(ray_session):
         g = got[got.label == l]
         assert (g.n == (lab == l).sum()).all()
         np.testing.assert_allclose(g.centroid.values, exp, atol=1e-9)
+
+
+def test_curriculum_buckets_ordering(ray_session):
+    """Bucket boundaries respect the (cross_entropy, doc_id) order and
+    tiles are balanced; bucket 1 holds the lowest-perplexity docs."""
+    from subgraph_isomorphism_pregel_ray.pipelines.textops import curriculum_buckets
+
+    from subgraph_isomorphism_pregel_ray.sources.tables import read_table
+
+    docs = read_table("/root/testdata/sf0.001", "documents", columns=["doc_id", "text"])
+    got = curriculum_buckets(docs, k=4).to_pandas()
+    got = got.sort_values(["cross_entropy", "doc_id"]).reset_index(drop=True)
+    assert (np.diff(got.bucket) >= 0).all()  # monotone along the order
+    sizes = got.bucket.value_counts()
+    assert sizes.max() - sizes.min() <= 1
+    assert got.bucket.iloc[0] == 1 and got.bucket.iloc[-1] == 4
