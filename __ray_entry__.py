@@ -271,6 +271,14 @@ def _q_matching(sf_dir: str):
     )
 
 
+def _q_brand_elasticity(sf_dir: str):
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import (
+        brand_discount_elasticity,
+    )
+
+    return brand_discount_elasticity(sf_dir)
+
+
 def _q_butterflies(sf_dir: str):
     from subgraph_isomorphism_pregel_ray.pipelines.relational import butterfly_count
 
@@ -1532,6 +1540,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "matching_copurchase": _q_matching,
         "vertex_cover_copurchase": _q_vertex_cover,
         "butterfly_count_orders": _q_butterflies,
+        "brand_discount_elasticity": _q_brand_elasticity,
         "hits_copurchase": _q_hits,
         "random_walks_copurchase": _q_random_walks,
         "lpa_copurchase": _q_lpa,
@@ -2680,6 +2689,26 @@ def oracle_sql() -> dict[str, str]:
         "spam_mass_copurchase": _spam_mass_sql(PR_ITERS),
         "bipartite_copurchase": _bipartite_sql(),
         "matching_copurchase": _matching_sql(),
+        "brand_discount_elasticity": (
+            # exact int64 moments; slope/intercept mirror the engine's op
+            # order term for term (one division; intercept reuses slope)
+            "WITH m AS MATERIALIZED (SELECT p_brand AS brand, "
+            "CAST(count(*) AS BIGINT) AS n, "
+            "sum(CAST(round(l_discount * 100) AS BIGINT)) AS sx, "
+            "sum(CAST(round(l_quantity) AS BIGINT)) AS sy, "
+            "sum(CAST(round(l_discount * 100) AS BIGINT) * "
+            "CAST(round(l_quantity) AS BIGINT)) AS sxy, "
+            "sum(CAST(round(l_discount * 100) AS BIGINT) * "
+            "CAST(round(l_discount * 100) AS BIGINT)) AS sxx "
+            "FROM lineitem JOIN part ON p_partkey = l_partkey GROUP BY 1), "
+            "s AS (SELECT brand, n, sx, sy, "
+            "CASE WHEN n * sxx - sx * sx > 0 THEN "
+            "(n * sxy - sx * sy) / (n * sxx - sx * sx) ELSE 0 END AS slope "
+            "FROM m) "
+            "SELECT brand, n, round(slope, 6) AS slope, "
+            "round(CASE WHEN n > 0 THEN (sy - slope * sx) / n ELSE 0 END, 6) "
+            "AS intercept FROM s"
+        ),
         "butterfly_count_orders": (
             # Σ over part pairs C(shared-orders, 2) — exact-int bipartite
             # 4-cycle count over the order×part graph

@@ -40,6 +40,7 @@ __all__ = [
     "customer_rfm",
     "events_ema",
     "butterfly_count",
+    "brand_discount_elasticity",
     "events_funnel",
     "events_retention",
     "events_percent_rank",
@@ -1323,6 +1324,96 @@ def events_rolling(sf_dir: str, window_rows: int = 5, num_buckets: int | None = 
         .groupby("b")
         .map_groups(_roll, batch_format="pyarrow")
     )
+
+
+def brand_discount_elasticity(sf_dir: str):
+    """Per-brand OLS regression of quantity on discount → (brand, n,
+    slope, intercept): the distributed exact-moment least-squares every
+    pricing/elasticity analysis starts from. Discounts carry two decimals
+    so all four moments fold as exact int64 (x in discount-cents, y in
+    units): slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²) — integer numerator
+    and denominator, ONE IEEE division; intercept = (Σy − slope·Σx)/n
+    mirrors the same op order in SQL, so both are bit-reproducible (the
+    ``events_zscore`` integer-moment trick applied to regression).
+
+    Scale shape: the part→brand dimension broadcast ONCE (``ray.put`` +
+    the shared sorted-dim kernel), one lineitem pass with in-batch
+    per-brand integer partials, one tiny groupby-sum, closed-form finish.
+    Degenerate brands (zero discount variance) emit slope/intercept 0/0
+    — flagged by n on both sides."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..functions.rounding import round_half_away
+
+    parts = read_table(sf_dir, "part", columns=["p_partkey", "p_brand"])
+    pdf = parts.to_pandas()
+    brands = np.sort(pdf["p_brand"].unique())
+    bidx = {b: i for i, b in enumerate(brands)}
+    pk = pdf["p_partkey"].to_numpy().astype(np.int64)
+    order = np.argsort(pk)
+    dim_ref = ray.put(
+        (pk[order], pdf["p_brand"].map(bidx).to_numpy()[order].astype(np.int64))
+    )
+
+    li = read_table(
+        sf_dir, "lineitem", columns=["l_partkey", "l_discount", "l_quantity"]
+    )
+
+    def _partial(t: pa.Table) -> pa.Table:
+        vids, blab = ray.get(dim_ref)
+        p = t["l_partkey"].to_numpy().astype(np.int64)
+        _, pos, hit = _sorted_dim_lookup(vids, p)
+        b = blab[pos[hit]]
+        x = np.round(t["l_discount"].to_numpy()[hit] * 100).astype(np.int64)
+        y = np.round(t["l_quantity"].to_numpy()[hit]).astype(np.int64)
+        ub, inv = np.unique(b, return_inverse=True)
+        out = {"b": ub}
+        for name, vals in (
+            ("n", np.ones(len(b), np.int64)),
+            ("sx", x),
+            ("sy", y),
+            ("sxy", x * y),
+            ("sxx", x * x),
+        ):
+            acc = np.zeros(len(ub), dtype=np.int64)
+            np.add.at(acc, inv, vals)
+            out[name] = acc
+        return pa.table(out)
+
+    agg = (
+        li.map_batches(_partial, batch_format="pyarrow")
+        .groupby("b")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("sx", alias_name="sx"),
+            Sum("sy", alias_name="sy"),
+            Sum("sxy", alias_name="sxy"),
+            Sum("sxx", alias_name="sxx"),
+        )
+    )
+
+    def _final(t: pa.Table) -> pa.Table:
+        b = t["b"].to_numpy()
+        n = t["n"].to_numpy().astype(np.float64)
+        sx = t["sx"].to_numpy().astype(np.float64)
+        sy = t["sy"].to_numpy().astype(np.float64)
+        sxy = t["sxy"].to_numpy().astype(np.float64)
+        sxx = t["sxx"].to_numpy().astype(np.float64)
+        den = n * sxx - sx * sx
+        with np.errstate(divide="ignore", invalid="ignore"):
+            slope = np.where(den > 0, (n * sxy - sx * sy) / den, 0.0)
+            intercept = np.where(n > 0, (sy - slope * sx) / n, 0.0)
+        return pa.table(
+            {
+                "brand": pa.array([str(brands[i]) for i in b], pa.string()),
+                "n": t["n"],
+                "slope": round_half_away(slope, 6),
+                "intercept": round_half_away(intercept, 6),
+            }
+        )
+
+    return agg.map_batches(_final, batch_format="pyarrow")
 
 
 def butterfly_count(sf_dir: str, num_buckets: int | None = None):

@@ -1486,3 +1486,23 @@ def test_butterfly_count_vs_brute(ray_session):
             pair_orders[(a, b)] += 1
     exp = sum(w * (w - 1) // 2 for w in pair_orders.values())
     assert got == exp
+
+
+def test_brand_elasticity_vs_numpy_polyfit(ray_session):
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import (
+        brand_discount_elasticity,
+    )
+    from subgraph_isomorphism_pregel_ray.sources.tables import read_table
+
+    sf = "/root/testdata/sf0.001"
+    got = brand_discount_elasticity(sf).to_pandas().set_index("brand")
+    li = read_table(sf, "lineitem", columns=["l_partkey", "l_discount", "l_quantity"]).to_pandas()
+    parts = read_table(sf, "part", columns=["p_partkey", "p_brand"]).to_pandas()
+    df = li.merge(parts, left_on="l_partkey", right_on="p_partkey")
+    for brand, grp in df.groupby("p_brand"):
+        x = np.round(grp.l_discount.to_numpy() * 100)
+        y = np.round(grp.l_quantity.to_numpy())
+        slope, intercept = np.polyfit(x, y, 1)
+        assert abs(got.loc[brand, "slope"] - slope) < 1e-6, brand
+        assert abs(got.loc[brand, "intercept"] - intercept) < 1e-5, brand
+        assert got.loc[brand, "n"] == len(grp)
