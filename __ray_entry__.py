@@ -686,6 +686,12 @@ def _q_documents_sample(sf_dir: str):
     return stratified_sample(docs, rates={"en": 0.25}, default_rate=1.0)
 
 
+def _q_zipf_slope(sf_dir: str):
+    from subgraph_isomorphism_pregel_ray.pipelines.textops import zipf_slope
+
+    return zipf_slope(_docs(sf_dir))
+
+
 def _q_curriculum_buckets(sf_dir: str):
     from subgraph_isomorphism_pregel_ray.pipelines.textops import curriculum_buckets
 
@@ -1570,6 +1576,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_zscore": _q_events_zscore,
         "doc_cross_entropy": _q_doc_cross_entropy,
         "curriculum_buckets": _q_curriculum_buckets,
+        "zipf_slope": _q_zipf_slope,
         "kmeans_embeddings": _q_kmeans,
         "distinct_users_daily": _q_distinct_users,
         "parts_never_ordered": _q_parts_never_ordered,
@@ -2921,6 +2928,26 @@ def oracle_sql() -> dict[str, str]:
             "round(sum(dt.k * -ln(cnt.c / (SELECT n FROM tot))) / sum(dt.k), 6) "
             "AS cross_entropy FROM dt JOIN cnt ON cnt.token = dt.token "
             "GROUP BY dt.doc_id"
+        ),
+        "zipf_slope": (
+            # log-log OLS over the fully-ranked vocabulary; ln-sum order
+            # noise ≪ the round-6 (doc_cross_entropy posture)
+            f"WITH t AS (SELECT unnest({toks}) AS token FROM documents "
+            "WHERE trim(text) <> ''), "
+            "v AS (SELECT token, count(*) AS cnt FROM t GROUP BY 1), "
+            "r AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, token) "
+            "AS rank FROM v), "
+            "m AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(ln(rank)) AS sx, "
+            "sum(ln(cnt)) AS sy, sum(ln(rank) * ln(cnt)) AS sxy, "
+            "sum(ln(rank) * ln(rank)) AS sxx, "
+            "(SELECT count(*) FROM t) AS ntok FROM r), "
+            "s AS (SELECT m.*, CASE WHEN n * sxx - sx * sx > 0 THEN "
+            "(n * sxy - sx * sy) / (n * sxx - sx * sx) ELSE 0 END AS slope "
+            "FROM m) "
+            "SELECT CAST(n AS BIGINT) AS n_types, CAST(ntok AS BIGINT) AS "
+            "n_tokens, round(slope, 6) AS slope, "
+            "round(CASE WHEN n > 0 THEN (sy - slope * sx) / n ELSE 0 END, 6) "
+            "AS intercept FROM s"
         ),
         "curriculum_buckets": (
             # NTILE(4) over the doc_cross_entropy CTE's ROUND-6 score

@@ -40,6 +40,7 @@ __all__ = [
     "nb_classifier",
     "lang_by_source",
     "curriculum_buckets",
+    "zipf_slope",
     "simhash_batch",
     "token_count",
     "text_stats",
@@ -1768,6 +1769,83 @@ def nb_classifier(
         parts.map_batches(_bucket, batch_format="pyarrow")
         .groupby("bkt")
         .map_groups(_resolve, batch_format="pyarrow")
+    )
+
+
+def zipf_slope(docs_ds):
+    """Corpus Zipf-law fit → one row (n_types, n_tokens, slope, intercept):
+    OLS of ln(freq) on ln(rank) over the full ranked vocabulary (rank 1 =
+    most frequent, ties broken token-asc so ranks are total). A healthy
+    natural-language corpus fits slope ≈ −1 (Zipf 1949); templated or
+    synthetic text bends the tail — a one-number corpus-health check.
+
+    Scale shape: the ``vocab_topk`` combiner builds (token, cnt) with one
+    shuffle; ranks come from the distributed sort ordinal (TeraSort
+    two-phase — no driver vocabulary); each batch then folds exact float
+    moments of (ln rank, ln cnt) and ONE tiny aggregate finishes the
+    closed-form slope/intercept. ln-sum order noise ~1e-12 sits far below
+    the 6-decimal round (doc_cross_entropy's stated posture)."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.sort import sort_with_ordinal
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        toks: list[str] = []
+        for t in batch["text"].to_pylist():
+            toks.extend(_tokens(t))
+        if not toks:
+            return pa.table(
+                {"token": pa.array([], pa.string()), "cnt": pa.array([], pa.int64())}
+            )
+        u, c = np.unique(np.asarray(toks, dtype=object), return_counts=True)
+        return pa.table(
+            {"token": pa.array(u.tolist(), pa.string()), "cnt": c.astype(np.int64)}
+        )
+
+    vocab = (
+        docs_ds.map_batches(_partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+    ranked = sort_with_ordinal(vocab, ["cnt", "token"], descending=[True, False])
+
+    def _moments(t: pa.Table) -> pa.Table:
+        x = np.log(t["ordinal"].to_numpy() + 1.0)  # rank, 1-based
+        y = np.log(t["cnt"].to_numpy().astype(np.float64))
+        return pa.table(
+            {
+                "n": np.array([len(x)], np.int64),
+                "ntok": np.array([int(t["cnt"].to_numpy().sum())], np.int64),
+                "sx": np.array([x.sum()]),
+                "sy": np.array([y.sum()]),
+                "sxy": np.array([(x * y).sum()]),
+                "sxx": np.array([(x * x).sum()]),
+            }
+        )
+
+    m = (
+        ranked.map_batches(_moments, batch_format="pyarrow")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("ntok", alias_name="ntok"),
+            Sum("sx", alias_name="sx"),
+            Sum("sy", alias_name="sy"),
+            Sum("sxy", alias_name="sxy"),
+            Sum("sxx", alias_name="sxx"),
+        )
+    )
+    n = float(m["n"])
+    sx, sy, sxy, sxx = (float(m[k]) for k in ("sx", "sy", "sxy", "sxx"))
+    den = n * sxx - sx * sx
+    slope = (n * sxy - sx * sy) / den if den > 0 else 0.0
+    intercept = (sy - slope * sx) / n if n > 0 else 0.0
+    return pa.table(
+        {
+            "n_types": pa.array([int(m["n"])], pa.int64()),
+            "n_tokens": pa.array([int(m["ntok"])], pa.int64()),
+            "slope": round_half_away(np.array([slope]), 6),
+            "intercept": round_half_away(np.array([intercept]), 6),
+        }
     )
 
 

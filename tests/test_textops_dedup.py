@@ -1169,3 +1169,27 @@ def test_curriculum_buckets_ordering(ray_session):
     sizes = got.bucket.value_counts()
     assert sizes.max() - sizes.min() <= 1
     assert got.bucket.iloc[0] == 1 and got.bucket.iloc[-1] == 4
+
+
+def test_zipf_slope_vs_polyfit(ray_session):
+    """Slope/intercept equal numpy polyfit over the ranked vocab; a
+    Zipf-distributed synthetic corpus fits slope ≈ −1."""
+    from subgraph_isomorphism_pregel_ray.pipelines.textops import zipf_slope
+
+    rng = np.random.default_rng(13)
+    # build a corpus whose word frequencies follow 1/rank
+    vocab = [f"w{i}" for i in range(1, 201)]
+    weights = np.array([1.0 / r for r in range(1, 201)])
+    weights /= weights.sum()
+    toks = rng.choice(vocab, size=20000, p=weights)
+    texts = [" ".join(toks[i : i + 50]) for i in range(0, len(toks), 50)]
+    got = zipf_slope(_docs_ds(texts)).to_pandas()
+
+    u, c = np.unique(toks, return_counts=True)
+    order = np.lexsort((u, -c))
+    ranks = np.arange(1, len(u) + 1)
+    slope, intercept = np.polyfit(np.log(ranks), np.log(c[order].astype(float)), 1)
+    assert abs(got.slope[0] - slope) < 1e-6
+    assert abs(got.intercept[0] - intercept) < 1e-6
+    assert -1.2 < got.slope[0] < -0.8  # Zipfian corpus diagnosed as such
+    assert got.n_types[0] == len(u) and got.n_tokens[0] == len(toks)
