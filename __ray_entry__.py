@@ -664,6 +664,12 @@ def _q_events_rolling(sf_dir: str):
     return events_rolling(sf_dir, window_rows=5)
 
 
+def _q_user_gap_cv(sf_dir: str):
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import user_gap_cv
+
+    return user_gap_cv(sf_dir, min_gaps=5)
+
+
 def _q_events_zscore(sf_dir: str):
     from subgraph_isomorphism_pregel_ray.pipelines.relational import events_zscore
 
@@ -1574,6 +1580,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "copurchase_weights": _q_copurchase_weights,
         "events_rolling": _q_events_rolling,
         "events_zscore": _q_events_zscore,
+        "user_gap_cv": _q_user_gap_cv,
         "doc_cross_entropy": _q_doc_cross_entropy,
         "curriculum_buckets": _q_curriculum_buckets,
         "zipf_slope": _q_zipf_slope,
@@ -3289,6 +3296,22 @@ def oracle_sql() -> dict[str, str]:
             "PARTITION BY user_id ORDER BY ts, event_id "
             "ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS rolling_avg "
             "FROM events"
+        ),
+        "user_gap_cv": (
+            # whole-second gaps: exact int moments; cv = √(n·SS−S²)/S —
+            # one sqrt + one divide, mirrored verbatim
+            "WITH g AS (SELECT user_id, (epoch_us(ts) - "
+            "lag(epoch_us(ts)) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id)) // 1000000 AS gap FROM events), "
+            "m AS (SELECT user_id, CAST(count(gap) AS BIGINT) AS n_gaps, "
+            "CAST(sum(gap) AS BIGINT) AS s, "
+            "CAST(sum(gap * gap) AS BIGINT) AS ss FROM g GROUP BY 1) "
+            "SELECT user_id, n_gaps, "
+            "round(CASE WHEN n_gaps > 0 THEN s / CAST(n_gaps AS DOUBLE) "
+            "ELSE 0 END, 6) AS mean_gap_s, "
+            "round(CASE WHEN n_gaps >= 5 AND s > 0 THEN "
+            "sqrt(CAST(n_gaps * ss - s * s AS DOUBLE)) / s ELSE 0 END, 6) "
+            "AS cv FROM m"
         ),
         "events_zscore": (
             # exact int64 cents moments over the trailing window; the

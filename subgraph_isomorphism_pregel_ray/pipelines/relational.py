@@ -41,6 +41,7 @@ __all__ = [
     "events_ema",
     "butterfly_count",
     "brand_discount_elasticity",
+    "user_gap_cv",
     "events_funnel",
     "events_retention",
     "events_percent_rank",
@@ -3221,6 +3222,76 @@ def promo_revenue(sf_dir: str, ptype: str = "PROMO", num_buckets: int = 32):
     p, t = int(agg["p"] or 0), int(agg["t"] or 0)
     return pd.DataFrame(
         {"promo_pct": [float(round_half_away(100.0 * p / t, 6)) if t else 0.0]}
+    )
+
+
+def user_gap_cv(sf_dir: str, min_gaps: int = 5, num_buckets: int | None = None):
+    """Bot-likeness signal per user → (user_id, n_gaps, mean_gap_s, cv):
+    the coefficient of variation of inter-event times — metronomic
+    automation scores cv ≈ 0, humans are bursty (cv ≳ 1); the standard
+    first-pass bot filter for web event streams. Users with fewer than
+    ``min_gaps`` gaps or zero mean are emitted with cv 0 (insufficient
+    signal), flagged by n_gaps.
+
+    Bit-exactness: gaps are floored to WHOLE SECONDS (µs gaps square past
+    int64 — a day-long gap² is ~10²²; second-granularity keeps every
+    moment an exact int64 while second-level regularity is exactly the
+    bot signal), so per-user moments (S = Σg, SS = Σg²) fold exactly and
+    cv = sqrt(n·SS − S²) / S — integer radicand, ONE IEEE sqrt and ONE
+    divide, identical in numpy and DuckDB; mean_gap_s = S/n mirrored
+    verbatim. Same ONE-shuffle user-bucket machine as the other window
+    ops."""
+    from ..functions.rounding import round_half_away
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "ts", "user_id"])
+    num_buckets = _auto_buckets(ds, num_buckets)
+
+    def _bucket(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy()
+        return t.append_column("b", pa.array((u % num_buckets).astype(np.int32)))
+
+    def _cv(g: pa.Table) -> pa.Table:
+        u = g["user_id"].to_numpy()
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        eid = g["event_id"].to_numpy()
+        order = np.lexsort((eid, ts, u))
+        u, ts = u[order], ts[order]
+        n = len(u)
+        same = np.concatenate([[False], u[1:] == u[:-1]])
+        gap = np.concatenate([[0], (ts[1:] - ts[:-1]) // 1_000_000])
+        gu, gv = u[same], gap[same].astype(np.float64)
+        uu, inv = np.unique(u, return_inverse=True)
+        ug, ginv = np.unique(gu, return_inverse=True)
+        ng = np.zeros(len(ug), np.int64)
+        S = np.zeros(len(ug), np.float64)
+        SS = np.zeros(len(ug), np.float64)
+        np.add.at(ng, ginv, 1)
+        np.add.at(S, ginv, gv)
+        np.add.at(SS, ginv, gv * gv)
+        # users appearing at all (≥1 event) get a row; map gap stats onto them
+        pos = np.searchsorted(ug, uu)
+        has = (pos < len(ug)) & (ug[np.minimum(pos, len(ug) - 1)] == uu)
+        n_g = np.where(has, ng[np.minimum(pos, len(ug) - 1)], 0)
+        S_u = np.where(has, S[np.minimum(pos, len(ug) - 1)], 0.0)
+        SS_u = np.where(has, SS[np.minimum(pos, len(ug) - 1)], 0.0)
+        disc = n_g * SS_u - S_u * S_u
+        ok = (n_g >= min_gaps) & (S_u > 0)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cv = np.where(ok, np.sqrt(np.maximum(disc, 0.0)) / S_u, 0.0)
+            mean_s = np.where(n_g > 0, S_u / n_g, 0.0)
+        return pa.table(
+            {
+                "user_id": uu,
+                "n_gaps": n_g.astype(np.int64),
+                "mean_gap_s": round_half_away(mean_s, 6),
+                "cv": round_half_away(cv, 6),
+            }
+        )
+
+    return (
+        ds.map_batches(_bucket, batch_format="pyarrow")
+        .groupby("b")
+        .map_groups(_cv, batch_format="pyarrow")
     )
 
 

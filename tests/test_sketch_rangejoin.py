@@ -526,3 +526,43 @@ def test_events_ema_vs_python(ray_session):
         for eid, x in zip(grp.event_id, grp.value):
             y = x if y is None else a * x + (1 - a) * y
             assert got[eid] == round_half_away(np.array([y]), 6)[0], eid
+
+
+def test_user_gap_cv_bot_vs_human(ray_session, tmp_path):
+    """A metronomic (bot) user scores cv ≈ 0; a bursty user scores high;
+    values equal the scalar moment computation on whole-second gaps."""
+    import pyarrow.parquet as pq
+
+    from subgraph_isomorphism_pregel_ray.functions.rounding import round_half_away
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import user_gap_cv
+
+    base = np.datetime64("2025-06-01T00:00:00", "us")
+    rows = []
+    # bot: exactly every 30 s × 10 events
+    for i in range(10):
+        rows.append((i, base + np.timedelta64(30 * i, "s"), 1, "view", 0.0, "{}"))
+    # human: bursty gaps
+    t = base
+    for i, g in enumerate([2, 300, 5, 1200, 1, 90, 3600, 10, 50]):
+        t = t + np.timedelta64(g, "s")
+        rows.append((100 + i, t, 2, "view", 0.0, "{}"))
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array([r[5] for r in rows], pa.string()),
+        }
+    )
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(tbl, str(d / "events.parquet"))
+    got = user_gap_cv(str(d), min_gaps=5).to_pandas().set_index("user_id")
+    assert got.loc[1, "cv"] == 0.0 and got.loc[1, "n_gaps"] == 9  # metronome
+    # gaps between the human's consecutive events (the first delta anchors t0)
+    g = np.array([300, 5, 1200, 1, 90, 3600, 10, 50], dtype=np.float64)
+    n, S, SS = len(g), g.sum(), (g * g).sum()
+    exp_cv = float(round_half_away(np.array([np.sqrt(n * SS - S * S) / S]), 6)[0])
+    assert got.loc[2, "cv"] == exp_cv and exp_cv > 1.0  # bursty human
