@@ -271,6 +271,14 @@ def _q_matching(sf_dir: str):
     )
 
 
+def _q_repeat_purchase(sf_dir: str):
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import (
+        repeat_purchase_rate,
+    )
+
+    return repeat_purchase_rate(sf_dir)
+
+
 def _q_brand_elasticity(sf_dir: str):
     from subgraph_isomorphism_pregel_ray.pipelines.relational import (
         brand_discount_elasticity,
@@ -1553,6 +1561,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vertex_cover_copurchase": _q_vertex_cover,
         "butterfly_count_orders": _q_butterflies,
         "brand_discount_elasticity": _q_brand_elasticity,
+        "repeat_purchase_rate": _q_repeat_purchase,
         "hits_copurchase": _q_hits,
         "random_walks_copurchase": _q_random_walks,
         "lpa_copurchase": _q_lpa,
@@ -2703,6 +2712,20 @@ def oracle_sql() -> dict[str, str]:
         "spam_mass_copurchase": _spam_mass_sql(PR_ITERS),
         "bipartite_copurchase": _bipartite_sql(),
         "matching_copurchase": _matching_sql(),
+        "repeat_purchase_rate": (
+            # per-part loyalty: distinct customers vs ≥2-distinct-order
+            # customers; rate is one int/int IEEE division
+            "WITH pco AS (SELECT DISTINCT l_partkey AS part, o_custkey AS "
+            "cust, o_orderkey AS okey FROM lineitem "
+            "JOIN orders ON o_orderkey = l_orderkey), "
+            "pc AS (SELECT part, cust, count(*) AS n_orders FROM pco "
+            "GROUP BY 1, 2) "
+            "SELECT part, CAST(count(*) AS BIGINT) AS n_cust, "
+            "CAST(sum(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_repeat, "
+            "round(sum(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END) * 1.0 "
+            "/ count(*), 6) AS repeat_rate FROM pc GROUP BY 1"
+        ),
         "brand_discount_elasticity": (
             # exact int64 moments; slope/intercept mirror the engine's op
             # order term for term (one division; intercept reuses slope)

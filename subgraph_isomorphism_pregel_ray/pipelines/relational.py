@@ -42,6 +42,7 @@ __all__ = [
     "butterfly_count",
     "brand_discount_elasticity",
     "user_gap_cv",
+    "repeat_purchase_rate",
     "events_funnel",
     "events_retention",
     "events_percent_rank",
@@ -1723,6 +1724,117 @@ def _revenue_cents_by_nation(sf_dir: str, num_buckets: int = 32):
         f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name", "n_regionkey"]
     ).to_pandas()
     return per_nation.merge(nation, left_on="k", right_on="n_nationkey")
+
+
+def repeat_purchase_rate(sf_dir: str, num_buckets: int | None = None):
+    """Per-part customer loyalty → (part, n_cust, n_repeat, repeat_rate):
+    distinct buying customers, customers who bought the part in ≥ 2
+    DISTINCT orders, and their ratio — the repeat-purchase KPI behind
+    every retention dashboard.
+
+    Scale shape: the fact-to-fact hop (lineitem needs o_custkey) is the
+    repo's union + orderkey-bucket repartition join — both arms ship only
+    (orderkey, key) int pairs, each bucket resolves custkeys vectorized
+    with the sorted-dim kernel; the second shuffle buckets the resulting
+    (part, cust, order) triples by part and folds distinct-order counts
+    per (part, cust) with packed-key np.unique. rate = one int/int IEEE
+    division, bit-exact vs SQL."""
+    from ..functions.rounding import round_half_away
+
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    num_buckets = _auto_buckets(li, num_buckets)
+
+    def _li_arm(t: pa.Table) -> pa.Table:
+        o = t["l_orderkey"].to_numpy().astype(np.int64)
+        p = t["l_partkey"].to_numpy().astype(np.int64)
+        # distinct (order, part) within batch — dedup before the shuffle
+        key = np.unique((o << np.int64(21)) | p)  # partkeys < 2^21 (TPC-H)
+        return pa.table(
+            {
+                "b": ((key >> np.int64(21)) % num_buckets).astype(np.int32),
+                "okey": key >> np.int64(21),
+                "val": key & np.int64((1 << 21) - 1),
+                "is_dim": np.zeros(len(key), dtype=bool),
+            }
+        )
+
+    def _ord_arm(t: pa.Table) -> pa.Table:
+        o = t["o_orderkey"].to_numpy().astype(np.int64)
+        c = t["o_custkey"].to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "b": (o % num_buckets).astype(np.int32),
+                "okey": o,
+                "val": c,
+                "is_dim": np.ones(len(o), dtype=bool),
+            }
+        )
+
+    def _attach(g: pa.Table) -> pa.Table:
+        okey = g["okey"].to_numpy()
+        val = g["val"].to_numpy()
+        is_dim = g["is_dim"].to_numpy(zero_copy_only=False)
+        dk, dv = okey[is_dim], val[is_dim]
+        rk, rp = okey[~is_dim], val[~is_dim]
+        order, pos, hit = _sorted_dim_lookup(dk, rk)
+        cust = dv[order][pos[hit]]
+        return pa.table(
+            {
+                "part": rp[hit],
+                "cust": cust,
+                "okey": rk[hit],
+            }
+        )
+
+    triples = (
+        li.map_batches(_li_arm, batch_format="pyarrow")
+        .union(orders.map_batches(_ord_arm, batch_format="pyarrow"))
+        .groupby("b")
+        .map_groups(_attach, batch_format="pyarrow")
+    )
+
+    def _pbucket(t: pa.Table) -> pa.Table:
+        p = t["part"].to_numpy()
+        return t.append_column("pb", pa.array((p % num_buckets).astype(np.int32)))
+
+    def _fold(g: pa.Table) -> pa.Table:
+        p = g["part"].to_numpy()
+        c = g["cust"].to_numpy()
+        o = g["okey"].to_numpy()
+        # distinct (part, cust, order), then orders per (part, cust),
+        # then per part — three nested segment passes off ONE lexsort
+        order3 = np.lexsort((o, c, p))
+        ps, cs, os_ = p[order3], c[order3], o[order3]
+        new3 = np.concatenate(
+            [[True], (ps[1:] != ps[:-1]) | (cs[1:] != cs[:-1]) | (os_[1:] != os_[:-1])]
+        )
+        ps, cs = ps[new3], cs[new3]
+        new2 = np.concatenate([[True], (ps[1:] != ps[:-1]) | (cs[1:] != cs[:-1])])
+        seg = np.cumsum(new2) - 1
+        orders_per_pc = np.bincount(seg)
+        pp = ps[new2]
+        new1 = np.concatenate([[True], pp[1:] != pp[:-1]])
+        pseg = np.cumsum(new1) - 1
+        n_cust = np.bincount(pseg)
+        n_repeat = np.bincount(pseg, weights=(orders_per_pc >= 2)).astype(np.int64)
+        parts_u = pp[new1]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            rate = np.where(n_cust > 0, n_repeat / n_cust, 0.0)
+        return pa.table(
+            {
+                "part": parts_u,
+                "n_cust": n_cust.astype(np.int64),
+                "n_repeat": n_repeat,
+                "repeat_rate": round_half_away(rate, 6),
+            }
+        )
+
+    return (
+        triples.map_batches(_pbucket, batch_format="pyarrow")
+        .groupby("pb")
+        .map_groups(_fold, batch_format="pyarrow")
+    )
 
 
 def revenue_by_nation(sf_dir: str, num_buckets: int = 32):

@@ -1506,3 +1506,23 @@ def test_brand_elasticity_vs_numpy_polyfit(ray_session):
         assert abs(got.loc[brand, "slope"] - slope) < 1e-6, brand
         assert abs(got.loc[brand, "intercept"] - intercept) < 1e-5, brand
         assert got.loc[brand, "n"] == len(grp)
+
+
+def test_repeat_purchase_rate_vs_pandas(ray_session):
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import (
+        repeat_purchase_rate,
+    )
+    from subgraph_isomorphism_pregel_ray.sources.tables import read_table
+
+    sf = "/root/testdata/sf0.001"
+    got = repeat_purchase_rate(sf).to_pandas().set_index("part")
+    li = read_table(sf, "lineitem", columns=["l_orderkey", "l_partkey"]).to_pandas()
+    orders = read_table(sf, "orders", columns=["o_orderkey", "o_custkey"]).to_pandas()
+    df = li.merge(orders, left_on="l_orderkey", right_on="o_orderkey")
+    trip = df[["l_partkey", "o_custkey", "o_orderkey"]].drop_duplicates()
+    per_pc = trip.groupby(["l_partkey", "o_custkey"]).size()
+    for part, grp in per_pc.groupby(level=0):
+        n_cust, n_rep = len(grp), int((grp >= 2).sum())
+        assert got.loc[part, "n_cust"] == n_cust
+        assert got.loc[part, "n_repeat"] == n_rep
+        assert abs(got.loc[part, "repeat_rate"] - n_rep / n_cust) < 1e-6
