@@ -271,6 +271,14 @@ def _q_matching(sf_dir: str):
     )
 
 
+def _q_part_supplier_hhi(sf_dir: str):
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import (
+        part_supplier_hhi,
+    )
+
+    return part_supplier_hhi(sf_dir)
+
+
 def _q_repeat_purchase(sf_dir: str):
     from subgraph_isomorphism_pregel_ray.pipelines.relational import (
         repeat_purchase_rate,
@@ -1562,6 +1570,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "butterfly_count_orders": _q_butterflies,
         "brand_discount_elasticity": _q_brand_elasticity,
         "repeat_purchase_rate": _q_repeat_purchase,
+        "part_supplier_hhi": _q_part_supplier_hhi,
         "hits_copurchase": _q_hits,
         "random_walks_copurchase": _q_random_walks,
         "lpa_copurchase": _q_lpa,
@@ -2712,6 +2721,18 @@ def oracle_sql() -> dict[str, str]:
         "spam_mass_copurchase": _spam_mass_sql(PR_ITERS),
         "bipartite_copurchase": _bipartite_sql(),
         "matching_copurchase": _matching_sql(),
+        "part_supplier_hhi": (
+            # HHI = Σr² / (double(Σr)·double(Σr)) — op order mirrors the
+            # engine exactly (see relational.part_supplier_hhi)
+            "WITH ps AS (SELECT l_partkey AS part, l_suppkey AS supp, "
+            "sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS rev "
+            "FROM lineitem GROUP BY 1, 2) "
+            "SELECT part, CAST(count(*) AS BIGINT) AS n_suppliers, "
+            "round(CASE WHEN sum(rev) > 0 THEN "
+            "CAST(sum(rev * rev) AS DOUBLE) / "
+            "(CAST(sum(rev) AS DOUBLE) * CAST(sum(rev) AS DOUBLE)) "
+            "ELSE 0 END, 6) AS hhi FROM ps GROUP BY 1"
+        ),
         "repeat_purchase_rate": (
             # per-part loyalty: distinct customers vs ≥2-distinct-order
             # customers; rate is one int/int IEEE division

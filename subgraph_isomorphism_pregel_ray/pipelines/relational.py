@@ -43,6 +43,7 @@ __all__ = [
     "brand_discount_elasticity",
     "user_gap_cv",
     "repeat_purchase_rate",
+    "part_supplier_hhi",
     "events_funnel",
     "events_retention",
     "events_percent_rank",
@@ -1724,6 +1725,79 @@ def _revenue_cents_by_nation(sf_dir: str, num_buckets: int = 32):
         f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name", "n_regionkey"]
     ).to_pandas()
     return per_nation.merge(nation, left_on="k", right_on="n_nationkey")
+
+
+def part_supplier_hhi(sf_dir: str, num_buckets: int | None = None):
+    """Supplier-concentration per part → (part, n_suppliers, hhi): the
+    Herfindahl–Hirschman index Σ share² of each supplier's revenue share
+    of the part (1 = single-sourced, →1/n = evenly split) — the
+    supply-chain-risk screen, and algebraically exact here:
+    HHI = (Σ r_s²) / (Σ r_s)² with r_s the supplier's exact int64 cents —
+    integer numerator and denominator, ONE IEEE division (int→double
+    conversion is nearest-even on both sides), so bit-equal to SQL with
+    no share intermediate. r_s² stays < 2⁶³ for per-(part,supplier)
+    revenue < ~$3·10⁷ — the SQL side uses HUGEINT so larger scales stay
+    exact there.
+
+    Scale shape: one lineitem pass with in-batch (part, supplier) cents
+    partials, one groupby-sum, one part-bucket vectorized fold."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.rounding import round_half_away
+
+    li = read_table(
+        sf_dir, "lineitem", columns=["l_partkey", "l_suppkey", "l_extendedprice"]
+    )
+    num_buckets = _auto_buckets(li, num_buckets)
+
+    def _partial(t: pa.Table) -> pa.Table:
+        p = t["l_partkey"].to_numpy().astype(np.int64)
+        s = t["l_suppkey"].to_numpy().astype(np.int64)
+        r = np.round(t["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        key = (p << np.int64(21)) | s  # suppkeys < 2^21 per TPC-H scaling
+        uk, inv = np.unique(key, return_inverse=True)
+        acc = np.zeros(len(uk), dtype=np.int64)
+        np.add.at(acc, inv, r)
+        return pa.table({"ps": uk, "rev": acc})
+
+    agg = (
+        li.map_batches(_partial, batch_format="pyarrow")
+        .groupby("ps")
+        .aggregate(Sum("rev", alias_name="rev"))
+    )
+
+    def _pbucket(t: pa.Table) -> pa.Table:
+        p = (t["ps"].to_numpy() >> np.int64(21))
+        return t.append_column("pb", pa.array((p % num_buckets).astype(np.int32)))
+
+    def _fold(g: pa.Table) -> pa.Table:
+        p = g["ps"].to_numpy() >> np.int64(21)
+        r = g["rev"].to_numpy().astype(np.int64)
+        up, inv = np.unique(p, return_inverse=True)
+        n = np.bincount(inv).astype(np.int64)
+        tot = np.zeros(len(up), dtype=np.int64)
+        num = np.zeros(len(up), dtype=np.int64)
+        np.add.at(tot, inv, r)
+        np.add.at(num, inv, r * r)
+        tot_f = tot.astype(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            # num / (double(tot) · double(tot)) — the SQL mirrors this op
+            # order exactly (NOT double(tot²): tot² > 2⁵³ would round
+            # differently than the product of two rounded doubles)
+            hhi = np.where(tot > 0, num / (tot_f * tot_f), 0.0)
+        return pa.table(
+            {
+                "part": up,
+                "n_suppliers": n,
+                "hhi": round_half_away(hhi, 6),
+            }
+        )
+
+    return (
+        agg.map_batches(_pbucket, batch_format="pyarrow")
+        .groupby("pb")
+        .map_groups(_fold, batch_format="pyarrow")
+    )
 
 
 def repeat_purchase_rate(sf_dir: str, num_buckets: int | None = None):

@@ -1526,3 +1526,32 @@ def test_repeat_purchase_rate_vs_pandas(ray_session):
         assert got.loc[part, "n_cust"] == n_cust
         assert got.loc[part, "n_repeat"] == n_rep
         assert abs(got.loc[part, "repeat_rate"] - n_rep / n_cust) < 1e-6
+
+
+def test_part_supplier_hhi_properties(ray_session, tmp_path):
+    """Single-supplier part scores HHI exactly 1; an even 4-way split
+    scores exactly 0.25; values equal the scalar share computation."""
+    import pyarrow.parquet as pq
+
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import (
+        part_supplier_hhi,
+    )
+
+    rows = []
+    rows += [(1, 10, 100.0)] * 3               # part 1: single supplier
+    rows += [(2, s, 50.0) for s in (20, 21, 22, 23)]  # part 2: even 4-way
+    rows += [(3, 30, 90.0), (3, 31, 10.0)]     # part 3: 90/10 split
+    tbl = pa.table(
+        {
+            "l_partkey": pa.array([r[0] for r in rows], pa.int64()),
+            "l_suppkey": pa.array([r[1] for r in rows], pa.int64()),
+            "l_extendedprice": pa.array([r[2] for r in rows], pa.float64()),
+        }
+    )
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(tbl, str(d / "lineitem.parquet"))
+    got = part_supplier_hhi(str(d)).to_pandas().set_index("part")
+    assert got.loc[1, "hhi"] == 1.0 and got.loc[1, "n_suppliers"] == 1
+    assert got.loc[2, "hhi"] == 0.25 and got.loc[2, "n_suppliers"] == 4
+    assert got.loc[3, "hhi"] == 0.82  # 0.9² + 0.1², round-6
