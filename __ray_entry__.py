@@ -680,6 +680,14 @@ def _q_events_rolling(sf_dir: str):
     return events_rolling(sf_dir, window_rows=5)
 
 
+def _q_user_type_entropy(sf_dir: str):
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import (
+        user_type_entropy,
+    )
+
+    return user_type_entropy(sf_dir)
+
+
 def _q_user_gap_cv(sf_dir: str):
     from subgraph_isomorphism_pregel_ray.pipelines.relational import user_gap_cv
 
@@ -1599,6 +1607,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rolling": _q_events_rolling,
         "events_zscore": _q_events_zscore,
         "user_gap_cv": _q_user_gap_cv,
+        "user_type_entropy": _q_user_type_entropy,
         "doc_cross_entropy": _q_doc_cross_entropy,
         "curriculum_buckets": _q_curriculum_buckets,
         "zipf_slope": _q_zipf_slope,
@@ -3340,6 +3349,16 @@ def oracle_sql() -> dict[str, str]:
             "PARTITION BY user_id ORDER BY ts, event_id "
             "ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS rolling_avg "
             "FROM events"
+        ),
+        "user_type_entropy": (
+            # H = ln n − (Σ c·ln c)/n from exact integer counts; ln-noise
+            # ≪ round-6 (doc_cross_entropy posture)
+            "WITH ct AS (SELECT user_id, event_type, count(*) AS c "
+            "FROM events GROUP BY 1, 2) "
+            "SELECT user_id, CAST(sum(c) AS BIGINT) AS n_events, "
+            "CAST(count(*) AS BIGINT) AS n_types, "
+            "round(ln(CAST(sum(c) AS DOUBLE)) - sum(c * ln(c)) / sum(c), 6) "
+            "AS entropy FROM ct GROUP BY 1"
         ),
         "user_gap_cv": (
             # whole-second gaps: exact int moments; cv = √(n·SS−S²)/S —

@@ -44,6 +44,7 @@ __all__ = [
     "user_gap_cv",
     "repeat_purchase_rate",
     "part_supplier_hhi",
+    "user_type_entropy",
     "events_funnel",
     "events_retention",
     "events_percent_rank",
@@ -3408,6 +3409,79 @@ def promo_revenue(sf_dir: str, ptype: str = "PROMO", num_buckets: int = 32):
     p, t = int(agg["p"] or 0), int(agg["t"] or 0)
     return pd.DataFrame(
         {"promo_pct": [float(round_half_away(100.0 * p / t, 6)) if t else 0.0]}
+    )
+
+
+def user_type_entropy(sf_dir: str, num_buckets: int | None = None):
+    """Behavioural diversity per user → (user_id, n_events, n_types,
+    entropy): Shannon entropy (nats) of the user's event-type
+    distribution — H = ln n − (Σ c·ln c)/n, the single-pass identity that
+    needs only exact integer counts (no probability intermediate). Low
+    entropy + high volume = single-action automation; complements
+    ``user_gap_cv``'s timing signal with a behavioural one.
+
+    Scale shape: in-batch (user, type) count partials, one groupby-sum,
+    one user-bucket vectorized fold. ln is the usual 1-ulp
+    numpy-vs-DuckDB noise, ~12 orders below the 6-decimal round."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.rounding import round_half_away
+
+    ds = read_table(sf_dir, "events", columns=["user_id", "event_type"])
+    num_buckets = _auto_buckets(ds, num_buckets)
+
+    def _partial(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy()
+        ty = t["event_type"].to_numpy(zero_copy_only=False)
+        tkey, tinv = np.unique(ty, return_inverse=True)
+        key = u * np.int64(len(tkey)) + tinv
+        uk, inv = np.unique(key, return_inverse=True)
+        c = np.bincount(inv).astype(np.int64)
+        return pa.table(
+            {
+                "user_id": (uk // len(tkey)).astype(np.int64),
+                "etype": pa.array(
+                    [tkey[i] for i in (uk % len(tkey)).astype(np.int64)],
+                    pa.string(),
+                ),
+                "c": c,
+            }
+        )
+
+    agg = (
+        ds.map_batches(_partial, batch_format="pyarrow")
+        .groupby(["user_id", "etype"])
+        .aggregate(Sum("c", alias_name="c"))
+    )
+
+    def _bucket(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy()
+        return t.append_column("b", pa.array((u % num_buckets).astype(np.int32)))
+
+    def _fold(g: pa.Table) -> pa.Table:
+        u = g["user_id"].to_numpy()
+        c = g["c"].to_numpy().astype(np.float64)
+        uu, inv = np.unique(u, return_inverse=True)
+        n = np.zeros(len(uu))
+        s = np.zeros(len(uu))
+        k = np.bincount(inv).astype(np.int64)
+        np.add.at(n, inv, c)
+        np.add.at(s, inv, c * np.log(c))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            h = np.where(n > 0, np.log(n) - s / n, 0.0)
+        return pa.table(
+            {
+                "user_id": uu,
+                "n_events": n.astype(np.int64),
+                "n_types": k,
+                "entropy": round_half_away(h, 6),
+            }
+        )
+
+    return (
+        agg.map_batches(_bucket, batch_format="pyarrow")
+        .groupby("b")
+        .map_groups(_fold, batch_format="pyarrow")
     )
 
 

@@ -566,3 +566,44 @@ def test_user_gap_cv_bot_vs_human(ray_session, tmp_path):
     n, S, SS = len(g), g.sum(), (g * g).sum()
     exp_cv = float(round_half_away(np.array([np.sqrt(n * SS - S * S) / S]), 6)[0])
     assert got.loc[2, "cv"] == exp_cv and exp_cv > 1.0  # bursty human
+
+
+def test_user_type_entropy_vs_scipy_style(ray_session, tmp_path):
+    """Uniform 4-type user scores ln 4; single-type user scores 0; values
+    equal the scalar Shannon computation."""
+    import pyarrow.parquet as pq
+
+    from subgraph_isomorphism_pregel_ray.functions.rounding import round_half_away
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import (
+        user_type_entropy,
+    )
+
+    base = np.datetime64("2025-06-01T00:00:00", "us")
+    rows = []
+    for i, t in enumerate(["a", "b", "c", "d"] * 3):  # user 1: uniform 4-type
+        rows.append((i, 1, t))
+    for i in range(5):                                  # user 2: single type
+        rows.append((100 + i, 2, "view"))
+    for i, t in enumerate(["x"] * 9 + ["y"]):           # user 3: 90/10
+        rows.append((200 + i, 3, t))
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([base + np.timedelta64(i, "s") for i in range(len(rows))], pa.timestamp("us")),
+            "user_id": pa.array([r[1] for r in rows], pa.int64()),
+            "event_type": pa.array([r[2] for r in rows], pa.string()),
+            "value": pa.array([0.0] * len(rows), pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(tbl, str(d / "events.parquet"))
+    got = user_type_entropy(str(d)).to_pandas().set_index("user_id")
+    # scalar references
+    h1 = np.log(12.0) - (4 * 3 * np.log(3.0)) / 12.0   # uniform over 4 types
+    h3 = np.log(10.0) - (9 * np.log(9.0) + 1 * np.log(1.0)) / 10.0
+    assert got.loc[1, "entropy"] == float(round_half_away(np.array([h1]), 6)[0])
+    assert abs(got.loc[1, "entropy"] - np.log(4)) < 1e-6
+    assert got.loc[2, "entropy"] == 0.0 and got.loc[2, "n_types"] == 1
+    assert got.loc[3, "entropy"] == float(round_half_away(np.array([h3]), 6)[0])
