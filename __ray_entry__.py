@@ -680,6 +680,14 @@ def _q_events_rolling(sf_dir: str):
     return events_rolling(sf_dir, window_rows=5)
 
 
+def _q_session_conversion(sf_dir: str):
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import (
+        session_conversion,
+    )
+
+    return session_conversion(sf_dir, gap_sec=GAP_SEC)
+
+
 def _q_user_type_entropy(sf_dir: str):
     from subgraph_isomorphism_pregel_ray.pipelines.relational import (
         user_type_entropy,
@@ -1608,6 +1616,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_zscore": _q_events_zscore,
         "user_gap_cv": _q_user_gap_cv,
         "user_type_entropy": _q_user_type_entropy,
+        "session_conversion": _q_session_conversion,
         "doc_cross_entropy": _q_doc_cross_entropy,
         "curriculum_buckets": _q_curriculum_buckets,
         "zipf_slope": _q_zipf_slope,
@@ -3349,6 +3358,24 @@ def oracle_sql() -> dict[str, str]:
             "PARTITION BY user_id ORDER BY ts, event_id "
             "ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS rolling_avg "
             "FROM events"
+        ),
+        "session_conversion": (
+            # the sessionize CTE + purchase flag per session, folded per
+            # UTC start day; rate is one int/int division
+            "WITH x AS (SELECT user_id, ts, event_id, event_type, "
+            "CASE WHEN lag(ts) OVER w IS NULL OR "
+            f"epoch_us(ts) - epoch_us(lag(ts) OVER w) > {GAP_SEC} * 1000000 "
+            "THEN 1 ELSE 0 END AS brk FROM events "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+            "y AS (SELECT *, sum(brk) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sess FROM x), "
+            "s AS (SELECT user_id, sess, "
+            "epoch_us(min(ts)) // 86400000000 AS day, "
+            "max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv "
+            "FROM y GROUP BY 1, 2) "
+            "SELECT day, CAST(count(*) AS BIGINT) AS n_sessions, "
+            "CAST(sum(conv) AS BIGINT) AS n_converted, "
+            "round(sum(conv) * 1.0 / count(*), 6) AS rate FROM s GROUP BY 1"
         ),
         "user_type_entropy": (
             # H = ln n − (Σ c·ln c)/n from exact integer counts; ln-noise

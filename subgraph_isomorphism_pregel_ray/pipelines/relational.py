@@ -45,6 +45,7 @@ __all__ = [
     "repeat_purchase_rate",
     "part_supplier_hhi",
     "user_type_entropy",
+    "session_conversion",
     "events_funnel",
     "events_retention",
     "events_percent_rank",
@@ -3410,6 +3411,82 @@ def promo_revenue(sf_dir: str, ptype: str = "PROMO", num_buckets: int = 32):
     return pd.DataFrame(
         {"promo_pct": [float(round_half_away(100.0 * p / t, 6)) if t else 0.0]}
     )
+
+
+def session_conversion(
+    sf_dir: str,
+    gap_sec: int = 600,
+    convert_type: str = "purchase",
+    num_buckets: int | None = None,
+):
+    """Per-day session conversion → (day, n_sessions, n_converted, rate):
+    of the sessions STARTING each day (same gap rule as
+    ``events_sessionize``), how many contained ≥ 1 ``convert_type`` event
+    — the conversion-funnel headline number. ``day`` is int64 days since
+    epoch (UTC floor) so both sides agree without date-type coercion;
+    rate = one int/int IEEE division rounded to 6.
+
+    Scale shape: the ONE-shuffle user-bucket sessionizer (lexsort + diff +
+    cumsum + reduceat — no per-user loop) emits per-batch (day, n, conv)
+    partials; a tiny day groupby-sum and a closed-form finish."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.rounding import round_half_away
+
+    ds = read_table(
+        sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type"]
+    )
+    num_buckets = _auto_buckets(ds, num_buckets)
+
+    def _bucket(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy()
+        return t.append_column("b", pa.array((u % num_buckets).astype(np.int32)))
+
+    def _sess(g: pa.Table) -> pa.Table:
+        u = g["user_id"].to_numpy()
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        eid = g["event_id"].to_numpy()
+        ty = g["event_type"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, u))
+        u, ts, ty = u[order], ts[order], ty[order]
+        new_user = np.concatenate([[True], u[1:] != u[:-1]])
+        gap = np.concatenate([[0], ts[1:] - ts[:-1]])
+        brk = new_user | (gap > gap_sec * 1_000_000)
+        starts = np.nonzero(brk)[0]
+        if len(starts) == 0:
+            return pa.table(
+                {
+                    "day": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                    "conv": pa.array([], pa.int64()),
+                }
+            )
+        is_conv = (ty == convert_type).astype(np.int64)
+        conv = (np.add.reduceat(is_conv, starts) > 0).astype(np.int64)
+        day = ts[starts] // np.int64(86_400_000_000)
+        ud, inv = np.unique(day, return_inverse=True)
+        n = np.bincount(inv).astype(np.int64)
+        c = np.zeros(len(ud), dtype=np.int64)
+        np.add.at(c, inv, conv)
+        return pa.table({"day": ud, "n": n, "conv": c})
+
+    agg = (
+        ds.map_batches(_bucket, batch_format="pyarrow")
+        .groupby("b")
+        .map_groups(_sess, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(Sum("n", alias_name="n_sessions"),
+                   Sum("conv", alias_name="n_converted"))
+    )
+
+    def _rate(t: pa.Table) -> pa.Table:
+        n = t["n_sessions"].to_numpy().astype(np.float64)
+        c = t["n_converted"].to_numpy().astype(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            r = np.where(n > 0, c / n, 0.0)
+        return t.append_column("rate", pa.array(round_half_away(r, 6)))
+
+    return agg.map_batches(_rate, batch_format="pyarrow")
 
 
 def user_type_entropy(sf_dir: str, num_buckets: int | None = None):

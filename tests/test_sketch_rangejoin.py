@@ -607,3 +607,34 @@ def test_user_type_entropy_vs_scipy_style(ray_session, tmp_path):
     assert abs(got.loc[1, "entropy"] - np.log(4)) < 1e-6
     assert got.loc[2, "entropy"] == 0.0 and got.loc[2, "n_types"] == 1
     assert got.loc[3, "entropy"] == float(round_half_away(np.array([h3]), 6)[0])
+
+
+def test_session_conversion_vs_python(ray_session):
+    """Per-day conversion equals a scalar sessionize + any-purchase replay."""
+    from collections import defaultdict
+
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import (
+        session_conversion,
+    )
+    from subgraph_isomorphism_pregel_ray.sources.tables import read_table
+
+    sf = "/root/testdata/sf0.001"
+    GAP = 600
+    got = session_conversion(sf, gap_sec=GAP).to_pandas().set_index("day")
+    ev = read_table(sf, "events", columns=["event_id", "ts", "user_id", "event_type"]).to_pandas()
+    ev = ev.sort_values(["user_id", "ts", "event_id"])
+    days = defaultdict(lambda: [0, 0])
+    for _, grp in ev.groupby("user_id"):
+        ts = grp.ts.astype("datetime64[us]").astype("int64").to_numpy()
+        ty = grp.event_type.to_numpy()
+        start, conv = 0, False
+        for i in range(1, len(ts) + 1):
+            if i == len(ts) or ts[i] - ts[i - 1] > GAP * 1_000_000:
+                day = int(ts[start] // 86_400_000_000)
+                days[day][0] += 1
+                days[day][1] += int((ty[start:i] == "purchase").any())
+                start = i
+    for day, (n, c) in days.items():
+        assert got.loc[day, "n_sessions"] == n
+        assert got.loc[day, "n_converted"] == c
+    assert len(got) == len(days)
