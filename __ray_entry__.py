@@ -380,6 +380,18 @@ def _q_kcore(sf_dir: str):
     )
 
 
+def _q_ktruss(sf_dir: str):
+    from subgraph_isomorphism_pregel_ray.pipelines.algorithms import ktruss_bsp
+
+    res, _ = ktruss_bsp(_sym_copurchase(sf_dir), k=6, num_parts=4)
+    return pa.table(
+        {
+            "src": res["src"].to_numpy(),
+            "dst": res["dst"].to_numpy(),
+        }
+    )
+
+
 def _q_lpa(sf_dir: str):
     from subgraph_isomorphism_pregel_ray.pipelines.algorithms import label_propagation
 
@@ -650,6 +662,37 @@ def _q_revenue_by_nation(sf_dir: str):
     from subgraph_isomorphism_pregel_ray.pipelines.relational import revenue_by_nation
 
     return revenue_by_nation(sf_dir)
+
+
+def _q_disjunctive_revenue(sf_dir: str):
+    """Q19-shaped three-branch OR predicate over a lineitem ⋈ part bucket
+    join; quantity-range union pre-filter at the batch boundary."""
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import (
+        disjunctive_revenue,
+    )
+
+    return disjunctive_revenue(sf_dir)
+
+
+def _q_returned_customer_topk(sf_dir: str):
+    """Q10-shaped: top-20 customers by returned-lineitem revenue, per-bucket
+    local top-k then a ≤ k·B driver fold; names via pruned point reads."""
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import (
+        returned_customer_topk,
+    )
+
+    return returned_customer_topk(sf_dir)
+
+
+def _q_nation_trade_volume(sf_dir: str):
+    """Q7-shaped cross-nation trade flow: revenue per (customer nation,
+    supplier nation) ordered pair, different nations only — three bucketed
+    re-keying joins (suppkey → orderkey → custkey), exact int64 cents."""
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import (
+        nation_trade_volume,
+    )
+
+    return nation_trade_volume(sf_dir)
 
 
 def _q_revenue_by_region(sf_dir: str):
@@ -1591,6 +1634,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "random_walks_copurchase": _q_random_walks,
         "lpa_copurchase": _q_lpa,
         "kcore_copurchase": _q_kcore,
+        "ktruss_copurchase": _q_ktruss,
         "match_triangle_labeled": _q_match_triangle,
         "match_p3_labeled": _q_match_p3,
         "match_4cycle_labeled": _q_match_4cycle,
@@ -1607,6 +1651,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof": _q_events_asof,
         "events_quantiles": _q_events_quantiles,
         "revenue_by_nation": _q_revenue_by_nation,
+        "nation_trade_volume": _q_nation_trade_volume,
+        "returned_customer_topk": _q_returned_customer_topk,
+        "disjunctive_revenue": _q_disjunctive_revenue,
         "revenue_by_region": _q_revenue_by_region,
         "topk_parts_per_nation": _q_topk_parts,
         "documents_sample": _q_documents_sample,
@@ -2498,6 +2545,34 @@ def _kcore_sql(iters: int = 30) -> str:
             f"FROM e JOIN k{i-1} c ON c.vid = e.dst) GROUP BY vid)"
         )
     return ", ".join(parts) + f" SELECT vid, core FROM k{iters}"
+
+
+def _ktruss_sql(k: int = 6, rounds: int = 10) -> str:
+    """Unrolled k-truss peeling (Cohen 2008): round r recomputes per-edge
+    triangle support over the surviving edge set (wedge self-join on the
+    symmetric closure, restricted to edges) and keeps support ≥ k−2. The
+    engine peels to the true fixpoint; the unroll is safe because peeling is
+    monotone (edge sets only shrink) with a stable fixpoint, so extra rounds
+    are identity. sf0.001/sf0.01 converge in 1/6 rounds; 10 gives margin.
+    MATERIALIZED blocks stop DuckDB's CTE inlining from exploding
+    exponentially across rounds (same trick as _kcore_sql)."""
+    thresh = k - 2
+    parts = [
+        "WITH s0 AS MATERIALIZED (SELECT DISTINCT a.l_partkey AS u, "
+        "b.l_partkey AS v FROM lineitem a JOIN lineitem b "
+        "ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)"
+    ]
+    for r in range(rounds):
+        parts.append(
+            f", sym{r} AS MATERIALIZED (SELECT u AS a, v AS b FROM s{r} "
+            f"UNION ALL SELECT v, u FROM s{r})"
+            f", s{r + 1} AS MATERIALIZED (SELECT x.a AS u, y.a AS v "
+            f"FROM sym{r} x JOIN sym{r} y ON x.b = y.b AND x.a < y.a "
+            f"JOIN s{r} e ON e.u = x.a AND e.v = y.a "
+            f"GROUP BY x.a, y.a HAVING count(*) >= {thresh})"
+        )
+    parts.append(f" SELECT u AS src, v AS dst FROM s{rounds}")
+    return "".join(parts)
 
 
 def _stopword_sql_list() -> str:
@@ -3465,6 +3540,46 @@ def oracle_sql() -> dict[str, str]:
             "JOIN customer ON c_custkey = o_custkey "
             "JOIN nation ON n_nationkey = c_nationkey GROUP BY 1"
         ),
+        "disjunctive_revenue": (
+            # Q19-shaped disjunction, same exact-int-cents fold; brand
+            # number parsed from 'Brand#N'
+            "SELECT sum(CAST(round(l_extendedprice * 100) AS BIGINT) * "
+            "(100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0 AS revenue "
+            "FROM lineitem JOIN part ON p_partkey = l_partkey "
+            "WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5 "
+            "AND l_quantity BETWEEN 1 AND 11) "
+            "OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 "
+            "AND l_quantity BETWEEN 10 AND 20) "
+            "OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 15 "
+            "AND l_quantity BETWEEN 20 AND 30)"
+        ),
+        "returned_customer_topk": (
+            # Q10-shaped: exact-int revenue ranking with custkey tiebreak —
+            # the same round-then-rank determinism as shipping_priority_topk
+            "WITH r AS (SELECT o_custkey AS c_custkey, "
+            "sum(CAST(round(l_extendedprice * 100) AS BIGINT) * "
+            "(100 - CAST(round(l_discount * 100) AS BIGINT))) AS rev "
+            "FROM lineitem JOIN orders ON o_orderkey = l_orderkey "
+            "WHERE l_returnflag = 'R' GROUP BY 1), "
+            "rk AS (SELECT c_custkey, rev, "
+            "row_number() OVER (ORDER BY rev DESC, c_custkey) AS rnk FROM r) "
+            "SELECT rk.c_custkey, c_name, n_name, rev / 10000.0 AS revenue, rnk "
+            "FROM rk JOIN customer ON customer.c_custkey = rk.c_custkey "
+            "JOIN nation ON n_nationkey = c_nationkey WHERE rnk <= 20"
+        ),
+        "nation_trade_volume": (
+            # Q7-shaped nation-pair flow, same exact-int-cents fold; the
+            # engine packs (cust, supp) nationkeys and filters equal pairs
+            "SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation, "
+            "sum(CAST(round(l_extendedprice * 100) AS BIGINT) * "
+            "(100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0 AS revenue "
+            "FROM lineitem JOIN orders ON o_orderkey = l_orderkey "
+            "JOIN customer ON c_custkey = o_custkey "
+            "JOIN supplier ON s_suppkey = l_suppkey "
+            "JOIN nation cn ON cn.n_nationkey = c_nationkey "
+            "JOIN nation sn ON sn.n_nationkey = s_nationkey "
+            "WHERE c_nationkey <> s_nationkey GROUP BY 1, 2"
+        ),
         "revenue_by_region": (
             # the five-way snowflake join, same exact-int-cents fold
             "SELECT r_name, sum(CAST(round(l_extendedprice * 100) AS BIGINT) * "
@@ -3619,6 +3734,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "lpa_copurchase": _lpa_sql(LPA_ITERS),
         "kcore_copurchase": _kcore_sql(),
+        "ktruss_copurchase": _ktruss_sql(),
         "fingerprint": _fingerprint_sql(),
         "winnow_fingerprints": _winnow_sql(),
         "winnow_dup_pairs": (

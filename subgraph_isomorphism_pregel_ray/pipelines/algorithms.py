@@ -1162,6 +1162,26 @@ def clustering_coefficient(edges_or_engine, num_parts: int = 8):
     return pa.table({"vid": t["vid"], "clustering": round_half_away(cc, 6)})
 
 
+def ktruss_bsp(edges_or_engine, k: int = 6, num_parts: int = 8, max_steps: int = 400,
+               checkpoint_dir=None, checkpoint_every=0, resume=False):
+    """Maximal k-truss edge set (iterated triangle-support peeling) →
+    ((src, dst) table with src < dst, lineage).
+
+    BSP-actor twin of the Dataset-path :func:`ktruss` below: supersteps on
+    pinned partition actors cost ~ms each instead of the Dataset shuffle
+    floor, so peeling's O(rounds × 3) exchanges stay cheap enough for the
+    driver-contract budget (the Dataset path stays the pure-shuffle
+    expression for clusters where actor state is undesirable)."""
+    eng, lineage, own = _run(
+        edges_or_engine, "ktruss", {"k": k}, num_parts, max_steps, directed=False,
+        checkpoint_dir=checkpoint_dir, checkpoint_every=checkpoint_every, resume=resume,
+    )
+    out = eng.result_table()
+    if own:
+        eng.shutdown()
+    return out, lineage
+
+
 def kcore(edges_or_engine, num_parts: int = 8, max_steps: int = 300,
           checkpoint_dir=None, checkpoint_every=0, resume=False):
     """Exact core numbers (distributed h-index iteration) → (vid, core)."""

@@ -4011,3 +4011,341 @@ def events_asof_prior(
         .groupby("b")
         .map_groups(_asof, batch_format="pyarrow")
     )
+
+
+def nation_trade_volume(sf_dir: str, num_buckets: int = 32):
+    """TPC-H-Q7-shaped nation-pair trade flow: revenue shipped between
+    DIFFERENT customer and supplier nations → (cust_nation, supp_nation,
+    revenue), one row per ordered pair with any cross-nation trade.
+
+    Scale shape — three bucketed repartition joins in sequence, re-keying
+    the fact stream suppkey → orderkey → custkey (never ``Dataset.join``;
+    same union+bucket-groupby machine as ``_revenue_cents_by_nation``).
+    The fact side is pre-aggregated inside every batch and again inside
+    every bucket to (next-key, supp-nation) partials, so each exchange
+    carries partials, not lineitem rows; supplier and customer keys stream
+    through the bucket exchange (only the 25-row nation table is
+    driver-read, per the broadcast-small-side rule). Revenue accumulates
+    as exact int64 cents·(100−disc) with ONE final division, bit-equal to
+    the SQL oracle at any partition count.
+    """
+    from ray.data.aggregate import Sum
+
+    B = np.int64(num_buckets)
+    NPACK = np.int64(1000)  # nationkeys < 1000 by far
+
+    def _agg_pairs(k, pay, rev):
+        """Sum rev over unique (k, pay) pairs — lexsort + reduceat."""
+        if len(k) == 0:
+            return k, pay, rev
+        order = np.lexsort((pay, k))
+        k, pay, rev = k[order], pay[order], rev[order]
+        start = np.ones(len(k), bool)
+        start[1:] = (k[1:] != k[:-1]) | (pay[1:] != pay[:-1])
+        idx = np.nonzero(start)[0]
+        return k[start], pay[start], np.add.reduceat(rev, idx)
+
+    def _li_fact(t: pa.Table) -> pa.Table:
+        cents = np.round(t["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        disc = np.round(t["l_discount"].to_numpy() * 100).astype(np.int64)
+        k, pay, rev = _agg_pairs(
+            t["l_suppkey"].to_numpy().astype(np.int64),
+            t["l_orderkey"].to_numpy().astype(np.int64),
+            cents * (100 - disc),
+        )
+        return pa.table(
+            {"k": k, "rev": rev, "pay": pay,
+             "aux": np.full(len(k), -1, np.int64),
+             "b": (k % B).astype(np.int32)}
+        )
+
+    def _dim(kcol: str, auxcol: str):
+        def _side(t: pa.Table) -> pa.Table:
+            k = t[kcol].to_numpy().astype(np.int64)
+            return pa.table(
+                {"k": k, "rev": np.zeros(len(k), np.int64),
+                 "pay": np.zeros(len(k), np.int64),
+                 "aux": t[auxcol].to_numpy().astype(np.int64),
+                 "b": (k % B).astype(np.int32)}
+            )
+        return _side
+
+    def _mk_merge(mode: str):
+        """Resolve one bucket: map fact keys through the dim side, then
+        re-key — 'swap' (J1: payload becomes the key, dim value the
+        payload), 'chain' (J2: dim value becomes the key), or 'final'
+        (J3: pack (cust_nation, supp_nation) into one key)."""
+        def _merge(g: pa.Table) -> pa.Table:
+            aux = g["aux"].to_numpy()
+            k = g["k"].to_numpy()
+            dim = aux >= 0
+            dk, da = k[dim], aux[dim]
+            order = np.argsort(dk)
+            dk, da = dk[order], da[order]
+            fk = k[~dim]
+            frev = g["rev"].to_numpy()[~dim]
+            fpay = g["pay"].to_numpy()[~dim]
+            pos = np.searchsorted(dk, fk)
+            pos_c = np.minimum(pos, max(len(dk) - 1, 0))
+            hit = dk[pos_c] == fk if len(dk) else np.zeros(len(fk), bool)
+            mapped = da[pos_c[hit]]
+            if mode == "swap":
+                nk, npay = fpay[hit], mapped
+            elif mode == "chain":
+                nk, npay = mapped, fpay[hit]
+            else:
+                nk, npay = mapped * NPACK + fpay[hit], np.zeros(int(hit.sum()), np.int64)
+            kk, pp, rr = _agg_pairs(nk, npay, frev[hit])
+            return pa.table(
+                {"k": kk, "rev": rr, "pay": pp,
+                 "aux": np.full(len(kk), -1, np.int64),
+                 "b": (kk % B).astype(np.int32)}
+            )
+        return _merge
+
+    li = read_table(
+        sf_dir, "lineitem",
+        columns=["l_suppkey", "l_orderkey", "l_extendedprice", "l_discount"],
+    )
+    supp = read_table(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+
+    j1 = (
+        li.map_batches(_li_fact, batch_format="pyarrow")
+        .union(supp.map_batches(_dim("s_suppkey", "s_nationkey"), batch_format="pyarrow"))
+        .groupby("b").map_groups(_mk_merge("swap"), batch_format="pyarrow")
+    )  # → (orderkey, rev, supp_nation)
+    j2 = (
+        j1.union(orders.map_batches(_dim("o_orderkey", "o_custkey"), batch_format="pyarrow"))
+        .groupby("b").map_groups(_mk_merge("chain"), batch_format="pyarrow")
+    )  # → (custkey, rev, supp_nation)
+    j3 = (
+        j2.union(cust.map_batches(_dim("c_custkey", "c_nationkey"), batch_format="pyarrow"))
+        .groupby("b").map_groups(_mk_merge("final"), batch_format="pyarrow")
+    )  # → (cust_nation·1000 + supp_nation, rev)
+
+    from ray.data.aggregate import Sum as _Sum  # noqa: F811
+
+    pairs = j3.groupby("k").aggregate(_Sum("rev", alias_name="rev")).to_pandas()
+    # ≤ n_nations² rows on the driver
+    import pyarrow.parquet as pq
+
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).to_pandas().set_index("n_nationkey")["n_name"]
+    cn = (pairs["k"].to_numpy() // int(NPACK)).astype(np.int64)
+    sn = (pairs["k"].to_numpy() % int(NPACK)).astype(np.int64)
+    keep = cn != sn
+    return pa.table(
+        {
+            "cust_nation": nation.loc[cn[keep]].to_numpy(),
+            "supp_nation": nation.loc[sn[keep]].to_numpy(),
+            "revenue": pairs["rev"].to_numpy()[keep].astype(np.float64) / 10000.0,
+        }
+    )
+
+
+def returned_customer_topk(sf_dir: str, k: int = 20, num_buckets: int = 32):
+    """TPC-H-Q10-shaped returned-item ranking: the ``k`` customers with the
+    highest revenue from RETURNED ('R') lineitems → (c_custkey, c_name,
+    n_name, revenue, rnk), ties broken by custkey asc.
+
+    Scale shape: lineitem is return-flag-filtered at the batch boundary and
+    pre-summed to (orderkey, rev cents) partials; ONE bucketed union join
+    re-keys to custkey; the custkey bucket groupby then sums AND emits only
+    its local top-k, so the driver folds ≤ k·num_buckets rows. Customer
+    name / nation ride a PRUNED point read of the k winning keys (a 100 TB
+    customer table never streams for a 20-row answer). Exact int64 cents
+    make the ranking summation-order-independent; rank ties break on the
+    key, so the top-k set is deterministic at any partition count."""
+    li = read_table(
+        sf_dir,
+        "lineitem",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_returnflag"],
+    )
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    B = np.int64(num_buckets)
+
+    def _li(t: pa.Table) -> pa.Table:
+        m = t["l_returnflag"].to_numpy(zero_copy_only=False) == "R"
+        kk = t["l_orderkey"].to_numpy().astype(np.int64)[m]
+        cents = np.round(t["l_extendedprice"].to_numpy()[m] * 100).astype(np.int64)
+        disc = np.round(t["l_discount"].to_numpy()[m] * 100).astype(np.int64)
+        rev = cents * (100 - disc)
+        key, inv = np.unique(kk, return_inverse=True)
+        s = np.bincount(inv, weights=rev.astype(np.float64)).astype(np.int64)
+        return pa.table(
+            {
+                "k": key,
+                "rev": s,
+                "aux": np.full(len(key), -1, np.int64),
+                "b": (key % B).astype(np.int32),
+            }
+        )
+
+    def _orders(t: pa.Table) -> pa.Table:
+        kk = t["o_orderkey"].to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "k": kk,
+                "rev": np.zeros(len(kk), np.int64),
+                "aux": t["o_custkey"].to_numpy().astype(np.int64),
+                "b": (kk % B).astype(np.int32),
+            }
+        )
+
+    def _rekey(g: pa.Table) -> pa.Table:
+        aux = g["aux"].to_numpy()
+        kk = g["k"].to_numpy()
+        dim = aux >= 0
+        dk, da = kk[dim], aux[dim]
+        order = np.argsort(dk)
+        dk, da = dk[order], da[order]
+        fk, frev = kk[~dim], g["rev"].to_numpy()[~dim]
+        pos = np.searchsorted(dk, fk)
+        pos_c = np.minimum(pos, max(len(dk) - 1, 0))
+        hit = dk[pos_c] == fk if len(dk) else np.zeros(len(fk), bool)
+        ck, inv = np.unique(da[pos_c[hit]], return_inverse=True)
+        s = np.zeros(len(ck), np.int64)
+        np.add.at(s, inv, frev[hit])
+        return pa.table({"c": ck, "rev": s, "b": (ck % B).astype(np.int32)})
+
+    def _local_topk(g: pa.Table) -> pa.Table:
+        ck = g["c"].to_numpy()
+        key, inv = np.unique(ck, return_inverse=True)
+        s = np.zeros(len(key), np.int64)
+        np.add.at(s, inv, g["rev"].to_numpy())
+        order = np.lexsort((key, -s))[:k]
+        return pa.table({"c": key[order], "rev": s[order]})
+
+    top = (
+        li.map_batches(_li, batch_format="pyarrow")
+        .union(orders.map_batches(_orders, batch_format="pyarrow"))
+        .groupby("b")
+        .map_groups(_rekey, batch_format="pyarrow")
+        .groupby("b")
+        .map_groups(_local_topk, batch_format="pyarrow")
+        .to_pandas()
+    )
+    order = np.lexsort((top["c"].to_numpy(), -top["rev"].to_numpy()))[:k]
+    ck = top["c"].to_numpy()[order]
+    rev = top["rev"].to_numpy()[order]
+
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    cust = pads.dataset(f"{sf_dir}/customer.parquet").to_table(
+        columns=["c_custkey", "c_name", "c_nationkey"],
+        filter=pads.field("c_custkey").isin([int(x) for x in ck]),
+    ).to_pandas().set_index("c_custkey")
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).to_pandas().set_index("n_nationkey")["n_name"]
+    return pa.table(
+        {
+            "c_custkey": ck,
+            "c_name": cust["c_name"].loc[ck].to_numpy(),
+            "n_name": nation.loc[cust["c_nationkey"].loc[ck].to_numpy()].to_numpy(),
+            "revenue": rev.astype(np.float64) / 10000.0,
+            "rnk": np.arange(1, len(ck) + 1, dtype=np.int64),
+        }
+    )
+
+
+def disjunctive_revenue(sf_dir: str, num_buckets: int = 32):
+    """TPC-H-Q19-shaped disjunctive-predicate revenue: Σ revenue over three
+    OR'd (brand, size-range, quantity-range) branches → one row
+    (revenue). Branches (adapted to this schema's 25 brands, no
+    containers): Brand#12/size 1-5/qty 1-11, Brand#23/size 1-10/qty
+    10-20, Brand#15/size 1-15/qty 20-30.
+
+    Scale shape: lineitem pre-filters to the union of the quantity ranges
+    AT THE BATCH BOUNDARY (the read-side prune a disjunction still
+    allows), then pre-aggregates revenue by (partkey, quantity) — quantity
+    is integral 1-50 so partials collapse hard; ONE bucketed union join
+    against (partkey, brand, size) resolves the full disjunction
+    vectorized inside each bucket and emits a single partial per bucket.
+    Exact int64 cents, one final division."""
+    from ray.data.aggregate import Sum
+
+    li = read_table(
+        sf_dir,
+        "lineitem",
+        columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+    part = read_table(sf_dir, "part", columns=["p_partkey", "p_brand", "p_size"])
+    B = np.int64(num_buckets)
+    BRANCHES = ((12, 1, 5, 1, 11), (23, 1, 10, 10, 20), (15, 1, 15, 20, 30))
+    QLO = min(b[3] for b in BRANCHES)
+    QHI = max(b[4] for b in BRANCHES)
+
+    def _li(t: pa.Table) -> pa.Table:
+        q = t["l_quantity"].to_numpy().astype(np.int64)
+        m = (q >= QLO) & (q <= QHI)
+        pk = t["l_partkey"].to_numpy().astype(np.int64)[m]
+        q = q[m]
+        cents = np.round(t["l_extendedprice"].to_numpy()[m] * 100).astype(np.int64)
+        disc = np.round(t["l_discount"].to_numpy()[m] * 100).astype(np.int64)
+        rev = cents * (100 - disc)
+        key = pk * np.int64(64) + q  # qty < 64
+        kk, inv = np.unique(key, return_inverse=True)
+        s = np.zeros(len(kk), np.int64)
+        np.add.at(s, inv, rev)
+        pk_u = kk // 64
+        return pa.table(
+            {
+                "pk": pk_u,
+                "q": (kk % 64).astype(np.int64),
+                "rev": s,
+                "brand": np.full(len(kk), -1, np.int64),
+                "size": np.zeros(len(kk), np.int64),
+                "b": (pk_u % B).astype(np.int32),
+            }
+        )
+
+    def _part(t: pa.Table) -> pa.Table:
+        pk = t["p_partkey"].to_numpy().astype(np.int64)
+        brand_s = t["p_brand"].to_numpy(zero_copy_only=False)
+        brand = np.array([int(s.split("#", 1)[1]) for s in brand_s], np.int64)
+        return pa.table(
+            {
+                "pk": pk,
+                "q": np.zeros(len(pk), np.int64),
+                "rev": np.zeros(len(pk), np.int64),
+                "brand": brand,
+                "size": t["p_size"].to_numpy().astype(np.int64),
+                "b": (pk % B).astype(np.int32),
+            }
+        )
+
+    def _eval(g: pa.Table) -> pa.Table:
+        brand = g["brand"].to_numpy()
+        pk = g["pk"].to_numpy()
+        dim = brand >= 0
+        dk = pk[dim]
+        order = np.argsort(dk)
+        dk = dk[order]
+        dbrand = brand[dim][order]
+        dsize = g["size"].to_numpy()[dim][order]
+        fk = pk[~dim]
+        fq = g["q"].to_numpy()[~dim]
+        frev = g["rev"].to_numpy()[~dim]
+        pos = np.searchsorted(dk, fk)
+        pos_c = np.minimum(pos, max(len(dk) - 1, 0))
+        hit = dk[pos_c] == fk if len(dk) else np.zeros(len(fk), bool)
+        br, sz = dbrand[pos_c[hit]], dsize[pos_c[hit]]
+        q, rev = fq[hit], frev[hit]
+        keep = np.zeros(len(q), bool)
+        for b_, slo, shi, qlo, qhi in BRANCHES:
+            keep |= (br == b_) & (sz >= slo) & (sz <= shi) & (q >= qlo) & (q <= qhi)
+        return pa.table({"rev": np.array([rev[keep].sum()], np.int64)})
+
+    total = (
+        li.map_batches(_li, batch_format="pyarrow")
+        .union(part.map_batches(_part, batch_format="pyarrow"))
+        .groupby("b")
+        .map_groups(_eval, batch_format="pyarrow")
+        .aggregate(Sum("rev", alias_name="rev"))
+    )
+    return pa.table({"revenue": np.array([total["rev"] / 10000.0], np.float64)})

@@ -43,6 +43,7 @@ __all__ = [
     "MaximalIndependentSetProgram",
     "LabelPropagationProgram",
     "TriangleCountProgram",
+    "KTrussProgram",
     "MatchProgram",
     "BetweennessProgram",
     "HarmonicClosenessProgram",
@@ -1219,6 +1220,241 @@ class TriangleCountProgram(VertexProgram):
 
     def scalar_result(self):
         return {"triangles": self.tri_global}
+
+
+# --------------------------------------------------------------------------
+class KTrussProgram(TriangleCountProgram):
+    """k-truss decomposition by iterated triangle-support peeling (Cohen 2008,
+    "Trusses: cohesive subgraphs for social network analysis"): repeatedly
+    delete every edge contained in fewer than k−2 triangles of the surviving
+    subgraph; the fixpoint is the (maximal) k-truss.
+
+    Distribution reuses the degree-oriented triangle machinery (each
+    undirected edge has exactly ONE owner slot — the N+ list of its
+    lower-(degree, vid) endpoint — so edge aliveness needs no cross-partition
+    mirroring). Supersteps run in period-3 rounds:
+
+    * phase 0 (``step % 3 == 0``) — decide from the driver-folded ``glob``
+      whether the previous round removed anything anywhere (the aggregator
+      broadcast, ``basic/Worker.h:158-215``); if yes, zero supports and ship
+      every ALIVE oriented edge's alive-N+ list to its destination partition
+      (volume Σ deg+(u)² = O(E^1.5), the same hub-skew bound as triangles).
+    * phase 1 — count intersections at the middle vertex: support of the
+      local (v,w) slot bumps in place; credits for the (u,v)/(u,w) slots are
+      pre-aggregated per (owner, neighbor) and routed to u's partition.
+    * phase 2 — apply credits, then peel: alive slots with support < k−2 die;
+      local removal count is reported in stats (folded → next phase-0 glob).
+
+    Support is recomputed from scratch every round, so rounds = peeling depth
+    (sf0.01 co-purchase, k=6: 6 rounds) and no decremental bookkeeping is
+    needed across partitions.
+    """
+
+    def init(self, csr: CSRPartition, k: int = 6):
+        super().init(csr)
+        self.k = int(k)
+        self.thresh = self.k - 2
+        n_slots = len(self.np_indices)
+        self.np_row = np.repeat(
+            np.arange(csr.num_vertices, dtype=np.int64), self.np_counts
+        )
+        self.alive = np.ones(n_slots, dtype=bool)
+        self.support = np.zeros(n_slots, dtype=np.int64)
+        self.credit_out = None
+        self.done = False
+        # csr.indices positions of the oriented slots (for scatter masking)
+        self._slot_pos = np.nonzero(self._orient)[0]
+
+    # ---- (owned local row, neighbor vid) → oriented-slot index ----------
+    def _np_slot_lookup(self, li: np.ndarray, targets: np.ndarray):
+        keys, uniq = self._np_keys, self._np_uniq
+        if len(keys) == 0 or len(targets) == 0:
+            z = np.zeros(len(targets), dtype=np.int64)
+            return z, np.zeros(len(targets), dtype=bool)
+        pos = np.searchsorted(uniq, targets)
+        pos_c = np.minimum(pos, len(uniq) - 1)
+        valid = uniq[pos_c] == targets
+        qkey = li.astype(np.uint64) << np.uint64(32) | pos_c.astype(np.uint64)
+        kpos = np.minimum(np.searchsorted(keys, qkey), len(keys) - 1)
+        valid &= keys[kpos] == qkey
+        return kpos.astype(np.int64), valid
+
+    def apply(self, step, inbox, glob):
+        phase = step % 3
+        if phase == 0:
+            if step > 0:
+                if int(glob.get("removed", 0)) == 0:
+                    self.done = True
+                    return {"active": 0}
+                self.support[:] = 0
+            return {"active": 1}
+        if phase == 1:
+            # middle-vertex intersection counting + credit routing
+            P = self.csr.num_parts
+            cu, cn = [], []
+            for msg in inbox:
+                if msg is None or len(msg["dst"]) == 0:
+                    continue
+                lens = msg["lens"]
+                data = msg["data"]
+                li_elem = np.repeat(self.csr.local_index(msg["dst"]), lens)
+                slots, valid = self._np_slot_lookup(li_elem, data)
+                idx = np.nonzero(valid)[0]
+                s2 = slots[idx]
+                keep = self.alive[s2]
+                idx = idx[keep]
+                if len(idx) == 0:
+                    continue
+                np.add.at(self.support, s2[keep], 1)  # (v,w) slot, local
+                u_elem = np.repeat(msg["src"], lens)
+                v_elem = np.repeat(msg["dst"], lens)
+                cu.append(u_elem[idx]); cn.append(v_elem[idx])   # (u,v)
+                cu.append(u_elem[idx]); cn.append(data[idx])     # (u,w)
+            self.credit_out = [None] * P
+            if cu:
+                u_all = np.concatenate(cu)
+                n_all = np.concatenate(cn)
+                dpart = part_for(u_all, P)
+                order = np.lexsort((n_all, u_all, dpart))
+                du, dn, dp = u_all[order], n_all[order], dpart[order]
+                bounds = np.searchsorted(dp, np.arange(P + 1))
+                for p in range(P):
+                    s, e = int(bounds[p]), int(bounds[p + 1])
+                    if s == e:
+                        continue
+                    su, sn = du[s:e], dn[s:e]
+                    new = np.ones(e - s, dtype=bool)
+                    new[1:] = (su[1:] != su[:-1]) | (sn[1:] != sn[:-1])
+                    starts = np.nonzero(new)[0]
+                    cnt = np.diff(np.concatenate([starts, [e - s]]))
+                    self.credit_out[p] = {
+                        "dst": su[starts], "nbr": sn[starts],
+                        "cnt": cnt.astype(np.int64),
+                    }
+            return {"active": 1}
+        # phase 2: apply remote credits, then peel
+        for msg in inbox:
+            if msg is None or "nbr" not in msg or len(msg["dst"]) == 0:
+                continue
+            li = self.csr.local_index(msg["dst"])
+            slots, valid = self._np_slot_lookup(li, msg["nbr"])
+            np.add.at(self.support, slots[valid], msg["cnt"][valid])
+        sel = self.alive & (self.support < self.thresh)
+        removed = int(sel.sum())
+        if removed:
+            self.alive[sel] = False
+        return {"active": 1, "removed": removed}
+
+    def scatter(self, step):
+        P = self.csr.num_parts
+        phase = step % 3
+        if phase == 0 and not self.done:
+            # alive-compacted N+ adjacency for this round
+            aidx = np.nonzero(self.alive)[0]
+            a_indices = self.np_indices[aidx]
+            a_counts = np.bincount(
+                self.np_row[aidx], minlength=self.csr.num_vertices
+            ).astype(np.int64)
+            a_indptr = np.concatenate([[0], np.cumsum(a_counts)]).astype(np.int64)
+            alive_full = np.zeros(self.csr.num_edges, dtype=bool)
+            alive_full[self._slot_pos] = self.alive
+            dix = self.csr.dst_index()
+            sel_sorted = alive_full[dix.order]
+            sorted_dst = self.csr.indices[dix.order]
+            src_row_sorted = dix.src_row[dix.order]
+            outbox, sent = [], 0
+            for p in range(P):
+                s, e = dix.slices[p]
+                sel = sel_sorted[s:e]
+                if not sel.any():
+                    outbox.append(None)
+                    continue
+                rows = src_row_sorted[s:e][sel]
+                lens = a_counts[rows]
+                data = a_indices[flat_gather(a_indptr[rows], lens)]
+                outbox.append(
+                    {
+                        "dst": sorted_dst[s:e][sel],
+                        "src": self.csr.vids[rows],
+                        "lens": lens,
+                        "data": data,
+                    }
+                )
+                sent += int(sel.sum())
+            return outbox, {"sent": sent}
+        if phase == 1 and self.credit_out is not None:
+            out = self.credit_out
+            self.credit_out = None
+            sent = sum(len(m["dst"]) for m in out if m is not None)
+            return out, {"sent": sent}
+        return [None] * P, {"sent": 0}
+
+    def state_table(self):
+        # slot rows (kind 0) + flattened pending-credit rows (kind 1) so a
+        # post-apply checkpoint at ANY phase resumes exactly (scatter reruns)
+        n = len(self.alive)
+        kind = [np.zeros(n, dtype=np.int8)]
+        alive = [self.alive]
+        support = [self.support]
+        cu = [np.zeros(n, dtype=np.int64)]
+        cn = [np.zeros(n, dtype=np.int64)]
+        cc = [np.zeros(n, dtype=np.int64)]
+        if self.credit_out is not None:
+            for m in self.credit_out:
+                if m is None or len(m["dst"]) == 0:
+                    continue
+                ln = len(m["dst"])
+                kind.append(np.ones(ln, dtype=np.int8))
+                alive.append(np.zeros(ln, dtype=bool))
+                support.append(np.zeros(ln, dtype=np.int64))
+                cu.append(m["dst"].astype(np.int64))
+                cn.append(m["nbr"].astype(np.int64))
+                cc.append(m["cnt"].astype(np.int64))
+        return pa.table(
+            {
+                "kind": np.concatenate(kind),
+                "alive": np.concatenate(alive),
+                "support": np.concatenate(support),
+                "cu": np.concatenate(cu),
+                "cn": np.concatenate(cn),
+                "cc": np.concatenate(cc),
+                "done": np.full(sum(len(x) for x in kind), self.done, dtype=bool),
+            }
+        )
+
+    def load_state(self, table, step):
+        kind = table["kind"].to_numpy()
+        slot = kind == 0
+        self.alive = table["alive"].to_numpy()[slot].copy()
+        self.support = table["support"].to_numpy()[slot].copy()
+        dn = table["done"].to_numpy()
+        self.done = bool(dn[0]) if len(dn) else False
+        self.credit_out = None
+        if (kind == 1).any():
+            P = self.csr.num_parts
+            cu = table["cu"].to_numpy()[~slot]
+            cn = table["cn"].to_numpy()[~slot]
+            cc = table["cc"].to_numpy()[~slot]
+            dpart = part_for(cu, P)
+            self.credit_out = [None] * P
+            for p in range(P):
+                m = dpart == p
+                if m.any():
+                    self.credit_out[p] = {"dst": cu[m], "nbr": cn[m], "cnt": cc[m]}
+
+    def result_table(self):
+        rows = self.np_row[self.alive]
+        src = self.csr.vids[rows]
+        dst = self.np_indices[self.alive]
+        return pa.table(
+            {
+                "src": np.minimum(src, dst).astype(np.int64),
+                "dst": np.maximum(src, dst).astype(np.int64),
+            }
+        )
+
+    def scalar_result(self):
+        return {"truss_edges": int(self.alive.sum())}
 
 
 # --------------------------------------------------------------------------
@@ -3213,6 +3449,7 @@ PROGRAMS = {
     "triangles": TriangleCountProgram,
     "match": MatchProgram,
     "kcore": KCoreProgram,
+    "ktruss": KTrussProgram,
     "assortativity": AssortativityProgram,
     "ppr": PersonalizedPageRankProgram,
     "walk": RandomWalkProgram,

@@ -592,3 +592,58 @@ def test_scc_checkpoint_resume(ray_session, tmp_path):
     assert np.array_equal(ref["vid"].values, resumed["vid"].values)
     assert np.array_equal(ref["scc"].values, resumed["scc"].values)
     assert (resumed["scc"].values != np.uint64(0xFFFFFFFFFFFFFFFF)).all()
+
+
+def test_ktruss_bsp_matches_dataset_path(ray_session):
+    """BSP-actor k-truss (period-3 superstep peeling) reaches the same
+    fixpoint edge set as the Dataset-shuffle path on the planted-clique
+    graph — two engines, one algorithm."""
+    import ray.data as rd
+
+    from subgraph_isomorphism_pregel_ray.pipelines.algorithms import ktruss, ktruss_bsp
+
+    rng = np.random.default_rng(6)
+    src = rng.integers(0, 30, 60)
+    dst = rng.integers(0, 30, 60)
+    keep = src < dst
+    E = set(zip(src[keep].tolist(), dst[keep].tolist()))
+    E |= {(a, b) for a in range(6) for b in range(a + 1, 6)}  # planted 6-clique
+    E = sorted(E)
+    tbl = pa.table(
+        {
+            "src": np.asarray([e[0] for e in E], np.int64),
+            "dst": np.asarray([e[1] for e in E], np.int64),
+        }
+    )
+    ds_out, _ = ktruss(rd.from_arrow(tbl).repartition(3), k=5)
+    got_ds = set(map(tuple, ds_out.to_pandas().itertuples(index=False)))
+    bsp_out, _ = ktruss_bsp(rd.from_arrow(tbl), k=5, num_parts=4)
+    got_bsp = set(map(tuple, bsp_out.to_pandas().itertuples(index=False)))
+    assert got_bsp == got_ds
+
+
+def test_ktruss_bsp_checkpoint_resume(ray_session, graph_arrays, tmp_path):
+    """Mid-ROUND resume (kill after a phase-1 apply, pending credits in the
+    checkpoint) reproduces the straight run's surviving edge set exactly —
+    the slot+credit state table round-trips parquet."""
+    s, d = graph_arrays
+    gdir, ckdir = str(tmp_path / "gkt"), str(tmp_path / "ckkt")
+    partition_graph(edges_from_arrays(s, d), 4, gdir, directed=False)
+    params = {"k": 4}
+
+    eng = BSPEngine(gdir, 4)
+    eng.run("ktruss", params, max_steps=100)
+    ref = eng.result_table().to_pandas().sort_values(["src", "dst"]).reset_index(drop=True)
+    eng.shutdown()
+
+    engA = BSPEngine(gdir, 4)  # "killed" after step 4 (round 2, phase 1)
+    engA.run("ktruss", params, max_steps=5, checkpoint_dir=ckdir, checkpoint_every=1)
+    engA.shutdown()
+    assert os.path.isdir(os.path.join(ckdir, "step=4"))
+    engB = BSPEngine(gdir, 4)
+    engB.run("ktruss", params, max_steps=100, checkpoint_dir=ckdir,
+             checkpoint_every=1, resume=True)
+    resumed = engB.result_table().to_pandas().sort_values(["src", "dst"]).reset_index(drop=True)
+    engB.shutdown()
+    assert np.array_equal(ref["src"].values, resumed["src"].values)
+    assert np.array_equal(ref["dst"].values, resumed["dst"].values)

@@ -636,3 +636,139 @@ def test_orders_active_backlog_hand_case(ray_session, tmp_path):
     assert got == {
         "2024-01-01": 2, "2024-01-03": 3, "2024-01-04": 1, "2024-01-06": 0,
     }
+
+
+def test_nation_trade_volume_excludes_same_nation(ray_session, tmp_path):
+    # cust 1 (nation 0) buys from supp 10 (nation 1) -> counted; cust 2
+    # (nation 1) buys from supp 10 (nation 1) -> SAME nation, excluded
+    _write(
+        tmp_path,
+        "lineitem",
+        {
+            "l_orderkey": pa.array([1, 1, 2], pa.int64()),
+            "l_suppkey": pa.array([10, 11, 10], pa.int64()),
+            "l_extendedprice": pa.array([100.0, 200.0, 400.0]),
+            "l_discount": pa.array([0.0, 0.1, 0.0]),
+        },
+    )
+    _write(
+        tmp_path,
+        "orders",
+        {
+            "o_orderkey": pa.array([1, 2], pa.int64()),
+            "o_custkey": pa.array([1, 2], pa.int64()),
+        },
+    )
+    _write(
+        tmp_path,
+        "customer",
+        {
+            "c_custkey": pa.array([1, 2], pa.int64()),
+            "c_nationkey": pa.array([0, 1], pa.int64()),
+        },
+    )
+    _write(
+        tmp_path,
+        "supplier",
+        {
+            "s_suppkey": pa.array([10, 11], pa.int64()),
+            "s_nationkey": pa.array([1, 0], pa.int64()),
+        },
+    )
+    _write(
+        tmp_path,
+        "nation",
+        {
+            "n_nationkey": pa.array([0, 1], pa.int64()),
+            "n_name": pa.array(["ALPHA", "BETA"]),
+        },
+    )
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import (
+        nation_trade_volume,
+    )
+
+    got = nation_trade_volume(str(tmp_path), num_buckets=4).to_pandas()
+    got = got.set_index(["cust_nation", "supp_nation"])["revenue"]
+    # cust ALPHA x supp BETA: 100 (order 1, supp 10); ALPHA x ALPHA excluded
+    # (supp 11 discount 10% -> 180 would be same-pair? no: supp 11 nation 0
+    # == cust 1 nation 0 -> excluded); BETA x BETA (order 2) excluded
+    assert len(got) == 1
+    assert got.loc[("ALPHA", "BETA")] == 100.0
+
+
+def test_returned_customer_topk_rank_and_tiebreak(ray_session, tmp_path):
+    # cust 1 and 2 tie on returned revenue -> custkey asc breaks the tie;
+    # cust 3's non-returned revenue is ignored
+    _write(
+        tmp_path,
+        "lineitem",
+        {
+            "l_orderkey": pa.array([1, 2, 3, 3], pa.int64()),
+            "l_extendedprice": pa.array([50.0, 50.0, 999.0, 10.0]),
+            "l_discount": pa.array([0.0, 0.0, 0.0, 0.0]),
+            "l_returnflag": pa.array(["R", "R", "N", "R"]),
+        },
+    )
+    _write(
+        tmp_path,
+        "orders",
+        {
+            "o_orderkey": pa.array([1, 2, 3], pa.int64()),
+            "o_custkey": pa.array([2, 1, 3], pa.int64()),
+        },
+    )
+    _write(
+        tmp_path,
+        "customer",
+        {
+            "c_custkey": pa.array([1, 2, 3], pa.int64()),
+            "c_name": pa.array(["c1", "c2", "c3"]),
+            "c_nationkey": pa.array([0, 0, 0], pa.int64()),
+        },
+    )
+    _write(
+        tmp_path,
+        "nation",
+        {
+            "n_nationkey": pa.array([0], pa.int64()),
+            "n_name": pa.array(["ALPHA"]),
+        },
+    )
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import (
+        returned_customer_topk,
+    )
+
+    got = returned_customer_topk(str(tmp_path), k=2, num_buckets=4).to_pandas()
+    assert list(got["c_custkey"]) == [1, 2]  # tie at 50.0 -> key asc
+    assert list(got["rnk"]) == [1, 2]
+    assert list(got["revenue"]) == [50.0, 50.0]
+
+
+def test_disjunctive_revenue_branch_boundaries(ray_session, tmp_path):
+    # rows: in branch 1 (Brand#12/size 5/qty 11), boundary-out (qty 12),
+    # in branch 3 (Brand#15/size 15/qty 20), wrong brand -> out
+    _write(
+        tmp_path,
+        "lineitem",
+        {
+            "l_partkey": pa.array([1, 1, 2, 3], pa.int64()),
+            "l_quantity": pa.array([11.0, 12.0, 20.0, 25.0]),
+            "l_extendedprice": pa.array([10.0, 100.0, 1000.0, 10000.0]),
+            "l_discount": pa.array([0.0, 0.0, 0.0, 0.0]),
+        },
+    )
+    _write(
+        tmp_path,
+        "part",
+        {
+            "p_partkey": pa.array([1, 2, 3], pa.int64()),
+            "p_brand": pa.array(["Brand#12", "Brand#15", "Brand#11"]),
+            "p_size": pa.array([5, 15, 1], pa.int32()),
+        },
+    )
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import (
+        disjunctive_revenue,
+    )
+
+    got = disjunctive_revenue(str(tmp_path), num_buckets=4).to_pandas()
+    assert got["revenue"].iloc[0] == 1010.0  # 10 (branch1) + 1000 (branch3)
