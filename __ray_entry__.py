@@ -664,6 +664,17 @@ def _q_revenue_by_nation(sf_dir: str):
     return revenue_by_nation(sf_dir)
 
 
+def _q_product_type_profit(sf_dir: str):
+    """Q9-shaped: revenue from parts whose name contains 'red', by supplier
+    nation and order year — three bucketed re-keying joins with a
+    batch-boundary substring semi-filter on part."""
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import (
+        product_type_profit,
+    )
+
+    return product_type_profit(sf_dir)
+
+
 def _q_disjunctive_revenue(sf_dir: str):
     """Q19-shaped three-branch OR predicate over a lineitem ⋈ part bucket
     join; quantity-range union pre-filter at the batch boundary."""
@@ -1654,6 +1665,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_trade_volume": _q_nation_trade_volume,
         "returned_customer_topk": _q_returned_customer_topk,
         "disjunctive_revenue": _q_disjunctive_revenue,
+        "product_type_profit": _q_product_type_profit,
         "revenue_by_region": _q_revenue_by_region,
         "topk_parts_per_nation": _q_topk_parts,
         "documents_sample": _q_documents_sample,
@@ -3539,6 +3551,18 @@ def oracle_sql() -> dict[str, str]:
             "FROM lineitem JOIN orders ON o_orderkey = l_orderkey "
             "JOIN customer ON c_custkey = o_custkey "
             "JOIN nation ON n_nationkey = c_nationkey GROUP BY 1"
+        ),
+        "product_type_profit": (
+            # Q9-shaped (profit = revenue; no partsupp in this schema),
+            # exact-int-cents fold, year from o_orderdate
+            "SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year, "
+            "sum(CAST(round(l_extendedprice * 100) AS BIGINT) * "
+            "(100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0 AS sum_profit "
+            "FROM lineitem JOIN part ON p_partkey = l_partkey "
+            "JOIN supplier ON s_suppkey = l_suppkey "
+            "JOIN orders ON o_orderkey = l_orderkey "
+            "JOIN nation ON n_nationkey = s_nationkey "
+            "WHERE p_name LIKE '%red%' GROUP BY 1, 2"
         ),
         "disjunctive_revenue": (
             # Q19-shaped disjunction, same exact-int-cents fold; brand

@@ -4349,3 +4349,177 @@ def disjunctive_revenue(sf_dir: str, num_buckets: int = 32):
         .aggregate(Sum("rev", alias_name="rev"))
     )
     return pa.table({"revenue": np.array([total["rev"] / 10000.0], np.float64)})
+
+
+def product_type_profit(sf_dir: str, name_like: str = "red", num_buckets: int = 32):
+    """TPC-H-Q9-shaped profit rollup: revenue from lineitems whose part
+    name contains ``name_like``, grouped by supplier nation and order year
+    → (n_name, o_year, sum_profit). (No partsupp table in this schema, so
+    profit = revenue — the join/grouping shape is what Q9 exercises.)
+
+    Scale shape: three bucketed re-keying joins (partkey → suppkey →
+    orderkey); the part side is substring-filtered AT THE BATCH BOUNDARY
+    (a semi-join — only matching partkeys enter the exchange) and the fact
+    stream pre-aggregates to pair partials before every shuffle. Two
+    payload columns ride the fact rows (orderkey + suppkey) until each is
+    consumed by its join. Exact int64 cents, one final division."""
+    from ray.data.aggregate import Sum
+
+    li = read_table(
+        sf_dir,
+        "lineitem",
+        columns=["l_partkey", "l_suppkey", "l_orderkey",
+                 "l_extendedprice", "l_discount"],
+    )
+    part = read_table(sf_dir, "part", columns=["p_partkey", "p_name"])
+    supp = read_table(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_orderdate"])
+    B = np.int64(num_buckets)
+    PACK = np.int64(10000)  # years < 10000
+
+    def _agg2(k, p1, rev):
+        if len(k) == 0:
+            return k, p1, rev
+        order = np.lexsort((p1, k))
+        k, p1, rev = k[order], p1[order], rev[order]
+        start = np.ones(len(k), bool)
+        start[1:] = (k[1:] != k[:-1]) | (p1[1:] != p1[:-1])
+        idx = np.nonzero(start)[0]
+        return k[start], p1[start], np.add.reduceat(rev, idx)
+
+    def _li(t: pa.Table) -> pa.Table:
+        pk = t["l_partkey"].to_numpy().astype(np.int64)
+        cents = np.round(t["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        disc = np.round(t["l_discount"].to_numpy() * 100).astype(np.int64)
+        return pa.table(
+            {
+                "k": pk,
+                "rev": cents * (100 - disc),
+                "p1": t["l_orderkey"].to_numpy().astype(np.int64),
+                "p2": t["l_suppkey"].to_numpy().astype(np.int64),
+                "aux": np.full(len(pk), -1, np.int64),
+                "b": (pk % B).astype(np.int32),
+            }
+        )
+
+    def _part(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        m = pc.match_substring(t["p_name"], name_like).to_numpy(zero_copy_only=False)
+        pk = t["p_partkey"].to_numpy().astype(np.int64)[m]
+        z = np.zeros(len(pk), np.int64)
+        return pa.table(
+            {"k": pk, "rev": z, "p1": z, "p2": z, "aux": z,
+             "b": (pk % B).astype(np.int32)}
+        )
+
+    def _orders_dim(t: pa.Table) -> pa.Table:
+        ok = t["o_orderkey"].to_numpy().astype(np.int64)
+        yr = t["o_orderdate"].to_numpy().astype("datetime64[Y]").astype(np.int64) + 1970
+        z = np.zeros(len(ok), np.int64)
+        return pa.table(
+            {"k": ok, "rev": z, "p1": z, "p2": z, "aux": yr,
+             "b": (ok % B).astype(np.int32)}
+        )
+
+    def _supp_dim(t: pa.Table) -> pa.Table:
+        sk = t["s_suppkey"].to_numpy().astype(np.int64)
+        z = np.zeros(len(sk), np.int64)
+        return pa.table(
+            {"k": sk, "rev": z, "p1": z, "p2": z,
+             "aux": t["s_nationkey"].to_numpy().astype(np.int64),
+             "b": (sk % B).astype(np.int32)}
+        )
+
+    def _dim_sorted(g: pa.Table, dim_mask):
+        k = g["k"].to_numpy()
+        dk = k[dim_mask]
+        order = np.argsort(dk)
+        return k, dk[order], order
+
+    def _semi(g: pa.Table) -> pa.Table:
+        # parts have aux == 0 AND rev == 0 AND p1 == 0: mark dim by rev<0?
+        # dim rows are the ones with aux >= 0 here — but fact aux == -1
+        aux = g["aux"].to_numpy()
+        dim = aux >= 0
+        k, dk, order = _dim_sorted(g, dim)
+        fk = k[~dim]
+        pos = np.searchsorted(dk, fk)
+        pos_c = np.minimum(pos, max(len(dk) - 1, 0))
+        hit = dk[pos_c] == fk if len(dk) else np.zeros(len(fk), bool)
+        frev = g["rev"].to_numpy()[~dim][hit]
+        p1 = g["p1"].to_numpy()[~dim][hit]   # orderkey
+        p2 = g["p2"].to_numpy()[~dim][hit]   # suppkey → next key
+        kk, pp, rr = _agg2(p2, p1, frev)
+        return pa.table(
+            {"k": kk, "rev": rr, "p1": pp, "p2": np.zeros(len(kk), np.int64),
+             "aux": np.full(len(kk), -1, np.int64),
+             "b": (kk % B).astype(np.int32)}
+        )
+
+    def _join_supp(g: pa.Table) -> pa.Table:
+        aux = g["aux"].to_numpy()
+        dim = aux >= 0
+        k, dk, order = _dim_sorted(g, dim)
+        da = aux[dim][order]
+        fk = k[~dim]
+        pos = np.searchsorted(dk, fk)
+        pos_c = np.minimum(pos, max(len(dk) - 1, 0))
+        hit = dk[pos_c] == fk if len(dk) else np.zeros(len(fk), bool)
+        nat = da[pos_c[hit]]
+        okey = g["p1"].to_numpy()[~dim][hit]
+        frev = g["rev"].to_numpy()[~dim][hit]
+        kk, pp, rr = _agg2(okey, nat, frev)
+        return pa.table(
+            {"k": kk, "rev": rr, "p1": pp, "p2": np.zeros(len(kk), np.int64),
+             "aux": np.full(len(kk), -1, np.int64),
+             "b": (kk % B).astype(np.int32)}
+        )
+
+    def _join_orders(g: pa.Table) -> pa.Table:
+        aux = g["aux"].to_numpy()
+        dim = aux >= 0
+        k, dk, order = _dim_sorted(g, dim)
+        da = aux[dim][order]
+        fk = k[~dim]
+        pos = np.searchsorted(dk, fk)
+        pos_c = np.minimum(pos, max(len(dk) - 1, 0))
+        hit = dk[pos_c] == fk if len(dk) else np.zeros(len(fk), bool)
+        yr = da[pos_c[hit]]
+        nat = g["p1"].to_numpy()[~dim][hit]
+        frev = g["rev"].to_numpy()[~dim][hit]
+        key = nat * PACK + yr
+        kk, inv = np.unique(key, return_inverse=True)
+        s = np.zeros(len(kk), np.int64)
+        np.add.at(s, inv, frev)
+        return pa.table({"k": kk, "rev": s})
+
+    j1 = (
+        li.map_batches(_li, batch_format="pyarrow")
+        .union(part.map_batches(_part, batch_format="pyarrow"))
+        .groupby("b").map_groups(_semi, batch_format="pyarrow")
+    )  # → (suppkey, orderkey, rev)
+    j2 = (
+        j1.union(supp.map_batches(_supp_dim, batch_format="pyarrow"))
+        .groupby("b").map_groups(_join_supp, batch_format="pyarrow")
+    )  # → (orderkey, nation, rev)
+    j3 = (
+        j2.union(orders.map_batches(_orders_dim, batch_format="pyarrow"))
+        .groupby("b").map_groups(_join_orders, batch_format="pyarrow")
+    )  # → (nation·PACK + year, rev)
+
+    out = j3.groupby("k").aggregate(Sum("rev", alias_name="rev")).to_pandas()
+    import pyarrow.parquet as pq
+
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).to_pandas().set_index("n_nationkey")["n_name"]
+    nat = (out["k"].to_numpy() // int(PACK)).astype(np.int64)
+    yr = (out["k"].to_numpy() % int(PACK)).astype(np.int64)
+    return pa.table(
+        {
+            "n_name": nation.loc[nat].to_numpy(),
+            "o_year": yr,
+            "sum_profit": out["rev"].to_numpy().astype(np.float64) / 10000.0,
+        }
+    )

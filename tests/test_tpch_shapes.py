@@ -772,3 +772,62 @@ def test_disjunctive_revenue_branch_boundaries(ray_session, tmp_path):
 
     got = disjunctive_revenue(str(tmp_path), num_buckets=4).to_pandas()
     assert got["revenue"].iloc[0] == 1010.0  # 10 (branch1) + 1000 (branch3)
+
+
+def test_product_type_profit_semi_filter_and_year(ray_session, tmp_path):
+    # part 1 matches 'red', part 2 doesn't; orders span two years ->
+    # (nation, year) cells only from matching parts
+    _write(
+        tmp_path,
+        "lineitem",
+        {
+            "l_partkey": pa.array([1, 1, 2], pa.int64()),
+            "l_suppkey": pa.array([10, 11, 10], pa.int64()),
+            "l_orderkey": pa.array([1, 2, 1], pa.int64()),
+            "l_extendedprice": pa.array([100.0, 200.0, 999.0]),
+            "l_discount": pa.array([0.0, 0.5, 0.0]),
+        },
+    )
+    _write(
+        tmp_path,
+        "part",
+        {
+            "p_partkey": pa.array([1, 2], pa.int64()),
+            "p_name": pa.array(["red widget", "blue bolt"]),
+        },
+    )
+    _write(
+        tmp_path,
+        "supplier",
+        {
+            "s_suppkey": pa.array([10, 11], pa.int64()),
+            "s_nationkey": pa.array([0, 1], pa.int64()),
+        },
+    )
+    _write(
+        tmp_path,
+        "orders",
+        {
+            "o_orderkey": pa.array([1, 2], pa.int64()),
+            "o_orderdate": pa.array(
+                np.array(["1995-03-01", "1996-07-01"], "datetime64[us]")
+            ),
+        },
+    )
+    _write(
+        tmp_path,
+        "nation",
+        {
+            "n_nationkey": pa.array([0, 1], pa.int64()),
+            "n_name": pa.array(["ALPHA", "BETA"]),
+        },
+    )
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import (
+        product_type_profit,
+    )
+
+    got = product_type_profit(str(tmp_path), num_buckets=4).to_pandas()
+    got = got.set_index(["n_name", "o_year"])["sum_profit"].sort_index()
+    assert len(got) == 2
+    assert got.loc[("ALPHA", 1995)] == 100.0   # part 2's 999 excluded
+    assert got.loc[("BETA", 1996)] == 100.0    # 200 at 50% discount
