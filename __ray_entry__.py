@@ -942,6 +942,19 @@ def _q_dup_rate_by_source(sf_dir: str):
     return dup_rate_by_source(docs)
 
 
+def _q_duplicate_ngram_fraction(sf_dir: str):
+    """FineWeb-style dedup-health signal: per doc, share of its distinct
+    word 5-grams occurring in ≥2 docs corpus-wide; hashes-only exchange,
+    gram-bucket counting, per-doc partial fold."""
+    from subgraph_isomorphism_pregel_ray.pipelines.textops import (
+        duplicate_ngram_fraction,
+    )
+    from subgraph_isomorphism_pregel_ray.sources.tables import read_table
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return duplicate_ngram_fraction(docs)
+
+
 def _q_shingle_containment(sf_dir: str):
     """Broder containment ≥ 0.6 over char-5-gram shingles: the directional
     quote/subset detector (short doc inside long doc) resemblance misses."""
@@ -1666,6 +1679,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "returned_customer_topk": _q_returned_customer_topk,
         "disjunctive_revenue": _q_disjunctive_revenue,
         "product_type_profit": _q_product_type_profit,
+        "duplicate_ngram_fraction": _q_duplicate_ngram_fraction,
         "revenue_by_region": _q_revenue_by_region,
         "topk_parts_per_nation": _q_topk_parts,
         "documents_sample": _q_documents_sample,
@@ -3551,6 +3565,25 @@ def oracle_sql() -> dict[str, str]:
             "FROM lineitem JOIN orders ON o_orderkey = l_orderkey "
             "JOIN customer ON c_custkey = o_custkey "
             "JOIN nation ON n_nationkey = c_nationkey GROUP BY 1"
+        ),
+        "duplicate_ngram_fraction": (
+            # distinct word-5-gram md5s per doc vs corpus-wide doc counts;
+            # same md5_number_lower hashing as the engine, one int/int
+            # division + round
+            "WITH base AS (SELECT doc_id, "
+            "list_filter(string_split(text, ' '), x -> x <> '') AS toks "
+            "FROM documents), "
+            "g AS (SELECT doc_id, md5_number_lower(array_to_string("
+            "list_slice(toks, i, i + 4), ' ')) AS h "
+            "FROM (SELECT doc_id, toks, "
+            "unnest(generate_series(1, len(toks) - 4)) AS i "
+            "FROM base WHERE len(toks) >= 5)), "
+            "dg AS (SELECT DISTINCT doc_id, h FROM g), "
+            "c AS (SELECT h, count(*) AS nd FROM dg GROUP BY 1) "
+            "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams, "
+            "CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup, "
+            "round(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) * 1.0 / count(*), 6) "
+            "AS dup_frac FROM dg JOIN c USING (h) GROUP BY 1"
         ),
         "product_type_profit": (
             # Q9-shaped (profit = revenue; no partsupp in this schema),

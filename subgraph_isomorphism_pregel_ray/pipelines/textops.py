@@ -2203,3 +2203,78 @@ def collocations_topk(docs_ds, k: int = 50, min_count: int = 5, num_buckets: int
         _join_c2, batch_format="pyarrow"
     )
     return merged.sort(["score", "w1", "w2"], descending=[True, False, False]).limit(k)
+
+
+def duplicate_ngram_fraction(docs_ds, n: int = 5, num_buckets: int = 32,
+                             round_to: int = 6):
+    """Cross-document duplicate-n-gram fraction — the FineWeb/RefinedWeb
+    dedup-health signal: per document, the share of its DISTINCT word
+    n-grams that occur in ≥ 2 documents corpus-wide → (doc_id, n_grams,
+    n_dup, dup_frac). Documents shorter than ``n`` tokens emit no rows.
+
+    Scale shape: each batch emits (md5-hash, doc_id) rows for its distinct
+    grams (hashes, never gram strings, enter the exchange); ONE
+    gram-hash-bucketed groupby counts distinct docs per gram and folds
+    per-doc (total, dup) partials inside the bucket; a doc_id groupby sums
+    the partials. The fraction is one int/int IEEE division +
+    round-half-away, bit-equal to the SQL oracle."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.hashing import md5_lower64
+    from ..functions.rounding import round_half_away
+
+    B = np.int64(num_buckets)
+
+    def _grams(batch: pa.Table) -> pa.Table:
+        ids, hs = [], []
+        for d, t in zip(batch["doc_id"].to_numpy(), batch["text"].to_pylist()):
+            g = _word_ngrams_unique(_space_tokens(t), n)
+            if len(g):
+                ids.append(np.full(len(g), d, np.int64))
+                hs.append(md5_lower64(g))
+        if not ids:
+            return pa.table(
+                {"h": np.array([], np.int64), "doc_id": np.array([], np.int64),
+                 "b": np.array([], np.int32)}
+            )
+        h = np.concatenate(hs)
+        return pa.table(
+            {
+                "h": h.view(np.int64),
+                "doc_id": np.concatenate(ids),
+                "b": (h % np.uint64(B)).astype(np.int32),
+            }
+        )
+
+    def _mark(g: pa.Table) -> pa.Table:
+        h = g["h"].to_numpy()
+        d = g["doc_id"].to_numpy()
+        _, inv, cnt = np.unique(h, return_inverse=True, return_counts=True)
+        dup = cnt[inv] >= 2
+        dk, dinv = np.unique(d, return_inverse=True)
+        tot = np.bincount(dinv, minlength=len(dk)).astype(np.int64)
+        nd = np.zeros(len(dk), np.int64)
+        np.add.at(nd, dinv, dup.astype(np.int64))
+        return pa.table({"doc_id": dk, "t": tot, "d": nd})
+
+    per_doc = (
+        docs_ds.map_batches(_grams, batch_format="pyarrow")
+        .groupby("b")
+        .map_groups(_mark, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(Sum("t", alias_name="n_grams"), Sum("d", alias_name="n_dup"))
+    )
+
+    def _frac(t: pa.Table) -> pa.Table:
+        tot = t["n_grams"].to_numpy().astype(np.int64)
+        nd = t["n_dup"].to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].to_numpy().astype(np.int64),
+                "n_grams": tot,
+                "n_dup": nd,
+                "dup_frac": round_half_away(nd / tot, round_to),
+            }
+        )
+
+    return per_doc.map_batches(_frac, batch_format="pyarrow")

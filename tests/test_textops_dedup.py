@@ -1193,3 +1193,34 @@ def test_zipf_slope_vs_polyfit(ray_session):
     assert abs(got.intercept[0] - intercept) < 1e-6
     assert -1.2 < got.slope[0] < -0.8  # Zipfian corpus diagnosed as such
     assert got.n_types[0] == len(u) and got.n_tokens[0] == len(toks)
+
+
+def test_duplicate_ngram_fraction_hand_case(ray_session):
+    """doc0/doc1 exact dups -> frac 1.0 both; doc2 shares a prefix run of
+    5-grams with them; doc3 unique -> 0.0; short/empty docs emit no row."""
+    from subgraph_isomorphism_pregel_ray.pipelines.textops import (
+        _space_tokens,
+        _word_ngrams_unique,
+        duplicate_ngram_fraction,
+    )
+
+    out = (
+        duplicate_ngram_fraction(_docs_ds(DUP_CORPUS), n=5, num_buckets=4)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert list(out.index) == [0, 1, 2, 3, 4]  # "short"/"" dropped
+    assert out.loc[0, "dup_frac"] == 1.0 and out.loc[1, "dup_frac"] == 1.0
+    # every doc's fraction equals the brute-force share of its distinct
+    # grams that appear in any OTHER doc
+    grams = {
+        i: _word_ngrams_unique(_space_tokens(t), 5)
+        for i, t in enumerate(DUP_CORPUS)
+        if len(_space_tokens(t)) >= 5
+    }
+    for i, gi in grams.items():
+        others = set().union(*(set(g) for j, g in grams.items() if j != i))
+        exp = round(sum(g in others for g in gi) / len(gi), 6)
+        assert out.loc[i, "n_grams"] == len(gi)
+        assert abs(out.loc[i, "dup_frac"] - exp) < 1e-12, i
