@@ -675,6 +675,38 @@ def _q_product_type_profit(sf_dir: str):
     return product_type_profit(sf_dir)
 
 
+def _q_late_shipment_rate(sf_dir: str):
+    """Q12-shaped conditional aggregate: late-shipment share per order
+    priority — one bucketed orderkey join, int64 day arithmetic, CASE-sum
+    partials, ONE double division after the final fold."""
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import (
+        late_shipment_rate,
+    )
+
+    return late_shipment_rate(sf_dir)
+
+
+def _q_nation_market_share(sf_dir: str):
+    """Q8-shaped market share: revenue share supplied by one nation among
+    region-filtered customers' orders, per year — supplier/nation dims
+    broadcast, two bucketed re-keying joins, one final division."""
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import (
+        nation_market_share,
+    )
+
+    return nation_market_share(sf_dir)
+
+
+def _q_top_supplier_revenue(sf_dir: str):
+    """Q15-shaped scalar-subquery max with ties: per-supplier window
+    revenue, suppliers achieving the max; exact-int units."""
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import (
+        top_supplier_revenue,
+    )
+
+    return top_supplier_revenue(sf_dir)
+
+
 def _q_disjunctive_revenue(sf_dir: str):
     """Q19-shaped three-branch OR predicate over a lineitem ⋈ part bucket
     join; quantity-range union pre-filter at the batch boundary."""
@@ -1679,6 +1711,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "returned_customer_topk": _q_returned_customer_topk,
         "disjunctive_revenue": _q_disjunctive_revenue,
         "product_type_profit": _q_product_type_profit,
+        "late_shipment_rate": _q_late_shipment_rate,
+        "nation_market_share": _q_nation_market_share,
+        "top_supplier_revenue": _q_top_supplier_revenue,
         "duplicate_ngram_fraction": _q_duplicate_ngram_fraction,
         "revenue_by_region": _q_revenue_by_region,
         "topk_parts_per_nation": _q_topk_parts,
@@ -3596,6 +3631,52 @@ def oracle_sql() -> dict[str, str]:
             "JOIN orders ON o_orderkey = l_orderkey "
             "JOIN nation ON n_nationkey = s_nationkey "
             "WHERE p_name LIKE '%red%' GROUP BY 1, 2"
+        ),
+        "top_supplier_revenue": (
+            # Q15-shaped: scalar-subquery max, ties kept; exact-int units,
+            # /10000.0 mirrors the engine's one division
+            "WITH r AS (SELECT l_suppkey AS s_suppkey, "
+            "sum(CAST(round(l_extendedprice * 100) AS BIGINT) * "
+            "(100 - CAST(round(l_discount * 100) AS BIGINT))) AS units "
+            "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1995-01-01' "
+            "AND l_shipdate < TIMESTAMP '1995-04-01' GROUP BY 1) "
+            "SELECT s_suppkey, s_name, units / 10000.0 AS total_revenue "
+            "FROM r JOIN supplier USING (s_suppkey) "
+            "WHERE units = (SELECT max(units) FROM r)"
+        ),
+        "nation_market_share": (
+            # Q8-shaped: exact-int cents·(100−disc) units, share = one
+            # double division mirroring the engine's final fold
+            "WITH f AS (SELECT year(o_orderdate) AS yr, "
+            "CAST(round(l_extendedprice * 100) AS BIGINT) * "
+            "(100 - CAST(round(l_discount * 100) AS BIGINT)) AS units, "
+            "sn.n_name AS supp_nation "
+            "FROM lineitem JOIN orders ON o_orderkey = l_orderkey "
+            "JOIN customer ON c_custkey = o_custkey "
+            "JOIN nation cn ON cn.n_nationkey = c_nationkey "
+            "JOIN region ON r_regionkey = cn.n_regionkey "
+            "JOIN supplier ON s_suppkey = l_suppkey "
+            "JOIN nation sn ON sn.n_nationkey = s_nationkey "
+            "WHERE r_name = 'ASIA') "
+            "SELECT CAST(yr AS BIGINT) AS o_year, "
+            "CAST(sum(CASE WHEN supp_nation = 'NATION_2' THEN units ELSE 0 END) "
+            "AS BIGINT) AS target_units, "
+            "CAST(sum(units) AS BIGINT) AS total_units, "
+            "CAST(sum(CASE WHEN supp_nation = 'NATION_2' THEN units ELSE 0 END) "
+            "AS DOUBLE) / CAST(sum(units) AS DOUBLE) AS mkt_share "
+            "FROM f GROUP BY 1"
+        ),
+        "late_shipment_rate": (
+            # Q12-shaped (priority plays shipmode's role — no l_shipmode in
+            # this schema); rate mirrors the engine's one final division
+            "SELECT o_orderpriority, "
+            "CAST(sum(CASE WHEN datediff('day', o_orderdate, l_shipdate) > 60 "
+            "THEN 1 ELSE 0 END) AS BIGINT) AS n_late, "
+            "CAST(count(*) AS BIGINT) AS n_lines, "
+            "CAST(sum(CASE WHEN datediff('day', o_orderdate, l_shipdate) > 60 "
+            "THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE) "
+            "AS late_rate "
+            "FROM lineitem JOIN orders ON o_orderkey = l_orderkey GROUP BY 1"
         ),
         "disjunctive_revenue": (
             # Q19-shaped disjunction, same exact-int-cents fold; brand

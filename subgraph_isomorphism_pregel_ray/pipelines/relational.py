@@ -4523,3 +4523,322 @@ def product_type_profit(sf_dir: str, name_like: str = "red", num_buckets: int = 
             "sum_profit": out["rev"].to_numpy().astype(np.float64) / 10000.0,
         }
     )
+
+
+def late_shipment_rate(sf_dir: str, late_days: int = 60, num_buckets: int = 32):
+    """TPC-H-Q12-shaped conditional aggregate: per order priority, how many
+    lineitems shipped more than ``late_days`` days after the order date →
+    (o_orderpriority, n_late, n_lines, late_rate).  (This schema has no
+    l_shipmode, so priority plays Q12's shipmode role; the join + CASE-sum
+    shape is what Q12 exercises — ``pregel_app_subgraph.h`` has no
+    relational layer, this extends SURVEY §2.8's "ours adds" surface.)
+
+    Scale shape: ONE bucketed union-groupby join on orderkey (the
+    distinct-key machine of :func:`order_priority_semi`); the fact side
+    ships (orderkey, ship_day:int64) only, the dim side (orderkey,
+    priority, order_day:int64); each bucket emits per-priority partial
+    (late, total) int64 counts, a tiny final groupby sums, and the rate is
+    ONE double division after the fold (bit-exact vs SQL)."""
+    from ray.data.aggregate import Sum
+
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"])
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_orderpriority", "o_orderdate"])
+    B = np.int64(num_buckets)
+
+    def _fact(t: pa.Table) -> pa.Table:
+        k = t["l_orderkey"].to_numpy().astype(np.int64)
+        day = t["l_shipdate"].to_numpy().astype("datetime64[D]").astype(np.int64)
+        return pa.table(
+            {
+                "k": k,
+                "day": day,
+                "pri": pa.array([""] * len(k), pa.string()),
+                "dim": np.zeros(len(k), bool),
+                "b": (k % B).astype(np.int32),
+            }
+        )
+
+    def _dim(t: pa.Table) -> pa.Table:
+        k = t["o_orderkey"].to_numpy().astype(np.int64)
+        day = t["o_orderdate"].to_numpy().astype("datetime64[D]").astype(np.int64)
+        return pa.table(
+            {
+                "k": k,
+                "day": day,
+                "pri": t["o_orderpriority"],
+                "dim": np.ones(len(k), bool),
+                "b": (k % B).astype(np.int32),
+            }
+        )
+
+    def _join(g: pa.Table) -> pa.Table:
+        k = g["k"].to_numpy()
+        day = g["day"].to_numpy()
+        dim = g["dim"].to_numpy(zero_copy_only=False)
+        pri = g["pri"].to_numpy(zero_copy_only=False)
+        dk = k[dim]
+        order = np.argsort(dk)
+        dk = dk[order]
+        dday = day[dim][order]
+        dpri = pri[dim][order]
+        fk = k[~dim]
+        pos = np.searchsorted(dk, fk)
+        pos_c = np.minimum(pos, max(len(dk) - 1, 0))
+        hit = dk[pos_c] == fk if len(dk) else np.zeros(len(fk), bool)
+        late = (day[~dim][hit] - dday[pos_c[hit]]) > late_days
+        p = dpri[pos_c[hit]]
+        keys, inv = np.unique(p, return_inverse=True)
+        n_late = np.zeros(len(keys), np.int64)
+        np.add.at(n_late, inv, late.astype(np.int64))
+        n_tot = np.bincount(inv, minlength=len(keys)).astype(np.int64)
+        return pa.table(
+            {
+                "o_orderpriority": pa.array(list(keys), pa.string()),
+                "late": n_late,
+                "tot": n_tot,
+            }
+        )
+
+    out = (
+        li.map_batches(_fact, batch_format="pyarrow")
+        .union(orders.map_batches(_dim, batch_format="pyarrow"))
+        .groupby("b")
+        .map_groups(_join, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .aggregate(Sum("late", alias_name="n_late"), Sum("tot", alias_name="n_lines"))
+        .to_pandas()
+    )
+    late = out["n_late"].to_numpy().astype(np.int64)
+    tot = out["n_lines"].to_numpy().astype(np.int64)
+    return pa.table(
+        {
+            "o_orderpriority": out["o_orderpriority"].to_numpy(),
+            "n_late": late,
+            "n_lines": tot,
+            "late_rate": late.astype(np.float64) / tot.astype(np.float64),
+        }
+    )
+
+
+def nation_market_share(
+    sf_dir: str,
+    region: str = "ASIA",
+    nation: str = "NATION_2",
+    num_buckets: int = 32,
+):
+    """TPC-H-Q8-shaped market share: among orders placed by customers in
+    ``region``, the share of lineitem revenue supplied by ``nation``, per
+    order year → (o_year, target_units, total_units, mkt_share).
+
+    Scale shape: supplier→nation and nation→region are DIM BROADCASTS
+    resolved at the batch boundary (supplier is a true dimension even at
+    100 TB — SURVEY J5); the fact stream carries two int64 revenue
+    accumulators (target / total) through TWO bucketed re-keying joins
+    (orderkey → custkey for the region semi-filter), pre-aggregated by key
+    before every shuffle. Share is ONE double division after the final
+    fold (bit-exact vs SQL). Units are cents·(100−disc), exact int64."""
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Sum
+
+    nat = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name", "n_regionkey"]
+    )
+    reg = pq.read_table(f"{sf_dir}/region.parquet")
+    rkey = {r["r_name"]: r["r_regionkey"] for r in reg.to_pylist()}[region]
+    region_nations = np.sort(
+        nat.to_pandas().query("n_regionkey == @rkey")["n_nationkey"]
+        .to_numpy().astype(np.int64)
+    )
+    target_nkey = {r["n_name"]: r["n_nationkey"] for r in nat.to_pylist()}[nation]
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    target_supp = np.sort(
+        supp.query("s_nationkey == @target_nkey")["s_suppkey"]
+        .to_numpy().astype(np.int64)
+    )
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_suppkey",
+                             "l_extendedprice", "l_discount"])
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    B = np.int64(num_buckets)
+    PACK = np.int64(10000)  # years < 10000
+
+    def _agg2v(k, rt, ra):
+        """Pre-aggregate two int64 value columns by key."""
+        if len(k) == 0:
+            return k, rt, ra
+        order = np.argsort(k, kind="stable")
+        k, rt, ra = k[order], rt[order], ra[order]
+        start = np.ones(len(k), bool)
+        start[1:] = k[1:] != k[:-1]
+        idx = np.nonzero(start)[0]
+        return k[start], np.add.reduceat(rt, idx), np.add.reduceat(ra, idx)
+
+    def _li(t: pa.Table) -> pa.Table:
+        k = t["l_orderkey"].to_numpy().astype(np.int64)
+        cents = np.round(t["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        disc = np.round(t["l_discount"].to_numpy() * 100).astype(np.int64)
+        rev = cents * (100 - disc)
+        sk = t["l_suppkey"].to_numpy().astype(np.int64)
+        pos = np.searchsorted(target_supp, sk)
+        pos_c = np.minimum(pos, max(len(target_supp) - 1, 0))
+        tgt = (target_supp[pos_c] == sk) if len(target_supp) else np.zeros(len(sk), bool)
+        kk, rt, ra = _agg2v(k, np.where(tgt, rev, 0), rev)
+        return pa.table(
+            {"k": kk, "rt": rt, "ra": ra,
+             "aux": np.full(len(kk), -1, np.int64),
+             "b": (kk % B).astype(np.int32)}
+        )
+
+    def _orders_dim(t: pa.Table) -> pa.Table:
+        k = t["o_orderkey"].to_numpy().astype(np.int64)
+        yr = t["o_orderdate"].to_numpy().astype("datetime64[Y]").astype(np.int64) + 1970
+        ck = t["o_custkey"].to_numpy().astype(np.int64)
+        z = np.zeros(len(k), np.int64)
+        return pa.table(
+            {"k": k, "rt": z, "ra": z, "aux": ck * PACK + yr,
+             "b": (k % B).astype(np.int32)}
+        )
+
+    def _cust_dim(t: pa.Table) -> pa.Table:
+        ck = t["c_custkey"].to_numpy().astype(np.int64)
+        nk = t["c_nationkey"].to_numpy().astype(np.int64)
+        pos = np.searchsorted(region_nations, nk)
+        pos_c = np.minimum(pos, max(len(region_nations) - 1, 0))
+        in_reg = region_nations[pos_c] == nk
+        ck = ck[in_reg]  # region semi-filter at the batch boundary
+        z = np.zeros(len(ck), np.int64)
+        return pa.table(
+            {"k": ck, "rt": z, "ra": z, "aux": z,
+             "b": (ck % B).astype(np.int32)}
+        )
+
+    def _join_orders(g: pa.Table) -> pa.Table:
+        aux = g["aux"].to_numpy()
+        dim = aux >= 0
+        k = g["k"].to_numpy()
+        dk = k[dim]
+        order = np.argsort(dk)
+        dk, da = dk[order], aux[dim][order]
+        fk = k[~dim]
+        pos = np.searchsorted(dk, fk)
+        pos_c = np.minimum(pos, max(len(dk) - 1, 0))
+        hit = dk[pos_c] == fk if len(dk) else np.zeros(len(fk), bool)
+        packed = da[pos_c[hit]]  # custkey*PACK + year
+        rt = g["rt"].to_numpy()[~dim][hit]
+        ra = g["ra"].to_numpy()[~dim][hit]
+        kk, rtt, raa = _agg2v(packed, rt, ra)
+        ck = kk // PACK
+        return pa.table(
+            {"k": ck, "rt": rtt, "ra": raa,
+             "aux": np.full(len(kk), -(kk % PACK) - 2, np.int64),  # -year-2 < -1
+             "b": (ck % B).astype(np.int32)}
+        )
+
+    def _join_cust(g: pa.Table) -> pa.Table:
+        aux = g["aux"].to_numpy()
+        dim = aux == 0  # customer dim rows (facts carry -year-2)
+        k = g["k"].to_numpy()
+        dk = np.sort(k[dim])
+        fk = k[~dim]
+        pos = np.searchsorted(dk, fk)
+        pos_c = np.minimum(pos, max(len(dk) - 1, 0))
+        hit = dk[pos_c] == fk if len(dk) else np.zeros(len(fk), bool)
+        yr = (-aux[~dim][hit]) - 2
+        rt = g["rt"].to_numpy()[~dim][hit]
+        ra = g["ra"].to_numpy()[~dim][hit]
+        kk, rtt, raa = _agg2v(yr, rt, ra)
+        return pa.table({"o_year": kk, "rt": rtt, "ra": raa})
+
+    out = (
+        li.map_batches(_li, batch_format="pyarrow")
+        .union(orders.map_batches(_orders_dim, batch_format="pyarrow"))
+        .groupby("b").map_groups(_join_orders, batch_format="pyarrow")
+        .union(cust.map_batches(_cust_dim, batch_format="pyarrow"))
+        .groupby("b").map_groups(_join_cust, batch_format="pyarrow")
+        .groupby("o_year")
+        .aggregate(Sum("rt", alias_name="target_units"),
+                   Sum("ra", alias_name="total_units"))
+        .to_pandas()
+    )
+    t = out["target_units"].to_numpy().astype(np.int64)
+    a = out["total_units"].to_numpy().astype(np.int64)
+    return pa.table(
+        {
+            "o_year": out["o_year"].to_numpy().astype(np.int64),
+            "target_units": t,
+            "total_units": a,
+            "mkt_share": t.astype(np.float64) / a.astype(np.float64),
+        }
+    )
+
+
+def top_supplier_revenue(
+    sf_dir: str,
+    ship_from: str = "1995-01-01",
+    ship_to: str = "1995-04-01",
+):
+    """TPC-H-Q15-shaped scalar-subquery max: revenue per supplier over a
+    3-month shipdate window; return the supplier(s) achieving the maximum
+    (ties kept, as in Q15) → (s_suppkey, s_name, total_revenue).
+
+    Scale shape: the shipdate window prunes at the batch boundary; facts
+    pre-aggregate (suppkey, units) per batch before ONE small groupby —
+    supplier is a dimension, so the reduced table is dim-sized and the
+    max+tie filter runs on the driver over dim-sized data (documented
+    small-side materialization, SURVEY J5); names join via broadcast dim
+    lookup. Exact int64 units; revenue = units/10000.0 mirrored by SQL."""
+    from ray.data.aggregate import Sum
+
+    li = read_table(
+        sf_dir, "lineitem",
+        columns=["l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"],
+    )
+    lo = np.datetime64(ship_from, "us")
+    hi = np.datetime64(ship_to, "us")
+
+    def _fact(t: pa.Table) -> pa.Table:
+        sd = t["l_shipdate"].to_numpy()
+        m = (sd >= lo) & (sd < hi)
+        sk = t["l_suppkey"].to_numpy().astype(np.int64)[m]
+        cents = np.round(t["l_extendedprice"].to_numpy()[m] * 100).astype(np.int64)
+        disc = np.round(t["l_discount"].to_numpy()[m] * 100).astype(np.int64)
+        units = cents * (100 - disc)
+        if len(sk):
+            order = np.argsort(sk, kind="stable")
+            sk, units = sk[order], units[order]
+            start = np.ones(len(sk), bool)
+            start[1:] = sk[1:] != sk[:-1]
+            idx = np.nonzero(start)[0]
+            sk, units = sk[start], np.add.reduceat(units, idx)
+        return pa.table({"s_suppkey": sk, "units": units})
+
+    rev = (
+        li.map_batches(_fact, batch_format="pyarrow")
+        .groupby("s_suppkey")
+        .aggregate(Sum("units", alias_name="units"))
+        .to_pandas()
+    )
+    units = rev["units"].to_numpy().astype(np.int64)
+    best = units == units.max()
+    sk = rev["s_suppkey"].to_numpy().astype(np.int64)[best]
+    u = units[best]
+    import pyarrow.parquet as pq
+
+    name = (
+        pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"])
+        .to_pandas().set_index("s_suppkey")["s_name"]
+    )
+    order = np.argsort(sk)
+    sk, u = sk[order], u[order]
+    return pa.table(
+        {
+            "s_suppkey": sk,
+            "s_name": name.loc[sk].to_numpy(),
+            "total_revenue": u.astype(np.float64) / 10000.0,
+        }
+    )

@@ -831,3 +831,154 @@ def test_product_type_profit_semi_filter_and_year(ray_session, tmp_path):
     assert len(got) == 2
     assert got.loc[("ALPHA", 1995)] == 100.0   # part 2's 999 excluded
     assert got.loc[("BETA", 1996)] == 100.0    # 200 at 50% discount
+
+
+def test_late_shipment_rate_threshold_and_rate(ray_session, tmp_path):
+    # order 1 (URGENT): one line 61 days late (>60 -> late), one exactly
+    # 60 days (not late); order 2 (LOW): one line early -> rate 0
+    _write(
+        tmp_path,
+        "lineitem",
+        {
+            "l_orderkey": pa.array([1, 1, 2], pa.int64()),
+            "l_shipdate": pa.array(
+                np.array(
+                    ["1995-03-03", "1995-03-02", "1996-01-01"], "datetime64[us]"
+                )
+            ),
+        },
+    )
+    _write(
+        tmp_path,
+        "orders",
+        {
+            "o_orderkey": pa.array([1, 2], pa.int64()),
+            "o_orderpriority": pa.array(["1-URGENT", "5-LOW"]),
+            "o_orderdate": pa.array(
+                np.array(["1995-01-01", "1996-02-01"], "datetime64[us]")
+            ),
+        },
+    )
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import (
+        late_shipment_rate,
+    )
+
+    got = (
+        late_shipment_rate(str(tmp_path), num_buckets=4)
+        .to_pandas()
+        .set_index("o_orderpriority")
+        .sort_index()
+    )
+    assert got.loc["1-URGENT", "n_late"] == 1
+    assert got.loc["1-URGENT", "n_lines"] == 2
+    assert got.loc["1-URGENT", "late_rate"] == 0.5
+    assert got.loc["5-LOW", "n_late"] == 0
+    assert got.loc["5-LOW", "late_rate"] == 0.0
+
+
+def test_nation_market_share_region_filter_and_share(ray_session, tmp_path):
+    # customer 1 in-region (ASIA), customer 2 out-of-region -> order 2's
+    # revenue excluded entirely; supplier 10 in target nation, 11 not
+    _write(
+        tmp_path,
+        "region",
+        {
+            "r_regionkey": pa.array([0, 1], pa.int32()),
+            "r_name": pa.array(["ASIA", "EUROPE"]),
+        },
+    )
+    _write(
+        tmp_path,
+        "nation",
+        {
+            "n_nationkey": pa.array([0, 1, 2], pa.int32()),
+            "n_name": pa.array(["NATION_2", "NATION_B", "NATION_C"]),
+            "n_regionkey": pa.array([0, 0, 1], pa.int32()),
+        },
+    )
+    _write(
+        tmp_path,
+        "supplier",
+        {
+            "s_suppkey": pa.array([10, 11], pa.int64()),
+            "s_nationkey": pa.array([0, 1], pa.int32()),
+        },
+    )
+    _write(
+        tmp_path,
+        "customer",
+        {
+            "c_custkey": pa.array([1, 2], pa.int64()),
+            "c_nationkey": pa.array([1, 2], pa.int32()),  # 1 in ASIA, 2 not
+        },
+    )
+    _write(
+        tmp_path,
+        "orders",
+        {
+            "o_orderkey": pa.array([1, 2], pa.int64()),
+            "o_custkey": pa.array([1, 2], pa.int64()),
+            "o_orderdate": pa.array(
+                np.array(["1995-06-01", "1995-07-01"], "datetime64[us]")
+            ),
+        },
+    )
+    _write(
+        tmp_path,
+        "lineitem",
+        {
+            "l_orderkey": pa.array([1, 1, 2], pa.int64()),
+            "l_suppkey": pa.array([10, 11, 10], pa.int64()),
+            "l_extendedprice": pa.array([100.0, 300.0, 999.0]),
+            "l_discount": pa.array([0.0, 0.0, 0.0]),
+        },
+    )
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import (
+        nation_market_share,
+    )
+
+    got = nation_market_share(
+        str(tmp_path), region="ASIA", nation="NATION_2", num_buckets=4
+    ).to_pandas()
+    assert len(got) == 1
+    row = got.iloc[0]
+    assert row["o_year"] == 1995
+    assert row["target_units"] == 100 * 100 * 100      # 100.00 at 0% disc
+    assert row["total_units"] == (100 + 300) * 100 * 100
+    assert row["mkt_share"] == 0.25
+
+
+def test_top_supplier_revenue_window_and_ties(ray_session, tmp_path):
+    # suppliers 1 and 2 tie at 500.00 inside the window; supplier 3's big
+    # line ships outside the window -> excluded; ties both returned
+    _write(
+        tmp_path,
+        "lineitem",
+        {
+            "l_suppkey": pa.array([1, 2, 2, 3], pa.int64()),
+            "l_shipdate": pa.array(
+                np.array(
+                    ["1995-02-01", "1995-02-02", "1995-03-31", "1995-04-01"],
+                    "datetime64[us]",
+                )
+            ),
+            "l_extendedprice": pa.array([500.0, 300.0, 200.0, 9999.0]),
+            "l_discount": pa.array([0.0, 0.0, 0.0, 0.0]),
+        },
+    )
+    _write(
+        tmp_path,
+        "supplier",
+        {
+            "s_suppkey": pa.array([1, 2, 3], pa.int64()),
+            "s_name": pa.array(["S1", "S2", "S3"]),
+        },
+    )
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import (
+        top_supplier_revenue,
+    )
+
+    got = top_supplier_revenue(str(tmp_path)).to_pandas()
+    assert list(got["s_suppkey"]) == [1, 2]
+    assert list(got["s_name"]) == ["S1", "S2"]
+    assert list(got["total_revenue"]) == [500.0, 500.0]
