@@ -707,6 +707,28 @@ def _q_top_supplier_revenue(sf_dir: str):
     return top_supplier_revenue(sf_dir)
 
 
+def _q_supplier_variety(sf_dir: str):
+    """Q16-shaped distinct-supplier count per (brand, size) with a
+    broadcast NOT-IN anti-join; two bucketed exchanges, triples deduped
+    in the suppkey-keyed bucket."""
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import (
+        supplier_variety,
+    )
+
+    return supplier_variety(sf_dir)
+
+
+def _q_min_cost_supplier(sf_dir: str):
+    """Q2-shaped correlated min: cheapest-unit-price supplier per part
+    (suppkey tiebreak), one bucketed shuffle after per-batch partial
+    argmin; supplier/nation dims broadcast."""
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import (
+        min_cost_supplier,
+    )
+
+    return min_cost_supplier(sf_dir)
+
+
 def _q_disjunctive_revenue(sf_dir: str):
     """Q19-shaped three-branch OR predicate over a lineitem ⋈ part bucket
     join; quantity-range union pre-filter at the batch boundary."""
@@ -1714,6 +1736,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "late_shipment_rate": _q_late_shipment_rate,
         "nation_market_share": _q_nation_market_share,
         "top_supplier_revenue": _q_top_supplier_revenue,
+        "supplier_variety": _q_supplier_variety,
+        "min_cost_supplier": _q_min_cost_supplier,
         "duplicate_ngram_fraction": _q_duplicate_ngram_fraction,
         "revenue_by_region": _q_revenue_by_region,
         "topk_parts_per_nation": _q_topk_parts,
@@ -3631,6 +3655,32 @@ def oracle_sql() -> dict[str, str]:
             "JOIN orders ON o_orderkey = l_orderkey "
             "JOIN nation ON n_nationkey = s_nationkey "
             "WHERE p_name LIKE '%red%' GROUP BY 1, 2"
+        ),
+        "min_cost_supplier": (
+            # Q2-shaped: per-part min unit price over the lineitem bridge
+            # (no partsupp in this schema), min suppkey on ties; the raw
+            # double division matches the engine bit-exactly
+            "WITH u AS (SELECT l_partkey, l_suppkey, "
+            "l_extendedprice / l_quantity AS unit FROM lineitem), "
+            "m AS (SELECT l_partkey, min(unit) AS mu FROM u GROUP BY 1), "
+            "w AS (SELECT u.l_partkey AS pk, min(u.l_suppkey) AS sk "
+            "FROM u JOIN m ON u.l_partkey = m.l_partkey AND u.unit = m.mu "
+            "GROUP BY 1) "
+            "SELECT w.pk AS p_partkey, w.sk AS s_suppkey, s_name, n_name, "
+            "m.mu AS unit_price "
+            "FROM w JOIN m ON m.l_partkey = w.pk "
+            "JOIN supplier ON s_suppkey = w.sk "
+            "JOIN nation ON n_nationkey = s_nationkey"
+        ),
+        "supplier_variety": (
+            # Q16-shaped (s_acctbal < 0 plays the complaint filter — no
+            # s_comment in this schema)
+            "SELECT p_brand, CAST(p_size AS BIGINT) AS p_size, "
+            "CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt "
+            "FROM lineitem JOIN part ON p_partkey = l_partkey "
+            "WHERE l_suppkey NOT IN "
+            "(SELECT s_suppkey FROM supplier WHERE s_acctbal < 0) "
+            "GROUP BY 1, 2"
         ),
         "top_supplier_revenue": (
             # Q15-shaped: scalar-subquery max, ties kept; exact-int units,

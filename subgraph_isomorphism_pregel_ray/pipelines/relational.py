@@ -4842,3 +4842,176 @@ def top_supplier_revenue(
             "total_revenue": u.astype(np.float64) / 10000.0,
         }
     )
+
+
+def supplier_variety(sf_dir: str, num_buckets: int = 32):
+    """TPC-H-Q16-shaped distinct-count with a NOT-IN anti-join: per
+    (p_brand, p_size), how many DISTINCT suppliers ship that part group,
+    excluding "complaint" suppliers (s_acctbal < 0 plays Q16's comment
+    filter — this schema has no s_comment) → (p_brand, p_size,
+    supplier_cnt).
+
+    Scale shape: the excluded-supplier set is a DIM BROADCAST applied at
+    the batch boundary (anti-join before any shuffle); facts dedupe
+    (partkey, suppkey) pairs per batch, ONE bucketed join maps partkey →
+    (brand, size), then a SECOND suppkey-keyed bucket dedupes
+    (brand, size, suppkey) triples globally and emits per-group partial
+    counts; a tiny final groupby sums. Only int keys + the small brand
+    string ride the shuffles."""
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Sum
+
+    bad = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_acctbal"]
+    ).to_pandas()
+    bad_supp = np.sort(
+        bad.query("s_acctbal < 0")["s_suppkey"].to_numpy().astype(np.int64)
+    )
+
+    li = read_table(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey"])
+    part = read_table(sf_dir, "part", columns=["p_partkey", "p_brand", "p_size"])
+    B = np.int64(num_buckets)
+
+    def _fact(t: pa.Table) -> pa.Table:
+        pk = t["l_partkey"].to_numpy().astype(np.int64)
+        sk = t["l_suppkey"].to_numpy().astype(np.int64)
+        if len(bad_supp):
+            pos = np.searchsorted(bad_supp, sk)
+            pos_c = np.minimum(pos, len(bad_supp) - 1)
+            keep = bad_supp[pos_c] != sk
+            pk, sk = pk[keep], sk[keep]
+        if len(sk) and sk.max() < (1 << 20):  # pack guard (suppkey width)
+            pair = np.unique(pk << np.int64(20) | sk)
+            pk, sk = pair >> np.int64(20), pair & np.int64((1 << 20) - 1)
+        else:
+            order = np.lexsort((sk, pk))
+            pk, sk = pk[order], sk[order]
+            keep = np.ones(len(pk), bool)
+            keep[1:] = (pk[1:] != pk[:-1]) | (sk[1:] != sk[:-1])
+            pk, sk = pk[keep], sk[keep]
+        return pa.table(
+            {"k": pk, "sk": sk, "size": np.full(len(pk), -1, np.int64),
+             "brand": pa.array([""] * len(pk), pa.string()),
+             "b": (pk % B).astype(np.int32)}
+        )
+
+    def _dim(t: pa.Table) -> pa.Table:
+        pk = t["p_partkey"].to_numpy().astype(np.int64)
+        return pa.table(
+            {"k": pk, "sk": np.zeros(len(pk), np.int64),
+             "size": t["p_size"].to_numpy().astype(np.int64),
+             "brand": t["p_brand"],
+             "b": (pk % B).astype(np.int32)}
+        )
+
+    def _join(g: pa.Table) -> pa.Table:
+        size = g["size"].to_numpy()
+        dim = size >= 0
+        k = g["k"].to_numpy()
+        dk = k[dim]
+        order = np.argsort(dk)
+        dk = dk[order]
+        dsize = size[dim][order]
+        dbrand = g["brand"].to_numpy(zero_copy_only=False)[dim][order]
+        fk = k[~dim]
+        pos = np.searchsorted(dk, fk)
+        pos_c = np.minimum(pos, max(len(dk) - 1, 0))
+        hit = dk[pos_c] == fk if len(dk) else np.zeros(len(fk), bool)
+        sk = g["sk"].to_numpy()[~dim][hit]
+        return pa.table(
+            {"brand": pa.array(list(dbrand[pos_c[hit]]), pa.string()),
+             "size": dsize[pos_c[hit]], "sk": sk,
+             "b2": (sk % B).astype(np.int32)}
+        )
+
+    def _dedupe_count(g: pa.Table) -> pa.Table:
+        df = g.to_pandas().drop_duplicates(["brand", "size", "sk"])
+        cnt = df.groupby(["brand", "size"], sort=True).size().reset_index()
+        return pa.table(
+            {"p_brand": pa.array(cnt["brand"].to_numpy(), pa.string()),
+             "p_size": cnt["size"].to_numpy().astype(np.int64),
+             "n": cnt[0].to_numpy().astype(np.int64)}
+        )
+
+    # final (brand,size) fold on the driver — ≤ B partials per group over
+    # a dim-sized key space (988 groups at sf0.01), documented small side
+    res = (
+        li.map_batches(_fact, batch_format="pyarrow")
+        .union(part.map_batches(_dim, batch_format="pyarrow"))
+        .groupby("b").map_groups(_join, batch_format="pyarrow")
+        .groupby("b2").map_groups(_dedupe_count, batch_format="pyarrow")
+        .to_pandas()
+        .groupby(["p_brand", "p_size"], sort=True)["n"].sum().reset_index()
+    )
+    return pa.table(
+        {"p_brand": pa.array(res["p_brand"].to_numpy(), pa.string()),
+         "p_size": res["p_size"].to_numpy().astype(np.int64),
+         "supplier_cnt": res["n"].to_numpy().astype(np.int64)}
+    )
+
+
+def min_cost_supplier(sf_dir: str, num_buckets: int = 32):
+    """TPC-H-Q2-shaped correlated min: for every part, the supplier
+    offering the lowest unit price (l_extendedprice / l_quantity over the
+    lineitem bridge — this schema has no partsupp), smallest suppkey on
+    ties → (p_partkey, s_suppkey, s_name, n_name, unit_price).
+
+    Scale shape: per-batch partial argmin (one lexsort, first-row-per-key
+    mask) cuts each batch to ≤ one row per partkey before the ONE bucketed
+    shuffle; the same reduction runs per bucket; supplier→(name, nation)
+    resolves via broadcast dim lookup after the fold. The double division
+    is elementwise on the raw column values, so DuckDB's `/` reproduces it
+    bit-exactly; ranking compares those identical doubles (round-then-rank
+    determinism is not needed — both sides rank the same bit patterns)."""
+    import pyarrow.parquet as pq
+
+    li = read_table(
+        sf_dir, "lineitem",
+        columns=["l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"],
+    )
+    B = np.int64(num_buckets)
+
+    def _first_per_part(pk, sk, unit):
+        order = np.lexsort((sk, unit, pk))
+        pk, sk, unit = pk[order], sk[order], unit[order]
+        first = np.ones(len(pk), bool)
+        first[1:] = pk[1:] != pk[:-1]
+        return pk[first], sk[first], unit[first]
+
+    def _fact(t: pa.Table) -> pa.Table:
+        pk = t["l_partkey"].to_numpy().astype(np.int64)
+        sk = t["l_suppkey"].to_numpy().astype(np.int64)
+        unit = t["l_extendedprice"].to_numpy() / t["l_quantity"].to_numpy()
+        pk, sk, unit = _first_per_part(pk, sk, unit)
+        return pa.table(
+            {"k": pk, "sk": sk, "unit": unit, "b": (pk % B).astype(np.int32)}
+        )
+
+    def _reduce(g: pa.Table) -> pa.Table:
+        pk, sk, unit = _first_per_part(
+            g["k"].to_numpy(), g["sk"].to_numpy(), g["unit"].to_numpy()
+        )
+        return pa.table({"p_partkey": pk, "s_suppkey": sk, "unit_price": unit})
+
+    out = (
+        li.map_batches(_fact, batch_format="pyarrow")
+        .groupby("b").map_groups(_reduce, batch_format="pyarrow")
+        .to_pandas()
+    )
+    supp = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name", "s_nationkey"]
+    ).to_pandas().set_index("s_suppkey")
+    nat = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).to_pandas().set_index("n_nationkey")["n_name"]
+    out = out.sort_values("p_partkey").reset_index(drop=True)
+    sk = out["s_suppkey"].to_numpy()
+    return pa.table(
+        {
+            "p_partkey": out["p_partkey"].to_numpy().astype(np.int64),
+            "s_suppkey": sk.astype(np.int64),
+            "s_name": supp.loc[sk, "s_name"].to_numpy(),
+            "n_name": nat.loc[supp.loc[sk, "s_nationkey"].to_numpy()].to_numpy(),
+            "unit_price": out["unit_price"].to_numpy(),
+        }
+    )

@@ -982,3 +982,86 @@ def test_top_supplier_revenue_window_and_ties(ray_session, tmp_path):
     assert list(got["s_suppkey"]) == [1, 2]
     assert list(got["s_name"]) == ["S1", "S2"]
     assert list(got["total_revenue"]) == [500.0, 500.0]
+
+
+def test_supplier_variety_distinct_and_anti_join(ray_session, tmp_path):
+    # part 1 (BrandA, size 5): suppliers 1, 2, and excluded 3 -> cnt 2
+    # (supplier 1 appears twice, deduped); part 2 (BrandA, size 5) adds
+    # supplier 4 to the SAME group -> cnt 3 total
+    _write(
+        tmp_path,
+        "lineitem",
+        {
+            "l_partkey": pa.array([1, 1, 1, 1, 2], pa.int64()),
+            "l_suppkey": pa.array([1, 1, 2, 3, 4], pa.int64()),
+        },
+    )
+    _write(
+        tmp_path,
+        "part",
+        {
+            "p_partkey": pa.array([1, 2], pa.int64()),
+            "p_brand": pa.array(["BrandA", "BrandA"]),
+            "p_size": pa.array([5, 5], pa.int32()),
+        },
+    )
+    _write(
+        tmp_path,
+        "supplier",
+        {
+            "s_suppkey": pa.array([1, 2, 3, 4], pa.int64()),
+            "s_acctbal": pa.array([10.0, 20.0, -5.0, 30.0]),  # 3 excluded
+        },
+    )
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import (
+        supplier_variety,
+    )
+
+    got = supplier_variety(str(tmp_path), num_buckets=4).to_pandas()
+    assert len(got) == 1
+    assert got.iloc[0]["p_brand"] == "BrandA"
+    assert got.iloc[0]["p_size"] == 5
+    assert got.iloc[0]["supplier_cnt"] == 3  # suppliers 1, 2, 4
+
+
+def test_min_cost_supplier_argmin_and_tiebreak(ray_session, tmp_path):
+    # part 1: supplier 2 cheapest (unit 2.0 < 5.0); part 2: suppliers 5
+    # and 3 tie at unit 1.0 -> smaller suppkey 3 wins
+    _write(
+        tmp_path,
+        "lineitem",
+        {
+            "l_partkey": pa.array([1, 1, 2, 2], pa.int64()),
+            "l_suppkey": pa.array([1, 2, 5, 3], pa.int64()),
+            "l_extendedprice": pa.array([10.0, 4.0, 3.0, 3.0]),
+            "l_quantity": pa.array([2.0, 2.0, 3.0, 3.0]),
+        },
+    )
+    _write(
+        tmp_path,
+        "supplier",
+        {
+            "s_suppkey": pa.array([1, 2, 3, 5], pa.int64()),
+            "s_name": pa.array(["S1", "S2", "S3", "S5"]),
+            "s_nationkey": pa.array([0, 1, 0, 1], pa.int32()),
+        },
+    )
+    _write(
+        tmp_path,
+        "nation",
+        {
+            "n_nationkey": pa.array([0, 1], pa.int32()),
+            "n_name": pa.array(["ALPHA", "BETA"]),
+        },
+    )
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import (
+        min_cost_supplier,
+    )
+
+    got = min_cost_supplier(str(tmp_path), num_buckets=4).to_pandas()
+    got = got.set_index("p_partkey")
+    assert got.loc[1, "s_suppkey"] == 2
+    assert got.loc[1, "unit_price"] == 2.0
+    assert got.loc[1, "n_name"] == "BETA"
+    assert got.loc[2, "s_suppkey"] == 3   # tie at 1.0 -> min suppkey
+    assert got.loc[2, "unit_price"] == 1.0
