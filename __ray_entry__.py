@@ -996,6 +996,22 @@ def _q_dup_rate_by_source(sf_dir: str):
     return dup_rate_by_source(docs)
 
 
+def _q_tfidf_cosine_pairs(sf_dir: str):
+    """Bayardo-style sparse all-pairs similarity: TF-IDF over word
+    3-grams (df-pruned vocabulary), integer weights, three hash-bucketed
+    exchanges; pairs with cosine ≥ 0.1."""
+    import pyarrow.parquet as pq
+
+    from subgraph_isomorphism_pregel_ray.pipelines.textops import (
+        tfidf_cosine_pairs,
+    )
+    from subgraph_isomorphism_pregel_ray.sources.tables import read_table
+
+    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return tfidf_cosine_pairs(docs, n_docs)
+
+
 def _q_duplicate_ngram_fraction(sf_dir: str):
     """FineWeb-style dedup-health signal: per doc, share of its distinct
     word 5-grams occurring in ≥2 docs corpus-wide; hashes-only exchange,
@@ -1739,6 +1755,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_variety": _q_supplier_variety,
         "min_cost_supplier": _q_min_cost_supplier,
         "duplicate_ngram_fraction": _q_duplicate_ngram_fraction,
+        "tfidf_cosine_pairs": _q_tfidf_cosine_pairs,
         "revenue_by_region": _q_revenue_by_region,
         "topk_parts_per_nation": _q_topk_parts,
         "documents_sample": _q_documents_sample,
@@ -3655,6 +3672,38 @@ def oracle_sql() -> dict[str, str]:
             "JOIN orders ON o_orderkey = l_orderkey "
             "JOIN nation ON n_nationkey = s_nationkey "
             "WHERE p_name LIKE '%red%' GROUP BY 1, 2"
+        ),
+        "tfidf_cosine_pairs": (
+            # Bayardo WWW'07 all-pairs cosine over df-pruned TF-IDF word
+            # 3-gram vectors; integer weights round(tf*ln(N/df)*1e4) make
+            # dot products exact; ONE division + ONE sqrt mirrored
+            "WITH base AS (SELECT doc_id, "
+            "list_filter(string_split(text, ' '), x -> x <> '') AS toks "
+            "FROM documents), "
+            "nn AS (SELECT CAST(count(*) AS DOUBLE) nd FROM documents), "
+            "g AS (SELECT doc_id, "
+            "md5_number_lower(array_to_string(list_slice(toks, i, i + 2), ' ')) AS h "
+            "FROM (SELECT doc_id, toks, "
+            "unnest(generate_series(1, len(toks) - 2)) AS i "
+            "FROM base WHERE len(toks) >= 3)), "
+            "tf AS (SELECT doc_id, h, CAST(count(*) AS BIGINT) tf "
+            "FROM g GROUP BY 1, 2), "
+            "df AS (SELECT h, count(*) df FROM tf GROUP BY 1), "
+            "w AS (SELECT doc_id, h, CAST(round(tf * "
+            "ln(nd / CAST(df AS DOUBLE)) * 10000) AS BIGINT) AS wi "
+            "FROM tf JOIN df USING (h) CROSS JOIN nn "
+            "WHERE df BETWEEN 2 AND 20), "
+            "nrm AS (SELECT doc_id, sum(wi * wi) AS ss FROM w GROUP BY 1), "
+            "dot AS (SELECT a.doc_id da, b.doc_id db, sum(a.wi * b.wi) AS dp "
+            "FROM w a JOIN w b ON a.h = b.h AND a.doc_id < b.doc_id "
+            "GROUP BY 1, 2) "
+            "SELECT da AS doc_a, db AS doc_b, "
+            "round(CAST(dp AS DOUBLE) / "
+            "sqrt(CAST(na.ss AS DOUBLE) * CAST(nb.ss AS DOUBLE)), 6) AS cos "
+            "FROM dot JOIN nrm na ON na.doc_id = da "
+            "JOIN nrm nb ON nb.doc_id = db "
+            "WHERE round(CAST(dp AS DOUBLE) / "
+            "sqrt(CAST(na.ss AS DOUBLE) * CAST(nb.ss AS DOUBLE)), 6) >= 0.1"
         ),
         "min_cost_supplier": (
             # Q2-shaped: per-part min unit price over the lineitem bridge

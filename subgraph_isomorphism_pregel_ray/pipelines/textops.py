@@ -2278,3 +2278,164 @@ def duplicate_ngram_fraction(docs_ds, n: int = 5, num_buckets: int = 32,
         )
 
     return per_doc.map_batches(_frac, batch_format="pyarrow")
+
+
+def tfidf_cosine_pairs(docs_ds, n_docs: int, n: int = 3, min_df: int = 2,
+                       max_df: int = 20, scale: int = 10000,
+                       tau: float = 0.1, num_buckets: int = 32,
+                       round_to: int = 6):
+    """All-pairs TF-IDF cosine similarity over word-n-gram terms — the
+    Bayardo et al. WWW'07 sparse all-pairs shape: documents are sparse
+    TF-IDF vectors over their word n-grams; every pair sharing ≥ 1
+    retained term is scored; pairs with cosine ≥ ``tau`` survive →
+    (doc_a, doc_b, cos).  Terms with df < ``min_df`` contribute nothing
+    (no pair shares them) and terms with df > ``max_df`` are stop-terms
+    (sklearn's max_df pruning) — the pruning bounds per-term pair fanout
+    at C(max_df, 2), which is what makes all-pairs tractable at corpus
+    scale.
+
+    Scale shape: THREE bucketed exchanges, hashes/ints only. (1) term-hash
+    bucket: df + integer TF-IDF weights (round-half-away of
+    tf·ln(N/df)·scale, so DuckDB reproduces them bit-exactly), emitting
+    per-doc norm partials and per-pair dot-product partials expanded
+    within the term group; (2) doc_a bucket: norms fold per doc, pair
+    partials fold per pair and pick up ‖a‖²; (3) doc_b bucket: pairs pick
+    up ‖b‖²; cos = int-dot / sqrt(double·double) is ONE division + ONE
+    sqrt, identical op order to the SQL oracle. The corpus text never
+    re-enters an exchange and the driver never sees a vector."""
+    from ..functions.hashing import md5_lower64
+    from ..functions.rounding import round_half_away
+
+    B = np.int64(num_buckets)
+    ND = float(n_docs)
+
+    def _grams(batch: pa.Table) -> pa.Table:
+        ids, hs, tfs = [], [], []
+        for d, t in zip(batch["doc_id"].to_numpy(), batch["text"].to_pylist()):
+            toks = _space_tokens(t)
+            if len(toks) < n:
+                continue
+            joined = [" ".join(toks[j:j + n]) for j in range(len(toks) - n + 1)]
+            h = md5_lower64(np.asarray(joined, dtype=object))
+            uh, cnt = np.unique(h, return_counts=True)
+            ids.append(np.full(len(uh), d, np.int64))
+            hs.append(uh)
+            tfs.append(cnt.astype(np.int64))
+        if not ids:
+            return pa.table(
+                {"h": np.array([], np.int64), "doc_id": np.array([], np.int64),
+                 "tf": np.array([], np.int64), "b": np.array([], np.int32)}
+            )
+        h = np.concatenate(hs)
+        return pa.table(
+            {
+                "h": h.view(np.int64),
+                "doc_id": np.concatenate(ids),
+                "tf": np.concatenate(tfs),
+                "b": (h % np.uint64(B)).astype(np.int32),
+            }
+        )
+
+    def _weights(g: pa.Table) -> pa.Table:
+        h = g["h"].to_numpy()
+        doc = g["doc_id"].to_numpy()
+        tf = g["tf"].to_numpy()
+        order = np.lexsort((doc, h))
+        h, doc, tf = h[order], doc[order], tf[order]
+        uh, inv, df = np.unique(h, return_inverse=True, return_counts=True)
+        keep = (df[inv] >= min_df) & (df[inv] <= max_df)
+        doc, tf, inv = doc[keep], tf[keep], inv[keep]
+        dff = df[inv].astype(np.float64)
+        wi = round_half_away(
+            tf.astype(np.float64) * np.log(ND / dff) * float(scale), 0
+        ).astype(np.int64)
+        # per-doc norm partials
+        dk, dinv = np.unique(doc, return_inverse=True)
+        ss = np.zeros(len(dk), np.int64)
+        np.add.at(ss, dinv, wi * wi)
+        # per-pair dot partials: docs sorted asc within each term group
+        starts = np.nonzero(np.r_[True, inv[1:] != inv[:-1]])[0]
+        ends = np.r_[starts[1:], len(inv)]
+        pa_, pb_, pv_ = [], [], []
+        for s, e in zip(starts, ends):
+            m = e - s
+            if m < 2:
+                continue
+            dv, wv = doc[s:e], wi[s:e]
+            ia, ib = np.triu_indices(m, k=1)
+            pa_.append(dv[ia]); pb_.append(dv[ib]); pv_.append(wv[ia] * wv[ib])
+        if pa_:
+            da = np.concatenate(pa_); db = np.concatenate(pb_)
+            dp = np.concatenate(pv_)
+            o = np.lexsort((db, da))
+            da, db, dp = da[o], db[o], dp[o]
+            first = np.ones(len(da), bool)
+            first[1:] = (da[1:] != da[:-1]) | (db[1:] != db[:-1])
+            idx = np.nonzero(first)[0]
+            da, db, dp = da[first], db[first], np.add.reduceat(dp, idx)
+        else:
+            da = db = dp = np.array([], np.int64)
+        ka = np.concatenate([dk, da])
+        kb = np.concatenate([np.full(len(dk), -1, np.int64), db])
+        val = np.concatenate([ss, dp])
+        return pa.table(
+            {"ka": ka, "kb": kb, "val": val, "na": np.zeros(len(ka), np.int64),
+             "b2": (ka % B).astype(np.int32)}
+        )
+
+    def _attach_na(g: pa.Table) -> pa.Table:
+        ka = g["ka"].to_numpy()
+        kb = g["kb"].to_numpy()
+        val = g["val"].to_numpy()
+        nm = kb == -1
+        dk, dinv = np.unique(ka[nm], return_inverse=True)
+        ss = np.zeros(len(dk), np.int64)
+        np.add.at(ss, dinv, val[nm])
+        da, db, dp = ka[~nm], kb[~nm], val[~nm]
+        o = np.lexsort((db, da))
+        da, db, dp = da[o], db[o], dp[o]
+        if len(da):
+            first = np.ones(len(da), bool)
+            first[1:] = (da[1:] != da[:-1]) | (db[1:] != db[:-1])
+            idx = np.nonzero(first)[0]
+            da, db, dp = da[first], db[first], np.add.reduceat(dp, idx)
+        na = ss[np.searchsorted(dk, da)] if len(da) else np.array([], np.int64)
+        ka_out = np.concatenate([dk, da])
+        kb_out = np.concatenate([np.full(len(dk), -1, np.int64), db])
+        val_out = np.concatenate([ss, dp])
+        na_out = np.concatenate([np.zeros(len(dk), np.int64), na])
+        bkey = np.where(kb_out == -1, ka_out, kb_out)
+        return pa.table(
+            {"ka": ka_out, "kb": kb_out, "val": val_out, "na": na_out,
+             "b2": (bkey % B).astype(np.int32)}
+        )
+
+    def _attach_nb(g: pa.Table) -> pa.Table:
+        ka = g["ka"].to_numpy()
+        kb = g["kb"].to_numpy()
+        val = g["val"].to_numpy()
+        na = g["na"].to_numpy()
+        nm = kb == -1
+        dk = ka[nm]
+        ss = val[nm]
+        o = np.argsort(dk)
+        dk, ss = dk[o], ss[o]
+        da, db, dp, naa = ka[~nm], kb[~nm], val[~nm], na[~nm]
+        nb = ss[np.searchsorted(dk, db)] if len(da) else np.array([], np.int64)
+        cos = round_half_away(
+            dp.astype(np.float64)
+            / np.sqrt(naa.astype(np.float64) * nb.astype(np.float64)),
+            round_to,
+        )
+        keep = cos >= tau
+        o = np.lexsort((db[keep], da[keep]))
+        return pa.table(
+            {"doc_a": da[keep][o], "doc_b": db[keep][o], "cos": cos[keep][o]}
+        )
+
+    return (
+        docs_ds.map_batches(_grams, batch_format="pyarrow")
+        .groupby("b").map_groups(_weights, batch_format="pyarrow")
+        .groupby("b2").map_groups(_attach_na, batch_format="pyarrow")
+        .groupby("b2").map_groups(_attach_nb, batch_format="pyarrow")
+    )

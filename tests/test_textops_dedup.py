@@ -1224,3 +1224,69 @@ def test_duplicate_ngram_fraction_hand_case(ray_session):
         exp = round(sum(g in others for g in gi) / len(gi), 6)
         assert out.loc[i, "n_grams"] == len(gi)
         assert abs(out.loc[i, "dup_frac"] - exp) < 1e-12, i
+
+
+def test_tfidf_cosine_pairs_brute_force_replay(ray_session):
+    """Engine pairs == a scalar numpy TF-IDF replay (same formula, same
+    integer weight scaling), including df pruning and the tau cutoff."""
+    import itertools
+
+    import ray.data as rd
+
+    from subgraph_isomorphism_pregel_ray.functions.hashing import md5_lower64
+    from subgraph_isomorphism_pregel_ray.functions.rounding import round_half_away
+    from subgraph_isomorphism_pregel_ray.pipelines.textops import (
+        tfidf_cosine_pairs,
+    )
+
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}" for i in range(12)]
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.integers(6, 20)))
+        for _ in range(30)
+    ]
+    texts[5] = texts[3]          # identical pair -> cos 1.0
+    texts[9] = texts[3] + " w0"  # near-identical
+    docs = rd.from_arrow(
+        pa.table({"doc_id": pa.array(range(30), pa.int64()),
+                  "text": pa.array(texts)})
+    )
+    got = (
+        tfidf_cosine_pairs(docs, n_docs=30, n=3, min_df=2, max_df=10,
+                           tau=0.2, num_buckets=4)
+        .to_pandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    )
+
+    # scalar replay
+    tf = []
+    for t in texts:
+        toks = [x for x in t.split(" ") if x]
+        grams = [" ".join(toks[j:j + 3]) for j in range(len(toks) - 2)]
+        h = md5_lower64(np.asarray(grams, dtype=object))
+        uh, cnt = np.unique(h, return_counts=True)
+        tf.append(dict(zip(uh.tolist(), cnt.tolist())))
+    df = {}
+    for d in tf:
+        for h in d:
+            df[h] = df.get(h, 0) + 1
+    w = [
+        {h: int(round_half_away(np.float64(c) * np.log(30.0 / df[h]) * 10000.0, 0))
+         for h, c in d.items() if 2 <= df[h] <= 10}
+        for d in tf
+    ]
+    exp = []
+    for a, b in itertools.combinations(range(30), 2):
+        shared = set(w[a]) & set(w[b])
+        if not shared:
+            continue
+        dp = sum(w[a][h] * w[b][h] for h in shared)
+        na = sum(v * v for v in w[a].values())
+        nb = sum(v * v for v in w[b].values())
+        c = round_half_away(np.float64(dp) / np.sqrt(np.float64(na) * np.float64(nb)), 6)
+        if c >= 0.2:
+            exp.append((a, b, float(c)))
+    exp = sorted(exp)
+    assert len(got) == len(exp) and len(exp) >= 2
+    assert [tuple(r) for r in got.itertuples(index=False)] == exp
+    ident = got.query("doc_a == 3 and doc_b == 5")
+    assert len(ident) == 1 and ident.iloc[0]["cos"] == 1.0
