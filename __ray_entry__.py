@@ -1012,6 +1012,18 @@ def _q_tfidf_cosine_pairs(sf_dir: str):
     return tfidf_cosine_pairs(docs, n_docs)
 
 
+def _q_source_gram_overlap(sf_dir: str):
+    """Cross-source content-leakage matrix: distinct 5-grams shared per
+    source pair; hashes-only gram-bucket exchange, source²-sized fold."""
+    from subgraph_isomorphism_pregel_ray.pipelines.textops import (
+        source_gram_overlap,
+    )
+    from subgraph_isomorphism_pregel_ray.sources.tables import read_table
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text", "source"])
+    return source_gram_overlap(docs)
+
+
 def _q_duplicate_ngram_fraction(sf_dir: str):
     """FineWeb-style dedup-health signal: per doc, share of its distinct
     word 5-grams occurring in ≥2 docs corpus-wide; hashes-only exchange,
@@ -1756,6 +1768,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "min_cost_supplier": _q_min_cost_supplier,
         "duplicate_ngram_fraction": _q_duplicate_ngram_fraction,
         "tfidf_cosine_pairs": _q_tfidf_cosine_pairs,
+        "source_gram_overlap": _q_source_gram_overlap,
         "revenue_by_region": _q_revenue_by_region,
         "topk_parts_per_nation": _q_topk_parts,
         "documents_sample": _q_documents_sample,
@@ -3672,6 +3685,23 @@ def oracle_sql() -> dict[str, str]:
             "JOIN orders ON o_orderkey = l_orderkey "
             "JOIN nation ON n_nationkey = s_nationkey "
             "WHERE p_name LIKE '%red%' GROUP BY 1, 2"
+        ),
+        "source_gram_overlap": (
+            # distinct 5-grams shared between source pairs (content
+            # leakage); source_a < source_b lexicographic
+            "WITH base AS (SELECT source, "
+            "list_filter(string_split(text, ' '), x -> x <> '') AS toks "
+            "FROM documents), "
+            "g AS (SELECT source, "
+            "md5_number_lower(array_to_string(list_slice(toks, i, i + 4), ' ')) AS h "
+            "FROM (SELECT source, toks, "
+            "unnest(generate_series(1, len(toks) - 4)) AS i "
+            "FROM base WHERE len(toks) >= 5)), "
+            "ds AS (SELECT DISTINCT source, h FROM g) "
+            "SELECT a.source AS source_a, b.source AS source_b, "
+            "CAST(count(*) AS BIGINT) AS n_shared "
+            "FROM ds a JOIN ds b ON a.h = b.h AND a.source < b.source "
+            "GROUP BY 1, 2"
         ),
         "tfidf_cosine_pairs": (
             # Bayardo WWW'07 all-pairs cosine over df-pruned TF-IDF word

@@ -2439,3 +2439,102 @@ def tfidf_cosine_pairs(docs_ds, n_docs: int, n: int = 3, min_df: int = 2,
         .groupby("b2").map_groups(_attach_na, batch_format="pyarrow")
         .groupby("b2").map_groups(_attach_nb, batch_format="pyarrow")
     )
+
+
+def source_gram_overlap(docs_ds, n: int = 5, num_buckets: int = 32):
+    """Cross-source content-leakage matrix: for every pair of corpus
+    sources, the number of DISTINCT word n-grams appearing in documents of
+    BOTH sources → (source_a, source_b, n_shared), source_a < source_b.
+    The pairwise complement of :func:`duplicate_ngram_fraction` — it tells
+    you WHICH sources share boilerplate/content, the first question after
+    a dedup-health alarm at corpus scale.
+
+    Scale shape: hashes-only exchange — each batch emits distinct
+    (gram-hash, source-id) pairs (sources dictionary-encoded to int at the
+    batch boundary); ONE gram-bucket groupby expands each gram's sorted
+    source set into pairs (deduped per gram) and emits per-pair partials;
+    the final fold is over a source²-sized table (tiny at any corpus
+    scale). Source names rejoin from the broadcast dictionary."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.hashing import md5_lower64
+
+    B = np.int64(num_buckets)
+
+    def _grams(batch: pa.Table) -> pa.Table:
+        srcs, hs = [], []
+        for s, t in zip(batch["source"].to_pylist(), batch["text"].to_pylist()):
+            g = _word_ngrams_unique(_space_tokens(t), n)
+            if len(g):
+                srcs.append(np.full(len(g), hash_src(s), np.int64))
+                hs.append(md5_lower64(g))
+        if not srcs:
+            return pa.table(
+                {"h": np.array([], np.int64), "src": np.array([], np.int64),
+                 "b": np.array([], np.int32)}
+            )
+        h = np.concatenate(hs)
+        src = np.concatenate(srcs)
+        # distinct (h, src) within the batch
+        o = np.lexsort((src, h.view(np.int64)))
+        hv, src = h.view(np.int64)[o], src[o]
+        keep = np.ones(len(hv), bool)
+        keep[1:] = (hv[1:] != hv[:-1]) | (src[1:] != src[:-1])
+        hv, src = hv[keep], src[keep]
+        return pa.table(
+            {"h": hv, "src": src,
+             "b": (hv.view(np.uint64) % np.uint64(B)).astype(np.int32)}
+        )
+
+    def _pairs(g: pa.Table) -> pa.Table:
+        h = g["h"].to_numpy()
+        src = g["src"].to_numpy()
+        o = np.lexsort((src, h))
+        h, src = h[o], src[o]
+        keep = np.ones(len(h), bool)  # cross-batch (h, src) dedup
+        keep[1:] = (h[1:] != h[:-1]) | (src[1:] != src[:-1])
+        h, src = h[keep], src[keep]
+        starts = np.nonzero(np.r_[True, h[1:] != h[:-1]])[0]
+        ends = np.r_[starts[1:], len(h)]
+        aa, bb = [], []
+        for s, e in zip(starts, ends):
+            m = e - s
+            if m < 2:
+                continue
+            ia, ib = np.triu_indices(m, k=1)
+            aa.append(src[s:e][ia]); bb.append(src[s:e][ib])
+        if not aa:
+            return pa.table({"sa": np.array([], np.int64),
+                             "sb": np.array([], np.int64),
+                             "n": np.array([], np.int64)})
+        sa, sb = np.concatenate(aa), np.concatenate(bb)
+        key, cnt = np.unique(sa << np.int64(32) | sb, return_counts=True)
+        return pa.table(
+            {"sa": key >> np.int64(32), "sb": key & np.int64(0xFFFFFFFF),
+             "n": cnt.astype(np.int64)}
+        )
+
+    # dictionary-encode sources on the driver: the source set is a small
+    # fixed vocabulary (a dim), so the dictionary broadcast is cheap
+    src_names = sorted(
+        set(docs_ds.select_columns(["source"]).unique("source"))
+    )
+    sid = {s: i for i, s in enumerate(src_names)}
+
+    def hash_src(s: str) -> int:
+        return sid[s]
+
+    df = (
+        docs_ds.map_batches(_grams, batch_format="pyarrow")
+        .groupby("b").map_groups(_pairs, batch_format="pyarrow")
+        .to_pandas()
+        .groupby(["sa", "sb"], sort=True)["n"].sum().reset_index()
+    )
+    names = np.asarray(src_names, dtype=object)
+    return pa.table(
+        {
+            "source_a": pa.array(list(names[df["sa"].to_numpy()]), pa.string()),
+            "source_b": pa.array(list(names[df["sb"].to_numpy()]), pa.string()),
+            "n_shared": df["n"].to_numpy().astype(np.int64),
+        }
+    )

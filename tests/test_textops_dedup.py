@@ -1290,3 +1290,40 @@ def test_tfidf_cosine_pairs_brute_force_replay(ray_session):
     assert [tuple(r) for r in got.itertuples(index=False)] == exp
     ident = got.query("doc_a == 3 and doc_b == 5")
     assert len(ident) == 1 and ident.iloc[0]["cos"] == 1.0
+
+
+def test_source_gram_overlap_counts_distinct_shared_grams(ray_session):
+    """Pair counts = distinct shared n-grams, deduped across docs of the
+    same source; non-overlapping sources absent."""
+    import ray.data as rd
+
+    from subgraph_isomorphism_pregel_ray.pipelines.textops import (
+        source_gram_overlap,
+    )
+
+    shared = "a b c d e"           # one 5-gram, in srcA (twice) and srcB
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(5), pa.int64()),
+                "text": pa.array(
+                    [
+                        shared + " x y z",   # srcA: grams incl 'a b c d e'
+                        shared,              # srcA again (dedup per source)
+                        shared + " q r",     # srcB
+                        "p q r s t u v w",   # srcC: no overlap with anyone
+                        "totally different words here now",  # srcB
+                    ]
+                ),
+                "source": pa.array(["srcA", "srcA", "srcB", "srcC", "srcB"]),
+            }
+        )
+    )
+    got = source_gram_overlap(docs, n=5, num_buckets=4).to_pandas()
+    got = got.set_index(["source_a", "source_b"])["n_shared"]
+    # srcA/srcB share exactly the grams of `shared` text: 'a b c d e' is
+    # the only 5-gram both contain (srcB doc2's grams: 'a b c d e',
+    # 'b c d e q', 'c d e q r'; srcA doc0's: 'a b c d e', 'b c d e x', ...)
+    assert got.loc[("srcA", "srcB")] == 1
+    assert ("srcA", "srcC") not in got.index
+    assert ("srcB", "srcC") not in got.index
