@@ -1024,6 +1024,14 @@ def _q_source_gram_overlap(sf_dir: str):
     return source_gram_overlap(docs)
 
 
+def _q_events_cusum(sf_dir: str):
+    """Page's one-sided CUSUM drift detector per user; recurrence-order
+    parity vs a recursive CTE (same max/add/sub order per step)."""
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import events_cusum
+
+    return events_cusum(sf_dir)
+
+
 def _q_duplicate_ngram_fraction(sf_dir: str):
     """FineWeb-style dedup-health signal: per doc, share of its distinct
     word 5-grams occurring in ≥2 docs corpus-wide; hashes-only exchange,
@@ -1769,6 +1777,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "duplicate_ngram_fraction": _q_duplicate_ngram_fraction,
         "tfidf_cosine_pairs": _q_tfidf_cosine_pairs,
         "source_gram_overlap": _q_source_gram_overlap,
+        "events_cusum": _q_events_cusum,
         "revenue_by_region": _q_revenue_by_region,
         "topk_parts_per_nation": _q_topk_parts,
         "documents_sample": _q_documents_sample,
@@ -3685,6 +3694,20 @@ def oracle_sql() -> dict[str, str]:
             "JOIN orders ON o_orderkey = l_orderkey "
             "JOIN nation ON n_nationkey = s_nationkey "
             "WHERE p_name LIKE '%red%' GROUP BY 1, 2"
+        ),
+        "events_cusum": (
+            # Page CUSUM via recursive CTE; the engine replays the same
+            # greatest(0, s + (x − k)) per position (recurrence parity);
+            # alarm compares the UNROUNDED statistic on both sides
+            "WITH RECURSIVE b AS (SELECT event_id, user_id, value, "
+            "CAST(row_number() OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id) AS BIGINT) - 1 AS pos FROM events), "
+            "r AS (SELECT event_id, user_id, pos, "
+            "greatest(0, value - 60.0) AS s FROM b WHERE pos = 0 "
+            "UNION ALL SELECT b.event_id, b.user_id, b.pos, "
+            "greatest(0, r.s + (b.value - 60.0)) FROM b "
+            "JOIN r ON r.user_id = b.user_id AND b.pos = r.pos + 1) "
+            "SELECT event_id, round(s, 6) AS cusum, s > 200.0 AS alarm FROM r"
         ),
         "source_gram_overlap": (
             # distinct 5-grams shared between source pairs (content

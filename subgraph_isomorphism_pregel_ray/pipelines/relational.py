@@ -5015,3 +5015,58 @@ def min_cost_supplier(sf_dir: str, num_buckets: int = 32):
             "unit_price": out["unit_price"].to_numpy(),
         }
     )
+
+
+def events_cusum(
+    sf_dir: str, k_ref: float = 60.0, h: float = 200.0,
+    num_buckets: int | None = None,
+):
+    """Per-user one-sided upper CUSUM (Page 1954) change detection over
+    ``value`` → (event_id, cusum, alarm): s₀ = max(0, x₀ − k),
+    sᵢ = max(0, sᵢ₋₁ + (xᵢ − k)) over the user's (ts, event_id) order;
+    alarm = s > h — the classic drift detector for metric streams
+    (complements :func:`events_zscore`'s point anomalies).
+
+    Bit-exactness by the RECURRENCE-ORDER PARITY trick of
+    :func:`events_ema`: the bucket kernel advances every user one
+    within-user POSITION per vectorized step, evaluating literally
+    ``max(0, s_prev + (x − k))`` — same subtraction, same add, same max,
+    same order as the oracle's recursive CTE ``greatest(0, r.s +
+    (b.value − k))``. Scale shape: the shared ONE-shuffle user-hash
+    bucket machine."""
+    from ..functions.rounding import round_half_away
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"])
+    num_buckets = _auto_buckets(ds, num_buckets)
+    kr = float(k_ref)
+
+    def _bucket(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy()
+        return t.append_column("b", pa.array((u % num_buckets).astype(np.int32)))
+
+    def _cusum(g: pa.Table) -> pa.Table:
+        u = g["user_id"].to_numpy()
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        eid = g["event_id"].to_numpy()
+        x = g["value"].to_numpy()
+        order = np.lexsort((eid, ts, u))
+        u, eid, x = u[order], eid[order], x[order]
+        n = len(u)
+        new_seg = np.concatenate([[True], u[1:] != u[:-1]])
+        seg_start = np.maximum.accumulate(np.where(new_seg, np.arange(n), 0))
+        pos = np.arange(n) - seg_start
+        s = np.maximum(0.0, x - kr)  # position 0
+        max_pos = int(pos.max()) if n else 0
+        for p in range(1, max_pos + 1):
+            m = pos == p
+            s[m] = np.maximum(0.0, s[np.nonzero(m)[0] - 1] + (x[m] - kr))
+        return pa.table(
+            {"event_id": eid, "cusum": round_half_away(s, 6),
+             "alarm": s > h}
+        )
+
+    return (
+        ds.map_batches(_bucket, batch_format="pyarrow")
+        .groupby("b")
+        .map_groups(_cusum, batch_format="pyarrow")
+    )

@@ -638,3 +638,27 @@ def test_session_conversion_vs_python(ray_session):
         assert got.loc[day, "n_sessions"] == n
         assert got.loc[day, "n_converted"] == c
     assert len(got) == len(days)
+
+
+def test_events_cusum_vs_python(ray_session):
+    """CUSUM equals the literal per-user recurrence max(0, s + (x − k)),
+    same float op order; alarms fire above h on the unrounded statistic."""
+    from subgraph_isomorphism_pregel_ray.functions.rounding import round_half_away
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import events_cusum
+    from subgraph_isomorphism_pregel_ray.sources.tables import read_table
+
+    sf = "/root/testdata/sf0.001"
+    k, h = 60.0, 200.0
+    got = events_cusum(sf, k_ref=k, h=h).to_pandas().set_index("event_id")
+    ev = read_table(
+        sf, "events", columns=["event_id", "ts", "user_id", "value"]
+    ).to_pandas().sort_values(["user_id", "ts", "event_id"])
+    n_alarm = 0
+    for _, grp in ev.groupby("user_id"):
+        s = None
+        for eid, x in zip(grp.event_id, grp.value):
+            s = max(0.0, (x - k)) if s is None else max(0.0, s + (x - k))
+            assert got.loc[eid, "cusum"] == round_half_away(np.array([s]), 6)[0]
+            assert got.loc[eid, "alarm"] == (s > h)
+            n_alarm += int(s > h)
+    assert n_alarm > 0  # the fixture actually exercises the alarm branch
