@@ -404,6 +404,18 @@ def _q_lpa(sf_dir: str):
     )
 
 
+def _q_seeded_labels(sf_dir: str):
+    """Semi-supervised seeded LPA over the co-purchase graph: clamped
+    seeds (vid%10==0 labeled vid%3) flood 5 rounds; labeled vertices out."""
+    from subgraph_isomorphism_pregel_ray.pipelines.algorithms import seeded_labels
+
+    res, _ = seeded_labels(_sym_copurchase(sf_dir), iters=LPA_ITERS, num_parts=4)
+    vid = res["vid"].to_numpy().view(np.int64)
+    lab = res["label"].to_numpy().view(np.int64)
+    m = lab >= 0
+    return pa.table({"vid": vid[m], "label": lab[m]})
+
+
 _ENGINES: dict[str, Any] = {}
 
 
@@ -1747,6 +1759,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hits_copurchase": _q_hits,
         "random_walks_copurchase": _q_random_walks,
         "lpa_copurchase": _q_lpa,
+        "seeded_labels_copurchase": _q_seeded_labels,
         "kcore_copurchase": _q_kcore,
         "ktruss_copurchase": _q_ktruss,
         "match_triangle_labeled": _q_match_triangle,
@@ -2614,6 +2627,35 @@ def _lpa_parts(iters: int, edges_cte: str | None = None) -> list[str]:
             f") WHERE rn = 1)"
         )
     return parts
+
+
+def _seeded_lpa_sql(iters: int = 5, seed_mod: int = 10, label_mod: int = 3) -> str:
+    """Unrolled seeded (clamped) label propagation: seeds vid%seed_mod==0
+    carry vid%label_mod forever; non-seeds take the mode (min on ties) of
+    their LABELED neighbors each round; unlabeled vertices are absent from
+    each round's table (exactly the engine's label ≥ 0 filter)."""
+    parts = [
+        f"WITH {_ESYM_MAT}",
+        f"s0 AS MATERIALIZED (SELECT DISTINCT src AS vid, "
+        f"src % {label_mod} AS label FROM e WHERE src % {seed_mod} = 0)",
+        "l0 AS MATERIALIZED (SELECT vid, label FROM s0)",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"l{i} AS MATERIALIZED (SELECT vid, label FROM ("
+            f"SELECT e.src AS vid, c.label AS label, "
+            f"row_number() OVER (PARTITION BY e.src "
+            f"ORDER BY count(*) DESC, c.label ASC) AS rn "
+            f"FROM e JOIN l{i-1} c ON c.vid = e.dst "
+            f"WHERE e.src NOT IN (SELECT vid FROM s0) "
+            f"GROUP BY e.src, c.label) WHERE rn = 1 "
+            f"UNION ALL SELECT vid, label FROM s0)"
+        )
+    return (
+        ", ".join(parts)
+        + f" SELECT CAST(vid AS BIGINT) AS vid, "
+          f"CAST(label AS BIGINT) AS label FROM l{iters}"
+    )
 
 
 def _lpa_modularity_sql(iters: int = 5) -> str:
@@ -4023,6 +4065,7 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY 1, 2 HAVING count(*) >= 5"
         ),
         "lpa_copurchase": _lpa_sql(LPA_ITERS),
+        "seeded_labels_copurchase": _seeded_lpa_sql(LPA_ITERS),
         "kcore_copurchase": _kcore_sql(),
         "ktruss_copurchase": _ktruss_sql(),
         "fingerprint": _fingerprint_sql(),

@@ -35,6 +35,7 @@ __all__ = [
     "sssp",
     "mis",
     "label_propagation",
+    "seeded_labels",
     "triangle_count",
     "kcore",
     "pagerank_dataset",
@@ -984,6 +985,24 @@ def label_propagation(edges_or_engine, iters: int = 10, num_parts: int = 8,
     eng, lineage, own = _run(
         edges_or_engine, "lpa", {"iters": iters}, num_parts, iters + 2, directed=False,
         checkpoint_dir=checkpoint_dir, checkpoint_every=checkpoint_every, resume=resume,
+    )
+    out = eng.result_table()
+    if own:
+        eng.shutdown()
+    return out, lineage
+
+
+def seeded_labels(edges_or_engine, iters: int = 5, seed_mod: int = 10,
+                  label_mod: int = 3, num_parts: int = 8,
+                  checkpoint_dir=None, checkpoint_every=0, resume=False):
+    """Semi-supervised seeded LPA (clamped seeds, min tie-break) →
+    (vid, label); label = −1 where the flood never arrived."""
+    eng, lineage, own = _run(
+        edges_or_engine, "seeded_lpa",
+        {"iters": iters, "seed_mod": seed_mod, "label_mod": label_mod},
+        num_parts, iters + 2, directed=False,
+        checkpoint_dir=checkpoint_dir, checkpoint_every=checkpoint_every,
+        resume=resume,
     )
     out = eng.result_table()
     if own:

@@ -3440,6 +3440,97 @@ class SemiClusteringProgram(VertexProgram):
         self.done = False
 
 
+class SeededLabelProgram(VertexProgram):
+    """Semi-supervised seeded label propagation (Zhu & Ghahramani 2002
+    shape, synchronous, deterministic): seed vertices (vid % seed_mod == 0)
+    carry a CLAMPED class label (vid % label_mod); every other vertex takes,
+    each round, the most frequent label among its LABELED neighbors (min
+    label on ties), starting unlabeled (−1). Labels flood outward from the
+    seeds for exactly ``iters`` rounds — the label-inference workhorse for
+    sparsely-annotated web/content graphs (vs
+    :class:`LabelPropagationProgram`, whose labels are self-initialized
+    communities and nothing is clamped).
+
+    Messages are pre-aggregated (dst, label, cnt) triples from LABELED
+    vertices only, so early rounds ship only the seed frontier — at web
+    scale the first supersteps cost O(seed-adjacent edges), not O(E)."""
+
+    def init(self, csr: CSRPartition, iters=5, seed_mod=10, label_mod=3):
+        self.csr = csr
+        self.iters = int(iters)
+        self.seed = (csr.vids % int(seed_mod)) == 0
+        self.label = np.where(self.seed, csr.vids % int(label_mod), -1).astype(np.int64)
+        self.done = False
+
+    def apply(self, step, inbox, glob):
+        if step == 0:
+            return {"active": 1}
+        dsts, labs, cnts = [], [], []
+        for msg in inbox:
+            if msg is None or len(msg["dst"]) == 0:
+                continue
+            dsts.append(msg["dst"]); labs.append(msg["label"]); cnts.append(msg["cnt"])
+        if dsts:
+            dst = np.concatenate(dsts); lab = np.concatenate(labs); cnt = np.concatenate(cnts)
+            li = self.csr.local_index(dst)
+            ulab, lab_dense = np.unique(lab, return_inverse=True)
+            key = li.astype(np.uint64) << np.uint64(32) | lab_dense.astype(np.uint64)
+            ukey, kinv = np.unique(key, return_inverse=True)
+            tot = np.bincount(kinv, weights=cnt.astype(np.float64))
+            kli = (ukey >> np.uint64(32)).astype(np.int64)
+            klab = ulab[(ukey & np.uint64(0xFFFFFFFF)).astype(np.int64)]
+            order = np.lexsort((klab, -tot, kli))
+            first_li, first_pos = np.unique(kli[order], return_index=True)
+            winner = klab[order][first_pos]
+            upd = ~self.seed[first_li]  # seeds are clamped
+            self.label[first_li[upd]] = winner[upd]
+        if step >= self.iters:
+            self.done = True
+            return {"active": 0}
+        return {"active": 1}
+
+    def scatter(self, step):
+        P = self.csr.num_parts
+        if self.done:
+            return [None] * P, {"sent": 0}
+        dix = self.csr.dst_index()
+        edge_lab = self.label[dix.src_row][dix.order]
+        outbox, sent = [], 0
+        for p in range(P):
+            s, e = dix.slices[p]
+            lab = edge_lab[s:e]
+            m = lab >= 0  # only labeled vertices speak
+            if not m.any():
+                outbox.append(None)
+                continue
+            lab = lab[m]
+            inv = dix.inverse[p][m]
+            ulab, lab_dense = np.unique(lab, return_inverse=True)
+            key = inv.astype(np.uint64) << np.uint64(32) | lab_dense.astype(np.uint64)
+            ukey, ucnt = np.unique(key, return_counts=True)
+            outbox.append(
+                {
+                    "dst": dix.uniq_dst[p][(ukey >> np.uint64(32)).astype(np.int64)],
+                    "label": ulab[(ukey & np.uint64(0xFFFFFFFF)).astype(np.int64)],
+                    "cnt": ucnt.astype(np.int64),
+                }
+            )
+            sent += len(ukey)
+        return outbox, {"sent": sent}
+
+    def state_table(self):
+        return pa.table({"vid": self.csr.vids, "label": self.label,
+                         "done": pa.array(np.full(self.csr.num_vertices, self.done, dtype=bool))})
+
+    def load_state(self, table, step):
+        self.label = table["label"].to_numpy().copy()
+        dn = table["done"].to_numpy()
+        self.done = bool(dn[0]) if len(dn) else False
+
+    def result_table(self):
+        return pa.table({"vid": self.csr.vids, "label": self.label})
+
+
 PROGRAMS = {
     "pagerank": PageRankProgram,
     "cc": ConnectedComponentsProgram,
@@ -3467,4 +3558,5 @@ PROGRAMS = {
     "wsssp_stored": StoredWeightSSSPProgram,
     "semicluster": SemiClusteringProgram,
     "matching": MaximalMatchingProgram,
+    "seeded_lpa": SeededLabelProgram,
 }

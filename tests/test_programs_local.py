@@ -910,3 +910,36 @@ def test_stored_weight_sssp_vs_dijkstra():
                 heapq.heappush(heap, (dist[v], v))
     exp = {v: (-1 if dist[v] is INF else int(dist[v])) for v in verts}
     assert got == exp
+
+
+@pytest.mark.parametrize("trial", range(3))
+def test_seeded_lpa_vs_sync_oracle(trial):
+    """Seeded LPA: clamped seeds, mode-of-labeled-neighbors rounds,
+    unlabeled stays -1 — vs a literal dict replay."""
+    s, d = random_graph(60 + trial, 60)
+    adj = adjacency(s, d)
+
+    seeds = {v: v % 3 for v in adj if v % 10 == 0}
+    lab = dict(seeds)
+    for _ in range(5):
+        new = {}
+        for v in adj:
+            if v in seeds:
+                new[v] = seeds[v]
+                continue
+            cnt = {}
+            for u in adj[v]:
+                if u in lab:
+                    cnt[lab[u]] = cnt.get(lab[u], 0) + 1
+            if cnt:
+                new[v] = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        lab = new
+
+    eng = LocalBSP(s, d, num_parts=4, directed=False)
+    eng.run("seeded_lpa", {"iters": 5, "seed_mod": 10, "label_mod": 3},
+            max_steps=7)
+    res = eng.result().to_pandas()
+    got = {int(r.vid): int(r.label) for r in res.itertuples() if r.label >= 0}
+    assert got == lab
+    unlabeled = {int(r.vid) for r in res.itertuples() if r.label < 0}
+    assert unlabeled == set(adj) - set(lab)
