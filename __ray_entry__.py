@@ -1044,6 +1044,14 @@ def _q_events_cusum(sf_dir: str):
     return events_cusum(sf_dir)
 
 
+def _q_events_holt(sf_dir: str):
+    """Holt double-exponential smoothing (level+trend) per user;
+    recurrence-order parity vs a two-column recursive CTE."""
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import events_holt
+
+    return events_holt(sf_dir)
+
+
 def _q_duplicate_ngram_fraction(sf_dir: str):
     """FineWeb-style dedup-health signal: per doc, share of its distinct
     word 5-grams occurring in ≥2 docs corpus-wide; hashes-only exchange,
@@ -1791,6 +1799,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_cosine_pairs": _q_tfidf_cosine_pairs,
         "source_gram_overlap": _q_source_gram_overlap,
         "events_cusum": _q_events_cusum,
+        "events_holt": _q_events_holt,
         "revenue_by_region": _q_revenue_by_region,
         "topk_parts_per_nation": _q_topk_parts,
         "documents_sample": _q_documents_sample,
@@ -3736,6 +3745,20 @@ def oracle_sql() -> dict[str, str]:
             "JOIN orders ON o_orderkey = l_orderkey "
             "JOIN nation ON n_nationkey = s_nationkey "
             "WHERE p_name LIKE '%red%' GROUP BY 1, 2"
+        ),
+        "events_holt": (
+            # Holt level+trend via a recursive CTE carrying both columns;
+            # the engine replays identical op order per position
+            "WITH RECURSIVE b AS (SELECT event_id, user_id, value, "
+            "CAST(row_number() OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id) AS BIGINT) - 1 AS pos FROM events), "
+            "r AS (SELECT event_id, user_id, pos, value AS l, "
+            "CAST(0.0 AS DOUBLE) AS t FROM b WHERE pos = 0 "
+            "UNION ALL SELECT b.event_id, b.user_id, b.pos, "
+            "0.25 * b.value + 0.75 * (r.l + r.t), "
+            "0.125 * ((0.25 * b.value + 0.75 * (r.l + r.t)) - r.l) + 0.875 * r.t "
+            "FROM b JOIN r ON r.user_id = b.user_id AND b.pos = r.pos + 1) "
+            "SELECT event_id, round(l, 6) AS level, round(t, 6) AS trend FROM r"
         ),
         "events_cusum": (
             # Page CUSUM via recursive CTE; the engine replays the same

@@ -5070,3 +5070,64 @@ def events_cusum(
         .groupby("b")
         .map_groups(_cusum, batch_format="pyarrow")
     )
+
+
+def events_holt(
+    sf_dir: str, alpha: float = 0.25, beta: float = 0.125,
+    num_buckets: int | None = None,
+):
+    """Per-user Holt double-exponential smoothing (level + trend) over
+    ``value`` → (event_id, level, trend): l₀ = x₀, b₀ = 0;
+    lᵢ = α·xᵢ + (1−α)·(lᵢ₋₁ + bᵢ₋₁); bᵢ = β·(lᵢ − lᵢ₋₁) + (1−β)·bᵢ₋₁ —
+    the trend-aware smoother behind short-horizon metric forecasts
+    (:func:`forecast_revenue`'s streaming cousin, with per-user state).
+
+    Bit-exactness by the RECURRENCE-ORDER PARITY trick of
+    :func:`events_ema`: the bucket kernel advances every user one
+    within-user position per vectorized step, evaluating the two Holt
+    equations with literally the same products/adds/parentheses as the
+    oracle's recursive CTE (which carries BOTH l and b columns through
+    the recursion). Defaults are DYADIC (α=0.25, β=0.125) so 1−α and 1−β
+    are exact doubles and the SQL literals 0.75/0.875 reproduce them —
+    the same convention as events_ema's α=0.25. Scale shape: the shared
+    ONE-shuffle user-hash bucket machine."""
+    from ..functions.rounding import round_half_away
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"])
+    num_buckets = _auto_buckets(ds, num_buckets)
+    a, bt = float(alpha), float(beta)
+
+    def _bucket(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy()
+        return t.append_column("b", pa.array((u % num_buckets).astype(np.int32)))
+
+    def _holt(g: pa.Table) -> pa.Table:
+        u = g["user_id"].to_numpy()
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        eid = g["event_id"].to_numpy()
+        x = g["value"].to_numpy()
+        order = np.lexsort((eid, ts, u))
+        u, eid, x = u[order], eid[order], x[order]
+        n = len(u)
+        new_seg = np.concatenate([[True], u[1:] != u[:-1]])
+        seg_start = np.maximum.accumulate(np.where(new_seg, np.arange(n), 0))
+        pos = np.arange(n) - seg_start
+        lv = x.copy()               # position 0: l = x
+        tr = np.zeros(n)            # position 0: b = 0
+        max_pos = int(pos.max()) if n else 0
+        for p in range(1, max_pos + 1):
+            m = pos == p
+            prev = np.nonzero(m)[0] - 1
+            l_new = a * x[m] + (1 - a) * (lv[prev] + tr[prev])
+            tr[m] = bt * (l_new - lv[prev]) + (1 - bt) * tr[prev]
+            lv[m] = l_new
+        return pa.table(
+            {"event_id": eid, "level": round_half_away(lv, 6),
+             "trend": round_half_away(tr, 6)}
+        )
+
+    return (
+        ds.map_batches(_bucket, batch_format="pyarrow")
+        .groupby("b")
+        .map_groups(_holt, batch_format="pyarrow")
+    )

@@ -662,3 +662,29 @@ def test_events_cusum_vs_python(ray_session):
             assert got.loc[eid, "alarm"] == (s > h)
             n_alarm += int(s > h)
     assert n_alarm > 0  # the fixture actually exercises the alarm branch
+
+
+def test_events_holt_vs_python(ray_session):
+    """Holt level/trend equal the literal per-user recurrence with the
+    same float op order (dyadic α, β)."""
+    from subgraph_isomorphism_pregel_ray.functions.rounding import round_half_away
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import events_holt
+    from subgraph_isomorphism_pregel_ray.sources.tables import read_table
+
+    sf = "/root/testdata/sf0.001"
+    a, b = 0.25, 0.125
+    got = events_holt(sf, alpha=a, beta=b).to_pandas().set_index("event_id")
+    ev = read_table(
+        sf, "events", columns=["event_id", "ts", "user_id", "value"]
+    ).to_pandas().sort_values(["user_id", "ts", "event_id"])
+    for _, grp in ev.groupby("user_id"):
+        l = t = None
+        for eid, x in zip(grp.event_id, grp.value):
+            if l is None:
+                l, t = x, 0.0
+            else:
+                l_new = a * x + (1 - a) * (l + t)
+                t = b * (l_new - l) + (1 - b) * t
+                l = l_new
+            assert got.loc[eid, "level"] == round_half_away(np.array([l]), 6)[0]
+            assert got.loc[eid, "trend"] == round_half_away(np.array([t]), 6)[0]
