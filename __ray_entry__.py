@@ -1052,6 +1052,24 @@ def _q_events_holt(sf_dir: str):
     return events_holt(sf_dir)
 
 
+def _q_important_parts_value(sf_dir: str):
+    """Q11-shaped scalar-subquery HAVING: parts above 1.5× the average
+    per-part value; exact-int cents, one groupby."""
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import (
+        important_parts_value,
+    )
+
+    return important_parts_value(sf_dir)
+
+
+def _q_bulk_suppliers(sf_dir: str):
+    """Q20-shaped nested IN with per-(supplier, part) HAVING over the
+    lineitem bridge; part-name semi-filter broadcast."""
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import bulk_suppliers
+
+    return bulk_suppliers(sf_dir)
+
+
 def _q_duplicate_ngram_fraction(sf_dir: str):
     """FineWeb-style dedup-health signal: per doc, share of its distinct
     word 5-grams occurring in ≥2 docs corpus-wide; hashes-only exchange,
@@ -1800,6 +1818,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_gram_overlap": _q_source_gram_overlap,
         "events_cusum": _q_events_cusum,
         "events_holt": _q_events_holt,
+        "important_parts_value": _q_important_parts_value,
+        "bulk_suppliers": _q_bulk_suppliers,
         "revenue_by_region": _q_revenue_by_region,
         "topk_parts_per_nation": _q_topk_parts,
         "documents_sample": _q_documents_sample,
@@ -3745,6 +3765,28 @@ def oracle_sql() -> dict[str, str]:
             "JOIN orders ON o_orderkey = l_orderkey "
             "JOIN nation ON n_nationkey = s_nationkey "
             "WHERE p_name LIKE '%red%' GROUP BY 1, 2"
+        ),
+        "important_parts_value": (
+            # Q11-shaped: scalar-subquery threshold at 1.5× the average
+            # per-part value; exact-int cents, /100.0 mirrored
+            "WITH v AS (SELECT l_partkey AS p_partkey, "
+            "sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS c "
+            "FROM lineitem GROUP BY 1) "
+            "SELECT p_partkey, c / 100.0 AS value FROM v "
+            "WHERE c * 1.0 > 1.5 * ((SELECT sum(c) FROM v) * 1.0 / "
+            "(SELECT count(*) FROM v))"
+        ),
+        "bulk_suppliers": (
+            # Q20-shaped: nested IN with per-(supplier, part) HAVING over
+            # the lineitem bridge; integer quantities
+            "WITH sp AS (SELECT l_suppkey, l_partkey, "
+            "sum(CAST(round(l_quantity) AS BIGINT)) AS q FROM lineitem "
+            "WHERE l_partkey IN "
+            "(SELECT p_partkey FROM part WHERE p_name LIKE '%ol%') "
+            "GROUP BY 1, 2 HAVING q > 80) "
+            "SELECT s_suppkey, s_name, "
+            "CAST(count(*) AS BIGINT) AS n_bulk_parts "
+            "FROM sp JOIN supplier ON s_suppkey = l_suppkey GROUP BY 1, 2"
         ),
         "events_holt": (
             # Holt level+trend via a recursive CTE carrying both columns;

@@ -5131,3 +5131,125 @@ def events_holt(
         .groupby("b")
         .map_groups(_holt, batch_format="pyarrow")
     )
+
+
+def important_parts_value(sf_dir: str, mult: float = 1.5, num_buckets: int = 32):
+    """TPC-H-Q11-shaped scalar-subquery HAVING: per-part total lineitem
+    value (exact int64 cents), keeping parts whose value exceeds ``mult`` ×
+    the corpus-average part value → (p_partkey, value). Q11's fixed
+    fraction of total is scale-dependent; the average-multiple form keeps
+    the selectivity stable across sf (same shape: one global scalar
+    gates a per-group aggregate).
+
+    Scale shape: per-batch pre-aggregation by partkey, ONE groupby; the
+    global total/count fold and the threshold comparison run over the
+    dim-sized per-part table. Threshold = mult · (double(total)/double(n))
+    with dyadic ``mult`` — mirrored literally by the SQL."""
+    from ray.data.aggregate import Sum
+
+    li = read_table(sf_dir, "lineitem", columns=["l_partkey", "l_extendedprice"])
+
+    def _fact(t: pa.Table) -> pa.Table:
+        pk = t["l_partkey"].to_numpy().astype(np.int64)
+        cents = np.round(t["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        order = np.argsort(pk, kind="stable")
+        pk, cents = pk[order], cents[order]
+        start = np.ones(len(pk), bool)
+        start[1:] = pk[1:] != pk[:-1]
+        idx = np.nonzero(start)[0]
+        return pa.table(
+            {"p_partkey": pk[start], "c": np.add.reduceat(cents, idx)}
+        )
+
+    v = (
+        li.map_batches(_fact, batch_format="pyarrow")
+        .groupby("p_partkey")
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()
+    )
+    c = v["c"].to_numpy().astype(np.int64)
+    thr = float(mult) * (np.float64(int(c.sum())) / np.float64(len(c)))
+    keep = c.astype(np.float64) > thr
+    pk = v["p_partkey"].to_numpy().astype(np.int64)[keep]
+    order = np.argsort(pk)
+    return pa.table(
+        {
+            "p_partkey": pk[order],
+            "value": c[keep][order].astype(np.float64) / 100.0,
+        }
+    )
+
+
+def bulk_suppliers(
+    sf_dir: str, name_like: str = "ol", min_qty: float = 80.0,
+    num_buckets: int = 32,
+):
+    """TPC-H-Q20-shaped nested-IN: suppliers that ship at least one
+    matching part (p_name contains ``name_like``) in bulk (per-(supplier,
+    part) shipped quantity > ``min_qty``) → (s_suppkey, s_name,
+    n_bulk_parts). Q20's partsupp availability test becomes a shipped-
+    quantity test over the lineitem bridge.
+
+    Scale shape: the part-name filter is a DIM BROADCAST semi-filter at
+    the batch boundary; facts pre-aggregate (suppkey, partkey, qty) per
+    batch, ONE suppkey-bucketed groupby finishes the per-(supp, part)
+    sums, applies the HAVING, and counts qualifying parts per supplier;
+    names resolve via broadcast dim lookup over the dim-sized result."""
+    import pyarrow.parquet as pq
+
+    part = pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name"])
+    import pyarrow.compute as pc
+
+    m = pc.match_substring(part["p_name"], name_like).to_numpy(zero_copy_only=False)
+    match_pk = np.sort(part["p_partkey"].to_numpy().astype(np.int64)[m])
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_partkey", "l_suppkey", "l_quantity"])
+    B = np.int64(num_buckets)
+
+    def _agg(sk, pk, q):
+        order = np.lexsort((pk, sk))
+        sk, pk, q = sk[order], pk[order], q[order]
+        start = np.ones(len(sk), bool)
+        start[1:] = (sk[1:] != sk[:-1]) | (pk[1:] != pk[:-1])
+        idx = np.nonzero(start)[0]
+        return sk[start], pk[start], np.add.reduceat(q, idx)
+
+    def _fact(t: pa.Table) -> pa.Table:
+        pk = t["l_partkey"].to_numpy().astype(np.int64)
+        pos = np.searchsorted(match_pk, pk)
+        pos_c = np.minimum(pos, max(len(match_pk) - 1, 0))
+        hit = (match_pk[pos_c] == pk) if len(match_pk) else np.zeros(len(pk), bool)
+        pk = pk[hit]
+        sk = t["l_suppkey"].to_numpy().astype(np.int64)[hit]
+        q = np.round(t["l_quantity"].to_numpy()[hit]).astype(np.int64)
+        sk, pk, q = _agg(sk, pk, q)
+        return pa.table(
+            {"sk": sk, "pk": pk, "q": q, "b": (sk % B).astype(np.int32)}
+        )
+
+    def _having(g: pa.Table) -> pa.Table:
+        sk, pk, q = _agg(g["sk"].to_numpy(), g["pk"].to_numpy(), g["q"].to_numpy())
+        bulk = q > min_qty
+        usk, cnt = np.unique(sk[bulk], return_counts=True)
+        return pa.table({"s_suppkey": usk, "n_bulk_parts": cnt.astype(np.int64)})
+
+    out = (
+        li.map_batches(_fact, batch_format="pyarrow")
+        .groupby("b")
+        .map_groups(_having, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("s_suppkey")
+    )
+    name = (
+        pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"])
+        .to_pandas().set_index("s_suppkey")["s_name"]
+    )
+    sk = out["s_suppkey"].to_numpy().astype(np.int64)
+    return pa.table(
+        {
+            "s_suppkey": sk,
+            "s_name": name.loc[sk].to_numpy(),
+            "n_bulk_parts": out["n_bulk_parts"].to_numpy().astype(np.int64),
+        }
+    )

@@ -1065,3 +1065,59 @@ def test_min_cost_supplier_argmin_and_tiebreak(ray_session, tmp_path):
     assert got.loc[1, "n_name"] == "BETA"
     assert got.loc[2, "s_suppkey"] == 3   # tie at 1.0 -> min suppkey
     assert got.loc[2, "unit_price"] == 1.0
+
+
+def test_important_parts_value_threshold(ray_session, tmp_path):
+    # values: part1=100, part2=100, part3=400 -> avg 200, 1.5x avg = 300;
+    # only part3 qualifies
+    _write(
+        tmp_path,
+        "lineitem",
+        {
+            "l_partkey": pa.array([1, 2, 3, 3], pa.int64()),
+            "l_extendedprice": pa.array([100.0, 100.0, 150.0, 250.0]),
+        },
+    )
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import (
+        important_parts_value,
+    )
+
+    got = important_parts_value(str(tmp_path)).to_pandas()
+    assert list(got["p_partkey"]) == [3]
+    assert list(got["value"]) == [400.0]
+
+
+def test_bulk_suppliers_name_filter_and_having(ray_session, tmp_path):
+    # supplier 1 ships part 1 ('bolt', matches 'ol') qty 50+40=90 > 80 ->
+    # bulk; supplier 2 ships matching part at qty 80 (NOT > 80) and a
+    # non-matching part in bulk -> excluded
+    _write(
+        tmp_path,
+        "lineitem",
+        {
+            "l_partkey": pa.array([1, 1, 1, 2], pa.int64()),
+            "l_suppkey": pa.array([1, 1, 2, 2], pa.int64()),
+            "l_quantity": pa.array([50.0, 40.0, 80.0, 99.0]),
+        },
+    )
+    _write(
+        tmp_path,
+        "part",
+        {
+            "p_partkey": pa.array([1, 2], pa.int64()),
+            "p_name": pa.array(["blue bolt", "red widget"]),
+        },
+    )
+    _write(
+        tmp_path,
+        "supplier",
+        {
+            "s_suppkey": pa.array([1, 2], pa.int64()),
+            "s_name": pa.array(["S1", "S2"]),
+        },
+    )
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import bulk_suppliers
+
+    got = bulk_suppliers(str(tmp_path)).to_pandas()
+    assert list(got["s_suppkey"]) == [1]
+    assert list(got["n_bulk_parts"]) == [1]
