@@ -1070,6 +1070,16 @@ def _q_bulk_suppliers(sf_dir: str):
     return bulk_suppliers(sf_dir)
 
 
+def _q_succ_triad_motifs(sf_dir: str):
+    """Directed triangle census (cyclic vs transitive) of the
+    part-successor graph; wedge expansion + pair-bucket closure."""
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import (
+        succ_triad_motifs,
+    )
+
+    return succ_triad_motifs(sf_dir)
+
+
 def _q_duplicate_ngram_fraction(sf_dir: str):
     """FineWeb-style dedup-health signal: per doc, share of its distinct
     word 5-grams occurring in ≥2 docs corpus-wide; hashes-only exchange,
@@ -1820,6 +1830,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_holt": _q_events_holt,
         "important_parts_value": _q_important_parts_value,
         "bulk_suppliers": _q_bulk_suppliers,
+        "succ_triad_motifs": _q_succ_triad_motifs,
         "revenue_by_region": _q_revenue_by_region,
         "topk_parts_per_nation": _q_topk_parts,
         "documents_sample": _q_documents_sample,
@@ -3765,6 +3776,23 @@ def oracle_sql() -> dict[str, str]:
             "JOIN orders ON o_orderkey = l_orderkey "
             "JOIN nation ON n_nationkey = s_nationkey "
             "WHERE p_name LIKE '%red%' GROUP BY 1, 2"
+        ),
+        "succ_triad_motifs": (
+            # Milo-style directed triangle census on the qty≤25 successor
+            # graph: cycles via the 3-rotation join (//3), transitive
+            # triples by role (middle = e1.dst)
+            "WITH seq AS (SELECT l_orderkey, l_linenumber, l_partkey, "
+            "lag(l_partkey) OVER (PARTITION BY l_orderkey "
+            "ORDER BY l_linenumber) AS prev FROM lineitem "
+            "WHERE l_quantity <= 25), "
+            "e AS (SELECT DISTINCT prev AS src, l_partkey AS dst FROM seq "
+            "WHERE prev IS NOT NULL AND prev <> l_partkey) "
+            "SELECT (SELECT count(*) // 3 FROM e e1 "
+            "JOIN e e2 ON e2.src = e1.dst "
+            "JOIN e e3 ON e3.src = e2.dst AND e3.dst = e1.src) AS n_cyclic, "
+            "(SELECT count(*) FROM e e1 JOIN e e2 ON e2.src = e1.dst "
+            "JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst "
+            "WHERE e2.dst <> e1.src) AS n_transitive"
         ),
         "important_parts_value": (
             # Q11-shaped: scalar-subquery threshold at 1.5× the average

@@ -1121,3 +1121,25 @@ def test_bulk_suppliers_name_filter_and_having(ray_session, tmp_path):
     got = bulk_suppliers(str(tmp_path)).to_pandas()
     assert list(got["s_suppkey"]) == [1]
     assert list(got["n_bulk_parts"]) == [1]
+
+
+def test_succ_triad_motifs_cycle_and_transitive(ray_session, tmp_path):
+    # successor edges (one per 2-line order): 1->2, 2->3, 3->1, 1->3
+    # => one cyclic triangle {1,2,3} and one transitive triple (1->2->3, 1->3)
+    _write(
+        tmp_path,
+        "lineitem",
+        {
+            "l_orderkey": pa.array([1, 1, 2, 2, 3, 3, 4, 4], pa.int64()),
+            "l_linenumber": pa.array([1, 2, 1, 2, 1, 2, 1, 2], pa.int32()),
+            "l_partkey": pa.array([1, 2, 2, 3, 3, 1, 1, 3], pa.int64()),
+            "l_quantity": pa.array([1.0] * 8),
+        },
+    )
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import (
+        succ_triad_motifs,
+    )
+
+    got = succ_triad_motifs(str(tmp_path), num_buckets=4).to_pandas()
+    assert got.iloc[0]["n_cyclic"] == 1
+    assert got.iloc[0]["n_transitive"] == 1
