@@ -1024,6 +1024,16 @@ def _q_tfidf_cosine_pairs(sf_dir: str):
     return tfidf_cosine_pairs(docs, n_docs)
 
 
+def _q_source_kl(sf_dir: str):
+    """Per-source unigram KL divergence vs the corpus distribution;
+    exact integer counts, one token-bucket exchange."""
+    from subgraph_isomorphism_pregel_ray.pipelines.textops import source_kl
+    from subgraph_isomorphism_pregel_ray.sources.tables import read_table
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text", "source"])
+    return source_kl(docs)
+
+
 def _q_source_gram_overlap(sf_dir: str):
     """Cross-source content-leakage matrix: distinct 5-grams shared per
     source pair; hashes-only gram-bucket exchange, source²-sized fold."""
@@ -1831,6 +1841,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "important_parts_value": _q_important_parts_value,
         "bulk_suppliers": _q_bulk_suppliers,
         "succ_triad_motifs": _q_succ_triad_motifs,
+        "source_kl": _q_source_kl,
         "revenue_by_region": _q_revenue_by_region,
         "topk_parts_per_nation": _q_topk_parts,
         "documents_sample": _q_documents_sample,
@@ -3843,6 +3854,24 @@ def oracle_sql() -> dict[str, str]:
             "greatest(0, r.s + (b.value - 60.0)) FROM b "
             "JOIN r ON r.user_id = b.user_id AND b.pos = r.pos + 1) "
             "SELECT event_id, round(s, 6) AS cusum, s > 200.0 AS alarm FROM r"
+        ),
+        "source_kl": (
+            # KL(source ‖ corpus) over unigram counts; ratios formed
+            # c*1.0/n before ln, mirroring the engine's op order
+            "WITH tok AS (SELECT source, md5_number_lower(t) AS h FROM "
+            "(SELECT source, unnest(list_filter(string_split(text, ' '), "
+            "x -> x <> '')) AS t FROM documents)), "
+            "cst AS (SELECT source, h, CAST(count(*) AS BIGINT) c "
+            "FROM tok GROUP BY 1, 2), "
+            "ns AS (SELECT source, CAST(count(*) AS BIGINT) n "
+            "FROM tok GROUP BY 1), "
+            "ct AS (SELECT h, CAST(count(*) AS BIGINT) c FROM tok GROUP BY 1), "
+            "nn AS (SELECT CAST(count(*) AS BIGINT) n FROM tok) "
+            "SELECT source, round(sum((cst.c * 1.0 / ns.n) * "
+            "ln((cst.c * 1.0 / ns.n) / (ct.c * 1.0 / nn.n))), 6) AS kl, "
+            "ns.n AS n_tokens "
+            "FROM cst JOIN ns USING (source) JOIN ct USING (h) CROSS JOIN nn "
+            "GROUP BY source, ns.n"
         ),
         "source_gram_overlap": (
             # distinct 5-grams shared between source pairs (content

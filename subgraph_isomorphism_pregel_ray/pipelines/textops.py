@@ -2538,3 +2538,107 @@ def source_gram_overlap(docs_ds, n: int = 5, num_buckets: int = 32):
             "n_shared": df["n"].to_numpy().astype(np.int64),
         }
     )
+
+
+def source_kl(docs_ds, num_buckets: int = 32, round_to: int = 6):
+    """Domain-shift detector: per corpus source, the KL divergence of its
+    unigram distribution from the corpus-wide distribution →
+    (source, kl, n_tokens). D(Pₛ‖P) = Σ_t (c_st/nₛ)·ln((c_st/nₛ)/(c_t/n))
+    from EXACT integer counts — the standard "how different is this
+    source's language" screen when balancing a training mixture
+    (complements :func:`source_mixture_weights`, which reweights, and
+    lang_id, which classifies).
+
+    Scale shape: pass 1 folds per-source token totals (a source-sized
+    table, broadcast back); pass 2 is ONE token-hash-bucketed exchange of
+    per-batch (source-id, token-hash, count) partials — each bucket owns
+    its tokens' GLOBAL counts, so every KL term is computed exactly once,
+    inside the bucket, and only per-source float partials leave. Every
+    ratio is formed in the same op order as the SQL (c·1.0/n before the
+    ln), so agreement is within one ulp per term (well inside the 1e-9
+    gate; the term SUM order is the only non-mirrored reduction)."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.hashing import md5_lower64
+
+    B = np.int64(num_buckets)
+
+    src_names = sorted(set(docs_ds.select_columns(["source"]).unique("source")))
+    sid = {s: i for i, s in enumerate(src_names)}
+
+    def _counts(batch: pa.Table) -> pa.Table:
+        sids, hs, cs = [], [], []
+        for s, t in zip(batch["source"].to_pylist(), batch["text"].to_pylist()):
+            toks = _space_tokens(t)
+            if not toks:
+                continue
+            h = md5_lower64(np.asarray(toks, dtype=object))
+            uh, cnt = np.unique(h, return_counts=True)
+            sids.append(np.full(len(uh), sid[s], np.int64))
+            hs.append(uh.view(np.int64))
+            cs.append(cnt.astype(np.int64))
+        if not sids:
+            return pa.table(
+                {"sid": np.array([], np.int64), "h": np.array([], np.int64),
+                 "c": np.array([], np.int64), "b": np.array([], np.int32)}
+            )
+        h = np.concatenate(hs)
+        return pa.table(
+            {
+                "sid": np.concatenate(sids),
+                "h": h,
+                "c": np.concatenate(cs),
+                "b": (h.view(np.uint64) % np.uint64(B)).astype(np.int32),
+            }
+        )
+
+    counted = docs_ds.map_batches(_counts, batch_format="pyarrow").materialize()
+
+    # pass 1: per-source token totals (source-sized — broadcast back)
+    tot = (
+        counted.groupby("sid").aggregate(Sum("c", alias_name="n")).to_pandas()
+    )
+    ns = np.zeros(len(src_names), np.int64)
+    ns[tot["sid"].to_numpy()] = tot["n"].to_numpy()
+    n_all = float(int(ns.sum()))
+    ns_f = ns.astype(np.float64)
+
+    def _kl(g: pa.Table) -> pa.Table:
+        s = g["sid"].to_numpy()
+        h = g["h"].to_numpy()
+        c = g["c"].to_numpy()
+        # fold duplicate (sid, h) partials from different batches
+        order = np.lexsort((s, h))
+        s, h, c = s[order], h[order], c[order]
+        start = np.ones(len(h), bool)
+        start[1:] = (h[1:] != h[:-1]) | (s[1:] != s[:-1])
+        idx = np.nonzero(start)[0]
+        s, h, c = s[start], h[start], np.add.reduceat(c, idx)
+        # global token counts (bucket owns all rows of its tokens)
+        uh, hinv = np.unique(h, return_inverse=True)
+        ct = np.zeros(len(uh), np.int64)
+        np.add.at(ct, hinv, c)
+        p_s = c * 1.0 / ns_f[s]
+        p_t = ct[hinv] * 1.0 / n_all
+        term = p_s * np.log(p_s / p_t)
+        kl = np.zeros(len(src_names), np.float64)
+        np.add.at(kl, s, term)
+        present = np.unique(s)  # keep exact-zero partials (p_s ≡ p_t)
+        return pa.table({"sid": present, "kl": kl[present]})
+
+    parts = (
+        counted.groupby("b").map_groups(_kl, batch_format="pyarrow")
+        .groupby("sid").aggregate(Sum("kl", alias_name="kl"))
+        .to_pandas().sort_values("sid")
+    )
+    sids = parts["sid"].to_numpy().astype(np.int64)
+    names = np.asarray(src_names, dtype=object)
+    from ..functions.rounding import round_half_away
+
+    return pa.table(
+        {
+            "source": pa.array(list(names[sids]), pa.string()),
+            "kl": round_half_away(parts["kl"].to_numpy(), round_to),
+            "n_tokens": ns[sids],
+        }
+    )

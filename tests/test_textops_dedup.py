@@ -1327,3 +1327,46 @@ def test_source_gram_overlap_counts_distinct_shared_grams(ray_session):
     assert got.loc[("srcA", "srcB")] == 1
     assert ("srcA", "srcC") not in got.index
     assert ("srcB", "srcC") not in got.index
+
+
+def test_source_kl_scalar_replay_and_zero(ray_session):
+    """KL equals the scalar replay; a source with the corpus distribution
+    scores ~0 and still appears in the output."""
+    import math
+
+    import ray.data as rd
+
+    from subgraph_isomorphism_pregel_ray.functions.rounding import round_half_away
+    from subgraph_isomorphism_pregel_ray.pipelines.textops import source_kl
+
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(4), pa.int64()),
+                "text": pa.array(
+                    ["a a b", "a a b", "a b b", "b b a"]  # srcX skews to b
+                ),
+                "source": pa.array(["same", "same", "skew", "skew"]),
+            }
+        )
+    )
+    got = source_kl(docs, num_buckets=4).to_pandas().set_index("source")
+    # scalar replay
+    texts = {"same": "a a b a a b".split(), "skew": "a b b b b a".split()}
+    corpus = [t for v in texts.values() for t in v]
+    n = len(corpus)
+    import collections
+
+    ct = collections.Counter(corpus)
+    for s, toks in texts.items():
+        cs = collections.Counter(toks)
+        nsl = len(toks)
+        kl = sum(
+            (c * 1.0 / nsl) * math.log((c * 1.0 / nsl) / (ct[t] * 1.0 / n))
+            for t, c in cs.items()
+        )
+        assert got.loc[s, "kl"] == round_half_away(np.array([kl]), 6)[0]
+        assert got.loc[s, "n_tokens"] == nsl
+    # both sources present even when a KL lands at exactly 0
+    assert set(got.index) == {"same", "skew"}
+    assert got.loc["skew", "kl"] > 0
