@@ -1090,6 +1090,14 @@ def _q_succ_triad_motifs(sf_dir: str):
     return succ_triad_motifs(sf_dir)
 
 
+def _q_basket_lift(sf_dir: str):
+    """Apriori 2-itemset lift per co-purchased part pair; pair machine +
+    two-hop basket-count attach, one rounded division."""
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import basket_lift
+
+    return basket_lift(sf_dir)
+
+
 def _q_duplicate_ngram_fraction(sf_dir: str):
     """FineWeb-style dedup-health signal: per doc, share of its distinct
     word 5-grams occurring in ≥2 docs corpus-wide; hashes-only exchange,
@@ -1842,6 +1850,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bulk_suppliers": _q_bulk_suppliers,
         "succ_triad_motifs": _q_succ_triad_motifs,
         "source_kl": _q_source_kl,
+        "basket_lift": _q_basket_lift,
         "revenue_by_region": _q_revenue_by_region,
         "topk_parts_per_nation": _q_topk_parts,
         "documents_sample": _q_documents_sample,
@@ -3854,6 +3863,22 @@ def oracle_sql() -> dict[str, str]:
             "greatest(0, r.s + (b.value - 60.0)) FROM b "
             "JOIN r ON r.user_id = b.user_id AND b.pos = r.pos + 1) "
             "SELECT event_id, round(s, 6) AS cusum, s > 200.0 AS alarm FROM r"
+        ),
+        "basket_lift": (
+            # Apriori 2-itemset lift: n_ab·N / (n_a·n_b) over distinct
+            # baskets; doubles formed in the engine's op order
+            "WITH po AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p "
+            "FROM lineitem), "
+            "np AS (SELECT p, CAST(count(*) AS BIGINT) n FROM po GROUP BY 1), "
+            "nn AS (SELECT CAST(count(*) AS BIGINT) n FROM orders), "
+            "pr AS (SELECT a.p pa, b.p pb, CAST(count(*) AS BIGINT) nab "
+            "FROM po a JOIN po b ON a.o = b.o AND a.p < b.p "
+            "GROUP BY 1, 2 HAVING count(*) >= 2) "
+            "SELECT pa AS part_a, pb AS part_b, nab AS n_both, "
+            "round(CAST(nab AS DOUBLE) * CAST(nn.n AS DOUBLE) / "
+            "(CAST(na.n AS DOUBLE) * CAST(nb.n AS DOUBLE)), 6) AS lift "
+            "FROM pr JOIN np na ON na.p = pa JOIN np nb ON nb.p = pb "
+            "CROSS JOIN nn"
         ),
         "source_kl": (
             # KL(source ‖ corpus) over unigram counts; ratios formed

@@ -217,7 +217,8 @@ def copurchase_edges(sf_dir: str, num_buckets: int | None = None, min_orders: in
         okm = np.repeat(ok_s, cpe)[m]
         o2 = np.lexsort((okm, key))
         ks, os_ = key[o2], okm[o2]
-        first = np.concatenate([[True], (ks[1:] != ks[:-1]) | (os_[1:] != os_[:-1])])
+        first = np.ones(len(ks), bool)  # len-0-safe (a bucket can have no pairs)
+        first[1:] = (ks[1:] != ks[:-1]) | (os_[1:] != os_[:-1])
         uk, c = np.unique(ks[first], return_counts=True)
         return pa.table({"k": uk, "c": c.astype(np.int64)})
 
@@ -301,7 +302,8 @@ def _copurchase_pair_counts(sf_dir: str, num_buckets: int | None = None):
         okm = np.repeat(ok_s, cpe)[m]
         o2 = np.lexsort((okm, key))
         ks, os_ = key[o2], okm[o2]
-        first = np.concatenate([[True], (ks[1:] != ks[:-1]) | (os_[1:] != os_[:-1])])
+        first = np.ones(len(ks), bool)  # len-0-safe (a bucket can have no pairs)
+        first[1:] = (ks[1:] != ks[:-1]) | (os_[1:] != os_[:-1])
         uk, c = np.unique(ks[first], return_counts=True)
         return pa.table({"k": uk, "c": c.astype(np.int64)})
 
@@ -5389,4 +5391,108 @@ def succ_triad_motifs(sf_dir: str, max_qty: float = 25.0, num_buckets: int = 32)
             "n_cyclic": np.array([int(closed["cyc"].sum()) // 3], np.int64),
             "n_transitive": np.array([int(closed["trans"].sum())], np.int64),
         }
+    )
+
+
+def basket_lift(sf_dir: str, min_both: int = 2, num_buckets: int = 32):
+    """Market-basket association strength (the Apriori 2-itemset stage,
+    Agrawal & Srikant VLDB'94): for every part pair co-occurring in ≥
+    ``min_both`` orders, lift = P(ab)/(P(a)·P(b)) = n_ab·N / (n_a·n_b) →
+    (part_a, part_b, n_both, lift). Lift > 1 = genuine affinity, < 1 =
+    substitution — the recommender-bootstrap signal over any basket log.
+
+    Scale shape: pair counts ride the existing whole-order pair machine
+    (:func:`copurchase_weights`); per-part basket counts fold from
+    distinct (order, part) rows; the two count attachments are TWO
+    bucketed union-joins re-keyed part_a → part_b (ints only — same
+    two-hop norm attach as the TF-IDF all-pairs engine); N comes from the
+    orders table's metadata. ONE rounded double expression at the end,
+    op-order-mirrored by the SQL."""
+    import pyarrow.parquet as pq
+
+    from ..functions.rounding import round_half_away
+    from ray.data.aggregate import Sum
+
+    B = np.int64(num_buckets)
+    N = float(pq.read_metadata(f"{sf_dir}/orders.parquet").num_rows)
+
+    pairs = copurchase_weights(sf_dir, num_buckets=num_buckets)
+
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+
+    def _po(t: pa.Table) -> pa.Table:
+        # ship RAW packed (order, part) keys bucketed by part — the global
+        # distinct happens in the part-owning bucket (cross-batch dupes of
+        # an order's lines would otherwise double-count n_a)
+        o = t["l_orderkey"].to_numpy().astype(np.int64)
+        p = t["l_partkey"].to_numpy().astype(np.int64)
+        if len(o) and (int(o.max()) >= (1 << 41) or int(p.max()) >= (1 << 22)):
+            raise ValueError("basket_lift: key exceeds the 41/22-bit pack")
+        key = np.unique(o << np.int64(22) | p)
+        p = key & np.int64((1 << 22) - 1)
+        return pa.table(
+            {"ka": p, "kb": np.full(len(p), -1, np.int64),
+             "n": key, "na": np.zeros(len(p), np.int64),
+             "b2": (p % B).astype(np.int32)}
+        )
+
+    def _pairs_in(t: pa.Table) -> pa.Table:
+        a = t["src"].to_numpy().astype(np.int64)
+        bb = t["dst"].to_numpy().astype(np.int64)
+        n = t["n_orders"].to_numpy().astype(np.int64)
+        keep = n >= min_both
+        a, bb, n = a[keep], bb[keep], n[keep]
+        return pa.table(
+            {"ka": a, "kb": bb, "n": n, "na": np.zeros(len(a), np.int64),
+             "b2": (a % B).astype(np.int32)}
+        )
+
+    def _attach_na(g: pa.Table) -> pa.Table:
+        ka = g["ka"].to_numpy()
+        kb = g["kb"].to_numpy()
+        n = g["n"].to_numpy()
+        dim = kb == -1
+        # global distinct of the raw (order, part) keys, then count per part
+        pkey = np.unique(n[dim])
+        dpart = pkey & np.int64((1 << 22) - 1)
+        dk, cnt = np.unique(dpart, return_counts=True)
+        cnt = cnt.astype(np.int64)
+        pa_, pb_, pn_ = ka[~dim], kb[~dim], n[~dim]
+        na = cnt[np.searchsorted(dk, pa_)] if len(pa_) else np.array([], np.int64)
+        ka_out = np.concatenate([dk, pb_])      # re-key pairs by part_b
+        kb_out = np.concatenate([np.full(len(dk), -1, np.int64), pa_])
+        n_out = np.concatenate([cnt, pn_])
+        na_out = np.concatenate([np.zeros(len(dk), np.int64), na])
+        return pa.table(
+            {"ka": ka_out, "kb": kb_out, "n": n_out, "na": na_out,
+             "b2": (ka_out % B).astype(np.int32)}
+        )
+
+    def _attach_nb(g: pa.Table) -> pa.Table:
+        ka = g["ka"].to_numpy()
+        kb = g["kb"].to_numpy()
+        n = g["n"].to_numpy()
+        na = g["na"].to_numpy()
+        dim = kb == -1
+        dk, dinv = np.unique(ka[dim], return_inverse=True)
+        cnt = np.zeros(len(dk), np.int64)
+        np.add.at(cnt, dinv, n[dim])
+        pb_, pa_, pn_, pna = ka[~dim], kb[~dim], n[~dim], na[~dim]
+        nb = cnt[np.searchsorted(dk, pb_)] if len(pb_) else np.array([], np.int64)
+        lift = round_half_away(
+            pn_.astype(np.float64) * N
+            / (pna.astype(np.float64) * nb.astype(np.float64)),
+            6,
+        )
+        o = np.lexsort((pb_, pa_))
+        return pa.table(
+            {"part_a": pa_[o], "part_b": pb_[o], "n_both": pn_[o],
+             "lift": lift[o]}
+        )
+
+    return (
+        pairs.map_batches(_pairs_in, batch_format="pyarrow")
+        .union(li.map_batches(_po, batch_format="pyarrow"))
+        .groupby("b2").map_groups(_attach_na, batch_format="pyarrow")
+        .groupby("b2").map_groups(_attach_nb, batch_format="pyarrow")
     )

@@ -1143,3 +1143,29 @@ def test_succ_triad_motifs_cycle_and_transitive(ray_session, tmp_path):
     got = succ_triad_motifs(str(tmp_path), num_buckets=4).to_pandas()
     assert got.iloc[0]["n_cyclic"] == 1
     assert got.iloc[0]["n_transitive"] == 1
+
+
+def test_basket_lift_counts_and_formula(ray_session, tmp_path):
+    # 4 orders: {1,2} twice, {1} once, {2} once -> n_12=2, n_1=3, n_2=3,
+    # N=4 -> lift = 2*4/(3*3) = 8/9; duplicate lines must not inflate
+    _write(
+        tmp_path,
+        "lineitem",
+        {
+            "l_orderkey": pa.array([1, 1, 1, 2, 2, 3, 4], pa.int64()),
+            "l_partkey": pa.array([1, 2, 2, 1, 2, 1, 2], pa.int64()),
+        },
+    )
+    _write(
+        tmp_path,
+        "orders",
+        {"o_orderkey": pa.array([1, 2, 3, 4], pa.int64())},
+    )
+    from subgraph_isomorphism_pregel_ray.functions.rounding import round_half_away
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import basket_lift
+
+    got = basket_lift(str(tmp_path), num_buckets=4).to_pandas()
+    assert len(got) == 1
+    row = got.iloc[0]
+    assert (row["part_a"], row["part_b"], row["n_both"]) == (1, 2, 2)
+    assert row["lift"] == round_half_away(np.array([2 * 4.0 / (3.0 * 3.0)]), 6)[0]
