@@ -1098,6 +1098,16 @@ def _q_basket_lift(sf_dir: str):
     return basket_lift(sf_dir)
 
 
+def _q_knn_label_vote(sf_dir: str):
+    """Leave-one-out k-NN majority-vote classifier over embeddings;
+    broadcast matrix + per-batch top-k, deterministic vote."""
+    from subgraph_isomorphism_pregel_ray.pipelines.similarity import knn_label_vote
+    from subgraph_isomorphism_pregel_ray.sources.tables import read_table
+
+    emb = read_table(sf_dir, "embeddings")
+    return knn_label_vote(emb)
+
+
 def _q_duplicate_ngram_fraction(sf_dir: str):
     """FineWeb-style dedup-health signal: per doc, share of its distinct
     word 5-grams occurring in ≥2 docs corpus-wide; hashes-only exchange,
@@ -1851,6 +1861,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "succ_triad_motifs": _q_succ_triad_motifs,
         "source_kl": _q_source_kl,
         "basket_lift": _q_basket_lift,
+        "knn_label_vote": _q_knn_label_vote,
         "revenue_by_region": _q_revenue_by_region,
         "topk_parts_per_nation": _q_topk_parts,
         "documents_sample": _q_documents_sample,
@@ -3863,6 +3874,25 @@ def oracle_sql() -> dict[str, str]:
             "greatest(0, r.s + (b.value - 60.0)) FROM b "
             "JOIN r ON r.user_id = b.user_id AND b.pos = r.pos + 1) "
             "SELECT event_id, round(s, 6) AS cusum, s > 200.0 AS alarm FROM r"
+        ),
+        "knn_label_vote": (
+            # Cover–Hart leave-one-out k-NN vote on knn_graph's
+            # deterministic ranking; vote tie → min label
+            "WITH s AS (SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id, "
+            "round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+            "CAST(b.embedding AS DOUBLE[])), 6) AS cos "
+            "FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id), "
+            "r AS (SELECT *, row_number() OVER (PARTITION BY vec_id "
+            "ORDER BY cos DESC, nbr_id) AS rank FROM s), "
+            "v AS (SELECT r.vec_id, e.label, count(*) AS c FROM r "
+            "JOIN embeddings e ON e.vec_id = r.nbr_id "
+            "WHERE r.rank <= 5 GROUP BY 1, 2), "
+            "w AS (SELECT vec_id, label, row_number() OVER "
+            "(PARTITION BY vec_id ORDER BY c DESC, label) AS rn FROM v) "
+            "SELECT w.vec_id, CAST(w.label AS BIGINT) AS pred_label, "
+            "CAST(e.label AS BIGINT) AS true_label, "
+            "w.label = e.label AS correct "
+            "FROM w JOIN embeddings e ON e.vec_id = w.vec_id WHERE rn = 1"
         ),
         "basket_lift": (
             # Apriori 2-itemset lift: n_ab·N / (n_a·n_b) over distinct

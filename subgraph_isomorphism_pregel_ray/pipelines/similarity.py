@@ -548,3 +548,79 @@ def embedding_pca_top(emb_ds, n_components: int = 2, round_to: int = 6):
     return pd.DataFrame(
         rows, columns=["component", "dim", "weight", "explained_var"]
     ).astype({"component": np.int64, "dim": np.int64})
+
+
+@_ray.remote
+def _assemble_matrix_labels(*blocks):
+    """Like :func:`_assemble_matrix` but also carries the label column —
+    the broadcast side of the k-NN classifier."""
+    import pandas as pd
+
+    df = pd.concat([b.to_pandas() for b in blocks], ignore_index=True)
+    ids = df["vec_id"].to_numpy().astype(np.int64)
+    labels = df["label"].to_numpy().astype(np.int64)
+    M = _norm_rows(np.stack(df["embedding"].to_numpy()).astype(np.float64))
+    return ids, labels, M
+
+
+def knn_label_vote(emb_ds, k: int = 5):
+    """k-NN majority-vote classifier over the embedding table (Cover &
+    Hart 1967; leave-one-out form): each vector is classified by the
+    majority label of its ``k`` nearest neighbors (rounded-cosine rank,
+    nbr_id tiebreak — :func:`knn_graph`'s deterministic ordering; vote
+    ties → min label) → (vec_id, pred_label, true_label, correct). The
+    standard embedding-quality probe: high leave-one-out accuracy =
+    labels are recoverable from geometry.
+
+    Scale shape: identical to :func:`knn_graph` — the normalized corpus
+    matrix (+ labels) broadcast once, per-batch matmul + exact top-k, no
+    driver fold; the vote is O(k) per row inside the task."""
+    import ray as _ray
+
+    ref = _assemble_matrix_labels.remote(*emb_ds.to_arrow_refs())
+
+    class _Vote:
+        def __init__(self, r):
+            self.ids, self.labels, self.M = _ray.get(r)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            vids = batch["vec_id"].to_numpy().astype(np.int64)
+            if len(vids) == 0:
+                return pa.table(
+                    {
+                        "vec_id": pa.array([], pa.int64()),
+                        "pred_label": pa.array([], pa.int64()),
+                        "true_label": pa.array([], pa.int64()),
+                        "correct": pa.array([], pa.bool_()),
+                    }
+                )
+            B = _norm_rows(
+                np.stack(batch["embedding"].to_pandas().to_numpy()).astype(np.float64)
+            )
+            cos6 = round_half_away(B @ self.M.T, 6)
+            true_lab = batch["label"].to_numpy().astype(np.int64)
+            preds = np.empty(len(vids), np.int64)
+            for i, vid in enumerate(vids):
+                c = cos6[i]
+                mask = self.ids != vid
+                idx = np.nonzero(mask)[0]
+                order = np.lexsort((self.ids[idx], -c[idx]))[:k]
+                nl = self.labels[idx[order]]
+                ul, cnt = np.unique(nl, return_counts=True)
+                preds[i] = ul[np.lexsort((ul, -cnt))[0]]
+            return pa.table(
+                {
+                    "vec_id": vids,
+                    "pred_label": preds,
+                    "true_label": true_lab,
+                    "correct": preds == true_lab,
+                }
+            )
+
+    return emb_ds.map_batches(
+        _Vote,
+        fn_constructor_args=(ref,),
+        batch_format="pyarrow",
+        batch_size=1024,
+        concurrency=(1, 8),
+    )

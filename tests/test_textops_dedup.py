@@ -1370,3 +1370,33 @@ def test_source_kl_scalar_replay_and_zero(ray_session):
     # both sources present even when a KL lands at exactly 0
     assert set(got.index) == {"same", "skew"}
     assert got.loc["skew", "kl"] > 0
+
+
+def test_knn_label_vote_clusters(ray_session):
+    """Two tight clusters with distinct labels -> perfect leave-one-out
+    accuracy; a deliberately mislabeled point is outvoted."""
+    import ray.data as rd
+
+    from subgraph_isomorphism_pregel_ray.pipelines.similarity import knn_label_vote
+
+    rng = np.random.default_rng(3)
+    a = rng.normal([5, 0, 0], 0.05, size=(10, 3))
+    b = rng.normal([0, 5, 0], 0.05, size=(10, 3))
+    vecs = np.vstack([a, b]).astype(np.float32)
+    labels = np.array([0] * 10 + [1] * 10, np.int32)
+    labels[7] = 1  # mislabeled point inside cluster A
+    emb = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(range(20), pa.int64()),
+                "embedding": pa.array(list(vecs), pa.list_(pa.float32())),
+                "label": pa.array(labels, pa.int32()),
+            }
+        )
+    )
+    got = knn_label_vote(emb, k=5).to_pandas().set_index("vec_id")
+    # the mislabeled point's neighbors all vote 0 -> pred 0, marked wrong
+    assert got.loc[7, "pred_label"] == 0
+    assert not got.loc[7, "correct"]
+    others = got.drop(index=7)
+    assert others["correct"].all()
