@@ -1024,6 +1024,18 @@ def _q_tfidf_cosine_pairs(sf_dir: str):
     return tfidf_cosine_pairs(docs, n_docs)
 
 
+def _q_pii_density_by_source(sf_dir: str):
+    """Per-source PII exposure rollup (emails-first counting, docs-with-
+    PII rate); one linear pass + source-sized groupby."""
+    from subgraph_isomorphism_pregel_ray.pipelines.textops import (
+        pii_density_by_source,
+    )
+    from subgraph_isomorphism_pregel_ray.sources.tables import read_table
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text", "source"])
+    return pii_density_by_source(docs)
+
+
 def _q_source_kl(sf_dir: str):
     """Per-source unigram KL divergence vs the corpus distribution;
     exact integer counts, one token-bucket exchange."""
@@ -1862,6 +1874,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_kl": _q_source_kl,
         "basket_lift": _q_basket_lift,
         "knn_label_vote": _q_knn_label_vote,
+        "pii_density_by_source": _q_pii_density_by_source,
         "revenue_by_region": _q_revenue_by_region,
         "topk_parts_per_nation": _q_topk_parts,
         "documents_sample": _q_documents_sample,
@@ -3874,6 +3887,26 @@ def oracle_sql() -> dict[str, str]:
             "greatest(0, r.s + (b.value - 60.0)) FROM b "
             "JOIN r ON r.user_id = b.user_id AND b.pos = r.pos + 1) "
             "SELECT event_id, round(s, 6) AS cusum, s > 200.0 AS alarm FROM r"
+        ),
+        "pii_density_by_source": (
+            # per-source rollup of redact_pii's counting semantics
+            # (emails replaced first, then IPs counted on the residue)
+            "WITH c AS (SELECT source, "
+            "len(regexp_extract_all(text, "
+            "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS e, "
+            "len(regexp_extract_all(regexp_replace(text, "
+            "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', "
+            "'<EMAIL>', 'g'), "
+            "'[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}')) AS i "
+            "FROM documents) "
+            "SELECT source, CAST(count(*) AS BIGINT) AS n_docs, "
+            "CAST(sum(e) AS BIGINT) AS n_emails, "
+            "CAST(sum(i) AS BIGINT) AS n_ips, "
+            "CAST(sum(CASE WHEN e > 0 OR i > 0 THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS docs_with_pii, "
+            "round(sum(CASE WHEN e > 0 OR i > 0 THEN 1 ELSE 0 END) * 1.0 "
+            "/ count(*), 6) AS pii_rate "
+            "FROM c GROUP BY 1"
         ),
         "knn_label_vote": (
             # Cover–Hart leave-one-out k-NN vote on knn_graph's

@@ -2642,3 +2642,68 @@ def source_kl(docs_ds, num_buckets: int = 32, round_to: int = 6):
             "n_tokens": ns[sids],
         }
     )
+
+
+def pii_density_by_source(docs_ds, round_to: int = 6):
+    """Per-source PII exposure rollup — the go/no-go release metric on
+    top of :func:`redact_pii`'s per-document scrub: → (source, n_docs,
+    n_emails, n_ips, docs_with_pii, pii_rate). A source whose rate spikes
+    gets quarantined before the redaction pass is even run.
+
+    Scale shape: one linear map_batches COUNTING matches only (the
+    redaction rewrite is skipped — counts are what the rollup needs),
+    per-batch partials per source, one source-sized groupby; rate = one
+    int/int division + round-half-away (bit-exact vs SQL). Same
+    re/RE2-compatible patterns as redact_pii (counted e-mails-first so
+    an address's host is never double-counted as an IP)."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.rounding import round_half_away
+
+    def _count(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        srcs = batch["source"].to_pylist()
+        agg: dict[str, list[int]] = {}
+        for s, t in zip(srcs, texts):
+            t2, c_em = _EMAIL_RE.subn("<EMAIL>", t)
+            c_ip = len(_IP_RE.findall(t2))
+            a = agg.setdefault(s, [0, 0, 0, 0])
+            a[0] += 1
+            a[1] += c_em
+            a[2] += c_ip
+            a[3] += 1 if (c_em or c_ip) else 0
+        keys = sorted(agg)
+        return pa.table(
+            {
+                "source": pa.array(keys, pa.string()),
+                "d": pa.array([agg[k][0] for k in keys], pa.int64()),
+                "e": pa.array([agg[k][1] for k in keys], pa.int64()),
+                "i": pa.array([agg[k][2] for k in keys], pa.int64()),
+                "p": pa.array([agg[k][3] for k in keys], pa.int64()),
+            }
+        )
+
+    out = (
+        docs_ds.map_batches(_count, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(
+            Sum("d", alias_name="n_docs"),
+            Sum("e", alias_name="n_emails"),
+            Sum("i", alias_name="n_ips"),
+            Sum("p", alias_name="docs_with_pii"),
+        )
+        .to_pandas()
+        .sort_values("source")
+    )
+    nd = out["n_docs"].to_numpy().astype(np.int64)
+    dp = out["docs_with_pii"].to_numpy().astype(np.int64)
+    return pa.table(
+        {
+            "source": pa.array(out["source"].to_numpy(), pa.string()),
+            "n_docs": nd,
+            "n_emails": out["n_emails"].to_numpy().astype(np.int64),
+            "n_ips": out["n_ips"].to_numpy().astype(np.int64),
+            "docs_with_pii": dp,
+            "pii_rate": round_half_away(dp / nd, round_to),
+        }
+    )

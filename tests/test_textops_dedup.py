@@ -1400,3 +1400,37 @@ def test_knn_label_vote_clusters(ray_session):
     assert not got.loc[7, "correct"]
     others = got.drop(index=7)
     assert others["correct"].all()
+
+
+def test_pii_density_by_source_counts(ray_session):
+    """Email counted before IP (no double-count of the host), rate =
+    docs-with-any-PII / docs."""
+    import ray.data as rd
+
+    from subgraph_isomorphism_pregel_ray.pipelines.textops import (
+        pii_density_by_source,
+    )
+
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(4), pa.int64()),
+                "text": pa.array(
+                    [
+                        "mail me at a@b.com and 1.2.3.4",  # 1 email, 1 ip
+                        "x@y0.12.13.14.org stays one email",  # host NOT an ip
+                        "clean text",
+                        "no pii here either",
+                    ]
+                ),
+                "source": pa.array(["s1", "s1", "s1", "s2"]),
+            }
+        )
+    )
+    got = pii_density_by_source(docs).to_pandas().set_index("source")
+    assert got.loc["s1", "n_emails"] == 2
+    assert got.loc["s1", "n_ips"] == 1
+    assert got.loc["s1", "docs_with_pii"] == 2
+    assert round(got.loc["s1", "pii_rate"], 6) == round(2 / 3, 6)
+    assert got.loc["s2", "docs_with_pii"] == 0
+    assert got.loc["s2", "pii_rate"] == 0.0
