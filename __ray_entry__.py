@@ -1102,6 +1102,14 @@ def _q_succ_triad_motifs(sf_dir: str):
     return succ_triad_motifs(sf_dir)
 
 
+def _q_degree_gini(sf_dir: str):
+    """Gini coefficient of the co-purchase degree distribution via the
+    distributed sort-ordinal machine; exact int64 moments."""
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import degree_gini
+
+    return degree_gini(sf_dir)
+
+
 def _q_basket_lift(sf_dir: str):
     """Apriori 2-itemset lift per co-purchased part pair; pair machine +
     two-hop basket-count attach, one rounded division."""
@@ -1875,6 +1883,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "basket_lift": _q_basket_lift,
         "knn_label_vote": _q_knn_label_vote,
         "pii_density_by_source": _q_pii_density_by_source,
+        "degree_gini": _q_degree_gini,
         "revenue_by_region": _q_revenue_by_region,
         "topk_parts_per_nation": _q_topk_parts,
         "documents_sample": _q_documents_sample,
@@ -3887,6 +3896,21 @@ def oracle_sql() -> dict[str, str]:
             "greatest(0, r.s + (b.value - 60.0)) FROM b "
             "JOIN r ON r.user_id = b.user_id AND b.pos = r.pos + 1) "
             "SELECT event_id, round(s, 6) AS cusum, s > 200.0 AS alarm FROM r"
+        ),
+        "degree_gini": (
+            # Gini over ascending degree ranks; (2·Σi·d)/(n·Σd) − (n+1)/n
+            # with the engine's float op order
+            f"WITH {_ESYM_MAT}, "
+            "deg AS (SELECT src AS vid, CAST(count(*) AS BIGINT) d "
+            "FROM e GROUP BY 1), "
+            "r AS (SELECT d, CAST(row_number() OVER (ORDER BY d, vid) "
+            "AS BIGINT) i FROM deg) "
+            "SELECT CAST(count(*) AS BIGINT) AS n_vertices, "
+            "CAST(sum(d) AS BIGINT) AS sum_degree, "
+            "round((2.0 * CAST(sum(i * d) AS DOUBLE)) / "
+            "(CAST(count(*) AS DOUBLE) * CAST(sum(d) AS DOUBLE)) - "
+            "CAST(count(*) + 1 AS DOUBLE) * 1.0 / "
+            "CAST(count(*) AS DOUBLE), 6) AS gini FROM r"
         ),
         "pii_density_by_source": (
             # per-source rollup of redact_pii's counting semantics

@@ -5496,3 +5496,68 @@ def basket_lift(sf_dir: str, min_both: int = 2, num_buckets: int = 32):
         .groupby("b2").map_groups(_attach_na, batch_format="pyarrow")
         .groupby("b2").map_groups(_attach_nb, batch_format="pyarrow")
     )
+
+
+def degree_gini(sf_dir: str, num_buckets: int | None = None, round_to: int = 6):
+    """Gini coefficient of the co-purchase degree distribution — the
+    one-number inequality summary of a link graph (web graphs run high;
+    a Gini collapse after a pipeline change means the hub structure
+    changed) → one row (n_vertices, sum_degree, gini).
+
+    G = (2·Σᵢ i·dᵢ) / (n·Σd) − (n+1)/n over degrees sorted ascending,
+    rank i 1-based. Rank ties are irrelevant to the sum (equal values
+    commute), but the sort key is (degree, vid) anyway so the ordinal is
+    deterministic end to end.
+
+    Scale shape: degrees fold from the edge stream (per-batch partials +
+    one groupby); the global rank comes from the distributed sort-ordinal
+    machine (``stages/sort.py``, the TeraSort prefix-sum shape — NO
+    driver-side sort); Σ i·dᵢ folds per block as exact int64; ONE float
+    expression at the end, op-order-mirrored by the SQL."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.sort import sort_with_ordinal
+
+    edges = copurchase_edges(sf_dir, num_buckets=num_buckets)
+
+    def _deg_partial(t: pa.Table) -> pa.Table:
+        # copurchase_edges emits each undirected edge once (src < dst):
+        # both endpoints gain a degree
+        both = np.concatenate([t["src"].to_numpy(), t["dst"].to_numpy()])
+        u, c = np.unique(both, return_counts=True)
+        return pa.table({"vid": u, "d": c.astype(np.int64)})
+
+    deg = (
+        edges.map_batches(_deg_partial, batch_format="pyarrow")
+        .groupby("vid")
+        .aggregate(Sum("d", alias_name="d"))
+    )
+    ranked = sort_with_ordinal(deg, ["d", "vid"], ordinal_col="i0")
+
+    def _moments(t: pa.Table) -> pa.Table:
+        d = t["d"].to_numpy().astype(np.int64)
+        i = t["i0"].to_numpy().astype(np.int64) + 1  # 1-based rank
+        return pa.table(
+            {
+                "n": np.array([len(d)], np.int64),
+                "sd": np.array([int(d.sum())], np.int64),
+                "sid": np.array([int((i * d).sum())], np.int64),
+            }
+        )
+
+    m = ranked.map_batches(_moments, batch_format="pyarrow").to_pandas()
+    n = int(m["n"].sum())
+    sd = int(m["sd"].sum())
+    sid = int(m["sid"].sum())
+    from ..functions.rounding import round_half_away
+
+    gini = (2.0 * np.float64(sid)) / (np.float64(n) * np.float64(sd)) - (
+        np.float64(n + 1) * 1.0 / np.float64(n)
+    )
+    return pa.table(
+        {
+            "n_vertices": np.array([n], np.int64),
+            "sum_degree": np.array([sd], np.int64),
+            "gini": round_half_away(np.array([gini]), round_to),
+        }
+    )

@@ -1169,3 +1169,22 @@ def test_basket_lift_counts_and_formula(ray_session, tmp_path):
     row = got.iloc[0]
     assert (row["part_a"], row["part_b"], row["n_both"]) == (1, 2, 2)
     assert row["lift"] == round_half_away(np.array([2 * 4.0 / (3.0 * 3.0)]), 6)[0]
+
+
+def test_degree_gini_uniform_and_skewed(ray_session, tmp_path):
+    # star basket {1,2,3,4} in one order -> K4 clique -> all degrees 3 ->
+    # perfectly equal -> Gini 0
+    _write(
+        tmp_path,
+        "lineitem",
+        {
+            "l_orderkey": pa.array([1, 1, 1, 1], pa.int64()),
+            "l_partkey": pa.array([1, 2, 3, 4], pa.int64()),
+        },
+    )
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import degree_gini
+
+    got = degree_gini(str(tmp_path), num_buckets=4).to_pandas()
+    assert got.iloc[0]["n_vertices"] == 4
+    assert got.iloc[0]["sum_degree"] == 12
+    assert got.iloc[0]["gini"] == 0.0
