@@ -1102,6 +1102,16 @@ def _q_succ_triad_motifs(sf_dir: str):
     return succ_triad_motifs(sf_dir)
 
 
+def _q_avg_neighbor_degree(sf_dir: str):
+    """knn(k) degree-correlation curve, degree-weighted exact-int form;
+    two bucketed attaches over the co-purchase graph."""
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import (
+        avg_neighbor_degree,
+    )
+
+    return avg_neighbor_degree(sf_dir)
+
+
 def _q_degree_gini(sf_dir: str):
     """Gini coefficient of the co-purchase degree distribution via the
     distributed sort-ordinal machine; exact int64 moments."""
@@ -1884,6 +1894,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_label_vote": _q_knn_label_vote,
         "pii_density_by_source": _q_pii_density_by_source,
         "degree_gini": _q_degree_gini,
+        "avg_neighbor_degree": _q_avg_neighbor_degree,
         "revenue_by_region": _q_revenue_by_region,
         "topk_parts_per_nation": _q_topk_parts,
         "documents_sample": _q_documents_sample,
@@ -3896,6 +3907,20 @@ def oracle_sql() -> dict[str, str]:
             "greatest(0, r.s + (b.value - 60.0)) FROM b "
             "JOIN r ON r.user_id = b.user_id AND b.pos = r.pos + 1) "
             "SELECT event_id, round(s, 6) AS cusum, s > 200.0 AS alarm FROM r"
+        ),
+        "avg_neighbor_degree": (
+            # Pastor-Satorras knn(k), degree-weighted exact-int form:
+            # Σ S_v / (k · cnt) — one double division
+            f"WITH {_ESYM_MAT}, "
+            "deg AS (SELECT src AS vid, CAST(count(*) AS BIGINT) d "
+            "FROM e GROUP BY 1), "
+            "s AS (SELECT e.src AS vid, CAST(sum(n.d) AS BIGINT) sd "
+            "FROM e JOIN deg n ON n.vid = e.dst GROUP BY 1) "
+            "SELECT d AS degree, CAST(count(*) AS BIGINT) AS n_vertices, "
+            "round(CAST(sum(sd) AS DOUBLE) / "
+            "(CAST(d AS DOUBLE) * CAST(count(*) AS DOUBLE)), 6) "
+            "AS avg_nbr_degree "
+            "FROM s JOIN deg USING (vid) GROUP BY d"
         ),
         "degree_gini": (
             # Gini over ascending degree ranks; (2·Σi·d)/(n·Σd) − (n+1)/n

@@ -5561,3 +5561,133 @@ def degree_gini(sf_dir: str, num_buckets: int | None = None, round_to: int = 6):
             "gini": round_half_away(np.array([gini]), round_to),
         }
     )
+
+
+def avg_neighbor_degree(sf_dir: str, num_buckets: int | None = None,
+                        round_to: int = 6):
+    """Degree-correlation curve knn(k) (Pastor-Satorras et al. 2001): for
+    every degree class k, the degree-weighted mean neighbor degree of
+    k-degree vertices → (degree, n_vertices, avg_nbr_degree). Rising
+    curve = assortative, falling = disassortative hubs — the structural
+    fingerprint of a web link graph, read alongside the scalar
+    assortativity coefficient.
+
+    knn(k) = Σ_{v:d(v)=k} Σ_{u∈N(v)} d(u) / (k · |{v:d(v)=k}|) — the
+    degree-weighted form keeps BOTH sums exact int64, so the result is
+    ONE double division (bit-exact vs SQL; the per-vertex-ratio variant
+    would sum floats in engine-dependent order).
+
+    Scale shape: degrees fold from the edge stream; ONE neighbor-keyed
+    bucket join attaches d(u) to each directed edge copy and folds
+    Σd(u) per vertex in-bucket; a SECOND vertex-keyed bucket join pairs
+    S_v with d(v); the final fold is per-degree (≤ max-degree rows)."""
+    from ray.data.aggregate import Sum
+
+    edges = copurchase_edges(sf_dir, num_buckets=num_buckets)
+
+    def _deg_partial(t: pa.Table) -> pa.Table:
+        both = np.concatenate([t["src"].to_numpy(), t["dst"].to_numpy()])
+        u, c = np.unique(both, return_counts=True)
+        return pa.table({"vid": u, "d": c.astype(np.int64)})
+
+    deg = (
+        edges.map_batches(_deg_partial, batch_format="pyarrow")
+        .groupby("vid")
+        .aggregate(Sum("d", alias_name="d"))
+        .materialize()
+    )
+    B = np.int64(32)
+
+    def _edge_rows(t: pa.Table) -> pa.Table:
+        s = t["src"].to_numpy().astype(np.int64)
+        d = t["dst"].to_numpy().astype(np.int64)
+        v = np.concatenate([s, d])
+        u = np.concatenate([d, s])
+        return pa.table(
+            {"k": u, "v": v, "d": np.full(len(v), -1, np.int64),
+             "b": (u % B).astype(np.int32)}
+        )
+
+    def _deg_dim(t: pa.Table) -> pa.Table:
+        vid = t["vid"].to_numpy().astype(np.int64)
+        return pa.table(
+            {"k": vid, "v": np.zeros(len(vid), np.int64),
+             "d": t["d"].to_numpy().astype(np.int64),
+             "b": (vid % B).astype(np.int32)}
+        )
+
+    def _attach_nbr_deg(g: pa.Table) -> pa.Table:
+        k = g["k"].to_numpy()
+        v = g["v"].to_numpy()
+        d = g["d"].to_numpy()
+        dim = d >= 0
+        dk = k[dim]
+        order = np.argsort(dk)
+        dk, dd = dk[order], d[dim][order]
+        fk, fv = k[~dim], v[~dim]
+        du = dd[np.searchsorted(dk, fk)] if len(fk) else np.array([], np.int64)
+        uv, vinv = np.unique(fv, return_inverse=True)
+        sd = np.zeros(len(uv), np.int64)
+        np.add.at(sd, vinv, du)
+        return pa.table(
+            {"k": uv, "v": np.zeros(len(uv), np.int64), "d": sd,
+             "b": (uv % B).astype(np.int32), "is_s": np.ones(len(uv), bool)}
+        )
+
+    def _deg_dim2(t: pa.Table) -> pa.Table:
+        vid = t["vid"].to_numpy().astype(np.int64)
+        return pa.table(
+            {"k": vid, "v": np.zeros(len(vid), np.int64),
+             "d": t["d"].to_numpy().astype(np.int64),
+             "b": (vid % B).astype(np.int32),
+             "is_s": np.zeros(len(vid), bool)}
+        )
+
+    def _per_degree(g: pa.Table) -> pa.Table:
+        k = g["k"].to_numpy()
+        d = g["d"].to_numpy()
+        is_s = g["is_s"].to_numpy(zero_copy_only=False)
+        dk = k[~is_s]
+        order = np.argsort(dk)
+        dk, dd = dk[order], d[~is_s][order]
+        # fold per-bucket S_v partials per vertex FIRST (a vertex's
+        # neighbor-sum rows arrive from several stage-1 buckets)
+        fk = k[is_s]
+        uv, uinv = np.unique(fk, return_inverse=True)
+        sv = np.zeros(len(uv), np.int64)
+        np.add.at(sv, uinv, d[is_s])
+        dv = dd[np.searchsorted(dk, uv)] if len(uv) else np.array([], np.int64)
+        ud, dinv = np.unique(dv, return_inverse=True)
+        ssum = np.zeros(len(ud), np.int64)
+        np.add.at(ssum, dinv, sv)
+        cnt = np.bincount(dinv, minlength=len(ud)).astype(np.int64)
+        return pa.table({"degree": ud, "ss": ssum, "cnt": cnt})
+
+    # S_v per vertex (bucket 1), then (S_v, d_v) pairing (bucket 2)
+    sv = (
+        edges.map_batches(_edge_rows, batch_format="pyarrow")
+        .union(deg.map_batches(_deg_dim, batch_format="pyarrow"))
+        .groupby("b").map_groups(_attach_nbr_deg, batch_format="pyarrow")
+    )
+    per_deg = (
+        sv.union(deg.map_batches(_deg_dim2, batch_format="pyarrow"))
+        .groupby("b").map_groups(_per_degree, batch_format="pyarrow")
+        .groupby("degree")
+        .aggregate(Sum("ss", alias_name="ss"), Sum("cnt", alias_name="cnt"))
+        .to_pandas().sort_values("degree")
+    )
+    from ..functions.rounding import round_half_away
+
+    k = per_deg["degree"].to_numpy().astype(np.int64)
+    ss = per_deg["ss"].to_numpy().astype(np.int64)
+    cnt = per_deg["cnt"].to_numpy().astype(np.int64)
+    return pa.table(
+        {
+            "degree": k,
+            "n_vertices": cnt,
+            "avg_nbr_degree": round_half_away(
+                ss.astype(np.float64) / (k.astype(np.float64) * cnt.astype(np.float64)),
+                round_to,
+            ),
+        }
+    )

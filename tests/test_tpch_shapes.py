@@ -1188,3 +1188,26 @@ def test_degree_gini_uniform_and_skewed(ray_session, tmp_path):
     assert got.iloc[0]["n_vertices"] == 4
     assert got.iloc[0]["sum_degree"] == 12
     assert got.iloc[0]["gini"] == 0.0
+
+
+def test_avg_neighbor_degree_path_graph(ray_session, tmp_path):
+    # path 1-2-3 (orders {1,2} and {2,3}): degrees d1=d3=1, d2=2
+    # knn(1): S_1+S_3 = 2+2 = 4, cnt 2 -> 4/(1*2) = 2.0
+    # knn(2): S_2 = 1+1 = 2, cnt 1 -> 2/(2*1) = 1.0
+    _write(
+        tmp_path,
+        "lineitem",
+        {
+            "l_orderkey": pa.array([1, 1, 2, 2], pa.int64()),
+            "l_partkey": pa.array([1, 2, 2, 3], pa.int64()),
+        },
+    )
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import (
+        avg_neighbor_degree,
+    )
+
+    got = avg_neighbor_degree(str(tmp_path)).to_pandas().set_index("degree")
+    assert got.loc[1, "n_vertices"] == 2
+    assert got.loc[1, "avg_nbr_degree"] == 2.0
+    assert got.loc[2, "n_vertices"] == 1
+    assert got.loc[2, "avg_nbr_degree"] == 1.0
