@@ -1112,6 +1112,16 @@ def _q_avg_neighbor_degree(sf_dir: str):
     return avg_neighbor_degree(sf_dir)
 
 
+def _q_revenue_autocorr(sf_dir: str):
+    """Lag-1 Pearson autocorrelation of daily revenue; day-level moments
+    folded exactly (Python bigints vs SQL HUGEINT)."""
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import (
+        revenue_autocorr,
+    )
+
+    return revenue_autocorr(sf_dir)
+
+
 def _q_degree_gini(sf_dir: str):
     """Gini coefficient of the co-purchase degree distribution via the
     distributed sort-ordinal machine; exact int64 moments."""
@@ -1895,6 +1905,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_density_by_source": _q_pii_density_by_source,
         "degree_gini": _q_degree_gini,
         "avg_neighbor_degree": _q_avg_neighbor_degree,
+        "revenue_autocorr": _q_revenue_autocorr,
         "revenue_by_region": _q_revenue_by_region,
         "topk_parts_per_nation": _q_topk_parts,
         "documents_sample": _q_documents_sample,
@@ -3907,6 +3918,19 @@ def oracle_sql() -> dict[str, str]:
             "greatest(0, r.s + (b.value - 60.0)) FROM b "
             "JOIN r ON r.user_id = b.user_id AND b.pos = r.pos + 1) "
             "SELECT event_id, round(s, 6) AS cusum, s > 200.0 AS alarm FROM r"
+        ),
+        "revenue_autocorr": (
+            # lag-1 Pearson r over consecutive-day revenue pairs; HUGEINT
+            # moments, two sqrts + one division mirroring the engine
+            "WITH d AS (SELECT CAST(l_shipdate AS DATE) dd, "
+            "sum(CAST(round(l_extendedprice * 100) AS BIGINT)) c "
+            "FROM lineitem GROUP BY 1), "
+            "p AS (SELECT a.c x, b.c y FROM d a JOIN d b ON b.dd = a.dd + 1) "
+            "SELECT CAST(count(*) AS BIGINT) AS n_pairs, "
+            "round(CAST(count(*) * sum(x * y) - sum(x) * sum(y) AS DOUBLE) / "
+            "(sqrt(CAST(count(*) * sum(x * x) - sum(x) * sum(x) AS DOUBLE)) * "
+            "sqrt(CAST(count(*) * sum(y * y) - sum(y) * sum(y) AS DOUBLE))), 6) "
+            "AS autocorr FROM p"
         ),
         "avg_neighbor_degree": (
             # Pastor-Satorras knn(k), degree-weighted exact-int form:

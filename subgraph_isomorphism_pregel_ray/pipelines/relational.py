@@ -5691,3 +5691,62 @@ def avg_neighbor_degree(sf_dir: str, num_buckets: int | None = None,
             ),
         }
     )
+
+
+def revenue_autocorr(sf_dir: str, round_to: int = 6):
+    """Lag-1 Pearson autocorrelation of the DAILY revenue series — the
+    one-number "is revenue momentum real" check behind
+    :func:`forecast_revenue`: pairs are consecutive calendar days (d,
+    d+1) that BOTH have revenue → one row (n_pairs, autocorr).
+
+    r = (n·Σxy − Σx·Σy) / (√(n·Σx² − (Σx)²) · √(n·Σy² − (Σy)²)) over
+    exact integer cents. Scale shape: the fact stream folds per-day cent
+    partials (per-batch pre-agg + ONE day groupby); the day series is
+    calendar-sized (thousands of rows at ANY corpus scale), so the
+    moment fold runs driver-side in arbitrary-precision Python ints —
+    overflow-free where a distributed int64 fold would clip — and the
+    SQL mirrors it in HUGEINT. Two sqrts + one division at the end."""
+    from ray.data.aggregate import Sum
+
+    li = read_table(sf_dir, "lineitem", columns=["l_shipdate", "l_extendedprice"])
+
+    def _daily(t: pa.Table) -> pa.Table:
+        day = t["l_shipdate"].to_numpy().astype("datetime64[D]").astype(np.int64)
+        cents = np.round(t["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        u, inv = np.unique(day, return_inverse=True)
+        s = np.zeros(len(u), np.int64)
+        np.add.at(s, inv, cents)
+        return pa.table({"day": u, "c": s})
+
+    daily = (
+        li.map_batches(_daily, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()
+        .sort_values("day")
+    )
+    day = daily["day"].to_numpy().astype(np.int64)
+    c = daily["c"].to_numpy().astype(np.int64)
+    nxt = dict(zip(day.tolist(), c.tolist()))
+    xs, ys = [], []
+    for d, v in zip(day.tolist(), c.tolist()):
+        if d + 1 in nxt:
+            xs.append(v)
+            ys.append(nxt[d + 1])
+    n = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxx = sum(v * v for v in xs)
+    syy = sum(v * v for v in ys)
+    sxy = sum(a * b for a, b in zip(xs, ys))
+    from ..functions.rounding import round_half_away
+
+    num = np.float64(n * sxy - sx * sy)
+    den = np.sqrt(np.float64(n * sxx - sx * sx)) * np.sqrt(
+        np.float64(n * syy - sy * sy)
+    )
+    return pa.table(
+        {
+            "n_pairs": np.array([n], np.int64),
+            "autocorr": round_half_away(np.array([num / den]), round_to),
+        }
+    )

@@ -1211,3 +1211,25 @@ def test_avg_neighbor_degree_path_graph(ray_session, tmp_path):
     assert got.loc[1, "avg_nbr_degree"] == 2.0
     assert got.loc[2, "n_vertices"] == 1
     assert got.loc[2, "avg_nbr_degree"] == 1.0
+
+
+def test_revenue_autocorr_alternating_series(ray_session, tmp_path):
+    # daily cents alternate 100, 200, 100, 200 on consecutive days ->
+    # perfect negative lag-1 correlation (r = -1); day 10 is isolated
+    # (gap before it) so it only contributes as a pair-start with day 11
+    days = ["1995-01-01", "1995-01-02", "1995-01-03", "1995-01-04"]
+    _write(
+        tmp_path,
+        "lineitem",
+        {
+            "l_shipdate": pa.array(np.array(days, "datetime64[us]")),
+            "l_extendedprice": pa.array([1.0, 2.0, 1.0, 2.0]),
+        },
+    )
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import (
+        revenue_autocorr,
+    )
+
+    got = revenue_autocorr(str(tmp_path)).to_pandas()
+    assert got.iloc[0]["n_pairs"] == 3
+    assert got.iloc[0]["autocorr"] == -1.0
