@@ -1024,6 +1024,16 @@ def _q_tfidf_cosine_pairs(sf_dir: str):
     return tfidf_cosine_pairs(docs, n_docs)
 
 
+def _q_ngram_novelty(sf_dir: str):
+    """Per-doc first-occurrence novelty over 5-grams (min-doc_id owner);
+    one gram-bucket exchange, per-doc fold."""
+    from subgraph_isomorphism_pregel_ray.pipelines.textops import ngram_novelty
+    from subgraph_isomorphism_pregel_ray.sources.tables import read_table
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return ngram_novelty(docs)
+
+
 def _q_pii_density_by_source(sf_dir: str):
     """Per-source PII exposure rollup (emails-first counting, docs-with-
     PII rate); one linear pass + source-sized groupby."""
@@ -1905,6 +1915,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_density_by_source": _q_pii_density_by_source,
         "degree_gini": _q_degree_gini,
         "avg_neighbor_degree": _q_avg_neighbor_degree,
+        "ngram_novelty": _q_ngram_novelty,
         "revenue_autocorr": _q_revenue_autocorr,
         "revenue_by_region": _q_revenue_by_region,
         "topk_parts_per_nation": _q_topk_parts,
@@ -3918,6 +3929,25 @@ def oracle_sql() -> dict[str, str]:
             "greatest(0, r.s + (b.value - 60.0)) FROM b "
             "JOIN r ON r.user_id = b.user_id AND b.pos = r.pos + 1) "
             "SELECT event_id, round(s, 6) AS cusum, s > 200.0 AS alarm FROM r"
+        ),
+        "ngram_novelty": (
+            # novelty = grams whose min owner doc_id is this doc / grams
+            "WITH base AS (SELECT doc_id, "
+            "list_filter(string_split(text, ' '), x -> x <> '') AS toks "
+            "FROM documents), "
+            "g AS (SELECT doc_id, "
+            "md5_number_lower(array_to_string(list_slice(toks, i, i + 4), ' ')) AS h "
+            "FROM (SELECT doc_id, toks, "
+            "unnest(generate_series(1, len(toks) - 4)) AS i "
+            "FROM base WHERE len(toks) >= 5)), "
+            "dg AS (SELECT DISTINCT doc_id, h FROM g), "
+            "mn AS (SELECT h, min(doc_id) AS first FROM dg GROUP BY 1) "
+            "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams, "
+            "CAST(sum(CASE WHEN first = doc_id THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_novel, "
+            "round(sum(CASE WHEN first = doc_id THEN 1 ELSE 0 END) * 1.0 "
+            "/ count(*), 6) AS novelty "
+            "FROM dg JOIN mn USING (h) GROUP BY 1"
         ),
         "revenue_autocorr": (
             # lag-1 Pearson r over consecutive-day revenue pairs; HUGEINT

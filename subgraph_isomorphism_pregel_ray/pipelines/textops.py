@@ -2707,3 +2707,80 @@ def pii_density_by_source(docs_ds, round_to: int = 6):
             "pii_rate": round_half_away(dp / nd, round_to),
         }
     )
+
+
+def ngram_novelty(docs_ds, n: int = 5, num_buckets: int = 32,
+                  round_to: int = 6):
+    """Per-document content novelty in corpus order — the "is this doc
+    adding anything" curation signal (the mirror of
+    :func:`duplicate_ngram_fraction`'s corpus-health view): a doc's
+    DISTINCT word n-gram is NOVEL iff no lower-doc_id document contains
+    it → (doc_id, n_grams, n_novel, novelty). Streams ordered corpora
+    (e.g. by crawl date) to find where marginal novelty collapses.
+
+    Scale shape: identical to duplicate_ngram_fraction — (gram-hash,
+    doc_id) rows, ONE gram-bucket groupby that computes each gram's MIN
+    doc_id and folds per-doc (total, novel) partials in-bucket, then a
+    doc_id groupby sums. One int/int division + round-half-away."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.hashing import md5_lower64
+    from ..functions.rounding import round_half_away
+
+    B = np.int64(num_buckets)
+
+    def _grams(batch: pa.Table) -> pa.Table:
+        ids, hs = [], []
+        for d, t in zip(batch["doc_id"].to_numpy(), batch["text"].to_pylist()):
+            g = _word_ngrams_unique(_space_tokens(t), n)
+            if len(g):
+                ids.append(np.full(len(g), d, np.int64))
+                hs.append(md5_lower64(g))
+        if not ids:
+            return pa.table(
+                {"h": np.array([], np.int64), "doc_id": np.array([], np.int64),
+                 "b": np.array([], np.int32)}
+            )
+        h = np.concatenate(hs)
+        return pa.table(
+            {
+                "h": h.view(np.int64),
+                "doc_id": np.concatenate(ids),
+                "b": (h % np.uint64(B)).astype(np.int32),
+            }
+        )
+
+    def _mark(g: pa.Table) -> pa.Table:
+        h = g["h"].to_numpy()
+        d = g["doc_id"].to_numpy()
+        uh, hinv = np.unique(h, return_inverse=True)
+        first = np.full(len(uh), np.iinfo(np.int64).max, np.int64)
+        np.minimum.at(first, hinv, d)
+        novel = first[hinv] == d
+        dk, dinv = np.unique(d, return_inverse=True)
+        tot = np.bincount(dinv, minlength=len(dk)).astype(np.int64)
+        nv = np.zeros(len(dk), np.int64)
+        np.add.at(nv, dinv, novel.astype(np.int64))
+        return pa.table({"doc_id": dk, "t": tot, "nv": nv})
+
+    per_doc = (
+        docs_ds.map_batches(_grams, batch_format="pyarrow")
+        .groupby("b")
+        .map_groups(_mark, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(Sum("t", alias_name="n_grams"), Sum("nv", alias_name="n_novel"))
+    )
+
+    def _frac(t: pa.Table) -> pa.Table:
+        tot = t["n_grams"].to_numpy().astype(np.int64)
+        nv = t["n_novel"].to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].to_numpy().astype(np.int64),
+                "n_grams": tot,
+                "n_novel": nv,
+                "novelty": round_half_away(nv / tot, round_to),
+            }
+        )
+
+    return per_doc.map_batches(_frac, batch_format="pyarrow")

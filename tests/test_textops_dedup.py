@@ -1434,3 +1434,31 @@ def test_pii_density_by_source_counts(ray_session):
     assert round(got.loc["s1", "pii_rate"], 6) == round(2 / 3, 6)
     assert got.loc["s2", "docs_with_pii"] == 0
     assert got.loc["s2", "pii_rate"] == 0.0
+
+
+def test_ngram_novelty_first_occurrence_wins(ray_session):
+    """The lowest doc_id owns a shared gram; later copies are not novel."""
+    import ray.data as rd
+
+    from subgraph_isomorphism_pregel_ray.pipelines.textops import ngram_novelty
+
+    shared = "a b c d e"
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([10, 20, 30], pa.int64()),
+                "text": pa.array(
+                    [
+                        shared,                       # doc 10: 1 gram, novel
+                        shared + " f",                # doc 20: 2 grams, 1 novel
+                        "q r s t u v",                # doc 30: all novel
+                    ]
+                ),
+            }
+        )
+    )
+    got = ngram_novelty(docs, n=5, num_buckets=4).to_pandas().set_index("doc_id")
+    assert got.loc[10, "n_grams"] == 1 and got.loc[10, "n_novel"] == 1
+    assert got.loc[20, "n_grams"] == 2 and got.loc[20, "n_novel"] == 1
+    assert got.loc[20, "novelty"] == 0.5
+    assert got.loc[30, "novelty"] == 1.0
