@@ -1148,6 +1148,18 @@ def _q_basket_lift(sf_dir: str):
     return basket_lift(sf_dir)
 
 
+def _q_cosine_histogram(sf_dir: str):
+    """All-pairs cosine histogram (20 bins over [−1,1]) — embedding-space
+    collapse probe; broadcast matrix, per-batch binning."""
+    from subgraph_isomorphism_pregel_ray.pipelines.similarity import (
+        cosine_histogram,
+    )
+    from subgraph_isomorphism_pregel_ray.sources.tables import read_table
+
+    emb = read_table(sf_dir, "embeddings")
+    return cosine_histogram(emb)
+
+
 def _q_knn_label_vote(sf_dir: str):
     """Leave-one-out k-NN majority-vote classifier over embeddings;
     broadcast matrix + per-batch top-k, deterministic vote."""
@@ -1912,6 +1924,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_kl": _q_source_kl,
         "basket_lift": _q_basket_lift,
         "knn_label_vote": _q_knn_label_vote,
+        "cosine_histogram": _q_cosine_histogram,
         "pii_density_by_source": _q_pii_density_by_source,
         "degree_gini": _q_degree_gini,
         "avg_neighbor_degree": _q_avg_neighbor_degree,
@@ -4010,6 +4023,16 @@ def oracle_sql() -> dict[str, str]:
             "round(sum(CASE WHEN e > 0 OR i > 0 THEN 1 ELSE 0 END) * 1.0 "
             "/ count(*), 6) AS pii_rate "
             "FROM c GROUP BY 1"
+        ),
+        "cosine_histogram": (
+            # bins on the ROUNDED cosine so edges agree bit-exactly
+            "WITH s AS (SELECT "
+            "round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+            "CAST(b.embedding AS DOUBLE[])), 6) AS cos "
+            "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id) "
+            "SELECT CAST(least(floor((cos + 1.0) * 10.0), 19) AS BIGINT) "
+            "AS bin, CAST(count(*) AS BIGINT) AS n_pairs "
+            "FROM s GROUP BY 1"
         ),
         "knn_label_vote": (
             # Cover–Hart leave-one-out k-NN vote on knn_graph's

@@ -624,3 +624,69 @@ def knn_label_vote(emb_ds, k: int = 5):
         batch_size=1024,
         concurrency=(1, 8),
     )
+
+
+def cosine_histogram(emb_ds, n_bins: int = 20):
+    """Embedding-space geometry health check: the histogram of ALL pairwise
+    cosine similarities (i < j), 20 equal bins over [−1, 1] →
+    (bin, n_pairs). A healthy embedding space is spread; a collapsed model
+    (all cos ≈ 1) shows up instantly — the cheapest pre-training sanity
+    probe on a new embedding column.
+
+    Scale shape: the :func:`knn_graph` broadcast-matrix pattern — each
+    batch scores its rows against the one shared matrix and bins ONLY
+    pairs with other_id > row_id (each unordered pair counted exactly
+    once, no driver dedup); per-batch int64 bin partials fold through one
+    tiny groupby. Bin = floor((round6(cos)+1)·bins/2) clamped — computed
+    on the same rounded value as the SQL, so edges agree bit-exactly."""
+    import ray as _r
+
+    from ray.data.aggregate import Sum
+
+    ref = _assemble_matrix.remote(*emb_ds.to_arrow_refs())
+    half = n_bins / 2.0
+
+    class _Hist:
+        def __init__(self, r):
+            self.ids, self.M = _r.get(r)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            vids = batch["vec_id"].to_numpy().astype(np.int64)
+            if len(vids) == 0:
+                return pa.table({"bin": np.array([], np.int64),
+                                 "n": np.array([], np.int64)})
+            B = _norm_rows(
+                np.stack(batch["embedding"].to_pandas().to_numpy()).astype(np.float64)
+            )
+            cos6 = round_half_away(B @ self.M.T, 6)
+            counts = np.zeros(n_bins, np.int64)
+            for i, vid in enumerate(vids):
+                c = cos6[i][self.ids > vid]  # each unordered pair once
+                if len(c) == 0:
+                    continue
+                b = np.minimum(
+                    np.floor((c + 1.0) * half), n_bins - 1
+                ).astype(np.int64)
+                counts += np.bincount(b, minlength=n_bins)
+            nz = np.nonzero(counts)[0]
+            return pa.table({"bin": nz.astype(np.int64), "n": counts[nz]})
+
+    out = (
+        emb_ds.map_batches(
+            _Hist,
+            fn_constructor_args=(ref,),
+            batch_format="pyarrow",
+            batch_size=1024,
+            concurrency=(1, 8),
+        )
+        .groupby("bin")
+        .aggregate(Sum("n", alias_name="n_pairs"))
+        .to_pandas()
+        .sort_values("bin")
+    )
+    return pa.table(
+        {
+            "bin": out["bin"].to_numpy().astype(np.int64),
+            "n_pairs": out["n_pairs"].to_numpy().astype(np.int64),
+        }
+    )

@@ -1462,3 +1462,32 @@ def test_ngram_novelty_first_occurrence_wins(ray_session):
     assert got.loc[20, "n_grams"] == 2 and got.loc[20, "n_novel"] == 1
     assert got.loc[20, "novelty"] == 0.5
     assert got.loc[30, "novelty"] == 1.0
+
+
+def test_cosine_histogram_known_geometry(ray_session):
+    """Orthogonal + identical + opposite vectors land in the expected
+    bins; total pair count = C(n,2)."""
+    import ray.data as rd
+
+    from subgraph_isomorphism_pregel_ray.pipelines.similarity import (
+        cosine_histogram,
+    )
+
+    vecs = np.array(
+        [[1, 0, 0], [1, 0, 0], [0, 1, 0], [-1, 0, 0]], np.float32
+    )
+    emb = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(range(4), pa.int64()),
+                "embedding": pa.array(list(vecs), pa.list_(pa.float32())),
+            }
+        )
+    )
+    got = cosine_histogram(emb).to_pandas().set_index("bin")["n_pairs"]
+    # pairs: (0,1) cos 1 -> bin 19; (0,2),(1,2) cos 0 -> bin 10;
+    # (0,3),(1,3) cos -1 -> bin 0; (2,3) cos 0 -> bin 10
+    assert got.sum() == 6
+    assert got.loc[19] == 1
+    assert got.loc[10] == 3
+    assert got.loc[0] == 2
