@@ -1122,6 +1122,26 @@ def _q_avg_neighbor_degree(sf_dir: str):
     return avg_neighbor_degree(sf_dir)
 
 
+def _q_top_customer_share(sf_dir: str):
+    """Revenue concentration in the top-10 customers; round-then-rank
+    over the dim-sized per-customer fold."""
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import (
+        top_customer_share,
+    )
+
+    return top_customer_share(sf_dir)
+
+
+def _q_orders_fill_rate(sf_dir: str):
+    """Per-order ALL-lines-on-time SLA (bool_and shape) via max-ship-day
+    folds and one bucketed join."""
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import (
+        orders_fill_rate,
+    )
+
+    return orders_fill_rate(sf_dir)
+
+
 def _q_revenue_autocorr(sf_dir: str):
     """Lag-1 Pearson autocorrelation of daily revenue; day-level moments
     folded exactly (Python bigints vs SQL HUGEINT)."""
@@ -1930,6 +1950,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "avg_neighbor_degree": _q_avg_neighbor_degree,
         "ngram_novelty": _q_ngram_novelty,
         "revenue_autocorr": _q_revenue_autocorr,
+        "top_customer_share": _q_top_customer_share,
+        "orders_fill_rate": _q_orders_fill_rate,
         "revenue_by_region": _q_revenue_by_region,
         "topk_parts_per_nation": _q_topk_parts,
         "documents_sample": _q_documents_sample,
@@ -3942,6 +3964,34 @@ def oracle_sql() -> dict[str, str]:
             "greatest(0, r.s + (b.value - 60.0)) FROM b "
             "JOIN r ON r.user_id = b.user_id AND b.pos = r.pos + 1) "
             "SELECT event_id, round(s, 6) AS cusum, s > 200.0 AS alarm FROM r"
+        ),
+        "top_customer_share": (
+            # top-10 by exact-int revenue, custkey tiebreak; one division
+            "WITH r AS (SELECT o_custkey, "
+            "sum(CAST(round(l_extendedprice * 100) AS BIGINT) * "
+            "(100 - CAST(round(l_discount * 100) AS BIGINT))) AS rev "
+            "FROM lineitem JOIN orders ON o_orderkey = l_orderkey "
+            "GROUP BY 1), "
+            "t AS (SELECT rev, row_number() OVER "
+            "(ORDER BY rev DESC, o_custkey) AS rn FROM r) "
+            "SELECT CAST(least(10, (SELECT count(*) FROM r)) AS BIGINT) "
+            "AS top_k, "
+            "CAST((SELECT sum(rev) FROM t WHERE rn <= 10) AS BIGINT) "
+            "AS top_revenue, "
+            "CAST(sum(rev) AS BIGINT) AS total_revenue, "
+            "CAST((SELECT sum(rev) FROM t WHERE rn <= 10) AS DOUBLE) / "
+            "CAST(sum(rev) AS DOUBLE) AS share FROM r"
+        ),
+        "orders_fill_rate": (
+            # bool_and per order: every line within 90 days of order date
+            "WITH f AS (SELECT l_orderkey, "
+            "bool_and(datediff('day', o_orderdate, l_shipdate) <= 90) AS ok "
+            "FROM lineitem JOIN orders ON o_orderkey = l_orderkey "
+            "GROUP BY 1) "
+            "SELECT CAST(count(*) AS BIGINT) AS n_orders, "
+            "CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_filled, "
+            "CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS DOUBLE) / "
+            "CAST(count(*) AS DOUBLE) AS fill_rate FROM f"
         ),
         "ngram_novelty": (
             # novelty = grams whose min owner doc_id is this doc / grams

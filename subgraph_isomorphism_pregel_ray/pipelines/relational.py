@@ -5750,3 +5750,168 @@ def revenue_autocorr(sf_dir: str, round_to: int = 6):
             "autocorr": round_half_away(np.array([num / den]), round_to),
         }
     )
+
+
+def top_customer_share(sf_dir: str, k: int = 10, num_buckets: int = 32):
+    """Revenue concentration: the share of total revenue earned from the
+    top-``k`` customers → one row (top_k, top_revenue, total_revenue,
+    share). The 80/20 health check every account team runs; a share jump
+    means key-account risk.
+
+    Scale shape: per-batch (custkey, cents) pre-aggregation + ONE
+    groupby; ranking runs over the dim-sized per-customer table with the
+    repo's round-then-rank determinism (exact-int revenue, custkey
+    tiebreak); share = one double division mirrored by the SQL."""
+    from ray.data.aggregate import Sum
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_extendedprice", "l_discount"])
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    B = np.int64(num_buckets)
+
+    def _fact(t: pa.Table) -> pa.Table:
+        kk = t["l_orderkey"].to_numpy().astype(np.int64)
+        cents = np.round(t["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        disc = np.round(t["l_discount"].to_numpy() * 100).astype(np.int64)
+        rev = cents * (100 - disc)
+        order = np.argsort(kk, kind="stable")
+        kk, rev = kk[order], rev[order]
+        start = np.ones(len(kk), bool)
+        start[1:] = kk[1:] != kk[:-1]
+        idx = np.nonzero(start)[0]
+        return pa.table(
+            {"k": kk[start], "rev": np.add.reduceat(rev, idx),
+             "cust": np.full(int(start.sum()), -1, np.int64),
+             "b": (kk[start] % B).astype(np.int32)}
+        )
+
+    def _dim(t: pa.Table) -> pa.Table:
+        kk = t["o_orderkey"].to_numpy().astype(np.int64)
+        return pa.table(
+            {"k": kk, "rev": np.zeros(len(kk), np.int64),
+             "cust": t["o_custkey"].to_numpy().astype(np.int64),
+             "b": (kk % B).astype(np.int32)}
+        )
+
+    def _join(g: pa.Table) -> pa.Table:
+        cust = g["cust"].to_numpy()
+        dim = cust >= 0
+        kk = g["k"].to_numpy()
+        dk = kk[dim]
+        order = np.argsort(dk)
+        dk, dc = dk[order], cust[dim][order]
+        fk = kk[~dim]
+        pos = np.searchsorted(dk, fk)
+        pos_c = np.minimum(pos, max(len(dk) - 1, 0))
+        hit = dk[pos_c] == fk if len(dk) else np.zeros(len(fk), bool)
+        cu = dc[pos_c[hit]]
+        rv = g["rev"].to_numpy()[~dim][hit]
+        u, inv = np.unique(cu, return_inverse=True)
+        s = np.zeros(len(u), np.int64)
+        np.add.at(s, inv, rv)
+        return pa.table({"c_custkey": u, "rev": s})
+
+    per_cust = (
+        li.map_batches(_fact, batch_format="pyarrow")
+        .union(orders.map_batches(_dim, batch_format="pyarrow"))
+        .groupby("b").map_groups(_join, batch_format="pyarrow")
+        .groupby("c_custkey")
+        .aggregate(Sum("rev", alias_name="rev"))
+        .to_pandas()
+    )
+    rev = per_cust["rev"].to_numpy().astype(np.int64)
+    ck = per_cust["c_custkey"].to_numpy().astype(np.int64)
+    order = np.lexsort((ck, -rev))[:k]
+    top = int(rev[order].sum())
+    total = int(rev.sum())
+    return pa.table(
+        {
+            "top_k": np.array([min(k, len(rev))], np.int64),
+            "top_revenue": np.array([top], np.int64),
+            "total_revenue": np.array([total], np.int64),
+            "share": np.array(
+                [np.float64(top) / np.float64(total)], np.float64
+            ),
+        }
+    )
+
+
+def orders_fill_rate(sf_dir: str, within_days: int = 90, num_buckets: int = 32):
+    """Universal-quantifier per-group aggregate (SQL ``bool_and``): an
+    order is FULLY FILLED iff EVERY lineitem shipped within
+    ``within_days`` of the order date → one row (n_orders, n_filled,
+    fill_rate). The complement of Q12's per-line lateness — the
+    fulfilment SLA is per ORDER, one slow line breaks the whole order.
+
+    Scale shape: the facts fold a per-order running MAX ship-day per
+    batch (the ALL() reduces to one max compare), ONE orderkey-bucketed
+    union join against (orderkey, order-day), per-bucket (filled, total)
+    partials, tiny final fold; rate = one double division."""
+    from ray.data.aggregate import Sum
+
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"])
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_orderdate"])
+    B = np.int64(num_buckets)
+
+    def _fact(t: pa.Table) -> pa.Table:
+        kk = t["l_orderkey"].to_numpy().astype(np.int64)
+        day = t["l_shipdate"].to_numpy().astype("datetime64[D]").astype(np.int64)
+        order = np.argsort(kk, kind="stable")
+        kk, day = kk[order], day[order]
+        start = np.ones(len(kk), bool)
+        start[1:] = kk[1:] != kk[:-1]
+        idx = np.nonzero(start)[0]
+        mx = np.maximum.reduceat(day, idx)
+        return pa.table(
+            {"k": kk[start], "day": mx,
+             "dim": np.zeros(int(start.sum()), bool),
+             "b": (kk[start] % B).astype(np.int32)}
+        )
+
+    def _dim(t: pa.Table) -> pa.Table:
+        kk = t["o_orderkey"].to_numpy().astype(np.int64)
+        day = t["o_orderdate"].to_numpy().astype("datetime64[D]").astype(np.int64)
+        return pa.table(
+            {"k": kk, "day": day, "dim": np.ones(len(kk), bool),
+             "b": (kk % B).astype(np.int32)}
+        )
+
+    def _join(g: pa.Table) -> pa.Table:
+        kk = g["k"].to_numpy()
+        day = g["day"].to_numpy()
+        dim = g["dim"].to_numpy(zero_copy_only=False)
+        # fold cross-batch fact partials: max ship-day per order
+        fk = kk[~dim]
+        fd = day[~dim]
+        u, inv = np.unique(fk, return_inverse=True)
+        mx = np.full(len(u), np.iinfo(np.int64).min, np.int64)
+        np.maximum.at(mx, inv, fd)
+        dk = kk[dim]
+        order = np.argsort(dk)
+        dk, dd = dk[order], day[dim][order]
+        pos = np.searchsorted(dk, u)
+        pos_c = np.minimum(pos, max(len(dk) - 1, 0))
+        hit = dk[pos_c] == u if len(dk) else np.zeros(len(u), bool)
+        filled = (mx[hit] - dd[pos_c[hit]]) <= within_days
+        return pa.table(
+            {
+                "n": np.array([int(hit.sum())], np.int64),
+                "f": np.array([int(filled.sum())], np.int64),
+            }
+        )
+
+    out = (
+        li.map_batches(_fact, batch_format="pyarrow")
+        .union(orders.map_batches(_dim, batch_format="pyarrow"))
+        .groupby("b").map_groups(_join, batch_format="pyarrow")
+        .to_pandas()
+    )
+    n = int(out["n"].sum())
+    f = int(out["f"].sum())
+    return pa.table(
+        {
+            "n_orders": np.array([n], np.int64),
+            "n_filled": np.array([f], np.int64),
+            "fill_rate": np.array([np.float64(f) / np.float64(n)], np.float64),
+        }
+    )

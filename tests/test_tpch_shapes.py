@@ -1233,3 +1233,68 @@ def test_revenue_autocorr_alternating_series(ray_session, tmp_path):
     got = revenue_autocorr(str(tmp_path)).to_pandas()
     assert got.iloc[0]["n_pairs"] == 3
     assert got.iloc[0]["autocorr"] == -1.0
+
+
+def test_top_customer_share_and_ties(ray_session, tmp_path):
+    # three customers with revenue 300/200/100 -> top-2 share = 500/600
+    _write(
+        tmp_path,
+        "lineitem",
+        {
+            "l_orderkey": pa.array([1, 2, 3], pa.int64()),
+            "l_extendedprice": pa.array([3.0, 2.0, 1.0]),
+            "l_discount": pa.array([0.0, 0.0, 0.0]),
+        },
+    )
+    _write(
+        tmp_path,
+        "orders",
+        {
+            "o_orderkey": pa.array([1, 2, 3], pa.int64()),
+            "o_custkey": pa.array([7, 8, 9], pa.int64()),
+        },
+    )
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import (
+        top_customer_share,
+    )
+
+    got = top_customer_share(str(tmp_path), k=2).to_pandas().iloc[0]
+    assert got["top_k"] == 2
+    assert got["top_revenue"] == (300 + 200) * 100
+    assert got["total_revenue"] == 600 * 100
+    assert got["share"] == 500.0 / 600.0
+
+
+def test_orders_fill_rate_all_lines_must_pass(ray_session, tmp_path):
+    # order 1: lines at +10d and +91d -> NOT filled (one line breaks it);
+    # order 2: single line at +90d (boundary, <=) -> filled
+    _write(
+        tmp_path,
+        "lineitem",
+        {
+            "l_orderkey": pa.array([1, 1, 2], pa.int64()),
+            "l_shipdate": pa.array(
+                np.array(
+                    ["1995-01-11", "1995-04-02", "1995-04-01"], "datetime64[us]"
+                )
+            ),
+        },
+    )
+    _write(
+        tmp_path,
+        "orders",
+        {
+            "o_orderkey": pa.array([1, 2], pa.int64()),
+            "o_orderdate": pa.array(
+                np.array(["1995-01-01", "1995-01-01"], "datetime64[us]")
+            ),
+        },
+    )
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import (
+        orders_fill_rate,
+    )
+
+    got = orders_fill_rate(str(tmp_path)).to_pandas().iloc[0]
+    assert got["n_orders"] == 2
+    assert got["n_filled"] == 1
+    assert got["fill_rate"] == 0.5
