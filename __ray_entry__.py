@@ -111,6 +111,18 @@ def _q_sssp(sf_dir: str):
         }
     )
 
+def _q_bfs_layer_sizes(sf_dir: str):
+    """Hop-distance histogram of the multi-source BFS (sssp program):
+    (dist, n_vertices), unreached = −1 — the neighborhood-growth curve
+    read alongside hyperball's effective-diameter estimate."""
+    from subgraph_isomorphism_pregel_ray.pipelines.algorithms import sssp
+
+    res, _ = sssp(_sym_copurchase(sf_dir), seed_mod=101, num_parts=4)
+    d = res["dist"].to_numpy().view(np.int64)
+    u, c = np.unique(d, return_counts=True)
+    return pa.table({"dist": u, "n_vertices": c.astype(np.int64)})
+
+
 def _q_betweenness(sf_dir: str):
     from subgraph_isomorphism_pregel_ray.pipelines.algorithms import betweenness
 
@@ -1952,6 +1964,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_autocorr": _q_revenue_autocorr,
         "top_customer_share": _q_top_customer_share,
         "orders_fill_rate": _q_orders_fill_rate,
+        "bfs_layer_sizes": _q_bfs_layer_sizes,
         "revenue_by_region": _q_revenue_by_region,
         "topk_parts_per_nation": _q_topk_parts,
         "documents_sample": _q_documents_sample,
@@ -3217,6 +3230,10 @@ def oracle_sql() -> dict[str, str]:
         "random_walks_copurchase": _walk_sql(4),
         "cc_copurchase": _cc_sql(),
         "sssp_copurchase": _sssp_sql(),
+        "bfs_layer_sizes": (
+            f"SELECT dist, CAST(count(*) AS BIGINT) AS n_vertices "
+            f"FROM ({_sssp_sql()}) GROUP BY 1"
+        ),
         "betweenness_copurchase": _betweenness_sql(),
         "closeness_copurchase": _closeness_sql(),
         "wsssp_copurchase": _wsssp_sql(),

@@ -943,3 +943,15 @@ def test_seeded_lpa_vs_sync_oracle(trial):
     assert got == lab
     unlabeled = {int(r.vid) for r in res.itertuples() if r.label < 0}
     assert unlabeled == set(adj) - set(lab)
+
+
+def test_bfs_layer_histogram_path_graph():
+    """sssp distances -> layer histogram on a path seeded at vertex 0."""
+    s = np.array([0, 101, 202])
+    d = np.array([101, 202, 303])
+    eng = LocalBSP(s, d, num_parts=2, directed=False)
+    eng.run("sssp", {"seed_mod": 101101103}, max_steps=10)  # seeds: vid%mod==0 -> only 0
+    res = eng.result().to_pandas()
+    dist = res.set_index("vid")["dist"]
+    got = dist.value_counts().to_dict()
+    assert got == {0: 1, 1: 1, 2: 1, 3: 1}
