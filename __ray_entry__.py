@@ -1134,6 +1134,16 @@ def _q_avg_neighbor_degree(sf_dir: str):
     return avg_neighbor_degree(sf_dir)
 
 
+def _q_label_conductance(sf_dir: str):
+    """Per-label conductance over the co-purchase graph (cut / min-vol);
+    one edge pass with broadcast label lookup."""
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import (
+        label_conductance,
+    )
+
+    return label_conductance(sf_dir)
+
+
 def _q_top_customer_share(sf_dir: str):
     """Revenue concentration in the top-10 customers; round-then-rank
     over the dim-sized per-customer fold."""
@@ -1965,6 +1975,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_customer_share": _q_top_customer_share,
         "orders_fill_rate": _q_orders_fill_rate,
         "bfs_layer_sizes": _q_bfs_layer_sizes,
+        "label_conductance": _q_label_conductance,
         "revenue_by_region": _q_revenue_by_region,
         "topk_parts_per_nation": _q_topk_parts,
         "documents_sample": _q_documents_sample,
@@ -3981,6 +3992,26 @@ def oracle_sql() -> dict[str, str]:
             "greatest(0, r.s + (b.value - 60.0)) FROM b "
             "JOIN r ON r.user_id = b.user_id AND b.pos = r.pos + 1) "
             "SELECT event_id, round(s, 6) AS cusum, s > 200.0 AS alarm FROM r"
+        ),
+        "label_conductance": (
+            # φ(S) = cut / min(vol, total−vol), vol = 2·internal + cut;
+            # labels = p_size % 3 on the src<dst edge set
+            "WITH eu AS (SELECT a.l_partkey AS src, b.l_partkey AS dst "
+            "FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey "
+            "WHERE a.l_partkey < b.l_partkey GROUP BY 1, 2), "
+            "lab AS (SELECT p_partkey vid, p_size % 3 AS l FROM part), "
+            "le AS (SELECT a.l la, b.l lb FROM eu "
+            "JOIN lab a ON a.vid = src JOIN lab b ON b.vid = dst), "
+            "s AS (SELECT la AS l, 1 AS i, 0 AS c FROM le WHERE la = lb "
+            "UNION ALL SELECT la, 0, 1 FROM le WHERE la <> lb "
+            "UNION ALL SELECT lb, 0, 1 FROM le WHERE la <> lb), "
+            "agg AS (SELECT l, CAST(sum(i) AS BIGINT) i, "
+            "CAST(sum(c) AS BIGINT) c FROM s GROUP BY 1), "
+            "tot AS (SELECT sum(2 * i + c) AS tv FROM agg) "
+            "SELECT l AS label, i AS n_internal, c AS n_cut, "
+            "round(CAST(c AS DOUBLE) / "
+            "CAST(least(2 * i + c, tv - (2 * i + c)) AS DOUBLE), 6) "
+            "AS conductance FROM agg CROSS JOIN tot"
         ),
         "top_customer_share": (
             # top-10 by exact-int revenue, custkey tiebreak; one division

@@ -5915,3 +5915,70 @@ def orders_fill_rate(sf_dir: str, within_days: int = 90, num_buckets: int = 32):
             "fill_rate": np.array([np.float64(f) / np.float64(n)], np.float64),
         }
     )
+
+
+def label_conductance(sf_dir: str, mod: int = 3, num_buckets: int | None = None,
+                      round_to: int = 6):
+    """Community-quality cut metric: for every part-label class S
+    (p_size % mod, the matcher's label scheme), conductance
+    φ(S) = cut(S) / min(vol(S), vol(V∖S)) over the co-purchase graph →
+    (label, n_internal, n_cut, conductance). Low φ = the label is a real
+    cluster; read alongside lpa_modularity (global) and
+    label_mixing_matrix (pairwise) — φ is the per-class bottleneck view.
+
+    Scale shape: ONE pass over the undirected edge stream; the vid→label
+    map is a broadcast dim lookup at the batch boundary (part is a
+    dimension); each batch emits ≤ mod partial rows (internal/cut
+    counters — vol(S) = 2·internal + cut needs no degree table); a
+    label-sized fold and ONE double division finish it."""
+    import pyarrow.parquet as pq
+
+    from ..functions.rounding import round_half_away
+    from ray.data.aggregate import Sum
+
+    part = pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_size"])
+    pk = part["p_partkey"].to_numpy().astype(np.int64)
+    lab = part["p_size"].to_numpy().astype(np.int64) % mod
+    order = np.argsort(pk)
+    pk, lab = pk[order], lab[order]
+
+    edges = copurchase_edges(sf_dir, num_buckets=num_buckets)
+
+    def _partial(t: pa.Table) -> pa.Table:
+        s = t["src"].to_numpy().astype(np.int64)
+        d = t["dst"].to_numpy().astype(np.int64)
+        la = lab[np.searchsorted(pk, s)]
+        lb = lab[np.searchsorted(pk, d)]
+        internal = np.zeros(mod, np.int64)
+        cut = np.zeros(mod, np.int64)
+        same = la == lb
+        np.add.at(internal, la[same], 1)
+        np.add.at(cut, la[~same], 1)
+        np.add.at(cut, lb[~same], 1)
+        nz = np.nonzero(internal + cut)[0]
+        return pa.table(
+            {"label": nz.astype(np.int64), "i": internal[nz], "c": cut[nz]}
+        )
+
+    agg = (
+        edges.map_batches(_partial, batch_format="pyarrow")
+        .groupby("label")
+        .aggregate(Sum("i", alias_name="n_internal"), Sum("c", alias_name="n_cut"))
+        .to_pandas()
+        .sort_values("label")
+    )
+    internal = agg["n_internal"].to_numpy().astype(np.int64)
+    cut = agg["n_cut"].to_numpy().astype(np.int64)
+    vol = 2 * internal + cut
+    tv = int(vol.sum())
+    denom = np.minimum(vol, tv - vol)
+    return pa.table(
+        {
+            "label": agg["label"].to_numpy().astype(np.int64),
+            "n_internal": internal,
+            "n_cut": cut,
+            "conductance": round_half_away(
+                cut.astype(np.float64) / denom.astype(np.float64), round_to
+            ),
+        }
+    )

@@ -1298,3 +1298,39 @@ def test_orders_fill_rate_all_lines_must_pass(ray_session, tmp_path):
     assert got["n_orders"] == 2
     assert got["n_filled"] == 1
     assert got["fill_rate"] == 0.5
+
+
+def test_label_conductance_two_cliques_one_bridge(ray_session, tmp_path):
+    # two triangles {1,2,3} (size%3==0 -> label 0) and {4,5,6} (label 1)
+    # joined by one bridge (3,4): cut=1 for both labels,
+    # vol = 2*3+1 = 7 each -> conductance 1/7
+    _write(
+        tmp_path,
+        "lineitem",
+        {
+            # each order of 2 parts creates exactly one co-purchase edge
+            "l_orderkey": pa.array(
+                [1, 1, 2, 2, 3, 3, 4, 4, 5, 5, 6, 6, 7, 7], pa.int64()
+            ),
+            "l_partkey": pa.array(
+                [1, 2, 2, 3, 1, 3, 4, 5, 5, 6, 4, 6, 3, 4], pa.int64()
+            ),
+        },
+    )
+    _write(
+        tmp_path,
+        "part",
+        {
+            "p_partkey": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+            "p_size": pa.array([3, 6, 9, 1, 4, 7], pa.int32()),  # %3: 0,0,0,1,1,1
+        },
+    )
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import (
+        label_conductance,
+    )
+
+    got = label_conductance(str(tmp_path)).to_pandas().set_index("label")
+    for l in (0, 1):
+        assert got.loc[l, "n_internal"] == 3
+        assert got.loc[l, "n_cut"] == 1
+        assert round(got.loc[l, "conductance"], 6) == round(1 / 7, 6)
