@@ -1134,6 +1134,14 @@ def _q_avg_neighbor_degree(sf_dir: str):
     return avg_neighbor_degree(sf_dir)
 
 
+def _q_two_hop_reach(sf_dir: str):
+    """Distinct ≤2-hop audience per vertex; wedge expansion + v-keyed
+    global pair dedup."""
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import two_hop_reach
+
+    return two_hop_reach(sf_dir)
+
+
 def _q_label_conductance(sf_dir: str):
     """Per-label conductance over the co-purchase graph (cut / min-vol);
     one edge pass with broadcast label lookup."""
@@ -1976,6 +1984,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_fill_rate": _q_orders_fill_rate,
         "bfs_layer_sizes": _q_bfs_layer_sizes,
         "label_conductance": _q_label_conductance,
+        "two_hop_reach": _q_two_hop_reach,
         "revenue_by_region": _q_revenue_by_region,
         "topk_parts_per_nation": _q_topk_parts,
         "documents_sample": _q_documents_sample,
@@ -3992,6 +4001,15 @@ def oracle_sql() -> dict[str, str]:
             "greatest(0, r.s + (b.value - 60.0)) FROM b "
             "JOIN r ON r.user_id = b.user_id AND b.pos = r.pos + 1) "
             "SELECT event_id, round(s, 6) AS cusum, s > 200.0 AS alarm FROM r"
+        ),
+        "two_hop_reach": (
+            # distinct vertices within ≤2 hops, self excluded
+            f"WITH {_ESYM_MAT}, "
+            "p AS (SELECT e1.src v, e2.dst w FROM e e1 "
+            "JOIN e e2 ON e2.src = e1.dst WHERE e2.dst <> e1.src "
+            "UNION SELECT src, dst FROM e) "
+            "SELECT v AS vid, CAST(count(DISTINCT w) AS BIGINT) AS reach2 "
+            "FROM p GROUP BY 1"
         ),
         "label_conductance": (
             # φ(S) = cut / min(vol, total−vol), vol = 2·internal + cut;

@@ -5982,3 +5982,68 @@ def label_conductance(sf_dir: str, mod: int = 3, num_buckets: int | None = None,
             ),
         }
     )
+
+
+def two_hop_reach(sf_dir: str, num_buckets: int | None = None):
+    """Friends-of-friends reach: for every vertex, the number of DISTINCT
+    vertices within ≤ 2 hops (self excluded) → (vid, reach2). The
+    audience-estimation primitive for social/link graphs — ad reach,
+    influence caps, crawl frontier sizing — and the first moment of the
+    neighborhood function HyperBall approximates at higher radii.
+
+    Scale shape: wedge expansion per middle vertex (the
+    :func:`avg_neighbor_degree` role machine) emits candidate (v, w)
+    pairs both ways, unioned with the direct edges (both ways); ONE
+    v-keyed bucket groupby dedups pairs globally per vertex and counts.
+    Per-batch np.unique bounds the exchange; hub middles fan out
+    in(m)·out(m) wedges — the same bound the triad census documents."""
+    edges = copurchase_edges(sf_dir, num_buckets=num_buckets)
+    B = np.int64(32)
+
+    def _roles(t: pa.Table) -> pa.Table:
+        s = t["src"].to_numpy().astype(np.int64)
+        d = t["dst"].to_numpy().astype(np.int64)
+        if len(s) and max(int(s.max()), int(d.max())) >= (1 << 32):
+            raise ValueError("two_hop_reach: vid exceeds 32-bit pair pack")
+        m = np.concatenate([s, d])
+        other = np.concatenate([d, s])
+        return pa.table(
+            {"m": m, "other": other, "b": (m % B).astype(np.int32)}
+        )
+
+    def _wedge_pairs(g: pa.Table) -> pa.Table:
+        m = g["m"].to_numpy()
+        other = g["other"].to_numpy()
+        order = np.argsort(m, kind="stable")
+        m, other = m[order], other[order]
+        starts = np.nonzero(np.r_[True, m[1:] != m[:-1]])[0]
+        ends = np.r_[starts[1:], len(m)]
+        vs, ws = [], []
+        for s, e in zip(starts, ends):
+            o = np.unique(other[s:e])  # m's neighborhood, deduped
+            if len(o) < 2:
+                continue
+            ia, ib = np.triu_indices(len(o), k=1)
+            a, c = o[ia], o[ib]
+            vs.append(np.concatenate([a, c]))
+            ws.append(np.concatenate([c, a]))
+        # direct ≤1-hop pairs ride along (both ways)
+        vs.append(m)
+        ws.append(other)
+        v = np.concatenate(vs)
+        w = np.concatenate(ws)
+        key = np.unique(v << np.int64(32) | w)  # partial dedup per bucket
+        v, w = key >> np.int64(32), key & np.int64(0xFFFFFFFF)
+        return pa.table({"v": v, "w": w, "b2": (v % B).astype(np.int32)})
+
+    def _count(g: pa.Table) -> pa.Table:
+        key = np.unique(g["v"].to_numpy() << np.int64(32) | g["w"].to_numpy())
+        v = key >> np.int64(32)
+        uv, cnt = np.unique(v, return_counts=True)
+        return pa.table({"vid": uv, "reach2": cnt.astype(np.int64)})
+
+    return (
+        edges.map_batches(_roles, batch_format="pyarrow")
+        .groupby("b").map_groups(_wedge_pairs, batch_format="pyarrow")
+        .groupby("b2").map_groups(_count, batch_format="pyarrow")
+    )

@@ -1334,3 +1334,20 @@ def test_label_conductance_two_cliques_one_bridge(ray_session, tmp_path):
         assert got.loc[l, "n_internal"] == 3
         assert got.loc[l, "n_cut"] == 1
         assert round(got.loc[l, "conductance"], 6) == round(1 / 7, 6)
+
+
+def test_two_hop_reach_path_graph(ray_session, tmp_path):
+    # path 1-2-3-4 (three 2-part orders): reach2(1)={2,3}=2,
+    # reach2(2)={1,3,4}=3, reach2(3)={1,2,4}=3, reach2(4)={2,3}=2
+    _write(
+        tmp_path,
+        "lineitem",
+        {
+            "l_orderkey": pa.array([1, 1, 2, 2, 3, 3], pa.int64()),
+            "l_partkey": pa.array([1, 2, 2, 3, 3, 4], pa.int64()),
+        },
+    )
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import two_hop_reach
+
+    got = two_hop_reach(str(tmp_path)).to_pandas().set_index("vid")["reach2"]
+    assert got.to_dict() == {1: 2, 2: 3, 3: 3, 4: 2}
