@@ -1134,6 +1134,14 @@ def _q_avg_neighbor_degree(sf_dir: str):
     return avg_neighbor_degree(sf_dir)
 
 
+def _q_local_bridges(sf_dir: str):
+    """Easley–Kleinberg local bridges (zero-common-neighbor edges) on the
+    strong co-purchase graph; wedge-witness anti-join."""
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import local_bridges
+
+    return local_bridges(sf_dir)
+
+
 def _q_two_hop_reach(sf_dir: str):
     """Distinct ≤2-hop audience per vertex; wedge expansion + v-keyed
     global pair dedup."""
@@ -1985,6 +1993,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bfs_layer_sizes": _q_bfs_layer_sizes,
         "label_conductance": _q_label_conductance,
         "two_hop_reach": _q_two_hop_reach,
+        "local_bridges": _q_local_bridges,
         "revenue_by_region": _q_revenue_by_region,
         "topk_parts_per_nation": _q_topk_parts,
         "documents_sample": _q_documents_sample,
@@ -4001,6 +4010,16 @@ def oracle_sql() -> dict[str, str]:
             "greatest(0, r.s + (b.value - 60.0)) FROM b "
             "JOIN r ON r.user_id = b.user_id AND b.pos = r.pos + 1) "
             "SELECT event_id, round(s, 6) AS cusum, s > 200.0 AS alarm FROM r"
+        ),
+        "local_bridges": (
+            # edges with no common neighbor on the strong graph
+            f"WITH {_ESTRONG}, "
+            "eu AS (SELECT s AS src, d AS dst FROM cnts "
+            "WHERE c >= (SELECT m FROM mo)) "
+            "SELECT src, dst FROM eu WHERE NOT EXISTS ("
+            "SELECT 1 FROM e x JOIN e y ON x.dst = y.src "
+            "WHERE x.src = eu.src AND y.dst = eu.dst "
+            "AND x.dst <> eu.src AND x.dst <> eu.dst)"
         ),
         "two_hop_reach": (
             # distinct vertices within ≤2 hops, self excluded

@@ -6047,3 +6047,89 @@ def two_hop_reach(sf_dir: str, num_buckets: int | None = None):
         .groupby("b").map_groups(_wedge_pairs, batch_format="pyarrow")
         .groupby("b2").map_groups(_count, batch_format="pyarrow")
     )
+
+
+def local_bridges(sf_dir: str, num_buckets: int = 32):
+    """Local bridges (Easley–Kleinberg §3.2): edges whose endpoints share
+    NO common neighbor (span > 2 — removing one lengthens the shortest
+    path to ≥ 3) → (src, dst), src < dst. On an information graph these
+    are the weak-tie conduits between communities; on the STRONG
+    co-purchase graph (the sparse tie-strength cut) most surviving edges
+    are exactly such conduits, which is the Granovetter point.
+
+    Scale shape: an ANTI-join of the edge set against the wedge-closure
+    set — the :func:`succ_triad_motifs` machine with the mask flipped:
+    middles emit (a, c) witness pairs (a < c), edges emit probe rows, one
+    pair-keyed bucket keeps probes with zero witnesses. Witness fanout =
+    C(deg, 2) per middle, bounded by the strong graph's ≤ 8·|V| edges."""
+    sedges = strong_copurchase_edges(sf_dir, num_buckets=num_buckets)
+    B = np.int64(num_buckets)
+
+    def _roles(t: pa.Table) -> pa.Table:
+        s = t["src"].to_numpy().astype(np.int64)
+        d = t["dst"].to_numpy().astype(np.int64)
+        if len(s) and max(int(s.max()), int(d.max())) >= (1 << 32):
+            raise ValueError("local_bridges: vid exceeds 32-bit pair pack")
+        m = np.concatenate([s, d])
+        other = np.concatenate([d, s])
+        return pa.table(
+            {"m": m, "other": other, "b": (m % B).astype(np.int32)}
+        )
+
+    def _witnesses(g: pa.Table) -> pa.Table:
+        m = g["m"].to_numpy()
+        other = g["other"].to_numpy()
+        order = np.argsort(m, kind="stable")
+        m, other = m[order], other[order]
+        starts = np.nonzero(np.r_[True, m[1:] != m[:-1]])[0]
+        ends = np.r_[starts[1:], len(m)]
+        keys = []
+        for s, e in zip(starts, ends):
+            o = np.unique(other[s:e])
+            if len(o) < 2:
+                continue
+            ia, ib = np.triu_indices(len(o), k=1)
+            keys.append(o[ia] << np.int64(32) | o[ib])  # a < c by unique order
+        if not keys:
+            return pa.table({"key": np.array([], np.int64),
+                             "probe": np.array([], bool),
+                             "b2": np.array([], np.int32)})
+        key = np.unique(np.concatenate(keys))
+        return pa.table(
+            {"key": key, "probe": np.zeros(len(key), bool),
+             "b2": (key % B).astype(np.int32)}
+        )
+
+    def _probes(t: pa.Table) -> pa.Table:
+        s = t["src"].to_numpy().astype(np.int64)
+        d = t["dst"].to_numpy().astype(np.int64)
+        key = s << np.int64(32) | d
+        return pa.table(
+            {"key": key, "probe": np.ones(len(key), bool),
+             "b2": (key % B).astype(np.int32)}
+        )
+
+    def _anti(g: pa.Table) -> pa.Table:
+        key = g["key"].to_numpy()
+        probe = g["probe"].to_numpy(zero_copy_only=False)
+        wit = np.sort(key[~probe])
+        pk = key[probe]
+        if len(wit) and len(pk):
+            pos = np.minimum(np.searchsorted(wit, pk), len(wit) - 1)
+            hit = wit[pos] == pk
+        else:
+            hit = np.zeros(len(pk), bool)
+        keep = pk[~hit]
+        keep = np.sort(keep)
+        return pa.table(
+            {"src": keep >> np.int64(32),
+             "dst": keep & np.int64(0xFFFFFFFF)}
+        )
+
+    sedges = sedges.materialize()  # feeds both roles and probes
+    return (
+        sedges.map_batches(_roles, batch_format="pyarrow")
+        .groupby("b").map_groups(_witnesses, batch_format="pyarrow")
+        .union(sedges.map_batches(_probes, batch_format="pyarrow"))
+        .groupby("b2").map_groups(_anti, batch_format="pyarrow")
+    )

@@ -1351,3 +1351,28 @@ def test_two_hop_reach_path_graph(ray_session, tmp_path):
 
     got = two_hop_reach(str(tmp_path)).to_pandas().set_index("vid")["reach2"]
     assert got.to_dict() == {1: 2, 2: 3, 3: 3, 4: 2}
+
+
+def test_local_bridges_triangle_plus_pendant(ray_session, tmp_path):
+    # strong graph (every pair co-occurs in >= 2 orders here): triangle
+    # {1,2,3} + pendant edge (3,4): only (3,4) is a local bridge
+    ok, pk = [], []
+    oid = 0
+    for a, b in [(1, 2), (2, 3), (1, 3), (3, 4)]:
+        for _ in range(2):  # two orders per pair -> passes threshold 2
+            oid += 1
+            ok += [oid, oid]
+            pk += [a, b]
+    _write(
+        tmp_path,
+        "lineitem",
+        {
+            "l_orderkey": pa.array(ok, pa.int64()),
+            "l_partkey": pa.array(pk, pa.int64()),
+        },
+    )
+    _write(tmp_path, "part", {"p_partkey": pa.array([1, 2, 3, 4], pa.int64())})
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import local_bridges
+
+    got = local_bridges(str(tmp_path), num_buckets=4).to_pandas()
+    assert [tuple(r) for r in got.itertuples(index=False)] == [(3, 4)]
