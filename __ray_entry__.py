@@ -1134,6 +1134,16 @@ def _q_avg_neighbor_degree(sf_dir: str):
     return avg_neighbor_degree(sf_dir)
 
 
+def _q_customer_migration(sf_dir: str):
+    """Year-over-year revenue-quartile transition matrix (NTILE closed
+    form over sort ordinals, both-years inner join)."""
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import (
+        customer_migration,
+    )
+
+    return customer_migration(sf_dir)
+
+
 def _q_local_bridges(sf_dir: str):
     """Easley–Kleinberg local bridges (zero-common-neighbor edges) on the
     strong co-purchase graph; wedge-witness anti-join."""
@@ -1994,6 +2004,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_conductance": _q_label_conductance,
         "two_hop_reach": _q_two_hop_reach,
         "local_bridges": _q_local_bridges,
+        "customer_migration": _q_customer_migration,
         "revenue_by_region": _q_revenue_by_region,
         "topk_parts_per_nation": _q_topk_parts,
         "documents_sample": _q_documents_sample,
@@ -4010,6 +4021,23 @@ def oracle_sql() -> dict[str, str]:
             "greatest(0, r.s + (b.value - 60.0)) FROM b "
             "JOIN r ON r.user_id = b.user_id AND b.pos = r.pos + 1) "
             "SELECT event_id, round(s, 6) AS cusum, s > 200.0 AS alarm FROM r"
+        ),
+        "customer_migration": (
+            # NTILE(4) per year over exact cents (rev DESC, custkey ASC),
+            # transition counts over customers active both years
+            "WITH r1 AS (SELECT o_custkey, "
+            "sum(CAST(round(o_totalprice * 100) AS BIGINT)) rev FROM orders "
+            "WHERE year(o_orderdate) = 1995 GROUP BY 1), "
+            "r2 AS (SELECT o_custkey, "
+            "sum(CAST(round(o_totalprice * 100) AS BIGINT)) rev FROM orders "
+            "WHERE year(o_orderdate) = 1996 GROUP BY 1), "
+            "t1 AS (SELECT o_custkey, CAST(ntile(4) OVER "
+            "(ORDER BY rev DESC, o_custkey) AS BIGINT) tile FROM r1), "
+            "t2 AS (SELECT o_custkey, CAST(ntile(4) OVER "
+            "(ORDER BY rev DESC, o_custkey) AS BIGINT) tile FROM r2) "
+            "SELECT t1.tile AS tile_from, t2.tile AS tile_to, "
+            "CAST(count(*) AS BIGINT) AS n_customers "
+            "FROM t1 JOIN t2 USING (o_custkey) GROUP BY 1, 2"
         ),
         "local_bridges": (
             # edges with no common neighbor on the strong graph

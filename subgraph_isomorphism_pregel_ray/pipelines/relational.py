@@ -6133,3 +6133,123 @@ def local_bridges(sf_dir: str, num_buckets: int = 32):
         .union(sedges.map_batches(_probes, batch_format="pyarrow"))
         .groupby("b2").map_groups(_anti, batch_format="pyarrow")
     )
+
+
+def customer_migration(sf_dir: str, y_from: int = 1995, y_to: int = 1996,
+                       k: int = 4, num_buckets: int | None = None):
+    """Year-over-year segment migration matrix: customers are NTILE(k)
+    revenue-quartiled independently in ``y_from`` and ``y_to`` (exact
+    cents, revenue DESC, custkey tiebreak — tile 1 = top spenders), and
+    the transition counts are tallied over customers active in BOTH
+    years → (tile_from, tile_to, n_customers). The cohort-health matrix:
+    mass below the diagonal = down-migration = churn risk.
+
+    Scale shape: one orders pass with per-batch (custkey, year) combine;
+    each year's quartile comes from the distributed sort-ordinal NTILE
+    closed form (:func:`customer_rfm`'s machine — no window engine); the
+    two tile arms meet in a custkey-bucket union-groupby and only the
+    k×k matrix leaves."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.sort import sort_with_ordinal
+
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_custkey", "o_orderdate", "o_totalprice"])
+    num_buckets = _auto_buckets(orders, num_buckets)
+    K = np.int64(k)
+    PACK = np.int64(10000)
+
+    def _partial(t: pa.Table) -> pa.Table:
+        c = t["o_custkey"].to_numpy().astype(np.int64)
+        yr = t["o_orderdate"].to_numpy().astype("datetime64[Y]").astype(np.int64) + 1970
+        m = np.round(t["o_totalprice"].to_numpy() * 100).astype(np.int64)
+        sel = (yr == y_from) | (yr == y_to)
+        key = c[sel] * PACK + yr[sel]
+        uk, inv = np.unique(key, return_inverse=True)
+        s = np.zeros(len(uk), np.int64)
+        np.add.at(s, inv, m[sel])
+        return pa.table({"key": uk, "rev": s})
+
+    agg = (
+        orders.map_batches(_partial, batch_format="pyarrow")
+        .groupby("key")
+        .aggregate(Sum("rev", alias_name="rev"))
+        .materialize()
+    )
+
+    def _year_slice(year: int):
+        def _pick(t: pa.Table) -> pa.Table:
+            key = t["key"].to_numpy()
+            m = key % PACK == year
+            return pa.table(
+                {"custkey": key[m] // PACK, "rev": t["rev"].to_numpy()[m]}
+            )
+
+        return agg.map_batches(_pick, batch_format="pyarrow").materialize()
+
+    def _tile_arm(year: int, tag: int):
+        sliced = _year_slice(year)
+        n = np.int64(sliced.count())
+
+        def _tile(t: pa.Table) -> pa.Table:
+            p = t["ordinal"].to_numpy()
+            small = n // K
+            n_big = n % K
+            cut = n_big * (small + 1)
+            tile = np.where(
+                p < cut,
+                p // np.maximum(small + 1, 1),
+                n_big + (p - cut) // np.maximum(small, 1),
+            ) + 1
+            return pa.table(
+                {
+                    "custkey": t["custkey"],
+                    "tag": np.full(len(p), tag, np.int8),
+                    "tile": tile.astype(np.int64),
+                }
+            )
+
+        return sort_with_ordinal(
+            sliced, ["rev", "custkey"], descending=[True, False]
+        ).map_batches(_tile, batch_format="pyarrow")
+
+    arms = _tile_arm(y_from, 0).union(_tile_arm(y_to, 1))
+
+    def _bucket(t: pa.Table) -> pa.Table:
+        c = t["custkey"].to_numpy()
+        return t.append_column(
+            "b", pa.array((c % num_buckets).astype(np.int32))
+        )
+
+    def _matrix(g: pa.Table) -> pa.Table:
+        c = g["custkey"].to_numpy()
+        tag = g["tag"].to_numpy()
+        tile = g["tile"].to_numpy()
+        uc, inv = np.unique(c, return_inverse=True)
+        tf = np.zeros(len(uc), np.int64)
+        tt = np.zeros(len(uc), np.int64)
+        tf[inv[tag == 0]] = tile[tag == 0]
+        tt[inv[tag == 1]] = tile[tag == 1]
+        both = (tf > 0) & (tt > 0)
+        base = K + 1  # tiles are 1-based; base k would alias (t, k) pairs
+        key = tf[both] * base + tt[both]
+        uk, cnt = np.unique(key, return_counts=True)
+        return pa.table(
+            {"tile_from": uk // base, "tile_to": uk % base,
+             "n": cnt.astype(np.int64)}
+        )
+
+    out = (
+        arms.map_batches(_bucket, batch_format="pyarrow")
+        .groupby("b")
+        .map_groups(_matrix, batch_format="pyarrow")
+        .to_pandas()
+        .groupby(["tile_from", "tile_to"], sort=True)["n"].sum().reset_index()
+    )
+    return pa.table(
+        {
+            "tile_from": out["tile_from"].to_numpy().astype(np.int64),
+            "tile_to": out["tile_to"].to_numpy().astype(np.int64),
+            "n_customers": out["n"].to_numpy().astype(np.int64),
+        }
+    )

@@ -1376,3 +1376,41 @@ def test_local_bridges_triangle_plus_pendant(ray_session, tmp_path):
 
     got = local_bridges(str(tmp_path), num_buckets=4).to_pandas()
     assert [tuple(r) for r in got.itertuples(index=False)] == [(3, 4)]
+
+
+def test_customer_migration_quartile_flip(ray_session, tmp_path):
+    # 4 customers active both years; 1995 revenue order 1>2>3>4 (tiles
+    # 1..4), 1996 exactly reversed -> anti-diagonal matrix; customer 5
+    # active only in 1995 -> excluded
+    rows_ok, rows_ck, rows_dt, rows_tp = [], [], [], []
+    oid = 0
+    for ck, rev95, rev96 in [(1, 400, 10), (2, 300, 20), (3, 200, 30), (4, 100, 40)]:
+        for yr, rev in (("1995", rev95), ("1996", rev96)):
+            oid += 1
+            rows_ok.append(oid); rows_ck.append(ck)
+            rows_dt.append(f"{yr}-06-01"); rows_tp.append(float(rev))
+    oid += 1
+    rows_ok.append(oid); rows_ck.append(5)
+    rows_dt.append("1995-06-01"); rows_tp.append(999.0)
+    _write(
+        tmp_path,
+        "orders",
+        {
+            "o_orderkey": pa.array(rows_ok, pa.int64()),
+            "o_custkey": pa.array(rows_ck, pa.int64()),
+            "o_orderdate": pa.array(np.array(rows_dt, "datetime64[us]")),
+            "o_totalprice": pa.array(rows_tp),
+        },
+    )
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import (
+        customer_migration,
+    )
+
+    got = customer_migration(str(tmp_path)).to_pandas()
+    m = {(r.tile_from, r.tile_to): r.n_customers for r in got.itertuples()}
+    # customer 5 pushes everyone's 1995 tile down one... it has the top
+    # 1995 revenue (999) -> tiles 1995: c5=1, c1=2, c2=3, c3=4, c4=4?
+    # n=5, k=4 -> tile sizes 2,1,1,1 -> ranks: c5(999)=t1, c1(400)=t1,
+    # c2(300)=t2, c3(200)=t3, c4(100)=t4
+    # 1996 (only 4 customers): c4=1, c3=2, c2=3, c1=4
+    assert m == {(1, 4): 1, (2, 3): 1, (3, 2): 1, (4, 1): 1}
