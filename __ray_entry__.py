@@ -1134,6 +1134,31 @@ def _q_avg_neighbor_degree(sf_dir: str):
     return avg_neighbor_degree(sf_dir)
 
 
+def _q_events_disorder(sf_dir: str):
+    """Kendall-tau stream-disorder audit per user (ingestion order vs
+    event time); exact inversion counts."""
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import events_disorder
+
+    return events_disorder(sf_dir)
+
+
+def _q_weekday_revenue(sf_dir: str):
+    """ISO day-of-week revenue seasonality; pure int64 day arithmetic."""
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import weekday_revenue
+
+    return weekday_revenue(sf_dir)
+
+
+def _q_window_distinct_users(sf_dir: str):
+    """Exact distinct users per tumbling hour window (the exact
+    counterpart of the HLL pair)."""
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import (
+        window_distinct_users,
+    )
+
+    return window_distinct_users(sf_dir)
+
+
 def _q_customer_migration(sf_dir: str):
     """Year-over-year revenue-quartile transition matrix (NTILE closed
     form over sort ordinals, both-years inner join)."""
@@ -2005,6 +2030,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "two_hop_reach": _q_two_hop_reach,
         "local_bridges": _q_local_bridges,
         "customer_migration": _q_customer_migration,
+        "events_disorder": _q_events_disorder,
+        "weekday_revenue": _q_weekday_revenue,
+        "window_distinct_users": _q_window_distinct_users,
         "revenue_by_region": _q_revenue_by_region,
         "topk_parts_per_nation": _q_topk_parts,
         "documents_sample": _q_documents_sample,
@@ -4021,6 +4049,35 @@ def oracle_sql() -> dict[str, str]:
             "greatest(0, r.s + (b.value - 60.0)) FROM b "
             "JOIN r ON r.user_id = b.user_id AND b.pos = r.pos + 1) "
             "SELECT event_id, round(s, 6) AS cusum, s > 200.0 AS alarm FROM r"
+        ),
+        "events_disorder": (
+            # inversions = (i, j) pairs with event_id_i < event_id_j but
+            # ts_i > ts_j; τ = 1 − 4·inv/(n(n−1))
+            "WITH inv AS (SELECT a.user_id, CAST(count(*) AS BIGINT) AS iv "
+            "FROM events a JOIN events b2 ON a.user_id = b2.user_id "
+            "AND a.event_id < b2.event_id AND a.ts > b2.ts GROUP BY 1), "
+            "n AS (SELECT user_id, CAST(count(*) AS BIGINT) n FROM events "
+            "GROUP BY 1 HAVING count(*) >= 5) "
+            "SELECT n.user_id, n.n AS n_events, "
+            "CAST(coalesce(iv, 0) AS BIGINT) AS n_inversions, "
+            "round(1.0 - 4.0 * CAST(coalesce(iv, 0) AS DOUBLE) / "
+            "(CAST(n.n AS DOUBLE) * CAST(n.n - 1 AS DOUBLE)), 6) AS tau "
+            "FROM n LEFT JOIN inv USING (user_id)"
+        ),
+        "weekday_revenue": (
+            "WITH d AS (SELECT CAST(isodow(l_shipdate) AS BIGINT) dow, "
+            "sum(CAST(round(l_extendedprice * 100) AS BIGINT)) c "
+            "FROM lineitem GROUP BY 1), t AS (SELECT sum(c) tc FROM d) "
+            "SELECT dow AS isodow, c / 100.0 AS revenue, "
+            "round(CAST(c AS DOUBLE) / CAST(tc AS DOUBLE), 6) AS rev_share "
+            "FROM d CROSS JOIN t"
+        ),
+        "window_distinct_users": (
+            "WITH a AS (SELECT make_timestamp((epoch_us(ts) // 3600000000) "
+            "* 3600000000) AS ws, user_id FROM events) "
+            "SELECT ws AS window_start, CAST(count(*) AS BIGINT) AS n_events, "
+            "CAST(count(DISTINCT user_id) AS BIGINT) AS n_users "
+            "FROM a GROUP BY 1"
         ),
         "customer_migration": (
             # NTILE(4) per year over exact cents (rev DESC, custkey ASC),

@@ -6253,3 +6253,167 @@ def customer_migration(sf_dir: str, y_from: int = 1995, y_to: int = 1996,
             "n_customers": out["n"].to_numpy().astype(np.int64),
         }
     )
+
+
+def events_disorder(sf_dir: str, min_events: int = 5,
+                    num_buckets: int | None = None, round_to: int = 6):
+    """Stream-disorder audit: per user, how badly event arrival order
+    (event_id, the ingestion sequence) disagrees with event time (ts) →
+    (user_id, n_events, n_inversions, tau). An inversion is a pair where
+    the later-ingested event has the EARLIER timestamp; τ = 1 −
+    4·inv/(n·(n−1)) is Kendall's tau between the two orders. τ ≈ 1 =
+    clean append-only stream; low τ = backfill/clock-skew — decides
+    whether downstream sessionization can trust ingestion order.
+
+    Scale shape: the ONE-shuffle user-hash bucket machine; per user the
+    inversion count is a vectorized O(n²) pair compare on ranks (user
+    timelines are short; a mergesort count is the n ≫ 10⁴ swap-in).
+    Exact integer counts; τ is one rounded double expression."""
+    from ..functions.rounding import round_half_away
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "ts", "user_id"])
+    num_buckets = _auto_buckets(ds, num_buckets)
+
+    def _bucket(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy()
+        return t.append_column("b", pa.array((u % num_buckets).astype(np.int32)))
+
+    def _disorder(g: pa.Table) -> pa.Table:
+        u = g["user_id"].to_numpy()
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        eid = g["event_id"].to_numpy()
+        order = np.lexsort((ts, eid, u))  # by user, ingestion order
+        u, ts, eid = u[order], ts[order], eid[order]
+        starts = np.nonzero(np.r_[True, u[1:] != u[:-1]])[0]
+        ends = np.r_[starts[1:], len(u)]
+        uids, ns, invs = [], [], []
+        for s, e in zip(starts, ends):
+            n = e - s
+            if n < min_events:
+                continue
+            t_seq = ts[s:e]
+            # pairs (i < j in ingestion order) with ts_i > ts_j
+            inv = int(np.sum(np.triu(t_seq[:, None] > t_seq[None, :], k=1)))
+            uids.append(u[s]); ns.append(n); invs.append(inv)
+        uids = np.asarray(uids, np.int64)
+        ns = np.asarray(ns, np.int64)
+        invs = np.asarray(invs, np.int64)
+        tau = round_half_away(
+            1.0 - 4.0 * invs.astype(np.float64)
+            / (ns.astype(np.float64) * (ns - 1).astype(np.float64)),
+            round_to,
+        )
+        return pa.table(
+            {"user_id": uids, "n_events": ns, "n_inversions": invs, "tau": tau}
+        )
+
+    return (
+        ds.map_batches(_bucket, batch_format="pyarrow")
+        .groupby("b")
+        .map_groups(_disorder, batch_format="pyarrow")
+    )
+
+
+def weekday_revenue(sf_dir: str, round_to: int = 6):
+    """Calendar seasonality rollup: revenue by ISO day-of-week →
+    (isodow, revenue, rev_share). The demand-shape fingerprint feeding
+    staffing/forecast seasonal factors.
+
+    Scale shape: per-batch (dow, cents) partials (dow from pure int64
+    day arithmetic — (day+3) % 7 + 1 reproduces isodow, epoch day 0 was
+    a Thursday), one 7-row fold, one double division per row."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.rounding import round_half_away
+
+    li = read_table(sf_dir, "lineitem", columns=["l_shipdate", "l_extendedprice"])
+
+    def _partial(t: pa.Table) -> pa.Table:
+        day = t["l_shipdate"].to_numpy().astype("datetime64[D]").astype(np.int64)
+        dow = (day + 3) % 7 + 1
+        cents = np.round(t["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        u, inv = np.unique(dow, return_inverse=True)
+        s = np.zeros(len(u), np.int64)
+        np.add.at(s, inv, cents)
+        return pa.table({"isodow": u, "c": s})
+
+    out = (
+        li.map_batches(_partial, batch_format="pyarrow")
+        .groupby("isodow")
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()
+        .sort_values("isodow")
+    )
+    c = out["c"].to_numpy().astype(np.int64)
+    total = int(c.sum())
+    return pa.table(
+        {
+            "isodow": out["isodow"].to_numpy().astype(np.int64),
+            "revenue": c.astype(np.float64) / 100.0,
+            "rev_share": round_half_away(
+                c.astype(np.float64) / np.float64(total), round_to
+            ),
+        }
+    )
+
+
+def window_distinct_users(sf_dir: str, window_sec: int = 3600,
+                          num_buckets: int | None = None):
+    """EXACT distinct users per tumbling window → (window_start,
+    n_events, n_users) — the exact counterpart of the HLL sketch pair
+    (approx_distinct_users_daily), at window grain: dashboards want the
+    sketch, billing wants the exact count.
+
+    Scale shape: per-batch (window, user) dedup, ONE window-hash bucket
+    groupby finishes the global dedup and counts — users never leave
+    their window's bucket, and only (window, count) rows come back."""
+    ds = read_table(sf_dir, "events", columns=["ts", "user_id"])
+    num_buckets = _auto_buckets(ds, num_buckets)
+    W = np.int64(window_sec * 1_000_000)
+
+    def _assign(t: pa.Table) -> pa.Table:
+        ts = t["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        w = ts // W  # window INDEX (small) — raw µs would overflow the pack
+        u = t["user_id"].to_numpy().astype(np.int64)
+        if len(u) and (int(u.max()) >= (1 << 20) or int(w.max()) >= (1 << 43)):
+            raise ValueError("window_distinct_users: key exceeds 43/20-bit pack")
+        key = np.unique(w << np.int64(20) | u)
+        uw = key >> np.int64(20)
+        uu = key & np.int64((1 << 20) - 1)
+        # per-batch event counts per window ride separately (not deduped)
+        cw, cc = np.unique(w, return_counts=True)
+        return pa.table(
+            {
+                "w": np.concatenate([uw, cw]),
+                "u": np.concatenate([uu, np.full(len(cw), -1, np.int64)]),
+                "n": np.concatenate([np.zeros(len(uw), np.int64),
+                                     cc.astype(np.int64)]),
+                "b": (np.concatenate([uw, cw]) % num_buckets).astype(np.int32),
+            }
+        )
+
+    def _count(g: pa.Table) -> pa.Table:
+        w = g["w"].to_numpy()
+        u = g["u"].to_numpy()
+        n = g["n"].to_numpy()
+        users = u >= 0
+        key = np.unique(w[users] << np.int64(20) | u[users])
+        uw, cnt = np.unique(key >> np.int64(20), return_counts=True)
+        ew, einv = np.unique(w[~users], return_inverse=True)
+        ec = np.zeros(len(ew), np.int64)
+        np.add.at(ec, einv, n[~users])
+        # uw and ew cover the same windows (every window has ≥1 event)
+        order = np.searchsorted(uw, ew)
+        return pa.table(
+            {
+                "window_start": (ew * W).astype("datetime64[us]"),
+                "n_events": ec,
+                "n_users": cnt[order].astype(np.int64),
+            }
+        )
+
+    return (
+        ds.map_batches(_assign, batch_format="pyarrow")
+        .groupby("b")
+        .map_groups(_count, batch_format="pyarrow")
+    )

@@ -688,3 +688,68 @@ def test_events_holt_vs_python(ray_session):
                 l = l_new
             assert got.loc[eid, "level"] == round_half_away(np.array([l]), 6)[0]
             assert got.loc[eid, "trend"] == round_half_away(np.array([t]), 6)[0]
+
+
+def test_events_disorder_counts_inversions(ray_session, tmp_path):
+    """Hand-built stream: user 1 perfectly ordered (tau 1); user 2 fully
+    reversed (tau -1); short users dropped."""
+    import pyarrow.parquet as pq
+
+    base = np.datetime64("2025-06-01T00:00:00", "us")
+    rows = []
+    for i in range(6):  # user 1: ts increases with event_id
+        rows.append((100 + i, base + np.timedelta64(i, "m"), 1))
+    for i in range(6):  # user 2: ts decreases as event_id increases
+        rows.append((200 + i, base - np.timedelta64(i, "m"), 2))
+    rows.append((300, base, 3))  # user 3: too short, dropped
+    eid, ts, uid = zip(*rows)
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(eid, pa.int64()),
+                "ts": pa.array(np.array(ts, "datetime64[us]")),
+                "user_id": pa.array(uid, pa.int64()),
+            }
+        ),
+        tmp_path / "events.parquet",
+    )
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import events_disorder
+
+    got = events_disorder(str(tmp_path)).to_pandas().set_index("user_id")
+    assert got.loc[1, "n_inversions"] == 0 and got.loc[1, "tau"] == 1.0
+    assert got.loc[2, "n_inversions"] == 15 and got.loc[2, "tau"] == -1.0
+    assert 3 not in got.index
+
+
+def test_window_distinct_users_dedups_within_window(ray_session, tmp_path):
+    """Same user twice in one hour counts once; windows split on the
+    hour boundary."""
+    import pyarrow.parquet as pq
+
+    t0 = np.datetime64("2025-06-01T10:00:00", "us")
+    pq.write_table(
+        pa.table(
+            {
+                "ts": pa.array(
+                    np.array(
+                        [t0, t0 + np.timedelta64(10, "m"),
+                         t0 + np.timedelta64(20, "m"),
+                         t0 + np.timedelta64(61, "m")],
+                        "datetime64[us]",
+                    )
+                ),
+                "user_id": pa.array([1, 1, 2, 1], pa.int64()),
+            }
+        ),
+        tmp_path / "events.parquet",
+    )
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import (
+        window_distinct_users,
+    )
+
+    got = window_distinct_users(str(tmp_path)).to_pandas().sort_values(
+        "window_start"
+    ).reset_index(drop=True)
+    assert len(got) == 2
+    assert got.iloc[0]["n_events"] == 3 and got.iloc[0]["n_users"] == 2
+    assert got.iloc[1]["n_events"] == 1 and got.iloc[1]["n_users"] == 1
