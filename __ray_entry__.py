@@ -1159,6 +1159,31 @@ def _q_window_distinct_users(sf_dir: str):
     return window_distinct_users(sf_dir)
 
 
+def _q_scc_size_histogram(sf_dir: str):
+    """SCC size distribution of the part-successor graph (the bow-tie
+    core plus periphery, summarized): (n_members, n_components)."""
+    from subgraph_isomorphism_pregel_ray.pipelines.algorithms import scc
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import succ_edges
+
+    out, _ = scc(succ_edges(sf_dir), num_parts=8)
+    comp = out["scc"].to_numpy().view(np.int64)
+    _, sizes = np.unique(comp, return_counts=True)
+    u, c = np.unique(sizes, return_counts=True)
+    return pa.table(
+        {"n_members": u.astype(np.int64), "n_components": c.astype(np.int64)}
+    )
+
+
+def _q_doclen_histogram(sf_dir: str):
+    """Token-length histogram of the corpus in 64-token buckets — the
+    sequence-length profile that sizes pack_sequences' bins."""
+    from subgraph_isomorphism_pregel_ray.pipelines.textops import doclen_histogram
+    from subgraph_isomorphism_pregel_ray.sources.tables import read_table
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return doclen_histogram(docs)
+
+
 def _q_customer_migration(sf_dir: str):
     """Year-over-year revenue-quartile transition matrix (NTILE closed
     form over sort ordinals, both-years inner join)."""
@@ -2031,6 +2056,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "local_bridges": _q_local_bridges,
         "customer_migration": _q_customer_migration,
         "events_disorder": _q_events_disorder,
+        "scc_size_histogram": _q_scc_size_histogram,
+        "doclen_histogram": _q_doclen_histogram,
         "weekday_revenue": _q_weekday_revenue,
         "window_distinct_users": _q_window_distinct_users,
         "revenue_by_region": _q_revenue_by_region,
@@ -4049,6 +4076,32 @@ def oracle_sql() -> dict[str, str]:
             "greatest(0, r.s + (b.value - 60.0)) FROM b "
             "JOIN r ON r.user_id = b.user_id AND b.pos = r.pos + 1) "
             "SELECT event_id, round(s, 6) AS cusum, s > 200.0 AS alarm FROM r"
+        ),
+        "scc_size_histogram": (
+            # histogram over the scc_parts closure (same reachability CTE)
+            "WITH seq AS (SELECT l_orderkey, l_linenumber, l_partkey, "
+            "lag(l_partkey) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) "
+            "AS prev FROM lineitem WHERE l_quantity <= 8), "
+            "edges AS (SELECT DISTINCT prev AS src, l_partkey AS dst FROM seq "
+            "WHERE prev IS NOT NULL AND prev <> l_partkey), "
+            "verts AS (SELECT src AS v FROM edges UNION SELECT dst FROM edges), "
+            "reach AS (WITH RECURSIVE r(u, v) AS ("
+            "SELECT v, v FROM verts "
+            "UNION "
+            "SELECT r.u, e.dst FROM r JOIN edges e ON r.v = e.src) "
+            "SELECT u, v FROM r), "
+            "comp AS (SELECT a.u AS vid, MIN(a.v) AS scc FROM reach a "
+            "JOIN reach b ON a.u = b.v AND a.v = b.u GROUP BY a.u), "
+            "sz AS (SELECT scc, CAST(count(*) AS BIGINT) m FROM comp "
+            "GROUP BY 1) "
+            "SELECT m AS n_members, CAST(count(*) AS BIGINT) AS n_components "
+            "FROM sz GROUP BY 1"
+        ),
+        "doclen_histogram": (
+            "WITH n AS (SELECT CAST(len(list_filter(string_split(text, ' '), "
+            "x -> x <> '')) AS BIGINT) AS nt FROM documents) "
+            "SELECT nt // 64 AS len_bucket, (nt // 64) * 64 AS bucket_lo, "
+            "CAST(count(*) AS BIGINT) AS n_docs FROM n GROUP BY 1, 2"
         ),
         "events_disorder": (
             # inversions = (i, j) pairs with event_id_i < event_id_j but

@@ -2784,3 +2784,43 @@ def ngram_novelty(docs_ds, n: int = 5, num_buckets: int = 32,
         )
 
     return per_doc.map_batches(_frac, batch_format="pyarrow")
+
+
+def doclen_histogram(docs_ds, bucket_tokens: int = 64):
+    """Corpus sequence-length profile: documents histogrammed by
+    whitespace-token count in ``bucket_tokens``-wide buckets →
+    (len_bucket, bucket_lo, n_docs). The first thing to look at before
+    choosing :func:`chunk_documents` / ``pack_sequences`` parameters —
+    packing efficiency is a pure function of this histogram.
+
+    Scale shape: one linear map_batches emitting per-batch bucket
+    partials; a bucket-count-sized fold. Token counts use the corpus
+    convention (whitespace split, empties dropped)."""
+    from ray.data.aggregate import Sum
+
+    W = np.int64(bucket_tokens)
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        n = np.array(
+            [len(_space_tokens(t)) for t in batch["text"].to_pylist()],
+            np.int64,
+        )
+        b = n // W
+        u, c = np.unique(b, return_counts=True)
+        return pa.table({"len_bucket": u, "n": c.astype(np.int64)})
+
+    out = (
+        docs_ds.map_batches(_partial, batch_format="pyarrow")
+        .groupby("len_bucket")
+        .aggregate(Sum("n", alias_name="n_docs"))
+        .to_pandas()
+        .sort_values("len_bucket")
+    )
+    lb = out["len_bucket"].to_numpy().astype(np.int64)
+    return pa.table(
+        {
+            "len_bucket": lb,
+            "bucket_lo": lb * int(W),
+            "n_docs": out["n_docs"].to_numpy().astype(np.int64),
+        }
+    )

@@ -1491,3 +1491,29 @@ def test_cosine_histogram_known_geometry(ray_session):
     assert got.loc[19] == 1
     assert got.loc[10] == 3
     assert got.loc[0] == 2
+
+
+def test_doclen_histogram_buckets(ray_session):
+    import ray.data as rd
+
+    from subgraph_isomorphism_pregel_ray.pipelines.textops import doclen_histogram
+
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(4), pa.int64()),
+                "text": pa.array(
+                    [
+                        " ".join(["w"] * 10),    # bucket 0
+                        " ".join(["w"] * 63),    # bucket 0 (boundary below)
+                        " ".join(["w"] * 64),    # bucket 1 (boundary at)
+                        "",                       # 0 tokens -> bucket 0
+                    ]
+                ),
+            }
+        )
+    )
+    got = doclen_histogram(docs).to_pandas().set_index("len_bucket")
+    assert got.loc[0, "n_docs"] == 3
+    assert got.loc[1, "n_docs"] == 1
+    assert got.loc[1, "bucket_lo"] == 64
