@@ -1046,6 +1046,27 @@ def _q_ngram_novelty(sf_dir: str):
     return ngram_novelty(docs)
 
 
+def _q_split_leakage(sf_dir: str):
+    """Cross-split exact-duplicate audit over train_val_test_split's
+    pure-BIGINT bucket arithmetic; hash-bucket pair expansion."""
+    from subgraph_isomorphism_pregel_ray.pipelines.textops import split_leakage
+    from subgraph_isomorphism_pregel_ray.sources.tables import read_table
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return split_leakage(docs)
+
+
+def _q_dup_cluster_histogram(sf_dir: str):
+    """Exact-dup cluster-size distribution (md5 groups)."""
+    from subgraph_isomorphism_pregel_ray.pipelines.textops import (
+        dup_cluster_histogram,
+    )
+    from subgraph_isomorphism_pregel_ray.sources.tables import read_table
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return dup_cluster_histogram(docs)
+
+
 def _q_pii_density_by_source(sf_dir: str):
     """Per-source PII exposure rollup (emails-first counting, docs-with-
     PII rate); one linear pass + source-sized groupby."""
@@ -2058,6 +2079,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_disorder": _q_events_disorder,
         "scc_size_histogram": _q_scc_size_histogram,
         "doclen_histogram": _q_doclen_histogram,
+        "split_leakage": _q_split_leakage,
+        "dup_cluster_histogram": _q_dup_cluster_histogram,
         "weekday_revenue": _q_weekday_revenue,
         "window_distinct_users": _q_window_distinct_users,
         "revenue_by_region": _q_revenue_by_region,
@@ -4096,6 +4119,26 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY 1) "
             "SELECT m AS n_members, CAST(count(*) AS BIGINT) AS n_components "
             "FROM sz GROUP BY 1"
+        ),
+        "split_leakage": (
+            # split arithmetic identical to train_val_test_split; pairs
+            # of splits sharing a text hash
+            "WITH s AS (SELECT md5_number_lower(text) AS h, "
+            "CASE WHEN ((doc_id % 2147483648) * 2654435761 + 40503) "
+            "% 2147483648 % 100 < 80 THEN 'train' "
+            "WHEN ((doc_id % 2147483648) * 2654435761 + 40503) "
+            "% 2147483648 % 100 < 90 THEN 'val' ELSE 'test' END AS sp "
+            "FROM documents), "
+            "ds AS (SELECT DISTINCT h, sp FROM s) "
+            "SELECT a.sp AS split_a, b.sp AS split_b, "
+            "CAST(count(*) AS BIGINT) AS n_shared_texts "
+            "FROM ds a JOIN ds b ON a.h = b.h AND a.sp < b.sp GROUP BY 1, 2"
+        ),
+        "dup_cluster_histogram": (
+            "WITH c AS (SELECT md5(text) h, CAST(count(*) AS BIGINT) n "
+            "FROM documents GROUP BY 1) "
+            "SELECT n AS cluster_size, CAST(count(*) AS BIGINT) AS n_clusters "
+            "FROM c GROUP BY 1"
         ),
         "doclen_histogram": (
             "WITH n AS (SELECT CAST(len(list_filter(string_split(text, ' '), "

@@ -2824,3 +2824,141 @@ def doclen_histogram(docs_ds, bucket_tokens: int = 64):
             "n_docs": out["n_docs"].to_numpy().astype(np.int64),
         }
     )
+
+
+def split_leakage(docs_ds, train_pct: int = 80, val_pct: int = 10,
+                  num_buckets: int = 32):
+    """Train/val/test LEAKAGE audit: distinct text hashes appearing in
+    MORE THAN ONE split of :func:`train_val_test_split` →
+    (split_a, split_b, n_shared_texts), lexicographic pairs. The release
+    gate after splitting: any nonzero row means eval numbers are
+    contaminated by memorizable duplicates.
+
+    Scale shape: one linear pass emits distinct (text-hash, split-id)
+    pairs per batch (split recomputed from the SAME pure-BIGINT
+    arithmetic as the split op — no join back); ONE hash-bucket groupby
+    dedups globally and expands each hash's split set into pairs; the
+    fold is 3×3-sized."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.hashing import md5_lower64
+
+    B = np.int64(num_buckets)
+    ring = np.int64(1) << 31
+    cut1, cut2 = np.int64(train_pct), np.int64(train_pct + val_pct)
+    code = {"train": 1, "val": 2, "test": 0}
+
+    def _pairs(batch: pa.Table) -> pa.Table:
+        key = batch["doc_id"].to_numpy().astype(np.int64)
+        b = (
+            ((key % ring) * np.int64(2654435761) + np.int64(40503)) % ring
+        ) % np.int64(100)
+        sid = np.where(b < cut1, code["train"],
+                       np.where(b < cut2, code["val"], code["test"]))
+        h = md5_lower64(np.asarray(batch["text"].to_pylist(), dtype=object))
+        hv = h.view(np.int64)
+        k = np.unique(hv << np.int64(2) | sid)  # split id < 4
+        hv2 = k >> np.int64(2)
+        return pa.table(
+            {"h": hv2, "sid": (k & np.int64(3)),
+             "b": (hv2.view(np.uint64) % np.uint64(B)).astype(np.int32)}
+        )
+
+    def _expand(g: pa.Table) -> pa.Table:
+        h = g["h"].to_numpy()
+        sid = g["sid"].to_numpy()
+        k = np.unique(h << np.int64(2) | sid)
+        h, sid = k >> np.int64(2), k & np.int64(3)
+        starts = np.nonzero(np.r_[True, h[1:] != h[:-1]])[0]
+        ends = np.r_[starts[1:], len(h)]
+        aa, bb = [], []
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            ss = np.sort(sid[s:e])
+            ia, ib = np.triu_indices(len(ss), k=1)
+            aa.append(ss[ia]); bb.append(ss[ib])
+        if not aa:
+            return pa.table({"sa": np.array([], np.int64),
+                             "sb": np.array([], np.int64),
+                             "n": np.array([], np.int64)})
+        sa, sb = np.concatenate(aa), np.concatenate(bb)
+        key, cnt = np.unique(sa << np.int64(2) | sb, return_counts=True)
+        return pa.table(
+            {"sa": key >> np.int64(2), "sb": key & np.int64(3),
+             "n": cnt.astype(np.int64)}
+        )
+
+    raw = (
+        docs_ds.map_batches(_pairs, batch_format="pyarrow")
+        .groupby("b").map_groups(_expand, batch_format="pyarrow")
+        .to_pandas()
+    )
+    empty = pa.table(
+        {
+            "split_a": pa.array([], pa.string()),
+            "split_b": pa.array([], pa.string()),
+            "n_shared_texts": pa.array([], pa.int64()),
+        }
+    )
+    if len(raw) == 0:  # clean corpus: an all-empty groupby drops columns
+        return empty
+    df = raw.groupby(["sa", "sb"], sort=True)["n"].sum().reset_index()
+    # split codes 0=test, 1=train, 2=val are chosen so numeric order ==
+    # lexicographic name order — pairs sorted by code are already sorted
+    # by name
+    code_names = np.asarray(["test", "train", "val"], dtype=object)
+    return pa.table(
+        {
+            "split_a": pa.array(
+                list(code_names[df["sa"].to_numpy()]), pa.string()
+            ),
+            "split_b": pa.array(
+                list(code_names[df["sb"].to_numpy()]), pa.string()
+            ),
+            "n_shared_texts": df["n"].to_numpy().astype(np.int64),
+        }
+    )
+
+
+def dup_cluster_histogram(docs_ds, num_buckets: int = 32):
+    """Exact-duplicate cluster-size distribution: texts grouped by md5,
+    clusters histogrammed by size → (cluster_size, n_clusters). The
+    shape of this histogram decides the dedup strategy: a fat tail of
+    big clusters = boilerplate (cheap wins); all-2 clusters = true
+    near-dups (needs MinHash).
+
+    Scale shape: per-batch (hash, count) partials, ONE hash groupby, a
+    cluster-size-sized second fold."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.hashing import md5_lower64
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        h = md5_lower64(np.asarray(batch["text"].to_pylist(), dtype=object))
+        u, c = np.unique(h.view(np.int64), return_counts=True)
+        return pa.table({"h": u, "n": c.astype(np.int64)})
+
+    per_hash = (
+        docs_ds.map_batches(_partial, batch_format="pyarrow")
+        .groupby("h")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def _sizes(t: pa.Table) -> pa.Table:
+        u, c = np.unique(t["n"].to_numpy().astype(np.int64), return_counts=True)
+        return pa.table({"cluster_size": u, "nc": c.astype(np.int64)})
+
+    out = (
+        per_hash.map_batches(_sizes, batch_format="pyarrow")
+        .groupby("cluster_size")
+        .aggregate(Sum("nc", alias_name="n_clusters"))
+        .to_pandas()
+        .sort_values("cluster_size")
+    )
+    return pa.table(
+        {
+            "cluster_size": out["cluster_size"].to_numpy().astype(np.int64),
+            "n_clusters": out["n_clusters"].to_numpy().astype(np.int64),
+        }
+    )

@@ -1517,3 +1517,45 @@ def test_doclen_histogram_buckets(ray_session):
     assert got.loc[0, "n_docs"] == 3
     assert got.loc[1, "n_docs"] == 1
     assert got.loc[1, "bucket_lo"] == 64
+
+
+def test_split_leakage_detects_cross_split_dups(ray_session):
+    """Same text planted in a train doc and a test doc -> one
+    (test, train) leakage row; unique texts are silent."""
+    import ray.data as rd
+
+    from subgraph_isomorphism_pregel_ray.pipelines.textops import split_leakage
+
+    def bucket(i):
+        return ((i % 2**31) * 2654435761 + 40503) % 2**31 % 100
+
+    train_id = next(i for i in range(1000) if bucket(i) < 80)
+    test_id = next(i for i in range(1000) if bucket(i) >= 90)
+    other_train = next(
+        i for i in range(1000) if bucket(i) < 80 and i != train_id
+    )
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(
+                    [train_id, test_id, other_train], pa.int64()
+                ),
+                "text": pa.array(
+                    ["leaked text body", "leaked text body", "unique text"]
+                ),
+            }
+        )
+    )
+    got = split_leakage(docs, num_buckets=4).to_pandas()
+    assert len(got) == 1
+    assert tuple(got.iloc[0]) == ("test", "train", 1)
+    # clean corpus -> empty frame with the right schema
+    clean = rd.from_arrow(
+        pa.table(
+            {"doc_id": pa.array([1, 2], pa.int64()),
+             "text": pa.array(["a", "b"])}
+        )
+    )
+    empty = split_leakage(clean, num_buckets=4).to_pandas()
+    assert len(empty) == 0
+    assert list(empty.columns) == ["split_a", "split_b", "n_shared_texts"]
