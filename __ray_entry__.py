@@ -392,6 +392,19 @@ def _q_kcore(sf_dir: str):
     )
 
 
+def _q_kshell_histogram(sf_dir: str):
+    """k-shell occupancy: vertices per coreness value (the onion summary
+    of the kcore decomposition)."""
+    from subgraph_isomorphism_pregel_ray.pipelines.algorithms import kcore
+
+    res, _ = kcore(_sym_copurchase(sf_dir), num_parts=4)
+    core = res["core"].to_numpy().astype(np.int64)
+    u, c = np.unique(core, return_counts=True)
+    return pa.table(
+        {"core": u, "n_vertices": c.astype(np.int64)}
+    )
+
+
 def _q_ktruss(sf_dir: str):
     from subgraph_isomorphism_pregel_ray.pipelines.algorithms import ktruss_bsp
 
@@ -1203,6 +1216,16 @@ def _q_doclen_histogram(sf_dir: str):
 
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     return doclen_histogram(docs)
+
+
+def _q_order_value_magnitude(sf_dir: str):
+    """Decimal-magnitude histogram of order values; exact integer
+    power-of-ten binning (no float log)."""
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import (
+        order_value_magnitude,
+    )
+
+    return order_value_magnitude(sf_dir)
 
 
 def _q_customer_migration(sf_dir: str):
@@ -2081,6 +2104,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doclen_histogram": _q_doclen_histogram,
         "split_leakage": _q_split_leakage,
         "dup_cluster_histogram": _q_dup_cluster_histogram,
+        "kshell_histogram": _q_kshell_histogram,
+        "order_value_magnitude": _q_order_value_magnitude,
         "weekday_revenue": _q_weekday_revenue,
         "window_distinct_users": _q_window_distinct_users,
         "revenue_by_region": _q_revenue_by_region,
@@ -4120,6 +4145,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT m AS n_members, CAST(count(*) AS BIGINT) AS n_components "
             "FROM sz GROUP BY 1"
         ),
+        "order_value_magnitude": (
+            # digit count of exact integer cents = ⌊log10⌋ + 1
+            "WITH c AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) "
+            "AS cents FROM orders) "
+            "SELECT CAST(length(CAST(cents AS VARCHAR)) - 1 AS BIGINT) "
+            "AS magnitude, CAST(count(*) AS BIGINT) AS n_orders "
+            "FROM c GROUP BY 1"
+        ),
         "split_leakage": (
             # split arithmetic identical to train_val_test_split; pairs
             # of splits sharing a text hash
@@ -4719,6 +4752,10 @@ def oracle_sql() -> dict[str, str]:
         "lpa_copurchase": _lpa_sql(LPA_ITERS),
         "seeded_labels_copurchase": _seeded_lpa_sql(LPA_ITERS),
         "kcore_copurchase": _kcore_sql(),
+        "kshell_histogram": (
+            f"SELECT core, CAST(count(*) AS BIGINT) AS n_vertices "
+            f"FROM ({_kcore_sql()}) GROUP BY 1"
+        ),
         "ktruss_copurchase": _ktruss_sql(),
         "fingerprint": _fingerprint_sql(),
         "winnow_fingerprints": _winnow_sql(),

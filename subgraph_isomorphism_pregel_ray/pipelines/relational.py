@@ -6417,3 +6417,38 @@ def window_distinct_users(sf_dir: str, window_sec: int = 3600,
         .groupby("b")
         .map_groups(_count, batch_format="pyarrow")
     )
+
+
+def order_value_magnitude(sf_dir: str):
+    """Log-scale (decimal-magnitude) histogram of order values →
+    (magnitude, n_orders): magnitude = ⌊log₁₀(total cents)⌋ computed by
+    EXACT integer power-of-ten comparison (np.digitize against 10^k — no
+    float log, so the SQL's digit-count reproduces it bit-exactly).
+    The heavy-tail shape check (Benford-adjacent) for transaction values.
+
+    Scale shape: per-batch partial histogram, one ≤19-row fold."""
+    from ray.data.aggregate import Sum
+
+    orders = read_table(sf_dir, "orders", columns=["o_totalprice"])
+    pows = 10 ** np.arange(1, 19, dtype=np.int64)
+
+    def _partial(t: pa.Table) -> pa.Table:
+        cents = np.round(t["o_totalprice"].to_numpy() * 100).astype(np.int64)
+        mag = np.digitize(cents, pows)
+        u, c = np.unique(mag, return_counts=True)
+        return pa.table({"magnitude": u.astype(np.int64),
+                         "n": c.astype(np.int64)})
+
+    out = (
+        orders.map_batches(_partial, batch_format="pyarrow")
+        .groupby("magnitude")
+        .aggregate(Sum("n", alias_name="n_orders"))
+        .to_pandas()
+        .sort_values("magnitude")
+    )
+    return pa.table(
+        {
+            "magnitude": out["magnitude"].to_numpy().astype(np.int64),
+            "n_orders": out["n_orders"].to_numpy().astype(np.int64),
+        }
+    )

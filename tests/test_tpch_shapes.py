@@ -1414,3 +1414,21 @@ def test_customer_migration_quartile_flip(ray_session, tmp_path):
     # c2(300)=t2, c3(200)=t3, c4(100)=t4
     # 1996 (only 4 customers): c4=1, c3=2, c2=3, c1=4
     assert m == {(1, 4): 1, (2, 3): 1, (3, 2): 1, (4, 1): 1}
+
+
+def test_order_value_magnitude_exact_boundaries(ray_session, tmp_path):
+    # cents: 99 -> mag 1, 100 -> mag 2 (boundary), 9.99 -> 999 cents mag 2,
+    # 10.00 -> 1000 cents mag 3
+    _write(
+        tmp_path,
+        "orders",
+        {"o_totalprice": pa.array([0.99, 1.00, 9.99, 10.00])},
+    )
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import (
+        order_value_magnitude,
+    )
+
+    got = order_value_magnitude(str(tmp_path)).to_pandas().set_index("magnitude")
+    assert got.loc[1, "n_orders"] == 1   # 99 cents
+    assert got.loc[2, "n_orders"] == 2   # 100, 999
+    assert got.loc[3, "n_orders"] == 1   # 1000
