@@ -1218,6 +1218,16 @@ def _q_doclen_histogram(sf_dir: str):
     return doclen_histogram(docs)
 
 
+def _q_user_activity_streaks(sf_dir: str):
+    """Gaps-and-islands: longest consecutive-active-day streak per user;
+    one user-hash bucket shuffle, loop-free run detection."""
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import (
+        user_activity_streaks,
+    )
+
+    return user_activity_streaks(sf_dir)
+
+
 def _q_order_value_magnitude(sf_dir: str):
     """Decimal-magnitude histogram of order values; exact integer
     power-of-ten binning (no float log)."""
@@ -2106,6 +2116,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_cluster_histogram": _q_dup_cluster_histogram,
         "kshell_histogram": _q_kshell_histogram,
         "order_value_magnitude": _q_order_value_magnitude,
+        "user_activity_streaks": _q_user_activity_streaks,
         "weekday_revenue": _q_weekday_revenue,
         "window_distinct_users": _q_window_distinct_users,
         "revenue_by_region": _q_revenue_by_region,
@@ -4144,6 +4155,20 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY 1) "
             "SELECT m AS n_members, CAST(count(*) AS BIGINT) AS n_components "
             "FROM sz GROUP BY 1"
+        ),
+        "user_activity_streaks": (
+            # classic islands: day − row_number() groups consecutive runs
+            "WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day "
+            "FROM events), "
+            "r AS (SELECT user_id, day, day - CAST(row_number() OVER "
+            "(PARTITION BY user_id ORDER BY day) AS INTEGER) AS grp FROM d), "
+            "runs AS (SELECT user_id, CAST(count(*) AS BIGINT) len "
+            "FROM r GROUP BY user_id, grp) "
+            "SELECT user_id, "
+            "(SELECT CAST(count(*) AS BIGINT) FROM d d2 "
+            "WHERE d2.user_id = runs.user_id) AS n_active_days, "
+            "CAST(max(len) AS BIGINT) AS longest_streak "
+            "FROM runs GROUP BY user_id"
         ),
         "order_value_magnitude": (
             # digit count of exact integer cents = ⌊log10⌋ + 1

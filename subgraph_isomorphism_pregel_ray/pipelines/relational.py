@@ -6452,3 +6452,55 @@ def order_value_magnitude(sf_dir: str):
             "n_orders": out["n_orders"].to_numpy().astype(np.int64),
         }
     )
+
+
+def user_activity_streaks(sf_dir: str, num_buckets: int | None = None):
+    """Gaps-and-islands: per user, the LONGEST run of consecutive active
+    calendar days and the active-day count → (user_id, n_active_days,
+    longest_streak). The engagement metric behind every "7-day streak"
+    badge, and the canonical SQL islands problem (day − row_number()
+    grouping) done distributed.
+
+    Scale shape: the ONE-shuffle user-hash bucket machine; per bucket,
+    distinct (user, day) pairs come from one np.unique, runs from one
+    shifted compare on the day-sorted array — no per-user loop."""
+    ds = read_table(sf_dir, "events", columns=["ts", "user_id"])
+    num_buckets = _auto_buckets(ds, num_buckets)
+
+    def _bucket(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy()
+        return t.append_column("b", pa.array((u % num_buckets).astype(np.int32)))
+
+    def _streaks(g: pa.Table) -> pa.Table:
+        u = g["user_id"].to_numpy().astype(np.int64)
+        day = g["ts"].to_numpy().astype("datetime64[D]").astype(np.int64)
+        if len(u) and (int(day.max()) >= (1 << 22) or int(u.max()) >= (1 << 41)):
+            raise ValueError("user_activity_streaks: key exceeds 41/22-bit pack")
+        key = np.unique(u << np.int64(22) | day)  # distinct (user, day)
+        u2 = key >> np.int64(22)
+        d2 = key & np.int64((1 << 22) - 1)
+        # runs: same user AND day exactly +1 from previous row
+        cont = np.zeros(len(u2), bool)
+        if len(u2) > 1:
+            cont[1:] = (u2[1:] == u2[:-1]) & (d2[1:] == d2[:-1] + 1)
+        run_start = np.nonzero(~cont)[0]
+        run_id = np.cumsum(~cont) - 1
+        run_len = np.bincount(run_id)
+        # longest run per user: runs are user-contiguous
+        run_user = u2[run_start]
+        uu, uinv = np.unique(run_user, return_inverse=True)
+        longest = np.zeros(len(uu), np.int64)
+        np.maximum.at(longest, uinv, run_len)
+        n_days = np.bincount(
+            np.searchsorted(uu, u2), minlength=len(uu)
+        ).astype(np.int64)
+        return pa.table(
+            {"user_id": uu, "n_active_days": n_days,
+             "longest_streak": longest}
+        )
+
+    return (
+        ds.map_batches(_bucket, batch_format="pyarrow")
+        .groupby("b")
+        .map_groups(_streaks, batch_format="pyarrow")
+    )

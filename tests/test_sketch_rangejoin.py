@@ -753,3 +753,32 @@ def test_window_distinct_users_dedups_within_window(ray_session, tmp_path):
     assert len(got) == 2
     assert got.iloc[0]["n_events"] == 3 and got.iloc[0]["n_users"] == 2
     assert got.iloc[1]["n_events"] == 1 and got.iloc[1]["n_users"] == 1
+
+
+def test_user_activity_streaks_islands(ray_session, tmp_path):
+    """User 1: days {1,2,3, 7,8} -> longest 3, active 5; user 2: single
+    day; duplicate events on one day count once."""
+    import pyarrow.parquet as pq
+
+    days = ["2025-06-01", "2025-06-02", "2025-06-03", "2025-06-07",
+            "2025-06-08", "2025-06-01"]
+    uid = [1, 1, 1, 1, 1, 1]  # last row duplicates day 1
+    days += ["2025-06-05"]
+    uid += [2]
+    pq.write_table(
+        pa.table(
+            {
+                "ts": pa.array(np.array(days, "datetime64[us]")),
+                "user_id": pa.array(uid, pa.int64()),
+            }
+        ),
+        tmp_path / "events.parquet",
+    )
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import (
+        user_activity_streaks,
+    )
+
+    got = user_activity_streaks(str(tmp_path)).to_pandas().set_index("user_id")
+    assert got.loc[1, "n_active_days"] == 5
+    assert got.loc[1, "longest_streak"] == 3
+    assert got.loc[2, "longest_streak"] == 1
