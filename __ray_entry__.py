@@ -1228,6 +1228,16 @@ def _q_user_activity_streaks(sf_dir: str):
     return user_activity_streaks(sf_dir)
 
 
+def _q_benford_first_digit(sf_dir: str):
+    """Benford leading-digit screen on exact integer cents; observed vs
+    log10(1+1/d) expectation."""
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import (
+        benford_first_digit,
+    )
+
+    return benford_first_digit(sf_dir)
+
+
 def _q_order_value_magnitude(sf_dir: str):
     """Decimal-magnitude histogram of order values; exact integer
     power-of-ten binning (no float log)."""
@@ -2117,6 +2127,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kshell_histogram": _q_kshell_histogram,
         "order_value_magnitude": _q_order_value_magnitude,
         "user_activity_streaks": _q_user_activity_streaks,
+        "benford_first_digit": _q_benford_first_digit,
         "weekday_revenue": _q_weekday_revenue,
         "window_distinct_users": _q_window_distinct_users,
         "revenue_by_region": _q_revenue_by_region,
@@ -4155,6 +4166,18 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY 1) "
             "SELECT m AS n_members, CAST(count(*) AS BIGINT) AS n_components "
             "FROM sz GROUP BY 1"
+        ),
+        "benford_first_digit": (
+            # leading digit from the decimal string of exact cents
+            "WITH c AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) "
+            "AS cents FROM orders WHERE round(o_totalprice * 100) > 0), "
+            "d AS (SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) "
+            "AS BIGINT) AS digit, CAST(count(*) AS BIGINT) AS n_orders "
+            "FROM c GROUP BY 1), t AS (SELECT sum(n_orders) tn FROM d) "
+            "SELECT digit, n_orders, "
+            "round(CAST(n_orders AS DOUBLE) / CAST(tn AS DOUBLE), 6) AS share, "
+            "round(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 6) AS expected "
+            "FROM d CROSS JOIN t"
         ),
         "user_activity_streaks": (
             # classic islands: day − row_number() groups consecutive runs

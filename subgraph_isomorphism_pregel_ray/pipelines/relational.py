@@ -6504,3 +6504,53 @@ def user_activity_streaks(sf_dir: str, num_buckets: int | None = None):
         .groupby("b")
         .map_groups(_streaks, batch_format="pyarrow")
     )
+
+
+def benford_first_digit(sf_dir: str, round_to: int = 6):
+    """Benford's-law fraud screen on order values → (digit, n_orders,
+    share, expected): observed leading-digit distribution of the exact
+    integer cents vs the Benford expectation log₁₀(1 + 1/d). The
+    deviation pattern is the standard first-pass anomaly test on
+    transaction amounts.
+
+    Scale shape: leading digit by exact integer arithmetic (power-of-ten
+    digitize + one integer division — no float log on the data path);
+    per-batch 9-bin partials, one 9-row fold, rounded doubles only in
+    the final expectation/share columns."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.rounding import round_half_away
+
+    orders = read_table(sf_dir, "orders", columns=["o_totalprice"])
+    pows = 10 ** np.arange(1, 19, dtype=np.int64)
+
+    def _partial(t: pa.Table) -> pa.Table:
+        cents = np.round(t["o_totalprice"].to_numpy() * 100).astype(np.int64)
+        cents = cents[cents > 0]
+        mag = np.digitize(cents, pows)
+        lead = cents // (10 ** mag.astype(np.int64))
+        u, c = np.unique(lead, return_counts=True)
+        return pa.table({"digit": u.astype(np.int64), "n": c.astype(np.int64)})
+
+    out = (
+        orders.map_batches(_partial, batch_format="pyarrow")
+        .groupby("digit")
+        .aggregate(Sum("n", alias_name="n_orders"))
+        .to_pandas()
+        .sort_values("digit")
+    )
+    d = out["digit"].to_numpy().astype(np.int64)
+    n = out["n_orders"].to_numpy().astype(np.int64)
+    total = int(n.sum())
+    return pa.table(
+        {
+            "digit": d,
+            "n_orders": n,
+            "share": round_half_away(
+                n.astype(np.float64) / np.float64(total), round_to
+            ),
+            "expected": round_half_away(
+                np.log10(1.0 + 1.0 / d.astype(np.float64)), round_to
+            ),
+        }
+    )

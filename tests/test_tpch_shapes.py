@@ -1432,3 +1432,22 @@ def test_order_value_magnitude_exact_boundaries(ray_session, tmp_path):
     assert got.loc[1, "n_orders"] == 1   # 99 cents
     assert got.loc[2, "n_orders"] == 2   # 100, 999
     assert got.loc[3, "n_orders"] == 1   # 1000
+
+
+def test_benford_first_digit_leading_extraction(ray_session, tmp_path):
+    # cents: 1 -> d1, 95 -> d9, 123 -> d1, 20000 -> d2; zero excluded
+    _write(
+        tmp_path,
+        "orders",
+        {"o_totalprice": pa.array([0.01, 0.95, 1.23, 200.0, 0.0])},
+    )
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import (
+        benford_first_digit,
+    )
+
+    got = benford_first_digit(str(tmp_path)).to_pandas().set_index("digit")
+    assert got.loc[1, "n_orders"] == 2
+    assert got.loc[9, "n_orders"] == 1
+    assert got.loc[2, "n_orders"] == 1
+    assert got["n_orders"].sum() == 4
+    assert round(got.loc[1, "expected"], 6) == round(np.log10(2), 6)
