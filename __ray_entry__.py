@@ -1228,6 +1228,16 @@ def _q_user_activity_streaks(sf_dir: str):
     return user_activity_streaks(sf_dir)
 
 
+def _q_conversion_latency(sf_dir: str):
+    """First-view→first-subsequent-purchase latency rollup; whole-second
+    exact int fold, one division."""
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import (
+        conversion_latency,
+    )
+
+    return conversion_latency(sf_dir)
+
+
 def _q_benford_first_digit(sf_dir: str):
     """Benford leading-digit screen on exact integer cents; observed vs
     log10(1+1/d) expectation."""
@@ -2128,6 +2138,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_value_magnitude": _q_order_value_magnitude,
         "user_activity_streaks": _q_user_activity_streaks,
         "benford_first_digit": _q_benford_first_digit,
+        "conversion_latency": _q_conversion_latency,
         "weekday_revenue": _q_weekday_revenue,
         "window_distinct_users": _q_window_distinct_users,
         "revenue_by_region": _q_revenue_by_region,
@@ -4166,6 +4177,22 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY 1) "
             "SELECT m AS n_members, CAST(count(*) AS BIGINT) AS n_components "
             "FROM sz GROUP BY 1"
+        ),
+        "conversion_latency": (
+            # first view → first purchase at/after it; integer-µs floor
+            # division (datediff('second') would count boundaries, not
+            # elapsed seconds)
+            "WITH f AS (SELECT user_id, min(ts) ft FROM events "
+            "WHERE event_type = 'view' GROUP BY 1), "
+            "c AS (SELECT f.user_id, f.ft, min(e.ts) AS ct FROM f "
+            "JOIN events e ON e.user_id = f.user_id "
+            "AND e.event_type = 'purchase' AND e.ts >= f.ft GROUP BY 1, 2), "
+            "l AS (SELECT (epoch_us(ct) - epoch_us(ft)) // 1000000 AS lat "
+            "FROM c) "
+            "SELECT CAST(count(*) AS BIGINT) AS n_converters, "
+            "CAST(sum(lat) AS BIGINT) AS total_latency_sec, "
+            "CAST(sum(lat) AS DOUBLE) / CAST(count(*) AS DOUBLE) "
+            "AS avg_latency_sec FROM l"
         ),
         "benford_first_digit": (
             # leading digit from the decimal string of exact cents

@@ -6554,3 +6554,73 @@ def benford_first_digit(sf_dir: str, round_to: int = 6):
             ),
         }
     )
+
+
+def conversion_latency(sf_dir: str, from_type: str = "view",
+                       to_type: str = "purchase",
+                       num_buckets: int | None = None):
+    """Conversion-latency rollup: per user, seconds from their FIRST
+    ``from_type`` event to the first ``to_type`` event AFTER it; corpus
+    rollup → one row (n_converters, total_latency_sec, avg_latency_sec).
+    The time-to-value headline behind every funnel dashboard.
+
+    Scale shape: the ONE-shuffle user-hash bucket machine; per bucket one
+    lexsort finds each user's first trigger and the first conversion
+    after it (searchsorted, no loop); whole-second int64 latencies fold
+    exactly; avg = ONE double division after the final fold."""
+    ds = read_table(sf_dir, "events", columns=["ts", "user_id", "event_type"])
+    num_buckets = _auto_buckets(ds, num_buckets)
+
+    def _bucket(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy()
+        return t.append_column("b", pa.array((u % num_buckets).astype(np.int32)))
+
+    def _latency(g: pa.Table) -> pa.Table:
+        u = g["user_id"].to_numpy().astype(np.int64)
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        et = g["event_type"].to_numpy(zero_copy_only=False)
+        is_from = et == from_type
+        is_to = et == to_type
+        # first trigger per user
+        fu, finv = np.unique(u[is_from], return_inverse=True)
+        fts = np.full(len(fu), np.iinfo(np.int64).max, np.int64)
+        np.minimum.at(fts, finv, ts[is_from])
+        # first conversion AFTER the trigger, per user
+        tu = u[is_to]
+        tts = ts[is_to]
+        order = np.lexsort((tts, tu))
+        tu, tts = tu[order], tts[order]
+        n_conv = 0
+        total = 0
+        starts = np.searchsorted(tu, fu)
+        ends = np.searchsorted(tu, fu, side="right")
+        for i in range(len(fu)):
+            s, e = starts[i], ends[i]
+            if s == e:
+                continue
+            pos = np.searchsorted(tts[s:e], fts[i])
+            if pos < e - s:
+                n_conv += 1
+                total += int((tts[s + pos] - fts[i]) // 1_000_000)
+        return pa.table(
+            {"n": np.array([n_conv], np.int64),
+             "t": np.array([total], np.int64)}
+        )
+
+    out = (
+        ds.map_batches(_bucket, batch_format="pyarrow")
+        .groupby("b")
+        .map_groups(_latency, batch_format="pyarrow")
+        .to_pandas()
+    )
+    n = int(out["n"].sum())
+    t = int(out["t"].sum())
+    return pa.table(
+        {
+            "n_converters": np.array([n], np.int64),
+            "total_latency_sec": np.array([t], np.int64),
+            "avg_latency_sec": np.array(
+                [np.float64(t) / np.float64(n)], np.float64
+            ),
+        }
+    )

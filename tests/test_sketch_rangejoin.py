@@ -782,3 +782,38 @@ def test_user_activity_streaks_islands(ray_session, tmp_path):
     assert got.loc[1, "n_active_days"] == 5
     assert got.loc[1, "longest_streak"] == 3
     assert got.loc[2, "longest_streak"] == 1
+
+
+def test_conversion_latency_first_after_trigger(ray_session, tmp_path):
+    """Purchase BEFORE the first view doesn't count; the first purchase
+    at/after it does; non-converters excluded."""
+    import pyarrow.parquet as pq
+
+    t0 = np.datetime64("2025-06-01T00:00:00", "us")
+    rows = [
+        (t0 - np.timedelta64(60, "s"), 1, "purchase"),  # before first view
+        (t0, 1, "view"),
+        (t0 + np.timedelta64(90, "s"), 1, "purchase"),  # counts: 90 s
+        (t0 + np.timedelta64(500, "s"), 1, "purchase"),  # later, ignored
+        (t0, 2, "view"),                                 # never converts
+        (t0, 3, "purchase"),                             # no view at all
+    ]
+    ts, uid, et = zip(*rows)
+    pq.write_table(
+        pa.table(
+            {
+                "ts": pa.array(np.array(ts, "datetime64[us]")),
+                "user_id": pa.array(uid, pa.int64()),
+                "event_type": pa.array(et),
+            }
+        ),
+        tmp_path / "events.parquet",
+    )
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import (
+        conversion_latency,
+    )
+
+    got = conversion_latency(str(tmp_path)).to_pandas().iloc[0]
+    assert got["n_converters"] == 1
+    assert got["total_latency_sec"] == 90
+    assert got["avg_latency_sec"] == 90.0
