@@ -70,16 +70,22 @@ def main(argv=None):
     for name in ("pagerank", "cc", "sssp", "mis", "lpa", "triangles", "kcore",
                  "ppr", "walk", "hits", "assortativity", "hyperball", "betweenness",
                  "closeness", "wsssp", "coloring", "katz", "scc", "matching",
-                 "semicluster"):
+                 "semicluster", "seeded-lpa"):
         p = sub.add_parser(name)
         common(p)
-        if name in ("pagerank", "lpa", "ppr", "hits", "katz"):
+        if name in ("pagerank", "lpa", "ppr", "hits", "katz", "seeded-lpa"):
             p.add_argument(
                 "--iters", type=int,
-                default={"lpa": 10, "hits": 8, "katz": 8}.get(name, 20),
+                default={"lpa": 10, "hits": 8, "katz": 8,
+                         "seeded-lpa": 5}.get(name, 20),
             )
         if name == "katz":
             p.add_argument("--alpha", type=float, default=0.001)
+        if name == "seeded-lpa":
+            p.add_argument("--seed-mod", type=int, default=10,
+                           help="clamped seeds are vid %% seed-mod == 0")
+            p.add_argument("--label-mod", type=int, default=3,
+                           help="seed label = vid %% label-mod")
         if name in ("pagerank", "ppr"):
             p.add_argument("--damping", type=float, default=0.85)
         if name == "ppr":
@@ -294,6 +300,13 @@ def main(argv=None):
             500, False,
         ),
         "coloring": lambda: ("coloring", {}, 1000, False),
+        "seeded-lpa": lambda: (
+            "seeded_lpa",
+            {"iters": iters, "seed_mod": args.seed_mod,
+             "label_mod": args.label_mod},
+            iters + 2,
+            False,
+        ),
         "matching": lambda: ("matching", {}, 1000, False),
         "semicluster": lambda: (
             "semicluster",

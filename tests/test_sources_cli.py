@@ -297,3 +297,28 @@ def test_write_jsonl_roundtrip(ray_session, tmp_path):
     back = read_jsonl(out).to_pandas().sort_values("doc_id").reset_index(drop=True)
     assert len(back) == 100
     assert back["text"].iloc[42] == "doc 42 text"
+
+
+def test_cli_seeded_lpa_runs_and_dumps(tmp_path):
+    """seeded-lpa subcommand: runs on the reference toy graph, dumps a
+    parquet with clamped seed labels intact."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    out = tmp_path / "sl"
+    r = subprocess.run(
+        [sys.executable, "-m", "subgraph_isomorphism_pregel_ray", "seeded-lpa",
+         "-d", REF_TOY, "-out", str(out), "--parts", "2", "--cpus", "4",
+         "--iters", "3", "--seed-mod", "5", "--label-mod", "2"],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr[-500:]
+    summary = json.loads(r.stdout.strip().splitlines()[-1])
+    assert summary["status"] == "ok"
+    files = glob.glob(str(out) + "/**/*.parquet", recursive=True)
+    import pandas as pd
+
+    df = pd.concat([pq.read_table(f).to_pandas() for f in files])
+    seeds = df[df.vid % 5 == 0]
+    assert len(seeds) and (seeds.label == seeds.vid % 2).all()
