@@ -123,7 +123,9 @@ def normalize_url(url: str) -> str:
     url = url.strip()
     frag = url.find("#")
     if frag != -1:
-        url = url[:frag]
+        # re-strip: dropping the fragment can expose trailing unicode
+        # whitespace ('x\x85#y' → 'x\x85'), which would break idempotence
+        url = url[:frag].strip()
     m = _SCHEME_HOST_RE.match(url)
     if m:
         url = m.group(1).lower() + m.group(2).lower() + m.group(3)
