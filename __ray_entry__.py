@@ -1228,6 +1228,13 @@ def _q_user_activity_streaks(sf_dir: str):
     return user_activity_streaks(sf_dir)
 
 
+def _q_isolated_parts(sf_dir: str):
+    """Singleton-vertex audit: parts outside the co-purchase graph."""
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import isolated_parts
+
+    return isolated_parts(sf_dir)
+
+
 def _q_conversion_latency(sf_dir: str):
     """First-view→first-subsequent-purchase latency rollup; whole-second
     exact int fold, one division."""
@@ -2139,6 +2146,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_activity_streaks": _q_user_activity_streaks,
         "benford_first_digit": _q_benford_first_digit,
         "conversion_latency": _q_conversion_latency,
+        "isolated_parts": _q_isolated_parts,
         "weekday_revenue": _q_weekday_revenue,
         "window_distinct_users": _q_window_distinct_users,
         "revenue_by_region": _q_revenue_by_region,
@@ -4177,6 +4185,18 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY 1) "
             "SELECT m AS n_members, CAST(count(*) AS BIGINT) AS n_components "
             "FROM sz GROUP BY 1"
+        ),
+        "isolated_parts": (
+            "WITH v AS (SELECT DISTINCT l_partkey FROM lineitem a "
+            "WHERE EXISTS (SELECT 1 FROM lineitem b "
+            "WHERE b.l_orderkey = a.l_orderkey "
+            "AND b.l_partkey <> a.l_partkey)), "
+            "np AS (SELECT CAST(count(*) AS BIGINT) n FROM part), "
+            "nc AS (SELECT CAST(count(*) AS BIGINT) n FROM v) "
+            "SELECT np.n AS n_parts, nc.n AS n_connected, "
+            "np.n - nc.n AS n_isolated, "
+            "CAST(np.n - nc.n AS DOUBLE) / CAST(np.n AS DOUBLE) "
+            "AS isolation_rate FROM np CROSS JOIN nc"
         ),
         "conversion_latency": (
             # first view → first purchase at/after it; integer-µs floor

@@ -6624,3 +6624,49 @@ def conversion_latency(sf_dir: str, from_type: str = "view",
             ),
         }
     )
+
+
+def isolated_parts(sf_dir: str, num_buckets: int | None = None):
+    """Catalog-coverage audit: parts that never co-occur with another
+    part in any order → one row (n_parts, n_connected, n_isolated,
+    isolation_rate). The merchandising dead-stock signal, and the
+    link-graph "singleton vertex" count the component histogram cannot
+    see (isolated vertices never enter the edge table).
+
+    Scale shape: connected vertices = distinct endpoints of the
+    co-purchase edge stream (per-batch dedup + one vid-bucket distinct
+    count — only per-bucket counts return); n_parts from parquet
+    metadata; one division."""
+    import pyarrow.parquet as pq
+
+    edges = copurchase_edges(sf_dir, num_buckets=num_buckets)
+    n_parts = pq.read_metadata(f"{sf_dir}/part.parquet").num_rows
+    B = np.int64(32)
+
+    def _verts(t: pa.Table) -> pa.Table:
+        v = np.unique(np.concatenate([t["src"].to_numpy(), t["dst"].to_numpy()]))
+        return pa.table({"v": v.astype(np.int64),
+                         "b": (v % B).astype(np.int32)})
+
+    def _count(g: pa.Table) -> pa.Table:
+        return pa.table(
+            {"n": np.array([len(np.unique(g["v"].to_numpy()))], np.int64)}
+        )
+
+    out = (
+        edges.map_batches(_verts, batch_format="pyarrow")
+        .groupby("b").map_groups(_count, batch_format="pyarrow")
+        .to_pandas()
+    )
+    n_conn = int(out["n"].sum())
+    n_iso = n_parts - n_conn
+    return pa.table(
+        {
+            "n_parts": np.array([n_parts], np.int64),
+            "n_connected": np.array([n_conn], np.int64),
+            "n_isolated": np.array([n_iso], np.int64),
+            "isolation_rate": np.array(
+                [np.float64(n_iso) / np.float64(n_parts)], np.float64
+            ),
+        }
+    )

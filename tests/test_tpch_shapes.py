@@ -1451,3 +1451,23 @@ def test_benford_first_digit_leading_extraction(ray_session, tmp_path):
     assert got.loc[2, "n_orders"] == 1
     assert got["n_orders"].sum() == 4
     assert round(got.loc[1, "expected"], 6) == round(np.log10(2), 6)
+
+
+def test_isolated_parts_counts(ray_session, tmp_path):
+    # parts 1,2 co-purchased; part 3 only ever alone; part 4 never ordered
+    _write(
+        tmp_path,
+        "lineitem",
+        {
+            "l_orderkey": pa.array([1, 1, 2], pa.int64()),
+            "l_partkey": pa.array([1, 2, 3], pa.int64()),
+        },
+    )
+    _write(tmp_path, "part", {"p_partkey": pa.array([1, 2, 3, 4], pa.int64())})
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import isolated_parts
+
+    got = isolated_parts(str(tmp_path)).to_pandas().iloc[0]
+    assert got["n_parts"] == 4
+    assert got["n_connected"] == 2
+    assert got["n_isolated"] == 2
+    assert got["isolation_rate"] == 0.5
