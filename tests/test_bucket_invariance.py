@@ -52,3 +52,48 @@ def test_bucket_count_invariant(ray_session, fn):
     a = _canon(fn(SF, num_buckets=4))
     b = _canon(fn(SF, num_buckets=57))
     pd.testing.assert_frame_equal(a, b)
+
+
+@pytest.mark.parametrize(
+    "fn",
+    [
+        # session additions: every new bucketed exchange must be
+        # partition-count invariant too
+        "late_shipment_rate",
+        "nation_market_share",
+        "supplier_variety",
+        "min_cost_supplier",
+        "bulk_suppliers",
+        "basket_lift",
+        "succ_triad_motifs",
+        "local_bridges",
+        "important_parts_value",
+    ],
+)
+def test_bucket_count_invariant_session_ops(ray_session, fn):
+    import subgraph_isomorphism_pregel_ray.pipelines.relational as R
+
+    f = getattr(R, fn)
+    a = _canon(f(SF, num_buckets=4))
+    b = _canon(f(SF, num_buckets=57))
+    pd.testing.assert_frame_equal(a, b)
+
+
+@pytest.mark.parametrize("fn", ["tfidf_cosine_pairs", "source_gram_overlap",
+                                "source_kl", "ngram_novelty", "split_leakage"])
+def test_bucket_count_invariant_text_ops(ray_session, fn):
+    import pyarrow.parquet as pq
+
+    import subgraph_isomorphism_pregel_ray.pipelines.textops as T
+    from subgraph_isomorphism_pregel_ray.sources.tables import read_table
+
+    f = getattr(T, fn)
+
+    def run(nb):
+        docs = read_table(SF, "documents", columns=["doc_id", "text", "source"])
+        if fn == "tfidf_cosine_pairs":
+            n = pq.read_metadata(f"{SF}/documents.parquet").num_rows
+            return f(docs, n, num_buckets=nb)
+        return f(docs, num_buckets=nb)
+
+    pd.testing.assert_frame_equal(_canon(run(4)), _canon(run(57)))
