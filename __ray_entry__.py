@@ -1228,6 +1228,21 @@ def _q_user_activity_streaks(sf_dir: str):
     return user_activity_streaks(sf_dir)
 
 
+def _q_events_mad(sf_dir: str):
+    """Two-pass exact median-absolute-deviation via the sort-ordinal
+    quantile machine."""
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import events_mad
+
+    return events_mad(sf_dir)
+
+
+def _q_events_heatmap(sf_dir: str):
+    """(isodow, hour) activity heatmap from pure int64 calendar math."""
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import events_heatmap
+
+    return events_heatmap(sf_dir)
+
+
 def _q_isolated_parts(sf_dir: str):
     """Singleton-vertex audit: parts outside the co-purchase graph."""
     from subgraph_isomorphism_pregel_ray.pipelines.relational import isolated_parts
@@ -2147,6 +2162,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "benford_first_digit": _q_benford_first_digit,
         "conversion_latency": _q_conversion_latency,
         "isolated_parts": _q_isolated_parts,
+        "events_mad": _q_events_mad,
+        "events_heatmap": _q_events_heatmap,
         "weekday_revenue": _q_weekday_revenue,
         "window_distinct_users": _q_window_distinct_users,
         "revenue_by_region": _q_revenue_by_region,
@@ -4185,6 +4202,17 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY 1) "
             "SELECT m AS n_members, CAST(count(*) AS BIGINT) AS n_components "
             "FROM sz GROUP BY 1"
+        ),
+        "events_mad": (
+            "SELECT round(median(value), 6) AS median, "
+            "round(median(abs(value - (SELECT median(value) FROM events))), 6) "
+            "AS mad FROM events"
+        ),
+        "events_heatmap": (
+            "SELECT CAST(isodow(ts) AS BIGINT) AS isodow, "
+            "CAST(hour(ts) AS BIGINT) AS hour, "
+            "CAST(count(*) AS BIGINT) AS n_events "
+            "FROM events GROUP BY 1, 2"
         ),
         "isolated_parts": (
             "WITH v AS (SELECT DISTINCT l_partkey FROM lineitem a "

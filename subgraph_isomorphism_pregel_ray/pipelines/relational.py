@@ -6670,3 +6670,103 @@ def isolated_parts(sf_dir: str, num_buckets: int | None = None):
             ),
         }
     )
+
+
+def events_mad(sf_dir: str, round_to: int = 6):
+    """Robust global dispersion: the median absolute deviation of
+    ``value`` → one row (median, mad). The outlier-immune σ replacement
+    for alert thresholds (events_zscore's robust cousin) — and a TWO-PASS
+    exact-quantile composition: median first, then the median of
+    |x − median|, each via the distributed sort-ordinal machine.
+
+    Both medians interpolate v0 + (v1 − v0)·f on the two boundary-rank
+    rows (DuckDB ``median`` agrees bit-for-bit after round-half-away at
+    6, as events_quantiles established); the deviation column is computed
+    vectorized per batch between the passes — the driver only ever sees
+    the four boundary rows."""
+    from ..functions.rounding import round_half_away
+    from ..stages.sort import sort_with_ordinal
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "value"]).materialize()
+    n = ds.count()
+
+    def _median_of(sorted_ds, col):
+        pos = 0.5 * (n - 1)
+        i0 = int(np.floor(pos))
+        i1 = min(i0 + 1, n - 1)
+
+        def _pick(t: pa.Table) -> pa.Table:
+            m = np.isin(t["ordinal"].to_numpy(), [i0, i1])
+            return t.filter(pa.array(m))
+
+        picked = (
+            sorted_ds.map_batches(_pick, batch_format="pyarrow")
+            .to_pandas().set_index("ordinal")[col]
+        )
+        v0, v1 = picked.loc[i0], picked.loc[i1]
+        return v0 + (v1 - v0) * (pos - np.floor(pos))
+
+    med = _median_of(
+        sort_with_ordinal(ds.select_columns(["event_id", "value"]),
+                          ["value", "event_id"]),
+        "value",
+    )
+
+    def _dev(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "dev": np.abs(t["value"].to_numpy() - med),
+            }
+        )
+
+    mad = _median_of(
+        sort_with_ordinal(
+            ds.map_batches(_dev, batch_format="pyarrow"), ["dev", "event_id"]
+        ),
+        "dev",
+    )
+    return pa.table(
+        {
+            "median": round_half_away(np.array([med]), round_to),
+            "mad": round_half_away(np.array([mad]), round_to),
+        }
+    )
+
+
+def events_heatmap(sf_dir: str):
+    """Product-analytics activity heatmap: events by (ISO weekday, hour
+    of day) → (isodow, hour, n_events). The staffing/load-shape view; a
+    bot traffic spike shows as an off-hours hot row.
+
+    Scale shape: pure int64 calendar arithmetic per batch ((day+3)%7+1
+    for isodow, µs//3600e6 % 24 for hour), ≤168-row partials, one tiny
+    fold."""
+    from ray.data.aggregate import Sum
+
+    ds = read_table(sf_dir, "events", columns=["ts"])
+
+    def _partial(t: pa.Table) -> pa.Table:
+        us = t["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        day = us // 86_400_000_000
+        dow = (day + 3) % 7 + 1
+        hour = us // 3_600_000_000 % 24
+        key = dow * 24 + hour
+        u, c = np.unique(key, return_counts=True)
+        return pa.table({"k": u, "n": c.astype(np.int64)})
+
+    out = (
+        ds.map_batches(_partial, batch_format="pyarrow")
+        .groupby("k")
+        .aggregate(Sum("n", alias_name="n_events"))
+        .to_pandas()
+        .sort_values("k")
+    )
+    k = out["k"].to_numpy().astype(np.int64)
+    return pa.table(
+        {
+            "isodow": k // 24,
+            "hour": k % 24,
+            "n_events": out["n_events"].to_numpy().astype(np.int64),
+        }
+    )

@@ -817,3 +817,32 @@ def test_conversion_latency_first_after_trigger(ray_session, tmp_path):
     assert got["n_converters"] == 1
     assert got["total_latency_sec"] == 90
     assert got["avg_latency_sec"] == 90.0
+
+
+def test_events_mad_known_values(ray_session, tmp_path):
+    """values {1..5}: median 3, deviations {2,1,0,1,2} -> MAD 1; even-n
+    interpolation checked with {1,2,3,10}: median 2.5, devs
+    {1.5,.5,.5,7.5} -> MAD 1.0."""
+    import pyarrow.parquet as pq
+
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import events_mad
+
+    pq.write_table(
+        pa.table(
+            {"event_id": pa.array(range(5), pa.int64()),
+             "value": pa.array([1.0, 2.0, 3.0, 4.0, 5.0])}
+        ),
+        tmp_path / "events.parquet",
+    )
+    got = events_mad(str(tmp_path)).to_pandas().iloc[0]
+    assert got["median"] == 3.0 and got["mad"] == 1.0
+
+    pq.write_table(
+        pa.table(
+            {"event_id": pa.array(range(4), pa.int64()),
+             "value": pa.array([1.0, 2.0, 3.0, 10.0])}
+        ),
+        tmp_path / "events.parquet",
+    )
+    got = events_mad(str(tmp_path)).to_pandas().iloc[0]
+    assert got["median"] == 2.5 and got["mad"] == 1.0
