@@ -1243,6 +1243,14 @@ def _q_events_heatmap(sf_dir: str):
     return events_heatmap(sf_dir)
 
 
+def _q_revenue_pareto(sf_dir: str):
+    """Smallest top-k customer set carrying ≥80% of revenue; exact
+    integer 5·cum ≥ 4·total test."""
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import revenue_pareto
+
+    return revenue_pareto(sf_dir)
+
+
 def _q_isolated_parts(sf_dir: str):
     """Singleton-vertex audit: parts outside the co-purchase graph."""
     from subgraph_isomorphism_pregel_ray.pipelines.relational import isolated_parts
@@ -2163,6 +2171,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conversion_latency": _q_conversion_latency,
         "isolated_parts": _q_isolated_parts,
         "events_mad": _q_events_mad,
+        "revenue_pareto": _q_revenue_pareto,
         "events_heatmap": _q_events_heatmap,
         "weekday_revenue": _q_weekday_revenue,
         "window_distinct_users": _q_window_distinct_users,
@@ -4202,6 +4211,26 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY 1) "
             "SELECT m AS n_members, CAST(count(*) AS BIGINT) AS n_components "
             "FROM sz GROUP BY 1"
+        ),
+        "revenue_pareto": (
+            # smallest k with 5·cum ≥ 4·total (exact ints), rev DESC +
+            # custkey tiebreak ranking
+            "WITH r AS (SELECT o_custkey, "
+            "sum(CAST(round(l_extendedprice * 100) AS BIGINT) * "
+            "(100 - CAST(round(l_discount * 100) AS BIGINT))) AS rev "
+            "FROM lineitem JOIN orders ON o_orderkey = l_orderkey "
+            "GROUP BY 1), "
+            "o AS (SELECT rev, row_number() OVER "
+            "(ORDER BY rev DESC, o_custkey) rn FROM r), "
+            "c AS (SELECT rn, sum(rev) OVER (ORDER BY rn "
+            "ROWS UNBOUNDED PRECEDING) cum FROM o), "
+            "t AS (SELECT sum(rev) total, CAST(count(*) AS BIGINT) n FROM r), "
+            "k AS (SELECT CAST(min(rn) AS BIGINT) k80 FROM c CROSS JOIN t "
+            "WHERE cum * 5 >= 4 * total) "
+            "SELECT t.n AS n_customers, k.k80, "
+            "round(CAST((SELECT cum FROM c WHERE rn = k.k80) AS DOUBLE) / "
+            "CAST(t.total AS DOUBLE), 6) AS share_k80 "
+            "FROM t CROSS JOIN k"
         ),
         "events_mad": (
             "SELECT round(median(value), 6) AS median, "

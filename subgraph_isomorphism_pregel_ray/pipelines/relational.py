@@ -6770,3 +6770,91 @@ def events_heatmap(sf_dir: str):
             "n_events": out["n_events"].to_numpy().astype(np.int64),
         }
     )
+
+
+def revenue_pareto(sf_dir: str, num_buckets: int = 32):
+    """Pareto cut point: the smallest k such that the top-k customers
+    carry ≥ 80% of total revenue → one row (n_customers, k80, share_k80).
+    The "how top-heavy is the book" number behind every account-coverage
+    plan; the 80%-test is EXACT integer arithmetic (5·cum ≥ 4·total — no
+    float thresholds).
+
+    Scale shape: the per-customer exact-cents fold of
+    :func:`top_customer_share`; the rank scan runs over the dim-sized
+    per-customer table (sorted rev DESC, custkey tiebreak); one rounded
+    division for the reported share."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.rounding import round_half_away
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_extendedprice", "l_discount"])
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    B = np.int64(num_buckets)
+
+    def _fact(t: pa.Table) -> pa.Table:
+        kk = t["l_orderkey"].to_numpy().astype(np.int64)
+        cents = np.round(t["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        disc = np.round(t["l_discount"].to_numpy() * 100).astype(np.int64)
+        rev = cents * (100 - disc)
+        order = np.argsort(kk, kind="stable")
+        kk, rev = kk[order], rev[order]
+        start = np.ones(len(kk), bool)
+        start[1:] = kk[1:] != kk[:-1]
+        idx = np.nonzero(start)[0]
+        return pa.table(
+            {"k": kk[start], "rev": np.add.reduceat(rev, idx),
+             "cust": np.full(int(start.sum()), -1, np.int64),
+             "b": (kk[start] % B).astype(np.int32)}
+        )
+
+    def _dim(t: pa.Table) -> pa.Table:
+        kk = t["o_orderkey"].to_numpy().astype(np.int64)
+        return pa.table(
+            {"k": kk, "rev": np.zeros(len(kk), np.int64),
+             "cust": t["o_custkey"].to_numpy().astype(np.int64),
+             "b": (kk % B).astype(np.int32)}
+        )
+
+    def _join(g: pa.Table) -> pa.Table:
+        cust = g["cust"].to_numpy()
+        dim = cust >= 0
+        kk = g["k"].to_numpy()
+        dk = kk[dim]
+        order = np.argsort(dk)
+        dk, dc = dk[order], cust[dim][order]
+        fk = kk[~dim]
+        pos = np.searchsorted(dk, fk)
+        pos_c = np.minimum(pos, max(len(dk) - 1, 0))
+        hit = dk[pos_c] == fk if len(dk) else np.zeros(len(fk), bool)
+        cu = dc[pos_c[hit]]
+        rv = g["rev"].to_numpy()[~dim][hit]
+        u, inv = np.unique(cu, return_inverse=True)
+        s = np.zeros(len(u), np.int64)
+        np.add.at(s, inv, rv)
+        return pa.table({"c_custkey": u, "rev": s})
+
+    per_cust = (
+        li.map_batches(_fact, batch_format="pyarrow")
+        .union(orders.map_batches(_dim, batch_format="pyarrow"))
+        .groupby("b").map_groups(_join, batch_format="pyarrow")
+        .groupby("c_custkey")
+        .aggregate(Sum("rev", alias_name="rev"))
+        .to_pandas()
+    )
+    rev = per_cust["rev"].to_numpy().astype(np.int64)
+    ck = per_cust["c_custkey"].to_numpy().astype(np.int64)
+    order = np.lexsort((ck, -rev))
+    cum = np.cumsum(rev[order])
+    total = int(cum[-1]) if len(cum) else 0
+    k80 = int(np.searchsorted(cum * 5, 4 * total) + 1)  # 5·cum ≥ 4·total
+    share = round_half_away(
+        np.array([np.float64(int(cum[k80 - 1])) / np.float64(total)]), 6
+    )
+    return pa.table(
+        {
+            "n_customers": np.array([len(rev)], np.int64),
+            "k80": np.array([k80], np.int64),
+            "share_k80": share,
+        }
+    )

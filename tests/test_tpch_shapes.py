@@ -1471,3 +1471,31 @@ def test_isolated_parts_counts(ray_session, tmp_path):
     assert got["n_connected"] == 2
     assert got["n_isolated"] == 2
     assert got["isolation_rate"] == 0.5
+
+
+def test_revenue_pareto_exact_cut(ray_session, tmp_path):
+    # revenues 50,30,10,10 (total 100): cum 50,80,90,100; 80% cut at k=2
+    # with share exactly 0.80 (boundary: 5*80 >= 4*100)
+    _write(
+        tmp_path,
+        "lineitem",
+        {
+            "l_orderkey": pa.array([1, 2, 3, 4], pa.int64()),
+            "l_extendedprice": pa.array([0.50, 0.30, 0.10, 0.10]),
+            "l_discount": pa.array([0.0, 0.0, 0.0, 0.0]),
+        },
+    )
+    _write(
+        tmp_path,
+        "orders",
+        {
+            "o_orderkey": pa.array([1, 2, 3, 4], pa.int64()),
+            "o_custkey": pa.array([1, 2, 3, 4], pa.int64()),
+        },
+    )
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import revenue_pareto
+
+    got = revenue_pareto(str(tmp_path), num_buckets=4).to_pandas().iloc[0]
+    assert got["n_customers"] == 4
+    assert got["k80"] == 2
+    assert got["share_k80"] == 0.8
