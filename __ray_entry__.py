@@ -1243,6 +1243,24 @@ def _q_events_heatmap(sf_dir: str):
     return events_heatmap(sf_dir)
 
 
+def _q_wcc_parts(sf_dir: str):
+    """Weak connectivity of the directed successor graph (contrast with
+    scc_parts: WCC merges what direction separates)."""
+    from subgraph_isomorphism_pregel_ray.pipelines.algorithms import (
+        connected_components,
+    )
+    from subgraph_isomorphism_pregel_ray.pipelines.build_graph import symmetrize
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import succ_edges
+
+    res, _ = connected_components(symmetrize(succ_edges(sf_dir)), num_parts=4)
+    return pa.table(
+        {
+            "vid": res["vid"].to_numpy().view(np.int64),
+            "component": res["component"].to_numpy().view(np.int64),
+        }
+    )
+
+
 def _q_revenue_pareto(sf_dir: str):
     """Smallest top-k customer set carrying ≥80% of revenue; exact
     integer 5·cum ≥ 4·total test."""
@@ -2172,6 +2190,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "isolated_parts": _q_isolated_parts,
         "events_mad": _q_events_mad,
         "revenue_pareto": _q_revenue_pareto,
+        "wcc_parts": _q_wcc_parts,
         "events_heatmap": _q_events_heatmap,
         "weekday_revenue": _q_weekday_revenue,
         "window_distinct_users": _q_window_distinct_users,
@@ -2716,6 +2735,34 @@ def _cc_sql(iters: int = 8) -> str:
             f"c{i} AS MATERIALIZED (SELECT x.vid, min(x.comp) AS comp FROM ("
             f"SELECT vid, comp FROM c{i-1} "
             f"UNION ALL SELECT e.dst AS vid, c.comp FROM e JOIN c{i-1} c ON c.vid = e.src"
+            f") x GROUP BY x.vid)"
+        )
+    return ", ".join(parts) + f" SELECT vid, comp AS component FROM c{iters}"
+
+
+def _wcc_succ_sql(iters: int = 24) -> str:
+    """Unrolled min-label propagation over the SYMMETRIZED part-successor
+    graph (weak connectivity of the directed graph scc_parts peels) —
+    measured convergence is 11/15 rounds at sf0.001/sf0.01; 24 is the
+    safety margin (extra rounds are identity at the fixpoint)."""
+    parts = [
+        "WITH seq AS MATERIALIZED (SELECT l_orderkey, l_linenumber, "
+        "l_partkey, lag(l_partkey) OVER (PARTITION BY l_orderkey "
+        "ORDER BY l_linenumber) AS prev FROM lineitem "
+        "WHERE l_quantity <= 8)",
+        "eu AS MATERIALIZED (SELECT DISTINCT prev AS src, l_partkey AS dst "
+        "FROM seq WHERE prev IS NOT NULL AND prev <> l_partkey)",
+        "e AS MATERIALIZED (SELECT src, dst FROM eu "
+        "UNION SELECT dst, src FROM eu)",
+        "v AS MATERIALIZED (SELECT DISTINCT src AS vid FROM e)",
+        "c0 AS MATERIALIZED (SELECT vid, vid AS comp FROM v)",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"c{i} AS MATERIALIZED (SELECT x.vid, min(x.comp) AS comp FROM ("
+            f"SELECT vid, comp FROM c{i-1} "
+            f"UNION ALL SELECT e.dst AS vid, c.comp FROM e "
+            f"JOIN c{i-1} c ON c.vid = e.src"
             f") x GROUP BY x.vid)"
         )
     return ", ".join(parts) + f" SELECT vid, comp AS component FROM c{iters}"
@@ -4212,6 +4259,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT m AS n_members, CAST(count(*) AS BIGINT) AS n_components "
             "FROM sz GROUP BY 1"
         ),
+        "wcc_parts": _wcc_succ_sql(),
         "revenue_pareto": (
             # smallest k with 5·cum ≥ 4·total (exact ints), rev DESC +
             # custkey tiebreak ranking

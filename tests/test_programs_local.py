@@ -955,3 +955,13 @@ def test_bfs_layer_histogram_path_graph():
     dist = res.set_index("vid")["dist"]
     got = dist.value_counts().to_dict()
     assert got == {0: 1, 1: 1, 2: 1, 3: 1}
+
+
+def test_wcc_vs_scc_contrast():
+    """Directed chain 1->2->3: WCC = one component, SCC = three."""
+    s = np.array([1, 2])
+    d = np.array([2, 3])
+    eng = LocalBSP(s, d, num_parts=2, directed=False)  # symmetrized
+    eng.run("cc", {}, max_steps=50)
+    wcc = eng.result().to_pandas()
+    assert wcc["component"].nunique() == 1
