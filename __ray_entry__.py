@@ -1261,6 +1261,24 @@ def _q_wcc_parts(sf_dir: str):
     )
 
 
+def _q_weekly_stickiness(sf_dir: str):
+    """DAU/WAU per epoch week; global distinct via week-keyed buckets."""
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import (
+        weekly_stickiness,
+    )
+
+    return weekly_stickiness(sf_dir)
+
+
+def _q_gram_entropy(sf_dir: str):
+    """Corpus 3-gram Shannon entropy from exact integer counts."""
+    from subgraph_isomorphism_pregel_ray.pipelines.textops import gram_entropy
+    from subgraph_isomorphism_pregel_ray.sources.tables import read_table
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return gram_entropy(docs)
+
+
 def _q_revenue_pareto(sf_dir: str):
     """Smallest top-k customer set carrying ≥80% of revenue; exact
     integer 5·cum ≥ 4·total test."""
@@ -2191,6 +2209,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_mad": _q_events_mad,
         "revenue_pareto": _q_revenue_pareto,
         "wcc_parts": _q_wcc_parts,
+        "weekly_stickiness": _q_weekly_stickiness,
+        "gram_entropy": _q_gram_entropy,
         "events_heatmap": _q_events_heatmap,
         "weekday_revenue": _q_weekday_revenue,
         "window_distinct_users": _q_window_distinct_users,
@@ -4260,6 +4280,34 @@ def oracle_sql() -> dict[str, str]:
             "FROM sz GROUP BY 1"
         ),
         "wcc_parts": _wcc_succ_sql(),
+        "weekly_stickiness": (
+            "WITH a AS (SELECT (epoch_us(ts) // 86400000000) // 7 AS wk, "
+            "(epoch_us(ts) // 86400000000) % 7 AS dow, user_id FROM events), "
+            "dd AS (SELECT DISTINCT wk, dow, user_id FROM a), "
+            "per AS (SELECT CAST(wk AS BIGINT) AS \"week\", "
+            "CAST(count(DISTINCT dow) AS BIGINT) n_days_active, "
+            "CAST(count(*) AS BIGINT) sum_dau, "
+            "CAST(count(DISTINCT user_id) AS BIGINT) wau FROM dd GROUP BY 1) "
+            "SELECT \"week\", n_days_active, sum_dau, wau, "
+            "round(CAST(sum_dau AS DOUBLE) / "
+            "CAST(n_days_active * wau AS DOUBLE), 6) AS stickiness FROM per"
+        ),
+        "gram_entropy": (
+            "WITH base AS (SELECT doc_id, "
+            "list_filter(string_split(text, ' '), x -> x <> '') AS toks "
+            "FROM documents), "
+            "g AS (SELECT "
+            "md5_number_lower(array_to_string(list_slice(toks, i, i + 2), ' ')) AS h "
+            "FROM (SELECT doc_id, toks, "
+            "unnest(generate_series(1, len(toks) - 2)) AS i "
+            "FROM base WHERE len(toks) >= 3)), "
+            "tf AS (SELECT h, CAST(count(*) AS BIGINT) c FROM g GROUP BY 1) "
+            "SELECT CAST(sum(c) AS BIGINT) AS n_total, "
+            "CAST(count(*) AS BIGINT) AS n_distinct, "
+            "round(ln(CAST(sum(c) AS DOUBLE)) - "
+            "sum(c * ln(CAST(c AS DOUBLE))) / CAST(sum(c) AS DOUBLE), 6) "
+            "AS entropy FROM tf"
+        ),
         "revenue_pareto": (
             # smallest k with 5·cum ≥ 4·total (exact ints), rev DESC +
             # custkey tiebreak ranking

@@ -6858,3 +6858,78 @@ def revenue_pareto(sf_dir: str, num_buckets: int = 32):
             "share_k80": share,
         }
     )
+
+
+def weekly_stickiness(sf_dir: str, num_buckets: int | None = None,
+                      round_to: int = 6):
+    """DAU/WAU stickiness per epoch week → (week, n_days_active, sum_dau,
+    wau, stickiness = sum_dau/(n_days_active·wau)). THE product
+    engagement ratio: 1.0 = every weekly user shows up every active day.
+    Weeks are pure int64 epoch arithmetic (day // 7 — no ISO-week
+    calendar logic to mirror).
+
+    Scale shape: per-batch distinct (week, day, user) and (week, user)
+    keys, ONE week-hash bucket groupby finishes both distinct counts —
+    a user's rows land in its week's bucket, so the dedup is global."""
+    from ..functions.rounding import round_half_away
+
+    ds = read_table(sf_dir, "events", columns=["ts", "user_id"])
+    num_buckets = _auto_buckets(ds, num_buckets)
+
+    def _assign(t: pa.Table) -> pa.Table:
+        day = t["ts"].to_numpy().astype("datetime64[D]").astype(np.int64)
+        week = day // 7
+        dow = day % 7
+        u = t["user_id"].to_numpy().astype(np.int64)
+        if len(u) and (int(u.max()) >= (1 << 20) or int(week.max()) >= (1 << 40)):
+            raise ValueError("weekly_stickiness: key exceeds 40/3/20-bit pack")
+        # key: week | dow | user  (distinct daily-active rows)
+        kd = np.unique(week << np.int64(23) | dow << np.int64(20) | u)
+        return pa.table(
+            {"key": kd,
+             "b": ((kd >> np.int64(23)) % num_buckets).astype(np.int32)}
+        )
+
+    def _fold(g: pa.Table) -> pa.Table:
+        key = np.unique(g["key"].to_numpy())
+        week = key >> np.int64(23)
+        dow = (key >> np.int64(20)) & np.int64(7)
+        u = key & np.int64((1 << 20) - 1)
+        uw, winv = np.unique(week, return_inverse=True)
+        # sum of daily distinct users = count of (week,dow,user) keys
+        sum_dau = np.bincount(winv, minlength=len(uw)).astype(np.int64)
+        # distinct days active per week
+        wd = np.unique(week << np.int64(3) | dow)
+        uwd, wdcnt = np.unique(wd >> np.int64(3), return_counts=True)
+        # weekly distinct users
+        wu = np.unique(week << np.int64(20) | u)
+        uwu, wucnt = np.unique(wu >> np.int64(20), return_counts=True)
+        # uw == uwd == uwu by construction
+        nd = wdcnt.astype(np.int64)
+        wau = wucnt.astype(np.int64)
+        return pa.table(
+            {"week": uw, "n_days_active": nd, "sum_dau": sum_dau,
+             "wau": wau}
+        )
+
+    out = (
+        ds.map_batches(_assign, batch_format="pyarrow")
+        .groupby("b")
+        .map_groups(_fold, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("week")
+    )
+    nd = out["n_days_active"].to_numpy().astype(np.int64)
+    sd = out["sum_dau"].to_numpy().astype(np.int64)
+    wau = out["wau"].to_numpy().astype(np.int64)
+    return pa.table(
+        {
+            "week": out["week"].to_numpy().astype(np.int64),
+            "n_days_active": nd,
+            "sum_dau": sd,
+            "wau": wau,
+            "stickiness": round_half_away(
+                sd.astype(np.float64) / (nd * wau).astype(np.float64), round_to
+            ),
+        }
+    )

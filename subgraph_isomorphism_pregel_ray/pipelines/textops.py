@@ -2962,3 +2962,77 @@ def dup_cluster_histogram(docs_ds, num_buckets: int = 32):
             "n_clusters": out["n_clusters"].to_numpy().astype(np.int64),
         }
     )
+
+
+def gram_entropy(docs_ds, n: int = 3, num_buckets: int = 32,
+                 round_to: int = 6):
+    """Corpus n-gram Shannon entropy → one row (n_total, n_distinct,
+    entropy): H = ln N − (Σ c·ln c)/N over exact integer n-gram counts.
+    The one-number redundancy gauge — entropy collapse after a pipeline
+    change means boilerplate flooded in (duplicate_ngram_fraction's
+    aggregate cousin).
+
+    Scale shape: hashed-gram exchange, ONE gram-bucket groupby owning
+    each gram's global count; buckets emit (Σc, distinct, Σ c·ln c)
+    partials; the driver folds three numbers. The c·ln c sum is the only
+    float reduction (same tolerance note as source_kl)."""
+    from ..functions.hashing import md5_lower64
+
+    B = np.int64(num_buckets)
+
+    def _grams(batch: pa.Table) -> pa.Table:
+        hs, cs = [], []
+        for t in batch["text"].to_pylist():
+            toks = _space_tokens(t)
+            if len(toks) < n:
+                continue
+            joined = [" ".join(toks[j:j + n]) for j in range(len(toks) - n + 1)]
+            h = md5_lower64(np.asarray(joined, dtype=object))
+            uh, cnt = np.unique(h, return_counts=True)
+            hs.append(uh.view(np.int64))
+            cs.append(cnt.astype(np.int64))
+        if not hs:
+            return pa.table({"h": np.array([], np.int64),
+                             "c": np.array([], np.int64),
+                             "b": np.array([], np.int32)})
+        h = np.concatenate(hs)
+        return pa.table(
+            {"h": h, "c": np.concatenate(cs),
+             "b": (h.view(np.uint64) % np.uint64(B)).astype(np.int32)}
+        )
+
+    def _fold(g: pa.Table) -> pa.Table:
+        h = g["h"].to_numpy()
+        c = g["c"].to_numpy()
+        uh, hinv = np.unique(h, return_inverse=True)
+        ct = np.zeros(len(uh), np.int64)
+        np.add.at(ct, hinv, c)
+        return pa.table(
+            {
+                "tot": np.array([int(ct.sum())], np.int64),
+                "dist": np.array([len(uh)], np.int64),
+                "clnc": np.array(
+                    [float(np.sum(ct.astype(np.float64) * np.log(ct.astype(np.float64))))],
+                    np.float64,
+                ),
+            }
+        )
+
+    out = (
+        docs_ds.map_batches(_grams, batch_format="pyarrow")
+        .groupby("b").map_groups(_fold, batch_format="pyarrow")
+        .to_pandas()
+    )
+    from ..functions.rounding import round_half_away
+
+    N = int(out["tot"].sum())
+    dist = int(out["dist"].sum())
+    clnc = float(out["clnc"].sum())
+    ent = np.log(np.float64(N)) - clnc / np.float64(N)
+    return pa.table(
+        {
+            "n_total": np.array([N], np.int64),
+            "n_distinct": np.array([dist], np.int64),
+            "entropy": round_half_away(np.array([ent]), round_to),
+        }
+    )

@@ -846,3 +846,33 @@ def test_events_mad_known_values(ray_session, tmp_path):
     )
     got = events_mad(str(tmp_path)).to_pandas().iloc[0]
     assert got["median"] == 2.5 and got["mad"] == 1.0
+
+
+def test_weekly_stickiness_formula(ray_session, tmp_path):
+    """2 users, one week: u1 active 2 days, u2 active 1 day -> sum_dau 3,
+    wau 2, days 2 -> stickiness 3/(2*2) = 0.75."""
+    import pyarrow.parquet as pq
+
+    base = np.datetime64("2025-06-02T10:00:00", "us")  # Monday
+    rows = [
+        (base, 1), (base, 1),                            # u1 day0 (dup)
+        (base + np.timedelta64(1, "D"), 1),              # u1 day1
+        (base + np.timedelta64(1, "D"), 2),              # u2 day1
+    ]
+    ts, uid = zip(*rows)
+    pq.write_table(
+        pa.table(
+            {"ts": pa.array(np.array(ts, "datetime64[us]")),
+             "user_id": pa.array(uid, pa.int64())}
+        ),
+        tmp_path / "events.parquet",
+    )
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import (
+        weekly_stickiness,
+    )
+
+    got = weekly_stickiness(str(tmp_path)).to_pandas()
+    assert len(got) == 1
+    row = got.iloc[0]
+    assert row["n_days_active"] == 2 and row["sum_dau"] == 3 and row["wau"] == 2
+    assert row["stickiness"] == 0.75
