@@ -1279,6 +1279,24 @@ def _q_gram_entropy(sf_dir: str):
     return gram_entropy(docs)
 
 
+def _q_lexical_diversity(sf_dir: str):
+    """Per-doc type-token ratio + mean token length (one map_batches)."""
+    from subgraph_isomorphism_pregel_ray.pipelines.textops import lexical_diversity
+    from subgraph_isomorphism_pregel_ray.sources.tables import read_table
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return lexical_diversity(docs)
+
+
+def _q_hapax_stats(sf_dir: str):
+    """Corpus hapax-legomenon fraction from exact token counts."""
+    from subgraph_isomorphism_pregel_ray.pipelines.textops import hapax_stats
+    from subgraph_isomorphism_pregel_ray.sources.tables import read_table
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return hapax_stats(docs)
+
+
 def _q_revenue_pareto(sf_dir: str):
     """Smallest top-k customer set carrying ≥80% of revenue; exact
     integer 5·cum ≥ 4·total test."""
@@ -2211,6 +2229,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wcc_parts": _q_wcc_parts,
         "weekly_stickiness": _q_weekly_stickiness,
         "gram_entropy": _q_gram_entropy,
+        "lexical_diversity": _q_lexical_diversity,
+        "hapax_stats": _q_hapax_stats,
         "events_heatmap": _q_events_heatmap,
         "weekday_revenue": _q_weekday_revenue,
         "window_distinct_users": _q_window_distinct_users,
@@ -4307,6 +4327,29 @@ def oracle_sql() -> dict[str, str]:
             "round(ln(CAST(sum(c) AS DOUBLE)) - "
             "sum(c * ln(CAST(c AS DOUBLE))) / CAST(sum(c) AS DOUBLE), 6) "
             "AS entropy FROM tf"
+        ),
+        "lexical_diversity": (
+            "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, "
+            "CAST(count(DISTINCT tok) AS BIGINT) AS n_types, "
+            "round(CAST(count(DISTINCT tok) AS DOUBLE) / count(*), 6) AS ttr, "
+            "round(CAST(sum(length(tok)) AS DOUBLE) / count(*), 6) "
+            "AS avg_token_len "
+            "FROM (SELECT doc_id, "
+            "unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok "
+            "FROM documents) GROUP BY doc_id"
+        ),
+        "hapax_stats": (
+            "WITH tf AS (SELECT tok, CAST(count(*) AS BIGINT) c FROM "
+            "(SELECT unnest(list_filter(string_split(text, ' '), "
+            "x -> x <> '')) AS tok FROM documents) GROUP BY 1) "
+            "SELECT CAST(sum(c) AS BIGINT) AS n_tokens_total, "
+            "CAST(count(*) AS BIGINT) AS n_vocab, "
+            "CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_hapax, "
+            "round(CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE) "
+            "/ count(*), 6) AS hapax_fraction, "
+            "round(CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE) "
+            "/ sum(c), 6) AS hapax_token_share FROM tf"
         ),
         "revenue_pareto": (
             # smallest k with 5·cum ≥ 4·total (exact ints), rev DESC +

@@ -3036,3 +3036,111 @@ def gram_entropy(docs_ds, n: int = 3, num_buckets: int = 32,
             "entropy": round_half_away(np.array([ent]), round_to),
         }
     )
+
+
+def lexical_diversity(docs_ds, round_to: int = 6):
+    """Per-document lexical-diversity profile → (doc_id, n_tokens,
+    n_types, ttr, avg_token_len): type–token ratio (distinct/total
+    whitespace tokens) and mean token length — the classic "is this doc
+    degenerate boilerplate or real prose" curation signals (a TTR near 0
+    means the doc repeats a tiny vocabulary; avg token length far from
+    ~4–6 chars flags code/garbage). Docs with zero tokens are omitted
+    (mirrors the SQL oracle, where ``unnest`` yields no rows for them).
+
+    Scale shape: ONE stateless ``map_batches`` — every statistic is
+    computed inside the batch from that row's own text (no vocabulary
+    shuffle, no cross-doc state), so it streams at any corpus size.
+    Divisions are single IEEE ops on exact int64 counts, rounded
+    half-away-from-zero to match DuckDB ``round()`` bit-exactly."""
+
+    def _stats(batch: pa.Table) -> pa.Table:
+        doc_ids = batch["doc_id"].to_numpy()
+        texts = batch["text"].to_pylist()
+        n_tok = np.zeros(len(texts), np.int64)
+        n_typ = np.zeros(len(texts), np.int64)
+        s_len = np.zeros(len(texts), np.int64)
+        for i, t in enumerate(texts):
+            toks = _tokens(t)
+            n_tok[i] = len(toks)
+            n_typ[i] = len(set(toks))
+            s_len[i] = sum(len(x) for x in toks)
+        keep = n_tok > 0
+        n_tok, n_typ, s_len = n_tok[keep], n_typ[keep], s_len[keep]
+        return pa.table(
+            {
+                "doc_id": doc_ids[keep],
+                "n_tokens": n_tok,
+                "n_types": n_typ,
+                "ttr": round_half_away(
+                    n_typ.astype(np.float64) / n_tok.astype(np.float64), round_to
+                ),
+                "avg_token_len": round_half_away(
+                    s_len.astype(np.float64) / n_tok.astype(np.float64), round_to
+                ),
+            }
+        )
+
+    return docs_ds.map_batches(_stats, batch_format="pyarrow")
+
+
+def hapax_stats(docs_ds, round_to: int = 6):
+    """Corpus hapax-legomenon gauge → ONE row (n_tokens_total, n_vocab,
+    n_hapax, hapax_fraction = hapax/vocab, hapax_token_share =
+    hapax/total tokens). A healthy natural corpus sits near the Zipfian
+    ~50 % hapax fraction; a low value screams template/duplicated text,
+    a very high one screams OCR noise — the companion corpus-health
+    number to :func:`zipf_slope` and :func:`gram_entropy`.
+
+    Scale shape: per-batch (token, count) histograms (``np.unique``
+    combiner — the exchange moves per-batch vocabularies, bounded by
+    Heaps' law, never one row per occurrence) → ONE ``groupby(token)``
+    sum → per-output-batch 3-int partials → a constant-size driver fold.
+    The two divisions are single IEEE ops on exact ints."""
+    from ray.data.aggregate import Sum
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        toks: list[str] = []
+        for t in batch["text"].to_pylist():
+            toks.extend(_tokens(t))
+        if not toks:
+            return pa.table(
+                {"token": pa.array([], pa.string()), "cnt": pa.array([], pa.int64())}
+            )
+        u, c = np.unique(np.asarray(toks, dtype=object), return_counts=True)
+        return pa.table(
+            {"token": pa.array(u.tolist(), pa.string()), "cnt": c.astype(np.int64)}
+        )
+
+    def _fold(batch: pa.Table) -> pa.Table:
+        c = batch["cnt"].to_numpy()
+        return pa.table(
+            {
+                "tot": np.array([int(c.sum())], np.int64),
+                "voc": np.array([len(c)], np.int64),
+                "hap": np.array([int((c == 1).sum())], np.int64),
+            }
+        )
+
+    out = (
+        docs_ds.map_batches(_partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .map_batches(_fold, batch_format="pyarrow")
+        .to_pandas()
+    )
+    tot = int(out["tot"].sum())
+    voc = int(out["voc"].sum())
+    hap = int(out["hap"].sum())
+    return pa.table(
+        {
+            "n_tokens_total": np.array([tot], np.int64),
+            "n_vocab": np.array([voc], np.int64),
+            "n_hapax": np.array([hap], np.int64),
+            "hapax_fraction": round_half_away(
+                np.array([hap / voc if voc else 0.0]), round_to
+            ),
+            "hapax_token_share": round_half_away(
+                np.array([hap / tot if tot else 0.0]), round_to
+            ),
+        }
+    )

@@ -1559,3 +1559,59 @@ def test_split_leakage_detects_cross_split_dups(ray_session):
     empty = split_leakage(clean, num_buckets=4).to_pandas()
     assert len(empty) == 0
     assert list(empty.columns) == ["split_a", "split_b", "n_shared_texts"]
+
+
+def test_lexical_diversity_scalar_replay(ray_session):
+    """TTR/avg-len computed per doc; empty docs are omitted (oracle
+    parity with SQL unnest)."""
+    import ray.data as rd
+
+    from subgraph_isomorphism_pregel_ray.pipelines.textops import (
+        lexical_diversity,
+    )
+
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "text": pa.array(["a bb a ccc", "x", ""]),
+            }
+        )
+    )
+    got = (
+        lexical_diversity(docs).to_pandas().sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(got["doc_id"]) == [1, 2]  # empty doc 3 omitted
+    # doc 1: tokens a,bb,a,ccc -> 4 tokens, 3 types, lens 1+2+1+3=7
+    assert got.loc[0, "n_tokens"] == 4
+    assert got.loc[0, "n_types"] == 3
+    assert got.loc[0, "ttr"] == 0.75
+    assert got.loc[0, "avg_token_len"] == 1.75
+    assert got.loc[1, "ttr"] == 1.0
+    assert got.loc[1, "avg_token_len"] == 1.0
+
+
+def test_hapax_stats_scalar_replay(ray_session):
+    """Hapax counts fold exactly across batches: vocabulary {a,bb,ccc},
+    counts {a:3, bb:1, ccc:2} -> 2 of 3 types... bb is the only hapax."""
+    import ray.data as rd
+
+    from subgraph_isomorphism_pregel_ray.pipelines.textops import hapax_stats
+
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2], pa.int64()),
+                "text": pa.array(["a bb a ccc", "a ccc"]),
+            }
+        )
+    )
+    got = hapax_stats(docs).to_pandas()
+    assert len(got) == 1
+    r = got.iloc[0]
+    assert r["n_tokens_total"] == 6
+    assert r["n_vocab"] == 3
+    assert r["n_hapax"] == 1
+    assert abs(r["hapax_fraction"] - 0.333333) < 1e-12
+    assert abs(r["hapax_token_share"] - 0.166667) < 1e-12
