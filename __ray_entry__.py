@@ -1297,6 +1297,24 @@ def _q_hapax_stats(sf_dir: str):
     return hapax_stats(docs)
 
 
+def _q_frequent_triples(sf_dir: str):
+    """Apriori 3-itemsets over order baskets (support ≥ 2)."""
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import (
+        frequent_triples,
+    )
+
+    return frequent_triples(sf_dir)
+
+
+def _q_etype_cooccur_lift(sf_dir: str):
+    """Event-type pair lift at user-day granularity (Gram-matrix fold)."""
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import (
+        etype_cooccur_lift,
+    )
+
+    return etype_cooccur_lift(sf_dir)
+
+
 def _q_revenue_pareto(sf_dir: str):
     """Smallest top-k customer set carrying ≥80% of revenue; exact
     integer 5·cum ≥ 4·total test."""
@@ -2231,6 +2249,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gram_entropy": _q_gram_entropy,
         "lexical_diversity": _q_lexical_diversity,
         "hapax_stats": _q_hapax_stats,
+        "frequent_triples": _q_frequent_triples,
+        "etype_cooccur_lift": _q_etype_cooccur_lift,
         "events_heatmap": _q_events_heatmap,
         "weekday_revenue": _q_weekday_revenue,
         "window_distinct_users": _q_window_distinct_users,
@@ -4350,6 +4370,33 @@ def oracle_sql() -> dict[str, str]:
             "/ count(*), 6) AS hapax_fraction, "
             "round(CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE) "
             "/ sum(c), 6) AS hapax_token_share FROM tf"
+        ),
+        "frequent_triples": (
+            "WITH b AS (SELECT DISTINCT l_orderkey o, l_partkey p "
+            "FROM lineitem) "
+            "SELECT CAST(b1.p AS BIGINT) p1, CAST(b2.p AS BIGINT) p2, "
+            "CAST(b3.p AS BIGINT) p3, CAST(count(*) AS BIGINT) support "
+            "FROM b b1 JOIN b b2 ON b1.o = b2.o AND b1.p < b2.p "
+            "JOIN b b3 ON b2.o = b3.o AND b2.p < b3.p "
+            "GROUP BY 1, 2, 3 HAVING count(*) >= 2"
+        ),
+        "etype_cooccur_lift": (
+            "WITH d AS (SELECT DISTINCT user_id, "
+            "epoch_us(ts) // 86400000000 AS day, event_type FROM events), "
+            "tot AS (SELECT count(*) AS n FROM "
+            "(SELECT DISTINCT user_id, day FROM d)), "
+            "s AS (SELECT event_type, CAST(count(*) AS BIGINT) n "
+            "FROM d GROUP BY 1), "
+            "p AS (SELECT d1.event_type ta, d2.event_type tb, "
+            "CAST(count(*) AS BIGINT) nb FROM d d1 JOIN d d2 "
+            "ON d1.user_id = d2.user_id AND d1.day = d2.day "
+            "AND d1.event_type < d2.event_type GROUP BY 1, 2) "
+            "SELECT ta AS type_a, tb AS type_b, nb AS n_days_both, "
+            "round(CAST(nb * tot.n AS DOUBLE) / "
+            "CAST(sa.n * sb.n AS DOUBLE), 6) AS lift "
+            "FROM p CROSS JOIN tot "
+            "JOIN s sa ON sa.event_type = p.ta "
+            "JOIN s sb ON sb.event_type = p.tb"
         ),
         "revenue_pareto": (
             # smallest k with 5·cum ≥ 4·total (exact ints), rev DESC +

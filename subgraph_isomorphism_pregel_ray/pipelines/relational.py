@@ -6933,3 +6933,171 @@ def weekly_stickiness(sf_dir: str, num_buckets: int | None = None,
             ),
         }
     )
+
+
+def frequent_triples(sf_dir: str, min_support: int = 2,
+                     num_buckets: int | None = None):
+    """Apriori 3-itemset stage (Agrawal & Srikant VLDB'94, the level
+    above :func:`basket_lift`'s pairs): every part TRIPLE bought together
+    in ≥ ``min_support`` distinct orders → (p1, p2, p3, support) with
+    p1 < p2 < p3. The bundle-detection signal pair lift can't see —
+    a triple can be frequent while one of its pairs is mere noise.
+
+    Scale shape: per-batch distinct (order, part) keys → ONE
+    order-bucket groupby generates each basket's C(n,3) combinations
+    (basket size is bounded — TPC-H ≤ 7 lines/order at ANY sf, data
+    max 13 here — so the expansion is constant work per order, never
+    quadratic blowup) with a local `np.unique` combiner → ONE
+    triple-key-bucket groupby sums supports and applies the threshold.
+    Triples pack into one int64 (3 × 21-bit part keys — guarded; at
+    larger key spaces widen to the two-column (hi, lo) pack used by the
+    pair ops). The ≥ min_support filter runs INSIDE the owning bucket,
+    so only frequent triples ever reach the driver."""
+    from itertools import combinations
+
+    from ray.data.aggregate import Sum
+
+    ds = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+    B = np.int64(_auto_buckets(ds, num_buckets))
+
+    def _op(t: pa.Table) -> pa.Table:
+        o = t["l_orderkey"].to_numpy().astype(np.int64)
+        p = t["l_partkey"].to_numpy().astype(np.int64)
+        if len(o) and (int(o.max()) >= (1 << 41) or int(p.max()) >= (1 << 21)):
+            raise ValueError("frequent_triples: key exceeds the 41/21-bit pack")
+        key = np.unique(o << np.int64(21) | p)
+        return pa.table(
+            {"key": key,
+             "b": ((key >> np.int64(21)) % B).astype(np.int32)}
+        )
+
+    def _triples(g: pa.Table) -> pa.Table:
+        key = np.unique(g["key"].to_numpy())
+        o = key >> np.int64(21)
+        p = key & np.int64((1 << 21) - 1)
+        # segment per order (keys are sorted, so parts are sorted per order)
+        cut = np.flatnonzero(np.r_[True, o[1:] != o[:-1]])
+        ends = np.r_[cut[1:], len(o)]
+        out = []
+        for s, e in zip(cut, ends):
+            if e - s >= 3:
+                for a, bb, c in combinations(p[s:e].tolist(), 3):
+                    out.append((a << 42) | (bb << 21) | c)
+        if not out:
+            return pa.table(
+                {"tk": pa.array([], pa.int64()), "n": pa.array([], pa.int64()),
+                 "b2": pa.array([], pa.int32())}
+            )
+        tk, n = np.unique(np.asarray(out, np.int64), return_counts=True)
+        return pa.table(
+            {"tk": tk, "n": n.astype(np.int64),
+             "b2": (tk % B).astype(np.int32)}
+        )
+
+    def _thresh(g: pa.Table) -> pa.Table:
+        tk = g["tk"].to_numpy()
+        n = g["n"].to_numpy()
+        utk, inv = np.unique(tk, return_inverse=True)
+        s = np.zeros(len(utk), np.int64)
+        np.add.at(s, inv, n)
+        keep = s >= min_support
+        utk, s = utk[keep], s[keep]
+        m = np.int64((1 << 21) - 1)
+        return pa.table(
+            {"p1": (utk >> np.int64(42)) & m, "p2": (utk >> np.int64(21)) & m,
+             "p3": utk & m, "support": s}
+        )
+
+    return (
+        ds.map_batches(_op, batch_format="pyarrow")
+        .groupby("b").map_groups(_triples, batch_format="pyarrow")
+        .groupby("b2").map_groups(_thresh, batch_format="pyarrow")
+        .select_columns(["p1", "p2", "p3", "support"])
+    )
+
+
+def etype_cooccur_lift(sf_dir: str, num_buckets: int | None = None,
+                       round_to: int = 6):
+    """Event-type co-occurrence lift at user-day granularity → one row
+    per unordered type pair (type_a < type_b): n_days_both (distinct
+    user-days seeing BOTH types) and lift = P(ab)/(P(a)·P(b)) =
+    n_both·N / (n_a·n_b) over N = all distinct user-days. The
+    "do errors travel with purchases" product-analytics cross-tab.
+
+    Scale shape: per-batch distinct (user, day, type) rows → ONE
+    user-bucket groupby; inside each bucket the pair counts come from a
+    presence-matrix Gram product (M.T @ M over a user-day × type 0/1
+    matrix — vectorized, no per-pair loop), so what leaves every bucket
+    is a ≤ T×T count matrix (T = #event types, tiny by construction).
+    Driver folds the constant-size partials; ONE rounded division per
+    pair mirrored by the SQL (n_both·N and n_a·n_b are exact int64)."""
+    from ..functions.rounding import round_half_away
+
+    ds = read_table(sf_dir, "events", columns=["ts", "user_id", "event_type"])
+    B = np.int64(_auto_buckets(ds, num_buckets))
+
+    def _ud(t: pa.Table) -> pa.Table:
+        day = t["ts"].to_numpy().astype("datetime64[D]").astype(np.int64)
+        u = t["user_id"].to_numpy().astype(np.int64)
+        if len(u) and (int(u.max()) >= (1 << 41) or int(day.max()) >= (1 << 22)):
+            raise ValueError("etype_cooccur_lift: key exceeds the 41/22-bit pack")
+        ud = u << np.int64(22) | day
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"ud": ud, "et": et}).drop_duplicates()
+        return pa.table(
+            {"ud": df["ud"].to_numpy(np.int64),
+             "et": pa.array(df["et"].tolist(), pa.string()),
+             "b": (df["ud"].to_numpy(np.int64) % B).astype(np.int32)}
+        )
+
+    def _gram(g: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {"ud": g["ud"].to_numpy(), "et": g["et"].to_numpy(zero_copy_only=False)}
+        ).drop_duplicates()
+        uds, udi = np.unique(df["ud"].to_numpy(np.int64), return_inverse=True)
+        ets, eti = np.unique(df["et"].to_numpy(), return_inverse=True)
+        M = np.zeros((len(uds), len(ets)), np.int64)
+        M[udi, eti] = 1
+        G = M.T @ M  # co-occurrence counts; diagonal = singleton counts
+        ta, tb, n = [], [], []
+        for i in range(len(ets)):
+            for j in range(i, len(ets)):
+                ta.append(str(ets[i]))
+                tb.append(str(ets[j]) if j != i else "")
+                n.append(int(G[i, j]))
+        ta.append("")
+        tb.append("")
+        n.append(len(uds))  # user-day total partial
+        return pa.table(
+            {"ta": pa.array(ta, pa.string()), "tb": pa.array(tb, pa.string()),
+             "n": pa.array(n, pa.int64())}
+        )
+
+    out = (
+        ds.map_batches(_ud, batch_format="pyarrow")
+        .groupby("b").map_groups(_gram, batch_format="pyarrow")
+        .to_pandas()
+    )
+    fold = out.groupby(["ta", "tb"], as_index=False)["n"].sum()
+    total = int(fold[(fold["ta"] == "") & (fold["tb"] == "")]["n"].iloc[0])
+    single = {
+        r.ta: int(r.n)
+        for r in fold[(fold["tb"] == "") & (fold["ta"] != "")].itertuples()
+    }
+    pairs = fold[(fold["ta"] != "") & (fold["tb"] != "")].sort_values(
+        ["ta", "tb"]
+    )
+    nb = pairs["n"].to_numpy(np.int64)
+    na = np.array([single[t] for t in pairs["ta"]], np.int64)
+    nbb = np.array([single[t] for t in pairs["tb"]], np.int64)
+    return pa.table(
+        {
+            "type_a": pa.array(pairs["ta"].tolist(), pa.string()),
+            "type_b": pa.array(pairs["tb"].tolist(), pa.string()),
+            "n_days_both": nb,
+            "lift": round_half_away(
+                (nb * total).astype(np.float64) / (na * nbb).astype(np.float64),
+                round_to,
+            ),
+        }
+    )

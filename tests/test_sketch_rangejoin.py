@@ -876,3 +876,68 @@ def test_weekly_stickiness_formula(ray_session, tmp_path):
     row = got.iloc[0]
     assert row["n_days_active"] == 2 and row["sum_dau"] == 3 and row["wau"] == 2
     assert row["stickiness"] == 0.75
+
+
+def test_frequent_triples_threshold(ray_session, tmp_path):
+    """Orders {1,2,3,4}, {1,2,3}, {1,2,3,9}, {5,6,7}: triple (1,2,3)
+    support 3; every other triple support 1 -> filtered at min 2."""
+    import pyarrow.parquet as pq
+
+    orders = [(10, [1, 2, 3, 4]), (11, [1, 2, 3]), (12, [1, 2, 3, 9]),
+              (13, [5, 6, 7]), (14, [8])]
+    ok, pk = [], []
+    for o, parts in orders:
+        for p in parts:
+            ok.append(o)
+            pk.append(p)
+            ok.append(o)  # duplicate lineitem row: distinct-ness must hold
+            pk.append(p)
+    pq.write_table(
+        pa.table(
+            {"l_orderkey": pa.array(ok, pa.int64()),
+             "l_partkey": pa.array(pk, pa.int64())}
+        ),
+        tmp_path / "lineitem.parquet",
+    )
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import (
+        frequent_triples,
+    )
+
+    got = frequent_triples(str(tmp_path), num_buckets=4).to_pandas()
+    assert len(got) == 1
+    assert tuple(got.iloc[0]) == (1, 2, 3, 3)
+    # threshold 1 keeps every triple: C(4,3)*2 distinct + (1,2,3) folded
+    all_t = frequent_triples(str(tmp_path), min_support=1,
+                             num_buckets=4).to_pandas()
+    # distinct triples: 4 from {1,2,3,4}, 3 NEW from {1,2,3,9}, 1 from
+    # {5,6,7}; {1,2,3} adds none
+    assert len(all_t) == 4 + 3 + 1
+    assert all_t["support"].sum() == 4 + 4 + 1 + 1
+
+
+def test_etype_cooccur_lift_formula(ray_session, tmp_path):
+    """3 user-days: types {a,b}, {a}, {b} -> pair (a,b): n_both=1,
+    lift = 1*3/(2*2) = 0.75."""
+    import pyarrow.parquet as pq
+
+    base = np.datetime64("2025-06-02T10:00:00", "us")
+    ts = [base, base, base, base + np.timedelta64(1, "D"), base]
+    uid = [1, 1, 1, 1, 2]
+    et = ["a", "b", "a", "a", "b"]  # u1d0 dup 'a' must not double-count
+    pq.write_table(
+        pa.table(
+            {"ts": pa.array(np.array(ts, "datetime64[us]")),
+             "user_id": pa.array(uid, pa.int64()),
+             "event_type": pa.array(et, pa.string())}
+        ),
+        tmp_path / "events.parquet",
+    )
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import (
+        etype_cooccur_lift,
+    )
+
+    got = etype_cooccur_lift(str(tmp_path), num_buckets=4).to_pandas()
+    assert len(got) == 1
+    row = got.iloc[0]
+    assert (row["type_a"], row["type_b"], row["n_days_both"]) == ("a", "b", 1)
+    assert row["lift"] == 0.75
