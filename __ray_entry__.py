@@ -1297,6 +1297,15 @@ def _q_hapax_stats(sf_dir: str):
     return hapax_stats(docs)
 
 
+def _q_lang_source_chi2(sf_dir: str):
+    """Pearson X² per-cell contributions of the lang × source crosstab."""
+    from subgraph_isomorphism_pregel_ray.pipelines.textops import lang_source_chi2
+    from subgraph_isomorphism_pregel_ray.sources.tables import read_table
+
+    docs = read_table(sf_dir, "documents", columns=["lang", "source"])
+    return lang_source_chi2(docs)
+
+
 def _q_frequent_triples(sf_dir: str):
     """Apriori 3-itemsets over order baskets (support ≥ 2)."""
     from subgraph_isomorphism_pregel_ray.pipelines.relational import (
@@ -2251,6 +2260,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hapax_stats": _q_hapax_stats,
         "frequent_triples": _q_frequent_triples,
         "etype_cooccur_lift": _q_etype_cooccur_lift,
+        "lang_source_chi2": _q_lang_source_chi2,
         "events_heatmap": _q_events_heatmap,
         "weekday_revenue": _q_weekday_revenue,
         "window_distinct_users": _q_window_distinct_users,
@@ -4370,6 +4380,24 @@ def oracle_sql() -> dict[str, str]:
             "/ count(*), 6) AS hapax_fraction, "
             "round(CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE) "
             "/ sum(c), 6) AS hapax_token_share FROM tf"
+        ),
+        "lang_source_chi2": (
+            "WITH cells AS (SELECT lang, source, "
+            "CAST(count(*) AS BIGINT) o FROM documents GROUP BY 1, 2), "
+            "r AS (SELECT lang, CAST(sum(o) AS BIGINT) rn FROM cells "
+            "GROUP BY 1), "
+            "c AS (SELECT source, CAST(sum(o) AS BIGINT) cn FROM cells "
+            "GROUP BY 1), "
+            "t AS (SELECT CAST(sum(o) AS BIGINT) n FROM cells) "
+            "SELECT cells.lang, cells.source, o AS observed, "
+            "round(CAST(rn * cn AS DOUBLE) / CAST(t.n AS DOUBLE), 6) "
+            "AS expected, "
+            "round(CAST(o * t.n - rn * cn AS DOUBLE) * "
+            "CAST(o * t.n - rn * cn AS DOUBLE) / "
+            "CAST(t.n * rn * cn AS DOUBLE), 6) AS contrib "
+            "FROM cells CROSS JOIN t "
+            "JOIN r ON r.lang = cells.lang "
+            "JOIN c ON c.source = cells.source"
         ),
         "frequent_triples": (
             "WITH b AS (SELECT DISTINCT l_orderkey o, l_partkey p "

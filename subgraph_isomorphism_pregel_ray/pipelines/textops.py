@@ -3144,3 +3144,73 @@ def hapax_stats(docs_ds, round_to: int = 6):
             ),
         }
     )
+
+
+def lang_source_chi2(docs_ds, round_to: int = 6):
+    """Chi-square independence audit of the declared lang × source
+    contingency table → one row per observed cell (lang, source,
+    observed, expected, contrib) where expected = row·col/total and
+    contrib = (observed·total − row·col)² / (total·row·col) — the
+    per-cell Pearson X² term. A cell with a large contrib is a
+    lang/source pairing far off the independence hypothesis (a scraper
+    pulling the wrong language, a source dominating one language).
+    Per-cell output (no float grand total) keeps every value a single
+    IEEE op on exact integer counts, so the SQL oracle reproduces it
+    bit-exactly at any scale.
+
+    Scale shape: per-batch (lang, source) count combine (exchange is
+    O(|langs|·|sources|) per batch, constant for any corpus) → ONE tiny
+    groupby-sum → driver computes marginals from the folded cells in
+    arbitrary-precision Python ints (observed·total and row·col overflow
+    int64 near 10¹² docs; HUGEINT mirrors exactly)."""
+    from ray.data.aggregate import Sum
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        lang = batch["lang"].to_pylist()
+        src = batch["source"].to_pylist()
+        keys = np.asarray(
+            [f"{a}\x00{s}" for a, s in zip(lang, src)], dtype=object
+        )
+        if len(keys) == 0:
+            return pa.table(
+                {"lang": pa.array([], pa.string()),
+                 "source": pa.array([], pa.string()),
+                 "n": pa.array([], pa.int64())}
+            )
+        u, c = np.unique(keys, return_counts=True)
+        pairs = [k.split("\x00") for k in u]
+        return pa.table(
+            {"lang": pa.array([p[0] for p in pairs], pa.string()),
+             "source": pa.array([p[1] for p in pairs], pa.string()),
+             "n": c.astype(np.int64)}
+        )
+
+    cells = (
+        docs_ds.map_batches(_partial, batch_format="pyarrow")
+        .groupby(["lang", "source"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    rows = cells.groupby("lang")["n"].sum().to_dict()
+    cols = cells.groupby("source")["n"].sum().to_dict()
+    total = int(cells["n"].sum())
+    lang_v, src_v, obs_v, exp_v, contrib_v = [], [], [], [], []
+    from ..functions.rounding import round_half_away
+
+    for r in cells.itertuples():
+        o, rr, cc = int(r.n), int(rows[r.lang]), int(cols[r.source])
+        num = np.float64(o * total - rr * cc)
+        lang_v.append(r.lang)
+        src_v.append(r.source)
+        obs_v.append(o)
+        exp_v.append(np.float64(rr * cc) / np.float64(total))
+        contrib_v.append(num * num / np.float64(total * rr * cc))
+    return pa.table(
+        {
+            "lang": pa.array(lang_v, pa.string()),
+            "source": pa.array(src_v, pa.string()),
+            "observed": pa.array(obs_v, pa.int64()),
+            "expected": round_half_away(np.asarray(exp_v, np.float64), round_to),
+            "contrib": round_half_away(np.asarray(contrib_v, np.float64), round_to),
+        }
+    )

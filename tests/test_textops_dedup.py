@@ -1615,3 +1615,34 @@ def test_hapax_stats_scalar_replay(ray_session):
     assert r["n_hapax"] == 1
     assert abs(r["hapax_fraction"] - 0.333333) < 1e-12
     assert abs(r["hapax_token_share"] - 0.166667) < 1e-12
+
+
+def test_lang_source_chi2_formula(ray_session):
+    """2x2 crosstab with known marginals: cells (en,a)=2 (en,b)=1
+    (fr,a)=1 -> total 4, rows en=3 fr=1, cols a=3 b=1.
+    (en,a): exp=9/4=2.25, contrib=(2*4-9)^2/(4*3*3)=1/36."""
+    import ray.data as rd
+
+    from subgraph_isomorphism_pregel_ray.pipelines.textops import (
+        lang_source_chi2,
+    )
+
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "lang": pa.array(["en", "en", "en", "fr"]),
+                "source": pa.array(["a", "a", "b", "a"]),
+            }
+        )
+    )
+    got = (
+        lang_source_chi2(docs).to_pandas()
+        .sort_values(["lang", "source"]).reset_index(drop=True)
+    )
+    assert len(got) == 3
+    ena = got[(got["lang"] == "en") & (got["source"] == "a")].iloc[0]
+    assert ena["observed"] == 2
+    assert ena["expected"] == 2.25
+    assert abs(ena["contrib"] - round(1 / 36, 6)) < 1e-12
+    frb_absent = got[(got["lang"] == "fr") & (got["source"] == "b")]
+    assert len(frb_absent) == 0  # unobserved cells are not emitted
