@@ -1297,6 +1297,31 @@ def _q_hapax_stats(sf_dir: str):
     return hapax_stats(docs)
 
 
+def _q_late_events(sf_dir: str):
+    """Watermark lateness audit: two-phase distributed prefix max."""
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import late_events
+
+    return late_events(sf_dir)
+
+
+def _q_weighted_sample_orders(sf_dir: str):
+    """Efraimidis–Spirakis A-Res weighted reservoir sample (k=50)."""
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import (
+        weighted_sample_orders,
+    )
+
+    return weighted_sample_orders(sf_dir)
+
+
+def _q_revenue_outlier_days(sf_dir: str):
+    """Tukey-fence outlier days with explicit-arithmetic quartiles."""
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import (
+        revenue_outlier_days,
+    )
+
+    return revenue_outlier_days(sf_dir)
+
+
 def _q_lang_source_chi2(sf_dir: str):
     """Pearson X² per-cell contributions of the lang × source crosstab."""
     from subgraph_isomorphism_pregel_ray.pipelines.textops import lang_source_chi2
@@ -2261,6 +2286,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "frequent_triples": _q_frequent_triples,
         "etype_cooccur_lift": _q_etype_cooccur_lift,
         "lang_source_chi2": _q_lang_source_chi2,
+        "late_events": _q_late_events,
+        "weighted_sample_orders": _q_weighted_sample_orders,
+        "revenue_outlier_days": _q_revenue_outlier_days,
         "events_heatmap": _q_events_heatmap,
         "weekday_revenue": _q_weekday_revenue,
         "window_distinct_users": _q_window_distinct_users,
@@ -4380,6 +4408,60 @@ def oracle_sql() -> dict[str, str]:
             "/ count(*), 6) AS hapax_fraction, "
             "round(CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE) "
             "/ sum(c), 6) AS hapax_token_share FROM tf"
+        ),
+        "late_events": (
+            # deterministic shuffled-arrival replay: arrival key =
+            # md5_number_lower(event_id); watermark = running max(ts)
+            "WITH a AS (SELECT event_id, epoch_us(ts) tsu, "
+            "md5_number_lower(CAST(event_id AS VARCHAR)) h FROM events), "
+            "w AS (SELECT event_id, tsu, max(tsu) OVER "
+            "(ORDER BY h, event_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) wm FROM a) "
+            "SELECT event_id, CAST((wm - tsu) // 1000000 AS BIGINT) "
+            "AS late_by_s FROM w "
+            "WHERE wm IS NOT NULL AND wm - tsu > 3600000000"
+        ),
+        "weighted_sample_orders": (
+            "WITH kx AS (SELECT o_orderkey, "
+            "CAST(round(o_totalprice * 100) AS BIGINT) w_cents, "
+            "-ln((CAST(md5_number_lower(CAST(o_orderkey AS VARCHAR)) "
+            "% 9007199254740992 AS DOUBLE) + 1.0) / 9007199254740992.0) "
+            "/ CAST(round(o_totalprice * 100) AS BIGINT) AS k "
+            "FROM orders) "
+            "SELECT o_orderkey, w_cents, round(k, 6) AS key FROM kx "
+            "ORDER BY k, o_orderkey LIMIT 50"
+        ),
+        "revenue_outlier_days": (
+            # Tukey fences; quartiles as EXPLICIT interpolation mirroring
+            # the engine op order (v[lo] + frac*CAST(v[hi]-v[lo] AS DOUBLE))
+            "WITH d AS (SELECT epoch_us(l_shipdate) // 86400000000 AS dy, "
+            "sum(CAST(round(l_extendedprice * 100) AS BIGINT)) c "
+            "FROM lineitem GROUP BY 1), "
+            "o AS MATERIALIZED (SELECT c, row_number() OVER (ORDER BY c) rn "
+            "FROM d), "
+            "nn AS (SELECT CAST(count(*) AS BIGINT) n FROM d), "
+            "p1 AS (SELECT CAST(n - 1 AS DOUBLE) * 0.25 AS pos, n FROM nn), "
+            "p3 AS (SELECT CAST(n - 1 AS DOUBLE) * 0.75 AS pos, n FROM nn), "
+            "q1 AS (SELECT (SELECT CAST(c AS DOUBLE) FROM o "
+            "WHERE rn = CAST(floor(p1.pos) AS BIGINT) + 1) + "
+            "(p1.pos - floor(p1.pos)) * "
+            "(SELECT CAST(h.c - l.c AS DOUBLE) FROM o l, o h "
+            "WHERE l.rn = CAST(floor(p1.pos) AS BIGINT) + 1 "
+            "AND h.rn = least(CAST(floor(p1.pos) AS BIGINT) + 2, p1.n)) "
+            "AS v FROM p1), "
+            "q3 AS (SELECT (SELECT CAST(c AS DOUBLE) FROM o "
+            "WHERE rn = CAST(floor(p3.pos) AS BIGINT) + 1) + "
+            "(p3.pos - floor(p3.pos)) * "
+            "(SELECT CAST(h.c - l.c AS DOUBLE) FROM o l, o h "
+            "WHERE l.rn = CAST(floor(p3.pos) AS BIGINT) + 1 "
+            "AND h.rn = least(CAST(floor(p3.pos) AS BIGINT) + 2, p3.n)) "
+            "AS v FROM p3), "
+            "f AS (SELECT q1.v - 1.5 * (q3.v - q1.v) AS lo, "
+            "q3.v + 1.5 * (q3.v - q1.v) AS hi FROM q1, q3) "
+            "SELECT CAST(dy AS BIGINT) AS \"day\", c AS rev_cents, "
+            "CASE WHEN CAST(c AS DOUBLE) < f.lo THEN 'low' ELSE 'high' END "
+            "AS side FROM d, f "
+            "WHERE CAST(c AS DOUBLE) < f.lo OR CAST(c AS DOUBLE) > f.hi"
         ),
         "lang_source_chi2": (
             "WITH cells AS (SELECT lang, source, "

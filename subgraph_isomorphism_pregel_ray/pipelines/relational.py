@@ -7101,3 +7101,189 @@ def etype_cooccur_lift(sf_dir: str, num_buckets: int | None = None,
             ),
         }
     )
+
+
+def late_events(sf_dir: str, allowed_lateness_s: int = 3600,
+                num_buckets: int = 64):
+    """Event-time WATERMARK lateness audit (the Beam/Flink allowed-
+    lateness drop rule): replay events in a deterministic SHUFFLED
+    arrival order — arrival key = ``md5_lower64(event_id)`` — and flag
+    every event whose ts trails the running max(ts) high watermark by
+    more than ``allowed_lateness_s`` → (event_id, late_by_s), whole
+    seconds, exact int64 µs arithmetic. (The events table is stored in
+    event-time order, so an audit over storage order is vacuously
+    empty; the md5 replay restores the out-of-order-arrival regime a
+    real ingest sees, while staying reproducible and SQL-checkable.)
+
+    Scale shape: the classic two-phase distributed prefix scan —
+    (1) ONE pass folds per-arrival-range max(ts) partials (ranges are
+    the top bits of the arrival hash, so they are uniform by
+    construction); the driver prefix-maxes the O(#ranges) directory;
+    (2) ONE range-bucketed groupby re-scans, each bucket seeding its
+    running max from the broadcast directory — no global sort, and
+    nothing but the directory ever leaves the workers."""
+    import ray
+    from ray.data.aggregate import Max
+
+    from ..functions.hashing import md5_lower64
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "ts"])
+    shift = np.uint64(64 - max(1, int(np.log2(num_buckets))))
+    SENT = np.int64(np.iinfo(np.int64).min)
+
+    def _rng(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy().astype(np.int64)
+        ts = t["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        b = (md5_lower64(eid.astype(str)) >> shift).astype(np.int64)
+        ub, inv = np.unique(b, return_inverse=True)
+        m = np.full(len(ub), SENT, np.int64)
+        np.maximum.at(m, inv, ts)
+        return pa.table({"r": ub, "m": m})
+
+    directory = (
+        ds.map_batches(_rng, batch_format="pyarrow")
+        .groupby("r").aggregate(Max("m", alias_name="m"))
+        .to_pandas().sort_values("r")
+    )
+    rs = directory["r"].to_numpy(np.int64)
+    ms = directory["m"].to_numpy(np.int64)
+    pfx = np.full(len(rs), SENT, np.int64)
+    run = int(SENT)
+    for i in range(len(rs)):
+        pfx[i] = run
+        run = max(run, int(ms[i]))
+    base = ray.put({int(r): int(p) for r, p in zip(rs, pfx)})
+    lateness_us = np.int64(allowed_lateness_s) * np.int64(1_000_000)
+
+    def _bucket(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy().astype(np.int64)
+        h = md5_lower64(eid.astype(str))
+        return t.append_column("h", pa.array(h.astype(np.uint64))) \
+                .append_column("b", pa.array((h >> shift).astype(np.int32)))
+
+    def _scan(g: pa.Table) -> pa.Table:
+        bmap = ray.get(base)
+        eid = g["event_id"].to_numpy().astype(np.int64)
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        h = g["h"].to_numpy().astype(np.uint64)
+        order = np.lexsort((eid, h))
+        eid, ts = eid[order], ts[order]
+        seed = np.int64(bmap[int(h[order[0]] >> shift)])
+        # exclusive running max of (seed, ts[0..i-1])
+        prev = np.r_[seed, ts[:-1]]
+        wm = np.maximum.accumulate(prev)
+        valid = wm != SENT  # rows with no true predecessor are never late
+        late = valid & ((wm - ts) > lateness_us)
+        return pa.table(
+            {
+                "event_id": eid[late],
+                "late_by_s": ((wm[late] - ts[late]) // np.int64(1_000_000)),
+            }
+        )
+
+    return (
+        ds.map_batches(_bucket, batch_format="pyarrow")
+        .groupby("b").map_groups(_scan, batch_format="pyarrow")
+    )
+
+
+def weighted_sample_orders(sf_dir: str, k: int = 50, round_to: int = 6):
+    """Deterministic WEIGHTED reservoir sample of ``k`` orders with
+    probability ∝ o_totalprice (Efraimidis–Spirakis A-Res, IPL 2006:
+    key = −ln(u)/w with u a (0,1] hash-uniform; the k SMALLEST keys win
+    the exponential race) → (o_orderkey, w_cents, key). Deterministic —
+    u comes from ``md5_lower64(o_orderkey)`` — so the sample is
+    reproducible run-to-run AND SQL-checkable, the property that makes
+    distributed sampling auditable.
+
+    Scale shape: one stateless pass computes keys per batch and keeps a
+    per-batch top-k partial; the driver folds ≤ k·#batches candidate
+    rows. No shuffle, no sort of the corpus — the A-Res trick is exactly
+    what lets 100 TB be sampled with a driver fold of k rows."""
+    from ..functions.hashing import md5_lower64
+    from ..functions.rounding import round_half_away
+
+    ds = read_table(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    M = np.float64(9007199254740992.0)  # 2^53
+
+    def _keys(t: pa.Table) -> pa.Table:
+        ok = t["o_orderkey"].to_numpy().astype(np.int64)
+        w = np.round(t["o_totalprice"].to_numpy() * 100).astype(np.int64)
+        m = (md5_lower64(ok.astype(str)) % np.uint64(1 << 53)).astype(np.float64)
+        u = (m + 1.0) / M
+        key = -np.log(u) / w.astype(np.float64)
+        top = np.argsort(key, kind="stable")[:k]
+        return pa.table(
+            {"o_orderkey": ok[top], "w_cents": w[top], "key": key[top]}
+        )
+
+    cand = ds.map_batches(_keys, batch_format="pyarrow").to_pandas()
+    cand = cand.sort_values(["key", "o_orderkey"]).head(k)
+    return pa.table(
+        {
+            "o_orderkey": cand["o_orderkey"].to_numpy(np.int64),
+            "w_cents": cand["w_cents"].to_numpy(np.int64),
+            "key": round_half_away(cand["key"].to_numpy(np.float64), round_to),
+        }
+    )
+
+
+def revenue_outlier_days(sf_dir: str, round_to: int = 6):
+    """Tukey-fence outlier DAYS of the daily-revenue series → (day,
+    rev_cents, side) for days outside [q1 − 1.5·IQR, q3 + 1.5·IQR] —
+    the ops-dashboard anomaly row (flash sale, outage, backfill glitch).
+    Quartiles use the percentile_cont linear interpolation, written out
+    as EXPLICIT arithmetic (pos = (n−1)·p; v[lo] + frac·(v[lo+1]−v[lo]))
+    on exact int cents so the SQL oracle can mirror the op order
+    bit-for-bit instead of trusting an opaque percentile built-in.
+
+    Scale shape: the fact stream folds per-day cent partials (per-batch
+    pre-agg + ONE day groupby); the day series is calendar-sized at any
+    corpus scale, so the fence math is a constant-size driver fold."""
+    from ray.data.aggregate import Sum
+
+    li = read_table(sf_dir, "lineitem", columns=["l_shipdate", "l_extendedprice"])
+
+    def _daily(t: pa.Table) -> pa.Table:
+        day = t["l_shipdate"].to_numpy().astype("datetime64[D]").astype(np.int64)
+        cents = np.round(t["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        u, inv = np.unique(day, return_inverse=True)
+        s = np.zeros(len(u), np.int64)
+        np.add.at(s, inv, cents)
+        return pa.table({"day": u, "c": s})
+
+    daily = (
+        li.map_batches(_daily, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()
+        .sort_values("day")
+    )
+    day = daily["day"].to_numpy(np.int64)
+    c = daily["c"].to_numpy(np.int64)
+    v = np.sort(c)
+    n = len(v)
+
+    def _q(p: float) -> np.float64:
+        pos = np.float64(n - 1) * np.float64(p)
+        lo = int(np.floor(pos))
+        frac = pos - np.float64(lo)
+        hi = min(lo + 1, n - 1)
+        return np.float64(v[lo]) + frac * np.float64(v[hi] - v[lo])
+
+    q1, q3 = _q(0.25), _q(0.75)
+    iqr = q3 - q1
+    lo_f = q1 - np.float64(1.5) * iqr
+    hi_f = q3 + np.float64(1.5) * iqr
+    cf = c.astype(np.float64)
+    low = cf < lo_f
+    high = cf > hi_f
+    side = np.where(low, "low", "high")
+    keep = low | high
+    return pa.table(
+        {
+            "day": day[keep],
+            "rev_cents": c[keep],
+            "side": pa.array(side[keep].tolist(), pa.string()),
+        }
+    )

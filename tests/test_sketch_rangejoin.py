@@ -941,3 +941,88 @@ def test_etype_cooccur_lift_formula(ray_session, tmp_path):
     row = got.iloc[0]
     assert (row["type_a"], row["type_b"], row["n_days_both"]) == ("a", "b", 1)
     assert row["lift"] == 0.75
+
+
+def test_late_events_watermark(ray_session, tmp_path):
+    """Replay order is md5(event_id); the event whose ts trails the
+    already-seen max by > allowed lateness is flagged with the exact
+    whole-second gap; on-time and first-arrival rows are silent."""
+    import pyarrow.parquet as pq
+
+    from subgraph_isomorphism_pregel_ray.functions.hashing import md5_lower64
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import (
+        late_events,
+    )
+
+    base = np.datetime64("2025-06-02T00:00:00", "us")
+    n = 8
+    eids = np.arange(n, dtype=np.int64)
+    order = np.argsort(md5_lower64(eids.astype(str)), kind="stable")
+    # assign ts so that the event arriving LAST in replay order is 2h
+    # older than the max seen before it -> exactly one late row
+    ts = np.empty(n, dtype="datetime64[us]")
+    for rank, i in enumerate(order):
+        ts[i] = base + np.timedelta64(rank * 600, "s")  # increasing
+    late_eid = int(order[-1])
+    ts[late_eid] = base - np.timedelta64(7200, "s")
+    pq.write_table(
+        pa.table({"event_id": pa.array(eids), "ts": pa.array(ts)}),
+        tmp_path / "events.parquet",
+    )
+    got = late_events(str(tmp_path)).to_pandas()
+    assert len(got) == 1
+    row = got.iloc[0]
+    assert row["event_id"] == late_eid
+    # watermark before it = max of the first n-1 ranks = (n-2)*600s after
+    # base; gap = that + 7200
+    assert row["late_by_s"] == (n - 2) * 600 + 7200
+
+
+def test_weighted_sample_orders_ares(ray_session, tmp_path):
+    """A-Res: key = -ln(u)/w; higher weight -> stochastically smaller
+    key. Scalar replay of the exact key formula for k=2 of 4."""
+    import pyarrow.parquet as pq
+
+    from subgraph_isomorphism_pregel_ray.functions.hashing import md5_lower64
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import (
+        weighted_sample_orders,
+    )
+
+    ok = np.array([1, 2, 3, 4], np.int64)
+    price = np.array([10.0, 20.0, 30.0, 40.0])
+    pq.write_table(
+        pa.table({"o_orderkey": pa.array(ok),
+                  "o_totalprice": pa.array(price)}),
+        tmp_path / "orders.parquet",
+    )
+    got = weighted_sample_orders(str(tmp_path), k=2).to_pandas()
+    w = np.round(price * 100).astype(np.int64)
+    m = (md5_lower64(ok.astype(str)) % np.uint64(1 << 53)).astype(np.float64)
+    u = (m + 1.0) / 9007199254740992.0
+    key = -np.log(u) / w.astype(np.float64)
+    expect = ok[np.argsort(key, kind="stable")[:2]]
+    assert sorted(got["o_orderkey"]) == sorted(expect.tolist())
+
+
+def test_revenue_outlier_days_fences(ray_session, tmp_path):
+    """9 quiet days + one 100x spike day -> exactly the spike flagged
+    'high'."""
+    import pyarrow.parquet as pq
+
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import (
+        revenue_outlier_days,
+    )
+
+    days = np.arange(10)
+    ship = np.datetime64("2025-01-01", "us") + days * np.timedelta64(1, "D")
+    price = np.where(days == 7, 50000.0, 500.0 + days)
+    pq.write_table(
+        pa.table({"l_shipdate": pa.array(ship),
+                  "l_extendedprice": pa.array(price)}),
+        tmp_path / "lineitem.parquet",
+    )
+    got = revenue_outlier_days(str(tmp_path)).to_pandas()
+    assert len(got) == 1
+    row = got.iloc[0]
+    assert row["side"] == "high"
+    assert row["rev_cents"] == 5000000
