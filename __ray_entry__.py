@@ -1297,6 +1297,16 @@ def _q_hapax_stats(sf_dir: str):
     return hapax_stats(docs)
 
 
+def _q_condensation_levels(sf_dir: str):
+    """Topological levels of the SCC condensation DAG (DagLevelProgram
+    max-propagation after SCCProgram peeling + distributed relabel)."""
+    from subgraph_isomorphism_pregel_ray.pipelines.algorithms import (
+        condensation_levels,
+    )
+
+    return condensation_levels(sf_dir)
+
+
 def _q_late_events(sf_dir: str):
     """Watermark lateness audit: two-phase distributed prefix max."""
     from subgraph_isomorphism_pregel_ray.pipelines.relational import late_events
@@ -2286,6 +2296,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "frequent_triples": _q_frequent_triples,
         "etype_cooccur_lift": _q_etype_cooccur_lift,
         "lang_source_chi2": _q_lang_source_chi2,
+        "condensation_levels": _q_condensation_levels,
         "late_events": _q_late_events,
         "weighted_sample_orders": _q_weighted_sample_orders,
         "revenue_outlier_days": _q_revenue_outlier_days,
@@ -4408,6 +4419,36 @@ def oracle_sql() -> dict[str, str]:
             "/ count(*), 6) AS hapax_fraction, "
             "round(CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE) "
             "/ sum(c), 6) AS hapax_token_share FROM tf"
+        ),
+        "condensation_levels": (
+            # SCC condensation (reusing the scc_parts closure), then
+            # longest path per condensed node via a recursive CTE whose
+            # UNION dedup bounds the state at V × maxlevel
+            "WITH seq AS (SELECT l_orderkey, l_linenumber, l_partkey, "
+            "lag(l_partkey) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) "
+            "AS prev FROM lineitem WHERE l_quantity <= 8), "
+            "edges AS (SELECT DISTINCT prev AS src, l_partkey AS dst FROM seq "
+            "WHERE prev IS NOT NULL AND prev <> l_partkey), "
+            "verts AS (SELECT src AS v FROM edges UNION SELECT dst FROM edges), "
+            "reach AS MATERIALIZED (WITH RECURSIVE r(u, v) AS ("
+            "SELECT v, v FROM verts "
+            "UNION "
+            "SELECT r.u, e.dst FROM r JOIN edges e ON r.v = e.src) "
+            "SELECT u, v FROM r), "
+            "sccs AS MATERIALIZED (SELECT a.u AS vid, MIN(a.v) AS scc "
+            "FROM reach a JOIN reach b ON a.u = b.v AND a.v = b.u "
+            "GROUP BY a.u), "
+            "cedges AS MATERIALIZED (SELECT DISTINCT sa.scc s, sb.scc d "
+            "FROM edges e JOIN sccs sa ON sa.vid = e.src "
+            "JOIN sccs sb ON sb.vid = e.dst WHERE sa.scc <> sb.scc), "
+            "comps AS (SELECT DISTINCT scc FROM sccs), "
+            "lp AS (WITH RECURSIVE l(v, d) AS ("
+            "SELECT scc, 0 FROM comps "
+            "UNION "
+            "SELECT c.d, l.d + 1 FROM l JOIN cedges c ON c.s = l.v) "
+            "SELECT v, max(d) AS lev FROM l GROUP BY 1) "
+            "SELECT CAST(v AS BIGINT) AS scc, CAST(lev AS BIGINT) AS level "
+            "FROM lp ORDER BY 1"
         ),
         "late_events": (
             # deterministic shuffled-arrival replay: arrival key =

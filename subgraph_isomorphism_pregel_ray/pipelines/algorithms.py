@@ -1769,3 +1769,79 @@ def ktruss(edges_ds, k: int = 4, num_buckets: int = 32, max_rounds: int = 30):
         )
 
     return oriented.map_batches(_to_canon, batch_format="pyarrow"), rounds
+
+
+def condensation_levels(sf_dir: str, num_parts: int = 8,
+                        num_buckets: int = 64):
+    """Topological LEVELS of the SCC condensation of the directed
+    part-successor graph → pa.table(scc, level): collapse each strongly
+    connected component to one node (the condensation is a DAG by
+    construction), then level(C) = longest directed path ending at C —
+    the critical-path / scheduling-depth layering of the cycle-free
+    macro-structure (what "how deep is this dependency graph really"
+    asks once cycles are squashed).
+
+    Composition: SCCProgram (min-label FW-BW peeling) → per-batch
+    vid→scc relabel of the edge stream (the scc map rides ``ray.put``
+    + searchsorted — same broadcast budget as the scc result itself;
+    at vertex counts where that map outgrows the driver, swap the
+    relabel for two bucketed label joins) → per-batch np.unique partial
+    dedup + ONE bucket groupby global distinct → DagLevelProgram
+    (max-propagation Bellman-Ford along forward flags; converges in
+    longest-path+1 supersteps BECAUSE the condensation is acyclic)."""
+    import ray
+
+    from ..pipelines.relational import succ_edges
+
+    sc, _ = scc(succ_edges(sf_dir), num_parts=num_parts)
+    vids = sc["vid"].to_numpy().astype(np.int64)
+    lbl = sc["scc"].to_numpy().astype(np.int64)
+    order = np.argsort(vids)
+    ref = ray.put((vids[order], lbl[order]))
+    B = np.int64(num_buckets)
+
+    def _relabel(t: pa.Table) -> pa.Table:
+        v, s = ray.get(ref)
+        src = t["src"].to_numpy().astype(np.int64)
+        dst = t["dst"].to_numpy().astype(np.int64)
+        cs = s[np.searchsorted(v, src)]
+        cd = s[np.searchsorted(v, dst)]
+        keep = cs != cd
+        if int(cs.max(initial=0)) >= (1 << 31):
+            raise ValueError("condensation_levels: scc id exceeds 31-bit pack")
+        key = np.unique(cs[keep] << np.int64(31) | cd[keep])
+        return pa.table(
+            {"key": key, "b": (key % B).astype(np.int32)}
+        )
+
+    def _distinct(g: pa.Table) -> pa.Table:
+        key = np.unique(g["key"].to_numpy())
+        return pa.table(
+            {"src": key >> np.int64(31),
+             "dst": key & np.int64((1 << 31) - 1)}
+        )
+
+    cedges = (
+        succ_edges(sf_dir)
+        .map_batches(_relabel, batch_format="pyarrow")
+        .groupby("b").map_groups(_distinct, batch_format="pyarrow")
+    )
+    eng, lineage, own = _run(
+        _flag_symmetrize(cedges), "dag_level", {}, num_parts,
+        max_steps=500, directed=True,
+    )
+    out = eng.result_table()
+    if own:
+        eng.shutdown()
+    # isolated SCCs (no condensed edge touches them) never enter the
+    # engine's vertex set — they are level 0 by definition
+    seen = out["vid"].to_numpy().astype(np.int64)
+    lev = out["level"].to_numpy().astype(np.int64)
+    allc = np.unique(lbl)
+    missing = allc[~np.isin(allc, seen)]
+    return pa.table(
+        {
+            "scc": np.concatenate([seen, missing]),
+            "level": np.concatenate([lev, np.zeros(len(missing), np.int64)]),
+        }
+    ).sort_by("scc")

@@ -67,6 +67,14 @@ def _group_min(dst_sorted: np.ndarray, vals: np.ndarray):
     return uniq, np.minimum.reduceat(vals, starts)
 
 
+def _group_max(dst_sorted: np.ndarray, vals: np.ndarray):
+    """(sorted dst, vals) → (unique dst, per-dst max) via reduceat."""
+    if len(dst_sorted) == 0:
+        return dst_sorted, vals
+    uniq, starts = np.unique(dst_sorted, return_index=True)
+    return uniq, np.maximum.reduceat(vals, starts)
+
+
 class VertexProgram:
     needs_nbr_attrs: tuple[str, ...] = ()
     wants_hub_mirror: bool = False
@@ -3158,6 +3166,77 @@ class SCCProgram(VertexProgram):
         return pa.table({"vid": self.csr.vids, "scc": self.scc})
 
 
+class DagLevelProgram(VertexProgram):
+    """Longest-path layering of a DAG (topological levels): level(v) =
+    length of the longest directed path ENDING at v — max-propagation
+    Bellman-Ford along forward ``eflags`` edges. Converges in
+    (longest path + 1) supersteps on a DAG; a cyclic input never
+    converges, so run it on the SCC CONDENSATION (see
+    ``pipelines.algorithms.condensation_levels``). The scheduling-depth /
+    pipeline-stage number every DAG consumer wants (critical-path
+    layering). Frontier-based: only vertices whose level grew last step
+    scatter; messages are group-max pre-aggregated per destination
+    partition (the combiner), mirroring _MinPropagationProgram with the
+    lattice flipped."""
+
+    def init(self, csr: CSRPartition, **params):
+        self.csr = csr
+        if csr.eflags is None and csr.num_edges > 0:
+            raise ValueError("dag_level needs per-edge direction flags")
+        self.level = np.zeros(csr.num_vertices, np.int64)
+        self.changed = np.ones(csr.num_vertices, dtype=bool)
+
+    def apply(self, step, inbox, glob):
+        if step == 0:
+            return {"active": int(self.changed.sum())}
+        new_changed = np.zeros(self.csr.num_vertices, dtype=bool)
+        for msg in inbox:
+            if msg is None or len(msg["dst"]) == 0:
+                continue
+            li = self.csr.local_index(msg["dst"])
+            better = msg["max"] > self.level[li]
+            if better.any():
+                np.maximum.at(self.level, li, msg["max"])
+                new_changed[li[better]] = True
+        self.changed = new_changed
+        return {"active": int(new_changed.sum())}
+
+    def scatter(self, step):
+        P = self.csr.num_parts
+        if not self.changed.any() or self.csr.num_edges == 0:
+            return [None] * P, {"sent": 0}
+        dix = self.csr.dst_index()
+        src_ord = dix.src_row[dix.order]
+        sel_e = self.changed[src_ord]
+        if self.csr.eflags is not None:
+            sel_e = sel_e & ((self.csr.eflags[dix.order] & 1) != 0)
+        edge_val = self.level[src_ord] + np.int64(1)
+        sorted_dst = self.csr.indices[dix.order]
+        outbox, sent = [], 0
+        for p in range(P):
+            s, e = dix.slices[p]
+            sel = sel_e[s:e]
+            if not sel.any():
+                outbox.append(None)
+                continue
+            dsts, maxs = _group_max(sorted_dst[s:e][sel], edge_val[s:e][sel])
+            outbox.append({"dst": dsts, "max": maxs})
+            sent += len(dsts)
+        return outbox, {"sent": sent}
+
+    def state_table(self):
+        return pa.table(
+            {"vid": self.csr.vids, "level": self.level, "changed": self.changed}
+        )
+
+    def load_state(self, table, step):
+        self.level = table["level"].to_numpy().copy()
+        self.changed = table["changed"].to_numpy().copy()
+
+    def result_table(self):
+        return pa.table({"vid": self.csr.vids, "level": self.level})
+
+
 class ReachProgram(VertexProgram):
     """Single-seed bidirectional reachability over a flag-symmetrized
     DIRECTED graph (``CSRPartition.eflags`` direction bits, see SCCProgram):
@@ -3554,6 +3633,7 @@ PROGRAMS = {
     "katz": KatzCentralityProgram,
     "scc": SCCProgram,
     "reach": ReachProgram,
+    "dag_level": DagLevelProgram,
     "wpagerank": WeightedPageRankProgram,
     "wsssp_stored": StoredWeightSSSPProgram,
     "semicluster": SemiClusteringProgram,

@@ -965,3 +965,21 @@ def test_wcc_vs_scc_contrast():
     eng.run("cc", {}, max_steps=50)
     wcc = eng.result().to_pandas()
     assert wcc["component"].nunique() == 1
+
+
+def test_dag_level_longest_path():
+    """Diamond + chain DAG: level(v) = longest path ending at v.
+    1→2, 1→3, 2→4, 3→4, 4→5: levels 1:0 2:1 3:1 4:2 5:3; isolated-ish
+    source 9→5 must not shortcut 5's max."""
+    src = np.asarray([1, 1, 2, 3, 4, 9], dtype=np.uint64)
+    dst = np.asarray([2, 3, 4, 4, 5, 5], dtype=np.uint64)
+    s2 = np.concatenate([src, dst])
+    d2 = np.concatenate([dst, src])
+    fl = np.concatenate(
+        [np.ones(len(src), np.uint8), np.full(len(src), 2, np.uint8)]
+    )
+    eng = LocalBSP(s2, d2, num_parts=3, eflags=fl)
+    eng.run("dag_level", max_steps=50)
+    res = eng.result().to_pandas()
+    lev = dict(zip(res["vid"].astype(int), res["level"].astype(int)))
+    assert lev == {1: 0, 2: 1, 3: 1, 4: 2, 5: 3, 9: 0}
