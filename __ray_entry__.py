@@ -1297,6 +1297,15 @@ def _q_hapax_stats(sf_dir: str):
     return hapax_stats(docs)
 
 
+def _q_lang_log_odds(sf_dir: str):
+    """Monroe 'Fightin' Words' log-odds top terms per language."""
+    from subgraph_isomorphism_pregel_ray.pipelines.textops import lang_log_odds
+    from subgraph_isomorphism_pregel_ray.sources.tables import read_table
+
+    docs = read_table(sf_dir, "documents", columns=["lang", "text"])
+    return lang_log_odds(docs)
+
+
 def _q_condensation_levels(sf_dir: str):
     """Topological levels of the SCC condensation DAG (DagLevelProgram
     max-propagation after SCCProgram peeling + distributed relabel)."""
@@ -2297,6 +2306,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "etype_cooccur_lift": _q_etype_cooccur_lift,
         "lang_source_chi2": _q_lang_source_chi2,
         "condensation_levels": _q_condensation_levels,
+        "lang_log_odds": _q_lang_log_odds,
         "late_events": _q_late_events,
         "weighted_sample_orders": _q_weighted_sample_orders,
         "revenue_outlier_days": _q_revenue_outlier_days,
@@ -4419,6 +4429,30 @@ def oracle_sql() -> dict[str, str]:
             "/ count(*), 6) AS hapax_fraction, "
             "round(CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE) "
             "/ sum(c), 6) AS hapax_token_share FROM tf"
+        ),
+        "lang_log_odds": (
+            # Monroe log-odds, flat prior a_w=1 a0=|V|; round-then-rank
+            "WITH tok AS (SELECT lang, "
+            "unnest(list_filter(string_split(text, ' '), x -> x <> '')) t "
+            "FROM documents), "
+            "c AS (SELECT lang, t, CAST(count(*) AS BIGINT) y "
+            "FROM tok GROUP BY 1, 2), "
+            "w AS (SELECT t, CAST(sum(y) AS BIGINT) yw FROM c GROUP BY 1), "
+            "nl AS (SELECT lang, CAST(sum(y) AS BIGINT) n FROM c GROUP BY 1), "
+            "tot AS (SELECT CAST(sum(y) AS BIGINT) nn, "
+            "(SELECT CAST(count(*) AS BIGINT) FROM w) vv FROM c), "
+            "z AS (SELECT c.lang, c.t, c.y, "
+            "round((ln(CAST(c.y + 1 AS DOUBLE) / "
+            "CAST(nl.n + tot.vv - c.y - 1 AS DOUBLE)) - "
+            "ln(CAST(w.yw - c.y + 1 AS DOUBLE) / "
+            "CAST((tot.nn - nl.n) + tot.vv - (w.yw - c.y) - 1 AS DOUBLE))) / "
+            "sqrt(1.0 / CAST(c.y + 1 AS DOUBLE) + "
+            "1.0 / CAST(w.yw - c.y + 1 AS DOUBLE)), 6) AS z "
+            "FROM c JOIN w ON w.t = c.t JOIN nl ON nl.lang = c.lang "
+            "CROSS JOIN tot), "
+            "r AS (SELECT lang, t AS token, y, z, row_number() OVER "
+            "(PARTITION BY lang ORDER BY z DESC, t) rn FROM z) "
+            "SELECT lang, token, y, z FROM r WHERE rn <= 10"
         ),
         "condensation_levels": (
             # SCC condensation (reusing the scc_parts closure), then

@@ -3214,3 +3214,118 @@ def lang_source_chi2(docs_ds, round_to: int = 6):
             "contrib": round_half_away(np.asarray(contrib_v, np.float64), round_to),
         }
     )
+
+
+def lang_log_odds(docs_ds, k: int = 10, round_to: int = 6):
+    """Distinguishing terms per language by informative-Dirichlet
+    LOG-ODDS z-score (Monroe, Colaresi & Quinn 2008, "Fightin' Words"),
+    flat prior α_w = 1, α₀ = |V| → top-``k`` tokens per lang by
+    z = (ln((y+1)/(n_L+V−y−1)) − ln((y'+1)/(n_rest+V−y'−1))) / √(1/(y+1)
+    + 1/(y'+1)), y' the token's count OUTSIDE the lang — the
+    "what words make this slice different" report; raw frequency ranks
+    stopwords, log-odds cancels them.
+
+    Scale shape: per-batch (token, lang) count combine (Heaps-bounded
+    exchange) → ONE token groupby emitting (token, lang, y, yw, first)
+    rows (yw = the token's corpus count, first = 1 on one row per token
+    so |V| folds as a plain Sum) → the vocab-sized intermediate is
+    materialized ONCE; scalar marginals (per-lang totals, corpus total,
+    |V|) fold from it and broadcast; the z pass is stateless map_batches
+    with per-batch per-lang top-k partials, so the driver folds ≤
+    k·L·#batches rows. Every z is a fixed chain of single IEEE ops on
+    exact ints, rounded half-away BEFORE ranking (round-then-rank) so
+    the SQL oracle reproduces the cut exactly."""
+    from ray.data.aggregate import Sum
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        langs = batch["lang"].to_pylist()
+        keys: list[str] = []
+        for lg, t in zip(langs, batch["text"].to_pylist()):
+            keys.extend(f"{lg}\x00{w}" for w in _tokens(t))
+        if not keys:
+            return pa.table(
+                {"token": pa.array([], pa.string()),
+                 "lang": pa.array([], pa.string()),
+                 "y": pa.array([], pa.int64())}
+            )
+        u, c = np.unique(np.asarray(keys, dtype=object), return_counts=True)
+        pairs = [s.split("\x00", 1) for s in u]
+        return pa.table(
+            {"token": pa.array([p[1] for p in pairs], pa.string()),
+             "lang": pa.array([p[0] for p in pairs], pa.string()),
+             "y": c.astype(np.int64)}
+        )
+
+    def _per_token(g: pa.Table) -> pa.Table:
+        df = g.to_pandas().groupby(["token", "lang"], as_index=False)["y"].sum()
+        df = df.sort_values(["token", "lang"])
+        yw = df.groupby("token")["y"].transform("sum")
+        tok = df["token"].tolist()
+        first = np.ones(len(tok), np.int64)
+        first[1:] = [int(tok[i] != tok[i - 1]) for i in range(1, len(tok))]
+        return pa.table(
+            {"token": pa.array(tok, pa.string()),
+             "lang": pa.array(df["lang"].tolist(), pa.string()),
+             "y": df["y"].to_numpy(np.int64),
+             "yw": yw.to_numpy(np.int64),
+             "first": first}
+        )
+
+    g = (
+        docs_ds.map_batches(_partial, batch_format="pyarrow")
+        .groupby("token")
+        .map_groups(_per_token, batch_format="pyarrow")
+        .materialize()
+    )
+    V = int(g.sum("first"))
+    N = int(g.sum("y"))
+    n_by_lang = {
+        r["lang"]: int(r["sum(y)"])
+        for r in g.groupby("lang").sum("y").take_all()
+    }
+
+    def _z(t: pa.Table) -> pa.Table:
+        lang = np.asarray(t["lang"].to_pylist(), dtype=object)
+        tok = np.asarray(t["token"].to_pylist(), dtype=object)
+        y = t["y"].to_numpy().astype(np.int64)
+        yw = t["yw"].to_numpy().astype(np.int64)
+        nl = np.array([n_by_lang[x] for x in lang], np.int64)
+        yj = yw - y
+        a = (y + 1).astype(np.float64) / (nl + V - y - 1).astype(np.float64)
+        b = (yj + 1).astype(np.float64) / (
+            (N - nl) + V - yj - 1
+        ).astype(np.float64)
+        delta = np.log(a) - np.log(b)
+        var = 1.0 / (y + 1).astype(np.float64) + 1.0 / (yj + 1).astype(
+            np.float64
+        )
+        z = round_half_away(delta / np.sqrt(var), round_to)
+        # per-batch per-lang top-k partial (z desc, token asc)
+        keep = np.zeros(len(z), bool)
+        for lg in np.unique(lang):
+            m = np.nonzero(lang == lg)[0]
+            order = sorted(m.tolist(), key=lambda i: (-z[i], tok[i]))
+            keep[order[:k]] = True
+        return pa.table(
+            {"lang": pa.array(lang[keep].tolist(), pa.string()),
+             "token": pa.array(tok[keep].tolist(), pa.string()),
+             "y": y[keep], "z": z[keep]}
+        )
+
+    cand = g.map_batches(_z, batch_format="pyarrow").to_pandas()
+    out = []
+    for lg, grp in cand.groupby("lang"):
+        grp = grp.sort_values(
+            ["z", "token"], ascending=[False, True]
+        ).head(k)
+        out.append(grp)
+    res = (
+        __import__("pandas").concat(out).sort_values(["lang", "token"])
+        if out else cand
+    )
+    return pa.table(
+        {"lang": pa.array(res["lang"].tolist(), pa.string()),
+         "token": pa.array(res["token"].tolist(), pa.string()),
+         "y": res["y"].to_numpy(np.int64),
+         "z": res["z"].to_numpy(np.float64)}
+    )

@@ -1646,3 +1646,34 @@ def test_lang_source_chi2_formula(ray_session):
     assert abs(ena["contrib"] - round(1 / 36, 6)) < 1e-12
     frb_absent = got[(got["lang"] == "fr") & (got["source"] == "b")]
     assert len(frb_absent) == 0  # unobserved cells are not emitted
+
+
+def test_lang_log_odds_prefers_exclusive_token(ray_session):
+    """A token appearing ONLY in lang 'en' must out-z a token shared
+    across langs; z-scores replay the scalar Monroe formula."""
+    import ray.data as rd
+
+    from subgraph_isomorphism_pregel_ray.pipelines.textops import lang_log_odds
+
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "lang": pa.array(["en", "en", "fr", "fr"]),
+                "text": pa.array(
+                    ["shared exclusive shared", "exclusive shared",
+                     "shared autre", "shared autre autre"]
+                ),
+            }
+        )
+    )
+    got = lang_log_odds(docs, k=2).to_pandas()
+    en = got[got["lang"] == "en"].sort_values("z", ascending=False)
+    assert en.iloc[0]["token"] == "exclusive"
+    # scalar replay for 'exclusive' in en: y=2, yw=2, n_en=5, n_fr=5,
+    # N=10, V=3
+    y, yw, nl, N, V = 2, 2, 5, 10, 3
+    yj = yw - y
+    a = (y + 1) / (nl + V - y - 1)
+    b = (yj + 1) / ((N - nl) + V - yj - 1)
+    z = (np.log(a) - np.log(b)) / np.sqrt(1 / (y + 1) + 1 / (yj + 1))
+    assert abs(en.iloc[0]["z"] - round(z, 6)) < 1e-9
