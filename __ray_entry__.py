@@ -1297,6 +1297,24 @@ def _q_hapax_stats(sf_dir: str):
     return hapax_stats(docs)
 
 
+def _q_user_acquisition_curve(sf_dir: str):
+    """First-seen-day user growth curve (min-fold + driver cumsum)."""
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import (
+        user_acquisition_curve,
+    )
+
+    return user_acquisition_curve(sf_dir)
+
+
+def _q_dow_revenue_anomaly(sf_dir: str):
+    """Weekday-conditioned revenue z-score outliers (|z| > 2)."""
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import (
+        dow_revenue_anomaly,
+    )
+
+    return dow_revenue_anomaly(sf_dir)
+
+
 def _q_lang_log_odds(sf_dir: str):
     """Monroe 'Fightin' Words' log-odds top terms per language."""
     from subgraph_isomorphism_pregel_ray.pipelines.textops import lang_log_odds
@@ -2307,6 +2325,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_source_chi2": _q_lang_source_chi2,
         "condensation_levels": _q_condensation_levels,
         "lang_log_odds": _q_lang_log_odds,
+        "user_acquisition_curve": _q_user_acquisition_curve,
+        "dow_revenue_anomaly": _q_dow_revenue_anomaly,
         "late_events": _q_late_events,
         "weighted_sample_orders": _q_weighted_sample_orders,
         "revenue_outlier_days": _q_revenue_outlier_days,
@@ -4429,6 +4449,33 @@ def oracle_sql() -> dict[str, str]:
             "/ count(*), 6) AS hapax_fraction, "
             "round(CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE) "
             "/ sum(c), 6) AS hapax_token_share FROM tf"
+        ),
+        "user_acquisition_curve": (
+            "WITH f AS (SELECT user_id, "
+            "min(epoch_us(ts) // 86400000000) AS dy FROM events GROUP BY 1), "
+            "d AS (SELECT dy, CAST(count(*) AS BIGINT) n FROM f GROUP BY 1) "
+            "SELECT CAST(dy AS BIGINT) AS \"day\", n AS n_new_users, "
+            "CAST(sum(n) OVER (ORDER BY dy "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) "
+            "AS cum_users FROM d"
+        ),
+        "dow_revenue_anomaly": (
+            # weekday-conditioned sample z; exact HUGEINT moments, the
+            # engine's (n·x−S)/√(varn·n/(n−1)) op order, round-then-compare
+            "WITH d AS (SELECT epoch_us(l_shipdate) // 86400000000 dy, "
+            "sum(CAST(round(l_extendedprice * 100) AS BIGINT)) c "
+            "FROM lineitem GROUP BY 1), "
+            "g AS (SELECT dy % 7 w, CAST(count(*) AS BIGINT) n, "
+            "CAST(sum(c) AS HUGEINT) s, "
+            "CAST(sum(CAST(c AS HUGEINT) * c) AS HUGEINT) ss "
+            "FROM d GROUP BY 1), "
+            "z AS (SELECT dy, c, "
+            "round(CAST(CAST(g.n AS HUGEINT) * d.c - g.s AS DOUBLE) / "
+            "sqrt(CAST(CAST(g.n AS HUGEINT) * g.ss - g.s * g.s AS DOUBLE) * "
+            "CAST(g.n AS DOUBLE) / CAST(g.n - 1 AS DOUBLE)), 6) AS z "
+            "FROM d JOIN g ON g.w = d.dy % 7 WHERE g.n >= 2) "
+            "SELECT CAST(dy AS BIGINT) AS \"day\", c AS rev_cents, z "
+            "FROM z WHERE abs(z) > 2.0"
         ),
         "lang_log_odds": (
             # Monroe log-odds, flat prior a_w=1 a0=|V|; round-then-rank

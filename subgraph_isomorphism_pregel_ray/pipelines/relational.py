@@ -7287,3 +7287,117 @@ def revenue_outlier_days(sf_dir: str, round_to: int = 6):
             "side": pa.array(side[keep].tolist(), pa.string()),
         }
     )
+
+
+def user_acquisition_curve(sf_dir: str, num_buckets: int | None = None):
+    """User-acquisition growth curve → (day, n_new_users,
+    cum_users): a user is NEW on the day of their first event; the
+    cumulative column is the headline "total users ever seen" metric.
+
+    Scale shape: per-batch (user → min day) partials → ONE user-bucket
+    groupby finishes the global first-seen day (the classic min-fold);
+    per-bucket day histograms fold on the driver, where the running sum
+    runs over the calendar-sized day series — exact int64 end to end."""
+    ds = read_table(sf_dir, "events", columns=["ts", "user_id"])
+    num_buckets = _auto_buckets(ds, num_buckets)
+
+    def _min_day(t: pa.Table) -> pa.Table:
+        day = t["ts"].to_numpy().astype("datetime64[D]").astype(np.int64)
+        u = t["user_id"].to_numpy().astype(np.int64)
+        uu, inv = np.unique(u, return_inverse=True)
+        m = np.full(len(uu), np.iinfo(np.int64).max, np.int64)
+        np.minimum.at(m, inv, day)
+        return pa.table(
+            {"u": uu, "d": m, "b": (uu % num_buckets).astype(np.int32)}
+        )
+
+    def _fold(g: pa.Table) -> pa.Table:
+        u = g["u"].to_numpy()
+        d = g["d"].to_numpy()
+        uu, inv = np.unique(u, return_inverse=True)
+        m = np.full(len(uu), np.iinfo(np.int64).max, np.int64)
+        np.minimum.at(m, inv, d)
+        ud, c = np.unique(m, return_counts=True)
+        return pa.table({"day": ud, "n": c.astype(np.int64)})
+
+    out = (
+        ds.map_batches(_min_day, batch_format="pyarrow")
+        .groupby("b").map_groups(_fold, batch_format="pyarrow")
+        .to_pandas()
+    )
+    agg = out.groupby("day", as_index=False)["n"].sum().sort_values("day")
+    n = agg["n"].to_numpy(np.int64)
+    return pa.table(
+        {
+            "day": agg["day"].to_numpy(np.int64),
+            "n_new_users": n,
+            "cum_users": np.cumsum(n),
+        }
+    )
+
+
+def dow_revenue_anomaly(sf_dir: str, z_cut: float = 2.0, round_to: int = 6):
+    """Weekday-CONDITIONED revenue anomalies → (day, rev_cents, z) for
+    days whose revenue sits more than ``z_cut`` sample-stddevs from
+    THEIR OWN weekday's mean — seasonality-aware outlier detection (a
+    huge Saturday is normal; the same number on a Tuesday is not),
+    which plain fences (:func:`revenue_outlier_days`) cannot see.
+
+    Scale shape: per-day cent partials → ONE day groupby; the day
+    series is calendar-sized, so the per-weekday moments fold driver-
+    side in arbitrary-precision ints (µs-cents squares overflow int64);
+    z = (n·x − S)/√(n·(n·SS − S²)/(n−1)) assembled as single IEEE ops
+    on exact ints, mirrored by HUGEINT SQL, rounded half-away BEFORE
+    the |z| > cut test (round-then-compare keeps the cut identical)."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.rounding import round_half_away
+
+    li = read_table(sf_dir, "lineitem", columns=["l_shipdate", "l_extendedprice"])
+
+    def _daily(t: pa.Table) -> pa.Table:
+        day = t["l_shipdate"].to_numpy().astype("datetime64[D]").astype(np.int64)
+        cents = np.round(t["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        u, inv = np.unique(day, return_inverse=True)
+        s = np.zeros(len(u), np.int64)
+        np.add.at(s, inv, cents)
+        return pa.table({"day": u, "c": s})
+
+    daily = (
+        li.map_batches(_daily, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()
+        .sort_values("day")
+    )
+    day = daily["day"].to_numpy(np.int64)
+    c = daily["c"].to_numpy(np.int64)
+    dow = day % 7
+    days_out, cents_out, z_out = [], [], []
+    for w in range(7):
+        m = dow == w
+        if int(m.sum()) < 2:
+            continue
+        xs = [int(v) for v in c[m]]
+        n, S = len(xs), sum(xs)
+        SS = sum(v * v for v in xs)
+        varn = n * SS - S * S  # n²·sample-var·(n-1)/n... exact int
+        for dd, x in zip(day[m], xs):
+            num = np.float64(n * x - S)
+            den = np.sqrt(np.float64(varn) * np.float64(n) / np.float64(n - 1))
+            zz = round_half_away(np.array([num / den]), round_to)[0]
+            if abs(zz) > z_cut:
+                days_out.append(int(dd))
+                cents_out.append(x)
+                z_out.append(zz)
+    order = np.argsort(np.asarray(days_out, np.int64)) if days_out else []
+    return pa.table(
+        {
+            "day": np.asarray(days_out, np.int64)[order] if len(days_out)
+            else np.array([], np.int64),
+            "rev_cents": np.asarray(cents_out, np.int64)[order]
+            if len(days_out) else np.array([], np.int64),
+            "z": np.asarray(z_out, np.float64)[order] if len(days_out)
+            else np.array([], np.float64),
+        }
+    )

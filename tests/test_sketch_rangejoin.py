@@ -1026,3 +1026,55 @@ def test_revenue_outlier_days_fences(ray_session, tmp_path):
     row = got.iloc[0]
     assert row["side"] == "high"
     assert row["rev_cents"] == 5000000
+
+
+def test_user_acquisition_curve(ray_session, tmp_path):
+    """u1 first on day0 (again day2 — ignored), u2 day1, u3 day1 ->
+    new users [1,2], cum [1,3]."""
+    import pyarrow.parquet as pq
+
+    base = np.datetime64("2025-06-02T10:00:00", "us")
+    rows = [(base, 1), (base + np.timedelta64(2, "D"), 1),
+            (base + np.timedelta64(1, "D"), 2),
+            (base + np.timedelta64(1, "D"), 3)]
+    ts, uid = zip(*rows)
+    pq.write_table(
+        pa.table({"ts": pa.array(np.array(ts, "datetime64[us]")),
+                  "user_id": pa.array(uid, pa.int64())}),
+        tmp_path / "events.parquet",
+    )
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import (
+        user_acquisition_curve,
+    )
+
+    got = user_acquisition_curve(str(tmp_path)).to_pandas()
+    assert got["n_new_users"].tolist() == [1, 2]
+    assert got["cum_users"].tolist() == [1, 3]
+
+
+def test_dow_revenue_anomaly_flags_spike(ray_session, tmp_path):
+    """8 same-weekday days: 7 near-equal + one big spike -> the spike is
+    the only |z|>2 row; other weekdays (n<2) are skipped."""
+    import pyarrow.parquet as pq
+
+    start = np.datetime64("2025-01-06", "us")  # Monday
+    ship, price = [], []
+    for i in range(8):
+        ship.append(start + i * np.timedelta64(7, "D"))
+        price.append(100.0 + i * 0.01)
+    price[5] = 100000.0
+    ship.append(start + np.timedelta64(1, "D"))  # lone Tuesday, n=1
+    price.append(50.0)
+    pq.write_table(
+        pa.table({"l_shipdate": pa.array(np.array(ship, "datetime64[us]")),
+                  "l_extendedprice": pa.array(price)}),
+        tmp_path / "lineitem.parquet",
+    )
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import (
+        dow_revenue_anomaly,
+    )
+
+    got = dow_revenue_anomaly(str(tmp_path)).to_pandas()
+    assert len(got) == 1
+    assert got.iloc[0]["rev_cents"] == 10000000
+    assert got.iloc[0]["z"] > 2
