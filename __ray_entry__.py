@@ -1297,6 +1297,13 @@ def _q_hapax_stats(sf_dir: str):
     return hapax_stats(docs)
 
 
+def _q_weekly_churn(sf_dir: str):
+    """Week-over-week churn: in-bucket (user, week+1) membership probe."""
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import weekly_churn
+
+    return weekly_churn(sf_dir)
+
+
 def _q_user_acquisition_curve(sf_dir: str):
     """First-seen-day user growth curve (min-fold + driver cumsum)."""
     from subgraph_isomorphism_pregel_ray.pipelines.relational import (
@@ -2326,6 +2333,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "condensation_levels": _q_condensation_levels,
         "lang_log_odds": _q_lang_log_odds,
         "user_acquisition_curve": _q_user_acquisition_curve,
+        "weekly_churn": _q_weekly_churn,
         "dow_revenue_anomaly": _q_dow_revenue_anomaly,
         "late_events": _q_late_events,
         "weighted_sample_orders": _q_weighted_sample_orders,
@@ -4449,6 +4457,18 @@ def oracle_sql() -> dict[str, str]:
             "/ count(*), 6) AS hapax_fraction, "
             "round(CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE) "
             "/ sum(c), 6) AS hapax_token_share FROM tf"
+        ),
+        "weekly_churn": (
+            "WITH a AS (SELECT DISTINCT user_id u, "
+            "(epoch_us(ts) // 86400000000) // 7 w FROM events), "
+            "j AS (SELECT a.w, a.u, "
+            "CASE WHEN b.u IS NULL THEN 1 ELSE 0 END ch "
+            "FROM a LEFT JOIN a b ON b.u = a.u AND b.w = a.w + 1), "
+            "agg AS (SELECT w, CAST(count(*) AS BIGINT) n_active, "
+            "CAST(sum(ch) AS BIGINT) n_churned FROM j GROUP BY 1) "
+            "SELECT CAST(w AS BIGINT) AS week, n_active, n_churned, "
+            "round(CAST(n_churned AS DOUBLE) / CAST(n_active AS DOUBLE), 6) "
+            "AS churn_rate FROM agg WHERE w < (SELECT max(w) FROM a)"
         ),
         "user_acquisition_curve": (
             "WITH f AS (SELECT user_id, "

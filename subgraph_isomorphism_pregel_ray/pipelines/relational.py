@@ -7401,3 +7401,67 @@ def dow_revenue_anomaly(sf_dir: str, z_cut: float = 2.0, round_to: int = 6):
             else np.array([], np.float64),
         }
     )
+
+
+def weekly_churn(sf_dir: str, num_buckets: int | None = None,
+                 round_to: int = 6):
+    """Weekly churn rate → (week, n_active, n_churned, churn_rate):
+    a user active in epoch week w CHURNS if they have no event in week
+    w+1; the last observed week is excluded (its churn is unknowable —
+    right-censored). THE retention-dashboard complement to
+    :func:`weekly_stickiness`.
+
+    Scale shape: per-batch distinct (user, week) keys → ONE user-bucket
+    groupby; a user's whole week set lands in one group, so the
+    "has w+1" probe is a local sorted-set membership (np.isin on the
+    packed keys) — no second shuffle; per-week partials fold on the
+    calendar-sized driver series. churn_rate = ONE int/int division,
+    rounded half-away."""
+    from ..functions.rounding import round_half_away
+
+    ds = read_table(sf_dir, "events", columns=["ts", "user_id"])
+    num_buckets = _auto_buckets(ds, num_buckets)
+
+    def _uw(t: pa.Table) -> pa.Table:
+        day = t["ts"].to_numpy().astype("datetime64[D]").astype(np.int64)
+        wk = day // 7
+        u = t["user_id"].to_numpy().astype(np.int64)
+        if len(u) and (int(u.max()) >= (1 << 41) or int(wk.max()) >= (1 << 22)):
+            raise ValueError("weekly_churn: key exceeds the 41/22-bit pack")
+        key = np.unique(u << np.int64(22) | wk)
+        return pa.table(
+            {"key": key,
+             "b": ((key >> np.int64(22)) % num_buckets).astype(np.int32)}
+        )
+
+    def _fold(g: pa.Table) -> pa.Table:
+        key = np.unique(g["key"].to_numpy())
+        wk = key & np.int64((1 << 22) - 1)
+        nxt = np.isin(key + 1, key)  # same user, week+1 present?
+        uw, inv = np.unique(wk, return_inverse=True)
+        act = np.bincount(inv, minlength=len(uw)).astype(np.int64)
+        ret = np.zeros(len(uw), np.int64)
+        np.add.at(ret, inv, nxt.astype(np.int64))
+        return pa.table({"week": uw, "act": act, "ret": ret})
+
+    out = (
+        ds.map_batches(_uw, batch_format="pyarrow")
+        .groupby("b").map_groups(_fold, batch_format="pyarrow")
+        .to_pandas()
+    )
+    agg = out.groupby("week", as_index=False).sum().sort_values("week")
+    last = int(agg["week"].max())
+    agg = agg[agg["week"] < last]
+    act = agg["act"].to_numpy(np.int64)
+    ret = agg["ret"].to_numpy(np.int64)
+    churned = act - ret
+    return pa.table(
+        {
+            "week": agg["week"].to_numpy(np.int64),
+            "n_active": act,
+            "n_churned": churned,
+            "churn_rate": round_half_away(
+                churned.astype(np.float64) / act.astype(np.float64), round_to
+            ),
+        }
+    )

@@ -1078,3 +1078,26 @@ def test_dow_revenue_anomaly_flags_spike(ray_session, tmp_path):
     assert len(got) == 1
     assert got.iloc[0]["rev_cents"] == 10000000
     assert got.iloc[0]["z"] > 2
+
+
+def test_weekly_churn_censoring(ray_session, tmp_path):
+    """u1 active wk0+wk1, u2 active wk0 only, u3 active wk1 only; last
+    week (1) censored -> one row: week0 active 2, churned 1, rate 0.5."""
+    import pyarrow.parquet as pq
+
+    base = np.datetime64("2025-06-02T10:00:00", "us")  # week boundary-safe
+    wk = np.timedelta64(7, "D")
+    rows = [(base, 1), (base + wk, 1), (base, 2), (base + wk, 3)]
+    ts, uid = zip(*rows)
+    pq.write_table(
+        pa.table({"ts": pa.array(np.array(ts, "datetime64[us]")),
+                  "user_id": pa.array(uid, pa.int64())}),
+        tmp_path / "events.parquet",
+    )
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import weekly_churn
+
+    got = weekly_churn(str(tmp_path)).to_pandas()
+    assert len(got) == 1
+    row = got.iloc[0]
+    assert row["n_active"] == 2 and row["n_churned"] == 1
+    assert row["churn_rate"] == 0.5
