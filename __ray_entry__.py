@@ -1297,6 +1297,20 @@ def _q_hapax_stats(sf_dir: str):
     return hapax_stats(docs)
 
 
+def _q_ltm_cascade(sf_dir: str):
+    """Deterministic linear-threshold cascade (θ=1/8, seeds vid%13==0)
+    over the co-purchase graph; per-vertex activation round."""
+    from subgraph_isomorphism_pregel_ray.pipelines.algorithms import ltm_cascade
+
+    out, _ = ltm_cascade(_sym_copurchase(sf_dir), num_parts=4)
+    return pa.table(
+        {
+            "vid": out["vid"].to_numpy().view(np.int64),
+            "activated_round": out["activated_round"].to_numpy(),
+        }
+    ).sort_by("vid")
+
+
 def _q_weekly_churn(sf_dir: str):
     """Week-over-week churn: in-bucket (user, week+1) membership probe."""
     from subgraph_isomorphism_pregel_ray.pipelines.relational import weekly_churn
@@ -2334,6 +2348,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_log_odds": _q_lang_log_odds,
         "user_acquisition_curve": _q_user_acquisition_curve,
         "weekly_churn": _q_weekly_churn,
+        "ltm_cascade_copurchase": _q_ltm_cascade,
         "dow_revenue_anomaly": _q_dow_revenue_anomaly,
         "late_events": _q_late_events,
         "weighted_sample_orders": _q_weighted_sample_orders,
@@ -2461,6 +2476,39 @@ _ESYM = (
     "WHERE a.l_partkey <> b.l_partkey GROUP BY 1, 2)"
 )
 _ESYM_MAT = _ESYM.replace("e AS (", "e AS MATERIALIZED (", 1)
+
+
+def _ltm_sql(rounds: int = 10, seed_mod: int = 13, num: int = 1,
+             den: int = 8) -> str:
+    """Unrolled linear-threshold cascade: a_r = a_{r-1} ∪ {v : den·|N(v)
+    ∩ a_{r-1}| ≥ num·deg(v)}. The cascade is MONOTONE, so once it hits
+    its fixpoint extra unrolled rounds are idempotent — ``rounds`` = 10
+    is double the observed convergence (≤ 5 at both test sfs; the
+    engine runs to true convergence, so only the fixpoint must agree)."""
+    parts = [
+        f"WITH {_ESYM_MAT}",
+        "verts AS MATERIALIZED (SELECT DISTINCT src AS vid FROM e)",
+        "deg AS MATERIALIZED (SELECT src AS vid, "
+        "CAST(count(*) AS BIGINT) d FROM e GROUP BY 1)",
+        f"a0 AS MATERIALIZED (SELECT vid FROM verts WHERE vid % {seed_mod} = 0)",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"a{r} AS MATERIALIZED (SELECT vid FROM a{r-1} UNION "
+            f"SELECT t.vid FROM (SELECT e.dst AS vid, "
+            f"CAST(count(*) AS BIGINT) c FROM e JOIN a{r-1} s "
+            f"ON s.vid = e.src GROUP BY 1) t "
+            f"JOIN deg ON deg.vid = t.vid WHERE {den} * t.c >= {num} * deg.d)"
+        )
+    acts = " UNION ALL ".join(
+        f"SELECT vid, {r} r FROM a{r}" for r in range(rounds + 1)
+    )
+    parts.append(f"acts AS (SELECT vid, min(r) ra FROM ({acts}) GROUP BY 1)")
+    return ", ".join(parts) + (
+        " SELECT v.vid, CAST(COALESCE(acts.ra, -1) AS BIGINT) "
+        "AS activated_round FROM verts v LEFT JOIN acts ON acts.vid = v.vid "
+        "ORDER BY 1"
+    )
 
 
 def _pagerank_sql(iters: int, damping: float = 0.85) -> str:
@@ -4458,6 +4506,7 @@ def oracle_sql() -> dict[str, str]:
             "round(CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE) "
             "/ sum(c), 6) AS hapax_token_share FROM tf"
         ),
+        "ltm_cascade_copurchase": _ltm_sql(),
         "weekly_churn": (
             "WITH a AS (SELECT DISTINCT user_id u, "
             "(epoch_us(ts) // 86400000000) // 7 w FROM events), "

@@ -1845,3 +1845,22 @@ def condensation_levels(sf_dir: str, num_parts: int = 8,
             "level": np.concatenate([lev, np.zeros(len(missing), np.int64)]),
         }
     ).sort_by("scc")
+
+
+def ltm_cascade(edges_or_engine, seed_mod: int = 13, num: int = 1,
+                den: int = 8, num_parts: int = 8, max_steps: int = 200):
+    """Deterministic linear-threshold influence cascade over a
+    SYMMETRIZED edge Dataset → (pa.table(vid, activated_round), lineage);
+    −1 = never activated. See ``LinearThresholdProgram`` (Kempe,
+    Kleinberg & Tardos KDD'03 with a fixed uniform θ = num/den, exact —
+    no Monte-Carlo): seeds are ``vid % seed_mod == 0``; monotone, so the
+    run converges when a round fires nothing."""
+    eng, lineage, own = _run(
+        edges_or_engine, "ltm",
+        {"seed_mod": seed_mod, "num": num, "den": den},
+        num_parts, max_steps, directed=False,
+    )
+    out = eng.result_table()
+    if own:
+        eng.shutdown()
+    return out, lineage

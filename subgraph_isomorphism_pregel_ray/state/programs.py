@@ -3237,6 +3237,87 @@ class DagLevelProgram(VertexProgram):
         return pa.table({"vid": self.csr.vids, "level": self.level})
 
 
+class LinearThresholdProgram(VertexProgram):
+    """Deterministic linear-threshold cascade (Kempe, Kleinberg & Tardos
+    KDD'03 — the LTM influence-propagation model with a FIXED uniform
+    threshold, so the spread is exact, not Monte-Carlo): seeds are
+    ``vid % seed_mod == 0``; an inactive vertex activates the round
+    ``den·|N(v) ∩ active| ≥ num·deg(v)`` first holds (θ = num/den as an
+    integer cross-multiplication — no float threshold) →
+    result (vid, activated_round), −1 = never. Monotone, so the cascade
+    converges; frontier-based: only NEWLY activated vertices scatter,
+    and each sends a plain +1-per-neighbor count, pre-summed per
+    destination inside the sender (the combiner).
+
+    The who-to-seed / how-far-does-influence-reach primitive every
+    viral-marketing / contagion analysis starts from."""
+
+    def init(self, csr: CSRPartition, seed_mod=101, num=1, den=3):
+        self.csr = csr
+        self.num = np.int64(num)
+        self.den = np.int64(den)
+        self.deg = csr.degrees().astype(np.int64)
+        seeds = (csr.vids % np.uint64(int(seed_mod))) == 0
+        self.active = seeds.copy()
+        self.round_act = np.where(seeds, np.int64(0), np.int64(-1))
+        self.acc = np.zeros(csr.num_vertices, np.int64)  # active nbr count
+        self.new = seeds.copy()
+
+    def apply(self, step, inbox, glob):
+        if step == 0:
+            return {"active": int(self.new.sum())}
+        for msg in inbox:
+            if msg is None or len(msg["dst"]) == 0:
+                continue
+            li = self.csr.local_index(msg["dst"])
+            np.add.at(self.acc, li, msg["cnt"])
+        fire = (
+            ~self.active
+            & (self.deg > 0)
+            & (self.den * self.acc >= self.num * self.deg)
+        )
+        self.active |= fire
+        self.round_act[fire] = step
+        self.new = fire
+        return {"active": int(fire.sum())}
+
+    def scatter(self, step):
+        P = self.csr.num_parts
+        if not self.new.any() or self.csr.num_edges == 0:
+            return [None] * P, {"sent": 0}
+        dix = self.csr.dst_index()
+        sel_e = self.new[dix.src_row][dix.order]
+        sorted_dst = self.csr.indices[dix.order]
+        outbox, sent = [], 0
+        for p in range(P):
+            s, e = dix.slices[p]
+            sel = sel_e[s:e]
+            if not sel.any():
+                outbox.append(None)
+                continue
+            dsts, cnts = np.unique(sorted_dst[s:e][sel], return_counts=True)
+            outbox.append({"dst": dsts, "cnt": cnts.astype(np.int64)})
+            sent += len(dsts)
+        return outbox, {"sent": sent}
+
+    def state_table(self):
+        return pa.table(
+            {"vid": self.csr.vids, "active": self.active,
+             "round_act": self.round_act, "acc": self.acc, "new": self.new}
+        )
+
+    def load_state(self, table, step):
+        self.active = table["active"].to_numpy().copy()
+        self.round_act = table["round_act"].to_numpy().copy()
+        self.acc = table["acc"].to_numpy().copy()
+        self.new = table["new"].to_numpy().copy()
+
+    def result_table(self):
+        return pa.table(
+            {"vid": self.csr.vids, "activated_round": self.round_act}
+        )
+
+
 class ReachProgram(VertexProgram):
     """Single-seed bidirectional reachability over a flag-symmetrized
     DIRECTED graph (``CSRPartition.eflags`` direction bits, see SCCProgram):
@@ -3634,6 +3715,7 @@ PROGRAMS = {
     "scc": SCCProgram,
     "reach": ReachProgram,
     "dag_level": DagLevelProgram,
+    "ltm": LinearThresholdProgram,
     "wpagerank": WeightedPageRankProgram,
     "wsssp_stored": StoredWeightSSSPProgram,
     "semicluster": SemiClusteringProgram,

@@ -983,3 +983,21 @@ def test_dag_level_longest_path():
     res = eng.result().to_pandas()
     lev = dict(zip(res["vid"].astype(int), res["level"].astype(int)))
     assert lev == {1: 0, 2: 1, 3: 1, 4: 2, 5: 3, 9: 0}
+
+
+def test_ltm_cascade_chain():
+    """Star + chain with θ=1/2 (num=1, den=2): seed 0 (vid%5==0 with
+    vids 0..4 -> seed {0}) activates its degree-1 leaf next round; the
+    high-degree hub never reaches θ. Rounds replay the sync semantics."""
+    # 0-1, 1-2, 2-3, 2-4: deg 1:[0,2] so 1 fires when one of {0,2} active
+    src = np.asarray([0, 1, 2, 2], dtype=np.uint64)
+    dst = np.asarray([1, 2, 3, 4], dtype=np.uint64)
+    eng = LocalBSP(src, dst, num_parts=3, directed=False)
+    eng.run("ltm", {"seed_mod": 5, "num": 1, "den": 2}, max_steps=50)
+    res = eng.result().to_pandas()
+    ra = dict(zip(res["vid"].astype(int), res["activated_round"].astype(int)))
+    # seed 0 at round 0; 1 has deg 2, one active nbr -> 2*1 >= 1*2 fires
+    # round 1; 2 (deg 3) needs 2 of 3: after 1 fires, 2*1 < 3 -> never;
+    # 3,4 depend on 2 -> never... wait 2's nbrs = {1,3,4}: only 1 active
+    # -> 2*1 >= 3 false -> inactive. 3/4 nbr = {2} inactive -> -1.
+    assert ra == {0: 0, 1: 1, 2: -1, 3: -1, 4: -1}
