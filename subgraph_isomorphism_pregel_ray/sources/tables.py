@@ -8,7 +8,8 @@ from __future__ import annotations
 
 import os
 
-__all__ = ["table_path", "read_table", "read_jsonl", "to_parquet_shards"]
+__all__ = ["table_path", "read_table", "read_jsonl", "read_csv",
+           "write_csv", "to_parquet_shards"]
 
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
@@ -48,4 +49,25 @@ def to_parquet_shards(ds, out_dir: str, partition_col: str | None = None):
         ds.write_parquet(out_dir, partition_cols=[partition_col])
     else:
         ds.write_parquet(out_dir)
+    return out_dir
+
+
+def read_csv(path: str, columns: list[str] | None = None, **arrow_kwargs):
+    """CSV source — the lowest-common-denominator interchange format. A
+    thin wrapper over ``ray.data.read_csv`` (pyarrow's multithreaded CSV
+    parser under the hood; a directory of shards parallelizes per file).
+    Like JSONL, CSV is row-major: column pruning happens after parse, so
+    convert long-lived data to parquet once (``to_parquet_shards``)."""
+    import ray.data as rd
+
+    ds = rd.read_csv(path, **arrow_kwargs)
+    return ds.select_columns(columns) if columns else ds
+
+
+def write_csv(ds, out_dir: str):
+    """CSV sink via ``Dataset.write_csv`` — one shard per block (never one
+    giant file), so the write parallelizes and downstream readers re-split
+    for free. Round-trips with :func:`read_csv` for the scalar types the
+    sf tables use (ints, floats, strings; timestamps survive as ISO text)."""
+    ds.write_csv(out_dir)
     return out_dir

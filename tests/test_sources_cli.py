@@ -322,3 +322,29 @@ def test_cli_seeded_lpa_runs_and_dumps(tmp_path):
     df = pd.concat([pq.read_table(f).to_pandas() for f in files])
     seeds = df[df.vid % 5 == 0]
     assert len(seeds) and (seeds.label == seeds.vid % 2).all()
+
+
+def test_csv_round_trip(ray_session, tmp_path):
+    """write_csv shards one file per block; read_csv restores values and
+    column pruning works (post-parse)."""
+    import ray.data as rd
+
+    from subgraph_isomorphism_pregel_ray.sources.tables import read_csv, write_csv
+
+    t = pa.table(
+        {
+            "k": pa.array([3, 1, 2], pa.int64()),
+            "v": pa.array([0.5, -1.25, 2.0]),
+            "s": pa.array(["a", "b,c", "d"]),
+        }
+    )
+    out = tmp_path / "csvdir"
+    write_csv(rd.from_arrow(t).repartition(2), str(out))
+    files = list(out.glob("*.csv"))
+    assert len(files) >= 2  # sharded, never one giant file
+    back = read_csv(str(out)).to_pandas().sort_values("k").reset_index(drop=True)
+    assert back["k"].tolist() == [1, 2, 3]
+    assert back["v"].tolist() == [-1.25, 2.0, 0.5]
+    assert back["s"].tolist() == ["b,c", "d", "a"]  # quoting survives
+    pruned = read_csv(str(out), columns=["k"]).to_pandas()
+    assert list(pruned.columns) == ["k"]
