@@ -1297,6 +1297,13 @@ def _q_hapax_stats(sf_dir: str):
     return hapax_stats(docs)
 
 
+def _q_rrf_fusion(sf_dir: str):
+    """Reciprocal-rank fusion of bm25_topk and search_topk lists."""
+    from subgraph_isomorphism_pregel_ray.pipelines.textops import rrf_fusion
+
+    return rrf_fusion(_docs(sf_dir), SEARCH_TERMS, k=10)
+
+
 def _q_ltm_cascade(sf_dir: str):
     """Deterministic linear-threshold cascade (θ=1/8, seeds vid%13==0)
     over the co-purchase graph; per-vertex activation round."""
@@ -2349,6 +2356,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_acquisition_curve": _q_user_acquisition_curve,
         "weekly_churn": _q_weekly_churn,
         "ltm_cascade_copurchase": _q_ltm_cascade,
+        "rrf_fusion": _q_rrf_fusion,
         "dow_revenue_anomaly": _q_dow_revenue_anomaly,
         "late_events": _q_late_events,
         "weighted_sample_orders": _q_weighted_sample_orders,
@@ -4507,6 +4515,46 @@ def oracle_sql() -> dict[str, str]:
             "/ sum(c), 6) AS hapax_token_share FROM tf"
         ),
         "ltm_cascade_copurchase": _ltm_sql(),
+        "rrf_fusion": (
+            # shared token CTEs of the bm25_topk and search_topk oracles,
+            # both ranked exactly as there, fused by 1/(60+rank)
+            "WITH toks AS MATERIALIZED (SELECT doc_id, "
+            "unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) "
+            "AS term FROM documents), "
+            "dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1), "
+            "stats AS (SELECT count(*) AS n, sum(dl) AS s FROM dl), "
+            "tf AS (SELECT doc_id, term, count(*) AS tf FROM toks "
+            f"WHERE term IN {SEARCH_TERMS!r} GROUP BY 1, 2), "
+            "df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1), "
+            "nn AS (SELECT count(*) AS n FROM documents), "
+            "bsc AS (SELECT tf.doc_id, "
+            "sum(ln(1.0 + (stats.n - df.df + 0.5) / (df.df + 0.5)) * "
+            "(tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * "
+            "(dl.dl / (stats.s * 1.0 / stats.n))))) AS sc "
+            "FROM tf JOIN df USING (term) JOIN dl USING (doc_id), stats "
+            "GROUP BY tf.doc_id), "
+            "btop AS (SELECT doc_id, rank FROM (SELECT doc_id, "
+            "row_number() OVER (ORDER BY round(sc, 6) DESC, doc_id) AS rank "
+            "FROM bsc) WHERE rank <= 10), "
+            "ssal AS (SELECT tf.doc_id, "
+            "(CAST(tf.tf AS DOUBLE) / CAST(dl.dl AS DOUBLE)) / "
+            "(CAST(df.df AS DOUBLE) / CAST(nn.n AS DOUBLE)) AS sal "
+            "FROM tf JOIN dl USING (doc_id) JOIN df USING (term) "
+            "CROSS JOIN nn), "
+            "sagg AS (SELECT doc_id, count(*) AS nm, max(sal) AS ms "
+            "FROM ssal GROUP BY 1), "
+            "stop AS (SELECT doc_id, rank FROM (SELECT doc_id, "
+            "row_number() OVER (ORDER BY nm DESC, ms DESC, doc_id) AS rank "
+            "FROM sagg) WHERE rank <= 10), "
+            "u AS (SELECT COALESCE(b.doc_id, s.doc_id) AS doc_id, "
+            "b.rank AS brank, s.rank AS srank FROM btop b "
+            "FULL OUTER JOIN stop s ON s.doc_id = b.doc_id) "
+            "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+            "CAST(COALESCE(brank, -1) AS BIGINT) AS bm25_rank, "
+            "CAST(COALESCE(srank, -1) AS BIGINT) AS search_rank, "
+            "round(COALESCE(1.0 / (60 + brank), 0.0) + "
+            "COALESCE(1.0 / (60 + srank), 0.0), 6) AS rrf FROM u"
+        ),
         "weekly_churn": (
             "WITH a AS (SELECT DISTINCT user_id u, "
             "(epoch_us(ts) // 86400000000) // 7 w FROM events), "

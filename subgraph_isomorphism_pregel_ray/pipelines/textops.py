@@ -3329,3 +3329,38 @@ def lang_log_odds(docs_ds, k: int = 10, round_to: int = 6):
          "y": res["y"].to_numpy(np.int64),
          "z": res["z"].to_numpy(np.float64)}
     )
+
+
+def rrf_fusion(docs_ds, terms, k: int = 10, c: int = 60, round_to: int = 6):
+    """Reciprocal-Rank-Fusion of the two ranked-retrieval systems
+    (Cormack, Clarke & Büttcher SIGIR'09): fuse :func:`bm25_topk` and
+    :func:`search_topk` top-``k`` lists by rrf = Σ 1/(c + rank) over the
+    systems that returned the doc → (doc_id, bm25_rank, search_rank,
+    rrf), absent rank = −1. RRF is THE zero-tuning way to combine
+    lexical rankers — it only consumes ranks, so the systems' scores
+    never need calibrating against each other.
+
+    Scale shape: both inputs are already top-k folds (each ≤ k rows on
+    the driver by construction); the fusion itself is O(k). Every rrf
+    term is ONE division on exact ints, summed in fixed system order,
+    rounded half-away — bit-exact vs the SQL mirror."""
+    from ..functions.rounding import round_half_away
+
+    b = bm25_topk(docs_ds, terms, k=k).to_pandas()
+    s = search_topk(docs_ds, terms, k=k).to_pandas()
+    branks = {int(r.doc_id): int(r.rank) for r in b.itertuples()}
+    sranks = {int(r.doc_id): i + 1 for i, r in enumerate(s.itertuples())}
+    docs = sorted(set(branks) | set(sranks))
+    br = np.array([branks.get(d, -1) for d in docs], np.int64)
+    sr = np.array([sranks.get(d, -1) for d in docs], np.int64)
+    rrf = np.where(br > 0, 1.0 / (c + br).astype(np.float64), 0.0) + np.where(
+        sr > 0, 1.0 / (c + sr).astype(np.float64), 0.0
+    )
+    return pa.table(
+        {
+            "doc_id": np.asarray(docs, np.int64),
+            "bm25_rank": br,
+            "search_rank": sr,
+            "rrf": round_half_away(rrf, round_to),
+        }
+    )

@@ -1677,3 +1677,32 @@ def test_lang_log_odds_prefers_exclusive_token(ray_session):
     b = (yj + 1) / ((N - nl) + V - yj - 1)
     z = (np.log(a) - np.log(b)) / np.sqrt(1 / (y + 1) + 1 / (yj + 1))
     assert abs(en.iloc[0]["z"] - round(z, 6)) < 1e-9
+
+
+def test_rrf_fusion_formula(ray_session):
+    """Doc in both lists gets 1/(60+r1)+1/(60+r2); single-system docs get
+    one term and rank -1 for the missing system."""
+    import ray.data as rd
+
+    from subgraph_isomorphism_pregel_ray.pipelines.textops import rrf_fusion
+
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "text": pa.array(
+                    [
+                        "hash join stream hash join",   # matches all 3 terms
+                        "hash hash hash only here",     # bm25-heavy on hash
+                        "nothing relevant at all",
+                    ]
+                ),
+            }
+        )
+    )
+    got = rrf_fusion(docs, ("hash", "join", "stream"), k=2).to_pandas()
+    assert 3 not in set(got["doc_id"])
+    d1 = got[got["doc_id"] == 1].iloc[0]
+    assert d1["bm25_rank"] > 0 and d1["search_rank"] > 0
+    expect = 1 / (60 + d1["bm25_rank"]) + 1 / (60 + d1["search_rank"])
+    assert abs(d1["rrf"] - round(expect, 6)) < 1e-12
