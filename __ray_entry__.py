@@ -1297,6 +1297,15 @@ def _q_hapax_stats(sf_dir: str):
     return hapax_stats(docs)
 
 
+def _q_bounce_rate_daily(sf_dir: str):
+    """One-event-session rate per day over the sessionize machine."""
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import (
+        bounce_rate_daily,
+    )
+
+    return bounce_rate_daily(sf_dir, gap_sec=GAP_SEC)
+
+
 def _q_rrf_fusion(sf_dir: str):
     """Reciprocal-rank fusion of bm25_topk and search_topk lists."""
     from subgraph_isomorphism_pregel_ray.pipelines.textops import rrf_fusion
@@ -2357,6 +2366,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weekly_churn": _q_weekly_churn,
         "ltm_cascade_copurchase": _q_ltm_cascade,
         "rrf_fusion": _q_rrf_fusion,
+        "bounce_rate_daily": _q_bounce_rate_daily,
         "dow_revenue_anomaly": _q_dow_revenue_anomaly,
         "late_events": _q_late_events,
         "weighted_sample_orders": _q_weighted_sample_orders,
@@ -4513,6 +4523,26 @@ def oracle_sql() -> dict[str, str]:
             "/ count(*), 6) AS hapax_fraction, "
             "round(CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE) "
             "/ sum(c), 6) AS hapax_token_share FROM tf"
+        ),
+        "bounce_rate_daily": (
+            "WITH x AS (SELECT user_id, ts, event_id, "
+            "CASE WHEN lag(ts) OVER w IS NULL OR "
+            f"epoch_us(ts) - epoch_us(lag(ts) OVER w) > {GAP_SEC} * 1000000 "
+            "THEN 1 ELSE 0 END AS brk FROM events "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+            "y AS (SELECT *, sum(brk) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS UNBOUNDED PRECEDING) AS sess FROM x), "
+            "s AS (SELECT user_id, sess, epoch_us(min(ts)) st, "
+            "count(*) ne FROM y GROUP BY 1, 2), "
+            "d AS (SELECT st // 86400000000 dy, "
+            "CAST(count(*) AS BIGINT) ns, "
+            "CAST(sum(CASE WHEN ne = 1 THEN 1 ELSE 0 END) AS BIGINT) nb "
+            "FROM s GROUP BY 1) "
+            "SELECT CAST(dy AS BIGINT) AS \"day\", ns AS n_sessions, "
+            "nb AS n_bounces, "
+            "round(CAST(nb AS DOUBLE) / CAST(ns AS DOUBLE), 6) "
+            "AS bounce_rate FROM d"
         ),
         "ltm_cascade_copurchase": _ltm_sql(),
         "rrf_fusion": (

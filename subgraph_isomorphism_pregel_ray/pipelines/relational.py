@@ -7465,3 +7465,50 @@ def weekly_churn(sf_dir: str, num_buckets: int | None = None,
             ),
         }
     )
+
+
+def bounce_rate_daily(sf_dir: str, gap_sec: int = 600,
+                      num_buckets: int | None = None, round_to: int = 6):
+    """Daily BOUNCE RATE → (day, n_sessions, n_bounces, bounce_rate): a
+    bounce is a gap-based session (:func:`events_sessionize`, same gap
+    rule) containing exactly ONE event, attributed to its start day —
+    the engagement-quality headline next to the session count.
+
+    Scale shape: rides the sessionize machine unchanged (ONE user-bucket
+    shuffle, vectorized in-bucket session splits); per-batch (day,
+    sessions, bounces) partials fold on the calendar-sized driver
+    series; ONE rounded division per day."""
+    from ..functions.rounding import round_half_away
+
+    sess = events_sessionize(sf_dir, gap_sec=gap_sec, num_buckets=num_buckets)
+
+    def _p(t: pa.Table) -> pa.Table:
+        day = (t["session_start_us"].to_numpy() // 86_400_000_000).astype(
+            np.int64
+        )
+        is_b = (t["n_events"].to_numpy() == 1).astype(np.int64)
+        u, inv = np.unique(day, return_inverse=True)
+        ns = np.bincount(inv, minlength=len(u)).astype(np.int64)
+        nb = np.zeros(len(u), np.int64)
+        np.add.at(nb, inv, is_b)
+        return pa.table({"day": u, "ns": ns, "nb": nb})
+
+    out = (
+        sess.map_batches(_p, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("day", as_index=False)
+        .sum()
+        .sort_values("day")
+    )
+    ns = out["ns"].to_numpy(np.int64)
+    nb = out["nb"].to_numpy(np.int64)
+    return pa.table(
+        {
+            "day": out["day"].to_numpy(np.int64),
+            "n_sessions": ns,
+            "n_bounces": nb,
+            "bounce_rate": round_half_away(
+                nb.astype(np.float64) / ns.astype(np.float64), round_to
+            ),
+        }
+    )

@@ -97,3 +97,33 @@ def test_bucket_count_invariant_text_ops(ray_session, fn):
         return f(docs, num_buckets=nb)
 
     pd.testing.assert_frame_equal(_canon(run(4)), _canon(run(57)))
+
+
+@pytest.mark.parametrize(
+    "fn",
+    [
+        # round-2 late-session additions
+        "frequent_triples",
+        "etype_cooccur_lift",
+        "weekly_churn",
+        "weekly_stickiness",
+        "user_acquisition_curve",
+    ],
+)
+def test_bucket_count_invariant_round2_ops(ray_session, fn):
+    import subgraph_isomorphism_pregel_ray.pipelines.relational as R
+
+    f = getattr(R, fn)
+    a = _canon(f(SF, num_buckets=4))
+    b = _canon(f(SF, num_buckets=57))
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_bucket_count_invariant_late_events(ray_session):
+    """late_events buckets are hash-top-bits ranges: 16 vs 64 ranges must
+    produce identical late rows."""
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import late_events
+
+    a = _canon(late_events(SF, num_buckets=16))
+    b = _canon(late_events(SF, num_buckets=64))
+    pd.testing.assert_frame_equal(a, b)

@@ -1101,3 +1101,35 @@ def test_weekly_churn_censoring(ray_session, tmp_path):
     row = got.iloc[0]
     assert row["n_active"] == 2 and row["n_churned"] == 1
     assert row["churn_rate"] == 0.5
+
+
+def test_bounce_rate_daily(ray_session, tmp_path):
+    """u1: 2 events 1s apart (one session, not a bounce); u2: 1 event
+    same day (bounce); u3: 1 event next day (bounce) -> day0 rate 0.5,
+    day1 rate 1.0."""
+    import pyarrow.parquet as pq
+
+    base = np.datetime64("2025-06-02T10:00:00", "us")
+    rows = [
+        (base, 1), (base + np.timedelta64(1, "s"), 1),
+        (base, 2),
+        (base + np.timedelta64(1, "D"), 3),
+    ]
+    ts, uid = zip(*rows)
+    pq.write_table(
+        pa.table(
+            {"event_id": pa.array(range(len(ts)), pa.int64()),
+             "ts": pa.array(np.array(ts, "datetime64[us]")),
+             "user_id": pa.array(uid, pa.int64()),
+             "value": pa.array([1.0] * len(ts))}
+        ),
+        tmp_path / "events.parquet",
+    )
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import (
+        bounce_rate_daily,
+    )
+
+    got = bounce_rate_daily(str(tmp_path)).to_pandas()
+    assert got["n_sessions"].tolist() == [2, 1]
+    assert got["n_bounces"].tolist() == [1, 1]
+    assert got["bounce_rate"].tolist() == [0.5, 1.0]
