@@ -1297,6 +1297,15 @@ def _q_hapax_stats(sf_dir: str):
     return hapax_stats(docs)
 
 
+def _q_revenue_trend_theilsen(sf_dir: str):
+    """Theil–Sen robust daily-revenue trend (median of pairwise slopes)."""
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import (
+        revenue_trend_theilsen,
+    )
+
+    return revenue_trend_theilsen(sf_dir)
+
+
 def _q_bounce_rate_daily(sf_dir: str):
     """One-event-session rate per day over the sessionize machine."""
     from subgraph_isomorphism_pregel_ray.pipelines.relational import (
@@ -2367,6 +2376,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ltm_cascade_copurchase": _q_ltm_cascade,
         "rrf_fusion": _q_rrf_fusion,
         "bounce_rate_daily": _q_bounce_rate_daily,
+        "revenue_trend_theilsen": _q_revenue_trend_theilsen,
         "dow_revenue_anomaly": _q_dow_revenue_anomaly,
         "late_events": _q_late_events,
         "weighted_sample_orders": _q_weighted_sample_orders,
@@ -4523,6 +4533,37 @@ def oracle_sql() -> dict[str, str]:
             "/ count(*), 6) AS hapax_fraction, "
             "round(CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE) "
             "/ sum(c), 6) AS hapax_token_share FROM tf"
+        ),
+        "revenue_trend_theilsen": (
+            # explicit order-statistic median (mid-pair (a+b)/2.0 for even
+            # counts) so the engine's op order is mirrored, not an opaque
+            # median() builtin
+            "WITH d AS (SELECT epoch_us(l_shipdate) // 86400000000 dy, "
+            "sum(CAST(round(l_extendedprice * 100) AS BIGINT)) c "
+            "FROM lineitem GROUP BY 1), "
+            "p AS (SELECT CAST(b.c - a.c AS DOUBLE) / "
+            "CAST(b.dy - a.dy AS DOUBLE) s FROM d a JOIN d b ON b.dy > a.dy), "
+            "p2 AS MATERIALIZED (SELECT s, row_number() OVER (ORDER BY s) rn "
+            "FROM p), "
+            "pm AS (SELECT CAST(count(*) AS BIGINT) m FROM p), "
+            "sl AS (SELECT CASE WHEN (SELECT m FROM pm) % 2 = 1 "
+            "THEN (SELECT s FROM p2 WHERE rn = (SELECT (m + 1) // 2 FROM pm)) "
+            "ELSE ((SELECT s FROM p2 WHERE rn = (SELECT m // 2 FROM pm)) + "
+            "(SELECT s FROM p2 WHERE rn = (SELECT m // 2 + 1 FROM pm))) / 2.0 "
+            "END AS mval), "
+            "r AS (SELECT CAST(c AS DOUBLE) - "
+            "(SELECT mval FROM sl) * CAST(dy AS DOUBLE) v FROM d), "
+            "r2 AS MATERIALIZED (SELECT v, row_number() OVER (ORDER BY v) rn "
+            "FROM r), "
+            "rm AS (SELECT CAST(count(*) AS BIGINT) m FROM r), "
+            "ic AS (SELECT CASE WHEN (SELECT m FROM rm) % 2 = 1 "
+            "THEN (SELECT v FROM r2 WHERE rn = (SELECT (m + 1) // 2 FROM rm)) "
+            "ELSE ((SELECT v FROM r2 WHERE rn = (SELECT m // 2 FROM rm)) + "
+            "(SELECT v FROM r2 WHERE rn = (SELECT m // 2 + 1 FROM rm))) / 2.0 "
+            "END AS mval) "
+            "SELECT (SELECT m FROM rm) AS n_days, (SELECT m FROM pm) "
+            "AS n_pairs, round((SELECT mval FROM sl), 6) AS slope, "
+            "round((SELECT mval FROM ic), 6) AS intercept"
         ),
         "bounce_rate_daily": (
             "WITH x AS (SELECT user_id, ts, event_id, "

@@ -7512,3 +7512,65 @@ def bounce_rate_daily(sf_dir: str, gap_sec: int = 600,
             ),
         }
     )
+
+
+def revenue_trend_theilsen(sf_dir: str, round_to: int = 6):
+    """Theil–Sen ROBUST trend of daily revenue → one row (n_days,
+    n_pairs, slope, intercept): slope = median over all day pairs of
+    (rev_j − rev_i)/(day_j − day_i), intercept = median of (rev −
+    slope·day) — the outlier-immune alternative to OLS (breakdown point
+    29 % vs 0 %): one flash-sale day cannot bend this line.
+
+    Scale shape: the fact stream folds per-day cent partials (ONE day
+    groupby); the day series is CALENDAR-sized at any corpus scale, so
+    the O(days²) pairwise-slope matrix is a constant-size driver
+    computation (≈250 k float64 at a 700-day span). Each slope is ONE
+    division of exact int64s; the median mirrors percentile_cont(0.5)
+    (mid-pair mean for even counts) so DuckDB ``median()`` reproduces it
+    bit-exactly — both sides sort the SAME float multiset."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.rounding import round_half_away
+
+    li = read_table(sf_dir, "lineitem", columns=["l_shipdate", "l_extendedprice"])
+
+    def _daily(t: pa.Table) -> pa.Table:
+        day = t["l_shipdate"].to_numpy().astype("datetime64[D]").astype(np.int64)
+        cents = np.round(t["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        u, inv = np.unique(day, return_inverse=True)
+        s = np.zeros(len(u), np.int64)
+        np.add.at(s, inv, cents)
+        return pa.table({"day": u, "c": s})
+
+    daily = (
+        li.map_batches(_daily, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()
+        .sort_values("day")
+    )
+    day = daily["day"].to_numpy(np.int64)
+    c = daily["c"].to_numpy(np.int64)
+    n = len(day)
+    i, j = np.triu_indices(n, k=1)
+    slopes = (c[j] - c[i]).astype(np.float64) / (day[j] - day[i]).astype(
+        np.float64
+    )
+
+    def _median(v: np.ndarray) -> np.float64:
+        v = np.sort(v)
+        m = len(v)
+        if m % 2:
+            return v[m // 2]
+        return (v[m // 2 - 1] + v[m // 2]) / np.float64(2.0)
+
+    slope = _median(slopes)
+    intercept = _median(c.astype(np.float64) - slope * day.astype(np.float64))
+    return pa.table(
+        {
+            "n_days": np.array([n], np.int64),
+            "n_pairs": np.array([len(slopes)], np.int64),
+            "slope": round_half_away(np.array([slope]), round_to),
+            "intercept": round_half_away(np.array([intercept]), round_to),
+        }
+    )

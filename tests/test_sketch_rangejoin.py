@@ -1133,3 +1133,26 @@ def test_bounce_rate_daily(ray_session, tmp_path):
     assert got["n_sessions"].tolist() == [2, 1]
     assert got["n_bounces"].tolist() == [1, 1]
     assert got["bounce_rate"].tolist() == [0.5, 1.0]
+
+
+def test_revenue_trend_theilsen_robust(ray_session, tmp_path):
+    """Perfect slope-200-cents/day line plus one massive outlier day:
+    Theil-Sen recovers slope 200 exactly (OLS would not)."""
+    import pyarrow.parquet as pq
+
+    days = np.arange(9)
+    ship = np.datetime64("2025-01-01", "us") + days * np.timedelta64(1, "D")
+    price = 10.0 + 2.0 * days
+    price[4] = 100000.0  # outlier
+    pq.write_table(
+        pa.table({"l_shipdate": pa.array(ship),
+                  "l_extendedprice": pa.array(price)}),
+        tmp_path / "lineitem.parquet",
+    )
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import (
+        revenue_trend_theilsen,
+    )
+
+    got = revenue_trend_theilsen(str(tmp_path)).to_pandas().iloc[0]
+    assert got["n_days"] == 9 and got["n_pairs"] == 36
+    assert got["slope"] == 200.0  # cents/day, outlier-immune
