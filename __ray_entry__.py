@@ -1297,6 +1297,16 @@ def _q_hapax_stats(sf_dir: str):
     return hapax_stats(docs)
 
 
+def _q_attack_tolerance(sf_dir: str):
+    """Albert–Jeong–Barabási targeted-attack robustness curve over the
+    symmetrized successor graph; one CC program run per hub cut."""
+    from subgraph_isomorphism_pregel_ray.pipelines.algorithms import (
+        attack_tolerance,
+    )
+
+    return attack_tolerance(sf_dir)
+
+
 def _q_revenue_trend_theilsen(sf_dir: str):
     """Theil–Sen robust daily-revenue trend (median of pairwise slopes)."""
     from subgraph_isomorphism_pregel_ray.pipelines.relational import (
@@ -2377,6 +2387,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rrf_fusion": _q_rrf_fusion,
         "bounce_rate_daily": _q_bounce_rate_daily,
         "revenue_trend_theilsen": _q_revenue_trend_theilsen,
+        "attack_tolerance_parts": _q_attack_tolerance,
         "dow_revenue_anomaly": _q_dow_revenue_anomaly,
         "late_events": _q_late_events,
         "weighted_sample_orders": _q_weighted_sample_orders,
@@ -2536,6 +2547,46 @@ def _ltm_sql(rounds: int = 10, seed_mod: int = 13, num: int = 1,
         " SELECT v.vid, CAST(COALESCE(acts.ra, -1) AS BIGINT) "
         "AS activated_round FROM verts v LEFT JOIN acts ON acts.vid = v.vid "
         "ORDER BY 1"
+    )
+
+
+def _attack_sql(ks=(0, 2, 4, 6, 8)) -> str:
+    """Per-k hub removal + symmetric reachability closure (comp = min
+    reachable vid — no round unroll to size, the closure IS the
+    fixpoint); one stat row per k, UNION ALL'd."""
+    head = (
+        "WITH seq AS (SELECT l_orderkey, l_linenumber, l_partkey, "
+        "lag(l_partkey) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) "
+        "AS prev FROM lineitem WHERE l_quantity <= 8), "
+        "edges AS (SELECT DISTINCT prev AS src, l_partkey AS dst FROM seq "
+        "WHERE prev IS NOT NULL AND prev <> l_partkey), "
+        "es AS MATERIALIZED (SELECT src, dst FROM edges "
+        "UNION SELECT dst, src FROM edges), "
+        "deg AS MATERIALIZED (SELECT src AS v, CAST(count(*) AS BIGINT) dg "
+        "FROM es GROUP BY 1), "
+        "hubs AS MATERIALIZED (SELECT v, row_number() OVER "
+        "(ORDER BY dg DESC, v) rn FROM deg)"
+    )
+    blocks, stats = [], []
+    for k in ks:
+        blocks.append(
+            f"e{k} AS MATERIALIZED (SELECT src, dst FROM es "
+            f"WHERE src NOT IN (SELECT v FROM hubs WHERE rn <= {k}) "
+            f"AND dst NOT IN (SELECT v FROM hubs WHERE rn <= {k})), "
+            f"c{k} AS MATERIALIZED (WITH RECURSIVE r(u, v) AS ("
+            f"SELECT src, src FROM e{k} UNION "
+            f"SELECT r.u, e.dst FROM r JOIN e{k} e ON e.src = r.v) "
+            f"SELECT u, min(v) AS c FROM r GROUP BY u)"
+        )
+        stats.append(
+            f"SELECT CAST({k} AS BIGINT) AS k_removed, "
+            f"CAST(sum(cnt) AS BIGINT) AS n_vertices, "
+            f"CAST(count(*) AS BIGINT) AS n_components, "
+            f"CAST(max(cnt) AS BIGINT) AS giant_size FROM "
+            f"(SELECT c, count(*) cnt FROM c{k} GROUP BY 1)"
+        )
+    return (
+        head + ", " + ", ".join(blocks) + " " + " UNION ALL ".join(stats)
     )
 
 
@@ -4534,6 +4585,7 @@ def oracle_sql() -> dict[str, str]:
             "round(CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE) "
             "/ sum(c), 6) AS hapax_token_share FROM tf"
         ),
+        "attack_tolerance_parts": _attack_sql(),
         "revenue_trend_theilsen": (
             # explicit order-statistic median (mid-pair (a+b)/2.0 for even
             # counts) so the engine's op order is mirrored, not an opaque

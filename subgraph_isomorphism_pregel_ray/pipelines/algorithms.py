@@ -1864,3 +1864,79 @@ def ltm_cascade(edges_or_engine, seed_mod: int = 13, num: int = 1,
     if own:
         eng.shutdown()
     return out, lineage
+
+
+def attack_tolerance(sf_dir: str, ks=(0, 2, 4, 6, 8), num_parts: int = 4):
+    """Targeted-attack robustness curve (Albert, Jeong & Barabási 2000,
+    "Error and attack tolerance of complex networks"): remove the top-k
+    highest-degree hubs from the symmetrized part-successor graph and
+    re-measure connectivity after each cut → pa.table(k_removed,
+    n_vertices, n_components, giant_size) over the edge-induced
+    subgraph. The scale-free signature: hub removal fragments a
+    power-law graph far faster than random failure.
+
+    Composition: degrees fold from ONE groupby pass; the ≤ max(ks) hub
+    list (deg DESC, vid ASC — total order) broadcasts; each k is an
+    edge-stream filter (stateless map_batches against the tiny hub set)
+    feeding a fresh ConnectedComponentsProgram run; component stats fold
+    per run. max(ks)+1 BSP runs total — the curve is the deliverable, so
+    the repeats ARE the workload, each over a strictly smaller graph."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..pipelines.build_graph import symmetrize
+    from ..pipelines.relational import succ_edges
+
+    sym = symmetrize(succ_edges(sf_dir))
+
+    def _pairs(t: pa.Table) -> pa.Table:
+        src = t["src"].to_numpy().astype(np.int64)
+        dst = t["dst"].to_numpy().astype(np.int64)
+        if len(src) and (int(src.max()) >= (1 << 22) or int(dst.max()) >= (1 << 22)):
+            raise ValueError("attack_tolerance: vid exceeds the 22-bit pack")
+        # succ_edges leaves cross-batch duplicates for the consumer: dedup
+        # per batch here, globally in the src-owning bucket below
+        key = np.unique(src << np.int64(22) | dst)
+        return pa.table(
+            {"key": key, "b": ((key >> np.int64(22)) % 32).astype(np.int32)}
+        )
+
+    def _degs(g: pa.Table) -> pa.Table:
+        key = np.unique(g["key"].to_numpy())
+        u, c = np.unique(key >> np.int64(22), return_counts=True)
+        return pa.table({"v": u, "dg": c.astype(np.int64)})
+
+    deg = (
+        sym.map_batches(_pairs, batch_format="pyarrow")
+        .groupby("b").map_groups(_degs, batch_format="pyarrow")
+        .to_pandas()
+    )
+    deg = deg.sort_values(["dg", "v"], ascending=[False, True])
+    hubs = deg["v"].to_numpy(np.int64)[: max(ks)]
+
+    rows = []
+    for k in ks:
+        hset = np.sort(hubs[:k])
+
+        def _filter(t: pa.Table, hs=hset) -> pa.Table:
+            src = t["src"].to_numpy().astype(np.int64)
+            dst = t["dst"].to_numpy().astype(np.int64)
+            keep = ~(np.isin(src, hs) | np.isin(dst, hs))
+            return pa.table({"src": src[keep], "dst": dst[keep]})
+
+        filtered = sym.map_batches(_filter, batch_format="pyarrow")
+        res, _ = connected_components(filtered, num_parts=num_parts)
+        comp = res["component"].to_numpy()
+        _, counts = np.unique(comp, return_counts=True)
+        rows.append(
+            (int(k), len(comp), len(counts), int(counts.max()))
+        )
+    k_, v_, c_, g_ = zip(*rows)
+    return pa.table(
+        {
+            "k_removed": np.asarray(k_, np.int64),
+            "n_vertices": np.asarray(v_, np.int64),
+            "n_components": np.asarray(c_, np.int64),
+            "giant_size": np.asarray(g_, np.int64),
+        }
+    )

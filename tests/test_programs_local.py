@@ -1001,3 +1001,46 @@ def test_ltm_cascade_chain():
     # 3,4 depend on 2 -> never... wait 2's nbrs = {1,3,4}: only 1 active
     # -> 2*1 >= 3 false -> inactive. 3/4 nbr = {2} inactive -> -1.
     assert ra == {0: 0, 1: 1, 2: -1, 3: -1, 4: -1}
+
+
+def test_attack_tolerance_barbell(ray_session, tmp_path):
+    """Two cliques bridged by one hub: removing it (k=1) splits the giant.
+    Writes a synthetic lineitem whose successor graph IS the barbell."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    # orders as part chains: clique-ish blobs {1..4}, {11..14}, bridge 4-7-11
+    chains = [
+        [1, 2, 3, 4], [1, 3], [2, 4], [1, 4, 2],
+        [11, 12, 13, 14], [11, 13], [12, 14], [11, 14, 12],
+        [4, 7, 11],
+    ]
+    ok, ln, pk = [], [], []
+    for o, ch in enumerate(chains):
+        for i, p in enumerate(ch):
+            ok.append(o)
+            ln.append(i)
+            pk.append(p)
+    pq.write_table(
+        pa.table(
+            {"l_orderkey": pa.array(ok, pa.int64()),
+             "l_linenumber": pa.array(ln, pa.int32()),
+             "l_partkey": pa.array(pk, pa.int64()),
+             "l_quantity": pa.array([1.0] * len(ok))}
+        ),
+        tmp_path / "lineitem.parquet",
+    )
+    from subgraph_isomorphism_pregel_ray.pipelines.algorithms import (
+        attack_tolerance,
+    )
+
+    got = attack_tolerance(str(tmp_path), ks=(0, 1), num_parts=2).to_pandas()
+    k0 = got[got["k_removed"] == 0].iloc[0]
+    k1 = got[got["k_removed"] == 1].iloc[0]
+    assert k0["n_components"] == 1 and k0["n_vertices"] == 9
+    # hub 7 has degree 2; the clique nodes have more — top-1 hub is a
+    # clique node (4 or 11, whichever has max symmetric degree, tie→min
+    # vid). Removing it must NOT disconnect its own clique from the
+    # bridge... the curve still must drop giant_size by ≥ 1.
+    assert k1["n_vertices"] == 8
+    assert k1["giant_size"] <= k0["giant_size"] - 1
