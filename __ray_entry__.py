@@ -1297,6 +1297,24 @@ def _q_hapax_stats(sf_dir: str):
     return hapax_stats(docs)
 
 
+def _q_order_value_gini(sf_dir: str):
+    """Gini of order values via the distributed sort-ordinal machine."""
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import (
+        order_value_gini,
+    )
+
+    return order_value_gini(sf_dir)
+
+
+def _q_user_hour_entropy(sf_dir: str):
+    """Circadian activity entropy per user (bot fingerprint)."""
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import (
+        user_hour_entropy,
+    )
+
+    return user_hour_entropy(sf_dir)
+
+
 def _q_attack_tolerance(sf_dir: str):
     """Albert–Jeong–Barabási targeted-attack robustness curve over the
     symmetrized successor graph; one CC program run per hub cut."""
@@ -2388,6 +2406,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bounce_rate_daily": _q_bounce_rate_daily,
         "revenue_trend_theilsen": _q_revenue_trend_theilsen,
         "attack_tolerance_parts": _q_attack_tolerance,
+        "order_value_gini": _q_order_value_gini,
+        "user_hour_entropy": _q_user_hour_entropy,
         "dow_revenue_anomaly": _q_dow_revenue_anomaly,
         "late_events": _q_late_events,
         "weighted_sample_orders": _q_weighted_sample_orders,
@@ -4586,6 +4606,27 @@ def oracle_sql() -> dict[str, str]:
             "/ sum(c), 6) AS hapax_token_share FROM tf"
         ),
         "attack_tolerance_parts": _attack_sql(),
+        "order_value_gini": (
+            "WITH r AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) c, "
+            "CAST(row_number() OVER (ORDER BY "
+            "CAST(round(o_totalprice * 100) AS BIGINT), o_orderkey) "
+            "AS BIGINT) i FROM orders) "
+            "SELECT CAST(count(*) AS BIGINT) AS n_orders, "
+            "CAST(sum(c) AS BIGINT) AS sum_cents, "
+            "round((2.0 * CAST(sum(CAST(i AS HUGEINT) * c) AS DOUBLE)) / "
+            "(CAST(count(*) AS DOUBLE) * CAST(sum(c) AS DOUBLE)) - "
+            "CAST(count(*) + 1 AS DOUBLE) * 1.0 / "
+            "CAST(count(*) AS DOUBLE), 6) AS gini FROM r"
+        ),
+        "user_hour_entropy": (
+            "WITH h AS (SELECT user_id, "
+            "(epoch_us(ts) // 3600000000) % 24 hr, "
+            "CAST(count(*) AS BIGINT) c FROM events GROUP BY 1, 2) "
+            "SELECT user_id, CAST(sum(c) AS BIGINT) AS n_events, "
+            "round(ln(CAST(sum(c) AS DOUBLE)) - "
+            "sum(c * ln(CAST(c AS DOUBLE))) / CAST(sum(c) AS DOUBLE), 6) "
+            "AS hour_entropy FROM h GROUP BY 1"
+        ),
         "revenue_trend_theilsen": (
             # explicit order-statistic median (mid-pair (a+b)/2.0 for even
             # counts) so the engine's op order is mirrored, not an opaque

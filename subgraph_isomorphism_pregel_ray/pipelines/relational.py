@@ -7574,3 +7574,116 @@ def revenue_trend_theilsen(sf_dir: str, round_to: int = 6):
             "intercept": round_half_away(np.array([intercept]), round_to),
         }
     )
+
+
+def order_value_gini(sf_dir: str, round_to: int = 6):
+    """Gini coefficient of ORDER VALUES → one row (n_orders, sum_cents,
+    gini): the revenue-inequality twin of :func:`degree_gini` (a gini
+    jump = whale orders appearing; a collapse = order-splitting or price
+    normalization upstream). G = (2·Σᵢ i·xᵢ)/(n·Σx) − (n+1)/n over exact
+    cents sorted ascending, rank from the distributed sort-ordinal
+    machine — NO driver-side sort; Σ i·xᵢ folds per block as exact
+    int64; ONE float expression at the end, op-order-mirrored by SQL."""
+    from ..functions.rounding import round_half_away
+    from ..stages.sort import sort_with_ordinal
+
+    ds = read_table(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+
+    def _cents(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "k": t["o_orderkey"].to_numpy().astype(np.int64),
+                "c": np.round(t["o_totalprice"].to_numpy() * 100).astype(
+                    np.int64
+                ),
+            }
+        )
+
+    ranked = sort_with_ordinal(
+        ds.map_batches(_cents, batch_format="pyarrow"), ["c", "k"],
+        ordinal_col="i0",
+    )
+
+    def _moments(t: pa.Table) -> pa.Table:
+        c = t["c"].to_numpy().astype(np.int64)
+        i = t["i0"].to_numpy().astype(np.int64) + 1
+        # rank·cents products are Python-int-folded per block so the
+        # partial never clips (i·c alone nears int64 at 10⁹ orders)
+        sic = sum(int(a) * int(b) for a, b in zip(i.tolist(), c.tolist()))
+        return pa.table(
+            {
+                "n": np.array([len(c)], np.int64),
+                "sc": np.array([int(c.sum())], np.int64),
+                "hi": np.array([sic >> 62], np.int64),
+                "lo": np.array([sic & ((1 << 62) - 1)], np.int64),
+            }
+        )
+
+    m = ranked.map_batches(_moments, batch_format="pyarrow").to_pandas()
+    n = int(m["n"].sum())
+    sc = int(m["sc"].sum())
+    sic = int(sum(int(h) * (1 << 62) + int(l) for h, l in zip(m["hi"], m["lo"])))
+    gini = (2.0 * np.float64(sic)) / (np.float64(n) * np.float64(sc)) - (
+        np.float64(n + 1) * 1.0 / np.float64(n)
+    )
+    return pa.table(
+        {
+            "n_orders": np.array([n], np.int64),
+            "sum_cents": np.array([sc], np.int64),
+            "gini": round_half_away(np.array([gini]), round_to),
+        }
+    )
+
+
+def user_hour_entropy(sf_dir: str, num_buckets: int | None = None,
+                      round_to: int = 6):
+    """Hour-of-day activity entropy per user → (user_id, n_events,
+    hour_entropy), nats: H = ln(n) − Σ c·ln(c)/n over the user's 24-bin
+    UTC-hour histogram. Near-zero entropy = all activity in one hour —
+    the cron-job/bot fingerprint :func:`user_gap_cv` reads from gap
+    regularity, read here from circadian spread (humans are wide, bots
+    are spikes).
+
+    Scale shape: per-batch (user, hour) count combine → ONE user-bucket
+    groupby; the per-user entropy folds a ≤24-term histogram with the
+    gram_entropy closed form (exact int counts; the float ln-sum rounds
+    at 1e-6, far above summation-order noise)."""
+    from ..functions.rounding import round_half_away
+
+    ds = read_table(sf_dir, "events", columns=["ts", "user_id"])
+    num_buckets = _auto_buckets(ds, num_buckets)
+
+    def _uh(t: pa.Table) -> pa.Table:
+        us = t["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        hr = (us // np.int64(3_600_000_000)) % np.int64(24)
+        u = t["user_id"].to_numpy().astype(np.int64)
+        if len(u) and int(u.max()) >= (1 << 58):
+            raise ValueError("user_hour_entropy: user_id exceeds the pack")
+        key = u << np.int64(5) | hr
+        uk, c = np.unique(key, return_counts=True)
+        return pa.table(
+            {"key": uk, "c": c.astype(np.int64),
+             "b": ((uk >> np.int64(5)) % num_buckets).astype(np.int32)}
+        )
+
+    def _fold(g: pa.Table) -> pa.Table:
+        key = g["key"].to_numpy()
+        c = g["c"].to_numpy().astype(np.int64)
+        uk, inv = np.unique(key, return_inverse=True)
+        cc = np.zeros(len(uk), np.int64)
+        np.add.at(cc, inv, c)
+        uu, uinv = np.unique(uk >> np.int64(5), return_inverse=True)
+        n = np.zeros(len(uu), np.int64)
+        np.add.at(n, uinv, cc)
+        clnc = np.zeros(len(uu), np.float64)
+        np.add.at(clnc, uinv, cc.astype(np.float64) * np.log(cc.astype(np.float64)))
+        ent = np.log(n.astype(np.float64)) - clnc / n.astype(np.float64)
+        return pa.table(
+            {"user_id": uu, "n_events": n,
+             "hour_entropy": round_half_away(ent, round_to)}
+        )
+
+    return (
+        ds.map_batches(_uh, batch_format="pyarrow")
+        .groupby("b").map_groups(_fold, batch_format="pyarrow")
+    )

@@ -1156,3 +1156,54 @@ def test_revenue_trend_theilsen_robust(ray_session, tmp_path):
     got = revenue_trend_theilsen(str(tmp_path)).to_pandas().iloc[0]
     assert got["n_days"] == 9 and got["n_pairs"] == 36
     assert got["slope"] == 200.0  # cents/day, outlier-immune
+
+
+def test_order_value_gini_extremes(ray_session, tmp_path):
+    """Equal values -> gini ~0 (exactly (2*Σi)/(n*n) - (n+1)/n = 0);
+    one order owns everything -> gini -> (n-1)/n."""
+    import pyarrow.parquet as pq
+
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import (
+        order_value_gini,
+    )
+
+    pq.write_table(
+        pa.table({"o_orderkey": pa.array([1, 2, 3, 4], pa.int64()),
+                  "o_totalprice": pa.array([5.0, 5.0, 5.0, 5.0])}),
+        tmp_path / "orders.parquet",
+    )
+    g = order_value_gini(str(tmp_path)).to_pandas().iloc[0]
+    assert g["gini"] == 0.0
+    pq.write_table(
+        pa.table({"o_orderkey": pa.array([1, 2, 3, 4], pa.int64()),
+                  "o_totalprice": pa.array([0.01, 0.01, 0.01, 1000.0])}),
+        tmp_path / "orders.parquet",
+    )
+    g2 = order_value_gini(str(tmp_path)).to_pandas().iloc[0]
+    assert 0.7 < g2["gini"] < 0.75  # ≈ (n-1)/n·(1-eps) at n=4
+
+
+def test_user_hour_entropy_bot_vs_human(ray_session, tmp_path):
+    """Single-hour bot -> entropy 0; uniform 4-hour human -> ln(4)."""
+    import pyarrow.parquet as pq
+
+    base = np.datetime64("2025-06-02T00:00:00", "us")
+    ts, uid = [], []
+    for i in range(8):
+        ts.append(base + np.timedelta64(3, "h"))  # bot: always hour 3
+        uid.append(1)
+    for h in range(4):
+        ts.append(base + np.timedelta64(h, "h"))
+        uid.append(2)
+    pq.write_table(
+        pa.table({"ts": pa.array(np.array(ts, "datetime64[us]")),
+                  "user_id": pa.array(uid, pa.int64())}),
+        tmp_path / "events.parquet",
+    )
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import (
+        user_hour_entropy,
+    )
+
+    got = user_hour_entropy(str(tmp_path)).to_pandas().set_index("user_id")
+    assert got.loc[1, "hour_entropy"] == 0.0
+    assert abs(got.loc[2, "hour_entropy"] - round(np.log(4), 6)) < 1e-9
