@@ -1297,6 +1297,13 @@ def _q_hapax_stats(sf_dir: str):
     return hapax_stats(docs)
 
 
+def _q_survival_km(sf_dir: str):
+    """Kaplan–Meier signup→purchase survival with right-censoring."""
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import survival_km
+
+    return survival_km(sf_dir)
+
+
 def _q_order_value_gini(sf_dir: str):
     """Gini of order values via the distributed sort-ordinal machine."""
     from subgraph_isomorphism_pregel_ray.pipelines.relational import (
@@ -2408,6 +2415,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "attack_tolerance_parts": _q_attack_tolerance,
         "order_value_gini": _q_order_value_gini,
         "user_hour_entropy": _q_user_hour_entropy,
+        "survival_km": _q_survival_km,
         "dow_revenue_anomaly": _q_dow_revenue_anomaly,
         "late_events": _q_late_events,
         "weighted_sample_orders": _q_weighted_sample_orders,
@@ -4606,6 +4614,32 @@ def oracle_sql() -> dict[str, str]:
             "/ sum(c), 6) AS hapax_token_share FROM tf"
         ),
         "attack_tolerance_parts": _attack_sql(),
+        "survival_km": (
+            # product-limit estimator; the running product is an exp of a
+            # window-ORDERED ln sum, so the op order is pinned on both sides
+            "WITH d AS (SELECT user_id, epoch_us(ts) // 86400000000 dy, "
+            "event_type FROM events), "
+            "mx AS (SELECT max(dy) m FROM d), "
+            "su AS (SELECT user_id, min(dy) sd FROM d "
+            "WHERE event_type = 'signup' GROUP BY 1), "
+            "pu AS (SELECT d.user_id, min(dy) pd FROM d "
+            "JOIN su ON su.user_id = d.user_id "
+            "WHERE d.event_type = 'purchase' AND d.dy >= su.sd GROUP BY 1), "
+            "ue AS (SELECT su.user_id, CASE WHEN pu.pd IS NOT NULL "
+            "THEN pu.pd - su.sd ELSE (SELECT m FROM mx) - su.sd END t, "
+            "CASE WHEN pu.pd IS NOT NULL THEN 1 ELSE 0 END ev "
+            "FROM su LEFT JOIN pu ON pu.user_id = su.user_id), "
+            "g AS (SELECT t, CAST(sum(ev) AS BIGINT) d_ev, "
+            "CAST(count(*) AS BIGINT) n_at FROM ue GROUP BY 1), "
+            "r AS (SELECT t, d_ev, CAST(sum(n_at) OVER (ORDER BY t DESC "
+            "ROWS UNBOUNDED PRECEDING) AS BIGINT) n_risk FROM g), "
+            "k AS (SELECT t, n_risk, d_ev, exp(sum(CASE WHEN n_risk = d_ev "
+            "THEN -1000000000.0 ELSE ln(CAST(n_risk - d_ev AS DOUBLE) / "
+            "CAST(n_risk AS DOUBLE)) END) OVER (ORDER BY t "
+            "ROWS UNBOUNDED PRECEDING)) s FROM r) "
+            "SELECT CAST(t AS BIGINT) AS t_days, n_risk, d_ev AS n_events, "
+            "round(s, 6) AS survival FROM k"
+        ),
         "order_value_gini": (
             "WITH r AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) c, "
             "CAST(row_number() OVER (ORDER BY "

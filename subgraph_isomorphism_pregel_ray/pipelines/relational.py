@@ -7687,3 +7687,109 @@ def user_hour_entropy(sf_dir: str, num_buckets: int | None = None,
         ds.map_batches(_uh, batch_format="pyarrow")
         .groupby("b").map_groups(_fold, batch_format="pyarrow")
     )
+
+
+def survival_km(sf_dir: str, num_buckets: int | None = None,
+                round_to: int = 6):
+    """Kaplan–Meier signup→purchase SURVIVAL curve → one row per
+    distinct observed time (t_days, n_risk, n_events, survival):
+    time-to-conversion in whole days from a user's first signup to
+    their first purchase ON/AFTER it; users who never convert are
+    RIGHT-CENSORED at the corpus's last observed day. survival =
+    Π (1 − d/n) over times ≤ t — the product-limit estimator (Kaplan &
+    Meier 1958), THE censoring-correct conversion curve (a plain
+    conversion-rate-by-day silently drops the users still at risk).
+
+    Scale shape: distinct (user, day, type∈{signup,purchase}) rows →
+    ONE user-bucket groupby resolves each user's (time, event) pair
+    vectorized; (time, d, n_at) partials fold on the day-valued driver
+    series, where the running product is exp(CUMULATIVE sum of
+    ln((n−d)/n)) — mirrored by a window-ORDERED SQL sum, which fixes the
+    summation order on both sides (n = d at the last time uses an
+    exact −1e9 sentinel that underflows exp to 0.0 identically)."""
+    from ..functions.rounding import round_half_away
+
+    ds = read_table(sf_dir, "events", columns=["ts", "user_id", "event_type"])
+    num_buckets = _auto_buckets(ds, num_buckets)
+
+    def _rows(t: pa.Table) -> pa.Table:
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        keep = (et == "signup") | (et == "purchase")
+        day = t["ts"].to_numpy().astype("datetime64[D]").astype(np.int64)[keep]
+        u = t["user_id"].to_numpy().astype(np.int64)[keep]
+        sig = (et[keep] == "signup").astype(np.int64)
+        if len(u) and (int(u.max()) >= (1 << 40) or int(day.max()) >= (1 << 22)):
+            raise ValueError("survival_km: key exceeds the 40/22/1-bit pack")
+        key = np.unique(u << np.int64(23) | day << np.int64(1) | sig)
+        # global max day (any type) rides along as a per-batch partial —
+        # on a SENTINEL row (key = −1, dropped by the fold), so a block
+        # with no signup/purchase rows still contributes its max
+        allday = t["ts"].to_numpy().astype("datetime64[D]").astype(np.int64)
+        mx = int(allday.max()) if len(allday) else -1
+        key = np.r_[key, np.int64(-1)]
+        return pa.table(
+            {"key": key,
+             "b": (np.abs(key >> np.int64(23)) % num_buckets).astype(np.int32),
+             "mx": np.full(len(key), mx, np.int64)}
+        )
+
+    def _user_fold(g: pa.Table) -> pa.Table:
+        key = np.unique(g["key"].to_numpy())
+        key = key[key >= 0]  # drop the mx-carrier sentinel rows
+        u = key >> np.int64(23)
+        day = (key >> np.int64(1)) & np.int64((1 << 22) - 1)
+        sig = (key & np.int64(1)).astype(bool)
+        # first signup day per user
+        su, sinv = np.unique(u[sig], return_inverse=True)
+        sd = np.full(len(su), np.iinfo(np.int64).max, np.int64)
+        np.minimum.at(sd, sinv, day[sig])
+        # first purchase day >= signup day, per signed-up user
+        smap_idx = np.searchsorted(su, u[~sig])
+        valid = (smap_idx < len(su))
+        pu_u = u[~sig]
+        pu_d = day[~sig]
+        hit = valid & (su[np.minimum(smap_idx, max(len(su) - 1, 0))] == pu_u) \
+            if len(su) else np.zeros(len(pu_u), bool)
+        ge = hit & (pu_d >= sd[np.minimum(smap_idx, max(len(su) - 1, 0))])
+        cu, cinv = np.unique(pu_u[ge], return_inverse=True)
+        cd = np.full(len(cu), np.iinfo(np.int64).max, np.int64)
+        np.minimum.at(cd, cinv, pu_d[ge])
+        conv = np.full(len(su), -1, np.int64)
+        pos = np.searchsorted(su, cu)
+        conv[pos] = cd
+        return pa.table({"u": su, "sd": sd, "cd": conv})
+
+    import pyarrow.compute as pc
+
+    mapped = ds.map_batches(_rows, batch_format="pyarrow")
+    gmax = int(mapped.max("mx"))
+    users = (
+        mapped.groupby("b").map_groups(_user_fold, batch_format="pyarrow")
+        .to_pandas()
+    )
+    sd = users["sd"].to_numpy(np.int64)
+    cd = users["cd"].to_numpy(np.int64)
+    ev = (cd >= 0).astype(np.int64)
+    t = np.where(cd >= 0, cd - sd, gmax - sd)
+    ut, inv = np.unique(t, return_inverse=True)
+    d_ev = np.zeros(len(ut), np.int64)
+    np.add.at(d_ev, inv, ev)
+    n_at = np.bincount(inv, minlength=len(ut)).astype(np.int64)
+    n_risk = np.cumsum(n_at[::-1])[::-1]
+    with np.errstate(divide="ignore"):
+        term = np.where(
+            n_risk == d_ev,
+            np.float64(-1e9),
+            np.log(
+                (n_risk - d_ev).astype(np.float64) / n_risk.astype(np.float64)
+            ),
+        )
+    surv = np.exp(np.cumsum(term))
+    return pa.table(
+        {
+            "t_days": ut,
+            "n_risk": n_risk,
+            "n_events": d_ev,
+            "survival": round_half_away(surv, round_to),
+        }
+    )

@@ -1207,3 +1207,36 @@ def test_user_hour_entropy_bot_vs_human(ray_session, tmp_path):
     got = user_hour_entropy(str(tmp_path)).to_pandas().set_index("user_id")
     assert got.loc[1, "hour_entropy"] == 0.0
     assert abs(got.loc[2, "hour_entropy"] - round(np.log(4), 6)) < 1e-9
+
+
+def test_survival_km_hand_curve(ray_session, tmp_path):
+    """3 signups day0: u1 converts day1 (t=1), u2 converts day3 (t=3),
+    u3 never (censored at max day 4, t=4). KM: S(1)=2/3, S(3)=1/3,
+    S(4)=1/3 (censor step multiplies by 1)."""
+    import pyarrow.parquet as pq
+
+    base = np.datetime64("2025-06-02T10:00:00", "us")
+    day = np.timedelta64(1, "D")
+    rows = [
+        (base, 1, "signup"), (base + day, 1, "purchase"),
+        (base, 2, "signup"), (base + 3 * day, 2, "purchase"),
+        (base, 3, "signup"),
+        (base + 4 * day, 9, "click"),  # sets global max day; 9 not signed up
+        (base - day, 1, "purchase"),   # pre-signup purchase must be ignored
+    ]
+    ts, uid, et = zip(*rows)
+    pq.write_table(
+        pa.table({"ts": pa.array(np.array(ts, "datetime64[us]")),
+                  "user_id": pa.array(uid, pa.int64()),
+                  "event_type": pa.array(et, pa.string())}),
+        tmp_path / "events.parquet",
+    )
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import survival_km
+
+    got = survival_km(str(tmp_path)).to_pandas()
+    assert got["t_days"].tolist() == [1, 3, 4]
+    assert got["n_risk"].tolist() == [3, 2, 1]
+    assert got["n_events"].tolist() == [1, 1, 0]
+    assert abs(got["survival"].iloc[0] - round(2 / 3, 6)) < 1e-9
+    assert abs(got["survival"].iloc[1] - round(1 / 3, 6)) < 2e-6
+    assert got["survival"].iloc[2] == got["survival"].iloc[1]
