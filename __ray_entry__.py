@@ -1297,6 +1297,15 @@ def _q_hapax_stats(sf_dir: str):
     return hapax_stats(docs)
 
 
+def _q_markov_stationary(sf_dir: str):
+    """Power-iteration stationary distribution of the event-type chain."""
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import (
+        markov_stationary,
+    )
+
+    return markov_stationary(sf_dir)
+
+
 def _q_survival_km(sf_dir: str):
     """Kaplan–Meier signup→purchase survival with right-censoring."""
     from subgraph_isomorphism_pregel_ray.pipelines.relational import survival_km
@@ -2416,6 +2425,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_value_gini": _q_order_value_gini,
         "user_hour_entropy": _q_user_hour_entropy,
         "survival_km": _q_survival_km,
+        "markov_stationary": _q_markov_stationary,
         "dow_revenue_anomaly": _q_dow_revenue_anomaly,
         "late_events": _q_late_events,
         "weighted_sample_orders": _q_weighted_sample_orders,
@@ -2543,6 +2553,33 @@ _ESYM = (
     "WHERE a.l_partkey <> b.l_partkey GROUP BY 1, 2)"
 )
 _ESYM_MAT = _ESYM.replace("e AS (", "e AS MATERIALIZED (", 1)
+
+
+def _markov_sql(iters: int = 8) -> str:
+    """Unrolled power iteration π ← πP over the lag-pair transition
+    chain; P row-normalized in DOUBLE exactly as the engine."""
+    parts = [
+        "WITH x AS (SELECT event_type t, lag(event_type) OVER "
+        "(PARTITION BY user_id ORDER BY ts, event_id) f FROM events)",
+        "c AS (SELECT f, t, CAST(count(*) AS BIGINT) n FROM x "
+        "WHERE f IS NOT NULL GROUP BY 1, 2)",
+        "types AS (SELECT f AS ty FROM c UNION SELECT t FROM c)",
+        "tn AS (SELECT CAST(count(*) AS DOUBLE) k FROM types)",
+        "rs AS (SELECT f, CAST(sum(n) AS BIGINT) s FROM c GROUP BY 1)",
+        "m AS MATERIALIZED (SELECT c.f, c.t, "
+        "CAST(c.n AS DOUBLE) / CAST(rs.s AS DOUBLE) p FROM c "
+        "JOIN rs USING (f))",
+        "p0 AS (SELECT ty, 1.0 / (SELECT k FROM tn) pr FROM types)",
+    ]
+    for r in range(1, iters + 1):
+        parts.append(
+            f"p{r} AS (SELECT m.t ty, sum(p{r-1}.pr * m.p) pr "
+            f"FROM p{r-1} JOIN m ON m.f = p{r-1}.ty GROUP BY 1)"
+        )
+    return ", ".join(parts) + (
+        f" SELECT ty AS event_type, round(pr, 6) AS stationary_prob "
+        f"FROM p{iters}"
+    )
 
 
 def _ltm_sql(rounds: int = 10, seed_mod: int = 13, num: int = 1,
@@ -4614,6 +4651,7 @@ def oracle_sql() -> dict[str, str]:
             "/ sum(c), 6) AS hapax_token_share FROM tf"
         ),
         "attack_tolerance_parts": _attack_sql(),
+        "markov_stationary": _markov_sql(),
         "survival_km": (
             # product-limit estimator; the running product is an exp of a
             # window-ORDERED ln sum, so the op order is pinned on both sides

@@ -1240,3 +1240,29 @@ def test_survival_km_hand_curve(ray_session, tmp_path):
     assert abs(got["survival"].iloc[0] - round(2 / 3, 6)) < 1e-9
     assert abs(got["survival"].iloc[1] - round(1 / 3, 6)) < 2e-6
     assert got["survival"].iloc[2] == got["survival"].iloc[1]
+
+
+def test_markov_stationary_two_state(ray_session, tmp_path):
+    """Two-state chain a->b always, b->a always: period-2 — after 8
+    (even) iterations from uniform, pi stays (0.5, 0.5) exactly."""
+    import pyarrow.parquet as pq
+
+    base = np.datetime64("2025-06-02T10:00:00", "us")
+    seq = ["a", "b"] * 6
+    ts = [base + np.timedelta64(i, "m") for i in range(len(seq))]
+    pq.write_table(
+        pa.table(
+            {"event_id": pa.array(range(len(seq)), pa.int64()),
+             "ts": pa.array(np.array(ts, "datetime64[us]")),
+             "user_id": pa.array([1] * len(seq), pa.int64()),
+             "event_type": pa.array(seq, pa.string())}
+        ),
+        tmp_path / "events.parquet",
+    )
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import (
+        markov_stationary,
+    )
+
+    got = markov_stationary(str(tmp_path)).to_pandas()
+    assert sorted(got["event_type"]) == ["a", "b"]
+    assert (got["stationary_prob"] == 0.5).all()
