@@ -1297,6 +1297,15 @@ def _q_hapax_stats(sf_dir: str):
     return hapax_stats(docs)
 
 
+def _q_customer_order_gaps(sf_dir: str):
+    """Exact per-customer median reorder gap (uniform two-rank median)."""
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import (
+        customer_order_gaps,
+    )
+
+    return customer_order_gaps(sf_dir)
+
+
 def _q_markov_stationary(sf_dir: str):
     """Power-iteration stationary distribution of the event-type chain."""
     from subgraph_isomorphism_pregel_ray.pipelines.relational import (
@@ -2426,6 +2435,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_hour_entropy": _q_user_hour_entropy,
         "survival_km": _q_survival_km,
         "markov_stationary": _q_markov_stationary,
+        "customer_order_gaps": _q_customer_order_gaps,
         "dow_revenue_anomaly": _q_dow_revenue_anomaly,
         "late_events": _q_late_events,
         "weighted_sample_orders": _q_weighted_sample_orders,
@@ -4652,6 +4662,27 @@ def oracle_sql() -> dict[str, str]:
         ),
         "attack_tolerance_parts": _attack_sql(),
         "markov_stationary": _markov_sql(),
+        "customer_order_gaps": (
+            # uniform two-rank median: (v[(m+1)//2] + v[m//2+1]) / 2.0 —
+            # odd m picks the same rank twice, (v+v)/2.0 ≡ v in IEEE
+            "WITH o AS (SELECT o_custkey c, "
+            "epoch_us(o_orderdate) // 86400000000 dy FROM orders), "
+            "g AS (SELECT c, dy - lag(dy) OVER "
+            "(PARTITION BY c ORDER BY dy) gp FROM o), "
+            "g2 AS (SELECT c, gp, row_number() OVER "
+            "(PARTITION BY c ORDER BY gp) rn FROM g WHERE gp IS NOT NULL), "
+            "cnt AS (SELECT c, CAST(count(*) AS BIGINT) m FROM g2 "
+            "GROUP BY 1), "
+            "sel AS (SELECT g2.c, "
+            "sum(CASE WHEN rn = (m + 1) // 2 THEN CAST(gp AS DOUBLE) "
+            "ELSE 0 END) a, "
+            "sum(CASE WHEN rn = m // 2 + 1 THEN CAST(gp AS DOUBLE) "
+            "ELSE 0 END) b2 "
+            "FROM g2 JOIN cnt ON cnt.c = g2.c GROUP BY 1) "
+            "SELECT sel.c AS o_custkey, cnt.m + 1 AS n_orders, "
+            "round((sel.a + sel.b2) / 2.0, 6) AS median_gap "
+            "FROM sel JOIN cnt ON cnt.c = sel.c"
+        ),
         "survival_km": (
             # product-limit estimator; the running product is an exp of a
             # window-ORDERED ln sum, so the op order is pinned on both sides

@@ -1266,3 +1266,30 @@ def test_markov_stationary_two_state(ray_session, tmp_path):
     got = markov_stationary(str(tmp_path)).to_pandas()
     assert sorted(got["event_type"]) == ["a", "b"]
     assert (got["stationary_prob"] == 0.5).all()
+
+
+def test_customer_order_gaps_median(ray_session, tmp_path):
+    """c1 orders on days 0,10,12,40 -> gaps [10,2,28], median 10 (odd);
+    c2 days 0,4,10,16 -> gaps [4,6,6], sorted [4,6,6] median 6; c3 one
+    order -> absent."""
+    import pyarrow.parquet as pq
+
+    base = np.datetime64("2025-01-01", "us")
+    day = np.timedelta64(1, "D")
+    rows = [(1, 0), (1, 10), (1, 12), (1, 40),
+            (2, 0), (2, 4), (2, 10), (2, 16), (3, 5)]
+    ck = [r[0] for r in rows]
+    dt = [base + r[1] * day for r in rows]
+    pq.write_table(
+        pa.table({"o_custkey": pa.array(ck, pa.int64()),
+                  "o_orderdate": pa.array(np.array(dt, "datetime64[us]"))}),
+        tmp_path / "orders.parquet",
+    )
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import (
+        customer_order_gaps,
+    )
+
+    got = customer_order_gaps(str(tmp_path)).to_pandas().set_index("o_custkey")
+    assert 3 not in got.index
+    assert got.loc[1, "n_orders"] == 4 and got.loc[1, "median_gap"] == 10.0
+    assert got.loc[2, "n_orders"] == 4 and got.loc[2, "median_gap"] == 6.0
