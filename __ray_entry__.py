@@ -1297,6 +1297,13 @@ def _q_hapax_stats(sf_dir: str):
     return hapax_stats(docs)
 
 
+def _q_cohort_ltv(sf_dir: str):
+    """First-seen-week cohort LTV curve (running cents per user)."""
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import cohort_ltv
+
+    return cohort_ltv(sf_dir)
+
+
 def _q_customer_order_gaps(sf_dir: str):
     """Exact per-customer median reorder gap (uniform two-rank median)."""
     from subgraph_isomorphism_pregel_ray.pipelines.relational import (
@@ -2436,6 +2443,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "survival_km": _q_survival_km,
         "markov_stationary": _q_markov_stationary,
         "customer_order_gaps": _q_customer_order_gaps,
+        "cohort_ltv": _q_cohort_ltv,
         "dow_revenue_anomaly": _q_dow_revenue_anomaly,
         "late_events": _q_late_events,
         "weighted_sample_orders": _q_weighted_sample_orders,
@@ -4662,6 +4670,25 @@ def oracle_sql() -> dict[str, str]:
         ),
         "attack_tolerance_parts": _attack_sql(),
         "markov_stationary": _markov_sql(),
+        "cohort_ltv": (
+            "WITH e AS (SELECT user_id, "
+            "(epoch_us(ts) // 86400000000) // 7 wk, event_type, "
+            "CAST(round(value * 100) AS BIGINT) cents FROM events), "
+            "ch AS (SELECT user_id, min(wk) cw FROM e GROUP BY 1), "
+            "nu AS (SELECT cw, CAST(count(*) AS BIGINT) n FROM ch "
+            "GROUP BY 1), "
+            "p AS (SELECT ch.cw, e.wk - ch.cw ow, "
+            "CAST(sum(e.cents) AS BIGINT) c FROM e "
+            "JOIN ch USING (user_id) WHERE e.event_type = 'purchase' "
+            "GROUP BY 1, 2), "
+            "cum AS (SELECT cw, ow, CAST(sum(c) OVER (PARTITION BY cw "
+            "ORDER BY ow ROWS UNBOUNDED PRECEDING) AS BIGINT) cc FROM p) "
+            "SELECT CAST(cw AS BIGINT) AS cohort_week, "
+            "CAST(ow AS BIGINT) AS offset_weeks, nu.n AS n_users, "
+            "cc AS cum_cents, "
+            "round(CAST(cc AS DOUBLE) / CAST(nu.n AS DOUBLE), 6) "
+            "AS ltv_per_user FROM cum JOIN nu USING (cw)"
+        ),
         "customer_order_gaps": (
             # uniform two-rank median: (v[(m+1)//2] + v[m//2+1]) / 2.0 —
             # odd m picks the same rank twice, (v+v)/2.0 ≡ v in IEEE

@@ -7890,3 +7890,89 @@ def customer_order_gaps(sf_dir: str, num_buckets: int | None = None,
         ds.map_batches(_bucket, batch_format="pyarrow")
         .groupby("b").map_groups(_fold, batch_format="pyarrow")
     )
+
+
+def cohort_ltv(sf_dir: str, num_buckets: int | None = None,
+               round_to: int = 6):
+    """Cohort LTV curve → (cohort_week, offset_weeks, n_users,
+    cum_cents, ltv_per_user): users cohorted by FIRST-SEEN epoch week
+    (any event type); purchase value accumulates per week offset;
+    ltv_per_user = running cents / cohort size — the
+    payback-period table every acquisition-spend decision reads.
+    Offsets with zero purchases are omitted (the cum carries across,
+    mirroring a window over existing rows).
+
+    Scale shape: ONE user-bucket shuffle resolves cohorts (min-week per
+    user) AND per-(cohort, offset) cent partials in the same fold; the
+    cohort × offset grid is calendar²-sized, so the running sum is a
+    driver fold in exact int64; ONE rounded division per row."""
+    from ..functions.rounding import round_half_away
+
+    ds = read_table(
+        sf_dir, "events", columns=["ts", "user_id", "event_type", "value"]
+    )
+    num_buckets = _auto_buckets(ds, num_buckets)
+
+    def _rows(t: pa.Table) -> pa.Table:
+        wk = (
+            t["ts"].to_numpy().astype("datetime64[D]").astype(np.int64) // 7
+        )
+        u = t["user_id"].to_numpy().astype(np.int64)
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        cents = np.round(t["value"].to_numpy() * 100).astype(np.int64)
+        isp = (et == "purchase").astype(np.int64)
+        cents = np.where(isp == 1, cents, 0)
+        return pa.table(
+            {"u": u, "wk": wk, "c": cents, "p": isp,
+             "b": (u % num_buckets).astype(np.int32)}
+        )
+
+    def _fold(g: pa.Table) -> pa.Table:
+        u = g["u"].to_numpy()
+        wk = g["wk"].to_numpy()
+        c = g["c"].to_numpy()
+        uu, inv = np.unique(u, return_inverse=True)
+        cw = np.full(len(uu), np.iinfo(np.int64).max, np.int64)
+        np.minimum.at(cw, inv, wk)
+        off = wk - cw[inv]
+        # per-(cohort, offset) purchase cents (zero-value purchases still
+        # create their grid row, mirroring the SQL GROUP BY)
+        key = cw[inv] << np.int64(22) | off
+        sel = g["p"].to_numpy() == 1
+        ku, kinv = np.unique(key[sel], return_inverse=True)
+        cs = np.zeros(len(ku), np.int64)
+        np.add.at(cs, kinv, c[sel])
+        # cohort sizes as marker rows (off = -1)
+        cwu, cwc = np.unique(cw, return_counts=True)
+        return pa.table(
+            {
+                "cw": np.r_[ku >> np.int64(22), cwu],
+                "off": np.r_[ku & np.int64((1 << 22) - 1),
+                             np.full(len(cwu), -1, np.int64)],
+                "v": np.r_[cs, cwc.astype(np.int64)],
+            }
+        )
+
+    out = (
+        ds.map_batches(_rows, batch_format="pyarrow")
+        .groupby("b").map_groups(_fold, batch_format="pyarrow")
+        .to_pandas()
+        .groupby(["cw", "off"], as_index=False)["v"].sum()
+    )
+    sizes = dict(
+        zip(out[out["off"] == -1]["cw"], out[out["off"] == -1]["v"])
+    )
+    p = out[out["off"] >= 0].sort_values(["cw", "off"])
+    cum = p.groupby("cw")["v"].cumsum().to_numpy(np.int64)
+    n = np.array([int(sizes[cw]) for cw in p["cw"]], np.int64)
+    return pa.table(
+        {
+            "cohort_week": p["cw"].to_numpy(np.int64),
+            "offset_weeks": p["off"].to_numpy(np.int64),
+            "n_users": n,
+            "cum_cents": cum,
+            "ltv_per_user": round_half_away(
+                cum.astype(np.float64) / n.astype(np.float64), round_to
+            ),
+        }
+    )

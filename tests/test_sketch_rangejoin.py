@@ -1293,3 +1293,37 @@ def test_customer_order_gaps_median(ray_session, tmp_path):
     assert 3 not in got.index
     assert got.loc[1, "n_orders"] == 4 and got.loc[1, "median_gap"] == 10.0
     assert got.loc[2, "n_orders"] == 4 and got.loc[2, "median_gap"] == 6.0
+
+
+def test_cohort_ltv_curve(ray_session, tmp_path):
+    """2 users cohort week0 (u1 buys 10.00 at offset 0 and 5.00 at
+    offset 2; u2 never buys), 1 user cohort week1 buys 2.00 at offset 0:
+    week0 rows (0: cum 1000c, ltv 500c/user), (2: cum 1500c, 750c);
+    week1 (0: cum 200c, 200c)."""
+    import pyarrow.parquet as pq
+
+    base = np.datetime64("2025-06-02T10:00:00", "us")
+    wk = np.timedelta64(7, "D")
+    rows = [
+        (base, 1, "purchase", 10.0),
+        (base + 2 * wk, 1, "purchase", 5.0),
+        (base, 2, "view", 0.0),
+        (base + wk, 3, "purchase", 2.0),
+    ]
+    ts, uid, et, val = zip(*rows)
+    pq.write_table(
+        pa.table({"ts": pa.array(np.array(ts, "datetime64[us]")),
+                  "user_id": pa.array(uid, pa.int64()),
+                  "event_type": pa.array(et, pa.string()),
+                  "value": pa.array(val)}),
+        tmp_path / "events.parquet",
+    )
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import cohort_ltv
+
+    got = cohort_ltv(str(tmp_path)).to_pandas()
+    w0 = got[got["cohort_week"] == got["cohort_week"].min()]
+    assert w0["cum_cents"].tolist() == [1000, 1500]
+    assert w0["ltv_per_user"].tolist() == [500.0, 750.0]
+    w1 = got[got["cohort_week"] == got["cohort_week"].max()]
+    assert w1["cum_cents"].tolist() == [200]
+    assert w1["ltv_per_user"].tolist() == [200.0]
