@@ -1297,6 +1297,24 @@ def _q_hapax_stats(sf_dir: str):
     return hapax_stats(docs)
 
 
+def _q_returns_rate_by_brand(sf_dir: str):
+    """Per-brand return-flag rate via the broadcast-dimension machine."""
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import (
+        returns_rate_by_brand,
+    )
+
+    return returns_rate_by_brand(sf_dir)
+
+
+def _q_degree_quantiles(sf_dir: str):
+    """Exact degree-distribution corners via boundary-rank picks."""
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import (
+        degree_quantiles,
+    )
+
+    return degree_quantiles(sf_dir)
+
+
 def _q_cohort_ltv(sf_dir: str):
     """First-seen-week cohort LTV curve (running cents per user)."""
     from subgraph_isomorphism_pregel_ray.pipelines.relational import cohort_ltv
@@ -2444,6 +2462,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "markov_stationary": _q_markov_stationary,
         "customer_order_gaps": _q_customer_order_gaps,
         "cohort_ltv": _q_cohort_ltv,
+        "returns_rate_by_brand": _q_returns_rate_by_brand,
+        "degree_quantiles": _q_degree_quantiles,
         "dow_revenue_anomaly": _q_dow_revenue_anomaly,
         "late_events": _q_late_events,
         "weighted_sample_orders": _q_weighted_sample_orders,
@@ -2571,6 +2591,32 @@ _ESYM = (
     "WHERE a.l_partkey <> b.l_partkey GROUP BY 1, 2)"
 )
 _ESYM_MAT = _ESYM.replace("e AS (", "e AS MATERIALIZED (", 1)
+
+
+def _degree_quantiles_sql(qs=(0.5, 0.9, 0.99)) -> str:
+    """Explicit percentile_cont interpolation per q over the ranked
+    co-purchase degree table (mirrors v[lo] + frac·(v[hi]−v[lo]))."""
+    head = (
+        f"WITH {_ESYM_MAT}, "
+        "deg AS (SELECT src AS vid, CAST(count(*) AS BIGINT) d "
+        "FROM e GROUP BY 1), "
+        "o AS MATERIALIZED (SELECT d, row_number() OVER (ORDER BY d, vid) rn "
+        "FROM deg), "
+        "nn AS (SELECT CAST(count(*) AS BIGINT) n FROM deg) "
+    )
+    rows = []
+    for q in qs:
+        pos = f"(SELECT CAST(n - 1 AS DOUBLE) * {q} FROM nn)"
+        lo = f"CAST(floor({pos}) AS BIGINT) + 1"
+        hi = f"least(CAST(floor({pos}) AS BIGINT) + 2, (SELECT n FROM nn))"
+        rows.append(
+            f"SELECT {q} AS quantile, (SELECT n FROM nn) AS n_vertices, "
+            f"round((SELECT CAST(d AS DOUBLE) FROM o WHERE rn = {lo}) + "
+            f"({pos} - floor({pos})) * "
+            f"(SELECT CAST(h.d - l.d AS DOUBLE) FROM o l, o h "
+            f"WHERE l.rn = {lo} AND h.rn = {hi}), 6) AS value"
+        )
+    return head + " UNION ALL ".join(rows)
 
 
 def _markov_sql(iters: int = 8) -> str:
@@ -4670,6 +4716,15 @@ def oracle_sql() -> dict[str, str]:
         ),
         "attack_tolerance_parts": _attack_sql(),
         "markov_stationary": _markov_sql(),
+        "returns_rate_by_brand": (
+            "SELECT p_brand, CAST(count(*) AS BIGINT) AS n_lines, "
+            "CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS n_returned, "
+            "round(CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) "
+            "AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS return_rate "
+            "FROM lineitem JOIN part ON p_partkey = l_partkey GROUP BY 1"
+        ),
+        "degree_quantiles": _degree_quantiles_sql(),
         "cohort_ltv": (
             "WITH e AS (SELECT user_id, "
             "(epoch_us(ts) // 86400000000) // 7 wk, event_type, "

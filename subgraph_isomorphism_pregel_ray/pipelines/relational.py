@@ -7976,3 +7976,132 @@ def cohort_ltv(sf_dir: str, num_buckets: int | None = None,
             ),
         }
     )
+
+
+def returns_rate_by_brand(sf_dir: str, round_to: int = 6):
+    """Return-rate quality screen per brand → (p_brand, n_lines,
+    n_returned, return_rate): the share of a brand's lineitems flagged
+    'R' — the supplier-quality dashboard row (a brand whose return rate
+    detaches from the fleet is a recall in progress).
+
+    Scale shape: part→brand is a DIMENSION — broadcast ONCE via
+    ``ray.put`` (sorted partkey + brand-code arrays, read zero-copy in
+    every task, never re-shipped per batch); the fact pass is one
+    stateless map_batches emitting per-brand (lines, returned) int
+    partials; ONE tiny groupby-sum; ONE rounded division per brand."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..functions.rounding import round_half_away
+
+    parts = read_table(sf_dir, "part", columns=["p_partkey", "p_brand"])
+    pdf = parts.to_pandas()
+    brands = np.sort(pdf["p_brand"].unique())
+    bidx = {b: i for i, b in enumerate(brands)}
+    pk = pdf["p_partkey"].to_numpy(np.int64)
+    order = np.argsort(pk)
+    ref = ray.put(
+        (pk[order], pdf["p_brand"].map(bidx).to_numpy()[order].astype(np.int64))
+    )
+
+    def _partial(t: pa.Table) -> pa.Table:
+        keys, codes = ray.get(ref)
+        lp = t["l_partkey"].to_numpy().astype(np.int64)
+        rf = t["l_returnflag"].to_numpy(zero_copy_only=False)
+        code = codes[np.searchsorted(keys, lp)]
+        ret = (rf == "R").astype(np.int64)
+        u, inv = np.unique(code, return_inverse=True)
+        n = np.bincount(inv, minlength=len(u)).astype(np.int64)
+        r = np.zeros(len(u), np.int64)
+        np.add.at(r, inv, ret)
+        return pa.table({"bc": u, "n": n, "r": r})
+
+    li = read_table(sf_dir, "lineitem", columns=["l_partkey", "l_returnflag"])
+    agg = (
+        li.map_batches(_partial, batch_format="pyarrow")
+        .groupby("bc")
+        .aggregate(Sum("n", alias_name="n"), Sum("r", alias_name="r"))
+        .to_pandas()
+        .sort_values("bc")
+    )
+    n = agg["n"].to_numpy(np.int64)
+    r = agg["r"].to_numpy(np.int64)
+    return pa.table(
+        {
+            "p_brand": pa.array(
+                [str(brands[int(b)]) for b in agg["bc"]], pa.string()
+            ),
+            "n_lines": n,
+            "n_returned": r,
+            "return_rate": round_half_away(
+                r.astype(np.float64) / n.astype(np.float64), round_to
+            ),
+        }
+    )
+
+
+def degree_quantiles(sf_dir: str, qs=(0.5, 0.9, 0.99),
+                     num_buckets: int | None = None, round_to: int = 6):
+    """Exact quantiles of the co-purchase degree distribution →
+    (quantile, n_vertices, value): the distribution corners
+    (median / p90 / p99 degree) that the mean-shaped stats
+    (assortativity, avg_neighbor_degree) can't see — hub inflation
+    shows up here first. percentile_cont linear interpolation written
+    as the explicit v[lo] + frac·(v[hi]−v[lo]) arithmetic on exact
+    int64 degrees so SQL mirrors the op order.
+
+    Scale shape: degrees fold from the edge stream (one groupby); ranks
+    come from the distributed sort-ordinal machine; only the ≤ 2·|qs|
+    boundary-rank rows are fetched — the driver never sees the degree
+    table, just the ranks it asked for."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.rounding import round_half_away
+    from ..stages.sort import sort_with_ordinal
+
+    edges = copurchase_edges(sf_dir, num_buckets=num_buckets)
+
+    def _deg_partial(t: pa.Table) -> pa.Table:
+        both = np.concatenate([t["src"].to_numpy(), t["dst"].to_numpy()])
+        u, c = np.unique(both, return_counts=True)
+        return pa.table({"vid": u, "d": c.astype(np.int64)})
+
+    deg = (
+        edges.map_batches(_deg_partial, batch_format="pyarrow")
+        .groupby("vid")
+        .aggregate(Sum("d", alias_name="d"))
+    )
+    ranked = sort_with_ordinal(deg, ["d", "vid"], ordinal_col="i0").materialize()
+    n = ranked.count()
+    want = {}
+    for q in qs:
+        pos = np.float64(n - 1) * np.float64(q)
+        lo = int(np.floor(pos))
+        want.setdefault(lo, None)
+        want.setdefault(min(lo + 1, n - 1), None)
+
+    wset = np.array(sorted(want), np.int64)
+
+    def _pick(t: pa.Table) -> pa.Table:
+        i = t["i0"].to_numpy().astype(np.int64)
+        m = np.isin(i, wset)
+        return pa.table({"i0": i[m], "d": t["d"].to_numpy()[m]})
+
+    picked = ranked.map_batches(_pick, batch_format="pyarrow").to_pandas()
+    vals = dict(zip(picked["i0"].astype(int), picked["d"].astype(int)))
+    out_q, out_v = [], []
+    for q in qs:
+        pos = np.float64(n - 1) * np.float64(q)
+        lo = int(np.floor(pos))
+        hi = min(lo + 1, n - 1)
+        frac = pos - np.float64(lo)
+        v = np.float64(vals[lo]) + frac * np.float64(vals[hi] - vals[lo])
+        out_q.append(q)
+        out_v.append(v)
+    return pa.table(
+        {
+            "quantile": np.asarray(out_q, np.float64),
+            "n_vertices": np.full(len(qs), n, np.int64),
+            "value": round_half_away(np.asarray(out_v, np.float64), round_to),
+        }
+    )

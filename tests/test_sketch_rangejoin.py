@@ -1327,3 +1327,47 @@ def test_cohort_ltv_curve(ray_session, tmp_path):
     w1 = got[got["cohort_week"] == got["cohort_week"].max()]
     assert w1["cum_cents"].tolist() == [200]
     assert w1["ltv_per_user"].tolist() == [200.0]
+
+
+def test_returns_rate_by_brand(ray_session, tmp_path):
+    """Brand A: 2 lines, 1 'R' -> 0.5; brand B: 1 line, 0 -> 0.0."""
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table({"p_partkey": pa.array([1, 2], pa.int64()),
+                  "p_brand": pa.array(["A", "B"], pa.string())}),
+        tmp_path / "part.parquet",
+    )
+    pq.write_table(
+        pa.table({"l_partkey": pa.array([1, 1, 2], pa.int64()),
+                  "l_returnflag": pa.array(["R", "N", "N"], pa.string())}),
+        tmp_path / "lineitem.parquet",
+    )
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import (
+        returns_rate_by_brand,
+    )
+
+    got = returns_rate_by_brand(str(tmp_path)).to_pandas().set_index("p_brand")
+    assert got.loc["A", "n_lines"] == 2 and got.loc["A", "return_rate"] == 0.5
+    assert got.loc["B", "return_rate"] == 0.0
+
+
+def test_degree_quantiles_interpolation(ray_session, tmp_path):
+    """Co-purchase degrees from a 4-clique basket: all degrees 3 ->
+    every quantile is exactly 3.0."""
+    import pyarrow.parquet as pq
+
+    ok = [10] * 4
+    pk = [1, 2, 3, 4]
+    pq.write_table(
+        pa.table({"l_orderkey": pa.array(ok * 2, pa.int64()),
+                  "l_partkey": pa.array(pk + pk, pa.int64())}),
+        tmp_path / "lineitem.parquet",
+    )
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import (
+        degree_quantiles,
+    )
+
+    got = degree_quantiles(str(tmp_path)).to_pandas()
+    assert (got["n_vertices"] == 4).all()
+    assert (got["value"] == 3.0).all()
