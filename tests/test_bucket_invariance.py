@@ -127,3 +127,23 @@ def test_bucket_count_invariant_late_events(ray_session):
     a = _canon(late_events(SF, num_buckets=16))
     b = _canon(late_events(SF, num_buckets=64))
     pd.testing.assert_frame_equal(a, b)
+
+
+@pytest.mark.parametrize(
+    "fn",
+    [
+        "bounce_rate_daily",
+        "user_hour_entropy",
+        "customer_order_gaps",
+        "cohort_ltv",
+        "survival_km",
+        "markov_stationary",
+    ],
+)
+def test_bucket_count_invariant_late_round2_ops(ray_session, fn):
+    import subgraph_isomorphism_pregel_ray.pipelines.relational as R
+
+    f = getattr(R, fn)
+    a = _canon(f(SF, num_buckets=4))
+    b = _canon(f(SF, num_buckets=57))
+    pd.testing.assert_frame_equal(a, b)
