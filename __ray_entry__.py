@@ -1297,6 +1297,13 @@ def _q_hapax_stats(sf_dir: str):
     return hapax_stats(docs)
 
 
+def _q_events_acf(sf_dir: str):
+    """Daily-count autocorrelation panel, lags 1..7 (HUGEINT moments)."""
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import events_acf
+
+    return events_acf(sf_dir)
+
+
 def _q_returns_rate_by_brand(sf_dir: str):
     """Per-brand return-flag rate via the broadcast-dimension machine."""
     from subgraph_isomorphism_pregel_ray.pipelines.relational import (
@@ -2464,6 +2471,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cohort_ltv": _q_cohort_ltv,
         "returns_rate_by_brand": _q_returns_rate_by_brand,
         "degree_quantiles": _q_degree_quantiles,
+        "events_acf": _q_events_acf,
         "dow_revenue_anomaly": _q_dow_revenue_anomaly,
         "late_events": _q_late_events,
         "weighted_sample_orders": _q_weighted_sample_orders,
@@ -2591,6 +2599,30 @@ _ESYM = (
     "WHERE a.l_partkey <> b.l_partkey GROUP BY 1, 2)"
 )
 _ESYM_MAT = _ESYM.replace("e AS (", "e AS MATERIALIZED (", 1)
+
+
+def _acf_sql(max_lag: int = 7) -> str:
+    """Per-lag Pearson r over (count(d), count(d+lag)) day pairs —
+    HUGEINT moments, engine op order, one UNION ALL row per lag."""
+    head = (
+        "WITH d AS (SELECT epoch_us(ts) // 86400000000 dy, "
+        "CAST(count(*) AS BIGINT) c FROM events GROUP BY 1) "
+    )
+    rows = []
+    for lag in range(1, max_lag + 1):
+        rows.append(
+            f"SELECT CAST({lag} AS BIGINT) AS \"lag\", "
+            "CAST(count(*) AS BIGINT) AS n_pairs, "
+            "round(CAST(count(*) * sum(CAST(x AS HUGEINT) * y) - "
+            "sum(x) * sum(y) AS DOUBLE) / "
+            "(sqrt(CAST(count(*) * sum(CAST(x AS HUGEINT) * x) - "
+            "sum(x) * sum(x) AS DOUBLE)) * "
+            "sqrt(CAST(count(*) * sum(CAST(y AS HUGEINT) * y) - "
+            "sum(y) * sum(y) AS DOUBLE))), 6) AS acf "
+            f"FROM (SELECT a.c x, b.c y FROM d a JOIN d b "
+            f"ON b.dy = a.dy + {lag})"
+        )
+    return head + " UNION ALL ".join(rows)
 
 
 def _degree_quantiles_sql(qs=(0.5, 0.9, 0.99)) -> str:
@@ -4725,6 +4757,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM lineitem JOIN part ON p_partkey = l_partkey GROUP BY 1"
         ),
         "degree_quantiles": _degree_quantiles_sql(),
+        "events_acf": _acf_sql(),
         "cohort_ltv": (
             "WITH e AS (SELECT user_id, "
             "(epoch_us(ts) // 86400000000) // 7 wk, event_type, "

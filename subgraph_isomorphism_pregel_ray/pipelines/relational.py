@@ -8105,3 +8105,66 @@ def degree_quantiles(sf_dir: str, qs=(0.5, 0.9, 0.99),
             "value": round_half_away(np.asarray(out_v, np.float64), round_to),
         }
     )
+
+
+def events_acf(sf_dir: str, max_lag: int = 7, round_to: int = 6):
+    """Autocorrelation panel of the DAILY event-count series → one row
+    per lag 1..``max_lag`` (lag, n_pairs, acf): Pearson r between
+    count(d) and count(d+lag) over calendar days that both exist — the
+    weekly-seasonality fingerprint (a spike at lag 7 = weekday rhythm)
+    extending :func:`revenue_autocorr`'s single lag to the panel every
+    forecasting model is sanity-checked against.
+
+    Scale shape: per-batch per-day count partials → ONE day groupby; the
+    day series is calendar-sized, so the per-lag moment folds run
+    driver-side in arbitrary-precision Python ints (HUGEINT SQL mirror);
+    two sqrts + one division per lag."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.rounding import round_half_away
+
+    ds = read_table(sf_dir, "events", columns=["ts"])
+
+    def _daily(t: pa.Table) -> pa.Table:
+        day = t["ts"].to_numpy().astype("datetime64[D]").astype(np.int64)
+        u, c = np.unique(day, return_counts=True)
+        return pa.table({"day": u, "c": c.astype(np.int64)})
+
+    daily = (
+        ds.map_batches(_daily, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()
+        .sort_values("day")
+    )
+    day = daily["day"].to_numpy(np.int64)
+    c = daily["c"].to_numpy(np.int64)
+    nxt = dict(zip(day.tolist(), c.tolist()))
+    lags, npairs, acf = [], [], []
+    for lag in range(1, max_lag + 1):
+        xs, ys = [], []
+        for d, v in zip(day.tolist(), c.tolist()):
+            if d + lag in nxt:
+                xs.append(v)
+                ys.append(nxt[d + lag])
+        n = len(xs)
+        if n < 2:
+            continue
+        sx, sy = sum(xs), sum(ys)
+        sxx = sum(v * v for v in xs)
+        syy = sum(v * v for v in ys)
+        sxy = sum(a * b for a, b in zip(xs, ys))
+        num = np.float64(n * sxy - sx * sy)
+        den = np.sqrt(np.float64(n * sxx - sx * sx)) * np.sqrt(
+            np.float64(n * syy - sy * sy)
+        )
+        lags.append(lag)
+        npairs.append(n)
+        acf.append(num / den)
+    return pa.table(
+        {
+            "lag": np.asarray(lags, np.int64),
+            "n_pairs": np.asarray(npairs, np.int64),
+            "acf": round_half_away(np.asarray(acf, np.float64), round_to),
+        }
+    )

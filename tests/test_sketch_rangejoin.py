@@ -1371,3 +1371,25 @@ def test_degree_quantiles_interpolation(ray_session, tmp_path):
     got = degree_quantiles(str(tmp_path)).to_pandas()
     assert (got["n_vertices"] == 4).all()
     assert (got["value"] == 3.0).all()
+
+
+def test_events_acf_period2(ray_session, tmp_path):
+    """Alternating daily counts 1,3,1,3,...: acf(1) strongly negative,
+    acf(2) exactly +1 (perfect period-2 correlation)."""
+    import pyarrow.parquet as pq
+
+    base = np.datetime64("2025-01-01T00:00:00", "us")
+    ts = []
+    for d in range(10):
+        reps = 1 if d % 2 == 0 else 3
+        for r in range(reps):
+            ts.append(base + np.timedelta64(d, "D") + np.timedelta64(r, "m"))
+    pq.write_table(
+        pa.table({"ts": pa.array(np.array(ts, "datetime64[us]"))}),
+        tmp_path / "events.parquet",
+    )
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import events_acf
+
+    got = events_acf(str(tmp_path), max_lag=2).to_pandas().set_index("lag")
+    assert got.loc[1, "acf"] == -1.0
+    assert got.loc[2, "acf"] == 1.0
