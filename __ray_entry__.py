@@ -166,18 +166,24 @@ def _q_eccentricity(sf_dir: str):
 
 
 def _q_coloring(sf_dir: str):
-    """Jones–Plassmann greedy coloring (rows-only: the fixpoint depth is
-    the longest priority-decreasing path — ~108 rounds even at sf0.001 —
-    far too deep for an unrolled SQL oracle; the pytest oracle proves
-    exact parity with a sequential JP simulation under the same md5
-    priorities, properness, and partition-count invariance,
-    tests/test_programs_local.py::test_coloring_valid_and_matches_sequential_jp)."""
+    """Jones–Plassmann greedy coloring → (vid, color). Oracled by
+    _coloring_sql(): a DuckDB recursive CTE that replays the exact JP
+    fixpoint — md5|vid priorities replayed via md5_number_lower (the
+    _mis_sql scheme), each recursion level colors the vertices whose
+    lower-priority neighbors are all colored with the mex over those
+    neighbors' colors, full state carried per level so the
+    data-dependent depth (~108 levels at sf0.001) needs no unroll.
+    Sequential-JP parity + properness + partition invariance also in
+    tests/test_programs_local.py::test_coloring_valid_and_matches_sequential_jp."""
     from subgraph_isomorphism_pregel_ray.pipelines.algorithms import greedy_coloring
 
     res, _ = greedy_coloring(_sym_copurchase(sf_dir), num_parts=4)
-    import ray.data as rd
-
-    return rd.from_arrow(res)
+    return pa.table(
+        {
+            "vid": res["vid"].to_numpy().view(np.int64),
+            "color": res["color"].to_numpy().astype(np.int64, copy=False),
+        }
+    )
 
 
 def _q_rich_club(sf_dir: str):
@@ -248,11 +254,15 @@ def _q_ppr(sf_dir: str):
 
 def _q_semi_clustering(sf_dir: str):
     """Pregel-paper semi-clustering (§5.3) over the STRONG co-purchase
-    graph → per-vertex best semi-cluster + score. No SQL oracle: cluster
-    lists are an iterative set-valued fixpoint (c_max-truncated ranked
-    merges per superstep) with no relational unroll — determinism is
-    instead proven by the scalar-replay + partition-invariance pytests
-    (test_round2.py::test_semi_clustering_*)."""
+    graph → per-vertex best semi-cluster + score. Oracled by
+    _semi_clustering_sql(): because (I, B) are pure functions of the
+    member set (I = |E(mem)|, B = Σdeg(mem) − 2I — the program's
+    incremental updates preserve exactly this invariant), the 4
+    supersteps unroll into 4 list-valued CTE rounds in DuckDB
+    (candidates = own ∪ received ∪ received+self, rescored from
+    scratch, row_number-top-c_max by (score DESC, mem ASC)).
+    Scalar-replay + partition-invariance pytests:
+    test_round2.py::test_semi_clustering_*."""
     from subgraph_isomorphism_pregel_ray.pipelines.algorithms import semi_clustering
     from subgraph_isomorphism_pregel_ray.pipelines.build_graph import symmetrize
     from subgraph_isomorphism_pregel_ray.pipelines.relational import (
@@ -3446,6 +3456,134 @@ def _mis_sql(rounds: int = 8) -> str:
     )
 
 
+def _coloring_sql() -> str:
+    """Recursive-CTE replay of Jones–Plassmann coloring
+    (programs.GreedyColoringProgram): priority = high 32 bits of
+    md5_number_lower(vid) | vid (bit-equal to md5_lower64), smaller
+    priority colors first, color(v) = mex over the colors of v's
+    lower-priority neighbors. Each recursion level carries the FULL
+    colored state forward (it, vid, color) and additionally colors every
+    vertex whose lower-priority neighbors are all colored — so the
+    data-dependent fixpoint depth (longest priority-increasing path,
+    ~108 at sf0.001) needs no manual unroll; the recursion terminates
+    when no vertex is newly colorable (all colored — JP is
+    deadlock-free). mex via a per-vertex candidate range 0..deg
+    (mex ≤ deg always leaves a free slot)."""
+    return f"""
+WITH RECURSIVE {_ESYM_MAT},
+v AS MATERIALIZED (SELECT DISTINCT src AS vid FROM e),
+pt AS MATERIALIZED (SELECT vid,
+  (md5_number_lower(CAST(vid AS VARCHAR)) // 4294967296) * 4294967296
+  + CAST(vid AS UBIGINT) AS p FROM v),
+lo AS MATERIALIZED (
+  SELECT e.src, e.dst FROM e
+  JOIN pt ps ON ps.vid = e.src JOIN pt pd ON pd.vid = e.dst
+  WHERE pd.p < ps.p),
+deg AS MATERIALIZED (SELECT src AS vid, count(*) AS d FROM e GROUP BY 1),
+nlo AS MATERIALIZED (SELECT v.vid, count(lo.dst) AS nl FROM v
+  LEFT JOIN lo ON lo.src = v.vid GROUP BY 1),
+cand AS MATERIALIZED (SELECT vid, unnest(range(0, d + 1)) AS c FROM deg),
+st(it, vid, color) AS (
+  SELECT 0 AS it, vid, CAST(0 AS BIGINT) AS color FROM nlo WHERE nl = 0
+  UNION ALL
+  (WITH cur AS (SELECT * FROM st),
+   newv AS (
+     SELECT n.vid FROM nlo n
+     WHERE n.vid NOT IN (SELECT vid FROM cur)
+       AND n.nl = (SELECT count(*) FROM lo JOIN cur s ON s.vid = lo.dst
+                   WHERE lo.src = n.vid)),
+   mexed AS (
+     SELECT c.vid, min(c.c) AS color
+     FROM cand c JOIN newv ON newv.vid = c.vid
+     WHERE NOT EXISTS (SELECT 1 FROM lo JOIN cur s
+                       ON s.vid = lo.dst AND s.color = c.c
+                       WHERE lo.src = c.vid)
+     GROUP BY 1)
+   SELECT (SELECT max(it) FROM cur) + 1 AS it, vid, color FROM mexed
+   UNION ALL
+   SELECT (SELECT max(it) FROM cur) + 1 AS it, cur.vid, cur.color FROM cur
+   WHERE EXISTS (SELECT 1 FROM mexed))
+)
+SELECT CAST(vid AS BIGINT) AS vid, color
+FROM st WHERE it = (SELECT max(it) FROM st)
+"""
+
+
+def _semi_clustering_sql(
+    iters: int = 4, c_max: int = 2, m_max: int = 4, f_b: float = 0.1
+) -> str:
+    """Unrolled Pregel §5.3 semi-clustering over the strong graph
+    (programs.SemiClusteringProgram): the program carries (I, B)
+    incrementally, but they are pure functions of the member set
+    (I = |E(mem)|, B = Σdeg(mem) − 2I — proven invariant in the program
+    docstring), so each SQL round recomputes them from scratch:
+    candidates = own clusters ∪ received neighbor clusters ∪ received
+    clusters extended by the receiver (if absent and < m_max), deduped
+    by (v, mem), rescored (I − f_b·B) / (n(n−1)/2) with the engine's
+    operation order, top c_max by (score DESC, member-list ASC).
+    Final row per vertex: best cluster CONTAINING it, singleton
+    fallback, score round()ed to 6 (round_half_away ≡ DuckDB round)."""
+    parts = [
+        f"WITH {_ESTRONG}",
+        "v AS MATERIALIZED (SELECT DISTINCT src AS vid FROM e)",
+        "deg AS MATERIALIZED (SELECT src AS vid, CAST(count(*) AS BIGINT) d "
+        "FROM e GROUP BY 1)",
+        "eu2 AS MATERIALIZED (SELECT src, dst FROM e WHERE src < dst)",
+        "st0 AS MATERIALIZED (SELECT v.vid AS v, [CAST(v.vid AS BIGINT)] AS mem, "
+        "CAST(0.0 AS DOUBLE) AS score FROM v)",
+    ]
+    for r in range(1, iters + 1):
+        p = f"st{r-1}"
+        parts.append(
+            f"cand{r} AS MATERIALIZED ("
+            f"SELECT v, mem FROM {p} "
+            f"UNION "
+            f"SELECT e.dst AS v, s.mem FROM e JOIN {p} s ON s.v = e.src "
+            f"UNION "
+            f"SELECT e.dst AS v, "
+            f"list_sort(list_append(s.mem, CAST(e.dst AS BIGINT))) AS mem "
+            f"FROM e JOIN {p} s ON s.v = e.src "
+            f"WHERE NOT list_contains(s.mem, CAST(e.dst AS BIGINT)) "
+            f"AND len(s.mem) < {m_max})"
+        )
+        parts.append(
+            f"cx{r} AS MATERIALIZED (SELECT v, mem, unnest(mem) AS m FROM cand{r})"
+        )
+        parts.append(
+            f"ci{r} AS MATERIALIZED (SELECT a.v, a.mem, "
+            f"CAST(count(eu2.src) AS BIGINT) AS i "
+            f"FROM cx{r} a LEFT JOIN eu2 ON eu2.src = a.m "
+            f"AND list_contains(a.mem, CAST(eu2.dst AS BIGINT)) GROUP BY 1, 2)"
+        )
+        parts.append(
+            f"cb{r} AS MATERIALIZED (SELECT a.v, a.mem, "
+            f"CAST(sum(deg.d) AS BIGINT) AS ds "
+            f"FROM cx{r} a JOIN deg ON deg.vid = a.m GROUP BY 1, 2)"
+        )
+        parts.append(
+            f"sc{r} AS MATERIALIZED (SELECT ci.v, ci.mem, "
+            f"CASE WHEN len(ci.mem) < 2 THEN 0.0 ELSE "
+            f"(ci.i - {f_b} * (cb.ds - 2 * ci.i)) / "
+            f"((len(ci.mem) * (len(ci.mem) - 1)) / 2.0) END AS score "
+            f"FROM ci{r} ci JOIN cb{r} cb ON cb.v = ci.v AND cb.mem = ci.mem)"
+        )
+        parts.append(
+            f"st{r} AS MATERIALIZED (SELECT v, mem, score FROM ("
+            f"SELECT *, row_number() OVER "
+            f"(PARTITION BY v ORDER BY score DESC, mem ASC) rn "
+            f"FROM sc{r}) WHERE rn <= {c_max})"
+        )
+    return ", ".join(parts) + (
+        f", own AS (SELECT v, mem, score, row_number() OVER "
+        f"(PARTITION BY v ORDER BY score DESC, mem ASC) rn "
+        f"FROM st{iters} WHERE list_contains(mem, CAST(v AS BIGINT))) "
+        f"SELECT CAST(vv.vid AS BIGINT) AS vid, "
+        f"COALESCE(array_to_string(o.mem, ','), CAST(vv.vid AS VARCHAR)) "
+        f"AS cluster, round(COALESCE(o.score, 0.0), 6) AS score "
+        f"FROM v vv LEFT JOIN own o ON o.v = vv.vid AND o.rn = 1"
+    )
+
+
 def _lpa_sql(iters: int = 5) -> str:
     """Unrolled synchronous label propagation: label_i(v) = mode of
     neighbors' labels_{i-1}, tie → min label (``ORDER BY count DESC, label``),
@@ -3935,6 +4073,8 @@ def oracle_sql() -> dict[str, str]:
         "katz_copurchase": _katz_sql(),
         "link_prediction_copurchase": _link_prediction_sql(),
         "mis_copurchase": _mis_sql(),
+        "coloring_copurchase": _coloring_sql(),
+        "semi_clustering_strong": _semi_clustering_sql(),
         "triangle_count_copurchase": (
             f"WITH {_EU} SELECT count(*) AS n_triangles FROM eu e1 "
             "JOIN eu e2 ON e2.src = e1.dst "
@@ -6432,7 +6572,6 @@ def oracle_sql() -> dict[str, str]:
         #    differs between numpy and SQL; numpy-parity pytest instead.
         #  * media_features — decode stub→real-numpy codecs; binary payload
         #    features are not SQL-expressible, rows-only by design.
-        #  * bpe_merges / coloring_copurchase / embedding_pca_top — iterative
-        #    (pair-merge fixpoint / MIS-round coloring / eigensolve), out of
-        #    SQL-unroll scope; each has a library-reference parity pytest.
+        #  * embedding_pca_top — iterative eigensolve, out of SQL-unroll
+        #    scope; numpy-SVD parity pytest instead.
     }
