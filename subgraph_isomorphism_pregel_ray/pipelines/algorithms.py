@@ -212,6 +212,27 @@ def connected_components(edges_or_engine, num_parts: int = 8, max_steps: int = 2
     return out, lineage
 
 
+def connected_components_ds(edges_or_engine, num_parts: int = 8,
+                            max_steps: int = 200):
+    """Hash-min components as a streaming Dataset(vid, component): result
+    blocks flow actor → object store → downstream consumers via
+    ``from_arrow_refs`` (the bsp ``result_dataset`` path) — the component
+    table never lands on the driver, so a 100 TB-scale dup graph's
+    |dup-docs|-row result is bounded by object-store RAM, not driver heap."""
+    import ray
+    import ray.data as rd
+
+    eng, lineage, own = _run(
+        edges_or_engine, "cc", {}, num_parts, max_steps, directed=False,
+    )
+    refs = [a.result_table.remote() for a in eng.actors]
+    ray.wait(refs, num_returns=len(refs))  # blocks exist before any kill
+    ds = rd.from_arrow_refs(refs)
+    if own:
+        eng.shutdown()
+    return ds, lineage
+
+
 def maximal_matching(edges_or_engine, num_parts: int = 8, max_steps: int = 200):
     """Distributed maximal matching (handshake mutual-min; see
     ``MaximalMatchingProgram``) → (table(vid, partner), lineage); partner

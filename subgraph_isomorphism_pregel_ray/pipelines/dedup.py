@@ -828,12 +828,12 @@ def embedding_dup_pairs(
             .map_groups(_score_bucket, batch_format="pyarrow")
         )
 
-    mat_tbl = emb_ds.to_pandas()  # id + embedding of the *smaller* side
-    ids = mat_tbl["vec_id"].to_numpy()
-    M = np.stack(mat_tbl["embedding"].to_numpy()).astype(np.float64)
-    Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+    # exact path: broadcast matrix assembled IN A TASK from the dataset's
+    # own block refs (similarity._assemble_matrix) — the driver never holds
+    # a vector; the ceiling is object-store RAM, not driver heap.
+    from .similarity import _assemble_matrix
 
-    ref = ray.put((ids, Mn))
+    ref = _assemble_matrix.remote(*emb_ds.to_arrow_refs())
 
     def _block(batch: pa.Table) -> pa.Table:
         all_ids, allM = ray.get(ref)
@@ -876,7 +876,7 @@ def dedup_groups(docs_ds, threshold: float = 0.5, num_parts: int = 4, **lsh_kw):
     import ray.data as rd
     from ray.data.aggregate import Min
 
-    from .algorithms import connected_components
+    from .algorithms import connected_components_ds
 
     pairs = minhash_lsh_pairs(docs_ds, threshold=threshold, **lsh_kw)
 
@@ -907,14 +907,17 @@ def dedup_groups(docs_ds, threshold: float = 0.5, num_parts: int = 4, **lsh_kw):
             batch_format="pyarrow",
         )
 
-    comp, _ = connected_components(edges, num_parts=num_parts)
-    comp_ds = rd.from_arrow(
-        pa.table(
+    # CC result streamed as a Dataset via from_arrow_refs (actor blocks →
+    # object store → here) — the component table never lands on the driver
+    comp_raw, _ = connected_components_ds(edges, num_parts=num_parts)
+    comp_ds = comp_raw.map_batches(
+        lambda t: pa.table(
             {
-                "doc_id": comp["vid"].to_numpy().view(np.int64),
-                "comp": comp["component"].to_numpy().view(np.int64),
+                "doc_id": t["vid"].to_numpy().view(np.int64),
+                "comp": t["component"].to_numpy().view(np.int64),
             }
-        )
+        ),
+        batch_format="pyarrow",
     )
 
     own = doc_only.map_batches(
