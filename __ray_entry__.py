@@ -5528,9 +5528,12 @@ def oracle_sql() -> dict[str, str]:
             "FROM lineitem GROUP BY 1), "
             "p AS (SELECT a.c x, b.c y FROM d a JOIN d b ON b.dd = a.dd + 1) "
             "SELECT CAST(count(*) AS BIGINT) AS n_pairs, "
-            "round(CAST(count(*) * sum(x * y) - sum(x) * sum(y) AS DOUBLE) / "
-            "(sqrt(CAST(count(*) * sum(x * x) - sum(x) * sum(x) AS DOUBLE)) * "
-            "sqrt(CAST(count(*) * sum(y * y) - sum(y) * sum(y) AS DOUBLE))), 6) "
+            "round(CAST(count(*) * sum(CAST(x AS HUGEINT) * y) "
+            "- sum(x) * sum(y) AS DOUBLE) / "
+            "(sqrt(CAST(count(*) * sum(CAST(x AS HUGEINT) * x) "
+            "- sum(x) * sum(x) AS DOUBLE)) * "
+            "sqrt(CAST(count(*) * sum(CAST(y AS HUGEINT) * y) "
+            "- sum(y) * sum(y) AS DOUBLE))), 6) "
             "AS autocorr FROM p"
         ),
         "avg_neighbor_degree": (

@@ -30,6 +30,8 @@ import subprocess
 import sys
 import time
 
+import numpy as np
+
 # Host page-fault mitigation (must be set before ray.init spawns workers;
 # phase subprocesses inherit it). glibc munmaps large buffers back to the
 # kernel on free; under the sandbox VM's free-page reporting the host unbacks
@@ -67,8 +69,29 @@ def _cached_pages(n: int, seed: int = 42, rows_per_file: int = 625) -> str:
     return path
 
 
+def _window_probe() -> float:
+    """30-ish-ms page-fault-path probe: alloc/touch/free a 200 MB block
+    5×. The round-2 host noise was glibc-munmap / hypervisor free-page
+    reclaim — exactly this path — so a slow probe (≳3× the healthy ~0.25 s)
+    self-documents a throttled window in the recorded JSON (VERDICT r02
+    item 5); the numbers alongside it should be read as upper bounds.
+    First rep is discarded (cold page-cache warmup measures ~8× high);
+    healthy steady-state ≈ 0.21 s on this VM."""
+    reps = []
+    for r in range(3):
+        t0 = time.perf_counter()
+        for _ in range(5):
+            x = np.ones(25_000_000, dtype=np.float64)  # 200 MB, faulted in
+            x[::4096] += 1.0
+            del x
+        reps.append(time.perf_counter() - t0)
+    return round(min(reps[1:]), 3)
+
+
 def run_bench() -> dict:
     import ray
+
+    probe_alloc = _window_probe()
 
     ray.init(
         address="local",
@@ -128,6 +151,17 @@ def run_bench() -> dict:
     eng = BSPEngine(gdir, P)
     q["graph_build"] = time.perf_counter() - t0
     n_edges = eng.num_edges
+
+    # window probe #2: 10 PageRank supersteps on the just-built engine
+    # (healthy ≈ 0.3-0.4 s at sf0.1/32cpu, throttled 0.8-3 s — BASELINE.md
+    # "VM noise"); doubles as the actor warmup for the timed legs below.
+    t0 = time.perf_counter()
+    eng.run(
+        "pagerank",
+        {"iters": 9, "damping": 0.85, "n_global": None, "tol": 0.0},
+        max_steps=10,
+    )
+    probe_pr = round(time.perf_counter() - t0, 3)
 
     # --- supersteps --------------------------------------------------------
     t0 = time.perf_counter()
@@ -294,6 +328,8 @@ def run_bench() -> dict:
         ),
         "unit": "sec",
         "queries": timing,
+        "window_probe_alloc_sec": probe_alloc,
+        "window_probe_pagerank_sec": probe_pr,
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,
         "num_parts": P,

@@ -1828,7 +1828,7 @@ def condensation_levels(sf_dir: str, num_parts: int = 8,
         cs = s[np.searchsorted(v, src)]
         cd = s[np.searchsorted(v, dst)]
         keep = cs != cd
-        if int(cs.max(initial=0)) >= (1 << 31):
+        if max(int(cs.max(initial=0)), int(cd.max(initial=0))) >= (1 << 31):
             raise ValueError("condensation_levels: scc id exceeds 31-bit pack")
         key = np.unique(cs[keep] << np.int64(31) | cd[keep])
         return pa.table(

@@ -123,8 +123,11 @@ def write_jsonl(ds, out_dir: str) -> int:
     """Streaming JSONL sink — the interchange format most training-data
     tooling reads: one ``part-<block>.jsonl`` file per input block under
     ``out_dir`` (never one giant file), rows serialized with sorted keys
-    and NaN-free JSON so output is byte-stable across runs. Returns the
-    number of rows written.
+    and NaN-free JSON. Shard names are content-hashed, so when the block
+    split is stable the directory is byte-identical across runs (a rerun
+    overwrites each shard with the same bytes); distinct blocks with
+    identical content get ``-1``/``-2`` suffixes rather than silently
+    coalescing. Returns the number of rows written.
 
     Scale shape: pure per-block ``map_batches`` — each task serializes and
     writes only its block (the driver sees one count per block), mirroring
@@ -132,20 +135,38 @@ def write_jsonl(ds, out_dir: str) -> int:
     identically."""
     import json
     import os
+    import time
 
     os.makedirs(out_dir, exist_ok=True)
+    # worker-clock skew tolerance: a shard stamped within 60 s before this
+    # run started still counts as "this run" (suffix, don't overwrite)
+    run_start = time.time() - 60.0
 
-    def _write(t: pa.Table, ctx=None) -> pa.Table:
-        import uuid
+    def _write(t: pa.Table) -> pa.Table:
+        import hashlib
+        import os
 
         rows = t.to_pylist()
-        name = f"part-{uuid.uuid4().hex}.jsonl"
+        payload = "".join(
+            json.dumps(r, sort_keys=True, allow_nan=False, default=str) + "\n"
+            for r in rows
+        ).encode("utf-8")
+        stem = f"part-{hashlib.md5(payload).hexdigest()[:16]}"
+        name = f"{stem}.jsonl"
+        k = 0
+        while os.path.exists(os.path.join(out_dir, name)):
+            # an existing shard predating this run is a previous run's
+            # copy of the same bytes → idempotent overwrite; one written
+            # DURING this run is a distinct block with identical content
+            # (or an astronomically unlikely hash collision) and must not
+            # coalesce → suffix it
+            if os.path.getmtime(os.path.join(out_dir, name)) < run_start:
+                break
+            k += 1
+            name = f"{stem}-{k}.jsonl"
         tmp = os.path.join(out_dir, "." + name)
-        with open(tmp, "w", encoding="utf-8") as f:
-            for r in rows:
-                f.write(json.dumps(r, sort_keys=True, allow_nan=False,
-                                   default=str))
-                f.write("\n")
+        with open(tmp, "wb") as f:
+            f.write(payload)
         os.replace(tmp, os.path.join(out_dir, name))  # atomic publish
         return pa.table({"n": np.array([len(rows)], np.int64)})
 
