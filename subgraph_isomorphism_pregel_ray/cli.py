@@ -116,7 +116,10 @@ def main(argv=None):
 
     p = sub.add_parser("match")
     common(p)
-    p.add_argument("-q", "--query", required=True, help="query graph (.txt, reference format)")
+    p.add_argument("-q", "--query", help="query graph (.txt, reference format)")
+    p.add_argument("--queries", help="file listing one query-graph path per "
+                   "line: run them all over ONE loaded graph + actor fleet "
+                   "(the reference's dev/ batch driver, dev/basic/Worker.h:349-376)")
     p.add_argument("-order", "--order", default="degree",
                    choices=["degree", "anti-degree", "random", "candidate"],
                    help="root/DFS ordering strategy (reference -order)")
@@ -228,6 +231,35 @@ def main(argv=None):
     if args.cmd == "match":
         from .pipelines.match import build_plan, match_count
         from .sources.graph_text import parse_query_text
+
+        if bool(args.query) == bool(args.queries):
+            raise SystemExit("match needs exactly one of -q / --queries")
+        if args.queries:
+            # batch mode: ONE graph load + ONE partition-actor fleet shared
+            # across every query (the reference's dev/ multi-query driver)
+            from .pipelines.algorithms import build_engine
+
+            with open(args.queries) as f:
+                qpaths = [ln.strip() for ln in f if ln.strip()
+                          and not ln.lstrip().startswith("#")]
+            eng = build_engine(
+                edges_ds, args.parts, labels_ds=labels_ds, directed=False
+            )
+            results = []
+            for qp in qpaths:
+                with open(qp) as f:
+                    qlabels, qedges = parse_query_text(f.read())
+                count, lineage = match_count(
+                    eng, qlabels, qedges, order=args.order, seed=args.seed,
+                )
+                results.append(
+                    {"query": qp, "mapping_count": int(count),
+                     "supersteps": lineage["steps"]}
+                )
+                print(f"Mapping count: {count}")
+            eng.shutdown()
+            print(json.dumps({"queries": results}))
+            return 0
 
         with open(args.query) as f:
             qlabels, qedges = parse_query_text(f.read())

@@ -88,6 +88,41 @@ def test_cli_match_golden():
     assert "Mapping count: 4" in r.stdout  # README.md:83 golden line
 
 
+def test_cli_match_batch_queries(tmp_path):
+    """`match --queries <file>` runs N query graphs over ONE loaded graph
+    + ONE actor fleet (the reference's dev/ batch driver,
+    dev/basic/Worker.h:349-376) and each count equals the golden/individual
+    single-query runs."""
+    q_edge = tmp_path / "q_edge.txt"
+    q_edge.write_text("1 a\t2 c\n2 c\t1 a\n")
+    q_path = tmp_path / "q_path.txt"
+    q_path.write_text("1 a\t2 c\n2 c\t1 a 3 b\n3 b\t2 c\n")
+    listing = tmp_path / "queries.txt"
+    listing.write_text(f"{REF_QUERY}\n{q_edge}\n{q_path}\n")
+    r = subprocess.run(
+        [sys.executable, "-m", "subgraph_isomorphism_pregel_ray", "match",
+         "-d", REF_TOY, "--queries", str(listing), "--parts", "2",
+         "--cpus", "4"],
+        capture_output=True, text=True, timeout=240,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    batch = json.loads(r.stdout.strip().splitlines()[-1])
+    got = {e["query"]: e["mapping_count"] for e in batch["queries"]}
+    # golden 4 for the reference query; 3 a–c edges and 7 a–c–b paths in
+    # toy.txt (validated against individual `match -q` runs)
+    assert got == {REF_QUERY: 4, str(q_edge): 3, str(q_path): 7}
+
+
+def test_cli_match_requires_exactly_one_query_source():
+    r = subprocess.run(
+        [sys.executable, "-m", "subgraph_isomorphism_pregel_ray", "match",
+         "-d", REF_TOY, "--parts", "2", "--cpus", "4"],
+        capture_output=True, text=True, timeout=60,
+    )
+    assert r.returncode != 0
+    assert "exactly one of" in r.stderr
+
+
 def test_cli_pagerank_writes_parquet(tmp_path):
     r = subprocess.run(
         [sys.executable, "-m", "subgraph_isomorphism_pregel_ray", "pagerank",
