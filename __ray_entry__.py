@@ -533,6 +533,58 @@ def _q_match_deep_tree(sf_dir: str):
     return pa.table({"n_embeddings": pa.array([count], type=pa.int64())})
 
 
+# 7-vertex BUSHY query (VERDICT r02 item 2: |V(Q)| ≥ 7, max_branch_number
+# ≥ 2, per-branch multiplicity ≥ 10³ — the shape the reference compresses
+# with SIBranch AND-OR factors, src/SItypes/SIBranch.h:81-131): root with
+# THREE depth-2 legs over the FULL co-purchase graph (avg degree ~116 at
+# sf0.01 → per-branch multiplicity ≈ (116/3)² ≈ 1.5×10³). The flat plan
+# stays feasible because (a) the root label is RARE (vid % 97 == 0 → ~20
+# roots at sf0.01) so the materialized frontier is root-bounded, and (b)
+# the three leaves fold combinatorially (A5 pseudo-child counting — the
+# factors, not the product, cross the exchange) with max_out_rows bounding
+# every outbox. Leaf labels are pairwise distinct and each equals exactly
+# one internal's label, so injectivity reduces to one adjacency indicator
+# per leg — which the SQL oracle replays in closed form.
+BUSHY_QL = [3, 0, 1, 1, 2, 2, 0]  # root 3; internals v1/v3/v5 = 0/1/2; leaves v2/v4/v6 = 1/2/0
+BUSHY_QE = [(0, 1), (1, 2), (0, 3), (3, 4), (0, 5), (5, 6)]
+BUSHY_MAX_OUT_ROWS = 200_000
+
+
+def _bushy_labels(sf_dir: str):
+    """Dataset(vid, label): 3 (rare root class) on p_partkey % 97 == 0,
+    else p_size % 3 — replayed verbatim by the oracle's CASE."""
+    from subgraph_isomorphism_pregel_ray.sources.tables import read_table
+
+    parts = read_table(sf_dir, "part", columns=["p_partkey", "p_size"])
+
+    def _lab(t: pa.Table) -> pa.Table:
+        vid = t["p_partkey"].to_numpy().astype(np.uint64)
+        lab = t["p_size"].to_numpy().astype(np.int64) % 3
+        lab[vid % 97 == 0] = 3
+        return pa.table({"vid": vid, "label": lab})
+
+    return parts.map_batches(_lab, batch_format="pyarrow")
+
+
+def _q_match_bushy(sf_dir: str):
+    from subgraph_isomorphism_pregel_ray.pipelines.build_graph import symmetrize
+    from subgraph_isomorphism_pregel_ray.pipelines.match import match_count
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import (
+        copurchase_edges,
+    )
+
+    count, _ = match_count(
+        symmetrize(copurchase_edges(sf_dir)),
+        BUSHY_QL,
+        BUSHY_QE,
+        labels_ds=_bushy_labels(sf_dir),
+        num_parts=4,
+        max_out_rows=BUSHY_MAX_OUT_ROWS,
+        max_steps=200,
+    )
+    return pa.table({"n_embeddings": pa.array([count], type=pa.int64())})
+
+
 def _q_match_embeddings_tri(sf_dir: str):
     """Embedding ENUMERATION (not just the count): labeled triangles of the
     strong co-purchase graph as (v0, v1, v2) rows — the reference's disabled
@@ -2212,9 +2264,11 @@ def _q_source_mixture_weights(sf_dir: str):
 def _q_bpe_encode(sf_dir: str):
     """Train 32 BPE merges then ENCODE the whole corpus with the broadcast
     merge table → (doc_id, n_tokens_bpe): the tokenize-and-count pass every
-    pretraining budget estimate runs. Rows-only like ``bpe_merges`` (the
-    iterative merge application is not SQL-expressible); the encoder is
-    pinned by tests/test_bpe.py parity and the compression pytest there."""
+    pretraining budget estimate runs. Oracled by _bpe_encode_sql (the
+    32-round DuckDB merge replay's final word state, exploded per doc —
+    valid because min-rank-first encoding ≡ the training trace for
+    in-vocabulary words); also pinned by tests/test_bpe.py parity and the
+    compression pytest there."""
     from subgraph_isomorphism_pregel_ray.pipelines.bpe import (
         bpe_encode_counts,
         bpe_train,
@@ -2225,11 +2279,12 @@ def _q_bpe_encode(sf_dir: str):
 
 
 def _q_bpe_merges(sf_dir: str):
-    """BPE tokenizer training over documents (32 merges). NO SQL ORACLE by
-    nature: the merge sequence is an iterative data-dependent fixpoint SQL
-    cannot express (each round's pair statistics depend on the previous
-    round's merges); correctness is pinned by pytest against a hand-traced
-    reference corpus plus determinism/tie-break tests
+    """BPE tokenizer training over documents (32 merges). Oracled by
+    _bpe_merges_sql: the merge fixpoint unrolls into 32 DuckDB rounds over
+    the word histogram (chr(31)-separated sequence strings, pair explode →
+    max-count/lex-min pick → one non-overlapping string replace per round
+    — see _bpe_train_parts for why replace() ≡ _merge_seq). Also pinned by
+    the hand-traced-corpus + determinism/tie-break pytests
     (tests/test_bpe.py)."""
     from subgraph_isomorphism_pregel_ray.pipelines.bpe import bpe_train
 
@@ -2398,6 +2453,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "match_p3_labeled": _q_match_p3,
         "match_4cycle_labeled": _q_match_4cycle,
         "match_deep_tree": _q_match_deep_tree,
+        "match_bushy": _q_match_bushy,
         "match_embeddings_tri": _q_match_embeddings_tri,
         "match_triangle_per_root": _q_match_triangle_per_root,
         "token_count": _q_token_count,
@@ -3584,6 +3640,76 @@ def _semi_clustering_sql(
     )
 
 
+def _bpe_train_parts(merges: int = 32) -> str:
+    """Unrolled BPE merge learning in DuckDB (pipelines/bpe.py
+    train_from_histogram): word sequences ride as chr(31)-separated
+    strings (documents are printable ASCII — verified — so the separator
+    cannot collide); each round explodes adjacent token pairs
+    (list_extract over range — overlapping positions, the pre-merge
+    statistic), picks max-count / lexicographically-smallest, and applies
+    the merge with ONE string replace() — SQL replace is left-to-right
+    non-overlapping, exactly ``_merge_seq``'s semantics (the shared
+    boundary separator is consumed by the first match, so an overlapping
+    second occurrence cannot fire, same as the engine's i += 2)."""
+    sep = "chr(31)"
+    parts = [
+        "WITH hist AS MATERIALIZED ("
+        "SELECT w AS word, CAST(count(*) AS BIGINT) n FROM ("
+        "SELECT unnest(list_filter(string_split(lower(text), ' '), "
+        "x -> x <> '')) AS w FROM documents) GROUP BY 1)",
+        f"st0 AS MATERIALIZED (SELECT word, n, {sep} || "
+        f"regexp_replace(word, '(.)', '\\1' || {sep}, 'g') AS s FROM hist)",
+    ]
+    for r in range(1, merges + 1):
+        parts.append(
+            f"tk{r} AS (SELECT n, list_filter(string_split(s, {sep}), "
+            f"x -> x <> '') AS toks FROM st{r-1})"
+        )
+        parts.append(
+            f"pr{r} AS MATERIALIZED (SELECT list_extract(toks, i) AS lt, "
+            f"list_extract(toks, i + 1) AS rt, CAST(sum(n) AS BIGINT) c "
+            f"FROM tk{r}, UNNEST(range(1, len(toks))) AS u(i) GROUP BY 1, 2)"
+        )
+        parts.append(
+            f"bs{r} AS MATERIALIZED (SELECT lt, rt, c FROM pr{r} "
+            f"ORDER BY c DESC, lt, rt LIMIT 1)"
+        )
+        parts.append(
+            f"st{r} AS MATERIALIZED (SELECT word, n, "
+            f"replace(s, {sep} || b.lt || {sep} || b.rt || {sep}, "
+            f"{sep} || b.lt || b.rt || {sep}) AS s FROM st{r-1}, bs{r} b)"
+        )
+    return ", ".join(parts)
+
+
+def _bpe_merges_sql(merges: int = 32) -> str:
+    return _bpe_train_parts(merges) + " " + " UNION ALL ".join(
+        f'SELECT CAST({r} AS BIGINT) AS "rank", lt AS "left", '
+        f'rt AS "right", c AS n FROM bs{r}'
+        for r in range(1, merges + 1)
+    )
+
+
+def _bpe_encode_sql(merges: int = 32) -> str:
+    """Corpus encode replay: the final train state st{merges} IS the
+    encoded form of every corpus word (min-rank-first encoding ≡ rank-
+    sequential replay for in-vocabulary words: a merge only creates
+    higher-rank adjacencies, so ranks fire in increasing order —
+    bpe.py::bpe_encode_counts), so per-doc token counts are one explode +
+    join + sum; zero-word docs kept at 0 via the LEFT JOIN."""
+    sep = "chr(31)"
+    return _bpe_train_parts(merges) + (
+        f", wl AS (SELECT word, CAST(len(list_filter(string_split(s, {sep}), "
+        f"x -> x <> '')) AS BIGINT) k FROM st{merges}), "
+        "dw AS (SELECT doc_id, unnest(list_filter(string_split(lower(text), "
+        "' '), x -> x <> '')) AS w FROM documents), "
+        "agg AS (SELECT dw.doc_id, CAST(sum(wl.k) AS BIGINT) nt FROM dw "
+        "JOIN wl ON wl.word = dw.w GROUP BY 1) "
+        "SELECT d.doc_id, CAST(coalesce(agg.nt, 0) AS BIGINT) AS n_tokens_bpe "
+        "FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id"
+    )
+
+
 def _lpa_sql(iters: int = 5) -> str:
     """Unrolled synchronous label propagation: label_i(v) = mode of
     neighbors' labels_{i-1}, tie → min label (``ORDER BY count DESC, label``),
@@ -4075,6 +4201,8 @@ def oracle_sql() -> dict[str, str]:
         "mis_copurchase": _mis_sql(),
         "coloring_copurchase": _coloring_sql(),
         "semi_clustering_strong": _semi_clustering_sql(),
+        "bpe_merges": _bpe_merges_sql(),
+        "bpe_encode": _bpe_encode_sql(),
         "triangle_count_copurchase": (
             f"WITH {_EU} SELECT count(*) AS n_triangles FROM eu e1 "
             "JOIN eu e2 ON e2.src = e1.dst "
@@ -4155,6 +4283,41 @@ def oracle_sql() -> dict[str, str]:
             "WHERE e01.src <> e23.dst AND e01.src <> e45.dst "
             "AND e23.dst <> e45.dst AND e01.dst <> e34.dst "
             "AND e12.dst <> e26.dst"
+        ),
+        "match_bushy": (
+            # closed-form leaf fold: for each injective (root, v1, v3, v5)
+            # star (labels 3/0/1/2 distinct → injective automatically),
+            # each leg's leaf count = c(internal, leaf_label) minus ONE
+            # adjacency indicator (the only same-label assigned vertex the
+            # leaf could collide with); the embedding count is the product
+            f"WITH {_ESYM_MAT}, "
+            "lab AS MATERIALIZED (SELECT p_partkey AS vid, "
+            "CASE WHEN p_partkey % 97 = 0 THEN 3 ELSE p_size % 3 END AS l "
+            "FROM part), "
+            "cnt AS MATERIALIZED (SELECT e.src AS vid, lab.l, "
+            "CAST(count(*) AS BIGINT) c FROM e "
+            "JOIN lab ON lab.vid = e.dst GROUP BY 1, 2), "
+            "fr AS (SELECT e1.dst v1, e3.dst v3, e5.dst v5 "
+            "FROM lab r "
+            "JOIN e e1 ON e1.src = r.vid "
+            "JOIN lab l1 ON l1.vid = e1.dst AND l1.l = 0 "
+            "JOIN e e3 ON e3.src = r.vid "
+            "JOIN lab l3 ON l3.vid = e3.dst AND l3.l = 1 "
+            "JOIN e e5 ON e5.src = r.vid "
+            "JOIN lab l5 ON l5.vid = e5.dst AND l5.l = 2 "
+            "WHERE r.l = 3) "
+            "SELECT CAST(coalesce(sum("
+            "(cA.c - CASE WHEN a13.src IS NULL THEN 0 ELSE 1 END) * "
+            "(cB.c - CASE WHEN a35.src IS NULL THEN 0 ELSE 1 END) * "
+            "(cC.c - CASE WHEN a51.src IS NULL THEN 0 ELSE 1 END)), 0) "
+            "AS BIGINT) AS n_embeddings "
+            "FROM fr "
+            "JOIN cnt cA ON cA.vid = fr.v1 AND cA.l = 1 "
+            "JOIN cnt cB ON cB.vid = fr.v3 AND cB.l = 2 "
+            "JOIN cnt cC ON cC.vid = fr.v5 AND cC.l = 0 "
+            "LEFT JOIN e a13 ON a13.src = fr.v1 AND a13.dst = fr.v3 "
+            "LEFT JOIN e a35 ON a35.src = fr.v3 AND a35.dst = fr.v5 "
+            "LEFT JOIN e a51 ON a51.src = fr.v5 AND a51.dst = fr.v1"
         ),
         "match_embeddings_tri": (
             "WITH e AS MATERIALIZED (SELECT a.l_partkey AS src, b.l_partkey AS dst "

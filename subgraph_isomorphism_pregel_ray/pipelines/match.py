@@ -125,6 +125,18 @@ def build_plan(
     if len(order) != k:
         raise ValueError("query must be connected")
 
+    # Leaves-last: move query-leaves (degree 1, non-root) to the end of the
+    # plan, preserving relative order — the reference's pseudo-children
+    # separation (addPsdChildren, pregel_app_subgraph.h:153-209). Counts are
+    # order-invariant; frontiers only shrink (expanding a leaf early
+    # multiplies every later level by its fanout), and a trailing leaf run
+    # is what the tail factor fold (below) needs to engage. Parent-before-
+    # child holds: leaf parents are internal/root (first group), and the
+    # internals keep their DFS relative order.
+    if k > 2:
+        internals = [u for u in order if len(adj[u]) > 1 or u == root]
+        order = internals + [u for u in order if u not in internals]
+
     pos = {u: i for i, u in enumerate(order)}
     plan_labels = [int(labels[u]) for u in order]
     parent_pos = [(-1 if parent[u] == -1 else pos[parent[u]]) for u in order]
@@ -160,6 +172,46 @@ def build_plan(
     # candidate's adjacency (edge to the leaf's parent and to every backward
     # target) — then count(row) = F(key) - (#such columns). If any such
     # column's adjacency is not query-forced, dedup is off (fallback path).
+    # Trailing-leaf FACTOR FOLD — the multi-leaf form of the reference's
+    # SIBranch factor-carry (SItypes/SIBranch.h:81-131): the maximal suffix
+    # of plan positions that are query-leaves (degree 1 ⇒ back_pos empty,
+    # parent materialized earlier — a degree-1 vertex is never a DFS parent,
+    # so every tail parent sits before tail_start) is counted as a per-row
+    # PRODUCT of label-degree factors: one narrow [prefix, product] row per
+    # partial mapping crosses the exchange per tail leaf, never the branch
+    # cross product. Exactness constraints:
+    #   * tail leaf vs same-label PREFIX vertex → adjacency-indicator
+    #     subtraction (tail_slp, the proven single-leaf rule);
+    #   * two tail leaves, same label, SAME parent → falling factorial
+    #     (tail_dec: each earlier same-label sibling shrinks the shared
+    #     candidate set by exactly 1);
+    #   * two tail leaves, same label, DIFFERENT parents → candidate sets
+    #     overlap by a common-neighbor count the fold cannot see — shrink
+    #     the tail until no such pair remains (flat expansion handles them).
+    t = k
+    while t - 1 >= 1 and len(adj[order[t - 1]]) == 1:
+        t -= 1
+
+    def _tail_compatible(t0: int) -> bool:
+        seen_parent: dict[int, int] = {}
+        for j in range(t0, k):
+            l = plan_labels[j]
+            if l in seen_parent and seen_parent[l] != parent_pos[j]:
+                return False
+            seen_parent[l] = parent_pos[j]
+        return True
+
+    while t < k and not _tail_compatible(t):
+        t += 1
+    plan["tail_start"] = t
+    plan["tail_slp"] = {
+        j: [c for c in same_label_pos[j] if c < t] for j in range(t, k)
+    }
+    plan["tail_dec"] = {
+        j: sum(1 for j2 in range(t, j) if plan_labels[j2] == plan_labels[j])
+        for j in range(t, k)
+    }
+
     if k >= 2:
         j = k - 1
         key_cols = [parent_pos[j]] + back_pos[j]

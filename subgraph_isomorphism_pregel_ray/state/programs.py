@@ -1655,16 +1655,27 @@ class MatchProgram(VertexProgram):
         self.emb_chunks: list[np.ndarray] = []
         self.max_chunk = int(max_chunk)
         # Output throttling: bound the TOTAL rows this partition emits per
-        # superstep. Work beyond the budget is deferred as self-messages
-        # (outbuf[own part] — the engine delivers a partition's own outbox
-        # back to it next step), so a deep/bushy query's frontier is spread
-        # across supersteps instead of materializing one giant exchange
-        # (round-2 evidence: the 5-cycle match ships ~100M rows ≈ 3 GB in a
-        # single step unthrottled). Deferred rows count in `sent`, so the
-        # engine's active==0 && sent==0 convergence is untouched; max_steps
-        # must budget ≈ total_work / max_out_rows extra supersteps.
+        # superstep. Work beyond the budget is PARKED in an in-actor backlog
+        # (never enters the exchange — unlike round-2's self-message defer,
+        # whose parked rows inflated sent/outbox bytes past the budget), so
+        # a deep/bushy query's frontier is spread across supersteps and
+        # max_outbox_bytes is genuinely bounded by budget + one item's
+        # emission (round-2 evidence: the 5-cycle match ships ~100M rows ≈
+        # 3 GB in a single step unthrottled). A non-empty backlog keeps the
+        # partition ACTIVE so the engine's active==0 && sent==0 convergence
+        # still holds; max_steps must budget ≈ total_work / max_out_rows
+        # extra supersteps. Backlog items checkpoint as self-addressed
+        # outbox entries (state_table), so resume replays them.
         self.max_out_rows = None if max_out_rows is None else int(max_out_rows)
         self._outrows = 0
+        self.backlog: list = []
+        # trailing-leaf factor fold (plan["tail_start"], the SIBranch
+        # factor-carry): active only when ≥ 2 trailing leaves fold (a single
+        # trailing leaf keeps the original _expand_leaf path) and never in
+        # ENUMERATE mode (which needs the actual rows).
+        self.tail_start = (
+            self.k if self.enumerate else int(plan.get("tail_start", self.k))
+        )
         # outbuf[p][key] is a LIST of matrices, concatenated once at scatter
         # (repeated vstack would be quadratic in chunked expansions)
         self.outbuf: list[dict] = [dict() for _ in range(csr.num_parts)]
@@ -1703,9 +1714,9 @@ class MatchProgram(VertexProgram):
         self._outrows += len(M)
 
     def _defer(self, kind: str, j: int, M: np.ndarray):
-        """Over budget: park the work item as a self-message — the engine
-        delivers a partition's own outbox back to it next superstep."""
-        self._emit(self.csr.part, f"{kind}{j}", M)
+        """Over budget: park the work item in the in-actor backlog — it is
+        re-queued at the next apply() without ever crossing the exchange."""
+        self.backlog.append((kind, j, M))
 
     def _hub_member(self, hli: np.ndarray, targets: np.ndarray) -> np.ndarray:
         """Membership (hub row, target) against the mirrored hub adjacency."""
@@ -1873,6 +1884,74 @@ class MatchProgram(VertexProgram):
                 is_hub, (h % np.uint64(self.csr.num_parts)).astype(np.int32), owner
             )
         return owner
+
+    def _fold_tail(self, j: int, M: np.ndarray, queue: list,
+                   li: np.ndarray | None = None, hub: bool = False):
+        """Tail factor fold: M = [prefix (tail_start cols), product].
+
+        Multiplies each row's running product by this tail leaf's candidate
+        count (label-degree of the anchor, minus same-label-prefix adjacency
+        indicators, minus the same-(parent,label) falling-factorial
+        decrement) and routes the narrow row to the next tail leaf's anchor
+        owner — the factors cross the exchange, never the branch product
+        (SIBranch.h:81-131). ``li``/``hub`` are passed by the "e"/"h"
+        entry (rows already owner-split); "p" arrivals split here."""
+        pp = self.plan["parent_pos"][j]
+        if li is None:
+            anchors = M[:, pp]
+            is_hub = self._is_hub(anchors)
+            if is_hub is not None and is_hub.any():
+                if (~is_hub).any():
+                    Mo = M[~is_hub]
+                    self._fold_tail(
+                        j, Mo, queue, li=self.csr.local_index(Mo[:, pp])
+                    )
+                Mh = M[is_hub]
+                self._fold_tail(
+                    j, Mh, queue,
+                    li=np.searchsorted(self.hub_vids, Mh[:, pp]), hub=True,
+                )
+                return
+            li = self.csr.local_index(anchors)
+        indptr, _ = (self.hub_lcsr if hub else self.lcsr)[self.plan["labels"][j]]
+        f = (indptr[li + 1] - indptr[li]).astype(np.int64)
+        for c in self.plan["tail_slp"][j]:
+            member = (
+                self._hub_member(li, M[:, c])
+                if hub
+                else self.csr.has_edges(li, M[:, c])
+            )
+            f -= member.astype(np.int64)
+        f -= self.plan["tail_dec"][j]
+        np.maximum(f, 0, out=f)  # empty candidate set → the row contributes 0
+        prod = M[:, -1].astype(np.int64) * f
+        if j == self.k - 1:
+            self.count += int(prod.sum())
+            if self.per_root:
+                self._credit_roots(M[:, 0], prod, queue)
+            return
+        keep = prod > 0
+        if not keep.any():
+            return
+        out = M[keep].copy() if not keep.all() else M.copy()
+        out[:, -1] = prod[keep].astype(np.uint64)
+        self._route_tail(j + 1, out, queue)
+
+    def _route_tail(self, j: int, M: np.ndarray, queue: list):
+        """Route tail factor rows by the NEXT tail leaf's anchor owner
+        (hub anchors hash-spread, like _route)."""
+        owner = self._owner_of(M, M[:, self.plan["parent_pos"][j]])
+        order = np.argsort(owner, kind="stable")
+        Ms = M[order]; po = owner[order]
+        bounds = np.searchsorted(po, np.arange(self.csr.num_parts + 1))
+        for p in range(self.csr.num_parts):
+            s, e = int(bounds[p]), int(bounds[p + 1])
+            if s == e:
+                continue
+            if p == self.csr.part:
+                queue.append(("p", j, Ms[s:e]))
+            else:
+                self._emit(p, f"p{j}", Ms[s:e])
 
     def _route_mult(self, proj: np.ndarray, queue: list):
         """Route dedup leaf rows [back…, cand, mult] by the candidate's owner."""
@@ -2042,6 +2121,14 @@ class MatchProgram(VertexProgram):
             ):
                 self._defer(kind, j, M)
                 continue
+            # per-item processing cap: the smaller of the materialization
+            # bound and the REMAINING emission budget, so one item's output
+            # cannot overshoot max_out_rows by more than ~one row's fanout
+            lim = (
+                self.max_chunk
+                if self.max_out_rows is None
+                else max(1, min(self.max_chunk, self.max_out_rows - self._outrows))
+            )
             if kind == "e":
                 anchors = M[:, self.plan["parent_pos"][j]]
                 if self.hub_vids is not None and len(self.hub_vids):
@@ -2061,11 +2148,17 @@ class MatchProgram(VertexProgram):
                 li = self.csr.local_index(anchors)
                 indptr = self.lcsr[self.plan["labels"][j]][0]
                 csum = np.cumsum(indptr[li + 1] - indptr[li])
-                if csum[-1] > self.max_chunk and len(M) > 1:
-                    cut = max(1, int(np.searchsorted(csum, self.max_chunk)))
+                if csum[-1] > lim and len(M) > 1:
+                    cut = max(1, int(np.searchsorted(csum, lim)))
                     queue.append(("e", j, M[cut:]))
                     M, li = M[:cut], li[:cut]
-                if j == k - 1:
+                if j == self.tail_start and j < k - 1:
+                    # enter the trailing-leaf factor fold: append product=1
+                    Mp = np.empty((len(M), M.shape[1] + 1), dtype=np.uint64)
+                    Mp[:, :-1] = M
+                    Mp[:, -1] = 1
+                    self._fold_tail(j, Mp, queue, li=li)
+                elif j == k - 1:
                     self._expand_leaf(j, M, li, queue)
                 else:
                     out = self._expand(j, M, li)
@@ -2077,38 +2170,48 @@ class MatchProgram(VertexProgram):
                 )
                 indptr = self.hub_lcsr[self.plan["labels"][j]][0]
                 csum = np.cumsum(indptr[hli + 1] - indptr[hli])
-                if csum[-1] > self.max_chunk and len(M) > 1:
-                    cut = max(1, int(np.searchsorted(csum, self.max_chunk)))
+                if csum[-1] > lim and len(M) > 1:
+                    cut = max(1, int(np.searchsorted(csum, lim)))
                     queue.append(("h", j, M[cut:]))
                     M, hli = M[:cut], hli[:cut]
-                if j == k - 1:
+                if j == self.tail_start and j < k - 1:
+                    Mp = np.empty((len(M), M.shape[1] + 1), dtype=np.uint64)
+                    Mp[:, :-1] = M
+                    Mp[:, -1] = 1
+                    self._fold_tail(j, Mp, queue, li=hli, hub=True)
+                elif j == k - 1:
                     self._expand_leaf(j, M, hli, queue, lcsr=self.hub_lcsr, hub=True)
                 else:
                     out = self._expand(j, M, hli, lcsr=self.hub_lcsr)
                     if out is not None:
                         self._route("v", j, out, queue)
+            elif kind == "p":  # tail factor rows [prefix, product]
+                if len(M) > lim:
+                    queue.append((kind, j, M[lim:]))
+                    M = M[:lim]
+                self._fold_tail(j, M, queue)
             elif kind == "c":
-                if len(M) > self.max_chunk:
-                    queue.append((kind, j, M[self.max_chunk :]))
-                    M = M[: self.max_chunk]
+                if len(M) > lim:
+                    queue.append((kind, j, M[lim:]))
+                    M = M[:lim]
                 self._count_leaf(M, queue)
             elif kind == "m":  # dedup leaf rows with multiplicities
-                if len(M) > self.max_chunk:
-                    queue.append((kind, j, M[self.max_chunk :]))
-                    M = M[: self.max_chunk]
+                if len(M) > lim:
+                    queue.append((kind, j, M[lim:]))
+                    M = M[:lim]
                 self._count_leaf_mult(M)
             elif kind == "f":  # ENUMERATE: full-width leaf rows to verify+keep
-                if len(M) > self.max_chunk:
-                    queue.append((kind, j, M[self.max_chunk :]))
-                    M = M[: self.max_chunk]
+                if len(M) > lim:
+                    queue.append((kind, j, M[lim:]))
+                    M = M[:lim]
                 self._store_leaf_full(M)
             elif kind == "n":  # per-root count credits arriving home
                 li = self.csr.local_index(M[:, 0])
                 np.add.at(self.root_counts, li, M[:, 1].view(np.int64))
             else:
-                if len(M) > self.max_chunk:
-                    queue.append((kind, j, M[self.max_chunk :]))
-                    M = M[: self.max_chunk]
+                if len(M) > lim:
+                    queue.append((kind, j, M[lim:]))
+                    M = M[:lim]
                 out = self._verify(j, M)
                 if out is None or len(out) == 0:
                     continue
@@ -2119,7 +2222,8 @@ class MatchProgram(VertexProgram):
 
     # -- protocol ----------------------------------------------------------
     def apply(self, step, inbox, glob):
-        queue: list = []
+        queue: list = self.backlog  # parked over-budget work goes first
+        self.backlog = []
         if step == 0:
             lab0 = self.plan["labels"][0]
             mask = self.csr.labels == lab0
@@ -2146,7 +2250,9 @@ class MatchProgram(VertexProgram):
                 for key, M in msg.items():
                     queue.append((key[0], int(key[1:]), M))
         self._process(queue)
-        return {"active": 0}
+        # a non-empty backlog must keep the engine running even when this
+        # superstep's emissions were all parked (sent == 0)
+        return {"active": sum(len(M) for _, _, M in self.backlog)}
 
     def scatter(self, step):
         out, sent = [], 0
@@ -2174,6 +2280,11 @@ class MatchProgram(VertexProgram):
                 M = parts[0] if len(parts) == 1 else np.concatenate(parts)
                 flat_keys.append(key); flat_p.append(p)
                 flat_ncol.append(M.shape[1]); flat_data.append(M.ravel())
+        # backlog → self-addressed outbox entries: load_state re-delivers
+        # them next step, which is semantically the same re-queue
+        for kind, j, M in self.backlog:
+            flat_keys.append(f"{kind}{j}"); flat_p.append(self.csr.part)
+            flat_ncol.append(M.shape[1]); flat_data.append(M.ravel())
         if self.per_root:  # checkpoint the per-root accumulators too
             flat_keys.append("__rc__"); flat_p.append(self.csr.part)
             flat_ncol.append(1); flat_data.append(self.root_counts.view(np.uint64))

@@ -422,6 +422,105 @@ def test_match_output_throttling(ray_session):
     assert peak1 < peak0
 
 
+def test_match_bushy_tail_fold_parity(ray_session):
+    """Trailing-leaf factor fold (plan tail_start / MatchProgram._fold_tail —
+    the SIBranch factor-carry): a 7-vertex 3-branch bushy query's count over
+    a random labeled graph equals full brute-force enumeration, and the plan
+    actually engages the fold (3 trailing leaves)."""
+    import ray.data as rd
+
+    from subgraph_isomorphism_pregel_ray.pipelines.match import (
+        build_plan,
+        match_count,
+    )
+
+    ql = [3, 0, 1, 1, 2, 2, 0]
+    qe = [(0, 1), (1, 2), (0, 3), (3, 4), (0, 5), (5, 6)]
+    plan = build_plan(ql, qe)
+    assert plan["tail_start"] == len(ql) - 3  # all three leaves fold
+
+    rng = np.random.default_rng(7)
+    s, d = rng.integers(0, 24, 90), rng.integers(0, 24, 90)
+    keep = s != d
+    pairs = sorted({(min(a, b), max(a, b)) for a, b in zip(s[keep], d[keep])})
+    verts = sorted({v for e in pairs for v in e})
+    labels = {v: (3 if v % 8 == 0 else int(v % 3)) for v in verts}
+    expected = len(_brute_force_embeddings(labels, pairs, ql, qe))
+
+    eds = rd.from_arrow(
+        pa.table(
+            {
+                "src": np.array([a for a, b in pairs] + [b for a, b in pairs], np.int64),
+                "dst": np.array([b for a, b in pairs] + [a for a, b in pairs], np.int64),
+            }
+        )
+    )
+    lds = rd.from_arrow(
+        pa.table(
+            {
+                "vid": np.array(verts, np.uint64),
+                "label": np.array([labels[v] for v in verts], np.int64),
+            }
+        )
+    )
+    count, _ = match_count(eds, ql, qe, labels_ds=lds, num_parts=3)
+    assert count == expected
+
+
+def test_match_bushy_peak_bytes_bounded(ray_session):
+    """The bushy driver query's exchange stays bounded: per-branch
+    multiplicity is ≥ the leaf fanout, yet max sent_bytes per superstep is
+    capped by max_out_rows × row width (the factors cross the exchange,
+    never the branch product), and the count is throttle-invariant."""
+    import ray.data as rd
+
+    from subgraph_isomorphism_pregel_ray.pipelines.match import match_count
+
+    rng = np.random.default_rng(11)
+    n, m = 120, 2400
+    s, d = rng.integers(0, n, m), rng.integers(0, n, m)
+    keep = s != d
+    pairs = sorted({(min(a, b), max(a, b)) for a, b in zip(s[keep], d[keep])})
+    verts = sorted({v for e in pairs for v in e})
+    ql = [3, 0, 1, 1, 2, 2, 0]
+    qe = [(0, 1), (1, 2), (0, 3), (3, 4), (0, 5), (5, 6)]
+    eds = rd.from_arrow(
+        pa.table(
+            {
+                "src": np.array([a for a, b in pairs] + [b for a, b in pairs], np.int64),
+                "dst": np.array([b for a, b in pairs] + [a for a, b in pairs], np.int64),
+            }
+        )
+    )
+
+    def _lds():
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "vid": np.array(verts, np.uint64),
+                    "label": np.array(
+                        [3 if v % 29 == 0 else int(v % 3) for v in verts], np.int64
+                    ),
+                }
+            )
+        )
+
+    base, lin0 = match_count(eds, ql, qe, labels_ds=_lds(), num_parts=3)
+    budget = 64
+    throttled, lin1 = match_count(
+        eds, ql, qe, labels_ds=_lds(), num_parts=3,
+        max_out_rows=budget, max_steps=4000,
+    )
+    assert throttled == base and base > 0
+    peak_rows = max(r["sent"] for r in lin1["lineage"])
+    # lineage "sent" is the GLOBAL sum: per partition the cap is budget +
+    # one item's emission overshoot (≤ one row's fanout ≈ max degree)
+    deg = np.zeros(n, np.int64)
+    for a, b in pairs:
+        deg[a] += 1; deg[b] += 1
+    assert peak_rows <= 3 * (budget + int(deg.max()))
+
+
 def _brute_force_embeddings(data_labels, data_edges, ql, qe):
     """All embeddings as a set of full mapping tuples (test oracle)."""
     k = len(ql)
