@@ -53,6 +53,21 @@ def _load_graph(path: str, labels_path: str | None):
     return edges_ds, labels_ds
 
 
+def _print_report(lineage: dict) -> None:
+    """Per-superstep console table — the working form of the reference's
+    ``-report`` mode (``src/basic/Worker.h:479-488``: per-superstep message
+    and vertex-activity counters printed to the console); columns come from
+    the engine's lineage rows (A3 message counters + A4 timing matrix)."""
+    print("step  active        sent  sent_bytes   wall_s  t_fetch  t_apply  t_scatter")
+    for r in lineage.get("lineage", []):
+        print(
+            f"{r['step']:>4}  {r['active']:>6}  {r['sent']:>10}  "
+            f"{r['sent_bytes']:>10}  {r['wall_sec']:>7.3f}  "
+            f"{r['t_fetch_max']:>7.3f}  {r['t_apply_max']:>7.3f}  "
+            f"{r['t_scatter_max']:>9.3f}"
+        )
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="subgraph_isomorphism_pregel_ray")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -66,6 +81,9 @@ def main(argv=None):
         p.add_argument("--checkpoint-dir", help="per-superstep checkpoint dir")
         p.add_argument("--checkpoint-every", type=int, default=0)
         p.add_argument("--resume", action="store_true")
+        p.add_argument("--report", action="store_true",
+                       help="print the per-superstep lineage table (the "
+                       "reference's -report console mode, basic/Worker.h:479-488)")
 
     for name in ("pagerank", "cc", "sssp", "mis", "lpa", "triangles", "kcore",
                  "ppr", "walk", "hits", "assortativity", "hyperball", "betweenness",
@@ -212,6 +230,8 @@ def main(argv=None):
         from .pipelines.algorithms import scc
 
         out, lineage = scc(edges_ds, num_parts=args.parts, **ck)
+        if args.report:
+            _print_report(lineage)
         import numpy as _np
 
         n_scc = len(_np.unique(out["scc"].to_numpy()))
@@ -252,6 +272,8 @@ def main(argv=None):
                 count, lineage = match_count(
                     eng, qlabels, qedges, order=args.order, seed=args.seed,
                 )
+                if args.report:
+                    _print_report(lineage)
                 results.append(
                     {"query": qp, "mapping_count": int(count),
                      "supersteps": lineage["steps"]}
@@ -278,6 +300,8 @@ def main(argv=None):
             edges_ds, qlabels, qedges, labels_ds=labels_ds, num_parts=args.parts,
             order=args.order, seed=args.seed,
         )
+        if args.report:
+            _print_report(lineage)
         # the reference's shipped deliverable (pregel_app_subgraph.h:914-919)
         print(f"Mapping count: {count}")
         print(json.dumps({"mapping_count": int(count), "supersteps": lineage["steps"]}))
@@ -351,6 +375,8 @@ def main(argv=None):
 
     eng = build_engine(edges_ds, args.parts, labels_ds=labels_ds, directed=directed)
     lineage = eng.run(program, params, max_steps=max_steps, **ck)
+    if args.report:
+        _print_report(lineage)
     summary = {"supersteps": lineage["steps"], "vertices": eng.num_vertices,
                "edges": eng.num_edges}
     if args.cmd == "triangles":

@@ -113,6 +113,25 @@ def test_cli_match_batch_queries(tmp_path):
     assert got == {REF_QUERY: 4, str(q_edge): 3, str(q_path): 7}
 
 
+def test_cli_match_report_mode():
+    """--report prints the per-superstep lineage table (the reference's
+    -report console mode) above the golden count."""
+    r = subprocess.run(
+        [sys.executable, "-m", "subgraph_isomorphism_pregel_ray", "match",
+         "-d", REF_TOY, "-q", REF_QUERY, "--parts", "2", "--cpus", "4",
+         "--report"],
+        capture_output=True, text=True, timeout=240,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "Mapping count: 4" in r.stdout
+    head = [ln for ln in r.stdout.splitlines() if ln.startswith("step")]
+    assert head and "sent_bytes" in head[0]
+    # one row per superstep, ending in the empty convergence step
+    rows = [ln for ln in r.stdout.splitlines()
+            if ln.strip()[:1].isdigit() and "  " in ln]
+    assert len(rows) >= 3
+
+
 def test_cli_match_requires_exactly_one_query_source():
     r = subprocess.run(
         [sys.executable, "-m", "subgraph_isomorphism_pregel_ray", "match",
