@@ -1359,6 +1359,26 @@ def _q_hapax_stats(sf_dir: str):
     return hapax_stats(docs)
 
 
+def _q_readability_by_source(sf_dir: str):
+    """Per-source Flesch reading-ease panel from exact int64 count sums."""
+    from subgraph_isomorphism_pregel_ray.pipelines.textops import (
+        readability_by_source,
+    )
+    from subgraph_isomorphism_pregel_ray.sources.tables import read_table
+
+    docs = read_table(sf_dir, "documents", columns=["source", "text"])
+    return readability_by_source(docs)
+
+
+def _q_heaps_law_curve(sf_dir: str):
+    """Vocabulary-growth deciles (all-integer Heaps'-law curve)."""
+    from subgraph_isomorphism_pregel_ray.pipelines.textops import heaps_law_curve
+    from subgraph_isomorphism_pregel_ray.sources.tables import read_table
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return heaps_law_curve(docs)
+
+
 def _q_events_acf(sf_dir: str):
     """Daily-count autocorrelation panel, lags 1..7 (HUGEINT moments)."""
     from subgraph_isomorphism_pregel_ray.pipelines.relational import events_acf
@@ -2650,6 +2670,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_graph": _q_knn_graph,
         "events_hopping": _q_events_hopping,
         "collocations_topk": _q_collocations,
+        "readability_by_source": _q_readability_by_source,
+        "heaps_law_curve": _q_heaps_law_curve,
     }
 
 
@@ -4621,6 +4643,66 @@ def oracle_sql() -> dict[str, str]:
             "JOIN uc u2 ON u2.tok = bc.w2 WHERE bc.c12 >= 5) "
             "SELECT w1, w2, pair_cnt, score FROM s "
             "ORDER BY score DESC, w1, w2 LIMIT 50"
+        ),
+        "readability_by_source": (
+            # per-doc counts are exact ints; the two ratios are single IEEE
+            # divisions of the int64 sums, and flesch is evaluated from the
+            # ROUNDED ratios with the literal expression used by the engine
+            # (206.835 - 1.015*wps - 84.6*spw) — bit-exact both sides.
+            "WITH d AS (SELECT source, "
+            "len(list_filter(string_split(text, ' '), x -> x <> '')) AS nw, "
+            "greatest(1, length(text) - length(replace(replace(replace("
+            "text, '.', ''), '!', ''), '?', ''))) AS ns, "
+            "len(regexp_extract_all(text, '[aeiouyAEIOUY]+')) AS ny "
+            "FROM documents), "
+            "s AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs, "
+            "CAST(sum(nw) AS BIGINT) AS n_words, "
+            "CAST(sum(ns) AS BIGINT) AS n_sentences, "
+            "CAST(sum(ny) AS BIGINT) AS n_syllables "
+            "FROM d WHERE nw > 0 GROUP BY 1), "
+            "r AS (SELECT *, "
+            "round(CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE), 6) "
+            "AS words_per_sentence, "
+            "round(CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE), 6) "
+            "AS syllables_per_word FROM s) "
+            "SELECT source, n_docs, n_words, n_sentences, n_syllables, "
+            "words_per_sentence, syllables_per_word, "
+            "round(CAST(206.835 AS DOUBLE) - CAST(1.015 AS DOUBLE) * "
+            "words_per_sentence - CAST(84.6 AS DOUBLE) * syllables_per_word, 6) "
+            "AS flesch FROM r"
+        ),
+        "heaps_law_curve": (
+            # decile boundaries are exact order statistics of doc_id
+            # (rank = (N*b)//10); a doc's bucket is the smallest b whose
+            # boundary id >= its own (searchsorted-left on the engine side).
+            # All-integer output -> hash-exact.
+            "WITH n AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM documents), "
+            "rk AS (SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS r "
+            "FROM documents), "
+            "bs AS (SELECT unnest(generate_series(1, 10)) AS b), "
+            "bd AS (SELECT bs.b, rk.doc_id AS bid FROM bs, rk, n "
+            "WHERE rk.r = (n.nn * bs.b) // 10), "
+            "db AS (SELECT d.doc_id, (SELECT min(b) FROM bd "
+            "WHERE bd.bid >= d.doc_id) AS bucket FROM documents d), "
+            "tok AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), "
+            "x -> x <> '')) AS tok FROM documents), "
+            "tm AS (SELECT t.tok, min(db.bucket) AS mb FROM tok t "
+            "JOIN db USING (doc_id) GROUP BY 1), "
+            "vn AS (SELECT mb AS bucket, CAST(count(*) AS BIGINT) AS vnew "
+            "FROM tm GROUP BY 1), "
+            "oc AS (SELECT db.bucket, CAST(count(*) AS BIGINT) AS occ "
+            "FROM tok JOIN db USING (doc_id) GROUP BY 1), "
+            "dc AS (SELECT bucket, CAST(count(*) AS BIGINT) AS nd "
+            "FROM db GROUP BY 1) "
+            "SELECT CAST(bs.b AS BIGINT) AS bucket, "
+            "CAST(sum(coalesce(dc.nd, 0)) OVER w AS BIGINT) AS n_docs_cum, "
+            "CAST(sum(coalesce(oc.occ, 0)) OVER w AS BIGINT) AS tokens_cum, "
+            "CAST(sum(coalesce(vn.vnew, 0)) OVER w AS BIGINT) AS vocab_cum "
+            "FROM bs LEFT JOIN dc ON dc.bucket = bs.b "
+            "LEFT JOIN vn ON vn.bucket = bs.b "
+            "LEFT JOIN oc ON oc.bucket = bs.b "
+            "WINDOW w AS (ORDER BY bs.b ROWS BETWEEN UNBOUNDED PRECEDING "
+            "AND CURRENT ROW)"
         ),
         "events_hopping": (
             # every event lands in window/hop = 2 overlapping windows; the

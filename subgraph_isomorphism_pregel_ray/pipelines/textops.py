@@ -61,6 +61,8 @@ __all__ = [
     "redact_pii_batch",
     "redact_pii",
     "collocations_topk",
+    "readability_by_source",
+    "heaps_law_curve",
 ]
 
 _ALNUM_RE = re.compile(r"[a-zA-Z0-9]")
@@ -3362,5 +3364,197 @@ def rrf_fusion(docs_ds, terms, k: int = 10, c: int = 60, round_to: int = 6):
             "bm25_rank": br,
             "search_rank": sr,
             "rrf": round_half_away(rrf, round_to),
+        }
+    )
+
+
+_VOWEL_RUN_RE = re.compile(r"[aeiouyAEIOUY]+")
+
+
+def readability_by_source(docs_ds, round_to: int = 6):
+    """Per-source Flesch-style readability panel → (source, n_docs,
+    n_words, n_sentences, n_syllables, words_per_sentence,
+    syllables_per_word, flesch): the classic reading-ease screen a
+    curation pipeline runs per provenance bucket to spot sources whose
+    prose is degenerate (legalese, OCR noise, keyword-stuffed spam).
+    Deterministic proxies keep it SQL-auditable: a "syllable" is a
+    maximal vowel run ``[aeiouyAEIOUY]+`` (the standard cheap estimator),
+    a sentence terminator is any of ``. ! ?`` (clamped to >=1 per doc so
+    fragments count as one sentence), a word is a space-delimited token.
+    Docs with zero words are omitted on both sides (mirrors the SQL
+    oracle, where they contribute no tokens).
+
+    Scale shape: ONE stateless ``map_batches`` computing per-batch
+    per-source int64 partial sums (the combiner — the exchange moves a
+    handful of rows per batch, never per-doc rows) → ONE small
+    ``groupby(source)`` sum → a constant-size ratio map. The two ratios
+    are single IEEE divisions on exact int64 sums; ``flesch`` is
+    evaluated from the ROUNDED ratios with the literal expression
+    ``206.835 - 1.015*wps - 84.6*spw`` so DuckDB reproduces it bit-exactly.
+    """
+    from ray.data.aggregate import Sum
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        srcs = batch["source"].to_pylist()
+        texts = batch["text"].to_pylist()
+        agg: dict[str, list[int]] = {}
+        for s, t in zip(srcs, texts):
+            toks = [x for x in t.split(" ") if x]
+            nw = len(toks)
+            if nw == 0:
+                continue
+            ns = t.count(".") + t.count("!") + t.count("?")
+            if ns < 1:
+                ns = 1
+            ny = len(_VOWEL_RUN_RE.findall(t))
+            a = agg.setdefault(s, [0, 0, 0, 0])
+            a[0] += 1
+            a[1] += nw
+            a[2] += ns
+            a[3] += ny
+        keys = sorted(agg)
+        return pa.table(
+            {
+                "source": pa.array(keys, pa.string()),
+                "n_docs": pa.array([agg[k][0] for k in keys], pa.int64()),
+                "n_words": pa.array([agg[k][1] for k in keys], pa.int64()),
+                "n_sentences": pa.array([agg[k][2] for k in keys], pa.int64()),
+                "n_syllables": pa.array([agg[k][3] for k in keys], pa.int64()),
+            }
+        )
+
+    def _ratios(batch: pa.Table) -> pa.Table:
+        nw = batch["n_words"].to_numpy().astype(np.float64)
+        ns = batch["n_sentences"].to_numpy().astype(np.float64)
+        ny = batch["n_syllables"].to_numpy().astype(np.float64)
+        wps = round_half_away(nw / ns, round_to)
+        spw = round_half_away(ny / nw, round_to)
+        flesch = round_half_away(206.835 - 1.015 * wps - 84.6 * spw, round_to)
+        return pa.table(
+            {
+                "source": batch["source"],
+                "n_docs": batch["n_docs"],
+                "n_words": batch["n_words"],
+                "n_sentences": batch["n_sentences"],
+                "n_syllables": batch["n_syllables"],
+                "words_per_sentence": wps,
+                "syllables_per_word": spw,
+                "flesch": flesch,
+            }
+        )
+
+    return (
+        docs_ds.map_batches(_partial, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("n_words", alias_name="n_words"),
+            Sum("n_sentences", alias_name="n_sentences"),
+            Sum("n_syllables", alias_name="n_syllables"),
+        )
+        .map_batches(_ratios, batch_format="pyarrow")
+    )
+
+
+def heaps_law_curve(docs_ds, n_buckets: int = 10):
+    """Heaps'-law vocabulary-growth curve → ``n_buckets`` rows (bucket,
+    n_docs_cum, tokens_cum, vocab_cum): distinct-token count after each
+    decile of the corpus in ``doc_id`` order — the standard "is the
+    vocabulary still growing or has the corpus gone stale/duplicated"
+    curation gauge (healthy natural text grows ~N^0.5±; a flattening
+    curve screams template reuse). All-integer output → hash-exact.
+
+    Scale shape (three narrow passes, no wide shuffle of text):
+    (1) decile boundaries = exact order statistics of the ``doc_id``
+    column via the TeraSort ordinal machine (``sort_with_ordinal`` —
+    sorts ONE int64 column, then a 10-row filter+take; the driver holds
+    10 scalars); (2) vocab pass: per-batch (token → min bucket) combiner
+    partials → ONE ``groupby(token).min`` → 10-int histogram partials
+    folded on the driver; (3) occupancy pass: per-batch 10-row
+    (bucket, docs, occurrences) partials → driver fold. Buckets are
+    assigned by ``searchsorted`` against the broadcast 10-value boundary
+    array — no doc→bucket table ever materializes."""
+    from ray.data.aggregate import Min
+    from ..stages.sort import sort_with_ordinal
+
+    ids = docs_ds.select_columns(["doc_id"])
+    n_total = ids.count()
+    if n_total < n_buckets:
+        raise ValueError(f"need >= {n_buckets} docs, got {n_total}")
+    ranks = {(n_total * b) // n_buckets - 1 for b in range(1, n_buckets + 1)}
+
+    def _pick(batch: pa.Table) -> pa.Table:
+        keep = np.isin(batch["ordinal"].to_numpy(), np.fromiter(ranks, np.int64))
+        return batch.filter(pa.array(keep))
+
+    brows = (
+        sort_with_ordinal(ids, "doc_id")
+        .map_batches(_pick, batch_format="pyarrow")
+        .take_all()
+    )
+    bounds = np.sort(np.array([r["doc_id"] for r in brows], dtype=np.int64))
+
+    def _vocab_partial(batch: pa.Table) -> pa.Table:
+        buckets = np.searchsorted(bounds, batch["doc_id"].to_numpy(), "left") + 1
+        first: dict[str, int] = {}
+        for t, b in zip(batch["text"].to_pylist(), buckets):
+            bi = int(b)
+            for w in t.split(" "):
+                if w and (w not in first or first[w] > bi):
+                    first[w] = bi
+        return pa.table(
+            {
+                "token": pa.array(list(first.keys()), pa.string()),
+                "bucket": pa.array(list(first.values()), pa.int64()),
+            }
+        )
+
+    def _vocab_hist(batch: pa.Table) -> pa.Table:
+        cnt = np.bincount(batch["bucket"].to_numpy(), minlength=n_buckets + 1)
+        return pa.table(
+            {
+                "bucket": np.arange(1, n_buckets + 1, dtype=np.int64),
+                "vnew": cnt[1:].astype(np.int64),
+            }
+        )
+
+    vhist = (
+        docs_ds.map_batches(_vocab_partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Min("bucket", alias_name="bucket"))
+        .map_batches(_vocab_hist, batch_format="pyarrow")
+        .to_pandas()
+    )
+    vnew = vhist.groupby("bucket")["vnew"].sum().reindex(
+        range(1, n_buckets + 1), fill_value=0
+    )
+
+    def _occ_partial(batch: pa.Table) -> pa.Table:
+        buckets = np.searchsorted(bounds, batch["doc_id"].to_numpy(), "left") + 1
+        nd = np.bincount(buckets, minlength=n_buckets + 1)
+        occ = np.zeros(n_buckets + 1, dtype=np.int64)
+        for t, b in zip(batch["text"].to_pylist(), buckets):
+            occ[int(b)] += sum(1 for w in t.split(" ") if w)
+        return pa.table(
+            {
+                "bucket": np.arange(1, n_buckets + 1, dtype=np.int64),
+                "nd": nd[1:].astype(np.int64),
+                "occ": occ[1:],
+            }
+        )
+
+    ohist = (
+        docs_ds.map_batches(_occ_partial, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("bucket")[["nd", "occ"]]
+        .sum()
+        .reindex(range(1, n_buckets + 1), fill_value=0)
+    )
+    return pa.table(
+        {
+            "bucket": np.arange(1, n_buckets + 1, dtype=np.int64),
+            "n_docs_cum": ohist["nd"].cumsum().to_numpy().astype(np.int64),
+            "tokens_cum": ohist["occ"].cumsum().to_numpy().astype(np.int64),
+            "vocab_cum": vnew.cumsum().to_numpy().astype(np.int64),
         }
     )

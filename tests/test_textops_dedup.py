@@ -1706,3 +1706,110 @@ def test_rrf_fusion_formula(ray_session):
     assert d1["bm25_rank"] > 0 and d1["search_rank"] > 0
     expect = 1 / (60 + d1["bm25_rank"]) + 1 / (60 + d1["search_rank"])
     assert abs(d1["rrf"] - round(expect, 6)) < 1e-12
+
+
+def test_readability_by_source_vs_scalar_reference():
+    """Flesch panel partial-sum fold equals a direct per-doc scalar replay."""
+    import re
+
+    import numpy as np
+    import ray.data as rd
+    import pyarrow as pa
+
+    from subgraph_isomorphism_pregel_ray.pipelines.textops import (
+        readability_by_source,
+    )
+    from subgraph_isomorphism_pregel_ray.functions.rounding import round_half_away
+
+    rng = np.random.default_rng(7)
+    words = ["the", "syllable", "xyz", "Ba!", "queueing", "a.b?c", ""]
+    rows = []
+    for i in range(120):
+        n = int(rng.integers(0, 12))
+        rows.append(
+            {
+                "source": f"s{int(rng.integers(3))}",
+                "text": " ".join(rng.choice(words, n).tolist()),
+            }
+        )
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "source": [r["source"] for r in rows],
+                "text": [r["text"] for r in rows],
+            }
+        )
+    ).repartition(5)
+    got = readability_by_source(ds).to_pandas().sort_values("source")
+
+    vre = re.compile(r"[aeiouyAEIOUY]+")
+    agg = {}
+    for r in rows:
+        toks = [x for x in r["text"].split(" ") if x]
+        if not toks:
+            continue
+        t = r["text"]
+        ns = max(1, t.count(".") + t.count("!") + t.count("?"))
+        a = agg.setdefault(r["source"], [0, 0, 0, 0])
+        a[0] += 1
+        a[1] += len(toks)
+        a[2] += ns
+        a[3] += len(vre.findall(t))
+    assert sorted(agg) == got["source"].tolist()
+    for _, row in got.iterrows():
+        nd, nw, ns, ny = agg[row["source"]]
+        assert (row["n_docs"], row["n_words"], row["n_sentences"], row["n_syllables"]) == (nd, nw, ns, ny)
+        wps = float(round_half_away(np.array([nw / ns]), 6)[0])
+        spw = float(round_half_away(np.array([ny / nw]), 6)[0])
+        assert row["words_per_sentence"] == wps
+        assert row["syllables_per_word"] == spw
+        assert row["flesch"] == float(
+            round_half_away(np.array([206.835 - 1.015 * wps - 84.6 * spw]), 6)[0]
+        )
+
+
+def test_heaps_law_curve_vs_brute_force():
+    """Decile vocabulary-growth curve equals a sequential scan; output is
+    partition-count invariant and all-integer."""
+    import numpy as np
+    import ray.data as rd
+    import pyarrow as pa
+
+    from subgraph_isomorphism_pregel_ray.pipelines.textops import heaps_law_curve
+
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(40)]
+    doc_ids = rng.permutation(500)[:73]  # non-contiguous ids
+    texts = [
+        " ".join(rng.choice(vocab, int(rng.integers(0, 9))).tolist())
+        for _ in doc_ids
+    ]
+    tbl = pa.table({"doc_id": doc_ids.astype("int64"), "text": texts})
+
+    def brute(n_buckets=10):
+        order = np.argsort(doc_ids)
+        n = len(doc_ids)
+        out, seen, nd, occ, vres = [], set(), 0, 0, []
+        cuts = [(n * b) // n_buckets for b in range(1, n_buckets + 1)]
+        ci = 0
+        for rank, j in enumerate(order, start=1):
+            nd += 1
+            toks = [x for x in texts[j].split(" ") if x]
+            occ += len(toks)
+            seen.update(toks)
+            while ci < n_buckets and rank == cuts[ci]:
+                out.append((ci + 1, nd, occ, len(seen)))
+                ci += 1
+        return out
+
+    expect = brute()
+    for parts in (1, 7):
+        got = (
+            heaps_law_curve(rd.from_arrow(tbl).repartition(parts))
+            .to_pandas()
+            .sort_values("bucket")
+        )
+        rows = list(
+            zip(got["bucket"], got["n_docs_cum"], got["tokens_cum"], got["vocab_cum"])
+        )
+        assert [tuple(int(x) for x in r) for r in rows] == expect
