@@ -1379,6 +1379,36 @@ def _q_heaps_law_curve(sf_dir: str):
     return heaps_law_curve(docs)
 
 
+def _q_lang_confusion(sf_dir: str):
+    """Declared-lang × predicted-lang confusion matrix (metadata audit)."""
+    from subgraph_isomorphism_pregel_ray.pipelines.textops import lang_confusion
+    from subgraph_isomorphism_pregel_ray.sources.tables import read_table
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    return lang_confusion(docs)
+
+
+def _q_token_freq_spectrum(sf_dir: str):
+    """Frequency-of-frequencies spectrum (capped at 11+)."""
+    from subgraph_isomorphism_pregel_ray.pipelines.textops import token_freq_spectrum
+    from subgraph_isomorphism_pregel_ray.sources.tables import read_table
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return token_freq_spectrum(docs)
+
+
+def _q_doclen_percentiles_by_lang(sf_dir: str):
+    """Per-language exact n_chars percentiles via the length-histogram
+    compression (one groupby over distinct (lang, length) pairs)."""
+    from subgraph_isomorphism_pregel_ray.pipelines.textops import (
+        doclen_percentiles_by_lang,
+    )
+    from subgraph_isomorphism_pregel_ray.sources.tables import read_table
+
+    docs = read_table(sf_dir, "documents", columns=["lang", "n_chars"])
+    return doclen_percentiles_by_lang(docs)
+
+
 def _q_events_acf(sf_dir: str):
     """Daily-count autocorrelation panel, lags 1..7 (HUGEINT moments)."""
     from subgraph_isomorphism_pregel_ray.pipelines.relational import events_acf
@@ -2672,6 +2702,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "collocations_topk": _q_collocations,
         "readability_by_source": _q_readability_by_source,
         "heaps_law_curve": _q_heaps_law_curve,
+        "lang_confusion": _q_lang_confusion,
+        "token_freq_spectrum": _q_token_freq_spectrum,
+        "doclen_percentiles_by_lang": _q_doclen_percentiles_by_lang,
     }
 
 
@@ -4703,6 +4736,41 @@ def oracle_sql() -> dict[str, str]:
             "LEFT JOIN oc ON oc.bucket = bs.b "
             "WINDOW w AS (ORDER BY bs.b ROWS BETWEEN UNBOUNDED PRECEDING "
             "AND CURRENT ROW)"
+        ),
+        "lang_confusion": (
+            # reuses the lang_id replay verbatim (single source of truth for
+            # the stopword table); the crosstab itself is a pure int count.
+            "SELECT d.lang, p.lang_pred, CAST(count(*) AS BIGINT) AS n_docs "
+            f"FROM documents d JOIN ({_lang_id_sql()}) p "
+            "ON p.doc_id = d.doc_id GROUP BY 1, 2"
+        ),
+        "token_freq_spectrum": (
+            "WITH tf AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM "
+            "(SELECT unnest(list_filter(string_split(text, ' '), "
+            "x -> x <> '')) AS tok FROM documents) GROUP BY 1), "
+            "sp AS (SELECT least(c, 11) AS occur_cap, "
+            "CAST(count(*) AS BIGINT) AS n_types, "
+            "CAST(sum(c) AS BIGINT) AS n_occurrences FROM tf GROUP BY 1), "
+            "b AS (SELECT unnest(generate_series(1, 11)) AS occur_cap) "
+            "SELECT CAST(b.occur_cap AS BIGINT) AS occur_cap, "
+            "CAST(coalesce(sp.n_types, 0) AS BIGINT) AS n_types, "
+            "CAST(coalesce(sp.n_occurrences, 0) AS BIGINT) AS n_occurrences "
+            "FROM b LEFT JOIN sp ON sp.occur_cap = b.occur_cap"
+        ),
+        "doclen_percentiles_by_lang": (
+            # percentile = order statistic at 1-based rank max(1,(n*p)//100)
+            # — explicit boundary ranks over the stored n_chars, no
+            # interpolation; all-integer output.
+            "WITH r AS (SELECT lang, n_chars, row_number() OVER "
+            "(PARTITION BY lang ORDER BY n_chars) AS rn, "
+            "count(*) OVER (PARTITION BY lang) AS n FROM documents) "
+            "SELECT lang, CAST(max(n) AS BIGINT) AS n_docs, "
+            + ", ".join(
+                "CAST(max(CASE WHEN rn = greatest(1, (n * {p}) // 100) "
+                "THEN n_chars END) AS BIGINT) AS p{p}".format(p=p)
+                for p in (25, 50, 75, 90, 99)
+            )
+            + " FROM r GROUP BY 1"
         ),
         "events_hopping": (
             # every event lands in window/hop = 2 overlapping windows; the

@@ -63,6 +63,9 @@ __all__ = [
     "collocations_topk",
     "readability_by_source",
     "heaps_law_curve",
+    "lang_confusion",
+    "token_freq_spectrum",
+    "doclen_percentiles_by_lang",
 ]
 
 _ALNUM_RE = re.compile(r"[a-zA-Z0-9]")
@@ -3556,5 +3559,151 @@ def heaps_law_curve(docs_ds, n_buckets: int = 10):
             "n_docs_cum": ohist["nd"].cumsum().to_numpy().astype(np.int64),
             "tokens_cum": ohist["occ"].cumsum().to_numpy().astype(np.int64),
             "vocab_cum": vnew.cumsum().to_numpy().astype(np.int64),
+        }
+    )
+
+
+def lang_confusion(docs_ds):
+    """Language-metadata audit crosstab → Dataset(lang, lang_pred, n_docs):
+    the declared ``lang`` column × the ``lang_id_batch`` prediction — the
+    confusion matrix a curation pipeline uses to decide whether crawl
+    metadata is trustworthy enough to filter on (off-diagonal mass =
+    mislabeled docs that a lang-filter would wrongly keep/drop).
+
+    Scale shape: identical to :func:`lang_by_source` — one linear pass
+    (lang kernel + in-batch pair-count combiner), one tiny groupby-sum;
+    exchange volume is O(|langs|²) rows per batch. All-integer output."""
+    from ray.data.aggregate import Sum
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        pred = lang_id_batch(batch)["lang_pred"].to_pylist()
+        dec = batch["lang"].to_pylist()
+        keys = np.asarray([f"{d}\x00{p}" for d, p in zip(dec, pred)], dtype=object)
+        if len(keys) == 0:
+            return pa.table(
+                {
+                    "lang": pa.array([], pa.string()),
+                    "lang_pred": pa.array([], pa.string()),
+                    "n_docs": pa.array([], pa.int64()),
+                }
+            )
+        u, c = np.unique(keys, return_counts=True)
+        pairs = [k.split("\x00") for k in u]
+        return pa.table(
+            {
+                "lang": pa.array([p[0] for p in pairs], pa.string()),
+                "lang_pred": pa.array([p[1] for p in pairs], pa.string()),
+                "n_docs": c.astype(np.int64),
+            }
+        )
+
+    return (
+        docs_ds.map_batches(_partial, batch_format="pyarrow")
+        .groupby(["lang", "lang_pred"])
+        .aggregate(Sum("n_docs", alias_name="n_docs"))
+    )
+
+
+def token_freq_spectrum(docs_ds, cap: int = 11):
+    """Zipfian frequency-of-frequencies spectrum → ``cap`` rows
+    (occur_cap, n_types, n_occurrences): how many distinct tokens occur
+    exactly c times (c = 1..cap-1) plus one tail row at ``occur_cap =
+    cap`` pooling everything rarer-than-rare — the companion diagnostic
+    to :func:`hapax_stats` (the full spectrum shape distinguishes natural
+    Zipf decay from template-duplicated corpora, which show a hollow
+    mid-spectrum). All-integer output → hash-exact.
+
+    Scale shape: per-batch (token, count) combiner partials (bounded by
+    Heaps' law) → ONE ``groupby(token)`` sum → per-output-batch
+    ``cap``-row histogram partials → constant-size driver fold."""
+    from ray.data.aggregate import Sum
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        toks: list[str] = []
+        for t in batch["text"].to_pylist():
+            toks.extend(x for x in t.split(" ") if x)
+        if not toks:
+            return pa.table(
+                {"token": pa.array([], pa.string()), "cnt": pa.array([], pa.int64())}
+            )
+        u, c = np.unique(np.asarray(toks, dtype=object), return_counts=True)
+        return pa.table(
+            {"token": pa.array(u.tolist(), pa.string()), "cnt": c.astype(np.int64)}
+        )
+
+    def _hist(batch: pa.Table) -> pa.Table:
+        c = batch["cnt"].to_numpy()
+        capped = np.minimum(c, cap)
+        types = np.bincount(capped, minlength=cap + 1)[1:]
+        occ = np.bincount(capped, weights=c.astype(np.float64), minlength=cap + 1)[1:]
+        return pa.table(
+            {
+                "occur_cap": np.arange(1, cap + 1, dtype=np.int64),
+                "n_types": types.astype(np.int64),
+                "n_occurrences": occ.astype(np.int64),
+            }
+        )
+
+    hist = (
+        docs_ds.map_batches(_partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .map_batches(_hist, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("occur_cap")[["n_types", "n_occurrences"]]
+        .sum()
+        .reindex(range(1, cap + 1), fill_value=0)
+    )
+    return pa.table(
+        {
+            "occur_cap": np.arange(1, cap + 1, dtype=np.int64),
+            "n_types": hist["n_types"].to_numpy().astype(np.int64),
+            "n_occurrences": hist["n_occurrences"].to_numpy().astype(np.int64),
+        }
+    )
+
+
+def doclen_percentiles_by_lang(docs_ds, pcts=(25, 50, 75, 90, 99)):
+    """Per-language exact document-length percentiles → Dataset-shaped
+    table (lang, n_docs, p25, p50, p75, p90, p99): the length-distribution
+    audit behind per-language length filters (a lang whose p50 collapses
+    is a boilerplate leak; cutting at a GLOBAL length threshold silently
+    biases against terse-script languages). Percentile = the order
+    statistic at 1-based rank max(1, (n*p)//100) — explicit boundary
+    ranks, no interpolation, so every output is an exact int64.
+
+    Scale shape: the value-histogram compression trick — ONE
+    ``groupby(lang, n_chars)`` count (the exchange carries one row per
+    DISTINCT (lang, length) pair, bounded by the length domain, never per
+    doc) → per-lang cumulative scan over the sorted length histogram on
+    the driver (≤ |langs| × |distinct lengths| tiny rows)."""
+    from ray.data.aggregate import Count
+
+    hist = (
+        docs_ds.groupby(["lang", "n_chars"])
+        .aggregate(Count(alias_name="cnt"))
+        .to_pandas()
+    )
+    out = {"lang": [], "n_docs": []}
+    for p in pcts:
+        out[f"p{p}"] = []
+    for lang, g in hist.groupby("lang", sort=True):
+        g = g.sort_values("n_chars")
+        lens = g["n_chars"].to_numpy().astype(np.int64)
+        cum = g["cnt"].to_numpy().astype(np.int64).cumsum()
+        n = int(cum[-1])
+        out["lang"].append(lang)
+        out["n_docs"].append(n)
+        for p in pcts:
+            r = max(1, (n * p) // 100)
+            out[f"p{p}"].append(int(lens[np.searchsorted(cum, r, "left")]))
+    return pa.table(
+        {
+            "lang": pa.array(out["lang"], pa.string()),
+            "n_docs": pa.array(out["n_docs"], pa.int64()),
+            **{
+                f"p{p}": pa.array(out[f"p{p}"], pa.int64())
+                for p in pcts
+            },
         }
     )

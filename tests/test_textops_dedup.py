@@ -1813,3 +1813,97 @@ def test_heaps_law_curve_vs_brute_force():
             zip(got["bucket"], got["n_docs_cum"], got["tokens_cum"], got["vocab_cum"])
         )
         assert [tuple(int(x) for x in r) for r in rows] == expect
+
+
+def test_token_freq_spectrum_and_doclen_percentiles_vs_scalar():
+    """Spectrum and per-lang order-stat percentiles equal brute-force
+    replays; both partition-count invariant."""
+    from collections import Counter
+
+    import numpy as np
+    import ray.data as rd
+    import pyarrow as pa
+
+    from subgraph_isomorphism_pregel_ray.pipelines.textops import (
+        doclen_percentiles_by_lang,
+        token_freq_spectrum,
+    )
+
+    rng = np.random.default_rng(3)
+    vocab = [f"t{i}" for i in range(25)]
+    texts = [
+        " ".join(rng.choice(vocab, int(rng.integers(0, 30))).tolist())
+        for _ in range(90)
+    ]
+    langs = rng.choice(["en", "de", "zh"], 90).tolist()
+    tbl = pa.table(
+        {
+            "doc_id": np.arange(90, dtype=np.int64),
+            "text": texts,
+            "lang": langs,
+            "n_chars": np.array([len(t) for t in texts], np.int64),
+        }
+    )
+
+    cnt = Counter(w for t in texts for w in t.split(" ") if w)
+    spec = Counter(min(c, 11) for c in cnt.values())
+    occ = Counter()
+    for c in cnt.values():
+        occ[min(c, 11)] += c
+    for parts in (1, 6):
+        got = (
+            token_freq_spectrum(rd.from_arrow(tbl).repartition(parts))
+            .to_pandas()
+            .sort_values("occur_cap")
+        )
+        assert got["n_types"].tolist() == [spec.get(c, 0) for c in range(1, 12)]
+        assert got["n_occurrences"].tolist() == [occ.get(c, 0) for c in range(1, 12)]
+
+    got = (
+        doclen_percentiles_by_lang(rd.from_arrow(tbl).repartition(4))
+        .to_pandas()
+        .sort_values("lang")
+    )
+    for _, row in got.iterrows():
+        lens = sorted(len(t) for t, l in zip(texts, langs) if l == row["lang"])
+        assert row["n_docs"] == len(lens)
+        for p in (25, 50, 75, 90, 99):
+            r = max(1, (len(lens) * p) // 100)
+            assert row[f"p{p}"] == lens[r - 1], (row["lang"], p)
+
+
+def test_lang_confusion_matches_lang_id_rollup():
+    """Confusion matrix equals a per-doc lang_id rollup (alignment check)."""
+    from collections import Counter
+
+    import numpy as np
+    import ray.data as rd
+    import pyarrow as pa
+
+    from subgraph_isomorphism_pregel_ray.pipelines.textops import (
+        lang_confusion,
+        lang_id_batch,
+    )
+
+    texts = [
+        "the cat is in the hat for it",
+        "der hund ist ein und das nicht",
+        "le chat et la vie des un",
+        "no stopwords here xyzzy",
+        "中文文本",
+        "",
+    ] * 7
+    langs = (["en", "de", "fr", "en", "zh", "de"] * 7)
+    tbl = pa.table(
+        {
+            "doc_id": np.arange(len(texts), dtype=np.int64),
+            "text": texts,
+            "lang": langs,
+        }
+    )
+    pred = lang_id_batch(tbl)["lang_pred"].to_pylist()
+    expect = Counter(zip(langs, pred))
+    got = lang_confusion(rd.from_arrow(tbl).repartition(5)).to_pandas()
+    assert Counter(
+        {(r["lang"], r["lang_pred"]): r["n_docs"] for _, r in got.iterrows()}
+    ) == expect
