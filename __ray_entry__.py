@@ -1379,6 +1379,15 @@ def _q_heaps_law_curve(sf_dir: str):
     return heaps_law_curve(docs)
 
 
+def _q_sentence_dedup(sf_dir: str):
+    """C4-style global exact sentence dedup (first occurrence wins)."""
+    from subgraph_isomorphism_pregel_ray.pipelines.dedup import sentence_dedup
+    from subgraph_isomorphism_pregel_ray.sources.tables import read_table
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return sentence_dedup(docs)
+
+
 def _q_lang_confusion(sf_dir: str):
     """Declared-lang × predicted-lang confusion matrix (metadata audit)."""
     from subgraph_isomorphism_pregel_ray.pipelines.textops import lang_confusion
@@ -2702,6 +2711,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "collocations_topk": _q_collocations,
         "readability_by_source": _q_readability_by_source,
         "heaps_law_curve": _q_heaps_law_curve,
+        "sentence_dedup": _q_sentence_dedup,
         "lang_confusion": _q_lang_confusion,
         "token_freq_spectrum": _q_token_freq_spectrum,
         "doclen_percentiles_by_lang": _q_doclen_percentiles_by_lang,
@@ -4736,6 +4746,39 @@ def oracle_sql() -> dict[str, str]:
             "LEFT JOIN oc ON oc.bucket = bs.b "
             "WINDOW w AS (ORDER BY bs.b ROWS BETWEEN UNBOUNDED PRECEDING "
             "AND CURRENT ROW)"
+        ),
+        "sentence_dedup": (
+            # winner = min(doc_id<<20 | pos) per md5_number_lower(segment)
+            # (≡ the engine's md5_lower64 keys); structural (space-only)
+            # segments never participate; clean_text = '.'-join of
+            # survivors in original order — byte-identical strings.
+            "WITH segs AS (SELECT doc_id, "
+            "unnest(string_split(text, '.')) AS s, "
+            "unnest(generate_series(1, len(string_split(text, '.')))) AS pos "
+            "FROM documents), "
+            "part AS (SELECT doc_id, s, pos FROM segs "
+            "WHERE trim(s, ' ') <> ''), "
+            "win AS (SELECT md5_number_lower(s) AS sh, "
+            "min(doc_id * 1048576 + pos) AS wp FROM part GROUP BY 1), "
+            "rm AS (SELECT p.doc_id, p.pos FROM part p JOIN win w "
+            "ON w.sh = md5_number_lower(p.s) "
+            "WHERE p.doc_id * 1048576 + p.pos <> w.wp), "
+            "k AS (SELECT g.doc_id, g.s, g.pos FROM segs g LEFT JOIN rm "
+            "ON rm.doc_id = g.doc_id AND rm.pos = g.pos "
+            "WHERE rm.doc_id IS NULL), "
+            "np_ AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_part "
+            "FROM part GROUP BY 1), "
+            "nr AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_rm "
+            "FROM rm GROUP BY 1), "
+            "ct AS (SELECT doc_id, coalesce(string_agg(s, '.' ORDER BY pos), "
+            "'') AS clean_text FROM k GROUP BY 1) "
+            "SELECT d.doc_id, ct.clean_text, "
+            "CAST(coalesce(np_.n_part, 0) - coalesce(nr.n_rm, 0) AS BIGINT) "
+            "AS n_kept, "
+            "CAST(coalesce(nr.n_rm, 0) AS BIGINT) AS n_removed "
+            "FROM documents d JOIN ct ON ct.doc_id = d.doc_id "
+            "LEFT JOIN np_ ON np_.doc_id = d.doc_id "
+            "LEFT JOIN nr ON nr.doc_id = d.doc_id"
         ),
         "lang_confusion": (
             # reuses the lang_id replay verbatim (single source of truth for

@@ -52,6 +52,7 @@ __all__ = [
     "winnow_dup_pairs",
     "shingle_containment",
     "dup_rate_by_source",
+    "sentence_dedup",
 ]
 
 _MERSENNE = np.uint64((1 << 61) - 1)
@@ -1315,3 +1316,142 @@ def dup_span_pairs(docs_ds, span_len: int = 40, min_shared: int = 5):
         )
 
     return agg.map_batches(_unpack, batch_format="pyarrow")
+
+
+_SD_POS_BITS = 20  # packed = doc_id << 20 | pos  (pos < 2^20, doc_id < 2^43)
+
+
+def sentence_dedup(docs_ds, num_buckets: int = 64):
+    """C4-style GLOBAL exact sentence deduplication → Dataset(doc_id,
+    clean_text, n_kept, n_removed): every '.'-delimited segment that
+    occurs anywhere else in the corpus is dropped except its single
+    first occurrence (first = smallest (doc_id, position)); the doc is
+    reassembled from its surviving segments ('.'-joined, original
+    order). This is the C4 pipeline's "discard duplicated three-sentence
+    spans" step reduced to its single-sentence exact form (Raffel et al.
+    2020, §2.2) — the workhorse boilerplate killer (nav bars, cookie
+    banners, license footers repeat verbatim across millions of pages).
+    Segments that are empty or space-only are structural (consecutive /
+    trailing dots) and never participate — they are always kept.
+
+    Scale shape (TWO shuffles, text crosses exactly once):
+    (1) sentence pass — per-batch rows (sh = md5_lower64(segment),
+    packed = doc_id<<20|pos, doc_id, pos); the exchange is INT-ONLY
+    (the segment text never leaves its block) → ``groupby(sh-bucket)``
+    → per-group vectorized winner pick (lexsort by (sh, packed),
+    segment-min via reduceat) emitting only LOSER (doc_id, pos) rows —
+    typically a small fraction of the corpus; (2) reassembly — union
+    (docs ⊎ loser rows) under a common schema bucketed by doc_id (the
+    repo's union+bucket-groupby join idiom; ``Dataset.join`` is
+    schema-fragile on sparse partitions) → per-group per-doc rebuild.
+    Determinism: the winner is a pure min over unique packed keys."""
+
+    B = np.uint64(max(num_buckets, 8))
+
+    def _sent_rows(t: pa.Table) -> pa.Table:
+        ids, poss, shs = [], [], []
+        segs_all: list[str] = []
+        for did, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            if did >= (1 << 43):
+                raise ValueError("doc_id exceeds 2^43 packing bound")
+            segs = txt.split(".")
+            if len(segs) >= (1 << _SD_POS_BITS):
+                raise ValueError("doc has >= 2^20 segments")
+            for pos, s in enumerate(segs, start=1):
+                if s.strip(" ") == "":
+                    continue  # structural segment — never deduped
+                ids.append(did)
+                poss.append(pos)
+                segs_all.append(s)
+        did_a = np.asarray(ids, np.int64)
+        pos_a = np.asarray(poss, np.int64)
+        sh = md5_lower64(np.asarray(segs_all, dtype=object)) if segs_all else np.array([], np.uint64)
+        return pa.table(
+            {
+                "sh": sh,
+                "packed": (did_a << _SD_POS_BITS) | pos_a,
+                "doc_id": did_a,
+                "pos": pos_a,
+                "b": (sh % B).astype(np.int32),
+            }
+        )
+
+    def _losers(g: pa.Table) -> pa.Table:
+        sh = g["sh"].to_numpy()
+        packed = g["packed"].to_numpy()
+        order = np.lexsort((packed, sh))
+        sh_s, pk_s = sh[order], packed[order]
+        seg_start = np.concatenate([[True], sh_s[1:] != sh_s[:-1]])
+        # within a segment the FIRST row (smallest packed) is the winner
+        lose = ~seg_start
+        keep_rows = order[lose]
+        return pa.table(
+            {
+                "doc_id": g["doc_id"].to_numpy()[keep_rows],
+                "pos": g["pos"].to_numpy()[keep_rows],
+            }
+        )
+
+    removed = (
+        docs_ds.map_batches(_sent_rows, batch_format="pyarrow")
+        .groupby("b")
+        .map_groups(_losers, batch_format="pyarrow")
+    )
+
+    DB = np.int64(max(num_buckets, 8))
+
+    def _doc_side(t: pa.Table) -> pa.Table:
+        did = t["doc_id"].to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": did,
+                "text": t["text"],
+                "pos": np.full(len(did), -1, np.int64),
+                "db": (did % DB).astype(np.int32),
+            }
+        )
+
+    def _rm_side(t: pa.Table) -> pa.Table:
+        did = t["doc_id"].to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": did,
+                "text": pa.array([""] * len(did), pa.string()),
+                "pos": t["pos"].to_numpy().astype(np.int64),
+                "db": (did % DB).astype(np.int32),
+            }
+        )
+
+    def _rebuild(g: pa.Table) -> pa.Table:
+        did = g["doc_id"].to_numpy()
+        pos = g["pos"].to_numpy()
+        txt = g["text"].to_numpy(zero_copy_only=False)
+        is_doc = pos == -1
+        rm: dict[int, set] = {}
+        for d, p in zip(did[~is_doc], pos[~is_doc]):
+            rm.setdefault(int(d), set()).add(int(p))
+        out_id, out_txt, out_k, out_r = [], [], [], []
+        for d, t in zip(did[is_doc], txt[is_doc]):
+            segs = t.split(".")
+            gone = rm.get(int(d), set())
+            kept_segs = [s for i, s in enumerate(segs, start=1) if i not in gone]
+            n_part = sum(1 for s in segs if s.strip(" ") != "")
+            out_id.append(int(d))
+            out_txt.append(".".join(kept_segs))
+            out_r.append(len(gone))
+            out_k.append(n_part - len(gone))
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "clean_text": pa.array(out_txt, pa.string()),
+                "n_kept": pa.array(out_k, pa.int64()),
+                "n_removed": pa.array(out_r, pa.int64()),
+            }
+        )
+
+    return (
+        docs_ds.map_batches(_doc_side, batch_format="pyarrow")
+        .union(removed.map_batches(_rm_side, batch_format="pyarrow"))
+        .groupby("db")
+        .map_groups(_rebuild, batch_format="pyarrow")
+    )

@@ -1907,3 +1907,67 @@ def test_lang_confusion_matches_lang_id_rollup():
     assert Counter(
         {(r["lang"], r["lang_pred"]): r["n_docs"] for _, r in got.iterrows()}
     ) == expect
+
+
+def test_sentence_dedup_c4_semantics():
+    """Global first-occurrence sentence dedup: duplicated segments vanish
+    everywhere but their smallest (doc_id, pos); structural (space-only)
+    segments always survive; reassembly is byte-exact; partition-count
+    invariant."""
+    import numpy as np
+    import ray.data as rd
+    import pyarrow as pa
+
+    from subgraph_isomorphism_pregel_ray.pipelines.dedup import sentence_dedup
+
+    docs = {
+        10: "unique alpha.the cookie banner.body text one",
+        11: "the cookie banner.body text two..trailing",
+        12: "body text two.the cookie banner. .unique omega.",
+        13: "",
+        14: " . . ",
+    }
+    tbl = pa.table(
+        {
+            "doc_id": np.array(sorted(docs), np.int64),
+            "text": [docs[k] for k in sorted(docs)],
+        }
+    )
+
+    def brute():
+        first = {}
+        for d in sorted(docs):
+            for i, s in enumerate(docs[d].split("."), start=1):
+                if s.strip(" ") == "":
+                    continue
+                first.setdefault(s, (d, i))
+        out = {}
+        for d in sorted(docs):
+            segs = docs[d].split(".")
+            kept = [
+                s
+                for i, s in enumerate(segs, start=1)
+                if s.strip(" ") == "" or first[s] == (d, i)
+            ]
+            n_part = sum(1 for s in segs if s.strip(" ") != "")
+            n_rm = sum(
+                1
+                for i, s in enumerate(segs, start=1)
+                if s.strip(" ") != "" and first[s] != (d, i)
+            )
+            out[d] = (".".join(kept), n_part - n_rm, n_rm)
+        return out
+
+    expect = brute()
+    assert expect[11][2] == 1 and expect[12][2] == 2  # the path is exercised
+    for parts in (1, 4):
+        got = (
+            sentence_dedup(rd.from_arrow(tbl).repartition(parts))
+            .to_pandas()
+            .set_index("doc_id")
+            .sort_index()
+        )
+        assert got.index.tolist() == sorted(docs)
+        for d in sorted(docs):
+            row = got.loc[d]
+            assert (row["clean_text"], int(row["n_kept"]), int(row["n_removed"])) == expect[d], d
