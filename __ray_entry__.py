@@ -2518,6 +2518,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_count": _q_token_count,
         "text_stats": _q_text_stats,
         "exact_dedup": _q_exact_dedup,
+        "sentence_dedup": _q_sentence_dedup,
         "corpus_clean": _q_corpus_clean,
         "vocab_topk": _q_vocab_topk,
         "heavy_hitters": _q_heavy_hitters,
@@ -2711,7 +2712,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "collocations_topk": _q_collocations,
         "readability_by_source": _q_readability_by_source,
         "heaps_law_curve": _q_heaps_law_curve,
-        "sentence_dedup": _q_sentence_dedup,
         "lang_confusion": _q_lang_confusion,
         "token_freq_spectrum": _q_token_freq_spectrum,
         "doclen_percentiles_by_lang": _q_doclen_percentiles_by_lang,

@@ -361,9 +361,9 @@ def run_bench() -> dict:
 # extraction and matching stages.
 
 SCALE_N = int(os.environ.get("GRAFT_SCALE_N", "500000"))
-SCALE_M = int(os.environ.get("GRAFT_SCALE_M", "80000000"))
+SCALE_M = int(os.environ.get("GRAFT_SCALE_M", "160000000"))
 SCALE_PAGES = int(os.environ.get("GRAFT_SCALE_PAGES", "400000"))
-SCALE_P = 32
+SCALE_P = int(os.environ.get("GRAFT_SCALE_P", "32"))
 
 
 def _scale_graph_dir() -> str:
@@ -576,15 +576,48 @@ def _compute_ceiling_probe(ncpu: int) -> float:
     return sum(outs) / len(outs)
 
 
+def _dram_ceiling_probe(ncpu: int) -> float:
+    """Per-process seconds for a fixed DRAM-STREAMING kernel (64 MB
+    working set, far beyond L3) with ncpu processes pinned to ncpu cpus.
+    The L2-resident ``_compute_ceiling_probe`` measures vCPU throttling
+    but NOT the single shared memory controller — and a data engine is
+    memory-bound, so the bandwidth ratio is the binding 8→32 ceiling on
+    this box: at 8-way occupancy each process sees ~full DRAM bandwidth,
+    at 32-way they share it. A real N→4N cluster adds DRAM (and NICs)
+    with every node, which is exactly what this normalization maps onto."""
+    code = (
+        "import time, numpy as np\n"
+        "x = np.random.default_rng(0).random(8_000_000)\n"  # 64 MB
+        "t0=time.time()\n"
+        "for _ in range(12):\n"
+        "    np.multiply(x, 1.0000001, out=x)\n"
+        "    np.add(x, 0.5, out=x)\n"
+        "print(time.time()-t0)\n"
+    )
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", code],
+            stdout=subprocess.PIPE,
+            text=True,
+            preexec_fn=lambda: os.sched_setaffinity(0, range(ncpu)),
+        )
+        for _ in range(ncpu)
+    ]
+    outs = [float(p.communicate()[0]) for p in procs]
+    return sum(outs) / len(outs)
+
+
 def run_scaling() -> dict:
     lo_cpus, hi_cpus = 8, 32
     reps = int(os.environ.get("GRAFT_SCALING_REPS", "2"))
     out = {}
     runs: dict[int, list] = {lo_cpus: [], hi_cpus: []}
     probe: dict[int, list] = {lo_cpus: [], hi_cpus: []}
+    dram: dict[int, list] = {lo_cpus: [], hi_cpus: []}
     for rep in range(reps):  # interleaved reps; per-phase MIN is the
         for ncpu in (hi_cpus, lo_cpus):  # estimator (noisy-neighbor VM)
             probe[ncpu].append(_compute_ceiling_probe(ncpu))
+            dram[ncpu].append(_dram_ceiling_probe(ncpu))
             env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
 
             def _limit(n=ncpu):  # OS-enforced CPU budget: Ray's num_cpus is
@@ -620,6 +653,7 @@ def run_scaling() -> dict:
     # sandbox compute ceiling: per-core speed LOSS at 32-way occupancy makes
     # even a perfectly scaling program measure < 1.0 here (see probe doc)
     ceiling = min(probe[lo_cpus]) / min(probe[hi_cpus])
+    dram_ceiling = min(dram[lo_cpus]) / min(dram[hi_cpus])
     return {
         "metric": "scaling efficiency (8→32 cpus, fresh processes, same input, fixed P; OS-enforced affinity)",
         "value": round(eff, 3),
@@ -630,6 +664,13 @@ def run_scaling() -> dict:
         "compute_ceiling_efficiency": round(ceiling, 3),
         "efficiency_vs_ceiling": round(eff / ceiling, 3),
         "supersteps_efficiency_vs_ceiling": round(ss_hi / ss_lo / ratio / ceiling, 3),
+        # DRAM-bandwidth ceiling (the binding one for a memory-bound engine
+        # on a single shared memory controller; see _dram_ceiling_probe)
+        "dram_ceiling_efficiency": round(dram_ceiling, 3),
+        "supersteps_efficiency_vs_dram_ceiling": round(
+            ss_hi / ss_lo / ratio / dram_ceiling, 3
+        ),
+        "efficiency_vs_dram_ceiling": round(eff / dram_ceiling, 3),
         "sec_8": t_lo,
         "sec_32": t_hi,
         "speedup": round(t_lo / t_hi, 3),
