@@ -1359,6 +1359,42 @@ def _q_hapax_stats(sf_dir: str):
     return hapax_stats(docs)
 
 
+def _q_length_filter_sweep(sf_dir: str):
+    """C4-style min-token threshold sweep (docs/tokens surviving each cut)."""
+    from subgraph_isomorphism_pregel_ray.pipelines.textops import (
+        length_filter_sweep,
+    )
+    from subgraph_isomorphism_pregel_ray.sources.tables import read_table
+
+    docs = read_table(sf_dir, "documents", columns=["text"])
+    return length_filter_sweep(docs)
+
+
+def _q_host_locality(sf_dir: str):
+    """Per-host intra-host link fraction (webgraph block-structure panel).
+    Deterministic synthetic pages, independent of sf_dir by design
+    (same table as host_graph/host_rank/anchor_index)."""
+    import ray.data as rd
+
+    from subgraph_isomorphism_pregel_ray.sources.pages import synth_pages_table
+    from subgraph_isomorphism_pregel_ray.stages.extract import host_locality
+
+    return host_locality(
+        rd.from_arrow(synth_pages_table(_PAGES_ORACLE_N, seed=_PAGES_ORACLE_SEED))
+    )
+
+
+def _q_gopher_quality(sf_dir: str):
+    """Gopher-rule (Rae et al. 2021) quality-failure panel per source."""
+    from subgraph_isomorphism_pregel_ray.pipelines.textops import (
+        gopher_quality_by_source,
+    )
+    from subgraph_isomorphism_pregel_ray.sources.tables import read_table
+
+    docs = read_table(sf_dir, "documents", columns=["source", "text"])
+    return gopher_quality_by_source(docs)
+
+
 def _q_readability_by_source(sf_dir: str):
     """Per-source Flesch reading-ease panel from exact int64 count sums."""
     from subgraph_isomorphism_pregel_ray.pipelines.textops import (
@@ -2520,6 +2556,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup": _q_exact_dedup,
         "sentence_dedup": _q_sentence_dedup,
         "corpus_clean": _q_corpus_clean,
+        "gopher_quality_by_source": _q_gopher_quality,
         "vocab_topk": _q_vocab_topk,
         "heavy_hitters": _q_heavy_hitters,
         "events_sorted": _q_events_sorted,
@@ -2645,6 +2682,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_dup_pairs": _q_simhash_pairs,
         "media_features": _q_media_features,
         "host_graph": _q_host_graph,
+        "host_locality": _q_host_locality,
         "host_rank": _q_host_rank,
         "events_range_join": _q_events_range_join,
         "events_lag": _q_events_lag,
@@ -2701,6 +2739,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_repetition": _q_doc_repetition,
         "contamination": _q_contamination,
         "unigram_quality": _q_unigram_quality,
+        "length_filter_sweep": _q_length_filter_sweep,
         "neighbor_sample_copurchase": _q_neighbor_sample,
         "chunk_documents": _q_chunk_documents,
         "pack_sequences": _q_pack_sequences,
@@ -3004,8 +3043,23 @@ def _pages_oracle_sqls() -> dict[str, str]:
         ", ".join(parts) + " SELECT vid AS host, round(pr, 8) AS rank FROM r10"
     )
 
+    host_locality_sql = (
+        # per-host intra-host link share over the SAME normalized host
+        # pairs as host_graph (relative hrefs → own host); counts are
+        # exact ints, the fraction one IEEE division of the int64 sums
+        f"{hosts_cte}, "
+        "e AS (SELECT sh, CASE WHEN dh = '' THEN sh ELSE dh END AS dh2 "
+        "FROM hosts) "
+        "SELECT sh AS host, CAST(count(*) AS BIGINT) AS n_links, "
+        "CAST(sum(CASE WHEN dh2 = sh THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_self_links, "
+        "round(CAST(sum(CASE WHEN dh2 = sh THEN 1 ELSE 0 END) AS DOUBLE) "
+        "/ CAST(count(*) AS DOUBLE), 6) AS self_fraction "
+        "FROM e GROUP BY 1"
+    )
     return {
         "host_graph": host_graph_sql,
+        "host_locality": host_locality_sql,
         "anchor_index": anchor_index_sql,
         "host_rank": host_rank_sql,
     }
@@ -4686,6 +4740,61 @@ def oracle_sql() -> dict[str, str]:
             "JOIN uc u2 ON u2.tok = bc.w2 WHERE bc.c12 >= 5) "
             "SELECT w1, w2, pair_cnt, score FROM s "
             "ORDER BY score DESC, w1, w2 LIMIT 50"
+        ),
+        "length_filter_sweep": (
+            # threshold × documents cross join; pass-counts and retained
+            # token mass are exact int64 sums — hash-stable
+            "WITH nt AS (SELECT CASE WHEN trim(text) = '' THEN 0 ELSE "
+            "len(list_filter(string_split(text, ' '), x -> x <> '')) END "
+            "AS nw FROM documents), "
+            "t AS (SELECT unnest([10, 25, 50, 100, 200]) AS threshold) "
+            "SELECT CAST(threshold AS BIGINT) AS threshold, "
+            "CAST(sum(CASE WHEN nw >= threshold THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS n_docs_pass, "
+            "CAST(sum(CASE WHEN nw >= threshold THEN nw ELSE 0 END) "
+            "AS BIGINT) AS tokens_retained "
+            "FROM t, nt GROUP BY 1"
+        ),
+        "gopher_quality_by_source": (
+            # integer-form Gopher rules: mean-word-length bounds become
+            # sum_len <?> bound*n_words, alpha fraction 0.8 becomes
+            # 5*n_alpha < 4*n_words, stop-hit is DISTINCT presence of the
+            # 10 en stop words — every flag an exact int compare, so the
+            # per-source sums hash bit-equal to the engine combiner.
+            "WITH d AS (SELECT source, "
+            "list_filter(string_split(text, ' '), x -> x <> '') AS toks, "
+            "length(regexp_replace(text, '\\s', '', 'g')) AS sumlen "
+            "FROM documents), "
+            "m AS (SELECT source, len(toks) AS nw, sumlen, "
+            "len(list_filter(toks, x -> regexp_matches(x, '[a-zA-Z]'))) "
+            "AS n_alpha, "
+            + "("
+            + " + ".join(
+                "CASE WHEN list_contains(list_transform(toks, "
+                f"x -> lower(x)), '{w}') THEN 1 ELSE 0 END"
+                for w in [
+                    "a", "and", "for", "in", "is",
+                    "it", "of", "that", "the", "to",
+                ]
+            )
+            + ") AS hits FROM d), "
+            "f AS (SELECT source, "
+            "CASE WHEN nw = 0 OR nw < 25 OR nw > 5000 THEN 1 ELSE 0 END "
+            "AS f_wc, "
+            "CASE WHEN nw > 0 AND (sumlen < 4 * nw OR sumlen > 10 * nw) "
+            "THEN 1 ELSE 0 END AS f_mwl, "
+            "CASE WHEN nw > 0 AND 5 * n_alpha < 4 * nw THEN 1 ELSE 0 END "
+            "AS f_al, "
+            "CASE WHEN nw > 0 AND hits < 2 THEN 1 ELSE 0 END AS f_st "
+            "FROM m) "
+            "SELECT source, CAST(count(*) AS BIGINT) AS n_docs, "
+            "CAST(sum(f_wc) AS BIGINT) AS fail_word_count, "
+            "CAST(sum(f_mwl) AS BIGINT) AS fail_mean_word_len, "
+            "CAST(sum(f_al) AS BIGINT) AS fail_alpha_frac, "
+            "CAST(sum(f_st) AS BIGINT) AS fail_stopwords, "
+            "CAST(sum(CASE WHEN f_wc + f_mwl + f_al + f_st = 0 "
+            "THEN 1 ELSE 0 END) AS BIGINT) AS n_pass "
+            "FROM f GROUP BY 1"
         ),
         "readability_by_source": (
             # per-doc counts are exact ints; the two ratios are single IEEE

@@ -66,9 +66,12 @@ __all__ = [
     "lang_confusion",
     "token_freq_spectrum",
     "doclen_percentiles_by_lang",
+    "gopher_quality_by_source",
+    "length_filter_sweep",
 ]
 
 _ALNUM_RE = re.compile(r"[a-zA-Z0-9]")
+_ALPHA_ANY_RE = re.compile(r"[a-zA-Z]")
 _BPE_RE = re.compile(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]")
 
 STOPWORDS = {
@@ -3706,4 +3709,145 @@ def doclen_percentiles_by_lang(docs_ds, pcts=(25, 50, 75, 90, 99)):
                 for p in pcts
             },
         }
+    )
+
+
+_GOPHER_STOP_EN = sorted(STOPWORDS["en"])  # the distinct-stopword presence probe
+
+
+def gopher_quality_by_source(
+    docs_ds,
+    min_words: int = 25,
+    max_words: int = 5000,
+    min_mwl: int = 4,
+    max_mwl: int = 10,
+    min_stop_hits: int = 2,
+):
+    """Gopher-style quality-rule panel per source → (source, n_docs,
+    fail_word_count, fail_mean_word_len, fail_alpha_frac, fail_stopwords,
+    n_pass): how many documents from each provenance bucket trip each of
+    the four classic Rae-et-al.-2021 repetition/degeneracy screens —
+    word count outside [min_words, max_words], mean word length outside
+    [min_mwl, max_mwl], fewer than 80% of words containing an alphabetic
+    character, fewer than ``min_stop_hits`` DISTINCT common stop words —
+    plus the count passing all four. The per-source failure profile is
+    the first dashboard a curation run reads before choosing mixture
+    weights. All comparisons are integer-exact (mean word length is
+    tested as ``sum_len <?> bound * n_words``, alpha fraction as
+    ``5 * n_alpha <?> 4 * n_words``) so the output is all-int64 and
+    hash-stable against the SQL oracle.
+
+    Zero-word documents count toward ``fail_word_count`` only (the other
+    rules are vacuous on an empty token list) and never pass.
+
+    Scale shape: ONE stateless ``map_batches`` computing per-batch
+    per-source int64 flag sums (the combiner — each batch emits at most
+    |sources| rows) → ONE small ``groupby(source)`` sum. No text crosses
+    the exchange; at 100 TB the shuffle carries a few counters per block.
+    """
+    from ray.data.aggregate import Sum
+
+    stopset = set(_GOPHER_STOP_EN)
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        srcs = batch["source"].to_pylist()
+        texts = batch["text"].to_pylist()
+        agg: dict[str, list[int]] = {}
+        for s, t in zip(srcs, texts):
+            toks = t.split()
+            nw = len(toks)
+            a = agg.setdefault(s, [0, 0, 0, 0, 0, 0])
+            a[0] += 1
+            if nw == 0:
+                a[1] += 1
+                continue
+            sumlen = sum(len(w) for w in toks)
+            n_alpha = sum(1 for w in toks if _ALPHA_ANY_RE.search(w))
+            hits = len(stopset.intersection(w.lower() for w in toks))
+            f_wc = nw < min_words or nw > max_words
+            f_mwl = sumlen < min_mwl * nw or sumlen > max_mwl * nw
+            f_al = 5 * n_alpha < 4 * nw
+            f_st = hits < min_stop_hits
+            a[1] += f_wc
+            a[2] += f_mwl
+            a[3] += f_al
+            a[4] += f_st
+            a[5] += not (f_wc or f_mwl or f_al or f_st)
+        keys = sorted(agg)
+        cols = [
+            "n_docs",
+            "fail_word_count",
+            "fail_mean_word_len",
+            "fail_alpha_frac",
+            "fail_stopwords",
+            "n_pass",
+        ]
+        return pa.table(
+            {
+                "source": pa.array(keys, pa.string()),
+                **{
+                    c: pa.array([agg[k][i] for k in keys], pa.int64())
+                    for i, c in enumerate(cols)
+                },
+            }
+        )
+
+    return (
+        docs_ds.map_batches(_partial, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("fail_word_count", alias_name="fail_word_count"),
+            Sum("fail_mean_word_len", alias_name="fail_mean_word_len"),
+            Sum("fail_alpha_frac", alias_name="fail_alpha_frac"),
+            Sum("fail_stopwords", alias_name="fail_stopwords"),
+            Sum("n_pass", alias_name="n_pass"),
+        )
+    )
+
+
+def length_filter_sweep(docs_ds, thresholds=(10, 25, 50, 100, 200)):
+    """C4-style length-filter threshold sweep → one row per candidate
+    minimum-token threshold (threshold, n_docs_pass, tokens_retained):
+    how many documents and how much token mass survive each cutoff.
+    Curation runs this BEFORE committing to a filter so the
+    docs-vs-tokens tradeoff is explicit (C4 chose >=3 sentences / >=5
+    words per line; Gopher chose >=50 words — the right value is always
+    corpus-specific). All-integer output → hash-exact.
+
+    Scale shape: ONE stateless ``map_batches`` emitting a
+    |thresholds|-row int64 partial per batch (searchsorted of the
+    batch's token counts against the sorted threshold vector — one
+    vectorized pass, no per-threshold rescan) → ONE tiny
+    ``groupby(threshold)`` sum. No text crosses the exchange."""
+    from ray.data.aggregate import Sum
+
+    th = np.asarray(sorted(thresholds), dtype=np.int64)
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        nw = np.array([len(t.split()) for t in texts], dtype=np.int64)
+        order = np.sort(nw)
+        csum = np.concatenate([[0], np.cumsum(order)])
+        total_docs = len(order)
+        total_toks = int(csum[-1])
+        # docs with nw >= T: suffix beyond searchsorted-left
+        lo = np.searchsorted(order, th, "left")
+        return pa.table(
+            {
+                "threshold": pa.array(th, pa.int64()),
+                "n_docs_pass": pa.array(total_docs - lo, pa.int64()),
+                "tokens_retained": pa.array(
+                    [total_toks - int(csum[i]) for i in lo], pa.int64()
+                ),
+            }
+        )
+
+    return (
+        docs_ds.map_batches(_partial, batch_format="pyarrow")
+        .groupby("threshold")
+        .aggregate(
+            Sum("n_docs_pass", alias_name="n_docs_pass"),
+            Sum("tokens_retained", alias_name="tokens_retained"),
+        )
     )

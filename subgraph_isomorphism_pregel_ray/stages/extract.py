@@ -26,6 +26,7 @@ __all__ = [
     "edge_stage",
     "host_edges_batch",
     "host_graph",
+    "host_locality",
     "host_rank",
     "anchor_batch",
     "anchor_index",
@@ -199,6 +200,58 @@ def host_graph(pages_ds, batch_size: int = 512):
     return agg.map_batches(
         lambda t: t.rename_columns(["src_host", "dst_host", "n_links"]),
         batch_format="pyarrow",
+    )
+
+
+def host_locality(pages_ds, batch_size: int = 512):
+    """Pages → per-host link-locality panel (host, n_links, n_self_links,
+    self_fraction): of all href edges leaving pages on a host, how many
+    stay on the same host. The intra-host fraction is the standard
+    webgraph block-structure diagnostic (cc-webgraph publishes it per
+    crawl) and the quantity that justifies host-partitioning the edge
+    table — a high fraction means a host-hashed layout keeps most BSP
+    messages partition-local.
+
+    Scale shape: builds on :func:`host_graph` (per-batch host-pair
+    combiner → ONE groupby over the tiny host-pair keyspace), then a
+    second per-batch combiner folds pairs to per-host totals — the only
+    exchanges carry (host, int, int) rows. ``self_fraction`` is a single
+    IEEE division of the exact int64 sums, rounded half-away-from-zero
+    (``functions/rounding.py``) to stay bit-equal to the SQL oracle."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.rounding import round_half_away
+
+    hg = host_graph(pages_ds, batch_size=batch_size)
+
+    def _partial(t: pa.Table) -> pa.Table:
+        src = np.asarray(t["src_host"].to_pylist(), dtype=object)
+        dst = np.asarray(t["dst_host"].to_pylist(), dtype=object)
+        n = t["n_links"].to_numpy()
+        is_self = (src == dst).astype(np.int64)
+        return pa.table(
+            {
+                "host": pa.array(src, pa.string()),
+                "n_links": pa.array(n, pa.int64()),
+                "n_self_links": pa.array(n * is_self, pa.int64()),
+            }
+        )
+
+    def _frac(t: pa.Table) -> pa.Table:
+        tot = t["n_links"].to_numpy().astype(np.float64)
+        self_ = t["n_self_links"].to_numpy().astype(np.float64)
+        return t.append_column(
+            "self_fraction", pa.array(round_half_away(self_ / tot, 6))
+        )
+
+    return (
+        hg.map_batches(_partial, batch_format="pyarrow")
+        .groupby("host")
+        .aggregate(
+            Sum("n_links", alias_name="n_links"),
+            Sum("n_self_links", alias_name="n_self_links"),
+        )
+        .map_batches(_frac, batch_format="pyarrow")
     )
 
 

@@ -132,3 +132,42 @@ def test_anchor_index_vs_scalar_reference(ray_session):
             for r in got.itertuples()
         }
         assert gmap == exp, bs
+
+
+def test_host_locality_vs_scalar_reference(ray_session):
+    """host_locality == a per-host Counter over host_of of every href
+    edge (relative hrefs resolve to the linking page's own host), with
+    self_fraction the rounded IEEE division of the exact int sums."""
+    from collections import defaultdict
+
+    import ray.data as rd
+
+    from subgraph_isomorphism_pregel_ray.functions.extract import host_of
+    from subgraph_isomorphism_pregel_ray.functions.rounding import (
+        round_half_away,
+    )
+    from subgraph_isomorphism_pregel_ray.sources.pages import synth_pages_table
+    from subgraph_isomorphism_pregel_ray.stages.extract import host_locality
+
+    pages = synth_pages_table(600, seed=42)
+    tot: dict[str, int] = defaultdict(int)
+    self_: dict[str, int] = defaultdict(int)
+    for u, h in zip(pages["url"].to_pylist(), pages["html"].to_pylist()):
+        sh = host_of(u)
+        for t in extract_hrefs(h):
+            th = host_of(t) or sh
+            tot[sh] += 1
+            self_[sh] += th == sh
+    got = host_locality(rd.from_arrow(pages), batch_size=128).to_pandas()
+    assert sorted(got["host"]) == sorted(tot)
+    for r in got.itertuples():
+        assert int(r.n_links) == tot[r.host]
+        assert int(r.n_self_links) == self_[r.host]
+        assert r.self_fraction == float(
+            round_half_away(
+                np.array([self_[r.host] / tot[r.host]]), 6
+            )[0]
+        )
+    # the synthetic web must exercise both intra- and cross-host links
+    assert got["n_self_links"].sum() > 0
+    assert (got["n_links"] - got["n_self_links"]).sum() > 0

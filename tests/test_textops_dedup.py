@@ -1971,3 +1971,112 @@ def test_sentence_dedup_c4_semantics():
         for d in sorted(docs):
             row = got.loc[d]
             assert (row["clean_text"], int(row["n_kept"]), int(row["n_removed"])) == expect[d], d
+
+
+def test_gopher_quality_by_source_vs_scalar_reference():
+    """Gopher-rule flag sums equal a direct per-doc scalar replay,
+    including zero-word docs, sub-threshold word counts, long/short mean
+    word length, non-alpha tokens and case-folded stop-word hits."""
+    import re
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from subgraph_isomorphism_pregel_ray.pipelines.textops import (
+        STOPWORDS,
+        gopher_quality_by_source,
+    )
+
+    rng = np.random.default_rng(11)
+    words = ["the", "The", "and", "OF", "to", "123", "$$$", "zz",
+             "abcdefghijklmn", "ok", "supercalifragilistic"]
+    rows = []
+    for _ in range(200):
+        n = int(rng.integers(0, 60))
+        rows.append(
+            {
+                "source": f"s{int(rng.integers(4))}",
+                "text": " ".join(rng.choice(words, n).tolist()),
+            }
+        )
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "source": [r["source"] for r in rows],
+                "text": [r["text"] for r in rows],
+            }
+        )
+    ).repartition(7)
+    got = (
+        gopher_quality_by_source(ds, min_words=25, max_words=40)
+        .to_pandas()
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+
+    alpha = re.compile(r"[a-zA-Z]")
+    stopset = set(STOPWORDS["en"])
+    agg = {}
+    for r in rows:
+        toks = r["text"].split()
+        nw = len(toks)
+        a = agg.setdefault(r["source"], [0, 0, 0, 0, 0, 0])
+        a[0] += 1
+        if nw == 0:
+            a[1] += 1
+            continue
+        sumlen = sum(len(w) for w in toks)
+        f_wc = nw < 25 or nw > 40
+        f_mwl = sumlen < 4 * nw or sumlen > 10 * nw
+        f_al = 5 * sum(1 for w in toks if alpha.search(w)) < 4 * nw
+        f_st = len(stopset.intersection(w.lower() for w in toks)) < 2
+        a[1] += f_wc
+        a[2] += f_mwl
+        a[3] += f_al
+        a[4] += f_st
+        a[5] += not (f_wc or f_mwl or f_al or f_st)
+    assert sorted(agg) == got["source"].tolist()
+    cols = ["n_docs", "fail_word_count", "fail_mean_word_len",
+            "fail_alpha_frac", "fail_stopwords", "n_pass"]
+    for _, row in got.iterrows():
+        assert [row[c] for c in cols] == agg[row["source"]]
+    # every rule must actually fire somewhere in this fixture
+    sums = got[cols[1:]].sum()
+    assert (sums > 0).all(), sums
+
+
+def test_length_filter_sweep_vs_scalar_reference():
+    """Threshold sweep counts equal a direct per-doc replay, including
+    empty docs, custom thresholds and multi-block inputs."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from subgraph_isomorphism_pregel_ray.pipelines.textops import (
+        length_filter_sweep,
+    )
+
+    rng = np.random.default_rng(5)
+    texts = [
+        " ".join(f"w{j}" for j in range(int(rng.integers(0, 30))))
+        for _ in range(300)
+    ]
+    texts[0] = ""
+    texts[1] = "   "
+    ds = rd.from_arrow(pa.table({"text": texts})).repartition(9)
+    th = (1, 5, 12, 40)
+    got = (
+        length_filter_sweep(ds, thresholds=th)
+        .to_pandas()
+        .sort_values("threshold")
+        .reset_index(drop=True)
+    )
+    nw = [len(t.split()) for t in texts]
+    assert got["threshold"].tolist() == sorted(th)
+    for _, row in got.iterrows():
+        t = row["threshold"]
+        assert row["n_docs_pass"] == sum(1 for n in nw if n >= t)
+        assert row["tokens_retained"] == sum(n for n in nw if n >= t)
+    # threshold 40 > every doc → zero row must survive exactly
+    assert got.iloc[-1]["n_docs_pass"] == 0
