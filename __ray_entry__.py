@@ -1395,6 +1395,74 @@ def _q_gopher_quality(sf_dir: str):
     return gopher_quality_by_source(docs)
 
 
+def _q_incremental_dedup(sf_dir: str):
+    """Incremental-ingest anti-join: new-snapshot docs (odd doc_id) whose
+    exact text never appeared in the old snapshot (even doc_id)."""
+    import pyarrow.compute as pc
+
+    from subgraph_isomorphism_pregel_ray.pipelines.dedup import incremental_dedup
+    from subgraph_isomorphism_pregel_ray.sources.tables import read_table
+
+    def _parity(par: int):
+        def _f(t):
+            mask = pc.equal(pc.bit_wise_and(t["doc_id"], 1), par)
+            return t.filter(mask)
+
+        return _f
+
+    old = read_table(sf_dir, "documents", columns=["doc_id", "source", "text"]).map_batches(
+        _parity(0), batch_format="pyarrow"
+    )
+    new = read_table(sf_dir, "documents", columns=["doc_id", "source", "text"]).map_batches(
+        _parity(1), batch_format="pyarrow"
+    )
+    return incremental_dedup(old, new)
+
+
+def _q_vocab_coverage_curve(sf_dir: str):
+    """Top-k vocabulary coverage curve (tokenizer vocab-size selection)."""
+    from subgraph_isomorphism_pregel_ray.pipelines.textops import (
+        vocab_coverage_curve,
+    )
+    from subgraph_isomorphism_pregel_ray.sources.tables import read_table
+
+    docs = read_table(sf_dir, "documents", columns=["text"])
+    return vocab_coverage_curve(docs)
+
+
+def _q_temperature_mixture(sf_dir: str):
+    """Temperature-scaled (alpha=0.3) source-sampling panel."""
+    from subgraph_isomorphism_pregel_ray.pipelines.textops import temperature_mixture
+    from subgraph_isomorphism_pregel_ray.sources.tables import read_table
+
+    docs = read_table(sf_dir, "documents", columns=["source", "text"])
+    return temperature_mixture(docs)
+
+
+def _q_tokenizer_fertility(sf_dir: str):
+    """Pre-tokenizer pieces-per-word fertility panel per language."""
+    from subgraph_isomorphism_pregel_ray.pipelines.textops import tokenizer_fertility
+    from subgraph_isomorphism_pregel_ray.sources.tables import read_table
+
+    docs = read_table(sf_dir, "documents", columns=["lang", "text"])
+    return tokenizer_fertility(docs)
+
+
+def _q_page_indegree_histogram(sf_dir: str):
+    """Page-level in-degree power-law census (log2 buckets).
+    Deterministic synthetic pages, independent of sf_dir by design."""
+    import ray.data as rd
+
+    from subgraph_isomorphism_pregel_ray.sources.pages import synth_pages_table
+    from subgraph_isomorphism_pregel_ray.stages.extract import (
+        page_indegree_histogram,
+    )
+
+    return page_indegree_histogram(
+        rd.from_arrow(synth_pages_table(_PAGES_ORACLE_N, seed=_PAGES_ORACLE_SEED))
+    )
+
+
 def _q_readability_by_source(sf_dir: str):
     """Per-source Flesch reading-ease panel from exact int64 count sums."""
     from subgraph_isomorphism_pregel_ray.pipelines.textops import (
@@ -2555,9 +2623,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_stats": _q_text_stats,
         "exact_dedup": _q_exact_dedup,
         "sentence_dedup": _q_sentence_dedup,
+        "incremental_dedup": _q_incremental_dedup,
         "corpus_clean": _q_corpus_clean,
         "gopher_quality_by_source": _q_gopher_quality,
         "vocab_topk": _q_vocab_topk,
+        "vocab_coverage_curve": _q_vocab_coverage_curve,
         "heavy_hitters": _q_heavy_hitters,
         "events_sorted": _q_events_sorted,
         "events_asof": _q_events_asof,
@@ -2664,6 +2734,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "countmin_topk": _q_countmin,
         "nb_source_pred": _q_nb_source_pred,
         "lang_by_source": _q_lang_by_source,
+        "tokenizer_fertility": _q_tokenizer_fertility,
         "embedding_label_centroids": _q_embedding_label_centroids,
         "simhash": _q_simhash,
         "minhash_dup_pairs": _q_minhash_pairs,
@@ -2683,6 +2754,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": _q_media_features,
         "host_graph": _q_host_graph,
         "host_locality": _q_host_locality,
+        "page_indegree_histogram": _q_page_indegree_histogram,
         "host_rank": _q_host_rank,
         "events_range_join": _q_events_range_join,
         "events_lag": _q_events_lag,
@@ -2717,6 +2789,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_first_last": _q_user_first_last,
         "bigram_cross_entropy": _q_bigram_cross_entropy,
         "source_mixture_weights": _q_source_mixture_weights,
+        "temperature_mixture": _q_temperature_mixture,
         "events_daily_delta": _q_events_daily_delta,
         "events_props_stats": _q_events_props_stats,
         "parts_skyline": _q_parts_skyline,
@@ -3057,11 +3130,31 @@ def _pages_oracle_sqls() -> dict[str, str]:
         "/ CAST(count(*) AS DOUBLE), 6) AS self_fraction "
         "FROM e GROUP BY 1"
     )
+    page_indegree_sql = (
+        # in-degree per normalized target url (fragment strip + lowercase
+        # scheme+host — normalize_url restricted to this corpus: urls are
+        # lowercase, non-root, no trailing slash), then floor(log2) buckets;
+        # log2/floor of exact ints < 2^53 are exact IEEE ops
+        f"WITH pages AS (SELECT decode(html) AS h "
+        f"FROM read_parquet('{path}')), "
+        f"raw AS (SELECT unnest(regexp_extract_all(h, "
+        f"$re${pat_href}$re$, 1)) AS href FROM pages), "
+        "u1 AS (SELECT CASE WHEN position('#' IN href) > 0 "
+        "THEN substr(href, 1, position('#' IN href) - 1) ELSE href END "
+        "AS u FROM raw), "
+        f"norm AS (SELECT concat(lower(regexp_extract(u, "
+        f"'{scheme_host_pat}', 1)), regexp_replace(u, "
+        f"'{scheme_host_pat}', '')) AS dst FROM u1), "
+        "c AS (SELECT dst, count(*) AS n FROM norm GROUP BY 1) "
+        "SELECT CAST(floor(log2(n)) AS BIGINT) AS indeg_bucket, "
+        "CAST(count(*) AS BIGINT) AS n_urls FROM c GROUP BY 1"
+    )
     return {
         "host_graph": host_graph_sql,
         "host_locality": host_locality_sql,
         "anchor_index": anchor_index_sql,
         "host_rank": host_rank_sql,
+        "page_indegree_histogram": page_indegree_sql,
     }
 
 
@@ -4503,6 +4596,57 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY doc_id) "
             "SELECT doc_id, CAST(n AS BIGINT) AS n_bigrams, "
             "round(s / n, 6) AS bigram_cross_entropy FROM s"
+        ),
+        "incremental_dedup": (
+            # new snapshot (odd doc_id) anti-joined against old (even) on
+            # exact text content — md5 in the engine, text equality here
+            # (same convention as exact_dedup)
+            "SELECT d.doc_id, d.source FROM documents d "
+            "WHERE d.doc_id % 2 = 1 AND NOT EXISTS ("
+            "SELECT 1 FROM documents o WHERE o.doc_id % 2 = 0 "
+            "AND o.text = d.text)"
+        ),
+        "vocab_coverage_curve": (
+            # rank by the vocab_topk total order (cnt DESC, token ASC);
+            # covered mass and total are exact int64 sums, coverage ONE
+            # IEEE division per row
+            f"WITH tok AS (SELECT unnest({toks}) AS token FROM documents "
+            "WHERE trim(text) <> ''), "
+            "cnt AS (SELECT token, count(*) AS c FROM tok GROUP BY 1), "
+            "r AS (SELECT c, row_number() OVER (ORDER BY c DESC, token) "
+            "AS rk FROM cnt), "
+            "tot AS (SELECT sum(c) AS t FROM cnt), "
+            "kk AS (SELECT unnest([10, 50, 100, 1000, 10000]) AS k) "
+            "SELECT CAST(kk.k AS BIGINT) AS k, "
+            "CAST((SELECT coalesce(sum(c), 0) FROM r WHERE rk <= kk.k) "
+            "AS BIGINT) AS covered_tokens, "
+            "round((SELECT coalesce(sum(c), 0) FROM r WHERE rk <= kk.k) "
+            "* 1.0 / tot.t, 6) AS coverage FROM kk, tot"
+        ),
+        "temperature_mixture": (
+            # alpha=0.3 temperature panel; share and pow are per-row IEEE
+            # evaluations of exact int64 sums (libm pow both sides);
+            # normalization is deliberately NOT done (cross-row float sum
+            # has engine-dependent addend order — see engine docstring)
+            "WITH st AS (SELECT source, "
+            f"sum(CASE WHEN trim(text) = '' THEN 0 ELSE len({sp_toks}) END) "
+            "AS n_tokens FROM documents GROUP BY 1), "
+            "tot AS (SELECT sum(n_tokens) AS t FROM st) "
+            "SELECT source, CAST(n_tokens AS BIGINT) AS n_tokens, "
+            "round(n_tokens * 1.0 / tot.t, 6) AS token_share, "
+            "round(pow(n_tokens * 1.0 / tot.t, 0.3), 6) AS sampling_score "
+            "FROM st, tot"
+        ),
+        "tokenizer_fertility": (
+            # whitespace words vs GPT-2-style pre-tokenizer pieces per
+            # lang; fertility = ONE division of the exact int64 sums
+            f"WITH d AS (SELECT lang, {ntok} AS nw, "
+            "len(regexp_extract_all(text, "
+            "'[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS np FROM documents), "
+            "s AS (SELECT lang, CAST(sum(nw) AS BIGINT) AS n_words, "
+            "CAST(sum(np) AS BIGINT) AS n_pieces FROM d GROUP BY 1) "
+            "SELECT lang, n_words, n_pieces, "
+            "round(n_pieces * 1.0 / n_words, 6) AS fertility FROM s"
         ),
         "source_mixture_weights": (
             # uniform-target mixing weights; share/weight are single IEEE

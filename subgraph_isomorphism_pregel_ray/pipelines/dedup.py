@@ -53,6 +53,7 @@ __all__ = [
     "shingle_containment",
     "dup_rate_by_source",
     "sentence_dedup",
+    "incremental_dedup",
 ]
 
 _MERSENNE = np.uint64((1 << 61) - 1)
@@ -1454,4 +1455,70 @@ def sentence_dedup(docs_ds, num_buckets: int = 64):
         .union(removed.map_batches(_rm_side, batch_format="pyarrow"))
         .groupby("db")
         .map_groups(_rebuild, batch_format="pyarrow")
+    )
+
+
+def incremental_dedup(old_ds, new_ds, num_buckets: int = 64):
+    """Incremental-ingest exact dedup: of the NEW snapshot's documents,
+    keep those whose exact text content never appeared in the OLD
+    snapshot → (doc_id, source). The Common-Crawl ingest shape — each
+    monthly crawl is mostly re-crawled pages, and the curation pipeline
+    anti-joins the new crawl against everything already held before any
+    expensive per-doc work runs. Duplicates *within* the new snapshot
+    both survive (pure anti-join semantics, exactly SQL ``NOT EXISTS``);
+    compose with :func:`exact_dedup` for full dedup.
+
+    Scale shape: both sides hash text to one int64 (``md5_lower64`` ≡
+    DuckDB ``md5_number_lower``) inside ``map_batches`` — text never
+    crosses an exchange. The old side sends DISTINCT hashes only
+    (in-batch ``np.unique`` combine); the new side sends (hash, doc_id,
+    source). ONE ``groupby(bucket)`` co-partitions the two sides and a
+    vectorized ``np.isin`` per bucket resolves the anti-join — the
+    bucketed repartition-join pattern (same as the TPC-H anti/semi
+    family, relational.py), no acero join, no driver-side set. At 100 TB
+    the exchange carries ≤ 24 bytes/doc + 8 bytes/distinct-old-hash; a
+    bloom prefilter broadcast of the old side would cut the new-side
+    exchange further but changes no semantics.
+    """
+    B = np.int64(num_buckets)
+
+    def _old(t: pa.Table) -> pa.Table:
+        h = np.unique(md5_lower64(np.asarray(t["text"].to_pylist(), dtype=object)))
+        return pa.table(
+            {
+                "h": h,
+                "doc_id": np.full(len(h), -1, np.int64),
+                "source": pa.array([""] * len(h), pa.string()),
+                "b": ((h % np.uint64(num_buckets)).astype(np.int32)),
+            }
+        )
+
+    def _new(t: pa.Table) -> pa.Table:
+        h = md5_lower64(np.asarray(t["text"].to_pylist(), dtype=object))
+        return pa.table(
+            {
+                "h": h,
+                "doc_id": t["doc_id"],
+                "source": t["source"],
+                "b": ((h % np.uint64(num_buckets)).astype(np.int32)),
+            }
+        )
+
+    def _anti(g: pa.Table) -> pa.Table:
+        doc = g["doc_id"].to_numpy()
+        h = g["h"].to_numpy()
+        probe = doc >= 0
+        keep = probe & ~np.isin(h, h[~probe])
+        return pa.table(
+            {
+                "doc_id": pa.array(doc[keep], pa.int64()),
+                "source": g["source"].filter(pa.array(keep)),
+            }
+        )
+
+    return (
+        old_ds.map_batches(_old, batch_format="pyarrow")
+        .union(new_ds.map_batches(_new, batch_format="pyarrow"))
+        .groupby("b")
+        .map_groups(_anti, batch_format="pyarrow")
     )

@@ -68,6 +68,9 @@ __all__ = [
     "doclen_percentiles_by_lang",
     "gopher_quality_by_source",
     "length_filter_sweep",
+    "temperature_mixture",
+    "tokenizer_fertility",
+    "vocab_coverage_curve",
 ]
 
 _ALNUM_RE = re.compile(r"[a-zA-Z0-9]")
@@ -3850,4 +3853,193 @@ def length_filter_sweep(docs_ds, thresholds=(10, 25, 50, 100, 200)):
             Sum("n_docs_pass", alias_name="n_docs_pass"),
             Sum("tokens_retained", alias_name="tokens_retained"),
         )
+    )
+
+
+def temperature_mixture(docs_ds, alpha: float = 0.3, round_to: int = 6):
+    """Temperature-scaled source-sampling panel (the multilingual /
+    multi-source sampling rule of Lample & Conneau 2019 §3.1, q_i ∝
+    p_i^alpha) → (source, n_tokens, token_share, sampling_score) with
+    token_share = n_i / N and sampling_score = (n_i / N)^alpha — the
+    UNNORMALIZED temperature weight. Normalization (÷ Σ scores) is left
+    to the caller on the |sources|-row result: a cross-row float sum has
+    engine-dependent addend order, so the hash-checked contract stops at
+    per-row functions of exact int64 sums (same discipline as
+    ``source_mixture_weights``, whose uniform-target weight is expressible
+    per-row; the temperature weight is not).
+
+    Scale shape: identical to ``source_mixture_weights`` — per-batch
+    (source → token-count) int64 partials, one tiny groupby-sum,
+    |sources| rows reach the driver; share and pow are single IEEE
+    evaluations of the exact ints (numpy and the SQL oracle both call
+    libm pow → bit-equal), rounded half-away."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.rounding import round_half_away
+
+    def _partial(b: pa.Table) -> pa.Table:
+        src = b["source"].to_numpy(zero_copy_only=False)
+        ntok = np.array([len(_tokens(t)) for t in b["text"].to_pylist()], np.int64)
+        u, inv = np.unique(src, return_inverse=True)
+        s = np.zeros(len(u), np.int64)
+        np.add.at(s, inv, ntok)
+        return pa.table({"source": pa.array(list(u), pa.string()), "n": s})
+
+    agg = (
+        docs_ds.map_batches(_partial, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(Sum("n", alias_name="n_tokens"))
+    )
+
+    def _score(t: pa.Table) -> pa.Table:
+        raw = t["n_tokens"].to_numpy()
+        total = float(int(raw.sum()))  # exact int64 sum, ONE conversion
+        share = raw.astype(np.float64) / total
+        return pa.table(
+            {
+                "source": t["source"],
+                "n_tokens": t["n_tokens"],
+                "token_share": round_half_away(share, round_to),
+                "sampling_score": round_half_away(share**alpha, round_to),
+            }
+        )
+
+    # repartition(1) pins the |sources|-row result into ONE block so the
+    # exact-int total inside _score is global (cheap: ≤ |sources| rows)
+    return agg.repartition(1).map_batches(
+        _score, batch_format="pyarrow", batch_size=None
+    )
+
+
+def tokenizer_fertility(docs_ds, round_to: int = 6):
+    """Tokenizer-fertility panel per language → (lang, n_words, n_pieces,
+    fertility): whitespace words vs pre-tokenizer pieces (the
+    letter-run / digit-run / single-symbol split of ``_BPE_RE`` — the
+    GPT-2-style pre-tokenization) and their ratio. Fertility (pieces per
+    word) is THE standard multilingual tokenizer-cost metric (Rust et
+    al. 2021): a lang with fertility 3× another consumes 3× the sequence
+    length per word, which drives per-language sampling and cost models.
+
+    Scale shape: one stateless ``map_batches`` emitting per-batch
+    per-lang int64 (word, piece) sums → one tiny ``groupby(lang)`` sum;
+    fertility is a single IEEE division of the exact int64 sums, rounded
+    half-away — bit-equal to the SQL oracle's regexp replay."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.rounding import round_half_away
+
+    def _partial(b: pa.Table) -> pa.Table:
+        langs = b["lang"].to_numpy(zero_copy_only=False)
+        texts = b["text"].to_pylist()
+        u, inv = np.unique(langs, return_inverse=True)
+        w = np.zeros(len(u), np.int64)
+        p = np.zeros(len(u), np.int64)
+        for i, t in enumerate(texts):
+            w[inv[i]] += len(t.split())
+            p[inv[i]] += len(_BPE_RE.findall(t))
+        return pa.table(
+            {
+                "lang": pa.array(list(u), pa.string()),
+                "n_words": w,
+                "n_pieces": p,
+            }
+        )
+
+    def _ratio(t: pa.Table) -> pa.Table:
+        w = t["n_words"].to_numpy().astype(np.float64)
+        p = t["n_pieces"].to_numpy().astype(np.float64)
+        return t.append_column(
+            "fertility", pa.array(round_half_away(p / w, round_to))
+        )
+
+    return (
+        docs_ds.map_batches(_partial, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(
+            Sum("n_words", alias_name="n_words"),
+            Sum("n_pieces", alias_name="n_pieces"),
+        )
+        .map_batches(_ratio, batch_format="pyarrow")
+    )
+
+
+def vocab_coverage_curve(docs_ds, ks=(10, 50, 100, 1000, 10000), round_to: int = 6):
+    """Vocabulary-size selection curve → one row per candidate vocab size
+    (k, covered_tokens, coverage): how much of the corpus token mass the
+    top-k most frequent tokens cover. THE plot a tokenizer build reads
+    before fixing its vocab size (coverage elbows are where extra vocab
+    stops paying for embedding-table bytes). Rank order is the total
+    (cnt DESC, token ASC) order of ``vocab_topk``, so the cut at every k
+    is deterministic on both sides; coverage is ONE IEEE division of
+    exact int64 sums per row.
+
+    Scale shape: per-batch (token, count) histograms (Heaps'-law-bounded
+    combine) → ONE ``groupby(token)`` sum → each post-groupby block emits
+    its local top-max(ks) candidates PLUS one total-mass marker row (the
+    global top-k is a subset of the union of per-block top-k's, since
+    blocks hold disjoint tokens after the groupby) → the ≤ blocks·max(ks)
+    candidate rows fold in ONE final block. The full vocabulary never
+    reaches the driver."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.rounding import round_half_away
+
+    ks = sorted(ks)
+    kmax = ks[-1]
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        toks: list[str] = []
+        for t in batch["text"].to_pylist():
+            toks.extend(_tokens(t))
+        if not toks:
+            return pa.table(
+                {"token": pa.array([], pa.string()), "cnt": pa.array([], pa.int64())}
+            )
+        u, c = np.unique(np.asarray(toks, dtype=object), return_counts=True)
+        return pa.table(
+            {"token": pa.array(u.tolist(), pa.string()), "cnt": c.astype(np.int64)}
+        )
+
+    def _candidates(t: pa.Table) -> pa.Table:
+        tok = np.asarray(t["token"].to_pylist(), dtype=object)
+        cnt = t["cnt"].to_numpy()
+        order = np.lexsort((tok, -cnt))[:kmax]
+        return pa.table(
+            {
+                # marker row: is_total=1 carries this block's exact mass
+                "token": pa.array(list(tok[order]) + [""], pa.string()),
+                "cnt": pa.array(list(cnt[order]) + [int(cnt.sum())], pa.int64()),
+                "is_total": pa.array([0] * len(order) + [1], pa.int64()),
+            }
+        )
+
+    def _fold(t: pa.Table) -> pa.Table:
+        is_total = t["is_total"].to_numpy()
+        cnt = t["cnt"].to_numpy()
+        total = int(cnt[is_total == 1].sum())
+        tok = np.asarray(t["token"].to_pylist(), dtype=object)[is_total == 0]
+        c = cnt[is_total == 0]
+        order = np.lexsort((tok, -c))
+        csum = np.cumsum(c[order])
+        covered = np.array(
+            [int(csum[min(k, len(csum)) - 1]) if len(csum) else 0 for k in ks],
+            np.int64,
+        )
+        return pa.table(
+            {
+                "k": pa.array(ks, pa.int64()),
+                "covered_tokens": covered,
+                "coverage": round_half_away(
+                    covered.astype(np.float64) / float(total), round_to
+                ),
+            }
+        )
+
+    return (
+        docs_ds.map_batches(_partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .map_batches(_candidates, batch_format="pyarrow", batch_size=None)
+        .repartition(1)
+        .map_batches(_fold, batch_format="pyarrow", batch_size=None)
     )

@@ -27,6 +27,7 @@ __all__ = [
     "host_edges_batch",
     "host_graph",
     "host_locality",
+    "page_indegree_histogram",
     "host_rank",
     "anchor_batch",
     "anchor_index",
@@ -308,4 +309,55 @@ def edge_stage(pages_ds, batch_size: int = 512):
     """Dataset stage: pages → edge table of url-hash pairs."""
     return pages_ds.map_batches(
         edges_batch, batch_format="pyarrow", batch_size=batch_size
+    )
+
+
+def page_indegree_histogram(pages_ds, batch_size: int = 512):
+    """Pages → page-level in-degree power-law census → (indeg_bucket,
+    n_urls) with indeg_bucket = floor(log2(in-degree)): how many distinct
+    normalized target urls receive 1, 2-3, 4-7, … in-links. The classic
+    webgraph degree-distribution check (Broder et al. 2000 report it per
+    crawl — public); a curation run reads it to size hot-key salting for
+    any per-url shuffle (the top bucket IS the skew).
+
+    Scale shape: per-batch (dst_url, n) partial counts (in-batch
+    ``np.unique`` combine — popular targets collapse before the
+    exchange) → ONE ``groupby(dst_url)`` sum over url strings → per-batch
+    log2-bucket partials → one tiny ``groupby(bucket)`` sum. ``log2`` of
+    an exact int64 < 2⁵³ and ``floor`` are both exact IEEE ops, so the
+    output is all-int64 and hash-stable against the SQL replay."""
+    from ray.data.aggregate import Sum
+
+    def _dsts(batch: pa.Table) -> pa.Table:
+        dsts: list[str] = []
+        for h in batch["html"].to_pylist():
+            for t in extract_hrefs(h):
+                dsts.append(normalize_url(t))
+        if not dsts:
+            return pa.table(
+                {
+                    "dst_url": pa.array([], type=pa.string()),
+                    "n": pa.array([], type=pa.int64()),
+                }
+            )
+        u, counts = np.unique(np.asarray(dsts, dtype=str), return_counts=True)
+        return pa.table(
+            {"dst_url": pa.array(list(u)), "n": counts.astype(np.int64)}
+        )
+
+    def _bucket(t: pa.Table) -> pa.Table:
+        n = t["n"].to_numpy()
+        buck = np.floor(np.log2(n.astype(np.float64))).astype(np.int64)
+        u, counts = np.unique(buck, return_counts=True)
+        return pa.table(
+            {"indeg_bucket": u, "n_urls": counts.astype(np.int64)}
+        )
+
+    return (
+        pages_ds.map_batches(_dsts, batch_format="pyarrow", batch_size=batch_size)
+        .groupby("dst_url")
+        .aggregate(Sum("n", alias_name="n"))
+        .map_batches(_bucket, batch_format="pyarrow")
+        .groupby("indeg_bucket")
+        .aggregate(Sum("n_urls", alias_name="n_urls"))
     )

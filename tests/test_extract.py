@@ -171,3 +171,35 @@ def test_host_locality_vs_scalar_reference(ray_session):
     # the synthetic web must exercise both intra- and cross-host links
     assert got["n_self_links"].sum() > 0
     assert (got["n_links"] - got["n_self_links"]).sum() > 0
+
+
+def test_page_indegree_histogram_vs_scalar_reference(ray_session):
+    """Log2 in-degree buckets equal a direct Counter over normalized
+    hrefs, at two batch sizes."""
+    import math
+    from collections import Counter
+
+    import ray.data as rd
+
+    from subgraph_isomorphism_pregel_ray.functions.extract import normalize_url
+    from subgraph_isomorphism_pregel_ray.sources.pages import synth_pages_table
+    from subgraph_isomorphism_pregel_ray.stages.extract import (
+        page_indegree_histogram,
+    )
+
+    pages = synth_pages_table(600, seed=42)
+    indeg: Counter = Counter()
+    for h in pages["html"].to_pylist():
+        for t in extract_hrefs(h):
+            indeg[normalize_url(t)] += 1
+    exp: Counter = Counter()
+    for n in indeg.values():
+        exp[int(math.floor(math.log2(n)))] += 1
+    for bs in (64, 512):
+        got = page_indegree_histogram(
+            rd.from_arrow(pages), batch_size=bs
+        ).to_pandas()
+        gmap = dict(zip(got["indeg_bucket"], got["n_urls"]))
+        assert gmap == dict(exp), bs
+    # the synthetic web is preferential-attachment skewed → ≥ 4 buckets
+    assert len(exp) >= 4

@@ -2080,3 +2080,166 @@ def test_length_filter_sweep_vs_scalar_reference():
         assert row["tokens_retained"] == sum(n for n in nw if n >= t)
     # threshold 40 > every doc → zero row must survive exactly
     assert got.iloc[-1]["n_docs_pass"] == 0
+
+
+def test_incremental_dedup_anti_join_semantics():
+    """New docs sharing text with the old snapshot are dropped; dups
+    WITHIN the new snapshot both survive (pure anti-join, == NOT EXISTS)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from subgraph_isomorphism_pregel_ray.pipelines.dedup import incremental_dedup
+
+    old = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 2, 4], pa.int64()),
+                "source": ["a", "a", "b"],
+                "text": ["alpha", "beta", "gamma"],
+            }
+        )
+    ).repartition(2)
+    new = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 3, 5, 7], pa.int64()),
+                "source": ["a", "b", "b", "c"],
+                "text": ["alpha", "delta", "delta", "gamma"],
+            }
+        )
+    ).repartition(3)
+    got = (
+        incremental_dedup(old, new, num_buckets=4)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # 1 (alpha) and 7 (gamma) collide with old; both 3 and 5 (delta) survive
+    assert got["doc_id"].tolist() == [3, 5]
+    assert got["source"].tolist() == ["b", "b"]
+
+
+def test_temperature_mixture_vs_scalar_reference():
+    """Shares and pow-alpha scores equal a direct per-source replay of
+    exact int token sums."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from subgraph_isomorphism_pregel_ray.pipelines.textops import temperature_mixture
+
+    rows = {
+        "s0": ["one two three", "four five"],
+        "s1": ["a b c d e f g h i j"] * 3,
+        "s2": [""],
+    }
+    src, txt = [], []
+    for s, ts in rows.items():
+        for t in ts:
+            src.append(s)
+            txt.append(t)
+    ds = rd.from_arrow(pa.table({"source": src, "text": txt})).repartition(4)
+    got = (
+        temperature_mixture(ds, alpha=0.3)
+        .to_pandas()
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+    n = {s: sum(len(t.split()) for t in ts) for s, ts in rows.items()}
+    N = sum(n.values())
+    assert got["source"].tolist() == sorted(rows)
+    for r in got.itertuples():
+        assert int(r.n_tokens) == n[r.source]
+        share = n[r.source] / float(N)
+        assert abs(r.token_share - round(share, 6)) < 1e-12
+        assert abs(r.sampling_score - round(share**0.3, 6)) < 1e-12
+    # temperature flattens: the small source's score share exceeds its raw share
+    small = got.set_index("source")
+    assert (
+        small.loc["s0", "sampling_score"] / got["sampling_score"].sum()
+        > small.loc["s0", "token_share"]
+    )
+
+
+def test_tokenizer_fertility_vs_scalar_reference():
+    """Per-lang word/piece sums equal a direct _BPE_RE replay; fertility
+    is the division of the exact sums."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from subgraph_isomorphism_pregel_ray.pipelines.textops import (
+        _BPE_RE,
+        tokenizer_fertility,
+    )
+
+    rows = [
+        ("en", "hello world this-is hyphen"),
+        ("en", "a b2c three4 !"),
+        ("zh", "数据 图形 café übung"),
+        ("zh", "x9y"),
+    ]
+    ds = rd.from_arrow(
+        pa.table(
+            {"lang": [r[0] for r in rows], "text": [r[1] for r in rows]}
+        )
+    ).repartition(3)
+    got = (
+        tokenizer_fertility(ds)
+        .to_pandas()
+        .sort_values("lang")
+        .reset_index(drop=True)
+    )
+    exp = {}
+    for lang, t in rows:
+        w, p = exp.get(lang, (0, 0))
+        exp[lang] = (w + len(t.split()), p + len(_BPE_RE.findall(t)))
+    assert got["lang"].tolist() == sorted(exp)
+    for r in got.itertuples():
+        w, p = exp[r.lang]
+        assert (int(r.n_words), int(r.n_pieces)) == (w, p)
+        assert abs(r.fertility - round(p / w, 6)) < 1e-12
+    # the zh fixture has multi-piece words → fertility strictly > 1
+    assert got.set_index("lang").loc["zh", "fertility"] > 1.0
+
+
+def test_vocab_coverage_curve_vs_scalar_reference():
+    """Coverage at each k equals a direct Counter replay with the
+    (cnt DESC, token ASC) total order, across multiple blocks."""
+    from collections import Counter
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from subgraph_isomorphism_pregel_ray.pipelines.textops import (
+        vocab_coverage_curve,
+    )
+
+    rng = np.random.default_rng(3)
+    vocab = [f"w{i:02d}" for i in range(40)]
+    weights = np.arange(40, 0, -1, dtype=np.float64)
+    weights /= weights.sum()
+    texts = [
+        " ".join(rng.choice(vocab, size=int(rng.integers(1, 30)), p=weights))
+        for _ in range(200)
+    ] + [""]
+    ds = rd.from_arrow(pa.table({"text": texts})).repartition(7)
+    ks = (3, 10, 100)
+    got = (
+        vocab_coverage_curve(ds, ks=ks)
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    c = Counter()
+    for t in texts:
+        c.update(t.split())
+    ranked = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))
+    total = sum(c.values())
+    assert got["k"].tolist() == list(ks)
+    for r in got.itertuples():
+        cov = sum(n for _, n in ranked[: int(r.k)])
+        assert int(r.covered_tokens) == cov
+        assert abs(r.coverage - round(cov / total, 6)) < 1e-12
+    # k=3 must be a strict subset of the mass; k=100 covers everything
+    assert got.iloc[0]["coverage"] < 1.0 and got.iloc[-1]["coverage"] == 1.0
