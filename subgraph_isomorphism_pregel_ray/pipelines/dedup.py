@@ -34,6 +34,7 @@ import numpy as np
 
 from ..functions.rounding import round_half_away
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..functions.hashing import md5_hex_batch, md5_lower64
 
@@ -1458,7 +1459,53 @@ def sentence_dedup(docs_ds, num_buckets: int = 64):
     )
 
 
-def incremental_dedup(old_ds, new_ds, num_buckets: int = 64):
+def _bloom_fold(ds, bloom_bits: int, k: int = 4):
+    """Fold a dataset of int64/uint64 hashes (column ``h``) into ONE
+    bloom-filter bit array of ``bloom_bits`` bits with
+    ``k`` multiply-shift probe positions per hash. Per-block partial
+    blooms are built inside ``map_batches``; the driver stream-ORs the
+    small per-block blobs (``bloom_bits/8`` bytes each — a bounded fold
+    over pre-aggregated blocks, the same ≤k-row-fold discipline as every
+    driver-side reduce here). Returns the uint64-word array."""
+    words = bloom_bits // 64
+
+    def _partial(t: pa.Table) -> pa.Table:
+        arr = np.zeros(words, np.uint64)
+        h = t["h"].to_numpy().astype(np.uint64)
+        for c in _BLOOM_MULT[:k]:
+            idx = ((h * c) >> np.uint64(17)) % np.uint64(bloom_bits)
+            np.bitwise_or.at(arr, (idx // 64).astype(np.int64), np.uint64(1) << (idx % np.uint64(64)))
+        return pa.table({"bloom": pa.array([arr.tobytes()], pa.binary())})
+
+    acc = np.zeros(words, np.uint64)
+    for b in ds.map_batches(
+        _partial, batch_format="pyarrow"
+    ).iter_batches(batch_format="pyarrow"):
+        for blob in b["bloom"].to_pylist():
+            acc |= np.frombuffer(blob, np.uint64)
+    return acc
+
+
+_BLOOM_MULT = np.array(
+    [0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9, 0x27D4EB2F165667C5],
+    np.uint64,
+)
+
+
+def _bloom_probe(h: np.ndarray, bloom: np.ndarray, bloom_bits: int, k: int = 4):
+    """Membership mask (with false positives) for hashes ``h`` against a
+    bloom word array — vectorized, no Python loop over rows."""
+    h = h.astype(np.uint64)
+    hit = np.ones(len(h), bool)
+    for c in _BLOOM_MULT[:k]:
+        idx = ((h * c) >> np.uint64(17)) % np.uint64(bloom_bits)
+        bit = (bloom[(idx // 64).astype(np.int64)] >> (idx % np.uint64(64))) & np.uint64(1)
+        hit &= bit.astype(bool)
+    return hit
+
+
+def incremental_dedup(old_ds, new_ds, num_buckets: int = 64,
+                      bloom_bits: int = 0):
     """Incremental-ingest exact dedup: of the NEW snapshot's documents,
     keep those whose exact text content never appeared in the OLD
     snapshot → (doc_id, source). The Common-Crawl ingest shape — each
@@ -1476,10 +1523,22 @@ def incremental_dedup(old_ds, new_ds, num_buckets: int = 64):
     vectorized ``np.isin`` per bucket resolves the anti-join — the
     bucketed repartition-join pattern (same as the TPC-H anti/semi
     family, relational.py), no acero join, no driver-side set. At 100 TB
-    the exchange carries ≤ 24 bytes/doc + 8 bytes/distinct-old-hash; a
-    bloom prefilter broadcast of the old side would cut the new-side
-    exchange further but changes no semantics.
+    the exchange carries ≤ 24 bytes/doc + 8 bytes/distinct-old-hash.
+
+    ``bloom_bits > 0`` enables the broadcast-bloom prefilter (the real
+    100 TB shape, where the new crawl is mostly novel): the old side's
+    hashes fold into ONE bloom bit array (per-block partials, stream-OR
+    fold), broadcast once via ``ray.put``; new-side batches probe it
+    locally and bloom-NEGATIVE docs (definitely novel) bypass the
+    exchange entirely — only bloom-positive docs (true dups + the
+    false-positive fraction ≈ (1 − e^(−4·n/m))⁴) enter the exact
+    anti-join, so the shuffle shrinks from |new| to ≈ |dups|. Output is
+    IDENTICAL with and without the prefilter (false positives are
+    resolved exactly downstream; tested in
+    tests/test_textops_dedup.py::test_incremental_dedup_bloom_parity).
     """
+    import ray
+
     B = np.int64(num_buckets)
 
     def _old(t: pa.Table) -> pa.Table:
@@ -1516,9 +1575,48 @@ def incremental_dedup(old_ds, new_ds, num_buckets: int = 64):
             }
         )
 
-    return (
-        old_ds.map_batches(_old, batch_format="pyarrow")
-        .union(new_ds.map_batches(_new, batch_format="pyarrow"))
-        .groupby("b")
-        .map_groups(_anti, batch_format="pyarrow")
+    old_tagged = old_ds.map_batches(_old, batch_format="pyarrow")
+
+    if not bloom_bits:
+        return (
+            old_tagged.union(new_ds.map_batches(_new, batch_format="pyarrow"))
+            .groupby("b")
+            .map_groups(_anti, batch_format="pyarrow")
+        )
+
+    # prefilter path: fold the old side's hashes into one bloom (this
+    # executes old_tagged once more for the exchange below — at scale the
+    # old side's hash table is a persisted artifact, so the re-read is a
+    # column scan, not recompute; semantics are unaffected either way)
+    bloom_ref = ray.put(_bloom_fold(old_tagged.select_columns(["h"]), bloom_bits))
+
+    def _new_split(t: pa.Table) -> pa.Table:
+        h = md5_lower64(np.asarray(t["text"].to_pylist(), dtype=object))
+        hit = _bloom_probe(h, ray.get(bloom_ref), bloom_bits)
+        return pa.table(
+            {
+                "h": h,
+                "doc_id": t["doc_id"],
+                "source": t["source"],
+                "b": np.where(
+                    hit, (h % np.uint64(num_buckets)).astype(np.int32), np.int32(-1)
+                ),
+            }
+        )
+
+    tagged_new = new_ds.map_batches(_new_split, batch_format="pyarrow")
+    # b == -1 → bloom-negative → definitely novel, bypasses the exchange
+    novel = tagged_new.map_batches(
+        lambda t: t.filter(
+            pc.equal(t["b"], pa.scalar(-1, pa.int32()))
+        ).select(["doc_id", "source"]),
+        batch_format="pyarrow",
     )
+    maybe = tagged_new.map_batches(
+        lambda t: t.filter(pc.not_equal(t["b"], pa.scalar(-1, pa.int32()))),
+        batch_format="pyarrow",
+    )
+    resolved = (
+        old_tagged.union(maybe).groupby("b").map_groups(_anti, batch_format="pyarrow")
+    )
+    return novel.union(resolved)

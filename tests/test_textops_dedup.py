@@ -2243,3 +2243,59 @@ def test_vocab_coverage_curve_vs_scalar_reference():
         assert abs(r.coverage - round(cov / total, 6)) < 1e-12
     # k=3 must be a strict subset of the mass; k=100 covers everything
     assert got.iloc[0]["coverage"] < 1.0 and got.iloc[-1]["coverage"] == 1.0
+
+
+def test_incremental_dedup_bloom_parity():
+    """The broadcast-bloom prefilter path returns EXACTLY the plain
+    anti-join's rows (false positives resolved downstream, negatives
+    bypassing the exchange), at a bloom size small enough to force
+    false positives."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from subgraph_isomorphism_pregel_ray.pipelines.dedup import incremental_dedup
+
+    rng = np.random.default_rng(17)
+    old_texts = [f"old doc {i} " + "x" * int(rng.integers(1, 9)) for i in range(120)]
+    new_texts = [f"new doc {i}" for i in range(150)] + old_texts[::3]
+    old = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(old_texts)), pa.int64()),
+                "source": ["o"] * len(old_texts),
+                "text": old_texts,
+            }
+        )
+    ).repartition(4)
+    new = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(
+                    range(1000, 1000 + len(new_texts)), pa.int64()
+                ),
+                "source": ["n"] * len(new_texts),
+                "text": new_texts,
+            }
+        )
+    ).repartition(5)
+
+    plain = (
+        incremental_dedup(old, new)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # 256 bits for 120 hashes → heavy false-positive rate, exercising the
+    # exact downstream resolve; 1<<16 → near-zero FP, exercising bypass
+    for bits in (256, 1 << 16):
+        bloom = (
+            incremental_dedup(old, new, bloom_bits=bits)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert bloom["doc_id"].tolist() == plain["doc_id"].tolist(), bits
+        assert bloom["source"].tolist() == plain["source"].tolist(), bits
+    # sanity: every re-crawled doc was dropped, every novel one kept
+    assert plain["doc_id"].tolist() == list(range(1000, 1150))
