@@ -1430,6 +1430,15 @@ def _q_vocab_coverage_curve(sf_dir: str):
     return vocab_coverage_curve(docs)
 
 
+def _q_shard_balance(sf_dir: str):
+    """md5 % 64 shard balance audit (docs + utf-8 bytes per shard)."""
+    from subgraph_isomorphism_pregel_ray.pipelines.textops import shard_balance
+    from subgraph_isomorphism_pregel_ray.sources.tables import read_table
+
+    docs = read_table(sf_dir, "documents", columns=["text"])
+    return shard_balance(docs)
+
+
 def _q_temperature_mixture(sf_dir: str):
     """Temperature-scaled (alpha=0.3) source-sampling panel."""
     from subgraph_isomorphism_pregel_ray.pipelines.textops import temperature_mixture
@@ -2628,6 +2637,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_quality_by_source": _q_gopher_quality,
         "vocab_topk": _q_vocab_topk,
         "vocab_coverage_curve": _q_vocab_coverage_curve,
+        "shard_balance": _q_shard_balance,
         "heavy_hitters": _q_heavy_hitters,
         "events_sorted": _q_events_sorted,
         "events_asof": _q_events_asof,
@@ -4622,6 +4632,15 @@ def oracle_sql() -> dict[str, str]:
             "AS BIGINT) AS covered_tokens, "
             "round((SELECT coalesce(sum(c), 0) FROM r WHERE rk <= kk.k) "
             "* 1.0 / tot.t, 6) AS coverage FROM kk, tot"
+        ),
+        "shard_balance": (
+            # md5_number_lower % 64 replays the engine's md5_lower64
+            # shard id bit-exactly; counts and utf-8 byte sums are
+            # exact int64
+            "SELECT CAST(md5_number_lower(text) % 64 AS BIGINT) AS shard, "
+            "CAST(count(*) AS BIGINT) AS n_docs, "
+            "CAST(sum(strlen(text)) AS BIGINT) AS n_bytes "
+            "FROM documents GROUP BY 1"
         ),
         "temperature_mixture": (
             # alpha=0.3 temperature panel; share and pow are per-row IEEE

@@ -71,6 +71,7 @@ __all__ = [
     "temperature_mixture",
     "tokenizer_fertility",
     "vocab_coverage_curve",
+    "shard_balance",
 ]
 
 _ALNUM_RE = re.compile(r"[a-zA-Z0-9]")
@@ -4042,4 +4043,46 @@ def vocab_coverage_curve(docs_ds, ks=(10, 50, 100, 1000, 10000), round_to: int =
         .map_batches(_candidates, batch_format="pyarrow", batch_size=None)
         .repartition(1)
         .map_batches(_fold, batch_format="pyarrow", batch_size=None)
+    )
+
+
+def shard_balance(docs_ds, num_shards: int = 64):
+    """Partition-balance audit → one row per content-hash shard
+    (shard, n_docs, n_bytes): how evenly a ``md5 % P`` layout would
+    spread this corpus over P workers, in both row count and byte mass.
+    The pre-flight check before committing a 100 TB run to a fixed
+    partitioner — a byte-skewed shard is the straggler, and the fix
+    (salting, splitting) is chosen from exactly this table. Uses
+    ``md5_lower64`` (≡ DuckDB ``md5_number_lower``) so the audit itself
+    is oracle-checkable; the production ``hash64`` partitioner has the
+    same uniformity by construction.
+
+    Scale shape: ONE stateless ``map_batches`` emitting ≤ P-row int64
+    partials per batch (np.add.at combine) → ONE tiny ``groupby(shard)``
+    sum. Text never crosses the exchange."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.hashing import md5_lower64
+
+    P = np.uint64(num_shards)
+
+    def _partial(b: pa.Table) -> pa.Table:
+        texts = b["text"].to_pylist()
+        sh = (md5_lower64(np.asarray(texts, dtype=object)) % P).astype(np.int64)
+        # utf-8 BYTES (DuckDB strlen), not codepoints — bytes are what
+        # skew a worker's disk/network at scale
+        nb = np.array([len(t.encode("utf-8")) for t in texts], np.int64)
+        u, inv = np.unique(sh, return_inverse=True)
+        docs = np.bincount(inv).astype(np.int64)
+        bytes_ = np.zeros(len(u), np.int64)
+        np.add.at(bytes_, inv, nb)
+        return pa.table({"shard": u, "n_docs": docs, "n_bytes": bytes_})
+
+    return (
+        docs_ds.map_batches(_partial, batch_format="pyarrow")
+        .groupby("shard")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("n_bytes", alias_name="n_bytes"),
+        )
     )

@@ -2299,3 +2299,37 @@ def test_incremental_dedup_bloom_parity():
         assert bloom["source"].tolist() == plain["source"].tolist(), bits
     # sanity: every re-crawled doc was dropped, every novel one kept
     assert plain["doc_id"].tolist() == list(range(1000, 1150))
+
+
+def test_shard_balance_vs_scalar_reference():
+    """Per-shard doc counts and utf-8 byte sums equal a direct
+    md5_lower64-replay, including multi-byte (non-ASCII) texts."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from subgraph_isomorphism_pregel_ray.functions.hashing import md5_lower64
+    from subgraph_isomorphism_pregel_ray.pipelines.textops import shard_balance
+
+    texts = [f"doc number {i}" for i in range(300)] + ["café 数据", "übung"]
+    ds = rd.from_arrow(pa.table({"text": texts})).repartition(6)
+    got = (
+        shard_balance(ds, num_shards=8)
+        .to_pandas()
+        .sort_values("shard")
+        .reset_index(drop=True)
+    )
+    sh = (md5_lower64(np.asarray(texts, dtype=object)) % np.uint64(8)).astype(int)
+    exp_docs = {s: 0 for s in set(sh)}
+    exp_bytes = {s: 0 for s in set(sh)}
+    for s, t in zip(sh, texts):
+        exp_docs[s] += 1
+        exp_bytes[s] += len(t.encode("utf-8"))
+    assert got["shard"].tolist() == sorted(exp_docs)
+    for r in got.itertuples():
+        assert (int(r.n_docs), int(r.n_bytes)) == (
+            exp_docs[r.shard],
+            exp_bytes[r.shard],
+        )
+    # non-ASCII fixture must make bytes > codepoints somewhere
+    assert got["n_bytes"].sum() > sum(len(t) for t in texts)
