@@ -1472,6 +1472,19 @@ def _q_page_indegree_histogram(sf_dir: str):
     )
 
 
+def _q_crawl_recency(sf_dir: str):
+    """Per-host crawl-freshness panel (recrawl-scheduling input).
+    Deterministic synthetic pages, independent of sf_dir by design."""
+    import ray.data as rd
+
+    from subgraph_isomorphism_pregel_ray.sources.pages import synth_pages_table
+    from subgraph_isomorphism_pregel_ray.stages.extract import crawl_recency
+
+    return crawl_recency(
+        rd.from_arrow(synth_pages_table(_PAGES_ORACLE_N, seed=_PAGES_ORACLE_SEED))
+    )
+
+
 def _q_readability_by_source(sf_dir: str):
     """Per-source Flesch reading-ease panel from exact int64 count sums."""
     from subgraph_isomorphism_pregel_ray.pipelines.textops import (
@@ -2765,6 +2778,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_graph": _q_host_graph,
         "host_locality": _q_host_locality,
         "page_indegree_histogram": _q_page_indegree_histogram,
+        "crawl_recency": _q_crawl_recency,
         "host_rank": _q_host_rank,
         "events_range_join": _q_events_range_join,
         "events_lag": _q_events_lag,
@@ -3159,12 +3173,24 @@ def _pages_oracle_sqls() -> dict[str, str]:
         "SELECT CAST(floor(log2(n)) AS BIGINT) AS indeg_bucket, "
         "CAST(count(*) AS BIGINT) AS n_urls FROM c GROUP BY 1"
     )
+    crawl_recency_sql = (
+        # per-host capture-time census over page urls (no href parse);
+        # epoch_us and the floor-div span are exact int64
+        f"WITH p AS (SELECT lower(regexp_extract(url, '{host_pat}', 1)) "
+        f"AS host, epoch_us(warc_ts) AS ts FROM read_parquet('{path}')) "
+        "SELECT host, CAST(count(*) AS BIGINT) AS n_pages, "
+        "CAST(min(ts) AS BIGINT) AS first_ts_us, "
+        "CAST(max(ts) AS BIGINT) AS last_ts_us, "
+        "CAST((max(ts) - min(ts)) // 1000000 AS BIGINT) AS span_s "
+        "FROM p GROUP BY 1"
+    )
     return {
         "host_graph": host_graph_sql,
         "host_locality": host_locality_sql,
         "anchor_index": anchor_index_sql,
         "host_rank": host_rank_sql,
         "page_indegree_histogram": page_indegree_sql,
+        "crawl_recency": crawl_recency_sql,
     }
 
 

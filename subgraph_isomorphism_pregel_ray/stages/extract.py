@@ -28,6 +28,7 @@ __all__ = [
     "host_graph",
     "host_locality",
     "page_indegree_histogram",
+    "crawl_recency",
     "host_rank",
     "anchor_batch",
     "anchor_index",
@@ -360,4 +361,53 @@ def page_indegree_histogram(pages_ds, batch_size: int = 512):
         .map_batches(_bucket, batch_format="pyarrow")
         .groupby("indeg_bucket")
         .aggregate(Sum("n_urls", alias_name="n_urls"))
+    )
+
+
+def crawl_recency(pages_ds, batch_size: int = 512):
+    """Pages → per-host crawl-freshness panel (host, n_pages,
+    first_ts_us, last_ts_us, span_s): page count, oldest and newest
+    WARC capture time (epoch microseconds) and their span in whole
+    seconds. The recrawl-scheduling input of every crawl pipeline —
+    hosts whose newest capture is stale get priority, hosts with a wide
+    span already have change-rate history (Common Crawl publishes this
+    per-host census with each crawl — public).
+
+    Scale shape: per-batch (host, count, min_ts, max_ts) partials
+    (in-batch np.minimum/maximum.at combine) → ONE tiny
+    ``groupby(host)`` with Sum/Min/Max folds. All-int64 output →
+    hash-exact against the SQL replay."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        hosts = np.asarray([host_of(u) for u in batch["url"].to_pylist()], dtype=object)
+        ts = batch["warc_ts"].cast(pa.int64()).to_numpy()
+        u, inv = np.unique(hosts, return_inverse=True)
+        n = np.bincount(inv).astype(np.int64)
+        lo = np.full(len(u), np.iinfo(np.int64).max, np.int64)
+        hi = np.full(len(u), np.iinfo(np.int64).min, np.int64)
+        np.minimum.at(lo, inv, ts)
+        np.maximum.at(hi, inv, ts)
+        return pa.table(
+            {
+                "host": pa.array(list(u), pa.string()),
+                "n_pages": n,
+                "first_ts_us": lo,
+                "last_ts_us": hi,
+            }
+        )
+
+    def _span(t: pa.Table) -> pa.Table:
+        span = (t["last_ts_us"].to_numpy() - t["first_ts_us"].to_numpy()) // 1_000_000
+        return t.append_column("span_s", pa.array(span.astype(np.int64)))
+
+    return (
+        pages_ds.map_batches(_partial, batch_format="pyarrow", batch_size=batch_size)
+        .groupby("host")
+        .aggregate(
+            Sum("n_pages", alias_name="n_pages"),
+            Min("first_ts_us", alias_name="first_ts_us"),
+            Max("last_ts_us", alias_name="last_ts_us"),
+        )
+        .map_batches(_span, batch_format="pyarrow")
     )

@@ -203,3 +203,37 @@ def test_page_indegree_histogram_vs_scalar_reference(ray_session):
         assert gmap == dict(exp), bs
     # the synthetic web is preferential-attachment skewed → ≥ 4 buckets
     assert len(exp) >= 4
+
+
+def test_crawl_recency_vs_scalar_reference(ray_session):
+    """Per-host page counts and min/max capture times equal a direct
+    replay over host_of(url) + the raw timestamps."""
+    from collections import defaultdict
+
+    import ray.data as rd
+
+    from subgraph_isomorphism_pregel_ray.functions.extract import host_of
+    from subgraph_isomorphism_pregel_ray.sources.pages import synth_pages_table
+    from subgraph_isomorphism_pregel_ray.stages.extract import crawl_recency
+
+    pages = synth_pages_table(600, seed=42)
+    ts = pages["warc_ts"].cast("int64").to_pylist()
+    agg: dict = defaultdict(lambda: [0, None, None])
+    for u, t in zip(pages["url"].to_pylist(), ts):
+        a = agg[host_of(u)]
+        a[0] += 1
+        a[1] = t if a[1] is None else min(a[1], t)
+        a[2] = t if a[2] is None else max(a[2], t)
+    for bs in (64, 512):
+        got = crawl_recency(rd.from_arrow(pages), batch_size=bs).to_pandas()
+        assert sorted(got["host"]) == sorted(agg), bs
+        for r in got.itertuples():
+            n, lo, hi = agg[r.host]
+            assert (
+                int(r.n_pages),
+                int(r.first_ts_us),
+                int(r.last_ts_us),
+                int(r.span_s),
+            ) == (n, lo, hi, (hi - lo) // 1_000_000), (bs, r.host)
+    # the synthetic crawl spans > 0 seconds on every multi-page host
+    assert (got.loc[got["n_pages"] > 1, "span_s"] > 0).all()
