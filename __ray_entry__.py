@@ -1485,6 +1485,23 @@ def _q_crawl_recency(sf_dir: str):
     )
 
 
+def _q_host_lang_mix(sf_dir: str):
+    """Per-host language census with within-host shares.
+    Deterministic synthetic pages, independent of sf_dir by design."""
+    import ray.data as rd
+
+    from subgraph_isomorphism_pregel_ray.sources.pages import synth_pages_table
+    from subgraph_isomorphism_pregel_ray.stages.extract import host_lang_mix
+
+    return host_lang_mix(
+        rd.from_arrow(
+            synth_pages_table(
+                _PAGES_ORACLE_N, seed=_PAGES_ORACLE_SEED, n_hosts=_PAGES_MIX_HOSTS
+            )
+        )
+    )
+
+
 def _q_readability_by_source(sf_dir: str):
     """Per-source Flesch reading-ease panel from exact int64 count sums."""
     from subgraph_isomorphism_pregel_ray.pipelines.textops import (
@@ -2007,6 +2024,37 @@ def _pages_oracle_parquet() -> str:
         tmp = f"{path}.tmp.{os.getpid()}"
         _pq.write_table(
             synth_pages_table(_PAGES_ORACLE_N, seed=_PAGES_ORACLE_SEED), tmp
+        )
+        os.replace(tmp, path)
+    return path
+
+
+# host_lang_mix uses a 13-host variant: the default generator's host id
+# (i % 20) DETERMINES the lang (i % 4, and 4 | 20), which would make every
+# host single-language; 13 is coprime with 4, so hosts carry a real mix.
+_PAGES_MIX_HOSTS = 13
+
+
+def _pages_mix_oracle_parquet() -> str:
+    """n_hosts=13 variant of :func:`_pages_oracle_parquet` (same atomic
+    write discipline; pure in (n, seed, n_hosts))."""
+    import os
+
+    import pyarrow.parquet as _pq
+
+    path = (
+        f"/tmp/graft_pages_oracle_{_PAGES_ORACLE_N}_{_PAGES_ORACLE_SEED}"
+        f"_h{_PAGES_MIX_HOSTS}.parquet"
+    )
+    if not os.path.exists(path):
+        from subgraph_isomorphism_pregel_ray.sources.pages import synth_pages_table
+
+        tmp = f"{path}.tmp.{os.getpid()}"
+        _pq.write_table(
+            synth_pages_table(
+                _PAGES_ORACLE_N, seed=_PAGES_ORACLE_SEED, n_hosts=_PAGES_MIX_HOSTS
+            ),
+            tmp,
         )
         os.replace(tmp, path)
     return path
@@ -2779,6 +2827,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_locality": _q_host_locality,
         "page_indegree_histogram": _q_page_indegree_histogram,
         "crawl_recency": _q_crawl_recency,
+        "host_lang_mix": _q_host_lang_mix,
         "host_rank": _q_host_rank,
         "events_range_join": _q_events_range_join,
         "events_lag": _q_events_lag,
@@ -3184,6 +3233,19 @@ def _pages_oracle_sqls() -> dict[str, str]:
         "CAST((max(ts) - min(ts)) // 1000000 AS BIGINT) AS span_s "
         "FROM p GROUP BY 1"
     )
+    mix_path = _pages_mix_oracle_parquet()
+    host_lang_mix_sql = (
+        # (host, lang) census; host_share is ONE IEEE division of the
+        # exact int64 counts, rounded half-away like every hashed float
+        f"WITH p AS (SELECT lower(regexp_extract(url, '{host_pat}', 1)) "
+        f"AS host, lang FROM read_parquet('{mix_path}')), "
+        "c AS (SELECT host, lang, CAST(count(*) AS BIGINT) AS n_pages "
+        "FROM p GROUP BY 1, 2), "
+        "t AS (SELECT host, sum(n_pages) AS tot FROM c GROUP BY 1) "
+        "SELECT c.host, c.lang, c.n_pages, "
+        "round(c.n_pages * 1.0 / t.tot, 6) AS host_share "
+        "FROM c JOIN t ON t.host = c.host"
+    )
     return {
         "host_graph": host_graph_sql,
         "host_locality": host_locality_sql,
@@ -3191,6 +3253,7 @@ def _pages_oracle_sqls() -> dict[str, str]:
         "host_rank": host_rank_sql,
         "page_indegree_histogram": page_indegree_sql,
         "crawl_recency": crawl_recency_sql,
+        "host_lang_mix": host_lang_mix_sql,
     }
 
 

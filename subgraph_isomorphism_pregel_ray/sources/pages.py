@@ -128,10 +128,13 @@ def page_row(i: int, n: int, seed: int = 42, n_hosts: int | None = None, hub_eve
     }
 
 
-def synth_pages_table(n: int, seed: int = 42, start: int = 0, stop: int | None = None) -> pa.Table:
-    """Rows ``[start, stop)`` of the n-row table as one Arrow table."""
+def synth_pages_table(n: int, seed: int = 42, start: int = 0, stop: int | None = None,
+                      n_hosts: int | None = None) -> pa.Table:
+    """Rows ``[start, stop)`` of the n-row table as one Arrow table.
+    Pure in (n, seed, n_hosts); ``n_hosts`` defaults to page_row's
+    max(10, n // 100)."""
     stop = n if stop is None else stop
-    rows = [page_row(i, n, seed) for i in range(start, stop)]
+    rows = [page_row(i, n, seed, n_hosts=n_hosts) for i in range(start, stop)]
     cols = {name: [r[name] for r in rows] for name in PAGES_SCHEMA.names}
     return pa.Table.from_pydict(cols, schema=PAGES_SCHEMA)
 

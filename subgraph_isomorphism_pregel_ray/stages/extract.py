@@ -29,6 +29,7 @@ __all__ = [
     "host_locality",
     "page_indegree_histogram",
     "crawl_recency",
+    "host_lang_mix",
     "host_rank",
     "anchor_batch",
     "anchor_index",
@@ -411,3 +412,52 @@ def crawl_recency(pages_ds, batch_size: int = 512):
         )
         .map_batches(_span, batch_format="pyarrow")
     )
+
+
+def host_lang_mix(pages_ds, batch_size: int = 512):
+    """Pages → per-(host, declared-lang) page census (host, lang,
+    n_pages, host_share): the language mix of every host and each
+    language's share of that host's pages. The language-census-by-host
+    table Common Crawl publishes per crawl (public); curation reads it
+    to decide host-level language routing (a host that is 95% one
+    language gets a fast path; mixed hosts go to per-page lang-id).
+
+    Scale shape: per-batch (host, lang, count) partials (np.unique on
+    the pair ids — the host_edges_batch combine pattern) → ONE tiny
+    ``groupby(host, lang)`` sum → a per-host share from a second small
+    host-total fold joined back by broadcast-free groupby(host)
+    map_groups over the ≤ |hosts|·|langs| row table. host_share is ONE
+    IEEE division of exact int64 sums, rounded half-away."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.rounding import round_half_away
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        hosts = np.asarray([host_of(u) for u in batch["url"].to_pylist()], dtype=object)
+        langs = np.asarray(batch["lang"].to_pylist(), dtype=object)
+        uh, hi = np.unique(hosts, return_inverse=True)
+        ul, li = np.unique(langs, return_inverse=True)
+        key = hi.astype(np.int64) * len(ul) + li
+        uk, counts = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                "host": pa.array(list(uh[uk // len(ul)]), pa.string()),
+                "lang": pa.array(list(ul[uk % len(ul)]), pa.string()),
+                "n_pages": counts.astype(np.int64),
+            }
+        )
+
+    agg = (
+        pages_ds.map_batches(_partial, batch_format="pyarrow", batch_size=batch_size)
+        .groupby(["host", "lang"])
+        .aggregate(Sum("n_pages", alias_name="n_pages"))
+    )
+
+    def _share(g: pa.Table) -> pa.Table:
+        n = g["n_pages"].to_numpy()
+        tot = float(int(n.sum()))
+        return g.append_column(
+            "host_share", pa.array(round_half_away(n.astype(np.float64) / tot, 6))
+        )
+
+    return agg.groupby("host").map_groups(_share, batch_format="pyarrow")

@@ -237,3 +237,37 @@ def test_crawl_recency_vs_scalar_reference(ray_session):
             ) == (n, lo, hi, (hi - lo) // 1_000_000), (bs, r.host)
     # the synthetic crawl spans > 0 seconds on every multi-page host
     assert (got.loc[got["n_pages"] > 1, "span_s"] > 0).all()
+
+
+def test_host_lang_mix_vs_scalar_reference(ray_session):
+    """(host, lang) counts and within-host shares equal a direct Counter
+    replay over a host count coprime with the lang cycle (real mixing)."""
+    from collections import Counter, defaultdict
+
+    import ray.data as rd
+
+    from subgraph_isomorphism_pregel_ray.functions.extract import host_of
+    from subgraph_isomorphism_pregel_ray.functions.rounding import (
+        round_half_away,
+    )
+    from subgraph_isomorphism_pregel_ray.sources.pages import synth_pages_table
+    from subgraph_isomorphism_pregel_ray.stages.extract import host_lang_mix
+
+    pages = synth_pages_table(600, seed=42, n_hosts=13)
+    c: Counter = Counter()
+    tot: dict = defaultdict(int)
+    for u, l in zip(pages["url"].to_pylist(), pages["lang"].to_pylist()):
+        h = host_of(u)
+        c[(h, l)] += 1
+        tot[h] += 1
+    got = host_lang_mix(rd.from_arrow(pages), batch_size=128).to_pandas()
+    assert len(got) == len(c)
+    for r in got.itertuples():
+        assert int(r.n_pages) == c[(r.host, r.lang)], (r.host, r.lang)
+        assert r.host_share == float(
+            round_half_away(
+                np.array([c[(r.host, r.lang)] / tot[r.host]]), 6
+            )[0]
+        )
+    # real mixing: every host carries > 1 language
+    assert got.groupby("host")["lang"].nunique().min() > 1
