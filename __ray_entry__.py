@@ -1502,6 +1502,15 @@ def _q_host_lang_mix(sf_dir: str):
     )
 
 
+def _q_order_value_trimmed_mean(sf_dir: str):
+    """Rank-trimmed (n//10 each side) robust mean of order values."""
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import (
+        order_value_trimmed_mean,
+    )
+
+    return order_value_trimmed_mean(sf_dir)
+
+
 def _q_readability_by_source(sf_dir: str):
     """Per-source Flesch reading-ease panel from exact int64 count sums."""
     from subgraph_isomorphism_pregel_ray.pipelines.textops import (
@@ -2768,6 +2777,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_trend_theilsen": _q_revenue_trend_theilsen,
         "attack_tolerance_parts": _q_attack_tolerance,
         "order_value_gini": _q_order_value_gini,
+        "order_value_trimmed_mean": _q_order_value_trimmed_mean,
         "user_hour_entropy": _q_user_hour_entropy,
         "survival_km": _q_survival_km,
         "markov_stationary": _q_markov_stationary,
@@ -5680,6 +5690,22 @@ def oracle_sql() -> dict[str, str]:
             "ROWS UNBOUNDED PRECEDING)) s FROM r) "
             "SELECT CAST(t AS BIGINT) AS t_days, n_risk, d_ev AS n_events, "
             "round(s, 6) AS survival FROM k"
+        ),
+        "order_value_trimmed_mean": (
+            # window-rank replay of the (cents, orderkey) total order;
+            # the trim count is integer n//10; mean is ONE division
+            "WITH c AS (SELECT o_orderkey AS k, "
+            "CAST(round(o_totalprice * 100) AS BIGINT) AS c FROM orders), "
+            "r AS (SELECT c, row_number() OVER (ORDER BY c, k) - 1 AS i "
+            "FROM c), "
+            "n AS (SELECT count(*) AS n, count(*) // 10 AS lo FROM c), "
+            "kept AS (SELECT r.c FROM r, n WHERE r.i >= n.lo "
+            "AND r.i < n.n - n.lo) "
+            "SELECT n.n AS n_orders, n.lo AS n_trim, "
+            "CAST(count(*) AS BIGINT) AS n_kept, "
+            "CAST(sum(kept.c) AS BIGINT) AS sum_cents, "
+            "round(sum(kept.c) * 1.0 / count(*), 6) AS trimmed_mean_cents "
+            "FROM kept, n GROUP BY n.n, n.lo"
         ),
         "order_value_gini": (
             "WITH r AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) c, "

@@ -21,6 +21,7 @@ import pyarrow as pa
 from ..sources.tables import read_table, table_path
 
 __all__ = [
+    "order_value_trimmed_mean",
     "q1_lineitem",
     "copurchase_edges",
     "copurchase_edges_join",
@@ -8166,5 +8167,72 @@ def events_acf(sf_dir: str, max_lag: int = 7, round_to: int = 6):
             "lag": np.asarray(lags, np.int64),
             "n_pairs": np.asarray(npairs, np.int64),
             "acf": round_half_away(np.asarray(acf, np.float64), round_to),
+        }
+    )
+
+
+def order_value_trimmed_mean(sf_dir: str, trim_denom: int = 10,
+                             round_to: int = 6):
+    """Two-sided rank-trimmed mean of order values → ONE row (n_orders,
+    n_trim, n_kept, sum_cents, trimmed_mean_cents): drop the lowest and
+    highest ``n // trim_denom`` orders in the total (cents, orderkey)
+    order and average the rest. The robust revenue KPI (a whale order
+    or a flood of free orders moves the plain mean, not this one); the
+    rank trim is the distributed-order-statistics shape — selection by
+    GLOBAL sort ordinal, no driver-side sort.
+
+    Exactness: the trim count is integer ``n // trim_denom`` (never a
+    float epsilon issue), kept cents fold as exact int64 block partials,
+    and the mean is ONE IEEE division at the end — hash-stable vs the
+    SQL window replay. Scale shape: ``sort_with_ordinal`` (the TeraSort
+    two-phase ordinal) → stateless per-block masked sums → a ≤ #blocks-
+    row driver fold."""
+    import pyarrow as pa
+
+    from ..functions.rounding import round_half_away
+    from ..stages.sort import sort_with_ordinal
+
+    ds = read_table(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+
+    def _cents(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "k": t["o_orderkey"].to_numpy().astype(np.int64),
+                "c": np.round(t["o_totalprice"].to_numpy() * 100).astype(np.int64),
+            }
+        )
+
+    cents = ds.map_batches(_cents, batch_format="pyarrow")
+    n = cents.count()
+    lo = n // trim_denom
+    hi = n - lo
+
+    ranked = sort_with_ordinal(cents, ["c", "k"], ordinal_col="i0")
+
+    def _partial(t: pa.Table) -> pa.Table:
+        i = t["i0"].to_numpy().astype(np.int64)
+        c = t["c"].to_numpy().astype(np.int64)
+        keep = (i >= lo) & (i < hi)
+        return pa.table(
+            {
+                "n_kept": np.array([int(keep.sum())], np.int64),
+                "sum_cents": np.array([int(c[keep].sum())], np.int64),
+            }
+        )
+
+    parts = ranked.map_batches(_partial, batch_format="pyarrow").to_pandas()
+    n_kept = int(parts["n_kept"].sum())
+    sum_cents = int(parts["sum_cents"].sum())
+    return pa.table(
+        {
+            "n_orders": pa.array([n], pa.int64()),
+            "n_trim": pa.array([lo], pa.int64()),
+            "n_kept": pa.array([n_kept], pa.int64()),
+            "sum_cents": pa.array([sum_cents], pa.int64()),
+            "trimmed_mean_cents": pa.array(
+                round_half_away(
+                    np.array([sum_cents / float(n_kept)]), round_to
+                )
+            ),
         }
     )

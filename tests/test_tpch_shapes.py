@@ -1499,3 +1499,30 @@ def test_revenue_pareto_exact_cut(ray_session, tmp_path):
     assert got["n_customers"] == 4
     assert got["k80"] == 2
     assert got["share_k80"] == 0.8
+
+
+def test_order_value_trimmed_mean_vs_scalar(ray_session):
+    """Trim boundaries and kept sums equal a driver-side sorted replay."""
+    import numpy as np
+
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import (
+        order_value_trimmed_mean,
+    )
+    from subgraph_isomorphism_pregel_ray.sources.tables import read_table
+
+    sf = "/root/testdata/sf0.001"
+    got = order_value_trimmed_mean(sf).to_pandas().iloc[0]
+    df = read_table(sf, "orders", columns=["o_orderkey", "o_totalprice"]).to_pandas()
+    c = np.round(df["o_totalprice"].to_numpy() * 100).astype(np.int64)
+    k = df["o_orderkey"].to_numpy().astype(np.int64)
+    order = np.lexsort((k, c))
+    n = len(c)
+    lo = n // 10
+    kept = c[order][lo : n - lo]
+    assert int(got["n_orders"]) == n
+    assert int(got["n_trim"]) == lo
+    assert int(got["n_kept"]) == len(kept)
+    assert int(got["sum_cents"]) == int(kept.sum())
+    assert abs(got["trimmed_mean_cents"] - round(kept.sum() / len(kept), 6)) < 1e-9
+    # the trim must actually move the mean on this skewed table
+    assert abs(got["trimmed_mean_cents"] - c.mean()) > 1.0
