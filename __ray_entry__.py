@@ -2654,6 +2654,107 @@ def _q_approx_distinct(sf_dir: str):
     return approx_distinct_users_daily(sf_dir)
 
 
+def _q_edge_cut_parts(sf_dir: str):
+    """Partition-quality audit of the layout's vid % P partitioner over the
+    symmetrized co-purchase graph: per candidate P, the cut fraction (=
+    cross-partition BSP messages per superstep) and the straggler factor."""
+    from subgraph_isomorphism_pregel_ray.pipelines.build_graph import edge_cut_parts
+
+    return edge_cut_parts(_sym_copurchase(sf_dir))
+
+
+def _q_host_reciprocity(sf_dir: str):
+    """Directed host-graph link mutuality (Broder 2000 crawl panel).
+    Deterministic synthetic pages, independent of sf_dir by design
+    (same table as host_graph/host_locality)."""
+    import ray.data as rd
+
+    from subgraph_isomorphism_pregel_ray.sources.pages import synth_pages_table
+    from subgraph_isomorphism_pregel_ray.stages.extract import host_reciprocity
+
+    return host_reciprocity(
+        rd.from_arrow(synth_pages_table(_PAGES_ORACLE_N, seed=_PAGES_ORACLE_SEED))
+    )
+
+
+def _q_dsir_weights(sf_dir: str):
+    """DSIR hashed-ngram importance log-weights vs the lang='en' target
+    slice (Xie et al. 2023) — the data-mixing/selection scoring table."""
+    from subgraph_isomorphism_pregel_ray.pipelines.textops import dsir_weights
+    from subgraph_isomorphism_pregel_ray.sources.tables import read_table
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+    return dsir_weights(docs)
+
+
+def _q_session_depth_histogram(sf_dir: str):
+    """Session-depth census over the gap-based sessionize machine."""
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import (
+        session_depth_histogram,
+    )
+
+    return session_depth_histogram(sf_dir)
+
+
+# K4 (4-clique) labeled match over the mod-5 INDUCED co-purchase subgraph:
+# the densest query the matcher faces (6 query edges, every level closes a
+# cycle). The induced restriction (both endpoints ≡ 0 mod 5) is the standard
+# density control — the FULL graph's K4 join is a ~10-minute DuckDB query at
+# sf0.01 while the induced one oracles in <1 s with a non-trivial count
+# (444 @ sf0.001, 74 @ sf0.01).
+K4_MOD = 5
+K4_QL = [0, 1, 2, 0]
+K4_QE = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)]
+
+
+def _q_match_k4(sf_dir: str):
+    import os
+
+    from subgraph_isomorphism_pregel_ray.pipelines.build_graph import (
+        partition_graph,
+        symmetrize,
+    )
+    from subgraph_isomorphism_pregel_ray.pipelines.bsp import BSPEngine
+    from subgraph_isomorphism_pregel_ray.pipelines.match import build_plan
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import (
+        copurchase_edges,
+        part_labels,
+    )
+
+    key = f"{sf_dir}#k4mod{K4_MOD}"
+    if key not in _ENGINES:
+
+        def _induce(t: pa.Table) -> pa.Table:
+            src = t["src"].to_numpy()
+            dst = t["dst"].to_numpy()
+            return t.filter(
+                pa.array((src % K4_MOD == 0) & (dst % K4_MOD == 0))
+            )
+
+        gdir = (
+            f"/tmp/graft_entry_graph_{os.path.basename(os.path.normpath(sf_dir))}"
+            f"_k4mod{K4_MOD}_p4"
+        )
+        partition_graph(
+            symmetrize(
+                copurchase_edges(sf_dir).map_batches(_induce, batch_format="pyarrow")
+            ),
+            4,
+            gdir,
+            labels_ds=part_labels(sf_dir, mod=3),
+            directed=True,
+        )
+        _ENGINES[key] = BSPEngine(gdir, 4)
+    eng = _ENGINES[key]
+    eng.run(
+        "match",
+        {"plan": build_plan(K4_QL, K4_QE)},
+        max_steps=2 * len(K4_QL) + 2,
+    )
+    cnt = eng.scalar_results().get("embeddings", 0)
+    return pa.table({"n_embeddings": pa.array([cnt], type=pa.int64())})
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "copurchase_edges": _q_copurchase_edges,
@@ -2910,6 +3011,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_confusion": _q_lang_confusion,
         "token_freq_spectrum": _q_token_freq_spectrum,
         "doclen_percentiles_by_lang": _q_doclen_percentiles_by_lang,
+        "edge_cut_parts": _q_edge_cut_parts,
+        "dsir_weights": _q_dsir_weights,
+        "host_reciprocity": _q_host_reciprocity,
+        "session_depth_histogram": _q_session_depth_histogram,
+        "match_k4_labeled": _q_match_k4,
     }
 
 
@@ -3256,9 +3362,25 @@ def _pages_oracle_sqls() -> dict[str, str]:
         "round(c.n_pages * 1.0 / t.tot, 6) AS host_share "
         "FROM c JOIN t ON t.host = c.host"
     )
+    host_reciprocity_sql = (
+        # distinct directed host pairs (self dropped, relative hrefs → own
+        # host, hence never cross-host) vs their reverses; one IEEE division
+        f"{hosts_cte}, "
+        "e AS MATERIALIZED (SELECT DISTINCT sh AS s, "
+        "CASE WHEN dh = '' THEN sh ELSE dh END AS d FROM hosts "
+        "WHERE sh <> CASE WHEN dh = '' THEN sh ELSE dh END), "
+        "r AS (SELECT CAST(count(*) AS BIGINT) AS np, "
+        "CAST(sum(CASE WHEN EXISTS (SELECT 1 FROM e x "
+        "WHERE x.s = e.d AND x.d = e.s) THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS nr FROM e) "
+        "SELECT np AS n_directed_pairs, nr AS n_reciprocated, "
+        "round(CAST(nr AS DOUBLE) / CAST(np AS DOUBLE), 6) AS reciprocity "
+        "FROM r"
+    )
     return {
         "host_graph": host_graph_sql,
         "host_locality": host_locality_sql,
+        "host_reciprocity": host_reciprocity_sql,
         "anchor_index": anchor_index_sql,
         "host_rank": host_rank_sql,
         "page_indegree_histogram": page_indegree_sql,
@@ -7311,6 +7433,95 @@ def oracle_sql() -> dict[str, str]:
         # byte-identical deterministic pages parquet (see
         # _pages_oracle_sqls / _pages_oracle_parquet).
         **_pages_oracle_sqls(),
+        "edge_cut_parts": (
+            # the engine's partitioner is vid % P on non-negative part keys,
+            # so SQL % replays it exactly; both sides aggregate only over
+            # OBSERVED parts and divide exact int64s once
+            f"WITH {_ESYM_MAT}, "
+            "pp AS (SELECT unnest([4, 8, 16, 32]) AS p), "
+            "l AS (SELECT pp.p, e.src % pp.p AS part, "
+            "count(*) AS n, sum(CASE WHEN e.src % pp.p <> e.dst % pp.p "
+            "THEN 1 ELSE 0 END) AS cut FROM e, pp GROUP BY 1, 2) "
+            "SELECT CAST(p AS BIGINT) AS num_parts, "
+            "CAST(sum(n) AS BIGINT) AS n_edges, "
+            "CAST(sum(cut) AS BIGINT) AS n_cut, "
+            "round(CAST(sum(cut) AS DOUBLE) / CAST(sum(n) AS DOUBLE), 6) "
+            "AS cut_fraction, "
+            "CAST(max(n) AS BIGINT) AS max_part_edges, "
+            "CAST(min(n) AS BIGINT) AS min_part_edges, "
+            "round(CAST(max(n) * p AS DOUBLE) / CAST(sum(n) AS DOUBLE), 6) "
+            "AS imbalance FROM l GROUP BY p"
+        ),
+        "dsir_weights": (
+            # DSIR replay: same lowercase space-split tokens + adjacent
+            # bigrams, same md5_number_lower % B buckets, same Laplace
+            # log-ratio quantized to integer micro-nats (round(x, 0) is
+            # half-away on both sides), so the per-doc reduction is an
+            # exact BIGINT sum; ONE trailing division by 10⁶ each side
+            "WITH t0 AS MATERIALIZED (SELECT doc_id, lang, "
+            "unnest(list_filter(string_split(lower(text), ' '), "
+            "x -> x <> '')) AS tok, "
+            "generate_subscripts(list_filter(string_split(lower(text), ' '), "
+            "x -> x <> ''), 1) AS pos FROM documents), "
+            "f AS MATERIALIZED (SELECT doc_id, lang, "
+            "CAST(md5_number_lower(tok) % 4096 AS BIGINT) AS b FROM ("
+            "SELECT doc_id, lang, tok FROM t0 "
+            "UNION ALL "
+            "SELECT a.doc_id, a.lang, a.tok || ' ' || b.tok AS tok "
+            "FROM t0 a JOIN t0 b ON b.doc_id = a.doc_id "
+            "AND b.pos = a.pos + 1)), "
+            "cr AS MATERIALIZED (SELECT b, count(*) AS c FROM f GROUP BY 1), "
+            "ct AS MATERIALIZED (SELECT b, count(*) AS c FROM f "
+            "WHERE lang = 'en' GROUP BY 1), "
+            "tot AS (SELECT (SELECT sum(c) FROM cr) AS r, "
+            "(SELECT coalesce(sum(c), 0) FROM ct) AS t), "
+            "w AS MATERIALIZED (SELECT cr.b, CAST(round(1000000.0 * ("
+            "ln((coalesce(ct.c, 0) + 1) / CAST((SELECT t FROM tot) + 4096 "
+            "AS DOUBLE)) - "
+            "ln((cr.c + 1) / CAST((SELECT r FROM tot) + 4096 AS DOUBLE))"
+            "), 0) AS BIGINT) AS wi FROM cr LEFT JOIN ct ON ct.b = cr.b) "
+            "SELECT f.doc_id, CAST(count(*) AS BIGINT) AS n_feats, "
+            "CAST(sum(w.wi) AS DOUBLE) / 1000000.0 AS dsir_logw "
+            "FROM f JOIN w ON w.b = f.b GROUP BY 1"
+        ),
+        "session_depth_histogram": (
+            # the bounce_rate_daily session CTEs, folded by depth instead
+            "WITH x AS (SELECT user_id, ts, event_id, "
+            "CASE WHEN lag(ts) OVER w IS NULL OR "
+            f"epoch_us(ts) - epoch_us(lag(ts) OVER w) > {GAP_SEC} * 1000000 "
+            "THEN 1 ELSE 0 END AS brk FROM events "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+            "y AS (SELECT *, sum(brk) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS UNBOUNDED PRECEDING) AS sess FROM x), "
+            "s AS (SELECT user_id, sess, count(*) ne FROM y GROUP BY 1, 2) "
+            "SELECT CAST(ne AS BIGINT) AS n_events_in_session, "
+            "CAST(count(*) AS BIGINT) AS n_sessions FROM s GROUP BY 1"
+        ),
+        "match_k4_labeled": (
+            # ordered labeled K4 embeddings on the mod-5 induced co-purchase
+            # subgraph; labels 0/1/2/0 — the only same-label pair (a, d)
+            # needs the explicit injectivity predicate, every other pair is
+            # forced distinct by its adjacency (no self-loops in e)
+            "WITH e AS MATERIALIZED (SELECT a.l_partkey AS src, "
+            "b.l_partkey AS dst "
+            "FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey "
+            f"WHERE a.l_partkey <> b.l_partkey AND a.l_partkey % {K4_MOD} = 0 "
+            f"AND b.l_partkey % {K4_MOD} = 0 GROUP BY 1, 2), "
+            "lab AS MATERIALIZED (SELECT p_partkey AS vid, p_size % 3 AS l "
+            "FROM part) "
+            "SELECT count(*) AS n_embeddings FROM e ab "
+            "JOIN e ac ON ac.src = ab.src "
+            "JOIN e ad ON ad.src = ab.src "
+            "JOIN e bc ON bc.src = ab.dst AND bc.dst = ac.dst "
+            "JOIN e bd ON bd.src = ab.dst AND bd.dst = ad.dst "
+            "JOIN e cd ON cd.src = ac.dst AND cd.dst = ad.dst "
+            "JOIN lab la ON la.vid = ab.src AND la.l = 0 "
+            "JOIN lab lb ON lb.vid = ab.dst AND lb.l = 1 "
+            "JOIN lab lc ON lc.vid = ac.dst AND lc.l = 2 "
+            "JOIN lab ld ON ld.vid = ad.dst AND ld.l = 0 "
+            "WHERE ab.src <> ad.dst"
+        ),
         # Still rows-only, with reasons:
         #  * ann_topk_ivf — result depends on k-means centroids (iterative
         #    float averaging); pytest asserts recall + pruning vs ann_topk.

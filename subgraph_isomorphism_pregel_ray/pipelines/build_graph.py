@@ -35,6 +35,7 @@ __all__ = [
     "symmetrize",
     "partition_graph",
     "edges_from_arrays",
+    "edge_cut_parts",
 ]
 
 
@@ -128,3 +129,94 @@ def edges_from_arrays(src, dst):
         }
     )
     return rd.from_arrow(t)
+
+
+def edge_cut_parts(edges_ds, parts=(4, 8, 16, 32), round_to: int = 6):
+    """Partition-quality AUDIT of the layout's own hash partitioner
+    (``part_for`` = ``vid % P``, the function :func:`partition_graph`
+    stores the graph with) → one row per candidate partition count P:
+    ``(num_parts, n_edges, n_cut, cut_fraction, max_part_edges,
+    min_part_edges, imbalance)``. An edge is OWNED by its src's part (the
+    layout rule) and CUT when its dst lives elsewhere — cut edges are
+    exactly the messages that cross partitions every BSP superstep, and
+    ``imbalance`` (= max part load ÷ mean part load) is the straggler
+    factor of the slowest actor. This is the panel a 256-node deployment
+    reads before picking P: cut_fraction prices the exchange, imbalance
+    prices the barrier. (Reference analogue: the hash partitioner of
+    ``utils/communication.h`` wID assignment, audited rather than assumed.)
+
+    Scale shape: ONE pass over the edge Dataset; each batch folds to at
+    most Σ|parts| partial rows (np.unique over observed part ids), then
+    ONE groupby over the ≤Σ|parts| keyspace; the driver folds a ≤60-row
+    table. Parts with zero edges are simply absent (min is over OBSERVED
+    parts), which the SQL replay mirrors. A symmetrized input counts each
+    undirected pair once per direction — consistent in numerator and
+    denominator, so cut_fraction is unaffected."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.rounding import round_half_away
+
+    plist = [int(p) for p in parts]
+
+    def _partial(t: pa.Table) -> pa.Table:
+        src = t["src"].to_numpy().astype(np.uint64)
+        dst = t["dst"].to_numpy().astype(np.uint64)
+        ps, pp, nn, cc = [], [], [], []
+        for p in plist:
+            sp = (src % np.uint64(p)).astype(np.int64)
+            cut = (sp != (dst % np.uint64(p)).astype(np.int64)).astype(np.int64)
+            u, inv = np.unique(sp, return_inverse=True)
+            n = np.bincount(inv, minlength=len(u)).astype(np.int64)
+            c = np.zeros(len(u), np.int64)
+            np.add.at(c, inv, cut)
+            ps.append(np.full(len(u), p, np.int64))
+            pp.append(u)
+            nn.append(n)
+            cc.append(c)
+        return pa.table(
+            {
+                "p": np.concatenate(ps) if ps else np.empty(0, np.int64),
+                "part": np.concatenate(pp) if pp else np.empty(0, np.int64),
+                "n": np.concatenate(nn) if nn else np.empty(0, np.int64),
+                "cut": np.concatenate(cc) if cc else np.empty(0, np.int64),
+            }
+        )
+
+    loads = (
+        edges_ds.map_batches(_partial, batch_format="pyarrow")
+        .groupby(["p", "part"])
+        .aggregate(Sum("n", alias_name="n"), Sum("cut", alias_name="cut"))
+        .to_pandas()
+    )
+    rows = {k: [] for k in (
+        "num_parts", "n_edges", "n_cut", "cut_fraction",
+        "max_part_edges", "min_part_edges", "imbalance",
+    )}
+    for p in plist:
+        g = loads[loads["p"] == p]
+        if not len(g):
+            continue
+        n = g["n"].to_numpy(np.int64)
+        tot, cut = int(n.sum()), int(g["cut"].to_numpy(np.int64).sum())
+        rows["num_parts"].append(p)
+        rows["n_edges"].append(tot)
+        rows["n_cut"].append(cut)
+        rows["cut_fraction"].append(
+            float(round_half_away(np.float64(cut) / np.float64(tot), round_to))
+        )
+        rows["max_part_edges"].append(int(n.max()))
+        rows["min_part_edges"].append(int(n.min()))
+        rows["imbalance"].append(
+            float(round_half_away(np.float64(n.max() * p) / np.float64(tot), round_to))
+        )
+    return pa.table(
+        {
+            "num_parts": pa.array(rows["num_parts"], pa.int64()),
+            "n_edges": pa.array(rows["n_edges"], pa.int64()),
+            "n_cut": pa.array(rows["n_cut"], pa.int64()),
+            "cut_fraction": pa.array(rows["cut_fraction"], pa.float64()),
+            "max_part_edges": pa.array(rows["max_part_edges"], pa.int64()),
+            "min_part_edges": pa.array(rows["min_part_edges"], pa.int64()),
+            "imbalance": pa.array(rows["imbalance"], pa.float64()),
+        }
+    )

@@ -22,6 +22,7 @@ from ..sources.tables import read_table, table_path
 
 __all__ = [
     "order_value_trimmed_mean",
+    "session_depth_histogram",
     "q1_lineitem",
     "copurchase_edges",
     "copurchase_edges_join",
@@ -8234,5 +8235,47 @@ def order_value_trimmed_mean(sf_dir: str, trim_denom: int = 10,
                     np.array([sum_cents / float(n_kept)]), round_to
                 )
             ),
+        }
+    )
+
+
+def session_depth_histogram(sf_dir: str, gap_sec: int = 600,
+                            num_buckets: int | None = None):
+    """Session-DEPTH census → (n_events_in_session, n_sessions): how many
+    gap-based sessions (:func:`events_sessionize`, same gap rule) contain
+    exactly 1, 2, 3, … events. The engagement-depth panel next to
+    ``bounce_rate_daily`` (its depth-1 bin IS the bounce count): product
+    analytics reads the whole distribution to separate crawler-like
+    one-shot traffic from engaged multi-event use.
+
+    Scale shape: rides the sessionize machine unchanged (ONE user-bucket
+    shuffle, vectorized in-bucket splits); per-batch ``np.unique`` depth
+    partials → ONE groupby over the tiny depth keyspace (max depth is
+    bounded by a user's busiest gap-free streak, not corpus size)."""
+    from ray.data.aggregate import Sum
+
+    sess = events_sessionize(sf_dir, gap_sec=gap_sec, num_buckets=num_buckets)
+
+    def _p(t: pa.Table) -> pa.Table:
+        ne = t["n_events"].to_numpy()
+        u, counts = np.unique(ne, return_counts=True)
+        return pa.table(
+            {
+                "n_events_in_session": u.astype(np.int64),
+                "ns": counts.astype(np.int64),
+            }
+        )
+
+    out = (
+        sess.map_batches(_p, batch_format="pyarrow")
+        .groupby("n_events_in_session")
+        .aggregate(Sum("ns", alias_name="n_sessions"))
+        .to_pandas()
+        .sort_values("n_events_in_session")
+    )
+    return pa.table(
+        {
+            "n_events_in_session": out["n_events_in_session"].to_numpy(np.int64),
+            "n_sessions": out["n_sessions"].to_numpy(np.int64),
         }
     )

@@ -30,6 +30,7 @@ from ..functions.hashing import md5_lower64
 from ..functions.rounding import round_half_away
 
 __all__ = [
+    "dsir_weights",
     "token_count_batch",
     "text_stats_batch",
     "lang_id_batch",
@@ -4086,3 +4087,113 @@ def shard_balance(docs_ds, num_shards: int = 64):
             Sum("n_bytes", alias_name="n_bytes"),
         )
     )
+
+
+def dsir_weights(docs_ds, target_lang: str = "en", num_buckets: int = 4096):
+    """DSIR importance log-weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling" — public): score every raw
+    document by how target-like its hashed n-gram profile is →
+    (doc_id, n_feats, dsir_logw) with dsir_logw = Σ_features
+    [ln p̂_target(b) − ln p̂_raw(b)], the log importance ratio under
+    Laplace-smoothed hashed unigram+bigram bag models. Selection then
+    resamples ∝ exp(dsir_logw) — this table IS the mixing knob for
+    "make my 100 TB crawl look like Wikipedia". Here target = the
+    corpus's own ``lang == target_lang`` slice (self-contained; callers
+    pass any target slice the same way).
+
+    Exactness: bucket weights are QUANTIZED to integer micro-nats
+    (round-half-away of 10⁶·Δln, matching DuckDB ``round(x, 0)``), so the
+    per-doc reduction is an exact int64 sum — order-free, hence bit-equal
+    to the SQL replay regardless of shuffle/aggregation order; the one
+    trailing division by 10⁶ is the same IEEE op on both sides. Features
+    are space-split lowercase tokens + adjacent bigrams hashed with
+    ``md5_lower64`` (≡ DuckDB ``md5_number_lower``) mod ``num_buckets``.
+
+    Scale shape: pass 1 folds ≤2·num_buckets-row integer partials per
+    batch (np.add.at combine) → ONE tiny groupby; the bucket→weight
+    array (num_buckets int64s, ~32 KB at the default) is built on the
+    driver and ``ray.put`` ONCE; pass 2 is a stateless ``map_batches``
+    probe — text never crosses an exchange and nothing unbounded reaches
+    the driver. Docs with zero features (empty text) are omitted, as in
+    the SQL replay."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..functions.hashing import md5_lower64
+    from ..functions.rounding import round_half_away
+
+    B = int(num_buckets)
+
+    def _doc_buckets(text: str) -> np.ndarray:
+        toks = [w for w in text.lower().split(" ") if w]
+        grams = toks + [
+            toks[i] + " " + toks[i + 1] for i in range(len(toks) - 1)
+        ]
+        if not grams:
+            return np.empty(0, np.int64)
+        return (
+            md5_lower64(np.asarray(grams, dtype=object)) % np.uint64(B)
+        ).astype(np.int64)
+
+    def _counts(t: pa.Table) -> pa.Table:
+        langs = t["lang"].to_pylist()
+        nr = np.zeros(B, np.int64)
+        nt = np.zeros(B, np.int64)
+        for text, lang in zip(t["text"].to_pylist(), langs):
+            bk = _doc_buckets(text)
+            np.add.at(nr, bk, 1)
+            if lang == target_lang:
+                np.add.at(nt, bk, 1)
+        obs = np.nonzero(nr)[0]
+        return pa.table(
+            {"b": obs, "n_raw": nr[obs], "n_tgt": nt[obs]}
+        )
+
+    cnt = (
+        docs_ds.map_batches(_counts, batch_format="pyarrow")
+        .groupby("b")
+        .aggregate(
+            Sum("n_raw", alias_name="n_raw"),
+            Sum("n_tgt", alias_name="n_tgt"),
+        )
+        .to_pandas()
+    )
+    b_obs = cnt["b"].to_numpy(np.int64)
+    n_raw = cnt["n_raw"].to_numpy(np.int64)
+    n_tgt = cnt["n_tgt"].to_numpy(np.int64)
+    T = int(n_tgt.sum())
+    R = int(n_raw.sum())
+    w = np.zeros(B, np.int64)
+    w[b_obs] = round_half_away(
+        1e6
+        * (
+            np.log((n_tgt + 1).astype(np.float64) / np.float64(T + B))
+            - np.log((n_raw + 1).astype(np.float64) / np.float64(R + B))
+        ),
+        0,
+    ).astype(np.int64)
+    w_ref = ray.put(w)
+
+    def _score(t: pa.Table) -> pa.Table:
+        wv = ray.get(w_ref)
+        ids, nf, s = [], [], []
+        for doc_id, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            bk = _doc_buckets(text)
+            if not len(bk):
+                continue
+            ids.append(doc_id)
+            nf.append(len(bk))
+            s.append(int(wv[bk].sum()))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_feats": pa.array(nf, pa.int64()),
+                "dsir_logw": pa.array(
+                    np.asarray(s, np.float64) / 1e6
+                    if s
+                    else np.empty(0, np.float64)
+                ),
+            }
+        )
+
+    return docs_ds.map_batches(_score, batch_format="pyarrow")

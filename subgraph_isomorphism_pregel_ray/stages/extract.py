@@ -27,6 +27,7 @@ __all__ = [
     "host_edges_batch",
     "host_graph",
     "host_locality",
+    "host_reciprocity",
     "page_indegree_histogram",
     "crawl_recency",
     "host_lang_mix",
@@ -461,3 +462,82 @@ def host_lang_mix(pages_ds, batch_size: int = 512):
         )
 
     return agg.groupby("host").map_groups(_share, batch_format="pyarrow")
+
+
+def host_reciprocity(pages_ds, batch_size: int = 512, round_to: int = 6):
+    """Pages → ONE-row host-graph reciprocity panel (n_directed_pairs,
+    n_reciprocated, reciprocity): over the distinct directed host-pair
+    links (self-host pairs dropped), how many are returned by a link in
+    the opposite direction — the classic directed-webgraph mutuality
+    statistic (Broder et al. 2000 report it per crawl; Garlaschelli &
+    Loffredo 2004 formalize it — both public). High reciprocity means an
+    undirected (flag-symmetrized) layout loses little information; low
+    means direction carries real signal (host_rank ≠ its reverse).
+
+    Scale shape: builds on :func:`host_graph` (per-batch host-pair
+    combiner → ONE groupby over the tiny host-pair keyspace); pairs are
+    then folded ORDER-FREE — each directed pair contributes a direction
+    bit keyed by its unordered pair, one more groupby-sum over ≤ the
+    same keyspace, and the driver folds two ints. ``reciprocity`` is one
+    IEEE division of exact int64 counts, rounded half-away."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.rounding import round_half_away
+
+    hg = host_graph(pages_ds, batch_size=batch_size)
+
+    def _bits(t: pa.Table) -> pa.Table:
+        src = np.asarray(t["src_host"].to_pylist(), dtype=object)
+        dst = np.asarray(t["dst_host"].to_pylist(), dtype=object)
+        keep = src != dst
+        src, dst = src[keep], dst[keep]
+        lo = np.where(src < dst, src, dst)
+        hi = np.where(src < dst, dst, src)
+        bit = np.where(src < dst, 1, 2).astype(np.int64)
+        return pa.table(
+            {
+                "a": pa.array(lo, pa.string()),
+                "b": pa.array(hi, pa.string()),
+                "bit": pa.array(bit, pa.int64()),
+            }
+        )
+
+    def _fold(t: pa.Table) -> pa.Table:
+        bits = t["bit"].to_numpy()
+        both = int((bits == 3).sum())
+        single = int((bits != 3).sum())
+        return pa.table(
+            {
+                "n_pairs": pa.array([2 * both + single], pa.int64()),
+                "n_recip": pa.array([2 * both], pa.int64()),
+            }
+        )
+
+    folded = (
+        hg.map_batches(_bits, batch_format="pyarrow")
+        .groupby(["a", "b"])
+        .aggregate(Sum("bit", alias_name="bit"))
+        .map_batches(_fold, batch_format="pyarrow")
+        .to_pandas()
+        .sum()
+    )
+    n_pairs = int(folded["n_pairs"])
+    n_recip = int(folded["n_recip"])
+    return pa.table(
+        {
+            "n_directed_pairs": pa.array([n_pairs], pa.int64()),
+            "n_reciprocated": pa.array([n_recip], pa.int64()),
+            "reciprocity": pa.array(
+                [
+                    float(
+                        round_half_away(
+                            np.float64(n_recip) / np.float64(n_pairs), round_to
+                        )
+                    )
+                    if n_pairs
+                    else 0.0
+                ],
+                pa.float64(),
+            ),
+        }
+    )

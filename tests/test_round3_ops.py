@@ -1,0 +1,214 @@
+"""Round-3 operator batch: edge_cut_parts, host_reciprocity,
+session_depth_histogram, match_k4_labeled — scalar/golden checks
+independent of the DuckDB oracle harness."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def test_edge_cut_parts_golden(ray_session):
+    """Tiny graph with hand-computed cuts: vids 0..5, P=2 and P=3."""
+    from subgraph_isomorphism_pregel_ray.pipelines.build_graph import (
+        edge_cut_parts,
+        edges_from_arrays,
+    )
+
+    # directed rows (already symmetrized by the caller in production; here
+    # we audit the raw rows so the expectation is hand-checkable)
+    src = [0, 1, 2, 3, 4, 5]
+    dst = [1, 2, 3, 4, 5, 0]
+    out = edge_cut_parts(edges_from_arrays(src, dst), parts=(2, 3)).to_pydict()
+    # P=2: parts of src = [0,1,0,1,0,1]; every edge flips parity → all cut
+    i = out["num_parts"].index(2)
+    assert out["n_edges"][i] == 6
+    assert out["n_cut"][i] == 6
+    assert out["cut_fraction"][i] == 1.0
+    assert out["max_part_edges"][i] == 3 and out["min_part_edges"][i] == 3
+    assert out["imbalance"][i] == 1.0
+    # P=3: src parts [0,1,2,0,1,2]; dst parts [1,2,0,1,2,0] → all cut,
+    # loads 2/2/2
+    j = out["num_parts"].index(3)
+    assert out["n_cut"][j] == 6 and out["max_part_edges"][j] == 2
+
+
+def test_edge_cut_parts_no_cut_when_p1_like(ray_session):
+    """Edges inside one part (all vids ≡ 0 mod 4) are never cut at P=4."""
+    from subgraph_isomorphism_pregel_ray.pipelines.build_graph import (
+        edge_cut_parts,
+        edges_from_arrays,
+    )
+
+    out = edge_cut_parts(
+        edges_from_arrays([0, 4, 8], [4, 8, 0]), parts=(4,)
+    ).to_pydict()
+    assert out["n_cut"] == [0]
+    assert out["cut_fraction"] == [0.0]
+    # all three edges land in part 0 → imbalance = max*P/total = 3*4/3
+    assert out["imbalance"] == [4.0]
+
+
+def test_host_reciprocity_synthetic(ray_session):
+    """Hand-built pages: A→B and B→A (reciprocated), A→C (not)."""
+    import ray.data as rd
+
+    from subgraph_isomorphism_pregel_ray.stages.extract import host_reciprocity
+
+    def page(url, hrefs):
+        body = "".join(f'<a href="{h}">x</a>' for h in hrefs)
+        return {
+            "url": url,
+            "warc_ts": np.datetime64("2024-01-01", "us"),
+            "html": f"<html><body>{body}</body></html>".encode(),
+            "text": "x",
+            "lang": "en",
+        }
+
+    rows = [
+        page("https://a.example/1", ["https://b.example/1", "https://c.example/1"]),
+        page("https://b.example/1", ["https://a.example/1"]),
+        page("https://c.example/1", []),
+    ]
+    out = host_reciprocity(rd.from_items(rows)).to_pydict()
+    # directed pairs: a→b, a→c, b→a → 3; reciprocated: a→b & b→a → 2
+    assert out["n_directed_pairs"] == [3]
+    assert out["n_reciprocated"] == [2]
+    assert out["reciprocity"] == [round(2 / 3, 6)]
+
+
+def test_session_depth_histogram_sums_to_sessions(ray_session):
+    """Depth histogram mass equals the session count and its depth-1 bin
+    equals bounce_rate_daily's bounce total (same gap rule)."""
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import (
+        bounce_rate_daily,
+        events_sessionize,
+        session_depth_histogram,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    hist = session_depth_histogram(sf).to_pydict()
+    n_sessions = events_sessionize(sf).count()
+    assert sum(hist["n_sessions"]) == n_sessions
+    b = bounce_rate_daily(sf).to_pydict()
+    depth1 = dict(zip(hist["n_events_in_session"], hist["n_sessions"])).get(1, 0)
+    assert sum(b["n_bounces"]) == depth1
+    # depths are positive and strictly increasing (sorted output)
+    d = hist["n_events_in_session"]
+    assert all(x >= 1 for x in d) and d == sorted(d)
+
+
+def test_match_k4_vs_brute_force(ray_session):
+    """K4 labeled count on a small random graph: engine vs itertools."""
+    import itertools
+
+    import ray.data as rd
+
+    from subgraph_isomorphism_pregel_ray.pipelines.build_graph import (
+        edges_from_arrays,
+        partition_graph,
+        symmetrize,
+    )
+    from subgraph_isomorphism_pregel_ray.pipelines.bsp import BSPEngine
+    from subgraph_isomorphism_pregel_ray.pipelines.match import build_plan
+
+    rng = np.random.default_rng(7)
+    n = 24
+    dense = rng.random((n, n)) < 0.35
+    adj = np.triu(dense, 1)
+    src, dst = np.nonzero(adj)
+    labels = (np.arange(n) % 3).astype(np.int64)
+
+    QL = [0, 1, 2, 0]
+    QE = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)]
+    sym = adj | adj.T
+    expected = 0
+    for quad in itertools.permutations(range(n), 4):
+        if [labels[v] for v in quad] != QL:
+            continue
+        if all(sym[quad[a]][quad[b]] for a, b in QE):
+            expected += 1
+
+    gdir = "/tmp/graft_test_k4_brute"
+    import shutil
+
+    shutil.rmtree(gdir, ignore_errors=True)
+    lab_ds = rd.from_arrow(
+        pa.table({"vid": np.arange(n, dtype=np.uint64), "label": labels})
+    )
+    partition_graph(
+        symmetrize(edges_from_arrays(src, dst)), 2, gdir,
+        labels_ds=lab_ds, directed=True,
+    )
+    eng = BSPEngine(gdir, 2)
+    try:
+        eng.run("match", {"plan": build_plan(QL, QE)}, max_steps=10)
+        got = eng.scalar_results().get("embeddings", 0)
+    finally:
+        eng.shutdown()
+    assert got == expected and expected > 0
+
+
+def test_dsir_weights_scalar_replay(ray_session):
+    """dsir_weights vs a pure-Python replay on a tiny bilingual corpus,
+    plus the semantic sanity check: target-language docs score higher."""
+    import math
+
+    import ray.data as rd
+
+    from subgraph_isomorphism_pregel_ray.functions.hashing import md5_lower64
+    from subgraph_isomorphism_pregel_ray.pipelines.textops import dsir_weights
+
+    docs = [
+        (0, "en", "the cat sat on the mat"),
+        (1, "en", "the dog sat on the rug"),
+        (2, "de", "der hund sitzt auf dem teppich"),
+        (3, "de", "die katze sitzt auf der matte"),
+        (4, "en", "the cat and the dog"),
+        (5, "de", ""),  # zero-feature doc → omitted
+    ]
+    ds = rd.from_items(
+        [{"doc_id": i, "lang": l, "text": t} for i, l, t in docs]
+    )
+    B = 64
+    got = dsir_weights(ds, target_lang="en", num_buckets=B).to_pandas()
+    got = got.sort_values("doc_id").reset_index(drop=True)
+
+    def feats(text):
+        toks = [w for w in text.lower().split(" ") if w]
+        grams = toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        # NB: % must happen in uint64 (uint64 % python-int promotes to
+        # float64 in numpy and corrupts the low bits)
+        return [int(md5_lower64([g])[0] % np.uint64(B)) for g in grams]
+
+    from collections import Counter
+
+    raw, tgt = Counter(), Counter()
+    for _, lang, text in docs:
+        f = feats(text)
+        raw.update(f)
+        if lang == "en":
+            tgt.update(f)
+    T, R = sum(tgt.values()), sum(raw.values())
+
+    def wi(b):
+        x = 1e6 * (
+            math.log((tgt.get(b, 0) + 1) / (T + B))
+            - math.log((raw.get(b, 0) + 1) / (R + B))
+        )
+        return math.floor(abs(x) + 0.5) * (1 if x >= 0 else -1)
+
+    expected = {}
+    for i, lang, text in docs:
+        f = feats(text)
+        if f:
+            expected[i] = (len(f), sum(wi(b) for b in f) / 1e6)
+
+    assert list(got["doc_id"]) == sorted(expected)
+    for _, row in got.iterrows():
+        nf, lw = expected[row["doc_id"]]
+        assert row["n_feats"] == nf
+        assert row["dsir_logw"] == lw
+    # target-likeness separation: mean en weight > mean de weight
+    en = got[got["doc_id"].isin([0, 1, 4])]["dsir_logw"].mean()
+    de = got[got["doc_id"].isin([2, 3])]["dsir_logw"].mean()
+    assert en > de
