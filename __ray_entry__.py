@@ -2687,6 +2687,26 @@ def _q_dsir_weights(sf_dir: str):
     return dsir_weights(docs)
 
 
+def _q_stratified_sample(sf_dir: str):
+    """Equal-allocation deterministic per-lang sample (balanced eval set)."""
+    from subgraph_isomorphism_pregel_ray.pipelines.textops import stratified_sample
+    from subgraph_isomorphism_pregel_ray.sources.tables import read_table
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "lang"])
+    return stratified_sample(docs, k=20)
+
+
+def _q_quality_mixture_report(sf_dir: str):
+    """Source × quality-decile doc/token-mass cross-tab (data-mixing panel)."""
+    from subgraph_isomorphism_pregel_ray.pipelines.textops import (
+        quality_mixture_report,
+    )
+    from subgraph_isomorphism_pregel_ray.sources.tables import read_table
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "source", "text"])
+    return quality_mixture_report(docs)
+
+
 def _q_session_depth_histogram(sf_dir: str):
     """Session-depth census over the gap-based sessionize machine."""
     from subgraph_isomorphism_pregel_ray.pipelines.relational import (
@@ -3013,6 +3033,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doclen_percentiles_by_lang": _q_doclen_percentiles_by_lang,
         "edge_cut_parts": _q_edge_cut_parts,
         "dsir_weights": _q_dsir_weights,
+        "stratified_sample": _q_stratified_sample,
+        "quality_mixture_report": _q_quality_mixture_report,
         "host_reciprocity": _q_host_reciprocity,
         "session_depth_histogram": _q_session_depth_histogram,
         "match_k4_labeled": _q_match_k4,
@@ -7483,6 +7505,37 @@ def oracle_sql() -> dict[str, str]:
             "SELECT f.doc_id, CAST(count(*) AS BIGINT) AS n_feats, "
             "CAST(sum(w.wi) AS DOUBLE) / 1000000.0 AS dsir_logw "
             "FROM f JOIN w ON w.b = f.b GROUP BY 1"
+        ),
+        "stratified_sample": (
+            # salted-md5 total order (ties → doc_id, though md5 ties are
+            # astronomically unlikely) replayed with row_number
+            "SELECT lang, doc_id, CAST(rn AS BIGINT) AS rn FROM ("
+            "SELECT lang, doc_id, row_number() OVER (PARTITION BY lang "
+            "ORDER BY md5_number_lower('sample:' || CAST(doc_id AS VARCHAR)), "
+            "doc_id) AS rn FROM documents) WHERE rn <= 20"
+        ),
+        "quality_mixture_report": (
+            # the unigram_quality chain (identical CTEs — both mean_relfreq
+            # ratios are ONE IEEE division of exact int64s, so the global
+            # rank over (mean_relfreq, doc_id) is the same total order),
+            # then integer decile (rk*10)//n and a source cross-tab
+            f"WITH {tok_cte}, "
+            "tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY 1, 2), "
+            "dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY 1), "
+            "cf AS (SELECT tok, count(*) AS f FROM tok GROUP BY 1), "
+            "tot AS (SELECT count(*) AS t FROM tok), "
+            "agg AS (SELECT tf.doc_id, CAST(sum(tf.tf * cf.f) AS BIGINT) AS num "
+            "FROM tf JOIN cf USING (tok) GROUP BY 1), "
+            "q AS (SELECT dl.doc_id, dl.n AS n_tokens, "
+            "agg.num * 1.0 / (dl.n * (SELECT t FROM tot)) AS mean_relfreq "
+            "FROM dl JOIN agg USING (doc_id)), "
+            "r AS (SELECT doc_id, n_tokens, "
+            "row_number() OVER (ORDER BY mean_relfreq, doc_id) - 1 AS rk, "
+            "count(*) OVER () AS n FROM q) "
+            "SELECT d.source, CAST((r.rk * 10) // r.n AS BIGINT) AS decile, "
+            "CAST(count(*) AS BIGINT) AS n_docs, "
+            "CAST(sum(r.n_tokens) AS BIGINT) AS n_tokens "
+            "FROM r JOIN documents d USING (doc_id) GROUP BY 1, 2"
         ),
         "session_depth_histogram": (
             # the bounce_rate_daily session CTEs, folded by depth instead

@@ -31,6 +31,8 @@ from ..functions.rounding import round_half_away
 
 __all__ = [
     "dsir_weights",
+    "stratified_sample",
+    "quality_mixture_report",
     "token_count_batch",
     "text_stats_batch",
     "lang_id_batch",
@@ -4197,3 +4199,162 @@ def dsir_weights(docs_ds, target_lang: str = "en", num_buckets: int = 4096):
         )
 
     return docs_ds.map_batches(_score, batch_format="pyarrow")
+
+
+def stratified_sample(docs_ds, k: int = 20, strata_col: str = "lang",
+                      salt: str = "sample"):
+    """Equal-allocation DETERMINISTIC stratified sample → (lang, doc_id,
+    rn): the first ``k`` documents per stratum under the salted-md5
+    total order ``(md5('salt:doc_id'), doc_id)``. The balanced-eval-set
+    primitive — a uniform sample of a 90 %-English crawl contains almost
+    no Thai; per-stratum equal allocation is how eval and ablation sets
+    are actually drawn. Salting makes draws independent across salts
+    while every draw stays reproducible (and SQL-replayable via
+    ``md5_number_lower``).
+
+    Scale shape: per-batch per-stratum top-k COMBINER (vectorized
+    lexsort + segment-position cut — each batch forwards ≤ k·|strata|
+    rows, so the exchange carries candidates, not the corpus) → ONE
+    ``groupby(stratum)`` whose map_groups repeats the same cut on the
+    ≤ k·#batches survivors. Text never leaves the first pass."""
+    from ..functions.hashing import md5_lower64
+
+    def _topk(t: pa.Table) -> pa.Table:
+        lang = np.asarray(t[strata_col].to_pylist(), dtype=object)
+        ids = t["doc_id"].to_numpy()
+        if "rk" in t.column_names:
+            rk = t["rk"].to_numpy()
+        else:
+            rk = md5_lower64(
+                np.asarray([f"{salt}:{i}" for i in ids], dtype=object)
+            )
+        order = np.lexsort((ids, rk, lang))
+        lang, ids, rk = lang[order], ids[order], rk[order]
+        new = np.concatenate([[True], lang[1:] != lang[:-1]]) if len(lang) else np.empty(0, bool)
+        starts = np.nonzero(new)[0]
+        grp = np.cumsum(new) - 1
+        pos = np.arange(len(lang)) - starts[grp] if len(lang) else np.empty(0, np.int64)
+        keep = pos < k
+        return pa.table(
+            {
+                strata_col: pa.array(lang[keep], pa.string()),
+                "doc_id": pa.array(ids[keep], pa.int64()),
+                "rk": pa.array(rk[keep], pa.uint64()),
+                "rn": pa.array((pos[keep] + 1).astype(np.int64)),
+            }
+        )
+
+    def _final(g: pa.Table) -> pa.Table:
+        out = _topk(g)
+        return out.drop_columns(["rk"])
+
+    return (
+        docs_ds.map_batches(_topk, batch_format="pyarrow")
+        .groupby(strata_col)
+        .map_groups(_final, batch_format="pyarrow")
+    )
+
+
+def quality_mixture_report(docs_ds, num_deciles: int = 10,
+                           num_buckets: int = 32):
+    """Source × quality-decile MIXING panel → (source, decile, n_docs,
+    n_tokens): rank every document by its :func:`unigram_quality`
+    ``mean_relfreq`` score (global rank, ties → doc_id), cut into
+    ``num_deciles`` equal-rank buckets (decile 0 = rarest-vocabulary
+    text, 9 = most stereotyped), and cross-tab document and token mass
+    by source. This is the table a data-mixing decision actually reads:
+    which sources fill the low-quality deciles, and how much token mass
+    a per-decile sampling temperature would move (the quality-bucket
+    companion to ``dsir_weights``' target-likeness scores).
+
+    Scale shape: the quality pass is the salient_terms one-shuffle
+    machine; the global decile needs a TRUE distributed rank — the
+    TeraSort sort-ordinal machine (``stages/sort.py``), the same
+    two-phase prefix-sum used by every order-statistic op here; the
+    doc→source attachment is the bucketed repartition-join (union under
+    a common schema, ONE groupby(bucket), per-bucket searchsorted) —
+    no acero join, no driver-side map; the final fold is a
+    #sources×#deciles-row groupby. Docs with zero tokens are absent
+    (no quality row), as in the SQL replay."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.sort import sort_with_ordinal
+
+    D = int(num_deciles)
+    B = int(num_buckets)
+
+    q = unigram_quality(docs_ds)
+    ranked = sort_with_ordinal(
+        q.select_columns(["doc_id", "n_tokens", "mean_relfreq"]),
+        key=["mean_relfreq", "doc_id"],
+    ).materialize()
+    n = ranked.count()
+
+    def _fact(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        o = t["ordinal"].to_numpy()
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_tokens": pa.array(t["n_tokens"].to_numpy(), pa.int64()),
+                "decile": pa.array((o * D // n).astype(np.int64)),
+                "source": pa.array([""] * len(ids), pa.string()),
+                "b": pa.array((ids % B).astype(np.int32)),
+            }
+        )
+
+    def _dim(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_tokens": pa.array(np.full(len(ids), -1, np.int64)),
+                "decile": pa.array(np.full(len(ids), -1, np.int64)),
+                "source": t["source"],
+                "b": pa.array((ids % B).astype(np.int32)),
+            }
+        )
+
+    def _merge(g: pa.Table) -> pa.Table:
+        dec = g["decile"].to_numpy()
+        is_dim = dec == -1
+        d_ids = g["doc_id"].to_numpy()[is_dim]
+        d_src = np.asarray(g["source"].to_pylist(), dtype=object)[is_dim]
+        order = np.argsort(d_ids)
+        d_ids, d_src = d_ids[order], d_src[order]
+        f_ids = g["doc_id"].to_numpy()[~is_dim]
+        f_dec = dec[~is_dim]
+        f_tok = g["n_tokens"].to_numpy()[~is_dim]
+        idx = np.searchsorted(d_ids, f_ids)
+        src = d_src[idx]
+        # per-bucket partial fold to (source, decile) rows
+        key = np.asarray([f"{s}\x00{d}" for s, d in zip(src, f_dec)], dtype=object)
+        u, inv = np.unique(key, return_inverse=True)
+        nd = np.bincount(inv).astype(np.int64)
+        nt = np.zeros(len(u), np.int64)
+        np.add.at(nt, inv, f_tok)
+        srcs = [s.split("\x00")[0] for s in u]
+        decs = [int(s.split("\x00")[1]) for s in u]
+        return pa.table(
+            {
+                "source": pa.array(srcs, pa.string()),
+                "decile": pa.array(decs, pa.int64()),
+                "n_docs": pa.array(nd),
+                "n_tokens": pa.array(nt),
+            }
+        )
+
+    facts = ranked.map_batches(_fact, batch_format="pyarrow")
+    dims = docs_ds.select_columns(["doc_id", "source"]).map_batches(
+        _dim, batch_format="pyarrow"
+    )
+    return (
+        facts.union(dims)
+        .groupby("b")
+        .map_groups(_merge, batch_format="pyarrow")
+        .groupby(["source", "decile"])
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("n_tokens", alias_name="n_tokens"),
+        )
+    )

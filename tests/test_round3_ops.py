@@ -212,3 +212,54 @@ def test_dsir_weights_scalar_replay(ray_session):
     en = got[got["doc_id"].isin([0, 1, 4])]["dsir_logw"].mean()
     de = got[got["doc_id"].isin([2, 3])]["dsir_logw"].mean()
     assert en > de
+
+
+def test_stratified_sample_properties(ray_session):
+    """k per stratum, deterministic across runs, subset of the stratum."""
+    import ray.data as rd
+
+    from subgraph_isomorphism_pregel_ray.pipelines.textops import stratified_sample
+
+    rng = np.random.default_rng(3)
+    langs = ["en", "de", "fr"]
+    rows = [
+        {"doc_id": int(i), "lang": langs[int(rng.integers(0, 3))]}
+        for i in range(200)
+    ]
+    ds = rd.from_items(rows)
+    a = stratified_sample(ds, k=5).to_pandas().sort_values(["lang", "rn"])
+    b = stratified_sample(ds, k=5).to_pandas().sort_values(["lang", "rn"])
+    assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
+    assert set(a["lang"]) == set(langs)
+    assert (a.groupby("lang").size() == 5).all()
+    assert (a.groupby("lang")["rn"].apply(lambda s: sorted(s) == [1, 2, 3, 4, 5])).all()
+    by_lang = {l: {r["doc_id"] for r in rows if r["lang"] == l} for l in langs}
+    for _, row in a.iterrows():
+        assert row["doc_id"] in by_lang[row["lang"]]
+    # a different salt draws a different sample (independence knob)
+    c = stratified_sample(ds, k=5, salt="other").to_pandas()
+    assert set(map(tuple, c[["lang", "doc_id"]].values)) != set(
+        map(tuple, a[["lang", "doc_id"]].values)
+    )
+
+
+def test_quality_mixture_report_mass_conservation(ray_session):
+    """Decile cross-tab conserves doc and token mass and balances deciles."""
+    from subgraph_isomorphism_pregel_ray.pipelines.textops import (
+        quality_mixture_report,
+        unigram_quality,
+    )
+    from subgraph_isomorphism_pregel_ray.sources.tables import read_table
+
+    sf = "/root/testdata/sf0.001"
+    docs = read_table(sf, "documents", columns=["doc_id", "source", "text"])
+    rep = quality_mixture_report(docs).to_pandas()
+    q = unigram_quality(
+        read_table(sf, "documents", columns=["doc_id", "text"])
+    ).to_pandas()
+    assert rep["n_docs"].sum() == len(q)
+    assert rep["n_tokens"].sum() == q["n_tokens"].sum()
+    # equal-rank cut: decile sizes differ by at most 1
+    sizes = rep.groupby("decile")["n_docs"].sum()
+    assert set(sizes.index) == set(range(10))
+    assert sizes.max() - sizes.min() <= 1
