@@ -9,7 +9,8 @@ from __future__ import annotations
 import os
 
 __all__ = ["table_path", "read_table", "read_jsonl", "read_csv",
-           "write_csv", "to_parquet_shards"]
+           "write_csv", "to_parquet_shards", "read_arrow_ipc",
+           "write_arrow_ipc"]
 
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
@@ -70,4 +71,70 @@ def write_csv(ds, out_dir: str):
     for free. Round-trips with :func:`read_csv` for the scalar types the
     sf tables use (ints, floats, strings; timestamps survive as ISO text)."""
     ds.write_csv(out_dir)
+    return out_dir
+
+
+def read_arrow_ipc(path: str, columns: list[str] | None = None):
+    """Arrow IPC / Feather-v2 source: a directory of ``.arrow`` shards (or
+    one file) → Dataset, one read task per file. IPC is the zero-copy
+    spill/interchange format between Arrow-native engines (what Flight
+    and memory-mapped handoffs speak); unlike CSV/JSONL it is columnar,
+    so ``columns=`` prunes at the FILE read (``pa.ipc`` reads only the
+    requested columns' buffers), not after parse.
+
+    Scale shape: built on ``ray.data.read_binary_files`` (per-file
+    parallelism, streaming blocks) + a stateless per-file decode; each
+    task holds one shard. Pair with :func:`write_arrow_ipc` for a
+    round-trip that preserves Arrow types exactly (timestamps, binary,
+    lists — no CSV/JSON lossiness)."""
+    import ray.data as rd
+
+    def _decode(t):
+        import pyarrow as pa
+
+        out = []
+        for buf in t["bytes"].to_pylist():
+            tbl = pa.ipc.open_file(pa.BufferReader(buf)).read_all()
+            if columns:
+                tbl = tbl.select(columns)
+            out.append(tbl)
+        return pa.concat_tables(out)
+
+    return rd.read_binary_files(path, file_extensions=["arrow"]).map_batches(
+        _decode, batch_format="pyarrow"
+    )
+
+
+def write_arrow_ipc(ds, out_dir: str) -> str:
+    """Arrow IPC / Feather-v2 sink: one ``part-<hash>.arrow`` shard per
+    block (never one giant file), content-hashed names with atomic
+    rename publish — the same resumable/deterministic shard contract as
+    ``stages/sink.py::write_jsonl``, but type-exact (binary, timestamp,
+    list columns survive byte-for-byte). Round-trips with
+    :func:`read_arrow_ipc` re-parallelizing per shard."""
+    import os
+
+    import pyarrow as pa
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def _write(t: pa.Table) -> pa.Table:
+        import hashlib
+
+        sink = pa.BufferOutputStream()
+        with pa.ipc.new_file(sink, t.schema) as w:
+            w.write_table(t)
+        payload = sink.getvalue().to_pybytes()
+        name = f"part-{hashlib.md5(payload).hexdigest()[:16]}.arrow"
+        tmp = os.path.join(out_dir, "." + name)
+        with open(tmp, "wb") as f:
+            f.write(payload)
+        os.replace(tmp, os.path.join(out_dir, name))  # atomic publish
+        return pa.table({"rows_written": pa.array([t.num_rows])})
+
+    n = 0
+    for b in ds.map_batches(_write, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        n += int(b["rows_written"].to_numpy().sum())
     return out_dir

@@ -263,3 +263,43 @@ def test_quality_mixture_report_mass_conservation(ray_session):
     sizes = rep.groupby("decile")["n_docs"].sum()
     assert set(sizes.index) == set(range(10))
     assert sizes.max() - sizes.min() <= 1
+
+
+def test_arrow_ipc_round_trip(ray_session, tmp_path):
+    """write_arrow_ipc -> read_arrow_ipc preserves Arrow types exactly
+    (timestamps, binary, floats) and column pruning works at the read."""
+    import ray.data as rd
+
+    from subgraph_isomorphism_pregel_ray.sources.tables import (
+        read_arrow_ipc,
+        write_arrow_ipc,
+    )
+
+    t = pa.table(
+        {
+            "i": pa.array([1, 2, 3], pa.int64()),
+            "f": pa.array([1.5, float("nan"), -0.25], pa.float64()),
+            "s": pa.array(["a", "b", ""], pa.string()),
+            "bin": pa.array([b"\x00\x01", b"", b"xyz"], pa.binary()),
+            "ts": pa.array(
+                np.array(["2024-01-01T00:00:00", "2024-06-01T12:34:56",
+                          "2025-01-01T01:02:03"], dtype="datetime64[us]")
+            ),
+        }
+    )
+    out = str(tmp_path / "ipc")
+    write_arrow_ipc(rd.from_arrow(t), out)
+    back = read_arrow_ipc(out).to_pandas().sort_values("i").reset_index(drop=True)
+    orig = t.to_pandas().sort_values("i").reset_index(drop=True)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(back, orig)
+    # pruned read returns only the requested columns
+    pruned = read_arrow_ipc(out, columns=["i", "ts"]).to_pandas()
+    assert list(pruned.columns) == ["i", "ts"]
+    # shard naming is content-hashed → a rerun overwrites, not duplicates
+    import os
+
+    before = sorted(os.listdir(out))
+    write_arrow_ipc(rd.from_arrow(t), out)
+    assert sorted(os.listdir(out)) == before
