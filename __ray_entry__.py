@@ -2687,6 +2687,20 @@ def _q_dsir_weights(sf_dir: str):
     return dsir_weights(docs)
 
 
+def _q_graph_summary(sf_dir: str):
+    """One-row macro census of the co-purchase graph (sizing panel)."""
+    from subgraph_isomorphism_pregel_ray.pipelines.algorithms import graph_summary
+
+    return graph_summary(_sym_copurchase(sf_dir))
+
+
+def _q_transitivity(sf_dir: str):
+    """Global clustering coefficient 3T/W over the co-purchase graph."""
+    from subgraph_isomorphism_pregel_ray.pipelines.algorithms import transitivity
+
+    return transitivity(_sym_copurchase(sf_dir), num_parts=4)
+
+
 def _q_stratified_sample(sf_dir: str):
     """Equal-allocation deterministic per-lang sample (balanced eval set)."""
     from subgraph_isomorphism_pregel_ray.pipelines.textops import stratified_sample
@@ -3032,6 +3046,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_freq_spectrum": _q_token_freq_spectrum,
         "doclen_percentiles_by_lang": _q_doclen_percentiles_by_lang,
         "edge_cut_parts": _q_edge_cut_parts,
+        "graph_summary": _q_graph_summary,
+        "transitivity_copurchase": _q_transitivity,
         "dsir_weights": _q_dsir_weights,
         "stratified_sample": _q_stratified_sample,
         "quality_mixture_report": _q_quality_mixture_report,
@@ -7505,6 +7521,36 @@ def oracle_sql() -> dict[str, str]:
             "SELECT f.doc_id, CAST(count(*) AS BIGINT) AS n_feats, "
             "CAST(sum(w.wi) AS DOUBLE) / 1000000.0 AS dsir_logw "
             "FROM f JOIN w ON w.b = f.b GROUP BY 1"
+        ),
+        "graph_summary": (
+            # degrees over the symmetrized pairs; both ratios ONE IEEE
+            # division of exact int64s (sum(d) = 2E, V(V-1) < 2^53)
+            f"WITH {_ESYM_MAT}, "
+            "deg AS (SELECT src AS vid, CAST(count(*) AS BIGINT) AS d "
+            "FROM e GROUP BY 1) "
+            "SELECT CAST(count(*) AS BIGINT) AS n_vertices, "
+            "CAST(sum(d) // 2 AS BIGINT) AS n_edges, "
+            "round(CAST(sum(d) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) "
+            "AS avg_degree, "
+            "CAST(max(d) AS BIGINT) AS max_degree, "
+            "round(CAST(sum(d) AS DOUBLE) / "
+            "CAST(count(*) * (count(*) - 1) AS DOUBLE), 6) AS density "
+            "FROM deg"
+        ),
+        "transitivity_copurchase": (
+            # W = Σ C(d,2) int64-exact; T = the triangle_count 3-join;
+            # transitivity = 3T/W in ONE IEEE division
+            f"WITH {_ESYM_MAT}, "
+            "deg AS (SELECT src AS vid, CAST(count(*) AS BIGINT) AS d "
+            "FROM e GROUP BY 1), "
+            "w AS (SELECT CAST(sum(d * (d - 1) // 2) AS BIGINT) AS w FROM deg), "
+            "t AS (SELECT CAST(count(*) AS BIGINT) AS t FROM e e1 "
+            "JOIN e e2 ON e2.src = e1.dst AND e2.dst > e1.dst "
+            "JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst "
+            "WHERE e1.src < e1.dst) "
+            "SELECT w.w AS n_wedges, t.t AS n_triangles, "
+            "round(CAST(3 * t.t AS DOUBLE) / CAST(w.w AS DOUBLE), 6) "
+            "AS transitivity FROM w, t"
         ),
         "stratified_sample": (
             # salted-md5 total order (ties → doc_id, though md5 ties are

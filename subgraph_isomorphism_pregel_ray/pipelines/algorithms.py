@@ -29,6 +29,8 @@ from .bsp import BSPEngine
 from .build_graph import partition_graph
 
 __all__ = [
+    "graph_summary",
+    "transitivity",
     "build_engine",
     "pagerank",
     "connected_components",
@@ -1959,5 +1961,114 @@ def attack_tolerance(sf_dir: str, ks=(0, 2, 4, 6, 8), num_parts: int = 4):
             "n_vertices": np.asarray(v_, np.int64),
             "n_components": np.asarray(c_, np.int64),
             "giant_size": np.asarray(g_, np.int64),
+        }
+    )
+
+
+def graph_summary(edges_ds, round_to: int = 6):
+    """ONE-row macro census of a symmetrized edge Dataset → (n_vertices,
+    n_edges, avg_degree, max_degree, density): the first table any graph
+    job prints (and the sizing input for every partitioning decision —
+    avg_degree prices a superstep's exchange, max_degree flags hub skew,
+    density picks matcher plan order). n_edges counts UNDIRECTED pairs
+    (= symmetrized rows / 2).
+
+    Scale shape: ONE groupby(src)-count pass folds the degree table
+    (|V| rows) to three-int partials per batch (count, sum, max) —
+    the driver folds a ≤#blocks-row table; both ratios are single IEEE
+    divisions of exact int64s, rounded half-away."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.rounding import round_half_away
+
+    def _deg(t: pa.Table) -> pa.Table:
+        src = t["src"].to_numpy()
+        u, c = np.unique(src, return_counts=True)
+        return pa.table({"vid": u, "d": c.astype(np.int64)})
+
+    def _fold(t: pa.Table) -> pa.Table:
+        d = t["d"].to_numpy()
+        return pa.table(
+            {
+                "nv": pa.array([len(d)], pa.int64()),
+                "ds": pa.array([int(d.sum())], pa.int64()),
+                "dm": pa.array([int(d.max()) if len(d) else 0], pa.int64()),
+            }
+        )
+
+    deg = (
+        edges_ds.map_batches(_deg, batch_format="pyarrow")
+        .groupby("vid")
+        .aggregate(Sum("d", alias_name="d"))
+    )
+    f = deg.map_batches(_fold, batch_format="pyarrow").to_pandas()
+    nv = int(f["nv"].sum())
+    ds_ = int(f["ds"].sum())
+    dm = int(f["dm"].max()) if len(f) else 0
+    ne = ds_ // 2
+    avg = float(round_half_away(np.float64(ds_) / np.float64(nv), round_to)) if nv else 0.0
+    dens = (
+        float(
+            round_half_away(
+                np.float64(ds_) / np.float64(nv * (nv - 1)), round_to
+            )
+        )
+        if nv > 1
+        else 0.0
+    )
+    return pa.table(
+        {
+            "n_vertices": pa.array([nv], pa.int64()),
+            "n_edges": pa.array([ne], pa.int64()),
+            "avg_degree": pa.array([avg], pa.float64()),
+            "max_degree": pa.array([dm], pa.int64()),
+            "density": pa.array([dens], pa.float64()),
+        }
+    )
+
+
+def transitivity(edges_ds, num_parts: int = 4, round_to: int = 6):
+    """Global clustering coefficient (transitivity) of a symmetrized edge
+    Dataset → ONE row (n_wedges, n_triangles, transitivity = 3T / W with
+    W = Σ_v C(d_v, 2)) — the Watts–Strogatz global companion to the
+    per-vertex ``clustering_coeff`` table: one number separating
+    community-structured graphs (high) from degree-matched random ones
+    (low ~ d̄/n).
+
+    Scale shape: the wedge sum folds from the same ONE degree groupby as
+    :func:`graph_summary` (int64-exact: degrees < 2³² make d·(d−1)/2
+    safe); the triangle count is the engine's BSP
+    :func:`triangle_count`; ONE IEEE division at the end."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.rounding import round_half_away
+
+    def _deg(t: pa.Table) -> pa.Table:
+        src = t["src"].to_numpy()
+        u, c = np.unique(src, return_counts=True)
+        return pa.table({"vid": u, "d": c.astype(np.int64)})
+
+    def _wedges(t: pa.Table) -> pa.Table:
+        d = t["d"].to_numpy()
+        return pa.table(
+            {"w": pa.array([int((d * (d - 1) // 2).sum())], pa.int64())}
+        )
+
+    w = int(
+        edges_ds.map_batches(_deg, batch_format="pyarrow")
+        .groupby("vid")
+        .aggregate(Sum("d", alias_name="d"))
+        .map_batches(_wedges, batch_format="pyarrow")
+        .to_pandas()["w"]
+        .sum()
+    )
+    tri, _, _ = triangle_count(edges_ds, num_parts=num_parts)
+    t3 = 3 * int(tri)
+    val = float(round_half_away(np.float64(t3) / np.float64(w), round_to)) if w else 0.0
+    return pa.table(
+        {
+            "n_wedges": pa.array([w], pa.int64()),
+            "n_triangles": pa.array([int(tri)], pa.int64()),
+            "transitivity": pa.array([val], pa.float64()),
         }
     )

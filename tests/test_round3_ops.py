@@ -303,3 +303,32 @@ def test_arrow_ipc_round_trip(ray_session, tmp_path):
     before = sorted(os.listdir(out))
     write_arrow_ipc(rd.from_arrow(t), out)
     assert sorted(os.listdir(out)) == before
+
+
+def test_graph_summary_and_transitivity_golden(ray_session):
+    """Hand-checked K4 ∪ P2: V=6, E=7, wedges, triangles, transitivity."""
+    from subgraph_isomorphism_pregel_ray.pipelines.algorithms import (
+        graph_summary,
+        transitivity,
+    )
+    from subgraph_isomorphism_pregel_ray.pipelines.build_graph import (
+        edges_from_arrays,
+        symmetrize,
+    )
+
+    # K4 on {0,1,2,3} plus path 3-4-5
+    src = [0, 0, 0, 1, 1, 2, 3, 4]
+    dst = [1, 2, 3, 2, 3, 3, 4, 5]
+    sym = symmetrize(edges_from_arrays(src, dst))
+    gs = graph_summary(sym).to_pydict()
+    assert gs["n_vertices"] == [6]
+    assert gs["n_edges"] == [8]
+    # degrees: 3,3,3,4,2,1 → sum 16, avg 16/6
+    assert gs["avg_degree"] == [round(16 / 6, 6)]
+    assert gs["max_degree"] == [4]
+    assert gs["density"] == [round(16 / 30, 6)]
+    tr = transitivity(sym, num_parts=2).to_pydict()
+    # wedges: C(3,2)*3 + C(4,2) + C(2,2→1,2)=1 + 0 = 9+6+1 = 16
+    assert tr["n_wedges"] == [16]
+    assert tr["n_triangles"] == [4]  # the 4 triangles of K4
+    assert tr["transitivity"] == [round(12 / 16, 6)]
