@@ -2793,6 +2793,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "copurchase_edges": _q_copurchase_edges,
         "degree_distribution": _q_degree,
+        "graph_summary": _q_graph_summary,
+        "edge_cut_parts": _q_edge_cut_parts,
+        "transitivity_copurchase": _q_transitivity,
         "pagerank_copurchase": _q_pagerank,
         "cc_copurchase": _q_cc,
         "sssp_copurchase": _q_sssp,
@@ -2833,9 +2836,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "match_bushy": _q_match_bushy,
         "match_embeddings_tri": _q_match_embeddings_tri,
         "match_triangle_per_root": _q_match_triangle_per_root,
+        "match_k4_labeled": _q_match_k4,
         "token_count": _q_token_count,
         "text_stats": _q_text_stats,
         "exact_dedup": _q_exact_dedup,
+        "dsir_weights": _q_dsir_weights,
         "sentence_dedup": _q_sentence_dedup,
         "incremental_dedup": _q_incremental_dedup,
         "corpus_clean": _q_corpus_clean,
@@ -3045,15 +3050,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_confusion": _q_lang_confusion,
         "token_freq_spectrum": _q_token_freq_spectrum,
         "doclen_percentiles_by_lang": _q_doclen_percentiles_by_lang,
-        "edge_cut_parts": _q_edge_cut_parts,
-        "graph_summary": _q_graph_summary,
-        "transitivity_copurchase": _q_transitivity,
-        "dsir_weights": _q_dsir_weights,
         "stratified_sample": _q_stratified_sample,
         "quality_mixture_report": _q_quality_mixture_report,
         "host_reciprocity": _q_host_reciprocity,
         "session_depth_histogram": _q_session_depth_histogram,
-        "match_k4_labeled": _q_match_k4,
     }
 
 
