@@ -2703,11 +2703,13 @@ def _q_transitivity(sf_dir: str):
 
 def _q_stratified_sample(sf_dir: str):
     """Equal-allocation deterministic per-lang sample (balanced eval set)."""
-    from subgraph_isomorphism_pregel_ray.pipelines.textops import stratified_sample
+    from subgraph_isomorphism_pregel_ray.pipelines.textops import (
+        stratified_topk_sample,
+    )
     from subgraph_isomorphism_pregel_ray.sources.tables import read_table
 
     docs = read_table(sf_dir, "documents", columns=["doc_id", "lang"])
-    return stratified_sample(docs, k=20)
+    return stratified_topk_sample(docs, k=20)
 
 
 def _q_quality_mixture_report(sf_dir: str):

@@ -31,7 +31,7 @@ from ..functions.rounding import round_half_away
 
 __all__ = [
     "dsir_weights",
-    "stratified_sample",
+    "stratified_topk_sample",
     "quality_mixture_report",
     "token_count_batch",
     "text_stats_batch",
@@ -4201,8 +4201,8 @@ def dsir_weights(docs_ds, target_lang: str = "en", num_buckets: int = 4096):
     return docs_ds.map_batches(_score, batch_format="pyarrow")
 
 
-def stratified_sample(docs_ds, k: int = 20, strata_col: str = "lang",
-                      salt: str = "sample"):
+def stratified_topk_sample(docs_ds, k: int = 20, strata_col: str = "lang",
+                           salt: str = "sample"):
     """Equal-allocation DETERMINISTIC stratified sample → (lang, doc_id,
     rn): the first ``k`` documents per stratum under the salted-md5
     total order ``(md5('salt:doc_id'), doc_id)``. The balanced-eval-set

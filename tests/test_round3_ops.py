@@ -218,7 +218,7 @@ def test_stratified_sample_properties(ray_session):
     """k per stratum, deterministic across runs, subset of the stratum."""
     import ray.data as rd
 
-    from subgraph_isomorphism_pregel_ray.pipelines.textops import stratified_sample
+    from subgraph_isomorphism_pregel_ray.pipelines.textops import stratified_topk_sample
 
     rng = np.random.default_rng(3)
     langs = ["en", "de", "fr"]
@@ -227,8 +227,8 @@ def test_stratified_sample_properties(ray_session):
         for i in range(200)
     ]
     ds = rd.from_items(rows)
-    a = stratified_sample(ds, k=5).to_pandas().sort_values(["lang", "rn"])
-    b = stratified_sample(ds, k=5).to_pandas().sort_values(["lang", "rn"])
+    a = stratified_topk_sample(ds, k=5).to_pandas().sort_values(["lang", "rn"])
+    b = stratified_topk_sample(ds, k=5).to_pandas().sort_values(["lang", "rn"])
     assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
     assert set(a["lang"]) == set(langs)
     assert (a.groupby("lang").size() == 5).all()
@@ -237,7 +237,7 @@ def test_stratified_sample_properties(ray_session):
     for _, row in a.iterrows():
         assert row["doc_id"] in by_lang[row["lang"]]
     # a different salt draws a different sample (independence knob)
-    c = stratified_sample(ds, k=5, salt="other").to_pandas()
+    c = stratified_topk_sample(ds, k=5, salt="other").to_pandas()
     assert set(map(tuple, c[["lang", "doc_id"]].values)) != set(
         map(tuple, a[["lang", "doc_id"]].values)
     )
