@@ -2687,6 +2687,40 @@ def _q_dsir_weights(sf_dir: str):
     return dsir_weights(docs)
 
 
+# UNLABELED motif matches on the STRONG graph (labels = mod-1, i.e. every
+# vertex label 0 — the wildcard-label path through the same match engine):
+# diamond = K4 minus an edge (two triangles sharing an edge), tailed
+# triangle = triangle + pendant. Non-induced ordered embedding counts,
+# replayed by SQL joins with the same injectivity predicates.
+DIAMOND_QL = [0, 0, 0, 0]
+DIAMOND_QE = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3)]
+TAILED_QL = [0, 0, 0, 0]
+TAILED_QE = [(0, 1), (1, 2), (2, 0), (0, 3)]
+
+
+def _match_strong_unlabeled(sf_dir: str, ql, qe):
+    from subgraph_isomorphism_pregel_ray.pipelines.build_graph import symmetrize
+    from subgraph_isomorphism_pregel_ray.pipelines.match import match_count
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import (
+        part_labels,
+        strong_copurchase_edges,
+    )
+
+    edges = symmetrize(strong_copurchase_edges(sf_dir))
+    count, _ = match_count(
+        edges, ql, qe, labels_ds=part_labels(sf_dir, mod=1), num_parts=4
+    )
+    return pa.table({"n_embeddings": pa.array([count], type=pa.int64())})
+
+
+def _q_match_diamond(sf_dir: str):
+    return _match_strong_unlabeled(sf_dir, DIAMOND_QL, DIAMOND_QE)
+
+
+def _q_match_tailed_tri(sf_dir: str):
+    return _match_strong_unlabeled(sf_dir, TAILED_QL, TAILED_QE)
+
+
 def _q_graph_summary(sf_dir: str):
     """One-row macro census of the co-purchase graph (sizing panel)."""
     from subgraph_isomorphism_pregel_ray.pipelines.algorithms import graph_summary
@@ -3056,6 +3090,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_mixture_report": _q_quality_mixture_report,
         "host_reciprocity": _q_host_reciprocity,
         "session_depth_histogram": _q_session_depth_histogram,
+        "match_diamond_strong": _q_match_diamond,
+        "match_tailed_tri_strong": _q_match_tailed_tri,
     }
 
 
@@ -7598,6 +7634,29 @@ def oracle_sql() -> dict[str, str]:
             "s AS (SELECT user_id, sess, count(*) ne FROM y GROUP BY 1, 2) "
             "SELECT CAST(ne AS BIGINT) AS n_events_in_session, "
             "CAST(count(*) AS BIGINT) AS n_sessions FROM s GROUP BY 1"
+        ),
+        "match_diamond_strong": (
+            # ordered non-induced diamond (K4 − edge) embeddings on the
+            # adaptive strong graph; the only non-adjacent query pair (c, d)
+            # carries the explicit injectivity predicate
+            f"WITH {_ESTRONG} "
+            "SELECT count(*) AS n_embeddings FROM e ab "
+            "JOIN e ac ON ac.src = ab.src "
+            "JOIN e ad ON ad.src = ab.src "
+            "JOIN e bc ON bc.src = ab.dst AND bc.dst = ac.dst "
+            "JOIN e bd ON bd.src = ab.dst AND bd.dst = ad.dst "
+            "WHERE ac.dst <> ad.dst"
+        ),
+        "match_tailed_tri_strong": (
+            # ordered non-induced tailed-triangle embeddings (triangle abc +
+            # pendant d on a); d's two non-adjacent pairs carry the
+            # injectivity predicates
+            f"WITH {_ESTRONG} "
+            "SELECT count(*) AS n_embeddings FROM e ab "
+            "JOIN e bc ON bc.src = ab.dst "
+            "JOIN e ca ON ca.src = bc.dst AND ca.dst = ab.src "
+            "JOIN e ad ON ad.src = ab.src "
+            "WHERE ad.dst <> ab.dst AND ad.dst <> bc.dst"
         ),
         "match_k4_labeled": (
             # ordered labeled K4 embeddings on the mod-5 induced co-purchase

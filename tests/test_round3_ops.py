@@ -332,3 +332,56 @@ def test_graph_summary_and_transitivity_golden(ray_session):
     assert tr["n_wedges"] == [16]
     assert tr["n_triangles"] == [4]  # the 4 triangles of K4
     assert tr["transitivity"] == [round(12 / 16, 6)]
+
+
+def test_match_diamond_unlabeled_vs_brute_force(ray_session):
+    """Wildcard-label (mod-1) diamond count on a random graph vs itertools
+    — exercises the matcher's all-same-label path on a non-clique motif."""
+    import itertools
+
+    import ray.data as rd
+
+    from subgraph_isomorphism_pregel_ray.pipelines.build_graph import (
+        edges_from_arrays,
+        partition_graph,
+        symmetrize,
+    )
+    from subgraph_isomorphism_pregel_ray.pipelines.bsp import BSPEngine
+    from subgraph_isomorphism_pregel_ray.pipelines.match import build_plan
+
+    rng = np.random.default_rng(11)
+    n = 20
+    adj = np.triu(rng.random((n, n)) < 0.3, 1)
+    src, dst = np.nonzero(adj)
+    sym = adj | adj.T
+
+    QL = [0, 0, 0, 0]
+    QE = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3)]
+    expected = 0
+    for quad in itertools.permutations(range(n), 4):
+        if all(sym[quad[a]][quad[b]] for a, b in QE):
+            expected += 1
+
+    gdir = "/tmp/graft_test_diamond_brute"
+    import shutil
+
+    shutil.rmtree(gdir, ignore_errors=True)
+    lab_ds = rd.from_arrow(
+        pa.table(
+            {
+                "vid": np.arange(n, dtype=np.uint64),
+                "label": np.zeros(n, np.int64),
+            }
+        )
+    )
+    partition_graph(
+        symmetrize(edges_from_arrays(src, dst)), 2, gdir,
+        labels_ds=lab_ds, directed=True,
+    )
+    eng = BSPEngine(gdir, 2)
+    try:
+        eng.run("match", {"plan": build_plan(QL, QE)}, max_steps=10)
+        got = eng.scalar_results().get("embeddings", 0)
+    finally:
+        eng.shutdown()
+    assert got == expected and expected > 0
