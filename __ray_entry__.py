@@ -2721,6 +2721,15 @@ def _q_match_tailed_tri(sf_dir: str):
     return _match_strong_unlabeled(sf_dir, TAILED_QL, TAILED_QE)
 
 
+def _q_lsh_bucket_histogram(sf_dir: str):
+    """LSH band-bucket occupancy census (the minhash hot-bucket skew audit)."""
+    from subgraph_isomorphism_pregel_ray.pipelines.dedup import lsh_bucket_histogram
+    from subgraph_isomorphism_pregel_ray.sources.tables import read_table
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return lsh_bucket_histogram(docs)
+
+
 def _q_graph_summary(sf_dir: str):
     """One-row macro census of the co-purchase graph (sizing panel)."""
     from subgraph_isomorphism_pregel_ray.pipelines.algorithms import graph_summary
@@ -3092,6 +3101,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_depth_histogram": _q_session_depth_histogram,
         "match_diamond_strong": _q_match_diamond,
         "match_tailed_tri_strong": _q_match_tailed_tri,
+        "lsh_bucket_histogram": _q_lsh_bucket_histogram,
     }
 
 
@@ -4509,21 +4519,15 @@ def _simhash_pairs_sql(max_hamming: int = 7) -> str:
     )
 
 
-def _minhash_ctes(
+def _minhash_bsig_ctes(
     k: int = 5,
     num_perm: int = 128,
     bands: int = 16,
-    threshold: float = 0.5,
-    max_bucket: int = 200,
     seed: int = 7,
 ) -> str:
-    """CTE chain ending in pairs(doc_a, doc_b, i, na, nb) — the FULL MinHash
-    LSH pipeline of dedup.minhash_lsh_pairs: md5 shingle hashes → the same
-    128 (a·x+b) mod-2⁶⁴-then-Mersenne61 permutations (literal a/b from the
-    shared seeded rng) → band signature grouping (signature LIST equality ≡
-    the engine's collision-free fold hash) → sorted-cap-200 buckets → distinct
-    candidate pairs → exact gram-set intersection (grams ↔ md5 hashes are
-    1:1 bar md5 collisions)."""
+    """Prefix of :func:`_minhash_ctes` ending in bsig(doc_id, band, sig) —
+    the per-doc per-band signature lists (shared by the pairs/groups
+    oracles and the lsh_bucket_histogram occupancy oracle)."""
     from subgraph_isomorphism_pregel_ray.pipelines.dedup import _perm_params
 
     a_p, b_p = _perm_params(num_perm, seed)
@@ -4548,7 +4552,28 @@ def _minhash_ctes(
         "FROM sh CROSS JOIN perms p GROUP BY 1, 2), "
         "bsig AS MATERIALIZED ("
         f"SELECT doc_id, pi // {rpb} AS band, list(mh ORDER BY pi) AS sig "
-        "FROM mins GROUP BY 1, 2), "
+        "FROM mins GROUP BY 1, 2)"
+    )
+
+
+def _minhash_ctes(
+    k: int = 5,
+    num_perm: int = 128,
+    bands: int = 16,
+    threshold: float = 0.5,
+    max_bucket: int = 200,
+    seed: int = 7,
+) -> str:
+    """CTE chain ending in pairs(doc_a, doc_b, i, na, nb) — the FULL MinHash
+    LSH pipeline of dedup.minhash_lsh_pairs: md5 shingle hashes → the same
+    128 (a·x+b) mod-2⁶⁴-then-Mersenne61 permutations (literal a/b from the
+    shared seeded rng) → band signature grouping (signature LIST equality ≡
+    the engine's collision-free fold hash) → sorted-cap-200 buckets → distinct
+    candidate pairs → exact gram-set intersection (grams ↔ md5 hashes are
+    1:1 bar md5 collisions)."""
+    return (
+        _minhash_bsig_ctes(k=k, num_perm=num_perm, bands=bands, seed=seed)
+        + ", "
         "bdocs AS MATERIALIZED ("
         f"SELECT band, sig, (list(doc_id ORDER BY doc_id))[1:{max_bucket}] AS docs "
         "FROM bsig GROUP BY band, sig HAVING count(*) >= 2), "
@@ -7634,6 +7659,18 @@ def oracle_sql() -> dict[str, str]:
             "s AS (SELECT user_id, sess, count(*) ne FROM y GROUP BY 1, 2) "
             "SELECT CAST(ne AS BIGINT) AS n_events_in_session, "
             "CAST(count(*) AS BIGINT) AS n_sessions FROM s GROUP BY 1"
+        ),
+        "lsh_bucket_histogram": (
+            # the _minhash_ctes signature replay up to bsig (same shingles,
+            # permutations, band grouping — sig-list equality ≡ the engine's
+            # collision-free fold), then the occupancy log2 census;
+            # log2/floor of exact ints < 2^53 are exact IEEE ops
+            f"WITH {_minhash_bsig_ctes()} , "
+            "sizes AS (SELECT band, sig, CAST(count(*) AS BIGINT) AS s "
+            "FROM bsig GROUP BY 1, 2) "
+            "SELECT CAST(floor(log2(s)) AS BIGINT) AS size_bucket, "
+            "CAST(count(*) AS BIGINT) AS n_buckets, "
+            "CAST(sum(s) AS BIGINT) AS n_entries FROM sizes GROUP BY 1"
         ),
         "match_diamond_strong": (
             # ordered non-induced diamond (K4 − edge) embeddings on the

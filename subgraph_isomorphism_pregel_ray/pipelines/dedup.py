@@ -39,6 +39,7 @@ import pyarrow.compute as pc
 from ..functions.hashing import md5_hex_batch, md5_lower64
 
 __all__ = [
+    "lsh_bucket_histogram",
     "exact_dedup",
     "ngram_jaccard_pairs",
     "minhash_signature_batch",
@@ -1620,3 +1621,85 @@ def incremental_dedup(old_ds, new_ds, num_buckets: int = 64,
         old_tagged.union(maybe).groupby("b").map_groups(_anti, batch_format="pyarrow")
     )
     return novel.union(resolved)
+
+
+def lsh_bucket_histogram(docs_ds, k: int = 5, num_perm: int = 128,
+                         bands: int = 16, seed: int = 7):
+    """LSH band-bucket OCCUPANCY census → (size_bucket, n_buckets,
+    n_entries) with size_bucket = floor(log2(bucket size)): how many
+    (band, signature) buckets hold 1, 2-3, 4-7, … documents under
+    exactly the :func:`minhash_lsh_pairs` banding (same shingles, same
+    128 seeded permutations, same band fold). This is the skew audit
+    that PRICES the LSH shuffle — candidate-pair work per bucket is
+    C(size, 2), so the top occupied bucket is the straggler, and the
+    documented ``max_bucket`` hot-bucket cap in ``minhash_lsh_pairs`` is
+    justified (or tuned) by exactly this table before a 100 TB run.
+
+    Scale shape: the same ONE map_batches signature pass as the dedup
+    pipeline (text→shingle hashes→band folds; the collision-free fold
+    means grouping by the fold hash ≡ grouping by the signature list,
+    the same equivalence the pairs oracle relies on) → ONE
+    groupby(band, bandhash) count over integer keys → per-batch log2
+    partials → one tiny groupby(size_bucket) sum."""
+    from ray.data.aggregate import Count, Sum
+
+    rows_per_band = num_perm // bands
+    a_p, b_p = _perm_params(num_perm, seed)
+
+    sh_ds = docs_ds.map_batches(
+        lambda t: _shingle_table(t, k), batch_format="pyarrow"
+    )
+
+    def _sig_bands(batch: pa.Table) -> pa.Table:
+        # mirrors minhash_lsh_pairs stage 2 (kept in lockstep — same
+        # permutations, same order-dependent FNV-ish band fold)
+        rows = _sh_rows(batch["sh"])
+        n = batch.num_rows
+        bh = np.empty((n, bands), dtype=np.uint64)
+        for i in range(n):
+            sh = rows[i]
+            vals = (sh[:, None] * a_p[None, :] + b_p[None, :]) % _MERSENNE
+            sig = vals.min(axis=0)
+            seg = sig.reshape(bands, rows_per_band)
+            h = np.zeros(bands, dtype=np.uint64)
+            for c in range(rows_per_band):
+                h = h * np.uint64(1099511628211) + seg[:, c]
+            bh[i] = h
+        return pa.table(
+            {
+                "band": np.tile(np.arange(bands, dtype=np.int32), n),
+                "bandhash": bh.reshape(-1).view(np.int64),
+            }
+        )
+
+    def _log2 (t: pa.Table) -> pa.Table:
+        s = t["count()"].to_numpy()
+        buck = np.floor(np.log2(s.astype(np.float64))).astype(np.int64)
+        u, inv = np.unique(buck, return_inverse=True)
+        nb = np.bincount(inv).astype(np.int64)
+        ne = np.zeros(len(u), np.int64)
+        np.add.at(ne, inv, s)
+        return pa.table(
+            {"size_bucket": u, "nb": nb, "ne": ne}
+        )
+
+    out = (
+        sh_ds.map_batches(_sig_bands, batch_format="pyarrow")
+        .groupby(["band", "bandhash"])
+        .aggregate(Count())
+        .map_batches(_log2, batch_format="pyarrow")
+        .groupby("size_bucket")
+        .aggregate(
+            Sum("nb", alias_name="n_buckets"),
+            Sum("ne", alias_name="n_entries"),
+        )
+        .to_pandas()
+        .sort_values("size_bucket")
+    )
+    return pa.table(
+        {
+            "size_bucket": out["size_bucket"].to_numpy(np.int64),
+            "n_buckets": out["n_buckets"].to_numpy(np.int64),
+            "n_entries": out["n_entries"].to_numpy(np.int64),
+        }
+    )

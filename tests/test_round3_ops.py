@@ -385,3 +385,22 @@ def test_match_diamond_unlabeled_vs_brute_force(ray_session):
     finally:
         eng.shutdown()
     assert got == expected and expected > 0
+
+
+def test_lsh_bucket_histogram_mass(ray_session):
+    """Every document lands in exactly `bands` buckets → entry mass =
+    bands × n_docs; bucket count ≤ entries; size buckets are log2 bins."""
+    from subgraph_isomorphism_pregel_ray.pipelines.dedup import (
+        lsh_bucket_histogram,
+    )
+    from subgraph_isomorphism_pregel_ray.sources.tables import read_table
+
+    sf = "/root/testdata/sf0.001"
+    docs = read_table(sf, "documents", columns=["doc_id", "text"])
+    n_docs = docs.count()
+    h = lsh_bucket_histogram(docs, bands=16).to_pydict()
+    assert sum(h["n_entries"]) == 16 * n_docs
+    assert sum(h["n_buckets"]) <= sum(h["n_entries"])
+    assert all(b >= 0 for b in h["size_bucket"])
+    # singleton bin exists on any real corpus and dominates
+    assert 0 in h["size_bucket"]
