@@ -2834,6 +2834,53 @@ def _q_match_k4(sf_dir: str):
     return pa.table({"n_embeddings": pa.array([cnt], type=pa.int64())})
 
 
+def _q_embedding_moments(sf_dir: str):
+    """Per-dimension mean/variance of the embedding column — dead-dim /
+    drift monitor; O(d) partials per batch, one tiny groupby."""
+    from subgraph_isomorphism_pregel_ray.pipelines.similarity import (
+        embedding_moments,
+    )
+    from subgraph_isomorphism_pregel_ray.sources.tables import read_table
+
+    return embedding_moments(read_table(sf_dir, "embeddings"))
+
+
+def _q_kmeans_assign(sf_dir: str):
+    """One integer-quantized k-means assignment step (the oracled kernel of
+    every Lloyd iteration): census of (cluster, n, inertia) against the 8
+    lowest-vec_id seeds."""
+    from subgraph_isomorphism_pregel_ray.pipelines.similarity import (
+        kmeans_assign,
+    )
+    from subgraph_isomorphism_pregel_ray.sources.tables import read_table
+
+    return kmeans_assign(read_table(sf_dir, "embeddings"), k=8)
+
+
+def _q_semantic_dedup(sf_dir: str):
+    """SemDeDup: quantized cluster assignment + within-cluster cosine ≥ τ
+    keep-lowest-id verdicts; pair work bounded per cluster group."""
+    from subgraph_isomorphism_pregel_ray.pipelines.similarity import (
+        semantic_dedup,
+    )
+    from subgraph_isomorphism_pregel_ray.sources.tables import read_table
+
+    return semantic_dedup(read_table(sf_dir, "embeddings"), k=8, tau=0.35)
+
+
+def _q_blocklist_stats(sf_dir: str):
+    """C4 blocklist filter audit per source: docs / flagged docs / token
+    hits / flagged rate with the broadcast-wordlist probe."""
+    from subgraph_isomorphism_pregel_ray.pipelines.textops import (
+        blocklist_stats,
+    )
+    from subgraph_isomorphism_pregel_ray.sources.tables import read_table
+
+    return blocklist_stats(
+        read_table(sf_dir, "documents", columns=["source", "text"])
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "copurchase_edges": _q_copurchase_edges,
@@ -3102,6 +3149,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "match_diamond_strong": _q_match_diamond,
         "match_tailed_tri_strong": _q_match_tailed_tri,
         "lsh_bucket_histogram": _q_lsh_bucket_histogram,
+        "embedding_moments": _q_embedding_moments,
+        "kmeans_assign": _q_kmeans_assign,
+        "semantic_dedup": _q_semantic_dedup,
+        "blocklist_stats": _q_blocklist_stats,
     }
 
 
@@ -4623,6 +4674,32 @@ def _dedup_groups_sql(iters: int = 8) -> str:
         ", ".join(parts)
         + f' SELECT doc_id, lbl AS "group", '
         f"doc_id = min(doc_id) OVER (PARTITION BY lbl) AS keep FROM l{iters}"
+    )
+
+
+def _kmeans_assign_ctes(k: int = 8, scale: int = 10_000) -> str:
+    """Shared CTE chain replaying similarity.kmeans_assign's integer
+    assignment bit-exactly: quantize every embedding to int64 by half-away
+    rounding of x·scale (list comprehension — DuckDB rounds half away like
+    functions.rounding.round_half_away), take the k lowest-vec_id rows as
+    seeds, form EXACT integer squared-L2 per (vector, seed) via the
+    dim-aligned unnest join, and keep the (d2, cid)-min row per vector.
+    Ends with ``asg(vec_id, cid, d2)``."""
+    return (
+        f"q AS MATERIALIZED (SELECT vec_id, [CAST(round(CAST(v AS DOUBLE) * "
+        f"{scale}) AS BIGINT) for v in embedding] AS qv FROM embeddings), "
+        f"seeds AS MATERIALIZED (SELECT row_number() OVER (ORDER BY vec_id) "
+        f"- 1 AS cid, qv AS cv FROM q ORDER BY vec_id LIMIT {k}), "
+        "xe AS MATERIALIZED (SELECT vec_id, generate_subscripts(qv, 1) AS i, "
+        "unnest(qv) AS v FROM q), "
+        "ce AS MATERIALIZED (SELECT cid, generate_subscripts(cv, 1) AS i, "
+        "unnest(cv) AS v FROM seeds), "
+        "dist AS MATERIALIZED (SELECT xe.vec_id, ce.cid, "
+        "sum((xe.v - ce.v) * (xe.v - ce.v)) AS d2 "
+        "FROM xe JOIN ce ON ce.i = xe.i GROUP BY 1, 2), "
+        "asg AS MATERIALIZED (SELECT vec_id, cid, d2 FROM "
+        "(SELECT *, row_number() OVER (PARTITION BY vec_id "
+        "ORDER BY d2, cid) AS rn FROM dist) WHERE rn = 1)"
     )
 
 
@@ -7718,6 +7795,52 @@ def oracle_sql() -> dict[str, str]:
             "JOIN lab lc ON lc.vid = ac.dst AND lc.l = 2 "
             "JOIN lab ld ON ld.vid = ad.dst AND ld.l = 0 "
             "WHERE ab.src <> ad.dst"
+        ),
+        "embedding_moments": (
+            # mirrors similarity.embedding_moments: same var = ss/n − mean²
+            # operand tree; float32→double casts are exact on both sides
+            "WITH x AS (SELECT generate_subscripts(embedding, 1) - 1 AS dim, "
+            "CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings), "
+            "m AS (SELECT dim, count(*) AS n, sum(v) AS s, sum(v * v) AS ss "
+            "FROM x GROUP BY 1) "
+            "SELECT CAST(dim AS BIGINT) AS dim, CAST(n AS BIGINT) AS n, "
+            "round(s / n, 6) AS mean, "
+            "round(ss / n - (s / n) * (s / n), 6) AS var FROM m"
+        ),
+        "kmeans_assign": (
+            # INT64 distances on both sides — the Lloyd-step kernel is
+            # hash-checkable even though full k-means is iterative float
+            f"WITH {_kmeans_assign_ctes()} "
+            "SELECT CAST(cid AS BIGINT) AS cluster, "
+            "CAST(count(*) AS BIGINT) AS n, "
+            "CAST(sum(d2) AS BIGINT) AS inertia FROM asg GROUP BY 1"
+        ),
+        "semantic_dedup": (
+            # SemDeDup verdicts: same-cluster pair, lower-id neighbor,
+            # round-6 cosine ≥ τ (the cosine_histogram round posture)
+            f"WITH {_kmeans_assign_ctes()}, "
+            "dup AS (SELECT DISTINCT a.vec_id FROM asg a "
+            "JOIN asg b ON b.cid = a.cid AND b.vec_id < a.vec_id "
+            "JOIN embeddings ea ON ea.vec_id = a.vec_id "
+            "JOIN embeddings eb ON eb.vec_id = b.vec_id "
+            "WHERE round(list_cosine_similarity("
+            "CAST(ea.embedding AS DOUBLE[]), "
+            "CAST(eb.embedding AS DOUBLE[])), 6) >= 0.35) "
+            "SELECT asg.vec_id, CAST(cid AS BIGINT) AS cluster, "
+            "dup.vec_id IS NULL AS keep "
+            "FROM asg LEFT JOIN dup ON dup.vec_id = asg.vec_id"
+        ),
+        "blocklist_stats": (
+            # C4 badwords audit; whitespace tokens ≡ textops._tokens,
+            # empty docs count in docs but can never be flagged
+            "WITH h AS (SELECT source, CASE WHEN trim(text) = '' THEN 0 "
+            f"ELSE len(list_filter({toks}, "
+            "t -> t = 'dup' OR t = 'spam')) END AS hits FROM documents) "
+            "SELECT source, CAST(count(*) AS BIGINT) AS docs, "
+            "CAST(sum(CASE WHEN hits > 0 THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS flagged_docs, CAST(sum(hits) AS BIGINT) AS hits, "
+            "round(sum(CASE WHEN hits > 0 THEN 1 ELSE 0 END) * 1.0 "
+            "/ count(*), 6) AS flagged_rate FROM h GROUP BY 1"
         ),
         # Still rows-only, with reasons:
         #  * ann_topk_ivf — result depends on k-means centroids (iterative

@@ -690,3 +690,220 @@ def cosine_histogram(emb_ds, n_bins: int = 20):
             "n_pairs": out["n_pairs"].to_numpy().astype(np.int64),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-3 additions: one-pass moments, quantized k-means assignment census,
+# SemDeDup-style within-cluster semantic dedup (Abbas et al. 2023,
+# arXiv:2303.09540).  All three are fully SQL-oracled — the assignment uses
+# integer-quantized distances (the dsir_weights micro-quantization trick) so
+# argmin ties resolve identically in numpy and DuckDB.
+# ---------------------------------------------------------------------------
+
+
+def embedding_moments(emb_ds, round_to: int = 6):
+    """Per-dimension population mean and variance of the embedding column →
+    pa.table(dim, n, mean, var) — the cheapest embedding-drift / dead-dim
+    monitor (a dimension whose variance collapses to 0 is a dead unit; a
+    mean drifting from 0 flags an un-centered encoder).
+
+    Scale shape: the PCA scatter pattern's first two moments — each batch
+    emits d rows of (dim, n, s, ss) partials (the exchange carries O(d)
+    numbers per block, never a vector), ONE tiny groupby folds them, and
+    the final map forms mean = s/n and var = ss/n − mean² in exactly the
+    operand order the SQL oracle replays (float fold-order noise ≪ the
+    6-decimal round — the doc_cross_entropy posture)."""
+    from ray.data.aggregate import Sum
+
+    def _partials(t: pa.Table) -> pa.Table:
+        M = np.stack(t["embedding"].to_pandas().to_numpy()).astype(np.float64)
+        d = M.shape[1]
+        return pa.table(
+            {
+                "dim": np.arange(d, dtype=np.int64),
+                "n": np.full(d, len(M), dtype=np.int64),
+                "s": M.sum(axis=0),
+                "ss": (M * M).sum(axis=0),
+            }
+        )
+
+    agg = (
+        emb_ds.map_batches(_partials, batch_format="pyarrow")
+        .groupby("dim")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("s", alias_name="s"),
+            Sum("ss", alias_name="ss"),
+        )
+        .to_pandas()
+        .sort_values("dim")
+    )
+    n = agg["n"].to_numpy().astype(np.int64)
+    s = agg["s"].to_numpy()
+    ss = agg["ss"].to_numpy()
+    mean = s / n
+    return pa.table(
+        {
+            "dim": agg["dim"].to_numpy().astype(np.int64),
+            "n": n,
+            "mean": round_half_away(mean, round_to),
+            "var": round_half_away(ss / n - mean * mean, round_to),
+        }
+    )
+
+
+def _quantize_rows(M: np.ndarray, scale: int) -> np.ndarray:
+    """float rows → int64 rows by half-away rounding of x·scale — the exact
+    mirror of SQL ``CAST(round(CAST(x AS DOUBLE) * scale) AS BIGINT)`` (both
+    sides compute in float64, both round half away from zero)."""
+    return round_half_away(M.astype(np.float64) * scale, 0).astype(np.int64)
+
+
+def _kmeans_seeds(emb_ds, k: int):
+    """The k lowest-vec_id embedding rows WITHOUT a global sort: per-batch
+    bottom-k partials (tiny) folded on the driver (kmeans_embeddings
+    pattern) → (ids ndarray[k], M ndarray[k, d] float64)."""
+
+    def _bottomk(t: pa.Table) -> pa.Table:
+        ids = t["vec_id"].to_numpy()
+        pick = np.argsort(ids)[:k]
+        return t.take(pa.array(np.sort(pick)))
+
+    seed = (
+        emb_ds.map_batches(_bottomk, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("vec_id")
+        .head(k)
+    )
+    ids = seed["vec_id"].to_numpy().astype(np.int64)
+    M = np.stack(seed["embedding"].to_numpy()).astype(np.float64)
+    return ids, M
+
+
+def kmeans_assign(emb_ds, k: int = 8, scale: int = 10_000):
+    """ONE deterministic k-means assignment step in integer arithmetic →
+    pa.table(cluster, n, inertia): every vector, quantized to int64 by
+    half-away rounding of x·scale, is assigned to the nearest of the k
+    lowest-vec_id seed vectors by EXACT integer squared-L2 (ties → lower
+    cluster id), and the census folds per-cluster counts and total inertia.
+
+    Why quantize: float distances computed by numpy (one fused matmul) and
+    by SQL (a per-dimension join-sum) can differ by ~1 ulp and flip an
+    argmin on near-ties; int64 distances are bit-identical on both sides,
+    so the assignment — the kernel inside every Lloyd iteration
+    (kmeans_embeddings) and inside the IVF cell map (build_ivf_index) —
+    becomes hash-checkable against DuckDB, covering the step the iterative
+    float versions cannot oracle.
+
+    Scale shape: seeds broadcast once via ``ray.put``; each batch computes
+    its (batch × k) int distance matrix vectorized and emits ≤ k partial
+    rows; ONE k-row groupby folds the census.  Inertia bound: with unit-norm
+    embeddings, per-pair dist ≤ d·(2·scale)² ≈ 2.6e10 at d=64 — int64-safe
+    up to ~3.5e8 vectors per job; shard beyond that."""
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    _, C = _kmeans_seeds(emb_ds, k)
+    qC = _quantize_rows(C, scale)
+    ref = ray.put(qC)
+
+    def _census(t: pa.Table, ref=ref) -> pa.Table:
+        QC = ray.get(ref)
+        M = np.stack(t["embedding"].to_pandas().to_numpy())
+        Q = _quantize_rows(M, scale)
+        # exact int64: ||q||² − 2 q·c + ||c||² (all products int64-safe at
+        # unit-norm inputs; see docstring bound)
+        d2 = (
+            (Q * Q).sum(axis=1)[:, None]
+            - 2 * (Q @ QC.T)
+            + (QC * QC).sum(axis=1)[None, :]
+        )
+        assign = d2.argmin(axis=1)  # first-min ⇒ lower cluster id on ties
+        best = d2[np.arange(len(Q)), assign]
+        cnt = np.bincount(assign, minlength=len(QC)).astype(np.int64)
+        inert = np.zeros(len(QC), dtype=np.int64)
+        np.add.at(inert, assign, best)
+        nz = np.nonzero(cnt)[0]
+        return pa.table(
+            {
+                "cluster": nz.astype(np.int64),
+                "n": cnt[nz],
+                "inertia": inert[nz],
+            }
+        )
+
+    out = (
+        emb_ds.map_batches(_census, batch_format="pyarrow")
+        .groupby("cluster")
+        .aggregate(Sum("n", alias_name="n"), Sum("inertia", alias_name="inertia"))
+        .to_pandas()
+        .sort_values("cluster")
+    )
+    return pa.table(
+        {
+            "cluster": out["cluster"].to_numpy().astype(np.int64),
+            "n": out["n"].to_numpy().astype(np.int64),
+            "inertia": out["inertia"].to_numpy().astype(np.int64),
+        }
+    )
+
+
+def semantic_dedup(emb_ds, k: int = 8, tau: float = 0.35, scale: int = 10_000):
+    """SemDeDup (Abbas et al. 2023): partition the embedding space into k
+    clusters, then drop every vector that has a SAME-CLUSTER neighbor with
+    cosine ≥ tau and a lower vec_id → Dataset(vec_id, cluster, keep).
+    The deterministic keep-lowest-id rule (not connected components) is the
+    paper's greedy variant; cross-cluster near-dups are missed by design —
+    that is the trade the clustering buys (pair work n²/k, not n²).
+
+    Scale shape: cluster assignment is the broadcast-seed integer kernel of
+    :func:`kmeans_assign` (bit-reproducible in SQL); the quadratic scoring
+    runs INSIDE ``groupby(cluster).map_groups`` so each worker touches one
+    cluster's matrix only — the all-pairs blowup is bounded per group and
+    never crosses the exchange.  Cosine is rounded to 6 decimals before the
+    tau compare (the cosine_histogram posture, proven to agree with
+    DuckDB's ``list_cosine_similarity``)."""
+    import ray
+
+    _, C = _kmeans_seeds(emb_ds, k)
+    qC = _quantize_rows(C, scale)
+    ref = ray.put(qC)
+
+    def _assign(t: pa.Table, ref=ref) -> pa.Table:
+        QC = ray.get(ref)
+        Q = _quantize_rows(np.stack(t["embedding"].to_pandas().to_numpy()), scale)
+        d2 = (
+            (Q * Q).sum(axis=1)[:, None]
+            - 2 * (Q @ QC.T)
+            + (QC * QC).sum(axis=1)[None, :]
+        )
+        return t.append_column(
+            "cluster", pa.array(d2.argmin(axis=1).astype(np.int64))
+        )
+
+    def _dedup_group(g: pa.Table) -> pa.Table:
+        ids = g["vec_id"].to_numpy().astype(np.int64)
+        order = np.argsort(ids)
+        ids = ids[order]
+        M = _norm_rows(
+            np.stack(g["embedding"].to_pandas().to_numpy())[order].astype(
+                np.float64
+            )
+        )
+        cos6 = round_half_away(M @ M.T, 6)
+        # keep[i] = no j < i (strictly lower vec_id) with cos6 >= tau
+        dup = np.triu(cos6 >= tau, k=1).any(axis=0)
+        return pa.table(
+            {
+                "vec_id": ids,
+                "cluster": g["cluster"].to_numpy()[order].astype(np.int64),
+                "keep": ~dup,
+            }
+        )
+
+    return (
+        emb_ds.map_batches(_assign, batch_format="pyarrow")
+        .groupby("cluster")
+        .map_groups(_dedup_group, batch_format="pyarrow")
+    )

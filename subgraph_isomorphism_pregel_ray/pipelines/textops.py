@@ -4358,3 +4358,70 @@ def quality_mixture_report(docs_ds, num_deciles: int = 10,
             Sum("n_tokens", alias_name="n_tokens"),
         )
     )
+
+
+DEFAULT_BLOCKLIST = ("dup", "spam")
+
+
+def blocklist_stats(docs_ds, blocklist: tuple = DEFAULT_BLOCKLIST):
+    """C4-style blocklist filter census (Raffel et al. 2020 §2.2 drop any
+    page containing a word on a fixed list) → per-source
+    (source, docs, flagged_docs, hits, flagged_rate): how many documents
+    contain at least one blocked token and the total blocked-token
+    occurrences — the audit you run BEFORE enabling the filter so you know
+    what fraction of each source it would delete.
+
+    Scale shape: the contamination pattern — the blocklist is a tiny sorted
+    array broadcast in the closure (shipped once per task, bytes), each
+    batch probes its whitespace tokens with ``np.isin`` and emits per-source
+    partials, ONE #sources-row groupby folds them.  Tokenization is the
+    repo-wide whitespace ``_tokens`` (≡ SQL
+    ``regexp_split_to_array(trim(text), '\\s+')`` on trim-nonempty rows);
+    empty documents count in ``docs`` but can never be flagged."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.rounding import round_half_away
+
+    block = np.sort(np.asarray(sorted(set(blocklist)), dtype=object))
+
+    def _partial(b: pa.Table) -> pa.Table:
+        srcs: dict[str, list] = {}
+        for src, t in zip(b["source"].to_pylist(), b["text"].to_pylist()):
+            tt = _tokens(t)
+            h = int(np.isin(np.asarray(tt, dtype=object), block).sum()) if tt else 0
+            row = srcs.setdefault(src, [0, 0, 0])
+            row[0] += 1
+            row[1] += 1 if h else 0
+            row[2] += h
+        keys = sorted(srcs)
+        return pa.table(
+            {
+                "source": pa.array(keys, pa.string()),
+                "docs": pa.array([srcs[s][0] for s in keys], pa.int64()),
+                "flagged_docs": pa.array([srcs[s][1] for s in keys], pa.int64()),
+                "hits": pa.array([srcs[s][2] for s in keys], pa.int64()),
+            }
+        )
+
+    agg = (
+        docs_ds.map_batches(_partial, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(
+            Sum("docs", alias_name="docs"),
+            Sum("flagged_docs", alias_name="flagged_docs"),
+            Sum("hits", alias_name="hits"),
+        )
+        .to_pandas()
+        .sort_values("source")
+    )
+    return pa.table(
+        {
+            "source": pa.array(agg["source"].tolist(), pa.string()),
+            "docs": agg["docs"].to_numpy().astype(np.int64),
+            "flagged_docs": agg["flagged_docs"].to_numpy().astype(np.int64),
+            "hits": agg["hits"].to_numpy().astype(np.int64),
+            "flagged_rate": round_half_away(
+                agg["flagged_docs"].to_numpy() * 1.0 / agg["docs"].to_numpy(), 6
+            ),
+        }
+    )

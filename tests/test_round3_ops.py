@@ -404,3 +404,148 @@ def test_lsh_bucket_histogram_mass(ray_session):
     assert all(b >= 0 for b in h["size_bucket"])
     # singleton bin exists on any real corpus and dominates
     assert 0 in h["size_bucket"]
+
+
+# ---------------------------------------------------------------------------
+# embedding_moments / kmeans_assign / semantic_dedup / blocklist_stats
+# ---------------------------------------------------------------------------
+
+
+def _toy_embeddings(n=60, d=8, seed=7):
+    rng = np.random.default_rng(seed)
+    M = rng.normal(size=(n, d))
+    M /= np.linalg.norm(M, axis=1, keepdims=True)
+    # plant near-duplicates: rows 50..54 are tiny perturbations of rows 0..4
+    M[50:55] = M[0:5] + rng.normal(scale=1e-3, size=(5, d))
+    M[50:55] /= np.linalg.norm(M[50:55], axis=1, keepdims=True)
+    return M.astype(np.float32)
+
+
+def _emb_ds(M):
+    import ray.data as rd
+
+    return rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(np.arange(len(M), dtype=np.int64)),
+                "embedding": pa.array(
+                    [row.tolist() for row in M], pa.list_(pa.float32())
+                ),
+            }
+        )
+    )
+
+
+def test_embedding_moments_matches_numpy(ray_session):
+    from subgraph_isomorphism_pregel_ray.functions.rounding import round_half_away
+    from subgraph_isomorphism_pregel_ray.pipelines.similarity import (
+        embedding_moments,
+    )
+
+    M = _toy_embeddings()
+    out = embedding_moments(_emb_ds(M)).to_pydict()
+    Md = M.astype(np.float64)
+    mean = Md.sum(axis=0) / len(Md)
+    var = (Md * Md).sum(axis=0) / len(Md) - mean * mean
+    assert out["dim"] == list(range(M.shape[1]))
+    assert out["n"] == [len(M)] * M.shape[1]
+    np.testing.assert_allclose(out["mean"], round_half_away(mean, 6), atol=1e-12)
+    np.testing.assert_allclose(out["var"], round_half_away(var, 6), atol=1e-12)
+
+
+def test_kmeans_assign_partition_invariance(ray_session):
+    """The census is a deterministic function of the set of rows — block
+    layout must not change it (the exchange carries exact int64 partials)."""
+    from subgraph_isomorphism_pregel_ray.pipelines.similarity import kmeans_assign
+
+    M = _toy_embeddings()
+    a = kmeans_assign(_emb_ds(M), k=4).to_pydict()
+    b = kmeans_assign(_emb_ds(M).repartition(7), k=4).to_pydict()
+    assert a == b
+    assert sum(a["n"]) == len(M)
+    assert all(v >= 0 for v in a["inertia"])
+
+
+def test_kmeans_assign_matches_brute_force(ray_session):
+    from subgraph_isomorphism_pregel_ray.functions.rounding import round_half_away
+    from subgraph_isomorphism_pregel_ray.pipelines.similarity import kmeans_assign
+
+    M = _toy_embeddings()
+    k, scale = 4, 10_000
+    out = kmeans_assign(_emb_ds(M), k=k, scale=scale).to_pydict()
+    Q = round_half_away(M.astype(np.float64) * scale, 0).astype(np.int64)
+    C = Q[:k]  # vec_ids are 0..n-1, so seeds are the first k rows
+    d2 = (
+        (Q * Q).sum(axis=1)[:, None]
+        - 2 * (Q @ C.T)
+        + (C * C).sum(axis=1)[None, :]
+    )
+    assign = d2.argmin(axis=1)
+    best = d2[np.arange(len(Q)), assign]
+    for i, c in enumerate(out["cluster"]):
+        assert out["n"][i] == int((assign == c).sum())
+        assert out["inertia"][i] == int(best[assign == c].sum())
+
+
+def test_semantic_dedup_keep_rule_brute_force(ray_session):
+    """Every planted near-duplicate of a lower-id row is dropped; verdicts
+    equal the brute-force within-cluster keep-lowest-id rule."""
+    from subgraph_isomorphism_pregel_ray.functions.rounding import round_half_away
+    from subgraph_isomorphism_pregel_ray.pipelines.similarity import semantic_dedup
+
+    M = _toy_embeddings()
+    k, tau, scale = 4, 0.95, 10_000
+    out = (
+        semantic_dedup(_emb_ds(M), k=k, tau=tau, scale=scale)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    assert len(out) == len(M)
+    # brute force
+    Q = round_half_away(M.astype(np.float64) * scale, 0).astype(np.int64)
+    C = Q[:k]
+    d2 = (
+        (Q * Q).sum(axis=1)[:, None]
+        - 2 * (Q @ C.T)
+        + (C * C).sum(axis=1)[None, :]
+    )
+    assign = d2.argmin(axis=1)
+    Mn = M.astype(np.float64)
+    Mn /= np.linalg.norm(Mn, axis=1, keepdims=True)
+    cos6 = round_half_away(Mn @ Mn.T, 6)
+    keep = np.ones(len(M), bool)
+    for i in range(len(M)):
+        for j in range(i):
+            if assign[j] == assign[i] and cos6[i, j] >= tau:
+                keep[i] = False
+                break
+    assert out["cluster"].tolist() == assign.tolist()
+    assert out["keep"].tolist() == keep.tolist()
+    # the planted dups 50..54 share a cluster with their source rows 0..4
+    # (perturbation 1e-3 ≪ cluster radius) and must be dropped
+    planted = out.set_index("vec_id").loc[50:54, "keep"]
+    assert not planted.any()
+
+
+def test_blocklist_stats_golden(ray_session):
+    import ray.data as rd
+
+    from subgraph_isomorphism_pregel_ray.pipelines.textops import blocklist_stats
+
+    rows = [
+        {"source": "a", "text": "clean text here"},
+        {"source": "a", "text": "dup dup spam"},
+        {"source": "a", "text": ""},
+        {"source": "b", "text": "spam only"},
+        {"source": "b", "text": "nothing bad"},
+    ]
+    out = blocklist_stats(rd.from_items(rows)).to_pydict()
+    assert out["source"] == ["a", "b"]
+    assert out["docs"] == [3, 2]
+    assert out["flagged_docs"] == [1, 1]
+    assert out["hits"] == [3, 1]
+    assert out["flagged_rate"] == [
+        pytest.approx(1 / 3, abs=1e-6),
+        pytest.approx(0.5),
+    ]
