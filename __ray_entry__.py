@@ -2834,6 +2834,23 @@ def _q_match_k4(sf_dir: str):
     return pa.table({"n_embeddings": pa.array([cnt], type=pa.int64())})
 
 
+def _q_densest_subgraph(sf_dir: str):
+    """Bahmani-2012 parallel densest-subgraph peel schedule over the
+    co-purchase graph: (vid, peel_round); the max-density subgraph is a
+    downstream fold over the schedule."""
+    from subgraph_isomorphism_pregel_ray.pipelines.algorithms import (
+        densest_subgraph,
+    )
+
+    res, _ = densest_subgraph(_sym_copurchase(sf_dir), num_parts=4)
+    return pa.table(
+        {
+            "vid": res["vid"].to_numpy().view(np.int64),
+            "peel_round": res["peel_round"].to_numpy(),
+        }
+    )
+
+
 def _q_embedding_moments(sf_dir: str):
     """Per-dimension mean/variance of the embedding column — dead-dim /
     drift monitor; O(d) partials per batch, one tiny groupby."""
@@ -3149,6 +3166,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "match_diamond_strong": _q_match_diamond,
         "match_tailed_tri_strong": _q_match_tailed_tri,
         "lsh_bucket_histogram": _q_lsh_bucket_histogram,
+        "densest_subgraph_copurchase": _q_densest_subgraph,
         "embedding_moments": _q_embedding_moments,
         "kmeans_assign": _q_kmeans_assign,
         "semantic_dedup": _q_semantic_dedup,
@@ -4674,6 +4692,44 @@ def _dedup_groups_sql(iters: int = 8) -> str:
         ", ".join(parts)
         + f' SELECT doc_id, lbl AS "group", '
         f"doc_id = min(doc_id) OVER (PARTITION BY lbl) AS keep FROM l{iters}"
+    )
+
+
+def _densest_sql(rounds: int = 12) -> str:
+    """Unrolled Bahmani-2012 peeling (mirrors DensestSubgraphProgram): per
+    round, alive-degrees via the alive-restricted join, the global (V, ΣD)
+    census, then the EXACT integer peel rule 2·deg·V ≤ 3·ΣD. The unroll is
+    safe with margin because each round peels ≥ V/3 (Markov), so rounds ≥
+    log_{3/2}(V) suffice and extra rounds operate on an empty alive set,
+    contributing nothing. sf0.001/sf0.01 converge in ≤ 5 rounds; 12 gives
+    margin."""
+    parts = [
+        f"WITH {_ESYM_MAT}",
+        "a0 AS MATERIALIZED (SELECT DISTINCT src AS vid FROM e)",
+    ]
+    for r in range(rounds):
+        parts.append(
+            f"d{r} AS MATERIALIZED (SELECT v.vid, count(b.vid) AS deg "
+            f"FROM a{r} v LEFT JOIN e ON e.src = v.vid "
+            f"LEFT JOIN a{r} b ON b.vid = e.dst GROUP BY 1)"
+        )
+        parts.append(
+            f"g{r} AS MATERIALIZED (SELECT count(*) AS V, "
+            f"coalesce(sum(deg), 0) AS SD FROM d{r})"
+        )
+        parts.append(
+            f"p{r} AS MATERIALIZED (SELECT vid, {r} AS peel_round "
+            f"FROM d{r}, g{r} WHERE 2 * deg * V <= 3 * SD)"
+        )
+        parts.append(
+            f"a{r + 1} AS MATERIALIZED (SELECT vid FROM a{r} "
+            f"EXCEPT SELECT vid FROM p{r})"
+        )
+    union = " UNION ALL ".join(f"SELECT * FROM p{r}" for r in range(rounds))
+    return (
+        ", ".join(parts)
+        + f" SELECT vid, CAST(peel_round AS BIGINT) AS peel_round "
+        f"FROM ({union})"
     )
 
 
@@ -7796,6 +7852,7 @@ def oracle_sql() -> dict[str, str]:
             "JOIN lab ld ON ld.vid = ad.dst AND ld.l = 0 "
             "WHERE ab.src <> ad.dst"
         ),
+        "densest_subgraph_copurchase": _densest_sql(),
         "embedding_moments": (
             # mirrors similarity.embedding_moments: same var = ss/n − mean²
             # operand tree; float32→double casts are exact on both sides

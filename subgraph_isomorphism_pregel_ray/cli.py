@@ -88,7 +88,7 @@ def main(argv=None):
     for name in ("pagerank", "cc", "sssp", "mis", "lpa", "triangles", "kcore",
                  "ppr", "walk", "hits", "assortativity", "hyperball", "betweenness",
                  "closeness", "wsssp", "coloring", "katz", "scc", "matching",
-                 "semicluster", "seeded-lpa"):
+                 "semicluster", "seeded-lpa", "densest"):
         p = sub.add_parser(name)
         common(p)
         if name in ("pagerank", "lpa", "ppr", "hits", "katz", "seeded-lpa"):
@@ -325,6 +325,7 @@ def main(argv=None):
         "mis": lambda: ("mis", {}, 300, False),
         "lpa": lambda: ("lpa", {"iters": iters}, iters + 2, False),
         "kcore": lambda: ("kcore", {}, 300, False),
+        "densest": lambda: ("densest", {}, 200, False),
         "triangles": lambda: ("triangles", {}, 4, False),
         "ppr": lambda: (
             "ppr",

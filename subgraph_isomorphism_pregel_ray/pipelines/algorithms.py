@@ -40,6 +40,7 @@ __all__ = [
     "seeded_labels",
     "triangle_count",
     "kcore",
+    "densest_subgraph",
     "pagerank_dataset",
     "cc_dataset",
     "neighbor_sample",
@@ -1230,6 +1231,23 @@ def kcore(edges_or_engine, num_parts: int = 8, max_steps: int = 300,
     eng, lineage, own = _run(
         edges_or_engine, "kcore", {}, num_parts, max_steps, directed=False,
         checkpoint_dir=checkpoint_dir, checkpoint_every=checkpoint_every, resume=resume,
+    )
+    out = eng.result_table()
+    if own:
+        eng.shutdown()
+    return out, lineage
+
+
+def densest_subgraph(edges_or_engine, num_parts: int = 8, max_steps: int = 200,
+                     checkpoint_dir=None, checkpoint_every=0, resume=False):
+    """Bahmani-2012 parallel densest-subgraph peeling (ε = 1/2) over the
+    symmetrized edge set → (pa.table(vid, peel_round), lineage). See
+    ``DensestSubgraphProgram`` for the exact-integer peel rule and the
+    2-supersteps-per-round aggregator shape."""
+    eng, lineage, own = _run(
+        edges_or_engine, "densest", {}, num_parts, max_steps, directed=False,
+        checkpoint_dir=checkpoint_dir, checkpoint_every=checkpoint_every,
+        resume=resume,
     )
     out = eng.result_table()
     if own:

@@ -3802,6 +3802,103 @@ class SeededLabelProgram(VertexProgram):
         return pa.table({"vid": self.csr.vids, "label": self.label})
 
 
+class DensestSubgraphProgram(VertexProgram):
+    """Parallel greedy densest-subgraph peeling (Bahmani, Kumar & Vassilvitskii,
+    VLDB 2012, ε = 1/2): in round r, every alive vertex whose alive-degree
+    satisfies 2·deg·V ≤ 3·ΣD (i.e. deg ≤ (1+ε)·avg_deg, compared EXACTLY in
+    integers — ΣD = Σ alive degrees = 2·E_alive) is peeled; the densest
+    prefix of the peel order 2-approximates (1+ε)-approximates the maximum
+    density (the surviving-set density is within 2(1+ε) of optimal). Output
+    is the full peel schedule (vid, peel_round) — density per round is a
+    downstream fold over it, and the max-density alive set is
+    {v : peel_round ≥ argmax_r density_r}.
+
+    BSP shape: TWO supersteps per round. Even steps are the census — apply
+    folds inbox degree decrements, then publishes partial (V, SD) which the
+    driver sums and re-broadcasts as ``glob`` (the T5 aggregator path). Odd
+    steps peel with the EXACT global integer rule and scatter one decrement
+    message per (peeled → neighbor) edge, grouped per destination. At most
+    ~log_{3/2}(V) rounds (each peels ≥ V/3 vertices, Markov bound), so a
+    trillion-vertex graph converges in ≤ ~70 supersteps. Integer-overflow
+    bound: the rule forms 2·deg·V in int64 — exact while deg·V < 2⁶²
+    (shard or re-scale beyond ~10⁹ vertices × 10⁹ max-degree; far past any
+    real web graph's product)."""
+
+    def init(self, csr: CSRPartition):
+        self.csr = csr
+        self.deg = csr.degrees().astype(np.int64)
+        self.alive = np.ones(csr.num_vertices, dtype=bool)
+        self.peel_round = np.full(csr.num_vertices, -1, dtype=np.int64)
+        self.last_peel = np.zeros(csr.num_vertices, dtype=bool)
+
+    def apply(self, step, inbox, glob):
+        if step % 2 == 0:  # census phase: fold decrements, publish (V, SD)
+            for msg in inbox:
+                if msg is None or len(msg["dst"]) == 0:
+                    continue
+                li = self.csr.local_index(msg["dst"])
+                np.subtract.at(self.deg, li, msg["dec"])
+            V = int(self.alive.sum())
+            SD = int(self.deg[self.alive].sum())
+            self.last_peel = np.zeros(self.csr.num_vertices, dtype=bool)
+            return {"active": V, "V": V, "SD": SD}
+        # peel phase: exact integer (1+ε) average-degree rule, ε = 1/2
+        V = int(glob.get("V", 0))
+        SD = int(glob.get("SD", 0))
+        if V == 0:
+            self.last_peel = np.zeros(self.csr.num_vertices, dtype=bool)
+            return {"active": 0}
+        peel = self.alive & (2 * self.deg * V <= 3 * SD)
+        self.peel_round[peel] = (step - 1) // 2
+        self.alive[peel] = False
+        self.last_peel = peel
+        return {"active": int(self.alive.sum()), "peeled": int(peel.sum())}
+
+    def scatter(self, step):
+        if step % 2 == 0 or not self.last_peel.any():
+            return [None] * self.csr.num_parts, {"sent": 0}
+        P = self.csr.num_parts
+        dix = self.csr.dst_index()
+        edge_sel = self.last_peel[dix.src_row][dix.order]
+        sorted_dst = self.csr.indices[dix.order]
+        outbox, sent = [], 0
+        for p in range(P):
+            s, e = dix.slices[p]
+            sel = edge_sel[s:e]
+            if not sel.any():
+                outbox.append(None)
+                continue
+            uniq, cnt = np.unique(sorted_dst[s:e][sel], return_counts=True)
+            outbox.append({"dst": uniq, "dec": cnt.astype(np.int64)})
+            sent += int(cnt.sum())
+        return outbox, {"sent": sent}
+
+    def state_table(self):
+        return pa.table(
+            {
+                "vid": self.csr.vids,
+                "deg": self.deg,
+                "alive": self.alive,
+                "peel_round": self.peel_round,
+            }
+        )
+
+    def load_state(self, table, step):
+        self.deg = table["deg"].to_numpy().copy()
+        self.alive = table["alive"].to_numpy().copy()
+        self.peel_round = table["peel_round"].to_numpy().copy()
+        # resume re-runs the checkpointed step's scatter: reconstruct the
+        # just-peeled mask from the schedule (odd steps peeled round
+        # (step−1)//2; even steps scatter nothing)
+        if step % 2 == 1:
+            self.last_peel = self.peel_round == (step - 1) // 2
+        else:
+            self.last_peel = np.zeros(self.csr.num_vertices, dtype=bool)
+
+    def result_table(self):
+        return pa.table({"vid": self.csr.vids, "peel_round": self.peel_round})
+
+
 PROGRAMS = {
     "pagerank": PageRankProgram,
     "cc": ConnectedComponentsProgram,
@@ -3832,4 +3929,5 @@ PROGRAMS = {
     "semicluster": SemiClusteringProgram,
     "matching": MaximalMatchingProgram,
     "seeded_lpa": SeededLabelProgram,
+    "densest": DensestSubgraphProgram,
 }

@@ -549,3 +549,97 @@ def test_blocklist_stats_golden(ray_session):
         pytest.approx(1 / 3, abs=1e-6),
         pytest.approx(0.5),
     ]
+
+
+# ---------------------------------------------------------------------------
+# densest_subgraph (Bahmani 2012 parallel peeling)
+# ---------------------------------------------------------------------------
+
+
+def _densest_brute(src, dst):
+    """Sequential mirror of the ε=1/2 peel: per round compute alive-degrees,
+    peel every v with 2·deg·V ≤ 3·ΣD."""
+    E = list(zip(src, dst))
+    alive = set(src) | set(dst)
+    rnd, out = 0, {}
+    while alive:
+        deg = {v: 0 for v in alive}
+        for a, b in E:
+            if a in alive and b in alive:
+                deg[a] += 1
+        V, SD = len(alive), sum(deg.values())
+        peel = {v for v in alive if 2 * deg[v] * V <= 3 * SD}
+        for v in peel:
+            out[v] = rnd
+        alive -= peel
+        rnd += 1
+    return out
+
+
+def test_densest_subgraph_vs_brute_force(ray_session):
+    from subgraph_isomorphism_pregel_ray.pipelines.algorithms import (
+        densest_subgraph,
+    )
+    from subgraph_isomorphism_pregel_ray.pipelines.build_graph import (
+        edges_from_arrays,
+    )
+
+    rng = np.random.default_rng(11)
+    # random sparse graph + a planted dense K8 core on vids 100..107
+    n, m = 80, 160
+    src = rng.integers(0, n, m).tolist()
+    dst = rng.integers(0, n, m).tolist()
+    pairs = sorted({(a, b) for a, b in zip(src, dst) if a != b})
+    core = [(100 + i, 100 + j) for i in range(8) for j in range(i + 1, 8)]
+    pairs += core
+    s = [a for a, b in pairs] + [b for a, b in pairs]
+    d = [b for a, b in pairs] + [a for a, b in pairs]
+    exp = _densest_brute(s, d)
+    for parts in (1, 3):
+        out, _ = densest_subgraph(edges_from_arrays(s, d), num_parts=parts)
+        got = dict(
+            zip(out["vid"].to_pylist(), out["peel_round"].to_pylist())
+        )
+        assert {int(k): int(v) for k, v in got.items()} == exp
+    # the planted clique outlives the sparse background
+    bg_max = max(v for k, v in exp.items() if k < 100)
+    core_min = min(v for k, v in exp.items() if k >= 100)
+    assert core_min >= bg_max
+
+
+def test_densest_subgraph_checkpoint_resume(ray_session, tmp_path):
+    from subgraph_isomorphism_pregel_ray.pipelines.algorithms import (
+        densest_subgraph,
+    )
+    from subgraph_isomorphism_pregel_ray.pipelines.build_graph import (
+        edges_from_arrays,
+    )
+
+    rng = np.random.default_rng(5)
+    pairs = sorted(
+        {
+            (int(a), int(b))
+            for a, b in zip(rng.integers(0, 40, 90), rng.integers(0, 40, 90))
+            if a != b
+        }
+    )
+    s = [a for a, b in pairs] + [b for a, b in pairs]
+    d = [b for a, b in pairs] + [a for a, b in pairs]
+    base, _ = densest_subgraph(edges_from_arrays(s, d), num_parts=2)
+    ck = str(tmp_path / "ck")
+    densest_subgraph(
+        edges_from_arrays(s, d),
+        num_parts=2,
+        checkpoint_dir=ck,
+        checkpoint_every=1,
+    )
+    resumed, _ = densest_subgraph(
+        edges_from_arrays(s, d),
+        num_parts=2,
+        checkpoint_dir=ck,
+        checkpoint_every=1,
+        resume=True,
+    )
+    a = base.to_pandas().sort_values("vid").reset_index(drop=True)
+    b = resumed.to_pandas().sort_values("vid").reset_index(drop=True)
+    assert a.equals(b)
