@@ -2834,6 +2834,30 @@ def _q_match_k4(sf_dir: str):
     return pa.table({"n_embeddings": pa.array([cnt], type=pa.int64())})
 
 
+def _q_rake_keywords(sf_dir: str):
+    """RAKE (Rose 2010) corpus keywords: top-25 stopword-delimited phrases
+    by summed deg/freq word scores."""
+    from subgraph_isomorphism_pregel_ray.pipelines.textops import rake_keywords
+    from subgraph_isomorphism_pregel_ray.sources.tables import read_table
+
+    return rake_keywords(
+        read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    )
+
+
+def _q_minhash_calibration(sf_dir: str):
+    """MinHash estimator calibration: est vs exact Jaccard for every LSH
+    candidate pair (Broder-1997 agreement estimator audit)."""
+    from subgraph_isomorphism_pregel_ray.pipelines.dedup import (
+        minhash_calibration,
+    )
+    from subgraph_isomorphism_pregel_ray.sources.tables import read_table
+
+    return minhash_calibration(
+        read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    )
+
+
 def _q_densest_subgraph(sf_dir: str):
     """Bahmani-2012 parallel densest-subgraph peel schedule over the
     co-purchase graph: (vid, peel_round); the max-density subgraph is a
@@ -3167,6 +3191,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "match_tailed_tri_strong": _q_match_tailed_tri,
         "lsh_bucket_histogram": _q_lsh_bucket_histogram,
         "densest_subgraph_copurchase": _q_densest_subgraph,
+        "minhash_calibration": _q_minhash_calibration,
+        "rake_keywords": _q_rake_keywords,
         "embedding_moments": _q_embedding_moments,
         "kmeans_assign": _q_kmeans_assign,
         "semantic_dedup": _q_semantic_dedup,
@@ -4692,6 +4718,82 @@ def _dedup_groups_sql(iters: int = 8) -> str:
         ", ".join(parts)
         + f' SELECT doc_id, lbl AS "group", '
         f"doc_id = min(doc_id) OVER (PARTITION BY lbl) AS keep FROM l{iters}"
+    )
+
+
+def _rake_sql(top_k: int = 25) -> str:
+    """RAKE replay (mirrors textops.rake_keywords): stopword-boundary
+    phrase ids via a windowed stop-count, word deg/freq over phrase-word
+    occurrence rows, per-occurrence score sums, max-folded to distinct
+    phrases (occurrences of one phrase share a word multiset, so max is
+    exact up to float sum order ≪ the round), top-k on the ROUNDED score
+    with phrase tie-break."""
+    stoplist = _stopword_sql_list()
+    toks = "regexp_split_to_array(trim(text), '\\s+')"
+    return (
+        f"WITH t AS (SELECT doc_id, unnest({toks}) AS rtok, "
+        f"generate_subscripts({toks}, 1) AS pos "
+        "FROM documents WHERE trim(text) <> ''), "
+        "f AS (SELECT doc_id, pos, lower(rtok) AS tok, "
+        f"CASE WHEN list_contains({stoplist}, lower(rtok)) THEN 1 ELSE 0 END "
+        "AS st FROM t), "
+        "g AS (SELECT *, sum(st) OVER (PARTITION BY doc_id ORDER BY pos) "
+        "AS pid FROM f), "
+        "pw AS MATERIALIZED (SELECT doc_id, pid, tok AS word, pos FROM g "
+        "WHERE st = 0), "
+        "pl AS MATERIALIZED (SELECT doc_id, pid, count(*) AS plen, "
+        "string_agg(word, ' ' ORDER BY pos) AS phrase FROM pw GROUP BY 1, 2), "
+        "ws AS MATERIALIZED (SELECT word, count(*) AS freq, sum(plen) AS sdeg "
+        "FROM pw JOIN pl USING (doc_id, pid) GROUP BY 1), "
+        "occ AS (SELECT pw.doc_id, pw.pid, sum(ws.sdeg / ws.freq) AS pscore "
+        "FROM pw JOIN ws USING (word) GROUP BY 1, 2), "
+        "ph AS (SELECT pl.phrase, count(*) AS n_occurrences, "
+        "max(occ.pscore) AS score FROM occ JOIN pl USING (doc_id, pid) "
+        "GROUP BY 1) "
+        "SELECT phrase, CAST(n_occurrences AS BIGINT) AS n_occurrences, "
+        "round(score, 6) AS score FROM ph "
+        f"ORDER BY round(score, 6) DESC, phrase LIMIT {top_k}"
+    )
+
+
+def _minhash_calibration_sql(
+    k: int = 5,
+    num_perm: int = 128,
+    bands: int = 16,
+    max_bucket: int = 200,
+    seed: int = 7,
+) -> str:
+    """est-vs-exact Jaccard per LSH candidate pair (mirrors
+    dedup.minhash_calibration): the shared bsig replay, the SAME
+    bdocs/expl/cand fragment as _minhash_ctes, signature agreement counted
+    over the per-position mins rows, exact Jaccard LEFT-joined so a
+    zero-overlap candidate (possible in principle, unlike _minhash_ctes's
+    thresholded pairs) keeps its row with jaccard 0."""
+    return (
+        f"WITH {_minhash_bsig_ctes(k=k, num_perm=num_perm, bands=bands, seed=seed)}, "
+        "bdocs AS MATERIALIZED ("
+        f"SELECT band, sig, (list(doc_id ORDER BY doc_id))[1:{max_bucket}] AS docs "
+        "FROM bsig GROUP BY band, sig HAVING count(*) >= 2), "
+        "expl AS (SELECT band, sig, unnest(docs) AS d FROM bdocs), "
+        "cand AS MATERIALIZED (SELECT DISTINCT a.d AS doc_a, b.d AS doc_b "
+        "FROM expl a JOIN expl b ON a.band = b.band AND a.sig = b.sig "
+        "AND a.d < b.d), "
+        "agree AS MATERIALIZED (SELECT c.doc_a, c.doc_b, "
+        "sum(CASE WHEN ma.mh = mb.mh THEN 1 ELSE 0 END) AS eq "
+        "FROM cand c JOIN mins ma ON ma.doc_id = c.doc_a "
+        "JOIN mins mb ON mb.doc_id = c.doc_b AND mb.pi = ma.pi GROUP BY 1, 2), "
+        "cnt AS MATERIALIZED (SELECT doc_id, count(*) AS nsh FROM grams GROUP BY 1), "
+        "inter AS MATERIALIZED (SELECT c.doc_a, c.doc_b, count(*) AS i "
+        "FROM cand c JOIN grams a ON a.doc_id = c.doc_a "
+        "JOIN grams b ON b.doc_id = c.doc_b AND b.g = a.g GROUP BY 1, 2) "
+        "SELECT c.doc_a, c.doc_b, "
+        f"round(ag.eq / {num_perm}, 6) AS est_jaccard, "
+        "round(coalesce(i.i, 0) * 1.0 / "
+        "(ca.nsh + cb.nsh - coalesce(i.i, 0)), 6) AS jaccard "
+        "FROM cand c JOIN agree ag ON ag.doc_a = c.doc_a AND ag.doc_b = c.doc_b "
+        "LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b "
+        "JOIN cnt ca ON ca.doc_id = c.doc_a "
+        "JOIN cnt cb ON cb.doc_id = c.doc_b"
     )
 
 
@@ -7853,6 +7955,8 @@ def oracle_sql() -> dict[str, str]:
             "WHERE ab.src <> ad.dst"
         ),
         "densest_subgraph_copurchase": _densest_sql(),
+        "minhash_calibration": _minhash_calibration_sql(),
+        "rake_keywords": _rake_sql(),
         "embedding_moments": (
             # mirrors similarity.embedding_moments: same var = ss/n − mean²
             # operand tree; float32→double casts are exact on both sides

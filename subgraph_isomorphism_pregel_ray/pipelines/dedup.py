@@ -178,6 +178,21 @@ def minhash_lsh_pairs(
        pair via sorted-array intersection — no text dict broadcast, no
        per-pair re-shingling.
     """
+    sh_ds, cand = _lsh_candidates(docs_ds, k, num_perm, bands, seed, max_bucket)
+    return _verify_pairs_exact(sh_ds, cand, threshold)
+
+
+def _lsh_candidates(
+    docs_ds,
+    k: int = 5,
+    num_perm: int = 128,
+    bands: int = 16,
+    seed: int = 7,
+    max_bucket: int = 200,
+):
+    """Stages 1–3 of :func:`minhash_lsh_pairs` (shared with
+    :func:`minhash_calibration`): → (sh_ds(doc_id, sh), cand(pkey)) with
+    identical signature, banding and hot-bucket-cap semantics."""
     rows_per_band = num_perm // bands
     a_p, b_p = _perm_params(num_perm, seed)
 
@@ -259,7 +274,133 @@ def minhash_lsh_pairs(
     # pair still meets exactly twice.
     cand = buckets.groupby("b").map_groups(_bucket_pairs, batch_format="pyarrow")
 
-    return _verify_pairs_exact(sh_ds, cand, threshold)
+    return sh_ds, cand
+
+
+def minhash_calibration(
+    docs_ds,
+    k: int = 5,
+    num_perm: int = 128,
+    bands: int = 16,
+    seed: int = 7,
+    max_bucket: int = 200,
+):
+    """Sketch-quality audit → Dataset(doc_a, doc_b, est_jaccard, jaccard):
+    for EVERY LSH candidate pair (no threshold), the MinHash estimate
+    (fraction of the num_perm signature positions that agree — the unbiased
+    Jaccard estimator, Broder 1997) side by side with the exact char-k-gram
+    Jaccard. This is the calibration table you inspect before trusting the
+    sketch at 100 TB: |est − exact| has σ ≈ √(J(1−J)/num_perm) ≈ 0.044 at
+    J=0.5, num_perm=128, and a systematic deviation flags a broken hash or
+    banding bug.
+
+    Scale shape: identical candidate generation to minhash_lsh_pairs
+    (shared `_lsh_candidates`); each doc's payload blob carries its
+    signature (num_perm×8 bytes) concatenated with its shingle set, routed
+    to pairs by the same union+groupby repartition join — one extra 1 KB
+    per doc over the pairs path, no new shuffle."""
+    sh_ds, cand = _lsh_candidates(docs_ds, k, num_perm, bands, seed, max_bucket)
+    a_p, b_p = _perm_params(num_perm, seed)
+    sig_bytes = num_perm * 8
+
+    def _payload(batch: pa.Table) -> pa.Table:
+        rows = _sh_rows(batch["sh"])
+        blobs = []
+        for sh in rows:
+            vals = (sh[:, None] * a_p[None, :] + b_p[None, :]) % _MERSENNE
+            blobs.append(vals.min(axis=0).tobytes() + sh.tobytes())
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].to_numpy().astype(np.int64),
+                "sh": pa.array(blobs, pa.binary()),
+            }
+        )
+
+    payload = sh_ds.map_batches(_payload, batch_format="pyarrow")
+
+    def _pair_slots(t: pa.Table) -> pa.Table:
+        pk = t["pkey"].to_numpy()
+        return pa.table(
+            {
+                "doc_id": np.concatenate(
+                    [pk >> _PKEY_SHIFT, pk & np.int64(0xFFFFFFFF)]
+                ),
+                "pkey": np.concatenate([pk, pk]),
+                "sh": pa.array([None] * (2 * len(pk)), type=pa.binary()),
+            }
+        )
+
+    def _sh_slots(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].to_numpy().astype(np.int64),
+                "pkey": np.full(t.num_rows, -1, dtype=np.int64),
+                "sh": t["sh"],
+            }
+        )
+
+    slots = cand.map_batches(_pair_slots, batch_format="pyarrow").union(
+        payload.map_batches(_sh_slots, batch_format="pyarrow")
+    )
+
+    def _attach(group: pa.Table) -> pa.Table:
+        pk = group["pkey"].to_numpy()
+        own = np.nonzero(pk == -1)[0]
+        pairs_m = pk != -1
+        if len(own) == 0 or not pairs_m.any():
+            return pa.table(
+                {"pkey": pa.array([], pa.int64()),
+                 "doc_id": pa.array([], pa.int64()),
+                 "sh": pa.array([], pa.binary())}
+            )
+        blob = group["sh"][int(own[0])].as_py()
+        upk = np.unique(pk[pairs_m])
+        return pa.table(
+            {
+                "pkey": upk,
+                "doc_id": np.full(len(upk), group["doc_id"][0].as_py(), np.int64),
+                "sh": pa.array([blob] * len(upk), type=pa.binary()),
+            }
+        )
+
+    def _judge(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"doc_a": pa.array([], pa.int64()),
+             "doc_b": pa.array([], pa.int64()),
+             "est_jaccard": pa.array([], pa.float64()),
+             "jaccard": pa.array([], pa.float64())}
+        )
+        if group.num_rows != 2:
+            return empty
+        pk = int(group["pkey"][0].as_py())
+        ba, bb = (group["sh"][i].as_py() for i in range(2))
+        siga = np.frombuffer(ba[:sig_bytes], dtype=np.uint64)
+        sigb = np.frombuffer(bb[:sig_bytes], dtype=np.uint64)
+        sa = np.frombuffer(ba[sig_bytes:], dtype=np.uint64)
+        sb = np.frombuffer(bb[sig_bytes:], dtype=np.uint64)
+        est = int((siga == sigb).sum()) / num_perm
+        inter = len(np.intersect1d(sa, sb, assume_unique=True))
+        union = len(sa) + len(sb) - inter
+        jac = inter / union if union else 1.0
+        return pa.table(
+            {
+                "doc_a": pa.array([pk >> _PKEY_SHIFT], pa.int64()),
+                "doc_b": pa.array([pk & np.int64(0xFFFFFFFF)], pa.int64()),
+                "est_jaccard": pa.array(
+                    [float(round_half_away(est, 6))], pa.float64()
+                ),
+                "jaccard": pa.array(
+                    [float(round_half_away(jac, 6))], pa.float64()
+                ),
+            }
+        )
+
+    return (
+        slots.groupby("doc_id")
+        .map_groups(_attach, batch_format="pyarrow")
+        .groupby("pkey")
+        .map_groups(_judge, batch_format="pyarrow")
+    )
 
 
 def _verify_pairs_exact(sh_ds, cand, threshold: float):

@@ -4425,3 +4425,114 @@ def blocklist_stats(docs_ds, blocklist: tuple = DEFAULT_BLOCKLIST):
             ),
         }
     )
+
+
+def rake_keywords(docs_ds, top_k: int = 25, num_partitions: int = 8):
+    """RAKE keyword extraction (Rose et al. 2010 §1.2): split each document
+    into candidate phrases at stopword boundaries, score every word by
+    deg/freq (deg = Σ phrase length over the word's occurrences, freq = its
+    occurrence count — words living in long phrases beat frequent isolated
+    ones), score a phrase by the sum of its words' scores, and return the
+    global top-k distinct phrases → pa.table(phrase, n_occurrences, score).
+
+    Scale shape: phrase extraction is one ``map_batches`` pass emitting
+    (doc, phrase-ordinal, phrase, word, phrase_len) rows; word stats fold
+    via ONE groupby (the vocabulary table — never a driver dict); scores
+    flow back to phrase-word rows via ``Dataset.join`` on word (the
+    doc_cross_entropy routing); per-occurrence scores fold to distinct
+    phrases with one more groupby, and the top-k is a distributed sort on
+    the ROUNDED score + limit. Tokens are lowercased on both sides; the
+    stopword set is the shared _SQL_STOP list, so the SQL oracle replays
+    the phrase segmentation exactly; float sum-order noise ≪ the 6-decimal
+    round (doc_cross_entropy posture)."""
+    from ray.data.aggregate import Count, Max, Sum
+
+    from ..functions.rounding import round_half_away
+
+    stop = frozenset(_SQL_STOP)
+
+    def _phrases(b: pa.Table) -> pa.Table:
+        docs: list[int] = []
+        pids: list[int] = []
+        phrases: list[str] = []
+        words: list[str] = []
+        plens: list[int] = []
+        for did, t in zip(b["doc_id"].to_pylist(), b["text"].to_pylist()):
+            toks = [w.lower() for w in _tokens(t)]
+            pid, cur = 0, []
+            for w in toks + [None]:  # sentinel flushes the last phrase
+                if w is None or w in stop:
+                    if cur:
+                        ph = " ".join(cur)
+                        for cw in cur:
+                            docs.append(did)
+                            pids.append(pid)
+                            phrases.append(ph)
+                            words.append(cw)
+                            plens.append(len(cur))
+                        pid += 1
+                    cur = []
+                else:
+                    cur.append(w)
+        return pa.table(
+            {
+                "doc_id": pa.array(docs, pa.int64()),
+                "pid": pa.array(pids, pa.int64()),
+                "phrase": pa.array(phrases, pa.string()),
+                "word": pa.array(words, pa.string()),
+                "plen": pa.array(plens, pa.int64()),
+            }
+        )
+
+    pw = docs_ds.map_batches(_phrases, batch_format="pyarrow").materialize()
+    ws = pw.groupby("word").aggregate(
+        Count(alias_name="freq"), Sum("plen", alias_name="sdeg")
+    )
+
+    def _wscore(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "word": t["word"],
+                "wscore": t["sdeg"].to_numpy() / t["freq"].to_numpy(),
+            }
+        )
+
+    joined = pw.join(
+        ws.map_batches(_wscore, batch_format="pyarrow"),
+        "inner",
+        num_partitions,
+        on=("word",),
+    )
+    # per-occurrence score: fold word scores within (doc, pid); the phrase
+    # string rides along via Max (constant within the group)
+    occ = joined.groupby(["doc_id", "pid"]).aggregate(
+        Sum("wscore", alias_name="pscore"), Max("phrase", alias_name="phrase")
+    )
+    # distinct phrases: every occurrence of a phrase has the same word
+    # multiset, so Max(pscore) is exact (not a tie-break)
+    agg = occ.groupby("phrase").aggregate(
+        Count(alias_name="n_occurrences"), Max("pscore", alias_name="score")
+    )
+
+    def _round(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "phrase": t["phrase"],
+                "n_occurrences": t["n_occurrences"].to_numpy().astype(np.int64),
+                "score": round_half_away(t["score"].to_numpy(), 6),
+            }
+        )
+
+    top = (
+        agg.map_batches(_round, batch_format="pyarrow")
+        .sort(["score", "phrase"], descending=[True, False])
+        .limit(top_k)
+        .to_pandas()
+    )
+    return pa.table(
+        {
+            "phrase": pa.array(top["phrase"].tolist(), pa.string()),
+            "n_occurrences": top["n_occurrences"].to_numpy().astype(np.int64),
+            "score": top["score"].to_numpy(),
+        }
+    )

@@ -643,3 +643,61 @@ def test_densest_subgraph_checkpoint_resume(ray_session, tmp_path):
     a = base.to_pandas().sort_values("vid").reset_index(drop=True)
     b = resumed.to_pandas().sort_values("vid").reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_minhash_calibration_identical_docs(ray_session):
+    """Planted exact duplicates calibrate to est = exact = 1.0; near-misses
+    land within the Broder σ = √(J(1−J)/128) ≈ 0.05 band (5σ guard)."""
+    import ray.data as rd
+
+    from subgraph_isomorphism_pregel_ray.pipelines.dedup import (
+        minhash_calibration,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    rows = [
+        {"doc_id": 1, "text": base},
+        {"doc_id": 2, "text": base},                      # exact dup
+        {"doc_id": 3, "text": base + "and then some more words here"},
+        {"doc_id": 4, "text": "completely different content entirely " * 8},
+    ]
+    out = (
+        minhash_calibration(rd.from_items(rows))
+        .to_pandas()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    exact = out[(out.doc_a == 1) & (out.doc_b == 2)]
+    assert len(exact) == 1
+    assert exact.iloc[0]["est_jaccard"] == 1.0
+    assert exact.iloc[0]["jaccard"] == 1.0
+    # every candidate's estimate is within 5σ of its exact Jaccard
+    j = out["jaccard"].to_numpy()
+    sigma = np.sqrt(np.maximum(j * (1 - j), 1e-12) / 128)
+    assert (np.abs(out["est_jaccard"].to_numpy() - j) <= 5 * sigma + 1e-9).all()
+
+
+def test_rake_keywords_golden(ray_session):
+    """Hand-computed RAKE on the canonical toy: phrases split at the shared
+    stopword list, word score = deg/freq, phrase score = Σ word scores."""
+    import ray.data as rd
+
+    from subgraph_isomorphism_pregel_ray.pipelines.textops import rake_keywords
+
+    rows = [
+        {"doc_id": 1, "text": "deep learning of neural networks"},
+        {"doc_id": 2, "text": "deep learning and gradient descent"},
+    ]
+    out = rake_keywords(rd.from_items(rows), top_k=10).to_pydict()
+    # phrases: "deep learning"×2, "neural networks", "gradient descent"
+    # freq: deep 2, learning 2, neural 1, networks 1, gradient 1, descent 1
+    # deg:  deep 4, learning 4, others 2 → scores 2.0 each
+    # phrase scores: deep learning 4.0, neural networks 4.0,
+    #                gradient descent 4.0 → tie broken by phrase asc
+    assert out["phrase"] == [
+        "deep learning",
+        "gradient descent",
+        "neural networks",
+    ]
+    assert out["n_occurrences"] == [2, 1, 1]
+    assert out["score"] == [4.0, 4.0, 4.0]
