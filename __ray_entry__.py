@@ -1087,6 +1087,46 @@ def _q_ann_topk_ivf(sf_dir: str):
     return ann_topk_ivf(_emb(sf_dir), ANN_QUERY_IDS, k=ANN_K, index_dir=idx)
 
 
+def _q_ivf_recall(sf_dir: str):
+    """Recall@k of the IVF index against the exact brute-force top-k, per
+    query id plus a corpus-level row — the audit that prices the IVF
+    recall<1 trade before trusting it at scale. rows-only: the IVF side
+    depends on k-means-lite centroids (iterative float), the same reason
+    ann_topk_ivf itself is rows-only; the exact side IS oracled as
+    ann_topk."""
+    import os
+
+    from subgraph_isomorphism_pregel_ray.pipelines.similarity import (
+        ann_topk,
+        ann_topk_ivf,
+    )
+
+    idx = f"/tmp/graft_ivf_{os.path.basename(os.path.normpath(sf_dir))}_c16_s13"
+    exact = ann_topk(_emb(sf_dir), ANN_QUERY_IDS, k=ANN_K).to_pandas()
+    ivf = ann_topk_ivf(
+        _emb(sf_dir), ANN_QUERY_IDS, k=ANN_K, index_dir=idx
+    ).to_pandas()
+    rows = []
+    hits_all = n_all = 0
+    for qid in sorted(set(exact["query_id"].tolist())):
+        e = set(exact.loc[exact.query_id == qid, "vec_id"].tolist())
+        g = set(ivf.loc[ivf.query_id == qid, "vec_id"].tolist())
+        hits, n = len(e & g), len(e)
+        hits_all += hits
+        n_all += n
+        rows.append((int(qid), hits, n, round(hits / n, 6) if n else 1.0))
+    rows.append((-1, hits_all, n_all,
+                 round(hits_all / n_all, 6) if n_all else 1.0))
+    return pa.table(
+        {
+            "query_id": pa.array([r[0] for r in rows], pa.int64()),
+            "hits": pa.array([r[1] for r in rows], pa.int64()),
+            "k": pa.array([r[2] for r in rows], pa.int64()),
+            "recall": pa.array([r[3] for r in rows], pa.float64()),
+        }
+    )
+
+
 def _q_dup_rate_by_source(sf_dir: str):
     from subgraph_isomorphism_pregel_ray.pipelines.dedup import dup_rate_by_source
     from subgraph_isomorphism_pregel_ray.sources.tables import read_table
@@ -2834,6 +2874,23 @@ def _q_match_k4(sf_dir: str):
     return pa.table({"n_embeddings": pa.array([cnt], type=pa.int64())})
 
 
+def _q_influence_seeds(sf_dir: str):
+    """Chen-2009 DegreeDiscount greedy influence seeds (k=10) over the
+    co-purchase graph — exact-integer scores, 3 supersteps per pick."""
+    from subgraph_isomorphism_pregel_ray.pipelines.algorithms import (
+        degree_discount_seeds,
+    )
+
+    res, _ = degree_discount_seeds(_sym_copurchase(sf_dir), k=10, num_parts=4)
+    return pa.table(
+        {
+            "rank": res["rank"].to_numpy(),
+            "vid": res["vid"].to_numpy().view(np.int64),
+            "dd100": res["dd100"].to_numpy(),
+        }
+    )
+
+
 def _q_rake_keywords(sf_dir: str):
     """RAKE (Rose 2010) corpus keywords: top-25 stopword-delimited phrases
     by summed deg/freq word scores."""
@@ -3193,6 +3250,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "densest_subgraph_copurchase": _q_densest_subgraph,
         "minhash_calibration": _q_minhash_calibration,
         "rake_keywords": _q_rake_keywords,
+        "influence_seeds_copurchase": _q_influence_seeds,
+        "ivf_recall": _q_ivf_recall,
         "embedding_moments": _q_embedding_moments,
         "kmeans_assign": _q_kmeans_assign,
         "semantic_dedup": _q_semantic_dedup,
@@ -4719,6 +4778,46 @@ def _dedup_groups_sql(iters: int = 8) -> str:
         + f' SELECT doc_id, lbl AS "group", '
         f"doc_id = min(doc_id) OVER (PARTITION BY lbl) AS keep FROM l{iters}"
     )
+
+
+def _degdiscount_sql(k: int = 10) -> str:
+    """Unrolled Chen-2009 DegreeDiscount greedy (mirrors
+    DegreeDiscountProgram): per round, the exact-integer score
+    100·d − 200·t − (d−t)·t over unselected vertices, argmax by
+    (dd DESC, vid) via ORDER BY … LIMIT 1, then t+1 for the winner's
+    neighbors. k rounds ⇒ k winner CTEs unioned with literal ranks."""
+    parts = [
+        f"WITH {_ESYM_MAT}",
+        "dg AS MATERIALIZED (SELECT src AS vid, count(*) AS d FROM e GROUP BY 1)",
+        "t0 AS MATERIALIZED (SELECT vid, 0 AS t FROM dg)",
+        "sel0 AS (SELECT vid FROM dg WHERE 1 = 0)",
+    ]
+    for r in range(k):
+        parts.append(
+            f"dd{r} AS MATERIALIZED (SELECT g.vid, "
+            "100 * g.d - 200 * t.t - (g.d - t.t) * t.t AS dd "
+            f"FROM dg g JOIN t{r} t USING (vid) "
+            f"WHERE NOT EXISTS (SELECT 1 FROM sel{r} s WHERE s.vid = g.vid))"
+        )
+        parts.append(
+            f"w{r} AS MATERIALIZED (SELECT vid, dd FROM dd{r} "
+            "ORDER BY dd DESC, vid LIMIT 1)"
+        )
+        parts.append(
+            f"t{r + 1} AS MATERIALIZED (SELECT t.vid, "
+            "t.t + CASE WHEN ex.vid IS NOT NULL THEN 1 ELSE 0 END AS t "
+            f"FROM t{r} t LEFT JOIN (SELECT e.src AS vid FROM e "
+            f"JOIN w{r} w ON w.vid = e.dst) ex ON ex.vid = t.vid)"
+        )
+        parts.append(
+            f"sel{r + 1} AS MATERIALIZED (SELECT vid FROM sel{r} "
+            f"UNION ALL SELECT vid FROM w{r})"
+        )
+    union = " UNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS rank, vid, dd AS dd100 FROM w{r}"
+        for r in range(k)
+    )
+    return ", ".join(parts) + " " + union
 
 
 def _rake_sql(top_k: int = 25) -> str:
@@ -7957,6 +8056,7 @@ def oracle_sql() -> dict[str, str]:
         "densest_subgraph_copurchase": _densest_sql(),
         "minhash_calibration": _minhash_calibration_sql(),
         "rake_keywords": _rake_sql(),
+        "influence_seeds_copurchase": _degdiscount_sql(),
         "embedding_moments": (
             # mirrors similarity.embedding_moments: same var = ss/n − mean²
             # operand tree; float32→double casts are exact on both sides
@@ -8004,6 +8104,9 @@ def oracle_sql() -> dict[str, str]:
             "/ count(*), 6) AS flagged_rate FROM h GROUP BY 1"
         ),
         # Still rows-only, with reasons:
+        #  * ivf_recall — recall@k audit of ann_topk_ivf vs the (oracled)
+        #    exact ann_topk; inherits ann_topk_ivf's iterative-float
+        #    centroid dependence. Pytest asserts recall bounds instead.
         #  * ann_topk_ivf — result depends on k-means centroids (iterative
         #    float averaging); pytest asserts recall + pruning vs ann_topk.
         #  * kmeans_embeddings — iterative float sums whose summation ORDER

@@ -41,6 +41,7 @@ __all__ = [
     "triangle_count",
     "kcore",
     "densest_subgraph",
+    "degree_discount_seeds",
     "pagerank_dataset",
     "cc_dataset",
     "neighbor_sample",
@@ -1236,6 +1237,37 @@ def kcore(edges_or_engine, num_parts: int = 8, max_steps: int = 300,
     if own:
         eng.shutdown()
     return out, lineage
+
+
+def degree_discount_seeds(edges_or_engine, k: int = 10, num_parts: int = 8,
+                          checkpoint_dir=None, checkpoint_every=0,
+                          resume=False):
+    """Chen-2009 DegreeDiscount influence seeds over the symmetrized edge
+    set → (pa.table(rank, vid, dd100), lineage) with the k greedy picks in
+    selection order and their exact-integer 100·dd scores at selection.
+    See ``DegreeDiscountProgram``."""
+    eng, lineage, own = _run(
+        edges_or_engine, "degdiscount", {"k": k}, num_parts,
+        max_steps=3 * k + 3, directed=False,
+        checkpoint_dir=checkpoint_dir, checkpoint_every=checkpoint_every,
+        resume=resume,
+    )
+    res = eng.result_table()
+    if own:
+        eng.shutdown()
+    rank = res["rank"].to_numpy()
+    sel = rank >= 0
+    order = np.argsort(rank[sel])
+    return (
+        pa.table(
+            {
+                "rank": rank[sel][order],
+                "vid": res["vid"].to_numpy()[sel][order],
+                "dd100": res["dd100"].to_numpy()[sel][order],
+            }
+        ),
+        lineage,
+    )
 
 
 def densest_subgraph(edges_or_engine, num_parts: int = 8, max_steps: int = 200,

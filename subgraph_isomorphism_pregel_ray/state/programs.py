@@ -3899,6 +3899,125 @@ class DensestSubgraphProgram(VertexProgram):
         return pa.table({"vid": self.csr.vids, "peel_round": self.peel_round})
 
 
+class DegreeDiscountProgram(VertexProgram):
+    """DegreeDiscount influence-maximization seeds (Chen, Wang & Yang, KDD
+    2009, algorithm 4) at propagation probability p = 0.01, run EXACTLY in
+    integers: dd(v)·100 = 100·d_v − 200·t_v − (d_v − t_v)·t_v, where t_v is
+    v's count of already-selected neighbors. Greedy k rounds; each round
+    selects the global (dd, −vid)-max unselected vertex and discounts its
+    neighbors. Deterministic and integer-exact, so a k-round SQL unroll
+    replays it bit-for-bit — unlike simulation-based influence
+    maximization, which is Monte-Carlo.
+
+    BSP shape: THREE supersteps per round through the T5 aggregator —
+    (0) every partition publishes its local max dd over unselected vertices
+    (``max_dd`` folds by max); (1) holders of the global max publish
+    ``max_negvid`` (= −min vid, the tie-break); (2) the winner's owner
+    records (rank, vid, dd) and scatters one discount message per neighbor,
+    folded into t at the next round's phase 0. 3k supersteps total — the
+    superstep count is O(k), independent of graph size."""
+
+    _NEG = -(1 << 62)
+
+    def init(self, csr: CSRPartition, k: int = 10):
+        self.csr = csr
+        self.k = int(k)
+        self.d = csr.degrees().astype(np.int64)
+        self.t = np.zeros(csr.num_vertices, dtype=np.int64)
+        self.selected = np.zeros(csr.num_vertices, dtype=bool)
+        self.sel_rank = np.full(csr.num_vertices, -1, dtype=np.int64)
+        self.sel_dd = np.zeros(csr.num_vertices, dtype=np.int64)
+        self.winner_row = -1
+
+    def _dd(self) -> np.ndarray:
+        return 100 * self.d - 200 * self.t - (self.d - self.t) * self.t
+
+    def apply(self, step, inbox, glob):
+        phase, rnd = step % 3, step // 3
+        if phase == 0:
+            for msg in inbox:
+                if msg is None or len(msg["dst"]) == 0:
+                    continue
+                li = self.csr.local_index(msg["dst"])
+                np.add.at(self.t, li, 1)
+            if rnd >= self.k:
+                return {"active": 0}
+            alive = ~self.selected
+            dd = self._dd()
+            mx = int(dd[alive].max()) if alive.any() else self._NEG
+            return {"active": 1, "max_dd": mx}
+        if phase == 1:
+            mx = int(glob.get("max_dd", self._NEG))
+            hold = (~self.selected) & (self._dd() == mx)
+            negvid = (
+                int((-self.csr.vids[hold].astype(np.int64)).max())
+                if hold.any()
+                else self._NEG
+            )
+            return {"active": 1, "max_dd": mx, "max_negvid": negvid}
+        # phase 2: select the winner, remember it for scatter
+        w = -int(glob.get("max_negvid", self._NEG))
+        self.winner_row = -1
+        pos = int(np.searchsorted(self.csr.vids, w))
+        if pos < len(self.csr.vids) and int(self.csr.vids[pos]) == w:
+            self.winner_row = pos
+            self.selected[pos] = True
+            self.sel_rank[pos] = rnd
+            self.sel_dd[pos] = int(glob.get("max_dd", 0))
+        return {"active": 1}
+
+    def scatter(self, step):
+        P = self.csr.num_parts
+        if step % 3 != 2 or self.winner_row < 0:
+            return [None] * P, {"sent": 0}
+        nbrs = np.sort(self.csr.row_slice(self.winner_row).astype(np.int64))
+        outbox, sent = [], 0
+        owner = nbrs % P
+        for p in range(P):
+            d = nbrs[owner == p]
+            if len(d) == 0:
+                outbox.append(None)
+                continue
+            outbox.append({"dst": d})
+            sent += len(d)
+        return outbox, {"sent": sent}
+
+    def state_table(self):
+        return pa.table(
+            {
+                "vid": self.csr.vids,
+                "d": self.d,
+                "t": self.t,
+                "selected": self.selected,
+                "sel_rank": self.sel_rank,
+                "sel_dd": self.sel_dd,
+            }
+        )
+
+    def load_state(self, table, step):
+        self.d = table["d"].to_numpy().copy()
+        self.t = table["t"].to_numpy().copy()
+        self.selected = table["selected"].to_numpy().copy()
+        self.sel_rank = table["sel_rank"].to_numpy().copy()
+        self.sel_dd = table["sel_dd"].to_numpy().copy()
+        # resume re-runs the checkpointed step's scatter: recover the
+        # winner of round step//3 if this partition owns it
+        self.winner_row = -1
+        if step % 3 == 2:
+            rows = np.nonzero(self.sel_rank == step // 3)[0]
+            if len(rows):
+                self.winner_row = int(rows[0])
+
+    def result_table(self):
+        return pa.table(
+            {
+                "vid": self.csr.vids,
+                "rank": self.sel_rank,
+                "dd100": self.sel_dd,
+            }
+        )
+
+
 PROGRAMS = {
     "pagerank": PageRankProgram,
     "cc": ConnectedComponentsProgram,
@@ -3930,4 +4049,5 @@ PROGRAMS = {
     "matching": MaximalMatchingProgram,
     "seeded_lpa": SeededLabelProgram,
     "densest": DensestSubgraphProgram,
+    "degdiscount": DegreeDiscountProgram,
 }

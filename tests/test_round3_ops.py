@@ -701,3 +701,77 @@ def test_rake_keywords_golden(ray_session):
     ]
     assert out["n_occurrences"] == [2, 1, 1]
     assert out["score"] == [4.0, 4.0, 4.0]
+
+
+def test_degree_discount_vs_brute_force(ray_session):
+    """Greedy picks, order and exact dd·100 scores equal the sequential
+    reference at two partition counts."""
+    from subgraph_isomorphism_pregel_ray.pipelines.algorithms import (
+        degree_discount_seeds,
+    )
+    from subgraph_isomorphism_pregel_ray.pipelines.build_graph import (
+        edges_from_arrays,
+    )
+
+    rng = np.random.default_rng(17)
+    pairs = sorted(
+        {
+            (int(a), int(b))
+            for a, b in zip(rng.integers(0, 50, 200), rng.integers(0, 50, 200))
+            if a != b
+        }
+    )
+    s = [a for a, b in pairs] + [b for a, b in pairs]
+    d = [b for a, b in pairs] + [a for a, b in pairs]
+    adj: dict = {}
+    for a, b in zip(s, d):
+        adj.setdefault(a, set()).add(b)
+    deg = {v: len(ns) for v, ns in adj.items()}
+    t = {v: 0 for v in deg}
+    exp = []
+    for _ in range(7):
+        chosen = {v for v, _ in exp}
+        best = max(
+            ((100 * deg[v] - 200 * t[v] - (deg[v] - t[v]) * t[v], -v)
+             for v in deg if v not in chosen)
+        )
+        v = -best[1]
+        exp.append((v, best[0]))
+        for nb in adj[v]:
+            t[nb] += 1
+    for parts in (1, 4):
+        out, _ = degree_discount_seeds(
+            edges_from_arrays(s, d), k=7, num_parts=parts
+        )
+        got = list(zip(out["vid"].to_pylist(), out["dd100"].to_pylist()))
+        assert got == exp
+        assert out["rank"].to_pylist() == list(range(7))
+
+
+def test_ivf_recall_full_probe_is_exact(ray_session, tmp_path):
+    """recall@k audit invariants: nprobe = n_cells degrades to the exact
+    scan (recall 1.0), and the default-probe recall is within [0, 1] with
+    the corpus row summing the per-query hits."""
+    import __ray_entry__ as entry
+
+    from subgraph_isomorphism_pregel_ray.pipelines.similarity import (
+        ann_topk,
+        ann_topk_ivf,
+    )
+
+    SF = "/root/testdata/sf0.001"
+    exact = ann_topk(entry._emb(SF), [0, 1, 2, 3], k=5).to_pandas()
+    full = ann_topk_ivf(
+        entry._emb(SF), [0, 1, 2, 3], k=5, n_cells=8, nprobe=8,
+        index_dir=str(tmp_path / "ivf_full"),
+    ).to_pandas()
+    for qid in (0, 1, 2, 3):
+        e = set(exact.loc[exact.query_id == qid, "vec_id"])
+        g = set(full.loc[full.query_id == qid, "vec_id"])
+        assert e == g
+    audit = entry.queries()["ivf_recall"](SF).to_pandas()
+    per_q = audit[audit.query_id >= 0]
+    corpus = audit[audit.query_id == -1].iloc[0]
+    assert corpus["hits"] == per_q["hits"].sum()
+    assert corpus["k"] == per_q["k"].sum()
+    assert ((per_q["recall"] >= 0) & (per_q["recall"] <= 1)).all()
