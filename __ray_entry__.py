@@ -2994,7 +2994,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wsssp_copurchase": _q_wsssp,
         "rich_club_copurchase": _q_rich_club,
         "coloring_copurchase": _q_coloring,
-        "eccentricity_copurchase": _q_eccentricity,
+        "events_sorted": _q_events_sorted,
         "lpa_modularity_copurchase": _q_lpa_modularity,
         "katz_copurchase": _q_katz,
         "link_prediction_copurchase": _q_link_prediction,
@@ -3003,12 +3003,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clustering_coeff_copurchase": _q_clustering,
         "assortativity_copurchase": _q_assortativity,
         "ppr_copurchase": _q_ppr,
-        "spam_mass_copurchase": _q_spam_mass,
+        "hll_registers_daily": _q_hll_registers,
         "bipartite_copurchase": _q_bipartite,
         "semi_clustering_strong": _q_semi_clustering,
-        "label_mixing_copurchase": _q_label_mixing,
+        "revenue_by_nation": _q_revenue_by_nation,
         "matching_copurchase": _q_matching,
-        "vertex_cover_copurchase": _q_vertex_cover,
+        "semantic_dedup": _q_semantic_dedup,
         "butterfly_count_orders": _q_butterflies,
         "brand_discount_elasticity": _q_brand_elasticity,
         "repeat_purchase_rate": _q_repeat_purchase,
@@ -3016,7 +3016,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hits_copurchase": _q_hits,
         "random_walks_copurchase": _q_random_walks,
         "lpa_copurchase": _q_lpa,
-        "seeded_labels_copurchase": _q_seeded_labels,
+        "kmeans_assign": _q_kmeans_assign,
         "kcore_copurchase": _q_kcore,
         "ktruss_copurchase": _q_ktruss,
         "match_triangle_labeled": _q_match_triangle,
@@ -3039,10 +3039,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_coverage_curve": _q_vocab_coverage_curve,
         "shard_balance": _q_shard_balance,
         "heavy_hitters": _q_heavy_hitters,
-        "events_sorted": _q_events_sorted,
+        "eccentricity_copurchase": _q_eccentricity,
         "events_asof": _q_events_asof,
         "events_quantiles": _q_events_quantiles,
-        "revenue_by_nation": _q_revenue_by_nation,
+        "spam_mass_copurchase": _q_spam_mass,
         "nation_trade_volume": _q_nation_trade_volume,
         "returned_customer_topk": _q_returned_customer_topk,
         "disjunctive_revenue": _q_disjunctive_revenue,
@@ -3220,7 +3220,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_stats": _q_events_value_stats,
         "quantile_sketch_events": _q_quantile_sketch,
         "embedding_pca_top": _q_embedding_pca,
-        "hll_registers_daily": _q_hll_registers,
+        "label_mixing_copurchase": _q_label_mixing,
         "approx_distinct_users_daily": _q_approx_distinct,
         "doc_repetition": _q_doc_repetition,
         "contamination": _q_contamination,
@@ -3253,8 +3253,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "influence_seeds_copurchase": _q_influence_seeds,
         "ivf_recall": _q_ivf_recall,
         "embedding_moments": _q_embedding_moments,
-        "kmeans_assign": _q_kmeans_assign,
-        "semantic_dedup": _q_semantic_dedup,
+        "vertex_cover_copurchase": _q_vertex_cover,
+        "seeded_labels_copurchase": _q_seeded_labels,
         "blocklist_stats": _q_blocklist_stats,
     }
 
