@@ -2891,6 +2891,16 @@ def _q_influence_seeds(sf_dir: str):
     )
 
 
+def _q_kmv_overlap(sf_dir: str):
+    """KMV bottom-k set-overlap sketch between consecutive days' user sets
+    (Beyer 2007) — estimator and exact priced side by side."""
+    from subgraph_isomorphism_pregel_ray.pipelines.sketch import (
+        kmv_overlap_daily,
+    )
+
+    return kmv_overlap_daily(sf_dir, k=64)
+
+
 def _q_rake_keywords(sf_dir: str):
     """RAKE (Rose 2010) corpus keywords: top-25 stopword-delimited phrases
     by summed deg/freq word scores."""
@@ -3251,6 +3261,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_calibration": _q_minhash_calibration,
         "rake_keywords": _q_rake_keywords,
         "influence_seeds_copurchase": _q_influence_seeds,
+        "kmv_overlap_daily": _q_kmv_overlap,
         "ivf_recall": _q_ivf_recall,
         "embedding_moments": _q_embedding_moments,
         "vertex_cover_copurchase": _q_vertex_cover,
@@ -8057,6 +8068,51 @@ def oracle_sql() -> dict[str, str]:
         "minhash_calibration": _minhash_calibration_sql(),
         "rake_keywords": _rake_sql(),
         "influence_seeds_copurchase": _degdiscount_sql(),
+        "kmv_overlap_daily": (
+            # full KMV replay (mirrors sketch.kmv_overlap_daily): md5-keyed
+            # bottom-64 per day, per-pair distinct-union ranking, the SAME
+            # θ = h_k/2⁶⁴ and ρ/k estimator operand trees; ≤ k union rows
+            # means both sketches were exact and the counts pass through
+            "WITH ev AS MATERIALIZED (SELECT DISTINCT "
+            "epoch_us(ts) // 86400000000 AS day, user_id FROM events), "
+            "h AS MATERIALIZED (SELECT day, user_id, "
+            "CAST(md5_number_lower(CAST(user_id AS VARCHAR)) AS HUGEINT) "
+            "AS hh FROM ev), "
+            "sk AS MATERIALIZED (SELECT day, user_id, hh FROM "
+            "(SELECT *, row_number() OVER (PARTITION BY day "
+            "ORDER BY hh, user_id) AS rn FROM h) WHERE rn <= 64), "
+            "dn AS MATERIALIZED (SELECT day, count(*) AS n FROM ev GROUP BY 1), "
+            "ei AS MATERIALIZED (SELECT a.day, count(*) AS inter FROM ev a "
+            "JOIN ev b ON b.user_id = a.user_id AND b.day = a.day + 1 "
+            "GROUP BY 1), "
+            "pr AS (SELECT d.day AS day0 FROM dn d "
+            "JOIN dn e ON e.day = d.day + 1), "
+            "su AS MATERIALIZED (SELECT p.day0, s.user_id, min(s.hh) AS hh, "
+            "count(*) AS pres FROM pr p JOIN sk s "
+            "ON s.day = p.day0 OR s.day = p.day0 + 1 GROUP BY 1, 2), "
+            "ru AS MATERIALIZED (SELECT *, row_number() OVER "
+            "(PARTITION BY day0 ORDER BY hh, user_id) AS rn, "
+            "count(*) OVER (PARTITION BY day0) AS m FROM su), "
+            "st AS (SELECT day0, max(m) AS m, "
+            "max(CASE WHEN rn = 64 THEN hh END) AS hk, "
+            "sum(CASE WHEN pres = 2 THEN 1 ELSE 0 END) AS c2all, "
+            "sum(CASE WHEN pres = 2 AND rn <= 64 THEN 1 ELSE 0 END) AS c2top "
+            "FROM ru GROUP BY 1) "
+            "SELECT st.day0 AS day, "
+            "round(CASE WHEN m <= 64 THEN CAST(m AS DOUBLE) "
+            "ELSE 63 / (CAST(hk AS DOUBLE) / 18446744073709551616.0) END, 6) "
+            "AS est_union, "
+            "round(CASE WHEN m <= 64 THEN CAST(c2all AS DOUBLE) "
+            "ELSE (CAST(c2top AS DOUBLE) / 64) * "
+            "(63 / (CAST(hk AS DOUBLE) / 18446744073709551616.0)) END, 6) "
+            "AS est_inter, "
+            "CAST(dn.n + dn2.n - coalesce(ei.inter, 0) AS BIGINT) "
+            "AS exact_union, "
+            "CAST(coalesce(ei.inter, 0) AS BIGINT) AS exact_inter "
+            "FROM st JOIN dn ON dn.day = st.day0 "
+            "JOIN dn dn2 ON dn2.day = st.day0 + 1 "
+            "LEFT JOIN ei ON ei.day = st.day0"
+        ),
         "embedding_moments": (
             # mirrors similarity.embedding_moments: same var = ss/n − mean²
             # operand tree; float32→double casts are exact on both sides

@@ -220,3 +220,158 @@ def quantile_sketch_events(sf_dir: str, k: int = 256, qs: tuple = (0.5, 0.95)):
         .groupby("event_type")
         .map_groups(_finish, batch_format="pyarrow")
     )
+
+
+def kmv_overlap_daily(sf_dir: str, k: int = 64):
+    """KMV (bottom-k / k-minimum-values) set-overlap sketch between the
+    user sets of CONSECUTIVE days (Beyer et al., SIGMOD 2007) — estimate
+    AND exact side by side → (day, est_union, est_inter, exact_union,
+    exact_inter) per (day, day+1) pair, day = the earlier day.
+
+    The estimator: per day keep the k smallest md5(user_id) hashes (a
+    DETERMINISTIC uniform sample — merge = union + re-cut, the mergeable-
+    sketch property); for a pair, rank the distinct union of the two
+    sketches by (h, user) — if it holds ≤ k rows both sketches were exact
+    (est = the truncation-free counts); else θ = h_k/2⁶⁴ and
+    |A∪B| ≈ (k−1)/θ, |A∩B| ≈ (both-days count among the k smallest)/k ·
+    (k−1)/θ. Every input to the two float divisions is an exact integer
+    and the hash is ``md5_lower64`` ≡ DuckDB ``md5_number_lower``, so the
+    SQL oracle replays the ENTIRE sketch — sampling, θ, ρ — bit-exactly
+    (the quantile_sketch_events property, extended to a two-set
+    estimator), while the exact columns price its error in the same row.
+
+    Scale shape: per-batch (day, user) dedup + per-day bottom-k partials
+    (≤ k rows per day per batch — the combiner), ONE day groupby re-cut;
+    the folded sketch table is ≤ days×k rows (driver-safe at any corpus
+    size; days is bounded). Exact counts: the distinct_users_daily
+    pushed-down-dedup shuffle, plus one user-keyed groupby emitting
+    consecutive-day co-presence partials."""
+    from ..functions.rounding import round_half_away
+
+    TWO64 = float(1 << 64)
+    ds = read_table(sf_dir, "events", columns=["ts", "user_id"])
+
+    def _bottomk(t: pa.Table) -> pa.Table:
+        day = t["ts"].to_numpy().astype("datetime64[D]").astype(np.int64)
+        user = t["user_id"].to_numpy().astype(np.int64)
+        order = np.lexsort((user, day))
+        d_s, u_s = day[order], user[order]
+        first = np.ones(len(d_s), bool)
+        first[1:] = (d_s[1:] != d_s[:-1]) | (u_s[1:] != u_s[:-1])
+        d_u, u_u = d_s[first], u_s[first]
+        h = md5_lower64(u_u.astype(str))
+        order2 = np.lexsort((u_u, h, d_u))
+        d2 = d_u[order2]
+        new_d = np.concatenate([[True], d2[1:] != d2[:-1]])
+        pos = np.arange(len(d2)) - np.flatnonzero(new_d)[np.cumsum(new_d) - 1]
+        keep = pos < k
+        sel = order2[keep]
+        return pa.table(
+            {"day": d_u[sel], "h": h[sel], "user_id": u_u[sel]}
+        )
+
+    def _recut(g: pa.Table) -> pa.Table:
+        h = g["h"].to_numpy()
+        u = g["user_id"].to_numpy()
+        order = np.lexsort((u, h))
+        first = np.ones(len(u), bool)
+        first[1:] = u[order][1:] != u[order][:-1]
+        sel = order[first][:k]  # distinct users, k smallest hashes
+        return g.take(pa.array(np.sort(sel)))
+
+    sketch = (
+        ds.map_batches(_bottomk, batch_format="pyarrow")
+        .groupby("day")
+        .map_groups(_recut, batch_format="pyarrow")
+        .to_pandas()  # ≤ days×k rows
+    )
+
+    # exact per-day distinct counts + consecutive-day intersections, both
+    # over the SAME pushed-down-dedup shuffle of (day, user) pairs
+    def _dedup(t: pa.Table) -> pa.Table:
+        day = t["ts"].to_numpy().astype("datetime64[D]").astype(np.int64)
+        user = t["user_id"].to_numpy().astype(np.int64)
+        order = np.lexsort((user, day))
+        d_s, u_s = day[order], user[order]
+        first = np.ones(len(d_s), bool)
+        first[1:] = (d_s[1:] != d_s[:-1]) | (u_s[1:] != u_s[:-1])
+        return pa.table({"day": d_s[first], "user_id": u_s[first]})
+
+    def _user_days(g: pa.Table) -> pa.Table:
+        days = np.unique(g["day"].to_numpy())
+        nxt = days[np.isin(days + 1, days)]  # (d, d+1) co-presence
+        return pa.table(
+            {
+                "day": np.concatenate([days, nxt]),
+                "n": np.concatenate(
+                    [np.ones(len(days), np.int64),
+                     np.zeros(len(nxt), np.int64)]
+                ),
+                "inter": np.concatenate(
+                    [np.zeros(len(days), np.int64),
+                     np.ones(len(nxt), np.int64)]
+                ),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    exact = (
+        ds.map_batches(_dedup, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(_user_days, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(Sum("n", alias_name="n"), Sum("inter", alias_name="inter"))
+        .to_pandas()
+        .set_index("day")  # 30ish rows
+        .sort_index()
+    )
+
+    out_rows = []
+    by_day = {int(d): g for d, g in sketch.groupby("day")}
+    for d in sorted(by_day):
+        if d + 1 not in by_day:
+            continue
+        a, b = by_day[d], by_day[d + 1]
+        users = np.concatenate(
+            [a["user_id"].to_numpy(), b["user_id"].to_numpy()]
+        ).astype(np.int64)
+        hs = np.concatenate([a["h"].to_numpy(), b["h"].to_numpy()]).astype(
+            np.uint64
+        )
+        both = np.isin(users, a["user_id"].to_numpy()) & np.isin(
+            users, b["user_id"].to_numpy()
+        )
+        order = np.lexsort((users, hs))
+        u_o, h_o, b_o = users[order], hs[order], both[order]
+        first = np.ones(len(u_o), bool)
+        first[1:] = u_o[1:] != u_o[:-1]
+        u_o, h_o, b_o = u_o[first], h_o[first], b_o[first]
+        m = len(u_o)
+        if m <= k:
+            est_u, est_i = float(m), float(int(b_o.sum()))
+        else:
+            theta = float(h_o[k - 1]) / TWO64
+            est_u = (k - 1) / theta
+            est_i = int(b_o[:k].sum()) / k * ((k - 1) / theta)
+        n_d = int(exact.loc[d, "n"])
+        n_d1 = int(exact.loc[d + 1, "n"])
+        ex_i = int(exact.loc[d, "inter"])
+        out_rows.append(
+            (
+                d,
+                float(round_half_away(est_u, 6)),
+                float(round_half_away(est_i, 6)),
+                n_d + n_d1 - ex_i,
+                ex_i,
+            )
+        )
+    return pa.table(
+        {
+            "day": pa.array([r[0] for r in out_rows], pa.int64()),
+            "est_union": pa.array([r[1] for r in out_rows], pa.float64()),
+            "est_inter": pa.array([r[2] for r in out_rows], pa.float64()),
+            "exact_union": pa.array([r[3] for r in out_rows], pa.int64()),
+            "exact_inter": pa.array([r[4] for r in out_rows], pa.int64()),
+        }
+    )

@@ -775,3 +775,23 @@ def test_ivf_recall_full_probe_is_exact(ray_session, tmp_path):
     assert corpus["hits"] == per_q["hits"].sum()
     assert corpus["k"] == per_q["k"].sum()
     assert ((per_q["recall"] >= 0) & (per_q["recall"] <= 1)).all()
+
+
+def test_kmv_overlap_daily_paths(ray_session):
+    """sf0.001 days have <64 users → the sketch is exact (est == exact);
+    the estimator columns always stay within the KMV relative-error
+    envelope (~1/√k with generous 6σ-ish margin) of the exact values."""
+    import __ray_entry__ as entry
+
+    out1 = entry.queries()["kmv_overlap_daily"]("/root/testdata/sf0.001").to_pandas()
+    assert len(out1) == 29
+    assert (out1["est_union"] == out1["exact_union"]).all()
+    assert (out1["est_inter"] == out1["exact_inter"]).all()
+
+    out2 = entry.queries()["kmv_overlap_daily"]("/root/testdata/sf0.01").to_pandas()
+    rel = np.abs(out2["est_union"] - out2["exact_union"]) / out2["exact_union"]
+    assert (rel < 6 / np.sqrt(64)).all()  # ~0.75 cap, observed ~0.05
+    ri = np.abs(out2["est_inter"] - out2["exact_inter"]) / np.maximum(
+        out2["exact_inter"], 1
+    )
+    assert (ri < 6 / np.sqrt(64)).all()
