@@ -2891,6 +2891,25 @@ def _q_influence_seeds(sf_dir: str):
     )
 
 
+def _q_revenue_jackknife(sf_dir: str):
+    """Efron jackknife SE of mean daily revenue — exact integer moments,
+    one float division + sqrt."""
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import (
+        revenue_jackknife,
+    )
+
+    return revenue_jackknife(sf_dir)
+
+
+def _q_lsh_recall(sf_dir: str):
+    """LSH pair-harvest recall/precision vs the exact all-pairs ground
+    truth at threshold 0.5 — the dedup governance number."""
+    from subgraph_isomorphism_pregel_ray.pipelines.dedup import lsh_recall
+    from subgraph_isomorphism_pregel_ray.sources.tables import read_table
+
+    return lsh_recall(read_table(sf_dir, "documents", columns=["doc_id", "text"]))
+
+
 def _q_kmv_overlap(sf_dir: str):
     """KMV bottom-k set-overlap sketch between consecutive days' user sets
     (Beyer 2007) — estimator and exact priced side by side."""
@@ -3262,6 +3281,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rake_keywords": _q_rake_keywords,
         "influence_seeds_copurchase": _q_influence_seeds,
         "kmv_overlap_daily": _q_kmv_overlap,
+        "lsh_recall": _q_lsh_recall,
+        "revenue_jackknife": _q_revenue_jackknife,
         "ivf_recall": _q_ivf_recall,
         "embedding_moments": _q_embedding_moments,
         "vertex_cover_copurchase": _q_vertex_cover,
@@ -8068,6 +8089,45 @@ def oracle_sql() -> dict[str, str]:
         "minhash_calibration": _minhash_calibration_sql(),
         "rake_keywords": _rake_sql(),
         "influence_seeds_copurchase": _degdiscount_sql(),
+        "revenue_jackknife": (
+            # jackknife-for-the-mean collapses to Σ(S−n·xᵢ)²/(n³(n−1)) —
+            # exact HUGEINT cents moments, one double division + sqrt
+            "WITH d AS (SELECT epoch_us(o_orderdate) // 86400000000 AS dy, "
+            "sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents "
+            "FROM orders GROUP BY 1), "
+            "s AS (SELECT count(*) AS n, sum(cents) AS S FROM d), "
+            "sd AS (SELECT sum((s.S - s.n * d.cents) * (s.S - s.n * d.cents)) "
+            "AS sd2 FROM d, s) "
+            "SELECT CAST(s.n AS BIGINT) AS n_days, "
+            "CAST(s.S AS BIGINT) AS total_cents, "
+            "round(CAST(s.S AS DOUBLE) / s.n, 6) AS mean_daily_cents, "
+            "round(CASE WHEN s.n > 1 THEN sqrt(CAST(sd.sd2 AS DOUBLE) / "
+            "CAST(s.n * s.n * s.n * (s.n - 1) AS DOUBLE)) ELSE 0.0 END, 6) "
+            "AS jk_se_cents FROM s, sd"
+        ),
+        "lsh_recall": (
+            # both pair sets replayed in ONE chain: the full MinHash-LSH
+            # CTEs end in `pairs` (the engine's LSH output), and the exact
+            # ground truth reuses the SAME grams/cnt CTEs (complete because
+            # any Jaccard>0 pair shares a gram)
+            f"WITH {_minhash_ctes()}, "
+            "exact_i AS MATERIALIZED (SELECT a.doc_id AS da, b.doc_id AS db, "
+            "count(*) AS i FROM grams a JOIN grams b ON b.g = a.g "
+            "AND a.doc_id < b.doc_id GROUP BY 1, 2), "
+            "exactp AS MATERIALIZED (SELECT da, db FROM exact_i x "
+            "JOIN cnt ca ON ca.doc_id = x.da JOIN cnt cb ON cb.doc_id = x.db "
+            "WHERE x.i * 1.0 / (ca.nsh + cb.nsh - x.i) >= 0.5), "
+            "hit AS (SELECT count(*) AS h FROM exactp e "
+            "JOIN pairs p ON p.doc_a = e.da AND p.doc_b = e.db), "
+            "ne AS (SELECT count(*) AS n FROM exactp), "
+            "nl AS (SELECT count(*) AS n FROM pairs) "
+            "SELECT CAST(ne.n AS BIGINT) AS n_exact, "
+            "CAST(nl.n AS BIGINT) AS n_lsh, CAST(hit.h AS BIGINT) AS n_hit, "
+            "round(CASE WHEN ne.n = 0 THEN 1.0 ELSE hit.h * 1.0 / ne.n END, 6) "
+            "AS recall, "
+            "round(CASE WHEN nl.n = 0 THEN 1.0 ELSE hit.h * 1.0 / nl.n END, 6) "
+            "AS precision FROM ne, nl, hit"
+        ),
         "kmv_overlap_daily": (
             # full KMV replay (mirrors sketch.kmv_overlap_daily): md5-keyed
             # bottom-64 per day, per-pair distinct-union ranking, the SAME

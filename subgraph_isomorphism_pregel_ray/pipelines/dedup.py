@@ -1844,3 +1844,83 @@ def lsh_bucket_histogram(docs_ds, k: int = 5, num_perm: int = 128,
             "n_entries": out["n_entries"].to_numpy(np.int64),
         }
     )
+
+
+def lsh_recall(docs_ds, k: int = 5, threshold: float = 0.5, **lsh_kw):
+    """LSH governance audit → one row (n_exact, n_lsh, n_hit, recall,
+    precision): the MinHash-LSH pair set (:func:`minhash_lsh_pairs`)
+    scored against the EXACT all-pairs ground truth
+    (:func:`ngram_jaccard_pairs`) at the same threshold. Precision is 1.0
+    by construction (LSH pairs are exact-verified); recall < 1 prices the
+    banding misses and the hot-bucket cap — THE number you check before
+    trusting the sketch at 100 TB (completes the audit family:
+    minhash_calibration for the estimator, ivf_recall for ANN, this for
+    the dedup pair harvest).
+
+    Scale shape: both pair pipelines are the existing distributed ones;
+    the comparison packs each pair to one int64 key, unions the two flag
+    streams, folds flags with ONE pkey groupby and counts via per-batch
+    partials — no driver-side pair sets."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.rounding import round_half_away
+
+    exact = ngram_jaccard_pairs(docs_ds, k=k, threshold=threshold)
+    lsh = minhash_lsh_pairs(docs_ds, k=k, threshold=threshold, **lsh_kw)
+
+    def _flag(which: str):
+        def _f(t: pa.Table) -> pa.Table:
+            a = t["doc_a"].to_numpy().astype(np.int64)
+            b = t["doc_b"].to_numpy().astype(np.int64)
+            pk = (a << _PKEY_SHIFT) | b
+            one = np.ones(len(pk), np.int64)
+            zero = np.zeros(len(pk), np.int64)
+            return pa.table(
+                {
+                    "pkey": pk,
+                    "e": one if which == "e" else zero,
+                    "l": one if which == "l" else zero,
+                }
+            )
+
+        return _f
+
+    merged = (
+        exact.map_batches(_flag("e"), batch_format="pyarrow")
+        .union(lsh.map_batches(_flag("l"), batch_format="pyarrow"))
+        .groupby("pkey")
+        .aggregate(Sum("e", alias_name="e"), Sum("l", alias_name="l"))
+    )
+
+    def _partial(t: pa.Table) -> pa.Table:
+        e = t["e"].to_numpy() > 0
+        l = t["l"].to_numpy() > 0
+        return pa.table(
+            {
+                "n_exact": pa.array([int(e.sum())], pa.int64()),
+                "n_lsh": pa.array([int(l.sum())], pa.int64()),
+                "n_hit": pa.array([int((e & l).sum())], pa.int64()),
+            }
+        )
+
+    parts = merged.map_batches(_partial, batch_format="pyarrow").to_pandas()
+    ne, nl, nh = (
+        int(parts["n_exact"].sum()),
+        int(parts["n_lsh"].sum()),
+        int(parts["n_hit"].sum()),
+    )
+    return pa.table(
+        {
+            "n_exact": pa.array([ne], pa.int64()),
+            "n_lsh": pa.array([nl], pa.int64()),
+            "n_hit": pa.array([nh], pa.int64()),
+            "recall": pa.array(
+                [float(round_half_away(nh / ne, 6)) if ne else 1.0],
+                pa.float64(),
+            ),
+            "precision": pa.array(
+                [float(round_half_away(nh / nl, 6)) if nl else 1.0],
+                pa.float64(),
+            ),
+        }
+    )

@@ -8279,3 +8279,55 @@ def session_depth_histogram(sf_dir: str, gap_sec: int = 600,
             "n_sessions": out["n_sessions"].to_numpy(np.int64),
         }
     )
+
+
+def revenue_jackknife(sf_dir: str, round_to: int = 6):
+    """Jackknife standard error of mean daily revenue (Efron 1982 §2; the
+    deterministic resampling CI — bootstrap without RNG) → one row
+    (n_days, total_cents, mean_daily_cents, jk_se_cents).
+
+    Exactness: the jackknife variance for the mean collapses
+    algebraically to Σ(S − n·xᵢ)² / (n³(n−1)) with S = Σxᵢ — every term
+    an EXACT integer in cents (the squared deviations reach ~10²¹, folded
+    in Python ints; the SQL mirror folds them in HUGEINT), so the only
+    float ops are one division + sqrt + the final rounds, bit-identical
+    on both sides. Scale shape: per-batch (day, cents) int partials, one
+    calendar-bounded day groupby (≤ a few thousand rows at ANY corpus
+    size), driver folds the day table."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.rounding import round_half_away
+
+    orders = read_table(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def _partial(t: pa.Table) -> pa.Table:
+        day = t["o_orderdate"].to_numpy().astype("datetime64[D]").astype(np.int64)
+        cents = np.round(t["o_totalprice"].to_numpy() * 100).astype(np.int64)
+        u, inv = np.unique(day, return_inverse=True)
+        s = np.zeros(len(u), np.int64)
+        np.add.at(s, inv, cents)
+        return pa.table({"day": u, "c": s})
+
+    daily = (
+        orders.map_batches(_partial, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()
+    )
+    x = [int(v) for v in daily["c"].to_numpy()]
+    n, S = len(x), sum(x)
+    sd2 = sum((S - n * xi) ** 2 for xi in x)
+    mean = float(S) / n
+    se = float(np.sqrt(float(sd2) / float(n * n * n * (n - 1)))) if n > 1 else 0.0
+    return pa.table(
+        {
+            "n_days": pa.array([n], pa.int64()),
+            "total_cents": pa.array([S], pa.int64()),
+            "mean_daily_cents": pa.array(
+                [float(round_half_away(mean, round_to))], pa.float64()
+            ),
+            "jk_se_cents": pa.array(
+                [float(round_half_away(se, round_to))], pa.float64()
+            ),
+        }
+    )

@@ -795,3 +795,43 @@ def test_kmv_overlap_daily_paths(ray_session):
         out2["exact_inter"], 1
     )
     assert (ri < 6 / np.sqrt(64)).all()
+
+
+def test_lsh_recall_invariants(ray_session):
+    """Precision is 1.0 by construction (LSH pairs are exact-verified
+    subsets of the ground truth); planted exact duplicates are found by
+    both pipelines."""
+    import ray.data as rd
+
+    from subgraph_isomorphism_pregel_ray.pipelines.dedup import lsh_recall
+
+    base = "the quick brown fox jumps over the lazy dog " * 6
+    rows = [
+        {"doc_id": 1, "text": base},
+        {"doc_id": 2, "text": base},
+        {"doc_id": 3, "text": base[: len(base) // 2] + "totally different tail " * 4},
+        {"doc_id": 4, "text": "unrelated content entirely " * 10},
+    ]
+    out = lsh_recall(rd.from_items(rows)).to_pandas().iloc[0]
+    assert out["precision"] == 1.0
+    assert out["n_hit"] <= min(out["n_exact"], out["n_lsh"])
+    assert out["n_exact"] >= 1  # the planted exact dup
+    assert out["n_hit"] >= 1
+
+
+def test_revenue_jackknife_equals_classic_sem(ray_session):
+    """For the mean, the jackknife SE equals the classic s/√n (ddof=1) —
+    verify the integer-moment formula against numpy on real data."""
+    import duckdb
+
+    import __ray_entry__ as entry
+
+    SF = "/root/testdata/sf0.001"
+    out = entry.queries()["revenue_jackknife"](SF).to_pandas().iloc[0]
+    daily = duckdb.sql(
+        "SELECT sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents "
+        f"FROM '{SF}/orders.parquet' GROUP BY epoch_us(o_orderdate) // 86400000000"
+    ).df()["cents"].to_numpy().astype(np.float64)
+    sem = daily.std(ddof=1) / np.sqrt(len(daily))
+    assert out["n_days"] == len(daily)
+    assert abs(out["jk_se_cents"] - sem) / sem < 1e-9
