@@ -68,6 +68,74 @@ def _print_report(lineage: dict) -> None:
         )
 
 
+def _run_query(args) -> int:
+    """``query`` subcommand: the full registry surface from the CLI — list,
+    run over any sf-dir, sink to parquet, print the ``ds.stats()``
+    execution breakdown (the STATS.md tuning loop, on demand)."""
+    import importlib
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if root not in sys.path:
+        sys.path.insert(0, root)
+    entry = importlib.import_module("__ray_entry__")
+    qs = entry.queries()
+    if args.list or not args.name:
+        oracled = set(entry.oracle_sql())
+        print(
+            json.dumps(
+                {
+                    "count": len(qs),
+                    "queries": sorted(qs),
+                    "rows_only": sorted(set(qs) - oracled),
+                }
+            )
+        )
+        return 0
+    if args.name not in qs:
+        print(json.dumps({"error": f"unknown query: {args.name}"}), file=sys.stderr)
+        return 2
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    res = qs[args.name](args.sf_dir)
+    is_ds = isinstance(res, rd.Dataset)
+    if args.out:
+        if is_ds:
+            res.write_parquet(args.out)
+            rows = None
+        else:
+            import pyarrow.parquet as pq
+
+            t = res if isinstance(res, pa.Table) else pa.Table.from_pandas(res)
+            os.makedirs(args.out, exist_ok=True)
+            pq.write_table(t, os.path.join(args.out, "part-0.parquet"))
+            rows = t.num_rows
+        if args.stats and is_ds:
+            print(res.stats(), file=sys.stderr)
+        print(
+            json.dumps(
+                {"status": "ok", "query": args.name, "out": args.out, "rows": rows}
+            )
+        )
+        return 0
+    df = res if isinstance(res, pd.DataFrame) else res.to_pandas()
+    if args.stats and is_ds:
+        print(res.stats(), file=sys.stderr)
+    print(
+        json.dumps(
+            {
+                "query": args.name,
+                "rows": len(df),
+                "head": df.head(args.head).to_dict("records"),
+            },
+            default=str,
+        )
+    )
+    return 0
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="subgraph_isomorphism_pregel_ray")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -166,8 +234,28 @@ def main(argv=None):
     p.add_argument("-out", "--out", help="write the merge table as parquet")
     p.add_argument("--cpus", type=int, default=None)
 
+    p = sub.add_parser(
+        "query",
+        help="run any registry pipeline by name over an sf-dir of parquet "
+        "tables (the full __ray_entry__.queries() surface, CLI-accessible)",
+    )
+    p.add_argument("name", nargs="?", help="query name (omit with --list)")
+    p.add_argument("--sf-dir", default="/root/testdata/sf0.001",
+                   help="directory with the parquet tables")
+    p.add_argument("--list", action="store_true",
+                   help="list available query names and exit")
+    p.add_argument("-out", "--out", help="write result as partitioned parquet")
+    p.add_argument("--stats", action="store_true",
+                   help="print ds.stats() execution breakdown to stderr")
+    p.add_argument("--head", type=int, default=10,
+                   help="rows to print when no -out is given")
+    p.add_argument("--cpus", type=int, default=None)
+
     args = ap.parse_args(argv)
     _ensure_ray(getattr(args, "cpus", None))
+
+    if args.cmd == "query":
+        return _run_query(args)
 
     if args.cmd == "extract":
         import ray.data as rd

@@ -402,3 +402,42 @@ def test_csv_round_trip(ray_session, tmp_path):
     assert back["s"].tolist() == ["b,c", "d", "a"]  # quoting survives
     pruned = read_csv(str(out), columns=["k"]).to_pandas()
     assert list(pruned.columns) == ["k"]
+
+
+def test_cli_query_list_and_run(tmp_path):
+    """The `query` subcommand exposes the full registry: --list names every
+    queries() entry, and a run over sf0.001 sinks partitioned parquet."""
+    r = subprocess.run(
+        [sys.executable, "-m", "subgraph_isomorphism_pregel_ray", "query",
+         "--list"],
+        capture_output=True, text=True, timeout=240,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    import json as _json
+
+    listing = _json.loads(r.stdout.strip().splitlines()[-1])
+    assert listing["count"] >= 278
+    assert "pagerank_copurchase" in listing["queries"]
+
+    r = subprocess.run(
+        [sys.executable, "-m", "subgraph_isomorphism_pregel_ray", "query",
+         "graph_summary", "--sf-dir", "/root/testdata/sf0.001",
+         "-out", str(tmp_path / "gs"), "--cpus", "4"],
+        capture_output=True, text=True, timeout=240,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    import glob as g
+
+    import pyarrow.parquet as pq
+
+    files = g.glob(str(tmp_path / "gs" / "*.parquet"))
+    assert files
+    t = pq.read_table(files[0])
+    assert t.num_rows == 1 and "n_vertices" in t.column_names
+
+    r = subprocess.run(
+        [sys.executable, "-m", "subgraph_isomorphism_pregel_ray", "query",
+         "no_such_query"],
+        capture_output=True, text=True, timeout=240,
+    )
+    assert r.returncode == 2
