@@ -34,6 +34,7 @@ __all__ = [
     "add_part_column",
     "symmetrize",
     "partition_graph",
+    "update_graph",
     "edges_from_arrays",
     "edge_cut_parts",
 ]
@@ -115,6 +116,52 @@ def partition_graph(
 
     with open(os.path.join(graph_dir, "manifest.json"), "w") as f:
         json.dump({"num_parts": num_parts, "directed": directed}, f)
+    return graph_dir
+
+
+def update_graph(delta_edges_ds, graph_dir: str, labels_ds=None) -> str:
+    """Incrementally fold a DELTA edge batch into an EXISTING partitioned
+    layout — the daily-crawl append path: no full rebuild, no read of the
+    resident data. New hive-partitioned files land NEXT TO the existing
+    ones under ``edges/part=p/`` and ``verts/part=p/`` (Ray's parquet
+    writer never truncates a directory), and the next ``BSPEngine`` build
+    reads the union; duplicate (src, dst) rows — overlap between delta and
+    resident edges, or a re-applied delta — collapse at CSR build
+    (``build_csr`` dedups with flag OR-combine), so updates are IDEMPOTENT.
+    At 100 TB this is the difference between touching |delta| bytes and
+    re-shuffling the whole graph. Respects the manifest's num_parts /
+    directed settings; bumps an ``updates`` counter in the manifest
+    (atomic rewrite) for observability."""
+    man_path = os.path.join(graph_dir, "manifest.json")
+    with open(man_path) as f:
+        manifest = json.load(f)
+    num_parts = int(manifest["num_parts"])
+    if not manifest.get("directed", True):
+        delta_edges_ds = symmetrize(delta_edges_ds)
+    # materialize the delta once (it is |delta|-bounded) so the edge write
+    # and the vert-stub derivation don't re-execute its upstream twice
+    delta_edges_ds = delta_edges_ds.map_batches(
+        add_part_column("src", num_parts), batch_format="pyarrow"
+    ).materialize()
+    edges_path = os.path.join(graph_dir, "edges")
+    delta_edges_ds.write_parquet(edges_path, partition_cols=["part"])
+
+    if labels_ds is not None:
+        verts = labels_ds.map_batches(
+            add_part_column("vid", num_parts), batch_format="pyarrow"
+        )
+    else:
+        # stubs from the DELTA only — resident verts are already on disk
+        verts = delta_edges_ds.map_batches(
+            _vert_stubs(num_parts), batch_format="pyarrow"
+        )
+    verts.write_parquet(os.path.join(graph_dir, "verts"), partition_cols=["part"])
+
+    manifest["updates"] = int(manifest.get("updates", 0)) + 1
+    tmp = man_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, man_path)
     return graph_dir
 
 

@@ -835,3 +835,57 @@ def test_revenue_jackknife_equals_classic_sem(ray_session):
     sem = daily.std(ddof=1) / np.sqrt(len(daily))
     assert out["n_days"] == len(daily)
     assert abs(out["jk_se_cents"] - sem) / sem < 1e-9
+
+
+def test_update_graph_incremental_equals_full_rebuild(ray_session, tmp_path):
+    """Split a graph's edges in half; partition_graph(half1) +
+    update_graph(half2) must produce the same PageRank as
+    partition_graph(all). A re-applied (duplicate) delta is idempotent."""
+    from subgraph_isomorphism_pregel_ray.pipelines.algorithms import pagerank
+    from subgraph_isomorphism_pregel_ray.pipelines.bsp import BSPEngine
+    from subgraph_isomorphism_pregel_ray.pipelines.build_graph import (
+        edges_from_arrays,
+        partition_graph,
+        update_graph,
+    )
+
+    rng = np.random.default_rng(23)
+    pairs = sorted(
+        {
+            (int(a), int(b))
+            for a, b in zip(rng.integers(0, 60, 250), rng.integers(0, 60, 250))
+            if a != b
+        }
+    )
+    half = len(pairs) // 2
+    p1, p2 = pairs[:half], pairs[half:]
+
+    def _sym(ps):
+        s = [a for a, b in ps] + [b for a, b in ps]
+        d = [b for a, b in ps] + [a for a, b in ps]
+        return edges_from_arrays(s, d)
+
+    full_dir = str(tmp_path / "full")
+    inc_dir = str(tmp_path / "inc")
+    partition_graph(_sym(pairs), 3, full_dir)
+    partition_graph(_sym(p1), 3, inc_dir)
+    update_graph(_sym(p2), inc_dir)
+
+    def _pr(gdir):
+        eng = BSPEngine(gdir, 3)
+        res, _ = pagerank(eng, iters=10, num_parts=3)
+        eng.shutdown()
+        return (
+            res.to_pandas().sort_values("vid").reset_index(drop=True)
+        )
+
+    a, b = _pr(full_dir), _pr(inc_dir)
+    assert a.equals(b)
+    # idempotency: re-applying the same delta changes nothing
+    update_graph(_sym(p2), inc_dir)
+    c = _pr(inc_dir)
+    assert a.equals(c)
+    import json as _json
+
+    man = _json.load(open(str(tmp_path / "inc" / "manifest.json")))
+    assert man["updates"] == 2
