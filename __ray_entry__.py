@@ -2874,6 +2874,20 @@ def _q_match_k4(sf_dir: str):
     return pa.table({"n_embeddings": pa.array([cnt], type=pa.int64())})
 
 
+def _q_mst(sf_dir: str):
+    """Borůvka minimum spanning forest of the weighted co-purchase graph
+    (weight = co-order count, (w,u,v) total-order tie-break ≡ Kruskal)."""
+    from subgraph_isomorphism_pregel_ray.pipelines.algorithms import boruvka_mst
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import (
+        copurchase_weights,
+    )
+
+    we = copurchase_weights(sf_dir).map_batches(
+        lambda t: t.rename_columns(["src", "dst", "w"]), batch_format="pyarrow"
+    )
+    return boruvka_mst(we)
+
+
 def _q_influence_seeds(sf_dir: str):
     """Chen-2009 DegreeDiscount greedy influence seeds (k=10) over the
     co-purchase graph — exact-integer scores, 3 supersteps per pick."""
@@ -3280,6 +3294,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_calibration": _q_minhash_calibration,
         "rake_keywords": _q_rake_keywords,
         "influence_seeds_copurchase": _q_influence_seeds,
+        "mst_copurchase": _q_mst,
         "kmv_overlap_daily": _q_kmv_overlap,
         "lsh_recall": _q_lsh_recall,
         "revenue_jackknife": _q_revenue_jackknife,
@@ -4809,6 +4824,69 @@ def _dedup_groups_sql(iters: int = 8) -> str:
         ", ".join(parts)
         + f' SELECT doc_id, lbl AS "group", '
         f"doc_id = min(doc_id) OVER (PARTITION BY lbl) AS keep FROM l{iters}"
+    )
+
+
+def _boruvka_sql(rounds: int = 8, jumps: int = 16) -> str:
+    """Unrolled Borůvka MSF (mirrors algorithms.boruvka_mst): per round,
+    cross-component edges under the current labels, each component's
+    (w, u, v)-lexicographic minimum pick, parent pointers with the 2-cycle
+    break toward the smaller id, then `jumps` pointer-jumping doublings
+    (depth coverage 2^jumps ≫ any chain at oracle scale; extra jumps and
+    extra rounds are identity). Total-order tie-break makes the forest
+    unique ≡ Kruskal under (w, src, dst)."""
+    parts = [
+        "WITH we AS MATERIALIZED (SELECT a.l_partkey AS u, b.l_partkey AS v, "
+        "count(DISTINCT a.l_orderkey) AS w "
+        "FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey "
+        "WHERE a.l_partkey < b.l_partkey GROUP BY 1, 2)",
+        "l0 AS MATERIALIZED (SELECT DISTINCT u AS vid, u AS comp FROM we "
+        "UNION SELECT DISTINCT v, v FROM we)",
+    ]
+    for r in range(rounds):
+        parts.append(
+            f"x{r} AS MATERIALIZED (SELECT we.u, we.v, we.w, "
+            f"la.comp AS cu, lb.comp AS cv FROM we "
+            f"JOIN l{r} la ON la.vid = we.u JOIN l{r} lb ON lb.vid = we.v "
+            "WHERE la.comp <> lb.comp)"
+        )
+        parts.append(
+            f"c{r} AS (SELECT cu AS c, cv AS oc, w, u, v FROM x{r} "
+            f"UNION ALL SELECT cv, cu, w, u, v FROM x{r})"
+        )
+        parts.append(
+            f"k{r} AS MATERIALIZED (SELECT c, oc, w, u, v FROM "
+            f"(SELECT *, row_number() OVER (PARTITION BY c "
+            f"ORDER BY w, u, v) AS rn FROM c{r}) WHERE rn = 1)"
+        )
+        parts.append(
+            f"a{r} AS MATERIALIZED (SELECT l.comp AS c, "
+            f"coalesce(k.oc, l.comp) AS p FROM "
+            f"(SELECT DISTINCT comp FROM l{r}) l "
+            f"LEFT JOIN k{r} k ON k.c = l.comp)"
+        )
+        parts.append(
+            f"b{r} AS MATERIALIZED (SELECT a.c, CASE WHEN b.p = a.c "
+            f"AND a.c < a.p THEN a.c ELSE a.p END AS p "
+            f"FROM a{r} a JOIN a{r} b ON b.c = a.p)"
+        )
+        prev = f"b{r}"
+        for j in range(jumps):
+            parts.append(
+                f"j{r}_{j} AS MATERIALIZED (SELECT a.c, b.p FROM {prev} a "
+                f"JOIN {prev} b ON b.c = a.p)"
+            )
+            prev = f"j{r}_{j}"
+        parts.append(
+            f"l{r + 1} AS MATERIALIZED (SELECT l.vid, p.p AS comp "
+            f"FROM l{r} l JOIN {prev} p ON p.c = l.comp)"
+        )
+    union = " UNION ".join(
+        f"SELECT u, v, w FROM k{r}" for r in range(rounds)
+    )
+    return (
+        ", ".join(parts)
+        + f" SELECT u AS src, v AS dst, CAST(w AS BIGINT) AS w FROM ({union})"
     )
 
 
@@ -8089,6 +8167,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_calibration": _minhash_calibration_sql(),
         "rake_keywords": _rake_sql(),
         "influence_seeds_copurchase": _degdiscount_sql(),
+        "mst_copurchase": _boruvka_sql(),
         "revenue_jackknife": (
             # jackknife-for-the-mean collapses to Σ(S−n·xᵢ)²/(n³(n−1)) —
             # exact HUGEINT cents moments, one double division + sqrt

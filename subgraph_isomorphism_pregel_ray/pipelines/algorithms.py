@@ -2122,3 +2122,256 @@ def transitivity(edges_ds, num_parts: int = 4, round_to: int = 6):
             "transitivity": pa.array([val], pa.float64()),
         }
     )
+
+
+def boruvka_mst(wedges_ds, max_rounds: int = 40, jump_iters: int = 40):
+    """Borůvka minimum spanning forest (the canonical Pregel-beyond-PageRank
+    algorithm; Chung & Condon 1996 give the parallel form) over an
+    undirected weighted edge table Dataset(src, dst, w) with canonical
+    src < dst rows → Dataset(src, dst, w) of forest edges.
+
+    Determinism: edges are totally ordered by (w, src, dst), so each
+    component's minimum outgoing edge is unique and the result equals
+    Kruskal under the same order — brute-force-testable and SQL-unrollable.
+
+    Scale shape (pure Dataset ops, no driver materialization of any
+    unbounded table): per round, TWO label joins annotate edges with
+    endpoint components; per-component minimum selection is a
+    ``groupby(comp).map_groups`` lexicographic pick; the picked edges form
+    a functional pseudo-forest whose only cycles are 2-cycles on mutual
+    picks (broken toward the smaller id), resolved by POINTER JUMPING —
+    parent ← parent∘parent, O(log depth) Dataset self-joins with an
+    early-exit change count; labels re-join through the resolved roots.
+    Components at least halve per round (Borůvka's invariant), so rounds ≤
+    log₂V at any scale. At 100 TB the per-round cost is the two bucketed
+    edge-label joins — the honest price of distributed MSF."""
+    import ray.data as rd
+    from ray.data.aggregate import Min, Sum
+
+    def _canon(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "u": t["src"].to_numpy().astype(np.uint64).view(np.int64),
+                "v": t["dst"].to_numpy().astype(np.uint64).view(np.int64),
+                "w": t["w"].to_numpy().astype(np.int64),
+            }
+        )
+
+    edges = wedges_ds.map_batches(_canon, batch_format="pyarrow").materialize()
+
+    def _jready(ds):
+        """Join-operand normalization: repartition collapses the empty
+        schema-less partitions that groupby/map_groups chains produce on
+        this Ray build and which the acero hash join rejects (the
+        _verify_pairs_exact caveat), then materialize so each join reads
+        a concrete, schema-bearing table."""
+        return ds.repartition(npj).materialize()
+
+    def _verts(t: pa.Table) -> pa.Table:
+        vid = np.unique(np.concatenate([t["u"].to_numpy(), t["v"].to_numpy()]))
+        return pa.table({"vid": vid, "comp": vid})
+
+    labels = (
+        edges.map_batches(_verts, batch_format="pyarrow")
+        .groupby("vid")
+        .aggregate(Min("comp", alias_name="comp"))
+        .materialize()
+    )
+    npj = 4
+    picked_rounds = []
+
+    for _ in range(max_rounds):
+        lu = labels.map_batches(
+            lambda t: pa.table({"u": t["vid"], "cu": t["comp"]}),
+            batch_format="pyarrow",
+        )
+        lv = labels.map_batches(
+            lambda t: pa.table({"v": t["vid"], "cv": t["comp"]}),
+            batch_format="pyarrow",
+        )
+        ann = edges.join(_jready(lu), "inner", npj, on=("u",)).join(
+            _jready(lv), "inner", npj, on=("v",)
+        )
+
+        def _cross2(t: pa.Table) -> pa.Table:
+            cu = t["cu"].to_numpy()
+            cv = t["cv"].to_numpy()
+            m = cu != cv
+            u, v, w = (
+                t["u"].to_numpy()[m],
+                t["v"].to_numpy()[m],
+                t["w"].to_numpy()[m],
+            )
+            cu, cv = cu[m], cv[m]
+            return pa.table(
+                {
+                    "comp": np.concatenate([cu, cv]),
+                    "oc": np.concatenate([cv, cu]),
+                    "w": np.concatenate([w, w]),
+                    "u": np.concatenate([u, u]),
+                    "v": np.concatenate([v, v]),
+                }
+            )
+
+        cand = ann.map_batches(_cross2, batch_format="pyarrow").materialize()
+        if cand.count() == 0:
+            break
+
+        def _pick_min(g: pa.Table) -> pa.Table:
+            i = int(
+                np.lexsort(
+                    (g["v"].to_numpy(), g["u"].to_numpy(), g["w"].to_numpy())
+                )[0]
+            )
+            return g.take(pa.array([i]))
+
+        picked = (
+            cand.groupby("comp")
+            .map_groups(_pick_min, batch_format="pyarrow")
+            .materialize()
+        )
+        picked_rounds.append(
+            picked.map_batches(
+                lambda t: pa.table(
+                    {"u": t["u"], "v": t["v"], "w": t["w"]}
+                ),
+                batch_format="pyarrow",
+            )
+        )
+
+        # parent pointers with 2-cycle break toward the smaller id
+        # (repartition: collapse map_groups' empty schema-less partitions
+        # before this table reaches a join — the _verify_pairs_exact caveat)
+        par = (
+            picked.map_batches(
+                lambda t: pa.table({"c": t["comp"], "p": t["oc"]}),
+                batch_format="pyarrow",
+            )
+            .repartition(npj)
+            .materialize()
+        )
+
+        def _self_rows(t: pa.Table) -> pa.Table:
+            # comps with no outgoing pick keep parent = self
+            return pa.table({"c": t["comp"], "p_self": t["comp"]})
+
+        allc = (
+            labels.map_batches(
+                lambda t: pa.table({"comp": np.unique(t["comp"].to_numpy())}),
+                batch_format="pyarrow",
+            )
+            .groupby("comp")
+            .aggregate(Min("comp", alias_name="x"))
+            .map_batches(_self_rows, batch_format="pyarrow")
+            # repartition collapses the aggregate's empty schema-less
+            # partitions, which this Ray build's acero join rejects (the
+            # _verify_pairs_exact caveat)
+            .repartition(npj)
+            .materialize()
+        )
+        def _fill_self(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            # integer-preserving null fill (comp ids are int64; a pandas
+            # round-trip would go through float64 — the cc_dataset caveat)
+            p = pc.fill_null(t["p"], -1).to_numpy()
+            return pa.table(
+                {
+                    "c": t["c"],
+                    "p": np.where(p == -1, t["p_self"].to_numpy(), p),
+                }
+            )
+
+        par = _jready(
+            allc.join(par, "left_outer", npj, on=("c",)).map_batches(
+                _fill_self, batch_format="pyarrow"
+            )
+        )
+
+        gp = par.map_batches(
+            lambda t: pa.table({"p": t["c"], "gp": t["p"]}),
+            batch_format="pyarrow",
+        )
+        par = _jready(
+            par.join(_jready(gp), "inner", npj, on=("p",)).map_batches(
+                lambda t: pa.table(
+                    {
+                        "c": t["c"],
+                        "p": np.where(
+                            (t["gp"].to_numpy() == t["c"].to_numpy())
+                            & (t["c"].to_numpy() < t["p"].to_numpy()),
+                            t["c"].to_numpy(),
+                            t["p"].to_numpy(),
+                        ),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+        )
+
+        for _ in range(jump_iters):
+            pj = par.map_batches(
+                lambda t: pa.table({"p": t["c"], "pp": t["p"]}),
+                batch_format="pyarrow",
+            )
+            nxt = (
+                par.join(_jready(pj), "inner", npj, on=("p",))
+                .map_batches(
+                    lambda t: pa.table(
+                        {
+                            "c": t["c"],
+                            "p": t["pp"],
+                            "chg": (
+                                t["pp"].to_numpy() != t["p"].to_numpy()
+                            ).astype(np.int64),
+                        }
+                    ),
+                    batch_format="pyarrow",
+                )
+                .materialize()
+            )
+            changed = nxt.sum("chg")
+            par = _jready(nxt.select_columns(["c", "p"]))
+            if not changed:
+                break
+
+        root = par.map_batches(
+            lambda t: pa.table({"comp": t["c"], "root": t["p"]}),
+            batch_format="pyarrow",
+        )
+        labels = _jready(
+            _jready(labels).join(_jready(root), "inner", npj, on=("comp",))
+            .map_batches(
+                lambda t: pa.table({"vid": t["vid"], "comp": t["root"]}),
+                batch_format="pyarrow",
+            )
+        )
+
+    if not picked_rounds:
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "src": pa.array([], pa.int64()),
+                    "dst": pa.array([], pa.int64()),
+                    "w": pa.array([], pa.int64()),
+                }
+            )
+        )
+    mst = picked_rounds[0]
+    for p in picked_rounds[1:]:
+        mst = mst.union(p)
+
+    # dedupe (an edge is picked by both of its components in the same
+    # round) — full-width multi-key groupby, no vid-width assumption
+    return (
+        mst.groupby(["u", "v"])
+        .aggregate(Min("w", alias_name="w"))
+        .map_batches(
+            lambda t: pa.table(
+                {"src": t["u"], "dst": t["v"], "w": t["w"]}
+            ),
+            batch_format="pyarrow",
+        )
+    )

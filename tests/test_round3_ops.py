@@ -889,3 +889,64 @@ def test_update_graph_incremental_equals_full_rebuild(ray_session, tmp_path):
 
     man = _json.load(open(str(tmp_path / "inc" / "manifest.json")))
     assert man["updates"] == 2
+
+
+def _kruskal(pairs, w):
+    parent: dict = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    mst = []
+    for ww, u, v in sorted(zip(w, [a for a, b in pairs], [b for a, b in pairs])):
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[ru] = rv
+            mst.append((u, v, ww))
+    return sorted(mst)
+
+
+def test_boruvka_mst_vs_kruskal(ray_session):
+    """Borůvka under the (w,u,v) total order equals Kruskal under the same
+    order — including on a disconnected graph (spanning FOREST) and with
+    heavy weight ties."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from subgraph_isomorphism_pregel_ray.pipelines.algorithms import boruvka_mst
+
+    rng = np.random.default_rng(41)
+    # two disjoint blobs: vids 0..29 and 100..129, tie-heavy weights (1..4)
+    def blob(lo, n, m):
+        return sorted(
+            {
+                (int(a), int(b))
+                for a, b in zip(
+                    rng.integers(lo, lo + n, m), rng.integers(lo, lo + n, m)
+                )
+                if a < b
+            }
+        )
+
+    pairs = blob(0, 30, 120) + blob(100, 30, 120)
+    w = rng.integers(1, 5, len(pairs)).tolist()
+    wedges = rd.from_arrow(
+        pa.table(
+            {
+                "src": np.array([a for a, b in pairs], np.int64),
+                "dst": np.array([b for a, b in pairs], np.int64),
+                "w": np.array(w, np.int64),
+            }
+        )
+    )
+    out = sorted(
+        zip(*(boruvka_mst(wedges).to_pandas()[c] for c in ("src", "dst", "w")))
+    )
+    exp = _kruskal(pairs, w)
+    assert [(int(a), int(b), int(c)) for a, b, c in out] == exp
+    # forest: |MST| = V - #components
+    vids = {x for p in pairs for x in p}
+    assert len(out) == len(vids) - 2
