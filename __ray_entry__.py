@@ -2874,6 +2874,16 @@ def _q_match_k4(sf_dir: str):
     return pa.table({"n_embeddings": pa.array([cnt], type=pa.int64())})
 
 
+def _q_degree_powerlaw(sf_dir: str):
+    """CSN-2009 discrete power-law MLE over the co-purchase degree tail
+    (xmin=5) — the webgraph exponent statistic."""
+    from subgraph_isomorphism_pregel_ray.pipelines.algorithms import (
+        degree_powerlaw_mle,
+    )
+
+    return degree_powerlaw_mle(_sym_copurchase(sf_dir), xmin=5)
+
+
 def _q_mst(sf_dir: str):
     """Borůvka minimum spanning forest of the weighted co-purchase graph
     (weight = co-order count, (w,u,v) total-order tie-break ≡ Kruskal)."""
@@ -3295,6 +3305,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rake_keywords": _q_rake_keywords,
         "influence_seeds_copurchase": _q_influence_seeds,
         "mst_copurchase": _q_mst,
+        "degree_powerlaw_mle": _q_degree_powerlaw,
         "kmv_overlap_daily": _q_kmv_overlap,
         "lsh_recall": _q_lsh_recall,
         "revenue_jackknife": _q_revenue_jackknife,
@@ -8168,6 +8179,17 @@ def oracle_sql() -> dict[str, str]:
         "rake_keywords": _rake_sql(),
         "influence_seeds_copurchase": _degdiscount_sql(),
         "mst_copurchase": _boruvka_sql(),
+        "degree_powerlaw_mle": (
+            # CSN eq. 3.7 over the symmetric degree table; ln-sum noise ≪
+            # round-6 and α = 1 + n/s shares the operand tree
+            f"WITH {_ESYM_MAT}, "
+            "dg AS (SELECT src, count(*) AS d FROM e GROUP BY 1), "
+            "t AS (SELECT count(*) AS n, sum(ln(d / 4.5)) AS s FROM dg "
+            "WHERE d >= 5) "
+            "SELECT CAST(5 AS BIGINT) AS xmin, CAST(n AS BIGINT) AS n_tail, "
+            "round(CASE WHEN s > 0 THEN 1.0 + n / s ELSE 0.0 END, 6) AS alpha "
+            "FROM t"
+        ),
         "revenue_jackknife": (
             # jackknife-for-the-mean collapses to Σ(S−n·xᵢ)²/(n³(n−1)) —
             # exact HUGEINT cents moments, one double division + sqrt

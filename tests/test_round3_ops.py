@@ -950,3 +950,32 @@ def test_boruvka_mst_vs_kruskal(ray_session):
     # forest: |MST| = V - #components
     vids = {x for p in pairs for x in p}
     assert len(out) == len(vids) - 2
+
+
+def test_degree_powerlaw_mle_synthetic(ray_session):
+    """On a hand-built degree multiset the MLE equals the closed form
+    1 + n/Σln(d/(xmin−0.5)); sub-xmin degrees are excluded."""
+    from subgraph_isomorphism_pregel_ray.functions.rounding import round_half_away
+    from subgraph_isomorphism_pregel_ray.pipelines.algorithms import (
+        degree_powerlaw_mle,
+    )
+    from subgraph_isomorphism_pregel_ray.pipelines.build_graph import (
+        edges_from_arrays,
+    )
+
+    # star-ish graph: vertex 0 has degree 12, vertices 1..12 degree 1 each,
+    # plus a K6 on 20..25 (degrees 5)
+    s, d = [], []
+    for i in range(1, 13):
+        s += [0, i]
+        d += [i, 0]
+    for i in range(20, 26):
+        for j in range(20, 26):
+            if i != j:
+                s.append(i)
+                d.append(j)
+    out = degree_powerlaw_mle(edges_from_arrays(s, d), xmin=5).to_pydict()
+    degs = np.array([12] + [5] * 6, dtype=np.float64)  # tail d >= 5
+    alpha = 1.0 + len(degs) / np.log(degs / 4.5).sum()
+    assert out["n_tail"] == [7]
+    assert out["alpha"] == [float(round_half_away(alpha, 6))]
