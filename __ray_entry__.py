@@ -2874,6 +2874,16 @@ def _q_match_k4(sf_dir: str):
     return pa.table({"n_embeddings": pa.array([cnt], type=pa.int64())})
 
 
+def _q_embedding_outliers(sf_dir: str):
+    """Diagonal-Mahalanobis embedding outlier top-20 (corpus per-dim
+    moments broadcast once; partial top-k per block)."""
+    from subgraph_isomorphism_pregel_ray.pipelines.similarity import (
+        embedding_outliers,
+    )
+
+    return embedding_outliers(_emb(sf_dir), top_k=20)
+
+
 def _q_degree_powerlaw(sf_dir: str):
     """CSN-2009 discrete power-law MLE over the co-purchase degree tail
     (xmin=5) — the webgraph exponent statistic."""
@@ -3306,6 +3316,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "influence_seeds_copurchase": _q_influence_seeds,
         "mst_copurchase": _q_mst,
         "degree_powerlaw_mle": _q_degree_powerlaw,
+        "embedding_outliers": _q_embedding_outliers,
         "kmv_overlap_daily": _q_kmv_overlap,
         "lsh_recall": _q_lsh_recall,
         "revenue_jackknife": _q_revenue_jackknife,
@@ -8189,6 +8200,20 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(5 AS BIGINT) AS xmin, CAST(n AS BIGINT) AS n_tail, "
             "round(CASE WHEN s > 0 THEN 1.0 + n / s ELSE 0.0 END, 6) AS alpha "
             "FROM t"
+        ),
+        "embedding_outliers": (
+            # same moments CTE as embedding_moments (unrounded), z² summed
+            # per vector, top-k on the ROUNDED distance with vec_id ties
+            "WITH x AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 "
+            "AS dim, CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings), "
+            "m AS (SELECT dim, count(*) AS n, sum(v) AS s, sum(v * v) AS ss "
+            "FROM x GROUP BY 1), "
+            "st AS (SELECT dim, s / n AS mu, "
+            "sqrt(ss / n - (s / n) * (s / n)) AS sigma FROM m), "
+            "d2 AS (SELECT x.vec_id, round(sum(CASE WHEN st.sigma > 0 THEN "
+            "((x.v - st.mu) / st.sigma) * ((x.v - st.mu) / st.sigma) "
+            "ELSE 0 END), 6) AS d2 FROM x JOIN st USING (dim) GROUP BY 1) "
+            "SELECT vec_id, d2 FROM d2 ORDER BY d2 DESC, vec_id LIMIT 20"
         ),
         "revenue_jackknife": (
             # jackknife-for-the-mean collapses to Σ(S−n·xᵢ)²/(n³(n−1)) —

@@ -907,3 +907,74 @@ def semantic_dedup(emb_ds, k: int = 8, tau: float = 0.35, scale: int = 10_000):
         .groupby("cluster")
         .map_groups(_dedup_group, batch_format="pyarrow")
     )
+
+
+def embedding_outliers(emb_ds, top_k: int = 20, round_to: int = 6):
+    """Embedding-space outlier screen → the top-k vectors by diagonal
+    Mahalanobis distance D²(x) = Σ_d ((x_d − μ_d)/σ_d)² under the corpus
+    per-dimension population moments (the SemDeDup-adjacent prune: vectors
+    far from the bulk are mislabeled/corrupted candidates) →
+    pa.table(vec_id, d2), ordered (round6(d2) DESC, vec_id).
+
+    Scale shape: ONE moments pass (the :func:`embedding_moments` partials,
+    unrounded), μ/σ broadcast via ``ray.put``, then one scoring pass with
+    per-batch partial top-k folded on the driver (O(k·blocks) rows).
+    Zero-variance dimensions contribute 0 (dead dims carry no outlier
+    signal). Scoring operand tree ((x−μ)/σ, squared, summed) is replayed
+    by the SQL oracle; per-vector sum-order noise ≪ the 6-decimal round."""
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    from ..functions.rounding import round_half_away
+
+    def _mpart(t: pa.Table) -> pa.Table:
+        M = np.stack(t["embedding"].to_pandas().to_numpy()).astype(np.float64)
+        d = M.shape[1]
+        return pa.table(
+            {
+                "dim": np.arange(d, dtype=np.int64),
+                "n": np.full(d, len(M), dtype=np.int64),
+                "s": M.sum(axis=0),
+                "ss": (M * M).sum(axis=0),
+            }
+        )
+
+    agg = (
+        emb_ds.map_batches(_mpart, batch_format="pyarrow")
+        .groupby("dim")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("s", alias_name="s"),
+            Sum("ss", alias_name="ss"),
+        )
+        .to_pandas()
+        .sort_values("dim")
+    )
+    n = agg["n"].to_numpy().astype(np.float64)
+    mu = agg["s"].to_numpy() / n
+    var = agg["ss"].to_numpy() / n - mu * mu
+    sigma = np.sqrt(var)
+    ref = ray.put((mu, sigma))
+
+    def _score(t: pa.Table, ref=ref) -> pa.Table:
+        mu, sigma = ray.get(ref)
+        M = np.stack(t["embedding"].to_pandas().to_numpy()).astype(np.float64)
+        z = np.where(sigma > 0, (M - mu[None, :]) / sigma[None, :], 0.0)
+        d2 = round_half_away((z * z).sum(axis=1), round_to)
+        vid = t["vec_id"].to_numpy().astype(np.int64)
+        order = np.lexsort((vid, -d2))[:top_k]  # per-batch partial top-k
+        return pa.table({"vec_id": vid[order], "d2": d2[order]})
+
+    parts = (
+        emb_ds.map_batches(_score, batch_format="pyarrow").to_pandas()
+    )  # ≤ k rows per block
+    parts = parts.sort_values(["d2", "vec_id"], ascending=[False, True]).head(
+        top_k
+    )
+    return pa.table(
+        {
+            "vec_id": parts["vec_id"].to_numpy().astype(np.int64),
+            "d2": parts["d2"].to_numpy(),
+        }
+    )

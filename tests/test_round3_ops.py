@@ -979,3 +979,20 @@ def test_degree_powerlaw_mle_synthetic(ray_session):
     alpha = 1.0 + len(degs) / np.log(degs / 4.5).sum()
     assert out["n_tail"] == [7]
     assert out["alpha"] == [float(round_half_away(alpha, 6))]
+
+
+def test_embedding_outliers_planted(ray_session):
+    """A vector scaled 10× off the unit shell dominates the diagonal
+    Mahalanobis ranking; ordering is (d2 desc, vec_id) and stable across
+    block layouts."""
+    from subgraph_isomorphism_pregel_ray.pipelines.similarity import (
+        embedding_outliers,
+    )
+
+    M = _toy_embeddings()
+    M[7] = M[7] * 10.0  # planted outlier
+    out = embedding_outliers(_emb_ds(M), top_k=5).to_pydict()
+    assert out["vec_id"][0] == 7
+    assert out["d2"] == sorted(out["d2"], reverse=True)
+    out2 = embedding_outliers(_emb_ds(M).repartition(6), top_k=5).to_pydict()
+    assert out == out2
