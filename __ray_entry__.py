@@ -2874,6 +2874,19 @@ def _q_match_k4(sf_dir: str):
     return pa.table({"n_embeddings": pa.array([cnt], type=pa.int64())})
 
 
+def _q_doclen_mannwhitney(sf_dir: str):
+    """Mann–Whitney U (tie-corrected, integer-exact doubled ranks) between
+    src0 and src1 document lengths."""
+    from subgraph_isomorphism_pregel_ray.pipelines.textops import (
+        doclen_mannwhitney,
+    )
+    from subgraph_isomorphism_pregel_ray.sources.tables import read_table
+
+    return doclen_mannwhitney(
+        read_table(sf_dir, "documents", columns=["source", "n_chars"])
+    )
+
+
 def _q_embedding_outliers(sf_dir: str):
     """Diagonal-Mahalanobis embedding outlier top-20 (corpus per-dim
     moments broadcast once; partial top-k per block)."""
@@ -3317,6 +3330,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mst_copurchase": _q_mst,
         "degree_powerlaw_mle": _q_degree_powerlaw,
         "embedding_outliers": _q_embedding_outliers,
+        "doclen_mannwhitney": _q_doclen_mannwhitney,
         "kmv_overlap_daily": _q_kmv_overlap,
         "lsh_recall": _q_lsh_recall,
         "revenue_jackknife": _q_revenue_jackknife,
@@ -8200,6 +8214,27 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(5 AS BIGINT) AS xmin, CAST(n AS BIGINT) AS n_tail, "
             "round(CASE WHEN s > 0 THEN 1.0 + n / s ELSE 0.0 END, 6) AS alpha "
             "FROM t"
+        ),
+        "doclen_mannwhitney": (
+            # doubled midranks are exact integers (2·c_less + c_eq + 1);
+            # HUGEINT cubes for the tie correction; one sqrt mirrors the
+            # engine's operand tree
+            "WITH d AS (SELECT source, n_chars AS v FROM documents "
+            "WHERE source IN ('src0', 'src1')), "
+            "h AS (SELECT v, sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) "
+            "AS ca, count(*) AS ct FROM d GROUP BY 1), "
+            "o AS (SELECT v, ca, ct, coalesce(sum(ct) OVER (ORDER BY v "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cless "
+            "FROM h), "
+            "s AS (SELECT sum(ca * (2 * cless + ct + 1)) AS r2a, "
+            "sum(ca) AS na, sum(ct) - sum(ca) AS nb, sum(ct) AS N, "
+            "sum(ct * ct * ct - ct) AS T FROM o) "
+            "SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b, "
+            "CAST(r2a - na * (na + 1) AS BIGINT) AS u2, "
+            "round(CASE WHEN na > 0 AND nb > 0 AND N > 1 THEN "
+            "((r2a - na * (na + 1)) / 2.0 - na * nb / 2.0) / "
+            "sqrt((na * nb / 12.0) * ((N + 1) - CAST(T AS DOUBLE) / "
+            "(N * (N - 1)))) ELSE 0.0 END, 6) AS z FROM s"
         ),
         "embedding_outliers": (
             # same moments CTE as embedding_moments (unrounded), z² summed

@@ -4536,3 +4536,68 @@ def rake_keywords(docs_ds, top_k: int = 25, num_partitions: int = 8):
             "score": top["score"].to_numpy(),
         }
     )
+
+
+def doclen_mannwhitney(
+    docs_ds, source_a: str = "src0", source_b: str = "src1", round_to: int = 6
+):
+    """Mann–Whitney U rank-sum test (Mann & Whitney 1947) comparing two
+    sources' document-length distributions → one row
+    (n_a, n_b, u2, z): u2 = 2·U_A kept as an EXACT integer (midranks with
+    ties step in halves, so doubled ranks are integers: 2·midrank =
+    2·c_less + c_eq + 1), z = tie-corrected normal approximation — the
+    canonical nonparametric drift test between two crawl slices.
+
+    Scale shape: the doclen-histogram machine — per-batch (length, source)
+    count partials, ONE groupby over the distinct-length keyspace (bounded
+    by max document length at ANY corpus size), the driver folds the
+    ≤|lengths| histogram with exact integer cumulative sums; the only
+    floats are the final μ/σ/z, operand-tree-mirrored by the oracle."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.rounding import round_half_away
+
+    def _partial(b: pa.Table) -> pa.Table:
+        src = b["source"].to_numpy(zero_copy_only=False)
+        v = b["n_chars"].to_numpy().astype(np.int64)
+        m = (src == source_a) | (src == source_b)
+        v, src = v[m], src[m]
+        isa = (src == source_a).astype(np.int64)
+        u, inv = np.unique(v, return_inverse=True)
+        ca = np.zeros(len(u), np.int64)
+        ct = np.zeros(len(u), np.int64)
+        np.add.at(ca, inv, isa)
+        np.add.at(ct, inv, 1)
+        return pa.table({"v": u, "ca": ca, "ct": ct})
+
+    h = (
+        docs_ds.map_batches(_partial, batch_format="pyarrow")
+        .groupby("v")
+        .aggregate(Sum("ca", alias_name="ca"), Sum("ct", alias_name="ct"))
+        .to_pandas()
+        .sort_values("v")
+    )
+    ca = h["ca"].to_numpy().astype(object)  # Python ints: exact cubes
+    ct = h["ct"].to_numpy().astype(object)
+    cless = np.concatenate([[0], np.cumsum(ct)[:-1]])
+    r2a = int(sum(a * (2 * c + t + 1) for a, c, t in zip(ca, cless, ct)))
+    na = int(sum(ca))
+    N = int(sum(ct))
+    nb = N - na
+    T = int(sum(t * t * t - t for t in ct))
+    u2 = r2a - na * (na + 1)
+    if na and nb and N > 1:
+        sigma = float(
+            np.sqrt((na * nb / 12.0) * ((N + 1) - float(T) / (N * (N - 1))))
+        )
+        z = (u2 / 2.0 - na * nb / 2.0) / sigma if sigma > 0 else 0.0
+    else:
+        z = 0.0
+    return pa.table(
+        {
+            "n_a": pa.array([na], pa.int64()),
+            "n_b": pa.array([nb], pa.int64()),
+            "u2": pa.array([u2], pa.int64()),
+            "z": pa.array([float(round_half_away(z, round_to))], pa.float64()),
+        }
+    )

@@ -996,3 +996,25 @@ def test_embedding_outliers_planted(ray_session):
     assert out["d2"] == sorted(out["d2"], reverse=True)
     out2 = embedding_outliers(_emb_ds(M).repartition(6), top_k=5).to_pydict()
     assert out == out2
+
+
+def test_doclen_mannwhitney_golden(ray_session):
+    """Hand-computed U on a tiny tie-bearing sample: A = [1,3,3], B = [2,3]
+    → midranks 1, 2, 4, 4, 4; R_A = 9, U_A = R_A − n_A(n_A+1)/2 = 3."""
+    import ray.data as rd
+
+    from subgraph_isomorphism_pregel_ray.pipelines.textops import (
+        doclen_mannwhitney,
+    )
+
+    rows = [
+        {"source": "src0", "n_chars": 1},
+        {"source": "src0", "n_chars": 3},
+        {"source": "src0", "n_chars": 3},
+        {"source": "src1", "n_chars": 2},
+        {"source": "src1", "n_chars": 3},
+        {"source": "ignored", "n_chars": 999},
+    ]
+    out = doclen_mannwhitney(rd.from_items(rows)).to_pydict()
+    assert out["n_a"] == [3] and out["n_b"] == [2]
+    assert out["u2"] == [6]  # 2·U_A: 2·9 − 3·4 = 6
