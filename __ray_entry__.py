@@ -2874,6 +2874,24 @@ def _q_match_k4(sf_dir: str):
     return pa.table({"n_embeddings": pa.array([cnt], type=pa.int64())})
 
 
+def _q_adamic_adar(sf_dir: str):
+    """Adamic–Adar per strong-graph edge (rare common neighbors weigh
+    more) — the weighted upgrade of link_prediction_copurchase."""
+    from subgraph_isomorphism_pregel_ray.pipelines.algorithms import adamic_adar
+
+    return adamic_adar(sf_dir)
+
+
+def _q_kanonymity(sf_dir: str):
+    """Sweeney k-anonymity audit of customer under (nation, mktsegment)
+    quasi-identifiers, k=5."""
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import (
+        kanonymity_customers,
+    )
+
+    return kanonymity_customers(sf_dir, k=5)
+
+
 def _q_doclen_mannwhitney(sf_dir: str):
     """Mann–Whitney U (tie-corrected, integer-exact doubled ranks) between
     src0 and src1 document lengths."""
@@ -3331,6 +3349,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "degree_powerlaw_mle": _q_degree_powerlaw,
         "embedding_outliers": _q_embedding_outliers,
         "doclen_mannwhitney": _q_doclen_mannwhitney,
+        "adamic_adar_copurchase": _q_adamic_adar,
+        "kanonymity_customers": _q_kanonymity,
         "kmv_overlap_daily": _q_kmv_overlap,
         "lsh_recall": _q_lsh_recall,
         "revenue_jackknife": _q_revenue_jackknife,
@@ -8214,6 +8234,31 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(5 AS BIGINT) AS xmin, CAST(n AS BIGINT) AS n_tail, "
             "round(CASE WHEN s > 0 THEN 1.0 + n / s ELSE 0.0 END, 6) AS alpha "
             "FROM t"
+        ),
+        "adamic_adar_copurchase": (
+            # hub-degree-weighted wedges over the SAME strong-graph CTEs as
+            # link_prediction; 1/ln sums fold in arbitrary order ≪ round-6
+            f"WITH {_ESTRONG}, "
+            "eu2 AS (SELECT src, dst FROM e WHERE src < dst), "
+            "deg AS MATERIALIZED (SELECT src AS vid, count(*) AS dg FROM e "
+            "GROUP BY 1), "
+            "aa AS MATERIALIZED (SELECT a.src AS u, b.src AS v, "
+            "sum(1.0 / ln(dz.dg)) AS aa FROM e a "
+            "JOIN e b ON a.dst = b.dst AND a.src < b.src "
+            "JOIN deg dz ON dz.vid = a.dst GROUP BY 1, 2) "
+            "SELECT eu2.src, eu2.dst, round(coalesce(aa.aa, 0), 6) AS aa "
+            "FROM eu2 LEFT JOIN aa ON aa.u = eu2.src AND aa.v = eu2.dst"
+        ),
+        "kanonymity_customers": (
+            "WITH g AS (SELECT c_nationkey, c_mktsegment, count(*) AS c "
+            "FROM customer GROUP BY 1, 2) "
+            "SELECT CAST(5 AS BIGINT) AS k, CAST(sum(c) AS BIGINT) AS n_rows, "
+            "CAST(count(*) AS BIGINT) AS n_groups, "
+            "CAST(sum(CASE WHEN c < 5 THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_violating_groups, "
+            "CAST(sum(CASE WHEN c < 5 THEN c ELSE 0 END) AS BIGINT) "
+            "AS n_exposed_rows, "
+            "CAST(min(c) AS BIGINT) AS min_group_size FROM g"
         ),
         "doclen_mannwhitney": (
             # doubled midranks are exact integers (2·c_less + c_eq + 1);

@@ -2425,3 +2425,106 @@ def degree_powerlaw_mle(edges_ds, xmin: int = 5, round_to: int = 6):
             ),
         }
     )
+
+
+def adamic_adar(sf_dir: str, num_buckets: int = 32, num_partitions: int = 8,
+                round_to: int = 6):
+    """Adamic–Adar link-prediction score (Adamic & Adar 2003) for every
+    edge of the STRONG co-purchase graph → (src, dst, aa) with
+    aa(u,v) = Σ_{z ∈ N(u)∩N(v)} 1/ln(deg(z)) — the frequency-weighted
+    upgrade of :func:`link_prediction`'s common-neighbor count (rare hubs
+    are stronger evidence than ubiquitous ones).
+
+    Scale shape: the same hub-bucket wedge machinery as link_prediction —
+    bucketing by hub colocates each hub's FULL adjacency, so deg(z) is the
+    group-local row count and every wedge pair's 1/ln(deg) weight is
+    emitted as an in-bucket partial; ONE groupby folds pair scores; edges
+    without common neighbors keep aa = 0 through the LEFT join."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..functions.rounding import round_half_away
+    from ..state.csr import flat_gather
+    from .build_graph import symmetrize
+    from .relational import strong_copurchase_edges
+
+    SHIFT = np.int64(1) << np.int64(21)
+    eu = strong_copurchase_edges(sf_dir).materialize()
+    es = symmetrize(eu).materialize()
+
+    def _bucket(t: pa.Table) -> pa.Table:
+        d = t["dst"].to_numpy()
+        return t.append_column(
+            "b", pa.array((d % num_buckets).astype(np.int32))
+        )
+
+    def _wedges(g: pa.Table) -> pa.Table:
+        w = g["dst"].to_numpy()
+        u = g["src"].to_numpy()
+        order = np.lexsort((u, w))
+        w_s, u_s = w[order], u[order]
+        _, starts, counts = np.unique(w_s, return_index=True, return_counts=True)
+        # bucket-by-hub ⇒ counts IS deg(hub); weight each of the hub's
+        # wedge pairs by 1/ln(deg)
+        wt_hub = np.zeros(len(counts))
+        m2 = counts >= 2
+        wt_hub[m2] = 1.0 / np.log(counts[m2].astype(np.float64))
+        cpe = np.repeat(counts, counts)
+        left = np.repeat(u_s, cpe)
+        right = u_s[flat_gather(np.repeat(starts, counts), cpe)]
+        wpe = np.repeat(wt_hub, counts * counts)
+        m = left < right
+        key = left[m].astype(np.int64) * SHIFT + right[m].astype(np.int64)
+        order2 = np.argsort(key, kind="stable")
+        uk, kstarts = np.unique(key[order2], return_index=True)
+        s = np.add.reduceat(wpe[m][order2], kstarts)
+        return pa.table({"k": uk, "s": s})
+
+    aa = (
+        es.map_batches(_bucket, batch_format="pyarrow")
+        .groupby("b")
+        .map_groups(_wedges, batch_format="pyarrow")
+        .groupby("k", num_partitions=num_partitions)
+        .aggregate(Sum("s", alias_name="aa"))
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "src": t["k"].to_numpy() // SHIFT,
+                    "dst": t["k"].to_numpy() % SHIFT,
+                    "aa": t["aa"],
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .repartition(num_partitions)
+        .materialize()
+    )
+
+    def _edge_rows(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "src": t["src"].to_numpy().astype(np.int64),
+                "dst": t["dst"].to_numpy().astype(np.int64),
+            }
+        )
+
+    joined = (
+        eu.map_batches(_edge_rows, batch_format="pyarrow")
+        .repartition(num_partitions)
+        .materialize()
+        .join(aa, "left_outer", num_partitions, on=("src", "dst"))
+    )
+
+    def _final(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        v = pc.fill_null(t["aa"], 0.0).to_numpy()
+        return pa.table(
+            {
+                "src": t["src"],
+                "dst": t["dst"],
+                "aa": round_half_away(v, round_to),
+            }
+        )
+
+    return joined.map_batches(_final, batch_format="pyarrow")

@@ -8331,3 +8331,57 @@ def revenue_jackknife(sf_dir: str, round_to: int = 6):
             ),
         }
     )
+
+
+def kanonymity_customers(sf_dir: str, k: int = 5):
+    """k-anonymity audit of the customer table under the quasi-identifier
+    pair (c_nationkey, c_mktsegment) (Sweeney 2002) → one row
+    (k, n_rows, n_groups, n_violating_groups, n_exposed_rows,
+    min_group_size): a group smaller than k re-identifies its members —
+    n_exposed_rows is how many records a release of these columns would
+    expose. The governance check you run BEFORE publishing any slice of a
+    user-keyed table.
+
+    Scale shape: per-batch packed-key group-count partials, ONE groupby
+    over the quasi-identifier keyspace (bounded: |nations|×|segments|),
+    driver folds the tiny group table."""
+    from ray.data.aggregate import Sum
+
+    cust = read_table(sf_dir, "customer", columns=["c_nationkey", "c_mktsegment"])
+
+    def _partial(t: pa.Table) -> pa.Table:
+        n = t["c_nationkey"].to_numpy().astype(np.int64)
+        s = t["c_mktsegment"].to_numpy(zero_copy_only=False)
+        skey, sinv = np.unique(s, return_inverse=True)
+        key = n * 64 + sinv  # segment ids are per-batch; carry the string
+        u, first, inv = np.unique(key, return_index=True, return_inverse=True)
+        c = np.zeros(len(u), np.int64)
+        np.add.at(c, inv, 1)
+        return pa.table(
+            {
+                "nation": (u // 64).astype(np.int64),
+                "segment": pa.array([s[i] for i in first], pa.string()),
+                "c": c,
+            }
+        )
+
+    g = (
+        cust.map_batches(_partial, batch_format="pyarrow")
+        .groupby(["nation", "segment"])
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()
+    )
+    c = g["c"].to_numpy().astype(np.int64)
+    viol = c < k
+    return pa.table(
+        {
+            "k": pa.array([k], pa.int64()),
+            "n_rows": pa.array([int(c.sum())], pa.int64()),
+            "n_groups": pa.array([len(c)], pa.int64()),
+            "n_violating_groups": pa.array([int(viol.sum())], pa.int64()),
+            "n_exposed_rows": pa.array([int(c[viol].sum())], pa.int64()),
+            "min_group_size": pa.array(
+                [int(c.min()) if len(c) else 0], pa.int64()
+            ),
+        }
+    )

@@ -1018,3 +1018,32 @@ def test_doclen_mannwhitney_golden(ray_session):
     out = doclen_mannwhitney(rd.from_items(rows)).to_pydict()
     assert out["n_a"] == [3] and out["n_b"] == [2]
     assert out["u2"] == [6]  # 2·U_A: 2·9 − 3·4 = 6
+
+
+def test_adamic_adar_toy_and_kanonymity_golden(ray_session):
+    """AA brute-force on the strong graph at sf0.001 (small enough to
+    enumerate); k-anonymity golden on a synthetic frame via the oracle's
+    semantics."""
+    import duckdb
+
+    import __ray_entry__ as entry
+
+    SF = "/root/testdata/sf0.001"
+    out = entry.queries()["adamic_adar_copurchase"](SF).to_pandas()
+    # brute force from the strong edge set
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW lineitem AS SELECT * FROM '{SF}/lineitem.parquet'")
+    con.execute(f"CREATE VIEW part AS SELECT * FROM '{SF}/part.parquet'")
+    eu = con.sql(entry.oracle_sql()["adamic_adar_copurchase"]).df()
+    m = out.sort_values(["src", "dst"]).reset_index(drop=True)
+    e = eu.sort_values(["src", "dst"]).reset_index(drop=True)
+    assert len(m) == len(e)
+    assert np.allclose(m["aa"], e["aa"], atol=1e-9)
+    assert (m["aa"] >= 0).all() and m["aa"].max() > 0
+
+    k = entry.queries()["kanonymity_customers"](SF).to_pydict()
+    assert k["n_rows"][0] > 0
+    assert k["n_exposed_rows"][0] <= k["n_rows"][0]
+    assert k["n_violating_groups"][0] <= k["n_groups"][0]
+    # sf0.001 has 150 customers over up to 125 QI cells → violations exist
+    assert k["n_violating_groups"][0] > 0
