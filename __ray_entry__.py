@@ -2874,6 +2874,16 @@ def _q_match_k4(sf_dir: str):
     return pa.table({"n_embeddings": pa.array([cnt], type=pa.int64())})
 
 
+def _q_kcenter_coreset(sf_dir: str):
+    """Gonzalez k-center greedy coreset over embeddings (k=8), integer-
+    quantized so the farthest-point argmax replays in SQL."""
+    from subgraph_isomorphism_pregel_ray.pipelines.similarity import (
+        kcenter_coreset,
+    )
+
+    return kcenter_coreset(_emb(sf_dir), k=8)
+
+
 def _q_adamic_adar(sf_dir: str):
     """Adamic–Adar per strong-graph edge (rare common neighbors weigh
     more) — the weighted upgrade of link_prediction_copurchase."""
@@ -3351,6 +3361,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doclen_mannwhitney": _q_doclen_mannwhitney,
         "adamic_adar_copurchase": _q_adamic_adar,
         "kanonymity_customers": _q_kanonymity,
+        "kcenter_coreset": _q_kcenter_coreset,
         "kmv_overlap_daily": _q_kmv_overlap,
         "lsh_recall": _q_lsh_recall,
         "revenue_jackknife": _q_revenue_jackknife,
@@ -5097,6 +5108,45 @@ def _densest_sql(rounds: int = 12) -> str:
         ", ".join(parts)
         + f" SELECT vid, CAST(peel_round AS BIGINT) AS peel_round "
         f"FROM ({union})"
+    )
+
+
+def _kcenter_sql(k: int = 8, scale: int = 10_000) -> str:
+    """Unrolled Gonzalez k-center greedy (mirrors similarity.kcenter_coreset):
+    the same int64 quantization as _kmeans_assign_ctes, per-round exact
+    min-distance to the selected set via the dim-aligned join, argmax by
+    (d2 DESC, vec_id) LIMIT 1."""
+    parts = [
+        f"WITH q AS MATERIALIZED (SELECT vec_id, [CAST(round(CAST(v AS DOUBLE) "
+        f"* {scale}) AS BIGINT) for v in embedding] AS qv FROM embeddings)",
+        "xe AS MATERIALIZED (SELECT vec_id, generate_subscripts(qv, 1) AS i, "
+        "unnest(qv) AS v FROM q)",
+        "cs1 AS MATERIALIZED (SELECT vec_id FROM q ORDER BY vec_id LIMIT 1)",
+    ]
+    for r in range(1, k):
+        parts.append(
+            f"dc{r} AS MATERIALIZED (SELECT x.vec_id, c.vec_id AS cid, "
+            f"sum((x.v - y.v) * (x.v - y.v)) AS d FROM xe x "
+            f"JOIN cs{r} c ON true JOIN xe y ON y.vec_id = c.vec_id "
+            "AND y.i = x.i GROUP BY 1, 2)"
+        )
+        parts.append(
+            f"w{r} AS MATERIALIZED (SELECT vec_id, min(d) AS d2 FROM dc{r} "
+            "GROUP BY 1 ORDER BY min(d) DESC, vec_id LIMIT 1)"
+        )
+        parts.append(
+            f"cs{r + 1} AS MATERIALIZED (SELECT vec_id FROM cs{r} "
+            f"UNION ALL SELECT vec_id FROM w{r})"
+        )
+    union = " UNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS rank, vec_id, "
+        f"CAST(d2 AS BIGINT) AS d2 FROM w{r}"
+        for r in range(1, k)
+    )
+    return (
+        ", ".join(parts)
+        + " SELECT CAST(0 AS BIGINT) AS rank, vec_id, "
+        "CAST(0 AS BIGINT) AS d2 FROM cs1 UNION ALL " + union
     )
 
 
@@ -8249,6 +8299,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT eu2.src, eu2.dst, round(coalesce(aa.aa, 0), 6) AS aa "
             "FROM eu2 LEFT JOIN aa ON aa.u = eu2.src AND aa.v = eu2.dst"
         ),
+        "kcenter_coreset": _kcenter_sql(),
         "kanonymity_customers": (
             "WITH g AS (SELECT c_nationkey, c_mktsegment, count(*) AS c "
             "FROM customer GROUP BY 1, 2) "

@@ -978,3 +978,61 @@ def embedding_outliers(emb_ds, top_k: int = 20, round_to: int = 6):
             "d2": parts["d2"].to_numpy(),
         }
     )
+
+
+def kcenter_coreset(emb_ds, k: int = 8, scale: int = 10_000):
+    """Gonzalez (1985) greedy k-center coreset over the embedding column →
+    pa.table(rank, vec_id, d2): start from the lowest vec_id, then k−1
+    times pick the point FARTHEST (max-min) from the selected set — the
+    2-approximation used as the classic diversity/coreset selector in data
+    pruning and active learning. d2 is the point's min squared distance to
+    the prior selection at pick time (0 for the seed).
+
+    Exactness: distances in int64 on quantized vectors (the kmeans_assign
+    trick) make the argmax and its (d2 DESC, vec_id) tie-break
+    bit-replayable in SQL. Scale shape: k streaming passes, each with the
+    ≤k selected vectors broadcast in the task closure and ONE partial
+    max-row per batch folded on the driver (O(k·blocks) rows total); the
+    O(k·n) pass cost is the greedy's price — at 100 TB run it on the
+    deterministic stratified sample, like kmeans."""
+    sel_ids, C = _kmeans_seeds(emb_ds, 1)  # the lowest-vec_id seed
+    centers = [(int(sel_ids[0]), _quantize_rows(C, scale)[0])]
+    out = [(0, int(sel_ids[0]), 0)]
+
+    for r in range(1, k):
+        QC = np.stack([c for _, c in centers])
+
+        def _far(t: pa.Table, QC=QC) -> pa.Table:
+            vid = t["vec_id"].to_numpy().astype(np.int64)
+            Q = _quantize_rows(
+                np.stack(t["embedding"].to_pandas().to_numpy()), scale
+            )
+            d2 = (
+                (Q * Q).sum(axis=1)[:, None]
+                - 2 * (Q @ QC.T)
+                + (QC * QC).sum(axis=1)[None, :]
+            ).min(axis=1)
+            i = int(np.lexsort((vid, -d2))[0])  # max d2, tie → lower vid
+            return pa.table(
+                {
+                    "vec_id": pa.array([vid[i]], pa.int64()),
+                    "d2": pa.array([int(d2[i])], pa.int64()),
+                    "qv": pa.array([Q[i].tobytes()], pa.binary()),
+                }
+            )
+
+        parts = emb_ds.map_batches(_far, batch_format="pyarrow").to_pandas()
+        parts = parts.sort_values(["d2", "vec_id"], ascending=[False, True])
+        row = parts.iloc[0]
+        centers.append(
+            (int(row["vec_id"]), np.frombuffer(row["qv"], dtype=np.int64))
+        )
+        out.append((r, int(row["vec_id"]), int(row["d2"])))
+
+    return pa.table(
+        {
+            "rank": pa.array([r for r, _, _ in out], pa.int64()),
+            "vec_id": pa.array([v for _, v, _ in out], pa.int64()),
+            "d2": pa.array([d for _, _, d in out], pa.int64()),
+        }
+    )

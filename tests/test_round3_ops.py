@@ -1047,3 +1047,34 @@ def test_adamic_adar_toy_and_kanonymity_golden(ray_session):
     assert k["n_violating_groups"][0] <= k["n_groups"][0]
     # sf0.001 has 150 customers over up to 125 QI cells → violations exist
     assert k["n_violating_groups"][0] > 0
+
+
+def test_kcenter_coreset_brute_force(ray_session):
+    """Greedy farthest-point picks equal the sequential reference; d2 is
+    non-increasing (Gonzalez's max-min radius monotonicity) and layout-
+    invariant."""
+    from subgraph_isomorphism_pregel_ray.functions.rounding import round_half_away
+    from subgraph_isomorphism_pregel_ray.pipelines.similarity import (
+        kcenter_coreset,
+    )
+
+    M = _toy_embeddings()
+    k, scale = 5, 10_000
+    out = kcenter_coreset(_emb_ds(M), k=k, scale=scale).to_pydict()
+    Q = round_half_away(M.astype(np.float64) * scale, 0).astype(np.int64)
+    sel = [0]
+    exp = [(0, 0, 0)]
+    for r in range(1, k):
+        C = Q[sel]
+        d2 = (
+            (Q * Q).sum(axis=1)[:, None]
+            - 2 * (Q @ C.T)
+            + (C * C).sum(axis=1)[None, :]
+        ).min(axis=1)
+        i = int(np.lexsort((np.arange(len(Q)), -d2))[0])
+        sel.append(i)
+        exp.append((r, i, int(d2[i])))
+    assert list(zip(out["rank"], out["vec_id"], out["d2"])) == exp
+    assert out["d2"][1:] == sorted(out["d2"][1:], reverse=True)
+    out2 = kcenter_coreset(_emb_ds(M).repartition(7), k=k, scale=scale).to_pydict()
+    assert out == out2
