@@ -2874,6 +2874,16 @@ def _q_match_k4(sf_dir: str):
     return pa.table({"n_embeddings": pa.array([cnt], type=pa.int64())})
 
 
+def _q_rapid_repeat_orders(sf_dir: str):
+    """Burst-ordering audit: same-customer order pairs ≤7 days apart with
+    exact cent deltas — customer-bucketed run expansion."""
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import (
+        rapid_repeat_orders,
+    )
+
+    return rapid_repeat_orders(sf_dir)
+
+
 def _q_kcenter_coreset(sf_dir: str):
     """Gonzalez k-center greedy coreset over embeddings (k=8), integer-
     quantized so the farthest-point argmax replays in SQL."""
@@ -3362,6 +3372,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "adamic_adar_copurchase": _q_adamic_adar,
         "kanonymity_customers": _q_kanonymity,
         "kcenter_coreset": _q_kcenter_coreset,
+        "rapid_repeat_orders": _q_rapid_repeat_orders,
         "kmv_overlap_daily": _q_kmv_overlap,
         "lsh_recall": _q_lsh_recall,
         "revenue_jackknife": _q_revenue_jackknife,
@@ -8300,6 +8311,20 @@ def oracle_sql() -> dict[str, str]:
             "FROM eu2 LEFT JOIN aa ON aa.u = eu2.src AND aa.v = eu2.dst"
         ),
         "kcenter_coreset": _kcenter_sql(),
+        "rapid_repeat_orders": (
+            # same-customer day-window self-join; exact cent deltas (both
+            # sides round x*100 — near-integer cents, no .5 boundary)
+            "SELECT a.o_orderkey AS o1, b.o_orderkey AS o2, "
+            "a.o_custkey AS custkey, "
+            "CAST(abs(epoch_us(a.o_orderdate) // 86400000000 - "
+            "epoch_us(b.o_orderdate) // 86400000000) AS BIGINT) AS day_gap, "
+            "CAST(abs(round(a.o_totalprice * 100) - "
+            "round(b.o_totalprice * 100)) AS BIGINT) AS cents_diff "
+            "FROM orders a JOIN orders b ON b.o_custkey = a.o_custkey "
+            "AND a.o_orderkey < b.o_orderkey "
+            "AND abs(epoch_us(a.o_orderdate) // 86400000000 - "
+            "epoch_us(b.o_orderdate) // 86400000000) <= 7"
+        ),
         "kanonymity_customers": (
             "WITH g AS (SELECT c_nationkey, c_mktsegment, count(*) AS c "
             "FROM customer GROUP BY 1, 2) "

@@ -8385,3 +8385,71 @@ def kanonymity_customers(sf_dir: str, k: int = 5):
             ),
         }
     )
+
+
+def rapid_repeat_orders(sf_dir: str, max_days: int = 7, num_buckets: int = 32):
+    """Burst-ordering / double-billing audit: pairs of orders by the SAME
+    customer placed within ``max_days`` of each other, with the exact cent
+    delta between their totals → (o1, o2, custkey, day_gap, cents_diff),
+    o1 < o2 — near-zero deltas at near-zero gaps are the replayed-ingest /
+    double-charge signature; the relational cousin of the text near-dup
+    family.
+
+    Scale shape: orders bucket by customer hash (ONE shuffle); pair
+    expansion is vectorized per bucket over customer-sorted runs — the
+    blowup is bounded by the max orders-per-customer in the window, not
+    the bucket size."""
+    from ..state.csr import flat_gather
+
+    orders = read_table(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"]
+    )
+
+    def _bucket(t: pa.Table) -> pa.Table:
+        c = t["o_custkey"].to_numpy().astype(np.int64)
+        day = t["o_orderdate"].to_numpy().astype("datetime64[D]").astype(np.int64)
+        cents = np.round(t["o_totalprice"].to_numpy() * 100).astype(np.int64)
+        return pa.table(
+            {
+                "b": (c % num_buckets).astype(np.int32),
+                "cust": c,
+                "okey": t["o_orderkey"].to_numpy().astype(np.int64),
+                "cents": cents,
+                "day": day,
+            }
+        )
+
+    def _pairs(g: pa.Table) -> pa.Table:
+        cust = g["cust"].to_numpy()
+        okey = g["okey"].to_numpy()
+        cents = g["cents"].to_numpy()
+        day = g["day"].to_numpy()
+        order = np.lexsort((okey, day, cust))
+        cu, ok, ce, dy = cust[order], okey[order], cents[order], day[order]
+        first = np.concatenate([[True], cu[1:] != cu[:-1]])
+        starts = np.flatnonzero(first)
+        counts = np.diff(np.concatenate([starts, [len(cu)]]))
+        cpe = np.repeat(counts, counts)
+        li = np.repeat(np.arange(len(cu)), cpe)
+        ri = flat_gather(np.repeat(starts, counts), cpe)
+        m = (ok[li] < ok[ri]) & (np.abs(dy[li] - dy[ri]) <= max_days)
+        li, ri = li[m], ri[m]
+        return pa.table(
+            {
+                "o1": pa.array(ok[li], pa.int64()),
+                "o2": pa.array(ok[ri], pa.int64()),
+                "custkey": pa.array(cu[li], pa.int64()),
+                "day_gap": pa.array(
+                    np.abs(dy[li] - dy[ri]).astype(np.int64), pa.int64()
+                ),
+                "cents_diff": pa.array(
+                    np.abs(ce[li] - ce[ri]).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return (
+        orders.map_batches(_bucket, batch_format="pyarrow")
+        .groupby("b")
+        .map_groups(_pairs, batch_format="pyarrow")
+    )

@@ -1078,3 +1078,44 @@ def test_kcenter_coreset_brute_force(ray_session):
     assert out["d2"][1:] == sorted(out["d2"][1:], reverse=True)
     out2 = kcenter_coreset(_emb_ds(M).repartition(7), k=k, scale=scale).to_pydict()
     assert out == out2
+
+
+def test_rapid_repeat_orders_golden(ray_session, tmp_path):
+    """Synthetic orders: pairs within the window (any price) are emitted
+    with exact cent deltas; cross-customer and out-of-window pairs are
+    not."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import (
+        rapid_repeat_orders,
+    )
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    t = pa.table(
+        {
+            "o_orderkey": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "o_custkey": pa.array([10, 10, 10, 20, 20], pa.int64()),
+            "o_totalprice": pa.array([100.00, 100.50, 90.00, 55.0, 55.0]),
+            "o_orderdate": pa.array(
+                np.array(
+                    ["2024-01-01", "2024-01-03", "2024-02-01",
+                     "2024-01-01", "2024-01-20"],
+                    dtype="datetime64[us]",
+                )
+            ),
+        }
+    )
+    pq.write_table(t, str(sf / "orders.parquet"))
+    out = (
+        rapid_repeat_orders(str(sf))
+        .to_pandas()
+        .sort_values(["o1", "o2"])
+        .reset_index(drop=True)
+    )
+    # only (1,2): same cust, 2 days apart, 50 cents delta; (1,3)/(2,3) are
+    # out of window; cust 20's orders are 19 days apart
+    assert out.to_dict("records") == [
+        {"o1": 1, "o2": 2, "custkey": 10, "day_gap": 2, "cents_diff": 50}
+    ]
