@@ -2874,6 +2874,24 @@ def _q_match_k4(sf_dir: str):
     return pa.table({"n_embeddings": pa.array([cnt], type=pa.int64())})
 
 
+def _q_orders_profile(sf_dir: str):
+    """Classic per-column profiler of orders (n, distinct, min, max as one
+    typed frame) — the unknown-table first scan."""
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import (
+        orders_profile,
+    )
+
+    return orders_profile(sf_dir)
+
+
+def _q_fd_audit(sf_dir: str):
+    """Functional-dependency violation audit over three cross-table
+    candidates (Metanome-style profiling)."""
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import fd_audit
+
+    return fd_audit(sf_dir)
+
+
 def _q_rapid_repeat_orders(sf_dir: str):
     """Burst-ordering audit: same-customer order pairs ≤7 days apart with
     exact cent deltas — customer-bucketed run expansion."""
@@ -3373,6 +3391,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kanonymity_customers": _q_kanonymity,
         "kcenter_coreset": _q_kcenter_coreset,
         "rapid_repeat_orders": _q_rapid_repeat_orders,
+        "orders_profile": _q_orders_profile,
+        "fd_audit": _q_fd_audit,
         "kmv_overlap_daily": _q_kmv_overlap,
         "lsh_recall": _q_lsh_recall,
         "revenue_jackknife": _q_revenue_jackknife,
@@ -7285,7 +7305,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM f GROUP BY 1"
         ),
         "late_shipment_rate": (
-            # Q12-shaped (priority plays shipmode's role — no l_shipmode in
+            # Q12-shaped (priority plays shipmode's role — no l_returnflag in
             # this schema); rate mirrors the engine's one final division
             "SELECT o_orderpriority, "
             "CAST(sum(CASE WHEN datediff('day', o_orderdate, l_shipdate) > 60 "
@@ -8311,6 +8331,47 @@ def oracle_sql() -> dict[str, str]:
             "FROM eu2 LEFT JOIN aa ON aa.u = eu2.src AND aa.v = eu2.dst"
         ),
         "kcenter_coreset": _kcenter_sql(),
+        "orders_profile": (
+            # per-column n/distinct/min/max normalized to DOUBLE (dates as
+            # epoch days); engine distinct = md5-free exact value dedup
+            "SELECT 'o_custkey' AS col, CAST(count(*) AS BIGINT) AS n_rows, "
+            "CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_distinct, "
+            "CAST(min(o_custkey) AS DOUBLE) AS min_val, "
+            "CAST(max(o_custkey) AS DOUBLE) AS max_val FROM orders "
+            "UNION ALL SELECT 'o_orderdate', count(*), "
+            "count(DISTINCT o_orderdate), "
+            "CAST(min(epoch_us(o_orderdate) // 86400000000) AS DOUBLE), "
+            "CAST(max(epoch_us(o_orderdate) // 86400000000) AS DOUBLE) "
+            "FROM orders "
+            "UNION ALL SELECT 'o_orderkey', count(*), "
+            "count(DISTINCT o_orderkey), CAST(min(o_orderkey) AS DOUBLE), "
+            "CAST(max(o_orderkey) AS DOUBLE) FROM orders "
+            "UNION ALL SELECT 'o_totalprice', count(*), "
+            "count(DISTINCT o_totalprice), CAST(min(o_totalprice) AS DOUBLE), "
+            "CAST(max(o_totalprice) AS DOUBLE) FROM orders"
+        ),
+        "fd_audit": (
+            # FD X→Y holds iff no X-group has 2 distinct Y; three candidate
+            # FDs unioned with literal labels (engine hashes string RHS —
+            # the stated md5 2^-64 caveat)
+            "WITH f1 AS (SELECT c_custkey AS l, "
+            "count(DISTINCT c_nationkey) AS c FROM customer GROUP BY 1), "
+            "f2 AS (SELECT o_custkey AS l, "
+            "count(DISTINCT o_orderpriority) AS c FROM orders GROUP BY 1), "
+            "f3 AS (SELECT l_orderkey AS l, "
+            "count(DISTINCT l_returnflag) AS c FROM lineitem GROUP BY 1) "
+            "SELECT 'c_custkey->c_nationkey' AS fd, "
+            "CAST(count(*) AS BIGINT) AS n_lhs, "
+            "CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_violating, "
+            "sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) = 0 AS holds FROM f1 "
+            "UNION ALL SELECT 'o_custkey->o_orderpriority', count(*), "
+            "sum(CASE WHEN c > 1 THEN 1 ELSE 0 END), "
+            "sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) = 0 FROM f2 "
+            "UNION ALL SELECT 'l_orderkey->l_returnflag', count(*), "
+            "sum(CASE WHEN c > 1 THEN 1 ELSE 0 END), "
+            "sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) = 0 FROM f3"
+        ),
         "rapid_repeat_orders": (
             # same-customer day-window self-join; exact cent deltas (both
             # sides round x*100 — near-integer cents, no .5 boundary)

@@ -4533,7 +4533,7 @@ def late_shipment_rate(sf_dir: str, late_days: int = 60, num_buckets: int = 32):
     """TPC-H-Q12-shaped conditional aggregate: per order priority, how many
     lineitems shipped more than ``late_days`` days after the order date →
     (o_orderpriority, n_late, n_lines, late_rate).  (This schema has no
-    l_shipmode, so priority plays Q12's shipmode role; the join + CASE-sum
+    l_returnflag, so priority plays Q12's shipmode role; the join + CASE-sum
     shape is what Q12 exercises — ``pregel_app_subgraph.h`` has no
     relational layer, this extends SURVEY §2.8's "ours adds" surface.)
 
@@ -8452,4 +8452,199 @@ def rapid_repeat_orders(sf_dir: str, max_days: int = 7, num_buckets: int = 32):
         orders.map_batches(_bucket, batch_format="pyarrow")
         .groupby("b")
         .map_groups(_pairs, batch_format="pyarrow")
+    )
+
+
+def orders_profile(sf_dir: str):
+    """Classic column profiler over the orders table → one row per column
+    (col, n_rows, n_distinct, min_val, max_val) — the first scan a data
+    engineer runs on an unknown table (key candidates, ranges, row
+    parity). Values are normalized to DOUBLE (dates as epoch days) so the
+    profile is one typed frame.
+
+    Scale shape: ONE pass emits per-batch (col, n, min, max) partials plus
+    per-batch-deduped (col, value) rows; distinct counts fold via a
+    (col, value) groupby then per-col partial sums — the exact
+    COUNT DISTINCT pushdown of distinct_users_daily, per column."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    orders = read_table(
+        sf_dir, "orders",
+        columns=["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"],
+    )
+
+    def _num(t: pa.Table) -> dict:
+        return {
+            "o_orderkey": t["o_orderkey"].to_numpy().astype(np.float64),
+            "o_custkey": t["o_custkey"].to_numpy().astype(np.float64),
+            "o_totalprice": t["o_totalprice"].to_numpy().astype(np.float64),
+            "o_orderdate": t["o_orderdate"]
+            .to_numpy()
+            .astype("datetime64[D]")
+            .astype(np.int64)
+            .astype(np.float64),
+        }
+
+    def _stats(t: pa.Table) -> pa.Table:
+        cols = _num(t)
+        names = sorted(cols)
+        return pa.table(
+            {
+                "col": pa.array(names, pa.string()),
+                "n": pa.array([len(cols[c]) for c in names], pa.int64()),
+                "mn": pa.array([float(cols[c].min()) for c in names]),
+                "mx": pa.array([float(cols[c].max()) for c in names]),
+            }
+        )
+
+    def _vals(t: pa.Table) -> pa.Table:
+        cols = _num(t)
+        names = sorted(cols)
+        out_c, out_v = [], []
+        for c in names:
+            u = np.unique(cols[c])
+            out_c.extend([c] * len(u))
+            out_v.append(u)
+        return pa.table(
+            {
+                "col": pa.array(out_c, pa.string()),
+                "v": np.concatenate(out_v) if out_v else np.array([], np.float64),
+            }
+        )
+
+    stats = (
+        orders.map_batches(_stats, batch_format="pyarrow")
+        .groupby("col")
+        .aggregate(
+            Sum("n", alias_name="n_rows"),
+            Min("mn", alias_name="min_val"),
+            Max("mx", alias_name="max_val"),
+        )
+        .to_pandas()
+        .set_index("col")
+    )
+
+    def _cnt(t: pa.Table) -> pa.Table:
+        c = t["col"].to_numpy(zero_copy_only=False)
+        u, counts = np.unique(c, return_counts=True)
+        return pa.table(
+            {"col": pa.array(list(u), pa.string()),
+             "d": pa.array(counts, pa.int64())}
+        )
+
+    nd = (
+        orders.map_batches(_vals, batch_format="pyarrow")
+        .groupby(["col", "v"])
+        .aggregate(Sum("v", alias_name="x"))  # dedupe (col, v)
+        .map_batches(_cnt, batch_format="pyarrow")
+        .groupby("col")
+        .aggregate(Sum("d", alias_name="n_distinct"))
+        .to_pandas()
+        .set_index("col")
+    )
+    names = sorted(stats.index)
+    return pa.table(
+        {
+            "col": pa.array(names, pa.string()),
+            "n_rows": pa.array(
+                [int(stats.loc[c, "n_rows"]) for c in names], pa.int64()
+            ),
+            "n_distinct": pa.array(
+                [int(nd.loc[c, "n_distinct"]) for c in names], pa.int64()
+            ),
+            "min_val": pa.array([float(stats.loc[c, "min_val"]) for c in names]),
+            "max_val": pa.array([float(stats.loc[c, "max_val"]) for c in names]),
+        }
+    )
+
+
+def fd_audit(sf_dir: str):
+    """Functional-dependency audit (the Metanome-style profiling check) →
+    one row per candidate FD (fd, n_lhs, n_violating, holds): an FD X→Y
+    holds iff no X-group contains two distinct Y values. Candidates span
+    the three base tables: c_custkey→c_nationkey (a key — must hold),
+    o_custkey→o_orderpriority and l_orderkey→l_returnflag (expected
+    violated — repeat customers change priority, multi-line orders mix
+    return flags).
+
+    Scale shape per FD: per-batch-deduped (lhs, rhs) pairs → ONE groupby
+    fold → per-batch partial (n_lhs, n_violating) counts — the exact
+    COUNT DISTINCT pushdown, then two numbers per block."""
+    from ray.data.aggregate import Sum
+
+    def _one(ds, lhs: str, rhs_key) -> tuple:
+        def _pairs(t: pa.Table) -> pa.Table:
+            a = t[lhs].to_numpy().astype(np.int64)
+            r = rhs_key(t)
+            order = np.lexsort((r, a))
+            a_s, r_s = a[order], r[order]
+            first = np.ones(len(a_s), bool)
+            first[1:] = (a_s[1:] != a_s[:-1]) | (r_s[1:] != r_s[:-1])
+            return pa.table({"l": a_s[first], "r": r_s[first]})
+
+        def _cnt(t: pa.Table) -> pa.Table:
+            l = t["l"].to_numpy()
+            u, counts = np.unique(l, return_counts=True)
+            return pa.table(
+                {
+                    "n_lhs": pa.array([len(u)], pa.int64()),
+                    "n_viol": pa.array([int((counts > 1).sum())], pa.int64()),
+                }
+            )
+
+        def _lpart(t: pa.Table) -> pa.Table:
+            l = t["l"].to_numpy()
+            u, counts = np.unique(l, return_counts=True)
+            return pa.table({"l": u, "c": pa.array(counts, pa.int64())})
+
+        def _fold(t: pa.Table) -> pa.Table:
+            c = t["c"].to_numpy()
+            return pa.table(
+                {
+                    "n_lhs": pa.array([len(c)], pa.int64()),
+                    "n_viol": pa.array([int((c > 1).sum())], pa.int64()),
+                }
+            )
+
+        parts = (
+            ds.map_batches(_pairs, batch_format="pyarrow")
+            .groupby(["l", "r"])
+            .aggregate(Sum("l", alias_name="x"))  # dedupe pairs
+            .map_batches(_lpart, batch_format="pyarrow")
+            .groupby("l")
+            .aggregate(Sum("c", alias_name="c"))
+            .map_batches(_fold, batch_format="pyarrow")
+            .to_pandas()
+        )
+        return int(parts["n_lhs"].sum()), int(parts["n_viol"].sum())
+
+    def _strkey(col):
+        def _k(t: pa.Table) -> np.ndarray:
+            # hash the STRING so rhs codes are global across batches (the
+            # stated md5-collision caveat applies, 2^-64)
+            from ..functions.hashing import md5_lower64
+
+            s = t[col].to_numpy(zero_copy_only=False)
+            return md5_lower64(s.astype(str)).view(np.int64)
+
+        return _k
+
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_orderpriority"])
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_returnflag"])
+    rows = [
+        ("c_custkey->c_nationkey",
+         *_one(cust, "c_custkey", lambda t: t["c_nationkey"].to_numpy().astype(np.int64))),
+        ("o_custkey->o_orderpriority",
+         *_one(orders, "o_custkey", _strkey("o_orderpriority"))),
+        ("l_orderkey->l_returnflag",
+         *_one(li, "l_orderkey", _strkey("l_returnflag"))),
+    ]
+    return pa.table(
+        {
+            "fd": pa.array([r[0] for r in rows], pa.string()),
+            "n_lhs": pa.array([r[1] for r in rows], pa.int64()),
+            "n_violating": pa.array([r[2] for r in rows], pa.int64()),
+            "holds": pa.array([r[2] == 0 for r in rows], pa.bool_()),
+        }
     )

@@ -1119,3 +1119,21 @@ def test_rapid_repeat_orders_golden(ray_session, tmp_path):
     assert out.to_dict("records") == [
         {"o1": 1, "o2": 2, "custkey": 10, "day_gap": 2, "cents_diff": 50}
     ]
+
+
+def test_profile_and_fd_audit_invariants(ray_session):
+    """Profiler: key column has n_distinct == n_rows; date range sane.
+    FD audit: the key FD holds, the known-violated ones do not, and
+    n_violating ≤ n_lhs."""
+    import __ray_entry__ as entry
+
+    SF = "/root/testdata/sf0.001"
+    p = entry.queries()["orders_profile"](SF).to_pandas().set_index("col")
+    assert p.loc["o_orderkey", "n_distinct"] == p.loc["o_orderkey", "n_rows"]
+    assert p.loc["o_orderdate", "min_val"] <= p.loc["o_orderdate", "max_val"]
+    assert (p["n_distinct"] <= p["n_rows"]).all()
+
+    fd = entry.queries()["fd_audit"](SF).to_pandas().set_index("fd")
+    assert bool(fd.loc["c_custkey->c_nationkey", "holds"])
+    assert not bool(fd.loc["o_custkey->o_orderpriority", "holds"])
+    assert (fd["n_violating"] <= fd["n_lhs"]).all()
