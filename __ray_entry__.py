@@ -2874,6 +2874,13 @@ def _q_match_k4(sf_dir: str):
     return pa.table({"n_embeddings": pa.array([cnt], type=pa.int64())})
 
 
+def _q_ucc_audit(sf_dir: str):
+    """Unique-column-combination audit (Metanome UCC) over orders."""
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import ucc_audit
+
+    return ucc_audit(sf_dir)
+
+
 def _q_orders_profile(sf_dir: str):
     """Classic per-column profiler of orders (n, distinct, min, max as one
     typed frame) — the unknown-table first scan."""
@@ -3393,6 +3400,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rapid_repeat_orders": _q_rapid_repeat_orders,
         "orders_profile": _q_orders_profile,
         "fd_audit": _q_fd_audit,
+        "ucc_audit": _q_ucc_audit,
         "kmv_overlap_daily": _q_kmv_overlap,
         "lsh_recall": _q_lsh_recall,
         "revenue_jackknife": _q_revenue_jackknife,
@@ -8349,6 +8357,28 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL SELECT 'o_totalprice', count(*), "
             "count(DISTINCT o_totalprice), CAST(min(o_totalprice) AS DOUBLE), "
             "CAST(max(o_totalprice) AS DOUBLE) FROM orders"
+        ),
+        "ucc_audit": (
+            # distinct over normalized int values (dates → epoch days,
+            # prices → exact cents) per candidate combo
+            "WITH n AS (SELECT count(*) AS r FROM orders) "
+            "SELECT 'o_custkey' AS combo, CAST(n.r AS BIGINT) AS n_rows, "
+            "CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_distinct, "
+            "count(DISTINCT o_custkey) = n.r AS is_unique "
+            "FROM orders, n GROUP BY n.r "
+            "UNION ALL SELECT 'o_custkey,o_orderdate', n.r, "
+            "count(DISTINCT (o_custkey, epoch_us(o_orderdate) // 86400000000)), "
+            "count(DISTINCT (o_custkey, epoch_us(o_orderdate) // 86400000000)) "
+            "= n.r FROM orders, n GROUP BY n.r "
+            "UNION ALL SELECT 'o_custkey,o_totalprice', n.r, "
+            "count(DISTINCT (o_custkey, "
+            "CAST(round(o_totalprice * 100) AS BIGINT))), "
+            "count(DISTINCT (o_custkey, "
+            "CAST(round(o_totalprice * 100) AS BIGINT))) = n.r "
+            "FROM orders, n GROUP BY n.r "
+            "UNION ALL SELECT 'o_orderdate', n.r, "
+            "count(DISTINCT o_orderdate), count(DISTINCT o_orderdate) = n.r "
+            "FROM orders, n GROUP BY n.r"
         ),
         "fd_audit": (
             # FD X→Y holds iff no X-group has 2 distinct Y; three candidate

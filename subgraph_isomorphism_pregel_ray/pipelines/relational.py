@@ -8648,3 +8648,91 @@ def fd_audit(sf_dir: str):
             "holds": pa.array([r[2] == 0 for r in rows], pa.bool_()),
         }
     )
+
+
+def ucc_audit(sf_dir: str):
+    """Unique-column-combination audit over orders (the third Metanome
+    profiling primitive, next to FD — :func:`fd_audit` — and IND —
+    ``fk_integrity``) → one row per candidate combo
+    (combo, n_rows, n_distinct, is_unique): which column sets could serve
+    as a key. Candidates: custkey, orderdate, (custkey, orderdate),
+    (custkey, totalprice).
+
+    Scale shape: values normalize to int64 (dates as epoch days, prices
+    as exact cents), combos pack into one int64 key, per-batch key dedup
+    pushes the distinct down, ONE groupby per combo folds, per-batch
+    partial counts cross the exchange."""
+    from ray.data.aggregate import Sum
+
+    orders = read_table(
+        sf_dir, "orders", columns=["o_custkey", "o_orderdate", "o_totalprice"]
+    )
+
+    def _keys(t: pa.Table) -> dict:
+        c = t["o_custkey"].to_numpy().astype(np.int64)
+        d = t["o_orderdate"].to_numpy().astype("datetime64[D]").astype(np.int64)
+        p = np.round(t["o_totalprice"].to_numpy() * 100).astype(np.int64)
+        return {
+            "o_custkey": c,
+            "o_orderdate": d,
+            "o_custkey,o_orderdate": (c << np.int64(32)) | d,
+            "o_custkey,o_totalprice": (c << np.int64(32)) | p,
+        }
+
+    names = [
+        "o_custkey",
+        "o_orderdate",
+        "o_custkey,o_orderdate",
+        "o_custkey,o_totalprice",
+    ]
+
+    def _partial(t: pa.Table) -> pa.Table:
+        ks = _keys(t)
+        combo, key, n = [], [], []
+        for i, name in enumerate(names):
+            u = np.unique(ks[name])
+            combo.extend([i] * len(u))
+            key.append(u)
+            n.append(len(ks[name]))
+        return pa.table(
+            {
+                "combo": pa.array(combo, pa.int64()),
+                "key": np.concatenate(key),
+            }
+        )
+
+    def _rows(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"n": pa.array([t.num_rows], pa.int64())}
+        )
+
+    n_rows = int(
+        orders.map_batches(_rows, batch_format="pyarrow").to_pandas()["n"].sum()
+    )
+
+    def _cnt(t: pa.Table) -> pa.Table:
+        c = t["combo"].to_numpy()
+        u, counts = np.unique(c, return_counts=True)
+        return pa.table(
+            {"combo": u.astype(np.int64), "d": pa.array(counts, pa.int64())}
+        )
+
+    nd = (
+        orders.map_batches(_partial, batch_format="pyarrow")
+        .groupby(["combo", "key"])
+        .aggregate(Sum("key", alias_name="x"))  # dedupe (combo, key)
+        .map_batches(_cnt, batch_format="pyarrow")
+        .groupby("combo")
+        .aggregate(Sum("d", alias_name="n_distinct"))
+        .to_pandas()
+        .set_index("combo")
+    )
+    dist = [int(nd.loc[i, "n_distinct"]) for i in range(len(names))]
+    return pa.table(
+        {
+            "combo": pa.array(names, pa.string()),
+            "n_rows": pa.array([n_rows] * len(names), pa.int64()),
+            "n_distinct": pa.array(dist, pa.int64()),
+            "is_unique": pa.array([d == n_rows for d in dist], pa.bool_()),
+        }
+    )

@@ -1137,3 +1137,20 @@ def test_profile_and_fd_audit_invariants(ray_session):
     assert bool(fd.loc["c_custkey->c_nationkey", "holds"])
     assert not bool(fd.loc["o_custkey->o_orderpriority", "holds"])
     assert (fd["n_violating"] <= fd["n_lhs"]).all()
+
+
+def test_ucc_audit_invariants(ray_session):
+    import __ray_entry__ as entry
+
+    out = (
+        entry.queries()["ucc_audit"]("/root/testdata/sf0.001")
+        .to_pandas()
+        .set_index("combo")
+    )
+    assert (out["n_distinct"] <= out["n_rows"]).all()
+    # a superset combo is at least as distinct as its subset
+    assert (
+        out.loc["o_custkey,o_orderdate", "n_distinct"]
+        >= out.loc["o_custkey", "n_distinct"]
+    )
+    assert out["is_unique"].equals(out["n_distinct"] == out["n_rows"])
