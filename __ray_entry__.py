@@ -2874,6 +2874,16 @@ def _q_match_k4(sf_dir: str):
     return pa.table({"n_embeddings": pa.array([cnt], type=pa.int64())})
 
 
+def _q_edge_backbone(sf_dir: str):
+    """Top-k-per-vertex strongest-edge backbone of the weighted
+    co-purchase graph (k=5, union semantics)."""
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import (
+        edge_backbone,
+    )
+
+    return edge_backbone(sf_dir, k=5)
+
+
 def _q_ucc_audit(sf_dir: str):
     """Unique-column-combination audit (Metanome UCC) over orders."""
     from subgraph_isomorphism_pregel_ray.pipelines.relational import ucc_audit
@@ -3401,6 +3411,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_profile": _q_orders_profile,
         "fd_audit": _q_fd_audit,
         "ucc_audit": _q_ucc_audit,
+        "edge_backbone": _q_edge_backbone,
         "kmv_overlap_daily": _q_kmv_overlap,
         "lsh_recall": _q_lsh_recall,
         "revenue_jackknife": _q_revenue_jackknife,
@@ -8357,6 +8368,22 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL SELECT 'o_totalprice', count(*), "
             "count(DISTINCT o_totalprice), CAST(min(o_totalprice) AS DOUBLE), "
             "CAST(max(o_totalprice) AS DOUBLE) FROM orders"
+        ),
+        "edge_backbone": (
+            # per-direction top-k by (w DESC, dst) over the symmetric
+            # weighted edges; canonical pairs fold direction counts
+            "WITH we AS MATERIALIZED (SELECT a.l_partkey AS src, "
+            "b.l_partkey AS dst, count(DISTINCT a.l_orderkey) AS w "
+            "FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey "
+            "WHERE a.l_partkey < b.l_partkey GROUP BY 1, 2), "
+            "sym AS (SELECT src, dst, w FROM we "
+            "UNION ALL SELECT dst, src, w FROM we), "
+            "r AS (SELECT *, row_number() OVER (PARTITION BY src "
+            "ORDER BY w DESC, dst) AS rn FROM sym), "
+            "kept AS (SELECT least(src, dst) AS u, greatest(src, dst) AS v, "
+            "w FROM r WHERE rn <= 5) "
+            "SELECT u AS src, v AS dst, CAST(min(w) AS BIGINT) AS n_orders, "
+            "CAST(count(*) AS BIGINT) AS n_directions FROM kept GROUP BY 1, 2"
         ),
         "ucc_audit": (
             # distinct over normalized int values (dates → epoch days,

@@ -1154,3 +1154,29 @@ def test_ucc_audit_invariants(ray_session):
         >= out.loc["o_custkey", "n_distinct"]
     )
     assert out["is_unique"].equals(out["n_distinct"] == out["n_rows"])
+
+
+def test_edge_backbone_invariants(ray_session):
+    """Union-of-top-k semantics: ≤ k·V edges survive, every vertex with
+    any edge keeps ≥1 incident edge, n_directions ∈ {1,2}, and the kept
+    set is a subset of the full weighted edge set."""
+    import duckdb
+
+    import __ray_entry__ as entry
+
+    SF = "/root/testdata/sf0.001"
+    out = entry.queries()["edge_backbone"](SF).to_pandas()
+    full = duckdb.sql(
+        "SELECT a.l_partkey AS src, b.l_partkey AS dst "
+        f"FROM '{SF}/lineitem.parquet' a JOIN '{SF}/lineitem.parquet' b "
+        "ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey "
+        "GROUP BY 1, 2"
+    ).df()
+    verts = set(full["src"]) | set(full["dst"])
+    assert len(out) <= 5 * len(verts)
+    assert set(out["n_directions"].unique()) <= {1, 2}
+    kept_pairs = set(zip(out["src"], out["dst"]))
+    full_pairs = set(zip(full["src"], full["dst"]))
+    assert kept_pairs <= full_pairs
+    covered = set(out["src"]) | set(out["dst"])
+    assert covered == verts  # union semantics orphan nobody
