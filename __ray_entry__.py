@@ -2874,6 +2874,16 @@ def _q_match_k4(sf_dir: str):
     return pa.table({"n_embeddings": pa.array([cnt], type=pa.int64())})
 
 
+def _q_disparity_filter(sf_dir: str):
+    """Serrano-2009 disparity-filter backbone (α=0.05) — locally
+    significant edges; zero-join per-bucket stats."""
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import (
+        disparity_filter,
+    )
+
+    return disparity_filter(sf_dir)
+
+
 def _q_edge_backbone(sf_dir: str):
     """Top-k-per-vertex strongest-edge backbone of the weighted
     co-purchase graph (k=5, union semantics)."""
@@ -3412,6 +3422,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fd_audit": _q_fd_audit,
         "ucc_audit": _q_ucc_audit,
         "edge_backbone": _q_edge_backbone,
+        "disparity_filter": _q_disparity_filter,
         "kmv_overlap_daily": _q_kmv_overlap,
         "lsh_recall": _q_lsh_recall,
         "revenue_jackknife": _q_revenue_jackknife,
@@ -8368,6 +8379,25 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL SELECT 'o_totalprice', count(*), "
             "count(DISTINCT o_totalprice), CAST(min(o_totalprice) AS DOUBLE), "
             "CAST(max(o_totalprice) AS DOUBLE) FROM orders"
+        ),
+        "disparity_filter": (
+            # p = (1 − w/s)^(k−1) per direction with per-vertex (s, k) from
+            # the same symmetric rows; keep on the ROUNDED p (tau posture);
+            # numpy power and DuckDB power share libm on this platform
+            "WITH we AS MATERIALIZED (SELECT a.l_partkey AS src, "
+            "b.l_partkey AS dst, count(DISTINCT a.l_orderkey) AS w "
+            "FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey "
+            "WHERE a.l_partkey < b.l_partkey GROUP BY 1, 2), "
+            "sym AS MATERIALIZED (SELECT src, dst, w FROM we "
+            "UNION ALL SELECT dst, src, w FROM we), "
+            "st AS MATERIALIZED (SELECT src, CAST(sum(w) AS DOUBLE) AS s, "
+            "count(*) AS k FROM sym GROUP BY 1), "
+            "p AS (SELECT least(sym.src, sym.dst) AS u, "
+            "greatest(sym.src, sym.dst) AS v, sym.w, "
+            "round(power(1.0 - sym.w / st.s, st.k - 1.0), 6) AS p "
+            "FROM sym JOIN st ON st.src = sym.src) "
+            "SELECT u AS src, v AS dst, CAST(min(w) AS BIGINT) AS n_orders, "
+            "min(p) AS p_min, min(p) < 0.05 AS keep FROM p GROUP BY 1, 2"
         ),
         "edge_backbone": (
             # per-direction top-k by (w DESC, dst) over the symmetric

