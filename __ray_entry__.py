@@ -2874,6 +2874,19 @@ def _q_match_k4(sf_dir: str):
     return pa.table({"n_embeddings": pa.array([cnt], type=pa.int64())})
 
 
+def _q_source_centroid_shift(sf_dir: str):
+    """Per-source embedding-centroid L2 drift from the corpus centroid
+    (doc_id ↔ vec_id cross-modal join)."""
+    from subgraph_isomorphism_pregel_ray.pipelines.similarity import (
+        source_centroid_shift,
+    )
+    from subgraph_isomorphism_pregel_ray.sources.tables import read_table
+
+    return source_centroid_shift(
+        _emb(sf_dir), read_table(sf_dir, "documents", columns=["doc_id", "source"])
+    )
+
+
 def _q_dow_seasonal(sf_dir: str):
     """Ratio-to-centered-7-day-MA weekly seasonal indices of the daily
     event count series."""
@@ -3434,6 +3447,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "edge_backbone": _q_edge_backbone,
         "disparity_filter": _q_disparity_filter,
         "dow_seasonal_index": _q_dow_seasonal,
+        "source_centroid_shift": _q_source_centroid_shift,
         "kmv_overlap_daily": _q_kmv_overlap,
         "lsh_recall": _q_lsh_recall,
         "revenue_jackknife": _q_revenue_jackknife,
@@ -8390,6 +8404,23 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL SELECT 'o_totalprice', count(*), "
             "count(DISTINCT o_totalprice), CAST(min(o_totalprice) AS DOUBLE), "
             "CAST(max(o_totalprice) AS DOUBLE) FROM orders"
+        ),
+        "source_centroid_shift": (
+            # centroids as Σ/n per (source, dim); the corpus centroid is
+            # the same sums' grand fold — one shared operand tree
+            "WITH j AS (SELECT d.source, e.embedding FROM embeddings e "
+            "JOIN documents d ON d.doc_id = e.vec_id), "
+            "x AS (SELECT source, generate_subscripts(embedding, 1) - 1 "
+            "AS dim, CAST(unnest(embedding) AS DOUBLE) AS v FROM j), "
+            "sc AS (SELECT source, dim, sum(v) AS s, count(*) AS n FROM x "
+            "GROUP BY 1, 2), "
+            "tot AS (SELECT dim, sum(s) AS s, sum(n) AS n FROM sc GROUP BY 1), "
+            "dist AS (SELECT sc.source, "
+            "sum((sc.s / sc.n - tot.s / tot.n) * "
+            "(sc.s / sc.n - tot.s / tot.n)) AS d2, max(sc.n) AS n "
+            "FROM sc JOIN tot USING (dim) GROUP BY 1) "
+            "SELECT source, CAST(n AS BIGINT) AS n_docs, "
+            "round(sqrt(d2), 6) AS centroid_shift FROM dist"
         ),
         "dow_seasonal_index": (
             # centered 7-day MA over the DENSE day series (missing days 0,

@@ -1036,3 +1036,96 @@ def kcenter_coreset(emb_ds, k: int = 8, scale: int = 10_000):
             "d2": pa.array([d for _, _, d in out], pa.int64()),
         }
     )
+
+
+def source_centroid_shift(emb_ds, docs_ds, num_partitions: int = 8,
+                          round_to: int = 6):
+    """Cross-modal domain-shift monitor → per source
+    (source, n_docs, centroid_shift): the L2 distance between each
+    source's embedding centroid and the corpus centroid, exploiting the
+    doc_id ↔ vec_id linkage — a source whose centroid drifts is the crawl
+    slice whose content distribution moved (run per snapshot, alert on
+    the delta).
+
+    Scale shape: ONE bucketed Dataset.join routes (vec_id → source);
+    per-batch (source, dim, Σv, n) partials mean the exchange carries
+    O(sources × d) numbers per block, never a vector; centroids fold from
+    ONE groupby; the corpus centroid is the same partials' grand fold, so
+    both sides of the difference share one operand tree with the SQL
+    oracle."""
+    from ray.data.aggregate import Sum
+
+    def _keyed_docs(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "vec_id": t["doc_id"].to_numpy().astype(np.int64),
+                "source": t["source"],
+            }
+        )
+
+    def _keyed_emb(t: pa.Table) -> pa.Table:
+        # acero joins reject list<float> payloads — ship float32 bytes
+        M = np.stack(t["embedding"].to_pandas().to_numpy()).astype(np.float32)
+        return pa.table(
+            {
+                "vec_id": t["vec_id"].to_numpy().astype(np.int64),
+                "emb": pa.array([row.tobytes() for row in M], pa.binary()),
+            }
+        )
+
+    joined = emb_ds.map_batches(_keyed_emb, batch_format="pyarrow").join(
+        docs_ds.map_batches(_keyed_docs, batch_format="pyarrow"),
+        "inner",
+        num_partitions,
+        on=("vec_id",),
+    )
+
+    def _partials(t: pa.Table) -> pa.Table:
+        src = t["source"].to_numpy(zero_copy_only=False)
+        M = np.stack(
+            [np.frombuffer(b, dtype=np.float32) for b in t["emb"].to_pylist()]
+        ).astype(np.float64)
+        d = M.shape[1]
+        names, inv = np.unique(src, return_inverse=True)
+        sums = np.zeros((len(names), d))
+        np.add.at(sums, inv, M)
+        cnt = np.bincount(inv, minlength=len(names))
+        out_src, out_dim, out_s, out_n = [], [], [], []
+        for i, name in enumerate(names):
+            out_src.extend([name] * d)
+            out_dim.extend(range(d))
+            out_s.extend(sums[i].tolist())
+            out_n.extend([int(cnt[i])] * d)
+        return pa.table(
+            {
+                "source": pa.array(out_src, pa.string()),
+                "dim": pa.array(out_dim, pa.int64()),
+                "s": pa.array(out_s, pa.float64()),
+                "n": pa.array(out_n, pa.int64()),
+            }
+        )
+
+    sc = (
+        joined.map_batches(_partials, batch_format="pyarrow")
+        .groupby(["source", "dim"])
+        .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n"))
+        .to_pandas()  # sources × d rows — bounded
+    )
+    tot = sc.groupby("dim").agg(s=("s", "sum"), n=("n", "sum"))
+    out_src, out_n, out_d = [], [], []
+    for src, g in sc.groupby("source", sort=True):
+        g = g.sort_values("dim")
+        mu = g["s"].to_numpy() / g["n"].to_numpy()
+        t = tot.loc[g["dim"].to_numpy()]
+        mu_tot = t["s"].to_numpy() / t["n"].to_numpy()
+        d2 = ((mu - mu_tot) * (mu - mu_tot)).sum()
+        out_src.append(src)
+        out_n.append(int(g["n"].iloc[0]))
+        out_d.append(float(round_half_away(np.sqrt(d2), round_to)))
+    return pa.table(
+        {
+            "source": pa.array(out_src, pa.string()),
+            "n_docs": pa.array(out_n, pa.int64()),
+            "centroid_shift": pa.array(out_d, pa.float64()),
+        }
+    )

@@ -1203,3 +1203,14 @@ def test_dow_seasonal_index_invariants(ray_session):
     assert len(out) == 7
     assert abs(out["seasonal_index"].mean() - 1.0) < 0.1
     assert (out["n_days"] >= 1).all()
+
+
+def test_source_centroid_shift_invariants(ray_session):
+    """Every source present, n_docs sums to the embedding count, shifts
+    are positive and bounded by 2 (unit-norm vectors)."""
+    import __ray_entry__ as entry
+
+    out = entry.queries()["source_centroid_shift"]("/root/testdata/sf0.001").to_pandas()
+    assert out["n_docs"].sum() == 500
+    assert len(out) == 20
+    assert ((out["centroid_shift"] > 0) & (out["centroid_shift"] < 2)).all()
