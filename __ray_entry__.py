@@ -2874,6 +2874,19 @@ def _q_match_k4(sf_dir: str):
     return pa.table({"n_embeddings": pa.array([cnt], type=pa.int64())})
 
 
+def _q_knn_source_purity(sf_dir: str):
+    """Per-source k-NN purity (fraction of k=5 nearest neighbors sharing
+    the source) — embedding-space separability audit."""
+    from subgraph_isomorphism_pregel_ray.pipelines.similarity import (
+        knn_source_purity,
+    )
+    from subgraph_isomorphism_pregel_ray.sources.tables import read_table
+
+    return knn_source_purity(
+        _emb(sf_dir), read_table(sf_dir, "documents", columns=["doc_id", "source"])
+    )
+
+
 def _q_source_centroid_shift(sf_dir: str):
     """Per-source embedding-centroid L2 drift from the corpus centroid
     (doc_id ↔ vec_id cross-modal join)."""
@@ -3448,6 +3461,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "disparity_filter": _q_disparity_filter,
         "dow_seasonal_index": _q_dow_seasonal,
         "source_centroid_shift": _q_source_centroid_shift,
+        "knn_source_purity": _q_knn_source_purity,
         "kmv_overlap_daily": _q_kmv_overlap,
         "lsh_recall": _q_lsh_recall,
         "revenue_jackknife": _q_revenue_jackknife,
@@ -8404,6 +8418,25 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL SELECT 'o_totalprice', count(*), "
             "count(DISTINCT o_totalprice), CAST(min(o_totalprice) AS DOUBLE), "
             "CAST(max(o_totalprice) AS DOUBLE) FROM orders"
+        ),
+        "knn_source_purity": (
+            # the knn_label_vote ranking (rounded cos DESC, nbr_id) with
+            # source agreement instead of the label vote
+            "WITH s AS (SELECT a.vec_id, b.vec_id AS nbr_id, "
+            "round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+            "CAST(b.embedding AS DOUBLE[])), 6) AS cos "
+            "FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id), "
+            "r AS (SELECT *, row_number() OVER (PARTITION BY vec_id "
+            "ORDER BY cos DESC, nbr_id) AS rank FROM s), "
+            "p AS (SELECT r.vec_id, "
+            "sum(CASE WHEN dn.source = dq.source THEN 1 ELSE 0 END) / 5 "
+            "AS share FROM r JOIN documents dn ON dn.doc_id = r.nbr_id "
+            "JOIN documents dq ON dq.doc_id = r.vec_id "
+            "WHERE r.rank <= 5 GROUP BY 1), "
+            "j AS (SELECT dq.source, p.share FROM p "
+            "JOIN documents dq ON dq.doc_id = p.vec_id) "
+            "SELECT source, CAST(count(*) AS BIGINT) AS n_vecs, "
+            "round(sum(share) / count(*), 6) AS purity FROM j GROUP BY 1"
         ),
         "source_centroid_shift": (
             # centroids as Σ/n per (source, dim); the corpus centroid is

@@ -1129,3 +1129,106 @@ def source_centroid_shift(emb_ds, docs_ds, num_partitions: int = 8,
             "centroid_shift": pa.array(out_d, pa.float64()),
         }
     )
+
+
+def knn_source_purity(emb_ds, docs_ds, k: int = 5, round_to: int = 6):
+    """Embedding-space source-separability audit → per source
+    (source, n_vecs, purity): the mean over a source's vectors of the
+    fraction of their k nearest neighbors (rounded-cosine rank, nbr_id
+    tiebreak — the knn_graph ordering) sharing the SAME source. Purity ≈
+    1/|sources| means sources are geometrically indistinguishable
+    (healthy for a general corpus); a high-purity source is a distinct
+    domain — the cross-modal twin of :func:`source_centroid_shift`.
+
+    Scale shape: the knn_label_vote layout — the normalized corpus matrix
+    assembled in a task and broadcast once, the doc_id→source map
+    broadcast alongside it (the declared ≤10⁶-vector bound of the exact
+    kNN family), per-batch matmul + top-k + per-source share partials,
+    one tiny groupby fold."""
+    import ray as _ray
+
+    from ray.data.aggregate import Sum
+
+    ref = _assemble_matrix.remote(*emb_ds.to_arrow_refs())
+
+    def _src_map(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].to_numpy().astype(np.int64),
+                "source": t["source"],
+            }
+        )
+
+    smap = docs_ds.map_batches(_src_map, batch_format="pyarrow").to_pandas()
+    smap = smap.sort_values("doc_id")
+    sm_ids = smap["doc_id"].to_numpy()
+    sm_src = smap["source"].to_numpy()
+    sref = _ray.put((sm_ids, sm_src))
+
+    class _Purity:
+        def __init__(self, r, s):
+            self.ids, self.M = _ray.get(r)
+            self.sm_ids, self.sm_src = _ray.get(s)
+
+        def _src(self, vids):
+            pos = np.searchsorted(self.sm_ids, vids)
+            return self.sm_src[pos]
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            vids = batch["vec_id"].to_numpy().astype(np.int64)
+            if len(vids) == 0:
+                return pa.table(
+                    {
+                        "source": pa.array([], pa.string()),
+                        "n": pa.array([], pa.int64()),
+                        "s": pa.array([], pa.float64()),
+                    }
+                )
+            B = _norm_rows(
+                np.stack(batch["embedding"].to_pandas().to_numpy()).astype(
+                    np.float64
+                )
+            )
+            cos6 = round_half_away(B @ self.M.T, 6)
+            own = self._src(vids)
+            shares = np.empty(len(vids), np.float64)
+            for i, vid in enumerate(vids):
+                c = cos6[i]
+                idx = np.nonzero(self.ids != vid)[0]
+                order = np.lexsort((self.ids[idx], -c[idx]))[:k]
+                nbr_src = self._src(self.ids[idx[order]])
+                shares[i] = int((nbr_src == own[i]).sum()) / k
+            names, inv = np.unique(own, return_inverse=True)
+            n = np.bincount(inv, minlength=len(names)).astype(np.int64)
+            s = np.zeros(len(names))
+            np.add.at(s, inv, shares)
+            return pa.table(
+                {
+                    "source": pa.array(list(names), pa.string()),
+                    "n": n,
+                    "s": s,
+                }
+            )
+
+    agg = (
+        emb_ds.map_batches(
+            _Purity,
+            fn_constructor_args=(ref, sref),
+            batch_format="pyarrow",
+            batch_size=1024,
+            concurrency=(1, 8),
+        )
+        .groupby("source")
+        .aggregate(Sum("n", alias_name="n_vecs"), Sum("s", alias_name="s"))
+        .to_pandas()
+        .sort_values("source")
+    )
+    return pa.table(
+        {
+            "source": pa.array(agg["source"].tolist(), pa.string()),
+            "n_vecs": agg["n_vecs"].to_numpy().astype(np.int64),
+            "purity": round_half_away(
+                agg["s"].to_numpy() / agg["n_vecs"].to_numpy(), round_to
+            ),
+        }
+    )

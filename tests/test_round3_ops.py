@@ -1214,3 +1214,15 @@ def test_source_centroid_shift_invariants(ray_session):
     assert out["n_docs"].sum() == 500
     assert len(out) == 20
     assert ((out["centroid_shift"] > 0) & (out["centroid_shift"] < 2)).all()
+
+
+def test_knn_source_purity_baseline(ray_session):
+    """With 20 source-agnostic synthetic embeddings the purity sits at the
+    1/|sources| random baseline; coverage and bounds hold."""
+    import __ray_entry__ as entry
+
+    out = entry.queries()["knn_source_purity"]("/root/testdata/sf0.001").to_pandas()
+    assert len(out) == 20
+    assert out["n_vecs"].sum() == 500
+    assert ((out["purity"] >= 0) & (out["purity"] <= 1)).all()
+    assert abs(out["purity"].mean() - 0.05) < 0.04  # ≈ 1/20 baseline
