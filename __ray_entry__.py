@@ -2874,6 +2874,19 @@ def _q_match_k4(sf_dir: str):
     return pa.table({"n_embeddings": pa.array([cnt], type=pa.int64())})
 
 
+def _q_quality_geometry_corr(sf_dir: str):
+    """Pearson r between per-doc LM cross-entropy and embedding
+    Mahalanobis distance — does geometry encode quality?"""
+    from subgraph_isomorphism_pregel_ray.pipelines.similarity import (
+        quality_geometry_corr,
+    )
+    from subgraph_isomorphism_pregel_ray.sources.tables import read_table
+
+    return quality_geometry_corr(
+        _emb(sf_dir), read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    )
+
+
 def _q_knn_source_purity(sf_dir: str):
     """Per-source k-NN purity (fraction of k=5 nearest neighbors sharing
     the source) — embedding-space separability audit."""
@@ -3462,6 +3475,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dow_seasonal_index": _q_dow_seasonal,
         "source_centroid_shift": _q_source_centroid_shift,
         "knn_source_purity": _q_knn_source_purity,
+        "quality_geometry_corr": _q_quality_geometry_corr,
         "kmv_overlap_daily": _q_kmv_overlap,
         "lsh_recall": _q_lsh_recall,
         "revenue_jackknife": _q_revenue_jackknife,
@@ -8418,6 +8432,37 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL SELECT 'o_totalprice', count(*), "
             "count(DISTINCT o_totalprice), CAST(min(o_totalprice) AS DOUBLE), "
             "CAST(max(o_totalprice) AS DOUBLE) FROM orders"
+        ),
+        "quality_geometry_corr": (
+            # compose the doc_cross_entropy and embedding_outliers score
+            # CTEs (both ROUND-6, the same values their own oracles check),
+            # join on doc_id ↔ vec_id, fold float Pearson moments
+            f"WITH tok AS (SELECT doc_id, unnest({toks}) AS token "
+            "FROM documents WHERE trim(text) <> ''), "
+            "dt AS (SELECT doc_id, token, count(*) AS k FROM tok GROUP BY 1, 2), "
+            "wcnt AS (SELECT token, CAST(sum(k) AS BIGINT) AS c FROM dt "
+            "GROUP BY token), "
+            "wtot AS (SELECT CAST(sum(k) AS BIGINT) AS n FROM dt), "
+            "ce AS (SELECT dt.doc_id, "
+            "round(sum(dt.k * -ln(wcnt.c / (SELECT n FROM wtot))) / sum(dt.k), 6) "
+            "AS x FROM dt JOIN wcnt ON wcnt.token = dt.token GROUP BY dt.doc_id), "
+            "ex AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim, "
+            "CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings), "
+            "em AS (SELECT dim, count(*) AS n, sum(v) AS s, sum(v * v) AS ss "
+            "FROM ex GROUP BY 1), "
+            "est AS (SELECT dim, s / n AS mu, "
+            "sqrt(ss / n - (s / n) * (s / n)) AS sigma FROM em), "
+            "d2 AS (SELECT ex.vec_id, round(sum(CASE WHEN est.sigma > 0 THEN "
+            "((ex.v - est.mu) / est.sigma) * ((ex.v - est.mu) / est.sigma) "
+            "ELSE 0 END), 6) AS y FROM ex JOIN est USING (dim) GROUP BY 1), "
+            "j AS (SELECT ce.x, d2.y FROM ce JOIN d2 ON d2.vec_id = ce.doc_id), "
+            "m AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy, "
+            "sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy FROM j) "
+            "SELECT CAST(n AS BIGINT) AS n, "
+            "round(CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) > 0 "
+            "THEN (n * sxy - sx * sy) / "
+            "sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) ELSE 0 END, 6) "
+            "AS r FROM m"
         ),
         "knn_source_purity": (
             # the knn_label_vote ranking (rounded cos DESC, nbr_id) with

@@ -1232,3 +1232,100 @@ def knn_source_purity(emb_ds, docs_ds, k: int = 5, round_to: int = 6):
             ),
         }
     )
+
+
+def quality_geometry_corr(emb_ds, docs_ds, num_partitions: int = 8,
+                          round_to: int = 6):
+    """Cross-modal quality↔geometry audit → one row (n, r): the Pearson
+    correlation between each document's unigram cross-entropy (the
+    perplexity quality score, textops.doc_cross_entropy) and its
+    embedding's diagonal Mahalanobis distance (embedding_outliers'
+    geometry score), joined on doc_id ↔ vec_id. A strong positive r says
+    the embedding space already encodes the quality signal (geometric
+    pruning ≈ perplexity filtering); r ≈ 0 says the two filters are
+    complementary and BOTH belong in the pipeline.
+
+    Scale shape: both scores come from their existing distributed
+    pipelines (rounded-6 outputs — the same values their own oracles
+    check); ONE bucketed join aligns them; per-batch float moment
+    partials (n, Σx, Σy, Σxy, Σx², Σy²) fold to six numbers; one final
+    closed form mirrors the oracle's operand tree."""
+    from ray.data.aggregate import Sum
+
+    from ..pipelines.textops import doc_cross_entropy
+
+    ce = doc_cross_entropy(docs_ds)
+
+    # per-vector mahalanobis d2 (round-6), full table — the
+    # embedding_outliers scoring without the top-k cut
+    def _mpart(t: pa.Table) -> pa.Table:
+        M = np.stack(t["embedding"].to_pandas().to_numpy()).astype(np.float64)
+        d = M.shape[1]
+        return pa.table(
+            {
+                "dim": np.arange(d, dtype=np.int64),
+                "n": np.full(d, len(M), dtype=np.int64),
+                "s": M.sum(axis=0),
+                "ss": (M * M).sum(axis=0),
+            }
+        )
+
+    agg = (
+        emb_ds.map_batches(_mpart, batch_format="pyarrow")
+        .groupby("dim")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("s", alias_name="s"),
+            Sum("ss", alias_name="ss"),
+        )
+        .to_pandas()
+        .sort_values("dim")
+    )
+    n_ = agg["n"].to_numpy().astype(np.float64)
+    mu = agg["s"].to_numpy() / n_
+    sigma = np.sqrt(agg["ss"].to_numpy() / n_ - mu * mu)
+    import ray as _ray
+
+    ref = _ray.put((mu, sigma))
+
+    def _score(t: pa.Table, ref=ref) -> pa.Table:
+        mu, sigma = _ray.get(ref)
+        M = np.stack(t["embedding"].to_pandas().to_numpy()).astype(np.float64)
+        z = np.where(sigma > 0, (M - mu[None, :]) / sigma[None, :], 0.0)
+        return pa.table(
+            {
+                "doc_id": t["vec_id"].to_numpy().astype(np.int64),
+                "d2": round_half_away((z * z).sum(axis=1), 6),
+            }
+        )
+
+    d2 = emb_ds.map_batches(_score, batch_format="pyarrow")
+    joined = ce.join(d2, "inner", num_partitions, on=("doc_id",))
+
+    def _moments(t: pa.Table) -> pa.Table:
+        x = t["cross_entropy"].to_numpy().astype(np.float64)
+        y = t["d2"].to_numpy().astype(np.float64)
+        return pa.table(
+            {
+                "n": pa.array([len(x)], pa.int64()),
+                "sx": pa.array([float(x.sum())]),
+                "sy": pa.array([float(y.sum())]),
+                "sxy": pa.array([float((x * y).sum())]),
+                "sxx": pa.array([float((x * x).sum())]),
+                "syy": pa.array([float((y * y).sum())]),
+            }
+        )
+
+    m = joined.map_batches(_moments, batch_format="pyarrow").to_pandas().sum()
+    n = int(m["n"])
+    num = n * m["sxy"] - m["sx"] * m["sy"]
+    den = np.sqrt(
+        (n * m["sxx"] - m["sx"] * m["sx"]) * (n * m["syy"] - m["sy"] * m["sy"])
+    )
+    r = float(num / den) if den > 0 else 0.0
+    return pa.table(
+        {
+            "n": pa.array([n], pa.int64()),
+            "r": pa.array([float(round_half_away(r, round_to))]),
+        }
+    )

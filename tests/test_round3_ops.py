@@ -1226,3 +1226,13 @@ def test_knn_source_purity_baseline(ray_session):
     assert out["n_vecs"].sum() == 500
     assert ((out["purity"] >= 0) & (out["purity"] <= 1)).all()
     assert abs(out["purity"].mean() - 0.05) < 0.04  # ≈ 1/20 baseline
+
+
+def test_quality_geometry_corr_bounds(ray_session):
+    import __ray_entry__ as entry
+
+    out = entry.queries()["quality_geometry_corr"]("/root/testdata/sf0.001").to_pandas()
+    assert out["n"][0] == 500
+    assert -1.0 <= out["r"][0] <= 1.0
+    # synthetic embeddings are independent of text → near-zero correlation
+    assert abs(out["r"][0]) < 0.2
