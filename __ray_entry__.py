@@ -2874,6 +2874,14 @@ def _q_match_k4(sf_dir: str):
     return pa.table({"n_embeddings": pa.array([cnt], type=pa.int64())})
 
 
+def _q_granger(sf_dir: str):
+    """Granger 1-lag F-test between view and purchase daily series, both
+    directions."""
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import granger_daily
+
+    return granger_daily(sf_dir)
+
+
 def _q_quality_geometry_corr(sf_dir: str):
     """Pearson r between per-doc LM cross-entropy and embedding
     Mahalanobis distance — does geometry encode quality?"""
@@ -3476,6 +3484,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_centroid_shift": _q_source_centroid_shift,
         "knn_source_purity": _q_knn_source_purity,
         "quality_geometry_corr": _q_quality_geometry_corr,
+        "granger_daily": _q_granger,
         "kmv_overlap_daily": _q_kmv_overlap,
         "lsh_recall": _q_lsh_recall,
         "revenue_jackknife": _q_revenue_jackknife,
@@ -5222,6 +5231,64 @@ def _densest_sql(rounds: int = 12) -> str:
         ", ".join(parts)
         + f" SELECT vid, CAST(peel_round AS BIGINT) AS peel_round "
         f"FROM ({union})"
+    )
+
+
+def _granger_sql(type_x: str = "view", type_y: str = "purchase") -> str:
+    """Two-direction Granger 1-lag F-test replay (mirrors
+    relational.granger_daily): dense-calendar daily counts, LAG pairs,
+    HUGEINT raw moments, n-scaled centered moments and the closed-form
+    restricted/full RSS with the engine's exact operand tree (all
+    intermediates < 2⁵³ at oracle scale, so double arithmetic is exact
+    until the final divisions)."""
+
+    def one(yx: str, xx: str, label: str) -> str:
+        return (
+            f"SELECT '{label}' AS direction, CAST(c.n AS BIGINT) AS n, "
+            "round(CASE WHEN c.c11 > 0 AND "
+            "(c.c11 * c.cxx - c.c1x * c.c1x) > 0 AND "
+            "(c.cyy - ((c.cxx * c.c1y - c.c1x * c.cxy) / "
+            "(c.c11 * c.cxx - c.c1x * c.c1x)) * c.c1y - "
+            "((c.c11 * c.cxy - c.c1x * c.c1y) / "
+            "(c.c11 * c.cxx - c.c1x * c.c1x)) * c.cxy) > 0 THEN "
+            "((c.cyy - (c.c1y * c.c1y) / c.c11) - "
+            "(c.cyy - ((c.cxx * c.c1y - c.c1x * c.cxy) / "
+            "(c.c11 * c.cxx - c.c1x * c.c1x)) * c.c1y - "
+            "((c.c11 * c.cxy - c.c1x * c.c1y) / "
+            "(c.c11 * c.cxx - c.c1x * c.c1x)) * c.cxy)) / "
+            "((c.cyy - ((c.cxx * c.c1y - c.c1x * c.cxy) / "
+            "(c.c11 * c.cxx - c.c1x * c.c1x)) * c.c1y - "
+            "((c.c11 * c.cxy - c.c1x * c.c1y) / "
+            "(c.c11 * c.cxx - c.c1x * c.c1x)) * c.cxy) / (c.n - 3)) "
+            "ELSE 0.0 END, 6) AS f_stat FROM ("
+            f"SELECT m.n, "
+            "CAST(m.n * m.syy - m.sy * m.sy AS DOUBLE) AS cyy, "
+            "CAST(m.n * m.s11 - m.sy1 * m.sy1 AS DOUBLE) AS c11, "
+            "CAST(m.n * m.sxx - m.sx1 * m.sx1 AS DOUBLE) AS cxx, "
+            "CAST(m.n * m.syy1 - m.sy1 * m.sy AS DOUBLE) AS c1y, "
+            "CAST(m.n * m.syx1 - m.sx1 * m.sy AS DOUBLE) AS cxy, "
+            "CAST(m.n * m.s1x - m.sy1 * m.sx1 AS DOUBLE) AS c1x FROM ("
+            f"SELECT count(*) AS n, sum({yx}) AS sy, sum({yx}1) AS sy1, "
+            f"sum({xx}1) AS sx1, sum({yx} * {yx}) AS syy, "
+            f"sum({yx}1 * {yx}1) AS s11, sum({xx}1 * {xx}1) AS sxx, "
+            f"sum({yx} * {yx}1) AS syy1, sum({yx} * {xx}1) AS syx1, "
+            f"sum({yx}1 * {xx}1) AS s1x FROM l WHERE y1 IS NOT NULL) m) c"
+        )
+
+    return (
+        "WITH d AS (SELECT epoch_us(ts) // 86400000000 AS day, "
+        f"sum(CASE WHEN event_type = '{type_x}' THEN 1 ELSE 0 END) AS x, "
+        f"sum(CASE WHEN event_type = '{type_y}' THEN 1 ELSE 0 END) AS y "
+        "FROM events GROUP BY 1), "
+        "b AS (SELECT min(day) AS lo, max(day) AS hi FROM d), "
+        "cal AS (SELECT unnest(generate_series(b.lo, b.hi)) AS day FROM b), "
+        "dd AS (SELECT cal.day, coalesce(d.x, 0) AS x, coalesce(d.y, 0) AS y "
+        "FROM cal LEFT JOIN d USING (day)), "
+        "l AS (SELECT day, x, y, lag(x) OVER (ORDER BY day) AS x1, "
+        "lag(y) OVER (ORDER BY day) AS y1 FROM dd) "
+        + one("y", "x", f"{type_x}->{type_y}")
+        + " UNION ALL "
+        + one("x", "y", f"{type_y}->{type_x}")
     )
 
 
@@ -8433,6 +8500,7 @@ def oracle_sql() -> dict[str, str]:
             "count(DISTINCT o_totalprice), CAST(min(o_totalprice) AS DOUBLE), "
             "CAST(max(o_totalprice) AS DOUBLE) FROM orders"
         ),
+        "granger_daily": _granger_sql(),
         "quality_geometry_corr": (
             # compose the doc_cross_entropy and embedding_outliers score
             # CTEs (both ROUND-6, the same values their own oracles check),

@@ -8963,3 +8963,106 @@ def dow_seasonal_index(sf_dir: str, round_to: int = 6):
             "seasonal_index": pa.array(out_s, pa.float64()),
         }
     )
+
+
+def granger_daily(sf_dir: str, type_x: str = "view", type_y: str = "purchase",
+                  round_to: int = 6):
+    """Granger (1969) 1-lag causality F-test between two event types'
+    daily count series, BOTH directions → (direction, n, f_stat): does
+    yesterday's `view` activity explain today's `purchase` count beyond
+    purchase's own history (and vice versa)? The classic product-analytics
+    lead-indicator test.
+
+    Exactness: all regression moments fold from EXACT integer daily
+    counts over the dense calendar (missing days = 0); the closed-form
+    RSS of the restricted (y~y₋₁) and full (y~y₋₁+x₋₁) OLS fits use
+    scale-invariant n-scaled centered moments, so the only float ops are
+    the final few divisions — operand-tree-mirrored by the oracle.
+    Scale shape: per-batch (day, type) partials, one calendar-bounded
+    groupby, driver folds the day table (the jackknife posture)."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.rounding import round_half_away
+
+    ev = read_table(sf_dir, "events", columns=["ts", "event_type"])
+
+    def _partial(t: pa.Table) -> pa.Table:
+        day = t["ts"].to_numpy().astype("datetime64[D]").astype(np.int64)
+        typ = t["event_type"].to_numpy(zero_copy_only=False)
+        out_day, out_x, out_y = [], [], []
+        for name, arr in (("x", day[typ == type_x]), ("y", day[typ == type_y])):
+            u, c = np.unique(arr, return_counts=True)
+            out_day.extend(u.tolist())
+            out_x.extend((c if name == "x" else np.zeros_like(c)).tolist())
+            out_y.extend((c if name == "y" else np.zeros_like(c)).tolist())
+        return pa.table(
+            {
+                "day": pa.array(out_day, pa.int64()),
+                "x": pa.array(out_x, pa.int64()),
+                "y": pa.array(out_y, pa.int64()),
+            }
+        )
+
+    daily = (
+        ev.map_batches(_partial, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(Sum("x", alias_name="x"), Sum("y", alias_name="y"))
+        .to_pandas()
+        .sort_values("day")
+    )
+    days = daily["day"].to_numpy().astype(np.int64)
+    lo, hi = int(days.min()), int(days.max())
+    dx = np.zeros(hi - lo + 1, np.int64)
+    dy = np.zeros(hi - lo + 1, np.int64)
+    dx[days - lo] = daily["x"].to_numpy()
+    dy[days - lo] = daily["y"].to_numpy()
+
+    def _f(y: np.ndarray, x: np.ndarray) -> float:
+        yt = [int(v) for v in y[1:]]
+        y1 = [int(v) for v in y[:-1]]
+        x1 = [int(v) for v in x[:-1]]
+        n = len(yt)
+        if n < 4:
+            return 0.0
+        Sy, Sy1, Sx1 = sum(yt), sum(y1), sum(x1)
+        Syy = sum(a * a for a in yt)
+        S11 = sum(a * a for a in y1)
+        Sxx = sum(a * a for a in x1)
+        Sy_y1 = sum(a * b for a, b in zip(yt, y1))
+        Sy_x1 = sum(a * b for a, b in zip(yt, x1))
+        S1x = sum(a * b for a, b in zip(y1, x1))
+        CYY = n * Syy - Sy * Sy
+        C11 = n * S11 - Sy1 * Sy1
+        CXX = n * Sxx - Sx1 * Sx1
+        C1Y = n * Sy_y1 - Sy1 * Sy
+        CXY = n * Sy_x1 - Sx1 * Sy
+        C1X = n * S1x - Sy1 * Sx1
+        if C11 <= 0:
+            return 0.0
+        rss_r = CYY - C1Y * C1Y / C11
+        det = C11 * CXX - C1X * C1X
+        if det <= 0:
+            return 0.0
+        beta = (CXX * C1Y - C1X * CXY) / det
+        gamma = (C11 * CXY - C1X * C1Y) / det
+        rss_f = CYY - beta * C1Y - gamma * CXY
+        if rss_f <= 0:
+            return 0.0
+        return (rss_r - rss_f) / (rss_f / (n - 3))
+
+    n_pairs = len(dy) - 1
+    return pa.table(
+        {
+            "direction": pa.array(
+                [f"{type_x}->{type_y}", f"{type_y}->{type_x}"], pa.string()
+            ),
+            "n": pa.array([n_pairs, n_pairs], pa.int64()),
+            "f_stat": pa.array(
+                [
+                    float(round_half_away(_f(dy, dx), round_to)),
+                    float(round_half_away(_f(dx, dy), round_to)),
+                ],
+                pa.float64(),
+            ),
+        }
+    )

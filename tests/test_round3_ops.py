@@ -1236,3 +1236,38 @@ def test_quality_geometry_corr_bounds(ray_session):
     assert -1.0 <= out["r"][0] <= 1.0
     # synthetic embeddings are independent of text → near-zero correlation
     assert abs(out["r"][0]) < 0.2
+
+
+def test_granger_daily_vs_numpy_ols(ray_session):
+    """F statistic equals the numpy-lstsq restricted/full RSS computation
+    on the same dense day series."""
+    import duckdb
+
+    import __ray_entry__ as entry
+
+    SF = "/root/testdata/sf0.001"
+    out = entry.queries()["granger_daily"](SF).to_pandas().set_index("direction")
+    d = duckdb.sql(
+        "SELECT epoch_us(ts) // 86400000000 AS day, "
+        "sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS x, "
+        "sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y "
+        f"FROM '{SF}/events.parquet' GROUP BY 1 ORDER BY 1"
+    ).df()
+    lo, hi = int(d.day.min()), int(d.day.max())
+    dx = np.zeros(hi - lo + 1)
+    dy = np.zeros(hi - lo + 1)
+    dx[d.day.to_numpy() - lo] = d.x.to_numpy()
+    dy[d.day.to_numpy() - lo] = d.y.to_numpy()
+
+    def f_ols(y, x):
+        yt, y1, x1 = y[1:], y[:-1], x[:-1]
+        n = len(yt)
+        Ar = np.column_stack([np.ones(n), y1])
+        Af = np.column_stack([np.ones(n), y1, x1])
+        rr = yt - Ar @ np.linalg.lstsq(Ar, yt, rcond=None)[0]
+        rf = yt - Af @ np.linalg.lstsq(Af, yt, rcond=None)[0]
+        rss_r, rss_f = (rr * rr).sum(), (rf * rf).sum()
+        return (rss_r - rss_f) / (rss_f / (n - 3))
+
+    assert abs(out.loc["view->purchase", "f_stat"] - f_ols(dy, dx)) < 1e-4
+    assert abs(out.loc["purchase->view", "f_stat"] - f_ols(dx, dy)) < 1e-4
