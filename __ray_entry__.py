@@ -2874,6 +2874,16 @@ def _q_match_k4(sf_dir: str):
     return pa.table({"n_embeddings": pa.array([cnt], type=pa.int64())})
 
 
+def _q_markov_attribution(sf_dir: str):
+    """Anderl-2014 Markov removal-effect channel attribution over user
+    journeys (first-purchase conversion)."""
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import (
+        markov_attribution,
+    )
+
+    return markov_attribution(sf_dir)
+
+
 def _q_granger(sf_dir: str):
     """Granger 1-lag F-test between view and purchase daily series, both
     directions."""
@@ -3485,6 +3495,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_source_purity": _q_knn_source_purity,
         "quality_geometry_corr": _q_quality_geometry_corr,
         "granger_daily": _q_granger,
+        "markov_attribution": _q_markov_attribution,
         "kmv_overlap_daily": _q_kmv_overlap,
         "lsh_recall": _q_lsh_recall,
         "revenue_jackknife": _q_revenue_jackknife,
@@ -5232,6 +5243,71 @@ def _densest_sql(rounds: int = 12) -> str:
         + f" SELECT vid, CAST(peel_round AS BIGINT) AS peel_round "
         f"FROM ({union})"
     )
+
+
+def _markov_attr_sql(iters: int = 32) -> str:
+    """Unrolled Markov removal-effect attribution (mirrors
+    relational.markov_attribution): journey transitions via per-user
+    row_number + first-purchase cutoff, probability table n/rowsum, and
+    ``iters`` value-iteration rounds per variant (full + one per removed
+    channel); removal re-routes the removed channel's incoming mass to
+    null by excluding it from the recursion."""
+    channels = ["click", "error", "signup", "view"]
+    transients = ["start"] + channels
+    st_vals = ", ".join(f"('{s}')" for s in transients)
+    ch_list = ", ".join(f"'{c}'" for c in channels)
+    parts = [
+        "WITH e AS MATERIALIZED (SELECT user_id, event_type, "
+        "row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) "
+        "AS rn FROM events)",
+        "cut AS (SELECT user_id, min(rn) AS prn FROM e "
+        "WHERE event_type = 'purchase' GROUP BY 1)",
+        "seq AS MATERIALIZED (SELECT e.user_id, e.rn, "
+        "CASE WHEN e.event_type = 'purchase' THEN 'conv' ELSE e.event_type "
+        "END AS st, max(e.rn) OVER (PARTITION BY e.user_id) AS lastrn "
+        "FROM e LEFT JOIN cut USING (user_id) "
+        "WHERE e.rn <= coalesce(cut.prn, 2147483647))",
+        "tr AS MATERIALIZED ("
+        "SELECT 'start' AS f, st AS t FROM seq WHERE rn = 1 "
+        "UNION ALL SELECT a.st, b.st FROM seq a JOIN seq b "
+        "ON b.user_id = a.user_id AND b.rn = a.rn + 1 "
+        "UNION ALL SELECT st, 'null' FROM seq "
+        "WHERE rn = lastrn AND st <> 'conv')",
+        "tc AS MATERIALIZED (SELECT f, t, count(*) AS n FROM tr GROUP BY 1, 2)",
+        "rsum AS (SELECT f, sum(n) AS rs FROM tc GROUP BY 1)",
+        "tp AS MATERIALIZED (SELECT tc.f, tc.t, "
+        "CAST(tc.n AS DOUBLE) / CAST(rsum.rs AS DOUBLE) AS prob "
+        "FROM tc JOIN rsum USING (f))",
+        f"stv(s) AS (VALUES {st_vals})",
+    ]
+    variants = [("full", "'<none>'")] + [(c, f"'{c}'") for c in channels]
+    for vname, removed in variants:
+        v = vname.replace("-", "_")
+        parts.append(
+            f"p_{v}_0 AS (SELECT s AS state, CAST(0 AS DOUBLE) AS p FROM stv)"
+        )
+        for k in range(1, iters + 1):
+            parts.append(
+                f"p_{v}_{k} AS MATERIALIZED (SELECT stv.s AS state, "
+                "coalesce(sum(tp.prob * CASE WHEN tp.t = 'conv' THEN 1.0 "
+                f"WHEN tp.t IN ({ch_list}) AND tp.t <> {removed} "
+                "THEN coalesce(pp.p, 0) ELSE 0 END), 0) AS p "
+                "FROM stv LEFT JOIN tp ON tp.f = stv.s "
+                f"LEFT JOIN p_{v}_{k - 1} pp ON pp.state = tp.t GROUP BY 1)"
+            )
+    full_p = f"(SELECT p FROM p_full_{iters} WHERE state = 'start')"
+    selects = [
+        f"SELECT 'FULL' AS channel, round({full_p}, 6) AS p_conv, "
+        "0.0 AS removal_effect"
+    ]
+    for c in channels:
+        pc = f"(SELECT p FROM p_{c}_{iters} WHERE state = 'start')"
+        selects.append(
+            f"SELECT '{c}', round({pc}, 6), "
+            f"round(CASE WHEN {full_p} > 0 THEN 1.0 - {pc} / {full_p} "
+            "ELSE 0.0 END, 6)"
+        )
+    return ", ".join(parts) + " " + " UNION ALL ".join(selects)
 
 
 def _granger_sql(type_x: str = "view", type_y: str = "purchase") -> str:
@@ -8501,6 +8577,7 @@ def oracle_sql() -> dict[str, str]:
             "CAST(max(o_totalprice) AS DOUBLE) FROM orders"
         ),
         "granger_daily": _granger_sql(),
+        "markov_attribution": _markov_attr_sql(),
         "quality_geometry_corr": (
             # compose the doc_cross_entropy and embedding_outliers score
             # CTEs (both ROUND-6, the same values their own oracles check),

@@ -9066,3 +9066,134 @@ def granger_daily(sf_dir: str, type_x: str = "view", type_y: str = "purchase",
             ),
         }
     )
+
+
+_ATTR_CHANNELS = ["click", "error", "signup", "view"]
+
+
+def markov_attribution(sf_dir: str, iters: int = 32, round_to: int = 6,
+                       num_buckets: int = 32):
+    """Markov-chain removal-effect attribution (Anderl et al. 2014 — the
+    data-driven alternative to last-touch) → (channel, p_conv,
+    removal_effect): build each user's journey (events ordered by
+    (ts, event_id) up to the FIRST purchase → 'conv', else ending in
+    'null'), estimate the transition matrix over states {start, channels,
+    conv, null}, compute P(conv | start) by ``iters`` rounds of absorbing-
+    chain value iteration, and for each channel recompute it with that
+    channel removed (its incoming probability mass re-routed to null —
+    the standard removal semantics). removal_effect(c) = 1 −
+    P₋c/P_full; the FULL row carries the baseline.
+
+    Scale shape: journeys form inside user-hash buckets (ONE shuffle;
+    per-user sequence logic loops inside the bucket); only (from, to)
+    transition-count partials cross the exchange (≤ 7×7 rows per batch);
+    the driver folds a ≤49-row matrix and iterates a 6-vector — the
+    cluster cost is one user groupby regardless of corpus size. Fixed
+    ``iters`` keeps the float iteration SQL-replayable (contraction ⇒
+    extra rounds change nothing at round-6)."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.rounding import round_half_away
+
+    ev = read_table(sf_dir, "events", columns=["ts", "event_id", "user_id", "event_type"])
+
+    def _bucket(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "b",
+            pa.array((t["user_id"].to_numpy().astype(np.int64) % num_buckets)
+                     .astype(np.int32)),
+        )
+
+    def _transitions(g: pa.Table) -> pa.Table:
+        import collections
+
+        u = g["user_id"].to_numpy().astype(np.int64)
+        ts = g["ts"].to_numpy()
+        eid = g["event_id"].to_numpy().astype(np.int64)
+        typ = g["event_type"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, u))
+        cnt: dict = collections.Counter()
+        i = 0
+        n = len(u)
+        while i < n:
+            j = i
+            prev = "start"
+            while j < n and u[order[j]] == u[order[i]]:
+                st = typ[order[j]]
+                if st == "purchase":
+                    cnt[(prev, "conv")] += 1
+                    prev = None
+                    # skip the rest of this user's events
+                    while j < n and u[order[j]] == u[order[i]]:
+                        j += 1
+                    break
+                cnt[(prev, st)] += 1
+                prev = st
+                j += 1
+            if prev is not None:
+                cnt[(prev, "null")] += 1
+            i = j
+        if not cnt:
+            return pa.table(
+                {"f": pa.array([], pa.string()), "t": pa.array([], pa.string()),
+                 "n": pa.array([], pa.int64())}
+            )
+        ks = sorted(cnt)
+        return pa.table(
+            {
+                "f": pa.array([a for a, _ in ks], pa.string()),
+                "t": pa.array([b for _, b in ks], pa.string()),
+                "n": pa.array([cnt[k] for k in ks], pa.int64()),
+            }
+        )
+
+    tc = (
+        ev.map_batches(_bucket, batch_format="pyarrow")
+        .groupby("b")
+        .map_groups(_transitions, batch_format="pyarrow")
+        .groupby(["f", "t"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    rs = tc.groupby("f")["n"].sum()
+    probs: dict = {}
+    for _, row in tc.iterrows():
+        probs[(row["f"], row["t"])] = float(row["n"]) / float(rs[row["f"]])
+
+    transients = ["start"] + _ATTR_CHANNELS
+
+    def _pconv(removed: str | None) -> float:
+        p = {s: 0.0 for s in transients}
+        for _ in range(iters):
+            new = {}
+            for s in transients:
+                acc = 0.0
+                for t in ["conv"] + _ATTR_CHANNELS:
+                    pr = probs.get((s, t), 0.0)
+                    if pr == 0.0:
+                        continue
+                    if t == "conv":
+                        acc += pr
+                    elif t != removed:
+                        acc += pr * p[t]
+                new[s] = acc
+            p = new
+        return p["start"]
+
+    full = _pconv(None)
+    rows = [("FULL", full, 0.0)]
+    for c in _ATTR_CHANNELS:
+        pc = _pconv(c)
+        re = 1.0 - pc / full if full > 0 else 0.0
+        rows.append((c, pc, re))
+    return pa.table(
+        {
+            "channel": pa.array([r[0] for r in rows], pa.string()),
+            "p_conv": pa.array(
+                [float(round_half_away(r[1], round_to)) for r in rows]
+            ),
+            "removal_effect": pa.array(
+                [float(round_half_away(r[2], round_to)) for r in rows]
+            ),
+        }
+    )

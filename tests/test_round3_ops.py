@@ -1271,3 +1271,17 @@ def test_granger_daily_vs_numpy_ols(ray_session):
 
     assert abs(out.loc["view->purchase", "f_stat"] - f_ols(dy, dx)) < 1e-4
     assert abs(out.loc["purchase->view", "f_stat"] - f_ols(dx, dy)) < 1e-4
+
+
+def test_markov_attribution_invariants(ray_session):
+    import __ray_entry__ as entry
+
+    out = entry.queries()["markov_attribution"]("/root/testdata/sf0.001").to_pandas()
+    assert list(out["channel"]) == ["FULL", "click", "error", "signup", "view"]
+    assert ((out["p_conv"] >= 0) & (out["p_conv"] <= 1)).all()
+    full = out[out.channel == "FULL"].iloc[0]
+    assert full["removal_effect"] == 0.0
+    ch = out[out.channel != "FULL"]
+    # removing a channel can only lower reachability of conversion
+    assert (ch["p_conv"] <= full["p_conv"] + 1e-9).all()
+    assert ((ch["removal_effect"] >= 0) & (ch["removal_effect"] <= 1)).all()
