@@ -2874,6 +2874,16 @@ def _q_match_k4(sf_dir: str):
     return pa.table({"n_embeddings": pa.array([cnt], type=pa.int64())})
 
 
+def _q_shapley_attribution(sf_dir: str):
+    """Exact 4-channel Shapley conversion credit (the cooperative-game
+    dual of markov_attribution)."""
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import (
+        shapley_attribution,
+    )
+
+    return shapley_attribution(sf_dir)
+
+
 def _q_markov_attribution(sf_dir: str):
     """Anderl-2014 Markov removal-effect channel attribution over user
     journeys (first-purchase conversion)."""
@@ -3496,6 +3506,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_geometry_corr": _q_quality_geometry_corr,
         "granger_daily": _q_granger,
         "markov_attribution": _q_markov_attribution,
+        "shapley_attribution": _q_shapley_attribution,
         "kmv_overlap_daily": _q_kmv_overlap,
         "lsh_recall": _q_lsh_recall,
         "revenue_jackknife": _q_revenue_jackknife,
@@ -5243,6 +5254,66 @@ def _densest_sql(rounds: int = 12) -> str:
         + f" SELECT vid, CAST(peel_round AS BIGINT) AS peel_round "
         f"FROM ({union})"
     )
+
+
+def _shapley_attr_sql() -> str:
+    """Unrolled 4-channel Shapley attribution (mirrors
+    relational.shapley_attribution): per-user journey masks via
+    sum(DISTINCT power-of-two), the 16-coalition value table by bitwise
+    containment, and each φ_c emitted as the explicit left-associative
+    weighted sum IN THE ENGINE'S SUBSET ORDER with repr()-exact double
+    weight literals — every float op mirrored."""
+    from math import factorial
+
+    channels = ["click", "error", "signup", "view"]
+    nch = len(channels)
+    fact = [factorial(i) for i in range(nch + 1)]
+    case = " ".join(
+        f"WHEN '{c}' THEN {1 << i}" for i, c in enumerate(channels)
+    )
+    svals = ", ".join(f"({s})" for s in range(1 << nch))
+    parts = [
+        "WITH e AS MATERIALIZED (SELECT user_id, event_type, "
+        "row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) "
+        "AS rn FROM events)",
+        "cut AS (SELECT user_id, min(rn) AS prn FROM e "
+        "WHERE event_type = 'purchase' GROUP BY 1)",
+        "seq AS MATERIALIZED (SELECT e.user_id, "
+        "CASE WHEN e.event_type = 'purchase' THEN 'conv' ELSE e.event_type "
+        "END AS st FROM e LEFT JOIN cut USING (user_id) "
+        "WHERE e.rn <= coalesce(cut.prn, 2147483647))",
+        "jm AS MATERIALIZED (SELECT user_id, "
+        f"coalesce(sum(DISTINCT CASE st {case} END), 0) AS mask, "
+        "max(CASE WHEN st = 'conv' THEN 1 ELSE 0 END) AS conv "
+        "FROM seq GROUP BY 1)",
+        "g AS MATERIALIZED (SELECT mask, conv, count(*) AS n FROM jm "
+        "GROUP BY 1, 2)",
+        f"sv(s) AS (VALUES {svals})",
+        "tot AS (SELECT sum(n) AS t FROM g)",
+        "vt AS MATERIALIZED (SELECT sv.s, "
+        "CASE WHEN tot.t > 0 THEN "
+        "CAST(coalesce(sum(CASE WHEN g.conv = 1 THEN g.n END), 0) AS DOUBLE) "
+        "/ tot.t ELSE 0.0 END AS v "
+        "FROM sv LEFT JOIN g ON (g.mask & sv.s) = g.mask "
+        "CROSS JOIN tot GROUP BY sv.s, tot.t)",
+    ]
+    selects = []
+    for i, c in enumerate(channels):
+        bit = 1 << i
+        terms = []
+        for S in range(1 << nch):
+            if S & bit:
+                continue
+            s = bin(S).count("1")
+            w = fact[s] * fact[nch - s - 1] / fact[nch]
+            terms.append(
+                f"{w!r} * ((SELECT v FROM vt WHERE s = {S | bit}) - "
+                f"(SELECT v FROM vt WHERE s = {S}))"
+            )
+        selects.append(
+            f"SELECT '{c}' AS channel, round({' + '.join(terms)}, 6) AS shapley"
+        )
+    return ", ".join(parts) + " " + " UNION ALL ".join(selects)
 
 
 def _markov_attr_sql(iters: int = 32) -> str:
@@ -8578,6 +8649,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "granger_daily": _granger_sql(),
         "markov_attribution": _markov_attr_sql(),
+        "shapley_attribution": _shapley_attr_sql(),
         "quality_geometry_corr": (
             # compose the doc_cross_entropy and embedding_outliers score
             # CTEs (both ROUND-6, the same values their own oracles check),

@@ -9197,3 +9197,112 @@ def markov_attribution(sf_dir: str, iters: int = 32, round_to: int = 6,
             ),
         }
     )
+
+
+def shapley_attribution(sf_dir: str, round_to: int = 6, num_buckets: int = 32):
+    """Shapley-value channel attribution (the cooperative-game dual of
+    :func:`markov_attribution`; Shapley 1953 applied to conversion
+    credit) → (channel, shapley): the characteristic function is
+    v(S) = (converting journeys whose touched-channel set ⊆ S) / (ALL
+    journeys) — the conversion-COVERAGE coalition value (the simplified-
+    Shapley form that stays informative even when overall conversion is
+    near-certain; Σφ = v(C) − v(∅) = the channel-attributable
+    conversion share), and each channel's
+    credit is the exact 4-player Shapley sum
+    φ_c = Σ_{S ⊆ C∖{c}} |S|!·(|C|−|S|−1)!/|C|! · (v(S∪{c}) − v(S)).
+
+    Scale shape: the SAME bucketed journey pass as markov_attribution,
+    but each journey folds to a (channel-bitmask, converted) pair — only
+    ≤ 32 partial rows per batch cross the exchange; the driver folds the
+    32-row game table and evaluates the closed-form Shapley sum. Weights
+    are exact rationals evaluated in double (|C| = 4 ⇒ denominators 24);
+    v ratios are one division each — the oracle mirrors every operand."""
+    from math import factorial
+
+    from ray.data.aggregate import Sum
+
+    from ..functions.rounding import round_half_away
+
+    ev = read_table(sf_dir, "events", columns=["ts", "event_id", "user_id", "event_type"])
+    chan_ix = {c: i for i, c in enumerate(_ATTR_CHANNELS)}
+
+    def _bucket(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "b",
+            pa.array((t["user_id"].to_numpy().astype(np.int64) % num_buckets)
+                     .astype(np.int32)),
+        )
+
+    def _journeys(g: pa.Table) -> pa.Table:
+        import collections
+
+        u = g["user_id"].to_numpy().astype(np.int64)
+        ts = g["ts"].to_numpy()
+        eid = g["event_id"].to_numpy().astype(np.int64)
+        typ = g["event_type"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, u))
+        cnt: dict = collections.Counter()
+        i, n = 0, len(u)
+        while i < n:
+            j = i
+            mask, conv = 0, 0
+            while j < n and u[order[j]] == u[order[i]]:
+                st = typ[order[j]]
+                if st == "purchase":
+                    conv = 1
+                    while j < n and u[order[j]] == u[order[i]]:
+                        j += 1
+                    break
+                mask |= 1 << chan_ix[st]
+                j += 1
+            cnt[(mask, conv)] += 1
+            i = j
+        ks = sorted(cnt)
+        return pa.table(
+            {
+                "mask": pa.array([a for a, _ in ks], pa.int64()),
+                "conv": pa.array([b for _, b in ks], pa.int64()),
+                "n": pa.array([cnt[k] for k in ks], pa.int64()),
+            }
+        )
+
+    game = (
+        ev.map_batches(_bucket, batch_format="pyarrow")
+        .groupby("b")
+        .map_groups(_journeys, batch_format="pyarrow")
+        .groupby(["mask", "conv"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    nch = len(_ATTR_CHANNELS)
+    num = np.zeros(1 << nch, np.int64)
+    total = int(game["n"].sum())
+    for _, row in game.iterrows():
+        m, cv, n = int(row["mask"]), int(row["conv"]), int(row["n"])
+        if not cv:
+            continue
+        for S in range(1 << nch):
+            if (m & S) == m:  # journey's channels ⊆ S
+                num[S] += n
+
+    def v(S: int) -> float:
+        return num[S] / total if total > 0 else 0.0
+
+    rows = []
+    fact = [factorial(i) for i in range(nch + 1)]
+    for c in _ATTR_CHANNELS:
+        bit = 1 << chan_ix[c]
+        phi = 0.0
+        for S in range(1 << nch):
+            if S & bit:
+                continue
+            s = bin(S).count("1")
+            w = fact[s] * fact[nch - s - 1] / fact[nch]
+            phi += w * (v(S | bit) - v(S))
+        rows.append((c, float(round_half_away(phi, round_to))))
+    return pa.table(
+        {
+            "channel": pa.array([r[0] for r in rows], pa.string()),
+            "shapley": pa.array([r[1] for r in rows], pa.float64()),
+        }
+    )

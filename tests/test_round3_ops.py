@@ -1285,3 +1285,35 @@ def test_markov_attribution_invariants(ray_session):
     # removing a channel can only lower reachability of conversion
     assert (ch["p_conv"] <= full["p_conv"] + 1e-9).all()
     assert ((ch["removal_effect"] >= 0) & (ch["removal_effect"] <= 1)).all()
+
+
+def test_shapley_attribution_efficiency(ray_session):
+    """Shapley efficiency: Σφ_c = v(all channels) − v(∅) — the channel-
+    attributable conversion share — verified against direct coalition
+    values from SQL."""
+    import duckdb
+
+    import __ray_entry__ as entry
+
+    SF = "/root/testdata/sf0.001"
+    out = entry.queries()["shapley_attribution"](SF).to_pandas()
+    assert (out["shapley"] >= -1e-9).all()
+    # direct v(C) − v(∅): all-converting share minus no-channel share
+    d = duckdb.sql(
+        "WITH e AS (SELECT user_id, event_type, row_number() OVER "
+        "(PARTITION BY user_id ORDER BY ts, event_id) AS rn "
+        f"FROM '{SF}/events.parquet'), "
+        "cut AS (SELECT user_id, min(rn) AS prn FROM e "
+        "WHERE event_type = 'purchase' GROUP BY 1), "
+        "seq AS (SELECT e.user_id, CASE WHEN e.event_type = 'purchase' "
+        "THEN 'conv' ELSE e.event_type END AS st FROM e "
+        "LEFT JOIN cut USING (user_id) "
+        "WHERE e.rn <= coalesce(cut.prn, 2147483647)), "
+        "jm AS (SELECT user_id, count(DISTINCT CASE WHEN st <> 'conv' "
+        "THEN st END) AS nch, max(CASE WHEN st = 'conv' THEN 1 ELSE 0 END) "
+        "AS conv FROM seq GROUP BY 1) "
+        "SELECT sum(conv) * 1.0 / count(*) AS v_full, "
+        "sum(CASE WHEN nch = 0 THEN conv ELSE 0 END) * 1.0 / count(*) "
+        "AS v_empty FROM jm"
+    ).df().iloc[0]
+    assert abs(out["shapley"].sum() - (d["v_full"] - d["v_empty"])) < 1e-4
