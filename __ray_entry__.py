@@ -3215,7 +3215,55 @@ def _q_blocklist_stats(sf_dir: str):
     )
 
 
+# Round-4 driver window (VERDICT r3 #3): the driver oracle-checks the FIRST
+# 50 registry entries, so rotate a different 50 to the front each round —
+# r4 ∩ r3 = 4 staples (pagerank/cc/triangles/match_bushy); the other 46 are
+# queries the driver has never hash-checked, spanning every subsystem
+# (graph, match, sketch, dedup, text, relational, host/web, embeddings,
+# profiling). All 50 have oracle_sql entries (the 5 rows-only queries stay
+# outside the window).
+_R4_WINDOW = [
+    # graph algorithms (round-3 additions + never-windowed classics)
+    "scc_parts", "wpagerank_copurchase", "eccentricity_copurchase",
+    "kshell_histogram", "densest_subgraph_copurchase", "mst_copurchase",
+    "influence_seeds_copurchase", "adamic_adar_copurchase", "edge_backbone",
+    "disparity_filter", "vertex_cover_copurchase", "hyperball_copurchase",
+    # staples kept for cross-round continuity
+    "pagerank_copurchase", "cc_copurchase", "triangle_count_copurchase",
+    "match_bushy",
+    # subgraph matching (strong-edge variants)
+    "match_diamond_strong", "match_tailed_tri_strong",
+    # sketches
+    "countmin_topk", "quantile_sketch_events", "kmv_overlap_daily",
+    "approx_distinct_users_daily", "heavy_hitters",
+    # dedup family
+    "minhash_dup_pairs", "dedup_groups", "simhash_dup_pairs",
+    "dup_span_pairs", "incremental_dedup", "contamination",
+    # text / tokenization
+    "bpe_merges", "bm25_topk", "lang_id", "redact_pii", "doc_repetition",
+    "rake_keywords",
+    # relational / events
+    "q1_pricing_summary", "events_window", "events_sessionize",
+    "events_funnel", "markov_attribution", "granger_daily",
+    # host / web-graph (pages-table family)
+    "host_graph", "host_rank", "anchor_index",
+    # embeddings
+    "ann_topk", "embedding_moments", "kcenter_coreset", "knn_source_purity",
+    # data profiling
+    "orders_profile", "fd_audit",
+]
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
+    base = _queries_base()
+    win = set(_R4_WINDOW)
+    missing = win - base.keys()
+    assert not missing, f"window names absent from registry: {missing}"
+    order = _R4_WINDOW + [k for k in base if k not in win]
+    return {k: base[k] for k in order}
+
+
+def _queries_base() -> dict[str, Callable[[str], Any]]:
     return {
         "copurchase_edges": _q_copurchase_edges,
         "degree_distribution": _q_degree,
@@ -5039,14 +5087,22 @@ def _dedup_groups_sql(iters: int = 8) -> str:
     )
 
 
-def _boruvka_sql(rounds: int = 8, jumps: int = 16) -> str:
+def _boruvka_sql(rounds: int = 22, jumps: int = 16) -> str:
     """Unrolled Borůvka MSF (mirrors algorithms.boruvka_mst): per round,
     cross-component edges under the current labels, each component's
     (w, u, v)-lexicographic minimum pick, parent pointers with the 2-cycle
     break toward the smaller id, then `jumps` pointer-jumping doublings
     (depth coverage 2^jumps ≫ any chain at oracle scale; extra jumps and
     extra rounds are identity). Total-order tie-break makes the forest
-    unique ≡ Kruskal under (w, src, dst)."""
+    unique ≡ Kruskal under (w, src, dst).
+
+    Round bound: Borůvka at least halves the live-component count per
+    round, so ``rounds`` ≥ ceil(log2 V) suffices; 22 covers V ≤ 4.2M
+    vertices — far above any sf the driver runs (sf0.1 has 2·10^5
+    partkeys, needing 18). Once converged the cross-component CTE
+    ``x{r}`` is empty, so surplus rounds join-and-produce-nothing and
+    cost ~nothing; an 8-round unroll (the pre-round-4 default) could
+    under-run the engine's max_rounds=40 on chain-shaped components."""
     parts = [
         "WITH we AS MATERIALIZED (SELECT a.l_partkey AS u, b.l_partkey AS v, "
         "count(DISTINCT a.l_orderkey) AS w "
@@ -5392,7 +5448,7 @@ def _granger_sql(type_x: str = "view", type_y: str = "purchase") -> str:
     def one(yx: str, xx: str, label: str) -> str:
         return (
             f"SELECT '{label}' AS direction, CAST(c.n AS BIGINT) AS n, "
-            "round(CASE WHEN c.c11 > 0 AND "
+            "round(CASE WHEN c.n > 3 AND c.c11 > 0 AND "
             "(c.c11 * c.cxx - c.c1x * c.c1x) > 0 AND "
             "(c.cyy - ((c.cxx * c.c1y - c.c1x * c.cxy) / "
             "(c.c11 * c.cxx - c.c1x * c.c1x)) * c.c1y - "

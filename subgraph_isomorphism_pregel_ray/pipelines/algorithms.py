@@ -28,6 +28,19 @@ import pyarrow as pa
 from .bsp import BSPEngine
 from .build_graph import partition_graph
 
+
+def _check_pack_width(vids: np.ndarray, shift: np.int64, op: str) -> None:
+    """Loud guard for the 'vids < 2^21' packed-pair-key convention.
+
+    ``left * shift + right`` silently merges unrelated pairs when an id
+    reaches ``shift``; raise instead (ADVICE r3 — mirror boruvka_mst's
+    refusal to assume a vid width)."""
+    if len(vids) and int(vids.max()) >= int(shift):
+        raise ValueError(
+            f"{op}: vertex id >= 2^{int(shift).bit_length() - 1} would "
+            "collide in the packed pair key; re-map ids or widen the shift"
+        )
+
 __all__ = [
     "graph_summary",
     "transitivity",
@@ -781,6 +794,7 @@ def link_prediction(sf_dir: str, num_buckets: int = 32,
         left = np.repeat(u_s, cpe)
         right = u_s[flat_gather(np.repeat(starts, counts), cpe)]
         m = left < right
+        _check_pack_width(u_s, SHIFT, "packed wedge key")
         key = left[m].astype(np.int64) * SHIFT + right[m].astype(np.int64)
         uk, c = np.unique(key, return_counts=True)
         return pa.table({"k": uk, "c": c.astype(np.int64)})
@@ -2474,6 +2488,7 @@ def adamic_adar(sf_dir: str, num_buckets: int = 32, num_partitions: int = 8,
         right = u_s[flat_gather(np.repeat(starts, counts), cpe)]
         wpe = np.repeat(wt_hub, counts * counts)
         m = left < right
+        _check_pack_width(u_s, SHIFT, "packed wedge key")
         key = left[m].astype(np.int64) * SHIFT + right[m].astype(np.int64)
         order2 = np.argsort(key, kind="stable")
         uk, kstarts = np.unique(key[order2], return_index=True)

@@ -9068,7 +9068,10 @@ def granger_daily(sf_dir: str, type_x: str = "view", type_y: str = "purchase",
     )
 
 
-_ATTR_CHANNELS = ["click", "error", "signup", "view"]
+# Attribution channels = every event type except the conversion event,
+# derived from the module-wide domain so a schema extension to
+# _EVENT_TYPES flows through instead of silently diverging.
+_ATTR_CHANNELS = sorted(t for t in _EVENT_TYPES if t != "purchase")
 
 
 def markov_attribution(sf_dir: str, iters: int = 32, round_to: int = 6,
@@ -9253,7 +9256,9 @@ def shapley_attribution(sf_dir: str, round_to: int = 6, num_buckets: int = 32):
                     while j < n and u[order[j]] == u[order[i]]:
                         j += 1
                     break
-                mask |= 1 << chan_ix[st]
+                ix = chan_ix.get(st)  # unknown states degrade gracefully
+                if ix is not None:    # (markov_attribution tolerates them too)
+                    mask |= 1 << ix
                 j += 1
             cnt[(mask, conv)] += 1
             i = j

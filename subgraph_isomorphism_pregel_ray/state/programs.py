@@ -3970,9 +3970,13 @@ class DegreeDiscountProgram(VertexProgram):
         P = self.csr.num_parts
         if step % 3 != 2 or self.winner_row < 0:
             return [None] * P, {"sent": 0}
-        nbrs = np.sort(self.csr.row_slice(self.winner_row).astype(np.int64))
+        # Keep dst as raw uint64 and route via the repo-wide ``part_for``
+        # (uint64 modulo): an int64 cast would flip the residue for hashed
+        # vids >= 2^63 under a non-power-of-2 P, and the float64 promotion in
+        # searchsorted(int64, uint64) silently mis-lands the discount.
+        nbrs = np.sort(self.csr.row_slice(self.winner_row))
         outbox, sent = [], 0
-        owner = nbrs % P
+        owner = part_for(nbrs, P)
         for p in range(P):
             d = nbrs[owner == p]
             if len(d) == 0:
