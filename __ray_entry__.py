@@ -585,6 +585,52 @@ def _q_match_bushy(sf_dir: str):
     return pa.table({"n_embeddings": pa.array([count], type=pa.int64())})
 
 
+DEEP_QL = [4, 0, 1, 0, 2, 3, 2]  # root 4; branch A chain 0-1-0; branch B 2-3-2
+DEEP_QE = [(0, 1), (1, 2), (2, 3), (0, 4), (4, 5), (5, 6)]
+
+
+def _deep_labels(sf_dir: str):
+    """Dataset(vid, label): 4 (rare root class) on p_partkey % 97 == 0,
+    else p_size % 4 — replayed verbatim by the oracle's CASE."""
+    from subgraph_isomorphism_pregel_ray.sources.tables import read_table
+
+    parts = read_table(sf_dir, "part", columns=["p_partkey", "p_size"])
+
+    def _lab(t: pa.Table) -> pa.Table:
+        vid = t["p_partkey"].to_numpy().astype(np.uint64)
+        lab = t["p_size"].to_numpy().astype(np.int64) % 4
+        lab[vid % 97 == 0] = 4
+        return pa.table({"vid": vid, "label": lab})
+
+    return parts.map_batches(_lab, batch_format="pyarrow")
+
+
+def _q_match_bushy_deep(sf_dir: str):
+    """Internal-branch factor fold (round 4): a 7-vertex query with TWO
+    label-disjoint depth-3 branch chains (per-branch multiplicity ≈ 2·10⁴
+    at sf0.01, total count 1.3·10¹⁰) — the flat-plan analogue of the
+    reference's SIBranch AND-OR enumeration (SItypes/SIBranch.h:81-131).
+    Each branch is counted per root as a FACTOR (rows collapse back to
+    [root, product] between branches), so the branch cross product never
+    materializes; the flat path would ship ~10¹⁰ rows."""
+    from subgraph_isomorphism_pregel_ray.pipelines.build_graph import symmetrize
+    from subgraph_isomorphism_pregel_ray.pipelines.match import match_count
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import (
+        copurchase_edges,
+    )
+
+    count, _ = match_count(
+        symmetrize(copurchase_edges(sf_dir)),
+        DEEP_QL,
+        DEEP_QE,
+        labels_ds=_deep_labels(sf_dir),
+        num_parts=4,
+        max_out_rows=BUSHY_MAX_OUT_ROWS,
+        max_steps=400,
+    )
+    return pa.table({"n_embeddings": pa.array([count], type=pa.int64())})
+
+
 def _q_match_embeddings_tri(sf_dir: str):
     """Embedding ENUMERATION (not just the count): labeled triangles of the
     strong co-purchase graph as (v0, v1, v2) rows — the reference's disabled
@@ -3231,8 +3277,8 @@ _R4_WINDOW = [
     # staples kept for cross-round continuity
     "pagerank_copurchase", "cc_copurchase", "triangle_count_copurchase",
     "match_bushy",
-    # subgraph matching (strong-edge variants)
-    "match_diamond_strong", "match_tailed_tri_strong",
+    # subgraph matching (strong-edge variants + the round-4 branch fold)
+    "match_diamond_strong", "match_tailed_tri_strong", "match_bushy_deep",
     # sketches
     "countmin_topk", "quantile_sketch_events", "kmv_overlap_daily",
     "approx_distinct_users_daily", "heavy_hitters",
@@ -3250,7 +3296,7 @@ _R4_WINDOW = [
     # embeddings
     "ann_topk", "embedding_moments", "kcenter_coreset", "knn_source_purity",
     # data profiling
-    "orders_profile", "fd_audit",
+    "orders_profile",
 ]
 
 
@@ -3308,6 +3354,7 @@ def _queries_base() -> dict[str, Callable[[str], Any]]:
         "match_4cycle_labeled": _q_match_4cycle,
         "match_deep_tree": _q_match_deep_tree,
         "match_bushy": _q_match_bushy,
+        "match_bushy_deep": _q_match_bushy_deep,
         "match_embeddings_tri": _q_match_embeddings_tri,
         "match_triangle_per_root": _q_match_triangle_per_root,
         "match_k4_labeled": _q_match_k4,
@@ -5796,6 +5843,32 @@ def oracle_sql() -> dict[str, str]:
             "LEFT JOIN e a13 ON a13.src = fr.v1 AND a13.dst = fr.v3 "
             "LEFT JOIN e a35 ON a35.src = fr.v3 AND a35.dst = fr.v5 "
             "LEFT JOIN e a51 ON a51.src = fr.v5 AND a51.dst = fr.v1"
+        ),
+        "match_bushy_deep": (
+            # closed-form branch fold: labels make every cross-branch /
+            # root pair automatically injective; the only same-label pairs
+            # are within-branch (a3<>a1, b3<>b1 — explicit predicates), so
+            # the count is sum over roots of (#branch-A chains) × (#branch-B
+            # chains) — exactly the engine's per-root factor product
+            f"WITH {_ESYM_MAT}, "
+            "lab AS MATERIALIZED (SELECT p_partkey AS vid, "
+            "CASE WHEN p_partkey % 97 = 0 THEN 4 ELSE p_size % 4 END AS l "
+            "FROM part), "
+            "el AS MATERIALIZED (SELECT e.src, e.dst, ls.l AS sl, ld.l AS dl "
+            "FROM e JOIN lab ls ON ls.vid = e.src "
+            "JOIN lab ld ON ld.vid = e.dst), "
+            "ca AS (SELECT e1.src AS root, CAST(count(*) AS BIGINT) AS c "
+            "FROM el e1 JOIN el e2 ON e2.src = e1.dst "
+            "JOIN el e3 ON e3.src = e2.dst "
+            "WHERE e1.sl = 4 AND e1.dl = 0 AND e2.dl = 1 AND e3.dl = 0 "
+            "AND e3.dst <> e1.dst GROUP BY 1), "
+            "cb AS (SELECT e1.src AS root, CAST(count(*) AS BIGINT) AS c "
+            "FROM el e1 JOIN el e2 ON e2.src = e1.dst "
+            "JOIN el e3 ON e3.src = e2.dst "
+            "WHERE e1.sl = 4 AND e1.dl = 2 AND e2.dl = 3 AND e3.dl = 2 "
+            "AND e3.dst <> e1.dst GROUP BY 1) "
+            "SELECT CAST(coalesce(sum(ca.c * cb.c), 0) AS BIGINT) "
+            "AS n_embeddings FROM ca JOIN cb USING (root)"
         ),
         "match_embeddings_tri": (
             "WITH e AS MATERIALIZED (SELECT a.l_partkey AS src, b.l_partkey AS dst "

@@ -133,9 +133,115 @@ def build_plan(
     # is what the tail factor fold (below) needs to engage. Parent-before-
     # child holds: leaf parents are internal/root (first group), and the
     # internals keep their DFS relative order.
+    branch_groups: list[tuple[int, list[int]]] = []  # (branch root, members)
     if k > 2:
         internals = [u for u in order if len(adj[u]) > 1 or u == root]
-        order = internals + [u for u in order if u not in internals]
+        leaves = [u for u in order if u not in internals]
+
+        # ---- internal-branch factorization (round 4) ---------------------
+        # The generalization of the trailing-leaf factor fold to branch
+        # subtrees of depth >= 2 — the flat-plan analogue of the reference's
+        # SIBranch AND-OR trees (/root/reference/src/SItypes/SIBranch.h:81-131,
+        # enumerate/expand pregel_app_subgraph.h:515-612). Select pairwise
+        # DISJOINT plan subtrees ("branches") hanging off the core such that
+        #   (a) branches are pairwise LABEL-disjoint (cross-branch
+        #       injectivity can then never bind — a data vertex has one
+        #       label — so per-branch completion counts multiply exactly;
+        #       same-label conflicts fall back to flat expansion, the same
+        #       compatibility rule the leaf fold uses),
+        #   (b) no query edge spans two branches (each branch's backward
+        #       constraints stay inside branch ∪ core, whose columns the
+        #       row carries),
+        #   (c) core-attached tail leaves share no label with any branch
+        #       (their fold indicators must reference carried columns), and
+        #   (d) the post-branch leaf run is fold-compatible (same label ⇒
+        #       same parent) — otherwise leftover leaves would need flat
+        #       expansion after branch columns are dropped.
+        # With >= 2 branches selected, MatchProgram counts each branch's
+        # completions per core row as a FACTOR (sequentially, collapsing
+        # back to [core, product] rows between branches) instead of
+        # materializing the branch cross product.
+        children: dict[int, list[int]] = {u: [] for u in order}
+        for u in order:
+            if parent[u] != -1:
+                children[parent[u]].append(u)
+
+        def _subtree(u: int) -> list[int]:
+            out = [u]
+            i = 0
+            while i < len(out):
+                out.extend(children[out[i]])
+                i += 1
+            return out
+
+        posd = {u: i for i, u in enumerate(order)}
+        cands = [
+            (u, _subtree(u))
+            for u in order
+            if u != root and len(adj[u]) > 1 and len(_subtree(u)) >= 2
+        ]
+        sel: list[tuple[int, list[int]]] = []
+        taken: set[int] = set()
+        for u, S in sorted(cands, key=lambda t2: (-len(t2[1]), posd[t2[0]])):
+            if taken.isdisjoint(S):
+                sel.append((u, S))
+                taken.update(S)
+
+        def _labelset(S):
+            return {int(labels[v]) for v in S}
+
+        while sel:
+            if len(sel) < 2:
+                sel = []
+                break
+            drop = None
+            for i in range(len(sel)):
+                for j2 in range(i + 1, len(sel)):
+                    if _labelset(sel[i][1]) & _labelset(sel[j2][1]):
+                        drop = j2
+                        break
+                    Si, Sj = set(sel[i][1]), set(sel[j2][1])
+                    if any(
+                        (a in Si and b in Sj) or (a in Sj and b in Si)
+                        for a, b in edges
+                    ):
+                        drop = j2
+                        break
+                if drop is not None:
+                    break
+            if drop is None:
+                member = set().union(*(S for _, S in sel))
+                tl = [v for v in leaves if v not in member]
+                tl_labels = {int(labels[v]) for v in tl}
+                for i in range(len(sel)):
+                    if _labelset(sel[i][1]) & tl_labels:
+                        drop = i
+                        break
+                if drop is None:
+                    seen_pv: dict[int, int] = {}
+                    for v in tl:  # rule (d): post-branch leaf run must fold
+                        l = int(labels[v])
+                        if l in seen_pv and seen_pv[l] != parent[v]:
+                            sel = []
+                            break
+                        seen_pv[l] = parent[v]
+                    break
+            sel.pop(drop)
+
+        if sel:
+            sel.sort(key=lambda t2: posd[t2[0]])
+            member = set().union(*(S for _, S in sel))
+            core_int = [u for u in internals if u not in member]
+            order2 = list(core_int)
+            for u, S in sel:
+                Sset = set(S)
+                b_int = [v for v in order if v in Sset and len(adj[v]) > 1]
+                b_lv = [v for v in order if v in Sset and len(adj[v]) == 1]
+                branch_groups.append((u, b_int + b_lv))
+                order2 += b_int + b_lv
+            order = order2 + [v for v in leaves if v not in member]
+        else:
+            order = internals + leaves
 
     pos = {u: i for i, u in enumerate(order)}
     plan_labels = [int(labels[u]) for u in order]
@@ -188,8 +294,13 @@ def build_plan(
     #   * two tail leaves, same label, DIFFERENT parents → candidate sets
     #     overlap by a common-neighbor count the fold cannot see — shrink
     #     the tail until no such pair remains (flat expansion handles them).
+    # With branches selected, the global tail run never descends into the
+    # last branch's own leaves (those fold inside the branch).
+    tail_floor = (
+        max(1, pos[branch_groups[-1][1][-1]] + 1) if branch_groups else 1
+    )
     t = k
-    while t - 1 >= 1 and len(adj[order[t - 1]]) == 1:
+    while t - 1 >= tail_floor and len(adj[order[t - 1]]) == 1:
         t -= 1
 
     def _tail_compatible(t0: int) -> bool:
@@ -211,6 +322,56 @@ def build_plan(
         j: sum(1 for j2 in range(t, j) if plan_labels[j2] == plan_labels[j])
         for j in range(t, k)
     }
+
+    # ---- branch metadata (round 4 internal-branch fold) -------------------
+    # branches = [(start, end, branch_tail_start)] in plan positions; rows in
+    # branch mode are [core (core_n cols), product, own-branch cols...], so a
+    # global position q maps to row column q (core) or core_n + 1 + (q - bs)
+    # (own branch). btail_slp/btail_dec are the within-branch analogues of
+    # tail_slp/tail_dec, already remapped to row columns.
+    branches_meta: list[tuple[int, int, int]] = []
+    btail_slp: dict[int, list[int]] = {}
+    btail_dec: dict[int, int] = {}
+    if branch_groups:
+        nc = pos[branch_groups[0][1][0]]  # first branch start == |core|
+        plan["core_n"] = nc
+
+        def _rowcol(q: int, bs: int) -> int:
+            return q if q < nc else nc + 1 + (q - bs)
+
+        for _, members in branch_groups:
+            bs, be = pos[members[0]], pos[members[-1]] + 1
+            bt = be
+            while bt - 1 > bs and len(adj[order[bt - 1]]) == 1:
+                bt -= 1
+
+            def _bcompat(t0: int) -> bool:
+                seen_p: dict[int, int] = {}
+                for j in range(t0, be):
+                    l = plan_labels[j]
+                    if l in seen_p and seen_p[l] != parent_pos[j]:
+                        return False
+                    seen_p[l] = parent_pos[j]
+                return True
+
+            while bt < be and not _bcompat(bt):
+                bt += 1
+            for j in range(bt, be):
+                assert all(c < nc or c >= bs for c in same_label_pos[j])
+                btail_slp[j] = [
+                    _rowcol(c, bs) for c in same_label_pos[j] if c < bt
+                ]
+                btail_dec[j] = sum(
+                    1 for j2 in range(bt, j) if plan_labels[j2] == plan_labels[j]
+                )
+            branches_meta.append((bs, be, bt))
+        # label-disjointness guarantees the global tail references only core
+        assert all(c < nc for j in range(t, k) for c in plan["tail_slp"][j])
+    else:
+        plan["core_n"] = None
+    plan["branches"] = branches_meta
+    plan["btail_slp"] = btail_slp
+    plan["btail_dec"] = btail_dec
 
     if k >= 2:
         j = k - 1

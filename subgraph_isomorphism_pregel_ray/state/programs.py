@@ -1676,6 +1676,32 @@ class MatchProgram(VertexProgram):
         self.tail_start = (
             self.k if self.enumerate else int(plan.get("tail_start", self.k))
         )
+        # internal-branch factor fold (plan["branches"], the SIBranch AND-OR
+        # analogue, SItypes/SIBranch.h:81-131): label-disjoint subtrees are
+        # counted per core row as sequential FACTORS — rows collapse back to
+        # [core, product] between branches — instead of materializing the
+        # branch cross product. Disabled in ENUMERATE mode (needs the rows).
+        self.branches = (
+            [] if self.enumerate else [tuple(b) for b in plan.get("branches") or []]
+        )
+        if self.branches:
+            self.core_n = int(plan["core_n"])
+            # global plan position -> (branch meta, remapped row columns)
+            self.b_of: dict[int, tuple[int, int, int]] = {}
+            self.b_back: dict[int, list[int]] = {}
+            self.b_slp: dict[int, list[int]] = {}
+            for bs, be, bt in self.branches:
+                for j in range(bs, be):
+                    self.b_of[j] = (bs, be, bt)
+                    self.b_back[j] = [
+                        self._rowcol(c, bs) for c in plan["back_pos"][j]
+                    ]
+                    self.b_slp[j] = [
+                        self._rowcol(c, bs) for c in plan["same_label_pos"][j]
+                    ]
+            self.fold_start = self.branches[0][0]
+        else:
+            self.fold_start = self.tail_start
         # outbuf[p][key] is a LIST of matrices, concatenated once at scatter
         # (repeated vstack would be quadratic in chunked expansions)
         self.outbuf: list[dict] = [dict() for _ in range(csr.num_parts)]
@@ -1937,6 +1963,176 @@ class MatchProgram(VertexProgram):
         out[:, -1] = prod[keep].astype(np.uint64)
         self._route_tail(j + 1, out, queue)
 
+    # -- internal-branch factor fold (round 4) -----------------------------
+    def _rowcol(self, q: int, bs: int) -> int:
+        """Global plan position -> row column in branch mode.
+
+        Branch rows are [core (core_n), product, own-branch cols...]; q in
+        core keeps its position, q in the CURRENT branch (start bs) lands
+        after the product column. Label-disjointness + the no-cross-edge
+        rule guarantee no reference into another branch."""
+        return q if q < self.core_n else self.core_n + 1 + (q - bs)
+
+    def _lim(self) -> int:
+        return (
+            self.max_chunk
+            if self.max_out_rows is None
+            else max(1, min(self.max_chunk, self.max_out_rows - self._outrows))
+        )
+
+    def _route_generic(self, kind: str, j: int, M: np.ndarray, queue: list,
+                       anchor_col: int):
+        """Owner-split rows by M[:, anchor_col] (hub rows hash-spread)."""
+        owner = self._owner_of(M, M[:, anchor_col])
+        order = np.argsort(owner, kind="stable")
+        Ms = M[order]; po = owner[order]
+        bounds = np.searchsorted(po, np.arange(self.csr.num_parts + 1))
+        for p in range(self.csr.num_parts):
+            s, e = int(bounds[p]), int(bounds[p + 1])
+            if s == e:
+                continue
+            if p == self.csr.part:
+                queue.append((kind, j, Ms[s:e]))
+            else:
+                self._emit(p, f"{kind}{j}", Ms[s:e])
+
+    def _preagg_core(self, M: np.ndarray) -> np.ndarray:
+        """Collapse [core..., product] rows sharing the core columns by
+        summing products (sound by linearity: partial sums that stay split —
+        across partitions or supersteps — multiply through the remaining
+        branches and add up to the same total)."""
+        if len(M) <= 1:
+            return M
+        C = M[:, :-1]
+        order = np.lexsort(C.T[::-1])
+        Cs = C[order]
+        neq = np.any(Cs[1:] != Cs[:-1], axis=1)
+        starts = np.concatenate([[0], np.nonzero(neq)[0] + 1])
+        sums = np.add.reduceat(M[order, -1].astype(np.int64), starts)
+        out = np.empty((len(starts), M.shape[1]), dtype=np.uint64)
+        out[:, :-1] = Cs[starts]
+        out[:, -1] = sums.astype(np.uint64)
+        return out
+
+    def _branch_level(self, j: int, M: np.ndarray, queue: list,
+                      li: np.ndarray | None = None, hub: bool = False):
+        """Process branch level j (rows at the anchor's owner / hub-spread).
+
+        M = [core, product, own-branch cols so far]. Levels below the
+        branch-tail start EXPAND (materializing the candidate column and
+        routing to candidate-owner verification, like the flat e->v path);
+        branch-tail levels FOLD into the product (``_fold_branch``)."""
+        bs, be, bt = self.b_of[j]
+        pp_col = self._rowcol(self.plan["parent_pos"][j], bs)
+        if li is None:
+            anchors = M[:, pp_col]
+            is_hub = self._is_hub(anchors)
+            if is_hub is not None and is_hub.any():
+                if (~is_hub).any():
+                    Mo = M[~is_hub]
+                    self._branch_level(
+                        j, Mo, queue, li=self.csr.local_index(Mo[:, pp_col])
+                    )
+                Mh = M[is_hub]
+                self._branch_level(
+                    j, Mh, queue,
+                    li=np.searchsorted(self.hub_vids, Mh[:, pp_col]), hub=True,
+                )
+                return
+            li = self.csr.local_index(anchors)
+        if j >= bt:
+            self._fold_branch(j, M, queue, li, hub)
+            return
+        lim = self._lim()
+        lcsr = self.hub_lcsr if hub else None
+        indptr = (lcsr or self.lcsr)[self.plan["labels"][j]][0]
+        csum = np.cumsum(indptr[li + 1] - indptr[li])
+        if len(csum) and csum[-1] > lim and len(M) > 1:
+            cut = max(1, int(np.searchsorted(csum, lim)))
+            queue.append(("B", j, M[cut:]))
+            M, li = M[:cut], li[:cut]
+        cand, row_rep = self._candidates_at(j, li, lcsr)
+        if len(cand) == 0:
+            return
+        Mrep = M[row_rep]
+        slp = self.b_slp[j]
+        if slp:
+            dup = (Mrep[:, slp] == cand[:, None]).any(axis=1)
+            if dup.any():
+                keep = ~dup
+                cand = cand[keep]; Mrep = Mrep[keep]
+                if len(cand) == 0:
+                    return
+        out = np.empty((len(cand), Mrep.shape[1] + 1), dtype=np.uint64)
+        out[:, :-1] = Mrep
+        out[:, -1] = cand
+        self._route_generic("C", j, out, queue, anchor_col=out.shape[1] - 1)
+
+    def _fold_branch(self, j: int, M: np.ndarray, queue: list,
+                     li: np.ndarray, hub: bool):
+        """Branch-tail fold: product *= this leaf's candidate count (label
+        degree of the anchor, minus same-label carried-column adjacency
+        indicators, minus the within-run falling-factorial decrement) — the
+        within-branch mirror of ``_fold_tail``'s exactness rules."""
+        bs, be, bt = self.b_of[j]
+        indptr, _ = (self.hub_lcsr if hub else self.lcsr)[self.plan["labels"][j]]
+        f = (indptr[li + 1] - indptr[li]).astype(np.int64)
+        for c in self.plan["btail_slp"][j]:
+            member = (
+                self._hub_member(li, M[:, c])
+                if hub
+                else self.csr.has_edges(li, M[:, c])
+            )
+            f -= member.astype(np.int64)
+        f -= self.plan["btail_dec"][j]
+        np.maximum(f, 0, out=f)
+        prod = M[:, self.core_n].astype(np.int64) * f
+        keep = prod > 0
+        if not keep.any():
+            return
+        M2 = M[keep].copy() if not keep.all() else M.copy()
+        M2[:, self.core_n] = prod[keep].astype(np.uint64)
+        self._branch_next(j, M2, queue)
+
+    def _branch_verify(self, j: int, M: np.ndarray, queue: list):
+        """Verify branch candidates at their owner: backward adjacency
+        (remapped row columns) + LDF degree pruning, like the flat 'v'."""
+        bs, be, bt = self.b_of[j]
+        qd = self.plan.get("qdeg")
+        ok = self._adjacency_ok(
+            M, M.shape[1] - 1, self.b_back[j], qd[j] if qd is not None else 0
+        )
+        if not ok.any():
+            return
+        out = M if ok.all() else M[ok]
+        self._branch_next(j, out, queue)
+
+    def _branch_next(self, j: int, M: np.ndarray, queue: list):
+        bs, be, bt = self.b_of[j]
+        if j + 1 < be:
+            pp_col = self._rowcol(self.plan["parent_pos"][j + 1], bs)
+            self._route_generic("B", j + 1, M, queue, anchor_col=pp_col)
+        else:
+            self._branch_done(be, M, queue)
+
+    def _branch_done(self, be: int, M: np.ndarray, queue: list):
+        """Branch complete: collapse to [core, product] and dispatch to the
+        next branch, the global tail fold, or the final count."""
+        rows = self._preagg_core(np.ascontiguousarray(M[:, : self.core_n + 1]))
+        bi = next(i for i, b in enumerate(self.branches) if b[1] == be)
+        if bi + 1 < len(self.branches):
+            nb = self.branches[bi + 1][0]
+            self._route_generic(
+                "B", nb, rows, queue, anchor_col=self.plan["parent_pos"][nb]
+            )
+        elif self.tail_start < self.k:
+            self._route_tail(self.tail_start, rows, queue)
+        else:
+            prods = rows[:, -1].astype(np.int64)
+            self.count += int(prods.sum())
+            if self.per_root:
+                self._credit_roots(rows[:, 0], prods, queue)
+
     def _route_tail(self, j: int, M: np.ndarray, queue: list):
         """Route tail factor rows by the NEXT tail leaf's anchor owner
         (hub anchors hash-spread, like _route)."""
@@ -2152,12 +2348,16 @@ class MatchProgram(VertexProgram):
                     cut = max(1, int(np.searchsorted(csum, lim)))
                     queue.append(("e", j, M[cut:]))
                     M, li = M[:cut], li[:cut]
-                if j == self.tail_start and j < k - 1:
-                    # enter the trailing-leaf factor fold: append product=1
+                if j == self.fold_start and j < k - 1:
+                    # enter the fold region: append product=1, then either
+                    # the branch fold (round 4) or the trailing-leaf fold
                     Mp = np.empty((len(M), M.shape[1] + 1), dtype=np.uint64)
                     Mp[:, :-1] = M
                     Mp[:, -1] = 1
-                    self._fold_tail(j, Mp, queue, li=li)
+                    if self.branches:
+                        self._branch_level(j, Mp, queue, li=li)
+                    else:
+                        self._fold_tail(j, Mp, queue, li=li)
                 elif j == k - 1:
                     self._expand_leaf(j, M, li, queue)
                 else:
@@ -2174,11 +2374,14 @@ class MatchProgram(VertexProgram):
                     cut = max(1, int(np.searchsorted(csum, lim)))
                     queue.append(("h", j, M[cut:]))
                     M, hli = M[:cut], hli[:cut]
-                if j == self.tail_start and j < k - 1:
+                if j == self.fold_start and j < k - 1:
                     Mp = np.empty((len(M), M.shape[1] + 1), dtype=np.uint64)
                     Mp[:, :-1] = M
                     Mp[:, -1] = 1
-                    self._fold_tail(j, Mp, queue, li=hli, hub=True)
+                    if self.branches:
+                        self._branch_level(j, Mp, queue, li=hli, hub=True)
+                    else:
+                        self._fold_tail(j, Mp, queue, li=hli, hub=True)
                 elif j == k - 1:
                     self._expand_leaf(j, M, hli, queue, lcsr=self.hub_lcsr, hub=True)
                 else:
@@ -2190,6 +2393,16 @@ class MatchProgram(VertexProgram):
                     queue.append((kind, j, M[lim:]))
                     M = M[:lim]
                 self._fold_tail(j, M, queue)
+            elif kind == "B":  # branch-mode level [core, product, branch…]
+                if len(M) > lim:
+                    queue.append((kind, j, M[lim:]))
+                    M = M[:lim]
+                self._branch_level(j, M, queue)
+            elif kind == "C":  # branch candidate verify at candidate owner
+                if len(M) > lim:
+                    queue.append((kind, j, M[lim:]))
+                    M = M[:lim]
+                self._branch_verify(j, M, queue)
             elif kind == "c":
                 if len(M) > lim:
                     queue.append((kind, j, M[lim:]))

@@ -1,0 +1,199 @@
+"""Round-4 internal-branch factor fold (plan["branches"], MatchProgram
+branch kinds B/C) — the flat-plan analogue of the reference's SIBranch
+AND-OR trees (/root/reference/src/SItypes/SIBranch.h:81-131): label-disjoint
+branch subtrees are counted per core row as sequential factors instead of
+materializing the branch cross product."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from subgraph_isomorphism_pregel_ray.pipelines.match import (
+    brute_force_count,
+    build_plan,
+)
+from subgraph_isomorphism_pregel_ray.state.local import LocalBSP
+
+# deep bushy: root(4) + branch A chain 0-1-0 + branch B chain 2-3-2 —
+# same-label WITHIN each branch (a3~a1, b3~b1) exercises the btail_slp
+# indicator; labels across branches disjoint (fold eligibility).
+DEEP_QL = [4, 0, 1, 0, 2, 3, 2]
+DEEP_QE = [(0, 1), (1, 2), (2, 3), (0, 4), (4, 5), (5, 6)]
+
+BRANCHY = {
+    "deep2": (DEEP_QL, DEEP_QE),
+    # all-distinct-label chains
+    "deep2d": ([6, 0, 1, 2, 3, 4, 5], DEEP_QE),
+    # two depth-2 branches off a spine vertex (root-spine-branches)
+    "spine": ([5, 6, 0, 1, 2, 3], [(0, 1), (1, 2), (2, 3), (1, 4), (4, 5)]),
+    # three label-disjoint branches
+    "tri3": ([6, 0, 1, 2, 3, 4, 5],
+             [(0, 1), (1, 2), (0, 3), (3, 4), (0, 5), (5, 6)]),
+    # two branches + a same-label global-tail leaf pair on the root
+    "btail": ([6, 0, 1, 2, 3, 5, 5],
+              [(0, 1), (1, 2), (0, 3), (3, 4), (0, 5), (0, 6)]),
+}
+
+
+def _dense_graph(seed, n=90, density=8, nlab=7):
+    rng = np.random.default_rng(seed)
+    s = rng.integers(0, n, n * density)
+    d = rng.integers(0, n, n * density)
+    keep = s != d
+    s, d = s[keep], d[keep]
+    verts = np.unique(np.concatenate([s, d]))
+    labels = {int(v): int(v % nlab) for v in verts}
+    edges = list({(int(min(a, b)), int(max(a, b))) for a, b in zip(s, d)})
+    return s, d, labels, edges
+
+
+def test_branch_plan_shape():
+    plan = build_plan(DEEP_QL, DEEP_QE)
+    assert plan["core_n"] == 1  # root only
+    assert plan["branches"] == [(1, 4, 3), (4, 7, 6)]
+    # within-branch same-label leaf references the carried a1/b1 row column
+    assert plan["btail_slp"] == {3: [2], 6: [2]}
+    assert plan["tail_start"] == 7  # no global tail
+
+    # label overlap across branches -> fold ineligible (the same-label
+    # compatibility fallback): the round-3 bushy query shares label 1
+    bushy = build_plan([3, 0, 1, 1, 2, 2, 0],
+                       [(0, 1), (1, 2), (0, 3), (3, 4), (0, 5), (5, 6)])
+    assert bushy["branches"] == []
+
+
+@pytest.mark.parametrize("qname", sorted(BRANCHY))
+def test_branch_fold_vs_brute_force(qname):
+    ql, qe = BRANCHY[qname]
+    s, d, labels, edges = _dense_graph(11)
+    plan = build_plan(ql, qe)
+    assert plan["branches"], qname  # the fold must actually engage
+    oracle = brute_force_count(labels, edges, ql, qe)
+    assert oracle > 0
+    eng = LocalBSP(s, d, num_parts=4, labels=labels, directed=False)
+    eng.run("match", {"plan": plan}, max_steps=60)
+    assert eng.scalars()["embeddings"] == oracle
+
+
+def test_branch_fold_variants_and_flat_parity():
+    """Fold count is invariant under throttling, tiny chunks with a forced
+    hub mirror, per_root attribution — and equals the flat path with the
+    branch metadata stripped."""
+    ql, qe = BRANCHY["deep2"]
+    s, d, labels, edges = _dense_graph(12, n=70)
+    plan = build_plan(ql, qe)
+    oracle = brute_force_count(labels, edges, ql, qe)
+    assert oracle > 0
+
+    flat_plan = dict(plan)
+    flat_plan["branches"] = []
+    eng = LocalBSP(s, d, num_parts=4, labels=labels, directed=False)
+    eng.run("match", {"plan": flat_plan}, max_steps=60)
+    assert eng.scalars()["embeddings"] == oracle
+
+    for params, hub in [
+        ({"max_out_rows": 400}, False),
+        ({"max_chunk": 17}, True),
+        ({"per_root": True}, False),
+    ]:
+        eng = LocalBSP(s, d, num_parts=4, labels=labels, directed=False)
+        if hub:
+            eng.prepare_hub_mirror(min_deg=10)
+        eng.run("match", {"plan": plan, **params}, max_steps=600)
+        got = eng.scalars()["embeddings"]
+        if params.get("per_root"):
+            got = int(eng.result().to_pandas()["n_embeddings"].sum())
+        assert got == oracle, params
+
+
+def test_branch_checkpoint_resume_identical(ray_session, tmp_path):
+    """Kill a branch-fold run mid-cascade (B/C/p kinds in the checkpointed
+    outbox/backlog), resume, identical count."""
+    import os
+
+    from subgraph_isomorphism_pregel_ray.pipelines.bsp import BSPEngine
+    from subgraph_isomorphism_pregel_ray.pipelines.build_graph import (
+        edges_from_arrays,
+        partition_graph,
+    )
+    import ray.data as rd
+
+    s, d, labels, edges = _dense_graph(13, n=120)
+    verts = np.array(sorted(labels), np.uint64)
+    lab_ds = rd.from_arrow(
+        pa.table(
+            {
+                "vid": verts,
+                "label": np.array([labels[int(v)] for v in verts], np.int64),
+            }
+        )
+    )
+    gdir, ck = str(tmp_path / "g"), str(tmp_path / "ck")
+    partition_graph(edges_from_arrays(s, d), 4, gdir, labels_ds=lab_ds,
+                    directed=False)
+    plan = build_plan(DEEP_QL, DEEP_QE)
+    assert plan["branches"]
+    oracle = brute_force_count(labels, edges, DEEP_QL, DEEP_QE)
+
+    # throttle hard so the cascade spans many supersteps before completing
+    params = {"plan": plan, "max_out_rows": 300}
+    eng = BSPEngine(gdir, 4)
+    eng.run("match", params, max_steps=600)
+    assert eng.scalar_results()["embeddings"] == oracle
+    eng.shutdown()
+
+    engA = BSPEngine(gdir, 4)
+    engA.run("match", params, max_steps=4, checkpoint_dir=ck,
+             checkpoint_every=1)
+    engA.shutdown()
+    assert os.path.isdir(os.path.join(ck, "step=3"))
+
+    engB = BSPEngine(gdir, 4)
+    engB.run("match", params, max_steps=600, checkpoint_dir=ck,
+             checkpoint_every=1, resume=True)
+    assert engB.scalar_results()["embeddings"] == oracle
+    engB.shutdown()
+
+
+def test_match_bushy_deep_outbox_bounded(ray_session):
+    """The deep-branch query's exchange stays bounded under throttling:
+    per-branch multiplicity is large, yet max sent rows per superstep is
+    capped by max_out_rows + one item's fanout per partition (the branch
+    factors cross the exchange, never the branch cross product)."""
+    import ray.data as rd
+
+    from subgraph_isomorphism_pregel_ray.pipelines.match import match_count
+
+    s, d, labels, edges = _dense_graph(14, n=150, density=10)
+    verts = np.array(sorted(labels), np.uint64)
+    eds = rd.from_arrow(
+        pa.table(
+            {
+                "src": np.concatenate([s, d]).astype(np.int64),
+                "dst": np.concatenate([d, s]).astype(np.int64),
+            }
+        )
+    )
+
+    def _lds():
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "vid": verts,
+                    "label": np.array([labels[int(v)] for v in verts], np.int64),
+                }
+            )
+        )
+
+    base, _ = match_count(eds, DEEP_QL, DEEP_QE, labels_ds=_lds(), num_parts=3)
+    budget = 64
+    throttled, lin = match_count(
+        eds, DEEP_QL, DEEP_QE, labels_ds=_lds(), num_parts=3,
+        max_out_rows=budget, max_steps=6000,
+    )
+    assert throttled == base and base > 0
+    peak_rows = max(r["sent"] for r in lin["lineage"])
+    deg = np.zeros(int(verts.max()) + 1, np.int64)
+    np.add.at(deg, s, 1)
+    np.add.at(deg, d, 1)
+    assert peak_rows <= 3 * (budget + int(deg.max()))
