@@ -197,3 +197,106 @@ def test_match_bushy_deep_outbox_bounded(ray_session):
     np.add.at(deg, s, 1)
     np.add.at(deg, d, 1)
     assert peak_rows <= 3 * (budget + int(deg.max()))
+
+
+def _emb_ds(n=300, d=12, seed=5, labels=False):
+    import ray.data as rd
+
+    rng = np.random.default_rng(seed)
+    M = rng.standard_normal((n, d))
+    ids = np.arange(n, dtype=np.int64) * 3 + 1
+    cols = {
+        "vec_id": ids,
+        "embedding": pa.array(list(M), pa.list_(pa.float64())),
+    }
+    if labels:
+        cols["label"] = (ids % 4).astype(np.int64)
+    return rd.from_arrow(pa.table(cols)).repartition(5).materialize()
+
+
+def test_knn_tiles_bounded_and_equal(ray_session, monkeypatch):
+    """VERDICT r3 #2: the exact-kNN corpus side is TILED — no single
+    broadcast object holds the corpus (each tile ≤ the requested tile
+    rows), and results are identical between 1-tile and many-tile runs."""
+    import ray
+
+    import subgraph_isomorphism_pregel_ray.pipelines.similarity as sim
+
+    ds = _emb_ds()
+    big = sim.knn_graph(ds, k=4).to_pandas().sort_values(
+        ["vec_id", "rank"]).reset_index(drop=True)
+
+    orig = sim._tile_refs
+    monkeypatch.setattr(
+        sim, "_tile_refs",
+        lambda e, tile_rows=64, with_labels=False: orig(e, 64, with_labels),
+    )
+    tiles = sim._tile_refs(ds)
+    assert len(tiles) >= 4  # genuinely tiled
+    for t in tiles:  # peak broadcast object ≤ tile size (+1 block slack)
+        assert ray.get(t)[1].shape[0] <= 2 * 64
+    small = sim.knn_graph(ds, k=4).to_pandas().sort_values(
+        ["vec_id", "rank"]).reset_index(drop=True)
+    assert small.equals(big)
+
+
+def test_knn_vote_and_purity_tiled_equal(ray_session, monkeypatch):
+    """knn_label_vote's vectorized run-length majority (tiled) matches the
+    per-row lexsort/unique reference on the same ordering rule."""
+    import subgraph_isomorphism_pregel_ray.pipelines.similarity as sim
+    from subgraph_isomorphism_pregel_ray.functions.rounding import (
+        round_half_away,
+    )
+
+    ds = _emb_ds(labels=True)
+    df = ds.to_pandas().sort_values("vec_id")
+    ids = df["vec_id"].to_numpy()
+    labs = df["label"].to_numpy()
+    M = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+    Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+    cos6 = round_half_away(Mn @ Mn.T, 6)
+    k = 5
+    exp = {}
+    for i, vid in enumerate(ids):
+        idx = np.nonzero(ids != vid)[0]
+        order = np.lexsort((ids[idx], -cos6[i][idx]))[:k]
+        nl = labs[idx[order]]
+        ul, cnt = np.unique(nl, return_counts=True)
+        exp[vid] = ul[np.lexsort((ul, -cnt))[0]]
+
+    orig = sim._tile_refs
+    monkeypatch.setattr(
+        sim, "_tile_refs",
+        lambda e, tile_rows=64, with_labels=False: orig(e, 64, with_labels),
+    )
+    got = sim.knn_label_vote(ds, k=k).to_pandas()
+    assert len(got) == len(ids)
+    for _, r in got.iterrows():
+        assert exp[r["vec_id"]] == r["pred_label"]
+
+
+def test_allpairs_audit_size_guard(ray_session):
+    """VERDICT r3 #4: the exact all-pairs audit ops refuse corpora beyond
+    max_docs with a loud error; max_docs=None opts into the O(n²) cost."""
+    import ray.data as rd
+
+    from subgraph_isomorphism_pregel_ray.pipelines.dedup import (
+        lsh_recall,
+        ngram_jaccard_pairs,
+    )
+
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": np.arange(30, dtype=np.int64),
+                "text": [f"some shared text payload number {i % 7}" for i in range(30)],
+            }
+        )
+    )
+    with pytest.raises(ValueError, match="all-pairs"):
+        ngram_jaccard_pairs(docs, max_docs=10).materialize()
+    with pytest.raises(ValueError, match="all-pairs"):
+        lsh_recall(docs, max_docs=10)
+    # opting in (or staying under the cap) still works
+    assert ngram_jaccard_pairs(docs, max_docs=None).count() >= 0
+    assert ngram_jaccard_pairs(docs, max_docs=100).count() >= 0
