@@ -343,25 +343,30 @@ def main(argv=None):
         if bool(args.query) == bool(args.queries):
             raise SystemExit("match needs exactly one of -q / --queries")
         if args.queries:
-            # batch mode: ONE graph load + ONE partition-actor fleet shared
-            # across every query (the reference's dev/ multi-query driver)
+            # batch mode (round 4): ONE graph load + ONE actor fleet + ONE
+            # superstep loop shared across every query — all queries'
+            # frontier traffic rides the same exchange/barrier
+            # (MultiMatchProgram, the reference's dev/ multi-query driver)
             from .pipelines.algorithms import build_engine
+            from .pipelines.match import match_count_multi
 
             with open(args.queries) as f:
                 qpaths = [ln.strip() for ln in f if ln.strip()
                           and not ln.lstrip().startswith("#")]
+            qs = []
+            for qp in qpaths:
+                with open(qp) as f:
+                    qs.append(parse_query_text(f.read()))
             eng = build_engine(
                 edges_ds, args.parts, labels_ds=labels_ds, directed=False
             )
+            counts, lineage = match_count_multi(
+                eng, qs, order=args.order, seed=args.seed,
+            )
+            if args.report:
+                _print_report(lineage)
             results = []
-            for qp in qpaths:
-                with open(qp) as f:
-                    qlabels, qedges = parse_query_text(f.read())
-                count, lineage = match_count(
-                    eng, qlabels, qedges, order=args.order, seed=args.seed,
-                )
-                if args.report:
-                    _print_report(lineage)
+            for qp, count in zip(qpaths, counts):
                 results.append(
                     {"query": qp, "mapping_count": int(count),
                      "supersteps": lineage["steps"]}

@@ -484,6 +484,55 @@ def match_count(
     return count, lineage
 
 
+def match_count_multi(
+    edges_or_engine,
+    queries: list[tuple[list[int], list[tuple[int, int]]]],
+    labels_ds=None,
+    num_parts: int = 8,
+    max_chunk: int = 500_000,
+    order: str = "degree",
+    seed: int = 13,
+    max_out_rows: int | None = None,
+    max_steps: int | None = None,
+) -> tuple[list[int], dict]:
+    """Count N queries through ONE superstep loop (``MultiMatchProgram``):
+    one graph load, one actor fleet, one label exchange / hub mirror, and
+    every query's frontier traffic sharing the same per-superstep barrier —
+    the Ray analogue of the reference's multi-query driver
+    (``dev/basic/Worker.h:349-376``). Returns ([count_i...], lineage).
+
+    With ``order='candidate'`` the data-graph statistics are computed once
+    per query over the SAME engine (attribute exchanges are cached after
+    the first), so the shared session also amortizes PREPROCESS."""
+    from .algorithms import build_engine
+    from .bsp import BSPEngine
+
+    own = not isinstance(edges_or_engine, BSPEngine)
+    eng = (
+        build_engine(edges_or_engine, num_parts, labels_ds=labels_ds, directed=False)
+        if own
+        else edges_or_engine
+    )
+    plans = []
+    for ql, qe in queries:
+        stats = candidate_stats(eng, ql, qe) if order == "candidate" else None
+        plans.append(build_plan(ql, qe, order=order, cand_stats=stats, seed=seed))
+    params: dict = {"plans": plans, "max_chunk": max_chunk}
+    if max_out_rows is not None:
+        params["max_out_rows"] = max_out_rows
+    kmax = max(len(ql) for ql, _ in queries)
+    lineage = eng.run(
+        "multi_match",
+        params,
+        max_steps=max_steps if max_steps is not None else 2 * kmax + 2,
+    )
+    scal = eng.scalar_results()
+    counts = [int(scal.get(f"embeddings_q{i}", 0)) for i in range(len(queries))]
+    if own:
+        eng.shutdown()
+    return counts, lineage
+
+
 def match_per_root(
     edges_or_engine,
     query_labels: list[int],

@@ -967,17 +967,48 @@ class MaximalMatchingProgram(VertexProgram):
         return outbox, {"sent": sent}
 
     def state_table(self):
-        raise NotImplementedError(
-            "maximal matching checkpointing would need the O(E) per-edge "
-            "live mask serialized; rounds are few — run without "
-            "--checkpoint-dir"
+        """Per-vertex state + the per-edge live mask PACKED to bits (row 0
+        of a list column): E/8 bytes per partition — the round-3 refusal
+        priced this as "O(E)", but packed it is an order of magnitude
+        below one message exchange, so checkpointing is now supported.
+        ``cur_target`` is deliberately absent: it is recomputed by every
+        even scatter before any odd apply reads it, and resume re-runs the
+        checkpointed step's scatter."""
+        n = self.csr.num_vertices
+        packed = np.packbits(self.edge_live)
+        off = np.zeros(n + 1, np.int32)
+        off[1:] = len(packed)  # row 0 carries the mask; rows 1.. are empty
+        return pa.table(
+            {
+                "vid": self.csr.vids,
+                "status": pa.array(self.status, pa.int8()),
+                "partner": pa.array(self.partner, pa.int64()),
+                "new_matched": pa.array(self.new_matched, pa.bool_()),
+                "edge_live": pa.ListArray.from_arrays(
+                    pa.array(off), pa.array(packed, pa.uint8())
+                ),
+            }
         )
 
     def load_state(self, table, step):
-        raise NotImplementedError(
-            "maximal matching checkpointing is not supported (see "
-            "state_table)"
+        self.status = np.asarray(
+            table["status"].to_numpy(zero_copy_only=False), np.int8
+        ).copy()
+        self.partner = np.asarray(
+            table["partner"].to_numpy(zero_copy_only=False), np.int64
+        ).copy()
+        self.new_matched = np.asarray(
+            table["new_matched"].to_numpy(zero_copy_only=False), bool
+        ).copy()
+        packed = np.asarray(
+            table["edge_live"][0].as_py() if table.num_rows else [], np.uint8
         )
+        self.edge_live = (
+            np.unpackbits(packed, count=self.csr.num_edges).astype(bool)
+            if self.csr.num_edges
+            else np.ones(0, dtype=bool)
+        )
+        self.cur_target = np.full(self.csr.num_vertices, -1, dtype=np.int64)
 
     def result_table(self):
         return pa.table({"vid": self.csr.vids, "partner": self.partner})
@@ -2552,6 +2583,97 @@ class MatchProgram(VertexProgram):
 
     def scalar_result(self):
         return {"embeddings": self.count}
+
+
+class MultiMatchProgram(VertexProgram):
+    """N subgraph-count queries through ONE superstep loop / actor fleet /
+    message exchange — the Ray analogue of the reference's multi-query
+    driver (``dev/basic/Worker.h:349-376``, which batches queries through
+    one wl_sync pass). Each query runs as an inner :class:`MatchProgram`
+    over the SHARED partition CSR (one graph load, one hub mirror, one
+    label exchange); on the wire each sub-program's message keys are
+    namespaced ``{qi}|{key}``, so all queries' frontier traffic rides the
+    same per-superstep exchange and barrier — N queries cost max(steps_i)
+    barriers instead of Σ steps_i. Per-query counts come back as
+    ``embeddings_q{i}`` scalars; checkpoints concat the sub-states with a
+    ``qi`` column. ``max_out_rows`` (if set) applies PER SUB-QUERY, so the
+    combined exchange bound is N × budget."""
+
+    needs_nbr_attrs = ("label",)
+    wants_hub_mirror = True
+
+    def init(self, csr: CSRPartition, plans=None, **kw):
+        self.csr = csr
+        self.subs: list[MatchProgram] = []
+        for plan in plans:
+            p = MatchProgram()
+            p.init(csr, plan=plan, **kw)
+            self.subs.append(p)
+
+    def apply(self, step, inbox, glob):
+        if step == 0:
+            active = 0
+            for p in self.subs:
+                active += int(p.apply(step, [], glob).get("active", 0))
+            return {"active": active}
+        split: list[list] = [[] for _ in self.subs]
+        for msg in inbox:
+            if not msg:
+                continue
+            per: dict[int, dict] = {}
+            for key, M in msg.items():
+                qi, sub_key = key.split("|", 1)
+                per.setdefault(int(qi), {})[sub_key] = M
+            for qi, d in per.items():
+                split[qi].append(d)
+        active = 0
+        for qi, p in enumerate(self.subs):
+            active += int(p.apply(step, split[qi], glob).get("active", 0))
+        return {"active": active}
+
+    def scatter(self, step):
+        P = self.csr.num_parts
+        merged: list[dict | None] = [None] * P
+        sent = 0
+        for qi, p in enumerate(self.subs):
+            outbox, stats = p.scatter(step)
+            sent += int(stats.get("sent", 0))
+            for part, buf in enumerate(outbox):
+                if not buf:
+                    continue
+                if merged[part] is None:
+                    merged[part] = {}
+                for key, M in buf.items():
+                    merged[part][f"{qi}|{key}"] = M
+        return merged, {"sent": sent}
+
+    def state_table(self):
+        tabs = []
+        for qi, p in enumerate(self.subs):
+            t = p.state_table()
+            tabs.append(t.append_column("qi", pa.array([qi] * t.num_rows,
+                                                      pa.int32())))
+        return pa.concat_tables(tabs)
+
+    def load_state(self, table, step):
+        qi_col = table["qi"].to_numpy()
+        for qi, p in enumerate(self.subs):
+            p.load_state(
+                table.filter(pa.array(qi_col == qi)).drop_columns(["qi"]),
+                step,
+            )
+
+    def result_table(self):
+        return pa.table(
+            {
+                "qi": pa.array(range(len(self.subs)), pa.int32()),
+                "count": pa.array([p.count for p in self.subs], pa.int64()),
+                "part": pa.array([self.csr.part] * len(self.subs), pa.int32()),
+            }
+        )
+
+    def scalar_result(self):
+        return {f"embeddings_q{qi}": p.count for qi, p in enumerate(self.subs)}
 
 
 class KCoreProgram(VertexProgram):
@@ -4243,6 +4365,7 @@ PROGRAMS = {
     "lpa": LabelPropagationProgram,
     "triangles": TriangleCountProgram,
     "match": MatchProgram,
+    "multi_match": MultiMatchProgram,
     "kcore": KCoreProgram,
     "ktruss": KTrussProgram,
     "assortativity": AssortativityProgram,
