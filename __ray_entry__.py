@@ -585,8 +585,8 @@ def _q_match_bushy(sf_dir: str):
     return pa.table({"n_embeddings": pa.array([count], type=pa.int64())})
 
 
-DEEP_QL = [4, 0, 1, 0, 2, 3, 2]  # root 4; branch A chain 0-1-0; branch B 2-3-2
-DEEP_QE = [(0, 1), (1, 2), (2, 3), (0, 4), (4, 5), (5, 6)]
+BUSHY_DEEP_QL = [4, 0, 1, 0, 2, 3, 2]  # root 4; branch A 0-1-0; branch B 2-3-2
+BUSHY_DEEP_QE = [(0, 1), (1, 2), (2, 3), (0, 4), (4, 5), (5, 6)]
 
 
 def _deep_labels(sf_dir: str):
@@ -621,8 +621,8 @@ def _q_match_bushy_deep(sf_dir: str):
 
     count, _ = match_count(
         symmetrize(copurchase_edges(sf_dir)),
-        DEEP_QL,
-        DEEP_QE,
+        BUSHY_DEEP_QL,
+        BUSHY_DEEP_QE,
         labels_ds=_deep_labels(sf_dir),
         num_parts=4,
         max_out_rows=BUSHY_MAX_OUT_ROWS,

@@ -2799,6 +2799,64 @@ class KCoreProgram(VertexProgram):
 
 
 # --------------------------------------------------------------------------
+class SCoreProgram(KCoreProgram):
+    """Weighted core decomposition (s-core, Eidsaa & Almaas 2013) by the
+    WEIGHTED h-index fixpoint — the strength analogue of KCoreProgram's
+    Montresor iteration: core_0(v) = strength(v) = Σ edge weights;
+    core_i(v) = max over neighbors sorted by estimate desc of
+    min(cumulative weight, estimate). For unit weights the cumulative
+    weight is the 1-based rank and this is exactly the h-index, so the
+    program degrades to k-core when the layout has no weight channel.
+    Estimates only decrease (frontier scatter like k-core); within-tie
+    neighbor order provably cannot change the max-least value, so the
+    fixpoint is deterministic and the SQL unroll (ORDER BY core DESC,
+    dst) replays it bit-for-bit."""
+
+    def init(self, csr: CSRPartition):
+        super().init(csr)
+        self.ew = (
+            csr.eweights.astype(np.int64)
+            if csr.eweights is not None
+            else np.ones(csr.num_edges, dtype=np.int64)
+        )
+        # strength start (== degree when unweighted)
+        self.core = np.zeros(csr.num_vertices, dtype=np.int64)
+        np.add.at(
+            self.core,
+            np.repeat(np.arange(csr.num_vertices, dtype=np.int64),
+                      np.diff(csr.indptr)),
+            self.ew,
+        )
+
+    def _recompute(self, rows: np.ndarray) -> int:
+        indptr = self.csr.indptr
+        starts = indptr[rows]
+        counts = (indptr[rows + 1] - starts).astype(np.int64)
+        eidx = flat_gather(starts, counts)
+        if len(eidx) == 0:
+            self.changed = np.zeros(self.csr.num_vertices, dtype=bool)
+            return 0
+        rrep = np.repeat(np.arange(len(rows), dtype=np.int64), counts)
+        est = np.minimum(self.nbr_est[eidx], self.core[rows][rrep])
+        w = self.ew[eidx]
+        order = np.lexsort((-est, rrep))
+        ws = w[order]
+        cws = np.cumsum(ws)
+        row_start = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        base = cws[row_start] - ws[row_start]  # segmented cumsum reset
+        cw = cws - base[rrep]
+        val = np.minimum(cw, est[order])
+        nz = counts > 0
+        h = np.zeros(len(rows), dtype=np.int64)
+        h[nz] = np.maximum.reduceat(val, row_start[nz])
+        new_changed = np.zeros(self.csr.num_vertices, dtype=bool)
+        dec = (h < self.core[rows]) & nz
+        self.core[rows[dec]] = h[dec]
+        new_changed[rows[dec]] = True
+        self.changed = new_changed
+        return int(dec.sum())
+
+
 class HITSProgram(VertexProgram):
     """HITS (hubs & authorities) on the DAG orientation of the symmetric
     graph: the directed edge set is u→v iff {u,v} ∈ E and u < v, so
@@ -4367,6 +4425,7 @@ PROGRAMS = {
     "match": MatchProgram,
     "multi_match": MultiMatchProgram,
     "kcore": KCoreProgram,
+    "score": SCoreProgram,
     "ktruss": KTrussProgram,
     "assortativity": AssortativityProgram,
     "ppr": PersonalizedPageRankProgram,
