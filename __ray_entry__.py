@@ -2682,6 +2682,31 @@ def _q_events_funnel(sf_dir: str):
     return events_funnel(sf_dir)
 
 
+def _q_s_core(sf_dir: str):
+    """Weighted core decomposition (s-core, Eidsaa & Almaas 2013) over the
+    co-purchase graph with weight = shared-order count: the weighted
+    h-index fixpoint (SCoreProgram — core_0 = strength, then
+    max-over-neighbors of min(cumulative weight, estimate), neighbors
+    ordered by estimate desc) — the strength analogue of kcore_copurchase;
+    for unit weights the two coincide (pytest-verified)."""
+    from subgraph_isomorphism_pregel_ray.pipelines.algorithms import s_core
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import (
+        copurchase_weights,
+    )
+
+    ew = copurchase_weights(sf_dir).map_batches(
+        lambda t: t.rename_columns(["src", "dst", "weight"]),
+        batch_format="pyarrow",
+    )
+    res, _ = s_core(ew, num_parts=4)
+    return pa.table(
+        {
+            "vid": res["vid"].to_numpy().view(np.int64),
+            "core": res["core"].to_numpy(),
+        }
+    )
+
+
 def _q_wsssp_weighted(sf_dir: str):
     """Multi-source shortest paths over STORED data weights (shared-order
     counts via the CSR weight channel) — the data-weighted Bellman-Ford
@@ -3068,6 +3093,28 @@ def _q_adamic_adar(sf_dir: str):
     from subgraph_isomorphism_pregel_ray.pipelines.algorithms import adamic_adar
 
     return adamic_adar(sf_dir)
+
+
+def _q_jl_distortion(sf_dir: str):
+    """JL distortion audit: deterministic ±1 (md5-sign) projection of the
+    embedding table to 8 dims; per natural pair (2t, 2t+1) the quantized
+    squared-distance ratio — int64-exact up to one double division."""
+    from subgraph_isomorphism_pregel_ray.pipelines.similarity import jl_distortion
+
+    return jl_distortion(_emb(sf_dir))
+
+
+def _q_resource_allocation(sf_dir: str):
+    """Resource-allocation index (Zhou, Lü & Zhang 2009) per strong-graph
+    edge: ra(u,v) = Σ_{z ∈ N(u)∩N(v)} 1/deg(z) — the 1/deg sibling of
+    adamic_adar_copurchase (same hub-bucket wedge machinery, no ln)."""
+    from subgraph_isomorphism_pregel_ray.pipelines.algorithms import adamic_adar
+
+    ds = adamic_adar(sf_dir, weight="ra")
+    return ds.map_batches(
+        lambda t: t.rename_columns(["src", "dst", "ra"]),
+        batch_format="pyarrow",
+    )
 
 
 def _q_kanonymity(sf_dir: str):
@@ -3506,6 +3553,7 @@ def _queries_base() -> dict[str, Callable[[str], Any]]:
         "bowtie_parts": _q_bowtie_parts,
         "wpagerank_copurchase": _q_wpagerank,
         "wsssp_weighted_copurchase": _q_wsssp_weighted,
+        "s_core_copurchase": _q_s_core,
         "events_funnel": _q_events_funnel,
         "anchor_index": _q_anchor_index,
         "oov_rate": _q_oov_rate,
@@ -3587,6 +3635,7 @@ def _queries_base() -> dict[str, Callable[[str], Any]]:
         "embedding_outliers": _q_embedding_outliers,
         "doclen_mannwhitney": _q_doclen_mannwhitney,
         "adamic_adar_copurchase": _q_adamic_adar,
+        "resource_allocation_copurchase": _q_resource_allocation,
         "kanonymity_customers": _q_kanonymity,
         "kcenter_coreset": _q_kcenter_coreset,
         "rapid_repeat_orders": _q_rapid_repeat_orders,
@@ -3607,6 +3656,7 @@ def _queries_base() -> dict[str, Callable[[str], Any]]:
         "revenue_jackknife": _q_revenue_jackknife,
         "ivf_recall": _q_ivf_recall,
         "embedding_moments": _q_embedding_moments,
+        "jl_distortion": _q_jl_distortion,
         "vertex_cover_copurchase": _q_vertex_cover,
         "seeded_labels_copurchase": _q_seeded_labels,
         "blocklist_stats": _q_blocklist_stats,
@@ -4876,6 +4926,38 @@ def _kcore_sql(iters: int = 30) -> str:
             f"SELECT e.src AS vid, c.core AS v, "
             f"row_number() OVER (PARTITION BY e.src ORDER BY c.core DESC) AS rnk "
             f"FROM e JOIN k{i-1} c ON c.vid = e.dst) GROUP BY vid)"
+        )
+    return ", ".join(parts) + f" SELECT vid, core FROM k{iters}"
+
+
+def _score_sql(iters: int = 40) -> str:
+    """Unrolled WEIGHTED h-index fixpoint (s-core, Eidsaa & Almaas 2013 —
+    mirrors SCoreProgram): core_0 = strength; core_i(v) = max over
+    neighbors ordered by capped estimate desc of least(cumulative weight,
+    estimate), estimate capped at v's own core (the engine's
+    min(nbr_est, core[v]) — keeps the sequence monotone so extra rounds
+    are identity). Within-tie neighbor order provably cannot change the
+    max-least value; ORDER BY (est DESC, dst) pins the window anyway.
+    sf0.001/sf0.01 converge well under 40 rounds (engine fixpoints in
+    ~15-25 supersteps)."""
+    parts = [
+        "WITH ew AS MATERIALIZED (SELECT a.l_partkey AS src, "
+        "b.l_partkey AS dst, "
+        "CAST(count(DISTINCT a.l_orderkey) AS BIGINT) AS w "
+        "FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey "
+        "WHERE a.l_partkey <> b.l_partkey GROUP BY 1, 2)",
+        "k0 AS MATERIALIZED (SELECT src AS vid, CAST(sum(w) AS BIGINT) "
+        "AS core FROM ew GROUP BY 1)",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"k{i} AS MATERIALIZED (SELECT vid, max(least(cw, v)) AS core "
+            f"FROM (SELECT e.src AS vid, least(c.core, s.core) AS v, "
+            "CAST(sum(e.w) OVER (PARTITION BY e.src "
+            "ORDER BY least(c.core, s.core) DESC, e.dst "
+            "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cw "
+            f"FROM ew e JOIN k{i-1} c ON c.vid = e.dst "
+            f"JOIN k{i-1} s ON s.vid = e.src) t GROUP BY vid)"
         )
     return ", ".join(parts) + f" SELECT vid, core FROM k{iters}"
 
@@ -7937,6 +8019,7 @@ def oracle_sql() -> dict[str, str]:
         "lpa_copurchase": _lpa_sql(LPA_ITERS),
         "seeded_labels_copurchase": _seeded_lpa_sql(LPA_ITERS),
         "kcore_copurchase": _kcore_sql(),
+        "s_core_copurchase": _score_sql(),
         "kshell_histogram": (
             f"SELECT core, CAST(count(*) AS BIGINT) AS n_vertices "
             f"FROM ({_kcore_sql()}) GROUP BY 1"
@@ -8756,6 +8839,20 @@ def oracle_sql() -> dict[str, str]:
             "SELECT eu2.src, eu2.dst, round(coalesce(aa.aa, 0), 6) AS aa "
             "FROM eu2 LEFT JOIN aa ON aa.u = eu2.src AND aa.v = eu2.dst"
         ),
+        "resource_allocation_copurchase": (
+            # 1/deg wedge weights over the SAME strong-graph CTEs as
+            # adamic_adar; float fold order ≪ round-6
+            f"WITH {_ESTRONG}, "
+            "eu2 AS (SELECT src, dst FROM e WHERE src < dst), "
+            "deg AS MATERIALIZED (SELECT src AS vid, count(*) AS dg FROM e "
+            "GROUP BY 1), "
+            "ra AS MATERIALIZED (SELECT a.src AS u, b.src AS v, "
+            "sum(1.0 / dz.dg) AS ra FROM e a "
+            "JOIN e b ON a.dst = b.dst AND a.src < b.src "
+            "JOIN deg dz ON dz.vid = a.dst GROUP BY 1, 2) "
+            "SELECT eu2.src, eu2.dst, round(coalesce(ra.ra, 0), 6) AS ra "
+            "FROM eu2 LEFT JOIN ra ON ra.u = eu2.src AND ra.v = eu2.dst"
+        ),
         "kcenter_coreset": _kcenter_sql(),
         "orders_profile": (
             # per-column n/distinct/min/max normalized to DOUBLE (dates as
@@ -9089,6 +9186,35 @@ def oracle_sql() -> dict[str, str]:
             "FROM st JOIN dn ON dn.day = st.day0 "
             "JOIN dn dn2 ON dn2.day = st.day0 + 1 "
             "LEFT JOIN ei ON ei.day = st.day0"
+        ),
+        "jl_distortion": (
+            # quantize (×10⁶ half-away), pair (2t, 2t+1), sign-project with
+            # md5-parity ±1 (d 1-based = generate_subscripts), integer sums,
+            # ONE double division — bit-exact vs the engine
+            "WITH q AS MATERIALIZED (SELECT vec_id, "
+            "generate_subscripts(embedding, 1) AS d, "
+            "CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000) "
+            "AS BIGINT) AS qv FROM embeddings), "
+            "pr AS MATERIALIZED (SELECT a.vec_id // 2 AS pair_id, a.d, "
+            "a.qv - b.qv AS xd FROM q a "
+            "JOIN q b ON b.vec_id = a.vec_id + 1 AND b.d = a.d "
+            "WHERE a.vec_id % 2 = 0), "
+            "sx AS (SELECT pair_id, CAST(sum(xd * xd) AS BIGINT) AS sx "
+            "FROM pr GROUP BY 1), "
+            "sg AS (SELECT dd.d, jj.j, CASE WHEN md5_number_lower("
+            "CAST(dd.d AS VARCHAR) || ':' || CAST(jj.j AS VARCHAR)) % 2 = 0 "
+            "THEN 1 ELSE -1 END AS s "
+            "FROM (SELECT unnest(range(1, 65)) AS d) dd "
+            "CROSS JOIN (SELECT unnest(range(0, 8)) AS j) jj), "
+            "yd AS (SELECT pr.pair_id, sg.j, "
+            "CAST(sum(pr.xd * sg.s) AS BIGINT) AS yd FROM pr "
+            "JOIN sg ON sg.d = pr.d GROUP BY 1, 2), "
+            "sy AS (SELECT pair_id, CAST(sum(yd * yd) AS BIGINT) AS sy "
+            "FROM yd GROUP BY 1) "
+            "SELECT sx.pair_id, sx.sx, sy.sy, "
+            "round(CASE WHEN sx.sx > 0 THEN "
+            "(CAST(sy.sy AS DOUBLE) / 8) / CAST(sx.sx AS DOUBLE) "
+            "ELSE 0 END, 6) AS ratio FROM sx JOIN sy USING (pair_id)"
         ),
         "embedding_moments": (
             # mirrors similarity.embedding_moments: same var = ss/n − mean²

@@ -1253,6 +1253,28 @@ def kcore(edges_or_engine, num_parts: int = 8, max_steps: int = 300,
     return out, lineage
 
 
+def s_core(edges_or_engine, num_parts: int = 8, max_steps: int = 300,
+           checkpoint_dir=None, checkpoint_every=0, resume=False):
+    """Weighted core decomposition (s-core, Eidsaa & Almaas 2013) by the
+    weighted h-index fixpoint over a (src, dst, weight) edge Dataset →
+    (vid, core). See ``SCoreProgram`` — for unit weights this IS k-core,
+    and the same frontier/convergence shape applies (per-round cost ∝
+    changed vertices, all-to-all only at the exchange)."""
+    if not isinstance(edges_or_engine, BSPEngine):
+        edges_or_engine = _weight_symmetrize(edges_or_engine)
+    # directed=True: _weight_symmetrize already emitted both directions
+    # with their stored weights (the wsssp_stored layout convention)
+    eng, lineage, own = _run(
+        edges_or_engine, "score", {}, num_parts, max_steps, directed=True,
+        checkpoint_dir=checkpoint_dir, checkpoint_every=checkpoint_every,
+        resume=resume,
+    )
+    out = eng.result_table()
+    if own:
+        eng.shutdown()
+    return out, lineage
+
+
 def degree_discount_seeds(edges_or_engine, k: int = 10, num_parts: int = 8,
                           checkpoint_dir=None, checkpoint_every=0,
                           resume=False):
@@ -2442,7 +2464,7 @@ def degree_powerlaw_mle(edges_ds, xmin: int = 5, round_to: int = 6):
 
 
 def adamic_adar(sf_dir: str, num_buckets: int = 32, num_partitions: int = 8,
-                round_to: int = 6):
+                round_to: int = 6, weight: str = "aa"):
     """Adamic–Adar link-prediction score (Adamic & Adar 2003) for every
     edge of the STRONG co-purchase graph → (src, dst, aa) with
     aa(u,v) = Σ_{z ∈ N(u)∩N(v)} 1/ln(deg(z)) — the frequency-weighted
@@ -2482,7 +2504,10 @@ def adamic_adar(sf_dir: str, num_buckets: int = 32, num_partitions: int = 8,
         # wedge pairs by 1/ln(deg)
         wt_hub = np.zeros(len(counts))
         m2 = counts >= 2
-        wt_hub[m2] = 1.0 / np.log(counts[m2].astype(np.float64))
+        if weight == "ra":  # resource-allocation: 1/deg (Zhou et al. 2009)
+            wt_hub[m2] = 1.0 / counts[m2].astype(np.float64)
+        else:               # adamic-adar: 1/ln(deg)
+            wt_hub[m2] = 1.0 / np.log(counts[m2].astype(np.float64))
         cpe = np.repeat(counts, counts)
         left = np.repeat(u_s, cpe)
         right = u_s[flat_gather(np.repeat(starts, counts), cpe)]

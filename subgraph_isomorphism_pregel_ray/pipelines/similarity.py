@@ -774,6 +774,100 @@ def cosine_histogram(emb_ds, n_bins: int = 20):
 # ---------------------------------------------------------------------------
 
 
+_JL_SIGN_CACHE: dict = {}
+
+
+def _jl_signs(dim: int, m: int) -> "np.ndarray":
+    """Deterministic Achlioptas ±1 sign matrix (dim × m): +1 iff
+    md5_lower64(f"{d}:{j}") is even, d 1-based (matching DuckDB
+    generate_subscripts) — the md5_number_lower bridge makes the whole
+    projection SQL-replayable."""
+    key = (dim, m)
+    if key not in _JL_SIGN_CACHE:
+        from ..functions.hashing import md5_lower64
+
+        keys = np.array(
+            [f"{d}:{j}" for d in range(1, dim + 1) for j in range(m)],
+            dtype=object,
+        )
+        h = md5_lower64(keys).reshape(dim, m)
+        _JL_SIGN_CACHE[key] = np.where(h % np.uint64(2) == 0, 1, -1).astype(
+            np.int64
+        )
+    return _JL_SIGN_CACHE[key]
+
+
+def jl_distortion(emb_ds, m: int = 8, scale: int = 1_000_000,
+                  num_buckets: int = 32, round_to: int = 6):
+    """Johnson–Lindenstrauss distortion audit → Dataset(pair_id, sx, sy,
+    ratio): project embeddings to ``m`` dims with a deterministic
+    Achlioptas ±1 sign matrix (:func:`_jl_signs`) and report, for each
+    natural vector pair (vec_id 2t, 2t+1), the squared-distance ratio
+    ||y_a−y_b||²/m ÷ ||x_a−x_b||². A healthy JL sketch concentrates the
+    ratio near 1; the audit prices how far ``m`` dims can be trusted for
+    distance-based dedup/ANN before committing a corpus to the sketch.
+
+    Exactness: embeddings are quantized to int64 (×10⁶ half-away — the
+    dsir/kmeans micro-quantization trick) and projected by ±1 signs, so
+    every sum is integer-exact and the single double division replays
+    bit-for-bit in SQL. Scale shape: pairs co-locate by pair-id bucket
+    (ONE shuffle), per-bucket work is fully vectorized (sort + int
+    matmul), and the sign matrix is a dim×m constant rebuilt per actor —
+    never a broadcast."""
+    from ..functions.rounding import round_half_away
+
+    def _bucket(t: pa.Table) -> pa.Table:
+        vid = t["vec_id"].to_numpy().astype(np.int64)
+        return t.append_column(
+            "b", pa.array(((vid // 2) % num_buckets).astype(np.int32))
+        )
+
+    def _pairs(g: pa.Table) -> pa.Table:
+        vid = g["vec_id"].to_numpy().astype(np.int64)
+        order = np.argsort(vid, kind="stable")
+        vid = vid[order]
+        Q = round_half_away(
+            np.stack(g["embedding"].to_pandas().to_numpy()).astype(np.float64)
+            * scale,
+            0,
+        ).astype(np.int64)[order]
+        a_idx = np.nonzero(vid % 2 == 0)[0]
+        pos = np.searchsorted(vid, vid[a_idx] + 1)
+        ok = (pos < len(vid)) & (
+            vid[np.minimum(pos, len(vid) - 1)] == vid[a_idx] + 1
+        )
+        a_idx, pos = a_idx[ok], pos[ok]
+        if len(a_idx) == 0:
+            return pa.table(
+                {
+                    "pair_id": pa.array([], pa.int64()),
+                    "sx": pa.array([], pa.int64()),
+                    "sy": pa.array([], pa.int64()),
+                    "ratio": pa.array([], pa.float64()),
+                }
+            )
+        XD = Q[a_idx] - Q[pos]
+        sx = (XD * XD).sum(axis=1)
+        S = _jl_signs(Q.shape[1], m)
+        YD = XD @ S
+        sy = (YD * YD).sum(axis=1)
+        safe = np.where(sx > 0, sx, 1).astype(np.float64)
+        ratio = np.where(
+            sx > 0,
+            round_half_away((sy.astype(np.float64) / m) / safe, round_to),
+            0.0,
+        )
+        return pa.table(
+            {"pair_id": vid[a_idx] // 2, "sx": sx, "sy": sy, "ratio": ratio}
+        )
+
+    return (
+        emb_ds.map_batches(_bucket, batch_format="pyarrow")
+        .groupby("b")
+        .map_groups(_pairs, batch_format="pyarrow")
+    )
+
+
 def embedding_moments(emb_ds, round_to: int = 6):
     """Per-dimension population mean and variance of the embedding column →
     pa.table(dim, n, mean, var) — the cheapest embedding-drift / dead-dim

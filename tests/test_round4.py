@@ -393,3 +393,57 @@ def test_multi_match_shared_loop(ray_session, tmp_path):
     eng.shutdown()
     assert counts == solo
     assert lin["steps"] <= max(solo_steps)  # one barrier sequence, not Σ
+
+
+def test_s_core_unit_weights_equal_kcore(ray_session):
+    """SCoreProgram with unit weights IS k-core (the weighted h-index
+    degrades to the h-index when every cumulative-weight step is 1)."""
+    import ray.data as rd
+
+    from subgraph_isomorphism_pregel_ray.pipelines.algorithms import kcore, s_core
+    from subgraph_isomorphism_pregel_ray.pipelines.build_graph import (
+        edges_from_arrays,
+    )
+
+    rng = np.random.default_rng(23)
+    n = 250
+    s = rng.integers(0, n, 1500)
+    d = rng.integers(0, n, 1500)
+    keep = s != d
+    s, d = s[keep], d[keep]
+    pairs = sorted({(min(a, b), max(a, b)) for a, b in zip(s.tolist(), d.tolist())})
+    sa = np.array([a for a, _ in pairs], np.int64)
+    da = np.array([b for _, b in pairs], np.int64)
+    unit = rd.from_arrow(
+        pa.table({"src": sa, "dst": da,
+                  "weight": np.ones(len(sa), np.int64)})
+    )
+    res_s, _ = s_core(unit, num_parts=4)
+    res_k, _ = kcore(edges_from_arrays(sa, da), num_parts=4)
+    a = res_s.to_pandas().sort_values("vid").reset_index(drop=True)
+    b = res_k.to_pandas().sort_values("vid").reset_index(drop=True)
+    assert a.equals(b)
+
+
+def test_jl_distortion_concentrates(ray_session):
+    """JL sanity: the m=8 sign projection's distance ratios center near 1
+    (unbiased estimator) on random data — plus pair coverage is complete."""
+    import ray.data as rd
+
+    from subgraph_isomorphism_pregel_ray.pipelines.similarity import jl_distortion
+
+    rng = np.random.default_rng(9)
+    n, dim = 400, 64
+    M = rng.standard_normal((n, dim))
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": np.arange(n, dtype=np.int64),
+                "embedding": pa.array(list(M), pa.list_(pa.float64())),
+            }
+        )
+    ).repartition(4)
+    df = jl_distortion(ds).to_pandas()
+    assert len(df) == n // 2
+    assert 0.7 < df["ratio"].mean() < 1.3
+    assert (df["sx"] > 0).all()
