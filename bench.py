@@ -197,6 +197,28 @@ def run_bench() -> dict:
         q[qname] = time.perf_counter() - t0
         q[qname + "_embeddings"] = emb
 
+    # --- multi-query batching (round 4): the SAME three queries through
+    # ONE superstep loop (MultiMatchProgram) — compare against the sum of
+    # the three individual legs just measured -------------------------------
+    t0 = time.perf_counter()
+    eng.run(
+        "multi_match",
+        {
+            "plans": [
+                build_plan([0, 1, 2], [(0, 1), (1, 2), (2, 0)]),
+                build_plan([0, 2, 1, 2], [(0, 1), (1, 2), (2, 3), (3, 0)]),
+                build_plan([0, 1, 2, 3, 4], [(0, 1), (1, 2), (2, 3), (1, 4)]),
+            ]
+        },
+        max_steps=14,
+    )
+    q["match_multi3"] = time.perf_counter() - t0
+    q["match_multi3_vs_seq"] = round(
+        (q["match_tri"] + q["match_4cycle"] + q["match_chair"])
+        / max(q["match_multi3"], 1e-9),
+        2,
+    )
+
     eng.shutdown()
 
     # --- deep branchy query (7 vertices, depth 4, 3-way branch) over the
@@ -230,6 +252,47 @@ def run_bench() -> dict:
         (r.get("sent_bytes", 0) for r in lin_deep["lineage"]), default=0
     )
     seng.shutdown()
+
+    # --- internal-branch factor fold (round 4): two label-disjoint depth-3
+    # branches over the FULL co-purchase graph (per-branch multiplicity
+    # ~2·10⁴ at sf0.01; the flat path would materialize ~10¹⁰ rows). Own
+    # layout: rare-root labels (p_size % 4, vid % 97 → 4). Pinned to
+    # DEEP_SF like match_deep. ---------------------------------------------
+    import pyarrow as _pa
+
+    from subgraph_isomorphism_pregel_ray.sources.tables import read_table
+
+    def _deep4_labels(t):
+        vid = t["p_partkey"].to_numpy().astype(np.uint64)
+        lab = t["p_size"].to_numpy().astype(np.int64) % 4
+        lab[vid % 97 == 0] = 4
+        return _pa.table({"vid": vid, "label": lab})
+
+    bdir = f"/tmp/graft_bench_bdeep_{NUM_CPUS}"
+    shutil.rmtree(bdir, ignore_errors=True)
+    partition_graph(
+        symmetrize(copurchase_edges(DEEP_SF)),
+        P,
+        bdir,
+        labels_ds=read_table(DEEP_SF, "part", columns=["p_partkey", "p_size"])
+        .map_batches(_deep4_labels, batch_format="pyarrow"),
+        directed=True,
+    )
+    beng = BSPEngine(bdir, P)
+    BD_QL = [4, 0, 1, 0, 2, 3, 2]
+    BD_QE = [(0, 1), (1, 2), (2, 3), (0, 4), (4, 5), (5, 6)]
+    t0 = time.perf_counter()
+    lin_bd = beng.run(
+        "match",
+        {"plan": build_plan(BD_QL, BD_QE), "max_out_rows": 200_000},
+        max_steps=400,
+    )
+    q["match_bushy_deep"] = time.perf_counter() - t0
+    q["match_bushy_deep_embeddings"] = beng.scalar_results().get("embeddings")
+    q["match_bushy_deep_peak_bytes"] = max(
+        (r.get("sent_bytes", 0) for r in lin_bd["lineage"]), default=0
+    )
+    beng.shutdown()
 
     # --- training-data ops (first-class per the brief): dedup, sketch,
     # keyword extraction, time-range join — each consumed via count() so the
