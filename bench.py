@@ -671,7 +671,12 @@ def _dram_ceiling_probe(ncpu: int) -> float:
 
 
 def run_scaling() -> dict:
-    lo_cpus, hi_cpus = 8, 32
+    # N and 4N CPU levels; default 8→32. GRAFT_SCALE_LO lets a sample probe
+    # the alternate 4→16 pair (same 4× ratio) — at 4 cpus the shared-DRAM
+    # bandwidth wall binds later, so the pair isolates compute scaling from
+    # the bandwidth ceiling that caps fast-window 8→32 samples.
+    lo_cpus = int(os.environ.get("GRAFT_SCALE_LO", "8"))
+    hi_cpus = lo_cpus * 4
     reps = int(os.environ.get("GRAFT_SCALING_REPS", "2"))
     out = {}
     runs: dict[int, list] = {lo_cpus: [], hi_cpus: []}
@@ -718,7 +723,7 @@ def run_scaling() -> dict:
     ceiling = min(probe[lo_cpus]) / min(probe[hi_cpus])
     dram_ceiling = min(dram[lo_cpus]) / min(dram[hi_cpus])
     return {
-        "metric": "scaling efficiency (8→32 cpus, fresh processes, same input, fixed P; OS-enforced affinity)",
+        "metric": f"scaling efficiency ({lo_cpus}→{hi_cpus} cpus, fresh processes, same input, fixed P; OS-enforced affinity)",
         "value": round(eff, 3),
         "unit": "efficiency",
         # the north-rule criterion: supersteps-per-second scaling efficiency
@@ -734,15 +739,15 @@ def run_scaling() -> dict:
             ss_hi / ss_lo / ratio / dram_ceiling, 3
         ),
         "efficiency_vs_dram_ceiling": round(eff / dram_ceiling, 3),
-        "sec_8": t_lo,
-        "sec_32": t_hi,
+        f"sec_{lo_cpus}": t_lo,
+        f"sec_{hi_cpus}": t_hi,
         "speedup": round(t_lo / t_hi, 3),
-        "supersteps_per_sec_8": ss_lo,
-        "supersteps_per_sec_32": ss_hi,
-        "pagerank_edges_per_sec_8": out[lo_cpus]["pagerank_edges_per_sec"],
-        "pagerank_edges_per_sec_32": out[hi_cpus]["pagerank_edges_per_sec"],
-        "detail_8": out[lo_cpus]["queries"],
-        "detail_32": out[hi_cpus]["queries"],
+        f"supersteps_per_sec_{lo_cpus}": ss_lo,
+        f"supersteps_per_sec_{hi_cpus}": ss_hi,
+        f"pagerank_edges_per_sec_{lo_cpus}": out[lo_cpus]["pagerank_edges_per_sec"],
+        f"pagerank_edges_per_sec_{hi_cpus}": out[hi_cpus]["pagerank_edges_per_sec"],
+        f"detail_{lo_cpus}": out[lo_cpus]["queries"],
+        f"detail_{hi_cpus}": out[hi_cpus]["queries"],
     }
 
 
