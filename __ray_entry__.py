@@ -2682,6 +2682,56 @@ def _q_events_funnel(sf_dir: str):
     return events_funnel(sf_dir)
 
 
+def _q_clique5_strong(sf_dir: str):
+    """5-clique count over the STRONG co-purchase graph via unlabeled
+    subgraph matching: K5 with every label 0 counts each clique 120× (the
+    5! automorphisms — injective embeddings), so n_cliques = count / 120.
+    K5 has no degree-1 vertices, so this exercises the pure flat
+    expand/verify path (every level has backward constraints). Fixed
+    min_orders=2 (the match_embeddings_tri convention — the adaptive
+    strong graph thins too aggressively for 5-cliques): 35 cliques at
+    sf0.001; the pair density falls with sf (see the bench match_deep
+    note) so larger sfs legitimately count 0."""
+    from subgraph_isomorphism_pregel_ray.pipelines.build_graph import symmetrize
+    from subgraph_isomorphism_pregel_ray.pipelines.match import match_count
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import (
+        copurchase_edges,
+        part_labels,
+    )
+
+    ql = [0, 0, 0, 0, 0]
+    qe = [(a, b) for a in range(5) for b in range(a + 1, 5)]
+    count, _ = match_count(
+        symmetrize(copurchase_edges(sf_dir, min_orders=2)),
+        ql,
+        qe,
+        labels_ds=part_labels(sf_dir, mod=1),
+        num_parts=4,
+        max_out_rows=BUSHY_MAX_OUT_ROWS,
+        max_steps=200,
+    )
+    assert count % 120 == 0
+    return pa.table({"n_cliques": pa.array([count // 120], type=pa.int64())})
+
+
+def _q_weighted_assortativity(sf_dir: str):
+    """Strength assortativity of the weighted co-purchase graph (weight =
+    shared-order count): do strong co-purchasers attach to other strong
+    co-purchasers? Exact-integer moment fold, one double expression."""
+    from subgraph_isomorphism_pregel_ray.pipelines.algorithms import (
+        weighted_assortativity,
+    )
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import (
+        copurchase_weights,
+    )
+
+    ew = copurchase_weights(sf_dir).map_batches(
+        lambda t: t.rename_columns(["src", "dst", "weight"]),
+        batch_format="pyarrow",
+    )
+    return weighted_assortativity(ew, num_parts=4)
+
+
 def _q_s_core(sf_dir: str):
     """Weighted core decomposition (s-core, Eidsaa & Almaas 2013) over the
     co-purchase graph with weight = shared-order count: the weighted
@@ -3554,6 +3604,8 @@ def _queries_base() -> dict[str, Callable[[str], Any]]:
         "wpagerank_copurchase": _q_wpagerank,
         "wsssp_weighted_copurchase": _q_wsssp_weighted,
         "s_core_copurchase": _q_s_core,
+        "weighted_assortativity_copurchase": _q_weighted_assortativity,
+        "clique5_strong": _q_clique5_strong,
         "events_funnel": _q_events_funnel,
         "anchor_index": _q_anchor_index,
         "oov_rate": _q_oov_rate,
@@ -8020,6 +8072,48 @@ def oracle_sql() -> dict[str, str]:
         "seeded_labels_copurchase": _seeded_lpa_sql(LPA_ITERS),
         "kcore_copurchase": _kcore_sql(),
         "s_core_copurchase": _score_sql(),
+        "clique5_strong": (
+            # ordered 5-cliques (v1<v2<v3<v4<v5, all 10 edges) over the
+            # min_orders=2 co-purchase graph = engine count / 5!
+            "WITH e AS MATERIALIZED (SELECT a.l_partkey AS src, "
+            "b.l_partkey AS dst "
+            "FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey "
+            "WHERE a.l_partkey <> b.l_partkey GROUP BY 1, 2 "
+            "HAVING count(DISTINCT a.l_orderkey) >= 2) "
+            "SELECT CAST(count(*) AS BIGINT) AS n_cliques FROM e e12 "
+            "JOIN e e13 ON e13.src = e12.src AND e13.dst > e12.dst "
+            "JOIN e e14 ON e14.src = e12.src AND e14.dst > e13.dst "
+            "JOIN e e15 ON e15.src = e12.src AND e15.dst > e14.dst "
+            "JOIN e e23 ON e23.src = e12.dst AND e23.dst = e13.dst "
+            "JOIN e e24 ON e24.src = e12.dst AND e24.dst = e14.dst "
+            "JOIN e e25 ON e25.src = e12.dst AND e25.dst = e15.dst "
+            "JOIN e e34 ON e34.src = e13.dst AND e34.dst = e14.dst "
+            "JOIN e e35 ON e35.src = e13.dst AND e35.dst = e15.dst "
+            "JOIN e e45 ON e45.src = e14.dst AND e45.dst = e15.dst "
+            "WHERE e12.src < e12.dst"
+        ),
+        "weighted_assortativity_copurchase": (
+            # strength = Σ incident shared-order-count weights over BOTH
+            # orientations; exact-integer sums cast to DOUBLE then the
+            # assortativity_from_sums operation order — bit-exact
+            "WITH ew AS MATERIALIZED (SELECT a.l_partkey AS src, "
+            "b.l_partkey AS dst, "
+            "CAST(count(DISTINCT a.l_orderkey) AS BIGINT) AS w "
+            "FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey "
+            "WHERE a.l_partkey <> b.l_partkey GROUP BY 1, 2), "
+            "st AS MATERIALIZED (SELECT src AS vid, "
+            "CAST(sum(w) AS BIGINT) AS s FROM ew GROUP BY 1), "
+            "j AS (SELECT s1.s AS x, s2.s AS y FROM ew "
+            "JOIN st s1 ON s1.vid = ew.src JOIN st s2 ON s2.vid = ew.dst), "
+            "m AS (SELECT CAST(count(*) AS DOUBLE) AS n, "
+            "CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy, "
+            "CAST(sum(x*y) AS DOUBLE) AS sxy, "
+            "CAST(sum(x*x) AS DOUBLE) AS sxx, "
+            "CAST(sum(y*y) AS DOUBLE) AS syy FROM j) "
+            "SELECT round((n * sxy - sx * sy) / "
+            "sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) "
+            "AS wassortativity FROM m"
+        ),
         "kshell_histogram": (
             f"SELECT core, CAST(count(*) AS BIGINT) AS n_vertices "
             f"FROM ({_kcore_sql()}) GROUP BY 1"

@@ -1192,6 +1192,28 @@ def assortativity(edges_or_engine, num_parts: int = 8):
     )
 
 
+def weighted_assortativity(edges_or_engine, num_parts: int = 8):
+    """Strength assortativity over a (src, dst, weight) edge Dataset (one
+    row per undirected pair) → 1-row table(wassortativity). Same folded
+    six-integer-sum shape as :func:`assortativity`, with strength = Σ
+    incident stored weights via the 'strength' attribute exchange."""
+    if not isinstance(edges_or_engine, BSPEngine):
+        edges_or_engine = _weight_symmetrize(edges_or_engine)
+    eng, _lin, own = _run(
+        edges_or_engine, "wassortativity", {}, num_parts, 3, directed=True
+    )
+    s = eng.scalar_results()
+    if own:
+        eng.shutdown()
+    return pa.table(
+        {
+            "wassortativity": round_half_away(
+                np.array([assortativity_from_sums(s)]), 6
+            )
+        }
+    )
+
+
 def assortativity_from_sums(s: dict) -> float:
     """Pearson r from the six folded integer sums (cast-then-operate)."""
     n = float(s["asrt_n"])

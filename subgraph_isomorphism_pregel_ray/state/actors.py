@@ -107,6 +107,22 @@ class GraphPartition:
         dix = self.csr.dst_index()
         return tuple(dix.uniq_dst)
 
+    def _strengths(self) -> np.ndarray:
+        """Per-vertex strength = Σ incident stored edge weights (falls back
+        to degree when the layout has no weight channel); cached."""
+        if not hasattr(self, "_strength_cache"):
+            if self.csr.eweights is None:
+                self._strength_cache = self.csr.degrees().astype(np.int64)
+            else:
+                s = np.zeros(self.csr.num_vertices, dtype=np.int64)
+                rows = np.repeat(
+                    np.arange(self.csr.num_vertices, dtype=np.int64),
+                    np.diff(self.csr.indptr),
+                )
+                np.add.at(s, rows, self.csr.eweights.astype(np.int64))
+                self._strength_cache = s
+        return self._strength_cache
+
     def attr_serve(self, name: str, requests: list):
         """Answer other partitions' vid→attribute lookups (P return values)."""
         out = []
@@ -115,6 +131,8 @@ class GraphPartition:
             li = self.csr.local_index(req)
             if name == "degree":
                 out.append(self.csr.degrees()[li])
+            elif name == "strength":
+                out.append(self._strengths()[li])
             elif name == "label":
                 out.append(self.csr.labels[li])
             else:

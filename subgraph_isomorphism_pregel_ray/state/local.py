@@ -69,6 +69,17 @@ class LocalBSP:
         self._exchanged = set()
 
     def exchange_attr(self, name):
+        def _csr_strengths(csr):
+            if csr.eweights is None:
+                return csr.degrees().astype(np.int64)
+            s = np.zeros(csr.num_vertices, dtype=np.int64)
+            rows = np.repeat(
+                np.arange(csr.num_vertices, dtype=np.int64),
+                np.diff(csr.indptr),
+            )
+            np.add.at(s, rows, csr.eweights.astype(np.int64))
+            return s
+
         if name in self._exchanged:
             return
         for csr in self.csrs:
@@ -80,7 +91,12 @@ class LocalBSP:
                     continue
                 owner = self.csrs[p]
                 li = owner.local_index(dix.uniq_dst[p])
-                vals = owner.degrees()[li] if name == "degree" else owner.labels[li]
+                if name == "degree":
+                    vals = owner.degrees()[li]
+                elif name == "strength":
+                    vals = _csr_strengths(owner)[li]
+                else:
+                    vals = owner.labels[li]
                 if arr is None:
                     arr = np.zeros(csr.num_edges, dtype=np.asarray(vals).dtype)
                 arr[dix.order[s:e]] = np.asarray(vals)[dix.inverse[p]]

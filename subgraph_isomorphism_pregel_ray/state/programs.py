@@ -1544,6 +1544,38 @@ class AssortativityProgram(VertexProgram):
         return dict(self._sums)
 
 
+class WeightedAssortativityProgram(AssortativityProgram):
+    """STRENGTH assortativity — Pearson r of (strength(u), strength(v))
+    over the directed edge list, strength = Σ incident stored edge
+    weights. Same one-superstep six-integer-sum fold as the degree
+    version; the 'strength' attribute exchange is the PREPROCESS round.
+    Falls back to degree (≡ AssortativityProgram) on unweighted layouts."""
+
+    needs_nbr_attrs = ("strength",)
+
+    def init(self, csr: CSRPartition):
+        self.csr = csr
+        if csr.eweights is None:
+            st = csr.degrees().astype(np.int64)
+        else:
+            st = np.zeros(csr.num_vertices, dtype=np.int64)
+            rows = np.repeat(
+                np.arange(csr.num_vertices, dtype=np.int64),
+                np.diff(csr.indptr),
+            )
+            np.add.at(st, rows, csr.eweights.astype(np.int64))
+        x = st[csr.dst_index().src_row]
+        y = csr.nbr_attr["strength"].astype(np.int64)
+        self._sums = {
+            "asrt_n": int(len(y)),
+            "asrt_sx": int(x.sum()),
+            "asrt_sy": int(y.sum()),
+            "asrt_sxy": int((x * y).sum()),
+            "asrt_sxx": int((x * x).sum()),
+            "asrt_syy": int((y * y).sum()),
+        }
+
+
 # --------------------------------------------------------------------------
 class RandomWalkProgram(VertexProgram):
     """Deterministic random-walk sampling (the GNN-training neighborhood
@@ -4428,6 +4460,7 @@ PROGRAMS = {
     "score": SCoreProgram,
     "ktruss": KTrussProgram,
     "assortativity": AssortativityProgram,
+    "wassortativity": WeightedAssortativityProgram,
     "ppr": PersonalizedPageRankProgram,
     "walk": RandomWalkProgram,
     "hits": HITSProgram,
