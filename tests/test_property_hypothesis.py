@@ -160,3 +160,44 @@ def test_scc_matches_tarjan_on_arbitrary_digraphs(edges):
     exp = _tarjan_scc(edges)
     got = _scc_local(s, d, num_parts=3)
     assert got == exp
+
+
+# --- round 4: random TREE queries exercise the internal-branch factor
+# fold on arbitrary graphs; whenever the plan selects branches, the count
+# must still equal brute force (and when it doesn't, the flat path must).
+_tree_q = st.tuples(
+    st.integers(1, 10**6),           # graph seed
+    st.integers(5, 8),               # query size
+    st.integers(1, 10**6),           # query-shape seed
+)
+
+
+@settings(max_examples=20, deadline=None)
+@given(_tree_q)
+def test_branch_fold_random_trees_vs_brute_force(t):
+    gseed, k, qseed = t
+    qrng = np.random.default_rng(qseed)
+    # random tree: parent(i) uniform over earlier vertices; random labels
+    qe = [(int(qrng.integers(0, i)), i) for i in range(1, k)]
+    # mix repeated-label trees (fold mostly falls back) with all-distinct
+    # labels (branch selection engages ~44% of tree shapes)
+    ql = (
+        [int(x) for x in qrng.permutation(k)]
+        if qseed % 2
+        else [int(x) for x in qrng.integers(0, 7, k)]
+    )
+    plan = build_plan(ql, qe)
+
+    rng = np.random.default_rng(gseed)
+    n = 40
+    s = rng.integers(0, n, n * 5)
+    d = rng.integers(0, n, n * 5)
+    keep = s != d
+    s, d = s[keep], d[keep]
+    verts = np.unique(np.concatenate([s, d]))
+    labels = {int(v): int(v % max(7, k)) for v in verts}
+    edges = list({(int(min(a, b)), int(max(a, b))) for a, b in zip(s, d)})
+    oracle = brute_force_count(labels, edges, ql, qe)
+    eng = LocalBSP(s, d, num_parts=3, labels=labels, directed=False)
+    eng.run("match", {"plan": plan}, max_steps=6 * k)
+    assert eng.scalars()["embeddings"] == oracle, (ql, qe, plan["branches"])
