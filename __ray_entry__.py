@@ -3241,6 +3241,16 @@ def _q_influence_seeds(sf_dir: str):
     )
 
 
+def _q_revenue_bootstrap(sf_dir: str):
+    """RNG-free bootstrap of mean daily revenue: md5-indexed resampling of
+    the day list (32 resamples), exact int sums, one division per row."""
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import (
+        revenue_bootstrap,
+    )
+
+    return revenue_bootstrap(sf_dir)
+
+
 def _q_revenue_jackknife(sf_dir: str):
     """Efron jackknife SE of mean daily revenue — exact integer moments,
     one float division + sqrt."""
@@ -3706,6 +3716,7 @@ def _queries_base() -> dict[str, Callable[[str], Any]]:
         "kmv_overlap_daily": _q_kmv_overlap,
         "lsh_recall": _q_lsh_recall,
         "revenue_jackknife": _q_revenue_jackknife,
+        "revenue_bootstrap": _q_revenue_bootstrap,
         "ivf_recall": _q_ivf_recall,
         "embedding_moments": _q_embedding_moments,
         "jl_distortion": _q_jl_distortion,
@@ -9196,6 +9207,28 @@ def oracle_sql() -> dict[str, str]:
             "((x.v - st.mu) / st.sigma) * ((x.v - st.mu) / st.sigma) "
             "ELSE 0 END), 6) AS d2 FROM x JOIN st USING (dim) GROUP BY 1) "
             "SELECT vec_id, d2 FROM d2 ORDER BY d2 DESC, vec_id LIMIT 20"
+        ),
+        "revenue_bootstrap": (
+            # md5-indexed resampling replayed verbatim: sorted-day index =
+            # row_number-1, pick = md5_number_lower("b:i") % n, exact int
+            # sums, ONE double division per resample
+            "WITH d AS MATERIALIZED (SELECT "
+            "epoch_us(o_orderdate) // 86400000000 AS day, "
+            "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) "
+            "AS c FROM orders GROUP BY 1), "
+            "sd AS MATERIALIZED (SELECT c, "
+            "row_number() OVER (ORDER BY day) - 1 AS rn FROM d), "
+            "cnt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d), "
+            "draws AS (SELECT bb.b, ii.i, "
+            "CAST(md5_number_lower(CAST(bb.b AS VARCHAR) || ':' || "
+            "CAST(ii.i AS VARCHAR)) % (SELECT n FROM cnt) AS BIGINT) AS pick "
+            "FROM (SELECT unnest(range(0, 32)) AS b) bb "
+            "CROSS JOIN (SELECT unnest(range(0, (SELECT n FROM cnt))) AS i) ii), "
+            "s AS (SELECT b, CAST(sum(sd.c) AS BIGINT) AS sc "
+            "FROM draws JOIN sd ON sd.rn = draws.pick GROUP BY b) "
+            "SELECT b AS resample, "
+            "round(CAST(sc AS DOUBLE) / (SELECT n FROM cnt), 6) "
+            "AS boot_mean_cents FROM s"
         ),
         "revenue_jackknife": (
             # jackknife-for-the-mean collapses to Σ(S−n·xᵢ)²/(n³(n−1)) —

@@ -8281,6 +8281,60 @@ def session_depth_histogram(sf_dir: str, gap_sec: int = 600,
     )
 
 
+def revenue_bootstrap(sf_dir: str, n_resamples: int = 32, round_to: int = 6):
+    """Deterministic bootstrap of mean daily revenue (Efron 1979, made
+    RNG-free): resample ``b`` redraws the day list with replacement via
+    the md5_number_lower bridge — draw (b, i) picks sorted-day index
+    md5("b:i") % n — so both sides replay the identical resamples. →
+    (resample, boot_mean_cents), one row per resample; the spread across
+    rows IS the bootstrap distribution (CI = its quantiles; the jackknife
+    twin ``revenue_jackknife`` carries the closed-form SE).
+
+    Exactness: daily cents are exact ints; each resample's sum folds in
+    int64 (≤ n·max_day ≪ 2⁶³); the ONLY float op per row is one division
+    + round. Scale shape: the calendar-bounded day table (≤ a few
+    thousand rows at ANY corpus size) is the only driver-side object;
+    the B·n md5 draws are one vectorized batch."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.hashing import md5_lower64
+    from ..functions.rounding import round_half_away
+
+    orders = read_table(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def _partial(t: pa.Table) -> pa.Table:
+        day = t["o_orderdate"].to_numpy().astype("datetime64[D]").astype(np.int64)
+        cents = np.round(t["o_totalprice"].to_numpy() * 100).astype(np.int64)
+        u, inv = np.unique(day, return_inverse=True)
+        s = np.zeros(len(u), np.int64)
+        np.add.at(s, inv, cents)
+        return pa.table({"day": u, "c": s})
+
+    daily = (
+        orders.map_batches(_partial, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()
+        .sort_values("day")
+    )
+    c = daily["c"].to_numpy().astype(np.int64)
+    n = len(c)
+    keys = np.array(
+        [f"{b}:{i}" for b in range(n_resamples) for i in range(n)], dtype=object
+    )
+    pick = (md5_lower64(keys) % np.uint64(n)).astype(np.int64).reshape(
+        n_resamples, n
+    )
+    sums = c[pick].sum(axis=1)
+    means = round_half_away(sums.astype(np.float64) / n, round_to)
+    return pa.table(
+        {
+            "resample": np.arange(n_resamples, dtype=np.int64),
+            "boot_mean_cents": means,
+        }
+    )
+
+
 def revenue_jackknife(sf_dir: str, round_to: int = 6):
     """Jackknife standard error of mean daily revenue (Efron 1982 §2; the
     deterministic resampling CI — bootstrap without RNG) → one row
