@@ -3380,7 +3380,7 @@ _R4_WINDOW = [
     "scc_parts", "wpagerank_copurchase", "eccentricity_copurchase",
     "kshell_histogram", "densest_subgraph_copurchase", "mst_copurchase",
     "influence_seeds_copurchase", "adamic_adar_copurchase", "edge_backbone",
-    "disparity_filter", "vertex_cover_copurchase", "hyperball_copurchase",
+    "disparity_filter", "vertex_cover_copurchase", "s_core_copurchase",
     # staples kept for cross-round continuity
     "pagerank_copurchase", "cc_copurchase", "triangle_count_copurchase",
     "match_bushy",
@@ -3388,7 +3388,7 @@ _R4_WINDOW = [
     "match_diamond_strong", "match_tailed_tri_strong", "match_bushy_deep",
     # sketches
     "countmin_topk", "quantile_sketch_events", "kmv_overlap_daily",
-    "approx_distinct_users_daily", "heavy_hitters",
+    "heavy_hitters",
     # dedup family
     "minhash_dup_pairs", "dedup_groups", "simhash_dup_pairs",
     "dup_span_pairs", "incremental_dedup", "contamination",
@@ -3402,6 +3402,7 @@ _R4_WINDOW = [
     "host_graph", "host_rank", "anchor_index",
     # embeddings
     "ann_topk", "embedding_moments", "kcenter_coreset", "knn_source_purity",
+    "jl_distortion",
     # data profiling
     "orders_profile",
 ]
