@@ -229,6 +229,18 @@ def _q_triangles(sf_dir: str):
     return pa.table({"n_triangles": pa.array([total], type=pa.int64())})
 
 
+def _q_walk_pmi(sf_dir: str):
+    """DeepWalk skip-gram PMI matrix over deterministic walks (L=4,
+    window=2) on the co-purchase graph — the graph→training-data bridge:
+    the (u, v, n) pair corpus is what a skip-gram trainer consumes, and
+    PMI is its implicit factorization target (Levy & Goldberg 2014)."""
+    from subgraph_isomorphism_pregel_ray.pipelines.algorithms import (
+        walk_skipgram_pmi,
+    )
+
+    return walk_skipgram_pmi(_sym_copurchase(sf_dir), num_parts=4)
+
+
 def _q_random_walks(sf_dir: str):
     from subgraph_isomorphism_pregel_ray.pipelines.algorithms import random_walks
 
@@ -3453,6 +3465,7 @@ def _queries_base() -> dict[str, Callable[[str], Any]]:
         "part_supplier_hhi": _q_part_supplier_hhi,
         "hits_copurchase": _q_hits,
         "random_walks_copurchase": _q_random_walks,
+        "walk_pmi_copurchase": _q_walk_pmi,
         "lpa_copurchase": _q_lpa,
         "kmeans_assign": _q_kmeans_assign,
         "kcore_copurchase": _q_kcore,
@@ -4370,6 +4383,50 @@ def _walk_sql(walk_len: int = 4) -> str:
     return (
         ", ".join(parts)
         + f" SELECT start AS start_vid, cur AS end_vid FROM w{walk_len}"
+    )
+
+
+def _walk_pmi_sql(walk_len: int = 4, window: int = 2) -> str:
+    """Skip-gram pairs from the unrolled deterministic walks (_walk_sql's
+    w0..wL CTEs track per-start positions, so joining w_t ⋈ w_{t+d} on
+    start recovers each walk's (v_t, v_{t+d}) pair), then exact-integer
+    pair counts, both marginals, and ONE double expression per row —
+    ln((n·N)/(n_l·n_r)) round 6 in the engine's operand order."""
+    parts = [
+        f"WITH {_ESYM_MAT}",
+        "v AS MATERIALIZED (SELECT DISTINCT src AS vid FROM e)",
+        "deg AS MATERIALIZED (SELECT src AS vid, count(*) AS outdeg FROM e GROUP BY 1)",
+        "nbr AS MATERIALIZED (SELECT src, dst, row_number() OVER "
+        "(PARTITION BY src ORDER BY dst) - 1 AS idx FROM e)",
+        "w0 AS MATERIALIZED (SELECT vid AS start, vid AS cur FROM v)",
+    ]
+    for i in range(1, walk_len + 1):
+        parts.append(
+            f"w{i} AS MATERIALIZED (SELECT w.start, nbr.dst AS cur "
+            f"FROM w{i-1} w JOIN deg d ON d.vid = w.cur "
+            f"JOIN nbr ON nbr.src = w.cur AND nbr.idx = "
+            f"((w.start * 2654435761 + {i} * 40503) % 2147483647) % d.outdeg)"
+        )
+    pair_sel = " UNION ALL ".join(
+        f"SELECT a.cur AS u, b.cur AS v FROM w{t} a "
+        f"JOIN w{t + d} b ON b.start = a.start"
+        for d in range(1, window + 1)
+        for t in range(0, walk_len + 1 - d)
+    )
+    parts.append(f"pr AS MATERIALIZED ({pair_sel})")
+    parts.append(
+        "pc AS MATERIALIZED (SELECT u, v, CAST(count(*) AS BIGINT) AS n "
+        "FROM pr GROUP BY 1, 2)"
+    )
+    parts.append("nl AS (SELECT u, CAST(sum(n) AS BIGINT) AS nl FROM pc GROUP BY 1)")
+    parts.append("nr AS (SELECT v, CAST(sum(n) AS BIGINT) AS nr FROM pc GROUP BY 1)")
+    parts.append("tot AS (SELECT CAST(sum(n) AS DOUBLE) AS nn FROM pc)")
+    return (
+        ", ".join(parts)
+        + " SELECT pc.u, pc.v, pc.n, "
+        "round(ln((CAST(pc.n AS DOUBLE) * (SELECT nn FROM tot)) / "
+        "(CAST(nl.nl AS DOUBLE) * nr.nr)), 6) AS pmi "
+        "FROM pc JOIN nl ON nl.u = pc.u JOIN nr ON nr.v = pc.v"
     )
 
 
@@ -5855,6 +5912,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "hits_copurchase": _hits_sql(HITS_ITERS),
         "random_walks_copurchase": _walk_sql(4),
+        "walk_pmi_copurchase": _walk_pmi_sql(),
         "cc_copurchase": _cc_sql(),
         "sssp_copurchase": _sssp_sql(),
         "bfs_layer_sizes": (

@@ -1192,6 +1192,108 @@ def assortativity(edges_or_engine, num_parts: int = 8):
     )
 
 
+def walk_skipgram_pmi(edges_or_engine, walk_len: int = 4, window: int = 2,
+                      num_parts: int = 8, num_buckets: int = 32,
+                      num_partitions: int = 8, round_to: int = 6):
+    """DeepWalk-style skip-gram statistics over DETERMINISTIC walks →
+    Dataset(u, v, n, pmi): run the oracle-checkable random walks
+    (RandomWalkProgram, trace mode) from every vertex, emit directed
+    skip-gram pairs (v_t, v_{t+d}) for d ≤ window within each walk, and
+    score each pair with PMI = ln(n(u,v)·N / (n_l(u)·n_r(v))) — the
+    matrix whose implicit factorization IS DeepWalk/word2vec (Levy &
+    Goldberg 2014). The graph→training-data bridge op: the pair corpus
+    is what a skip-gram embedding trainer consumes.
+
+    Scale shape: walk visits stay distributed (per-partition trace,
+    streamed out via result blocks); pair extraction reshapes each
+    walk's FIXED-width (L+1) path inside start-hash buckets (one
+    shuffle, vectorized slicing, in-bucket pre-aggregation); pair
+    counts, both marginals and the scalar N fold through groupbys; the
+    two marginal joins are repartition-normalized (the Ray 2.49 acero
+    seam). Exact-integer counts ⇒ one double expression per row."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    eng, _lin, own = _run(
+        edges_or_engine, "walk", {"walk_len": walk_len, "trace": True},
+        num_parts, walk_len + 2, directed=False,
+    )
+    visits = eng.result_dataset().materialize()
+    if own:
+        eng.shutdown()
+
+    Lp1 = walk_len + 1
+
+    def _bucket(t: pa.Table) -> pa.Table:
+        s = t["start_vid"].to_numpy()
+        return t.append_column(
+            "b", pa.array((s % num_buckets).astype(np.int32))
+        )
+
+    def _pairs(g: pa.Table) -> pa.Table:
+        s = g["start_vid"].to_numpy()
+        tt = g["t"].to_numpy()
+        v = g["vid"].to_numpy()
+        order = np.lexsort((tt, s))
+        path = v[order].reshape(-1, Lp1)  # every walk has exactly L+1 rows
+        us, vs = [], []
+        for d in range(1, window + 1):
+            us.append(path[:, :-d].ravel())
+            vs.append(path[:, d:].ravel())
+        u = np.concatenate(us)
+        w = np.concatenate(vs)
+        _check_pack_width(np.concatenate([u, w]), np.int64(1) << 31,
+                          "walk skip-gram pair key")
+        key = (u << np.int64(31)) | w
+        uk, cnt = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                "u": uk >> np.int64(31),
+                "v": uk & ((np.int64(1) << 31) - 1),
+                "n": cnt.astype(np.int64),
+            }
+        )
+
+    pairs = (
+        visits.map_batches(_bucket, batch_format="pyarrow")
+        .groupby("b")
+        .map_groups(_pairs, batch_format="pyarrow")
+        .groupby(["u", "v"])
+        .aggregate(Sum("n", alias_name="n"))
+        .repartition(num_partitions)
+        .materialize()
+    )
+    N = int(pairs.aggregate(Sum("n"))["sum(n)"])
+    nl = (
+        pairs.groupby("u").aggregate(Sum("n", alias_name="nl"))
+        .repartition(num_partitions).materialize()
+    )
+    nr = (
+        pairs.groupby("v").aggregate(Sum("n", alias_name="nr"))
+        .repartition(num_partitions).materialize()
+    )
+    joined = pairs.join(nl, "inner", num_partitions, on=("u",)).join(
+        nr, "inner", num_partitions, on=("v",)
+    )
+
+    def _pmi(t: pa.Table) -> pa.Table:
+        n = t["n"].to_numpy().astype(np.float64)
+        a = t["nl"].to_numpy().astype(np.float64)
+        b = t["nr"].to_numpy().astype(np.float64)
+        pmi = np.log((n * float(N)) / (a * b))
+        return pa.table(
+            {
+                "u": t["u"],
+                "v": t["v"],
+                "n": t["n"],
+                "pmi": round_half_away(pmi, round_to),
+            }
+        )
+
+    return joined.map_batches(_pmi, batch_format="pyarrow")
+
+
 def weighted_assortativity(edges_or_engine, num_parts: int = 8):
     """Strength assortativity over a (src, dst, weight) edge Dataset (one
     row per undirected pair) → 1-row table(wassortativity). Same folded

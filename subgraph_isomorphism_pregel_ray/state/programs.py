@@ -1590,11 +1590,18 @@ class RandomWalkProgram(VertexProgram):
     message, nothing else is shuffled.
     """
 
-    def init(self, csr: CSRPartition, walk_len=4):
+    def init(self, csr: CSRPartition, walk_len=4, trace=False):
         self.csr = csr
         self.L = int(walk_len)
         self.start = csr.vids.astype(np.int64)
         self.cur_li = np.arange(csr.num_vertices, dtype=np.int64)  # local idx
+        # trace mode (round 4, the DeepWalk corpus emitter): each partition
+        # keeps the (start, t, vertex) visits of walkers it hosted — the
+        # full walk paths, distributed by position, never folded centrally.
+        self.trace = bool(trace)
+        self.visits: list[tuple[np.ndarray, int, np.ndarray]] = (
+            [(self.start, 0, self.start.copy())] if self.trace else []
+        )
 
     def apply(self, step, inbox, glob):
         if step == 0:
@@ -1610,6 +1617,8 @@ class RandomWalkProgram(VertexProgram):
         )
         cur = np.concatenate(curs) if curs else np.empty(0, dtype=np.uint64)
         self.cur_li = self.csr.local_index(cur)
+        if self.trace and len(self.start):
+            self.visits.append((self.start, step, cur.view(np.int64).copy()))
         return {"active": 1 if step < self.L else 0}
 
     def scatter(self, step):
@@ -1651,6 +1660,13 @@ class RandomWalkProgram(VertexProgram):
         )
 
     def result_table(self):
+        if self.trace:
+            s = np.concatenate([v[0] for v in self.visits])
+            t = np.concatenate(
+                [np.full(len(v[0]), v[1], dtype=np.int64) for v in self.visits]
+            )
+            c = np.concatenate([v[2] for v in self.visits])
+            return pa.table({"start_vid": s, "t": t, "vid": c})
         return pa.table(
             {
                 "start_vid": self.start,

@@ -447,3 +447,30 @@ def test_jl_distortion_concentrates(ray_session):
     assert len(df) == n // 2
     assert 0.7 < df["ratio"].mean() < 1.3
     assert (df["sx"] > 0).all()
+
+
+def test_walk_pmi_trace_and_totals(ray_session):
+    """Walk-trace invariants: every vertex contributes exactly L+1 visits,
+    total skip-gram pairs = V·(2L-1) for window 2, and PMI weights are
+    finite with Σ n·pmi ≈ corpus mutual information ≥ 0."""
+    from subgraph_isomorphism_pregel_ray.pipelines.algorithms import (
+        walk_skipgram_pmi,
+    )
+    from subgraph_isomorphism_pregel_ray.pipelines.build_graph import (
+        edges_from_arrays,
+    )
+
+    rng = np.random.default_rng(31)
+    n = 120
+    s = rng.integers(0, n, 700)
+    d = rng.integers(0, n, 700)
+    keep = s != d
+    s, d = s[keep], d[keep]
+    verts = np.unique(np.concatenate([s, d]))
+    df = walk_skipgram_pmi(edges_from_arrays(s, d), num_parts=4).to_pandas()
+    L, w = 4, 2
+    expect_pairs = len(verts) * ((L + 1 - 1) + (L + 1 - 2))
+    assert int(df["n"].sum()) == expect_pairs
+    assert np.isfinite(df["pmi"]).all()
+    mi = float((df["n"] * df["pmi"]).sum()) / expect_pairs
+    assert mi >= 0
