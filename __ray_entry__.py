@@ -305,6 +305,17 @@ def _q_matching(sf_dir: str):
     )
 
 
+def _q_coarsen_matching(sf_dir: str):
+    """One multilevel-coarsening level (heavy-edge idiom with the
+    deterministic handshake matching): matched pairs contract to the
+    smaller id; coarse multi-edge table with collapse counts."""
+    from subgraph_isomorphism_pregel_ray.pipelines.algorithms import (
+        coarsen_matching,
+    )
+
+    return coarsen_matching(_sym_copurchase(sf_dir), num_parts=4)
+
+
 def _q_part_supplier_hhi(sf_dir: str):
     from subgraph_isomorphism_pregel_ray.pipelines.relational import (
         part_supplier_hhi,
@@ -3458,6 +3469,7 @@ def _queries_base() -> dict[str, Callable[[str], Any]]:
         "semi_clustering_strong": _q_semi_clustering,
         "revenue_by_nation": _q_revenue_by_nation,
         "matching_copurchase": _q_matching,
+        "coarsen_matching_copurchase": _q_coarsen_matching,
         "semantic_dedup": _q_semantic_dedup,
         "butterfly_count_orders": _q_butterflies,
         "brand_discount_elasticity": _q_brand_elasticity,
@@ -5838,6 +5850,23 @@ def oracle_sql() -> dict[str, str]:
         "spam_mass_copurchase": _spam_mass_sql(PR_ITERS),
         "bipartite_copurchase": _bipartite_sql(),
         "matching_copurchase": _matching_sql(),
+        "coarsen_matching_copurchase": (
+            # contract the ORACLE's matching (same 24-round handshake
+            # unroll, as a subquery), map both edge endpoints, drop
+            # intra-pair edges, count collapsed pairs
+            f"WITH m AS MATERIALIZED (SELECT vid, partner FROM ({_matching_sql()})), "
+            "lab AS MATERIALIZED (SELECT vid, CASE WHEN partner >= 0 THEN "
+            "least(vid, partner) ELSE vid END AS l FROM m), "
+            "eu AS (SELECT a.l_partkey AS src, b.l_partkey AS dst "
+            "FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey "
+            "WHERE a.l_partkey < b.l_partkey GROUP BY 1, 2), "
+            "ce AS (SELECT least(ls.l, ld.l) AS src, "
+            "greatest(ls.l, ld.l) AS dst FROM eu "
+            "JOIN lab ls ON ls.vid = eu.src JOIN lab ld ON ld.vid = eu.dst "
+            "WHERE ls.l <> ld.l) "
+            "SELECT src, dst, CAST(count(*) AS BIGINT) AS n_multi "
+            "FROM ce GROUP BY 1, 2"
+        ),
         "part_supplier_hhi": (
             # HHI = Σr² / (double(Σr)·double(Σr)) — op order mirrors the
             # engine exactly (see relational.part_supplier_hhi)

@@ -1192,6 +1192,59 @@ def assortativity(edges_or_engine, num_parts: int = 8):
     )
 
 
+def coarsen_matching(edges_ds, num_parts: int = 8):
+    """ONE level of multilevel graph coarsening by maximal matching (the
+    Metis/heavy-edge idiom, Karypis & Kumar 1998, with the deterministic
+    handshake matching): contract every matched pair to the smaller
+    endpoint id, keep unmatched vertices, and emit the coarse multi-edge
+    table → Dataset(src, dst, n_multi) with src < dst (self-loops from
+    intra-pair edges dropped; n_multi = collapsed original pair count).
+
+    Scale shape: the matching runs on the BSP engine; the vid→coarse map
+    (one row per graph vertex — 1000× smaller than the raw fact table)
+    is broadcast via ``ray.put`` + searchsorted inside ``map_batches``
+    (the dimension-broadcast posture); the coarse edge fold is one
+    map_batches partial-dedup + one groupby."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    res, _lin = maximal_matching(edges_ds, num_parts=num_parts)
+    vid = res["vid"].to_numpy().view(np.int64)
+    partner = res["partner"].to_numpy()
+    label = np.where(partner >= 0, np.minimum(vid, partner), vid)
+    order = np.argsort(vid)
+    mref = ray.put((vid[order], label[order]))
+
+    def _coarse(t: pa.Table) -> pa.Table:
+        mv, ml = ray.get(mref)
+        s = t["src"].to_numpy().astype(np.int64)
+        d = t["dst"].to_numpy().astype(np.int64)
+        one = s < d  # symmetrized input: count each undirected pair once
+        s, d = s[one], d[one]
+        cs = ml[np.searchsorted(mv, s)]
+        cd = ml[np.searchsorted(mv, d)]
+        keep = cs != cd  # intra-pair edges vanish in the coarse graph
+        lo = np.minimum(cs[keep], cd[keep])
+        hi = np.maximum(cs[keep], cd[keep])
+        _check_pack_width(hi, np.int64(1) << 31, "coarse edge key")
+        key = (lo << np.int64(31)) | hi
+        uk, cnt = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                "src": uk >> np.int64(31),
+                "dst": uk & ((np.int64(1) << 31) - 1),
+                "n_multi": cnt.astype(np.int64),
+            }
+        )
+
+    return (
+        edges_ds.map_batches(_coarse, batch_format="pyarrow")
+        .groupby(["src", "dst"])
+        .aggregate(Sum("n_multi", alias_name="n_multi"))
+    )
+
+
 def walk_skipgram_pmi(edges_or_engine, walk_len: int = 4, window: int = 2,
                       num_parts: int = 8, num_buckets: int = 32,
                       num_partitions: int = 8, round_to: int = 6):
