@@ -305,6 +305,17 @@ def _q_matching(sf_dir: str):
     )
 
 
+def _q_diameter(sf_dir: str):
+    """Double-sweep diameter bounds of the co-purchase graph: BFS from
+    the max-degree pivot (diameter ≤ 2·ecc) then from its farthest
+    min-vid witness (diameter ≥ ecc(far)) — Magnien et al. 2009."""
+    from subgraph_isomorphism_pregel_ray.pipelines.algorithms import (
+        diameter_double_sweep,
+    )
+
+    return diameter_double_sweep(_sym_copurchase(sf_dir), num_parts=4)
+
+
 def _q_coarsen_matching(sf_dir: str):
     """One multilevel-coarsening level (heavy-edge idiom with the
     deterministic handshake matching): matched pairs contract to the
@@ -3470,6 +3481,7 @@ def _queries_base() -> dict[str, Callable[[str], Any]]:
         "revenue_by_nation": _q_revenue_by_nation,
         "matching_copurchase": _q_matching,
         "coarsen_matching_copurchase": _q_coarsen_matching,
+        "diameter_copurchase": _q_diameter,
         "semantic_dedup": _q_semantic_dedup,
         "butterfly_count_orders": _q_butterflies,
         "brand_discount_elasticity": _q_brand_elasticity,
@@ -4439,6 +4451,49 @@ def _walk_pmi_sql(walk_len: int = 4, window: int = 2) -> str:
         "round(ln((CAST(pc.n AS DOUBLE) * (SELECT nn FROM tot)) / "
         "(CAST(nl.nl AS DOUBLE) * nr.nr)), 6) AS pmi "
         "FROM pc JOIN nl ON nl.u = pc.u JOIN nr ON nr.v = pc.v"
+    )
+
+
+
+def _diameter_sql(levels: int = 16) -> str:
+    """Double-sweep diameter bounds (mirrors algorithms.
+    diameter_double_sweep): min-dist BFS unroll from the max-degree pivot
+    (tie min vid), farthest min-vid witness, second BFS from it. Extra
+    levels past the true eccentricity are identity (min-dist fixpoint)."""
+    parts = [
+        f"WITH {_ESYM_MAT}",
+        "deg AS MATERIALIZED (SELECT src AS vid, count(*) AS d FROM e GROUP BY 1)",
+        "pv AS MATERIALIZED (SELECT vid FROM deg ORDER BY d DESC, vid LIMIT 1)",
+        "a0 AS MATERIALIZED (SELECT (SELECT vid FROM pv) AS vid, 0 AS d)",
+    ]
+    for i in range(1, levels + 1):
+        parts.append(
+            f"a{i} AS MATERIALIZED (SELECT vid, min(d) AS d FROM ("
+            f"SELECT vid, d FROM a{i-1} "
+            f"UNION ALL SELECT e.dst, a.d + 1 FROM e JOIN a{i-1} a "
+            "ON a.vid = e.src) x GROUP BY 1)"
+        )
+    parts.append(f"ae AS (SELECT CAST(max(d) AS BIGINT) AS ecc FROM a{levels})")
+    parts.append(
+        f"fv AS (SELECT CAST(min(vid) AS BIGINT) AS far FROM a{levels} "
+        "WHERE d = (SELECT ecc FROM ae))"
+    )
+    parts.append("b0 AS MATERIALIZED (SELECT (SELECT far FROM fv) AS vid, 0 AS d)")
+    for i in range(1, levels + 1):
+        parts.append(
+            f"b{i} AS MATERIALIZED (SELECT vid, min(d) AS d FROM ("
+            f"SELECT vid, d FROM b{i-1} "
+            f"UNION ALL SELECT e.dst, b.d + 1 FROM e JOIN b{i-1} b "
+            "ON b.vid = e.src) x GROUP BY 1)"
+        )
+    parts.append(f"be AS (SELECT CAST(max(d) AS BIGINT) AS ecc FROM b{levels})")
+    return (
+        ", ".join(parts)
+        + " SELECT CAST((SELECT vid FROM pv) AS BIGINT) AS pivot, "
+        "(SELECT ecc FROM ae) AS ecc_pivot, "
+        "(SELECT far FROM fv) AS far_vid, "
+        "(SELECT ecc FROM be) AS diameter_lb, "
+        "2 * (SELECT ecc FROM ae) AS diameter_ub"
     )
 
 
@@ -5850,6 +5905,7 @@ def oracle_sql() -> dict[str, str]:
         "spam_mass_copurchase": _spam_mass_sql(PR_ITERS),
         "bipartite_copurchase": _bipartite_sql(),
         "matching_copurchase": _matching_sql(),
+        "diameter_copurchase": _diameter_sql(),
         "coarsen_matching_copurchase": (
             # contract the ORACLE's matching (same 24-round handshake
             # unroll, as a subquery), map both edge endpoints, drop

@@ -1192,6 +1192,72 @@ def assortativity(edges_or_engine, num_parts: int = 8):
     )
 
 
+def diameter_double_sweep(edges_ds, num_parts: int = 8, max_steps: int = 200):
+    """Double-sweep diameter bounds (Magnien, Latapy & Habib 2009) →
+    1-row table(pivot, ecc_pivot, far_vid, diameter_lb, diameter_ub):
+    BFS from the deterministic pivot (max degree, tie → min vid) gives
+    ecc(pivot) (so diameter ≤ 2·ecc(pivot)); a second BFS from the
+    farthest vertex (min-vid witness) gives the classic lower bound
+    diameter ≥ ecc(far). Exact ints end to end.
+
+    Scale shape: TWO batched-BFS runs on one engine (the betweenness
+    forward machinery with explicit seeds); the pivot pick is a
+    per-block partial argmax fold — the driver only ever sees one
+    (deg, vid) pair per block."""
+    from .build_graph import partition_graph
+
+    def _best(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"vid": pa.array([], pa.int64()), "deg": pa.array([], pa.int64())}
+            )
+        u = t["src"].to_numpy().astype(np.int64)
+        cnt = t["count()"].to_numpy().astype(np.int64)
+        order = np.lexsort((u, -cnt))
+        return pa.table(
+            {
+                "vid": pa.array([int(u[order[0]])], pa.int64()),
+                "deg": pa.array([int(cnt[order[0]])], pa.int64()),
+            }
+        )
+
+    # degree groupby → per-block partial argmax → one tiny driver fold
+    deg_parts = (
+        edges_ds.groupby("src")
+        .count()
+        .map_batches(_best, batch_format="pyarrow")
+        .to_pandas()
+    )
+    order = np.lexsort((deg_parts["vid"].to_numpy(), -deg_parts["deg"].to_numpy()))
+    pivot = int(deg_parts["vid"].to_numpy()[order[0]])
+
+    eng, _lin, own = _run(
+        edges_ds, "pivot_ecc", {"seed_list": [pivot]}, num_parts, max_steps,
+        directed=False,
+    )
+
+    def _fold(partial: pa.Table) -> tuple[int, int]:
+        df = partial.to_pandas()
+        ecc = int(df["ecc"].max())
+        far = int(df.loc[df["ecc"] == ecc, "far"].min())
+        return ecc, far
+
+    ecc_p, far = _fold(eng.result_table())
+    eng.run("pivot_ecc", {"seed_list": [far]}, max_steps=max_steps)
+    ecc_f, _ = _fold(eng.result_table())
+    if own:
+        eng.shutdown()
+    return pa.table(
+        {
+            "pivot": pa.array([pivot], pa.int64()),
+            "ecc_pivot": pa.array([ecc_p], pa.int64()),
+            "far_vid": pa.array([far], pa.int64()),
+            "diameter_lb": pa.array([ecc_f], pa.int64()),
+            "diameter_ub": pa.array([2 * ecc_p], pa.int64()),
+        }
+    )
+
+
 def coarsen_matching(edges_ds, num_parts: int = 8):
     """ONE level of multilevel graph coarsening by maximal matching (the
     Metis/heavy-edge idiom, Karypis & Kumar 1998, with the deterministic

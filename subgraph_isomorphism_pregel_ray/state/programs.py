@@ -3474,6 +3474,47 @@ class EccentricityProgram(HarmonicClosenessProgram):
         return pa.table({"s": self.seeds, "ecc": d.max(axis=1).astype(np.int64)})
 
 
+class PivotEccProgram(HarmonicClosenessProgram):
+    """Explicit-seed BFS eccentricity with a farthest-vertex WITNESS —
+    the building block of the double-sweep diameter bound (Magnien et
+    al. 2009): per seed, each partition reports (ecc over owned
+    vertices, min owned vid attaining it); the pipeline folds the global
+    max and its min-vid witness. Seeds are an explicit list (vs the
+    sampled seed_mod sets of the parent family)."""
+
+    def init(self, csr: CSRPartition, seed_list=(), round_to: int = 4):
+        super().init(csr, seed_mod=1, round_to=round_to)
+        sl = np.asarray(sorted(int(s) for s in seed_list), dtype=np.uint64)
+        self.local_seeds = csr.vids[np.isin(csr.vids, sl)]
+
+    def result_table(self):
+        if self.seeds is None or len(self.seeds) == 0:
+            return pa.table(
+                {
+                    "s": pa.array([], type=pa.uint64()),
+                    "ecc": pa.array([], type=pa.int64()),
+                    "far": pa.array([], type=pa.int64()),
+                }
+            )
+        d = np.where(self.dist == _DIST_INF, np.int64(-1), self.dist)
+        eccs, fars = [], []
+        for k in range(len(self.seeds)):
+            dk = d[k]
+            m = int(dk.max()) if len(dk) else -1
+            eccs.append(m)
+            if m < 0:
+                fars.append(-1)
+            else:
+                fars.append(int(self.csr.vids[dk == m].min()))
+        return pa.table(
+            {
+                "s": self.seeds,
+                "ecc": pa.array(eccs, pa.int64()),
+                "far": pa.array(fars, pa.int64()),
+            }
+        )
+
+
 _SCC_UNSET = np.uint64(0xFFFFFFFFFFFFFFFF)
 
 
@@ -4486,6 +4527,7 @@ PROGRAMS = {
     "wsssp": WeightedSSSPProgram,
     "coloring": GreedyColoringProgram,
     "eccentricity": EccentricityProgram,
+    "pivot_ecc": PivotEccProgram,
     "katz": KatzCentralityProgram,
     "scc": SCCProgram,
     "reach": ReachProgram,
