@@ -305,6 +305,17 @@ def _q_matching(sf_dir: str):
     )
 
 
+def _q_spectral_radius(sf_dir: str):
+    """Spectral radius of the co-purchase adjacency via exact-int64 walk
+    counts (5 power iterations): λ ≈ max(w5)/max(w4) — one float
+    division, bit-exact vs SQL."""
+    from subgraph_isomorphism_pregel_ray.pipelines.algorithms import (
+        spectral_radius,
+    )
+
+    return spectral_radius(_sym_copurchase(sf_dir), num_parts=4)
+
+
 def _q_diameter(sf_dir: str):
     """Double-sweep diameter bounds of the co-purchase graph: BFS from
     the max-degree pivot (diameter ≤ 2·ecc) then from its farthest
@@ -3482,6 +3493,7 @@ def _queries_base() -> dict[str, Callable[[str], Any]]:
         "matching_copurchase": _q_matching,
         "coarsen_matching_copurchase": _q_coarsen_matching,
         "diameter_copurchase": _q_diameter,
+        "spectral_radius_copurchase": _q_spectral_radius,
         "semantic_dedup": _q_semantic_dedup,
         "butterfly_count_orders": _q_butterflies,
         "brand_discount_elasticity": _q_brand_elasticity,
@@ -4453,6 +4465,32 @@ def _walk_pmi_sql(walk_len: int = 4, window: int = 2) -> str:
         "FROM pc JOIN nl ON nl.u = pc.u JOIN nr ON nr.v = pc.v"
     )
 
+
+
+
+def _spectral_sql(iters: int = 5) -> str:
+    """Exact-integer power iteration (mirrors SpectralRadiusProgram):
+    w_t(v) = Σ neighbors' w_{t-1} in BIGINT — t-walk counts — and
+    λ = max(w_T)/max(w_{T-1}) as ONE double division."""
+    parts = [
+        f"WITH {_ESYM_MAT}",
+        "v AS MATERIALIZED (SELECT DISTINCT src AS vid FROM e)",
+        "x0 AS MATERIALIZED (SELECT vid, CAST(1 AS BIGINT) AS x FROM v)",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"x{i} AS MATERIALIZED (SELECT e.dst AS vid, "
+            f"CAST(sum(x.x) AS BIGINT) AS x "
+            f"FROM e JOIN x{i-1} x ON x.vid = e.src GROUP BY 1)"
+        )
+    return (
+        ", ".join(parts)
+        + f" SELECT CAST({iters} AS BIGINT) AS iters, "
+        f"(SELECT max(x) FROM x{iters}) AS max_walks, "
+        f"round(CAST((SELECT max(x) FROM x{iters}) AS DOUBLE) / "
+        f"CAST((SELECT max(x) FROM x{iters - 1}) AS DOUBLE), 6) "
+        "AS lambda_est"
+    )
 
 
 def _diameter_sql(levels: int = 16) -> str:
@@ -5906,6 +5944,7 @@ def oracle_sql() -> dict[str, str]:
         "bipartite_copurchase": _bipartite_sql(),
         "matching_copurchase": _matching_sql(),
         "diameter_copurchase": _diameter_sql(),
+        "spectral_radius_copurchase": _spectral_sql(),
         "coarsen_matching_copurchase": (
             # contract the ORACLE's matching (same 24-round handshake
             # unroll, as a subquery), map both edge endpoints, drop

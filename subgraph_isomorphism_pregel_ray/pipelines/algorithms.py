@@ -1192,6 +1192,30 @@ def assortativity(edges_or_engine, num_parts: int = 8):
     )
 
 
+def spectral_radius(edges_or_engine, iters: int = 5, num_parts: int = 8,
+                    round_to: int = 6):
+    """Spectral-radius estimate of the symmetric adjacency by exact
+    int64 power iteration (walk counts; see SpectralRadiusProgram) →
+    1-row table(iters, max_walks, lambda_est) with
+    λ = max(w_T)/max(w_{T-1}) rounded, bit-exact vs the SQL unroll."""
+    eng, _lin, own = _run(
+        edges_or_engine, "spectral_radius", {"iters": iters}, num_parts,
+        iters + 2, directed=False,
+    )
+    t = eng.result_table().to_pandas()
+    if own:
+        eng.shutdown()
+    mp, mc = int(t["max_prev"].max()), int(t["max_cur"].max())
+    lam = float(mc) / float(mp) if mp > 0 else 0.0
+    return pa.table(
+        {
+            "iters": pa.array([iters], pa.int64()),
+            "max_walks": pa.array([mc], pa.int64()),
+            "lambda_est": round_half_away(np.array([lam]), round_to),
+        }
+    )
+
+
 def diameter_double_sweep(edges_ds, num_parts: int = 8, max_steps: int = 200):
     """Double-sweep diameter bounds (Magnien, Latapy & Habib 2009) →
     1-row table(pivot, ecc_pivot, far_vid, diameter_lb, diameter_ub):

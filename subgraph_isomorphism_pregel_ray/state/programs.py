@@ -1544,6 +1544,89 @@ class AssortativityProgram(VertexProgram):
         return dict(self._sums)
 
 
+class SpectralRadiusProgram(VertexProgram):
+    """Dominant-eigenvalue (spectral radius) estimate of the symmetric
+    adjacency by EXACT-INTEGER power iteration: w_0 = 1 everywhere,
+    w_t(v) = Σ_{u→v} w_{t-1}(u) — the t-walk counts ending at v — and
+    λ ≈ max(w_T) / max(w_{T-1}) (max-norm Rayleigh quotient; converges
+    as (λ₂/λ₁)^T). Walk counts stay int64 end to end (loud overflow
+    guard at 2⁶¹ — Δ^T for web-scale max degree Δ bounds T ≈ 5), so the
+    single float division replays bit-for-bit in SQL — no float
+    fold-order posture needed, unlike PageRank."""
+
+    def init(self, csr: CSRPartition, iters: int = 5):
+        self.csr = csr
+        self.iters = int(iters)
+        self.x = np.ones(csr.num_vertices, dtype=np.int64)
+        self.max_prev = 1
+        self.max_cur = 1
+
+    def apply(self, step, inbox, glob):
+        if step == 0:
+            return {"active": 1}
+        y = np.zeros(self.csr.num_vertices, dtype=np.int64)
+        for msg in inbox:
+            if msg is None or len(msg["dst"]) == 0:
+                continue
+            li = self.csr.local_index(msg["dst"])
+            np.add.at(y, li, msg["sum"])
+        if len(y) and int(y.max()) >= (1 << 61):
+            raise OverflowError(
+                "spectral_radius walk counts near int64 overflow; lower iters"
+            )
+        self.max_prev = int(self.x.max()) if len(self.x) else 0
+        self.max_cur = int(y.max()) if len(y) else 0
+        self.x = y
+        return {"active": 0 if step >= self.iters else 1}
+
+    def scatter(self, step):
+        P = self.csr.num_parts
+        if step >= self.iters:
+            return [None] * P, {"sent": 0}
+        dix = self.csr.dst_index()
+        edge_val = self.x[dix.src_row][dix.order]
+        outbox, sent = [], 0
+        for p in range(P):
+            s, e = dix.slices[p]
+            if s == e:
+                outbox.append(None)
+                continue
+            sums = np.zeros(len(dix.uniq_dst[p]), dtype=np.int64)
+            np.add.at(sums, dix.inverse[p], edge_val[s:e])
+            outbox.append({"dst": dix.uniq_dst[p], "sum": sums})
+            sent += len(sums)
+        return outbox, {"sent": sent}
+
+    def state_table(self):
+        return pa.table(
+            {
+                "vid": self.csr.vids,
+                "x": pa.array(self.x, pa.int64()),
+                "max_prev": pa.array(
+                    [self.max_prev] * self.csr.num_vertices, pa.int64()
+                ),
+            }
+        )
+
+    def load_state(self, table, step):
+        self.x = np.asarray(
+            table["x"].to_numpy(zero_copy_only=False), np.int64
+        ).copy()
+        self.max_prev = (
+            int(table["max_prev"][0].as_py()) if table.num_rows else 1
+        )
+        self.max_cur = int(self.x.max()) if len(self.x) else 0
+
+    def result_table(self):
+        return pa.table(
+            {
+                "part": pa.array([self.csr.part], pa.int32()),
+                "max_prev": pa.array([self.max_prev], pa.int64()),
+                "max_cur": pa.array([self.max_cur], pa.int64()),
+            }
+        )
+
+
 class WeightedAssortativityProgram(AssortativityProgram):
     """STRENGTH assortativity — Pearson r of (strength(u), strength(v))
     over the directed edge list, strength = Σ incident stored edge
@@ -4518,6 +4601,7 @@ PROGRAMS = {
     "ktruss": KTrussProgram,
     "assortativity": AssortativityProgram,
     "wassortativity": WeightedAssortativityProgram,
+    "spectral_radius": SpectralRadiusProgram,
     "ppr": PersonalizedPageRankProgram,
     "walk": RandomWalkProgram,
     "hits": HITSProgram,
