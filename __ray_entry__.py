@@ -3212,6 +3212,16 @@ def _q_resource_allocation(sf_dir: str):
     )
 
 
+def _q_ldiversity(sf_dir: str):
+    """Machanavajjhala l-diversity audit (l=3) of customer under
+    (nation, mktsegment) with acctbal-kilobucket sensitive values."""
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import (
+        ldiversity_customers,
+    )
+
+    return ldiversity_customers(sf_dir, l=3)
+
+
 def _q_kanonymity(sf_dir: str):
     """Sweeney k-anonymity audit of customer under (nation, mktsegment)
     quasi-identifiers, k=5."""
@@ -3749,6 +3759,7 @@ def _queries_base() -> dict[str, Callable[[str], Any]]:
         "adamic_adar_copurchase": _q_adamic_adar,
         "resource_allocation_copurchase": _q_resource_allocation,
         "kanonymity_customers": _q_kanonymity,
+        "ldiversity_customers": _q_ldiversity,
         "kcenter_coreset": _q_kcenter_coreset,
         "rapid_repeat_orders": _q_rapid_repeat_orders,
         "orders_profile": _q_orders_profile,
@@ -9344,6 +9355,19 @@ def oracle_sql() -> dict[str, str]:
             "AND a.o_orderkey < b.o_orderkey "
             "AND abs(epoch_us(a.o_orderdate) // 86400000000 - "
             "epoch_us(b.o_orderdate) // 86400000000) <= 7"
+        ),
+        "ldiversity_customers": (
+            # bucket = floor(acctbal/1000) computed in DOUBLE exactly as
+            # numpy does (2-decimal balances /1000 then floor)
+            "WITH b AS (SELECT c_nationkey AS nation, "
+            "c_mktsegment AS segment, "
+            "CAST(floor(CAST(c_acctbal AS DOUBLE) / 1000) AS BIGINT) "
+            "AS bucket FROM customer), "
+            "ps AS (SELECT nation, segment, bucket, "
+            "CAST(count(*) AS BIGINT) AS c FROM b GROUP BY 1, 2, 3) "
+            "SELECT nation, segment, CAST(sum(c) AS BIGINT) AS n_rows, "
+            "CAST(count(*) AS BIGINT) AS n_distinct_sensitive, "
+            "count(*) >= 3 AS l_diverse FROM ps GROUP BY 1, 2"
         ),
         "kanonymity_customers": (
             "WITH g AS (SELECT c_nationkey, c_mktsegment, count(*) AS c "

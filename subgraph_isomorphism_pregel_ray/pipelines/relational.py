@@ -8387,6 +8387,66 @@ def revenue_jackknife(sf_dir: str, round_to: int = 6):
     )
 
 
+def ldiversity_customers(sf_dir: str, l: int = 3):
+    """l-diversity audit (Machanavajjhala et al. 2007 — the k-anonymity
+    successor): per quasi-identifier group (c_nationkey, c_mktsegment),
+    the count of DISTINCT sensitive values (account-balance kilobucket
+    floor(c_acctbal/1000)); a group with < l distinct sensitive values
+    leaks the attribute even when k-anonymous → per-group
+    (nation, segment, n_rows, n_distinct_sensitive, l_diverse).
+
+    Scale shape: per-batch (qi, sensitive) pre-dedup partials, one
+    groupby over (qi, sensitive) then one over qi — both bounded by
+    |nations|×|segments|×|buckets|."""
+    from ray.data.aggregate import Count, Sum
+
+    cust = read_table(
+        sf_dir, "customer", columns=["c_nationkey", "c_mktsegment", "c_acctbal"]
+    )
+
+    def _partial(t: pa.Table) -> pa.Table:
+        n = t["c_nationkey"].to_numpy().astype(np.int64)
+        s = t["c_mktsegment"].to_numpy(zero_copy_only=False)
+        b = np.floor(t["c_acctbal"].to_numpy() / 1000.0).astype(np.int64)
+        skey, sinv = np.unique(s, return_inverse=True)
+        key = (n * 64 + sinv) * 64 + (b + 16)  # acctbal buckets ≥ -16
+        u, first, inv = np.unique(key, return_index=True, return_inverse=True)
+        c = np.zeros(len(u), np.int64)
+        np.add.at(c, inv, 1)
+        first_idx = first
+        return pa.table(
+            {
+                "nation": (u // (64 * 64)).astype(np.int64),
+                "segment": pa.array([s[i] for i in first_idx], pa.string()),
+                "bucket": (u % 64 - 16).astype(np.int64),
+                "c": c,
+            }
+        )
+
+    per_sens = (
+        cust.map_batches(_partial, batch_format="pyarrow")
+        .groupby(["nation", "segment", "bucket"])
+        .aggregate(Sum("c", alias_name="c"))
+    )
+    g = (
+        per_sens.groupby(["nation", "segment"])
+        .aggregate(Sum("c", alias_name="n_rows"),
+                   Count(alias_name="n_distinct_sensitive"))
+        .to_pandas()
+        .sort_values(["nation", "segment"])
+    )
+    nd = g["n_distinct_sensitive"].to_numpy().astype(np.int64)
+    return pa.table(
+        {
+            "nation": g["nation"].to_numpy().astype(np.int64),
+            "segment": pa.array(g["segment"].tolist(), pa.string()),
+            "n_rows": g["n_rows"].to_numpy().astype(np.int64),
+            "n_distinct_sensitive": nd,
+            "l_diverse": pa.array((nd >= l).tolist(), pa.bool_()),
+        }
+    )
+
+
 def kanonymity_customers(sf_dir: str, k: int = 5):
     """k-anonymity audit of the customer table under the quasi-identifier
     pair (c_nationkey, c_mktsegment) (Sweeney 2002) → one row
