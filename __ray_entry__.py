@@ -3222,6 +3222,31 @@ def _q_ldiversity(sf_dir: str):
     return ldiversity_customers(sf_dir, l=3)
 
 
+def _q_candidate_stats(sf_dir: str):
+    """The reference's PREPROCESS aggregation as a driver artifact
+    (SItypes/SIAggregator.h:4-13): per chair-query vertex u the count of
+    data vertices passing u's label+LDF filter (diag), and per query edge
+    the count of data edges passing both endpoint filters (pair) — the
+    statistics the 'candidate' plan order consumes. Rows: (kind, u1, u2,
+    n) with kind 'diag' (u2 = u1) or 'pair' (u1 > u2)."""
+    from subgraph_isomorphism_pregel_ray.pipelines.match import candidate_stats
+
+    ql = [0, 1, 2, 0, 1]  # chair over the mod-3 label domain
+    qe = [(0, 1), (1, 2), (2, 3), (1, 4)]
+    eng = _match_engine(sf_dir)  # shared cached engine — do NOT shut down
+    diag, pair = candidate_stats(eng, ql, qe)
+    rows = [("diag", u, u, int(diag[u])) for u in range(len(ql))]
+    rows += [("pair", a, b, int(n)) for (a, b), n in sorted(pair.items())]
+    return pa.table(
+        {
+            "kind": pa.array([r[0] for r in rows], pa.string()),
+            "u1": pa.array([r[1] for r in rows], pa.int64()),
+            "u2": pa.array([r[2] for r in rows], pa.int64()),
+            "n": pa.array([r[3] for r in rows], pa.int64()),
+        }
+    )
+
+
 def _q_kanonymity(sf_dir: str):
     """Sweeney k-anonymity audit of customer under (nation, mktsegment)
     quasi-identifiers, k=5."""
@@ -3759,6 +3784,7 @@ def _queries_base() -> dict[str, Callable[[str], Any]]:
         "adamic_adar_copurchase": _q_adamic_adar,
         "resource_allocation_copurchase": _q_resource_allocation,
         "kanonymity_customers": _q_kanonymity,
+        "candidate_stats_chair": _q_candidate_stats,
         "ldiversity_customers": _q_ldiversity,
         "kcenter_coreset": _q_kcenter_coreset,
         "rapid_repeat_orders": _q_rapid_repeat_orders,
@@ -9368,6 +9394,42 @@ def oracle_sql() -> dict[str, str]:
             "SELECT nation, segment, CAST(sum(c) AS BIGINT) AS n_rows, "
             "CAST(count(*) AS BIGINT) AS n_distinct_sensitive, "
             "count(*) >= 3 AS l_diverse FROM ps GROUP BY 1, 2"
+        ),
+        "candidate_stats_chair": (
+            # PREPROCESS aggregation replay: diag = label+LDF vertex
+            # census; pair[(u1>u2)] = directed edges whose src passes u1's
+            # filter and dst passes u2's (chair ql=[0,1,2,0,1],
+            # qdeg=[1,3,2,1,1])
+            f"WITH {_ESYM_MAT}, "
+            "lab AS MATERIALIZED (SELECT p_partkey AS vid, "
+            "p_size % 3 AS l FROM part), "
+            "deg AS MATERIALIZED (SELECT src AS vid, count(*) AS d "
+            "FROM e GROUP BY 1), "
+            "f AS MATERIALIZED (SELECT lab.vid, lab.l, "
+            "coalesce(deg.d, 0) AS d FROM lab "
+            "LEFT JOIN deg ON deg.vid = lab.vid) "
+            "SELECT 'diag' AS kind, 0 AS u1, 0 AS u2, "
+            "CAST(count(*) AS BIGINT) AS n FROM f WHERE l = 0 AND d >= 1 "
+            "UNION ALL SELECT 'diag', 1, 1, count(*) FROM f "
+            "WHERE l = 1 AND d >= 3 "
+            "UNION ALL SELECT 'diag', 2, 2, count(*) FROM f "
+            "WHERE l = 2 AND d >= 2 "
+            "UNION ALL SELECT 'diag', 3, 3, count(*) FROM f "
+            "WHERE l = 0 AND d >= 1 "
+            "UNION ALL SELECT 'diag', 4, 4, count(*) FROM f "
+            "WHERE l = 1 AND d >= 1 "
+            "UNION ALL SELECT 'pair', 1, 0, count(*) FROM e "
+            "JOIN f a ON a.vid = e.src AND a.l = 1 AND a.d >= 3 "
+            "JOIN f b ON b.vid = e.dst AND b.l = 0 AND b.d >= 1 "
+            "UNION ALL SELECT 'pair', 2, 1, count(*) FROM e "
+            "JOIN f a ON a.vid = e.src AND a.l = 2 AND a.d >= 2 "
+            "JOIN f b ON b.vid = e.dst AND b.l = 1 AND b.d >= 3 "
+            "UNION ALL SELECT 'pair', 3, 2, count(*) FROM e "
+            "JOIN f a ON a.vid = e.src AND a.l = 0 AND a.d >= 1 "
+            "JOIN f b ON b.vid = e.dst AND b.l = 2 AND b.d >= 2 "
+            "UNION ALL SELECT 'pair', 4, 1, count(*) FROM e "
+            "JOIN f a ON a.vid = e.src AND a.l = 1 AND a.d >= 1 "
+            "JOIN f b ON b.vid = e.dst AND b.l = 1 AND b.d >= 3"
         ),
         "kanonymity_customers": (
             "WITH g AS (SELECT c_nationkey, c_mktsegment, count(*) AS c "
