@@ -3247,6 +3247,16 @@ def _q_candidate_stats(sf_dir: str):
     )
 
 
+def _q_markov_entropy(sf_dir: str):
+    """Entropy rate of the user-journey chain: per-state next-event
+    unpredictability weighted by the stationary distribution."""
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import (
+        markov_entropy_rate,
+    )
+
+    return markov_entropy_rate(sf_dir)
+
+
 def _q_kanonymity(sf_dir: str):
     """Sweeney k-anonymity audit of customer under (nation, mktsegment)
     quasi-identifiers, k=5."""
@@ -3786,6 +3796,7 @@ def _queries_base() -> dict[str, Callable[[str], Any]]:
         "kanonymity_customers": _q_kanonymity,
         "candidate_stats_chair": _q_candidate_stats,
         "ldiversity_customers": _q_ldiversity,
+        "markov_entropy_rate": _q_markov_entropy,
         "kcenter_coreset": _q_kcenter_coreset,
         "rapid_repeat_orders": _q_rapid_repeat_orders,
         "orders_profile": _q_orders_profile,
@@ -3901,6 +3912,22 @@ def _markov_sql(iters: int = 8) -> str:
     return ", ".join(parts) + (
         f" SELECT ty AS event_type, round(pr, 6) AS stationary_prob "
         f"FROM p{iters}"
+    )
+
+
+
+def _markov_entropy_sql(iters: int = 8) -> str:
+    """markov_stationary's unrolled chain + per-row Shannon entropies:
+    H-contribution per state = π_i · (−Σ_j P_ij ln P_ij)."""
+    base = _markov_sql(iters)
+    head = base[: base.rindex(" SELECT ")]
+    return (
+        head
+        + ", rh AS (SELECT f AS ty, -sum(p * ln(p)) AS rh FROM m GROUP BY 1) "
+        + f"SELECT p{iters}.ty AS event_type, round(p{iters}.pr, 6) "
+        "AS stationary_prob, round(rh.rh, 6) AS row_entropy, "
+        f"round(p{iters}.pr * rh.rh, 6) AS contrib "
+        f"FROM p{iters} JOIN rh USING (ty)"
     )
 
 
@@ -7210,6 +7237,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "attack_tolerance_parts": _attack_sql(),
         "markov_stationary": _markov_sql(),
+        "markov_entropy_rate": _markov_entropy_sql(),
         "returns_rate_by_brand": (
             "SELECT p_brand, CAST(count(*) AS BIGINT) AS n_lines, "
             "CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) "

@@ -7797,6 +7797,45 @@ def survival_km(sf_dir: str, num_buckets: int | None = None,
     )
 
 
+def markov_entropy_rate(sf_dir: str, iters: int = 8,
+                        num_buckets: int | None = None, round_to: int = 6):
+    """Entropy rate of the user-journey Markov chain (Shannon 1948 §7 /
+    Cover-Thomas ch.4): H = Σ_i π_i · h_i with h_i = −Σ_j P_ij ln P_ij —
+    how unpredictable the NEXT event is, weighted by where the chain
+    actually spends its time → per-state (event_type, stationary_prob,
+    row_entropy, contrib); Σ contrib is the rate. Composes the
+    markov_stationary machinery (same one-shuffle transition counts,
+    same 8-step unrolled π; float drift ≪ round-6)."""
+    from ..functions.rounding import round_half_away
+
+    tm = events_transition_matrix(sf_dir, num_buckets=num_buckets).to_pandas()
+    agg = tm.groupby(["from_type", "to_type"], as_index=False)["n"].sum()
+    types = sorted(set(agg["from_type"]) | set(agg["to_type"]))
+    tidx = {t: i for i, t in enumerate(types)}
+    T = len(types)
+    C = np.zeros((T, T), np.int64)
+    for r in agg.itertuples():
+        C[tidx[r.from_type], tidx[r.to_type]] = int(r.n)
+    rowsum = C.sum(axis=1)
+    if (rowsum == 0).any():
+        raise ValueError("markov_entropy_rate: absorbing type (zero out-row)")
+    P = C.astype(np.float64) / rowsum.astype(np.float64)[:, None]
+    pi = np.full(T, 1.0 / np.float64(T))
+    for _ in range(iters):
+        pi = pi @ P
+    with np.errstate(divide="ignore", invalid="ignore"):
+        plogp = np.where(P > 0, P * np.log(np.where(P > 0, P, 1.0)), 0.0)
+    row_h = -plogp.sum(axis=1)
+    return pa.table(
+        {
+            "event_type": pa.array(types, pa.string()),
+            "stationary_prob": round_half_away(pi, round_to),
+            "row_entropy": round_half_away(row_h, round_to),
+            "contrib": round_half_away(pi * row_h, round_to),
+        }
+    )
+
+
 def markov_stationary(sf_dir: str, iters: int = 8,
                       num_buckets: int | None = None, round_to: int = 6):
     """Stationary distribution of the user-journey Markov chain →
