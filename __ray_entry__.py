@@ -3257,6 +3257,16 @@ def _q_markov_entropy(sf_dir: str):
     return markov_entropy_rate(sf_dir)
 
 
+def _q_basket_hist(sf_dir: str):
+    """Items-per-order histogram — prices the co-purchase pair-expansion
+    cost (sum of C(basket, 2))."""
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import (
+        basket_size_histogram,
+    )
+
+    return basket_size_histogram(sf_dir)
+
+
 def _q_kanonymity(sf_dir: str):
     """Sweeney k-anonymity audit of customer under (nation, mktsegment)
     quasi-identifiers, k=5."""
@@ -3797,6 +3807,7 @@ def _queries_base() -> dict[str, Callable[[str], Any]]:
         "candidate_stats_chair": _q_candidate_stats,
         "ldiversity_customers": _q_ldiversity,
         "markov_entropy_rate": _q_markov_entropy,
+        "basket_size_histogram": _q_basket_hist,
         "kcenter_coreset": _q_kcenter_coreset,
         "rapid_repeat_orders": _q_rapid_repeat_orders,
         "orders_profile": _q_orders_profile,
@@ -7238,6 +7249,12 @@ def oracle_sql() -> dict[str, str]:
         "attack_tolerance_parts": _attack_sql(),
         "markov_stationary": _markov_sql(),
         "markov_entropy_rate": _markov_entropy_sql(),
+        "basket_size_histogram": (
+            "WITH po AS (SELECT l_orderkey, CAST(count(*) AS BIGINT) AS b "
+            "FROM lineitem GROUP BY 1) "
+            "SELECT b AS basket_size, CAST(count(*) AS BIGINT) AS n_orders "
+            "FROM po GROUP BY 1"
+        ),
         "returns_rate_by_brand": (
             "SELECT p_brand, CAST(count(*) AS BIGINT) AS n_lines, "
             "CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) "

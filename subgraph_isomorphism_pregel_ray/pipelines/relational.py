@@ -7797,6 +7797,46 @@ def survival_km(sf_dir: str, num_buckets: int | None = None,
     )
 
 
+def basket_size_histogram(sf_dir: str):
+    """Items-per-order distribution → (basket_size, n_orders): the basket
+    breadth histogram behind every co-purchase density argument (the pair
+    expansion cost is Σ C(basket,2) — this table prices it).
+    One per-batch partial count + two bounded groupbys."""
+    from ray.data.aggregate import Sum
+
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey"])
+
+    def _partial(t: pa.Table) -> pa.Table:
+        o, c = np.unique(t["l_orderkey"].to_numpy().astype(np.int64),
+                         return_counts=True)
+        return pa.table({"okey": o, "c": c.astype(np.int64)})
+
+    per_order = (
+        li.map_batches(_partial, batch_format="pyarrow")
+        .groupby("okey")
+        .aggregate(Sum("c", alias_name="basket_size"))
+    )
+
+    def _hist(t: pa.Table) -> pa.Table:
+        b, n = np.unique(t["basket_size"].to_numpy().astype(np.int64),
+                         return_counts=True)
+        return pa.table({"basket_size": b, "n": n.astype(np.int64)})
+
+    g = (
+        per_order.map_batches(_hist, batch_format="pyarrow")
+        .groupby("basket_size")
+        .aggregate(Sum("n", alias_name="n_orders"))
+        .to_pandas()
+        .sort_values("basket_size")
+    )
+    return pa.table(
+        {
+            "basket_size": g["basket_size"].to_numpy().astype(np.int64),
+            "n_orders": g["n_orders"].to_numpy().astype(np.int64),
+        }
+    )
+
+
 def markov_entropy_rate(sf_dir: str, iters: int = 8,
                         num_buckets: int | None = None, round_to: int = 6):
     """Entropy rate of the user-journey Markov chain (Shannon 1948 §7 /
