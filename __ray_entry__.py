@@ -3267,6 +3267,16 @@ def _q_basket_hist(sf_dir: str):
     return basket_size_histogram(sf_dir)
 
 
+def _q_lineitem_corr(sf_dir: str):
+    """Exact-integer Pearson correlation matrix over the numeric lineitem
+    measures — the profiling companion of orders_profile."""
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import (
+        lineitem_corr_profile,
+    )
+
+    return lineitem_corr_profile(sf_dir)
+
+
 def _q_kanonymity(sf_dir: str):
     """Sweeney k-anonymity audit of customer under (nation, mktsegment)
     quasi-identifiers, k=5."""
@@ -3808,6 +3818,7 @@ def _queries_base() -> dict[str, Callable[[str], Any]]:
         "ldiversity_customers": _q_ldiversity,
         "markov_entropy_rate": _q_markov_entropy,
         "basket_size_histogram": _q_basket_hist,
+        "lineitem_corr_profile": _q_lineitem_corr,
         "kcenter_coreset": _q_kcenter_coreset,
         "rapid_repeat_orders": _q_rapid_repeat_orders,
         "orders_profile": _q_orders_profile,
@@ -7249,6 +7260,11 @@ def oracle_sql() -> dict[str, str]:
         "attack_tolerance_parts": _attack_sql(),
         "markov_stationary": _markov_sql(),
         "markov_entropy_rate": _markov_entropy_sql(),
+        "lineitem_corr_profile": (
+            # quantized-int moments in HUGEINT, cast-then-operate r
+            "WITH q AS MATERIALIZED (SELECT CAST(round(l_quantity) AS BIGINT) AS qv, CAST(round(l_extendedprice * 100) AS BIGINT) AS pv, CAST(round(l_discount * 100) AS BIGINT) AS dv, CAST(round(l_tax * 100) AS BIGINT) AS tv FROM lineitem) "
+            "SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b, round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS r FROM (SELECT count(*) AS n, sum(CAST(qv AS HUGEINT)) AS sx, sum(CAST(pv AS HUGEINT)) AS sy, sum(CAST(qv AS HUGEINT) * pv) AS sxy, sum(CAST(qv AS HUGEINT) * qv) AS sxx, sum(CAST(pv AS HUGEINT) * pv) AS syy FROM q) t UNION ALL SELECT 'l_quantity' AS col_a, 'l_discount' AS col_b, round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS r FROM (SELECT count(*) AS n, sum(CAST(qv AS HUGEINT)) AS sx, sum(CAST(dv AS HUGEINT)) AS sy, sum(CAST(qv AS HUGEINT) * dv) AS sxy, sum(CAST(qv AS HUGEINT) * qv) AS sxx, sum(CAST(dv AS HUGEINT) * dv) AS syy FROM q) t UNION ALL SELECT 'l_quantity' AS col_a, 'l_tax' AS col_b, round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS r FROM (SELECT count(*) AS n, sum(CAST(qv AS HUGEINT)) AS sx, sum(CAST(tv AS HUGEINT)) AS sy, sum(CAST(qv AS HUGEINT) * tv) AS sxy, sum(CAST(qv AS HUGEINT) * qv) AS sxx, sum(CAST(tv AS HUGEINT) * tv) AS syy FROM q) t UNION ALL SELECT 'l_extendedprice' AS col_a, 'l_discount' AS col_b, round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS r FROM (SELECT count(*) AS n, sum(CAST(pv AS HUGEINT)) AS sx, sum(CAST(dv AS HUGEINT)) AS sy, sum(CAST(pv AS HUGEINT) * dv) AS sxy, sum(CAST(pv AS HUGEINT) * pv) AS sxx, sum(CAST(dv AS HUGEINT) * dv) AS syy FROM q) t UNION ALL SELECT 'l_extendedprice' AS col_a, 'l_tax' AS col_b, round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS r FROM (SELECT count(*) AS n, sum(CAST(pv AS HUGEINT)) AS sx, sum(CAST(tv AS HUGEINT)) AS sy, sum(CAST(pv AS HUGEINT) * tv) AS sxy, sum(CAST(pv AS HUGEINT) * pv) AS sxx, sum(CAST(tv AS HUGEINT) * tv) AS syy FROM q) t UNION ALL SELECT 'l_discount' AS col_a, 'l_tax' AS col_b, round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS r FROM (SELECT count(*) AS n, sum(CAST(dv AS HUGEINT)) AS sx, sum(CAST(tv AS HUGEINT)) AS sy, sum(CAST(dv AS HUGEINT) * tv) AS sxy, sum(CAST(dv AS HUGEINT) * dv) AS sxx, sum(CAST(tv AS HUGEINT) * tv) AS syy FROM q) t"
+        ),
         "basket_size_histogram": (
             "WITH po AS (SELECT l_orderkey, CAST(count(*) AS BIGINT) AS b "
             "FROM lineitem GROUP BY 1) "

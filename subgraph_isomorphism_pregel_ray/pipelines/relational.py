@@ -7797,6 +7797,71 @@ def survival_km(sf_dir: str, num_buckets: int | None = None,
     )
 
 
+_CORR_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+def lineitem_corr_profile(sf_dir: str, round_to: int = 6):
+    """Pairwise Pearson correlations of the numeric lineitem measures →
+    (col_a, col_b, r) for the 6 unordered pairs — the data-profiling
+    companion of orders_profile (a correlation a loader did not expect,
+    e.g. discount↔quantity, flags a generator/join bug before training).
+
+    Exactness: measures quantize to ints (quantity is integral; price /
+    discount / tax in cents), per-batch int64 partial moments stay under
+    2⁶³ (≤10⁵-row batches × price² ≈ 10¹⁸·0.1), the driver folds
+    PYTHON ints (arbitrary precision — the jackknife posture), and each
+    r is the assortativity cast-then-operate double expression."""
+    from ..functions.rounding import round_half_away
+
+    cols = list(_CORR_COLS)
+    li = read_table(sf_dir, "lineitem", columns=cols)
+
+    def _partial(t: pa.Table) -> pa.Table:
+        X = [
+            np.round(t[c].to_numpy() * (1 if c == "l_quantity" else 100))
+            .astype(np.int64)
+            for c in cols
+        ]
+        out = {"n": pa.array([t.num_rows], pa.int64())}
+        for i, c in enumerate(cols):
+            out[f"s{i}"] = pa.array([int(X[i].sum())], pa.int64())
+            out[f"q{i}"] = pa.array([int((X[i] * X[i]).sum())], pa.int64())
+        for i in range(len(cols)):
+            for j in range(i + 1, len(cols)):
+                out[f"p{i}{j}"] = pa.array(
+                    [int((X[i] * X[j]).sum())], pa.int64()
+                )
+        return pa.table(out)
+
+    parts = li.map_batches(
+        _partial, batch_format="pyarrow", batch_size=100_000
+    ).to_pandas()
+    tot = {c: int(parts[c].sum()) for c in parts.columns}  # exact int fold
+    n = tot["n"]
+    ca, cb, rs = [], [], []
+    for i in range(len(cols)):
+        for j in range(i + 1, len(cols)):
+            sx, sy = tot[f"s{i}"], tot[f"s{j}"]
+            sxx, syy, sxy = tot[f"q{i}"], tot[f"q{j}"], tot[f"p{i}{j}"]
+            den = np.sqrt(
+                (float(n) * float(sxx) - float(sx) * float(sx))
+                * (float(n) * float(syy) - float(sy) * float(sy))
+            )
+            r = (
+                (float(n) * float(sxy) - float(sx) * float(sy)) / den
+                if den > 0
+                else 0.0
+            )
+            ca.append(cols[i]); cb.append(cols[j]); rs.append(r)
+    return pa.table(
+        {
+            "col_a": pa.array(ca, pa.string()),
+            "col_b": pa.array(cb, pa.string()),
+            "r": round_half_away(np.array(rs), round_to),
+        }
+    )
+
+
 def basket_size_histogram(sf_dir: str):
     """Items-per-order distribution → (basket_size, n_orders): the basket
     breadth histogram behind every co-purchase density argument (the pair
