@@ -676,6 +676,38 @@ def _q_match_bushy_deep(sf_dir: str):
     return pa.table({"n_embeddings": pa.array([count], type=pa.int64())})
 
 
+BUSHY_SHARED_QL = [4, 0, 1, 0, 2, 1, 2]  # branches 0-1-0 / 2-1-2 SHARE label 1
+BUSHY_SHARED_QE = BUSHY_DEEP_QE
+
+
+def _q_match_bushy_shared(sf_dir: str):
+    """Shared-label branch fold (round 5): the bushy_deep shape but with the
+    two depth-3 branch chains SHARING their middle label — the exact case
+    the round-4 label-disjoint fold had to expand flat. The relaxed fold
+    counts per-root branch products with the cross-branch (a2, b2)
+    injectivity pair dropped, then subtracts the single conflict term — the
+    merged-middle quotient query counted exactly on the SAME engine — the
+    Ray analogue of the reference's SIBranch conflict markers + subtraction
+    (/root/reference/src/SItypes/SIQuery.h:604-702, SIBranch.h:161-248)."""
+    from subgraph_isomorphism_pregel_ray.pipelines.build_graph import symmetrize
+    from subgraph_isomorphism_pregel_ray.pipelines.match import match_count
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import (
+        copurchase_edges,
+    )
+
+    count, _ = match_count(
+        symmetrize(copurchase_edges(sf_dir)),
+        BUSHY_SHARED_QL,
+        BUSHY_SHARED_QE,
+        labels_ds=_deep_labels(sf_dir),
+        num_parts=4,
+        max_out_rows=BUSHY_MAX_OUT_ROWS,
+        max_steps=400,
+        shared_fold=True,
+    )
+    return pa.table({"n_embeddings": pa.array([count], type=pa.int64())})
+
+
 def _q_match_embeddings_tri(sf_dir: str):
     """Embedding ENUMERATION (not just the count): labeled triangles of the
     strong co-purchase graph as (v0, v1, v2) rows — the reference's disabled
@@ -3478,52 +3510,61 @@ def _q_blocklist_stats(sf_dir: str):
     )
 
 
-# Round-4 driver window (VERDICT r3 #3): the driver oracle-checks the FIRST
+# Round-5 driver window (VERDICT r4 #2): the driver oracle-checks the FIRST
 # 50 registry entries, so rotate a different 50 to the front each round —
-# r4 ∩ r3 = 4 staples (pagerank/cc/triangles/match_bushy); the other 46 are
-# queries the driver has never hash-checked, spanning every subsystem
-# (graph, match, sketch, dedup, text, relational, host/web, embeddings,
-# profiling). All 50 have oracle_sql entries (the 5 rows-only queries stay
-# outside the window).
-_R4_WINDOW = [
-    # graph algorithms (round-3 additions + never-windowed classics)
-    "scc_parts", "wpagerank_copurchase", "eccentricity_copurchase",
-    "kshell_histogram", "densest_subgraph_copurchase", "mst_copurchase",
-    "influence_seeds_copurchase", "adamic_adar_copurchase", "edge_backbone",
-    "disparity_filter", "vertex_cover_copurchase", "s_core_copurchase",
+# r5 ∩ (r1∪r2∪r3∪r4) = 4 staples (pagerank/cc/triangles/match_bushy); the
+# other 46 have NEVER been driver-hash-checked in any round (45 from the
+# 207-entry never-checked backlog + the new round-5 match_bushy_shared),
+# spanning every subsystem (graph, match, sketch, dedup, text, relational,
+# events/time-series, attribution/stats, privacy, profiling, web/pages,
+# embeddings). All 50 have oracle_sql entries.
+_R5_WINDOW = [
     # staples kept for cross-round continuity
     "pagerank_copurchase", "cc_copurchase", "triangle_count_copurchase",
     "match_bushy",
-    # subgraph matching (strong-edge variants + the round-4 branch fold)
-    "match_diamond_strong", "match_tailed_tri_strong", "match_bushy_deep",
+    # NEW round 5: shared-label branch fold + conflict subtraction
+    "match_bushy_shared",
+    # graph algorithms (never driver-checked)
+    "coarsen_matching_copurchase", "diameter_copurchase",
+    "spectral_radius_copurchase", "walk_pmi_copurchase",
+    "weighted_assortativity_copurchase", "clique5_strong",
+    "resource_allocation_copurchase",
+    # matching-side aggregation
+    "candidate_stats_chair",
     # sketches
-    "countmin_topk", "quantile_sketch_events", "kmv_overlap_daily",
-    "heavy_hitters",
+    "approx_distinct_users_daily", "lsh_bucket_histogram",
+    "minhash_calibration",
     # dedup family
-    "minhash_dup_pairs", "dedup_groups", "simhash_dup_pairs",
-    "dup_span_pairs", "incremental_dedup", "contamination",
-    # text / tokenization
-    "bpe_merges", "bm25_topk", "lang_id", "redact_pii", "doc_repetition",
-    "rake_keywords",
-    # relational / events
-    "q1_pricing_summary", "events_window", "events_sessionize",
-    "events_funnel", "markov_attribution", "granger_daily",
-    # host / web-graph (pages-table family)
-    "host_graph", "host_rank", "anchor_index",
-    # embeddings
-    "ann_topk", "embedding_moments", "kcenter_coreset", "knn_source_purity",
-    "jl_distortion",
+    "sentence_dedup", "winnow_dup_pairs", "shingle_containment",
+    "dup_rate_by_source", "dup_cluster_histogram",
+    # text analysis
+    "lexical_diversity", "hapax_stats", "zipf_slope",
+    "readability_by_source", "tokenizer_fertility", "oov_rate",
+    # relational / TPC-H
+    "nation_trade_volume", "top_supplier_revenue", "parts_skyline",
+    "customer_rfm", "revenue_rollup",
+    # events / time series
+    "events_cusum", "events_holt", "revenue_trend_theilsen", "survival_km",
+    "markov_stationary", "dow_seasonal_index",
+    # attribution / resampling / profiling stats
+    "shapley_attribution", "revenue_bootstrap", "lineitem_corr_profile",
+    # privacy
+    "kanonymity_customers", "ldiversity_customers",
     # data profiling
-    "orders_profile",
+    "fd_audit", "ucc_audit",
+    # web / pages-table
+    "host_reciprocity", "page_indegree_histogram",
+    # embeddings
+    "embedding_outliers", "knn_label_vote", "cosine_histogram",
 ]
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
     base = _queries_base()
-    win = set(_R4_WINDOW)
+    win = set(_R5_WINDOW)
     missing = win - base.keys()
     assert not missing, f"window names absent from registry: {missing}"
-    order = _R4_WINDOW + [k for k in base if k not in win]
+    order = _R5_WINDOW + [k for k in base if k not in win]
     return {k: base[k] for k in order}
 
 
@@ -3577,6 +3618,7 @@ def _queries_base() -> dict[str, Callable[[str], Any]]:
         "match_deep_tree": _q_match_deep_tree,
         "match_bushy": _q_match_bushy,
         "match_bushy_deep": _q_match_bushy_deep,
+        "match_bushy_shared": _q_match_bushy_shared,
         "match_embeddings_tri": _q_match_embeddings_tri,
         "match_triangle_per_root": _q_match_triangle_per_root,
         "match_k4_labeled": _q_match_k4,
@@ -6283,6 +6325,45 @@ def oracle_sql() -> dict[str, str]:
             "AND e3.dst <> e1.dst GROUP BY 1) "
             "SELECT CAST(coalesce(sum(ca.c * cb.c), 0) AS BIGINT) "
             "AS n_embeddings FROM ca JOIN cb USING (root)"
+        ),
+        "match_bushy_shared": (
+            # shared-label branch fold, closed form: the two chains share
+            # their MIDDLE label (a2, b2 both label 1), so
+            #   exact = Σ_root A(root)·B(root)  −  #collisions
+            # where the subtrahend counts the merged-middle quotient (one
+            # vertex m = a2 = b2 adjacent to a1, a3, b1, b3) with full
+            # injectivity — exactly the engine's relaxed product minus its
+            # single conflict-partition term (shared_quotients)
+            f"WITH {_ESYM_MAT}, "
+            "lab AS MATERIALIZED (SELECT p_partkey AS vid, "
+            "CASE WHEN p_partkey % 97 = 0 THEN 4 ELSE p_size % 4 END AS l "
+            "FROM part), "
+            "el AS MATERIALIZED (SELECT e.src, e.dst, ls.l AS sl, ld.l AS dl "
+            "FROM e JOIN lab ls ON ls.vid = e.src "
+            "JOIN lab ld ON ld.vid = e.dst), "
+            "ca AS (SELECT e1.src AS root, CAST(count(*) AS BIGINT) AS c "
+            "FROM el e1 JOIN el e2 ON e2.src = e1.dst "
+            "JOIN el e3 ON e3.src = e2.dst "
+            "WHERE e1.sl = 4 AND e1.dl = 0 AND e2.dl = 1 AND e3.dl = 0 "
+            "AND e3.dst <> e1.dst GROUP BY 1), "
+            "cb AS (SELECT e1.src AS root, CAST(count(*) AS BIGINT) AS c "
+            "FROM el e1 JOIN el e2 ON e2.src = e1.dst "
+            "JOIN el e3 ON e3.src = e2.dst "
+            "WHERE e1.sl = 4 AND e1.dl = 2 AND e2.dl = 1 AND e3.dl = 2 "
+            "AND e3.dst <> e1.dst GROUP BY 1), "
+            "rel AS (SELECT coalesce(sum(ca.c * cb.c), 0) AS n "
+            "FROM ca JOIN cb USING (root)), "
+            "col AS (SELECT count(*) AS n FROM el e1 "
+            "JOIN el e2 ON e2.src = e1.dst "
+            "JOIN el e3 ON e3.src = e2.dst "
+            "JOIN el e4 ON e4.src = e1.src "
+            "JOIN el e5 ON e5.src = e4.dst AND e5.dst = e2.dst "
+            "JOIN el e6 ON e6.src = e2.dst "
+            "WHERE e1.sl = 4 AND e1.dl = 0 AND e2.dl = 1 "
+            "AND e3.dl = 0 AND e3.dst <> e1.dst "
+            "AND e4.dl = 2 AND e6.dl = 2 AND e6.dst <> e4.dst) "
+            "SELECT CAST(rel.n - col.n AS BIGINT) AS n_embeddings "
+            "FROM rel, col"
         ),
         "match_embeddings_tri": (
             "WITH e AS MATERIALIZED (SELECT a.l_partkey AS src, b.l_partkey AS dst "

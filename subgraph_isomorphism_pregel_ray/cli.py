@@ -214,6 +214,12 @@ def main(argv=None):
     p.add_argument("--enumerate", action="store_true", dest="enumerate_",
                    help="dump the embeddings themselves (requires -out): "
                         "partitioned parquet with columns v0..v{k-1}")
+    p.add_argument("--shared-fold", action="store_true", dest="shared_fold",
+                   help="let the branch factor fold engage across SHARED-"
+                        "label branches (relaxed fold + conflict-term "
+                        "subtraction, the reference's SIBranch conflict "
+                        "resolution); best for bushy queries with large "
+                        "branch multiplicities")
 
     p = sub.add_parser("extract")
     p.add_argument("--pages", required=True, help="pages parquet (url, html, …)")
@@ -391,7 +397,7 @@ def main(argv=None):
             return 0
         count, lineage = match_count(
             edges_ds, qlabels, qedges, labels_ds=labels_ds, num_parts=args.parts,
-            order=args.order, seed=args.seed,
+            order=args.order, seed=args.seed, shared_fold=args.shared_fold,
         )
         if args.report:
             _print_report(lineage)

@@ -28,6 +28,8 @@ import numpy as np
 __all__ = [
     "build_plan",
     "candidate_stats",
+    "shared_quotients",
+    "shared_fold_count",
     "match_count",
     "match_embeddings",
     "brute_force_count",
@@ -47,6 +49,7 @@ def build_plan(
     order: str = "degree",
     cand_stats: tuple[list[int], dict] | None = None,
     seed: int = 13,
+    allow_shared: bool = False,
 ) -> dict:
     """Compute the flat matching plan (see module doc).
 
@@ -64,6 +67,18 @@ def build_plan(
       (``agg_mat[curr][next]``) — pass ``cand_stats`` = (diag, pair) from
       :func:`candidate_stats`.
     Embedding counts are strategy-invariant (tested); only cost differs.
+
+    ``allow_shared`` (round 5) relaxes branch-fold eligibility rule (a):
+    branch subtrees (and post-branch tail leaves) may SHARE labels across
+    branches. Every cross-branch / branch-vs-tail same-label injectivity
+    constraint the fold cannot carry is DROPPED from the slp indicator
+    lists and recorded in ``plan["shared_pairs"]`` — the plan then counts
+    the RELAXED quantity (injectivity not enforced on those pairs), and
+    the caller must subtract the conflict terms (:func:`shared_quotients`,
+    the Ray analogue of the reference's SIBranch conflict subtraction,
+    ``SItypes/SIQuery.h:604-702`` / ``SIBranch.h:161-248``). With
+    ``allow_shared=False`` (default) such queries fall back to flat
+    expansion and the plan is exact on its own.
     """
     k = len(labels)
     adj: list[set[int]] = [set() for _ in range(k)]
@@ -197,7 +212,12 @@ def build_plan(
             drop = None
             for i in range(len(sel)):
                 for j2 in range(i + 1, len(sel)):
-                    if _labelset(sel[i][1]) & _labelset(sel[j2][1]):
+                    # rule (a): cross-branch label overlap — hard drop in
+                    # exact mode; in allow_shared mode the overlap becomes
+                    # recorded shared_pairs instead (conflict subtraction).
+                    if not allow_shared and (
+                        _labelset(sel[i][1]) & _labelset(sel[j2][1])
+                    ):
                         drop = j2
                         break
                     Si, Sj = set(sel[i][1]), set(sel[j2][1])
@@ -214,7 +234,10 @@ def build_plan(
                 tl = [v for v in leaves if v not in member]
                 tl_labels = {int(labels[v]) for v in tl}
                 for i in range(len(sel)):
-                    if _labelset(sel[i][1]) & tl_labels:
+                    # rule (c): likewise relaxed-and-recorded when shared
+                    if not allow_shared and (
+                        _labelset(sel[i][1]) & tl_labels
+                    ):
                         drop = i
                         break
                 if drop is None:
@@ -332,6 +355,8 @@ def build_plan(
     branches_meta: list[tuple[int, int, int]] = []
     btail_slp: dict[int, list[int]] = {}
     btail_dec: dict[int, int] = {}
+    branch_slp: dict[int, list[int]] = {}
+    shared_pairs: list[tuple[int, int]] = []
     if branch_groups:
         nc = pos[branch_groups[0][1][0]]  # first branch start == |core|
         plan["core_n"] = nc
@@ -356,22 +381,56 @@ def build_plan(
 
             while bt < be and not _bcompat(bt):
                 bt += 1
-            for j in range(bt, be):
-                assert all(c < nc or c >= bs for c in same_label_pos[j])
-                btail_slp[j] = [
-                    _rowcol(c, bs) for c in same_label_pos[j] if c < bt
+            # branch-row-visible columns = core ∪ own branch; a same-label
+            # reference into ANOTHER branch is uncheckable from the row —
+            # exact mode forbids it (rule (a)); shared mode drops the
+            # constraint and records the pair for conflict subtraction.
+            for j in range(bs, bt):
+                kept = [
+                    c for c in same_label_pos[j] if c < nc or c >= bs
                 ]
+                if len(kept) != len(same_label_pos[j]):
+                    assert allow_shared
+                    shared_pairs += [
+                        (c, j) for c in same_label_pos[j] if c not in kept
+                    ]
+                branch_slp[j] = kept
+            for j in range(bt, be):
+                kept = [
+                    c
+                    for c in same_label_pos[j]
+                    if c < bt and (c < nc or c >= bs)
+                ]
+                dropped = [
+                    c
+                    for c in same_label_pos[j]
+                    if c < bt and not (c < nc or c >= bs)
+                ]
+                if dropped:
+                    assert allow_shared
+                    shared_pairs += [(c, j) for c in dropped]
+                btail_slp[j] = [_rowcol(c, bs) for c in kept]
                 btail_dec[j] = sum(
                     1 for j2 in range(bt, j) if plan_labels[j2] == plan_labels[j]
                 )
             branches_meta.append((bs, be, bt))
-        # label-disjointness guarantees the global tail references only core
-        assert all(c < nc for j in range(t, k) for c in plan["tail_slp"][j])
+        # global tail: rows are [core, product] — only core columns are
+        # checkable; branch references are shared pairs (rule (c) relaxed)
+        for j in range(t, k):
+            dropped = [c for c in plan["tail_slp"][j] if c >= nc]
+            if dropped:
+                assert allow_shared
+                shared_pairs += [(c, j) for c in dropped]
+                plan["tail_slp"][j] = [
+                    c for c in plan["tail_slp"][j] if c < nc
+                ]
     else:
         plan["core_n"] = None
     plan["branches"] = branches_meta
     plan["btail_slp"] = btail_slp
     plan["btail_dec"] = btail_dec
+    plan["branch_slp"] = branch_slp
+    plan["shared_pairs"] = sorted(set(shared_pairs))
 
     if k >= 2:
         j = k - 1
@@ -396,6 +455,130 @@ def build_plan(
     else:
         plan["leaf_dedup"] = None
     return plan
+
+
+def shared_quotients(
+    labels: list[int],
+    edges: list[tuple[int, int]],
+    plan: dict,
+    cap: int = 64,
+) -> list[tuple[list[int], list[tuple[int, int]]]] | None:
+    """Conflict-subtraction terms for a shared-label branch-fold plan.
+
+    The relaxed fold (``allow_shared=True``) counts mappings with
+    injectivity NOT enforced on ``plan["shared_pairs"]`` (cross-branch /
+    branch-vs-tail same-label pairs — every other pair stays enforced by
+    the carried-column indicators). Every relaxed mapping has a unique
+    coincidence pattern π — a partition of the pair-touched vertices into
+    cliques of the relaxation graph — and quotienting by π yields a fully
+    injective mapping of the merged query Q/π. Hence
+
+        relaxed(Q) = Σ_π  exact(Q/π)        (π over clique partitions)
+        exact(Q)   = relaxed(Q) − Σ_{π≠discrete} exact(Q/π)
+
+    — the flat-plan form of the reference's SIBranch conflict markers +
+    subtraction (``/root/reference/src/SItypes/SIQuery.h:604-702``,
+    ``SIBranch.h:161-248``). Each quotient is a strictly smaller query the
+    engine counts exactly (recursively, if it again decomposes).
+
+    Returns the list of quotient queries ``(labels2, edges2)`` — one per
+    non-discrete partition — or ``None`` if more than ``cap`` partitions
+    (caller should fall back to an exact disjoint/flat plan). Partitions
+    merging two query-adjacent vertices are omitted: their term counts
+    mappings needing a data self-loop, and the engine's graphs are
+    loop-free (``symmetrize`` / ``LocalBSP`` drop self-edges on load).
+    """
+    order = plan["order"]
+    pairs = {
+        (min(order[a], order[b]), max(order[a], order[b]))
+        for a, b in plan.get("shared_pairs", [])
+    }
+    if not pairs:
+        return []
+    verts = sorted({v for p in pairs for v in p})
+    relax: dict[int, set[int]] = {v: set() for v in verts}
+    for a, b in pairs:
+        relax[a].add(b)
+        relax[b].add(a)
+
+    found: list[list[list[int]]] = []
+
+    def _rec(i: int, classes: list[list[int]]):
+        if len(found) > cap:
+            return
+        if i == len(verts):
+            if any(len(c) > 1 for c in classes):
+                found.append([list(c) for c in classes])
+            return
+        v = verts[i]
+        for c in classes:  # join an existing class (clique constraint)
+            if all(u in relax[v] for u in c):
+                c.append(v)
+                _rec(i + 1, classes)
+                c.pop()
+        classes.append([v])  # or stay a singleton
+        _rec(i + 1, classes)
+        classes.pop()
+
+    _rec(0, [])
+    if len(found) > cap:
+        return None
+    k = len(labels)
+    out: list[tuple[list[int], list[tuple[int, int]]]] = []
+    for classes in found:
+        rep = list(range(k))
+        for c in classes:
+            r = min(c)
+            for v in c:
+                rep[v] = r
+        if any(rep[a] == rep[b] for a, b in edges):
+            continue  # merged vertices adjacent → needs a data self-loop
+        keep = sorted(set(rep))
+        nid = {v: i for i, v in enumerate(keep)}
+        labels2 = [int(labels[v]) for v in keep]
+        edges2 = sorted(
+            {
+                (min(nid[rep[a]], nid[rep[b]]), max(nid[rep[a]], nid[rep[b]]))
+                for a, b in edges
+            }
+        )
+        out.append((labels2, edges2))
+    return out
+
+
+def shared_fold_count(
+    run_plan,
+    labels: list[int],
+    edges: list[tuple[int, int]],
+    order: str = "degree",
+    cand_stats: tuple[list[int], dict] | None = None,
+    seed: int = 13,
+) -> int:
+    """Exact count via the shared-label branch fold + conflict subtraction.
+
+    ``run_plan(plan, k) -> int`` executes one plan on whatever engine the
+    caller holds (distributed ``BSPEngine`` or test-side ``LocalBSP``) and
+    returns its embedding count. Quotient terms recurse (a merged query may
+    itself decompose); correction terms always use ``order='degree'`` —
+    counts are strategy-invariant, and candidate stats for merged queries
+    would cost an extra PREPROCESS pass each."""
+    plan = build_plan(
+        labels, edges, order=order, cand_stats=cand_stats, seed=seed,
+        allow_shared=True,
+    )
+    if plan.get("shared_pairs"):
+        terms = shared_quotients(labels, edges, plan)
+        if terms is None:  # too many conflict partitions — exact fallback
+            plan = build_plan(
+                labels, edges, order=order, cand_stats=cand_stats, seed=seed
+            )
+            return int(run_plan(plan, len(labels)))
+        relaxed = int(run_plan(plan, len(labels)))
+        corr = sum(
+            shared_fold_count(run_plan, l2, e2, seed=seed) for l2, e2 in terms
+        )
+        return relaxed - corr
+    return int(run_plan(plan, len(labels)))
 
 
 def candidate_stats(engine, query_labels, query_edges):
@@ -444,6 +627,7 @@ def match_count(
     seed: int = 13,
     max_out_rows: int | None = None,
     max_steps: int | None = None,
+    shared_fold: bool = False,
 ) -> tuple[int, dict]:
     """Count embeddings of the labeled query in the labeled data graph.
 
@@ -452,6 +636,16 @@ def match_count(
     layout already carries labels. ``order``: plan strategy (see
     :func:`build_plan`); ``candidate`` computes its data-graph statistics on
     the engine first.
+
+    ``shared_fold`` (round 5): let the branch factor fold engage even when
+    branch subtrees SHARE labels — the relaxed fold count is corrected by
+    subtracting exact counts of the merged-vertex quotient queries
+    (:func:`shared_quotients`, the reference's conflict subtraction). Each
+    non-discrete conflict partition costs one extra (strictly smaller)
+    engine run on the SAME graph/actors, so this pays off exactly when the
+    branch multiplicities are large (the cross product the fold avoids
+    dwarfs the collision terms); leave it off for small/flat-cheap queries.
+    Returned lineage is the top-level relaxed run's.
     """
     from .algorithms import build_engine
     from .bsp import BSPEngine
@@ -467,21 +661,37 @@ def match_count(
         if order == "candidate"
         else None
     )
-    plan = build_plan(query_labels, query_edges, order=order, cand_stats=stats, seed=seed)
-    params = {"plan": plan, "max_chunk": max_chunk}
-    if max_out_rows is not None:
-        # per-superstep exchange bound (deep/bushy queries): defers overflow
-        # work as self-messages; needs ≈ total_rows / max_out_rows extra steps
-        params["max_out_rows"] = max_out_rows
-    lineage = eng.run(
-        "match",
-        params,
-        max_steps=max_steps if max_steps is not None else 2 * len(query_labels) + 2,
-    )
-    count = eng.scalar_results().get("embeddings", 0)
+    lineages: list[dict] = []
+
+    def _run_plan(plan: dict, k: int) -> int:
+        params = {"plan": plan, "max_chunk": max_chunk}
+        if max_out_rows is not None:
+            # per-superstep exchange bound (deep/bushy queries): defers
+            # overflow work as self-messages; needs ≈ total_rows /
+            # max_out_rows extra steps
+            params["max_out_rows"] = max_out_rows
+        lineages.append(
+            eng.run(
+                "match",
+                params,
+                max_steps=max_steps if max_steps is not None else 2 * k + 2,
+            )
+        )
+        return int(eng.scalar_results().get("embeddings", 0))
+
+    if shared_fold:
+        count = shared_fold_count(
+            _run_plan, query_labels, query_edges,
+            order=order, cand_stats=stats, seed=seed,
+        )
+    else:
+        plan = build_plan(
+            query_labels, query_edges, order=order, cand_stats=stats, seed=seed
+        )
+        count = _run_plan(plan, len(query_labels))
     if own:
         eng.shutdown()
-    return count, lineage
+    return count, lineages[0]
 
 
 def match_count_multi(

@@ -9416,10 +9416,10 @@ def markov_attribution(sf_dir: str, iters: int = 32, round_to: int = 6,
         .aggregate(Sum("n", alias_name="n"))
         .to_pandas()
     )
-    rs = tc.groupby("f")["n"].sum()
-    probs: dict = {}
-    for _, row in tc.iterrows():
-        probs[(row["f"], row["t"])] = float(row["n"]) / float(rs[row["f"]])
+    # tc is sketch-sized — ≤ (len(_ATTR_CHANNELS)+2)² transition rows —
+    # and the row-source normalization is one vectorized transform
+    p = tc["n"].astype(float) / tc.groupby("f")["n"].transform("sum").astype(float)
+    probs: dict = dict(zip(zip(tc["f"], tc["t"]), p))
 
     transients = ["start"] + _ATTR_CHANNELS
 
@@ -9540,13 +9540,19 @@ def shapley_attribution(sf_dir: str, round_to: int = 6, num_buckets: int = 32):
     nch = len(_ATTR_CHANNELS)
     num = np.zeros(1 << nch, np.int64)
     total = int(game["n"].sum())
-    for _, row in game.iterrows():
-        m, cv, n = int(row["mask"]), int(row["conv"]), int(row["n"])
-        if not cv:
-            continue
-        for S in range(1 << nch):
-            if (m & S) == m:  # journey's channels ⊆ S
-                num[S] += n
+    # v(S) numerator = Σ_{journey masks m ⊆ S} n(m, conv=1): scatter the
+    # converting journey counts onto their masks, then a subset-sum (zeta)
+    # transform — nch·2^nch int adds, exact and vectorized per bit
+    cv = game[game["conv"] != 0]
+    np.add.at(
+        num,
+        cv["mask"].to_numpy().astype(np.int64),
+        cv["n"].to_numpy().astype(np.int64),
+    )
+    idx = np.arange(1 << nch)
+    for b in range(nch):
+        has = (idx & (1 << b)) != 0
+        num[has] += num[idx[has] ^ (1 << b)]
 
     def v(S: int) -> float:
         return num[S] / total if total > 0 else 0.0

@@ -1852,6 +1852,11 @@ class MatchProgram(VertexProgram):
             self.b_of: dict[int, tuple[int, int, int]] = {}
             self.b_back: dict[int, list[int]] = {}
             self.b_slp: dict[int, list[int]] = {}
+            # expand-level same-label columns: prefer the plan's filtered
+            # branch_slp (round 5 — shared-label mode drops cross-branch
+            # references, recorded as plan["shared_pairs"] for the caller's
+            # conflict subtraction); older plans carry the unfiltered lists.
+            bslp_src = plan.get("branch_slp") or {}
             for bs, be, bt in self.branches:
                 for j in range(bs, be):
                     self.b_of[j] = (bs, be, bt)
@@ -1859,7 +1864,8 @@ class MatchProgram(VertexProgram):
                         self._rowcol(c, bs) for c in plan["back_pos"][j]
                     ]
                     self.b_slp[j] = [
-                        self._rowcol(c, bs) for c in plan["same_label_pos"][j]
+                        self._rowcol(c, bs)
+                        for c in bslp_src.get(j, plan["same_label_pos"][j])
                     ]
             self.fold_start = self.branches[0][0]
         else:

@@ -1,0 +1,209 @@
+"""Round-5 shared-label branch fold — conflict subtraction.
+
+``build_plan(allow_shared=True)`` keeps the branch factor fold engaged when
+branch subtrees (or post-branch tail leaves) SHARE labels: the uncheckable
+cross-branch injectivity pairs are dropped from the slp indicators and
+recorded as ``plan["shared_pairs"]``; the exact count is then
+
+    exact(Q) = relaxed(Q) - sum over non-discrete conflict partitions pi of
+               exact(Q / pi)
+
+(:func:`shared_quotients` / :func:`shared_fold_count`) — the flat-plan form
+of the reference's SIBranch conflict markers + subtraction
+(/root/reference/src/SItypes/SIQuery.h:604-702, SIBranch.h:161-248)."""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from subgraph_isomorphism_pregel_ray.pipelines.match import (
+    brute_force_count,
+    build_plan,
+    shared_fold_count,
+    shared_quotients,
+)
+from subgraph_isomorphism_pregel_ray.state.local import LocalBSP
+
+# every case has >= 2 branches and at least one cross-branch (or
+# branch-vs-tail) same-label pair, so the disjoint-mode fold of round 4
+# would fall back to flat expansion on all of them
+SHARED = {
+    # three depth-2 branches, labels shared pairwise across branches (the
+    # round-3 bushy query): 3 vertex-disjoint pairs -> 2^3 - 1 = 7 terms
+    "bushy3": ([3, 0, 1, 1, 2, 2, 0],
+               [(0, 1), (1, 2), (0, 3), (3, 4), (0, 5), (5, 6)]),
+    # three branches all containing label 1 -> relaxation graph is a
+    # triangle: 3 single-pair partitions + the 3-clique merge = 4 terms
+    "clique3": ([6, 0, 1, 2, 1, 3, 1],
+                [(0, 1), (1, 2), (0, 3), (3, 4), (0, 5), (5, 6)]),
+    # two branches + a global tail leaf sharing a label with branch 1
+    # (rule (c) relaxed): 1 term
+    "tailshare": ([6, 0, 1, 2, 3, 1],
+                  [(0, 1), (1, 2), (0, 3), (3, 4), (0, 5)]),
+    # two depth-3 chains sharing their middle label (the driver query
+    # match_bushy_shared's shape): 1 term
+    "deepshare": ([4, 0, 1, 0, 2, 1, 2],
+                  [(0, 1), (1, 2), (2, 3), (0, 4), (4, 5), (5, 6)]),
+}
+
+EXPECT_TERMS = {"bushy3": 7, "clique3": 4, "tailshare": 1, "deepshare": 1}
+
+
+def _dense_graph(seed, n=80, density=8, nlab=7):
+    rng = np.random.default_rng(seed)
+    s = rng.integers(0, n, n * density)
+    d = rng.integers(0, n, n * density)
+    keep = s != d
+    s, d = s[keep], d[keep]
+    verts = np.unique(np.concatenate([s, d]))
+    labels = {int(v): int(v % nlab) for v in verts}
+    edges = list({(int(min(a, b)), int(max(a, b))) for a, b in zip(s, d)})
+    return s, d, labels, edges
+
+
+def _local_runner(s, d, labels, num_parts=4, hub=False, **params):
+    def run_plan(plan, k):
+        eng = LocalBSP(s, d, num_parts=num_parts, labels=labels,
+                       directed=False)
+        if hub:
+            eng.prepare_hub_mirror(min_deg=10)
+        eng.run("match", {"plan": plan, **params}, max_steps=600)
+        return eng.scalars()["embeddings"]
+
+    return run_plan
+
+
+def test_shared_plan_shape():
+    ql, qe = SHARED["deepshare"]
+    plan = build_plan(ql, qe, allow_shared=True)
+    assert plan["branches"] == [(1, 4, 3), (4, 7, 6)]
+    # the cross-branch label-1 pair (plan positions 2 and 5) is dropped
+    # from the expand-level indicator and recorded
+    assert plan["shared_pairs"] == [(2, 5)]
+    assert plan["branch_slp"][5] == []
+    # within-branch same-label leaf indicators still reference carried cols
+    assert plan["btail_slp"] == {3: [2], 6: [2]}
+    # exactly one quotient: the two middles merged into one degree-4 vertex
+    [(l2, e2)] = shared_quotients(ql, qe, plan)
+    assert l2 == [4, 0, 1, 0, 2, 2]
+    assert (2, 4) in e2 and (2, 5) in e2
+
+    # default (exact) mode is unchanged: shared labels still disqualify
+    flat = build_plan(ql, qe)
+    assert flat["branches"] == [] and flat["shared_pairs"] == []
+
+
+def test_shared_quotients_drop_adjacent_merges():
+    # force a shared pair between two ADJACENT query vertices via a tail
+    # leaf attached to the core... adjacency between the pair members means
+    # the merged term needs a data self-loop -> term omitted, not counted
+    ql = [6, 0, 1, 2, 3, 1]
+    qe = [(0, 1), (1, 2), (0, 3), (3, 4), (0, 5), (2, 5)]
+    plan = build_plan(ql, qe, allow_shared=True)
+    if plan["shared_pairs"]:
+        terms = shared_quotients(ql, qe, plan)
+        a, b = plan["shared_pairs"][0]
+        oa, ob = plan["order"][a], plan["order"][b]
+        if (min(oa, ob), max(oa, ob)) in {(min(a2, b2), max(a2, b2))
+                                          for a2, b2 in qe}:
+            assert terms == []
+
+
+@pytest.mark.parametrize("qname", sorted(SHARED))
+def test_shared_fold_vs_brute_force(qname):
+    ql, qe = SHARED[qname]
+    plan = build_plan(ql, qe, allow_shared=True)
+    assert plan["branches"], qname       # the fold must actually engage
+    assert plan["shared_pairs"], qname   # ... in shared mode
+    terms = shared_quotients(ql, qe, plan)
+    assert len(terms) == EXPECT_TERMS[qname]
+    for seed in (11, 23):
+        s, d, labels, edges = _dense_graph(seed)
+        oracle = brute_force_count(labels, edges, ql, qe)
+        assert oracle > 0
+        got = shared_fold_count(_local_runner(s, d, labels), ql, qe)
+        assert got == oracle, (qname, seed)
+
+
+def test_shared_fold_variants():
+    """Invariant under per-superstep throttling, tiny chunks with a forced
+    hub mirror — and equals the exact-mode (flat-fallback) path."""
+    ql, qe = SHARED["deepshare"]
+    s, d, labels, edges = _dense_graph(12, n=70)
+    oracle = brute_force_count(labels, edges, ql, qe)
+    assert oracle > 0
+
+    flat = _local_runner(s, d, labels)(build_plan(ql, qe), len(ql))
+    assert flat == oracle
+
+    for kw in ({"max_out_rows": 400}, {"hub": True, "max_chunk": 17}):
+        hub = kw.pop("hub", False)
+        got = shared_fold_count(
+            _local_runner(s, d, labels, hub=hub, **kw), ql, qe
+        )
+        assert got == oracle, kw
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.integers(1, 10**6), st.integers(2, 3), st.data())
+def test_shared_fold_random_label_sparse_queries(seed, nlab, data):
+    """Random bushy trees over a TINY label alphabet (sharing is the norm,
+    the exact regime the round-4 disjoint fold could not cover) vs brute
+    force; the flat path is the second oracle."""
+    rng = np.random.default_rng(seed)
+    # random query tree: root + 2..3 branches of depth 1..3
+    nb = data.draw(st.integers(2, 3), label="n_branches")
+    depths = [data.draw(st.integers(1, 3), label=f"depth{i}")
+              for i in range(nb)]
+    ql = [nlab]  # root gets its own label so roots stay selective
+    qe = []
+    for dep in depths:
+        parent = 0
+        for _ in range(dep):
+            ql.append(int(rng.integers(0, nlab)))
+            qe.append((parent, len(ql) - 1))
+            parent = len(ql) - 1
+    s, d, labels, edges = _dense_graph(int(rng.integers(1, 2**31)),
+                                       n=40, density=6, nlab=nlab + 1)
+    oracle = brute_force_count(labels, edges, ql, qe)
+    got = shared_fold_count(_local_runner(s, d, labels), ql, qe)
+    assert got == oracle
+    flat = _local_runner(s, d, labels)(build_plan(ql, qe), len(ql))
+    assert flat == oracle
+
+
+def test_match_count_shared_fold_distributed(ray_session):
+    """End-to-end on the distributed engine: match_count(shared_fold=True)
+    reuses ONE engine for the relaxed run + every conflict term."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from subgraph_isomorphism_pregel_ray.pipelines.algorithms import (
+        build_engine,
+    )
+    from subgraph_isomorphism_pregel_ray.pipelines.match import match_count
+
+    ql, qe = SHARED["deepshare"]
+    s, d, labels, edges = _dense_graph(21, n=90)
+    oracle = brute_force_count(labels, edges, ql, qe)
+    assert oracle > 0
+    eu = np.array(edges, dtype=np.uint64)
+    edges_ds = rd.from_arrow(
+        pa.table({"src": eu[:, 0], "dst": eu[:, 1]})
+    )
+    labels_ds = rd.from_arrow(
+        pa.table({"vid": np.array(sorted(labels), dtype=np.uint64),
+                  "label": np.array([labels[v] for v in sorted(labels)],
+                                    dtype=np.int64)})
+    )
+    eng = build_engine(edges_ds, 4, labels_ds=labels_ds, directed=False)
+    try:
+        got, lineage = match_count(eng, ql, qe, shared_fold=True)
+        assert got == oracle
+        assert lineage  # top-level relaxed run's lineage comes back
+        # engine stays reusable after the correction runs
+        got2, _ = match_count(eng, ql, qe, shared_fold=False)
+        assert got2 == oracle
+    finally:
+        eng.shutdown()
