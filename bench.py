@@ -292,6 +292,23 @@ def run_bench() -> dict:
     q["match_bushy_deep_peak_bytes"] = max(
         (r.get("sent_bytes", 0) for r in lin_bd["lineage"]), default=0
     )
+
+    # --- shared-label branch fold (round 5): same shape but the two chains
+    # SHARE their middle label — the relaxed fold + one conflict-term run
+    # (merged-middle quotient) on the SAME engine; the flat path would
+    # materialize the ~10¹⁰-row cross product -----------------------------
+    from subgraph_isomorphism_pregel_ray.pipelines.match import (
+        match_count as _match_count,
+    )
+
+    BS_QL = [4, 0, 1, 0, 2, 1, 2]
+    t0 = time.perf_counter()
+    c_bs, _lin_bs = _match_count(
+        beng, BS_QL, BD_QE, max_out_rows=200_000, max_steps=400,
+        shared_fold=True,
+    )
+    q["match_bushy_shared"] = time.perf_counter() - t0
+    q["match_bushy_shared_embeddings"] = int(c_bs)
     beng.shutdown()
 
     # --- training-data ops (first-class per the brief): dedup, sketch,
