@@ -4034,7 +4034,7 @@ def _attack_sql(ks=(0, 2, 4, 6, 8)) -> str:
     fixpoint); one stat row per k, UNION ALL'd."""
     head = (
         "WITH seq AS (SELECT l_orderkey, l_linenumber, l_partkey, "
-        "lag(l_partkey) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) "
+        "lag(l_partkey) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey) "
         "AS prev FROM lineitem WHERE l_quantity <= 8), "
         "edges AS (SELECT DISTINCT prev AS src, l_partkey AS dst FROM seq "
         "WHERE prev IS NOT NULL AND prev <> l_partkey), "
@@ -4690,7 +4690,7 @@ def _wcc_succ_sql(iters: int = 24) -> str:
     parts = [
         "WITH seq AS MATERIALIZED (SELECT l_orderkey, l_linenumber, "
         "l_partkey, lag(l_partkey) OVER (PARTITION BY l_orderkey "
-        "ORDER BY l_linenumber) AS prev FROM lineitem "
+        "ORDER BY l_linenumber, l_partkey) AS prev FROM lineitem "
         "WHERE l_quantity <= 8)",
         "eu AS MATERIALIZED (SELECT DISTINCT prev AS src, l_partkey AS dst "
         "FROM seq WHERE prev IS NOT NULL AND prev <> l_partkey)",
@@ -7205,7 +7205,7 @@ def oracle_sql() -> dict[str, str]:
             # triples by role (middle = e1.dst)
             "WITH seq AS (SELECT l_orderkey, l_linenumber, l_partkey, "
             "lag(l_partkey) OVER (PARTITION BY l_orderkey "
-            "ORDER BY l_linenumber) AS prev FROM lineitem "
+            "ORDER BY l_linenumber, l_partkey) AS prev FROM lineitem "
             "WHERE l_quantity <= 25), "
             "e AS (SELECT DISTINCT prev AS src, l_partkey AS dst FROM seq "
             "WHERE prev IS NOT NULL AND prev <> l_partkey) "
@@ -7269,7 +7269,7 @@ def oracle_sql() -> dict[str, str]:
         "scc_size_histogram": (
             # histogram over the scc_parts closure (same reachability CTE)
             "WITH seq AS (SELECT l_orderkey, l_linenumber, l_partkey, "
-            "lag(l_partkey) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) "
+            "lag(l_partkey) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey) "
             "AS prev FROM lineitem WHERE l_quantity <= 8), "
             "edges AS (SELECT DISTINCT prev AS src, l_partkey AS dst FROM seq "
             "WHERE prev IS NOT NULL AND prev <> l_partkey), "
@@ -7625,7 +7625,7 @@ def oracle_sql() -> dict[str, str]:
             # longest path per condensed node via a recursive CTE whose
             # UNION dedup bounds the state at V × maxlevel
             "WITH seq AS (SELECT l_orderkey, l_linenumber, l_partkey, "
-            "lag(l_partkey) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) "
+            "lag(l_partkey) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey) "
             "AS prev FROM lineitem WHERE l_quantity <= 8), "
             "edges AS (SELECT DISTINCT prev AS src, l_partkey AS dst FROM seq "
             "WHERE prev IS NOT NULL AND prev <> l_partkey), "
@@ -8679,7 +8679,7 @@ def oracle_sql() -> dict[str, str]:
             # exact int64 moments; the one float expression mirrors the
             # engine term for term (HUGEINT->double conversions identical)
             "WITH seq AS (SELECT l_orderkey, l_linenumber, l_partkey, "
-            "lag(l_partkey) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) "
+            "lag(l_partkey) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey) "
             "AS prev FROM lineitem WHERE l_quantity <= 8), "
             "edges AS (SELECT DISTINCT prev AS src, l_partkey AS dst FROM seq "
             "WHERE prev IS NOT NULL AND prev <> l_partkey), "
@@ -8870,7 +8870,7 @@ def oracle_sql() -> dict[str, str]:
             # same successor-edge CTE as scc_parts; reciprocity = fraction
             # of distinct directed edges whose reverse edge exists
             "WITH seq AS (SELECT l_orderkey, l_linenumber, l_partkey, "
-            "lag(l_partkey) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) "
+            "lag(l_partkey) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey) "
             "AS prev FROM lineitem WHERE l_quantity <= 8), "
             "edges AS (SELECT DISTINCT prev AS src, l_partkey AS dst FROM seq "
             "WHERE prev IS NOT NULL AND prev <> l_partkey) "
@@ -8932,7 +8932,7 @@ def oracle_sql() -> dict[str, str]:
             # via a recursive transitive closure, scc = min member vid —
             # exactly SCCProgram's min-label FW-BW peeling invariant
             "WITH seq AS (SELECT l_orderkey, l_linenumber, l_partkey, "
-            "lag(l_partkey) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) "
+            "lag(l_partkey) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey) "
             "AS prev FROM lineitem WHERE l_quantity <= 8), "
             "edges AS (SELECT DISTINCT prev AS src, l_partkey AS dst FROM seq "
             "WHERE prev IS NOT NULL AND prev <> l_partkey), "
@@ -8951,7 +8951,7 @@ def oracle_sql() -> dict[str, str]:
             # largest SCC (ties → smaller label); in reaches it, out is
             # reached from it (any member ⇔ the core's min-member seed)
             "WITH seq AS (SELECT l_orderkey, l_linenumber, l_partkey, "
-            "lag(l_partkey) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) "
+            "lag(l_partkey) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey) "
             "AS prev FROM lineitem WHERE l_quantity <= 8), "
             "edges AS (SELECT DISTINCT prev AS src, l_partkey AS dst FROM seq "
             "WHERE prev IS NOT NULL AND prev <> l_partkey), "

@@ -39,18 +39,24 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 SRC = os.environ.get("GRAFT_SCALE_SRC", "/root/testdata/sf0.1")
-OFF = 1 << 33  # far above any sf0.1 key, far below int64/uint64 overflow
+# Graph-side tables get 2^33 offsets — past 32 bits, deliberately exercising
+# the wide-pair-key path (this is what caught the fixed-shift pack bug).
+# Document / embedding / event ids stay under the engine's DOCUMENTED 32-bit
+# pair-pack contract (the dedup span/winnow pair keys guard loudly on ≥2^32
+# doc ids), so their replicas use a 2^24 offset instead.
+OFF = 1 << 33
+SMALL_OFF = 1 << 24
 SALT_EVERY = 12  # one alien token per 12 words breaks ~9/12 of 9-gram shingles
 
 KEY_COLS = {
-    "customer": ["c_custkey"],
-    "supplier": ["s_suppkey"],
-    "part": ["p_partkey"],
-    "orders": ["o_orderkey", "o_custkey"],
-    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
-    "events": ["event_id", "user_id"],
-    "documents": ["doc_id"],
-    "embeddings": ["vec_id"],
+    "customer": (OFF, ["c_custkey"]),
+    "supplier": (OFF, ["s_suppkey"]),
+    "part": (OFF, ["p_partkey"]),
+    "orders": (OFF, ["o_orderkey", "o_custkey"]),
+    "lineitem": (OFF, ["l_orderkey", "l_partkey", "l_suppkey"]),
+    "events": (SMALL_OFF, ["event_id", "user_id"]),
+    "documents": (SMALL_OFF, ["doc_id"]),
+    "embeddings": (SMALL_OFF, ["vec_id"]),
     # region / nation are dimension tables: copied once, never replicated
 }
 
@@ -74,13 +80,13 @@ def make(out_dir: str = "/tmp/graft_sf1", reps: int = 10) -> None:
     for t in ("region", "nation"):
         pq.write_table(pq.read_table(f"{SRC}/{t}.parquet"),
                        f"{out_dir}/{t}.parquet")
-    for t, keys in KEY_COLS.items():
+    for t, (off, keys) in KEY_COLS.items():
         base = pq.read_table(f"{SRC}/{t}.parquet")
         chunks = []
         for i in range(reps):
             tab = base
             for c in keys:
-                col = tab[c].to_numpy() + np.int64(i) * OFF
+                col = tab[c].to_numpy() + np.int64(i) * off
                 tab = tab.set_column(
                     tab.schema.get_field_index(c), tab.schema.field(c),
                     pa.array(col, tab.schema.field(c).type),

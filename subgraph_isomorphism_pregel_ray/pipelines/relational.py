@@ -137,7 +137,32 @@ def q1_lineitem(sf_dir: str, ship_before: str = "1998-09-01"):
     return out.map_batches(_round, batch_format="pyarrow")
 
 
-_PAIR_SHIFT = np.int64(1) << np.int64(21)  # partkeys < 2^21 per TPC-H scaling
+def _pair_shift(sf_dir: str):
+    """Packing shift for (src < dst) part-pair keys, sized from the parquet
+    FOOTER max (no table scan): ``key = src * shift + dst`` is valid iff
+    2·W ≤ 62 bits for W = partkey width. Returns ``None`` when keys are too
+    wide to pack in one int64 — callers must take the two-column (k1, k2)
+    route. The old fixed 2^21 shift silently fabricated vertices once
+    partkeys passed 2^21 (caught by the round-5 10× scale-bump, whose
+    replica offsets produce 2^33-range keys; plain TPC-H sf≥100 would hit
+    it too)."""
+    from ..sources.tables import table_col_max
+
+    mx = table_col_max(sf_dir, "lineitem", "l_partkey")
+    w = int(mx).bit_length() if mx is not None else 21
+    if 2 * max(21, w) > 62:
+        return None
+    return np.int64(1) << np.int64(max(21, w))
+
+
+def _pair_dedup_cols(l: np.ndarray, r: np.ndarray):
+    """Sorted unique (l, r) pairs via lexsort — the wide-key analogue of
+    ``np.unique`` on a packed key."""
+    o = np.lexsort((r, l))
+    ls, rs = l[o], r[o]
+    first = np.ones(len(ls), bool)
+    first[1:] = (ls[1:] != ls[:-1]) | (rs[1:] != rs[:-1])
+    return ls[first], rs[first]
 
 _ROWS_PER_BUCKET = 2_000_000
 
@@ -171,14 +196,21 @@ def _auto_buckets(ds, requested: int | None, floor: int = 32) -> int:
     return max(floor, int(ds.count() // _ROWS_PER_BUCKET) + 1)
 
 
-def copurchase_edges(sf_dir: str, num_buckets: int | None = None, min_orders: int = 1):
+def copurchase_edges(
+    sf_dir: str,
+    num_buckets: int | None = None,
+    min_orders: int = 1,
+    _keep_counts: bool = False,
+):
     """Distinct co-purchase part pairs: (src < dst) parts sharing an order.
 
     ``min_orders`` > 1 keeps only pairs co-purchased in at least that many
     DISTINCT orders (the "strong" co-purchase graph — much sparser; used by
     the deep-query benchmark). Orders are whole within a bucket, so the
     per-bucket distinct-order count per pair sums globally to the exact
-    distinct-order count.
+    distinct-order count. ``_keep_counts`` (internal, used by
+    :func:`_copurchase_pair_counts`) runs the counting pipeline but skips
+    the threshold filter and keeps ``n`` in the output.
 
     The explicit partitioned self-join: hash l_orderkey into ``num_buckets``,
     one ``map_groups`` per WHOLE bucket generates all within-order pairs
@@ -195,6 +227,7 @@ def copurchase_edges(sf_dir: str, num_buckets: int | None = None, min_orders: in
 
     li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
     num_buckets = _auto_buckets(li, num_buckets)
+    shift = _pair_shift(sf_dir)  # None → keys too wide to pack: (k1, k2)
 
     def _bucket(t: pa.Table) -> pa.Table:
         ok = t["l_orderkey"].to_numpy()
@@ -210,34 +243,66 @@ def copurchase_edges(sf_dir: str, num_buckets: int | None = None, min_orders: in
         left = np.repeat(pk_s, cpe)
         right = pk_s[flat_gather(np.repeat(starts_idx, counts), cpe)]
         m = left < right
-        key = left[m].astype(np.int64) * _PAIR_SHIFT + right[m].astype(np.int64)
-        if min_orders <= 1:
-            return pa.table({"k": np.unique(key)})
+        l, r = left[m].astype(np.int64), right[m].astype(np.int64)
+        if min_orders <= 1 and not _keep_counts:
+            if shift is not None:
+                return pa.table({"k": np.unique(l * shift + r)})
+            k1, k2 = _pair_dedup_cols(l, r)
+            return pa.table({"k1": k1, "k2": k2})
         # distinct-order count per pair in this bucket: a part can appear in
         # several lineitems of one order, so dedup (order, pair) rows first
         # (lexsort + adjacent-dedup), then count orders per pair
         okm = np.repeat(ok_s, cpe)[m]
-        o2 = np.lexsort((okm, key))
-        ks, os_ = key[o2], okm[o2]
-        first = np.ones(len(ks), bool)  # len-0-safe (a bucket can have no pairs)
-        first[1:] = (ks[1:] != ks[:-1]) | (os_[1:] != os_[:-1])
-        uk, c = np.unique(ks[first], return_counts=True)
-        return pa.table({"k": uk, "c": c.astype(np.int64)})
+        if shift is not None:
+            key = l * shift + r
+            o2 = np.lexsort((okm, key))
+            ks, os_ = key[o2], okm[o2]
+            first = np.ones(len(ks), bool)  # len-0-safe (no pairs in bucket)
+            first[1:] = (ks[1:] != ks[:-1]) | (os_[1:] != os_[:-1])
+            uk, c = np.unique(ks[first], return_counts=True)
+            return pa.table({"k": uk, "c": c.astype(np.int64)})
+        o2 = np.lexsort((okm, r, l))
+        ls, rs, os_ = l[o2], r[o2], okm[o2]
+        first = np.ones(len(ls), bool)
+        first[1:] = (
+            (ls[1:] != ls[:-1]) | (rs[1:] != rs[:-1]) | (os_[1:] != os_[:-1])
+        )
+        p1, p2 = ls[first], rs[first]  # (pair, order)-deduped, pair-sorted
+        pf = np.ones(len(p1), bool)
+        pf[1:] = (p1[1:] != p1[:-1]) | (p2[1:] != p2[:-1])
+        idx = np.flatnonzero(pf)
+        c = np.diff(np.append(idx, len(p1)))
+        return pa.table(
+            {"k1": p1[pf], "k2": p2[pf], "c": c.astype(np.int64)}
+        )
 
     def _decode(t: pa.Table) -> pa.Table:
-        k = t["k"].to_numpy()
-        if min_orders > 1:
-            keep = t["n"].to_numpy() >= min_orders
-            k = k[keep]
-        return pa.table({"src": k // _PAIR_SHIFT, "dst": k % _PAIR_SHIFT})
+        keep = (
+            t["n"].to_numpy() >= min_orders
+            if min_orders > 1 and not _keep_counts
+            else np.ones(len(t), bool)
+        )
+        if shift is not None:
+            k = t["k"].to_numpy()[keep]
+            src, dst = k // shift, k % shift
+        else:
+            src = t["k1"].to_numpy()[keep]
+            dst = t["k2"].to_numpy()[keep]
+        cols = {"src": src, "dst": dst}
+        if _keep_counts:
+            cols["n"] = t["n"].to_numpy()[keep]
+        return pa.table(cols)
 
     grouped = (
         li.map_batches(_bucket, batch_format="pyarrow")
         .groupby("b")
         .map_groups(_bucket_pairs, batch_format="pyarrow")
-        .groupby("k", num_partitions=max(2, num_buckets // 4))
+        .groupby(
+            "k" if shift is not None else ["k1", "k2"],
+            num_partitions=max(2, num_buckets // 4),
+        )
     )
-    if min_orders > 1:
+    if min_orders > 1 or _keep_counts:
         from ray.data.aggregate import Sum
 
         agg = grouped.aggregate(Sum("c", alias_name="n"))
@@ -268,54 +333,24 @@ def strong_copurchase_edges(
             break
 
     def _decode(t: pa.Table) -> pa.Table:
-        k = t["k"].to_numpy()
         keep = t["n"].to_numpy() >= chosen
-        k = k[keep]
-        return pa.table({"src": k // _PAIR_SHIFT, "dst": k % _PAIR_SHIFT})
+        return pa.table(
+            {
+                "src": t["src"].to_numpy()[keep],
+                "dst": t["dst"].to_numpy()[keep],
+            }
+        )
 
     return cnts.map_batches(_decode, batch_format="pyarrow")
 
 
 def _copurchase_pair_counts(sf_dir: str, num_buckets: int | None = None):
-    """(k packed pair, n distinct orders) for every (src < dst) pair — the
-    count-annotated core of :func:`copurchase_edges`."""
-    from ray.data.aggregate import Sum
-
-    from ..state.csr import flat_gather
-
-    li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
-    num_buckets = _auto_buckets(li, num_buckets)
-
-    def _bucket(t: pa.Table) -> pa.Table:
-        ok = t["l_orderkey"].to_numpy()
-        return t.append_column("b", pa.array((ok % num_buckets).astype(np.int32)))
-
-    def _bucket_pairs(g: pa.Table) -> pa.Table:
-        ok = g["l_orderkey"].to_numpy()
-        pk = g["l_partkey"].to_numpy()
-        order = np.argsort(ok, kind="stable")
-        ok_s, pk_s = ok[order], pk[order]
-        _, starts_idx, counts = np.unique(ok_s, return_index=True, return_counts=True)
-        cpe = np.repeat(counts, counts)
-        left = np.repeat(pk_s, cpe)
-        right = pk_s[flat_gather(np.repeat(starts_idx, counts), cpe)]
-        m = left < right
-        key = left[m].astype(np.int64) * _PAIR_SHIFT + right[m].astype(np.int64)
-        okm = np.repeat(ok_s, cpe)[m]
-        o2 = np.lexsort((okm, key))
-        ks, os_ = key[o2], okm[o2]
-        first = np.ones(len(ks), bool)  # len-0-safe (a bucket can have no pairs)
-        first[1:] = (ks[1:] != ks[:-1]) | (os_[1:] != os_[:-1])
-        uk, c = np.unique(ks[first], return_counts=True)
-        return pa.table({"k": uk, "c": c.astype(np.int64)})
-
-    return (
-        li.map_batches(_bucket, batch_format="pyarrow")
-        .groupby("b")
-        .map_groups(_bucket_pairs, batch_format="pyarrow")
-        .groupby("k", num_partitions=max(2, num_buckets // 4))
-        .aggregate(Sum("c", alias_name="n"))
-    )
+    """(src, dst, n distinct orders) for every (src < dst) co-purchase
+    pair — the count-annotated core of :func:`copurchase_edges`. The packed
+    exchange key is an internal detail (adaptive shift, or two columns when
+    partkeys are too wide to pack — see :func:`_pair_shift`); rows come out
+    decoded."""
+    return copurchase_edges(sf_dir, num_buckets, _keep_counts=True)
 
 
 def copurchase_weights(sf_dir: str, num_buckets: int | None = None):
@@ -328,13 +363,8 @@ def copurchase_weights(sf_dir: str, num_buckets: int | None = None):
     agg = _copurchase_pair_counts(sf_dir, num_buckets)
 
     def _decode(t: pa.Table) -> pa.Table:
-        k = t["k"].to_numpy()
         return pa.table(
-            {
-                "src": k // _PAIR_SHIFT,
-                "dst": k % _PAIR_SHIFT,
-                "n_orders": t["n"],
-            }
+            {"src": t["src"], "dst": t["dst"], "n_orders": t["n"]}
         )
 
     return agg.map_batches(_decode, batch_format="pyarrow")
@@ -697,14 +727,17 @@ def succ_edges(sf_dir: str, max_qty: float = 8.0, num_buckets: int | None = None
     the same machine as ``events_lag``); a whole bucket is processed
     vectorized — lexsort by (orderkey, linenumber), one shifted compare —
     and partially deduped per bucket via np.unique over a packed 64-bit
-    pair key. Cross-bucket duplicates are left for the consumer (the CSR
-    build dedups; SQL consumers say DISTINCT) — a global distinct here
-    would be a second shuffle for no correctness gain."""
+    pair key (adaptive shift; two-column lexsort dedup when partkeys are
+    too wide to pack — see :func:`_pair_shift`). Cross-bucket duplicates
+    are left for the consumer (the CSR build dedups; SQL consumers say
+    DISTINCT) — a global distinct here would be a second shuffle for no
+    correctness gain."""
     ds = read_table(
         sf_dir, "lineitem",
         columns=["l_orderkey", "l_linenumber", "l_partkey", "l_quantity"],
     )
     num_buckets = _auto_buckets(ds, num_buckets)
+    shift = _pair_shift(sf_dir)
 
     def _bucket(t: pa.Table) -> pa.Table:
         t = t.filter(pa.array(t["l_quantity"].to_numpy() <= max_qty))
@@ -722,18 +755,22 @@ def succ_edges(sf_dir: str, max_qty: float = 8.0, num_buckets: int | None = None
         o = g["l_orderkey"].to_numpy()
         ln = g["l_linenumber"].to_numpy()
         p = g["l_partkey"].to_numpy()
-        order = np.lexsort((ln, o))
+        # (o, ln, p) — the partkey tie-break makes succession WELL-DEFINED:
+        # the raw data has duplicate (orderkey, linenumber) rows, so sorting
+        # by (o, ln) alone leaves succession at the mercy of scan order
+        # (green at small SF by luck, diverged from the SQL oracle on the
+        # round-5 10× input); oracles say ORDER BY l_linenumber, l_partkey
+        order = np.lexsort((p, ln, o))
         o, p = o[order], p[order]
         same = np.concatenate([[False], o[1:] == o[:-1]])
         prev = np.concatenate([[0], p[:-1]])
         sel = same & (prev != p)
-        key = np.unique(prev[sel].astype(np.uint64) << np.uint64(32) | p[sel].astype(np.uint64))
-        return pa.table(
-            {
-                "src": key >> np.uint64(32),
-                "dst": key & np.uint64(0xFFFFFFFF),
-            }
-        )
+        l, r = prev[sel].astype(np.int64), p[sel].astype(np.int64)
+        if shift is not None:
+            key = np.unique(l * shift + r)
+            return pa.table({"src": key // shift, "dst": key % shift})
+        k1, k2 = _pair_dedup_cols(l, r)
+        return pa.table({"src": k1, "dst": k2})
 
     return (
         ds.map_batches(_bucket, batch_format="pyarrow")
@@ -8930,6 +8967,14 @@ def ucc_audit(sf_dir: str):
         c = t["o_custkey"].to_numpy().astype(np.int64)
         d = t["o_orderdate"].to_numpy().astype("datetime64[D]").astype(np.int64)
         p = np.round(t["o_totalprice"].to_numpy() * 100).astype(np.int64)
+        # loud width guard (round 5): a silently truncated combo key would
+        # merge distinct (custkey, x) pairs and understate distinct counts
+        if len(c) and (
+            int(c.max()) >= (1 << 31)
+            or int(d.max()) >= (1 << 32)
+            or int(p.max()) >= (1 << 32)
+        ):
+            raise ValueError("fd/ucc audit: combo key exceeds 64-bit pack")
         return {
             "o_custkey": c,
             "o_orderdate": d,

@@ -27,6 +27,30 @@ def read_table(sf_dir: str, name: str, columns: list[str] | None = None):
     return rd.read_parquet(table_path(sf_dir, name), columns=columns)
 
 
+def table_col_max(sf_dir: str, name: str, col: str):
+    """Column max from the parquet FOOTER statistics — O(row groups), no
+    data scan (the 100-TB path: key-width decisions must not cost a table
+    pass). Falls back to a Ray full-column max when any row group lacks
+    stats. Returns None for an empty table."""
+    import pyarrow.parquet as pq
+
+    path = table_path(sf_dir, name)
+    try:
+        md = pq.ParquetFile(path).metadata
+        ci = md.schema.to_arrow_schema().get_field_index(col)
+        mx = None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(ci).statistics
+            if st is None or not st.has_min_max:
+                raise ValueError("row group without stats")
+            mx = st.max if mx is None else max(mx, st.max)
+        return mx
+    except Exception:
+        import ray.data as rd
+
+        return rd.read_parquet(path, columns=[col]).max(col)
+
+
 def read_jsonl(path: str, columns: list[str] | None = None):
     """Newline-delimited JSON source (the interchange format most raw
     web-scrape corpora arrive in before parquet conversion). A thin wrapper

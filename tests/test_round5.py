@@ -204,6 +204,85 @@ def test_multi_match_shares_label_census():
         assert labs <= set(prog.subs[0].lcsr)
 
 
+def test_copurchase_pair_pack_wide_keys(ray_session, tmp_path):
+    """Round-5 scale-bump catch: partkeys ≥ 2^31 overflow any single-int64
+    packed pair key, so the pair pipelines must switch to the two-column
+    route (the old fixed 2^21 shift silently FABRICATED vertices). Same
+    lineitem twice — once with small keys, once offset by 2^33 — must give
+    offset-identical pairs and counts."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import (
+        _pair_shift,
+        copurchase_edges,
+        copurchase_weights,
+    )
+
+    rng = np.random.default_rng(7)
+    ok = rng.integers(0, 40, 300)
+    pk = rng.integers(0, 50, 300)
+    OFF = np.int64(1) << np.int64(33)
+    for name, off in (("small", 0), ("wide", OFF)):
+        d = tmp_path / name
+        d.mkdir()
+        pq.write_table(
+            pa.table({"l_orderkey": ok + off, "l_partkey": pk + off}),
+            str(d / "lineitem.parquet"),
+        )
+    assert _pair_shift(str(tmp_path / "small")) is not None
+    assert _pair_shift(str(tmp_path / "wide")) is None
+
+    e_small = copurchase_edges(str(tmp_path / "small")).to_pandas()
+    e_wide = copurchase_edges(str(tmp_path / "wide")).to_pandas()
+    for df in (e_small, e_wide):
+        df.sort_values(["src", "dst"], inplace=True)
+        df.reset_index(drop=True, inplace=True)
+    assert len(e_small) > 0
+    assert (e_wide["src"].to_numpy() == e_small["src"].to_numpy() + OFF).all()
+    assert (e_wide["dst"].to_numpy() == e_small["dst"].to_numpy() + OFF).all()
+
+    w_small = copurchase_weights(str(tmp_path / "small")).to_pandas()
+    w_wide = copurchase_weights(str(tmp_path / "wide")).to_pandas()
+    for df in (w_small, w_wide):
+        df.sort_values(["src", "dst"], inplace=True)
+        df.reset_index(drop=True, inplace=True)
+    assert (w_wide["n_orders"].to_numpy() == w_small["n_orders"].to_numpy()).all()
+    assert (w_wide["src"].to_numpy() == w_small["src"].to_numpy() + OFF).all()
+
+
+def test_succ_edges_wide_keys_and_tie_break(ray_session, tmp_path):
+    """succ_edges must (a) survive ≥2^32 partkeys via the wide pair route
+    and (b) define succession deterministically on duplicate (orderkey,
+    linenumber) rows — the (ln, partkey) tie-break, matching the oracles'
+    ORDER BY l_linenumber, l_partkey."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import succ_edges
+
+    OFF = np.int64(1) << np.int64(33)
+    # order 1: lines 1,1,2 with tied linenumber 1 → succession is by
+    # (linenumber, partkey): 5→9 then 9→3
+    ok = np.array([1, 1, 1, 2, 2], np.int64)
+    ln = np.array([1, 1, 2, 1, 2], np.int64)
+    pk = np.array([9, 5, 3, 7, 2], np.int64)
+    qt = np.ones(5)
+    for name, off in (("small", 0), ("wide", OFF)):
+        d = tmp_path / name
+        d.mkdir()
+        pq.write_table(
+            pa.table({"l_orderkey": ok + off, "l_linenumber": ln,
+                      "l_partkey": pk + off, "l_quantity": qt}),
+            str(d / "lineitem.parquet"),
+        )
+    for name, off in (("small", 0), ("wide", int(OFF))):
+        got = succ_edges(str(tmp_path / name)).to_pandas()
+        pairs = sorted(map(tuple, got.to_numpy().astype(np.int64)))
+        assert pairs == [(5 + off, 9 + off), (7 + off, 2 + off),
+                         (9 + off, 3 + off)], (name, pairs)
+
+
 def test_multi_match_batch_beats_sequential(ray_session):
     """VERDICT r4 #4 'done' bar: N queries through ONE batch (one graph
     load + shared census + shared barriers) beat N sequential runs that
