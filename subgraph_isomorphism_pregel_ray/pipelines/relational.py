@@ -155,6 +155,21 @@ def _pair_shift(sf_dir: str):
     return np.int64(1) << np.int64(max(21, w))
 
 
+_PAIR_MIX = np.uint64(0x9E3779B97F4A7C15)
+_PAIR_MIX2 = np.uint64(0xC2B2AE3D27D4EB4F)
+
+
+def _pair_bucket(a: np.ndarray, b: np.ndarray, num_buckets) -> np.ndarray:
+    """Deterministic bucket id for a vid PAIR with no packing — safe for
+    full-64-bit vids (url-hash graphs): a splitmix-style multiply-xor mix
+    of both coordinates. Replaces the `key % B` bucketing of the old
+    packed pair keys; co-location of equal pairs is all the downstream
+    per-bucket dedup/count logic needs."""
+    h = (a.astype(np.uint64) * _PAIR_MIX) ^ (b.astype(np.uint64) * _PAIR_MIX2)
+    h ^= h >> np.uint64(29)
+    return (h % np.uint64(num_buckets)).astype(np.int32)
+
+
 def _pair_dedup_cols(l: np.ndarray, r: np.ndarray):
     """Sorted unique (l, r) pairs via lexsort — the wide-key analogue of
     ``np.unique`` on a packed key."""
@@ -2867,46 +2882,50 @@ def succ_reciprocity(sf_dir: str, num_buckets: int = 32, round_to: int = 6):
     (n_edges, n_recip, reciprocity).
 
     Scale shape: consumes :func:`succ_edges` (which dedupes per bucket but
-    not globally), canonicalizes each edge to an undirected 64-bit key +
-    direction bit, and buckets BY KEY — both directions and all duplicate
-    sightings of a pair co-locate, so one exchange yields exact global
-    counts from per-bucket partials (distinct directed edges; edges whose
-    key has both direction bits). The driver folds B partial rows."""
+    not globally), canonicalizes each edge to an undirected (lo, hi) pair
+    + direction bit, and buckets by a pair HASH (:func:`_pair_bucket` —
+    no packed key, so full-64-bit url-hash vids work) — both directions
+    and all duplicate sightings of a pair co-locate, so one exchange
+    yields exact global counts from per-bucket partials (distinct
+    directed edges; pairs seen with both direction bits). The driver
+    folds B partial rows."""
     from ..functions.rounding import round_half_away
     from ray.data.aggregate import Sum
 
     edges = succ_edges(sf_dir)
-    B = np.uint64(num_buckets)
 
     def _canon(t: pa.Table) -> pa.Table:
         s = t["src"].to_numpy().astype(np.uint64)
         d = t["dst"].to_numpy().astype(np.uint64)
         lo, hi = np.minimum(s, d), np.maximum(s, d)
-        # loud guard: the packed key needs 32-bit vids (true for partkeys
-        # here; switch to a 128-bit/string key beyond that)
-        assert len(hi) == 0 or int(hi.max()) < (1 << 32), "vid exceeds 32 bits"
-        key = (lo << np.uint64(32)) | hi
         direc = np.where(s < d, 1, 2).astype(np.int8)
         return pa.table(
             {
-                "key": key.view(np.int64),
+                "lo": lo.view(np.int64),
+                "hi": hi.view(np.int64),
                 "direc": direc,
-                "b": (key % B).astype(np.int32),
+                "b": _pair_bucket(lo, hi, num_buckets),
             }
         )
 
     def _count(g: pa.Table) -> pa.Table:
-        key = g["key"].to_numpy()
+        lo = g["lo"].to_numpy()
+        hi = g["hi"].to_numpy()
         direc = g["direc"].to_numpy().astype(np.int64)
-        order = np.lexsort((direc, key))
-        key, direc = key[order], direc[order]
-        first = np.ones(len(key), bool)
-        first[1:] = (key[1:] != key[:-1]) | (direc[1:] != direc[:-1])
-        key, direc = key[first], direc[first]  # distinct directed edges
-        ukey, cnt = np.unique(key, return_counts=True)
+        order = np.lexsort((direc, hi, lo))
+        lo, hi, direc = lo[order], hi[order], direc[order]
+        first = np.ones(len(lo), bool)
+        first[1:] = (
+            (lo[1:] != lo[:-1]) | (hi[1:] != hi[:-1]) | (direc[1:] != direc[:-1])
+        )
+        lo, hi = lo[first], hi[first]  # distinct directed edges
+        pf = np.ones(len(lo), bool)
+        pf[1:] = (lo[1:] != lo[:-1]) | (hi[1:] != hi[:-1])
+        idx = np.flatnonzero(pf)
+        cnt = np.diff(np.append(idx, len(lo)))
         return pa.table(
             {
-                "n_edges": np.array([len(key)], np.int64),
+                "n_edges": np.array([len(lo)], np.int64),
                 "n_recip": np.array([2 * int((cnt == 2).sum())], np.int64),
             }
         )
@@ -3045,19 +3064,17 @@ def succ_inout_correlation(sf_dir: str, num_buckets: int = 32, round_to: int = 6
     def _canon(t: pa.Table) -> pa.Table:
         s = t["src"].to_numpy().astype(np.uint64)
         d = t["dst"].to_numpy().astype(np.uint64)
-        # loud guard, same 32-bit packing contract as succ_reciprocity
-        assert len(d) == 0 or max(int(s.max()), int(d.max())) < (1 << 32), (
-            "vid exceeds 32 bits"
-        )
-        key = (s << np.uint64(32)) | d
+        # pair-hash bucketing, no packed key — full-64-bit-vid safe
         return pa.table(
-            {"key": key.view(np.int64), "b": (key % B).astype(np.int32)}
+            {
+                "s": s.view(np.int64),
+                "d": d.view(np.int64),
+                "b": _pair_bucket(s, d, num_buckets),
+            }
         )
 
     def _dedupe_degrees(g: pa.Table) -> pa.Table:
-        key = np.unique(g["key"].to_numpy()).view(np.uint64)
-        src = (key >> np.uint64(32)).astype(np.int64)
-        dst = (key & np.uint64(0xFFFFFFFF)).astype(np.int64)
+        src, dst = _pair_dedup_cols(g["s"].to_numpy(), g["d"].to_numpy())
         uo, co = np.unique(src, return_counts=True)
         ui, ci = np.unique(dst, return_counts=True)
         vid = np.concatenate([uo, ui])
@@ -5309,30 +5326,27 @@ def succ_triad_motifs(sf_dir: str, max_qty: float = 25.0, num_buckets: int = 32)
     dupes by contract); (2) middle-vertex bucket: in×out wedge expansion
     (a→m→c, a≠c), each wedge emitting TWO probes — (a,c) for the
     transitive closure and (c,a) for the cyclic one; (3) pair-bucket
-    closure: probes count against present edge markers via a packed-key
-    sorted lookup. Cycles are triple-counted by rotation → one final //3.
+    closure: probes count against present edge markers via a WITHIN-BUCKET
+    dense-rank pack (distinct coordinate values per bucket always fit 32
+    bits, so raw vids can be full 64-bit url hashes — no global pack, no
+    width guard). Cycles are triple-counted by rotation → one final //3.
     Per-middle fanout = in(m)·out(m); the qty filter keeps hubs bounded
     (same reasoning as succ_edges' sparsity filter)."""
     from ray.data.aggregate import Sum
 
     edges = succ_edges(sf_dir, max_qty=max_qty)
     B = np.int64(num_buckets)
-    SH = np.int64(32)
-    MASK = np.int64((1 << 32) - 1)
 
     def _pairb(t: pa.Table) -> pa.Table:
         s = t["src"].to_numpy().astype(np.int64)
         d = t["dst"].to_numpy().astype(np.int64)
-        if len(s) and max(int(s.max()), int(d.max())) >= (1 << 32):
-            raise ValueError("succ_triad_motifs: vid exceeds 32-bit pack")
-        key = s << SH | d
-        return pa.table({"key": key, "b": (key % B).astype(np.int32)})
+        return pa.table(
+            {"src": s, "dst": d, "b": _pair_bucket(s, d, num_buckets)}
+        )
 
     def _dedup(g: pa.Table) -> pa.Table:
-        key = np.unique(g["key"].to_numpy())
-        return pa.table(
-            {"src": key >> SH, "dst": key & MASK}
-        )
+        src, dst = _pair_dedup_cols(g["src"].to_numpy(), g["dst"].to_numpy())
+        return pa.table({"src": src, "dst": dst})
 
     dedges = (
         edges.map_batches(_pairb, batch_format="pyarrow")
@@ -5373,34 +5387,43 @@ def succ_triad_motifs(sf_dir: str, max_qty: float = 25.0, num_buckets: int = 32)
             ok = a != c
             a, c = a[ok], c[ok]
             # transitive probe: does edge (a,c) exist?  cyclic: (c,a)?
-            pk.append(np.concatenate([a << SH | c, c << SH | a]))
+            pk.append((np.concatenate([a, c]), np.concatenate([c, a])))
             pb.append(np.concatenate([np.zeros(len(a), np.int8),
                                       np.ones(len(c), np.int8)]))
         if not pk:
-            return pa.table({"key": np.array([], np.int64),
+            return pa.table({"x": np.array([], np.int64),
+                             "y": np.array([], np.int64),
                              "kind": np.array([], np.int8),
                              "b": np.array([], np.int32)})
-        key = np.concatenate(pk)
+        x = np.concatenate([p[0] for p in pk])
+        y = np.concatenate([p[1] for p in pk])
         kind = np.concatenate(pb)
         return pa.table(
-            {"key": key, "kind": kind, "b": (key % B).astype(np.int32)}
+            {"x": x, "y": y, "kind": kind,
+             "b": _pair_bucket(x, y, num_buckets)}
         )
 
     def _edge_markers(t: pa.Table) -> pa.Table:
         s = t["src"].to_numpy().astype(np.int64)
         d = t["dst"].to_numpy().astype(np.int64)
-        key = s << SH | d
         return pa.table(
-            {"key": key, "kind": np.full(len(key), 2, np.int8),
-             "b": (key % B).astype(np.int32)}
+            {"x": s, "y": d, "kind": np.full(len(s), 2, np.int8),
+             "b": _pair_bucket(s, d, num_buckets)}
         )
 
     # materialize the deduped edge table once; it feeds both roles & markers
     dedges = dedges.materialize()
 
     def _close(g: pa.Table) -> pa.Table:
-        key = g["key"].to_numpy()
+        x = g["x"].to_numpy()
+        y = g["y"].to_numpy()
         kind = g["kind"].to_numpy()
+        # within-bucket dense-rank pack: distinct coordinate values in one
+        # bucket always fit 32 bits, so the packed lookup key is valid for
+        # arbitrary 64-bit vids
+        _, ix = np.unique(x, return_inverse=True)
+        _, iy = np.unique(y, return_inverse=True)
+        key = ix.astype(np.int64) << np.int64(32) | iy.astype(np.int64)
         present = np.sort(key[kind == 2])
         probes = kind != 2
         pk_, pkind = key[probes], kind[probes]
@@ -6035,15 +6058,17 @@ def two_hop_reach(sf_dir: str, num_buckets: int | None = None):
     pairs both ways, unioned with the direct edges (both ways); ONE
     v-keyed bucket groupby dedups pairs globally per vertex and counts.
     Per-batch np.unique bounds the exchange; hub middles fan out
-    in(m)·out(m) wedges — the same bound the triad census documents."""
+    in(m)·out(m) wedges — the same bound the triad census documents. The
+    wedge SET is inherently Θ(Σ deg²): on dense graphs (the 10× bump's
+    24M-edge co-purchase graph spills past single-box disk) use the
+    HyperBall neighborhood-function sketch (``hyperball``) instead —
+    exact reach is a sparse-graph / filtered-frontier tool."""
     edges = copurchase_edges(sf_dir, num_buckets=num_buckets)
     B = np.int64(32)
 
     def _roles(t: pa.Table) -> pa.Table:
         s = t["src"].to_numpy().astype(np.int64)
         d = t["dst"].to_numpy().astype(np.int64)
-        if len(s) and max(int(s.max()), int(d.max())) >= (1 << 32):
-            raise ValueError("two_hop_reach: vid exceeds 32-bit pair pack")
         m = np.concatenate([s, d])
         other = np.concatenate([d, s])
         return pa.table(
@@ -6069,15 +6094,12 @@ def two_hop_reach(sf_dir: str, num_buckets: int | None = None):
         # direct ≤1-hop pairs ride along (both ways)
         vs.append(m)
         ws.append(other)
-        v = np.concatenate(vs)
-        w = np.concatenate(ws)
-        key = np.unique(v << np.int64(32) | w)  # partial dedup per bucket
-        v, w = key >> np.int64(32), key & np.int64(0xFFFFFFFF)
+        # two-column lexsort dedup — no packed key, 64-bit-vid safe
+        v, w = _pair_dedup_cols(np.concatenate(vs), np.concatenate(ws))
         return pa.table({"v": v, "w": w, "b2": (v % B).astype(np.int32)})
 
     def _count(g: pa.Table) -> pa.Table:
-        key = np.unique(g["v"].to_numpy() << np.int64(32) | g["w"].to_numpy())
-        v = key >> np.int64(32)
+        v, w = _pair_dedup_cols(g["v"].to_numpy(), g["w"].to_numpy())
         uv, cnt = np.unique(v, return_counts=True)
         return pa.table({"vid": uv, "reach2": cnt.astype(np.int64)})
 
@@ -6107,8 +6129,6 @@ def local_bridges(sf_dir: str, num_buckets: int = 32):
     def _roles(t: pa.Table) -> pa.Table:
         s = t["src"].to_numpy().astype(np.int64)
         d = t["dst"].to_numpy().astype(np.int64)
-        if len(s) and max(int(s.max()), int(d.max())) >= (1 << 32):
-            raise ValueError("local_bridges: vid exceeds 32-bit pair pack")
         m = np.concatenate([s, d])
         other = np.concatenate([d, s])
         return pa.table(
@@ -6122,35 +6142,41 @@ def local_bridges(sf_dir: str, num_buckets: int = 32):
         m, other = m[order], other[order]
         starts = np.nonzero(np.r_[True, m[1:] != m[:-1]])[0]
         ends = np.r_[starts[1:], len(m)]
-        keys = []
+        xs, ys = [], []
         for s, e in zip(starts, ends):
             o = np.unique(other[s:e])
             if len(o) < 2:
                 continue
             ia, ib = np.triu_indices(len(o), k=1)
-            keys.append(o[ia] << np.int64(32) | o[ib])  # a < c by unique order
-        if not keys:
-            return pa.table({"key": np.array([], np.int64),
+            xs.append(o[ia])  # a < c by unique order
+            ys.append(o[ib])
+        if not xs:
+            return pa.table({"x": np.array([], np.int64),
+                             "y": np.array([], np.int64),
                              "probe": np.array([], bool),
                              "b2": np.array([], np.int32)})
-        key = np.unique(np.concatenate(keys))
+        x, y = _pair_dedup_cols(np.concatenate(xs), np.concatenate(ys))
         return pa.table(
-            {"key": key, "probe": np.zeros(len(key), bool),
-             "b2": (key % B).astype(np.int32)}
+            {"x": x, "y": y, "probe": np.zeros(len(x), bool),
+             "b2": _pair_bucket(x, y, num_buckets)}
         )
 
     def _probes(t: pa.Table) -> pa.Table:
         s = t["src"].to_numpy().astype(np.int64)
         d = t["dst"].to_numpy().astype(np.int64)
-        key = s << np.int64(32) | d
         return pa.table(
-            {"key": key, "probe": np.ones(len(key), bool),
-             "b2": (key % B).astype(np.int32)}
+            {"x": s, "y": d, "probe": np.ones(len(s), bool),
+             "b2": _pair_bucket(s, d, num_buckets)}
         )
 
     def _anti(g: pa.Table) -> pa.Table:
-        key = g["key"].to_numpy()
+        x = g["x"].to_numpy()
+        y = g["y"].to_numpy()
         probe = g["probe"].to_numpy(zero_copy_only=False)
+        # within-bucket dense-rank pack (64-bit-vid safe, see triad census)
+        _, ix = np.unique(x, return_inverse=True)
+        _, iy = np.unique(y, return_inverse=True)
+        key = ix.astype(np.int64) << np.int64(32) | iy.astype(np.int64)
         wit = np.sort(key[~probe])
         pk = key[probe]
         if len(wit) and len(pk):
@@ -6158,12 +6184,9 @@ def local_bridges(sf_dir: str, num_buckets: int = 32):
             hit = wit[pos] == pk
         else:
             hit = np.zeros(len(pk), bool)
-        keep = pk[~hit]
-        keep = np.sort(keep)
-        return pa.table(
-            {"src": keep >> np.int64(32),
-             "dst": keep & np.int64(0xFFFFFFFF)}
-        )
+        xs, ys = x[probe][~hit], y[probe][~hit]
+        order = np.lexsort((ys, xs))
+        return pa.table({"src": xs[order], "dst": ys[order]})
 
     sedges = sedges.materialize()  # feeds both roles and probes
     return (
