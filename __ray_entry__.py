@@ -708,6 +708,34 @@ def _q_match_bushy_shared(sf_dir: str):
     return pa.table({"n_embeddings": pa.array([count], type=pa.int64())})
 
 
+def _q_match_bushy_fold3(sf_dir: str):
+    """The round-3 bushy query (three depth-2 branches whose labels are
+    shared PAIRWISE across branches — 3 cross-branch conflict pairs)
+    counted through the round-5 shared-label fold: relaxed three-factor
+    product minus SEVEN conflict terms (every non-empty subset of the 3
+    vertex-disjoint pairs merged → 2³−1 quotient queries, each counted
+    exactly on the same engine). Same count as ``match_bushy`` (which runs
+    the trailing-leaf fold) — one result, two independent fold algebras,
+    one closed-form SQL oracle."""
+    from subgraph_isomorphism_pregel_ray.pipelines.build_graph import symmetrize
+    from subgraph_isomorphism_pregel_ray.pipelines.match import match_count
+    from subgraph_isomorphism_pregel_ray.pipelines.relational import (
+        copurchase_edges,
+    )
+
+    count, _ = match_count(
+        symmetrize(copurchase_edges(sf_dir)),
+        BUSHY_QL,
+        BUSHY_QE,
+        labels_ds=_bushy_labels(sf_dir),
+        num_parts=4,
+        max_out_rows=BUSHY_MAX_OUT_ROWS,
+        max_steps=400,
+        shared_fold=True,
+    )
+    return pa.table({"n_embeddings": pa.array([count], type=pa.int64())})
+
+
 def _q_match_embeddings_tri(sf_dir: str):
     """Embedding ENUMERATION (not just the count): labeled triangles of the
     strong co-purchase graph as (v0, v1, v2) rows — the reference's disabled
@@ -3618,6 +3646,7 @@ def _queries_base() -> dict[str, Callable[[str], Any]]:
         "match_deep_tree": _q_match_deep_tree,
         "match_bushy": _q_match_bushy,
         "match_bushy_deep": _q_match_bushy_deep,
+        "match_bushy_fold3": _q_match_bushy_fold3,
         "match_bushy_shared": _q_match_bushy_shared,
         "match_embeddings_tri": _q_match_embeddings_tri,
         "match_triangle_per_root": _q_match_triangle_per_root,
@@ -6043,6 +6072,43 @@ def _kmeans_assign_ctes(k: int = 8, scale: int = 10_000) -> str:
     )
 
 
+_BUSHY_SQL = (
+            # closed-form leaf fold: for each injective (root, v1, v3, v5)
+            # star (labels 3/0/1/2 distinct → injective automatically),
+            # each leg's leaf count = c(internal, leaf_label) minus ONE
+            # adjacency indicator (the only same-label assigned vertex the
+            # leaf could collide with); the embedding count is the product
+            f"WITH {_ESYM_MAT}, "
+            "lab AS MATERIALIZED (SELECT p_partkey AS vid, "
+            "CASE WHEN p_partkey % 97 = 0 THEN 3 ELSE p_size % 3 END AS l "
+            "FROM part), "
+            "cnt AS MATERIALIZED (SELECT e.src AS vid, lab.l, "
+            "CAST(count(*) AS BIGINT) c FROM e "
+            "JOIN lab ON lab.vid = e.dst GROUP BY 1, 2), "
+            "fr AS (SELECT e1.dst v1, e3.dst v3, e5.dst v5 "
+            "FROM lab r "
+            "JOIN e e1 ON e1.src = r.vid "
+            "JOIN lab l1 ON l1.vid = e1.dst AND l1.l = 0 "
+            "JOIN e e3 ON e3.src = r.vid "
+            "JOIN lab l3 ON l3.vid = e3.dst AND l3.l = 1 "
+            "JOIN e e5 ON e5.src = r.vid "
+            "JOIN lab l5 ON l5.vid = e5.dst AND l5.l = 2 "
+            "WHERE r.l = 3) "
+            "SELECT CAST(coalesce(sum("
+            "(cA.c - CASE WHEN a13.src IS NULL THEN 0 ELSE 1 END) * "
+            "(cB.c - CASE WHEN a35.src IS NULL THEN 0 ELSE 1 END) * "
+            "(cC.c - CASE WHEN a51.src IS NULL THEN 0 ELSE 1 END)), 0) "
+            "AS BIGINT) AS n_embeddings "
+            "FROM fr "
+            "JOIN cnt cA ON cA.vid = fr.v1 AND cA.l = 1 "
+            "JOIN cnt cB ON cB.vid = fr.v3 AND cB.l = 2 "
+            "JOIN cnt cC ON cC.vid = fr.v5 AND cC.l = 0 "
+            "LEFT JOIN e a13 ON a13.src = fr.v1 AND a13.dst = fr.v3 "
+            "LEFT JOIN e a35 ON a35.src = fr.v3 AND a35.dst = fr.v5 "
+            "LEFT JOIN e a51 ON a51.src = fr.v5 AND a51.dst = fr.v1"
+        )
+
+
 def oracle_sql() -> dict[str, str]:
     toks = "regexp_split_to_array(trim(text), '\\s+')"
     ntok = f"CASE WHEN trim(text) = '' THEN 0 ELSE len({toks}) END"
@@ -6265,41 +6331,8 @@ def oracle_sql() -> dict[str, str]:
             "AND e23.dst <> e45.dst AND e01.dst <> e34.dst "
             "AND e12.dst <> e26.dst"
         ),
-        "match_bushy": (
-            # closed-form leaf fold: for each injective (root, v1, v3, v5)
-            # star (labels 3/0/1/2 distinct → injective automatically),
-            # each leg's leaf count = c(internal, leaf_label) minus ONE
-            # adjacency indicator (the only same-label assigned vertex the
-            # leaf could collide with); the embedding count is the product
-            f"WITH {_ESYM_MAT}, "
-            "lab AS MATERIALIZED (SELECT p_partkey AS vid, "
-            "CASE WHEN p_partkey % 97 = 0 THEN 3 ELSE p_size % 3 END AS l "
-            "FROM part), "
-            "cnt AS MATERIALIZED (SELECT e.src AS vid, lab.l, "
-            "CAST(count(*) AS BIGINT) c FROM e "
-            "JOIN lab ON lab.vid = e.dst GROUP BY 1, 2), "
-            "fr AS (SELECT e1.dst v1, e3.dst v3, e5.dst v5 "
-            "FROM lab r "
-            "JOIN e e1 ON e1.src = r.vid "
-            "JOIN lab l1 ON l1.vid = e1.dst AND l1.l = 0 "
-            "JOIN e e3 ON e3.src = r.vid "
-            "JOIN lab l3 ON l3.vid = e3.dst AND l3.l = 1 "
-            "JOIN e e5 ON e5.src = r.vid "
-            "JOIN lab l5 ON l5.vid = e5.dst AND l5.l = 2 "
-            "WHERE r.l = 3) "
-            "SELECT CAST(coalesce(sum("
-            "(cA.c - CASE WHEN a13.src IS NULL THEN 0 ELSE 1 END) * "
-            "(cB.c - CASE WHEN a35.src IS NULL THEN 0 ELSE 1 END) * "
-            "(cC.c - CASE WHEN a51.src IS NULL THEN 0 ELSE 1 END)), 0) "
-            "AS BIGINT) AS n_embeddings "
-            "FROM fr "
-            "JOIN cnt cA ON cA.vid = fr.v1 AND cA.l = 1 "
-            "JOIN cnt cB ON cB.vid = fr.v3 AND cB.l = 2 "
-            "JOIN cnt cC ON cC.vid = fr.v5 AND cC.l = 0 "
-            "LEFT JOIN e a13 ON a13.src = fr.v1 AND a13.dst = fr.v3 "
-            "LEFT JOIN e a35 ON a35.src = fr.v3 AND a35.dst = fr.v5 "
-            "LEFT JOIN e a51 ON a51.src = fr.v5 AND a51.dst = fr.v1"
-        ),
+        "match_bushy": _BUSHY_SQL,
+        "match_bushy_fold3": _BUSHY_SQL,
         "match_bushy_deep": (
             # closed-form branch fold: labels make every cross-branch /
             # root pair automatically injective; the only same-label pairs

@@ -337,6 +337,45 @@ def test_multi_match_batch_beats_sequential(ray_session):
     assert best >= 1.8, best
 
 
+def test_cli_shared_fold_flag(tmp_path):
+    """`match --shared-fold` over the reference toy graph: a bushy query
+    whose two branches SHARE label b gives the same count with and without
+    the flag (and the parsed plan really engages the shared fold)."""
+    import json
+    import subprocess
+    import sys
+
+    from subgraph_isomorphism_pregel_ray.sources.graph_text import (
+        parse_query_text,
+    )
+
+    REF_TOY = "/root/reference/graphs/toy.txt"
+    q = tmp_path / "bushy_shared.txt"
+    # root d with branches (a-b) and (c-b): label b shared across branches
+    q.write_text(
+        "1 d\t2 a 4 c\n2 a\t1 d 3 b\n3 b\t2 a\n4 c\t1 d 5 b\n5 b\t4 c\n"
+    )
+    ql, qe = parse_query_text(q.read_text())
+    from subgraph_isomorphism_pregel_ray.pipelines.match import build_plan
+
+    plan = build_plan(ql, qe, allow_shared=True)
+    assert plan["branches"] and plan["shared_pairs"]
+
+    counts = {}
+    for flag in ([], ["--shared-fold"]):
+        r = subprocess.run(
+            [sys.executable, "-m", "subgraph_isomorphism_pregel_ray", "match",
+             "-d", REF_TOY, "-q", str(q), "--parts", "2", "--cpus", "4",
+             *flag],
+            capture_output=True, text=True, timeout=240, cwd="/root/repo",
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        counts[bool(flag)] = json.loads(
+            r.stdout.strip().splitlines()[-1]
+        )["mapping_count"]
+    assert counts[True] == counts[False]
+
+
 def test_match_count_shared_fold_distributed(ray_session):
     """End-to-end on the distributed engine: match_count(shared_fold=True)
     reuses ONE engine for the relaxed run + every conflict term."""
