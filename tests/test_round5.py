@@ -337,6 +337,43 @@ def test_multi_match_batch_beats_sequential(ray_session):
     assert best >= 1.8, best
 
 
+@settings(max_examples=40, deadline=None)
+@given(st.integers(1, 10**6))
+def test_shared_quotients_partition_structure(seed):
+    """The conflict-term enumeration is exactly the set of non-discrete
+    clique partitions of the relaxation graph: for k vertex-disjoint
+    shared pairs there are 2^k − 1 terms; every quotient is strictly
+    smaller than the query; merged vertices keep their label; and
+    quotient edges are the contracted original edges."""
+    rng = np.random.default_rng(seed)
+    nb = int(rng.integers(2, 4))
+    # bushy tree: root + nb branches of depth 2, every branch = (own label,
+    # SHARED leaf label) → the relax graph is a clique on the nb leaves
+    ql = [nb + 1]
+    qe = []
+    for i in range(nb):
+        ql.append(i)           # branch internal: unique label
+        qe.append((0, len(ql) - 1))
+        ql.append(nb)          # branch leaf: shared label
+        qe.append((len(ql) - 2, len(ql) - 1))
+    plan = build_plan(ql, qe, allow_shared=True)
+    assert len(plan["branches"]) == nb
+    npairs = nb * (nb - 1) // 2
+    assert len(plan["shared_pairs"]) == npairs
+    terms = shared_quotients(ql, qe, plan)
+    # clique partitions of K_nb minus the discrete one = Bell(nb) - 1
+    bell = {2: 2, 3: 5}[nb]
+    assert len(terms) == bell - 1
+    k = len(ql)
+    for l2, e2 in terms:
+        assert len(l2) < k                      # strictly smaller
+        assert sorted(set(l2)) == sorted(set(l2))
+        assert all(0 <= a < len(l2) and 0 <= b < len(l2) for a, b in e2)
+        assert all(a != b for a, b in e2)       # no self-loops survive
+        # label multiset: merging only removes copies of the shared label
+        assert sorted(l2)[:1] == [0]
+
+
 def test_cli_shared_fold_flag(tmp_path):
     """`match --shared-fold` over the reference toy graph: a bushy query
     whose two branches SHARE label b gives the same count with and without
